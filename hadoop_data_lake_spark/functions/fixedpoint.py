@@ -1,0 +1,49 @@
+"""Fixed-point (integer) summation for money-like doubles.
+
+Floating-point addition is not associative, so `SUM(double)` depends on
+partitioning/merge order — results differ run-to-run under AQE and differ
+from any external oracle. For columns with known decimal scale (prices,
+discounts, quantities), we instead round each ROW to an integer number of
+fixed-point units (deterministic: one IEEE multiply + round per row), sum
+exactly as BIGINT, and divide once at the end.
+
+This is both a correctness tool (engine-portable, reproducible aggregates)
+and the right call at 100 TB: a 1000-executor partial+final aggregation tree
+gives a different double sum per run; the bigint tree does not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def to_units(col: Column, scale: int = 2) -> Column:
+    """Row-level: double -> bigint fixed-point units (10^scale per 1.0)."""
+    return F.round(col * F.lit(10**scale)).cast("long")
+
+
+def sum_fixed(col: Column, scale: int = 2) -> Column:
+    """Exact sum of a double column with `scale` reliable decimals."""
+    return (F.sum(to_units(col, scale)) / F.lit(float(10**scale))).cast("double")
+
+
+def avg_fixed(col: Column, scale: int = 2) -> Column:
+    """Deterministic mean: exact bigint sum, one final double division."""
+    return (
+        F.sum(to_units(col, scale)).cast("double")
+        / (F.count(col) * F.lit(float(10**scale)))
+    ).cast("double")
+
+
+def sum_fixed_sql(expr: str, scale: int = 2) -> str:
+    """DuckDB fragment matching sum_fixed()."""
+    return f"(sum(cast(round({expr} * {10**scale}) as bigint)) / {float(10**scale)})"
+
+
+def avg_fixed_sql(expr: str, scale: int = 2) -> str:
+    """DuckDB fragment matching avg_fixed()."""
+    return (
+        f"(cast(sum(cast(round({expr} * {10**scale}) as bigint)) as double)"
+        f" / (count({expr}) * {float(10**scale)}))"
+    )

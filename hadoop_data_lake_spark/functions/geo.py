@@ -1,0 +1,43 @@
+"""Geospatial scalar functions.
+
+Haversine great-circle distance with the degrees->radians conversion the
+reference omits (save_mes_geo.py:39 and calculate_user_recommendations.py:40
+feed raw degrees into sin/cos — SURVEY.md §2.9-B1). Earth radius 6371 km as
+in the reference (save_mes_geo.py:34).
+
+Also provides the grid-cell key used to turn O(events x cities) cross joins
+and O(n^2) radius self-joins into cell-local equi-joins (SURVEY.md §7.4):
+at 100 TB you never crossJoin; you join on a spatial bucket and check the
+exact predicate only within the 3x3 neighborhood.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in km between two (degree) coordinate pairs."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = F.sin(dlat) ** 2 + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) ** 2
+    return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
+
+
+def grid_cell(lat: Column, lon: Column, cell_km: float) -> tuple[Column, Column]:
+    """(row, col) integer cell of a lat/lon point on a cell_km-sized grid.
+
+    Latitude degrees are ~111.32 km; longitude degrees shrink with latitude,
+    but for a *candidate prefilter* we use the equatorial width so cells only
+    ever over-contain (correctness preserved; exact haversine filter runs
+    after the join).
+    """
+    deg = cell_km / 111.32
+    return (
+        F.floor(lat / F.lit(deg)).cast("long"),
+        F.floor(lon / F.lit(deg)).cast("long"),
+    )

@@ -1,0 +1,241 @@
+"""Deduplication operators for a large-scale training-data pipeline.
+
+Five strategies, all shuffle-bounded (never all-pairs over the full corpus):
+
+- exact_dedup:        hash-groupBy on content digest. One shuffle.
+- ngram_jaccard_pairs: exact Jaccard over k-word shingles via an inverted
+                       index (explode shingles -> equi-join on shingle).
+                       Candidate set = pairs sharing >= 1 shingle; at scale,
+                       cap hot shingles (drop shingles with doc-frequency
+                       above a bound — they carry no discriminative signal).
+- minhash_lsh_pairs:  MinHash signatures + banded LSH; candidates only where
+                      a band collides, then exact Jaccard verification.
+                      This is the 100 TB path: cost ~ O(docs x bands).
+- simhash_pairs:      60-bit SimHash + 4x15-bit chunk banding (any pair
+                      within Hamming distance 3 must share a chunk by
+                      pigeonhole); exact popcount verification after.
+- embedding near-dup: see operators/similarity.py (cosine threshold).
+
+Hashing uses the portable 60-bit MD5 prefix (functions/hashing.py) so the
+DuckDB oracle replays the exact same signatures — the LSH output is
+bit-for-bit reproducible, not just statistically similar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_data_lake_spark.functions.hashing import md5_60bit, salted_md5_60bit
+from hadoop_data_lake_spark.functions.text import shingles
+
+
+def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """One row per distinct content: digest, representative (min id), copy
+    count. Representative choice is deterministic."""
+    return (
+        df.select(F.md5(F.col(content_col)).alias("content_md5"), F.col(id_col))
+        .groupBy("content_md5")
+        .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _shingle_index(df: DataFrame, id_col: str, content_col: str, k: int) -> tuple[DataFrame, DataFrame]:
+    """(doc_id -> shingle set) and its exploded inverted index."""
+    sets = df.select(
+        F.col(id_col).alias("doc"), shingles(F.col(content_col), k).alias("sh")
+    )
+    inverted = sets.select("doc", F.explode("sh").alias("s"))
+    return sets, inverted
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    k: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact Jaccard >= threshold pairs over k-word shingles.
+
+    Inverted-index join: |A ∩ B| counted from co-occurring shingles, sizes
+    joined back, union by inclusion-exclusion. Integer counts + one double
+    division -> deterministic.
+    """
+    sets, inv = _shingle_index(df, id_col, content_col, k)
+    sizes = sets.select("doc", F.size("sh").alias("n_sh"))
+
+    co = (
+        inv.alias("a")
+        .join(inv.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        co.join(sizes.withColumnsRenamed({"doc": "doc_a", "n_sh": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc": "doc_b", "n_sh": "n_b"}), "doc_b")
+        .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .withColumn("jaccard", F.col("inter").cast("double") / F.col("uni"))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select(
+        "doc_a", "doc_b", "inter", "uni", F.round("jaccard", 6).alias("jaccard_r")
+    )
+
+
+def minhash_signature(sh: Column, num_hashes: int) -> Column:
+    """Array of `num_hashes` min-hash values over a shingle array (portable
+    salted 60-bit hashes; array_min keeps it one JVM expression)."""
+    return F.array(
+        *[F.array_min(F.transform(sh, lambda s: salted_md5_60bit(s, i))) for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """MinHash + banded LSH candidates, verified with exact Jaccard.
+
+    rows-per-band = num_hashes / bands; a pair is a candidate iff some band's
+    signature slice matches exactly. Only candidates are verified, so the
+    quadratic term is bounded by true collisions — the property that makes
+    fuzzy dedup feasible at 100 TB.
+    """
+    rows_per_band = num_hashes // bands
+    sets, _ = _shingle_index(df, id_col, content_col, k)
+    sets = sets.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+
+    banded = sets.select(
+        "doc",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "sh", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    out = (
+        cand.withColumn("inter", inter)
+        .withColumn("uni", uni)
+        .withColumn("jaccard", F.col("inter").cast("double") / F.col("uni"))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select(
+        "doc_a", "doc_b", "inter", "uni", F.round("jaccard", 6).alias("jaccard_r")
+    )
+
+
+def simhash_expr(tokens_col: str) -> Column:
+    """60-bit SimHash over a (distinct) token array column, as a single SQL
+    expression (nested aggregate: per bit, majority vote of token-hash bits).
+
+    Built with F.expr because shift amounts are per-bit columns (the Python
+    shiftright API only accepts literals; the SQL expression does not have
+    that restriction).
+    """
+    h = (
+        f"transform({tokens_col}, t -> "
+        f"cast(conv(substring(md5(concat('0|', t)), 1, 15), 16, 10) as bigint))"
+    )
+    vote = (
+        f"aggregate(hs, 0L, (a, h) -> a + CASE WHEN ((h >> (59 - b)) & 1) = 1 "
+        f"THEN 1 ELSE -1 END)"
+    )
+    packed = (
+        f"aggregate(sequence(0, 59), 0L, "
+        f"(acc, b) -> acc * 2 + CASE WHEN {vote} > 0 THEN 1L ELSE 0L END)"
+    )
+    return F.expr(packed.replace("hs", h))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within Hamming distance `max_hamming` of their 60-bit SimHash.
+
+    Banding: 4 chunks of 15 bits; with <= 3 differing bits at least one chunk
+    is identical (pigeonhole), so chunk-equality candidates have full recall.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(F.split(F.col(content_col), " ")).alias("w"),
+    )
+    sigs = toks.withColumn("simhash", simhash_expr("w")).select("doc", "simhash")
+
+    chunks = sigs.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("chunk_idx"),
+                        F.expr(f"(simhash >> {15 * j}) & 32767").alias("chunk"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc", "simhash", F.col("ck.chunk_idx").alias("ci"), F.col("ck.chunk").alias("cv"))
+
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    out = cand.withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)")).where(
+        F.col("hamming") <= max_hamming
+    )
+    return out.select("doc_a", "doc_b", "hamming")

@@ -1,0 +1,92 @@
+"""Multimodal columns: image/audio/video as opaque `binary` + typed metadata.
+
+The container has no media libraries, so the actual codec step is stubbed —
+but everything Spark-side is real and tested: the schema contract, the
+mapInPandas batch plumbing (Arrow in/out), the partitioning, and the
+deterministic fallback decoder used by tests/oracles.
+
+Contract for a media table:
+    media_id long, media binary, meta struct<format string, width int,
+    height int, n_bytes long>
+
+`extract_features` runs over mapInPandas so each Arrow batch of binary blobs
+is processed vectorized in one Python hop; at 100 TB you repartition the
+input so batches are memory-bounded (maxRecordsPerBatch) and the decode cost
+parallelizes across executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "media_id long, n_bytes long, byte_sum long, first_byte int, last_byte int, "
+    "byte_mean double"
+)
+
+
+def synth_media_from_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic fake media: UTF-8 bytes of the text as the binary blob,
+    with honest metadata. Stands in for an image/audio ingest in tests."""
+    blob = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        blob.alias("media"),
+        F.struct(
+            F.lit("fake/utf8").alias("format"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.octet_length(blob).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(blob: bytes, fmt: str) -> bytes:
+    """Real codec hook — NOT available in this container.
+
+    Swap in PIL/librosa/pyav here when the image/audio libs exist. The
+    deterministic fallback below (`_fake_decode`) is what tests exercise.
+    """
+    raise NotImplementedError(
+        "media codecs (PIL/librosa/av) are not installed in this environment; "
+        "use fake_decode=True for the deterministic stand-in"
+    )
+
+
+def _fake_decode(blob: bytes) -> bytes:
+    """Deterministic stand-in 'decode': identity over the raw bytes."""
+    return blob
+
+
+def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Per-blob features via Arrow-batched mapInPandas (no per-row serde).
+
+    With a real codec this is where resize/frame-sample/spectrogram go; the
+    byte statistics below are the deterministic test surface.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decode = _fake_decode if fake_decode else (
+                lambda b: decode_media(b, "unknown")
+            )
+            decoded = pdf["media"].map(lambda b: decode(bytes(b)))
+            n_bytes = decoded.map(len)
+            byte_sum = decoded.map(lambda b: int(sum(b)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "byte_sum": byte_sum.astype("int64"),
+                    "first_byte": decoded.map(lambda b: b[0] if b else -1).astype("int32"),
+                    "last_byte": decoded.map(lambda b: b[-1] if b else -1).astype("int32"),
+                    "byte_mean": (byte_sum / n_bytes.clip(lower=1)).astype("float64"),
+                }
+            )
+
+    return media.select("media_id", "media").mapInPandas(op, schema=FEATURE_SCHEMA)

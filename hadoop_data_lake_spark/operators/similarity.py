@@ -1,0 +1,213 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Three tiers, matching how ANN is actually deployed:
+
+- brute_force_topk: exact cosine top-k, query side broadcast against the
+  corpus. The baseline: correct at any scale where |queries| is small; the
+  corpus is scanned once, kernels are JVM-side zip_with/aggregate, and the
+  per-query top-k is a WindowGroupLimit (no global sort, no full ranking
+  materialized).
+- lsh_topk: random-hyperplane (SimHash-for-cosine) bucketing. Hyperplanes
+  are generated from a fixed seed on the driver and inlined as literals, so
+  results are deterministic. Candidates = corpus rows sharing the query's
+  bucket in >= 1 of `num_tables` hash tables; exact cosine re-rank after.
+  Cost ~ O(corpus x tables) hashing + bucket-local candidate scoring.
+- ivf_topk: inverted-file index. Coarse centroids learned as per-label means
+  (or any k-means); queries probe the `nprobe` nearest centroids and score
+  only those partitions — the classic IVF trade: recall vs partitions read.
+
+At 100 TB: brute force is a full scan per query batch; LSH/IVF read a
+bounded fraction. All three shuffle at most once (on bucket/centroid id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_data_lake_spark.functions.vectors import cosine
+from hadoop_data_lake_spark.operators.windows import topk_per_group
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query (self-matches excluded).
+
+    Similarity is rounded to 6 decimals BEFORE ranking so the ordering is
+    reproducible across engines/accumulation orders; ties break on neighbor
+    id ascending.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim_r", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .select("query_id", "neighbor_id", "sim_r")
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("sim_r").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rnk",
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All unordered pairs with cosine >= threshold (exact, brute force —
+    the verification kernel; bound candidates with lsh buckets at scale)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim_r", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("sim_r") >= threshold)
+        .select("id_a", "id_b", "sim_r")
+    )
+
+
+def _hyperplanes(dim: int, num_tables: int, bits_per_table: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_tables, bits_per_table, dim))
+
+
+def _bucket_expr(vec_col: str, planes: np.ndarray):
+    """Sign-bit bucket id of one hash table: packed int of dot-product signs.
+
+    Hyperplane coefficients are inlined literals — the plan is self-contained
+    and deterministic (no broadcast variable, no Python)."""
+    bits = []
+    for plane in planes:
+        terms = [
+            F.element_at(F.col(vec_col), i + 1).cast("double") * float(w)
+            for i, w in enumerate(plane)
+        ]
+        dot = terms[0]
+        for t in terms[1:]:
+            dot = dot + t
+        bits.append(F.when(dot >= 0, 1).otherwise(0))
+    packed = F.lit(0)
+    for b in bits:
+        packed = packed * 2 + b
+    return packed
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_tables: int = 8,
+    bits_per_table: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates share an LSH bucket in >= 1 table,
+    exact cosine re-rank on candidates only."""
+    planes = _hyperplanes(dim, num_tables, bits_per_table, seed)
+
+    def with_buckets(df: DataFrame, idname: str, vecname: str) -> DataFrame:
+        out = df.select(F.col(id_col).alias(idname), F.col(vec_col).alias(vecname))
+        tables = F.array(
+            *[
+                F.struct(F.lit(t).alias("tbl"), _bucket_expr(vecname, planes[t]).alias("bucket"))
+                for t in range(num_tables)
+            ]
+        )
+        return out.select(
+            idname, vecname, F.explode(tables).alias("tb")
+        ).select(idname, vecname, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+    cq = with_buckets(queries, "query_id", "q_vec")
+    cc = with_buckets(corpus, "neighbor_id", "c_vec")
+    cand = (
+        cc.join(F.broadcast(cq), on=["tbl", "bucket"], how="inner")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "sim_r", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    ).select("query_id", "neighbor_id", "sim_r")
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("sim_r").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rnk",
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroid_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF: centroids = per-`centroid_col` mean vectors (computed from the
+    corpus — e.g. a pre-clustered label); each query probes its `nprobe`
+    nearest centroids and scores only those cells.
+
+    Centroid means use element-wise aggregation via posexplode + avg —
+    a single shuffle on (cell, position).
+    """
+    cells = corpus.select(
+        F.col(centroid_col).alias("cell"), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    centroids = (
+        cells.select("cell", F.posexplode("c_vec").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    )
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    probed = topk_per_group(
+        q.crossJoin(F.broadcast(centroids)).withColumn(
+            "c_sim", F.round(cosine(F.col("q_vec"), F.col("centroid")), 6)
+        ),
+        ["query_id"],
+        [F.col("c_sim").desc(), F.col("cell").asc()],
+        k=nprobe,
+        rank_col="probe_rnk",
+    ).select("query_id", "q_vec", "cell")
+
+    cand = probed.join(cells, on="cell", how="inner").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "sim_r", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    ).select("query_id", "neighbor_id", "sim_r")
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("sim_r").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rnk",
+    )

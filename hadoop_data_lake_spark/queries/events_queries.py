@@ -1,0 +1,351 @@
+"""Driver-table queries over `events` — the flat analog of the reference's
+event pipelines (SURVEY.md §7.1, FIXTURES.md §B mapping).
+
+Each function takes (spark, sf_dir) and returns a DataFrame; ORACLE_SQL holds
+the DuckDB-equivalent ANSI SQL with identical column aliases. Timestamps are
+surfaced as exact microsecond bigints (`*_us`), zone_id is the deterministic
+`user_id % 10` analog of the reference's geo zone.
+
+Reference parity notes:
+- zone_report: calculate_zone_report.py:12-60 semantics (pivot counts by
+  event type + week/month rollups + registration counts) on the flat table.
+- latest/first per user: calculate_user_city.py:42-50 (W2) and
+  calculate_zone_report.py:28-35 (W4) window patterns with explicit
+  tie-breaks.
+- gap stats / sessionization: calculate_user_city.py:56 (W3) with the B4
+  interval fix (exact integer microseconds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_data_lake_spark.core.io import read_table
+from hadoop_data_lake_spark.operators.aggregates import pivot_counts
+from hadoop_data_lake_spark.operators.asof import asof_join
+from hadoop_data_lake_spark.operators.joins import banded_range_self_join
+from hadoop_data_lake_spark.operators.windows import (
+    sessionize,
+    top1_per_group,
+    topk_per_group,
+    with_lag_gap_us,
+)
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.weekofyear("ts").alias("week"),
+        F.month("ts").alias("month"),
+        F.pmod("user_id", F.lit(10)).cast("long").alias("zone_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Flagship: zone activity report (scan -> derive -> pivot-agg -> re-agg ->
+# multi-join). Grain: one row per (week, month, zone_id), carrying
+# denormalized week- and month-totals (reference Q2 contract).
+# --------------------------------------------------------------------------
+
+def zone_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _base(spark, sf_dir)
+
+    zone_prep = pivot_counts(base, ["week", "month", "zone_id"], "event_type", EVENT_TYPES)
+
+    regs = top1_per_group(
+        base, ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()]
+    ).select("user_id", "week", "month", "zone_id")
+    week_user = regs.groupBy("week", "zone_id").agg(F.count("*").alias("week_user"))
+    month_user = regs.groupBy("month", "zone_id").agg(F.count("*").alias("month_user"))
+
+    week_tot = zone_prep.groupBy("week", "zone_id").agg(
+        *[F.sum(t).alias(f"week_{t}") for t in EVENT_TYPES]
+    )
+    month_tot = zone_prep.groupBy("month", "zone_id").agg(
+        *[F.sum(t).alias(f"month_{t}") for t in EVENT_TYPES]
+    )
+
+    out = (
+        zone_prep.join(week_tot, on=["week", "zone_id"], how="inner")
+        .join(month_tot, on=["month", "zone_id"], how="inner")
+        .join(week_user, on=["week", "zone_id"], how="left")
+        .join(month_user, on=["month", "zone_id"], how="left")
+        .fillna(0, subset=["week_user", "month_user"])
+    )
+    return out.select(
+        "week",
+        "month",
+        "zone_id",
+        *[F.col(f"week_{t}") for t in EVENT_TYPES],
+        "week_user",
+        *[F.col(f"month_{t}") for t in EVENT_TYPES],
+        "month_user",
+    )
+
+
+ZONE_REPORT_SQL = f"""
+WITH base AS (
+  SELECT event_id, ts, user_id, event_type,
+         weekofyear(ts) AS week, month(ts) AS month, user_id % 10 AS zone_id
+  FROM events
+),
+zone_prep AS (
+  SELECT week, month, zone_id,
+         {', '.join(f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::bigint AS {t}" for t in EVENT_TYPES)}
+  FROM base GROUP BY week, month, zone_id
+),
+regs AS (
+  SELECT user_id, week, month, zone_id FROM (
+    SELECT user_id, week, month, zone_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM base) t
+  WHERE rn = 1
+),
+week_user AS (SELECT week, zone_id, count(*) AS week_user FROM regs GROUP BY week, zone_id),
+month_user AS (SELECT month, zone_id, count(*) AS month_user FROM regs GROUP BY month, zone_id),
+week_tot AS (
+  SELECT week, zone_id, {', '.join(f'sum({t})::bigint AS week_{t}' for t in EVENT_TYPES)}
+  FROM zone_prep GROUP BY week, zone_id
+),
+month_tot AS (
+  SELECT month, zone_id, {', '.join(f'sum({t})::bigint AS month_{t}' for t in EVENT_TYPES)}
+  FROM zone_prep GROUP BY month, zone_id
+)
+SELECT p.week, p.month, p.zone_id,
+       {', '.join(f'wt.week_{t}' for t in EVENT_TYPES)},
+       coalesce(wu.week_user, 0) AS week_user,
+       {', '.join(f'mt.month_{t}' for t in EVENT_TYPES)},
+       coalesce(mu.month_user, 0) AS month_user
+FROM zone_prep p
+JOIN week_tot wt ON p.week = wt.week AND p.zone_id = wt.zone_id
+JOIN month_tot mt ON p.month = mt.month AND p.zone_id = mt.zone_id
+LEFT JOIN week_user wu ON p.week = wu.week AND p.zone_id = wu.zone_id
+LEFT JOIN month_user mu ON p.month = mu.month AND p.zone_id = mu.zone_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Pivot standalone (A1): weekly counts per event type, fixed value list.
+# --------------------------------------------------------------------------
+
+def weekly_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pivot_counts(_base(spark, sf_dir), ["week"], "event_type", EVENT_TYPES)
+
+
+WEEKLY_TYPE_PIVOT_SQL = f"""
+SELECT weekofyear(ts) AS week,
+       {', '.join(f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::bigint AS {t}" for t in EVENT_TYPES)}
+FROM events GROUP BY weekofyear(ts)
+"""
+
+
+# --------------------------------------------------------------------------
+# W2: latest event per user (deterministic tie-break on event_id).
+# --------------------------------------------------------------------------
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    latest = top1_per_group(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return latest.select(
+        "user_id",
+        F.unix_micros("ts").alias("last_ts_us"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+LATEST_EVENT_PER_USER_SQL = """
+SELECT user_id, epoch_us(ts) AS last_ts_us, event_type AS last_event_type,
+       value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# W4: first event per user ("registration").
+# --------------------------------------------------------------------------
+
+def first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    first = top1_per_group(ev, ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()])
+    return first.select(
+        "user_id",
+        F.unix_micros("ts").alias("reg_ts_us"),
+        F.weekofyear("ts").alias("reg_week"),
+        F.col("event_type").alias("reg_event_type"),
+    )
+
+
+FIRST_EVENT_PER_USER_SQL = """
+SELECT user_id, epoch_us(ts) AS reg_ts_us, weekofyear(ts) AS reg_week,
+       event_type AS reg_event_type
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events) t
+WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# W3: per-user inter-event gap statistics on exact microsecond integers.
+# --------------------------------------------------------------------------
+
+def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    gapped = with_lag_gap_us(
+        ev, ["user_id"], "ts", [F.col("ts").asc(), F.col("event_id").asc()]
+    )
+    return (
+        gapped.where(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.sum("gap_us").alias("total_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.min("gap_us").alias("min_gap_us"),
+        )
+    )
+
+
+USER_GAP_STATS_SQL = """
+SELECT user_id, count(*) AS n_gaps, sum(gap_us)::bigint AS total_gap_us,
+       max(gap_us) AS max_gap_us, min(gap_us) AS min_gap_us
+FROM (SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events) t
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Sessionization: 30-minute inactivity gap, lag + conditional cumsum.
+# --------------------------------------------------------------------------
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    sess = sessionize(
+        ev, ["user_id"], "ts", gap_seconds=1800,
+        order=[F.col("ts").asc(), F.col("event_id").asc()],
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.unix_micros("ts")).alias("session_start_us"),
+        F.max(F.unix_micros("ts")).alias("session_end_us"),
+    )
+
+
+USER_SESSIONS_SQL = """
+WITH gapped AS (
+  SELECT user_id, event_id, ts,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM gapped
+),
+sessions AS (
+  SELECT user_id, event_id, ts,
+         cast(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS bigint) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(epoch_us(ts)) AS session_start_us, max(epoch_us(ts)) AS session_end_us
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Pair recommendations analog (J2+J3+J4): users with same-type events in the
+# same hour whose values differ by <= 0.5 — banded range join, no cross join.
+# --------------------------------------------------------------------------
+
+def event_pair_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_trunc("hour", "ts").alias("hour_ts"),
+    )
+    pairs = banded_range_self_join(
+        ev,
+        keys=["event_type", "hour_ts"],
+        id_col="event_id",
+        value_col="value",
+        band_width=0.5,
+        payload=["user_id"],
+    )
+    return (
+        pairs.where(F.col("user_id_l") != F.col("user_id_r"))
+        .select(
+            "event_type",
+            F.unix_micros("hour_ts").alias("hour_us"),
+            F.least("user_id_l", "user_id_r").alias("user_a"),
+            F.greatest("user_id_l", "user_id_r").alias("user_b"),
+        )
+        .distinct()
+    )
+
+
+EVENT_PAIR_CANDIDATES_SQL = """
+SELECT DISTINCT a.event_type,
+       epoch_us(date_trunc('hour', a.ts)) AS hour_us,
+       least(a.user_id, b.user_id) AS user_a,
+       greatest(a.user_id, b.user_id) AS user_b
+FROM events a
+JOIN events b
+  ON a.event_type = b.event_type
+ AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
+ AND a.event_id < b.event_id
+ AND abs(a.value - b.value) <= 0.5
+WHERE a.user_id <> b.user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# As-of join: each purchase matched to the user's latest prior click.
+# --------------------------------------------------------------------------
+
+def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("click_ts_us"),
+    )
+    return asof_join(
+        purchases, clicks, on="user_id", left_ts="purchase_ts_us", right_ts="click_ts_us"
+    )
+
+
+PURCHASE_ATTRIBUTION_ASOF_SQL = """
+SELECT p.user_id, p.purchase_id, p.purchase_ts_us, p.purchase_value,
+       c.click_id, c.click_ts_us
+FROM (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_ts_us,
+             value AS purchase_value
+      FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN
+     (SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_ts_us
+      FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.click_ts_us <= p.purchase_ts_us
+"""

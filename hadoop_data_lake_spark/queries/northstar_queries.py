@@ -1,0 +1,338 @@
+"""North-star queries: dedup / text analysis / similarity search /
+multimodal / streaming over the `documents` and `embeddings` driver tables.
+
+Oracle policy: everything whose math both engines can replay bit-for-bit
+(portable MD5-based hashes, integer counts, rounded single-expression
+doubles) gets a full DuckDB oracle — including the MinHash LSH pipeline and
+the brute-force ANN. Genuinely non-replayable paths (numpy-seeded LSH
+hyperplanes, mapInPandas feature extraction, IVF centroids) are rows-only
+entries verified instead by pytest recall/latency checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_data_lake_spark.core.io import read_table
+from hadoop_data_lake_spark.functions import text as TX
+from hadoop_data_lake_spark.functions.hashing import salted_md5_60bit_sql
+from hadoop_data_lake_spark.functions.vectors import cosine_sql
+from hadoop_data_lake_spark.operators import dedup as DD
+from hadoop_data_lake_spark.operators import similarity as SIM
+from hadoop_data_lake_spark.operators.multimodal import (
+    extract_features,
+    synth_media_from_text,
+)
+from hadoop_data_lake_spark.streaming.ingest import run_batch_replay
+
+# --------------------------------------------------------------------------
+# Dedup family
+# --------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs, "doc_id", "text")
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_md5, min(doc_id) AS rep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.3)
+
+
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents),
+sh AS (SELECT doc_id, {TX.shingles_sql('w', 'text', 3)} AS shingles FROM toks)
+"""
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLES_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)
+SELECT co.doc_a, co.doc_b, co.inter,
+       sa.n_sh + sb.n_sh - co.inter AS uni,
+       round(co.inter::double / (sa.n_sh + sb.n_sh - co.inter), 6) AS jaccard_r
+FROM co
+JOIN sizes sa ON co.doc_a = sa.doc_id
+JOIN sizes sb ON co.doc_b = sb.doc_id
+WHERE co.inter::double / (sa.n_sh + sb.n_sh - co.inter) >= 0.3
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.3
+    )
+
+
+_MINHASH = salted_md5_60bit_sql("s", "i")
+
+DEDUP_MINHASH_LSH_SQL = f"""
+WITH {_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id, shingles,
+         list_transform(range(0, 16),
+           i -> list_min(list_transform(shingles, s -> {_MINHASH}))) AS sig
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, shingles, b AS band,
+         sig[b * 4 + 1]::varchar || ',' || sig[b * 4 + 2]::varchar || ',' ||
+         sig[b * 4 + 3]::varchar || ',' || sig[b * 4 + 4]::varchar AS band_key
+  FROM sigs, unnest([0, 1, 2, 3]) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+         len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles)) AS uni
+  FROM cand c
+  JOIN sh sa ON c.doc_a = sa.doc_id
+  JOIN sh sb ON c.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, inter, uni, round(inter::double / uni, 6) AS jaccard_r
+FROM verified WHERE inter::double / uni >= 0.3
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return DD.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+_TOKHASH = salted_md5_60bit_sql("t", 0)
+
+DEDUP_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents
+),
+hashes AS (
+  SELECT doc_id, list_transform(w, t -> {_TOKHASH}::bigint) AS hs FROM toks
+),
+sigs AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0::bigint, list_transform(range(0, 60),
+           b -> CASE WHEN len(list_filter(hs, h -> ((h >> (59 - b)) & 1) = 1))
+                          > len(hs) - len(list_filter(hs, h -> ((h >> (59 - b)) & 1) = 1))
+                     THEN 1::bigint ELSE 0::bigint END)),
+           (acc, bit) -> acc * 2 + bit) AS simhash
+  FROM hashes
+),
+chunks AS (
+  SELECT doc_id, simhash, j AS ci, (simhash >> (15 * j)) & 32767 AS cv
+  FROM sigs, unnest([0, 1, 2, 3]) AS t(j)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM chunks a JOIN chunks b
+    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis family
+# --------------------------------------------------------------------------
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        F.length(t).cast("long").alias("n_chars_computed"),
+        F.round(TX.distinct_token_ratio(t), 6).alias("distinct_ratio"),
+        F.round(TX.stopword_ratio(t), 6).alias("stop_ratio"),
+        F.round(TX.quality_score(t), 6).alias("quality"),
+    )
+
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       len(string_split(text, ' '))::bigint AS n_tokens,
+       length(text)::bigint AS n_chars_computed,
+       round({TX.distinct_token_ratio_sql('text')}, 6) AS distinct_ratio,
+       round({TX.stopword_ratio_sql('text')}, 6) AS stop_ratio,
+       round({TX.quality_score_sql('text')}, 6) AS quality
+FROM documents
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scores = TX.lang_scores(t)
+    return docs.select(
+        "doc_id",
+        TX.lang_id(t).alias("pred_lang"),
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(scores)],
+    )
+
+
+LANG_ID_SQL = f"""
+SELECT doc_id,
+       {TX.lang_id_sql('text')} AS pred_lang,
+       {', '.join(f"{TX._lang_score_sql('text', m)}::bigint AS score_{lang}" for lang, m in sorted(TX.LANG_MARKERS.items()))}
+FROM documents
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hash-of-shingles fingerprint (winnowing-lite): the lexicographic
+    minimum MD5 over k-word shingles — a stable document signature."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = TX.shingles(F.col("text"), 3)
+    return docs.select(
+        "doc_id",
+        F.array_min(F.transform(sh, F.md5)).alias("fingerprint"),
+        F.size(sh).cast("long").alias("n_shingles"),
+    )
+
+
+DOC_FINGERPRINT_SQL = f"""
+WITH {_SHINGLES_CTE}
+SELECT doc_id,
+       list_min(list_transform(shingles, s -> md5(s))) AS fingerprint,
+       len(shingles)::bigint AS n_shingles
+FROM sh
+"""
+
+
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+TOKEN_FREQUENCIES_SQL = """
+SELECT token, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+GROUP BY token
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search family
+# --------------------------------------------------------------------------
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings")
+
+
+def _query_set(emb: DataFrame) -> DataFrame:
+    # Deterministic small query set: every 50th vector.
+    return emb.where(F.col("vec_id") % 50 == 0)
+
+
+def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _corpus(spark, sf_dir)
+    return SIM.brute_force_topk(emb, _query_set(emb), k=5)
+
+
+ANN_BRUTE_FORCE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({cosine_sql('q.qv', 'c.embedding')}, 6) AS sim_r
+  FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim_r, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _corpus(spark, sf_dir)
+    return SIM.cosine_near_dup_pairs(emb, threshold=0.95)
+
+
+EMBEDDING_NEAR_DUP_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS sim_r
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.95
+"""
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (numpy-seeded hyperplanes are not SQL-replayable); recall
+    vs brute force is asserted in tests/test_similarity.py."""
+    emb = _corpus(spark, sf_dir)
+    return SIM.lsh_topk(emb, _query_set(emb), k=5, num_tables=8, bits_per_table=8)
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IVF with per-label mean centroids, nprobe=2."""
+    emb = _corpus(spark, sf_dir)
+    return SIM.ivf_topk(emb, _query_set(emb), centroid_col="label", k=5, nprobe=2)
+
+
+# --------------------------------------------------------------------------
+# Multimodal + streaming
+# --------------------------------------------------------------------------
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    media = synth_media_from_text(docs, "doc_id", "text")
+    return media.select(
+        "media_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5("media").alias("content_md5"),
+    )
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id AS media_id, 'fake/utf8' AS format,
+       octet_length(encode(text))::bigint AS n_bytes, md5(text) AS content_md5
+FROM documents
+"""
+
+
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: Arrow-batched mapInPandas over binary blobs with the
+    deterministic fake decoder (real codecs stubbed — see
+    operators/multimodal.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = synth_media_from_text(docs, "doc_id", "text")
+    return extract_features(media, fake_decode=True)
+
+
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window counts, replayed deterministically
+    over the static events parquet (availableNow + memory sink)."""
+    return run_batch_replay(spark, f"{sf_dir}/events.parquet", window_seconds=600)
+
+
+STREAM_WINDOWED_COUNTS_SQL = """
+SELECT (epoch_us(ts) // 600000000) * 600000000 AS window_start_us,
+       event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+"""

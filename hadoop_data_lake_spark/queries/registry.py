@@ -1,0 +1,81 @@
+"""Central query registry: every operator the engine claims, with its DuckDB
+oracle where SQL-expressible (driver contract in __spark_entry__.py).
+
+Keys are stable operator names (SURVEY.md §2 inventory + north-star
+extensions). `oracle is None` => rows-only check (non-SQL-expressible path);
+each such entry documents why and points to its pytest verification.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_data_lake_spark.queries import events_queries as EV
+from hadoop_data_lake_spark.queries import northstar_queries as NS
+from hadoop_data_lake_spark.queries import tpch_queries as TQ
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None
+    tags: tuple[str, ...] = ()
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    # --- events (reference pipeline semantics on the flat driver table) ---
+    "zone_report": QuerySpec(EV.zone_report, EV.ZONE_REPORT_SQL, ("flagship", "pivot", "window", "join")),
+    "weekly_type_pivot": QuerySpec(EV.weekly_type_pivot, EV.WEEKLY_TYPE_PIVOT_SQL, ("pivot",)),
+    "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
+    "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
+    "user_gap_stats": QuerySpec(EV.user_gap_stats, EV.USER_GAP_STATS_SQL, ("window",)),
+    "user_sessions": QuerySpec(EV.user_sessions, EV.USER_SESSIONS_SQL, ("window", "sessionize")),
+    "event_pair_candidates": QuerySpec(EV.event_pair_candidates, EV.EVENT_PAIR_CANDIDATES_SQL, ("join", "range-join")),
+    "purchase_attribution_asof": QuerySpec(EV.purchase_attribution_asof, EV.PURCHASE_ATTRIBUTION_ASOF_SQL, ("join", "asof", "pandas-udf")),
+    # --- TPC-H-ish star joins / aggregations -----------------------------
+    "q1_pricing_summary": QuerySpec(TQ.q1_pricing_summary, TQ.Q1_PRICING_SUMMARY_SQL, ("agg",)),
+    "q3_order_revenue": QuerySpec(TQ.q3_order_revenue, TQ.Q3_ORDER_REVENUE_SQL, ("join", "agg")),
+    "q5_nation_revenue": QuerySpec(TQ.q5_nation_revenue, TQ.Q5_NATION_REVENUE_SQL, ("join", "agg")),
+    "customers_with_orders": QuerySpec(TQ.customers_with_orders, TQ.CUSTOMERS_WITH_ORDERS_SQL, ("semi-join",)),
+    "customers_without_orders": QuerySpec(TQ.customers_without_orders, TQ.CUSTOMERS_WITHOUT_ORDERS_SQL, ("anti-join",)),
+    "top_orders_per_customer": QuerySpec(TQ.top_orders_per_customer, TQ.TOP_ORDERS_PER_CUSTOMER_SQL, ("window", "topk")),
+    "cheapest_line_per_part": QuerySpec(TQ.cheapest_line_per_part, TQ.CHEAPEST_LINE_PER_PART_SQL, ("window", "argmin")),
+    "sales_cube": QuerySpec(TQ.sales_cube, TQ.SALES_CUBE_SQL, ("agg", "cube")),
+    "nations_customers_not_suppliers": QuerySpec(TQ.nations_customers_not_suppliers, TQ.NATIONS_CUSTOMERS_NOT_SUPPLIERS_SQL, ("setop",)),
+    "monthly_order_stats": QuerySpec(TQ.monthly_order_stats, TQ.MONTHLY_ORDER_STATS_SQL, ("agg", "datetime")),
+    "top20_orders_global": QuerySpec(TQ.top20_orders_global, TQ.TOP20_ORDERS_GLOBAL_SQL, ("sort", "limit")),
+    # --- north-star: dedup ----------------------------------------------
+    "dedup_exact": QuerySpec(NS.dedup_exact, NS.DEDUP_EXACT_SQL, ("dedup",)),
+    "dedup_ngram_jaccard": QuerySpec(NS.dedup_ngram_jaccard, NS.DEDUP_NGRAM_JACCARD_SQL, ("dedup",)),
+    "dedup_minhash_lsh": QuerySpec(NS.dedup_minhash_lsh, NS.DEDUP_MINHASH_LSH_SQL, ("dedup", "lsh")),
+    "dedup_simhash": QuerySpec(NS.dedup_simhash, NS.DEDUP_SIMHASH_SQL, ("dedup", "lsh")),
+    # --- north-star: text analysis --------------------------------------
+    "text_stats": QuerySpec(NS.text_stats, NS.TEXT_STATS_SQL, ("text",)),
+    "lang_id": QuerySpec(NS.lang_id, NS.LANG_ID_SQL, ("text",)),
+    "doc_fingerprint": QuerySpec(NS.doc_fingerprint, NS.DOC_FINGERPRINT_SQL, ("text",)),
+    "token_frequencies": QuerySpec(NS.token_frequencies, NS.TOKEN_FREQUENCIES_SQL, ("text", "explode")),
+    # --- north-star: similarity search ----------------------------------
+    "ann_brute_force": QuerySpec(NS.ann_brute_force, NS.ANN_BRUTE_FORCE_SQL, ("ann",)),
+    "embedding_near_dup": QuerySpec(NS.embedding_near_dup, NS.EMBEDDING_NEAR_DUP_SQL, ("ann", "dedup")),
+    "ann_lsh": QuerySpec(NS.ann_lsh, None, ("ann", "lsh")),
+    "ann_ivf": QuerySpec(NS.ann_ivf, None, ("ann", "ivf")),
+    # --- north-star: multimodal + streaming -----------------------------
+    "multimodal_meta": QuerySpec(NS.multimodal_meta, NS.MULTIMODAL_META_SQL, ("multimodal",)),
+    "multimodal_decode_features": QuerySpec(NS.multimodal_decode_features, None, ("multimodal", "pandas-udf")),
+    "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }

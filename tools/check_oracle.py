@@ -1,0 +1,102 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every registry query on Spark at a given sf_dir AND its DuckDB oracle
+on the same parquet files, then compares row count, column names, and an
+order-insensitive value multiset (floats rounded to 9 significant-ish
+decimals before hashing; timestamps normalized to naive UTC).
+
+Usage:
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+from hadoop_data_lake_spark.core.io import TABLES
+from hadoop_data_lake_spark.core.session import get_spark
+from hadoop_data_lake_spark.queries.registry import REGISTRY
+
+
+def _canon_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "∅"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return f"{v:.1f}"
+        return f"{v:.9g}"
+    if isinstance(v, pd.Timestamp):
+        return v.tz_convert("UTC").tz_localize(None).isoformat() if v.tzinfo else v.isoformat()
+    return str(v)
+
+
+def canonical_multiset(df: pd.DataFrame) -> list[str]:
+    df = df[sorted(df.columns)]
+    rows = [
+        "|".join(_canon_cell(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    ]
+    return sorted(rows)
+
+
+def run(sf_dir: str, names: list[str]) -> int:
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = 0
+    for name in names:
+        spec = REGISTRY[name]
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark raised")
+            traceback.print_exc()
+            failures += 1
+            continue
+        t_spark = time.time() - t0
+        if spec.oracle is None:
+            print(f"ok   {name}: rows-only, {len(sdf)} rows ({t_spark:.1f}s)")
+            continue
+        try:
+            odf = con.sql(spec.oracle).df()
+        except Exception:
+            print(f"FAIL {name}: duckdb oracle raised")
+            traceback.print_exc()
+            failures += 1
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        if not problems:
+            ms, mo = canonical_multiset(sdf), canonical_multiset(odf)
+            if ms != mo:
+                diff = [(a, b) for a, b in zip(ms, mo) if a != b][:3]
+                problems.append(f"values differ; first diffs: {diff}")
+        if problems:
+            failures += 1
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            print(f"ok   {name}: {len(sdf)} rows match ({t_spark:.1f}s)")
+    return failures
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    names = args[1:] if len(args) > 1 else list(REGISTRY)
+    rc = run(sf_dir, names)
+    print(f"{'ALL OK' if rc == 0 else f'{rc} FAILURES'}")
+    sys.exit(1 if rc else 0)
