@@ -1,0 +1,78 @@
+"""Zone activity report builder (reference:
+src/scripts/calculate_zone_report.py:12-60).
+
+Output contract (reference Q2, SURVEY.md §2.9): one row per
+(week, month, zone_id) carrying denormalized week- and month-totals per
+event type plus registration counts (first event per user).
+
+The builder is schema-agnostic: callers hand it a base frame already
+carrying (week, month, zone_id, event_type, ts, user, uid) — the flat driver
+`events` table and the nested reference-shaped `mes_geo` dataset both reduce
+to that shape. Registration counts join LEFT (+0 fill) so zones without any
+first-time user keep their activity row (deviation from the reference's
+row-dropping inner join, documented here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_data_lake_spark.operators.aggregates import pivot_counts
+from hadoop_data_lake_spark.operators.windows import top1_per_group
+
+
+def build_zone_report(base: DataFrame, event_types: list[str]) -> DataFrame:
+    """base columns: week int, month int, zone_id long, event_type string,
+    ts timestamp, user long, uid long (unique row id for tie-breaks)."""
+    zone_prep = pivot_counts(base, ["week", "month", "zone_id"], "event_type", event_types)
+
+    regs = top1_per_group(
+        base, ["user"], [F.col("ts").asc(), F.col("uid").asc()]
+    ).select("user", "week", "month", "zone_id")
+    week_user = regs.groupBy("week", "zone_id").agg(F.count("*").alias("week_user"))
+    month_user = regs.groupBy("month", "zone_id").agg(F.count("*").alias("month_user"))
+
+    week_tot = zone_prep.groupBy("week", "zone_id").agg(
+        *[F.sum(t).alias(f"week_{t}") for t in event_types]
+    )
+    month_tot = zone_prep.groupBy("month", "zone_id").agg(
+        *[F.sum(t).alias(f"month_{t}") for t in event_types]
+    )
+
+    out = (
+        zone_prep.join(week_tot, on=["week", "zone_id"], how="inner")
+        .join(month_tot, on=["month", "zone_id"], how="inner")
+        .join(week_user, on=["week", "zone_id"], how="left")
+        .join(month_user, on=["month", "zone_id"], how="left")
+        .fillna(0, subset=["week_user", "month_user"])
+    )
+    return out.select(
+        "week",
+        "month",
+        "zone_id",
+        *[F.col(f"week_{t}") for t in event_types],
+        "week_user",
+        *[F.col(f"month_{t}") for t in event_types],
+        "month_user",
+    )
+
+
+def zone_report_from_mes_geo(mes_geo: DataFrame, event_types: list[str] | None = None) -> DataFrame:
+    """Reference-shaped entry: mes_geo rows with nested `event` struct,
+    event_type, city_id (calculate_zone_report.py:13-22 derivations, with
+    the B4-safe timestamp parse)."""
+    event_types = event_types or ["message", "reaction", "subscription"]
+    base = (
+        mes_geo.select(
+            F.to_timestamp("event.datetime", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "event_type",
+            F.col("city_id").cast("long").alias("zone_id"),
+            F.col("event.message_from").cast("long").alias("user"),
+            F.col("event_id").alias("uid"),
+        )
+        .where(F.col("ts").isNotNull())
+        .withColumn("week", F.weekofyear("ts"))
+        .withColumn("month", F.month("ts"))
+    )
+    return build_zone_report(base, event_types)

@@ -55,39 +55,18 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def zone_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = _base(spark, sf_dir)
+    from hadoop_data_lake_spark.pipelines.zone_report import build_zone_report
 
-    zone_prep = pivot_counts(base, ["week", "month", "zone_id"], "event_type", EVENT_TYPES)
-
-    regs = top1_per_group(
-        base, ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()]
-    ).select("user_id", "week", "month", "zone_id")
-    week_user = regs.groupBy("week", "zone_id").agg(F.count("*").alias("week_user"))
-    month_user = regs.groupBy("month", "zone_id").agg(F.count("*").alias("month_user"))
-
-    week_tot = zone_prep.groupBy("week", "zone_id").agg(
-        *[F.sum(t).alias(f"week_{t}") for t in EVENT_TYPES]
-    )
-    month_tot = zone_prep.groupBy("month", "zone_id").agg(
-        *[F.sum(t).alias(f"month_{t}") for t in EVENT_TYPES]
-    )
-
-    out = (
-        zone_prep.join(week_tot, on=["week", "zone_id"], how="inner")
-        .join(month_tot, on=["month", "zone_id"], how="inner")
-        .join(week_user, on=["week", "zone_id"], how="left")
-        .join(month_user, on=["month", "zone_id"], how="left")
-        .fillna(0, subset=["week_user", "month_user"])
-    )
-    return out.select(
+    base = _base(spark, sf_dir).select(
         "week",
         "month",
         "zone_id",
-        *[F.col(f"week_{t}") for t in EVENT_TYPES],
-        "week_user",
-        *[F.col(f"month_{t}") for t in EVENT_TYPES],
-        "month_user",
+        "event_type",
+        "ts",
+        F.col("user_id").alias("user"),
+        F.col("event_id").alias("uid"),
     )
+    return build_zone_report(base, EVENT_TYPES)
 
 
 ZONE_REPORT_SQL = f"""
