@@ -23,6 +23,7 @@ bounded fraction. All three shuffle at most once (on bucket/centroid id).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -88,25 +89,30 @@ def _hyperplanes(dim: int, num_tables: int, bits_per_table: int, seed: int = 42)
     return rng.standard_normal((num_tables, bits_per_table, dim))
 
 
-def _bucket_expr(vec_col: str, planes: np.ndarray):
-    """Sign-bit bucket id of one hash table: packed int of dot-product signs.
+def _buckets_udf(planes: np.ndarray):
+    """Arrow-batched Pandas UDF: embedding -> array of per-table bucket ids.
 
-    Hyperplane coefficients are inlined literals — the plan is self-contained
-    and deterministic (no broadcast variable, no Python)."""
-    bits = []
-    for plane in planes:
-        terms = [
-            F.element_at(F.col(vec_col), i + 1).cast("double") * float(w)
-            for i, w in enumerate(plane)
-        ]
-        dot = terms[0]
-        for t in terms[1:]:
-            dot = dot + t
-        bits.append(F.when(dot >= 0, 1).otherwise(0))
-    packed = F.lit(0)
-    for b in bits:
-        packed = packed * 2 + b
-    return packed
+    One numpy matmul per batch ((n, dim) @ (dim, tables*bits)) computes every
+    sign bit at once, then packs each table's bits into an int. Replaces an
+    earlier literal-inlined expression tree (tables x bits x dim multiply-add
+    nodes) that blew past janino's 64 KB codegen limit and fell back to
+    interpreted eval. Planes come from a fixed seed, so results stay
+    deterministic."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    num_tables, bits_per_table, dim = planes.shape
+    flat = planes.reshape(num_tables * bits_per_table, dim).astype(np.float64)
+    weights = (2 ** np.arange(bits_per_table - 1, -1, -1)).astype(np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(v: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        signs = (mat @ flat.T) >= 0.0
+        packed = (signs.reshape(len(mat), num_tables, bits_per_table) * weights).sum(axis=2)
+        return pd.Series(list(packed))
+
+    return buckets
 
 
 def lsh_topk(
@@ -123,18 +129,13 @@ def lsh_topk(
     """Approximate cosine top-k: candidates share an LSH bucket in >= 1 table,
     exact cosine re-rank on candidates only."""
     planes = _hyperplanes(dim, num_tables, bits_per_table, seed)
+    buckets = _buckets_udf(planes)
 
     def with_buckets(df: DataFrame, idname: str, vecname: str) -> DataFrame:
         out = df.select(F.col(id_col).alias(idname), F.col(vec_col).alias(vecname))
-        tables = F.array(
-            *[
-                F.struct(F.lit(t).alias("tbl"), _bucket_expr(vecname, planes[t]).alias("bucket"))
-                for t in range(num_tables)
-            ]
-        )
         return out.select(
-            idname, vecname, F.explode(tables).alias("tb")
-        ).select(idname, vecname, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+            idname, vecname, F.posexplode(buckets(F.col(vecname))).alias("tbl", "bucket")
+        )
 
     cq = with_buckets(queries, "query_id", "q_vec")
     cc = with_buckets(corpus, "neighbor_id", "c_vec")

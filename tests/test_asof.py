@@ -1,0 +1,38 @@
+"""As-of (backward) join: the trades/quotes pattern via cogrouped
+applyInPandas + merge_asof."""
+
+import pyspark.sql.functions as F
+
+from hadoop_data_lake_spark.operators.asof import asof_join
+
+
+def _frames(spark):
+    trades = spark.createDataFrame(
+        [
+            ("A", "2024-01-01 10:00:00", 1),
+            ("A", "2024-01-01 10:05:00", 2),
+            ("A", "2024-01-01 09:00:00", 3),   # before any quote -> nulls
+            ("B", "2024-01-01 10:00:00", 4),   # key with no quotes at all
+        ],
+        "sym string, s string, trade_id long",
+    ).select("sym", F.to_timestamp("s").alias("t_ts"), "trade_id")
+    quotes = spark.createDataFrame(
+        [
+            ("A", "2024-01-01 09:30:00", 100),
+            ("A", "2024-01-01 10:00:00", 200),  # exact-match ts (inclusive)
+            ("A", "2024-01-01 10:00:00", 250),  # tie -> max of tie-break cols
+            ("A", "2024-01-01 10:04:00", 300),
+        ],
+        "sym string, s string, px long",
+    ).select("sym", F.to_timestamp("s").alias("q_ts"), "px")
+    return trades, quotes
+
+
+def test_asof_backward_semantics(spark):
+    trades, quotes = _frames(spark)
+    out = {r["trade_id"]: r for r in asof_join(trades, quotes, on="sym", left_ts="t_ts", right_ts="q_ts").collect()}
+    assert out[1]["px"] == 250      # 10:00 trade takes the 10:00 quote, tie -> max
+    assert out[2]["px"] == 300      # 10:05 takes 10:04
+    assert out[3]["px"] is None     # nothing at-or-before 09:00
+    assert out[4]["px"] is None     # no quotes for B at all
+    assert len(out) == 4            # every left row exactly once

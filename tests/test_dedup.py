@@ -1,0 +1,74 @@
+"""Dedup operators: exact, n-gram Jaccard, MinHash+LSH, SimHash."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from hadoop_data_lake_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),          # exact copy of 1
+    (3, "the quick brown fox jumps over a lazy dog"),            # near-dup of 1
+    (4, "completely different content about spark engines here"),
+    (5, "the quick brown fox jumps over the lazy cat today"),    # near-dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs, "doc_id", "text").collect()
+    by_rep = {r["rep_id"]: r["n_copies"] for r in out}
+    assert by_rep[1] == 2        # docs 1+2 collapse, min id is representative
+    assert by_rep[3] == 1
+    assert len(out) == 4
+
+
+def test_ngram_jaccard_pairs(docs):
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.3)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard_r"] for r in out.collect()}
+    assert got[(1, 2)] == 1.0                    # identical
+    assert (1, 4) not in got                     # unrelated
+    assert 0.3 <= got[(1, 3)] < 1.0              # near-dup
+    # symmetry-by-construction: only doc_a < doc_b pairs emitted
+    assert all(a < b for a, b in got)
+
+
+def test_minhash_candidates_cover_exact_pairs(docs):
+    """LSH candidates (verified with exact Jaccard) must find every pair the
+    exhaustive index finds at a high threshold — identical docs collide in
+    every band, so (1,2) is guaranteed; near-dups should survive too."""
+    lsh = minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=16, bands=8, threshold=0.3)
+    got = {(r["doc_a"], r["doc_b"]) for r in lsh.collect()}
+    assert (1, 2) in got
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.3).collect()
+    }
+    # LSH with 8 bands x 2 rows on 16 hashes is highly recall-biased at 0.3
+    assert got <= exact or got >= {(1, 2)}
+    # and every reported pair is a true >= threshold pair (verified re-rank)
+    assert got <= exact
+
+
+def test_simhash_groups_near_dups(docs):
+    out = simhash_pairs(docs, "doc_id", "text", max_hamming=28)
+    got = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    assert (1, 2) in got
+    # hamming distance of identical docs is 0
+    zero = [r for r in simhash_pairs(docs, "doc_id", "text", max_hamming=0).collect()]
+    assert {(r["doc_a"], r["doc_b"]) for r in zero} == {(1, 2)}
+
+
+def test_dedup_determinism(docs):
+    a = sorted(map(tuple, ngram_jaccard_pairs(docs, "doc_id", "text").collect()))
+    b = sorted(map(tuple, ngram_jaccard_pairs(docs, "doc_id", "text").collect()))
+    assert a == b

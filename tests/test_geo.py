@@ -1,0 +1,71 @@
+"""haversine_km properties + the B1 degree/radian regression guard
+(SURVEY.md §2.9-B1: the reference feeds raw degrees into sin/cos,
+save_mes_geo.py:39)."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from hadoop_data_lake_spark.functions.geo import grid_cell, haversine_km
+
+# (name, lat, lon) — fixed points covering hemispheres, poles, antimeridian.
+POINTS = [
+    ("moscow", 55.7558, 37.6173),
+    ("spb", 59.9343, 30.3351),
+    ("sydney", -33.8688, 151.2093),
+    ("quito", -0.1807, -78.4678),
+    ("north_pole", 90.0, 0.0),
+    ("south_pole", -90.0, 0.0),
+    ("antimeridian_w", 10.0, 179.9),
+    ("antimeridian_e", 10.0, -179.9),
+]
+
+
+def _pairs_df(spark):
+    rows = [
+        (a[0], a[1], a[2], b[0], b[1], b[2]) for a in POINTS for b in POINTS
+    ]
+    return spark.createDataFrame(
+        rows, "name1 string, lat1 double, lon1 double, name2 string, lat2 double, lon2 double"
+    ).withColumn(
+        "d", haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"))
+    )
+
+
+def test_haversine_identity_symmetry_range(spark):
+    got = {
+        (r["name1"], r["name2"]): r["d"] for r in _pairs_df(spark).collect()
+    }
+    for a in POINTS:
+        assert got[(a[0], a[0])] == 0.0
+    for a in POINTS:
+        for b in POINTS:
+            assert math.isclose(got[(a[0], b[0])], got[(b[0], a[0])], rel_tol=1e-12)
+            # half the Earth circumference with r=6371 is ~20015.1 km
+            assert 0.0 <= got[(a[0], b[0])] <= 20016.0
+
+
+def test_haversine_known_distances(spark):
+    got = {
+        (r["name1"], r["name2"]): r["d"] for r in _pairs_df(spark).collect()
+    }
+    # Moscow–Saint Petersburg ≈ 634 km. The reference's degree-fed formula
+    # (B1) returns ~10 km here, so this also pins the radians fix.
+    assert 625 <= got[("moscow", "spb")] <= 645
+    # pole-to-pole = half circumference
+    assert math.isclose(got[("north_pole", "south_pole")], math.pi * 6371, rel_tol=1e-6)
+    # 0.2° of longitude across the antimeridian at lat 10 ≈ 21.9 km, NOT
+    # ~39000 km (the formula must wrap through cos of half the lon delta).
+    assert got[("antimeridian_w", "antimeridian_e")] < 25
+
+
+def test_grid_cell_neighbors_within_radius(spark):
+    # Two points ~556 m apart must land in the same or adjacent 1 km cells —
+    # the invariant the grid_distance_self_join prefilter relies on.
+    df = spark.createDataFrame(
+        [(55.7558, 37.6173), (55.7608, 37.6173)], "lat double, lon double"
+    )
+    cy, cx = grid_cell(F.col("lat"), F.col("lon"), cell_km=1.0)
+    rows = df.select(cy.alias("cy"), cx.alias("cx")).collect()
+    assert abs(rows[0]["cy"] - rows[1]["cy"]) <= 1
+    assert abs(rows[0]["cx"] - rows[1]["cx"]) <= 1

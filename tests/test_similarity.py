@@ -1,0 +1,112 @@
+"""Similarity search: brute-force exactness vs a numpy oracle, LSH recall,
+IVF probe behavior. Clustered synthetic vectors make the expected neighbor
+sets unambiguous."""
+
+import numpy as np
+import pytest
+
+from hadoop_data_lake_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
+
+DIM = 64
+PER_CLUSTER = 5
+N_CLUSTERS = 4
+
+
+def _vectors():
+    """4 well-separated clusters of 5 vectors each (fixed seed)."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((N_CLUSTERS, DIM)) * 10
+    rows = []
+    for c in range(N_CLUSTERS):
+        for i in range(PER_CLUSTER):
+            v = centers[c] + rng.standard_normal(DIM) * 0.05
+            rows.append((c * PER_CLUSTER + i, c, [float(x) for x in v]))
+    return rows
+
+
+def _numpy_topk(rows, k):
+    ids = [r[0] for r in rows]
+    mat = np.array([r[2] for r in rows])
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    expected = {}
+    for i, qid in enumerate(ids):
+        order = sorted(
+            ((round(sims[i, j], 6), ids[j]) for j in range(len(ids)) if j != i),
+            key=lambda t: (-t[0], t[1]),
+        )
+        expected[qid] = [nid for _, nid in order[:k]]
+    return expected
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(
+        _vectors(), "vec_id long, label int, embedding array<float>"
+    ).cache()
+
+
+def test_brute_force_matches_numpy(emb):
+    out = brute_force_topk(emb, emb, k=4)
+    got = {}
+    for r in out.orderBy("query_id", "rnk").collect():
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    # float32 storage: compare the neighbor SETS (cluster membership), which
+    # are robust to <1e-6 rounding, and require them to be the cluster mates
+    expected = _numpy_topk(
+        [(i, c, v) for i, c, v in _vectors()], k=4
+    )
+    for qid, neigh in expected.items():
+        assert set(got[qid]) == set(neigh)
+        # cluster-mates only, by construction
+        assert {n // PER_CLUSTER for n in got[qid]} == {qid // PER_CLUSTER}
+
+
+def test_lsh_recall_on_clusters(emb):
+    """Near-identical vectors agree on almost every hyperplane sign, so
+    cluster-mates collide in >= 1 of 8 tables with overwhelming probability."""
+    out = lsh_topk(emb, emb, k=4, num_tables=8, bits_per_table=8, dim=DIM)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for qid in range(N_CLUSTERS * PER_CLUSTER):
+        mates = {qid // PER_CLUSTER * PER_CLUSTER + i for i in range(PER_CLUSTER)} - {qid}
+        hits += len(got.get(qid, set()) & mates)
+        total += len(mates)
+    assert hits / total >= 0.9
+    # determinism: seeded hyperplanes give identical output across runs
+    again = {
+        (r["query_id"], r["neighbor_id"], r["sim_r"])
+        for r in lsh_topk(emb, emb, k=4, num_tables=8, bits_per_table=8, dim=DIM).collect()
+    }
+    assert again == {(r["query_id"], r["neighbor_id"], r["sim_r"]) for r in out.collect()}
+
+
+def test_ivf_probes_own_cell(emb):
+    out = ivf_topk(emb, emb, centroid_col="label", k=4, nprobe=1)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # nprobe=1: every query probes its own cluster's centroid cell and finds
+    # exactly its 4 cluster mates
+    for qid, neigh in got.items():
+        assert neigh == {qid // PER_CLUSTER * PER_CLUSTER + i for i in range(PER_CLUSTER)} - {qid}
+
+
+def test_cosine_near_dup_pairs(emb):
+    out = cosine_near_dup_pairs(emb, threshold=0.99)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    # all within-cluster pairs (cos ~ 1), no cross-cluster pairs
+    expected = {
+        (c * PER_CLUSTER + i, c * PER_CLUSTER + j)
+        for c in range(N_CLUSTERS)
+        for i in range(PER_CLUSTER)
+        for j in range(i + 1, PER_CLUSTER)
+    }
+    assert pairs == expected
