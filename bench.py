@@ -42,7 +42,17 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    # Warmup: touch each input table + JIT the scan path once.
+    # Warmup at the smallest SF: run every headline query once so codegen
+    # compilation + C2 JIT of the generated kernels (md5 hashing, HOF eval,
+    # pandas-UDF runner, shuffle machinery) is paid before timing starts.
+    # Standard JVM-benchmark hygiene — sf0.001 inputs make it cheap.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            try:
+                REGISTRY[name].fn(spark, warm_dir).count()
+            except Exception as exc:  # never let warmup sink the bench
+                print(f"# warmup {name} failed: {exc}", file=sys.stderr)
     REGISTRY["weekly_type_pivot"].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}

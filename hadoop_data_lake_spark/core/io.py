@@ -53,6 +53,23 @@ def normalize_ns_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the input has fewer partitions than
+    the session's parallelism.
+
+    Small parquet files (single row group) arrive as one partition, which
+    serializes any compute-heavy projection downstream (hashing, shingling,
+    vector math). At real scale inputs already have >= cores partitions, so
+    this is a no-op there — the shuffle is only paid exactly when it buys
+    full-core utilization on small inputs.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_partitioned(
     spark: SparkSession,
     root: str,

@@ -1,33 +1,97 @@
 """As-of (point-in-time) join.
 
 Spark has no native as-of join; the reference has none either, but any
-time-series datamart needs it. Two implementations:
+time-series datamart needs it. Three implementations:
 
-1. `asof_join` — cogrouped `applyInPandas` + `pd.merge_asof` per key group.
-   This is the scale path: both sides shuffle once on the key, each group is
-   merged in O(n log n) inside an Arrow batch, and no quadratic candidate
-   set ever materializes. (Pattern: public Spark docs' cogroup example; same
-   shape Flink's temporal join and pandas merge_asof define.)
+1. `asof_join` — the scale path, pure JVM: union both sides tagged by
+   origin, one shuffle+sort on (key, ts), then a running
+   `last(<right payload>, ignoreNulls)` window carries the most recent
+   right row forward into each left row. O(n log n) per key, whole-stage
+   codegen end to end, zero Python in the hot path. (The classic
+   "union + last_value" point-in-time pattern used by Flink temporal joins
+   and kdb-style aj implementations.)
 
-2. `asof_join_sql` — pure DataFrame fallback: equi-join on key with
-   right.ts <= left.ts, then argmax per left row. O(candidates) — fine when
-   the per-key right side is small, used for cross-checking the pandas path.
+2. `asof_join_pandas` — cogrouped `applyInPandas` + `pd.merge_asof` per key
+   group. Arrow-batched, but pays one Python round-trip per key group —
+   keep for cross-checking and for payloads too wide to pack in a struct.
+
+3. `asof_join_sql` — equi-join + argmax fallback. O(candidates); fine when
+   the per-key right side is small, used for oracle cross-checks.
 
 Semantics (direction='backward', the common case): for each left row, the
-single right row with the greatest right_ts <= left_ts within the same key;
-left rows with no match survive with nulls (left outer).
+single right row with the greatest right_ts <= left_ts within the same key
+(inclusive; equal-timestamp ties resolve to the max of the remaining right
+columns, matching pd.merge_asof after a stable secondary sort); left rows
+with no match survive with nulls (left outer).
 """
 
 from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
 def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """Backward as-of join via union + running last(ignoreNulls) window.
+
+    Plan shape: Union -> Exchange hashpartitioning(on) -> Sort(on, __t,
+    __side, __r) -> Window(last over rows unbounded preceding..current) ->
+    Filter(__side = 1). One shuffle total; the window frame is running, so
+    Spark evaluates it in a single forward pass per partition.
+    """
+    left_cols = list(left.columns)
+    right_cols = [c for c in right.columns if c != on]
+
+    # Right payload packed into ONE struct so a single last(ignoreNulls)
+    # carries a consistent row (per-column lasts could mix rows when some
+    # right columns are null). right_ts leads the struct so struct ordering
+    # resolves equal-__t ties exactly like merge_asof's secondary sort.
+    r_struct = F.struct(
+        F.col(right_ts), *[F.col(c) for c in right_cols if c != right_ts]
+    )
+    ru = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        r_struct.alias("__r"),
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema.fields if f.name != on],
+    )
+    r_struct_type = ru.schema["__r"].dataType
+    lu = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r_struct_type).alias("__r"),
+        *[F.col(c) for c in left_cols if c != on],
+    )
+
+    u = lu.unionByName(ru)
+    w = (
+        Window.partitionBy(on)
+        # clicks/quotes at the same instant sort BEFORE the left row
+        # (__side 0 < 1) => inclusive <= match; struct asc means last()
+        # takes the max (right_ts, tiebreaks...) among equals.
+        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__r").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    out = matched.where(F.col("__side") == 1).select(
+        *[F.col(c) for c in left_cols],
+        *[F.col("__m").getField(c).alias(c) for c in right_cols],
+    )
+    return out
+
+
+def asof_join_pandas(
     left: DataFrame,
     right: DataFrame,
     on: str,

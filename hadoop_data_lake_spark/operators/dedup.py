@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hadoop_data_lake_spark.core.io import ensure_parallelism
 from hadoop_data_lake_spark.functions.hashing import md5_60bit, salted_md5_60bit
 from hadoop_data_lake_spark.functions.text import shingles
 
@@ -41,11 +42,19 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 
 
 def _shingle_index(df: DataFrame, id_col: str, content_col: str, k: int) -> tuple[DataFrame, DataFrame]:
-    """(doc_id -> shingle set) and its exploded inverted index."""
-    sets = df.select(
+    """(doc_id -> shingle set) and its exploded inverted index.
+
+    Shingle construction is the per-row hot loop (interpreted HOF, ~0.5 ms/
+    doc) — spread it across cores when the scan arrives under-partitioned."""
+    sets = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"), shingles(F.col(content_col), k).alias("sh")
     )
-    inverted = sets.select("doc", F.explode("sh").alias("s"))
+    # explode_OUTER on purpose: plain explode makes InferFiltersFromGenerate
+    # add a `size(sh) > 0` filter that Catalyst pushes below the repartition
+    # exchange — re-evaluating the whole shingle expression on the
+    # pre-repartition (often single-partition) scan side. shingles() never
+    # returns null/empty, so the outer variant is row-identical.
+    inverted = sets.select("doc", F.explode_outer("sh").alias("s"))
     return sets, inverted
 
 
@@ -83,12 +92,40 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(sh: Column, num_hashes: int) -> Column:
-    """Array of `num_hashes` min-hash values over a shingle array (portable
-    salted 60-bit hashes; array_min keeps it one JVM expression)."""
+def minhash_hash_pairs(sh: Column) -> Column:
+    """Per-shingle (h1, h2): the two 32-bit halves of ONE md5 digest.
+
+    The hash family is h_i = h1 + i*h2 (Kirsch–Mitzenmacher double hashing)
+    — same LSH banding behavior as i independent hashes at 1/num_hashes of
+    the digest cost. Values stay < 2^36, safe under ANSI long arithmetic,
+    and bit-replayable in DuckDB (('0x' || substr(md5(s), ..)) casts)."""
+
+    def pair(s: Column) -> Column:
+        m = F.md5(s)
+        return F.struct(
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
+        )
+
+    return F.transform(sh, pair)
+
+
+def minhash_signature_from_pairs(hp: Column, num_hashes: int) -> Column:
+    """Signature from a materialized (h1, h2) array column. Keep the pairs in
+    their own projection (a plain column reference here) so the md5 pass runs
+    once, not once per family member — CollapseProject won't inline a
+    non-cheap expression used `num_hashes` times."""
     return F.array(
-        *[F.array_min(F.transform(sh, lambda s: salted_md5_60bit(s, i))) for i in range(num_hashes)]
+        *[
+            F.array_min(F.transform(hp, lambda p: p["h1"] + F.lit(i) * p["h2"]))
+            for i in range(num_hashes)
+        ]
     )
+
+
+def minhash_signature(sh: Column, num_hashes: int) -> Column:
+    """Array of `num_hashes` min-hash values over a shingle array."""
+    return minhash_signature_from_pairs(minhash_hash_pairs(sh), num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -108,12 +145,30 @@ def minhash_lsh_pairs(
     fuzzy dedup feasible at 100 TB.
     """
     rows_per_band = num_hashes // bands
-    sets, _ = _shingle_index(df, id_col, content_col, k)
-    sets = sets.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    sets, inv = _shingle_index(df, id_col, content_col, k)
 
-    banded = sets.select(
+    # Signatures via explode -> flat md5 projection -> 16 min-aggregates.
+    # Every step is whole-stage-codegen (no higher-order functions in the hot
+    # path: interpreted HOF eval measured ~1 ms/doc); partial aggregation
+    # means the shuffle carries one 16-value row per doc per map partition.
+    m = F.md5("s")
+    hashed = inv.select(
         "doc",
-        "sh",
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    sigs = hashed.groupBy("doc").agg(
+        *[
+            F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+    # Bands carry only (doc, band, band_key): the shingle arrays join back in
+    # AFTER candidate generation, so the self-join shuffles narrow rows and
+    # no array payload is duplicated per banded copy.
+    banded = sigs.select(
+        "doc",
         F.explode(
             F.array(
                 *[
@@ -122,7 +177,7 @@ def minhash_lsh_pairs(
                         F.concat_ws(
                             ",",
                             *[
-                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                F.col(f"mh{b * rows_per_band + r}").cast("string")
                                 for r in range(rows_per_band)
                             ],
                         ).alias("band_key"),
@@ -131,7 +186,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc", "sh", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
     cand = (
         banded.alias("a")
@@ -141,20 +196,26 @@ def minhash_lsh_pairs(
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    uni = F.size("sh_a") + F.size("sh_b") - inter
+    # Exact-Jaccard verification via the inverted index (codegen joins on
+    # narrow rows) instead of array_intersect over carried shingle arrays:
+    # intersection = co-occurring shingles of candidate pairs, union by
+    # inclusion-exclusion from per-doc shingle counts. Candidates with zero
+    # overlap drop out of the inner join — they can't pass threshold > 0.
+    sizes = inv.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    co = (
+        cand.join(inv.select(F.col("doc").alias("doc_a"), "s"), "doc_a")
+        .join(inv.select(F.col("doc").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
     out = (
-        cand.withColumn("inter", inter)
-        .withColumn("uni", uni)
+        co.join(sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
         .withColumn("jaccard", F.col("inter").cast("double") / F.col("uni"))
         .where(F.col("jaccard") >= threshold)
     )
@@ -197,7 +258,7 @@ def simhash_pairs(
     Banding: 4 chunks of 15 bits; with <= 3 differing bits at least one chunk
     is identical (pigeonhole), so chunk-equality candidates have full recall.
     """
-    toks = df.select(
+    toks = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),
         F.array_distinct(F.split(F.col(content_col), " ")).alias("w"),
     )

@@ -133,8 +133,11 @@ def lsh_topk(
 
     def with_buckets(df: DataFrame, idname: str, vecname: str) -> DataFrame:
         out = df.select(F.col(id_col).alias(idname), F.col(vec_col).alias(vecname))
+        # posexplode_OUTER: the non-outer form would let Catalyst infer a
+        # size()>0 filter that re-invokes the pandas UDF a second time below
+        # this projection. Bucket arrays are always non-empty, so identical.
         return out.select(
-            idname, vecname, F.posexplode(buckets(F.col(vecname))).alias("tbl", "bucket")
+            idname, vecname, F.posexplode_outer(buckets(F.col(vecname))).alias("tbl", "bucket")
         )
 
     cq = with_buckets(queries, "query_id", "q_vec")

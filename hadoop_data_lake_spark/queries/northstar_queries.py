@@ -77,18 +77,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINHASH = salted_md5_60bit_sql("s", "i")
-
 DEDUP_MINHASH_LSH_SQL = f"""
 WITH {_SHINGLES_CTE},
-sigs AS (
-  SELECT doc_id, shingles,
-         list_transform(range(0, 16),
-           i -> list_min(list_transform(shingles, s -> {_MINHASH}))) AS sig
+hp AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> struct_pack(
+           h1 := ('0x' || substr(md5(s), 1, 8))::bigint,
+           h2 := ('0x' || substr(md5(s), 9, 8))::bigint)) AS hp
   FROM sh
 ),
+sigs AS (
+  SELECT doc_id,
+         list_transform(range(0, 16),
+           i -> list_min(list_transform(hp, p -> p.h1 + i * p.h2))) AS sig
+  FROM hp
+),
 banded AS (
-  SELECT doc_id, shingles, b AS band,
+  SELECT doc_id, b AS band,
          sig[b * 4 + 1]::varchar || ',' || sig[b * 4 + 2]::varchar || ',' ||
          sig[b * 4 + 3]::varchar || ',' || sig[b * 4 + 4]::varchar AS band_key
   FROM sigs, unnest([0, 1, 2, 3]) AS t(b)
@@ -221,7 +226,7 @@ FROM sh
 def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        docs.select(F.explode_outer(TX.tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
     )
