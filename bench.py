@@ -42,11 +42,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    # Warmup at the smallest SF: run every headline query once so codegen
+    # Warmup at a smaller SF: run every headline query once so codegen
     # compilation + C2 JIT of the generated kernels (md5 hashing, HOF eval,
     # pandas-UDF runner, shuffle machinery) is paid before timing starts.
-    # Standard JVM-benchmark hygiene — sf0.001 inputs make it cheap.
-    warm_dir = "/root/testdata/sf0.001"
+    # Standard JVM-benchmark hygiene; sf0.01 gives C2 enough row volume to
+    # actually compile the hot loops (sf0.001 left them interpreted).
+    warm_dir = "/root/testdata/sf0.01"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
         for name in HEADLINE:
             try:

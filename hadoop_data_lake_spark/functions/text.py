@@ -37,15 +37,20 @@ def tokens_sql(expr: str) -> str:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles; whole text when fewer than k tokens."""
+    """Distinct k-word shingles; whole text when fewer than k tokens.
+
+    Built as zip_with over k shifted slices of the token array. The lambdas
+    reference ONLY their lambda variables: putting `element_at(w, i+j)`
+    inside a transform lambda re-evaluates the split() per element (HOF
+    lambda bodies are re-evaluated per element against the input row), which
+    measured ~40 ms/doc at 54 tokens — ~52 regex splits per shingle."""
     w = tokens(text)
     n = F.size(w)
-    make = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, (i + j).cast("int")) for j in range(k)]
-        ),
-    )
+    cnt = n - (k - 1)
+    parts = [F.slice(w, j + 1, cnt) for j in range(k)]
+    make = parts[-1]
+    for part in reversed(parts[:-1]):
+        make = F.zip_with(part, make, lambda a, b: F.concat_ws(" ", a, b))
     return F.array_distinct(F.when(n >= k, make).otherwise(F.array(text)))
 
 

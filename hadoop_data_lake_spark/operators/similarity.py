@@ -28,8 +28,23 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hadoop_data_lake_spark.functions.vectors import cosine
+from hadoop_data_lake_spark.functions.vectors import cosine, dot, norm
 from hadoop_data_lake_spark.operators.windows import topk_per_group
+
+
+def _paired_cosine() -> "F.Column":
+    """cosine over pre-joined (q_vec, norm_q) x (c_vec, norm_c) columns.
+
+    Same expression tree as functions.vectors.cosine — dot / (norm_q *
+    norm_c), identical operand order so the floats match the oracle — but
+    the norms come from per-ROW columns computed before the join instead of
+    being re-derived (twice each, no interpreted-mode CSE) per PAIR: 5 array
+    passes per pair drop to 1."""
+    d = dot(F.col("q_vec"), F.col("c_vec"))
+    return F.when(
+        (F.col("norm_q") > 0) & (F.col("norm_c") > 0),
+        d / (F.col("norm_q") * F.col("norm_c")),
+    ).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(
@@ -46,15 +61,19 @@ def brute_force_topk(
     id ascending.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("norm_q"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("norm_c"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim_r", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn("sim_r", F.round(_paired_cosine(), 6))
         .select("query_id", "neighbor_id", "sim_r")
     )
     return topk_per_group(
@@ -74,11 +93,19 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """All unordered pairs with cosine >= threshold (exact, brute force —
     the verification kernel; bound candidates with lsh buckets at scale)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("norm_q"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("norm_c"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("sim_r", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("sim_r", F.round(_paired_cosine(), 6))
         .where(F.col("sim_r") >= threshold)
         .select("id_a", "id_b", "sim_r")
     )
@@ -131,26 +158,31 @@ def lsh_topk(
     planes = _hyperplanes(dim, num_tables, bits_per_table, seed)
     buckets = _buckets_udf(planes)
 
-    def with_buckets(df: DataFrame, idname: str, vecname: str) -> DataFrame:
-        out = df.select(F.col(id_col).alias(idname), F.col(vec_col).alias(vecname))
+    def with_buckets(df: DataFrame, idname: str, vecname: str, normname: str) -> DataFrame:
+        out = df.select(
+            F.col(id_col).alias(idname),
+            F.col(vec_col).alias(vecname),
+            norm(F.col(vec_col)).alias(normname),
+        )
         # posexplode_OUTER: the non-outer form would let Catalyst infer a
         # size()>0 filter that re-invokes the pandas UDF a second time below
         # this projection. Bucket arrays are always non-empty, so identical.
         return out.select(
-            idname, vecname, F.posexplode_outer(buckets(F.col(vecname))).alias("tbl", "bucket")
+            idname, vecname, normname,
+            F.posexplode_outer(buckets(F.col(vecname))).alias("tbl", "bucket"),
         )
 
-    cq = with_buckets(queries, "query_id", "q_vec")
-    cc = with_buckets(corpus, "neighbor_id", "c_vec")
+    cq = with_buckets(queries, "query_id", "q_vec", "norm_q")
+    cc = with_buckets(corpus, "neighbor_id", "c_vec", "norm_c")
     cand = (
         cc.join(F.broadcast(cq), on=["tbl", "bucket"], how="inner")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .select("query_id", "q_vec", "norm_q", "neighbor_id", "c_vec", "norm_c")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn(
-        "sim_r", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
-    ).select("query_id", "neighbor_id", "sim_r")
+    scored = cand.withColumn("sim_r", F.round(_paired_cosine(), 6)).select(
+        "query_id", "neighbor_id", "sim_r"
+    )
     return topk_per_group(
         scored,
         ["query_id"],
@@ -177,7 +209,10 @@ def ivf_topk(
     a single shuffle on (cell, position).
     """
     cells = corpus.select(
-        F.col(centroid_col).alias("cell"), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(centroid_col).alias("cell"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("norm_c"),
     )
     centroids = (
         cells.select("cell", F.posexplode("c_vec").alias("pos", "x"))
@@ -191,7 +226,11 @@ def ivf_topk(
         )
     )
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("norm_q"),
+    )
     probed = topk_per_group(
         q.crossJoin(F.broadcast(centroids)).withColumn(
             "c_sim", F.round(cosine(F.col("q_vec"), F.col("centroid")), 6)
@@ -200,14 +239,14 @@ def ivf_topk(
         [F.col("c_sim").desc(), F.col("cell").asc()],
         k=nprobe,
         rank_col="probe_rnk",
-    ).select("query_id", "q_vec", "cell")
+    ).select("query_id", "q_vec", "norm_q", "cell")
 
     cand = probed.join(cells, on="cell", how="inner").where(
         F.col("neighbor_id") != F.col("query_id")
     )
-    scored = cand.withColumn(
-        "sim_r", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
-    ).select("query_id", "neighbor_id", "sim_r")
+    scored = cand.withColumn("sim_r", F.round(_paired_cosine(), 6)).select(
+        "query_id", "neighbor_id", "sim_r"
+    )
     return topk_per_group(
         scored,
         ["query_id"],
