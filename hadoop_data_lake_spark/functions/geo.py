@@ -13,6 +13,8 @@ exact predicate only within the 3x3 neighborhood.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -28,16 +30,24 @@ def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
     return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
 
 
-def grid_cell(lat: Column, lon: Column, cell_km: float) -> tuple[Column, Column]:
-    """(row, col) integer cell of a lat/lon point on a cell_km-sized grid.
+def grid_cell(
+    lat: Column, lon: Column, cell_km: float, max_abs_lat: float = 80.0
+) -> tuple[Column, Column, int]:
+    """(row, col, n_lon_cells) integer cell of a lat/lon point on a grid
+    whose 3x3 neighborhood is guaranteed to contain every point within
+    cell_km, for |lat| <= max_abs_lat.
 
-    Latitude degrees are ~111.32 km; longitude degrees shrink with latitude,
-    but for a *candidate prefilter* we use the equatorial width so cells only
-    ever over-contain (correctness preserved; exact haversine filter runs
-    after the join).
+    Latitude degrees are ~111.32 km everywhere. Longitude degrees SHRINK
+    with latitude (111.32 * cos(lat) km), so the lon cell width is sized for
+    the worst latitude the dataset may contain — cells over-contain near the
+    equator (more candidates, still correct) instead of under-containing
+    near the poles (missed pairs). Columns wrap modulo n_lon_cells so
+    antimeridian neighbors land in adjacent cells; callers exploding the
+    3x3 neighborhood must wrap col±1 the same way.
     """
-    deg = cell_km / 111.32
-    return (
-        F.floor(lat / F.lit(deg)).cast("long"),
-        F.floor(lon / F.lit(deg)).cast("long"),
-    )
+    lat_deg = cell_km / 111.32
+    lon_deg = cell_km / (111.32 * math.cos(math.radians(max_abs_lat)))
+    n_lon = max(1, int(math.ceil(360.0 / lon_deg)))
+    row = F.floor(lat / F.lit(lat_deg)).cast("long")
+    col = ((F.floor((lon + F.lit(180.0)) / F.lit(lon_deg)).cast("long") % n_lon) + n_lon) % n_lon
+    return row, col, n_lon

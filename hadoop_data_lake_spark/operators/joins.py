@@ -94,7 +94,7 @@ def grid_distance_self_join(
     """
     keys = keys or []
     payload = payload or []
-    cr, cc = grid_cell(F.col(lat_col), F.col(lon_col), radius_km)
+    cr, cc, n_lon = grid_cell(F.col(lat_col), F.col(lon_col), radius_km)
 
     def side(suffix: str, explode_cells: bool) -> DataFrame:
         cols = [
@@ -105,14 +105,21 @@ def grid_distance_self_join(
             *[F.col(c).alias(f"{c}{suffix}") for c in payload],
         ]
         if explode_cells:
+            # col neighbors wrap modulo the lon cell count (antimeridian).
             neigh = F.array(
                 *[
-                    F.struct((cr + dr).alias("r"), (cc + dc).alias("c"))
+                    F.struct(
+                        (cr + dr).alias("r"),
+                        (((cc + dc) % n_lon + n_lon) % n_lon).alias("c"),
+                    )
                     for dr in (-1, 0, 1)
                     for dc in (-1, 0, 1)
                 ]
             )
-            return df.select(*cols, F.explode(neigh).alias("__cell"))
+            # array_distinct: with few lon cells (large radius) wrapped
+            # neighbors can coincide — a duplicate cell entry would emit the
+            # same pair twice.
+            return df.select(*cols, F.explode(F.array_distinct(neigh)).alias("__cell"))
         return df.select(*cols, F.struct(cr.alias("r"), cc.alias("c")).alias("__cell"))
 
     lhs, rhs = side("_l", False), side("_r", True)

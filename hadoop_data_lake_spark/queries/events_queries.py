@@ -328,3 +328,32 @@ ASOF LEFT JOIN
       FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND c.click_ts_us <= p.purchase_ts_us
 """
+
+
+# --------------------------------------------------------------------------
+# JSON property extraction (semi-structured column family — the reference
+# stores nested structs; the driver's flat table carries a JSON string
+# `props`, exercised here with get_json_object + numeric agg).
+# --------------------------------------------------------------------------
+
+def props_k_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+PROPS_K_STATS_SQL = """
+SELECT event_type, count(k) AS n, sum(k)::bigint AS k_sum,
+       min(k) AS k_min, max(k) AS k_max
+FROM (SELECT event_type, json_extract_string(props, '$.k')::bigint AS k FROM events)
+GROUP BY event_type
+"""

@@ -1,0 +1,242 @@
+"""Geo pipeline queries — the reference's geotag / user-city /
+recommendation semantics (src/scripts/save_mes_geo.py,
+calculate_user_city.py, calculate_user_recommendations.py) made
+oracle-checkable on the flat driver tables.
+
+The driver testdata carries no coordinates, so events get DETERMINISTIC
+synthetic ones (pure integer arithmetic on user_id/event_id, identical in
+Spark and DuckDB SQL), and the `nation` table doubles as the city dimension
+with synthetic centroids. This keeps the exact operator shapes — broadcast
+cross join + haversine argmin (J1+W1), latest-position window (W2),
+grid-banded radius self-join (J2+J4 with B1 fixed), tz dimension +
+from_utc_timestamp (SURVEY.md §7.5) — inside the DuckDB correctness gate
+rather than only in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_data_lake_spark.core.io import read_table
+from hadoop_data_lake_spark.functions.geo import haversine_km
+from hadoop_data_lake_spark.operators.joins import grid_distance_self_join
+from hadoop_data_lake_spark.operators.windows import top1_per_group
+
+# Deterministic synthetic coordinates: lat in [-60, 59.9], lon in [-170, 169.9].
+# (Builders, not module constants — Column construction needs a live session.)
+def _lat():
+    return F.lit(-60.0) + ((F.col("user_id") * 7919 + F.col("event_id")) % 1200) / 10.0
+
+
+def _lon():
+    return F.lit(-170.0) + ((F.col("user_id") * 104729 + F.col("event_id") * 13) % 3400) / 10.0
+
+
+_LAT_SQL = "(-60.0 + ((user_id * 7919 + event_id) % 1200) / 10.0)"
+_LON_SQL = "(-170.0 + ((user_id * 104729 + event_id * 13) % 3400) / 10.0)"
+
+
+# City centroids synthesized from the 25-row nation dimension.
+def _lat_c():
+    return F.lit(-55.0) + (F.col("n_nationkey") * 137) % 110
+
+
+def _lon_c():
+    return F.lit(-160.0) + (F.col("n_nationkey") * 89) % 320
+
+
+_LAT_C_SQL = "(-55.0 + (n_nationkey * 137) % 110)"
+_LON_C_SQL = "(-160.0 + (n_nationkey * 89) % 320)"
+
+_HAVERSINE_SQL = (
+    "(2 * 6371.0 * asin(sqrt("
+    "sin(radians({lat2} - {lat1}) / 2) ^ 2 + "
+    "cos(radians({lat1})) * cos(radians({lat2})) * "
+    "sin(radians({lon2} - {lon1}) / 2) ^ 2)))"
+)
+
+# Timezone dimension keyed on user_id (stands in for the reference's
+# city_id -> tz_name broadcast dim, §7.5).
+_TZS = ["America/New_York", "Asia/Tokyo", "Europe/Moscow", "UTC"]
+_TZ_SQL = (
+    "(CASE user_id % 4 WHEN 0 THEN 'America/New_York' WHEN 1 THEN 'Asia/Tokyo' "
+    "WHEN 2 THEN 'Europe/Moscow' ELSE 'UTC' END)"
+)
+
+
+def _tz_expr():
+    return F.element_at(
+        F.array(*[F.lit(t) for t in _TZS]), (F.col("user_id") % 4 + 1).cast("int")
+    )
+
+
+def _located_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", _lat().alias("lat"), _lon().alias("lon")
+    )
+
+
+def _cities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("city_id"),
+        F.col("n_name").alias("city_name"),
+        _lat_c().alias("lat_c"),
+        _lon_c().alias("lon_c"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Geotag: nearest city per event (reference save_mes_geo.py:24-50; J1 + W1
+# with the B1 radians fix). Broadcast the 25-row dim; argmin via one
+# row_number window — WindowGroupLimit keeps only rank 1 at shuffle read.
+# --------------------------------------------------------------------------
+
+def nearest_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _located_events(spark, sf_dir)
+    cities = _cities(spark, sf_dir)
+    paired = ev.crossJoin(F.broadcast(cities)).withColumn(
+        "dist_km",
+        F.round(haversine_km(F.col("lat"), F.col("lon"), F.col("lat_c"), F.col("lon_c")), 6),
+    )
+    best = top1_per_group(
+        paired, ["event_id"], [F.col("dist_km").asc(), F.col("city_id").asc()]
+    )
+    return best.select("event_id", "user_id", "city_id", "city_name", "dist_km")
+
+
+NEAREST_CITY_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM events
+),
+cities AS (
+  SELECT n_nationkey AS city_id, n_name AS city_name,
+         {_LAT_C_SQL} AS lat_c, {_LON_C_SQL} AS lon_c
+  FROM nation
+),
+paired AS (
+  SELECT ev.event_id, ev.user_id, c.city_id, c.city_name,
+         round({_HAVERSINE_SQL.format(lat1='ev.lat', lon1='ev.lon', lat2='c.lat_c', lon2='c.lon_c')}, 6) AS dist_km
+  FROM ev CROSS JOIN cities c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY dist_km, city_id) AS rn
+  FROM paired
+)
+SELECT event_id, user_id, city_id, city_name, dist_km FROM ranked WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Latest position per user (reference W2, calculate_user_city.py:42-50).
+# --------------------------------------------------------------------------
+
+def user_latest_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _located_events(spark, sf_dir)
+    latest = top1_per_group(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return latest.select("user_id", F.col("event_id").alias("last_event_id"), "lat", "lon")
+
+
+USER_LATEST_POSITION_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, ts, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM events
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev
+)
+SELECT user_id, event_id AS last_event_id, lat, lon FROM ranked WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Proximity pairs: users whose latest positions are within 300 km
+# (the reference recommendation join J2+J4 intent, B2 reconstructed).
+# Spark side uses the grid-banded self-join — candidates are cell-local,
+# never all-pairs; the oracle verifies against the exact quadratic form.
+# --------------------------------------------------------------------------
+
+def user_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pos = user_latest_position(spark, sf_dir).select("user_id", "lat", "lon")
+    pairs = grid_distance_self_join(
+        pos, id_col="user_id", lat_col="lat", lon_col="lon", radius_km=300.0
+    )
+    return pairs.select(
+        F.col("user_id_l").alias("user_left"),
+        F.col("user_id_r").alias("user_right"),
+        F.round("dist_km", 6).alias("dist_km"),
+    )
+
+
+USER_PROXIMITY_PAIRS_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, ts, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM events
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev
+),
+pos AS (SELECT user_id, lat, lon FROM ranked WHERE rn = 1)
+SELECT a.user_id AS user_left, b.user_id AS user_right,
+       round({_HAVERSINE_SQL.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')}, 6) AS dist_km
+FROM pos a JOIN pos b ON a.user_id < b.user_id
+WHERE {_HAVERSINE_SQL.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')} <= 300.0
+"""
+
+
+# --------------------------------------------------------------------------
+# Local time: latest event per user shifted into the user's timezone via a
+# broadcast tz dimension + from_utc_timestamp — the engine's replacement for
+# the reference's timezonefinder Python UDF (calculate_user_city.py:28-38,
+# SURVEY.md §7.5).
+# --------------------------------------------------------------------------
+
+def user_local_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    latest = top1_per_group(ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()])
+    return latest.select(
+        "user_id",
+        _tz_expr().alias("tz_name"),
+        F.from_utc_timestamp("ts", _tz_expr()).alias("local_time"),
+    )
+
+
+USER_LOCAL_TIME_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, {_TZ_SQL} AS tz_name,
+       timezone({_TZ_SQL}, timezone('UTC', ts)) AS local_time
+FROM ranked WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Ordered event history per user (reference A5: collect_list(struct) +
+# sort_array, calculate_user_city.py:63-69) — emitted as a joined string so
+# the value hash is engine-portable.
+# --------------------------------------------------------------------------
+
+def user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ",",
+        ).alias("history"),
+    )
+
+
+USER_EVENT_HISTORY_SQL = """
+SELECT user_id, count(*) AS n_events,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS history
+FROM events GROUP BY user_id
+"""

@@ -14,6 +14,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from hadoop_data_lake_spark.queries import events_queries as EV
+from hadoop_data_lake_spark.queries import geo_queries as GQ
 from hadoop_data_lake_spark.queries import northstar_queries as NS
 from hadoop_data_lake_spark.queries import tpch_queries as TQ
 
@@ -37,6 +38,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "user_sessions": QuerySpec(EV.user_sessions, EV.USER_SESSIONS_SQL, ("window", "sessionize")),
     "event_pair_candidates": QuerySpec(EV.event_pair_candidates, EV.EVENT_PAIR_CANDIDATES_SQL, ("join", "range-join")),
     "purchase_attribution_asof": QuerySpec(EV.purchase_attribution_asof, EV.PURCHASE_ATTRIBUTION_ASOF_SQL, ("join", "asof", "pandas-udf")),
+    # --- geo pipeline (reference geotag/user-city/recs semantics) --------
+    "nearest_city": QuerySpec(GQ.nearest_city, GQ.NEAREST_CITY_SQL, ("geo", "crossjoin", "window", "argmin")),
+    "user_latest_position": QuerySpec(GQ.user_latest_position, GQ.USER_LATEST_POSITION_SQL, ("geo", "window")),
+    "user_proximity_pairs": QuerySpec(GQ.user_proximity_pairs, GQ.USER_PROXIMITY_PAIRS_SQL, ("geo", "range-join", "grid")),
+    "user_local_time": QuerySpec(GQ.user_local_time, GQ.USER_LOCAL_TIME_SQL, ("geo", "timezone")),
+    "user_event_history": QuerySpec(GQ.user_event_history, GQ.USER_EVENT_HISTORY_SQL, ("agg", "collect-list")),
     # --- TPC-H-ish star joins / aggregations -----------------------------
     "q1_pricing_summary": QuerySpec(TQ.q1_pricing_summary, TQ.Q1_PRICING_SUMMARY_SQL, ("agg",)),
     "q3_order_revenue": QuerySpec(TQ.q3_order_revenue, TQ.Q3_ORDER_REVENUE_SQL, ("join", "agg")),
@@ -49,6 +56,14 @@ REGISTRY: dict[str, QuerySpec] = {
     "nations_customers_not_suppliers": QuerySpec(TQ.nations_customers_not_suppliers, TQ.NATIONS_CUSTOMERS_NOT_SUPPLIERS_SQL, ("setop",)),
     "monthly_order_stats": QuerySpec(TQ.monthly_order_stats, TQ.MONTHLY_ORDER_STATS_SQL, ("agg", "datetime")),
     "top20_orders_global": QuerySpec(TQ.top20_orders_global, TQ.TOP20_ORDERS_GLOBAL_SQL, ("sort", "limit")),
+    "q4_late_orders_by_priority": QuerySpec(TQ.q4_late_orders_by_priority, TQ.Q4_LATE_ORDERS_BY_PRIORITY_SQL, ("semi-join", "agg")),
+    "q6_forecast_revenue": QuerySpec(TQ.q6_forecast_revenue, TQ.Q6_FORECAST_REVENUE_SQL, ("agg", "pushdown")),
+    "q10_returned_item_revenue": QuerySpec(TQ.q10_returned_item_revenue, TQ.Q10_RETURNED_ITEM_REVENUE_SQL, ("join", "agg", "topk")),
+    "q12_priority_shipping": QuerySpec(TQ.q12_priority_shipping, TQ.Q12_PRIORITY_SHIPPING_SQL, ("join", "case-agg")),
+    "q14_promo_revenue_share": QuerySpec(TQ.q14_promo_revenue_share, TQ.Q14_PROMO_REVENUE_SHARE_SQL, ("join", "ratio-agg")),
+    "q19_branded_revenue": QuerySpec(TQ.q19_branded_revenue, TQ.Q19_BRANDED_REVENUE_SQL, ("join", "disjunctive")),
+    "customer_order_ranks": QuerySpec(TQ.customer_order_ranks, TQ.CUSTOMER_ORDER_RANKS_SQL, ("window", "rank")),
+    "props_k_stats": QuerySpec(EV.props_k_stats, EV.PROPS_K_STATS_SQL, ("json", "agg")),
     # --- north-star: dedup ----------------------------------------------
     "dedup_exact": QuerySpec(NS.dedup_exact, NS.DEDUP_EXACT_SQL, ("dedup",)),
     "dedup_ngram_jaccard": QuerySpec(NS.dedup_ngram_jaccard, NS.DEDUP_NGRAM_JACCARD_SQL, ("dedup",)),

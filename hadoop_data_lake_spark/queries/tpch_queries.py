@@ -349,3 +349,231 @@ TOP20_ORDERS_GLOBAL_SQL = """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
 """
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q4 shape: orders with at least one late-shipped line, counted by
+# priority. Left-semi join = the EXISTS subquery; at 100 TB the semi join
+# shuffles only the two key columns and short-circuits per order.
+# --------------------------------------------------------------------------
+
+def q4_late_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+Q4_LATE_ORDERS_BY_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q6 shape: selective scan-and-sum. The filter set pushes down to the
+# parquet reader (PushedFilters on l_shipdate/l_discount/l_quantity) — the
+# whole query is one scan + map-side partial agg, no join, one shuffle of a
+# single row per partition.
+# --------------------------------------------------------------------------
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(sum_fixed(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"))
+    )
+
+
+Q6_FORECAST_REVENUE_SQL = f"""
+SELECT {sum_fixed_sql('l_extendedprice * l_discount', 4)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q10 shape: revenue lost to returned items per customer, top 20.
+# lineitem filter -> join orders (shuffle on orderkey) -> join customer
+# (shuffle on custkey) -> broadcast nation. Top-k via global sort + limit —
+# Spark's TakeOrderedAndProject keeps only 20 rows per partition.
+# --------------------------------------------------------------------------
+
+def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    revenue = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum_fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+    )
+    return revenue.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+
+
+Q10_RETURNED_ITEM_REVENUE_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       {sum_fixed_sql(_DISC_PRICE, 4)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q12 shape: conditional CASE aggregation — high- vs low-priority
+# line counts per linestatus for a ship-year. Single join + pivot-style
+# conditional sums (map-side partial agg).
+# --------------------------------------------------------------------------
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_PRIORITY_SHIPPING_SQL = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::bigint AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::bigint AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14 shape: promo revenue share — ratio of two exact fixed-point
+# sums, one final double division (deterministic across engines).
+# --------------------------------------------------------------------------
+
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_units = to_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    joined = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01"))
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", disc_units).otherwise(0)).cast("double")
+            / F.sum(disc_units).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+Q14_PROMO_REVENUE_SHARE_SQL = """
+SELECT 100.0 * cast(sum(CASE WHEN p_type = 'PROMO'
+                             THEN cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint)
+                             ELSE 0 END) as double)
+             / cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint)) as double)
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive multi-attribute predicate. Catalyst extracts
+# the common l_partkey = p_partkey conjunct so the join stays equi; the OR
+# branches evaluate post-join.
+# --------------------------------------------------------------------------
+
+def q19_branded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity").between(1, 20)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(10, 30)) & (F.col("l_quantity").between(10, 35)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(20, 50)) & (F.col("l_quantity").between(20, 50)))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(sum_fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+Q19_BRANDED_REVENUE_SQL = f"""
+SELECT {sum_fixed_sql(_DISC_PRICE, 4)} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+# --------------------------------------------------------------------------
+# Ranking-function family (rank / dense_rank / ntile / lead) — §2.5 notes
+# these are unused by the reference; the engine exposes them anyway.
+# --------------------------------------------------------------------------
+
+def customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("price_rank", F.rank().over(w))
+        .withColumn("price_dense_rank", F.dense_rank().over(w))
+        .withColumn("quartile", F.ntile(4).over(w))
+        .withColumn("next_price", F.lead("o_totalprice").over(w))
+        .where(F.col("price_rank") <= 3)
+        .select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            "price_rank", "price_dense_rank", "quartile", "next_price",
+        )
+    )
+
+
+CUSTOMER_ORDER_RANKS_SQL = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         rank()       OVER w AS price_rank,
+         dense_rank() OVER w AS price_dense_rank,
+         ntile(4)     OVER w AS quartile,
+         lead(o_totalprice) OVER w AS next_price
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+)
+SELECT * FROM ranked WHERE price_rank <= 3
+"""

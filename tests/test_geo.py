@@ -60,12 +60,24 @@ def test_haversine_known_distances(spark):
 
 
 def test_grid_cell_neighbors_within_radius(spark):
-    # Two points ~556 m apart must land in the same or adjacent 1 km cells —
-    # the invariant the grid_distance_self_join prefilter relies on.
+    # Points within cell_km must land in the same or adjacent cells — the
+    # invariant the grid_distance_self_join prefilter relies on. Checked
+    # N-S, E-W at high latitude (lon degrees shrink), and across the
+    # antimeridian (col must wrap).
     df = spark.createDataFrame(
-        [(55.7558, 37.6173), (55.7608, 37.6173)], "lat double, lon double"
+        [
+            ("ns", 55.7558, 37.6173), ("ns", 55.7608, 37.6173),         # ~556 m N-S
+            ("ew_hi", 79.9, 10.0), ("ew_hi", 79.9, 10.0501),            # ~980 m E-W at lat 80
+            ("am", 10.0, 179.9999), ("am", 10.0, -179.9999),            # ~22 m across the seam
+        ],
+        "grp string, lat double, lon double",
     )
-    cy, cx = grid_cell(F.col("lat"), F.col("lon"), cell_km=1.0)
-    rows = df.select(cy.alias("cy"), cx.alias("cx")).collect()
-    assert abs(rows[0]["cy"] - rows[1]["cy"]) <= 1
-    assert abs(rows[0]["cx"] - rows[1]["cx"]) <= 1
+    cy, cx, n_lon = grid_cell(F.col("lat"), F.col("lon"), cell_km=1.0)
+    rows = df.select("grp", cy.alias("cy"), cx.alias("cx")).collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r["grp"], []).append((r["cy"], r["cx"]))
+    for grp, ((y1, x1), (y2, x2)) in by_grp.items():
+        assert abs(y1 - y2) <= 1, grp
+        dx = abs(x1 - x2)
+        assert min(dx, n_lon - dx) <= 1, grp
