@@ -92,6 +92,59 @@ def read_partitioned(
     return df
 
 
+FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options: str,
+) -> DataFrame:
+    """Read `path` in any supported format.
+
+    Parquet/ORC are the columnar primaries (README.md:8 rationale: fastest in
+    Spark, vectorized reader, predicate pushdown). CSV/JSON are ingest-edge
+    formats: schema should be passed explicitly (schema-on-read contract) —
+    inference costs an extra pass and types drift.
+    """
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {FORMATS}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        reader = reader.option("inferSchema", "true")
+    if fmt == "csv":
+        reader = reader.option("header", options.pop("header", "true"))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_any(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: str | list[str] | None = None,
+    **options: str,
+) -> None:
+    """Write `df` to `path` in any supported format (overwrite by default)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {FORMATS}")
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", options.pop("header", "true"))
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        writer = writer.partitionBy(*cols)
+    writer.save(path)
+
+
 def write_overwrite(df: DataFrame, path: str, partition_by: str | list[str] | None = None) -> None:
     """Overwrite-sink (reference S4/S5: save_mes_geo.py:50,
     calculate_zone_report.py:60 partitionBy week).

@@ -24,7 +24,12 @@ from hadoop_data_lake_spark.operators.multimodal import (
     extract_features,
     synth_media_from_text,
 )
-from hadoop_data_lake_spark.streaming.ingest import run_batch_replay
+from hadoop_data_lake_spark.streaming.ingest import (
+    run_batch_replay,
+    run_session_replay,
+    run_sliding_replay,
+    run_stateful_replay,
+)
 
 # --------------------------------------------------------------------------
 # Dedup family
@@ -340,4 +345,65 @@ STREAM_WINDOWED_COUNTS_SQL = """
 SELECT (epoch_us(ts) // 600000000) * 600000000 AS window_start_us,
        event_type, count(*) AS n
 FROM events GROUP BY 1, 2
+"""
+
+
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (600s duration / 300s slide): each event lands in two
+    overlapping windows, replayed deterministically over static parquet."""
+    return run_sliding_replay(
+        spark, f"{sf_dir}/events.parquet", window_seconds=600, slide_seconds=300
+    )
+
+
+# Each event contributes to windows starting at floor(t/300)*300 and the one
+# 300 s earlier (duration/slide = 2).
+STREAM_SLIDING_COUNTS_SQL = """
+WITH contrib AS (
+  SELECT (epoch_us(ts) // 300000000) * 300000000 AS window_start_us, event_type FROM events
+  UNION ALL
+  SELECT ((epoch_us(ts) // 300000000) - 1) * 300000000, event_type FROM events
+)
+SELECT window_start_us, event_type, count(*) AS n
+FROM contrib GROUP BY 1, 2
+"""
+
+
+def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session_window per user (gap 1800s), replayed over
+    static parquet."""
+    return run_session_replay(spark, f"{sf_dir}/events.parquet", gap_seconds=1800)
+
+
+# session_window semantics: a new session starts when the gap to the previous
+# event is >= the configured gap (session span is [ts, ts + gap)).
+STREAM_SESSION_STATS_SQL = """
+WITH gapped AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gapped
+)
+SELECT user_id, epoch_us(min(ts)) AS session_start_us, count(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def stream_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    max(value) + row count. Replayed as one availableNow batch, so the
+    final state equals the batch aggregate the oracle computes."""
+    return run_stateful_replay(spark, f"{sf_dir}/events.parquet")
+
+
+STREAM_RUNNING_MAX_SQL = """
+SELECT user_id, max(value) AS max_value, count(*) AS n_seen
+FROM events GROUP BY user_id
 """

@@ -83,6 +83,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "multimodal_meta": QuerySpec(NS.multimodal_meta, NS.MULTIMODAL_META_SQL, ("multimodal",)),
     "multimodal_decode_features": QuerySpec(NS.multimodal_decode_features, None, ("multimodal", "pandas-udf")),
     "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),
+    "stream_sliding_counts": QuerySpec(NS.stream_sliding_counts, NS.STREAM_SLIDING_COUNTS_SQL, ("streaming", "sliding-window")),
+    "stream_session_stats": QuerySpec(NS.stream_session_stats, NS.STREAM_SESSION_STATS_SQL, ("streaming", "session-window")),
+    "stream_running_max": QuerySpec(NS.stream_running_max, NS.STREAM_RUNNING_MAX_SQL, ("streaming", "stateful", "pandas-udf")),
 }
 
 

@@ -1,19 +1,34 @@
 """Structured Streaming ingest variant (engine extension; the reference is
 weekly batch only — README.md:6 — so this is the §2.8 'optional extension').
 
-`windowed_event_counts` is the streaming twin of the zone report's
-time-bucketed counts: tumbling event-time windows + watermark for late data.
-`run_batch_replay` drives the same plan over a static parquet directory with
-the availableNow trigger + memory sink, which is how the correctness oracle
-can check a streaming plan deterministically (single batch, no late drops).
+Operators:
+- windowed_event_counts: tumbling event-time windows + watermark — the
+  streaming twin of the zone report's time-bucketed counts.
+- sliding_event_counts: overlapping windows (duration > slide), each event
+  lands in duration/slide windows.
+- session_event_stats: native session_window aggregation — gap-based
+  sessions closed by the watermark at scale.
+- running_max_per_user: custom stateful operator via applyInPandasWithState
+  (GroupState), the escape hatch for semantics the built-in windows can't
+  express.
+
+`run_batch_replay` drives any of these plans over a static parquet
+directory with the availableNow trigger + a memory sink, which is how the
+correctness oracle checks a streaming plan deterministically (single batch,
+no late drops). The same plan pointed at a real source (Kafka/files) with
+append mode + watermark is the production path.
 """
 
 from __future__ import annotations
 
 import uuid
+from collections.abc import Iterator
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def windowed_event_counts(
@@ -38,12 +53,93 @@ def windowed_event_counts(
     )
 
 
-def run_batch_replay(
-    spark: SparkSession, parquet_path: str, window_seconds: int = 600
+def sliding_event_counts(
+    events: DataFrame,
+    window_seconds: int = 600,
+    slide_seconds: int = 300,
+    watermark: str = "30 minutes",
 ) -> DataFrame:
-    """Run the streaming plan over a static parquet file: availableNow
-    trigger drains everything as one batch into a memory sink and returns
-    the (batch) result table."""
+    """Sliding event-time windows: each event contributes to
+    window_seconds/slide_seconds overlapping windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", f"{window_seconds} seconds", f"{slide_seconds} seconds").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_event_stats(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Native session_window aggregation per user: a session closes after
+    `gap_seconds` of inactivity (the streaming twin of operators/windows.
+    sessionize; the watermark lets state for closed sessions be dropped)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", f"{gap_seconds} seconds").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+_RUNNING_MAX_SCHEMA = "user_id long, max_value double, n_seen long"
+_RUNNING_MAX_STATE_SCHEMA = "max_value double, n_seen long"
+
+
+def running_max_per_user(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Custom stateful operator: per-user running max(value) + count via
+    applyInPandasWithState. GroupState persists (max, n) across microbatches;
+    each batch emits one updated row per user seen in that batch.
+
+    This is the template for operators the built-in windows can't express
+    (decaying counters, custom sketches, ML feature state)."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cur_max, n = state.get
+        else:
+            cur_max, n = float("-inf"), 0
+        for pdf in pdfs:
+            vals = pdf["value"].dropna()
+            if len(vals):
+                cur_max = max(cur_max, float(vals.max()))
+            n += int(len(pdf))
+        state.update((cur_max, n))
+        emit_max = None if cur_max == float("-inf") else cur_max
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "max_value": [emit_max], "n_seen": [n]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_RUNNING_MAX_SCHEMA,
+            stateStructType=_RUNNING_MAX_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def _open_stream(spark: SparkSession, parquet_path: str) -> DataFrame:
     from hadoop_data_lake_spark.core.io import normalize_ns_ts
 
     import os
@@ -55,15 +151,51 @@ def run_batch_replay(
     # through a scratch dir with a symlink (read-only source stays untouched).
     src_dir = tempfile.mkdtemp(prefix="stream_src_")
     os.symlink(parquet_path, os.path.join(src_dir, os.path.basename(parquet_path)))
-    stream = normalize_ns_ts(spark.readStream.schema(schema).parquet(src_dir))
-    out = windowed_event_counts(stream, window_seconds)
+    return normalize_ns_ts(spark.readStream.schema(schema).parquet(src_dir))
+
+
+def replay_to_memory(out: DataFrame, output_mode: str = "complete") -> str:
+    """Drain a streaming frame into a memory sink with availableNow; returns
+    the sink table name."""
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = (
-        out.writeStream.outputMode("complete")
+        out.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return name
+
+
+def run_batch_replay(
+    spark: SparkSession, parquet_path: str, window_seconds: int = 600
+) -> DataFrame:
+    """Tumbling-window counts replayed over a static parquet file."""
+    out = windowed_event_counts(_open_stream(spark, parquet_path), window_seconds)
+    return spark.table(replay_to_memory(out))
+
+
+def run_sliding_replay(
+    spark: SparkSession,
+    parquet_path: str,
+    window_seconds: int = 600,
+    slide_seconds: int = 300,
+) -> DataFrame:
+    out = sliding_event_counts(
+        _open_stream(spark, parquet_path), window_seconds, slide_seconds
+    )
+    return spark.table(replay_to_memory(out))
+
+
+def run_session_replay(
+    spark: SparkSession, parquet_path: str, gap_seconds: int = 1800
+) -> DataFrame:
+    out = session_event_stats(_open_stream(spark, parquet_path), gap_seconds)
+    return spark.table(replay_to_memory(out))
+
+
+def run_stateful_replay(spark: SparkSession, parquet_path: str) -> DataFrame:
+    out = running_max_per_user(_open_stream(spark, parquet_path))
+    return spark.table(replay_to_memory(out, output_mode="update"))
