@@ -1,0 +1,70 @@
+"""Physical-plan regression tests: the scale properties README claims must
+actually show up in the executed plans (broadcasts, pushdown, partial
+aggregation, WindowGroupLimit, no Python in JVM-only paths)."""
+
+import pytest
+
+from hadoop_data_lake_spark.queries.registry import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return REGISTRY[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_nearest_city_broadcasts_dim_and_limits_window(spark):
+    plan = _plan(spark, "nearest_city")
+    # 25-row city dim must broadcast under the cross join
+    assert "BroadcastNestedLoopJoin" in plan
+    # rank-1 filter pushed into the shuffle read: no full ranking materialized
+    assert "WindowGroupLimit" in plan
+
+
+def test_q1_partial_aggregation_and_pushdown(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # partial (map-side) + final HashAggregate pair
+    assert plan.count("HashAggregate") >= 2
+    # the date filter reaches the parquet scan
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q5_broadcasts_small_dims(spark):
+    plan = _plan(spark, "q5_nation_revenue")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q6_scan_prunes_columns(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    scan = next(line for line in plan.splitlines() if "FileScan parquet" in line)
+    # only the 4 needed columns are read — not l_tax/l_returnflag/etc.
+    assert "l_quantity" in scan and "l_shipdate" in scan
+    assert "l_tax" not in scan and "l_returnflag" not in scan
+
+
+def test_topk_uses_window_group_limit(spark):
+    assert "WindowGroupLimit" in _plan(spark, "top_orders_per_customer")
+
+
+def test_asof_join_is_pure_jvm_single_shuffle(spark):
+    plan = _plan(spark, "purchase_attribution_asof")
+    # no Python evaluation nodes anywhere in the as-of path
+    for marker in ("FlatMapCoGroupsInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+    # the event_type filters push to the scan
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "EqualTo(event_type,click)" in plan
+
+
+def test_minhash_pipeline_is_pure_jvm(spark):
+    plan = _plan(spark, "dedup_minhash_lsh")
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan
+    # signature minima computed as aggregates (partial+final), not HOFs
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_global_topk_avoids_full_sort(spark):
+    # orderBy + limit compiles to TakeOrderedAndProject — only k rows per
+    # partition survive, no global sort materializes
+    assert "TakeOrderedAndProject" in _plan(spark, "top20_orders_global")
