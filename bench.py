@@ -23,9 +23,11 @@ from hadoop_data_lake_spark.queries.registry import REGISTRY
 
 HEADLINE = [
     "zone_report",
+    "nearest_city",
     "q1_pricing_summary",
     "q3_order_revenue",
     "q5_nation_revenue",
+    "q10_returned_item_revenue",
     "user_sessions",
     "purchase_attribution_asof",
     "top_orders_per_customer",
@@ -34,6 +36,7 @@ HEADLINE = [
     "text_stats",
     "ann_brute_force",
     "stream_windowed_counts",
+    "stream_session_stats",
 ]
 
 

@@ -90,3 +90,89 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
             )
 
     return media.select("media_id", "media").mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "media_id long, media binary, meta struct<format string, width int, "
+    "height int, n_bytes long>"
+)
+
+
+def resize_media(media: DataFrame, target_w: int, target_h: int, fake_decode: bool = True) -> DataFrame:
+    """Resize stub over mapInPandas: with a real codec this is
+    decode -> resample -> re-encode per Arrow batch. The deterministic fake
+    'resize' keeps every byte position j*len/target (nearest-neighbor over
+    the raw bytes) so tests pin exact outputs; the Spark-side contract —
+    schema, metadata update, Arrow batch shape — is the real thing.
+    """
+    n_out = max(1, target_w * target_h)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError(
+                    "real image codecs (PIL) are not installed; use fake_decode=True"
+                )
+
+            def fake_resize(b: bytes) -> bytes:
+                b = bytes(b)
+                if not b:
+                    return b
+                step = len(b) / n_out
+                return bytes(b[min(int(j * step), len(b) - 1)] for j in range(n_out))
+
+            out = pdf["media"].map(fake_resize)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media": out,
+                    "meta": [
+                        {
+                            "format": "fake/resized",
+                            "width": target_w,
+                            "height": target_h,
+                            "n_bytes": len(b),
+                        }
+                        for b in out
+                    ],
+                }
+            )
+
+    return media.select("media_id", "media").mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame binary, n_bytes long"
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4, fake_decode: bool = True) -> DataFrame:
+    """Frame-sampling stub over mapInPandas (1 input row -> n output rows —
+    the mapInPandas contract allows changing cardinality, which is why this
+    is not a scalar pandas UDF). With a real demuxer this is
+    open container -> seek n evenly spaced keyframes; the fake splits the
+    blob into n contiguous chunks."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError(
+                    "real video demuxers (av) are not installed; use fake_decode=True"
+                )
+            ids, idxs, frames = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                b = bytes(blob)
+                step = max(1, len(b) // n_frames)
+                for j in range(n_frames):
+                    chunk = b[j * step : (j + 1) * step] if b else b""
+                    ids.append(mid)
+                    idxs.append(j)
+                    frames.append(chunk)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                    "n_bytes": pd.Series([len(f) for f in frames], dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "media").mapInPandas(op, schema=FRAME_SCHEMA)

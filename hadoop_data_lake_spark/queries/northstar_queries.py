@@ -407,3 +407,58 @@ STREAM_RUNNING_MAX_SQL = """
 SELECT user_id, max(value) AS max_value, count(*) AS n_seen
 FROM events GROUP BY user_id
 """
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: mapInPandas resize stub (deterministic fake codec; exact
+    bytes pinned in tests/test_streaming_multimodal.py)."""
+    from hadoop_data_lake_spark.operators.multimodal import resize_media
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = synth_media_from_text(docs, "doc_id", "text")
+    return resize_media(media, target_w=8, target_h=8)
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: 1->n frame sampling via mapInPandas (cardinality-changing
+    batch transform)."""
+    from hadoop_data_lake_spark.operators.multimodal import sample_frames
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = synth_media_from_text(docs, "doc_id", "text")
+    return sample_frames(media, n_frames=4)
+
+
+def token_counts_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish regex tokenization counts per document.
+    The regex splits letter runs / single digits / single punctuation —
+    the pre-tokenizer shape BPE vocabularies assume."""
+    docs = read_table(spark, sf_dir, "documents")
+    pat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("long").alias("bpe_tokens"),
+    )
+
+
+TOKEN_COUNTS_REGEX_SQL = r"""
+SELECT doc_id,
+       len(string_split(text, ' '))::bigint AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::bigint AS bpe_tokens
+FROM documents
+"""
+
+
+def daily_unique_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: HyperLogLog++ distinct-user sketch per day. The estimate is
+    algorithm-specific (not oracle-replayable); tests bound its error vs the
+    exact count."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+    )

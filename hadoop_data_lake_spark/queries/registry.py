@@ -64,6 +64,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "q19_branded_revenue": QuerySpec(TQ.q19_branded_revenue, TQ.Q19_BRANDED_REVENUE_SQL, ("join", "disjunctive")),
     "customer_order_ranks": QuerySpec(TQ.customer_order_ranks, TQ.CUSTOMER_ORDER_RANKS_SQL, ("window", "rank")),
     "props_k_stats": QuerySpec(EV.props_k_stats, EV.PROPS_K_STATS_SQL, ("json", "agg")),
+    "order_price_percentiles": QuerySpec(TQ.order_price_percentiles, TQ.ORDER_PRICE_PERCENTILES_SQL, ("agg", "percentile")),
     # --- north-star: dedup ----------------------------------------------
     "dedup_exact": QuerySpec(NS.dedup_exact, NS.DEDUP_EXACT_SQL, ("dedup",)),
     "dedup_ngram_jaccard": QuerySpec(NS.dedup_ngram_jaccard, NS.DEDUP_NGRAM_JACCARD_SQL, ("dedup",)),
@@ -82,6 +83,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- north-star: multimodal + streaming -----------------------------
     "multimodal_meta": QuerySpec(NS.multimodal_meta, NS.MULTIMODAL_META_SQL, ("multimodal",)),
     "multimodal_decode_features": QuerySpec(NS.multimodal_decode_features, None, ("multimodal", "pandas-udf")),
+    "multimodal_resize": QuerySpec(NS.multimodal_resize, None, ("multimodal", "pandas-udf")),
+    "multimodal_frames": QuerySpec(NS.multimodal_frames, None, ("multimodal", "pandas-udf", "generator")),
+    "token_counts_regex": QuerySpec(NS.token_counts_regex, NS.TOKEN_COUNTS_REGEX_SQL, ("text", "regex")),
+    "daily_unique_users_approx": QuerySpec(NS.daily_unique_users_approx, None, ("sketch", "hll")),
     "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),
     "stream_sliding_counts": QuerySpec(NS.stream_sliding_counts, NS.STREAM_SLIDING_COUNTS_SQL, ("streaming", "sliding-window")),
     "stream_session_stats": QuerySpec(NS.stream_session_stats, NS.STREAM_SESSION_STATS_SQL, ("streaming", "session-window")),

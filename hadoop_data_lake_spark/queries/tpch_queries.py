@@ -577,3 +577,32 @@ WITH ranked AS (
 )
 SELECT * FROM ranked WHERE price_rank <= 3
 """
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles (sort-based interpolation — bit-identical to DuckDB's
+# quantile_cont). At 100 TB prefer approx_percentile (t-digest sketch,
+# mergeable map-side); the exact form is the oracle-checkable reference.
+# --------------------------------------------------------------------------
+
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", 0.5).alias("p50"),
+            F.percentile("o_totalprice", 0.9).alias("p90"),
+            F.min("o_totalprice").alias("p_min"),
+            F.max("o_totalprice").alias("p_max"),
+        )
+    )
+
+
+ORDER_PRICE_PERCENTILES_SQL = """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       min(o_totalprice) AS p_min,
+       max(o_totalprice) AS p_max
+FROM orders GROUP BY o_orderpriority
+"""

@@ -13,12 +13,16 @@ def _plan(spark, name: str) -> str:
     return REGISTRY[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
 
 
-def test_nearest_city_broadcasts_dim_and_limits_window(spark):
+def test_nearest_city_broadcasts_dim_and_aggregates_argmin(spark):
     plan = _plan(spark, "nearest_city")
     # 25-row city dim must broadcast under the cross join
     assert "BroadcastNestedLoopJoin" in plan
-    # rank-1 filter pushed into the shuffle read: no full ranking materialized
-    assert "WindowGroupLimit" in plan
+    # argmin via min_by aggregate (struct-valued buffers plan as
+    # SortAggregate): the PARTIAL stage collapses the 25 candidates per
+    # event map-side before the shuffle, final after
+    assert "partial_min_by" in plan
+    assert plan.count("Aggregate") >= 2
+    assert "Window" not in plan
 
 
 def test_q1_partial_aggregation_and_pushdown(spark):

@@ -1,0 +1,73 @@
+"""Property-based checks (hypothesis) — SURVEY.md §5.3.
+
+Spark round-trips are batched: each property generates a LIST of cases,
+runs them through one DataFrame, and checks all rows — one Spark job per
+hypothesis example instead of one per case.
+"""
+
+import math
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings, strategies as st
+
+from hadoop_data_lake_spark.functions.geo import haversine_km
+from hadoop_data_lake_spark.operators.windows import top1_per_group
+
+# A fast-math-compiled native extension in this container breaks hypothesis'
+# signed-zero sanity check for float strategies; derive coordinates from
+# integer strategies instead (1e-4 degree resolution).
+lat_s = st.integers(min_value=-899_000, max_value=899_000).map(lambda v: v / 10_000.0)
+lon_s = st.integers(min_value=-1_800_000, max_value=1_800_000).map(lambda v: v / 10_000.0)
+coord_s = st.tuples(lat_s, lon_s)
+
+
+def _py_haversine(lat1, lon1, lat2, lon2):
+    rl1, rl2 = math.radians(lat1), math.radians(lat2)
+    dlat = math.radians(lat2 - lat1) / 2
+    dlon = math.radians(lon2 - lon1) / 2
+    a = math.sin(dlat) ** 2 + math.cos(rl1) * math.cos(rl2) * math.sin(dlon) ** 2
+    return 2 * 6371.0 * math.asin(math.sqrt(min(1.0, a)))
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(coord_s, coord_s), min_size=1, max_size=30))
+def test_haversine_matches_python_symmetric_bounded(spark, pairs):
+    rows = [(i, a[0], a[1], b[0], b[1]) for i, (a, b) in enumerate(pairs)]
+    df = spark.createDataFrame(
+        rows, "i long, lat1 double, lon1 double, lat2 double, lon2 double"
+    )
+    got = {
+        r["i"]: (r["d"], r["rd"])
+        for r in df.select(
+            "i",
+            haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("d"),
+            haversine_km(F.col("lat2"), F.col("lon2"), F.col("lat1"), F.col("lon1")).alias("rd"),
+        ).collect()
+    }
+    for i, (a, b) in enumerate(pairs):
+        d, rd = got[i]
+        assert 0.0 <= d <= 20016.0
+        assert math.isclose(d, rd, rel_tol=1e-9, abs_tol=1e-9)          # symmetry
+        assert math.isclose(d, _py_haversine(*a, *b), rel_tol=1e-6, abs_tol=1e-6)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_top1_returns_group_minimum(spark, rows):
+    data = [(k, v, i) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k int, v long, uid long")
+    got = {
+        r["k"]: (r["v"], r["uid"])
+        for r in top1_per_group(df, ["k"], [F.col("v").asc(), F.col("uid").asc()]).collect()
+    }
+    expect = {}
+    for i, (k, v) in enumerate(rows):
+        if k not in expect or (v, i) < expect[k]:
+            expect[k] = (v, i)
+    assert got == expect

@@ -40,3 +40,37 @@ def test_multimodal_feature_plumbing(spark):
     assert feats[1]["first_byte"] == ord("a") and feats[1]["last_byte"] == ord("b")
     assert feats[2]["byte_mean"] == (ord("x") + ord("y") + ord("z")) / 3
     assert feats[3]["n_bytes"] == 0 and feats[3]["first_byte"] == -1
+
+
+def test_multimodal_resize_stub(spark):
+    from hadoop_data_lake_spark.operators.multimodal import resize_media
+
+    docs = spark.createDataFrame([(1, "abcdefgh"), (2, "")], "doc_id long, text string")
+    media = synth_media_from_text(docs, "doc_id", "text")
+    out = {r["media_id"]: r for r in resize_media(media, target_w=2, target_h=2).collect()}
+    # nearest-neighbor over bytes: positions floor(j * 8/4) = 0,2,4,6
+    assert bytes(out[1]["media"]) == b"aceg"
+    assert out[1]["meta"]["width"] == 2 and out[1]["meta"]["n_bytes"] == 4
+    assert bytes(out[2]["media"]) == b""
+
+
+def test_multimodal_frame_sampling(spark):
+    from hadoop_data_lake_spark.operators.multimodal import sample_frames
+
+    docs = spark.createDataFrame([(1, "abcdefgh")], "doc_id long, text string")
+    media = synth_media_from_text(docs, "doc_id", "text")
+    rows = sorted(
+        sample_frames(media, n_frames=4).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert [bytes(r["frame"]) for r in rows] == [b"ab", b"cd", b"ef", b"gh"]
+    assert [r["n_bytes"] for r in rows] == [2, 2, 2, 2]
+
+
+def test_approx_distinct_error_bound(spark):
+    from hadoop_data_lake_spark.queries.northstar_queries import daily_unique_users_approx
+
+    rows = daily_unique_users_approx(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # rsd=0.02 — allow a generous 10% band
+        assert abs(r["approx_users"] - r["exact_users"]) <= max(2, 0.1 * r["exact_users"])
