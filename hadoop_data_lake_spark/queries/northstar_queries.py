@@ -82,8 +82,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_MINHASH_LSH_SQL = f"""
-WITH {_SHINGLES_CTE},
+# Shared CTE block ending in `pairs` = the verified minhash near-dup pairs
+# (reused by the clusters query below).
+_MINHASH_PAIRS_CTES = f"""
+{_SHINGLES_CTE},
 hp AS (
   SELECT doc_id,
          list_transform(shingles, s -> struct_pack(
@@ -116,9 +118,47 @@ verified AS (
   FROM cand c
   JOIN sh sa ON c.doc_a = sa.doc_id
   JOIN sh sb ON c.doc_b = sb.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b, inter, uni, round(inter::double / uni, 6) AS jaccard_r
+  FROM verified WHERE inter::double / uni >= 0.3
 )
-SELECT doc_a, doc_b, inter, uni, round(inter::double / uni, 6) AS jaccard_r
-FROM verified WHERE inter::double / uni >= 0.3
+"""
+
+DEDUP_MINHASH_LSH_SQL = f"""
+WITH {_MINHASH_PAIRS_CTES}
+SELECT doc_a, doc_b, inter, uni, jaccard_r FROM pairs
+"""
+
+
+def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: minhash pairs collapsed via iterative connected
+    components (operators/graph.py) with a deterministic min-id
+    representative. The oracle replays it with a recursive CTE (transitive
+    closure) — tractable at gate scale, while the Spark side is the
+    label-propagation loop that holds up on big graphs."""
+    from hadoop_data_lake_spark.operators.graph import dedup_clusters
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return dedup_clusters(pairs)
+
+
+DEDUP_CLUSTERS_MINHASH_SQL = f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+edges2 AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(v, r) AS (
+  SELECT a, a FROM edges2
+  UNION
+  SELECT e.a, w.r FROM edges2 e JOIN walk w ON e.b = w.v
+),
+comp AS (SELECT v, min(r) AS rep FROM walk GROUP BY v),
+sizes AS (SELECT rep, count(*) AS n FROM comp GROUP BY rep)
+SELECT comp.v AS doc, comp.rep AS cluster_rep, sizes.n AS cluster_size
+FROM comp JOIN sizes ON comp.rep = sizes.rep
 """
 
 
@@ -462,3 +502,75 @@ def daily_unique_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("exact_users"),
         )
     )
+
+
+def tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic TF-IDF over whitespace tokens: tf = in-doc count,
+    idf = ln(N / df), top-3 terms per document.
+
+    Plan: explode -> (doc, token) counts -> token df + doc count (broadcast
+    scalar via cross join) -> score -> per-doc top-k window. Both engines
+    compute ln on the same integer ratio, then one multiply — deterministic.
+    """
+    from hadoop_data_lake_spark.operators.windows import topk_per_group
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode_outer(TX.tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, on="token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6),
+        )
+    )
+    return topk_per_group(
+        scored.select("doc_id", "token", "tf", "tfidf"),
+        ["doc_id"],
+        [F.col("tfidf").desc(), F.col("token").asc()],
+        k=3,
+        rank_col="rnk",
+    )
+
+
+TF_IDF_TOP_TERMS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         round(tf.tf * ln(n.n_docs::double / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+  FROM scored
+)
+SELECT doc_id, token, tf, tfidf, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+def props_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: JSON props parsed to map<string,bigint>, exploded to
+    entries, aggregated per key (from_json + explode(map) + map_keys)."""
+    ev = read_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    entries = ev.select("event_type", F.explode_outer(m).alias("key", "val"))
+    return entries.groupBy("event_type", "key").agg(
+        F.count("*").alias("n"),
+        F.sum("val").alias("val_sum"),
+    )
+
+
+PROPS_MAP_ENTRIES_SQL = """
+SELECT event_type, k AS key, count(*) AS n,
+       sum(json_extract_string(props, '$.' || k)::bigint)::bigint AS val_sum
+FROM (SELECT event_type, props, unnest(json_keys(props)) AS k FROM events)
+GROUP BY event_type, k
+"""

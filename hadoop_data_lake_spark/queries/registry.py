@@ -70,6 +70,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(NS.dedup_ngram_jaccard, NS.DEDUP_NGRAM_JACCARD_SQL, ("dedup",)),
     "dedup_minhash_lsh": QuerySpec(NS.dedup_minhash_lsh, NS.DEDUP_MINHASH_LSH_SQL, ("dedup", "lsh")),
     "dedup_simhash": QuerySpec(NS.dedup_simhash, NS.DEDUP_SIMHASH_SQL, ("dedup", "lsh")),
+    "dedup_clusters_minhash": QuerySpec(NS.dedup_clusters_minhash, NS.DEDUP_CLUSTERS_MINHASH_SQL, ("dedup", "graph", "iterative")),
     # --- north-star: text analysis --------------------------------------
     "text_stats": QuerySpec(NS.text_stats, NS.TEXT_STATS_SQL, ("text",)),
     "lang_id": QuerySpec(NS.lang_id, NS.LANG_ID_SQL, ("text",)),
@@ -86,6 +87,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "multimodal_resize": QuerySpec(NS.multimodal_resize, None, ("multimodal", "pandas-udf")),
     "multimodal_frames": QuerySpec(NS.multimodal_frames, None, ("multimodal", "pandas-udf", "generator")),
     "token_counts_regex": QuerySpec(NS.token_counts_regex, NS.TOKEN_COUNTS_REGEX_SQL, ("text", "regex")),
+    "tf_idf_top_terms": QuerySpec(NS.tf_idf_top_terms, NS.TF_IDF_TOP_TERMS_SQL, ("text", "tfidf", "topk")),
+    "props_map_entries": QuerySpec(NS.props_map_entries, NS.PROPS_MAP_ENTRIES_SQL, ("json", "map")),
     "daily_unique_users_approx": QuerySpec(NS.daily_unique_users_approx, None, ("sketch", "hll")),
     "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),
     "stream_sliding_counts": QuerySpec(NS.stream_sliding_counts, NS.STREAM_SLIDING_COUNTS_SQL, ("streaming", "sliding-window")),

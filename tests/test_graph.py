@@ -1,0 +1,37 @@
+"""Connected components / dedup clustering."""
+
+import pytest
+
+from hadoop_data_lake_spark.operators.graph import connected_components, dedup_clusters
+
+
+def test_connected_components_basic(spark):
+    # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle+tail)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "src long, dst long",
+    )
+    got = {
+        r["vertex"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain(spark):
+    # a 12-vertex path needs multiple propagation rounds (diameter 11)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "src long, dst long"
+    )
+    got = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 12
+
+
+def test_dedup_clusters_sizes_and_reps(spark):
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 12), (30, 31)], "doc_a long, doc_b long"
+    )
+    rows = {r["doc"]: r for r in dedup_clusters(pairs).collect()}
+    assert rows[5]["cluster_rep"] == 5 and rows[12]["cluster_rep"] == 5
+    assert rows[5]["cluster_size"] == 3
+    assert rows[31]["cluster_rep"] == 30 and rows[31]["cluster_size"] == 2
