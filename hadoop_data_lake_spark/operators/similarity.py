@@ -254,3 +254,133 @@ def ivf_topk(
         k=k,
         rank_col="rnk",
     )
+
+
+def _sq_dist_to_literal(vec_col: str, center: "np.ndarray"):
+    """Squared L2 distance from an array column to a DRIVER-SIDE centroid,
+    inlined as literals (the classic Spark k-means step: centroids are tiny,
+    so they ride in the plan instead of a join)."""
+    lit_center = F.array(*[F.lit(float(x)) for x in center])
+    diffs = F.zip_with(F.col(vec_col), lit_center, lambda x, y: (x.cast("double") - y) ** 2)
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d)
+
+
+def kmeans_fit_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+) -> tuple["np.ndarray", DataFrame]:
+    """Lloyd's k-means over an embedding column; returns (centroids,
+    assignments DataFrame with `cell`).
+
+    Deterministic: farthest-point init (min-id seed, then k-1 passes each
+    taking the point farthest from its nearest chosen center, ties to min
+    id — each pass is a distributed TakeOrderedAndProject, no full sort);
+    every iteration is one scan (assign via inlined-literal argmin) + one
+    aggregation (per-cell per-position mean via posexplode). Centroids
+    (k x dim doubles) round-trip through the driver each iteration — the
+    standard mini-state pattern; data never leaves executors.
+    """
+    seed_row = df.orderBy(F.col(id_col).asc()).limit(1).select(vec_col).collect()[0]
+    centers_list = [[float(x) for x in seed_row[0]]]
+    for _ in range(k - 1):
+        d_near = F.least(
+            *[_sq_dist_to_literal(vec_col, np.array(c)) for c in centers_list]
+        ) if len(centers_list) > 1 else _sq_dist_to_literal(vec_col, np.array(centers_list[0]))
+        far = (
+            df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), d_near.alias("__d"))
+            .orderBy(F.col("__d").desc(), F.col("__id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        centers_list.append([float(x) for x in far["__v"]])
+    centers = np.array(centers_list)
+
+    def assign(frame: DataFrame) -> DataFrame:
+        cells = F.array(
+            *[
+                F.struct(
+                    _sq_dist_to_literal(vec_col, centers[j]).alias("d"),
+                    F.lit(j).alias("j"),
+                )
+                for j in range(len(centers))
+            ]
+        )
+        return frame.withColumn("cell", F.array_min(cells)["j"])
+
+    assigned = None
+    for _ in range(max_iter):
+        assigned = assign(df)
+        stats = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new_centers = centers.copy()
+        for r in stats:
+            new_centers[r["cell"]][r["pos"]] = r["m"]  # posexplode is 0-based
+        shift = float(np.abs(new_centers - centers).max())
+        centers = new_centers
+        if shift <= tol:
+            break
+    return centers, assign(df)
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    max_iter: int = 10,
+) -> DataFrame:
+    """IVF with LEARNED centroids (k-means) instead of a precomputed label:
+    fit on the corpus, assign cells, then probe the `nprobe` nearest cells
+    per query and score only those — the real IVF build/search split."""
+    centers, assigned = kmeans_fit_assign(
+        corpus, id_col=id_col, vec_col=vec_col, k=n_cells, max_iter=max_iter
+    )
+    cells = assigned.select(
+        F.col("cell"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("norm_c"),
+    )
+
+    probe_cells = F.array(
+        *[
+            F.struct(
+                _sq_dist_to_literal("q_vec", centers[j]).alias("d"),
+                F.lit(j).alias("j"),
+            )
+            for j in range(len(centers))
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("norm_q"),
+        F.slice(F.array_sort(probe_cells), 1, nprobe).alias("probes"),
+    ).select(
+        "query_id", "q_vec", "norm_q", F.explode(F.col("probes")["j"]).alias("cell")
+    )
+
+    cand = q.join(cells, on="cell", how="inner").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn("sim_r", F.round(_paired_cosine(), 6)).select(
+        "query_id", "neighbor_id", "sim_r"
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("sim_r").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rnk",
+    )

@@ -357,3 +357,46 @@ SELECT event_type, count(k) AS n, sum(k)::bigint AS k_sum,
 FROM (SELECT event_type, json_extract_string(props, '$.k')::bigint AS k FROM events)
 GROUP BY event_type
 """
+
+
+# --------------------------------------------------------------------------
+# Time-series regularization: dense 10-minute grid per user with the last
+# event value forward-filled (operators/timeseries.py) — the event-stream ->
+# feature-matrix step.
+# --------------------------------------------------------------------------
+
+def user_value_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_data_lake_spark.operators.timeseries import time_grid_ffill
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    return time_grid_ffill(
+        ev, ["user_id"], "ts", "value", bucket_seconds=600, tiebreak=["event_id"]
+    )
+
+
+USER_VALUE_FFILL_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 600000000 AS b, ts, event_id, value FROM events
+),
+last_per_bucket AS (
+  SELECT user_id, b, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, b
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1
+),
+bounds AS (SELECT user_id, min(b) AS b_min, max(b) AS b_max FROM ev GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(range(b_min, b_max + 1)) AS b FROM bounds
+),
+joined AS (
+  SELECT g.user_id, g.b, l.value,
+         l.value IS NOT NULL AS observed
+  FROM grid g LEFT JOIN last_per_bucket l ON g.user_id = l.user_id AND g.b = l.b
+)
+SELECT user_id, b * 600000000 AS bucket_start_us,
+       last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+                                            ROWS UNBOUNDED PRECEDING) AS value,
+       observed
+FROM joined
+"""

@@ -574,3 +574,14 @@ SELECT event_type, k AS key, count(*) AS n,
 FROM (SELECT event_type, props, unnest(json_keys(props)) AS k FROM events)
 GROUP BY event_type, k
 """
+
+
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IVF with LEARNED centroids — Lloyd's k-means fit on the
+    corpus (iterative; centroids round-trip the driver per iteration), then
+    nprobe=2 cell-probed cosine top-k. Convergence + cluster recovery are
+    pytest-verified (tests/test_similarity.py)."""
+    emb = _corpus(spark, sf_dir)
+    return SIM.ivf_kmeans_topk(
+        emb, _query_set(emb), k=5, n_cells=8, nprobe=2, max_iter=3
+    )

@@ -38,6 +38,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "user_sessions": QuerySpec(EV.user_sessions, EV.USER_SESSIONS_SQL, ("window", "sessionize")),
     "event_pair_candidates": QuerySpec(EV.event_pair_candidates, EV.EVENT_PAIR_CANDIDATES_SQL, ("join", "range-join")),
     "purchase_attribution_asof": QuerySpec(EV.purchase_attribution_asof, EV.PURCHASE_ATTRIBUTION_ASOF_SQL, ("join", "asof", "pandas-udf")),
+    "user_value_ffill": QuerySpec(EV.user_value_ffill, EV.USER_VALUE_FFILL_SQL, ("timeseries", "ffill", "grid")),
     # --- geo pipeline (reference geotag/user-city/recs semantics) --------
     "nearest_city": QuerySpec(GQ.nearest_city, GQ.NEAREST_CITY_SQL, ("geo", "crossjoin", "window", "argmin")),
     "user_latest_position": QuerySpec(GQ.user_latest_position, GQ.USER_LATEST_POSITION_SQL, ("geo", "window")),
@@ -81,6 +82,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "embedding_near_dup": QuerySpec(NS.embedding_near_dup, NS.EMBEDDING_NEAR_DUP_SQL, ("ann", "dedup")),
     "ann_lsh": QuerySpec(NS.ann_lsh, None, ("ann", "lsh")),
     "ann_ivf": QuerySpec(NS.ann_ivf, None, ("ann", "ivf")),
+    "ann_ivf_kmeans": QuerySpec(NS.ann_ivf_kmeans, None, ("ann", "ivf", "kmeans", "iterative")),
     # --- north-star: multimodal + streaming -----------------------------
     "multimodal_meta": QuerySpec(NS.multimodal_meta, NS.MULTIMODAL_META_SQL, ("multimodal",)),
     "multimodal_decode_features": QuerySpec(NS.multimodal_decode_features, None, ("multimodal", "pandas-udf")),

@@ -110,3 +110,28 @@ def test_cosine_near_dup_pairs(emb):
         for j in range(i + 1, PER_CLUSTER)
     }
     assert pairs == expected
+
+
+def test_kmeans_recovers_clusters(emb):
+    from hadoop_data_lake_spark.operators.similarity import kmeans_fit_assign
+
+    centers, assigned = kmeans_fit_assign(emb, k=N_CLUSTERS, max_iter=10)
+    rows = assigned.select("vec_id", "label", "cell").collect()
+    # every true cluster maps to exactly one k-means cell (up to relabeling)
+    mapping = {}
+    for r in rows:
+        mapping.setdefault(r["label"], set()).add(r["cell"])
+    assert all(len(cells) == 1 for cells in mapping.values())
+    assert len({next(iter(c)) for c in mapping.values()}) == N_CLUSTERS
+
+
+def test_ivf_kmeans_topk_finds_cluster_mates(emb):
+    from hadoop_data_lake_spark.operators.similarity import ivf_kmeans_topk
+
+    out = ivf_kmeans_topk(emb, emb, k=4, n_cells=N_CLUSTERS, nprobe=1, max_iter=10)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for qid, neigh in got.items():
+        mates = {qid // PER_CLUSTER * PER_CLUSTER + i for i in range(PER_CLUSTER)} - {qid}
+        assert neigh == mates
