@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_data_lake_spark.core.io import read_table
+from hadoop_data_lake_spark.functions.fixedpoint import to_units
 from hadoop_data_lake_spark.operators.aggregates import pivot_counts
 from hadoop_data_lake_spark.operators.asof import asof_join
 from hadoop_data_lake_spark.operators.joins import banded_range_self_join
@@ -399,4 +400,39 @@ SELECT user_id, b * 600000000 AS bucket_start_us,
                                             ROWS UNBOUNDED PRECEDING) AS value,
        observed
 FROM joined
+"""
+
+
+# --------------------------------------------------------------------------
+# RANGE-framed window: per event, activity in the user's trailing hour —
+# the range frame the reference never uses (§2.5 notes default frames only)
+# but any rate-limit / rolling-feature pipeline needs.
+# --------------------------------------------------------------------------
+
+def rolling_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        us.alias("ts_us"),
+        F.count("*").over(w).alias("events_last_hour"),
+        F.sum(to_units(F.col("value"), 2)).over(w).alias("value_units_last_hour"),
+    )
+
+
+ROLLING_HOUR_ACTIVITY_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       count(*) OVER w AS events_last_hour,
+       (sum(cast(round(value * 100) as bigint)) OVER w)::bigint AS value_units_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """

@@ -39,6 +39,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "event_pair_candidates": QuerySpec(EV.event_pair_candidates, EV.EVENT_PAIR_CANDIDATES_SQL, ("join", "range-join")),
     "purchase_attribution_asof": QuerySpec(EV.purchase_attribution_asof, EV.PURCHASE_ATTRIBUTION_ASOF_SQL, ("join", "asof", "pandas-udf")),
     "user_value_ffill": QuerySpec(EV.user_value_ffill, EV.USER_VALUE_FFILL_SQL, ("timeseries", "ffill", "grid")),
+    "rolling_hour_activity": QuerySpec(EV.rolling_hour_activity, EV.ROLLING_HOUR_ACTIVITY_SQL, ("window", "range-frame")),
     # --- geo pipeline (reference geotag/user-city/recs semantics) --------
     "nearest_city": QuerySpec(GQ.nearest_city, GQ.NEAREST_CITY_SQL, ("geo", "crossjoin", "window", "argmin")),
     "user_latest_position": QuerySpec(GQ.user_latest_position, GQ.USER_LATEST_POSITION_SQL, ("geo", "window")),
