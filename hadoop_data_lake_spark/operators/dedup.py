@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hadoop_data_lake_spark.core.io import ensure_parallelism
-from hadoop_data_lake_spark.functions.hashing import md5_60bit, salted_md5_60bit
+
 from hadoop_data_lake_spark.functions.text import shingles
 
 

@@ -29,7 +29,6 @@ from hadoop_data_lake_spark.operators.joins import banded_range_self_join
 from hadoop_data_lake_spark.operators.windows import (
     sessionize,
     top1_per_group,
-    topk_per_group,
     with_lag_gap_us,
 )
 
