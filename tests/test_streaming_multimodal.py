@@ -74,3 +74,43 @@ def test_approx_distinct_error_bound(spark):
     for r in rows:
         # rsd=0.02 — allow a generous 10% band
         assert abs(r["approx_users"] - r["exact_users"]) <= max(2, 0.1 * r["exact_users"])
+
+
+def test_stream_parquet_sink_with_checkpoint(spark, tmp_path):
+    """Production sink path: file-stream source -> windowed agg -> parquet
+    sink with checkpoint (append mode once the watermark closes windows);
+    here complete->memory is swapped for append->parquet via foreachBatch,
+    which is the idiomatic bridge for sinks that need overwrite/upsert."""
+    from hadoop_data_lake_spark.streaming.ingest import _open_stream, windowed_event_counts
+
+    out_dir = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = _open_stream(spark, f"{SF_DIR}/events.parquet")
+    counts = windowed_event_counts(stream, window_seconds=600)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    back = spark.read.parquet(out_dir)
+    batch = (
+        read_table(spark, SF_DIR, "events")
+        .groupBy(
+            (F.floor(F.unix_micros("ts") / 600_000_000) * 600_000_000).alias("window_start_us"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    g = {(r["window_start_us"], r["event_type"]): r["n"] for r in back.collect()}
+    b = {(r["window_start_us"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert g == b
+    import os
+    assert os.path.isdir(ckpt)  # checkpoint state written
