@@ -67,6 +67,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "customer_order_ranks": QuerySpec(TQ.customer_order_ranks, TQ.CUSTOMER_ORDER_RANKS_SQL, ("window", "rank")),
     "props_k_stats": QuerySpec(EV.props_k_stats, EV.PROPS_K_STATS_SQL, ("json", "agg")),
     "order_price_percentiles": QuerySpec(TQ.order_price_percentiles, TQ.ORDER_PRICE_PERCENTILES_SQL, ("agg", "percentile")),
+    "q2_cheapest_supplier_per_nation": QuerySpec(TQ.q2_cheapest_supplier_per_nation, TQ.Q2_CHEAPEST_SUPPLIER_PER_NATION_SQL, ("window", "argmin", "join")),
+    "q17_small_quantity_revenue": QuerySpec(TQ.q17_small_quantity_revenue, TQ.Q17_SMALL_QUANTITY_REVENUE_SQL, ("window", "correlated-agg")),
+    "q22_idle_rich_customers": QuerySpec(TQ.q22_idle_rich_customers, TQ.Q22_IDLE_RICH_CUSTOMERS_SQL, ("anti-join", "scalar-subquery")),
     # --- north-star: dedup ----------------------------------------------
     "dedup_exact": QuerySpec(NS.dedup_exact, NS.DEDUP_EXACT_SQL, ("dedup",)),
     "dedup_ngram_jaccard": QuerySpec(NS.dedup_ngram_jaccard, NS.DEDUP_NGRAM_JACCARD_SQL, ("dedup",)),

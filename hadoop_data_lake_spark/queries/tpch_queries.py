@@ -606,3 +606,110 @@ SELECT o_orderpriority,
        max(o_totalprice) AS p_max
 FROM orders GROUP BY o_orderpriority
 """
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q17 shape: correlated aggregate subquery — lines whose quantity is
+# below 20% of their part's average. Decorrelated as a window average over
+# the part key: one shuffle, no join back.
+# --------------------------------------------------------------------------
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    avg_units = F.avg(to_units(F.col("l_quantity"), 2)).over(w)
+    return (
+        li.withColumn("__avg_qty_units", avg_units)
+        .where(to_units(F.col("l_quantity"), 2) < 0.2 * F.col("__avg_qty_units"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            sum_fixed(F.col("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+Q17_SMALL_QUANTITY_REVENUE_SQL = f"""
+WITH q AS (
+  SELECT l_extendedprice, cast(round(l_quantity * 100) as bigint) AS qty_units,
+         avg(cast(round(l_quantity * 100) as bigint))
+           OVER (PARTITION BY l_partkey) AS avg_qty_units
+  FROM lineitem
+)
+SELECT count(*) AS n_lines,
+       {sum_fixed_sql('l_extendedprice', 2)} AS total_price
+FROM q WHERE qty_units < 0.2 * avg_qty_units
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q2 shape: argmin within group via correlated subquery — for each
+# part, the supplier with the lowest account balance among its nation's
+# suppliers... adapted to this schema: per nation, the cheapest supplier
+# (min s_acctbal, tie on s_suppkey) joined back to nation names.
+# --------------------------------------------------------------------------
+
+def q2_cheapest_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    best = top1_per_group(
+        supp, ["s_nationkey"], [F.col("s_acctbal").asc(), F.col("s_suppkey").asc()]
+    )
+    return (
+        best.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+Q2_CHEAPEST_SUPPLIER_PER_NATION_SQL = """
+SELECT n_name, s_suppkey, s_name, s_acctbal
+FROM (SELECT *, row_number() OVER (PARTITION BY s_nationkey
+                                   ORDER BY s_acctbal, s_suppkey) AS rn
+      FROM supplier) s
+JOIN nation ON s_nationkey = n_nationkey
+WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape: anti join + scalar aggregate filter — customers with
+# above-average balance and NO orders, counted per nation.
+# --------------------------------------------------------------------------
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    # anti-join against URGENT orders only — the all-orders variant is vacuous
+    # on this synthetic data (every customer has some order)
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg(to_units(F.col("c_acctbal"), 2)).alias("__avg_units")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(to_units(F.col("c_acctbal"), 2) > F.col("__avg_units"))
+    )
+    idle_rich = rich.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return idle_rich.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        sum_fixed(F.col("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+Q22_IDLE_RICH_CUSTOMERS_SQL = f"""
+WITH avg_bal AS (
+  SELECT avg(cast(round(c_acctbal * 100) as bigint)) AS avg_units
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, count(*) AS numcust,
+       {sum_fixed_sql('c_acctbal', 2)} AS totacctbal
+FROM customer, avg_bal
+WHERE cast(round(c_acctbal * 100) as bigint) > avg_units
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
