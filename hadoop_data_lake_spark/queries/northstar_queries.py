@@ -585,3 +585,35 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_kmeans_topk(
         emb, _query_set(emb), k=5, n_cells=8, nprobe=2, max_iter=3
     )
+
+
+def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization preprocessing: lowercase, strip non-alphanumerics,
+    collapse whitespace — the canonical form exact-dedup should hash.
+    Identical regexp semantics pinned against DuckDB (global replace)."""
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+NORMALIZE_TEXT_SQL = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) AS norm_text,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g'))) AS norm_md5,
+       length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                  ' +', ' ', 'g')))::bigint AS norm_len
+FROM documents
+"""

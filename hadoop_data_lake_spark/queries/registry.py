@@ -56,6 +56,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "cheapest_line_per_part": QuerySpec(TQ.cheapest_line_per_part, TQ.CHEAPEST_LINE_PER_PART_SQL, ("window", "argmin")),
     "sales_cube": QuerySpec(TQ.sales_cube, TQ.SALES_CUBE_SQL, ("agg", "cube")),
     "nations_customers_not_suppliers": QuerySpec(TQ.nations_customers_not_suppliers, TQ.NATIONS_CUSTOMERS_NOT_SUPPLIERS_SQL, ("setop",)),
+    "nations_with_both": QuerySpec(TQ.nations_with_both, TQ.NATIONS_WITH_BOTH_SQL, ("setop", "intersect")),
     "monthly_order_stats": QuerySpec(TQ.monthly_order_stats, TQ.MONTHLY_ORDER_STATS_SQL, ("agg", "datetime")),
     "top20_orders_global": QuerySpec(TQ.top20_orders_global, TQ.TOP20_ORDERS_GLOBAL_SQL, ("sort", "limit")),
     "q4_late_orders_by_priority": QuerySpec(TQ.q4_late_orders_by_priority, TQ.Q4_LATE_ORDERS_BY_PRIORITY_SQL, ("semi-join", "agg")),
@@ -93,6 +94,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "multimodal_resize": QuerySpec(NS.multimodal_resize, None, ("multimodal", "pandas-udf")),
     "multimodal_frames": QuerySpec(NS.multimodal_frames, None, ("multimodal", "pandas-udf", "generator")),
     "token_counts_regex": QuerySpec(NS.token_counts_regex, NS.TOKEN_COUNTS_REGEX_SQL, ("text", "regex")),
+    "normalize_text": QuerySpec(NS.normalize_text, NS.NORMALIZE_TEXT_SQL, ("text", "regex", "normalize")),
     "tf_idf_top_terms": QuerySpec(NS.tf_idf_top_terms, NS.TF_IDF_TOP_TERMS_SQL, ("text", "tfidf", "topk")),
     "props_map_entries": QuerySpec(NS.props_map_entries, NS.PROPS_MAP_ENTRIES_SQL, ("json", "map")),
     "daily_unique_users_approx": QuerySpec(NS.daily_unique_users_approx, None, ("sketch", "hll")),

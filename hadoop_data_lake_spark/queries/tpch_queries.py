@@ -713,3 +713,27 @@ WHERE cast(round(c_acctbal * 100) as bigint) > avg_units
                   WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 GROUP BY c_nationkey
 """
+
+
+def nations_with_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations having customers AND suppliers (completes the set-op
+    family next to the EXCEPT variant above)."""
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    with_cust = nation.join(
+        cust, F.col("n_nationkey") == F.col("c_nationkey"), "left_semi"
+    ).select("n_nationkey", "n_name")
+    with_supp = nation.join(
+        supp, F.col("n_nationkey") == F.col("s_nationkey"), "left_semi"
+    ).select("n_nationkey", "n_name")
+    return with_cust.intersect(with_supp)
+
+
+NATIONS_WITH_BOTH_SQL = """
+SELECT n_nationkey, n_name FROM nation n
+WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+INTERSECT
+SELECT n_nationkey, n_name FROM nation n
+WHERE EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+"""
