@@ -617,3 +617,95 @@ SELECT doc_id,
                                   ' +', ' ', 'g')))::bigint AS norm_len
 FROM documents
 """
+
+
+def hashed_token_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the 'hashing trick'): text -> fixed-dim sparse count
+    vector, dim j = number of tokens whose portable hash lands in bucket j.
+    Pure JVM (explode -> hash -> pivot-free conditional sums); the text ->
+    embedding bridge for models that can't run in-engine."""
+    dim = 16
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode_outer(TX.tokens(F.col("text"))).alias("t")
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long"), F.lit(dim)
+    )
+    return (
+        toks.withColumn("b", bucket)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("b") == j, 1).otherwise(0)).alias(f"v{j}")
+                for j in range(dim)
+            ]
+        )
+    )
+
+
+HASHED_TOKEN_VECTORS_SQL = f"""
+SELECT doc_id,
+       {', '.join(f"sum(CASE WHEN ('0x' || substr(md5(t), 1, 8))::bigint % 16 = {j} THEN 1 ELSE 0 END)::bigint AS v{j}" for j in range(16))}
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+GROUP BY doc_id
+"""
+
+
+def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split via a portable content hash
+    (split membership must be stable across runs/engines — never rand()).
+    Emits per-split counts; the split expression itself is the operator."""
+    docs = read_table(spark, sf_dir, "documents")
+    h = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+        F.lit(100),
+    )
+    split = (
+        F.when(h < 80, "train").when(h < 90, "valid").otherwise("test")
+    )
+    return docs.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).alias("n_tokens"),
+    )
+
+
+TRAIN_TEST_SPLIT_COUNTS_SQL = """
+SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'valid' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       sum(len(string_split(text, ' ')))::bigint AS n_tokens
+FROM (SELECT text, ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 100 AS h
+      FROM documents)
+GROUP BY 1
+"""
+
+
+def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the documents table: per-column null counts,
+    distinct counts, and length stats — the pre-ingest sanity report."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_rows"),
+        F.count("text").alias("text_non_null"),
+        F.countDistinct("text").alias("text_distinct"),
+        F.count("lang").alias("lang_non_null"),
+        F.countDistinct("lang").alias("lang_distinct"),
+        F.countDistinct("source").alias("source_distinct"),
+        F.min("n_chars").alias("n_chars_min"),
+        F.max("n_chars").alias("n_chars_max"),
+        F.sum("n_chars").alias("n_chars_total"),
+    )
+
+
+DOCUMENTS_PROFILE_SQL = """
+SELECT count(*) AS n_rows,
+       count(text) AS text_non_null,
+       count(DISTINCT text) AS text_distinct,
+       count(lang) AS lang_non_null,
+       count(DISTINCT lang) AS lang_distinct,
+       count(DISTINCT source) AS source_distinct,
+       min(n_chars) AS n_chars_min,
+       max(n_chars) AS n_chars_max,
+       sum(n_chars)::bigint AS n_chars_total
+FROM documents
+"""
