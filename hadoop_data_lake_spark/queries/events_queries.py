@@ -435,3 +435,29 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """
+
+
+# --------------------------------------------------------------------------
+# Datetime dimensions: day-of-week x hour activity heatmap.
+# --------------------------------------------------------------------------
+
+def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").alias("dow"),   # 1 = Sunday ... 7 = Saturday
+            F.hour("ts").alias("hod"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# DuckDB dayofweek is 0 = Sunday; +1 aligns it with Spark's convention.
+WEEKDAY_HOUR_HEATMAP_SQL = """
+SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
+       count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""

@@ -36,6 +36,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
     "user_gap_stats": QuerySpec(EV.user_gap_stats, EV.USER_GAP_STATS_SQL, ("window",)),
     "user_sessions": QuerySpec(EV.user_sessions, EV.USER_SESSIONS_SQL, ("window", "sessionize")),
+    "weekday_hour_heatmap": QuerySpec(EV.weekday_hour_heatmap, EV.WEEKDAY_HOUR_HEATMAP_SQL, ("agg", "datetime")),
     "event_pair_candidates": QuerySpec(EV.event_pair_candidates, EV.EVENT_PAIR_CANDIDATES_SQL, ("join", "range-join")),
     "purchase_attribution_asof": QuerySpec(EV.purchase_attribution_asof, EV.PURCHASE_ATTRIBUTION_ASOF_SQL, ("join", "asof", "pandas-udf")),
     "user_value_ffill": QuerySpec(EV.user_value_ffill, EV.USER_VALUE_FFILL_SQL, ("timeseries", "ffill", "grid")),
@@ -66,6 +67,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "q14_promo_revenue_share": QuerySpec(TQ.q14_promo_revenue_share, TQ.Q14_PROMO_REVENUE_SHARE_SQL, ("join", "ratio-agg")),
     "q19_branded_revenue": QuerySpec(TQ.q19_branded_revenue, TQ.Q19_BRANDED_REVENUE_SQL, ("join", "disjunctive")),
     "customer_order_ranks": QuerySpec(TQ.customer_order_ranks, TQ.CUSTOMER_ORDER_RANKS_SQL, ("window", "rank")),
+    "order_percent_ranks": QuerySpec(TQ.order_percent_ranks, TQ.ORDER_PERCENT_RANKS_SQL, ("window", "distribution")),
     "props_k_stats": QuerySpec(EV.props_k_stats, EV.PROPS_K_STATS_SQL, ("json", "agg")),
     "order_price_percentiles": QuerySpec(TQ.order_price_percentiles, TQ.ORDER_PRICE_PERCENTILES_SQL, ("agg", "percentile")),
     "q2_cheapest_supplier_per_nation": QuerySpec(TQ.q2_cheapest_supplier_per_nation, TQ.Q2_CHEAPEST_SUPPLIER_PER_NATION_SQL, ("window", "argmin", "join")),

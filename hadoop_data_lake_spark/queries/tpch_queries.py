@@ -737,3 +737,33 @@ INTERSECT
 SELECT n_nationkey, n_name FROM nation n
 WHERE EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
 """
+
+
+# --------------------------------------------------------------------------
+# Analytic distribution functions: percent_rank / cume_dist (exact rational
+# formulas — identical doubles in both engines).
+# --------------------------------------------------------------------------
+
+def order_percent_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("pr", F.round(F.percent_rank().over(w), 9))
+        .withColumn("cd", F.round(F.cume_dist().over(w), 9))
+        .where(F.col("pr") >= 0.99)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "pr", "cd")
+    )
+
+
+ORDER_PERCENT_RANKS_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       round(percent_rank() OVER w, 9) AS pr,
+       round(cume_dist()   OVER w, 9) AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+QUALIFY round(percent_rank() OVER w, 9) >= 0.99
+"""
