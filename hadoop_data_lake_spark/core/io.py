@@ -158,3 +158,12 @@ def write_overwrite(df: DataFrame, path: str, partition_by: str | list[str] | No
         cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         writer = writer.partitionBy(*cols)
     writer.parquet(path)
+
+
+def register_tables(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register every driver table as a temp view so the whole engine surface
+    is reachable from `spark.sql(...)` — the SQL catalog layer the reference
+    lacks (every query there is a hard-coded script; SURVEY.md §3). Views are
+    lazy: registering costs one schema read per table, no data scan."""
+    for t in tables:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -82,3 +82,19 @@ def test_csv_header_and_projection_pushdown(spark, sample, tmp_path):
     plan = two_cols._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema" in plan
     assert two_cols.count() == 4
+
+
+def test_register_tables_sql_entry_point(spark):
+    from hadoop_data_lake_spark.core.io import register_tables
+
+    register_tables(spark, "/root/testdata/sf0.001")
+    out = spark.sql(
+        """
+        SELECT r_name, count(*) AS n_nations
+        FROM region JOIN nation ON r_regionkey = n_regionkey
+        GROUP BY r_name ORDER BY r_name
+        """
+    ).collect()
+    assert sum(r["n_nations"] for r in out) == 25
+    # events view readable with normalized timestamps
+    assert spark.sql("SELECT count(*) n FROM events WHERE ts IS NOT NULL").collect()[0]["n"] > 0
