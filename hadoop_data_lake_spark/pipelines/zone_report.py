@@ -24,20 +24,54 @@ from hadoop_data_lake_spark.operators.windows import top1_per_group
 
 def build_zone_report(base: DataFrame, event_types: list[str]) -> DataFrame:
     """base columns: week int, month int, zone_id long, event_type string,
-    ts timestamp, user long, uid long (unique row id for tie-breaks)."""
-    zone_prep = pivot_counts(base, ["week", "month", "zone_id"], "event_type", event_types)
+    ts timestamp, user long, uid long (unique row id for tie-breaks).
+
+    All three count grains — (week, month, zone), (week, zone), (month,
+    zone) — come out of ONE groupingSets aggregation (single fact scan,
+    single shuffle); the naive version recomputed the pivot subtree per
+    rollup, scanning the fact table three times (no exchange reuse: column
+    pruning makes each copy structurally different). Registrations likewise
+    produce both grains from one aggregation over one window pass.
+    grouping_id bits (cols week, month, zone_id): 0 = cell grain,
+    2 = month aggregated (week totals), 4 = week aggregated (month totals).
+    """
+    counts = base.groupingSets(
+        [["week", "month", "zone_id"], ["week", "zone_id"], ["month", "zone_id"]],
+        "week",
+        "month",
+        "zone_id",
+    ).agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(t)
+            for t in event_types
+        ],
+        F.grouping_id().alias("gid"),
+    )
+    # persist: three consumers slice this frame, and column pruning makes
+    # each slice structurally different (no exchange reuse) — without the
+    # cache the fact scan + Expand + aggregate run three times. The frame is
+    # grain-bounded (weeks x months x zones rows), so the cache is tiny at
+    # any data scale; LRU eviction reclaims it after the job.
+    counts = counts.persist()
+    zone_prep = counts.where(F.col("gid") == 0).select("week", "month", "zone_id", *event_types)
+    week_tot = counts.where(F.col("gid") == 2).select(
+        "week", "zone_id", *[F.col(t).alias(f"week_{t}") for t in event_types]
+    )
+    month_tot = counts.where(F.col("gid") == 4).select(
+        "month", "zone_id", *[F.col(t).alias(f"month_{t}") for t in event_types]
+    )
 
     regs = top1_per_group(
         base, ["user"], [F.col("ts").asc(), F.col("uid").asc()]
     ).select("user", "week", "month", "zone_id")
-    week_user = regs.groupBy("week", "zone_id").agg(F.count("*").alias("week_user"))
-    month_user = regs.groupBy("month", "zone_id").agg(F.count("*").alias("month_user"))
-
-    week_tot = zone_prep.groupBy("week", "zone_id").agg(
-        *[F.sum(t).alias(f"week_{t}") for t in event_types]
+    reg_counts = regs.groupingSets(
+        [["week", "zone_id"], ["month", "zone_id"]], "week", "month", "zone_id"
+    ).agg(F.count("*").alias("n"), F.grouping_id().alias("gid")).persist()
+    week_user = reg_counts.where(F.col("gid") == 2).select(
+        "week", "zone_id", F.col("n").alias("week_user")
     )
-    month_tot = zone_prep.groupBy("month", "zone_id").agg(
-        *[F.sum(t).alias(f"month_{t}") for t in event_types]
+    month_user = reg_counts.where(F.col("gid") == 4).select(
+        "month", "zone_id", F.col("n").alias("month_user")
     )
 
     out = (
