@@ -709,3 +709,19 @@ SELECT count(*) AS n_rows,
        sum(n_chars)::bigint AS n_chars_total
 FROM documents
 """
+
+
+def stream_enriched_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join (per-type weight dim) feeding a tumbling
+    windowed weighted sum, replayed over static parquet."""
+    from hadoop_data_lake_spark.streaming.ingest import run_enriched_replay
+
+    return run_enriched_replay(spark, f"{sf_dir}/events.parquet", window_seconds=600)
+
+
+STREAM_ENRICHED_VALUE_SQL = """
+SELECT (epoch_us(ts) // 600000000) * 600000000 AS window_start_us,
+       sum(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 1
+           WHEN 'purchase' THEN 10 WHEN 'signup' THEN 5 ELSE 0 END)::bigint AS weighted
+FROM events GROUP BY 1
+"""

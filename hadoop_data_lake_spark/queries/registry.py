@@ -107,6 +107,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "stream_sliding_counts": QuerySpec(NS.stream_sliding_counts, NS.STREAM_SLIDING_COUNTS_SQL, ("streaming", "sliding-window")),
     "stream_session_stats": QuerySpec(NS.stream_session_stats, NS.STREAM_SESSION_STATS_SQL, ("streaming", "session-window")),
     "stream_running_max": QuerySpec(NS.stream_running_max, NS.STREAM_RUNNING_MAX_SQL, ("streaming", "stateful", "pandas-udf")),
+    "stream_enriched_value": QuerySpec(NS.stream_enriched_value, NS.STREAM_ENRICHED_VALUE_SQL, ("streaming", "stream-static-join")),
 }
 
 

@@ -199,3 +199,38 @@ def run_session_replay(
 def run_stateful_replay(spark: SparkSession, parquet_path: str) -> DataFrame:
     out = running_max_per_user(_open_stream(spark, parquet_path))
     return spark.table(replay_to_memory(out, output_mode="update"))
+
+
+def enriched_windowed_value(
+    spark: SparkSession,
+    events: DataFrame,
+    window_seconds: int = 600,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-static join: the event stream enriched with a static dimension
+    (per-type weight) BEFORE the windowed aggregation — the standard
+    enrichment topology (static side is broadcast into every microbatch;
+    no state, no watermark interaction)."""
+    weights = spark.createDataFrame(
+        [("click", 1), ("view", 1), ("purchase", 10), ("signup", 5), ("error", 0)],
+        "event_type string, weight int",
+    )
+    from pyspark.sql import functions as FX
+
+    return (
+        events.join(FX.broadcast(weights), on="event_type", how="left")
+        .withWatermark("ts", watermark)
+        .groupBy(FX.window("ts", f"{window_seconds} seconds").alias("w"))
+        .agg(FX.sum(FX.coalesce(FX.col("weight"), FX.lit(0))).alias("weighted"))
+        .select(
+            FX.unix_micros(FX.col("w.start")).alias("window_start_us"),
+            "weighted",
+        )
+    )
+
+
+def run_enriched_replay(
+    spark: SparkSession, parquet_path: str, window_seconds: int = 600
+) -> DataFrame:
+    out = enriched_windowed_value(spark, _open_stream(spark, parquet_path), window_seconds)
+    return spark.table(replay_to_memory(out))
