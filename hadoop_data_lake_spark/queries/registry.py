@@ -73,6 +73,16 @@ REGISTRY: dict[str, QuerySpec] = {
     "q2_cheapest_supplier_per_nation": QuerySpec(TQ.q2_cheapest_supplier_per_nation, TQ.Q2_CHEAPEST_SUPPLIER_PER_NATION_SQL, ("window", "argmin", "join")),
     "q17_small_quantity_revenue": QuerySpec(TQ.q17_small_quantity_revenue, TQ.Q17_SMALL_QUANTITY_REVENUE_SQL, ("window", "correlated-agg")),
     "q22_idle_rich_customers": QuerySpec(TQ.q22_idle_rich_customers, TQ.Q22_IDLE_RICH_CUSTOMERS_SQL, ("anti-join", "scalar-subquery")),
+    "q7_volume_shipping": QuerySpec(TQ.q7_volume_shipping, TQ.Q7_VOLUME_SHIPPING_SQL, ("join", "agg", "broadcast")),
+    "q8_market_share": QuerySpec(TQ.q8_market_share, TQ.Q8_MARKET_SHARE_SQL, ("join", "ratio-agg", "semi-join")),
+    "q9_product_profit": QuerySpec(TQ.q9_product_profit, TQ.Q9_PRODUCT_PROFIT_SQL, ("join", "agg")),
+    "q11_important_parts": QuerySpec(TQ.q11_important_parts, TQ.Q11_IMPORTANT_PARTS_SQL, ("agg", "scalar-subquery", "having")),
+    "q13_customer_distribution": QuerySpec(TQ.q13_customer_distribution, TQ.Q13_CUSTOMER_DISTRIBUTION_SQL, ("left-join", "agg", "histogram")),
+    "q15_top_supplier": QuerySpec(TQ.q15_top_supplier, TQ.Q15_TOP_SUPPLIER_SQL, ("agg", "scalar-subquery", "argmax")),
+    "q16_parts_supplier_counts": QuerySpec(TQ.q16_parts_supplier_counts, TQ.Q16_PARTS_SUPPLIER_COUNTS_SQL, ("anti-join", "distinct-agg")),
+    "q18_large_volume_customers": QuerySpec(TQ.q18_large_volume_customers, TQ.Q18_LARGE_VOLUME_CUSTOMERS_SQL, ("agg", "having", "join")),
+    "q20_significant_suppliers": QuerySpec(TQ.q20_significant_suppliers, TQ.Q20_SIGNIFICANT_SUPPLIERS_SQL, ("semi-join", "nested-subquery")),
+    "q21_waiting_suppliers": QuerySpec(TQ.q21_waiting_suppliers, TQ.Q21_WAITING_SUPPLIERS_SQL, ("join", "exists", "argmax")),
     # --- north-star: dedup ----------------------------------------------
     "dedup_exact": QuerySpec(NS.dedup_exact, NS.DEDUP_EXACT_SQL, ("dedup",)),
     "dedup_ngram_jaccard": QuerySpec(NS.dedup_ngram_jaccard, NS.DEDUP_NGRAM_JACCARD_SQL, ("dedup",)),

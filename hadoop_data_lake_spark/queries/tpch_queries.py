@@ -767,3 +767,494 @@ FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
 QUALIFY round(percent_rank() OVER w, 9) >= 0.99
 """
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q7 shape: volume shipping between two nations (reference has no
+# supplier-side analytics; this completes the star-join surface).
+# lineitem ⋈ orders is the one big shuffle; supplier/customer are filtered
+# to 2 of 25 nations BEFORE joining (via broadcast nation), so both dims
+# broadcast even at 100 TB. Year derivation stays JVM-side.
+# --------------------------------------------------------------------------
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    n1 = nation.where(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.where(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supp_n = supp.join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+    cust_n = cust.join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate").between(F.lit("1996-01-01"), F.lit("1997-12-31")))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum_fixed(disc_price, 4).alias("revenue"))
+    )
+
+
+Q7_VOLUME_SHIPPING_SQL = f"""
+SELECT supp_nation, cust_nation, l_year, {sum_fixed_sql(_DISC_PRICE, 4)} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year, l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+    AND n2.n_name IN ('NATION_1', 'NATION_2')
+    AND n1.n_name <> n2.n_name
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+) v
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q8 shape: market share of one supplier-nation within a customer
+# region, per order year. Conditional-sum / total-sum ratio in bigint units
+# so the division is the only float op (bit-equal across engines).
+# --------------------------------------------------------------------------
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    part = read_table(spark, sf_dir, "part")
+    cust_r = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    supp_n = supp.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    vol_units = to_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        li.join(F.broadcast(part.where(F.col("p_type") == "ECONOMY")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("o_orderdate").between(F.lit("1996-01-01"), F.lit("1997-12-31")))
+        .join(F.broadcast(cust_r), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", vol_units).otherwise(F.lit(0).cast("long"))).alias("nation_units"),
+            F.sum(vol_units).alias("total_units"),
+        )
+        .select(
+            "o_year",
+            (F.col("nation_units") / F.col("total_units")).alias("mkt_share"),
+            "nation_units",
+            "total_units",
+        )
+    )
+
+
+Q8_MARKET_SHARE_SQL = f"""
+WITH v AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(round(({_DISC_PRICE}) * 10000) AS BIGINT) AS units,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  WHERE p_type = 'ECONOMY'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+    AND o_custkey IN (
+      SELECT c_custkey FROM customer
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region   ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA')
+)
+SELECT o_year,
+       (sum(CASE WHEN supp_nation = 'NATION_5' THEN units ELSE 0 END)::BIGINT
+        / (sum(units)::BIGINT * 1.0)) AS mkt_share,
+       sum(CASE WHEN supp_nation = 'NATION_5' THEN units ELSE 0 END)::BIGINT AS nation_units,
+       sum(units)::BIGINT AS total_units
+FROM v
+GROUP BY o_year
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q9 shape: product-type profit by supplier nation and year. The
+# schema has no partsupp.ps_supplycost, so cost is proxied as
+# 0.6 * p_retailprice * l_quantity (deterministic, documented adaptation).
+# part is filtered by name BEFORE the big join and broadcast.
+# --------------------------------------------------------------------------
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    part = read_table(spark, sf_dir, "part")
+    amount_units = to_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4) - to_units(
+        F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity"), 4
+    )
+    return (
+        li.join(
+            F.broadcast(part.where(F.col("p_name").like("%red%")).select("p_partkey", "p_retailprice")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
+        .agg((F.sum(amount_units) / F.lit(10000.0)).alias("sum_profit"))
+    )
+
+
+Q9_PRODUCT_PROFIT_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       (sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+            - CAST(round(0.6 * p_retailprice * l_quantity * 10000) AS BIGINT))::BIGINT
+        / 10000.0) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q11 shape: important stock. No partsupp, so "value" per part within
+# one nation = shipped l_extendedprice*l_quantity; keep parts whose value
+# exceeds 0.01% of the nation total (scalar-aggregate threshold). The
+# threshold compare is done in bigint cross-multiplication — exact.
+# At scale: the nation filter cuts suppliers 25×, the per-part aggregate is
+# one shuffle, and the scalar total reuses the same aggregate broadcast back.
+# --------------------------------------------------------------------------
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    supp_n = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name") == "NATION_3")
+        .select("s_suppkey")
+    )
+    units = to_units(F.col("l_extendedprice") * F.col("l_quantity"), 2)
+    per_part = (
+        li.join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(units).alias("value_units"))
+    )
+    total = per_part.agg(F.sum("value_units").alias("total_units"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value_units") * F.lit(10000) > F.col("total_units"))
+        .select("l_partkey", (F.col("value_units") / F.lit(100.0)).alias("part_value"))
+    )
+
+
+Q11_IMPORTANT_PARTS_SQL = """
+WITH pp AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * l_quantity * 100) AS BIGINT))::BIGINT AS value_units
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3')
+  GROUP BY l_partkey
+)
+SELECT l_partkey, (value_units / 100.0) AS part_value
+FROM pp
+WHERE value_units * 10000 > (SELECT sum(value_units)::BIGINT FROM pp)
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13 shape: customer distribution — how many customers placed k
+# orders (k=0 included via left join). Two cascaded aggregations; the
+# second one is tiny. Reference surface: left join (J5) + count.
+# --------------------------------------------------------------------------
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders.where(F.col("o_orderpriority") != "1-URGENT").select("o_custkey", "o_orderkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+Q13_CUSTOMER_DISTRIBUTION_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders WHERE o_orderpriority <> '1-URGENT') o
+    ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) pc
+GROUP BY c_count
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q15 shape: top supplier(s) by revenue in a quarter. Revenue is kept
+# in bigint units so the "equals max" predicate is exact on both engines.
+# The max is a 1-row broadcast back onto the per-supplier aggregate.
+# --------------------------------------------------------------------------
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    units = to_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    revenue = (
+        li.where(F.col("l_shipdate").between(F.lit("1996-01-01"), F.lit("1996-03-31")))
+        .groupBy("l_suppkey")
+        .agg(F.sum(units).alias("rev_units"))
+    )
+    best = revenue.agg(F.max("rev_units").alias("max_units"))
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .where(F.col("rev_units") == F.col("max_units"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", (F.col("rev_units") / F.lit(10000.0)).alias("total_revenue"))
+    )
+
+
+Q15_TOP_SUPPLIER_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         sum(CAST(round(({_DISC_PRICE}) * 10000) AS BIGINT))::BIGINT AS rev_units
+  FROM lineitem
+  WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-03-31 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, (rev_units / 10000.0) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_units = (SELECT max(rev_units) FROM revenue)
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q16 shape: supplier count per (brand, type, size) for parts,
+# excluding one brand, one type class, and distrusted suppliers
+# (s_acctbal < 0 stands in for the comment-based complaints filter; the
+# schema has no ps/comment columns). distinct (part, supp) pairs from
+# lineitem stand in for partsupp. countDistinct after a semi/anti pattern.
+# --------------------------------------------------------------------------
+
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    supp = read_table(spark, sf_dir, "supplier")
+    partsupp = li.select("l_partkey", "l_suppkey").distinct()
+    bad_supp = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    keep_part = part.where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 2, 3, 4, 5, 6, 7, 8)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        partsupp.join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(keep_part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_PARTS_SUPPLIER_COUNTS_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 2, 3, 4, 5, 6, 7, 8)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume customers — orders whose total quantity
+# exceeds 300 (~top 0.5% here). The HAVING filter runs on the lineitem
+# aggregate BEFORE joining orders/customer, so the expensive joins see only
+# the tiny qualifying set; quantity threshold compares in bigint units.
+# --------------------------------------------------------------------------
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    qty_units = to_units(F.col("l_quantity"), 2)
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_units).alias("qty_units"))
+        .where(F.col("qty_units") > 300 * 100)
+    )
+    return (
+        big_orders.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            (F.col("qty_units") / F.lit(100.0)).alias("total_qty"),
+        )
+    )
+
+
+Q18_LARGE_VOLUME_CUSTOMERS_SQL = """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT AS qty_units
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 30000
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       (qty_units / 100.0) AS total_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q20 shape: suppliers with significant shipments of a part class —
+# nested semi-join chain (part-name filter → per-(part,supp) 1996 shipped
+# quantity threshold → distinct suppliers → nation filter). partsupp's
+# availqty has no equivalent, so the predicate is "shipped > 50 units of
+# any red part in 1996" (documented adaptation; same join/semi shape).
+# --------------------------------------------------------------------------
+
+def q20_significant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    red_parts = part.where(F.col("p_name").like("red%")).select("p_partkey")
+    qty_units = to_units(F.col("l_quantity"), 2)
+    qualified = (
+        li.where(F.col("l_shipdate").between(F.lit("1996-01-01"), F.lit("1996-12-31")))
+        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(qty_units).alias("qty_units"))
+        .where(F.col("qty_units") > 50 * 100)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name") == "NATION_3")
+        .join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+Q20_SIGNIFICANT_SUPPLIERS_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+    GROUP BY l_partkey, l_suppkey
+    HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 5000)
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21 shape: suppliers who kept orders waiting. The schema has no
+# commit/receipt dates, so "waiting" = in a finished multi-supplier order,
+# this supplier alone has the latest ship date (exists other supplier /
+# not-exists later shipper — decorrelated into one grouped pass: max
+# shipdate + distinct-supplier counts per order, then argmax uniqueness).
+# One shuffle on l_orderkey; supplier/nation broadcast at the end.
+# --------------------------------------------------------------------------
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    f_orders = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    lines = li.join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    late = (
+        lines.join(per_order, "l_orderkey")
+        .where((F.col("l_shipdate") == F.col("max_ship")) & (F.col("n_supp") >= 2))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("late_supp"), F.count("*").alias("n_late"))
+        .where(F.col("n_late") == 1)
+    )
+    return (
+        sole_late.join(F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name").isin("NATION_3", "NATION_4"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+Q21_WAITING_SUPPLIERS_SQL = """
+WITH f AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate
+  FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+), m AS (
+  SELECT l_orderkey, max(l_shipdate) AS max_ship, count(DISTINCT l_suppkey) AS n_supp
+  FROM f GROUP BY l_orderkey
+), late AS (
+  SELECT DISTINCT f.l_orderkey, f.l_suppkey
+  FROM f JOIN m ON f.l_orderkey = m.l_orderkey
+  WHERE f.l_shipdate = m.max_ship AND m.n_supp >= 2
+), sole AS (
+  SELECT l_orderkey, min(l_suppkey) AS late_supp
+  FROM late GROUP BY l_orderkey HAVING count(*) = 1
+)
+SELECT s_name, count(*) AS numwait
+FROM sole
+JOIN supplier ON late_supp = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_3', 'NATION_4')
+GROUP BY s_name
+"""
