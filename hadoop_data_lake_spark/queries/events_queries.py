@@ -461,3 +461,130 @@ SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
        count(*) AS n, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# ROWS frame (vs rolling_hour_activity's RANGE frame): per-user trailing
+# 3-event sum/count. Order key (ts, event_id) is unique per user, so the
+# ROWS frame is deterministic despite timestamp ties.
+# --------------------------------------------------------------------------
+
+def rolling_3event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.sum(to_units(F.col("value"), 2)).over(w).alias("value_units_3ev"),
+        F.count("*").over(w).alias("n_3ev"),
+    )
+
+
+ROLLING_3EVENT_VALUE_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       (sum(cast(round(value * 100) as bigint)) OVER w)::bigint AS value_units_3ev,
+       count(*) OVER w AS n_3ev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
+# Salted skew join (operators/skew.salted_skew_join) oracle-checked against
+# the plain join it must be equivalent to: events (3 hot event_type keys —
+# exactly the shape that straggles a plain shuffle join at 100 TB) joined to
+# a derived per-type weight dim, salt_mod=8. The oracle is the unsalted SQL
+# join — proving salting changes the physical plan, never the semantics.
+# --------------------------------------------------------------------------
+
+def salted_type_weight_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_data_lake_spark.operators.skew import salted_skew_join
+
+    ev = read_table(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .select("event_type", F.length("event_type").alias("weight"))
+    )
+    joined = salted_skew_join(
+        ev.select("event_type", "value", "event_id"),
+        dim,
+        on=["event_type"],
+        salt_from="event_id",
+        salt_mod=8,
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(to_units(F.col("value") * F.col("weight"), 2)).alias("weighted_units"),
+    )
+
+
+SALTED_TYPE_WEIGHT_SUM_SQL = """
+SELECT e.event_type, count(*) AS n,
+       sum(cast(round(e.value * d.weight * 100) as bigint))::bigint AS weighted_units
+FROM events e
+JOIN (SELECT DISTINCT event_type, length(event_type) AS weight FROM events) d
+  ON e.event_type = d.event_type
+GROUP BY e.event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Null-safe full-outer join (eqNullSafe / IS NOT DISTINCT FROM): compare
+# per-key activity between the first and second half of the timeline, where
+# the key (props.k mod 10) is NULL for events without props.k — the NULL
+# group must match NULL, which a plain equi-join would drop.
+# --------------------------------------------------------------------------
+
+def halves_activity_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    k = (F.get_json_object("props", "$.k").cast("long") % 10).alias("k")
+    mid = ev.agg(
+        F.timestamp_micros(
+            ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2).cast("long")
+        ).alias("mid_ts")
+    )
+    with_half = ev.crossJoin(F.broadcast(mid)).select(
+        k, F.when(F.col("ts") < F.col("mid_ts"), F.lit("h1")).otherwise(F.lit("h2")).alias("half")
+    )
+    h1 = (
+        with_half.where(F.col("half") == "h1")
+        .groupBy(F.col("k").alias("k1"))
+        .agg(F.count("*").alias("n_h1"))
+    )
+    h2 = (
+        with_half.where(F.col("half") == "h2")
+        .groupBy(F.col("k").alias("k2"))
+        .agg(F.count("*").alias("n_h2"))
+    )
+    return (
+        h1.join(h2, F.col("k1").eqNullSafe(F.col("k2")), "full_outer")
+        .select(
+            F.coalesce("k1", "k2").alias("k"),
+            F.coalesce("n_h1", F.lit(0)).alias("n_h1"),
+            F.coalesce("n_h2", F.lit(0)).alias("n_h2"),
+        )
+    )
+
+
+HALVES_ACTIVITY_NULLSAFE_SQL = """
+WITH halves AS (
+  SELECT json_extract_string(props, '$.k')::bigint % 10 AS k,
+         CASE WHEN epoch_us(ts) < (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 FROM events)
+              THEN 'h1' ELSE 'h2' END AS half
+  FROM events
+), h1 AS (SELECT k, count(*) AS n_h1 FROM halves WHERE half = 'h1' GROUP BY k),
+   h2 AS (SELECT k, count(*) AS n_h2 FROM halves WHERE half = 'h2' GROUP BY k)
+SELECT coalesce(h1.k, h2.k) AS k,
+       coalesce(n_h1, 0) AS n_h1,
+       coalesce(n_h2, 0) AS n_h2
+FROM h1 FULL OUTER JOIN h2 ON h1.k IS NOT DISTINCT FROM h2.k
+"""

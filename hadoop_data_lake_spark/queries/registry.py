@@ -83,6 +83,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "q18_large_volume_customers": QuerySpec(TQ.q18_large_volume_customers, TQ.Q18_LARGE_VOLUME_CUSTOMERS_SQL, ("agg", "having", "join")),
     "q20_significant_suppliers": QuerySpec(TQ.q20_significant_suppliers, TQ.Q20_SIGNIFICANT_SUPPLIERS_SQL, ("semi-join", "nested-subquery")),
     "q21_waiting_suppliers": QuerySpec(TQ.q21_waiting_suppliers, TQ.Q21_WAITING_SUPPLIERS_SQL, ("join", "exists", "argmax")),
+    "regional_revenue_rollup": QuerySpec(TQ.regional_revenue_rollup, TQ.REGIONAL_REVENUE_ROLLUP_SQL, ("agg", "rollup")),
+    "acctbal_union_stats": QuerySpec(TQ.acctbal_union_stats, TQ.ACCTBAL_UNION_STATS_SQL, ("setop", "union-all")),
+    "orders_snapshot_merge": QuerySpec(TQ.orders_snapshot_merge, TQ.ORDERS_SNAPSHOT_MERGE_SQL, ("merge", "upsert", "full-outer")),
+    "rolling_3event_value": QuerySpec(EV.rolling_3event_value, EV.ROLLING_3EVENT_VALUE_SQL, ("window", "rows-frame")),
+    "salted_type_weight_sum": QuerySpec(EV.salted_type_weight_sum, EV.SALTED_TYPE_WEIGHT_SUM_SQL, ("join", "skew", "salting")),
+    "halves_activity_nullsafe": QuerySpec(EV.halves_activity_nullsafe, EV.HALVES_ACTIVITY_NULLSAFE_SQL, ("join", "null-safe", "full-outer")),
     # --- north-star: dedup ----------------------------------------------
     "dedup_exact": QuerySpec(NS.dedup_exact, NS.DEDUP_EXACT_SQL, ("dedup",)),
     "dedup_ngram_jaccard": QuerySpec(NS.dedup_ngram_jaccard, NS.DEDUP_NGRAM_JACCARD_SQL, ("dedup",)),

@@ -1258,3 +1258,112 @@ JOIN nation   ON s_nationkey = n_nationkey
 WHERE n_name IN ('NATION_3', 'NATION_4')
 GROUP BY s_name
 """
+
+
+# --------------------------------------------------------------------------
+# ROLLUP hierarchy (region → nation → total) over customer order revenue.
+# Complements sales_cube (CUBE) and zone_report (GROUPING SETS): one pass,
+# partial aggregation map-side, dims broadcast. o_totalprice summed in
+# fixed-point units for cross-engine determinism.
+# --------------------------------------------------------------------------
+
+def regional_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_orders"), sum_fixed(F.col("o_totalprice"), 2).alias("revenue"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+REGIONAL_REVENUE_ROLLUP_SQL = f"""
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       count(*) AS n_orders,
+       {sum_fixed_sql('o_totalprice', 2)} AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# --------------------------------------------------------------------------
+# UNION ALL across heterogeneous sources (unionByName), then one aggregate:
+# account-balance distribution for customers and suppliers side by side.
+# --------------------------------------------------------------------------
+
+def acctbal_union_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"), F.col("c_acctbal").alias("acctbal")
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"), F.col("s_acctbal").alias("acctbal")
+    )
+    return (
+        cust.unionByName(supp)
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            sum_fixed(F.col("acctbal"), 2).alias("total_bal"),
+            F.count(F.when(F.col("acctbal") < 0, 1)).alias("n_negative"),
+        )
+    )
+
+
+ACCTBAL_UNION_STATS_SQL = f"""
+SELECT kind, count(*) AS n, {sum_fixed_sql('acctbal', 2)} AS total_bal,
+       count(CASE WHEN acctbal < 0 THEN 1 END) AS n_negative
+FROM (
+  SELECT 'customer' AS kind, c_acctbal AS acctbal FROM customer
+  UNION ALL
+  SELECT 'supplier' AS kind, s_acctbal AS acctbal FROM supplier
+) u
+GROUP BY kind
+"""
+
+
+# --------------------------------------------------------------------------
+# Merge / upsert (operators/merge.merge_upsert) as an oracle-checked query:
+# a change set (orders on/after 2000-07-01: payload revised, 5-LOW rows
+# deleted) applied to the full snapshot. The oracle is the relational
+# definition of merge: surviving target rows UNION ALL applied source rows.
+# Payload revision is a single IEEE add (bit-equal in both engines).
+# --------------------------------------------------------------------------
+
+def orders_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_data_lake_spark.operators.merge import merge_upsert
+
+    orders = read_table(spark, sf_dir, "orders")
+    cutoff = F.lit("2000-07-01")
+    target = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    source = orders.where(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        (F.col("o_orderpriority") == "5-LOW").alias("is_deleted"),
+    )
+    return merge_upsert(target, source, keys=["o_orderkey"], delete_col="is_deleted")
+
+
+ORDERS_SNAPSHOT_MERGE_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderdate < TIMESTAMP '2000-07-01 00:00:00'
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice + 1.0 AS o_totalprice
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2000-07-01 00:00:00'
+  AND o_orderpriority <> '5-LOW'
+"""
