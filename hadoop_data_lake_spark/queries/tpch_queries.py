@@ -1207,16 +1207,19 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     supp = read_table(spark, sf_dir, "supplier")
     nation = read_table(spark, sf_dir, "nation")
+    from pyspark.sql import Window
+
     f_orders = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey")
     lines = li.join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.max("l_shipdate").alias("max_ship"),
-        F.countDistinct("l_suppkey").alias("n_supp"),
-    )
+    # One window pass instead of aggregate + re-join: a single lineitem scan
+    # and one shuffle on l_orderkey (order groups are tiny, so the per-group
+    # collect_set stays bounded at any total scale).
+    w = Window.partitionBy("l_orderkey")
     late = (
-        lines.join(per_order, "l_orderkey")
+        lines.withColumn("max_ship", F.max("l_shipdate").over(w))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
         .where((F.col("l_shipdate") == F.col("max_ship")) & (F.col("n_supp") >= 2))
         .select("l_orderkey", "l_suppkey")
         .distinct()
