@@ -725,3 +725,66 @@ SELECT (epoch_us(ts) // 600000000) * 600000000 AS window_start_us,
            WHEN 'purchase' THEN 10 WHEN 'signup' THEN 5 ELSE 0 END)::bigint AS weighted
 FROM events GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling: per-language keep-rates (down-sample the
+# over-represented stratum, keep the tail) decided by a portable content
+# hash, never rand() — the corpus-rebalancing step of a training-data
+# pipeline must be reproducible across runs, partitionings, and engines.
+# Row-level output so the oracle hash-checks exact membership.
+# --------------------------------------------------------------------------
+
+_STRATA_RATES = {"en": 100, "zh": 500, "es": 500, "de": 500, "fr": 500}  # per-mille
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    h = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+        F.lit(1000),
+    )
+    rate = F.lit(None).cast("long")
+    expr = None
+    for lang, permille in _STRATA_RATES.items():
+        expr = (F.when(F.col("lang") == lang, permille) if expr is None
+                else expr.when(F.col("lang") == lang, permille))
+    rate = expr.otherwise(F.lit(0))
+    return docs.where(h < rate).select("doc_id", "lang", "n_chars")
+
+
+_RATE_CASE_SQL = " ".join(
+    f"WHEN lang = '{lang}' THEN {permille}" for lang, permille in _STRATA_RATES.items()
+)
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, n_chars
+FROM (SELECT doc_id, lang, n_chars,
+             ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 1000 AS h
+      FROM documents)
+WHERE h < (CASE {_RATE_CASE_SQL} ELSE 0 END)
+"""
+
+
+# --------------------------------------------------------------------------
+# Fixed-width histogram of event values per type (25-unit buckets, clamped
+# to 20 bins). Explicit floor arithmetic instead of width_bucket so the
+# binning is bit-identical in any engine; one hash aggregate at any scale.
+# --------------------------------------------------------------------------
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 25.0), F.lit(19)).cast("long")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("bucket_lo", (F.col("bucket") * 25.0))
+    )
+
+
+VALUE_HISTOGRAM_SQL = """
+SELECT event_type, least(floor(value / 25.0), 19)::bigint AS bucket, count(*) AS n,
+       least(floor(value / 25.0), 19)::bigint * 25.0 AS bucket_lo
+FROM events
+GROUP BY event_type, least(floor(value / 25.0), 19)::bigint
+"""

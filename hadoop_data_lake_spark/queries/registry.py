@@ -116,6 +116,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "hashed_token_vectors": QuerySpec(NS.hashed_token_vectors, NS.HASHED_TOKEN_VECTORS_SQL, ("text", "feature-hashing")),
     "train_test_split_counts": QuerySpec(NS.train_test_split_counts, NS.TRAIN_TEST_SPLIT_COUNTS_SQL, ("split", "sampling")),
     "documents_profile": QuerySpec(NS.documents_profile, NS.DOCUMENTS_PROFILE_SQL, ("profile", "quality")),
+    "stratified_sample": QuerySpec(NS.stratified_sample, NS.STRATIFIED_SAMPLE_SQL, ("split", "sampling", "stratified")),
+    "value_histogram": QuerySpec(NS.value_histogram, NS.VALUE_HISTOGRAM_SQL, ("agg", "histogram")),
     "tf_idf_top_terms": QuerySpec(NS.tf_idf_top_terms, NS.TF_IDF_TOP_TERMS_SQL, ("text", "tfidf", "topk")),
     "props_map_entries": QuerySpec(NS.props_map_entries, NS.PROPS_MAP_ENTRIES_SQL, ("json", "map")),
     "daily_unique_users_approx": QuerySpec(NS.daily_unique_users_approx, None, ("sketch", "hll")),

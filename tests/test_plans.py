@@ -72,3 +72,51 @@ def test_global_topk_avoids_full_sort(spark):
     # orderBy + limit compiles to TakeOrderedAndProject — only k rows per
     # partition survive, no global sort materializes
     assert "TakeOrderedAndProject" in _plan(spark, "top20_orders_global")
+
+
+def test_q7_prefiltered_dims_broadcast(spark):
+    plan = _plan(spark, "q7_volume_shipping")
+    # nation-filtered supplier and customer sides must broadcast; the only
+    # sort-merge-eligible shuffle join is lineitem x orders
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the ship-date range filter reaches the lineitem scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q18_having_filter_precedes_joins(spark):
+    plan = _plan(spark, "q18_large_volume_customers")
+    # the qty threshold must run as a Filter over the aggregate, i.e. appear
+    # deeper than (after) the joins in the plan tree — joins see only
+    # qualifying orders
+    agg_filter_pos = plan.find("qty_units")
+    assert agg_filter_pos != -1
+    assert plan.count("HashAggregate") >= 2  # partial+final on l_orderkey
+
+
+def test_q21_single_lineitem_scan(spark):
+    plan = _plan(spark, "q21_waiting_suppliers")
+    # the window rewrite reads lineitem exactly once
+    assert sum(
+        1 for line in plan.splitlines()
+        if "FileScan parquet" in line and "lineitem" in line
+    ) == 1
+
+
+def test_salted_join_no_straggler_key(spark):
+    plan = _plan(spark, "salted_type_weight_sum")
+    # join key must include the salt column so hot event_type keys spread
+    assert "__salt" in plan
+
+
+def test_rollup_is_single_expand_aggregate(spark):
+    plan = _plan(spark, "regional_revenue_rollup")
+    # ROLLUP plans as one Expand + aggregate, not a union of three aggs
+    assert "Expand" in plan
+    assert "Union" not in plan
+
+
+def test_merge_upsert_is_one_full_outer_join(spark):
+    plan = _plan(spark, "orders_snapshot_merge")
+    assert "FullOuter" in plan
+    # exactly one join for the whole merge
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count("BroadcastHashJoin") == 1
