@@ -588,3 +588,72 @@ SELECT coalesce(h1.k, h2.k) AS k,
        coalesce(n_h2, 0) AS n_h2
 FROM h1 FULL OUTER JOIN h2 ON h1.k IS NOT DISTINCT FROM h2.k
 """
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: users grouped by first-event week (cohort), counted as
+# active per subsequent week. Two aggregates + one join, all keyed on
+# user_id/week — the canonical product-analytics rollup. Week key is
+# year*100+weekofyear (identical ISO weekofyear in both engines).
+# --------------------------------------------------------------------------
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    wk = (F.year("ts") * 100 + F.weekofyear("ts")).cast("long")
+    firsts = top1_per_group(
+        ev.select("user_id", "ts", "event_id"),
+        ["user_id"],
+        [F.col("ts").asc(), F.col("event_id").asc()],
+    ).select("user_id", wk.alias("cohort_wk"))
+    activity = ev.select("user_id", wk.alias("active_wk")).distinct()
+    cohort_sizes = firsts.groupBy("cohort_wk").agg(F.count("*").alias("n_cohort"))
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy("cohort_wk", "active_wk")
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(cohort_sizes), "cohort_wk")
+        .select(
+            "cohort_wk",
+            "active_wk",
+            "n_active",
+            "n_cohort",
+            (F.col("n_active") / F.col("n_cohort")).alias("retention"),
+        )
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH firsts AS (
+  SELECT user_id, year(ts) * 100 + weekofyear(ts) AS cohort_wk
+  FROM (SELECT user_id, ts,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events) t
+  WHERE rn = 1
+), activity AS (
+  SELECT DISTINCT user_id, year(ts) * 100 + weekofyear(ts) AS active_wk FROM events
+), sizes AS (
+  SELECT cohort_wk, count(*) AS n_cohort FROM firsts GROUP BY cohort_wk
+), ret AS (
+  SELECT cohort_wk, active_wk, count(*) AS n_active
+  FROM firsts JOIN activity USING (user_id)
+  GROUP BY cohort_wk, active_wk
+)
+SELECT cohort_wk, active_wk, n_active, n_cohort,
+       (n_active / (n_cohort * 1.0)) AS retention
+FROM ret JOIN sizes USING (cohort_wk)
+"""
+
+
+# --------------------------------------------------------------------------
+# Approximate percentiles (positional sketch, mergeable across partitions —
+# the 100 TB path where exact percentile's full sort is off the table).
+# Rows-only driver check; tests/test_edge_cases.py bounds the error against
+# the exact percentile.
+# --------------------------------------------------------------------------
+
+def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("approx_pcts"),
+        F.count("*").alias("n"),
+    )

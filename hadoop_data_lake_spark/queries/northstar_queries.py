@@ -788,3 +788,43 @@ SELECT event_type, least(floor(value / 25.0), 19)::bigint AS bucket, count(*) AS
 FROM events
 GROUP BY event_type, least(floor(value / 25.0), 19)::bigint
 """
+
+
+# --------------------------------------------------------------------------
+# Bigram frequency counts (n-gram LM statistics). The bigram array is built
+# with zip_with over two slices — lambda bodies touch only lambda variables,
+# so nothing re-evaluates per element (measured HOF pitfall); explode_outer
+# keeps InferFiltersFromGenerate from pushing a size()>0 probe below the
+# exchange. Global top-100 plans as TakeOrderedAndProject (no full sort).
+# --------------------------------------------------------------------------
+
+def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    docs = docs.select(F.col("doc_id"), w.alias("w"), F.size(w).alias("n"))
+    bigrams = F.zip_with(
+        F.slice(F.col("w"), 1, F.col("n") - 1),
+        F.slice(F.col("w"), 2, F.col("n") - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.where(F.col("n") >= 2)
+        .select(F.explode_outer(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(100)
+    )
+
+
+BIGRAM_COUNTS_SQL = """
+SELECT bigram, count(*) AS n
+FROM (
+  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM (SELECT string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 2
+)
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 100
+"""

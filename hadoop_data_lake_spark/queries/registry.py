@@ -121,6 +121,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "tf_idf_top_terms": QuerySpec(NS.tf_idf_top_terms, NS.TF_IDF_TOP_TERMS_SQL, ("text", "tfidf", "topk")),
     "props_map_entries": QuerySpec(NS.props_map_entries, NS.PROPS_MAP_ENTRIES_SQL, ("json", "map")),
     "daily_unique_users_approx": QuerySpec(NS.daily_unique_users_approx, None, ("sketch", "hll")),
+    "cohort_retention": QuerySpec(EV.cohort_retention, EV.COHORT_RETENTION_SQL, ("window", "join", "cohort")),
+    "value_percentiles_approx": QuerySpec(EV.value_percentiles_approx, None, ("sketch", "percentile")),
+    "bigram_counts": QuerySpec(NS.bigram_counts, NS.BIGRAM_COUNTS_SQL, ("text", "ngram", "topk")),
     "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),
     "stream_sliding_counts": QuerySpec(NS.stream_sliding_counts, NS.STREAM_SLIDING_COUNTS_SQL, ("streaming", "sliding-window")),
     "stream_session_stats": QuerySpec(NS.stream_session_stats, NS.STREAM_SESSION_STATS_SQL, ("streaming", "session-window")),

@@ -37,3 +37,29 @@ def test_single_row_inputs(spark):
         one.withColumn("v", F.lit(1.0)), ["k"], "ts", "v", bucket_seconds=600
     ).collect()
     assert len(filled) == 1 and filled[0]["v"] == 1.0 and filled[0]["observed"]
+
+
+def test_approx_percentiles_bounded_error(spark):
+    """percentile_approx (accuracy=10000) must sit within 1% relative error
+    of the exact percentile at gate scale — the sketch is the 100 TB path,
+    the exact percentile is the oracle-checked one."""
+    from hadoop_data_lake_spark.queries.registry import REGISTRY
+    from hadoop_data_lake_spark.core.io import read_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["event_type"]: r["approx_pcts"]
+        for r in REGISTRY["value_percentiles_approx"].fn(spark, sf).collect()
+    }
+    exact = {
+        r["event_type"]: r["pcts"]
+        for r in read_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.percentile("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))).alias("pcts"))
+        .collect()
+    }
+    assert set(approx) == set(exact) and approx
+    for et in exact:
+        for a, e in zip(approx[et], exact[et]):
+            assert abs(a - e) <= 0.01 * max(abs(e), 1.0), (et, a, e)
