@@ -744,7 +744,6 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
         F.lit(1000),
     )
-    rate = F.lit(None).cast("long")
     expr = None
     for lang, permille in _STRATA_RATES.items():
         expr = (F.when(F.col("lang") == lang, permille) if expr is None
