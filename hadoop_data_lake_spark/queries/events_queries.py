@@ -657,3 +657,50 @@ def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("approx_pcts"),
         F.count("*").alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# Conversion funnel per zone: users whose first purchase follows their first
+# view. One conditional-min aggregate per user (map-side partial), one tiny
+# rollup — no joins, no window; the plan is two hash aggregates at any scale.
+# --------------------------------------------------------------------------
+
+def zone_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("first_view_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("first_purchase_us"),
+    )
+    converted = (F.col("first_purchase_us") > F.col("first_view_us")).cast("long")
+    return (
+        per_user.withColumn("zone_id", F.pmod("user_id", F.lit(10)).cast("long"))
+        .groupBy("zone_id")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.count("first_view_us").alias("n_viewers"),
+            F.sum(F.when(F.col("first_view_us").isNotNull(), converted).otherwise(F.lit(None))).alias("n_converted"),
+        )
+        .withColumn("conversion", F.col("n_converted") / F.col("n_viewers"))
+    )
+
+
+ZONE_CONVERSION_FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view_us,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase_us
+  FROM events GROUP BY user_id
+)
+SELECT user_id % 10 AS zone_id,
+       count(*) AS n_users,
+       count(first_view_us) AS n_viewers,
+       sum(CASE WHEN first_view_us IS NOT NULL
+                THEN CASE WHEN first_purchase_us > first_view_us THEN 1 ELSE 0 END
+           END)::bigint AS n_converted,
+       (sum(CASE WHEN first_view_us IS NOT NULL
+                 THEN CASE WHEN first_purchase_us > first_view_us THEN 1 ELSE 0 END
+            END)::bigint / (count(first_view_us) * 1.0)) AS conversion
+FROM per_user
+GROUP BY user_id % 10
+"""

@@ -122,6 +122,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "props_map_entries": QuerySpec(NS.props_map_entries, NS.PROPS_MAP_ENTRIES_SQL, ("json", "map")),
     "daily_unique_users_approx": QuerySpec(NS.daily_unique_users_approx, None, ("sketch", "hll")),
     "cohort_retention": QuerySpec(EV.cohort_retention, EV.COHORT_RETENTION_SQL, ("window", "join", "cohort")),
+    "zone_conversion_funnel": QuerySpec(EV.zone_conversion_funnel, EV.ZONE_CONVERSION_FUNNEL_SQL, ("agg", "funnel", "conditional-agg")),
+    "monthly_revenue_yoy": QuerySpec(TQ.monthly_revenue_yoy, TQ.MONTHLY_REVENUE_YOY_SQL, ("window", "lag", "post-agg")),
     "value_percentiles_approx": QuerySpec(EV.value_percentiles_approx, None, ("sketch", "percentile")),
     "bigram_counts": QuerySpec(NS.bigram_counts, NS.BIGRAM_COUNTS_SQL, ("text", "ngram", "topk")),
     "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),

@@ -1370,3 +1370,39 @@ FROM orders
 WHERE o_orderdate >= TIMESTAMP '2000-07-01 00:00:00'
   AND o_orderpriority <> '5-LOW'
 """
+
+
+# --------------------------------------------------------------------------
+# Year-over-year monthly revenue growth: window (lag) OVER an aggregate —
+# the post-rollup analytic pass. The windowed frame is tiny (one row per
+# month), so the window stage is free regardless of input scale.
+# --------------------------------------------------------------------------
+
+def monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.sum(to_units(F.col("o_totalprice"), 2)).alias("rev_units"))
+    w = Window.partitionBy("mo").orderBy("yr")
+    prev = F.lag("rev_units").over(w)
+    return monthly.select(
+        "yr",
+        "mo",
+        (F.col("rev_units") / F.lit(100.0)).alias("revenue"),
+        ((F.col("rev_units") - prev) / prev).alias("yoy_growth"),
+    )
+
+
+MONTHLY_REVENUE_YOY_SQL = """
+WITH monthly AS (
+  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS rev_units
+  FROM orders GROUP BY year(o_orderdate), month(o_orderdate)
+)
+SELECT yr, mo, (rev_units / 100.0) AS revenue,
+       ((rev_units - lag(rev_units) OVER w) / (lag(rev_units) OVER w) * 1.0) AS yoy_growth
+FROM monthly
+WINDOW w AS (PARTITION BY mo ORDER BY yr)
+"""
