@@ -124,6 +124,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "cohort_retention": QuerySpec(EV.cohort_retention, EV.COHORT_RETENTION_SQL, ("window", "join", "cohort")),
     "zone_conversion_funnel": QuerySpec(EV.zone_conversion_funnel, EV.ZONE_CONVERSION_FUNNEL_SQL, ("agg", "funnel", "conditional-agg")),
     "monthly_revenue_yoy": QuerySpec(TQ.monthly_revenue_yoy, TQ.MONTHLY_REVENUE_YOY_SQL, ("window", "lag", "post-agg")),
+    "weekly_counts_unpivot": QuerySpec(TQ.weekly_counts_unpivot, TQ.WEEKLY_COUNTS_UNPIVOT_SQL, ("unpivot", "melt")),
+    "nation_revenue_share": QuerySpec(TQ.nation_revenue_share, TQ.NATION_REVENUE_SHARE_SQL, ("window", "ratio-to-report")),
+    "part_name_near_matches": QuerySpec(TQ.part_name_near_matches, TQ.PART_NAME_NEAR_MATCHES_SQL, ("join", "fuzzy", "blocking", "levenshtein")),
     "value_percentiles_approx": QuerySpec(EV.value_percentiles_approx, None, ("sketch", "percentile")),
     "bigram_counts": QuerySpec(NS.bigram_counts, NS.BIGRAM_COUNTS_SQL, ("text", "ngram", "topk")),
     "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),

@@ -1406,3 +1406,128 @@ SELECT yr, mo, (rev_units / 100.0) AS revenue,
 FROM monthly
 WINDOW w AS (PARTITION BY mo ORDER BY yr)
 """
+
+
+# --------------------------------------------------------------------------
+# Unpivot (melt): the weekly event-type pivot turned back into long form —
+# wide->long is a narrow per-row transform (Expand), no shuffle at all.
+# The SQL twin is the portable UNION ALL formulation.
+# --------------------------------------------------------------------------
+
+def weekly_counts_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_data_lake_spark.queries.events_queries import weekly_type_pivot, EVENT_TYPES
+
+    wide = weekly_type_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["week"], values=EVENT_TYPES, variableColumnName="event_type", valueColumnName="n"
+    )
+
+
+def _weekly_unpivot_sql() -> str:
+    from hadoop_data_lake_spark.queries.events_queries import EVENT_TYPES
+
+    arms = " UNION ALL ".join(
+        f"SELECT week, '{t}' AS event_type, {t} AS n FROM wide" for t in EVENT_TYPES
+    )
+    return f"""
+WITH wide AS (
+  SELECT weekofyear(ts) AS week,
+         {', '.join(f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::bigint AS {t}" for t in EVENT_TYPES)}
+  FROM events GROUP BY weekofyear(ts)
+)
+{arms}
+"""
+
+
+WEEKLY_COUNTS_UNPIVOT_SQL = _weekly_unpivot_sql()
+
+
+# --------------------------------------------------------------------------
+# Ratio-to-report: each nation's share of global revenue via an
+# unbounded-partition window over the aggregate (the windowed frame is one
+# row per nation — free at any input scale). Shares divide exact bigint
+# units so both engines produce identical doubles.
+# --------------------------------------------------------------------------
+
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    per_nation = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(to_units(F.col("o_totalprice"), 2)).alias("rev_units"))
+    )
+    total = F.sum("rev_units").over(Window.partitionBy())
+    return per_nation.select(
+        "n_name",
+        (F.col("rev_units") / F.lit(100.0)).alias("revenue"),
+        (F.col("rev_units") / total).alias("share"),
+    )
+
+
+NATION_REVENUE_SHARE_SQL = """
+WITH per_nation AS (
+  SELECT n_name, sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS rev_units
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, (rev_units / 100.0) AS revenue,
+       (rev_units / (sum(rev_units) OVER ()) * 1.0) AS share
+FROM per_nation
+"""
+
+
+# --------------------------------------------------------------------------
+# Fuzzy entity resolution: near-identical part names by edit distance <= 2,
+# blocked on (p_type, p_size) so the quadratic comparison runs only inside
+# small blocks — the blocked-comparison shape every record-linkage pipeline
+# uses (levenshtein is JVM codegen in Spark, native in DuckDB).
+# --------------------------------------------------------------------------
+
+def part_name_near_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        "p_type",
+        "p_size",
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_type").alias("p_type_b"),
+        F.col("p_size").alias("p_size_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("p_type") == F.col("p_type_b"))
+            & (F.col("p_size") == F.col("p_size_b"))
+            & (F.col("key_a") < F.col("key_b")),
+        )
+        .where(F.levenshtein("name_a", "name_b") <= 2)
+        .select(
+            "key_a",
+            "key_b",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+        )
+    )
+
+
+PART_NAME_NEAR_MATCHES_SQL = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM part a
+JOIN part b ON a.p_type = b.p_type AND a.p_size = b.p_size
+           AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
