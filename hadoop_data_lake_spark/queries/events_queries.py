@@ -704,3 +704,40 @@ SELECT user_id % 10 AS zone_id,
 FROM per_user
 GROUP BY user_id % 10
 """
+
+
+# --------------------------------------------------------------------------
+# Event-state propagation: every event carries the user's most recent
+# purchase value (last ignore-nulls over an unbounded-preceding ROWS frame,
+# unique order key). The per-row carry-forward that turns an event log into
+# point-in-time features without a join.
+# --------------------------------------------------------------------------
+
+def last_purchase_carryforward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_units = F.when(
+        F.col("event_type") == "purchase", to_units(F.col("value"), 2)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.last(purchase_units, ignorenulls=True).over(w).alias("last_purchase_units"),
+    )
+
+
+LAST_PURCHASE_CARRYFORWARD_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       last_value(CASE WHEN event_type = 'purchase'
+                       THEN cast(round(value * 100) as bigint) END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_units
+FROM events
+"""
