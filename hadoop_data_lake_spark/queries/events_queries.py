@@ -741,3 +741,43 @@ SELECT event_id, user_id, epoch_us(ts) AS ts_us,
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_units
 FROM events
 """
+
+
+# --------------------------------------------------------------------------
+# Calendar densification / gap detection: for each user, the days between
+# their first and last activity with NO events — a generated per-user day
+# spine (sequence + explode) anti-joined against observed days. Day index
+# is integer epoch-day arithmetic, identical in any engine. The spine is
+# bounded per user, so the generator output scales with users x active
+# span, never with raw event volume.
+# --------------------------------------------------------------------------
+
+def user_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    d = F.floor(F.unix_micros("ts") / F.lit(86400 * 1_000_000)).cast("long")
+    observed = ev.select("user_id", d.alias("d")).distinct()
+    spans = observed.groupBy("user_id").agg(
+        F.min("d").alias("d_min"), F.max("d").alias("d_max")
+    )
+    spine = spans.select(
+        "user_id",
+        F.explode_outer(F.sequence("d_min", "d_max")).alias("d"),
+    )
+    return spine.join(observed, ["user_id", "d"], "left_anti").select(
+        "user_id", F.col("d").alias("gap_day")
+    )
+
+
+USER_GAP_DAYS_SQL = """
+WITH observed AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+), spans AS (
+  SELECT user_id, min(d) AS d_min, max(d) AS d_max FROM observed GROUP BY user_id
+), spine AS (
+  SELECT user_id, unnest(generate_series(d_min, d_max)) AS d FROM spans
+)
+SELECT s.user_id, s.d AS gap_day
+FROM spine s
+LEFT JOIN observed o ON s.user_id = o.user_id AND s.d = o.d
+WHERE o.user_id IS NULL
+"""
