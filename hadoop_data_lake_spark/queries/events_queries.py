@@ -781,3 +781,83 @@ FROM spine s
 LEFT JOIN observed o ON s.user_id = o.user_id AND s.d = o.d
 WHERE o.user_id IS NULL
 """
+
+
+# --------------------------------------------------------------------------
+# Distribution moments per event type from three EXACT bigint accumulators
+# (n, sum of units, sum of squared units): mean/variance/std are then pure
+# float functions of exact integers — identical doubles on any engine, any
+# partitioning. The naive sum-of-doubles variance is order-dependent; this
+# formulation is the deterministic scale-out version.
+# --------------------------------------------------------------------------
+
+def value_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    u = to_units(F.col("value"), 2)
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(u).alias("sum_units"),
+        F.sum(u * u).alias("sumsq_units"),
+    )
+    mean = F.col("sum_units") / F.col("n") / 100.0
+    var = (
+        F.col("sumsq_units") / F.col("n") / 10000.0
+        - (F.col("sum_units") / F.col("n") / 100.0) * (F.col("sum_units") / F.col("n") / 100.0)
+    )
+    return agg.select(
+        "event_type", "n", mean.alias("mean_value"), var.alias("var_value"),
+        F.sqrt(var).alias("std_value"),
+    )
+
+
+VALUE_MOMENTS_PROFILE_SQL = """
+WITH acc AS (
+  SELECT event_type, count(*) AS n,
+         sum(cast(round(value * 100) as bigint))::bigint AS sum_units,
+         sum(cast(round(value * 100) as bigint) * cast(round(value * 100) as bigint))::bigint AS sumsq_units
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       sum_units / n / 100.0 AS mean_value,
+       (sumsq_units / n / 10000.0
+         - (sum_units / n / 100.0) * (sum_units / n / 100.0)) AS var_value,
+       sqrt(sumsq_units / n / 10000.0
+         - (sum_units / n / 100.0) * (sum_units / n / 100.0)) AS std_value
+FROM acc
+"""
+
+
+# --------------------------------------------------------------------------
+# Median absolute deviation per event type: two exact-percentile passes with
+# a broadcast of the per-group median between them — the robust outlier
+# scale every data-quality profile wants (Spark percentile() is bit-equal to
+# DuckDB quantile_cont on this data; abs(v - med) is a single IEEE sub).
+# --------------------------------------------------------------------------
+
+def value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    med = ev.groupBy(F.col("event_type").alias("et_m")).agg(
+        F.percentile("value", F.lit(0.5)).alias("med_value")
+    )
+    return (
+        ev.join(F.broadcast(med), F.col("event_type") == F.col("et_m"))
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med_value").alias("med_value"),
+            F.percentile(F.abs(F.col("value") - F.col("med_value")), F.lit(0.5)).alias("mad_value"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+VALUE_MAD_SQL = """
+WITH med AS (
+  SELECT event_type AS et_m, quantile_cont(value, 0.5) AS med_value
+  FROM events GROUP BY event_type
+)
+SELECT event_type, any_value(med_value) AS med_value,
+       quantile_cont(abs(value - med_value), 0.5) AS mad_value,
+       count(*) AS n
+FROM events JOIN med ON event_type = et_m
+GROUP BY event_type
+"""

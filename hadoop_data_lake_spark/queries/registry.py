@@ -125,6 +125,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "zone_conversion_funnel": QuerySpec(EV.zone_conversion_funnel, EV.ZONE_CONVERSION_FUNNEL_SQL, ("agg", "funnel", "conditional-agg")),
     "last_purchase_carryforward": QuerySpec(EV.last_purchase_carryforward, EV.LAST_PURCHASE_CARRYFORWARD_SQL, ("window", "ignore-nulls", "carry-forward")),
     "user_gap_days": QuerySpec(EV.user_gap_days, EV.USER_GAP_DAYS_SQL, ("generator", "anti-join", "densification")),
+    "value_moments_profile": QuerySpec(EV.value_moments_profile, EV.VALUE_MOMENTS_PROFILE_SQL, ("agg", "moments", "deterministic")),
+    "value_mad": QuerySpec(EV.value_mad, EV.VALUE_MAD_SQL, ("agg", "percentile", "robust-stats")),
     "monthly_revenue_yoy": QuerySpec(TQ.monthly_revenue_yoy, TQ.MONTHLY_REVENUE_YOY_SQL, ("window", "lag", "post-agg")),
     "weekly_counts_unpivot": QuerySpec(TQ.weekly_counts_unpivot, TQ.WEEKLY_COUNTS_UNPIVOT_SQL, ("unpivot", "melt")),
     "nation_revenue_share": QuerySpec(TQ.nation_revenue_share, TQ.NATION_REVENUE_SHARE_SQL, ("window", "ratio-to-report")),
