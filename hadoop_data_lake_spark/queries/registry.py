@@ -131,6 +131,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "weekly_counts_unpivot": QuerySpec(TQ.weekly_counts_unpivot, TQ.WEEKLY_COUNTS_UNPIVOT_SQL, ("unpivot", "melt")),
     "nation_revenue_share": QuerySpec(TQ.nation_revenue_share, TQ.NATION_REVENUE_SHARE_SQL, ("window", "ratio-to-report")),
     "part_name_near_matches": QuerySpec(TQ.part_name_near_matches, TQ.PART_NAME_NEAR_MATCHES_SQL, ("join", "fuzzy", "blocking", "levenshtein")),
+    "brand_basket_pairs": QuerySpec(TQ.brand_basket_pairs, TQ.BRAND_BASKET_PAIRS_SQL, ("join", "self-join", "market-basket")),
     "value_percentiles_approx": QuerySpec(EV.value_percentiles_approx, None, ("sketch", "percentile")),
     "bigram_counts": QuerySpec(NS.bigram_counts, NS.BIGRAM_COUNTS_SQL, ("text", "ngram", "topk")),
     "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),

@@ -1531,3 +1531,40 @@ JOIN part b ON a.p_type = b.p_type AND a.p_size = b.p_size
            AND a.p_partkey < b.p_partkey
 WHERE levenshtein(a.p_name, b.p_name) <= 2
 """
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-occurrence: which part brands are bought together in the
+# same order. Distinct (order, brand) first, then a self-join that is
+# quadratic ONLY within one order's brand set (bounded by order size, not
+# data volume) — the association-mining candidate-pair shape. Brands attach
+# via broadcast before the distinct, so the self-join carries two small
+# string columns.
+# --------------------------------------------------------------------------
+
+def brand_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey").alias("ok_a"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey").alias("ok_b"), F.col("p_brand").alias("brand_b"))
+    return (
+        a.join(b, (F.col("ok_a") == F.col("ok_b")) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+BRAND_BASKET_PAIRS_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_orders
+FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+GROUP BY a.p_brand, b.p_brand
+"""
