@@ -319,6 +319,12 @@ SELECT query_id, neighbor_id, sim_r, rnk FROM ranked WHERE rnk <= 5
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH candidate/verify near-dup pairs (operators/similarity.py:
+    cosine_near_dup_pairs). The oracle below stays the EXACT all-pairs SQL
+    on purpose: exact verification makes the banded output a strict subset
+    of it (precision 1.0), and banded recall at this threshold/data is
+    total (planted-dup equality asserted in tests/test_similarity.py), so
+    the independent exact oracle is the strongest available check."""
     emb = _corpus(spark, sf_dir)
     return SIM.cosine_near_dup_pairs(emb, threshold=0.95)
 

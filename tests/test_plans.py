@@ -50,6 +50,16 @@ def test_topk_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in _plan(spark, "top_orders_per_customer")
 
 
+def test_near_dup_has_no_unbounded_self_join(spark):
+    """embedding_near_dup must be candidate/verify (SRP band equi-join),
+    never the O(n^2) theta self-join — the round-1 scale-killer."""
+    plan = _plan(spark, "embedding_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the band-key candidate join is an equi-join (hash or sort-merge)
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
 def test_asof_join_is_pure_jvm_single_shuffle(spark):
     plan = _plan(spark, "purchase_attribution_asof")
     # no Python evaluation nodes anywhere in the as-of path

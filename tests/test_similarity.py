@@ -8,6 +8,7 @@ import pytest
 from hadoop_data_lake_spark.operators.similarity import (
     brute_force_topk,
     cosine_near_dup_pairs,
+    cosine_near_dup_pairs_exact,
     ivf_topk,
     lsh_topk,
 )
@@ -110,6 +111,30 @@ def test_cosine_near_dup_pairs(emb):
         for j in range(i + 1, PER_CLUSTER)
     }
     assert pairs == expected
+
+
+def test_banded_near_dup_matches_exact_on_planted_dups(spark):
+    """Candidate/verify SRP-LSH == exact brute force on planted near-dups.
+
+    Precision 1.0 is structural (exact verify); this pins recall: every
+    perturbed copy (cos >= ~0.99 to its base) must survive banding."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, DIM))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    for j in range(12):
+        pert = base[j] + 0.05 * rng.standard_normal(DIM)
+        rows.append((100 + j, [float(x) for x in pert]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["id_a"], r["id_b"], r["sim_r"])
+        for r in cosine_near_dup_pairs_exact(df, threshold=0.95).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"], r["sim_r"])
+        for r in cosine_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert len(exact) == 12
+    assert banded == exact
 
 
 def test_kmeans_recovers_clusters(emb):
