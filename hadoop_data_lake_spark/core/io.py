@@ -17,6 +17,7 @@ import datetime as _dt
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -32,8 +33,120 @@ TABLES = (
 )
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver-generated table (TESTDATA.md layout).
+def _st(*fields: tuple[str, T.DataType]) -> T.StructType:
+    return T.StructType([T.StructField(n, t) for n, t in fields])
+
+
+#: Explicit per-table schema contracts (SURVEY.md §1.4): the post-
+#: normalization schema every operator in this package assumes. `read_table`
+#: validates against these on every read (names + types, schema-only — no
+#: data scan), so upstream drift fails loudly at the source instead of as a
+#: wrong join/agg result three operators downstream.
+SCHEMAS: dict[str, T.StructType] = {
+    "region": _st(("r_regionkey", T.IntegerType()), ("r_name", T.StringType())),
+    "nation": _st(
+        ("n_nationkey", T.IntegerType()),
+        ("n_name", T.StringType()),
+        ("n_regionkey", T.IntegerType()),
+    ),
+    "customer": _st(
+        ("c_custkey", T.LongType()),
+        ("c_name", T.StringType()),
+        ("c_nationkey", T.IntegerType()),
+        ("c_acctbal", T.DoubleType()),
+        ("c_mktsegment", T.StringType()),
+    ),
+    "supplier": _st(
+        ("s_suppkey", T.LongType()),
+        ("s_name", T.StringType()),
+        ("s_nationkey", T.IntegerType()),
+        ("s_acctbal", T.DoubleType()),
+    ),
+    "part": _st(
+        ("p_partkey", T.LongType()),
+        ("p_name", T.StringType()),
+        ("p_brand", T.StringType()),
+        ("p_type", T.StringType()),
+        ("p_size", T.IntegerType()),
+        ("p_retailprice", T.DoubleType()),
+    ),
+    "orders": _st(
+        ("o_orderkey", T.LongType()),
+        ("o_custkey", T.LongType()),
+        ("o_orderstatus", T.StringType()),
+        ("o_totalprice", T.DoubleType()),
+        ("o_orderdate", T.TimestampNTZType()),
+        ("o_orderpriority", T.StringType()),
+    ),
+    "lineitem": _st(
+        ("l_orderkey", T.LongType()),
+        ("l_partkey", T.LongType()),
+        ("l_suppkey", T.LongType()),
+        ("l_linenumber", T.IntegerType()),
+        ("l_quantity", T.DoubleType()),
+        ("l_extendedprice", T.DoubleType()),
+        ("l_discount", T.DoubleType()),
+        ("l_tax", T.DoubleType()),
+        ("l_returnflag", T.StringType()),
+        ("l_linestatus", T.StringType()),
+        ("l_shipdate", T.TimestampNTZType()),
+    ),
+    "events": _st(
+        ("event_id", T.LongType()),
+        ("ts", T.TimestampType()),
+        ("user_id", T.LongType()),
+        ("event_type", T.StringType()),
+        ("value", T.DoubleType()),
+        ("props", T.StringType()),
+    ),
+    "documents": _st(
+        ("doc_id", T.LongType()),
+        ("text", T.StringType()),
+        ("lang", T.StringType()),
+        ("source", T.StringType()),
+        ("n_chars", T.LongType()),
+    ),
+    "embeddings": _st(
+        ("vec_id", T.LongType()),
+        ("embedding", T.ArrayType(T.FloatType())),
+        ("label", T.IntegerType()),
+    ),
+}
+
+
+class SchemaContractError(ValueError):
+    """A table's on-disk schema does not match its SCHEMAS contract."""
+
+
+def validate_schema(df: DataFrame, name: str) -> DataFrame:
+    """Check `df` against SCHEMAS[name] (names + types, order-sensitive;
+    nullability intentionally ignored — parquet writers disagree about it
+    and no operator here relies on it). Raises SchemaContractError with a
+    field-level diff. Schema-only: never triggers a scan or a job."""
+    contract = SCHEMAS[name]
+    actual = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    expected = [(f.name, f.dataType.simpleString()) for f in contract.fields]
+    if actual != expected:
+        diff = [
+            f"  field {i}: expected {e}, got {a}"
+            for i, (e, a) in enumerate(
+                zip(expected + [("<missing>", "")] * len(actual),
+                    actual + [("<missing>", "")] * len(expected))
+            )
+            if e != a
+        ]
+        raise SchemaContractError(
+            f"table {name!r} violates its schema contract:\n" + "\n".join(diff)
+        )
+    return df
+
+
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, validate: bool = True
+) -> DataFrame:
+    """Read one driver-generated table (TESTDATA.md layout), validated
+    against its SCHEMAS contract (pass validate=False for exploratory reads
+    of files that deliberately deviate).
 
     The events table stores TIMESTAMP(NANOS) which Spark 4 has no native
     type for; we read nanos as long (legacy conf, set dynamically so it works
@@ -41,7 +154,8 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     truncation DuckDB applies, so both engines see identical instants.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return normalize_ns_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    df = normalize_ns_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    return validate_schema(df, name) if validate else df
 
 
 def normalize_ns_ts(df: DataFrame) -> DataFrame:
@@ -63,9 +177,32 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     this is a no-op there — the shuffle is only paid exactly when it buys
     full-core utilization on small inputs.
     """
-    sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    sess = df.sparkSession
+    target = min_partitions or sess.sparkContext.defaultParallelism
+    # Estimate the scan's partition count from optimizer stats instead of
+    # df.rdd.getNumPartitions(): the stats call is analysis-only (no
+    # physical planning, no Python<->JVM RDD materialization per call).
+    # ceil(sizeInBytes / maxPartitionBytes) is exact for large-file scans
+    # and an UNDERestimate for many-small-files inputs — which only makes
+    # this trigger a coalescing repartition of already-small data, never
+    # skips a needed one.
+    try:
+        raw = sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        digits = "".join(ch for ch in raw if ch.isdigit())
+        max_pb = int(digits) if digits else 128 * 1024 * 1024
+        if raw.lower().endswith(("k", "kb")):
+            max_pb *= 1024
+        elif raw.lower().endswith(("m", "mb")):
+            max_pb *= 1024 * 1024
+        elif raw.lower().endswith(("g", "gb")):
+            max_pb *= 1024 * 1024 * 1024
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+        est_partitions = max(1, -(-size // max_pb))
+    except Exception:  # stats unavailable (e.g. connect-only session)
+        est_partitions = df.rdd.getNumPartitions()
+    if est_partitions < target:
         return df.repartition(target)
     return df
 

@@ -11,6 +11,21 @@ on YARN/k8s. Scale-relevant defaults:
 - AQE on (runtime re-plan, skew-join handling, partition coalescing).
 - shuffle.partitions sized to cores locally; on a real cluster AQE's
   coalescing makes an over-estimate cheap.
+
+Skew handling — when to rely on which mechanism:
+
+- `spark.sql.adaptive.skewJoin.enabled` (on here) splits oversized shuffle
+  partitions of sort-merge/shuffled-hash JOINS at runtime using map output
+  sizes. It is the right default for skewed join KEYS: zero code changes,
+  and it only kicks in when a partition exceeds
+  skewedPartitionThresholdInBytes (256 MB default) and the skew factor.
+- `operators/skew.py` salting is for what AQE can NOT fix: skewed
+  group-by/AGGREGATION keys (AQE skew handling applies to joins, not
+  aggregates — a hot group still lands in one reducer), and joins where one
+  specific hot key dominates so badly that even split partitions all carry
+  the same key against a broadcast-too-big build side. Salting trades an
+  extra partial-agg/explode for bounded per-task input; see
+  salted_type_weight_sum for the worked pattern.
 - session timezone pinned to UTC so timestamp semantics are reproducible and
   oracle-comparable (DuckDB timestamps are UTC-naive).
 - Arrow enabled for any pandas interchange (vectorized UDF path).

@@ -48,6 +48,20 @@ def asof_join(
     Filter(__side = 1). One shuffle total; the window frame is running, so
     Spark evaluates it in a single forward pass per partition.
     """
+    # Fail loudly instead of silently emitting duplicate/ambiguous columns:
+    # every non-key name must be disjoint, and the temp names are reserved.
+    overlap = (set(left.columns) & set(right.columns)) - {on}
+    if overlap:
+        raise ValueError(
+            f"asof_join requires disjoint non-key columns; both sides have "
+            f"{sorted(overlap)} — alias one side before joining"
+        )
+    reserved = {"__t", "__side", "__r", "__m"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(
+            f"asof_join reserves temp column names {sorted(reserved)}; rename them"
+        )
+
     left_cols = list(left.columns)
     right_cols = [c for c in right.columns if c != on]
 

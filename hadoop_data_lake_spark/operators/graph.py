@@ -21,16 +21,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class ConvergenceError(RuntimeError):
+    """Label propagation hit max_iter with labels still changing."""
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """(vertex, component) — component = min vertex id reachable.
 
     `edges` is undirected input (each pair once is fine). Vertices appear in
     the output iff they appear in some edge.
+
+    Min-label propagation needs up to effective-diameter iterations; if the
+    loop exhausts `max_iter` with labels still moving the result would be
+    silently WRONG (components split). strict=True (default) raises
+    ConvergenceError instead; strict=False returns the partial labels for
+    callers that genuinely want bounded-effort clustering.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # symmetrize once; self-loops drop out of min-propagation naturally
@@ -42,6 +53,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    changed = 0
     for _ in range(max_iter):
         # candidate label for v: min over neighbors' current labels
         neighbor_min = (
@@ -62,6 +74,12 @@ def connected_components(
         labels = updated.drop("__changed")
         if changed == 0:
             break
+    if changed != 0 and strict:
+        raise ConvergenceError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "iterations (component diameter exceeds the bound); raise max_iter "
+            "or pass strict=False for best-effort labels"
+        )
     return labels.select(F.col("v").alias("vertex"), F.col("comp").alias("component"))
 
 

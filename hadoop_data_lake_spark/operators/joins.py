@@ -84,6 +84,7 @@ def grid_distance_self_join(
     radius_km: float,
     keys: list[str] | None = None,
     payload: list[str] | None = None,
+    max_abs_lat: float = 80.0,
 ) -> DataFrame:
     """Unordered pairs of rows within `radius_km` haversine distance
     (reference J2+J4 intent, calculate_user_recommendations.py:38-41, with
@@ -91,10 +92,29 @@ def grid_distance_self_join(
 
     Same banding idea in 2-D: left keeps its cell, right explodes into the
     3x3 neighborhood; exact haversine filter afterwards.
+
+    PRECONDITION: the 3x3-neighborhood containment guarantee of grid_cell
+    holds only for |lat| <= max_abs_lat (lon cells are sized at that
+    latitude; closer to the poles they shrink below the radius and pairs
+    would be silently MISSED). Rows beyond the domain raise at runtime
+    rather than under-contain.
     """
     keys = keys or []
     payload = payload or []
-    cr, cc, n_lon = grid_cell(F.col(lat_col), F.col(lon_col), radius_km)
+    cr, cc, n_lon = grid_cell(F.col(lat_col), F.col(lon_col), radius_km, max_abs_lat=max_abs_lat)
+    # Enforce the latitude domain in-plan: raise_error inside the cell
+    # expression fails the job on the first out-of-domain row (cheap scalar
+    # predicate, fused into the projection — no extra pass or action).
+    cr = F.when(F.abs(F.col(lat_col)) <= F.lit(max_abs_lat), cr).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"grid_distance_self_join: |{lat_col}| > {max_abs_lat} "
+                "(lat=%s) breaks the grid containment guarantee; raise "
+                "max_abs_lat or pre-filter polar rows",
+                F.col(lat_col).cast("string"),
+            )
+        )
+    )
 
     def side(suffix: str, explode_cells: bool) -> DataFrame:
         cols = [

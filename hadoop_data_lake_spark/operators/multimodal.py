@@ -47,14 +47,38 @@ def synth_media_from_text(df: DataFrame, id_col: str, text_col: str) -> DataFram
 
 
 def decode_media(blob: bytes, fmt: str) -> bytes:
-    """Real codec hook — NOT available in this container.
+    """Real codec hook. Codec-swap contract:
 
-    Swap in PIL/librosa/pyav here when the image/audio libs exist. The
-    deterministic fallback below (`_fake_decode`) is what tests exercise.
+    - input: raw container bytes + a MIME-ish format hint
+      ("image/png", "audio/wav", "fake/utf8", ...);
+    - output: canonical decoded bytes — images: RGB raster, row-major,
+      8-bit (w*h*3 bytes); audio: mono PCM16LE — so every downstream
+      byte-level feature (extract_features) is codec-agnostic;
+    - must be a pure function of (blob, fmt): it runs inside Arrow batches
+      on executors — no driver state, no filesystem side effects.
+
+    Image decoding is implemented via PIL and activates automatically when
+    Pillow is importable; this container ships no media libs, so here the
+    call raises NotImplementedError — tests/test_streaming_multimodal.py
+    carries both a skipif(no-PIL) real-path test and an assertion on this
+    error, making "stub by environment" distinguishable from "stub by
+    omission". `_fake_decode` is the deterministic stand-in tests exercise
+    unconditionally.
     """
+    if fmt.startswith("image/"):
+        try:
+            from PIL import Image  # noqa: PLC0415 — optional, executor-side
+        except ImportError as exc:
+            raise NotImplementedError(
+                "image codec (Pillow) is not installed in this environment; "
+                "use fake_decode=True for the deterministic stand-in"
+            ) from exc
+        import io as _io
+
+        return Image.open(_io.BytesIO(blob)).convert("RGB").tobytes()
     raise NotImplementedError(
-        "media codecs (PIL/librosa/av) are not installed in this environment; "
-        "use fake_decode=True for the deterministic stand-in"
+        f"no codec for format {fmt!r} (audio/video codecs are not installed "
+        "in this environment); use fake_decode=True for the stand-in"
     )
 
 
@@ -72,10 +96,16 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decode = _fake_decode if fake_decode else (
-                lambda b: decode_media(b, "unknown")
-            )
-            decoded = pdf["media"].map(lambda b: decode(bytes(b)))
+            if fake_decode:
+                decoded = pdf["media"].map(lambda b: _fake_decode(bytes(b)))
+            else:
+                decoded = pd.Series(
+                    [
+                        decode_media(bytes(b), f)
+                        for b, f in zip(pdf["media"], pdf["fmt"])
+                    ],
+                    index=pdf.index,
+                )
             n_bytes = decoded.map(len)
             byte_sum = decoded.map(lambda b: int(sum(b)))
             yield pd.DataFrame(
@@ -89,7 +119,12 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
                 }
             )
 
-    return media.select("media_id", "media").mapInPandas(op, schema=FEATURE_SCHEMA)
+    fmt_col = (
+        F.col("meta.format") if "meta" in media.columns else F.lit("application/octet-stream")
+    )
+    return media.select("media_id", "media", fmt_col.alias("fmt")).mapInPandas(
+        op, schema=FEATURE_SCHEMA
+    )
 
 
 RESIZE_SCHEMA = (

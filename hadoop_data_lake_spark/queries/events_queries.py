@@ -861,3 +861,52 @@ SELECT event_type, any_value(med_value) AS med_value,
 FROM events JOIN med ON event_type = et_m
 GROUP BY event_type
 """
+
+
+# --------------------------------------------------------------------------
+# Partitioned-dataset scan path (reference core IO pattern:
+# save_mes_geo.py:16-22 enumerates date=YYYY-MM-DD paths; here the same
+# pruning is declarative — read_partitioned root read + range filter shows
+# up as PartitionFilters in the scan, composing with pushdown/pruning).
+# --------------------------------------------------------------------------
+
+def materialize_events_by_date(spark: SparkSession, sf_dir: str, root: str) -> str:
+    """Write the flat events table as a date=YYYY-MM-DD Hive-partitioned
+    dataset under `root` (idempotent: skipped when _SUCCESS exists).
+    Bench/test scaffolding — at 100 TB the dataset would already live
+    partitioned, written once by `write_overwrite(partition_by='date')`."""
+    import os
+
+    from hadoop_data_lake_spark.core.io import write_overwrite
+
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        ev = read_table(spark, sf_dir, "events").withColumn(
+            "date", F.to_date("ts").cast("string")
+        )
+        write_overwrite(ev, root, partition_by="date")
+    return root
+
+
+def events_partitioned_range(
+    spark: SparkSession,
+    root: str,
+    start: str = "2024-01-08",
+    end: str = "2024-01-14",
+) -> DataFrame:
+    """Per-type activity over one week of a date-partitioned events dataset.
+
+    The range predicate must prune at partition level (PartitionFilters in
+    the scan, ~7/30 directories listed) — asserted in tests/test_plans.py.
+    """
+    from hadoop_data_lake_spark.core.io import read_partitioned
+
+    ev = read_partitioned(spark, root, "date", start, end)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

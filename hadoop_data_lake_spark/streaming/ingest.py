@@ -139,7 +139,9 @@ def running_max_per_user(events: DataFrame, watermark: str = "30 minutes") -> Da
     )
 
 
-def _open_stream(spark: SparkSession, parquet_path: str) -> DataFrame:
+def _open_stream(spark: SparkSession, parquet_path: str) -> tuple[DataFrame, str]:
+    """Returns (streaming frame, scratch dir). The caller must remove the
+    scratch dir once the replay has drained (see `_drain_replay`)."""
     from hadoop_data_lake_spark.core.io import normalize_ns_ts
 
     import os
@@ -151,7 +153,7 @@ def _open_stream(spark: SparkSession, parquet_path: str) -> DataFrame:
     # through a scratch dir with a symlink (read-only source stays untouched).
     src_dir = tempfile.mkdtemp(prefix="stream_src_")
     os.symlink(parquet_path, os.path.join(src_dir, os.path.basename(parquet_path)))
-    return normalize_ns_ts(spark.readStream.schema(schema).parquet(src_dir))
+    return normalize_ns_ts(spark.readStream.schema(schema).parquet(src_dir)), src_dir
 
 
 def replay_to_memory(out: DataFrame, output_mode: str = "complete") -> str:
@@ -169,12 +171,32 @@ def replay_to_memory(out: DataFrame, output_mode: str = "complete") -> str:
     return name
 
 
+def _drain_replay(
+    spark: SparkSession, out: DataFrame, src_dir: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Run the availableNow replay, then release every session-lifetime
+    resource it pinned: the memory-sink table (driver heap) and the scratch
+    source dir. Repeated replays previously leaked both (one scratch dir +
+    one sink table per call); the result rows are re-wrapped as a local
+    DataFrame so dropping the sink can't invalidate the returned frame."""
+    import shutil
+
+    name = replay_to_memory(out, output_mode=output_mode)
+    try:
+        sink = spark.table(name)
+        result = spark.createDataFrame(sink.collect(), schema=sink.schema)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(src_dir, ignore_errors=True)
+    return result
+
+
 def run_batch_replay(
     spark: SparkSession, parquet_path: str, window_seconds: int = 600
 ) -> DataFrame:
     """Tumbling-window counts replayed over a static parquet file."""
-    out = windowed_event_counts(_open_stream(spark, parquet_path), window_seconds)
-    return spark.table(replay_to_memory(out))
+    stream, src_dir = _open_stream(spark, parquet_path)
+    return _drain_replay(spark, windowed_event_counts(stream, window_seconds), src_dir)
 
 
 def run_sliding_replay(
@@ -183,22 +205,22 @@ def run_sliding_replay(
     window_seconds: int = 600,
     slide_seconds: int = 300,
 ) -> DataFrame:
-    out = sliding_event_counts(
-        _open_stream(spark, parquet_path), window_seconds, slide_seconds
-    )
-    return spark.table(replay_to_memory(out))
+    stream, src_dir = _open_stream(spark, parquet_path)
+    out = sliding_event_counts(stream, window_seconds, slide_seconds)
+    return _drain_replay(spark, out, src_dir)
 
 
 def run_session_replay(
     spark: SparkSession, parquet_path: str, gap_seconds: int = 1800
 ) -> DataFrame:
-    out = session_event_stats(_open_stream(spark, parquet_path), gap_seconds)
-    return spark.table(replay_to_memory(out))
+    stream, src_dir = _open_stream(spark, parquet_path)
+    return _drain_replay(spark, session_event_stats(stream, gap_seconds), src_dir)
 
 
 def run_stateful_replay(spark: SparkSession, parquet_path: str) -> DataFrame:
-    out = running_max_per_user(_open_stream(spark, parquet_path))
-    return spark.table(replay_to_memory(out, output_mode="update"))
+    stream, src_dir = _open_stream(spark, parquet_path)
+    out = running_max_per_user(stream)
+    return _drain_replay(spark, out, src_dir, output_mode="update")
 
 
 def enriched_windowed_value(
@@ -232,5 +254,6 @@ def enriched_windowed_value(
 def run_enriched_replay(
     spark: SparkSession, parquet_path: str, window_seconds: int = 600
 ) -> DataFrame:
-    out = enriched_windowed_value(spark, _open_stream(spark, parquet_path), window_seconds)
-    return spark.table(replay_to_memory(out))
+    stream, src_dir = _open_stream(spark, parquet_path)
+    out = enriched_windowed_value(spark, stream, window_seconds)
+    return _drain_replay(spark, out, src_dir)

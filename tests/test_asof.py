@@ -2,6 +2,7 @@
 applyInPandas + merge_asof."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from hadoop_data_lake_spark.operators.asof import asof_join
 
@@ -36,3 +37,15 @@ def test_asof_backward_semantics(spark):
     assert out[3]["px"] is None     # nothing at-or-before 09:00
     assert out[4]["px"] is None     # no quotes for B at all
     assert len(out) == 4            # every left row exactly once
+
+
+def test_asof_join_rejects_ambiguous_columns(spark):
+    from hadoop_data_lake_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, 5.0)], "k int, t int, value double")
+    right = spark.createDataFrame([(1, 8, 7.0)], "k int, rt int, value double")
+    with pytest.raises(ValueError, match="disjoint"):
+        asof_join(left, right, on="k", left_ts="t", right_ts="rt")
+    reserved = spark.createDataFrame([(1, 8, 7.0)], "k int, rt int, __r double")
+    with pytest.raises(ValueError, match="reserve"):
+        asof_join(left.drop("value"), reserved, on="k", left_ts="t", right_ts="rt")

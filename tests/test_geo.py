@@ -2,6 +2,7 @@
 (SURVEY.md §2.9-B1: the reference feeds raw degrees into sin/cos,
 save_mes_geo.py:39)."""
 
+import pytest
 import math
 
 import pyspark.sql.functions as F
@@ -81,3 +82,21 @@ def test_grid_cell_neighbors_within_radius(spark):
         assert abs(y1 - y2) <= 1, grp
         dx = abs(x1 - x2)
         assert min(dx, n_lon - dx) <= 1, grp
+
+
+def test_grid_join_enforces_latitude_domain(spark):
+    """Beyond max_abs_lat the 3x3 containment guarantee breaks; the join
+    must raise instead of silently missing pairs (and a widened domain must
+    accept the same rows)."""
+    from hadoop_data_lake_spark.operators.joins import grid_distance_self_join
+
+    polar = spark.createDataFrame(
+        [(1, 85.0, 10.0), (2, 85.0, 10.1)], "uid long, lat double, lon double"
+    )
+    with pytest.raises(Exception, match="containment"):
+        grid_distance_self_join(polar, "uid", "lat", "lon", radius_km=5.0).collect()
+    ok = grid_distance_self_join(
+        polar, "uid", "lat", "lon", radius_km=5.0, max_abs_lat=89.0
+    )
+    # 0.1 deg lon at lat 85 is ~1 km — inside the 5 km radius
+    assert ok.count() == 1

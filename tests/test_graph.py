@@ -35,3 +35,24 @@ def test_dedup_clusters_sizes_and_reps(spark):
     assert rows[5]["cluster_rep"] == 5 and rows[12]["cluster_rep"] == 5
     assert rows[5]["cluster_size"] == 3
     assert rows[31]["cluster_rep"] == 30 and rows[31]["cluster_size"] == 2
+
+
+def test_connected_components_nonconvergence_is_loud(spark):
+    """A path graph of diameter 9 cannot converge in 2 iterations; the
+    result would silently split components — strict mode must raise."""
+    from hadoop_data_lake_spark.operators.graph import (
+        ConvergenceError,
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src long, dst long"
+    )
+    with pytest.raises(ConvergenceError, match="max_iter=2"):
+        connected_components(chain, max_iter=2)
+    # best-effort mode returns (possibly split) labels instead
+    partial = connected_components(chain, max_iter=2, strict=False)
+    assert partial.count() == 10
+    # and enough iterations converge to a single component
+    full = connected_components(chain, max_iter=10)
+    assert {r["component"] for r in full.collect()} == {0}

@@ -98,3 +98,34 @@ def test_register_tables_sql_entry_point(spark):
     assert sum(r["n_nations"] for r in out) == 25
     # events view readable with normalized timestamps
     assert spark.sql("SELECT count(*) n FROM events WHERE ts IS NOT NULL").collect()[0]["n"] > 0
+
+
+def test_schema_contracts_validate_every_table(spark):
+    from hadoop_data_lake_spark.core.io import SCHEMAS, TABLES, read_table
+
+    assert set(SCHEMAS) == set(TABLES)
+    for t in TABLES:  # validate=True is the default; must not raise
+        read_table(spark, "/root/testdata/sf0.001", t)
+
+
+def test_schema_contract_mismatch_fails_loudly(spark, tmp_path):
+    from hadoop_data_lake_spark.core.io import (
+        SchemaContractError,
+        read_table,
+        validate_schema,
+    )
+
+    # wrong type: r_regionkey written as bigint instead of int
+    bad = spark.createDataFrame([(1, "AFRICA")], "r_regionkey long, r_name string")
+    with pytest.raises(SchemaContractError, match="r_regionkey"):
+        validate_schema(bad, "region")
+    # missing column
+    bad2 = spark.createDataFrame([(1,)], "r_regionkey int")
+    with pytest.raises(SchemaContractError, match="region"):
+        validate_schema(bad2, "region")
+    # a deviating file still readable with validate=False
+    bad.write.parquet(str(tmp_path / "region.parquet"))
+    df = read_table(spark, str(tmp_path), "region", validate=False)
+    assert df.count() == 1
+    with pytest.raises(SchemaContractError):
+        read_table(spark, str(tmp_path), "region")

@@ -130,3 +130,33 @@ def test_merge_upsert_is_one_full_outer_join(spark):
     assert "FullOuter" in plan
     # exactly one join for the whole merge
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count("BroadcastHashJoin") == 1
+
+
+def test_events_partitioned_scan_prunes_directories(spark, tmp_path):
+    """read_partitioned + date range filter must prune at PARTITION level
+    (the reference's save_mes_geo.py:16-22 path-enumeration pattern,
+    expressed declaratively): the range lands in PartitionFilters and the
+    scan lists only the in-range date= directories."""
+    from hadoop_data_lake_spark.queries.events_queries import (
+        events_partitioned_range,
+        materialize_events_by_date,
+    )
+
+    from hadoop_data_lake_spark.core.io import read_partitioned
+
+    root = str(tmp_path / "events_by_date")
+    materialize_events_by_date(spark, SF, root)
+    out = events_partitioned_range(spark, root, "2024-01-08", "2024-01-14")
+    out_days = read_partitioned(spark, root, "date", "2024-01-08", "2024-01-14").select("date").distinct()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan = next(line for line in plan.splitlines() if "FileScan parquet" in line)
+    # the range predicate is applied at PARTITION level, not as a data
+    # filter: listing prunes to the 7 in-range date= directories
+    part_filters = scan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "date" in part_filters and ">= 2024-01-08" in part_filters and "<= 2024-01-14" in part_filters
+    assert "DataFilters: []" in scan
+    days = {str(r["date"]) for r in out_days.collect()}
+    assert days == {f"2024-01-{d:02d}" for d in range(8, 15)}
+    rows = out.collect()
+    assert len(rows) == 5  # one row per event_type
+    assert all(r["n_events"] > 0 for r in rows)

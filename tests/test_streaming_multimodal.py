@@ -2,6 +2,8 @@
 binary-column plumbing."""
 
 import pyspark.sql.functions as F
+import pytest
+import tempfile
 
 from hadoop_data_lake_spark.core.io import read_table
 from hadoop_data_lake_spark.operators.multimodal import synth_media_from_text, extract_features
@@ -85,7 +87,7 @@ def test_stream_parquet_sink_with_checkpoint(spark, tmp_path):
 
     out_dir = str(tmp_path / "stream_out")
     ckpt = str(tmp_path / "ckpt")
-    stream = _open_stream(spark, f"{SF_DIR}/events.parquet")
+    stream, _src_dir = _open_stream(spark, f"{SF_DIR}/events.parquet")
     counts = windowed_event_counts(stream, window_seconds=600)
 
     def sink(batch_df, batch_id):
@@ -114,3 +116,60 @@ def test_stream_parquet_sink_with_checkpoint(spark, tmp_path):
     assert g == b
     import os
     assert os.path.isdir(ckpt)  # checkpoint state written
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pil_available(), reason="Pillow installed: real codec path active")
+def test_decode_media_environment_limited():
+    """The real-codec hook must fail with NotImplementedError — not a crash,
+    not a silent fake — when codecs are absent, so 'stub by environment' is
+    provable. The skipif inverts when Pillow is installed (the companion
+    test below takes over)."""
+    from hadoop_data_lake_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_media(b"\x89PNG fake", "image/png")
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_media(b"RIFF fake", "audio/wav")
+
+
+@pytest.mark.skipif(not _pil_available(), reason="Pillow not installed in this container")
+def test_decode_media_real_codec_roundtrip(spark):
+    """Exercises the REAL codec path end-to-end through extract_features
+    (runs wherever Pillow exists; skipped — visibly — in this container)."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 3), (10, 20, 30)).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, bytearray(png), {"format": "image/png", "width": 4, "height": 3, "n_bytes": len(png)})],
+        "media_id long, media binary, meta struct<format string, width int, height int, n_bytes long>",
+    )
+    row = extract_features(media, fake_decode=False).collect()[0]
+    assert row["n_bytes"] == 4 * 3 * 3  # RGB raster bytes, not PNG container
+    assert row["first_byte"] == 10
+
+
+def test_replay_releases_scratch_and_sink(spark):
+    """Repeated replays must not leak stream_src_* scratch dirs or memory
+    sink tables (session-lifetime leak fixed in streaming/ingest.py)."""
+    import glob
+
+    before_dirs = set(glob.glob(f"{tempfile.gettempdir()}/stream_src_*"))
+    before_tables = {t.name for t in spark.catalog.listTables()}
+    out = run_batch_replay(spark, f"{SF_DIR}/events.parquet", window_seconds=3600)
+    assert out.count() > 0  # result survives resource release
+    assert set(glob.glob(f"{tempfile.gettempdir()}/stream_src_*")) == before_dirs
+    new_tables = {t.name for t in spark.catalog.listTables()} - before_tables
+    assert not {t for t in new_tables if t.startswith("stream_out_")}
