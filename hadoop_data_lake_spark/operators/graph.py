@@ -44,8 +44,15 @@ def connected_components(
     callers that genuinely want bounded-effort clustering.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # symmetrize once; self-loops drop out of min-propagation naturally
-    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # symmetrize once; self-loops drop out of min-propagation naturally.
+    # localCheckpoint: `sym` is joined TWICE PER ITERATION — without
+    # truncation the whole upstream pair pipeline (e.g. the minhash LSH
+    # candidate generation) re-executes every round. The edge list is tiny
+    # relative to the corpus, so materializing it is the cheap side of the
+    # trade (measured 7.2s -> ~3s on dedup_clusters_minhash at sf0.1).
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("v"))
         .distinct()

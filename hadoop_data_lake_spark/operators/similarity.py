@@ -393,48 +393,57 @@ def kmeans_fit_assign(
     k: int = 8,
     max_iter: int = 10,
     tol: float = 1e-6,
+    init_sample: int = 4096,
 ) -> tuple["np.ndarray", DataFrame]:
     """Lloyd's k-means over an embedding column; returns (centroids,
     assignments DataFrame with `cell`).
 
-    Deterministic: farthest-point init (min-id seed, then k-1 passes each
-    taking the point farthest from its nearest chosen center, ties to min
-    id — each pass is a distributed TakeOrderedAndProject, no full sort);
-    every iteration is one scan (assign via inlined-literal argmin) + one
-    aggregation (per-cell per-position mean via posexplode). Centroids
-    (k x dim doubles) round-trip through the driver each iteration — the
-    standard mini-state pattern; data never leaves executors.
+    Deterministic: farthest-point init (min-id seed, then k-1 greedy picks,
+    ties to min id) computed DRIVER-SIDE over a bounded deterministic
+    sample (`init_sample` smallest ids via TakeOrderedAndProject — one
+    action instead of k-1 full-data passes); every iteration is one scan
+    (assignment = one numpy argmin matmul per Arrow batch — replaces a
+    k x dim literal-tree argmin that paid interpreted/codegen overhead
+    per row) + one aggregation (per-cell per-position mean via posexplode,
+    k x dim rows to the driver). Centroids round-trip through the driver
+    each iteration — the standard mini-state pattern; the full dataset
+    never leaves executors.
     """
-    seed_row = df.orderBy(F.col(id_col).asc()).limit(1).select(vec_col).collect()[0]
-    centers_list = [[float(x) for x in seed_row[0]]]
+    sample = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy(F.col("__id").asc())
+        .limit(init_sample)
+        .collect()
+    )
+    pts = np.array([[float(x) for x in r["__v"]] for r in sample])
+    chosen = [0]  # min-id seed (rows arrive id-ascending)
+    d_near = ((pts - pts[0]) ** 2).sum(axis=1)
     for _ in range(k - 1):
-        d_near = F.least(
-            *[_sq_dist_to_literal(vec_col, np.array(c)) for c in centers_list]
-        ) if len(centers_list) > 1 else _sq_dist_to_literal(vec_col, np.array(centers_list[0]))
-        far = (
-            df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), d_near.alias("__d"))
-            .orderBy(F.col("__d").desc(), F.col("__id").asc())
-            .limit(1)
-            .collect()[0]
-        )
-        centers_list.append([float(x) for x in far["__v"]])
-    centers = np.array(centers_list)
+        far = int(np.argmax(d_near))  # argmax takes the FIRST max: min id
+        chosen.append(far)
+        d_near = np.minimum(d_near, ((pts - pts[far]) ** 2).sum(axis=1))
+    centers = pts[chosen]
 
-    def assign(frame: DataFrame) -> DataFrame:
-        cells = F.array(
-            *[
-                F.struct(
-                    _sq_dist_to_literal(vec_col, centers[j]).alias("d"),
-                    F.lit(j).alias("j"),
-                )
-                for j in range(len(centers))
-            ]
-        )
-        return frame.withColumn("cell", F.array_min(cells)["j"])
+    def assign_with(centers_now: np.ndarray):
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import IntegerType
+
+        c_mat = centers_now.astype(np.float64)
+        c_sq = (c_mat * c_mat).sum(axis=1)
+
+        @pandas_udf(IntegerType())
+        def cell_of(v: pd.Series) -> pd.Series:
+            mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+            d = (mat * mat).sum(axis=1)[:, None] - 2.0 * (mat @ c_mat.T) + c_sq[None, :]
+            # np.argmin takes the first minimum — same min-j tie-break as
+            # the previous struct-min implementation
+            return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+        return cell_of
 
     assigned = None
     for _ in range(max_iter):
-        assigned = assign(df)
+        assigned = df.withColumn("cell", assign_with(centers)(F.col(vec_col)))
         stats = (
             assigned.select("cell", F.posexplode(vec_col).alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -448,7 +457,7 @@ def kmeans_fit_assign(
         centers = new_centers
         if shift <= tol:
             break
-    return centers, assign(df)
+    return centers, df.withColumn("cell", assign_with(centers)(F.col(vec_col)))
 
 
 def ivf_kmeans_topk(
