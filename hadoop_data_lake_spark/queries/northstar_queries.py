@@ -833,3 +833,160 @@ GROUP BY bigram
 ORDER BY n DESC, bigram
 LIMIT 100
 """
+
+
+# --------------------------------------------------------------------------
+# LLM-training-pipeline stages (round 2): quality gate, benchmark
+# decontamination, PII redaction. All three are pure JVM expression /
+# equi-join plans with full DuckDB oracles.
+# --------------------------------------------------------------------------
+
+def quality_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style per-document quality RULES with an overall keep flag
+    (the filter STAGE, vs text_stats' raw signals): word-count band, mean
+    word length band, stopword floor, digit-character ceiling. One narrow
+    projection over the scan — trivially linear at any scale."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    w = F.split(t, " ")
+    n_words = F.size(w).cast("long")
+    word_chars = F.aggregate(
+        F.transform(w, lambda x: F.length(x).cast("long")), F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_wl = F.round(word_chars.cast("double") / n_words, 6)
+    digit_ratio = F.round(
+        F.length(F.regexp_replace(t, "[^0-9]", "")).cast("double") / F.length(t), 6
+    )
+    from hadoop_data_lake_spark.functions.text import stopword_ratio
+
+    stop_ratio = F.round(stopword_ratio(t), 6)
+    rule_words = (n_words >= 40) & (n_words <= 100000)
+    rule_meanwl = (mean_wl >= 2.5) & (mean_wl <= 10.0)
+    rule_stop = stop_ratio >= 0.03
+    rule_digits = digit_ratio <= 0.2
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        stop_ratio.alias("stop_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        rule_words.alias("ok_word_count"),
+        rule_meanwl.alias("ok_mean_word_len"),
+        rule_stop.alias("ok_stopwords"),
+        rule_digits.alias("ok_digit_ratio"),
+        (rule_words & rule_meanwl & rule_stop & rule_digits).alias("keep"),
+    )
+
+
+QUALITY_GOPHER_FILTERS_SQL = f"""
+WITH sig AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))::bigint AS n_words,
+         round(list_sum(list_transform(string_split(text, ' '), x -> length(x)))::double
+               / len(string_split(text, ' ')), 6) AS mean_word_len,
+         round({TX.stopword_ratio_sql('text')}, 6) AS stop_ratio,
+         round(length(regexp_replace(text, '[^0-9]', '', 'g'))::double / length(text), 6) AS digit_ratio
+  FROM documents
+)
+SELECT doc_id, n_words, mean_word_len, stop_ratio, digit_ratio,
+       (n_words >= 40 AND n_words <= 100000) AS ok_word_count,
+       (mean_word_len >= 2.5 AND mean_word_len <= 10.0) AS ok_mean_word_len,
+       (stop_ratio >= 0.03) AS ok_stopwords,
+       (digit_ratio <= 0.2) AS ok_digit_ratio,
+       ((n_words >= 40 AND n_words <= 100000) AND (mean_word_len >= 2.5 AND mean_word_len <= 10.0)
+        AND (stop_ratio >= 0.03) AND (digit_ratio <= 0.2)) AS keep
+FROM sig
+"""
+
+
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: which corpus documents share >= 2 distinct
+    3-gram shingles with a held-out probe set (doc_id % 97 == 0 stands in
+    for the benchmark)?
+
+    Scale shape: the probe side is tiny by construction, so its exploded
+    shingles BROADCAST; candidates come from the shingle equi-join (an
+    inverted index — never doc x probe), then one aggregation on
+    (doc, probe). Stopword-heavy hot shingles fan out candidates; at real
+    scale drop top-document-frequency shingles first (same cap documented
+    on ngram_jaccard_pairs)."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = TX.shingles(F.col("text"), k=3)
+    corpus = docs.select(
+        F.col("doc_id").alias("doc_id"), F.explode_outer(sh).alias("shingle")
+    ).where(F.col("doc_id") % 97 != 0)
+    probes = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("probe_id"), F.explode_outer(sh).alias("shingle")
+    )
+    return (
+        corpus.join(F.broadcast(probes), on="shingle")
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
+
+
+DECONTAMINATE_NGRAM_OVERLAP_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents),
+sh AS (SELECT doc_id, {TX.shingles_sql('w', 'text', 3)} AS shingles FROM toks),
+corpus AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 <> 0
+),
+probes AS (
+  SELECT doc_id AS probe_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0
+)
+SELECT c.doc_id, p.probe_id, count(*)::bigint AS n_shared
+FROM corpus c JOIN probes p USING (shingle)
+GROUP BY c.doc_id, p.probe_id
+HAVING count(*) >= 2
+"""
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "555-[0-9]{4}"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing stage: count and redact email/phone patterns.
+
+    The synthetic corpus contains no PII, so a deterministic injection step
+    (doc_id-keyed suffixes) builds the dirty input INSIDE the query — both
+    engines construct the identical string, then count and redact it. The
+    regex subset used ([...] classes, {m,} bounds) behaves identically in
+    Java regex and RE2. Output carries md5 of the redacted text so the
+    oracle pins the exact rewritten bytes without shipping them twice."""
+    docs = read_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-0199")).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(dirty, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(dirty, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(dirty, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+PII_REDACT_SQL = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id::varchar || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' call 555-0199' ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_EMAIL_RE}'))::bigint AS n_emails,
+       len(regexp_extract_all(t, '{_PHONE_RE}'))::bigint AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g'), '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
+FROM dirty
+"""

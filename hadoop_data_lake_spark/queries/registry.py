@@ -89,6 +89,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "props_map_entries": QuerySpec(NS.props_map_entries, NS.PROPS_MAP_ENTRIES_SQL, ("json", "map")),
     "daily_unique_users_approx": QuerySpec(NS.daily_unique_users_approx, None, ("sketch", "hll")),
     "value_percentiles_approx": QuerySpec(EV.value_percentiles_approx, None, ("sketch", "percentile")),
+    "quality_gopher_filters": QuerySpec(NS.quality_gopher_filters, NS.QUALITY_GOPHER_FILTERS_SQL, ("text", "quality", "filter-stage")),
+    "decontaminate_ngram_overlap": QuerySpec(NS.decontaminate_ngram_overlap, NS.DECONTAMINATE_NGRAM_OVERLAP_SQL, ("text", "decontamination", "ngram")),
+    "pii_redact": QuerySpec(NS.pii_redact, NS.PII_REDACT_SQL, ("text", "pii", "regex")),
     # --- r1-ungraded events/TPC-H shapes --------------------------------
     "q21_waiting_suppliers": QuerySpec(TQ.q21_waiting_suppliers, TQ.Q21_WAITING_SUPPLIERS_SQL, ("join", "exists", "argmax")),
     "orders_snapshot_merge": QuerySpec(TQ.orders_snapshot_merge, TQ.ORDERS_SNAPSHOT_MERGE_SQL, ("merge", "upsert", "full-outer")),
@@ -102,15 +105,17 @@ REGISTRY: dict[str, QuerySpec] = {
     "value_mad": QuerySpec(EV.value_mad, EV.VALUE_MAD_SQL, ("agg", "percentile", "robust-stats")),
     "monthly_revenue_yoy": QuerySpec(TQ.monthly_revenue_yoy, TQ.MONTHLY_REVENUE_YOY_SQL, ("window", "lag", "post-agg")),
     "weekly_counts_unpivot": QuerySpec(TQ.weekly_counts_unpivot, TQ.WEEKLY_COUNTS_UNPIVOT_SQL, ("unpivot", "melt")),
-    "nation_revenue_share": QuerySpec(TQ.nation_revenue_share, TQ.NATION_REVENUE_SHARE_SQL, ("window", "ratio-to-report")),
-    "part_name_near_matches": QuerySpec(TQ.part_name_near_matches, TQ.PART_NAME_NEAR_MATCHES_SQL, ("join", "fuzzy", "blocking", "levenshtein")),
-    "brand_basket_pairs": QuerySpec(TQ.brand_basket_pairs, TQ.BRAND_BASKET_PAIRS_SQL, ("join", "self-join", "market-basket")),
     # ============ END DRIVER WINDOW (50 entries above) ===================
-    # Rotation backlog: nearest relatives of r1-graded shapes; window
-    # candidates for round 3.
+    # Rotation backlog (round-3 window candidates): nearest relatives of
+    # r1-graded shapes, plus the three shapes displaced by the round-2
+    # LLM-pipeline stages (quality/decontamination/PII) — all still verified
+    # locally by tools/check_oracle.py every round.
     "regional_revenue_rollup": QuerySpec(TQ.regional_revenue_rollup, TQ.REGIONAL_REVENUE_ROLLUP_SQL, ("agg", "rollup")),
     "acctbal_union_stats": QuerySpec(TQ.acctbal_union_stats, TQ.ACCTBAL_UNION_STATS_SQL, ("setop", "union-all")),
     "rolling_3event_value": QuerySpec(EV.rolling_3event_value, EV.ROLLING_3EVENT_VALUE_SQL, ("window", "rows-frame")),
+    "nation_revenue_share": QuerySpec(TQ.nation_revenue_share, TQ.NATION_REVENUE_SHARE_SQL, ("window", "ratio-to-report")),
+    "part_name_near_matches": QuerySpec(TQ.part_name_near_matches, TQ.PART_NAME_NEAR_MATCHES_SQL, ("join", "fuzzy", "blocking", "levenshtein")),
+    "brand_basket_pairs": QuerySpec(TQ.brand_basket_pairs, TQ.BRAND_BASKET_PAIRS_SQL, ("join", "self-join", "market-basket")),
     # --- r1-graded (green in CORRECTNESS_r01.json; re-verified locally) --
     # events (reference pipeline semantics on the flat driver table)
     "zone_report": QuerySpec(EV.zone_report, EV.ZONE_REPORT_SQL, ("flagship", "pivot", "window", "join")),

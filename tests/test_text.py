@@ -48,3 +48,80 @@ def test_quality_score_bounds_and_monotonicity(spark):
 def test_stopword_ratio(spark):
     assert math.isclose(_one(spark, "the fox", stopword_ratio), 0.5)
     assert _one(spark, "fox wolf", stopword_ratio) == 0.0
+
+
+def test_quality_gopher_filters_rules(spark):
+    """Planted docs on both sides of each rule boundary."""
+    from hadoop_data_lake_spark.queries import northstar_queries as NS
+    import hadoop_data_lake_spark.core.io as io
+
+    good = " ".join(["the data table is on a row"] * 8)  # 48 words, stopwordy
+    short = "tiny doc"                                    # fails word count
+    digits = " ".join(["123456789"] * 50)                 # fails digits + stopwords
+    docs = spark.createDataFrame(
+        [(1, good, "en", "s", len(good)), (2, short, "en", "s", len(short)),
+         (3, digits, "en", "s", len(digits))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = io.read_table
+    try:
+        io.read_table = lambda sp, sf, name, validate=True: docs
+        NS.read_table = io.read_table
+        out = {r["doc_id"]: r for r in NS.quality_gopher_filters(spark, "ignored").collect()}
+    finally:
+        io.read_table = orig
+        NS.read_table = orig
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["ok_word_count"] is False
+    assert out[3]["keep"] is False and out[3]["ok_digit_ratio"] is False
+
+
+def test_pii_redact_counts_and_rewrite(spark):
+    """doc_id 77 gets an email (77%7==0) AND a phone (77%11==0); the md5
+    must reflect both substitutions."""
+    from hadoop_data_lake_spark.queries import northstar_queries as NS
+    import hashlib
+    import hadoop_data_lake_spark.core.io as io
+
+    docs = spark.createDataFrame(
+        [(77, "hello world", "en", "s", 11), (5, "plain text", "en", "s", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = io.read_table
+    try:
+        io.read_table = lambda sp, sf, name, validate=True: docs
+        NS.read_table = io.read_table
+        out = {r["doc_id"]: r for r in NS.pii_redact(spark, "ignored").collect()}
+    finally:
+        io.read_table = orig
+        NS.read_table = orig
+    assert out[77]["n_emails"] == 1 and out[77]["n_phones"] == 1
+    expected = hashlib.md5(b"hello world contact [EMAIL] call [PHONE]").hexdigest()
+    assert out[77]["redacted_md5"] == expected
+    assert out[5]["n_emails"] == 0 and out[5]["n_phones"] == 0
+    assert out[5]["redacted_md5"] == hashlib.md5(b"plain text").hexdigest()
+
+
+def test_decontaminate_finds_planted_overlap(spark):
+    """Doc 97*2=194 is a probe (id % 97 == 0); doc 7 copies 5 of its words
+    -> >= 2 shared 3-grams; doc 8 shares nothing."""
+    from hadoop_data_lake_spark.queries import northstar_queries as NS
+    import hadoop_data_lake_spark.core.io as io
+
+    probe = "alpha beta gamma delta epsilon zeta eta theta"
+    leak = "alpha beta gamma delta epsilon unrelated words here"
+    clean = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(194, probe, "en", "s", 1), (7, leak, "en", "s", 1), (8, clean, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = io.read_table
+    try:
+        io.read_table = lambda sp, sf, name, validate=True: docs
+        NS.read_table = io.read_table
+        rows = NS.decontaminate_ngram_overlap(spark, "ignored").collect()
+    finally:
+        io.read_table = orig
+        NS.read_table = orig
+    got = {(r["doc_id"], r["probe_id"]): r["n_shared"] for r in rows}
+    assert got == {(7, 194): 3}  # 3 shared 3-grams from the 5-word overlap
