@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_clusters_minhash",
     "text_stats",
+    "decontaminate_ngram_overlap",
     "ann_brute_force",
     "ann_ivf_kmeans",
     "embedding_near_dup",

@@ -15,7 +15,9 @@ window, not an arbitrary dict:
   streaming) first. Round 2's window = the 53 r1-ungraded queries minus the
   3 nearest relatives of r1-graded shapes (regional_revenue_rollup ~
   sales_cube, acctbal_union_stats ~ nations_with_both, rolling_3event_value
-  ~ rolling_hour_activity), which rotate in next round.
+  ~ rolling_hour_activity), then minus 3 more displaced by the new
+  LLM-pipeline stages (nation_revenue_share, part_name_near_matches,
+  brand_basket_pairs) — all six sit first in the round-3 window.
 - Entries 51+ = queries already proven by an earlier CORRECTNESS_r{N}.json
   (kept registered so `tools/check_oracle.py` still re-verifies all of them
   locally every round — the full set stays green even outside the window).
