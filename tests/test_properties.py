@@ -71,3 +71,72 @@ def test_top1_returns_group_minimum(spark, rows):
         if k not in expect or (v, i) < expect[k]:
             expect[k] = (v, i)
     assert got == expect
+
+
+vec_s = st.lists(
+    st.integers(min_value=-1000, max_value=1000).map(lambda v: v / 100.0),
+    min_size=64, max_size=64,
+)
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(vec_s, min_size=2, max_size=20, unique_by=lambda v: tuple(v)))
+def test_srp_band_keys_partition_invariant(spark, vecs):
+    """Band keys are a pure per-row function: identical under any
+    repartitioning (no float-sum shuffle nondeterminism)."""
+    from hadoop_data_lake_spark.operators.similarity import srp_band_keys
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    one = {(r["__id"], r["band"], r["band_key"]) for r in srp_band_keys(df.repartition(1)).collect()}
+    many = {(r["__id"], r["band"], r["band_key"]) for r in srp_band_keys(df.repartition(8)).collect()}
+    assert one == many
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(vec_s, min_size=2, max_size=16, unique_by=lambda v: tuple(v)))
+def test_banded_near_dup_subset_of_exact(spark, vecs):
+    """Candidate/verify output is ALWAYS a subset of the exact all-pairs
+    result (precision 1.0), for arbitrary vectors — not just planted dups."""
+    from hadoop_data_lake_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    banded = {(r["id_a"], r["id_b"], r["sim_r"]) for r in cosine_near_dup_pairs(df, threshold=0.9).collect()}
+    exact = {(r["id_a"], r["id_b"], r["sim_r"]) for r in cosine_near_dup_pairs_exact(df, threshold=0.9).collect()}
+    assert banded <= exact
+
+
+def test_pii_redact_idempotent(spark):
+    """Redacting already-redacted text is a no-op: the substitution tokens
+    never match the patterns."""
+    from hadoop_data_lake_spark.queries.northstar_queries import _EMAIL_RE, _PHONE_RE
+
+    dirty = "reach me at a.b%c@mail-host.co or 555-1234 thanks"
+    once = (
+        spark.createDataFrame([(dirty,)], "t string")
+        .select(
+            F.regexp_replace(
+                F.regexp_replace("t", _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+            ).alias("r")
+        )
+        .collect()[0]["r"]
+    )
+    twice = (
+        spark.createDataFrame([(once,)], "t string")
+        .select(
+            F.regexp_replace(
+                F.regexp_replace("t", _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+            ).alias("r")
+        )
+        .collect()[0]["r"]
+    )
+    assert once == "reach me at [EMAIL] or [PHONE] thanks"
+    assert twice == once
