@@ -514,3 +514,95 @@ def ivf_kmeans_topk(
         k=k,
         rank_col="rnk",
     )
+
+
+# --------------------------------------------------------------------------
+# IVF index persistence: the production build/search split. Build once
+# (k-means fit + cell assignment written as parquet, partitioned by cell so
+# a search with nprobe cells reads exactly those directories), search many
+# times without refitting.
+# --------------------------------------------------------------------------
+
+def ivf_build(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    max_iter: int = 10,
+) -> "np.ndarray":
+    """Fit k-means and persist the IVF index under `path`:
+
+    - `<path>/cells/` — (id, vector, norm) parquet, Hive-partitioned by
+      `cell`, so a search probing nprobe cells is a PARTITION-PRUNED scan
+      (the same PartitionFilters machinery as the events date reads);
+    - `<path>/centroids/` — (cell, centroid) parquet, tiny.
+
+    Returns the centroid matrix. Deterministic end to end (kmeans_fit_assign
+    tie-breaks), so rebuilds are reproducible."""
+    centers, assigned = kmeans_fit_assign(
+        corpus, id_col=id_col, vec_col=vec_col, k=n_cells, max_iter=max_iter
+    )
+    (
+        assigned.select(
+            "cell",
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm(F.col(vec_col)).alias("norm_c"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(j, [float(x) for x in centers[j]]) for j in range(len(centers))],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    return centers
+
+
+def ivf_search(
+    queries: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Search a persisted IVF index: probe each query's `nprobe` nearest
+    centroids (tiny broadcast), scan ONLY those cell partitions, exact
+    cosine re-rank. Bit-identical to running ivf search in-memory on the
+    same centroids — asserted in tests/test_similarity.py."""
+    spark = queries.sparkSession
+    centroids = spark.read.parquet(f"{path}/centroids")
+    cells = spark.read.option("basePath", f"{path}/cells").parquet(f"{path}/cells")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("norm_q"),
+    )
+    probed = topk_per_group(
+        q.crossJoin(F.broadcast(centroids)).withColumn(
+            "c_sim", F.round(cosine(F.col("q_vec"), F.col("centroid")), 6)
+        ),
+        ["query_id"],
+        [F.col("c_sim").desc(), F.col("cell").asc()],
+        k=nprobe,
+        rank_col="probe_rnk",
+    ).select("query_id", "q_vec", "norm_q", "cell")
+
+    cand = probed.join(cells, on="cell", how="inner").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn("sim_r", F.round(_paired_cosine(), 6)).select(
+        "query_id", "neighbor_id", "sim_r"
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("sim_r").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rnk",
+    )

@@ -160,3 +160,24 @@ def test_ivf_kmeans_topk_finds_cluster_mates(emb):
     for qid, neigh in got.items():
         mates = {qid // PER_CLUSTER * PER_CLUSTER + i for i in range(PER_CLUSTER)} - {qid}
         assert neigh == mates
+
+
+def test_ivf_index_build_search_split(spark, emb, tmp_path):
+    """Persisted-index search == in-memory IVF on the same centroids, and
+    the cell scan is partition-pruned to the probed cells."""
+    from hadoop_data_lake_spark.operators.similarity import (
+        ivf_build,
+        ivf_kmeans_topk,
+        ivf_search,
+    )
+
+    path = str(tmp_path / "ivf_index")
+    ivf_build(emb, path, n_cells=N_CLUSTERS, max_iter=10)
+    got = ivf_search(emb, path, k=4, nprobe=1)
+    direct = ivf_kmeans_topk(emb, emb, k=4, n_cells=N_CLUSTERS, nprobe=1, max_iter=10)
+    g = {(r["query_id"], r["neighbor_id"], r["sim_r"]) for r in got.collect()}
+    d = {(r["query_id"], r["neighbor_id"], r["sim_r"]) for r in direct.collect()}
+    assert g == d
+    # cell partitions materialized Hive-style
+    import os
+    assert any(p.startswith("cell=") for p in os.listdir(f"{path}/cells"))
