@@ -128,29 +128,18 @@ def minhash_signature(sh: Column, num_hashes: int) -> Column:
     return minhash_signature_from_pairs(minhash_hash_pairs(sh), num_hashes)
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str,
-    content_col: str,
-    k: int = 3,
-    num_hashes: int = 16,
-    bands: int = 4,
-    threshold: float = 0.3,
-) -> DataFrame:
-    """MinHash + banded LSH candidates, verified with exact Jaccard.
+def _banded_signatures(inv: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc, band, band_key) LSH band rows from an exploded shingle index.
 
-    rows-per-band = num_hashes / bands; a pair is a candidate iff some band's
-    signature slice matches exactly. Only candidates are verified, so the
-    quadratic term is bounded by true collisions — the property that makes
-    fuzzy dedup feasible at 100 TB.
-    """
+    Signatures via explode -> flat md5 projection -> `num_hashes`
+    min-aggregates. Every step is whole-stage-codegen (no higher-order
+    functions in the hot path: interpreted HOF eval measured ~1 ms/doc);
+    partial aggregation means the shuffle carries one num_hashes-value row
+    per doc per map partition. Bands carry only (doc, band, band_key): the
+    shingle arrays join back in AFTER candidate generation, so the
+    candidate join shuffles narrow rows and no array payload is duplicated
+    per banded copy."""
     rows_per_band = num_hashes // bands
-    sets, inv = _shingle_index(df, id_col, content_col, k)
-
-    # Signatures via explode -> flat md5 projection -> 16 min-aggregates.
-    # Every step is whole-stage-codegen (no higher-order functions in the hot
-    # path: interpreted HOF eval measured ~1 ms/doc); partial aggregation
-    # means the shuffle carries one 16-value row per doc per map partition.
     m = F.md5("s")
     hashed = inv.select(
         "doc",
@@ -163,11 +152,7 @@ def minhash_lsh_pairs(
             for i in range(num_hashes)
         ]
     )
-
-    # Bands carry only (doc, band, band_key): the shingle arrays join back in
-    # AFTER candidate generation, so the self-join shuffles narrow rows and
-    # no array payload is duplicated per banded copy.
-    banded = sigs.select(
+    return sigs.select(
         "doc",
         F.explode(
             F.array(
@@ -187,6 +172,26 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """MinHash + banded LSH candidates, verified with exact Jaccard.
+
+    rows-per-band = num_hashes / bands; a pair is a candidate iff some band's
+    signature slice matches exactly. Only candidates are verified, so the
+    quadratic term is bounded by true collisions — the property that makes
+    fuzzy dedup feasible at 100 TB.
+    """
+    sets, inv = _shingle_index(df, id_col, content_col, k)
+    banded = _banded_signatures(inv, num_hashes, bands)
 
     cand = (
         banded.alias("a")
@@ -300,3 +305,90 @@ def simhash_pairs(
         F.col("hamming") <= max_hamming
     )
     return out.select("doc_a", "doc_b", "hamming")
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: persist the MinHash index once, probe each new ingest
+# batch against it — the production shape for a pipeline that ingests
+# batches continuously (re-shingling the full corpus per batch would be
+# O(corpus) per ingest; probing is O(batch + collisions)).
+# --------------------------------------------------------------------------
+
+def minhash_index_build(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    content_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> None:
+    """Persist the dedup index under `path`:
+
+    - `<path>/bands/`    — (doc, band, band_key) LSH band rows;
+    - `<path>/shingles/` — (doc, s) exploded shingle inverted index
+      (verification side).
+
+    Both are narrow-row parquet; at real scale, bucket `bands` by
+    (band, band_key) and `shingles` by s so probe joins co-locate without a
+    shuffle of the index side (write-side bucketBy — same pattern as
+    tests/test_bucketing.py)."""
+    _, inv = _shingle_index(df, id_col, content_col, k)
+    _banded_signatures(inv, num_hashes, bands).write.mode("overwrite").parquet(
+        f"{path}/bands"
+    )
+    inv.write.mode("overwrite").parquet(f"{path}/shingles")
+
+
+def minhash_index_probe(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str,
+    content_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Near-dup pairs (new_doc, idx_doc, inter, uni, jaccard_r) between a
+    new ingest batch and the persisted index — same band-collision candidate
+    generation and exact-Jaccard verification as minhash_lsh_pairs, but the
+    corpus side comes from the index parquet, untouched. Pairs where both
+    ids coincide (re-ingest of an indexed doc) are excluded."""
+    spark = new_docs.sparkSession
+    idx_bands = spark.read.parquet(f"{path}/bands")
+    idx_inv = spark.read.parquet(f"{path}/shingles")
+
+    _, inv = _shingle_index(new_docs, id_col, content_col, k)
+    banded_new = _banded_signatures(inv, num_hashes, bands)
+
+    cand = (
+        banded_new.alias("a")
+        .join(
+            idx_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("new_doc"), F.col("b.doc").alias("idx_doc"))
+        .dropDuplicates(["new_doc", "idx_doc"])
+    )
+
+    new_sizes = inv.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    idx_sizes = idx_inv.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    co = (
+        cand.join(inv.select(F.col("doc").alias("new_doc"), "s"), "new_doc")
+        .join(idx_inv.select(F.col("doc").alias("idx_doc"), "s"), ["idx_doc", "s"])
+        .groupBy("new_doc", "idx_doc")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        co.join(new_sizes.select(F.col("doc").alias("new_doc"), F.col("n_sh").alias("n_a")), "new_doc")
+        .join(idx_sizes.select(F.col("doc").alias("idx_doc"), F.col("n_sh").alias("n_b")), "idx_doc")
+        .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .withColumn("jaccard", F.col("inter").cast("double") / F.col("uni"))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select(
+        "new_doc", "idx_doc", "inter", "uni", F.round("jaccard", 6).alias("jaccard_r")
+    )

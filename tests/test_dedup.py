@@ -72,3 +72,38 @@ def test_dedup_determinism(docs):
     a = sorted(map(tuple, ngram_jaccard_pairs(docs, "doc_id", "text").collect()))
     b = sorted(map(tuple, ngram_jaccard_pairs(docs, "doc_id", "text").collect()))
     assert a == b
+
+
+def test_minhash_index_incremental_probe(spark, tmp_path):
+    """Build the index on a corpus, probe a new batch: the planted near-dup
+    is found with the SAME jaccard the full-batch operator reports for that
+    cross pair; a fresh doc matches nothing."""
+    from hadoop_data_lake_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_index_probe,
+        minhash_lsh_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, base + " extra"), (11, "completely different words with no overlap at all")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh_index")
+    minhash_index_build(corpus, path, "doc_id", "text")
+    got = {
+        (r["new_doc"], r["idx_doc"]): r["jaccard_r"]
+        for r in minhash_index_probe(new, path, "doc_id", "text").collect()
+    }
+    assert set(got) == {(10, 1)}
+    # parity: the full-batch operator on corpus+new reports the same value
+    # for the cross pair
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_r"]
+        for r in minhash_lsh_pairs(corpus.unionByName(new), "doc_id", "text").collect()
+    }
+    assert full[(1, 10)] == got[(10, 1)]
