@@ -1,0 +1,96 @@
+"""Sequence packing planner (concat-and-chunk) for LLM pretraining data.
+
+Concat-and-chunk packing concatenates all documents' tokens in a
+deterministic order and cuts the stream every `context_len` tokens. The
+plan for it is a GLOBAL prefix sum of token counts — and a naive
+`Window.orderBy(...)` with no partitionBy is a single-task stage (every row
+through one reducer), the classic cumsum scale-killer.
+
+`token_prefix_sum` implements the scalable two-phase prefix sum instead:
+
+1. range-repartition by the order key (disjoint sorted ranges per
+   partition — the same machinery orderBy uses, minus the global merge);
+2. per-partition running sum via a Window PARTITIONED by
+   spark_partition_id() (parallel, whole-stage codegen);
+3. per-partition totals (one tiny collect, <= #partitions rows) turned
+   into broadcast offsets added to the local sums.
+
+Output values are independent of where the sampled range boundaries land —
+offsets correct any split — so results are deterministic for a unique
+order key even though RangePartitioner samples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def token_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Adds `cum` = inclusive prefix sum of `value_col` in `order_col` order.
+
+    `order_col` must be unique (total order) for a deterministic result.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parts.withColumn("__local_cum", F.sum(value_col).over(w))
+    totals = (
+        local.groupBy("__pid").agg(F.max("__local_cum").alias("__t")).collect()
+    )
+    # offsets[pid] = sum of totals of all partitions with smaller pid; the
+    # range partitioner guarantees smaller pid == smaller order_col range.
+    running = 0
+    offsets = {}
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        offsets[r["__pid"]] = running
+        running += r["__t"] or 0
+    offset_col = F.element_at(
+        F.create_map(
+            *[x for pid, off in sorted(offsets.items()) for x in (F.lit(pid), F.lit(off))]
+        ),
+        F.col("__pid"),
+    )
+    return local.withColumn("cum", F.col("__local_cum") + offset_col).drop(
+        "__pid", "__local_cum"
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    context_len: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk packing plan: for each document, which packed
+    sequences its tokens land in.
+
+    Returns (id, n_tokens, start_tok, end_tok, start_seq, end_seq) where
+    token positions are 0-based into the concatenated stream and sequence
+    ids are floor(position / context_len). A document spanning a chunk
+    boundary has end_seq > start_seq (it is split across sequences — the
+    standard concat-and-chunk behavior, not an error).
+    """
+    order_col = order_col or id_col
+    cum = token_prefix_sum(df, order_col, token_count_col)
+    start = F.col("cum") - F.col(token_count_col)
+    return cum.select(
+        F.col(id_col),
+        F.col(token_count_col).cast("long").alias("n_tokens"),
+        start.cast("long").alias("start_tok"),
+        (F.col("cum") - 1).cast("long").alias("end_tok"),
+        F.floor(start / context_len).cast("long").alias("start_seq"),
+        F.floor((F.col("cum") - 1) / context_len).cast("long").alias("end_seq"),
+    )

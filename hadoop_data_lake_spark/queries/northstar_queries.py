@@ -990,3 +990,33 @@ SELECT doc_id,
        md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g'), '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
 FROM dirty
 """
+
+
+def pack_sequences_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing plan over documents in doc_id order with a
+    512-token context (operators/packing.py — two-phase distributed prefix
+    sum, never a single-task global window)."""
+    from hadoop_data_lake_spark.operators.packing import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok")
+    )
+    return pack_sequences(docs, "doc_id", "n_tok", context_len=512)
+
+
+PACK_SEQUENCES_PLAN_SQL = """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' '))::bigint AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       (cum - n_tokens)::bigint AS start_tok,
+       (cum - 1)::bigint AS end_tok,
+       ((cum - n_tokens) // 512)::bigint AS start_seq,
+       ((cum - 1) // 512)::bigint AS end_seq
+FROM c
+"""

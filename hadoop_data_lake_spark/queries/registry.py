@@ -17,7 +17,10 @@ window, not an arbitrary dict:
   sales_cube, acctbal_union_stats ~ nations_with_both, rolling_3event_value
   ~ rolling_hour_activity), then minus 3 more displaced by the new
   LLM-pipeline stages (nation_revenue_share, part_name_near_matches,
-  brand_basket_pairs) — all six sit first in the round-3 window.
+  brand_basket_pairs) and value_percentiles_approx (rows-only; its real
+  verification is the pytest error-bound test) displaced by
+  pack_sequences_plan (full oracle) — all seven sit first in the round-3
+  window.
 - Entries 51+ = queries already proven by an earlier CORRECTNESS_r{N}.json
   (kept registered so `tools/check_oracle.py` still re-verifies all of them
   locally every round — the full set stays green even outside the window).
@@ -90,7 +93,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "value_histogram": QuerySpec(NS.value_histogram, NS.VALUE_HISTOGRAM_SQL, ("agg", "histogram")),
     "props_map_entries": QuerySpec(NS.props_map_entries, NS.PROPS_MAP_ENTRIES_SQL, ("json", "map")),
     "daily_unique_users_approx": QuerySpec(NS.daily_unique_users_approx, None, ("sketch", "hll")),
-    "value_percentiles_approx": QuerySpec(EV.value_percentiles_approx, None, ("sketch", "percentile")),
+    "pack_sequences_plan": QuerySpec(NS.pack_sequences_plan, NS.PACK_SEQUENCES_PLAN_SQL, ("packing", "prefix-sum", "training-data")),
     "quality_gopher_filters": QuerySpec(NS.quality_gopher_filters, NS.QUALITY_GOPHER_FILTERS_SQL, ("text", "quality", "filter-stage")),
     "decontaminate_ngram_overlap": QuerySpec(NS.decontaminate_ngram_overlap, NS.DECONTAMINATE_NGRAM_OVERLAP_SQL, ("text", "decontamination", "ngram")),
     "pii_redact": QuerySpec(NS.pii_redact, NS.PII_REDACT_SQL, ("text", "pii", "regex")),
@@ -112,6 +115,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # r1-graded shapes, plus the three shapes displaced by the round-2
     # LLM-pipeline stages (quality/decontamination/PII) — all still verified
     # locally by tools/check_oracle.py every round.
+    "value_percentiles_approx": QuerySpec(EV.value_percentiles_approx, None, ("sketch", "percentile")),
     "regional_revenue_rollup": QuerySpec(TQ.regional_revenue_rollup, TQ.REGIONAL_REVENUE_ROLLUP_SQL, ("agg", "rollup")),
     "acctbal_union_stats": QuerySpec(TQ.acctbal_union_stats, TQ.ACCTBAL_UNION_STATS_SQL, ("setop", "union-all")),
     "rolling_3event_value": QuerySpec(EV.rolling_3event_value, EV.ROLLING_3EVENT_VALUE_SQL, ("window", "rows-frame")),

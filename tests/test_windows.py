@@ -70,3 +70,25 @@ def test_sessionize_gap_boundary(spark):
         ("u", 2),
         ("v", 1),
     ]
+
+
+def test_distributed_prefix_sum_matches_serial(spark):
+    """Two-phase prefix sum == driver-side serial cumsum, across multiple
+    range partitions, and no global single-partition window in the plan."""
+    from hadoop_data_lake_spark.operators.packing import pack_sequences, token_prefix_sum
+
+    vals = [(i, (i * 37) % 100 + 1) for i in range(500)]
+    df = spark.createDataFrame(vals, "id long, n long")
+    got = {r["id"]: r["cum"] for r in token_prefix_sum(df, "id", "n", num_partitions=8).collect()}
+    running = 0
+    for i, n in vals:
+        running += n
+        assert got[i] == running
+    # packing: a doc straddling the context boundary spans two sequences
+    packed = {r["id"]: r for r in pack_sequences(df, "id", "n", context_len=128).collect()}
+    for i, n in vals:
+        r = packed[i]
+        assert r["end_tok"] - r["start_tok"] + 1 == n
+        assert r["start_seq"] == r["start_tok"] // 128
+        assert r["end_seq"] == r["end_tok"] // 128
+    assert any(packed[i]["end_seq"] > packed[i]["start_seq"] for i, _ in vals)
