@@ -1020,3 +1020,62 @@ SELECT doc_id, n_tokens,
        ((cum - 1) // 512)::bigint AS end_seq
 FROM c
 """
+
+
+def source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing stage: downsample every domain to the smallest domain's
+    size (target = uniform mix) with a DETERMINISTIC per-row keep decision.
+
+    The uniform synthetic `source` column carries no imbalance, so the
+    query derives a skewed domain split first (doc_id % 10 -> 60% web /
+    30% books / 10% code). keep-rate per domain = min_count/count, applied
+    as an integer threshold on the portable 60-bit MD5 of the doc id —
+    never rand(): the same rows are kept on any engine, any partitioning,
+    any rerun. Per-domain counts are a broadcast-size dimension; the keep
+    decision is one scan."""
+    from hadoop_data_lake_spark.functions.hashing import salted_md5_60bit
+
+    docs = read_table(spark, sf_dir, "documents")
+    domain = (
+        F.when(F.col("doc_id") % 10 < 6, "web")
+        .when(F.col("doc_id") % 10 < 9, "books")
+        .otherwise("code")
+    )
+    d = docs.select("doc_id", domain.alias("domain"))
+    counts = d.groupBy("domain").agg(F.count("*").alias("n_domain"))
+    min_n = counts.agg(F.min("n_domain").alias("min_n"))
+    dim = counts.crossJoin(F.broadcast(min_n)).select(
+        "domain", "n_domain",
+        F.expr("(min_n * 1000000) div n_domain").alias("keep_threshold"),
+    )
+    hashed = d.withColumn(
+        "h", salted_md5_60bit(F.col("doc_id").cast("string"), "mix") % 1000000
+    )
+    return (
+        hashed.join(F.broadcast(dim), on="domain")
+        .select(
+            "doc_id", "domain", "n_domain",
+            (F.col("h") < F.col("keep_threshold")).alias("keep"),
+        )
+    )
+
+
+SOURCE_MIX_REBALANCE_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 6 THEN 'web'
+              WHEN doc_id % 10 < 9 THEN 'books'
+              ELSE 'code' END AS domain
+  FROM documents
+),
+counts AS (SELECT domain, count(*)::bigint AS n_domain FROM d GROUP BY domain),
+dim AS (
+  SELECT domain, n_domain,
+         ((SELECT min(n_domain) FROM counts) * 1000000) // n_domain AS keep_threshold
+  FROM counts
+)
+SELECT d.doc_id, d.domain, dim.n_domain,
+       (('0x' || substr(md5('mix|' || d.doc_id::varchar), 1, 15))::ubigint % 1000000
+        < dim.keep_threshold) AS keep
+FROM d JOIN dim USING (domain)
+"""

@@ -94,6 +94,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "props_map_entries": QuerySpec(NS.props_map_entries, NS.PROPS_MAP_ENTRIES_SQL, ("json", "map")),
     "daily_unique_users_approx": QuerySpec(NS.daily_unique_users_approx, None, ("sketch", "hll")),
     "pack_sequences_plan": QuerySpec(NS.pack_sequences_plan, NS.PACK_SEQUENCES_PLAN_SQL, ("packing", "prefix-sum", "training-data")),
+    "source_mix_rebalance": QuerySpec(NS.source_mix_rebalance, NS.SOURCE_MIX_REBALANCE_SQL, ("split", "sampling", "data-mixing")),
     "quality_gopher_filters": QuerySpec(NS.quality_gopher_filters, NS.QUALITY_GOPHER_FILTERS_SQL, ("text", "quality", "filter-stage")),
     "decontaminate_ngram_overlap": QuerySpec(NS.decontaminate_ngram_overlap, NS.DECONTAMINATE_NGRAM_OVERLAP_SQL, ("text", "decontamination", "ngram")),
     "pii_redact": QuerySpec(NS.pii_redact, NS.PII_REDACT_SQL, ("text", "pii", "regex")),
@@ -109,13 +110,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "value_moments_profile": QuerySpec(EV.value_moments_profile, EV.VALUE_MOMENTS_PROFILE_SQL, ("agg", "moments", "deterministic")),
     "value_mad": QuerySpec(EV.value_mad, EV.VALUE_MAD_SQL, ("agg", "percentile", "robust-stats")),
     "monthly_revenue_yoy": QuerySpec(TQ.monthly_revenue_yoy, TQ.MONTHLY_REVENUE_YOY_SQL, ("window", "lag", "post-agg")),
-    "weekly_counts_unpivot": QuerySpec(TQ.weekly_counts_unpivot, TQ.WEEKLY_COUNTS_UNPIVOT_SQL, ("unpivot", "melt")),
     # ============ END DRIVER WINDOW (50 entries above) ===================
     # Rotation backlog (round-3 window candidates): nearest relatives of
     # r1-graded shapes, plus the three shapes displaced by the round-2
     # LLM-pipeline stages (quality/decontamination/PII) — all still verified
     # locally by tools/check_oracle.py every round.
     "value_percentiles_approx": QuerySpec(EV.value_percentiles_approx, None, ("sketch", "percentile")),
+    "weekly_counts_unpivot": QuerySpec(TQ.weekly_counts_unpivot, TQ.WEEKLY_COUNTS_UNPIVOT_SQL, ("unpivot", "melt")),
     "regional_revenue_rollup": QuerySpec(TQ.regional_revenue_rollup, TQ.REGIONAL_REVENUE_ROLLUP_SQL, ("agg", "rollup")),
     "acctbal_union_stats": QuerySpec(TQ.acctbal_union_stats, TQ.ACCTBAL_UNION_STATS_SQL, ("setop", "union-all")),
     "rolling_3event_value": QuerySpec(EV.rolling_3event_value, EV.ROLLING_3EVENT_VALUE_SQL, ("window", "rows-frame")),

@@ -125,3 +125,26 @@ def test_decontaminate_finds_planted_overlap(spark):
         NS.read_table = orig
     got = {(r["doc_id"], r["probe_id"]): r["n_shared"] for r in rows}
     assert got == {(7, 194): 3}  # 3 shared 3-grams from the 5-word overlap
+
+
+def test_source_mix_rebalance_hits_target(spark):
+    """Kept counts per domain approach the smallest domain's size; decisions
+    are deterministic across reruns."""
+    from hadoop_data_lake_spark.queries.northstar_queries import source_mix_rebalance
+
+    out = source_mix_rebalance(spark, "/root/testdata/sf0.01")
+    rows = out.collect()
+    kept = {}
+    totals = {}
+    for r in rows:
+        totals[r["domain"]] = totals.get(r["domain"], 0) + 1
+        if r["keep"]:
+            kept[r["domain"]] = kept.get(r["domain"], 0) + 1
+    min_n = min(totals.values())
+    # every domain's kept count lands near the target (hash-threshold
+    # sampling binomial tolerance), and the smallest keeps ~everything
+    for dom, n in totals.items():
+        assert kept[dom] <= n
+        assert abs(kept[dom] - min_n) <= max(5, 0.35 * min_n)
+    again = {(r["doc_id"], r["keep"]) for r in source_mix_rebalance(spark, "/root/testdata/sf0.01").collect()}
+    assert again == {(r["doc_id"], r["keep"]) for r in rows}
