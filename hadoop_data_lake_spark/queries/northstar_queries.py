@@ -844,8 +844,10 @@ LIMIT 100
 def quality_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style per-document quality RULES with an overall keep flag
     (the filter STAGE, vs text_stats' raw signals): word-count band, mean
-    word length band, stopword floor, digit-character ceiling. One narrow
-    projection over the scan — trivially linear at any scale."""
+    word length band, stopword floor, digit-character ceiling, duplicate
+    2-gram ceiling (the repetition axis — Gopher's strongest signal for
+    boilerplate/spam). One narrow projection over the scan — trivially
+    linear at any scale."""
     docs = read_table(spark, sf_dir, "documents")
     t = F.col("text")
     w = F.split(t, " ")
@@ -861,21 +863,38 @@ def quality_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_data_lake_spark.functions.text import stopword_ratio
 
     stop_ratio = F.round(stopword_ratio(t), 6)
+    # repetition: fraction of 2-grams that are repeats (0 when < 2 words).
+    # Built with zip_with over shifted slices (lambdas touch only lambda
+    # vars — the HOF re-eval trap).
+    bigrams = F.zip_with(
+        F.slice(w, 1, n_words - 1),
+        F.slice(w, 2, n_words - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    dup_2gram = F.when(
+        n_words >= 2,
+        F.round(
+            1 - F.size(F.array_distinct(bigrams)).cast("double") / (n_words - 1), 6
+        ),
+    ).otherwise(F.lit(0.0))
     rule_words = (n_words >= 40) & (n_words <= 100000)
     rule_meanwl = (mean_wl >= 2.5) & (mean_wl <= 10.0)
     rule_stop = stop_ratio >= 0.03
     rule_digits = digit_ratio <= 0.2
+    rule_rep = dup_2gram <= 0.2
     return docs.select(
         "doc_id",
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
         stop_ratio.alias("stop_ratio"),
         digit_ratio.alias("digit_ratio"),
+        dup_2gram.alias("dup_2gram_ratio"),
         rule_words.alias("ok_word_count"),
         rule_meanwl.alias("ok_mean_word_len"),
         rule_stop.alias("ok_stopwords"),
         rule_digits.alias("ok_digit_ratio"),
-        (rule_words & rule_meanwl & rule_stop & rule_digits).alias("keep"),
+        rule_rep.alias("ok_repetition"),
+        (rule_words & rule_meanwl & rule_stop & rule_digits & rule_rep).alias("keep"),
     )
 
 
@@ -886,16 +905,22 @@ WITH sig AS (
          round(list_sum(list_transform(string_split(text, ' '), x -> length(x)))::double
                / len(string_split(text, ' ')), 6) AS mean_word_len,
          round({TX.stopword_ratio_sql('text')}, 6) AS stop_ratio,
-         round(length(regexp_replace(text, '[^0-9]', '', 'g'))::double / length(text), 6) AS digit_ratio
+         round(length(regexp_replace(text, '[^0-9]', '', 'g'))::double / length(text), 6) AS digit_ratio,
+         CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+           round(1 - len(list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])))::double
+                 / (len(string_split(text, ' ')) - 1), 6)
+         ELSE 0.0 END AS dup_2gram_ratio
   FROM documents
 )
-SELECT doc_id, n_words, mean_word_len, stop_ratio, digit_ratio,
+SELECT doc_id, n_words, mean_word_len, stop_ratio, digit_ratio, dup_2gram_ratio,
        (n_words >= 40 AND n_words <= 100000) AS ok_word_count,
        (mean_word_len >= 2.5 AND mean_word_len <= 10.0) AS ok_mean_word_len,
        (stop_ratio >= 0.03) AS ok_stopwords,
        (digit_ratio <= 0.2) AS ok_digit_ratio,
+       (dup_2gram_ratio <= 0.2) AS ok_repetition,
        ((n_words >= 40 AND n_words <= 100000) AND (mean_word_len >= 2.5 AND mean_word_len <= 10.0)
-        AND (stop_ratio >= 0.03) AND (digit_ratio <= 0.2)) AS keep
+        AND (stop_ratio >= 0.03) AND (digit_ratio <= 0.2) AND (dup_2gram_ratio <= 0.2)) AS keep
 FROM sig
 """
 

@@ -55,12 +55,15 @@ def test_quality_gopher_filters_rules(spark):
     from hadoop_data_lake_spark.queries import northstar_queries as NS
     import hadoop_data_lake_spark.core.io as io
 
-    good = " ".join(["the data table is on a row"] * 8)  # 48 words, stopwordy
+    # 48 words: unique content words interleaved with stopwords -> every
+    # 2-gram distinct, stopword-rich, clean digits
+    good = " ".join(f"the word{i}" for i in range(24))
     short = "tiny doc"                                    # fails word count
     digits = " ".join(["123456789"] * 50)                 # fails digits + stopwords
+    spam = " ".join(["buy"] * 60)                         # fails repetition
     docs = spark.createDataFrame(
         [(1, good, "en", "s", len(good)), (2, short, "en", "s", len(short)),
-         (3, digits, "en", "s", len(digits))],
+         (3, digits, "en", "s", len(digits)), (4, spam, "en", "s", len(spam))],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     orig = io.read_table
@@ -71,9 +74,11 @@ def test_quality_gopher_filters_rules(spark):
     finally:
         io.read_table = orig
         NS.read_table = orig
-    assert out[1]["keep"] is True
+    assert out[1]["keep"] is True and out[1]["ok_repetition"] is True
     assert out[2]["keep"] is False and out[2]["ok_word_count"] is False
     assert out[3]["keep"] is False and out[3]["ok_digit_ratio"] is False
+    assert out[4]["keep"] is False and out[4]["ok_repetition"] is False
+    assert out[4]["dup_2gram_ratio"] > 0.9
 
 
 def test_pii_redact_counts_and_rewrite(spark):
