@@ -28,21 +28,23 @@ from pyspark.sql import functions as F
 
 def token_prefix_sum(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     value_col: str,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Adds `cum` = inclusive prefix sum of `value_col` in `order_col` order.
 
-    `order_col` must be unique (total order) for a deterministic result.
+    `order_col` (a column name or list of names, compared lexicographically)
+    must be unique (total order) for a deterministic result.
     """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parts = df.repartitionByRange(n, F.col(order_col)).withColumn(
+    parts = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
         "__pid", F.spark_partition_id()
     )
     w = (
         Window.partitionBy("__pid")
-        .orderBy(F.col(order_col).asc())
+        .orderBy(*[F.col(c).asc() for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = parts.withColumn("__local_cum", F.sum(value_col).over(w))
@@ -93,4 +95,49 @@ def pack_sequences(
         (F.col("cum") - 1).cast("long").alias("end_tok"),
         F.floor(start / context_len).cast("long").alias("start_seq"),
         F.floor((F.col("cum") - 1) / context_len).cast("long").alias("end_seq"),
+    )
+
+
+def shuffle_shard_plan(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic global-shuffle shard assignment for training-data export.
+
+    Training runs need the corpus in a reproducible pseudo-random order,
+    split into N balanced shards — and `rand()` (partitioning-dependent) or
+    a global `orderBy` (fine, but the position assignment then needs a
+    single-task zipWithIndex) are both wrong tools. This planner orders rows
+    by a portable 60-bit MD5 of the id (the shuffle), computes each row's
+    exact global position with the two-phase distributed prefix sum, and
+    deals positions round-robin into shards:
+
+        shard        = pos % n_shards      (balanced to within 1 row)
+        pos_in_shard = pos div n_shards    (read order inside the shard)
+
+    Same rows -> same shards on any engine, partitioning, or rerun; a
+    different `salt` gives an independent reshuffle (new epoch order).
+    """
+    from hadoop_data_lake_spark.functions.hashing import salted_md5_60bit
+
+    hashed = df.select(
+        F.col(id_col),
+        salted_md5_60bit(F.col(id_col).cast("string"), salt).alias("h"),
+        F.lit(1).alias("__one"),
+    )
+    # (h, id) is a total order even under 60-bit hash collisions.
+    cum = token_prefix_sum(hashed, ["h", id_col], "__one")
+    return cum.select(
+        F.col(id_col),
+        F.col("h"),
+        (F.col("cum") - 1).cast("long").alias("pos"),
+    ).select(
+        id_col,
+        "h",
+        "pos",
+        F.expr(f"pos % {int(n_shards)}").cast("long").alias("shard"),
+        # integer `div`, not float `/`: exact for any 64-bit position
+        F.expr(f"pos div {int(n_shards)}").cast("long").alias("pos_in_shard"),
     )

@@ -910,3 +910,48 @@ def events_partitioned_range(
         )
         .orderBy("event_type")
     )
+
+
+def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build: collapse each user's event stream into
+    event-type validity intervals (operators/scd.py — one hash shuffle on
+    user_id for the whole build; the reference's user-city datamart is the
+    SCD1 latest-only version of this, calculate_user_city.py:42-50)."""
+    from hadoop_data_lake_spark.operators.scd import scd2_collapse
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return scd2_collapse(
+        ev, keys="user_id", order_cols=["ts", "event_id"], attrs="event_type"
+    )
+
+
+SCD2_EVENT_TYPE_HISTORY_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+),
+r AS (
+  SELECT user_id, ts, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS version
+  FROM o
+),
+g AS (
+  SELECT user_id, version, event_type,
+         min(ts) AS valid_from, count(*)::bigint AS n_rows
+  FROM r
+  GROUP BY user_id, version, event_type
+)
+SELECT user_id, version::bigint AS version, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+       n_rows,
+       (lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL)
+         AS is_current
+FROM g
+"""

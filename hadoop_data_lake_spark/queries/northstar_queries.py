@@ -1104,3 +1104,33 @@ SELECT d.doc_id, d.domain, dim.n_domain,
         < dim.keep_threshold) AS keep
 FROM d JOIN dim USING (domain)
 """
+
+
+def export_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global-shuffle export plan: every document gets a
+    reproducible pseudo-random global position (portable MD5 order + the
+    two-phase distributed prefix sum from operators/packing.py — never a
+    single-task global window or zipWithIndex) and a round-robin shard
+    assignment, balanced to within one row across 16 shards."""
+    from hadoop_data_lake_spark.operators.packing import shuffle_shard_plan
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shard_plan(docs, "doc_id", n_shards=16, salt=0)
+
+
+EXPORT_SHUFFLE_SHARDS_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         {salted_md5_60bit_sql("doc_id::varchar", 0)}::bigint AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, h,
+         row_number() OVER (ORDER BY h, doc_id) - 1 AS pos
+  FROM h
+)
+SELECT doc_id, h, pos::bigint AS pos,
+       (pos % 16)::bigint AS shard,
+       (pos // 16)::bigint AS pos_in_shard
+FROM r
+"""

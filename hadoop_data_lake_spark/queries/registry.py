@@ -107,15 +107,20 @@ REGISTRY: dict[str, QuerySpec] = {
     "zone_conversion_funnel": QuerySpec(EV.zone_conversion_funnel, EV.ZONE_CONVERSION_FUNNEL_SQL, ("agg", "funnel", "conditional-agg")),
     "last_purchase_carryforward": QuerySpec(EV.last_purchase_carryforward, EV.LAST_PURCHASE_CARRYFORWARD_SQL, ("window", "ignore-nulls", "carry-forward")),
     "user_gap_days": QuerySpec(EV.user_gap_days, EV.USER_GAP_DAYS_SQL, ("generator", "anti-join", "densification")),
-    "value_moments_profile": QuerySpec(EV.value_moments_profile, EV.VALUE_MOMENTS_PROFILE_SQL, ("agg", "moments", "deterministic")),
-    "value_mad": QuerySpec(EV.value_mad, EV.VALUE_MAD_SQL, ("agg", "percentile", "robust-stats")),
     "monthly_revenue_yoy": QuerySpec(TQ.monthly_revenue_yoy, TQ.MONTHLY_REVENUE_YOY_SQL, ("window", "lag", "post-agg")),
+    # new this round (displaced value_moments_profile + value_mad — both
+    # robust-stat aggregate relatives of the r1-graded percentile shapes —
+    # to the round-3 backlog):
+    "scd2_event_type_history": QuerySpec(EV.scd2_event_type_history, EV.SCD2_EVENT_TYPE_HISTORY_SQL, ("scd2", "window", "gaps-and-islands")),
+    "export_shuffle_shards": QuerySpec(NS.export_shuffle_shards, NS.EXPORT_SHUFFLE_SHARDS_SQL, ("training-data", "prefix-sum", "sharding")),
     # ============ END DRIVER WINDOW (50 entries above) ===================
     # Rotation backlog (round-3 window candidates): nearest relatives of
     # r1-graded shapes, plus the three shapes displaced by the round-2
     # LLM-pipeline stages (quality/decontamination/PII) — all still verified
     # locally by tools/check_oracle.py every round.
     "value_percentiles_approx": QuerySpec(EV.value_percentiles_approx, None, ("sketch", "percentile")),
+    "value_moments_profile": QuerySpec(EV.value_moments_profile, EV.VALUE_MOMENTS_PROFILE_SQL, ("agg", "moments", "deterministic")),
+    "value_mad": QuerySpec(EV.value_mad, EV.VALUE_MAD_SQL, ("agg", "percentile", "robust-stats")),
     "weekly_counts_unpivot": QuerySpec(TQ.weekly_counts_unpivot, TQ.WEEKLY_COUNTS_UNPIVOT_SQL, ("unpivot", "melt")),
     "regional_revenue_rollup": QuerySpec(TQ.regional_revenue_rollup, TQ.REGIONAL_REVENUE_ROLLUP_SQL, ("agg", "rollup")),
     "acctbal_union_stats": QuerySpec(TQ.acctbal_union_stats, TQ.ACCTBAL_UNION_STATS_SQL, ("setop", "union-all")),
