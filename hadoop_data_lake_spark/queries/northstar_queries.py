@@ -1134,3 +1134,45 @@ SELECT doc_id, h, pos::bigint AS pos,
        (pos // 16)::bigint AS pos_in_shard
 FROM r
 """
+
+
+def stream_attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (multi-touch attribution): purchases
+    matched to all same-user views in the prior 30 minutes, with watermarks
+    + a two-sided event-time bound so join state is expirable. Replayed
+    deterministically over static parquet (availableNow + memory sink)."""
+    from hadoop_data_lake_spark.streaming.ingest import run_attribution_replay
+
+    return run_attribution_replay(
+        spark, f"{sf_dir}/events.parquet", horizon_seconds=1800
+    )
+
+
+STREAM_ATTRIBUTION_PAIRS_SQL = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       epoch_us(v.ts) AS view_ts_us,
+       epoch_us(p.ts) AS purchase_ts_us
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1800 SECONDS
+"""
+
+
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup via dropDuplicatesWithinWatermark on
+    (user_id, event_type, minute): bounded-state retry collapsing. The
+    replay emits the deterministic surviving key set."""
+    from hadoop_data_lake_spark.streaming.ingest import run_dedup_replay
+
+    return run_dedup_replay(spark, f"{sf_dir}/events.parquet")
+
+
+STREAM_DEDUP_KEYS_SQL = """
+SELECT DISTINCT user_id, event_type,
+       epoch_us(date_trunc('minute', ts)) AS minute_us
+FROM events
+"""

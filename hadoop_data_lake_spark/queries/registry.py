@@ -87,11 +87,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "stream_session_stats": QuerySpec(NS.stream_session_stats, NS.STREAM_SESSION_STATS_SQL, ("streaming", "session-window")),
     "stream_running_max": QuerySpec(NS.stream_running_max, NS.STREAM_RUNNING_MAX_SQL, ("streaming", "stateful", "pandas-udf")),
     "stream_enriched_value": QuerySpec(NS.stream_enriched_value, NS.STREAM_ENRICHED_VALUE_SQL, ("streaming", "stream-static-join")),
+    "stream_attribution_pairs": QuerySpec(NS.stream_attribution_pairs, NS.STREAM_ATTRIBUTION_PAIRS_SQL, ("streaming", "stream-stream-join", "interval-join")),
+    "stream_dedup_keys": QuerySpec(NS.stream_dedup_keys, NS.STREAM_DEDUP_KEYS_SQL, ("streaming", "dedup", "watermark")),
     # --- north-star: training-data utilities ----------------------------
     "train_test_split_counts": QuerySpec(NS.train_test_split_counts, NS.TRAIN_TEST_SPLIT_COUNTS_SQL, ("split", "sampling")),
     "stratified_sample": QuerySpec(NS.stratified_sample, NS.STRATIFIED_SAMPLE_SQL, ("split", "sampling", "stratified")),
-    "value_histogram": QuerySpec(NS.value_histogram, NS.VALUE_HISTOGRAM_SQL, ("agg", "histogram")),
-    "props_map_entries": QuerySpec(NS.props_map_entries, NS.PROPS_MAP_ENTRIES_SQL, ("json", "map")),
     "daily_unique_users_approx": QuerySpec(NS.daily_unique_users_approx, None, ("sketch", "hll")),
     "pack_sequences_plan": QuerySpec(NS.pack_sequences_plan, NS.PACK_SEQUENCES_PLAN_SQL, ("packing", "prefix-sum", "training-data")),
     "source_mix_rebalance": QuerySpec(NS.source_mix_rebalance, NS.SOURCE_MIX_REBALANCE_SQL, ("split", "sampling", "data-mixing")),
@@ -108,9 +108,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "last_purchase_carryforward": QuerySpec(EV.last_purchase_carryforward, EV.LAST_PURCHASE_CARRYFORWARD_SQL, ("window", "ignore-nulls", "carry-forward")),
     "user_gap_days": QuerySpec(EV.user_gap_days, EV.USER_GAP_DAYS_SQL, ("generator", "anti-join", "densification")),
     "monthly_revenue_yoy": QuerySpec(TQ.monthly_revenue_yoy, TQ.MONTHLY_REVENUE_YOY_SQL, ("window", "lag", "post-agg")),
-    # new this round (displaced value_moments_profile + value_mad — both
-    # robust-stat aggregate relatives of the r1-graded percentile shapes —
-    # to the round-3 backlog):
+    # new this round. Four new queries displaced four window entries with
+    # close r1-graded relatives to the round-3 backlog: value_moments_profile
+    # + value_mad (robust-stat aggregates ~ graded percentile shapes),
+    # value_histogram (~ graded q13 histogram), props_map_entries (~ graded
+    # props_k_stats JSON agg).
     "scd2_event_type_history": QuerySpec(EV.scd2_event_type_history, EV.SCD2_EVENT_TYPE_HISTORY_SQL, ("scd2", "window", "gaps-and-islands")),
     "export_shuffle_shards": QuerySpec(NS.export_shuffle_shards, NS.EXPORT_SHUFFLE_SHARDS_SQL, ("training-data", "prefix-sum", "sharding")),
     # ============ END DRIVER WINDOW (50 entries above) ===================
@@ -121,6 +123,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "value_percentiles_approx": QuerySpec(EV.value_percentiles_approx, None, ("sketch", "percentile")),
     "value_moments_profile": QuerySpec(EV.value_moments_profile, EV.VALUE_MOMENTS_PROFILE_SQL, ("agg", "moments", "deterministic")),
     "value_mad": QuerySpec(EV.value_mad, EV.VALUE_MAD_SQL, ("agg", "percentile", "robust-stats")),
+    "value_histogram": QuerySpec(NS.value_histogram, NS.VALUE_HISTOGRAM_SQL, ("agg", "histogram")),
+    "props_map_entries": QuerySpec(NS.props_map_entries, NS.PROPS_MAP_ENTRIES_SQL, ("json", "map")),
     "weekly_counts_unpivot": QuerySpec(TQ.weekly_counts_unpivot, TQ.WEEKLY_COUNTS_UNPIVOT_SQL, ("unpivot", "melt")),
     "regional_revenue_rollup": QuerySpec(TQ.regional_revenue_rollup, TQ.REGIONAL_REVENUE_ROLLUP_SQL, ("agg", "rollup")),
     "acctbal_union_stats": QuerySpec(TQ.acctbal_union_stats, TQ.ACCTBAL_UNION_STATS_SQL, ("setop", "union-all")),

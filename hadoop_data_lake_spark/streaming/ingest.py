@@ -259,3 +259,76 @@ def run_enriched_replay(
     stream, src_dir = _open_stream(spark, parquet_path)
     out = enriched_windowed_value(spark, stream, window_seconds)
     return _drain_replay(spark, out, src_dir)
+
+
+def attribution_join(events: DataFrame, horizon_seconds: int = 1800,
+                     watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream interval join: each purchase joined to every view by the
+    same user in the preceding `horizon_seconds` (the streaming twin of the
+    batch as-of attribution, operators/asof.py — but keeping ALL candidate
+    views, the standard multi-touch shape).
+
+    Both sides carry watermarks and the join condition bounds both event
+    times (purchase_ts in [view_ts, view_ts + horizon]), so the engine can
+    expire buffered state — the requirement for an unbounded stream-stream
+    inner join to run with finite memory."""
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    ).withWatermark("view_ts", watermark)
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    ).withWatermark("purchase_ts", watermark)
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_seconds} SECONDS")),
+        "inner",
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.unix_micros("view_ts").alias("view_ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+    )
+
+
+def run_attribution_replay(
+    spark: SparkSession, parquet_path: str, horizon_seconds: int = 1800
+) -> DataFrame:
+    stream, src_dir = _open_stream(spark, parquet_path)
+    out = attribution_join(stream, horizon_seconds)
+    return _drain_replay(spark, out, src_dir, output_mode="append")
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming ingest dedup: keep one row per (user_id, event_type, minute)
+    via dropDuplicatesWithinWatermark — the bounded-state dedup for at-least-
+    once sources (a plain dropDuplicates would keep every key seen, forever;
+    the watermark variant expires keys older than the delay, trading
+    unbounded-history dedup for bounded state — the right call at ingest
+    where duplicates are retries arriving close together).
+
+    Emits only the key columns: within one replay batch which physical
+    duplicate survives is arbitrary, the key set is deterministic."""
+    keyed = events.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("ts"),
+        (F.date_trunc("minute", F.col("ts"))).alias("minute_ts"),
+    ).withWatermark("ts", watermark)
+    deduped = keyed.dropDuplicatesWithinWatermark(["user_id", "event_type", "minute_ts"])
+    return deduped.select(
+        "user_id", "event_type", F.unix_micros("minute_ts").alias("minute_us")
+    )
+
+
+def run_dedup_replay(spark: SparkSession, parquet_path: str) -> DataFrame:
+    stream, src_dir = _open_stream(spark, parquet_path)
+    out = dedup_within_watermark(stream)
+    return _drain_replay(spark, out, src_dir, output_mode="append")

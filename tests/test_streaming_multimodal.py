@@ -173,3 +173,43 @@ def test_replay_releases_scratch_and_sink(spark):
     assert set(glob.glob(f"{tempfile.gettempdir()}/stream_src_*")) == before_dirs
     new_tables = {t.name for t in spark.catalog.listTables()} - before_tables
     assert not {t for t in new_tables if t.startswith("stream_out_")}
+
+
+def test_stream_stream_join_equals_batch(spark):
+    from hadoop_data_lake_spark.streaming.ingest import run_attribution_replay
+
+    got = run_attribution_replay(spark, f"{SF_DIR}/events.parquet", horizon_seconds=1800)
+    ev = read_table(spark, SF_DIR, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("event_id").alias("view_id")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = v.join(
+        p,
+        (F.col("user_id") == F.col("pu"))
+        & (F.col("pts") >= F.col("vts"))
+        & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 1800 SECONDS")),
+    )
+    assert {(r["view_id"], r["purchase_id"]) for r in got.collect()} == {
+        (r["view_id"], r["purchase_id"]) for r in batch.collect()
+    }
+    assert got.count() > 0
+
+
+def test_stream_dedup_within_watermark(spark):
+    from hadoop_data_lake_spark.streaming.ingest import run_dedup_replay
+
+    got = run_dedup_replay(spark, f"{SF_DIR}/events.parquet")
+    expected = (
+        read_table(spark, SF_DIR, "events")
+        .select(
+            "user_id", "event_type",
+            F.unix_micros(F.date_trunc("minute", "ts")).alias("minute_us"),
+        )
+        .distinct()
+    )
+    assert got.count() == expected.count()
+    assert got.distinct().count() == got.count()  # no surviving key repeats
