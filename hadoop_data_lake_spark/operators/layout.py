@@ -1,0 +1,77 @@
+"""Data-layout clustering: Z-order (Morton) codes for multi-dimensional
+data skipping.
+
+A sort on one column gives parquet min/max pruning on that column only.
+Interleaving the bits of two quantized dimensions into one Morton code and
+range-partitioning + sorting on it clusters rows so that EVERY file covers a
+small rectangle of the (a, b) space — per-file min/max footers then prune
+scans filtered on either or both dimensions. This is the standard lakehouse
+layout trick (Delta/Iceberg `OPTIMIZE ZORDER BY`) built from primitives
+Spark already has: pure bit arithmetic (whole-stage codegen, no UDF),
+repartitionByRange, sortWithinPartitions.
+
+The bit-spread uses the classic shift-and-mask sequence; inputs must be
+quantized to at most 31 bits so the interleaved code never reaches the sign
+bit of a 64-bit long (which would invert the order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SPREAD_MASKS = [
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+def spread_bits(col: Column) -> Column:
+    """Spread the low 32 bits of `col` onto the even bit positions 0,2,..,62."""
+    x = col.cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+    for shift, mask in _SPREAD_MASKS:
+        x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def morton_code(a: Column, b: Column) -> Column:
+    """64-bit Morton (Z-order) code of two non-negative <=31-bit ints:
+    bits of `a` on even positions, bits of `b` on odd."""
+    return spread_bits(a).bitwiseOR(F.shiftleft(spread_bits(b), 1))
+
+
+def spread_bits_sql(expr: str) -> str:
+    """DuckDB SQL equivalent of `spread_bits` (same shift/mask pipeline)."""
+    x = f"({expr} & 4294967295)"
+    for shift, mask in _SPREAD_MASKS:
+        x = f"(({x} | ({x} << {shift})) & {mask})"
+    return x
+
+
+def morton_code_sql(a: str, b: str) -> str:
+    return f"({spread_bits_sql(a)} | ({spread_bits_sql(b)} << 1))"
+
+
+def zorder_write(
+    df: DataFrame,
+    a: Column,
+    b: Column,
+    path: str,
+    num_files: int = 16,
+) -> None:
+    """Write `df` as `num_files` parquet files clustered by the Morton code
+    of (a, b): range-partition on the code (balanced files via sampled range
+    bounds), sort within each partition (tight per-row-group min/max), one
+    file per partition. Quantize a and b BEFORE calling (<=31 bits each)."""
+    z = morton_code(a, b).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -107,7 +107,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "zone_conversion_funnel": QuerySpec(EV.zone_conversion_funnel, EV.ZONE_CONVERSION_FUNNEL_SQL, ("agg", "funnel", "conditional-agg")),
     "last_purchase_carryforward": QuerySpec(EV.last_purchase_carryforward, EV.LAST_PURCHASE_CARRYFORWARD_SQL, ("window", "ignore-nulls", "carry-forward")),
     "user_gap_days": QuerySpec(EV.user_gap_days, EV.USER_GAP_DAYS_SQL, ("generator", "anti-join", "densification")),
-    "monthly_revenue_yoy": QuerySpec(TQ.monthly_revenue_yoy, TQ.MONTHLY_REVENUE_YOY_SQL, ("window", "lag", "post-agg")),
     # new this round. Four new queries displaced four window entries with
     # close r1-graded relatives to the round-3 backlog: value_moments_profile
     # + value_mad (robust-stat aggregates ~ graded percentile shapes),
@@ -115,12 +114,14 @@ REGISTRY: dict[str, QuerySpec] = {
     # props_k_stats JSON agg).
     "scd2_event_type_history": QuerySpec(EV.scd2_event_type_history, EV.SCD2_EVENT_TYPE_HISTORY_SQL, ("scd2", "window", "gaps-and-islands")),
     "export_shuffle_shards": QuerySpec(NS.export_shuffle_shards, NS.EXPORT_SHUFFLE_SHARDS_SQL, ("training-data", "prefix-sum", "sharding")),
+    "zorder_code_orders": QuerySpec(TQ.zorder_code_orders, TQ.ZORDER_CODE_ORDERS_SQL, ("layout", "zorder", "bit-arithmetic")),
     # ============ END DRIVER WINDOW (50 entries above) ===================
     # Rotation backlog (round-3 window candidates): nearest relatives of
     # r1-graded shapes, plus the three shapes displaced by the round-2
     # LLM-pipeline stages (quality/decontamination/PII) — all still verified
     # locally by tools/check_oracle.py every round.
     "value_percentiles_approx": QuerySpec(EV.value_percentiles_approx, None, ("sketch", "percentile")),
+    "monthly_revenue_yoy": QuerySpec(TQ.monthly_revenue_yoy, TQ.MONTHLY_REVENUE_YOY_SQL, ("window", "lag", "post-agg")),
     "value_moments_profile": QuerySpec(EV.value_moments_profile, EV.VALUE_MOMENTS_PROFILE_SQL, ("agg", "moments", "deterministic")),
     "value_mad": QuerySpec(EV.value_mad, EV.VALUE_MAD_SQL, ("agg", "percentile", "robust-stats")),
     "value_histogram": QuerySpec(NS.value_histogram, NS.VALUE_HISTOGRAM_SQL, ("agg", "histogram")),

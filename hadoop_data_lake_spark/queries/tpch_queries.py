@@ -1568,3 +1568,33 @@ SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_orders
 FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
 GROUP BY a.p_brand, b.p_brand
 """
+
+
+def zorder_code_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) codes over orders: customer key x price bucket, both
+    quantized to 16 bits (operators/layout.py — pure codegen bit arithmetic,
+    the clustering key `zorder_write` lays files out by for 2-D data
+    skipping)."""
+    from hadoop_data_lake_spark.operators.layout import morton_code
+
+    orders = read_table(spark, sf_dir, "orders")
+    a = F.pmod(F.col("o_custkey"), F.lit(65536)).cast("long")
+    b = F.least(F.floor(F.col("o_totalprice") / 10), F.lit(65535)).cast("long")
+    return orders.select(
+        "o_orderkey",
+        a.alias("cust_q"),
+        b.alias("price_q"),
+        morton_code(a, b).alias("zcode"),
+    )
+
+ZORDER_CODE_ORDERS_SQL = """
+WITH q AS (
+  SELECT o_orderkey,
+         (o_custkey % 65536)::bigint AS cust_q,
+         least(floor(o_totalprice / 10), 65535)::bigint AS price_q
+  FROM orders
+)
+SELECT o_orderkey, cust_q, price_q,
+       ((((((((((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) | ((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) | ((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | ((((((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) | ((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) | ((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) | ((((((((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) | ((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) | ((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | ((((((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) | ((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) | ((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) << 1)) & 6148914691236517205) | ((((((((((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) | ((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) | ((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | ((((((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) | ((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) | ((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) | ((((((((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) | ((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) | ((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | ((((((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) | ((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) | ((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) << 1)) & 6148914691236517205) << 1))::bigint AS zcode
+FROM q
+"""

@@ -1,0 +1,64 @@
+"""Z-order layout (operators/layout.py): Morton code correctness and the
+per-file clustering effect of zorder_write."""
+
+import glob
+
+import pyspark.sql.functions as F
+
+from hadoop_data_lake_spark.operators.layout import morton_code, zorder_write
+
+
+def test_morton_code_interleaves_bits(spark):
+    rows = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 5), (65535, 65535)],
+        "a long, b long",
+    ).select("a", "b", morton_code(F.col("a"), F.col("b")).alias("z"))
+    got = {(r["a"], r["b"]): r["z"] for r in rows.collect()}
+
+    def ref(a, b):
+        z = 0
+        for i in range(32):
+            z |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (a, b), z in got.items():
+        assert z == ref(a, b), (a, b)
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    # 64x64 grid, shuffled input order
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    ).repartition(7)
+
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "linear")
+    zorder_write(grid, F.col("x"), F.col("y"), zpath, num_files=16)
+    # baseline: linear sort on x only, same file count
+    grid.repartitionByRange(16, F.col("x")).sortWithinPartitions(
+        "x"
+    ).write.mode("overwrite").parquet(lpath)
+    assert len(glob.glob(f"{zpath}/*.parquet")) == 16
+
+    def per_file_spans(path, col):
+        df = spark.read.parquet(path).select(
+            F.input_file_name().alias("f"), F.col(col)
+        )
+        spans = (
+            df.groupBy("f")
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .agg(F.avg("span"))
+            .first()[0]
+        )
+        return spans
+
+    # a 16-file z-order over a 64x64 grid gives each file a ~16x16 tile:
+    # BOTH dimensions' per-file min/max spans stay near 16, while the
+    # x-sorted baseline leaves y unclustered (span ~63)
+    zx, zy = per_file_spans(zpath, "x"), per_file_spans(zpath, "y")
+    lx, ly = per_file_spans(lpath, "x"), per_file_spans(lpath, "y")
+    assert zy < ly / 2, (zy, ly)
+    assert zx < 32 and zy < 32, (zx, zy)
+    assert lx < 8  # sanity: the baseline really is x-clustered
