@@ -606,3 +606,205 @@ def ivf_search(
         k=k,
         rank_col="rnk",
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): the memory tier. IVF bounds how much of the
+# corpus a query READS; PQ bounds how much memory/IO each vector COSTS
+# (dim floats -> m sub-codes, e.g. 64x4B -> 8x1B). ADC (asymmetric distance
+# computation) scores a query against codes via per-query lookup tables, so
+# the scan never reconstructs vectors.
+# --------------------------------------------------------------------------
+
+def pq_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 4,
+    dim: int = 64,
+    max_iter: int = 10,
+    train_sample: int = 4096,
+) -> "np.ndarray":
+    """Train PQ codebooks: split dim into `m` subspaces, k-means each with
+    2^nbits centroids. Returns codebooks (m, 2^nbits, dim/m).
+
+    Training runs DRIVER-SIDE on a bounded deterministic sample (smallest
+    `train_sample` ids — the FAISS convention: codebooks are trained on a
+    sample, applied to everything), with the same farthest-point init +
+    first-min argmin tie-breaks as kmeans_fit_assign, so rebuilds are
+    bit-reproducible. The full corpus is only touched by the distributed
+    encode/search steps."""
+    assert dim % m == 0, "dim must divide into m equal subspaces"
+    sub = dim // m
+    ksub = 2**nbits
+    sample = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy(F.col("__id").asc())
+        .limit(train_sample)
+        .collect()
+    )
+    pts = np.array([[float(x) for x in r["__v"]] for r in sample])
+    books = np.empty((m, ksub, sub))
+    for j in range(m):
+        x = pts[:, j * sub : (j + 1) * sub]
+        # farthest-point init (deterministic), then Lloyd's
+        chosen = [0]
+        d_near = ((x - x[0]) ** 2).sum(axis=1)
+        for _ in range(ksub - 1):
+            far = int(np.argmax(d_near))
+            chosen.append(far)
+            d_near = np.minimum(d_near, ((x - x[far]) ** 2).sum(axis=1))
+        c = x[chosen].copy()
+        for _ in range(max_iter):
+            d = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
+            a = np.argmin(d, axis=1)
+            new_c = c.copy()
+            for ci in range(ksub):
+                mask = a == ci
+                if mask.any():
+                    new_c[ci] = x[mask].mean(axis=0)
+            if np.abs(new_c - c).max() <= 1e-9:
+                c = new_c
+                break
+            c = new_c
+        books[j] = c
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as `m` sub-codes (nearest codebook entry per
+    subspace). One distributed scan; the argmin over all subspaces is a
+    single numpy batch op per Arrow batch. Output: (id, codes array<long>,
+    norm) — norm kept so cosine ADC can normalize."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    m, ksub, sub = codebooks.shape
+    books = codebooks.astype(np.float64)
+    books_sq = (books * books).sum(axis=2)  # (m, ksub)
+
+    @pandas_udf(ArrayType(LongType()))
+    def codes_of(v: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        n = len(mat)
+        parts = mat.reshape(n, m, sub)  # (n, m, sub)
+        # d(n, m, ksub) = |x|^2 - 2 x.c + |c|^2 per subspace
+        dots = np.einsum("nms,mks->nmk", parts, books)
+        d = (parts * parts).sum(2)[:, :, None] - 2.0 * dots + books_sq[None, :, :]
+        return pd.Series(list(np.argmin(d, axis=2).astype(np.int64)))
+
+    return df.select(
+        F.col(id_col).alias("neighbor_id"),
+        codes_of(F.col(vec_col)).alias("codes"),
+        norm(F.col(vec_col)).alias("norm_c"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    nbits: int = 4,
+    dim: int = 64,
+    rerank: int = 4,
+    codebooks: "np.ndarray | None" = None,
+) -> DataFrame:
+    """Approximate cosine top-k via PQ/ADC with exact re-rank.
+
+    Search shape: each query precomputes a lookup table LUT[j][c] =
+    <q_j / |q|, codebook[j][c]> (m x 2^nbits doubles — built once per query,
+    broadcast with the query). The corpus-code scan scores a pair as
+    sum_j LUT[j][codes[j]] / |c| — a zip_with/aggregate over m elements,
+    JVM-side, never touching the original vectors. The ADC top `rerank*k`
+    per query then gets exact-cosine re-ranked to the final k (standard
+    oversample-and-rerank; recall asserted vs brute force in tests).
+
+    At 100 TB: the code table is ~dim*32/m/nbits x smaller than the vectors
+    (64-dim float -> 8x4-bit codes is 64x), so the scan side is tiny; the
+    only shuffle is the per-query top-k window."""
+    books = (
+        pq_train(corpus, id_col, vec_col, m=m, nbits=nbits, dim=dim)
+        if codebooks is None
+        else codebooks
+    )
+    sub = dim // m
+    codes = pq_encode(corpus, books, id_col, vec_col)
+
+    # per-query LUTs, driver-side via collect of the (small) query side —
+    # queries are the broadcast side already in every tier here
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("norm_q"),
+    )
+    spark = corpus.sparkSession
+    collected = q_rows.collect()
+    lut_rows = []
+    for r in collected:
+        qv = np.array([float(x) for x in r["q_vec"]])
+        nq = float(r["norm_q"]) or 1.0
+        parts = (qv / nq).reshape(m, sub)
+        lut = np.einsum("ms,mks->mk", parts, books)  # (m, ksub)
+        lut_rows.append(
+            (r["query_id"], [[float(v) for v in row] for row in lut])
+        )
+    luts = spark.createDataFrame(
+        lut_rows, f"query_id long, lut array<array<double>>"
+    )
+
+    adc = (
+        codes.crossJoin(F.broadcast(luts))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "adc_sim",
+            F.when(
+                F.col("norm_c") > 0,
+                F.aggregate(
+                    F.zip_with(
+                        F.col("codes"),
+                        F.col("lut"),
+                        lambda c, row: F.element_at(row, c.cast("int") + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.col("norm_c"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    shortlist = topk_per_group(
+        adc.select("query_id", "neighbor_id", F.round("adc_sim", 6).alias("adc_r")),
+        ["query_id"],
+        [F.col("adc_r").desc(), F.col("neighbor_id").asc()],
+        k=rerank * k,
+        rank_col="adc_rnk",
+    ).select("query_id", "neighbor_id")
+
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("norm_c"),
+    )
+    qv = q_rows.select("query_id", "q_vec", "norm_q")
+    scored = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("sim_r", F.round(_paired_cosine(), 6))
+        .select("query_id", "neighbor_id", "sim_r")
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("sim_r").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rnk",
+    )

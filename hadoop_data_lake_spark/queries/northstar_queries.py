@@ -350,6 +350,15 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, _query_set(emb), centroid_col="label", k=5, nprobe=2)
 
 
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (driver-trained numpy codebooks are not SQL-replayable):
+    product-quantization ADC search with exact re-rank — the memory tier
+    (64-dim float vectors scanned as 8x4-bit codes). Recall vs brute force
+    is asserted in tests/test_similarity.py."""
+    emb = _corpus(spark, sf_dir)
+    return SIM.pq_topk(emb, _query_set(emb), k=5, m=8, nbits=4, dim=64, rerank=4)
+
+
 # --------------------------------------------------------------------------
 # Multimodal + streaming
 # --------------------------------------------------------------------------

@@ -65,6 +65,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_lsh": QuerySpec(NS.ann_lsh, None, ("ann", "lsh")),
     "ann_ivf": QuerySpec(NS.ann_ivf, None, ("ann", "ivf")),
     "ann_ivf_kmeans": QuerySpec(NS.ann_ivf_kmeans, None, ("ann", "ivf", "kmeans", "iterative")),
+    # ann_pq sits OUTSIDE the window by the value_percentiles_approx
+    # precedent: rows-only driver checks carry little signal and its real
+    # verification is the pytest recall bound (tests/test_similarity.py).
     # --- north-star: text analysis --------------------------------------
     "text_stats": QuerySpec(NS.text_stats, NS.TEXT_STATS_SQL, ("text",)),
     "lang_id": QuerySpec(NS.lang_id, NS.LANG_ID_SQL, ("text",)),
@@ -124,6 +127,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "monthly_revenue_yoy": QuerySpec(TQ.monthly_revenue_yoy, TQ.MONTHLY_REVENUE_YOY_SQL, ("window", "lag", "post-agg")),
     "value_moments_profile": QuerySpec(EV.value_moments_profile, EV.VALUE_MOMENTS_PROFILE_SQL, ("agg", "moments", "deterministic")),
     "value_mad": QuerySpec(EV.value_mad, EV.VALUE_MAD_SQL, ("agg", "percentile", "robust-stats")),
+    "ann_pq": QuerySpec(NS.ann_pq, None, ("ann", "pq", "adc")),
     "value_histogram": QuerySpec(NS.value_histogram, NS.VALUE_HISTOGRAM_SQL, ("agg", "histogram")),
     "props_map_entries": QuerySpec(NS.props_map_entries, NS.PROPS_MAP_ENTRIES_SQL, ("json", "map")),
     "weekly_counts_unpivot": QuerySpec(TQ.weekly_counts_unpivot, TQ.WEEKLY_COUNTS_UNPIVOT_SQL, ("unpivot", "melt")),

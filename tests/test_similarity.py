@@ -181,3 +181,36 @@ def test_ivf_index_build_search_split(spark, emb, tmp_path):
     # cell partitions materialized Hive-style
     import os
     assert any(p.startswith("cell=") for p in os.listdir(f"{path}/cells"))
+
+
+def test_pq_recall_on_clusters(emb):
+    from hadoop_data_lake_spark.operators.similarity import pq_topk
+
+    # k=4 inside 5-vector clusters: the true top-4 of every query is its
+    # cluster siblings; PQ/ADC + exact re-rank must recover them
+    expected = _numpy_topk(_vectors(), 4)
+    out = pq_topk(emb, emb, k=4, m=8, nbits=4, dim=DIM, rerank=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["rnk"], r["neighbor_id"]))
+    hits = total = 0
+    for qid, exp in expected.items():
+        neigh = [n for _, n in sorted(got.get(qid, []))]
+        hits += len(set(neigh) & set(exp))
+        total += len(exp)
+    assert hits / total >= 0.95, f"recall {hits}/{total}"
+
+
+def test_pq_encode_is_deterministic(spark, emb):
+    from hadoop_data_lake_spark.operators.similarity import pq_encode, pq_train
+
+    books = pq_train(emb, m=8, nbits=4, dim=DIM)
+    books2 = pq_train(emb.repartition(5), m=8, nbits=4, dim=DIM)
+    assert np.array_equal(books, books2)
+    a = {r["neighbor_id"]: r["codes"] for r in pq_encode(emb, books).collect()}
+    b = {
+        r["neighbor_id"]: r["codes"]
+        for r in pq_encode(emb.repartition(3), books).collect()
+    }
+    assert a == b
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in a.values())
