@@ -46,6 +46,9 @@ HEADLINE = [
     "ann_brute_force",
     "ann_ivf_kmeans",
     "embedding_near_dup",
+    "scd2_event_type_history",
+    "export_shuffle_shards",
+    "zorder_code_orders",
     "stream_windowed_counts",
     "stream_session_stats",
 ]

@@ -57,3 +57,38 @@ def merge_upsert(
         F.coalesce(F.col("__s"), F.col("__t")).alias("__row"),
     )
     return merged.select(*keys, *[F.col("__row")[c].alias(c) for c in payload])
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data capture between two snapshots of the same table: one row
+    per changed key with `op` in ('I', 'U', 'D') plus the new-side payload
+    (old-side for deletes). Unchanged keys produce no row.
+
+    The lakehouse "table_changes()" primitive built from one full-outer
+    hash join on the key (the only shuffle); change detection is a
+    null-safe struct comparison, so NULL payloads diff correctly and adding
+    a compare column never changes join shape. At 100 TB both snapshots
+    shuffle once each — co-locate them with identical bucketing to make the
+    join exchange-free."""
+    payload = compare_cols or [c for c in old.columns if c not in keys]
+    if set(payload) - set(new.columns) or set(payload) - set(old.columns):
+        raise ValueError("compare_cols must exist on both snapshots")
+
+    o = old.select(*keys, F.struct(*payload).alias("__o"), F.lit(True).alias("__in_o"))
+    n = new.select(*keys, F.struct(*payload).alias("__n"), F.lit(True).alias("__in_n"))
+    j = o.join(n, on=keys, how="full_outer")
+    op = (
+        F.when(F.col("__in_o").isNull(), F.lit("I"))
+        .when(F.col("__in_n").isNull(), F.lit("D"))
+        .when(~F.col("__o").eqNullSafe(F.col("__n")), F.lit("U"))
+    )
+    kept = j.withColumn("op", op).where(F.col("op").isNotNull())
+    out_payload = F.when(F.col("op") == "D", F.col("__o")).otherwise(F.col("__n"))
+    return kept.select(
+        *keys, "op", *[out_payload[c].alias(c) for c in payload]
+    )

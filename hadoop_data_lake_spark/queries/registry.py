@@ -104,8 +104,8 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- r1-ungraded events/TPC-H shapes --------------------------------
     "q21_waiting_suppliers": QuerySpec(TQ.q21_waiting_suppliers, TQ.Q21_WAITING_SUPPLIERS_SQL, ("join", "exists", "argmax")),
     "orders_snapshot_merge": QuerySpec(TQ.orders_snapshot_merge, TQ.ORDERS_SNAPSHOT_MERGE_SQL, ("merge", "upsert", "full-outer")),
+    "orders_snapshot_diff": QuerySpec(TQ.orders_snapshot_diff, TQ.ORDERS_SNAPSHOT_DIFF_SQL, ("cdc", "diff", "full-outer")),
     "salted_type_weight_sum": QuerySpec(EV.salted_type_weight_sum, EV.SALTED_TYPE_WEIGHT_SUM_SQL, ("join", "skew", "salting")),
-    "halves_activity_nullsafe": QuerySpec(EV.halves_activity_nullsafe, EV.HALVES_ACTIVITY_NULLSAFE_SQL, ("join", "null-safe", "full-outer")),
     "cohort_retention": QuerySpec(EV.cohort_retention, EV.COHORT_RETENTION_SQL, ("window", "join", "cohort")),
     "zone_conversion_funnel": QuerySpec(EV.zone_conversion_funnel, EV.ZONE_CONVERSION_FUNNEL_SQL, ("agg", "funnel", "conditional-agg")),
     "last_purchase_carryforward": QuerySpec(EV.last_purchase_carryforward, EV.LAST_PURCHASE_CARRYFORWARD_SQL, ("window", "ignore-nulls", "carry-forward")),
@@ -125,6 +125,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # locally by tools/check_oracle.py every round.
     "value_percentiles_approx": QuerySpec(EV.value_percentiles_approx, None, ("sketch", "percentile")),
     "monthly_revenue_yoy": QuerySpec(TQ.monthly_revenue_yoy, TQ.MONTHLY_REVENUE_YOY_SQL, ("window", "lag", "post-agg")),
+    "halves_activity_nullsafe": QuerySpec(EV.halves_activity_nullsafe, EV.HALVES_ACTIVITY_NULLSAFE_SQL, ("join", "null-safe", "full-outer")),
     "value_moments_profile": QuerySpec(EV.value_moments_profile, EV.VALUE_MOMENTS_PROFILE_SQL, ("agg", "moments", "deterministic")),
     "value_mad": QuerySpec(EV.value_mad, EV.VALUE_MAD_SQL, ("agg", "percentile", "robust-stats")),
     "ann_pq": QuerySpec(NS.ann_pq, None, ("ann", "pq", "adc")),

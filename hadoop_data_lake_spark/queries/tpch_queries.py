@@ -1598,3 +1598,63 @@ SELECT o_orderkey, cust_q, price_q,
        ((((((((((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) | ((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) | ((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | ((((((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) | ((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) | ((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) | ((((((((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) | ((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) | ((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | ((((((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) | ((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) | ((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) << 1)) & 6148914691236517205) | ((((((((((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) | ((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) | ((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | ((((((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) | ((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) | ((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) | ((((((((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) | ((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) | ((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | ((((((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) | ((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) | ((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) << 1)) & 6148914691236517205) << 1))::bigint AS zcode
 FROM q
 """
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff (CDC): table_changes() between two versions of orders —
+# updates (revised totals after a cutoff), deletes (retired 5-LOW rows),
+# inserts (synthetic negative keys). One full-outer join on the key.
+# --------------------------------------------------------------------------
+
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_data_lake_spark.operators.merge import snapshot_diff
+
+    orders = read_table(spark, sf_dir, "orders")
+    cutoff = F.col("o_orderdate") >= F.lit("2000-07-01")
+    old = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    new = orders.where(~(cutoff & (F.col("o_orderpriority") == "5-LOW"))).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(cutoff, F.col("o_totalprice") + F.lit(1.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    ).unionByName(
+        orders.where(F.col("o_orderkey") % 97 == 0).select(
+            (-F.col("o_orderkey")).alias("o_orderkey"),
+            "o_orderstatus",
+            "o_totalprice",
+        )
+    )
+    return snapshot_diff(old, new, keys=["o_orderkey"])
+
+
+ORDERS_SNAPSHOT_DIFF_SQL = """
+WITH old_s AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+new_s AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderdate >= TIMESTAMP '2000-07-01 00:00:00'
+              THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE NOT (o_orderdate >= TIMESTAMP '2000-07-01 00:00:00'
+             AND o_orderpriority = '5-LOW')
+  UNION ALL
+  SELECT -o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 97 = 0
+),
+d AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'I'
+              WHEN n.o_orderkey IS NULL THEN 'D'
+              WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                   OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice) THEN 'U'
+         END AS op,
+         CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus
+              ELSE n.o_orderstatus END AS o_orderstatus,
+         CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice
+              ELSE n.o_totalprice END AS o_totalprice
+  FROM old_s o FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey
+)
+SELECT * FROM d WHERE op IS NOT NULL
+"""

@@ -30,3 +30,34 @@ def test_merge_upsert_schema_mismatch_raises(spark):
     source = spark.createDataFrame([(1, 2.0)], "id long, other double")
     with pytest.raises(ValueError, match="schema mismatch"):
         merge_upsert(target, source, keys=["id"])
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    from hadoop_data_lake_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 9.0), (3, "c", None), (5, "e", 5.0)],
+        "k long, s string, v double",
+    )
+    got = {r["k"]: r for r in snapshot_diff(old, new, keys=["k"]).collect()}
+    # 1 unchanged (no row), 3 unchanged with NULL payload (null-safe!), 2
+    # updated, 4 deleted, 5 inserted
+    assert set(got) == {2, 4, 5}
+    assert (got[2]["op"], got[2]["v"]) == ("U", 9.0)
+    assert (got[4]["op"], got[4]["v"]) == ("D", 4.0)
+    assert (got[5]["op"], got[5]["v"]) == ("I", 5.0)
+
+
+def test_snapshot_diff_rejects_missing_columns(spark):
+    import pytest as _pytest
+
+    from hadoop_data_lake_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a")], "k long, s string")
+    new = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError):
+        snapshot_diff(old, new, keys=["k"])

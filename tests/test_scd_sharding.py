@@ -88,3 +88,17 @@ def test_shard_plan_no_global_single_task_window(spark):
     for line in txt.splitlines():
         if "windowspecdefinition" in line.lower():
             assert "__pid" in line
+
+
+def test_scd2_single_shuffle(spark):
+    # run-detect window (user), run groupBy (user, version, attr), interval
+    # lead window (user): overlapping keys all reuse ONE hash exchange on
+    # user_id — the whole dimension build is a single shuffle of the facts
+    import re
+
+    df = spark.createDataFrame(
+        [(1, 1, 1, "A"), (1, 2, 2, "B")], "user_id long, ts long, event_id long, a string"
+    )
+    out = scd2_collapse(df, "user_id", ["ts", "event_id"], "a")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
