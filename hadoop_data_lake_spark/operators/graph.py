@@ -109,3 +109,77 @@ def dedup_clusters(
             "cluster_size",
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """(vertex, rank) by power iteration over a directed edge list.
+
+    Spark-first shape: each iteration is one equi-join (edge src -> current
+    rank) + one aggregation on dst — the distributed sparse mat-vec. Dangling
+    mass (sinks with no out-edges) is redistributed uniformly, so ranks sum
+    to 1 every iteration. Ranks are localCheckpoint-ed per round: without
+    lineage truncation round N re-executes rounds 1..N-1 (the same lesson as
+    connected_components). Convergence is an L1-delta driver check (one tiny
+    agg per round — the k-means mini-state pattern).
+
+    At 100 TB the join shuffles on src and the agg on dst; pre-partitioning
+    the edge list by src keeps the per-iteration shuffle to the rank table
+    (|V| rows), not the edges.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # edges+degree are reused every iteration: materialize once
+    contrib_base = e.join(out_deg, "src").localCheckpoint(eager=True)
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        contribs = (
+            contrib_base.join(ranks, F.col("src") == F.col("v"))
+            .select("dst", (F.col("rank") / F.col("deg")).alias("w"))
+            .groupBy("dst")
+            .agg(F.sum("w").alias("in_mass"))
+        )
+        # dangling mass = 1 - mass that flowed along edges
+        flowed = (
+            ranks.join(out_deg, F.col("v") == F.col("src"), "left_semi")
+            .agg(F.sum("rank"))
+            .first()[0]
+            or 0.0
+        )
+        dangling = 1.0 - flowed
+        new_ranks = (
+            nodes.join(contribs, F.col("v") == F.col("dst"), "left")
+            .select(
+                "v",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            ranks.select("v", F.col("rank").alias("old"))
+            .join(new_ranks, "v")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
+            .first()[0]
+        )
+        ranks = new_ranks
+        if delta is not None and delta <= tol:
+            break
+    return ranks.select(F.col("v").alias("vertex"), "rank")

@@ -1658,3 +1658,24 @@ d AS (
 )
 SELECT * FROM d WHERE op IS NOT NULL
 """
+
+
+def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite customer->supplier purchase graph
+    (orders x lineitem; node ids disambiguated by sign: customers positive,
+    suppliers negative). Rows-only: iterative float accumulation is not
+    value-hash-stable across engines; numpy power-iteration parity is
+    asserted in tests/test_graph.py."""
+    from hadoop_data_lake_spark.operators.graph import pagerank
+
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, max_iter=10)

@@ -56,3 +56,28 @@ def test_connected_components_nonconvergence_is_loud(spark):
     # and enough iterations converge to a single component
     full = connected_components(chain, max_iter=10)
     assert {r["component"] for r in full.collect()} == {0}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from hadoop_data_lake_spark.operators.graph import pagerank
+
+    # small directed graph with a sink (node 3) to exercise dangling mass
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["vertex"]: r["rank"] for r in pagerank(edges, max_iter=50, tol=1e-10).collect()}
+
+    n, d = 4, 0.85
+    out = {0: 2, 1: 1, 2: 2}
+    r = np.full(n, 1.0 / n)
+    for _ in range(200):
+        new = np.full(n, (1 - d) / n)
+        dangling = sum(r[v] for v in range(n) if v not in out)
+        new += d * dangling / n
+        for s, t in edge_list:
+            new[t] += d * r[s] / out[s]
+        r = new
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    for v in range(n):
+        assert got[v] == pytest.approx(r[v], abs=1e-6), v
