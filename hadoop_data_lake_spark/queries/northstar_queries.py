@@ -1185,3 +1185,24 @@ SELECT DISTINCT user_id, event_type,
        epoch_us(date_trunc('minute', ts)) AS minute_us
 FROM events
 """
+
+
+def weekly_unique_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-(week, day) HLL sketches of user_id
+    merged up to per-week approximate distinct users (functions/sketches.py
+    — the facts are scanned once at the fine grain; the weekly grain is
+    answered from sketches alone). Rows-only: Datasketches binary state is
+    engine-specific; the error bound vs exact distinct is asserted in
+    tests/test_streaming_multimodal.py."""
+    from hadoop_data_lake_spark.functions.sketches import (
+        hll_partial_sketches,
+        hll_rollup_estimate,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.weekofyear("ts").alias("week"),
+        F.dayofweek("ts").alias("day"),
+        "user_id",
+    )
+    daily = hll_partial_sketches(ev, ["week", "day"], "user_id")
+    return hll_rollup_estimate(daily, ["week"]).orderBy("week")

@@ -130,6 +130,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "value_mad": QuerySpec(EV.value_mad, EV.VALUE_MAD_SQL, ("agg", "percentile", "robust-stats")),
     "ann_pq": QuerySpec(NS.ann_pq, None, ("ann", "pq", "adc")),
     "purchase_graph_pagerank": QuerySpec(TQ.purchase_graph_pagerank, None, ("graph", "iterative", "pagerank")),
+    "weekly_unique_users_hll": QuerySpec(NS.weekly_unique_users_hll, None, ("sketch", "hll", "rollup")),
     "value_histogram": QuerySpec(NS.value_histogram, NS.VALUE_HISTOGRAM_SQL, ("agg", "histogram")),
     "props_map_entries": QuerySpec(NS.props_map_entries, NS.PROPS_MAP_ENTRIES_SQL, ("json", "map")),
     "weekly_counts_unpivot": QuerySpec(TQ.weekly_counts_unpivot, TQ.WEEKLY_COUNTS_UNPIVOT_SQL, ("unpivot", "melt")),

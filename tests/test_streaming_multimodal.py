@@ -213,3 +213,24 @@ def test_stream_dedup_within_watermark(spark):
     )
     assert got.count() == expected.count()
     assert got.distinct().count() == got.count()  # no surviving key repeats
+
+
+def test_hll_rollup_error_bound(spark):
+    from hadoop_data_lake_spark.functions.sketches import (
+        hll_partial_sketches,
+        hll_rollup_estimate,
+    )
+
+    ev = read_table(spark, SF_DIR, "events").select(
+        F.weekofyear("ts").alias("week"), F.dayofweek("ts").alias("day"), "user_id"
+    )
+    daily = hll_partial_sketches(ev, ["week", "day"], "user_id")
+    est = {r["week"]: r["approx_distinct"] for r in hll_rollup_estimate(daily, ["week"]).collect()}
+    exact = {
+        r["week"]: r["n"]
+        for r in ev.groupBy("week").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    for wk, n in exact.items():
+        # lg_k=12 -> relative standard error ~1.6%; allow 5% (3 sigma-ish)
+        assert abs(est[wk] - n) <= max(2, 0.05 * n), (wk, est[wk], n)
