@@ -160,3 +160,35 @@ def test_events_partitioned_scan_prunes_directories(spark, tmp_path):
     rows = out.collect()
     assert len(rows) == 5  # one row per event_type
     assert all(r["n_events"] > 0 for r in rows)
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Join-strategy control: the engine exposes Spark's full strategy set —
+    broadcast (asserted elsewhere), shuffle_hash (skew-tolerant, no sort),
+    merge (sort-merge) — via hints that survive to the physical plan."""
+    a = spark.range(0, 10000).selectExpr("id as k", "id * 2 as v")
+    b = spark.range(0, 1000).selectExpr("id as k", "id * 3 as w")
+    sh = a.join(b.hint("shuffle_hash"), "k")
+    assert "ShuffledHashJoin" in sh._jdf.queryExecution().executedPlan().toString()
+    sm = a.join(b.hint("merge"), "k")
+    assert "SortMergeJoin" in sm._jdf.queryExecution().executedPlan().toString()
+
+
+def test_observe_metrics_piggyback_on_pass(spark):
+    """df.observe: data-quality counters collected DURING a real action —
+    no second scan (the production pattern for row-count/null-rate audits
+    on 100 TB passes)."""
+    from pyspark.sql import Observation
+    import pyspark.sql.functions as F
+
+    obs = Observation("quality")
+    df = spark.range(1000).selectExpr(
+        "id", "case when id % 10 = 0 then null else id end as v"
+    )
+    audited = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("v").isNull().cast("long")).alias("null_v"),
+    )
+    assert audited.where("id >= 0").count() == 1000
+    assert obs.get == {"rows": 1000, "null_v": 100}
