@@ -192,3 +192,36 @@ def test_observe_metrics_piggyback_on_pass(spark):
     )
     assert audited.where("id >= 0").count() == 1000
     assert obs.get == {"rows": 1000, "null_v": 100}
+
+
+def test_runtime_bloom_filter_prunes_big_side(spark, tmp_path):
+    """Runtime bloom-filter join pruning: a selective dim-side filter
+    injects a bloom semi-filter on the fact side BEFORE the shuffle — at
+    100 TB this drops most fact rows at the scan instead of shuffling them.
+    On by default (spark.sql.optimizer.runtime.bloomFilter.enabled) with a
+    10 GB fact-scan threshold; lowered here only to demonstrate on test
+    data."""
+    big_p, dim_p = str(tmp_path / "big"), str(tmp_path / "dim")
+    spark.range(0, 200000).selectExpr("id as k", "id * 2 as v").write.parquet(big_p)
+    spark.range(0, 5000).selectExpr("id as k", "id % 100 as tag").write.parquet(dim_p)
+    old_thr = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = spark.read.parquet(big_p)
+        dim = spark.read.parquet(dim_p).where("tag = 3")
+        j = big.join(dim, "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+        assert j.count() == 50
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thr,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
