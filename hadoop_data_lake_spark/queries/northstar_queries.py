@@ -1206,3 +1206,80 @@ def weekly_unique_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = hll_partial_sketches(ev, ["week", "day"], "user_id")
     return hll_rollup_estimate(daily, ["week"]).orderBy("week")
+
+
+def chunk_text_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 32, stride 16) — the
+    RAG/pretraining chunking stage — implemented as an arrow-optimized
+    Python UDTF (Spark 4 user-defined TABLE function, the custom-generator
+    surface for one-row-to-many operators) applied per document via a
+    lateral join. Chunk semantics are plain slicing, so the DuckDB oracle
+    replays them exactly (generate_series starts + list slices)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, start_tok int, n_tok int, chunk string", useArrow=True)
+    class ChunkText:
+        def eval(self, text: str):
+            toks = (text or "").split(" ")
+            n, i, idx = len(toks), 0, 0
+            while i < n:
+                part = toks[i : i + 32]
+                yield idx, i, len(part), " ".join(part)
+                idx += 1
+                i += 16
+
+    from hadoop_data_lake_spark.core.io import register_tables
+
+    register_tables(spark, sf_dir, tables=("documents",))
+    spark.udtf.register("chunk_text", ChunkText)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.start_tok, c.n_tok, c.chunk
+        FROM documents d, LATERAL chunk_text(d.text) c
+        """
+    )
+
+
+CHUNK_TEXT_WINDOWS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+g AS (
+  SELECT doc_id, toks, n, unnest(range(0, n, 16)) AS g FROM s
+)
+SELECT doc_id,
+       (g // 16)::int AS chunk_idx,
+       g::int AS start_tok,
+       least(n - g, 32)::int AS n_tok,
+       array_to_string(toks[g + 1 : g + 32], ' ') AS chunk
+FROM g
+"""
+
+
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via the VARIANT type (Spark 4): parse_json once
+    into a binary variant, typed variant_get extraction after — the
+    shred-once-read-many path for JSON at scale (no per-access string
+    re-parse, unlike get_json_object). Oracle mirrors with DuckDB
+    json_extract."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.count_distinct("k").alias("k_distinct"),
+            F.avg("k").alias("k_avg"),
+        )
+    )
+
+
+PROPS_VARIANT_STATS_SQL = """
+SELECT event_type, count(k) AS n,
+       count(DISTINCT k) AS k_distinct,
+       avg(k) AS k_avg
+FROM (SELECT event_type, json_extract_string(props, '$.k')::bigint AS k FROM events)
+GROUP BY event_type
+"""
