@@ -75,3 +75,42 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def collect_file_stats(spark, root: str, cols: list[str]) -> DataFrame:
+    """Per-file min/max footer stats for `cols` — the data-skipping index
+    zorder_write lays files out for. One distributed scan builds it;
+    output is one row per file (tiny — persist it next to the dataset).
+    This is what Delta/Iceberg keep in their metadata layer, built from
+    primitives: input_file_name + groupBy."""
+    df = spark.read.parquet(root).select(
+        F.input_file_name().alias("file"), *cols
+    )
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    return df.groupBy("file").agg(*aggs)
+
+
+def prune_files(stats: DataFrame, bounds: dict[str, tuple]) -> list[str]:
+    """Files whose [min, max] ranges overlap every queried bound — the
+    candidate list a skipping scan reads. `stats` has one row per file, so
+    this driver-side filter is O(#files), not O(rows)."""
+    cond = F.lit(True)
+    for c, (lo, hi) in bounds.items():
+        cond = cond & (F.col(f"{c}_max") >= F.lit(lo)) & (F.col(f"{c}_min") <= F.lit(hi))
+    return [r["file"] for r in stats.where(cond).select("file").collect()]
+
+
+def read_skipping(spark, root: str, stats: DataFrame, bounds: dict[str, tuple]) -> DataFrame:
+    """Scan only the files that can contain rows in `bounds`, then apply
+    the residual row filter. Semantically identical to a full scan +
+    filter; IO is proportional to the matched files."""
+    files = prune_files(stats, bounds)
+    if not files:
+        df = spark.read.parquet(root)
+        return df.where(F.lit(False))
+    df = spark.read.parquet(*files)
+    for c, (lo, hi) in bounds.items():
+        df = df.where((F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi)))
+    return df

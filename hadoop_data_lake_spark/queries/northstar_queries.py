@@ -1283,3 +1283,69 @@ SELECT event_type, count(k) AS n,
 FROM (SELECT event_type, json_extract_string(props, '$.k')::bigint AS k FROM events)
 GROUP BY event_type
 """
+
+
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical quality score: per-document bigram cross-entropy under
+    the corpus's own bigram language model — the classic cheap perplexity
+    proxy for filtering (docs whose word transitions are unlike the corpus
+    score high). Two aggregations over exploded bigrams (model build:
+    bigram + unigram-prefix counts) + one broadcast-joined re-score pass;
+    every count is corpus-derived so no smoothing is needed. Cross-entropy
+    is rounded to 6 decimals (sim_r precedent: float sums are
+    order-sensitive in the last ulps)."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id", w.alias("w"), F.size(w).alias("n")
+    ).where(F.col("n") >= 2)
+    bg = base.select(
+        "doc_id",
+        F.explode_outer(
+            F.zip_with(
+                F.slice(F.col("w"), 1, F.col("n") - 1),
+                F.slice(F.col("w"), 2, F.col("n") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    )
+    model = bg.groupBy("bigram").agg(F.count("*").alias("c12"))
+    prefix = bg.select(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1")
+    ).groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = (
+        bg.join(model, "bigram")
+        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .join(prefix, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(-F.log2(F.col("c12") / F.col("c1"))), 6
+            ).alias("cross_entropy_bits"),
+        )
+    )
+    return scored
+
+
+DOC_LM_PERPLEXITY_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM base WHERE len(w) >= 2
+),
+model AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY bigram),
+prefix AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS c1 FROM bg GROUP BY 1
+)
+SELECT bg.doc_id,
+       count(*) AS n_bigrams,
+       round(avg(-log2(model.c12 / prefix.c1)), 6) AS cross_entropy_bits
+FROM bg
+JOIN model USING (bigram)
+JOIN prefix ON split_part(bg.bigram, ' ', 1) = prefix.w1
+GROUP BY bg.doc_id
+"""

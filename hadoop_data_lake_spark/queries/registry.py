@@ -99,6 +99,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "pack_sequences_plan": QuerySpec(NS.pack_sequences_plan, NS.PACK_SEQUENCES_PLAN_SQL, ("packing", "prefix-sum", "training-data")),
     "source_mix_rebalance": QuerySpec(NS.source_mix_rebalance, NS.SOURCE_MIX_REBALANCE_SQL, ("split", "sampling", "data-mixing")),
     "quality_gopher_filters": QuerySpec(NS.quality_gopher_filters, NS.QUALITY_GOPHER_FILTERS_SQL, ("text", "quality", "filter-stage")),
+    "doc_lm_perplexity": QuerySpec(NS.doc_lm_perplexity, NS.DOC_LM_PERPLEXITY_SQL, ("text", "quality", "lm", "perplexity")),
     "decontaminate_ngram_overlap": QuerySpec(NS.decontaminate_ngram_overlap, NS.DECONTAMINATE_NGRAM_OVERLAP_SQL, ("text", "decontamination", "ngram")),
     "pii_redact": QuerySpec(NS.pii_redact, NS.PII_REDACT_SQL, ("text", "pii", "regex")),
     "chunk_text_windows": QuerySpec(NS.chunk_text_windows, NS.CHUNK_TEXT_WINDOWS_SQL, ("text", "chunking", "udtf", "rag")),
@@ -108,7 +109,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "orders_snapshot_merge": QuerySpec(TQ.orders_snapshot_merge, TQ.ORDERS_SNAPSHOT_MERGE_SQL, ("merge", "upsert", "full-outer")),
     "orders_snapshot_diff": QuerySpec(TQ.orders_snapshot_diff, TQ.ORDERS_SNAPSHOT_DIFF_SQL, ("cdc", "diff", "full-outer")),
     "salted_type_weight_sum": QuerySpec(EV.salted_type_weight_sum, EV.SALTED_TYPE_WEIGHT_SUM_SQL, ("join", "skew", "salting")),
-    "zone_conversion_funnel": QuerySpec(EV.zone_conversion_funnel, EV.ZONE_CONVERSION_FUNNEL_SQL, ("agg", "funnel", "conditional-agg")),
     "last_purchase_carryforward": QuerySpec(EV.last_purchase_carryforward, EV.LAST_PURCHASE_CARRYFORWARD_SQL, ("window", "ignore-nulls", "carry-forward")),
     # new this round. Four new queries displaced four window entries with
     # close r1-graded relatives to the round-3 backlog: value_moments_profile
@@ -126,6 +126,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "value_percentiles_approx": QuerySpec(EV.value_percentiles_approx, None, ("sketch", "percentile")),
     "monthly_revenue_yoy": QuerySpec(TQ.monthly_revenue_yoy, TQ.MONTHLY_REVENUE_YOY_SQL, ("window", "lag", "post-agg")),
     "halves_activity_nullsafe": QuerySpec(EV.halves_activity_nullsafe, EV.HALVES_ACTIVITY_NULLSAFE_SQL, ("join", "null-safe", "full-outer")),
+    "zone_conversion_funnel": QuerySpec(EV.zone_conversion_funnel, EV.ZONE_CONVERSION_FUNNEL_SQL, ("agg", "funnel", "conditional-agg")),
     "cohort_retention": QuerySpec(EV.cohort_retention, EV.COHORT_RETENTION_SQL, ("window", "join", "cohort")),
     "user_gap_days": QuerySpec(EV.user_gap_days, EV.USER_GAP_DAYS_SQL, ("generator", "anti-join", "densification")),
     "value_moments_profile": QuerySpec(EV.value_moments_profile, EV.VALUE_MOMENTS_PROFILE_SQL, ("agg", "moments", "deterministic")),

@@ -62,3 +62,32 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
     assert zy < ly / 2, (zy, ly)
     assert zx < 32 and zy < 32, (zx, zy)
     assert lx < 8  # sanity: the baseline really is x-clustered
+
+
+def test_file_skipping_reads_fewer_zorder_files(spark, tmp_path):
+    from hadoop_data_lake_spark.operators.layout import (
+        collect_file_stats,
+        prune_files,
+        read_skipping,
+    )
+
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    ).repartition(9)
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "l")
+    zorder_write(grid, F.col("x"), F.col("y"), zpath, num_files=16)
+    grid.repartitionByRange(16, F.col("x")).sortWithinPartitions("x").write.parquet(lpath)
+
+    bounds = {"x": (0, 15), "y": (0, 15)}
+    zstats = collect_file_stats(spark, zpath, ["x", "y"])
+    lstats = collect_file_stats(spark, lpath, ["x", "y"])
+    z_files, l_files = prune_files(zstats, bounds), prune_files(lstats, bounds)
+    # 16x16 corner tile: ~1 z-order file vs ~4 x-sorted files (y unclustered)
+    assert len(z_files) <= 2 < len(l_files)
+
+    got = read_skipping(spark, zpath, zstats, bounds)
+    assert got.count() == 256  # pruning never loses rows
+    # empty bound -> empty frame, same schema
+    nothing = read_skipping(spark, zpath, zstats, {"x": (1000, 2000)})
+    assert nothing.count() == 0 and nothing.columns == got.columns
