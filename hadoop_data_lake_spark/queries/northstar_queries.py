@@ -1349,3 +1349,19 @@ JOIN model USING (bigram)
 JOIN prefix ON split_part(bg.bigram, ' ', 1) = prefix.w1
 GROUP BY bg.doc_id
 """
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 20 BPE merges learned from the documents corpus
+    (functions/bpe.py — word-frequency collapse makes training
+    corpus-size-independent after one scan). Rows-only: the iterative
+    argmax loop is not one SQL query; serial-reference parity and
+    partitioning invariance are asserted in tests/test_bpe.py."""
+    from hadoop_data_lake_spark.functions.bpe import bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=20)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )

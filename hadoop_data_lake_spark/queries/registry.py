@@ -134,6 +134,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_pq": QuerySpec(NS.ann_pq, None, ("ann", "pq", "adc")),
     "purchase_graph_pagerank": QuerySpec(TQ.purchase_graph_pagerank, None, ("graph", "iterative", "pagerank")),
     "weekly_unique_users_hll": QuerySpec(NS.weekly_unique_users_hll, None, ("sketch", "hll", "rollup")),
+    "bpe_merges": QuerySpec(NS.bpe_merges, None, ("text", "tokenizer", "bpe", "iterative")),
     "value_histogram": QuerySpec(NS.value_histogram, NS.VALUE_HISTOGRAM_SQL, ("agg", "histogram")),
     "props_map_entries": QuerySpec(NS.props_map_entries, NS.PROPS_MAP_ENTRIES_SQL, ("json", "map")),
     "weekly_counts_unpivot": QuerySpec(TQ.weekly_counts_unpivot, TQ.WEEKLY_COUNTS_UNPIVOT_SQL, ("unpivot", "melt")),
