@@ -74,3 +74,78 @@ def time_grid_ffill(
         F.col("__filled").alias(value_col),
         F.col("__observed").alias("observed"),
     )
+
+
+def time_grid_interpolate(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Dense grid with LINEAR interpolation between observations (the
+    ffill's smooth sibling: gaps ramp between endpoints instead of
+    stair-stepping; edges beyond the first/last observation clamp to it).
+
+    Same grid/shuffle shape as time_grid_ffill plus one backward-looking
+    and one forward-looking window over the SAME key partitioning — still
+    a single hash shuffle on the key, no Python, no iteration.
+    """
+    bucket_us = bucket_seconds * 1_000_000
+    tiebreak = tiebreak or []
+
+    b = (F.unix_micros(F.col(ts_col)) / bucket_us).cast("long")
+    events = df.select(
+        *keys, b.alias("__b"), F.col(ts_col).alias("__ts"), F.col(value_col).alias("__v"),
+        *tiebreak,
+    )
+    last_per_bucket = top1_per_group(
+        events,
+        [*keys, "__b"],
+        [F.col("__ts").desc(), *[F.col(c).desc() for c in tiebreak]],
+    ).select(*keys, "__b", "__v")
+
+    bounds = events.groupBy(*keys).agg(
+        F.min("__b").alias("__b_min"), F.max("__b").alias("__b_max")
+    )
+    grid = bounds.select(
+        *keys, F.explode(F.sequence("__b_min", "__b_max")).alias("__b")
+    )
+
+    back = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__b").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__b").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_b = F.when(F.col("__v").isNotNull(), F.col("__b"))
+    j = (
+        grid.join(last_per_bucket, on=[*keys, "__b"], how="left")
+        .withColumn("__observed", F.col("__v").isNotNull())
+        .withColumn("__pv", F.last("__v", ignorenulls=True).over(back))
+        .withColumn("__pb", F.last(obs_b, ignorenulls=True).over(back))
+        .withColumn("__nv", F.first("__v", ignorenulls=True).over(fwd))
+        .withColumn("__nb", F.first(obs_b, ignorenulls=True).over(fwd))
+    )
+    interp = (
+        F.when(F.col("__pb").isNull(), F.col("__nv"))
+        .when(F.col("__nb").isNull(), F.col("__pv"))
+        .when(F.col("__nb") == F.col("__pb"), F.col("__pv"))
+        .otherwise(
+            F.col("__pv")
+            + (F.col("__nv") - F.col("__pv"))
+            * (F.col("__b") - F.col("__pb"))
+            / (F.col("__nb") - F.col("__pb"))
+        )
+    )
+    return j.select(
+        *keys,
+        (F.col("__b") * bucket_us).alias("bucket_start_us"),
+        interp.alias(value_col),
+        F.col("__observed").alias("observed"),
+    )

@@ -955,3 +955,60 @@ SELECT user_id, version::bigint AS version, event_type, valid_from,
          AS is_current
 FROM g
 """
+
+
+def user_value_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 10-minute grid with linear interpolation between observed
+    values (operators/timeseries.time_grid_interpolate — the smooth sibling
+    of user_value_ffill; same one-shuffle grid shape)."""
+    from hadoop_data_lake_spark.operators.timeseries import time_grid_interpolate
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    return time_grid_interpolate(
+        ev, ["user_id"], "ts", "value", bucket_seconds=600, tiebreak=["event_id"]
+    )
+
+
+USER_VALUE_INTERPOLATE_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 600000000 AS b, ts, event_id, value FROM events
+),
+last_per_bucket AS (
+  SELECT user_id, b, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, b
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1
+),
+bounds AS (SELECT user_id, min(b) AS b_min, max(b) AS b_max FROM ev GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(range(b_min, b_max + 1)) AS b FROM bounds
+),
+joined AS (
+  SELECT g.user_id, g.b, l.value,
+         l.value IS NOT NULL AS observed
+  FROM grid g LEFT JOIN last_per_bucket l ON g.user_id = l.user_id AND g.b = l.b
+),
+w AS (
+  SELECT user_id, b, observed,
+         last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+             ROWS UNBOUNDED PRECEDING) AS pv,
+         last_value(CASE WHEN observed THEN b END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY b
+                   ROWS UNBOUNDED PRECEDING) AS pb,
+         first_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN observed THEN b END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY b
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+  FROM joined
+)
+SELECT user_id, b * 600000000 AS bucket_start_us,
+       CASE WHEN pb IS NULL THEN nv
+            WHEN nb IS NULL THEN pv
+            WHEN nb = pb THEN pv
+            ELSE pv + (nv - pv) * (b - pb) / (nb - pb)
+       END AS value,
+       observed
+FROM w
+"""

@@ -92,3 +92,31 @@ def test_distributed_prefix_sum_matches_serial(spark):
         assert r["start_seq"] == r["start_tok"] // 128
         assert r["end_seq"] == r["end_tok"] // 128
     assert any(packed[i]["end_seq"] > packed[i]["start_seq"] for i, _ in vals)
+
+
+def test_time_grid_interpolate_linear_values(spark):
+    from hadoop_data_lake_spark.operators.timeseries import time_grid_interpolate
+
+    # user 1: observations at buckets 0 (v=0.0) and 3 (v=9.0) -> ramp 0,3,6,9
+    rows = [
+        (1, 0, 100, 0.0),
+        (1, 3 * 600_000_000, 101, 9.0),
+        # user 2: single observation -> constant
+        (2, 600_000_000, 200, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, us long, event_id long, value double").select(
+        "user_id", F.timestamp_micros(F.col("us")).alias("ts"), "event_id", "value"
+    )
+    out = time_grid_interpolate(
+        df, ["user_id"], "ts", "value", bucket_seconds=600, tiebreak=["event_id"]
+    )
+    got = {
+        (r["user_id"], r["bucket_start_us"]): (r["value"], r["observed"])
+        for r in out.collect()
+    }
+    assert got[(1, 0)] == (0.0, True)
+    assert got[(1, 600_000_000)] == (3.0, False)
+    assert got[(1, 1_200_000_000)] == (6.0, False)
+    assert got[(1, 1_800_000_000)] == (9.0, True)
+    assert got[(2, 600_000_000)] == (5.0, True)
+    assert len(got) == 5
