@@ -1012,3 +1012,53 @@ SELECT user_id, b * 600000000 AS bucket_start_us,
        observed
 FROM w
 """
+
+
+def coactivity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user triangle counts over the co-activity graph (edge = two
+    users active in the same (zone, day, hour) bucket; operators/graph.
+    triangle_count — ordered two-join wedge closure, never a theta
+    self-join). The social-graph clustering primitive on a graph DERIVED
+    inside the engine."""
+    from hadoop_data_lake_spark.operators.graph import triangle_count
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.pmod("user_id", F.lit(10)).cast("long").alias("zone_id"),
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hr"),
+        "user_id",
+    ).distinct()
+    pairs = (
+        ev.alias("x")
+        .join(ev.alias("y"), ["zone_id", "day", "hr"])
+        .where(F.col("x.user_id") < F.col("y.user_id"))
+        .select(
+            F.col("x.user_id").alias("src"), F.col("y.user_id").alias("dst")
+        )
+    )
+    return triangle_count(pairs)
+
+
+COACTIVITY_TRIANGLES_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id % 10 AS zone_id, ts::date AS day,
+         extract(hour FROM ts) AS hr, user_id
+  FROM events
+),
+e AS (
+  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+  FROM active x JOIN active y
+    ON x.zone_id = y.zone_id AND x.day = y.day AND x.hr = y.hr
+  WHERE x.user_id < y.user_id
+),
+tris AS (
+  SELECT ab.a AS ta, ab.b AS tb, bc.b AS tc
+  FROM e ab
+  JOIN e bc ON ab.b = bc.a
+  JOIN e ac ON ab.a = ac.a AND bc.b = ac.b
+),
+corners AS (
+  SELECT unnest([ta, tb, tc]) AS vertex FROM tris
+)
+SELECT vertex, count(*) AS n_triangles FROM corners GROUP BY vertex
+"""

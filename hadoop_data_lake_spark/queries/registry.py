@@ -59,6 +59,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_minhash_lsh": QuerySpec(NS.dedup_minhash_lsh, NS.DEDUP_MINHASH_LSH_SQL, ("dedup", "lsh")),
     "dedup_simhash": QuerySpec(NS.dedup_simhash, NS.DEDUP_SIMHASH_SQL, ("dedup", "lsh")),
     "dedup_clusters_minhash": QuerySpec(NS.dedup_clusters_minhash, NS.DEDUP_CLUSTERS_MINHASH_SQL, ("dedup", "graph", "iterative")),
+    "coactivity_triangles": QuerySpec(EV.coactivity_triangles, EV.COACTIVITY_TRIANGLES_SQL, ("graph", "triangles", "self-join")),
     # --- north-star: similarity search ----------------------------------
     "ann_brute_force": QuerySpec(NS.ann_brute_force, NS.ANN_BRUTE_FORCE_SQL, ("ann",)),
     "embedding_near_dup": QuerySpec(NS.embedding_near_dup, NS.EMBEDDING_NEAR_DUP_SQL, ("ann", "dedup", "lsh")),
@@ -108,7 +109,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "q21_waiting_suppliers": QuerySpec(TQ.q21_waiting_suppliers, TQ.Q21_WAITING_SUPPLIERS_SQL, ("join", "exists", "argmax")),
     "orders_snapshot_merge": QuerySpec(TQ.orders_snapshot_merge, TQ.ORDERS_SNAPSHOT_MERGE_SQL, ("merge", "upsert", "full-outer")),
     "orders_snapshot_diff": QuerySpec(TQ.orders_snapshot_diff, TQ.ORDERS_SNAPSHOT_DIFF_SQL, ("cdc", "diff", "full-outer")),
-    "last_purchase_carryforward": QuerySpec(EV.last_purchase_carryforward, EV.LAST_PURCHASE_CARRYFORWARD_SQL, ("window", "ignore-nulls", "carry-forward")),
     "user_value_interpolate": QuerySpec(EV.user_value_interpolate, EV.USER_VALUE_INTERPOLATE_SQL, ("timeseries", "interpolation", "grid")),
     # new this round. Four new queries displaced four window entries with
     # close r1-graded relatives to the round-3 backlog: value_moments_profile
@@ -126,6 +126,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "value_percentiles_approx": QuerySpec(EV.value_percentiles_approx, None, ("sketch", "percentile")),
     "monthly_revenue_yoy": QuerySpec(TQ.monthly_revenue_yoy, TQ.MONTHLY_REVENUE_YOY_SQL, ("window", "lag", "post-agg")),
     "halves_activity_nullsafe": QuerySpec(EV.halves_activity_nullsafe, EV.HALVES_ACTIVITY_NULLSAFE_SQL, ("join", "null-safe", "full-outer")),
+    "last_purchase_carryforward": QuerySpec(EV.last_purchase_carryforward, EV.LAST_PURCHASE_CARRYFORWARD_SQL, ("window", "ignore-nulls", "carry-forward")),
     "salted_type_weight_sum": QuerySpec(EV.salted_type_weight_sum, EV.SALTED_TYPE_WEIGHT_SUM_SQL, ("join", "skew", "salting")),
     "zone_conversion_funnel": QuerySpec(EV.zone_conversion_funnel, EV.ZONE_CONVERSION_FUNNEL_SQL, ("agg", "funnel", "conditional-agg")),
     "cohort_retention": QuerySpec(EV.cohort_retention, EV.COHORT_RETENTION_SQL, ("window", "join", "cohort")),

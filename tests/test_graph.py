@@ -81,3 +81,16 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
     for v in range(n):
         assert got[v] == pytest.approx(r[v], abs=1e-6), v
+
+
+def test_triangle_count_known_graph(spark):
+    from hadoop_data_lake_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} (every vertex in C(3,2)=3 triangles) plus a pendant
+    # edge (4,5) and a duplicate/reversed edge to exercise canonicalization
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 5)],
+        "src long, dst long",
+    )
+    got = {r["vertex"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
