@@ -1062,3 +1062,31 @@ corners AS (
 )
 SELECT vertex, count(*) AS n_triangles FROM corners GROUP BY vertex
 """
+
+
+def value_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier flags (|z| >= 3): group stats via one
+    aggregation broadcast back onto the rows — the standard two-pass
+    robust-stats screen (value_mad is the median sibling)."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6))
+        .where(F.abs(F.col("z")) >= 3)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+VALUE_OUTLIERS_ZSCORE_SQL = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - s.mu) / s.sd, 6) AS z
+FROM events e JOIN stats s USING (event_type)
+WHERE abs(round((e.value - s.mu) / s.sd, 6)) >= 3
+"""

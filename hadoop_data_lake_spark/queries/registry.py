@@ -133,6 +133,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "user_gap_days": QuerySpec(EV.user_gap_days, EV.USER_GAP_DAYS_SQL, ("generator", "anti-join", "densification")),
     "value_moments_profile": QuerySpec(EV.value_moments_profile, EV.VALUE_MOMENTS_PROFILE_SQL, ("agg", "moments", "deterministic")),
     "value_mad": QuerySpec(EV.value_mad, EV.VALUE_MAD_SQL, ("agg", "percentile", "robust-stats")),
+    "value_outliers_zscore": QuerySpec(EV.value_outliers_zscore, EV.VALUE_OUTLIERS_ZSCORE_SQL, ("agg", "robust-stats", "outliers")),
     "ann_pq": QuerySpec(NS.ann_pq, None, ("ann", "pq", "adc")),
     "purchase_graph_pagerank": QuerySpec(TQ.purchase_graph_pagerank, None, ("graph", "iterative", "pagerank")),
     "weekly_unique_users_hll": QuerySpec(NS.weekly_unique_users_hll, None, ("sketch", "hll", "rollup")),
