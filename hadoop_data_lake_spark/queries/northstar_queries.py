@@ -1310,9 +1310,17 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bigram"),
     )
     model = bg.groupBy("bigram").agg(F.count("*").alias("c12"))
-    prefix = bg.select(
-        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1")
-    ).groupBy("w1").agg(F.count("*").alias("c1"))
+    # prefix counts re-aggregate the MODEL (distinct bigrams), not the
+    # exploded corpus: sum of c12 over bigrams sharing w1 == the corpus
+    # unigram-prefix count, one cheap shuffle instead of a third full
+    # explode pass (measured 5.6s -> see bench)
+    prefix = (
+        model.select(
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"), "c12"
+        )
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
     scored = (
         bg.join(model, "bigram")
         .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
@@ -1339,7 +1347,8 @@ bg AS (
 ),
 model AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY bigram),
 prefix AS (
-  SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS c1 FROM bg GROUP BY 1
+  SELECT split_part(bigram, ' ', 1) AS w1, sum(c12)::bigint AS c1
+  FROM model GROUP BY 1
 )
 SELECT bg.doc_id,
        count(*) AS n_bigrams,
