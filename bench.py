@@ -47,6 +47,10 @@ HEADLINE = [
     "ann_ivf_kmeans",
     "embedding_near_dup",
     "scd2_event_type_history",
+    "doc_lm_perplexity",
+    "chunk_text_windows",
+    "user_value_interpolate",
+    "coactivity_triangles",
     "export_shuffle_shards",
     "zorder_code_orders",
     "stream_windowed_counts",

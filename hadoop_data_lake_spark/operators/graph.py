@@ -197,10 +197,16 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     bounds it — documented trade, not needed at this corpus's density.
     """
     lo, hi = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    # localCheckpoint: `e` feeds THREE join branches; without truncation the
+    # whole upstream edge derivation (e.g. a co-activity self-join over the
+    # fact table) re-executes per branch — measured 6 scans, 0 reused
+    # exchanges. The canonical edge list is the small side of that trade
+    # (same reasoning as connected_components above).
     e = (
         edges.where(F.col(src) != F.col(dst))
         .select(lo.alias("a"), hi.alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     e_ab = e.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
     e_bc = e.select(F.col("a").alias("tb"), F.col("b").alias("tc"))
