@@ -18,7 +18,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hadoop_data_lake_spark.operators.aggregates import pivot_counts
 from hadoop_data_lake_spark.operators.windows import top1_per_group
 
 

@@ -1374,3 +1374,23 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, left string, right string",
     )
+
+
+def token_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based heavy hitters: approx_top_k over the exploded token
+    stream — bounded-memory frequency estimation (completes the sketch
+    family: HLL cardinality, approx percentile, top-k frequency). Rows-only:
+    sketch internals are engine-specific; overlap with the exact top-k is
+    asserted in tests/test_text.py."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode_outer(F.split(F.col("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    return (
+        toks.agg(F.expr("approx_top_k(tok, 20)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("token"),
+            F.col("e.count").alias("approx_count"),
+        )
+    )

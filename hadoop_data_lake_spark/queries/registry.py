@@ -138,6 +138,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "purchase_graph_pagerank": QuerySpec(TQ.purchase_graph_pagerank, None, ("graph", "iterative", "pagerank")),
     "weekly_unique_users_hll": QuerySpec(NS.weekly_unique_users_hll, None, ("sketch", "hll", "rollup")),
     "bpe_merges": QuerySpec(NS.bpe_merges, None, ("text", "tokenizer", "bpe", "iterative")),
+    "token_heavy_hitters_approx": QuerySpec(NS.token_heavy_hitters_approx, None, ("text", "sketch", "topk")),
     "value_histogram": QuerySpec(NS.value_histogram, NS.VALUE_HISTOGRAM_SQL, ("agg", "histogram")),
     "props_map_entries": QuerySpec(NS.props_map_entries, NS.PROPS_MAP_ENTRIES_SQL, ("json", "map")),
     "weekly_counts_unpivot": QuerySpec(TQ.weekly_counts_unpivot, TQ.WEEKLY_COUNTS_UNPIVOT_SQL, ("unpivot", "melt")),

@@ -153,3 +153,31 @@ def test_source_mix_rebalance_hits_target(spark):
         assert abs(kept[dom] - min_n) <= max(5, 0.35 * min_n)
     again = {(r["doc_id"], r["keep"]) for r in source_mix_rebalance(spark, "/root/testdata/sf0.01").collect()}
     assert again == {(r["doc_id"], r["keep"]) for r in rows}
+
+
+def test_approx_top_k_overlaps_exact(spark):
+    import pyspark.sql.functions as F
+
+    from hadoop_data_lake_spark.core.io import read_table
+    from hadoop_data_lake_spark.queries.northstar_queries import (
+        token_heavy_hitters_approx,
+    )
+    from tests.conftest import SF_DIR
+
+    approx = {r["token"] for r in token_heavy_hitters_approx(spark, SF_DIR).collect()}
+    toks = (
+        read_table(spark, SF_DIR, "documents")
+        .select(F.explode_outer(F.split(F.col("text"), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    exact = [
+        r["tok"]
+        for r in toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(20)
+        .collect()
+    ]
+    # the sketch must recover at least 80% of the true top-20 (in practice
+    # it is exact on this vocabulary size)
+    assert len(approx & set(exact)) >= 16
