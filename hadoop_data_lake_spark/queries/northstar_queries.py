@@ -1394,3 +1394,47 @@ def token_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.count").alias("approx_count"),
         )
     )
+
+
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching plan (batch size 8, 64-token buckets):
+    documents grouped with similar lengths so training batches pad to the
+    bucket ceiling, not the corpus max — the dynamic-batching step after
+    tokenization. One shuffle on the bucket key; deterministic doc_id order
+    within buckets."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    bucket = F.expr("n_tok div 64")
+    w = Window.partitionBy("bucket").orderBy(F.col("doc_id").asc())
+    rn = F.row_number().over(w) - 1
+    return (
+        docs.withColumn("bucket", bucket)
+        .withColumn("rn", rn)
+        .select(
+            "doc_id",
+            "n_tok",
+            "bucket",
+            F.expr("rn div 8").alias("batch_idx"),
+            F.expr("rn % 8").alias("pos_in_batch"),
+        )
+    )
+
+
+LENGTH_BUCKET_BATCHES_SQL = """
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' '))::bigint AS n_tok FROM documents
+),
+r AS (
+  SELECT doc_id, n_tok, n_tok // 64 AS bucket,
+         row_number() OVER (PARTITION BY n_tok // 64 ORDER BY doc_id) - 1 AS rn
+  FROM d
+)
+SELECT doc_id, n_tok, bucket,
+       (rn // 8)::int AS batch_idx,
+       (rn % 8)::int AS pos_in_batch
+FROM r
+"""

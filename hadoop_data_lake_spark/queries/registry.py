@@ -98,6 +98,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(NS.stratified_sample, NS.STRATIFIED_SAMPLE_SQL, ("split", "sampling", "stratified")),
     "daily_unique_users_approx": QuerySpec(NS.daily_unique_users_approx, None, ("sketch", "hll")),
     "pack_sequences_plan": QuerySpec(NS.pack_sequences_plan, NS.PACK_SEQUENCES_PLAN_SQL, ("packing", "prefix-sum", "training-data")),
+    "length_bucket_batches": QuerySpec(NS.length_bucket_batches, NS.LENGTH_BUCKET_BATCHES_SQL, ("packing", "batching", "training-data")),
     "source_mix_rebalance": QuerySpec(NS.source_mix_rebalance, NS.SOURCE_MIX_REBALANCE_SQL, ("split", "sampling", "data-mixing")),
     "quality_gopher_filters": QuerySpec(NS.quality_gopher_filters, NS.QUALITY_GOPHER_FILTERS_SQL, ("text", "quality", "filter-stage")),
     "doc_lm_perplexity": QuerySpec(NS.doc_lm_perplexity, NS.DOC_LM_PERPLEXITY_SQL, ("text", "quality", "lm", "perplexity")),
@@ -107,7 +108,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "props_variant_stats": QuerySpec(NS.props_variant_stats, NS.PROPS_VARIANT_STATS_SQL, ("json", "variant")),
     # --- r1-ungraded events/TPC-H shapes --------------------------------
     "q21_waiting_suppliers": QuerySpec(TQ.q21_waiting_suppliers, TQ.Q21_WAITING_SUPPLIERS_SQL, ("join", "exists", "argmax")),
-    "orders_snapshot_merge": QuerySpec(TQ.orders_snapshot_merge, TQ.ORDERS_SNAPSHOT_MERGE_SQL, ("merge", "upsert", "full-outer")),
     "orders_snapshot_diff": QuerySpec(TQ.orders_snapshot_diff, TQ.ORDERS_SNAPSHOT_DIFF_SQL, ("cdc", "diff", "full-outer")),
     "user_value_interpolate": QuerySpec(EV.user_value_interpolate, EV.USER_VALUE_INTERPOLATE_SQL, ("timeseries", "interpolation", "grid")),
     # new this round. Four new queries displaced four window entries with
@@ -126,6 +126,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "value_percentiles_approx": QuerySpec(EV.value_percentiles_approx, None, ("sketch", "percentile")),
     "monthly_revenue_yoy": QuerySpec(TQ.monthly_revenue_yoy, TQ.MONTHLY_REVENUE_YOY_SQL, ("window", "lag", "post-agg")),
     "halves_activity_nullsafe": QuerySpec(EV.halves_activity_nullsafe, EV.HALVES_ACTIVITY_NULLSAFE_SQL, ("join", "null-safe", "full-outer")),
+    "orders_snapshot_merge": QuerySpec(TQ.orders_snapshot_merge, TQ.ORDERS_SNAPSHOT_MERGE_SQL, ("merge", "upsert", "full-outer")),
     "last_purchase_carryforward": QuerySpec(EV.last_purchase_carryforward, EV.LAST_PURCHASE_CARRYFORWARD_SQL, ("window", "ignore-nulls", "carry-forward")),
     "salted_type_weight_sum": QuerySpec(EV.salted_type_weight_sum, EV.SALTED_TYPE_WEIGHT_SUM_SQL, ("join", "skew", "salting")),
     "zone_conversion_funnel": QuerySpec(EV.zone_conversion_funnel, EV.ZONE_CONVERSION_FUNNEL_SQL, ("agg", "funnel", "conditional-agg")),
