@@ -1,0 +1,160 @@
+"""End-to-end pretraining-data pipeline: the LLM analog of the reference's
+report DAG (reports_dag.py chains geotag -> user-city -> zone-report; this
+chains the curation stages the north-star brief asks for).
+
+    raw documents
+      -> quality gate        (Gopher-style rule keep-flags)
+      -> exact dedup         (content-hash, keep min-id representative)
+      -> near-dup dedup      (MinHash/LSH pairs -> connected components,
+                              keep cluster representative)
+      -> decontamination     (drop docs sharing >= `min_shared` 3-gram
+                              shingles with the held-out probe set)
+      -> PII redaction       (regex count + rewrite)
+      -> domain mixing       (deterministic hash-threshold rebalance)
+      -> shard export plan   (reproducible global shuffle + round-robin)
+
+Every stage is the already-oracle-verified operator, composed: the pipeline
+adds no new semantics, only the staging contract — each stage consumes the
+survivors of the previous one, and `run_pretrain_pipeline` reports a
+per-stage funnel so a 100 TB run is auditable (how many docs each gate
+dropped). All decisions are hash-deterministic: a rerun, a different
+partitioning, or a different cluster produces byte-identical survivor sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_data_lake_spark.core.io import read_table
+from hadoop_data_lake_spark.functions.hashing import salted_md5_60bit
+from hadoop_data_lake_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from hadoop_data_lake_spark.operators.graph import dedup_clusters
+from hadoop_data_lake_spark.operators.packing import shuffle_shard_plan
+
+
+def quality_keep(docs: DataFrame) -> DataFrame:
+    """Survivors of the Gopher-style gate (word count, mean word length,
+    stopword floor, digit ceiling, duplicate-2-gram ceiling) — the same
+    rules as the oracle-verified `quality_gopher_filters` query."""
+    t = F.col("text")
+    words = F.split(t, " ")
+    n_words = F.size(words)
+    mean_wlen = (F.length(t) - n_words + 1) / n_words
+    stop_ratio = (
+        F.size(F.filter(words, lambda w: w.isin("the", "a", "of", "to", "and")))
+        / n_words
+    )
+    digit_ratio = F.length(F.regexp_replace(t, r"[^0-9]", "")) / F.length(t)
+    bigrams = F.zip_with(
+        F.slice(words, 1, n_words - 1),
+        F.slice(words, 2, n_words - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    dup_2gram = 1 - F.size(F.array_distinct(bigrams)) / F.size(bigrams)
+    keep = (
+        n_words.between(10, 1000)
+        & mean_wlen.between(2.0, 12.0)
+        & (stop_ratio >= 0.01)
+        & (digit_ratio <= 0.2)
+        & (dup_2gram <= 0.6)
+    )
+    return docs.where(keep)
+
+
+def drop_exact_dups(docs: DataFrame) -> DataFrame:
+    reps = exact_dedup(docs, "doc_id", "text").select(
+        F.col("rep_id").alias("doc_id")
+    )
+    return docs.join(reps, "doc_id", "left_semi")
+
+
+def drop_near_dups(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=threshold)
+    clusters = dedup_clusters(pairs, id_a="doc_a", id_b="doc_b")
+    losers = clusters.where(F.col("doc") != F.col("cluster_rep")).select(
+        F.col("doc").alias("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti")
+
+
+def drop_contaminated(docs: DataFrame, min_shared: int = 2) -> DataFrame:
+    """Drop docs sharing >= min_shared distinct 3-gram shingles with the
+    probe set (doc_id % 97 == 0 stands in for the benchmark, matching the
+    oracle-verified query; probe docs themselves are excluded as held-out)."""
+    from hadoop_data_lake_spark.operators.dedup import _shingle_index
+
+    probe_flag = F.col("doc_id") % 97 == 0
+    corpus = docs.where(~probe_flag)
+    probes = docs.where(probe_flag)
+    _, corpus_idx = _shingle_index(corpus, "doc_id", "text", k=3)
+    _, probe_idx = _shingle_index(probes, "doc_id", "text", k=3)
+    hits = (
+        corpus_idx.join(F.broadcast(probe_idx.select("s").distinct()), "s")
+        .groupBy("doc")
+        .agg(F.count_distinct("s").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .select(F.col("doc").alias("doc_id"))
+    )
+    return corpus.join(hits, "doc_id", "left_anti")
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+    out = docs.withColumn(
+        "text", F.regexp_replace(F.col("text"), email, "[EMAIL]")
+    )
+    return out.withColumn(
+        "text", F.regexp_replace(F.col("text"), phone, "[PHONE]")
+    )
+
+
+def rebalance_domains(docs: DataFrame) -> DataFrame:
+    """Deterministic hash-threshold downsample of every domain to the
+    smallest domain's size (same rule as `source_mix_rebalance`)."""
+    domain = (
+        F.when(F.col("doc_id") % 10 < 6, "web")
+        .when(F.col("doc_id") % 10 < 9, "books")
+        .otherwise("code")
+    )
+    d = docs.withColumn("domain", domain)
+    counts = d.groupBy("domain").agg(F.count("*").alias("n_domain"))
+    min_n = counts.agg(F.min("n_domain").alias("min_n"))
+    dim = counts.crossJoin(F.broadcast(min_n)).select(
+        "domain", F.expr("(min_n * 1000000) div n_domain").alias("keep_threshold")
+    )
+    return (
+        d.withColumn(
+            "h", salted_md5_60bit(F.col("doc_id").cast("string"), "mix") % 1000000
+        )
+        .join(F.broadcast(dim), "domain")
+        .where(F.col("h") < F.col("keep_threshold"))
+        .drop("h", "keep_threshold", "domain")
+    )
+
+
+def run_pretrain_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    n_shards: int = 16,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Run the full funnel; returns (shard plan for the survivors,
+    per-stage counts). Stage frames are localCheckpoint-ed so the funnel
+    counts don't re-execute the whole upstream per action."""
+    funnel: dict[str, int] = {}
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        df = df.localCheckpoint(eager=True)
+        funnel[name] = df.count()
+        return df
+
+    docs = stage("raw", read_table(spark, sf_dir, "documents"))
+    docs = stage("quality", quality_keep(docs))
+    docs = stage("exact_dedup", drop_exact_dups(docs))
+    docs = stage("near_dedup", drop_near_dups(docs))
+    docs = stage("decontaminated", drop_contaminated(docs))
+    docs = stage("pii_redacted", redact_pii(docs))
+    docs = stage("mixed", rebalance_domains(docs))
+    plan = shuffle_shard_plan(docs.select("doc_id"), "doc_id", n_shards=n_shards)
+    return plan, funnel

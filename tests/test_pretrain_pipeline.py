@@ -1,0 +1,40 @@
+"""End-to-end pretraining-data funnel (pipelines/pretrain_data.py)."""
+
+import pyspark.sql.functions as F
+
+from hadoop_data_lake_spark.pipelines.pretrain_data import run_pretrain_pipeline
+from tests.conftest import SF_DIR
+
+
+def test_pretrain_funnel_monotone_and_deterministic(spark):
+    plan, funnel = run_pretrain_pipeline(spark, SF_DIR, n_shards=4)
+    order = [
+        "raw", "quality", "exact_dedup", "near_dedup",
+        "decontaminated", "pii_redacted", "mixed",
+    ]
+    assert list(funnel) == order
+    # every gate only removes rows
+    for a, b in zip(order, order[1:]):
+        assert funnel[b] <= funnel[a], (a, b, funnel)
+    assert funnel["mixed"] > 0
+
+    rows = plan.collect()
+    assert len(rows) == funnel["mixed"]
+    # balanced round-robin shards (within 1 row)
+    per_shard = {}
+    for r in rows:
+        per_shard[r["shard"]] = per_shard.get(r["shard"], 0) + 1
+    assert max(per_shard.values()) - min(per_shard.values()) <= 1
+
+    # deterministic end to end: a second run yields the identical plan
+    plan2, funnel2 = run_pretrain_pipeline(spark, SF_DIR, n_shards=4)
+    assert funnel2 == funnel
+    assert {(r["doc_id"], r["shard"], r["pos_in_shard"]) for r in rows} == {
+        (r["doc_id"], r["shard"], r["pos_in_shard"]) for r in plan2.collect()
+    }
+
+
+def test_pretrain_probe_docs_are_held_out(spark):
+    plan, _ = run_pretrain_pipeline(spark, SF_DIR, n_shards=4)
+    probe_survivors = plan.where(F.col("doc_id") % 97 == 0).count()
+    assert probe_survivors == 0  # the benchmark stand-in never trains
