@@ -12,15 +12,17 @@ window, not an arbitrary dict:
 
 - Entries 1-50 each round = every query that has NO green driver row from a
   prior round, flagship north-star families (dedup/ANN/text/multimodal/
-  streaming) first. Round 2's window = the 53 r1-ungraded queries minus the
-  3 nearest relatives of r1-graded shapes (regional_revenue_rollup ~
-  sales_cube, acctbal_union_stats ~ nations_with_both, rolling_3event_value
-  ~ rolling_hour_activity), then minus 3 more displaced by the new
-  LLM-pipeline stages (nation_revenue_share, part_name_near_matches,
-  brand_basket_pairs) and value_percentiles_approx (rows-only; its real
-  verification is the pytest error-bound test) displaced by
-  pack_sequences_plan (full oracle) — all seven sit first in the round-3
-  window.
+  streaming/training-data) first. Round 2's final window = all flagship
+  families end to end: 5 dedup + triangles, 5 ANN, 10 text (incl. the
+  bigram-LM perplexity gate), documents profile, 4 multimodal, 7 streaming
+  (incl. stream-stream join + watermark dedup), 10 training-data stages
+  (splits/sampling/packing/batching/mixing/quality/decontamination/PII/
+  chunking), VARIANT JSON, q21, CDC snapshot diff, interpolation, SCD2,
+  shard export, Z-order codes. Each in-window addition displaced a shape
+  with a close r1-graded relative into the round-3 backlog (displacement
+  pairs recorded in the section comments below); rows-only sketch/BPE/
+  PageRank/PQ entries sit OUTSIDE the window (pytest is their real
+  verification — value_percentiles_approx precedent).
 - Entries 51+ = queries already proven by an earlier CORRECTNESS_r{N}.json
   (kept registered so `tools/check_oracle.py` still re-verifies all of them
   locally every round — the full set stays green even outside the window).
