@@ -63,3 +63,61 @@ def test_approx_percentiles_bounded_error(spark):
     for et in exact:
         for a, e in zip(approx[et], exact[et]):
             assert abs(a - e) <= 0.01 * max(abs(e), 1.0), (et, a, e)
+
+
+def test_pq_rejects_indivisible_subspaces(spark):
+    import pytest as _pytest
+
+    from hadoop_data_lake_spark.operators.similarity import pq_train
+
+    df = spark.createDataFrame([(1, [0.0] * 10)], "vec_id long, embedding array<float>")
+    with _pytest.raises(AssertionError):
+        pq_train(df, m=3, nbits=2, dim=10)
+
+
+def test_shard_plan_single_shard_is_identity_order(spark):
+    from hadoop_data_lake_spark.operators.packing import shuffle_shard_plan
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    rows = shuffle_shard_plan(df, "doc_id", n_shards=1).collect()
+    assert all(r["shard"] == 0 for r in rows)
+    assert sorted(r["pos_in_shard"] for r in rows) == list(range(50))
+
+
+def test_scd2_multi_key_partitions_independently(spark):
+    from hadoop_data_lake_spark.operators.scd import scd2_collapse
+
+    rows = [
+        ("eu", 1, 1, 1, "A"), ("eu", 1, 2, 2, "B"),
+        ("us", 1, 1, 3, "A"), ("us", 1, 2, 4, "A"),
+    ]
+    df = spark.createDataFrame(
+        rows, "region string, uid long, ts long, event_id long, attr string"
+    )
+    out = scd2_collapse(df, ["region", "uid"], ["ts", "event_id"], "attr").collect()
+    per_key = {}
+    for r in out:
+        per_key.setdefault((r["region"], r["uid"]), []).append(r)
+    assert len(per_key[("eu", 1)]) == 2  # A then B
+    assert len(per_key[("us", 1)]) == 1  # one collapsed run
+
+
+def test_snapshot_diff_empty_sides(spark):
+    from hadoop_data_lake_spark.operators.merge import snapshot_diff
+
+    empty = spark.createDataFrame([], "k long, v double")
+    full = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    assert snapshot_diff(empty, empty, keys=["k"]).count() == 0
+    ins = snapshot_diff(empty, full, keys=["k"]).collect()
+    assert [(r["op"], r["k"]) for r in ins] == [("I", 1)]
+    dels = snapshot_diff(full, empty, keys=["k"]).collect()
+    assert [(r["op"], r["k"]) for r in dels] == [("D", 1)]
+
+
+def test_triangle_count_empty_and_no_triangle_graphs(spark):
+    from hadoop_data_lake_spark.operators.graph import triangle_count
+
+    chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    assert triangle_count(chain).count() == 0
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert triangle_count(empty).count() == 0

@@ -140,3 +140,43 @@ def test_pii_redact_idempotent(spark):
     )
     assert once == "reach me at [EMAIL] or [PHONE] thanks"
     assert twice == once
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # user
+            st.integers(min_value=0, max_value=50),  # ts
+            st.sampled_from(["A", "B", None]),       # attr (incl. NULL)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_scd2_invariants(spark, rows):
+    """For ANY event stream: per user, versions are 1..K dense, intervals
+    chain (valid_to(v) == valid_from(v+1)), row counts sum to the input,
+    exactly one open interval per user, and adjacent intervals never carry
+    the same attribute (else they'd be one run)."""
+    from hadoop_data_lake_spark.operators.scd import scd2_collapse
+
+    data = [(u, t, i, a) for i, (u, t, a) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "user_id long, ts long, event_id long, attr string"
+    )
+    out = scd2_collapse(df, "user_id", ["ts", "event_id"], "attr").collect()
+
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    n_input = {u: sum(1 for d in data if d[0] == u) for u in by_user}
+    for u, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in ivs] == list(range(1, len(ivs) + 1))
+        assert sum(r["n_rows"] for r in ivs) == n_input[u]
+        assert sum(1 for r in ivs if r["is_current"]) == 1
+        assert ivs[-1]["is_current"] and ivs[-1]["valid_to"] is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["attr"] != b["attr"] or (a["attr"] is None) != (b["attr"] is None)
