@@ -40,14 +40,22 @@ def asof_join(
     on: str,
     left_ts: str,
     right_ts: str,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join via union + running last(ignoreNulls) window.
+    """As-of join via union + running last/first(ignoreNulls) window.
+
+    direction='backward' (default): greatest right_ts <= left_ts.
+    direction='forward': smallest right_ts >= left_ts (running frame
+    flipped to current..unboundedFollowing, tie-break to the MIN struct —
+    mirroring pd.merge_asof(direction='forward')).
 
     Plan shape: Union -> Exchange hashpartitioning(on) -> Sort(on, __t,
-    __side, __r) -> Window(last over rows unbounded preceding..current) ->
-    Filter(__side = 1). One shuffle total; the window frame is running, so
-    Spark evaluates it in a single forward pass per partition.
+    __side, __r) -> Window(last/first over a running frame) ->
+    Filter(left side). One shuffle total; the window frame is running, so
+    Spark evaluates it in a single pass per partition.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     # Fail loudly instead of silently emitting duplicate/ambiguous columns:
     # every non-key name must be disjoint, and the temp names are reserved.
     overlap = (set(left.columns) & set(right.columns)) - {on}
@@ -72,10 +80,14 @@ def asof_join(
     r_struct = F.struct(
         F.col(right_ts), *[F.col(c) for c in right_cols if c != right_ts]
     )
+    # side tag ordering makes the equal-timestamp right row fall INSIDE the
+    # frame for both directions: backward keeps right rows before the left
+    # row (0 < 1), forward keeps them after (1 > 0).
+    right_side = 0 if direction == "backward" else 1
     ru = right.select(
         F.col(on),
         F.col(right_ts).alias("__t"),
-        F.lit(0).alias("__side"),
+        F.lit(right_side).alias("__side"),
         r_struct.alias("__r"),
         *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema.fields if f.name != on],
     )
@@ -83,22 +95,28 @@ def asof_join(
     lu = left.select(
         F.col(on),
         F.col(left_ts).alias("__t"),
-        F.lit(1).alias("__side"),
+        F.lit(1 - right_side).alias("__side"),
         F.lit(None).cast(r_struct_type).alias("__r"),
         *[F.col(c) for c in left_cols if c != on],
     )
 
     u = lu.unionByName(ru)
-    w = (
-        Window.partitionBy(on)
-        # clicks/quotes at the same instant sort BEFORE the left row
-        # (__side 0 < 1) => inclusive <= match; struct asc means last()
-        # takes the max (right_ts, tiebreaks...) among equals.
-        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__r").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = Window.partitionBy(on).orderBy(
+        F.col("__t").asc(), F.col("__side").asc(), F.col("__r").asc()
     )
-    matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
-    out = matched.where(F.col("__side") == 1).select(
+    if direction == "backward":
+        # right rows at the same instant sort BEFORE the left row => the
+        # running last() sees them (inclusive <=); struct asc means last()
+        # takes the max (right_ts, tiebreaks...) among equals.
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = F.last("__r", ignorenulls=True)
+    else:
+        # right rows at the same instant sort AFTER the left row => the
+        # forward frame sees them (inclusive >=); first() takes the min.
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = F.first("__r", ignorenulls=True)
+    matched = u.withColumn("__m", pick.over(w))
+    out = matched.where(F.col("__side") == F.lit(1 - right_side)).select(
         *[F.col(c) for c in left_cols],
         *[F.col("__m").getField(c).alias(c) for c in right_cols],
     )

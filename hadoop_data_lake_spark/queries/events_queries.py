@@ -1090,3 +1090,54 @@ SELECT e.event_id, e.event_type, e.value,
 FROM events e JOIN stats s USING (event_type)
 WHERE abs(round((e.value - s.mu) / s.sd, 6)) >= 3
 """
+
+
+def next_action_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/asof.py direction='forward'): each
+    purchase matched to the user's next non-purchase event at-or-after it —
+    the time-to-next-action attribution mirror of the backward
+    purchase_attribution_asof. Same one-shuffle union+window plan, frame
+    flipped."""
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    others = ev.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("ts").alias("ets"),
+        F.col("event_id").alias("next_event_id"),
+        F.col("event_type").alias("next_type"),
+    )
+    joined = asof_join(
+        purchases, others, on="user_id", left_ts="pts", right_ts="ets",
+        direction="forward",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("pts").alias("purchase_ts_us"),
+        F.unix_micros("ets").alias("next_ts_us"),
+        "next_event_id",
+        "next_type",
+    )
+
+
+NEXT_ACTION_AFTER_PURCHASE_SQL = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+e AS (
+  SELECT user_id, ts AS ets, event_id AS next_event_id, event_type AS next_type
+  FROM events WHERE event_type <> 'purchase'
+),
+m AS (
+  SELECT p.purchase_id, p.user_id, p.pts, e.ets, e.next_event_id, e.next_type,
+         row_number() OVER (PARTITION BY p.purchase_id
+                            ORDER BY e.ets, e.next_event_id) AS rn
+  FROM p LEFT JOIN e ON p.user_id = e.user_id AND e.ets >= p.pts
+)
+SELECT purchase_id, user_id, epoch_us(pts) AS purchase_ts_us,
+       epoch_us(ets) AS next_ts_us, next_event_id, next_type
+FROM m WHERE rn = 1
+"""

@@ -112,6 +112,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "q21_waiting_suppliers": QuerySpec(TQ.q21_waiting_suppliers, TQ.Q21_WAITING_SUPPLIERS_SQL, ("join", "exists", "argmax")),
     "orders_snapshot_diff": QuerySpec(TQ.orders_snapshot_diff, TQ.ORDERS_SNAPSHOT_DIFF_SQL, ("cdc", "diff", "full-outer")),
     "user_value_interpolate": QuerySpec(EV.user_value_interpolate, EV.USER_VALUE_INTERPOLATE_SQL, ("timeseries", "interpolation", "grid")),
+    "next_action_after_purchase": QuerySpec(EV.next_action_after_purchase, EV.NEXT_ACTION_AFTER_PURCHASE_SQL, ("join", "asof", "forward")),
     # new this round. Four new queries displaced four window entries with
     # close r1-graded relatives to the round-3 backlog: value_moments_profile
     # + value_mad (robust-stat aggregates ~ graded percentile shapes),
@@ -129,6 +130,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "monthly_revenue_yoy": QuerySpec(TQ.monthly_revenue_yoy, TQ.MONTHLY_REVENUE_YOY_SQL, ("window", "lag", "post-agg")),
     "halves_activity_nullsafe": QuerySpec(EV.halves_activity_nullsafe, EV.HALVES_ACTIVITY_NULLSAFE_SQL, ("join", "null-safe", "full-outer")),
     "orders_snapshot_merge": QuerySpec(TQ.orders_snapshot_merge, TQ.ORDERS_SNAPSHOT_MERGE_SQL, ("merge", "upsert", "full-outer")),
+    "props_variant_stats": QuerySpec(NS.props_variant_stats, NS.PROPS_VARIANT_STATS_SQL, ("json", "variant")),
     "last_purchase_carryforward": QuerySpec(EV.last_purchase_carryforward, EV.LAST_PURCHASE_CARRYFORWARD_SQL, ("window", "ignore-nulls", "carry-forward")),
     "salted_type_weight_sum": QuerySpec(EV.salted_type_weight_sum, EV.SALTED_TYPE_WEIGHT_SUM_SQL, ("join", "skew", "salting")),
     "zone_conversion_funnel": QuerySpec(EV.zone_conversion_funnel, EV.ZONE_CONVERSION_FUNNEL_SQL, ("agg", "funnel", "conditional-agg")),

@@ -49,3 +49,46 @@ def test_asof_join_rejects_ambiguous_columns(spark):
     reserved = spark.createDataFrame([(1, 8, 7.0)], "k int, rt int, __r double")
     with pytest.raises(ValueError, match="reserve"):
         asof_join(left.drop("value"), reserved, on="k", left_ts="t", right_ts="rt")
+
+
+def test_asof_forward_matches_merge_asof(spark):
+    import pandas as pd
+
+    from hadoop_data_lake_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 25, "l2"), (1, 40, "l3"), (2, 5, "l4")],
+        "k long, lts long, lbl string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, 2.0), (1, 30, 3.0), (2, 1, 9.0)],
+        "k long, rts long, rv double",
+    )
+    got = {
+        (r["k"], r["lts"]): (r["rts"], r["rv"])
+        for r in asof_join(left, right, "k", "lts", "rts", direction="forward").collect()
+    }
+    # inclusive >=: left at 10 matches right at 10; 25 -> 30; 40 -> none
+    assert got[(1, 10)] == (10, 1.0)
+    assert got[(1, 25)] == (30, 3.0)
+    assert got[(1, 40)] == (None, None)
+    assert got[(2, 5)] == (None, None)
+
+    # cross-check against pandas merge_asof on the same frames
+    lp = left.toPandas().sort_values("lts")
+    rp = right.toPandas().sort_values("rts")
+    ref = pd.merge_asof(lp, rp, left_on="lts", right_on="rts", by="k", direction="forward")
+    for _, row in ref.iterrows():
+        exp = (None if pd.isna(row["rts"]) else row["rts"],
+               None if pd.isna(row["rv"]) else row["rv"])
+        assert got[(row["k"], row["lts"])] == exp
+
+
+def test_asof_rejects_bad_direction(spark):
+    import pytest as _pytest
+
+    from hadoop_data_lake_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([(1, 1)], "k long, t long")
+    with _pytest.raises(ValueError):
+        asof_join(df, df.selectExpr("k", "t as t2"), "k", "t", "t2", direction="sideways")
