@@ -47,7 +47,15 @@ def token_prefix_sum(
         .orderBy(*[F.col(c).asc() for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = parts.withColumn("__local_cum", F.sum(value_col).over(w))
+    # localCheckpoint BEFORE reading __pid twice: the totals collect and the
+    # final output are separate jobs, and a re-executed repartitionByRange
+    # can land DIFFERENT boundaries per job (range sampling + AQE partition
+    # coalescing are per-job decisions), silently corrupting the offsets
+    # (observed: 14690 distinct positions for 15000 rows). Materializing
+    # pins one partitioning that both jobs read.
+    local = parts.withColumn(
+        "__local_cum", F.sum(value_col).over(w)
+    ).localCheckpoint(eager=True)
     totals = (
         local.groupBy("__pid").agg(F.max("__local_cum").alias("__t")).collect()
     )

@@ -1141,3 +1141,91 @@ SELECT purchase_id, user_id, epoch_us(pts) AS purchase_ts_us,
        epoch_us(ets) AS next_ts_us, next_event_id, next_type
 FROM m WHERE rn = 1
 """
+
+
+def user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each observation weighted by
+    how long it remained current (lead ts - ts; the final observation gets
+    zero weight — half-open interval convention). The duration-weighted
+    mean financial tickers call TWAP; one window + one aggregation on the
+    user shuffle."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
+    dur = F.lead("ts_us").over(w) - F.col("ts_us")
+    weighted = ev.withColumn("dur_us", dur).where(
+        F.col("dur_us").isNotNull() & F.col("value").isNotNull()
+    )
+    return weighted.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("dur_us").alias("total_dur_us"),
+        F.round(
+            F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 6
+        ).alias("twap"),
+    )
+
+
+USER_VALUE_TWAP_SQL = """
+WITH w AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value, event_id,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) - epoch_us(ts)
+           AS dur_us
+  FROM events
+)
+SELECT user_id, count(*) AS n_obs, sum(dur_us)::bigint AS total_dur_us,
+       round(sum(value * dur_us) / sum(dur_us), 6) AS twap
+FROM w
+WHERE dur_us IS NOT NULL AND value IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(10) deciles of orders by total price — WITHOUT the naive
+    global `Window.orderBy` (a single-task stage at scale). Global 0-based
+    positions come from the two-phase distributed prefix sum
+    (operators/packing.token_prefix_sum), then NTILE's exact fill rule
+    (first N%k buckets get ceil(N/k) rows) is plain arithmetic. The DuckDB
+    oracle uses native ntile(), pinning the formula to the standard
+    semantics."""
+    from hadoop_data_lake_spark.operators.packing import token_prefix_sum
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.lit(1).alias("__one")
+    )
+    n_total = orders.count()
+    q, r = divmod(n_total, 10)
+    cum = token_prefix_sum(orders, ["o_totalprice", "o_orderkey"], "__one")
+    pos0 = F.col("cum") - 1
+    if q == 0:
+        decile = pos0 + 1
+    else:
+        decile = (
+            F.when(pos0 < r * (q + 1), F.floor(pos0 / (q + 1)))
+            .otherwise(r + F.floor((pos0 - r * (q + 1)) / q))
+            + 1
+        )
+    tiled = cum.select(
+        "o_totalprice", decile.cast("int").alias("decile")
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("price_min"),
+        F.max("o_totalprice").alias("price_max"),
+    )
+
+
+ORDER_PRICE_DECILES_SQL = """
+WITH t AS (
+  SELECT o_orderkey, o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT decile, count(*) AS n, min(o_totalprice) AS price_min,
+       max(o_totalprice) AS price_max
+FROM t GROUP BY decile
+"""

@@ -82,12 +82,16 @@ def test_shard_plan_no_global_single_task_window(spark):
     df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
     plan = shuffle_shard_plan(df, "doc_id", n_shards=4)
     txt = plan._jdf.queryExecution().executedPlan().toString()
-    # the prefix sum must window over spark_partition_id, never an empty
-    # partitionBy (which would funnel every row through one task)
-    assert "Window [" in txt
+    # the prefix sum must never window over an empty partitionBy (which
+    # would funnel every row through one task). The local-cumsum window now
+    # sits behind the prefix sum's localCheckpoint (boundary-pinning fix),
+    # so the visible plan must contain NO window at all — if one ever
+    # reappears here it must carry the __pid partitioning.
     for line in txt.splitlines():
         if "windowspecdefinition" in line.lower():
             assert "__pid" in line
+    # and the output really is a dense global position assignment
+    assert sorted(r["pos"] for r in plan.collect()) == list(range(100))
 
 
 def test_scd2_single_shuffle(spark):
