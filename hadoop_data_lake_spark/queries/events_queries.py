@@ -1229,3 +1229,38 @@ SELECT decile, count(*) AS n, min(o_totalprice) AS price_min,
        max(o_totalprice) AS price_max
 FROM t GROUP BY decile
 """
+
+
+def importance_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling: keep each event with probability proportional
+    to its value (keep-p = value / max_value) via the portable 60-bit MD5
+    threshold — never rand(), so the sample is identical on any engine,
+    partitioning, or rerun (the weighted sibling of source_mix_rebalance's
+    uniform per-domain thresholds)."""
+    from hadoop_data_lake_spark.functions.hashing import salted_md5_60bit
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).where(F.col("value").isNotNull() & (F.col("value") > 0))
+    mx = ev.agg(F.max("value").alias("max_value"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .where(
+            salted_md5_60bit(F.col("event_id").cast("string"), "imp") % 1000000
+            < F.floor(F.col("value") * 1000000 / F.col("max_value"))
+        )
+        .select("event_id", "event_type", "value")
+    )
+
+
+IMPORTANCE_SAMPLE_EVENTS_SQL = """
+WITH ev AS (
+  SELECT event_id, event_type, value FROM events
+  WHERE value IS NOT NULL AND value > 0
+),
+mx AS (SELECT max(value) AS max_value FROM ev)
+SELECT event_id, event_type, value
+FROM ev, mx
+WHERE ('0x' || substr(md5('imp|' || event_id::varchar), 1, 15))::ubigint % 1000000
+      < floor(value * 1000000 / max_value)
+"""

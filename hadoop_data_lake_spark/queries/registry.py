@@ -141,6 +141,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "value_outliers_zscore": QuerySpec(EV.value_outliers_zscore, EV.VALUE_OUTLIERS_ZSCORE_SQL, ("agg", "robust-stats", "outliers")),
     "user_value_twap": QuerySpec(EV.user_value_twap, EV.USER_VALUE_TWAP_SQL, ("timeseries", "window", "weighted-mean")),
     "order_price_deciles": QuerySpec(EV.order_price_deciles, EV.ORDER_PRICE_DECILES_SQL, ("window", "ntile")),
+    "importance_sample_events": QuerySpec(EV.importance_sample_events, EV.IMPORTANCE_SAMPLE_EVENTS_SQL, ("sampling", "weighted", "deterministic")),
     "ann_pq": QuerySpec(NS.ann_pq, None, ("ann", "pq", "adc")),
     "purchase_graph_pagerank": QuerySpec(TQ.purchase_graph_pagerank, None, ("graph", "iterative", "pagerank")),
     "weekly_unique_users_hll": QuerySpec(NS.weekly_unique_users_hll, None, ("sketch", "hll", "rollup")),
