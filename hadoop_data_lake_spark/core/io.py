@@ -148,10 +148,14 @@ def read_table(
     against its SCHEMAS contract (pass validate=False for exploratory reads
     of files that deliberately deviate).
 
-    The events table stores TIMESTAMP(NANOS) which Spark 4 has no native
-    type for; we read nanos as long (legacy conf, set dynamically so it works
-    under any session) and truncate to microsecond timestamps — the same
-    truncation DuckDB applies, so both engines see identical instants.
+    The events table's `ts` encoding has drifted across driver testdata
+    generations — TIMESTAMP(NANOS) in one vintage (Spark 4 has no native
+    type for it; read nanos-as-long and truncate to micros, the same
+    truncation DuckDB applies), plain `timestamp[us]` without timezone
+    metadata in another (Spark 4 reads that as TIMESTAMP_NTZ). Both flavors
+    are normalized to TimestampType here; everything downstream (the schema
+    contract, event-time watermarks, DuckDB oracle comparison) sees one
+    canonical type.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = normalize_ns_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
@@ -159,11 +163,23 @@ def read_table(
 
 
 def normalize_ns_ts(df: DataFrame) -> DataFrame:
-    """Convert a nanos-as-long `ts` column back to a microsecond timestamp
-    (floor division — the same truncation DuckDB applies to NANOS parquet)."""
+    """Normalize every known on-disk flavor of the `ts` column to a
+    microsecond TimestampType:
+
+    - nanos-as-long (`bigint`, from TIMESTAMP(NANOS) parquet): floor-divide
+      to micros — the same truncation DuckDB applies to NANOS parquet.
+    - `timestamp_ntz` (timezone-less `timestamp[us]` parquet): cast to
+      TimestampType. The session timezone is pinned to UTC
+      (core/session.py), so the cast reinterprets the naive value as the
+      identical UTC instant — matching DuckDB's naive-timestamp semantics —
+      and restores watermark eligibility (event time must be TIMESTAMP,
+      not TIMESTAMP_NTZ).
+    """
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif f.name == "ts" and f.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 
