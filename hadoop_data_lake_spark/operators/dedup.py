@@ -6,8 +6,9 @@ Five strategies, all shuffle-bounded (never all-pairs over the full corpus):
 - ngram_jaccard_pairs: exact Jaccard over k-word shingles via an inverted
                        index (explode shingles -> equi-join on shingle).
                        Candidate set = pairs sharing >= 1 shingle; at scale,
-                       cap hot shingles (drop shingles with doc-frequency
-                       above a bound — they carry no discriminative signal).
+                       pass max_df to drop shingles with doc-frequency above
+                       a bound — they carry no discriminative signal and
+                       otherwise make the candidate join quadratic.
 - minhash_lsh_pairs:  MinHash signatures + banded LSH; candidates only where
                       a band collides, then exact Jaccard verification.
                       This is the 100 TB path: cost ~ O(docs x bands).
@@ -64,15 +65,41 @@ def ngram_jaccard_pairs(
     content_col: str,
     k: int = 3,
     threshold: float = 0.3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard >= threshold pairs over k-word shingles.
 
     Inverted-index join: |A ∩ B| counted from co-occurring shingles, sizes
     joined back, union by inclusion-exclusion. Integer counts + one double
     division -> deterministic.
+
+    `max_df` caps hot shingles: shingles whose doc-frequency exceeds it are
+    dropped from the inverted index BEFORE the self-join. Without the cap a
+    single stop-word-like shingle shared by 10^6 docs yields ~10^12 candidate
+    pairs from the inv⋈inv join — at any real corpus size the cap is
+    mandatory (something like max_df=1000 keeps the join output bounded by
+    max_df * df-distribution mass while dropping only shingles that carry no
+    discriminative signal). Capped shingles are excluded from intersection
+    counts but NOT from set sizes, so affected pairs' Jaccard is slightly
+    underestimated (conservative: never creates a false pair). Default None
+    preserves exact semantics — appropriate only for small corpora and the
+    DuckDB oracle replay.
     """
     sets, inv = _shingle_index(df, id_col, content_col, k)
     sizes = sets.select("doc", F.size("sh").alias("n_sh"))
+
+    if max_df is not None:
+        # Shingles are distinct per doc (shingles() applies array_distinct),
+        # so inverted-index row count per shingle == doc frequency. The hot
+        # set is tiny by construction (only shingles with df > max_df) —
+        # broadcast the anti-join so the index side never shuffles.
+        hot = (
+            inv.groupBy("s")
+            .agg(F.count("*").alias("df_s"))
+            .where(F.col("df_s") > max_df)
+            .select("s")
+        )
+        inv = inv.join(F.broadcast(hot), "s", "left_anti")
 
     co = (
         inv.alias("a")

@@ -42,6 +42,34 @@ def test_ngram_jaccard_pairs(docs):
     assert all(a < b for a, b in got)
 
 
+def test_ngram_jaccard_max_df_caps_hot_shingles(spark):
+    # 20 docs all opening with the same 3 words (one shared hot shingle),
+    # otherwise pairwise-unique. Uncapped, the hot shingle alone makes every
+    # pair a candidate: 190 pairs at threshold 0. With max_df it is dropped
+    # from the inverted index and the candidate set collapses to zero —
+    # the O(n^2) blowup a single degenerate shingle causes at corpus scale.
+    rows = [(i, f"hot hot hot u{i} v{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.01)
+    assert uncapped.count() == 190  # all C(20,2) pairs share the hot shingle
+
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", k=3, threshold=0.01, max_df=5
+    )
+    assert capped.count() == 0
+
+
+def test_ngram_jaccard_max_df_no_change_below_cap(docs):
+    # A cap above every shingle's doc frequency must be a semantic no-op.
+    base = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.3)
+    capped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.3, max_df=1000
+    )
+    key = lambda r: (r["doc_a"], r["doc_b"])
+    assert sorted(map(key, base.collect())) == sorted(map(key, capped.collect()))
+
+
 def test_minhash_candidates_cover_exact_pairs(docs):
     """LSH candidates (verified with exact Jaccard) must find every pair the
     exhaustive index finds at a high threshold — identical docs collide in
