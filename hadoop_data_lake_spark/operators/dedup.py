@@ -119,6 +119,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    k: int = 3,
+    threshold: float = 0.4,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directed containment pairs: C(A→B) = |A ∩ B| / |A| >= threshold.
+
+    Asymmetric near-superset detection — the dedup signal Jaccard misses:
+    a short doc fully quoted inside a long one has low Jaccard (union is
+    dominated by the long doc) but containment ~1.0 from the short side.
+    Standard quote/boilerplate-absorption check in training-data dedup.
+
+    Same inverted-index candidate shape as ngram_jaccard_pairs but over
+    ordered pairs (both directions emitted, a != b); `max_df` caps hot
+    shingles exactly as there (containment of affected pairs is then
+    conservatively underestimated).
+    """
+    sets, inv = _shingle_index(df, id_col, content_col, k)
+    sizes = sets.select("doc", F.size("sh").alias("n_sh"))
+
+    if max_df is not None:
+        hot = (
+            inv.groupBy("s")
+            .agg(F.count("*").alias("df_s"))
+            .where(F.col("df_s") > max_df)
+            .select("s")
+        )
+        inv = inv.join(F.broadcast(hot), "s", "left_anti")
+
+    co = (
+        inv.alias("a")
+        .join(inv.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") != F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        co.join(sizes.withColumnsRenamed({"doc": "doc_a", "n_sh": "n_a"}), "doc_a")
+        .withColumn("containment", F.col("inter").cast("double") / F.col("n_a"))
+        .where(F.col("containment") >= threshold)
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.round("containment", 6).alias("containment_r"),
+    )
+
+
 def minhash_hash_pairs(sh: Column) -> Column:
     """Per-shingle (h1, h2): the two 32-bit halves of ONE md5 digest.
 

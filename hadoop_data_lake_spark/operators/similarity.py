@@ -313,6 +313,90 @@ def lsh_topk(
     )
 
 
+def _srp_int_buckets_udf(num_tables: int, bits_per_table: int, dim: int, scale: int):
+    """Arrow-batched Pandas UDF: embedding -> per-table bucket ids, computed
+    ENTIRELY in int64 so any SQL engine replays it bit-for-bit.
+
+    Components are quantized with floor(x * scale) (floor, not round: round's
+    half-way rule differs across engines; floor is identical everywhere), the
+    hyperplanes are the md5-derived Rademacher ±1 matrix (`_srp_weights` — no
+    RNG state), and the projection is an int64 matmul. Integer addition is
+    associative, so unlike the float64 matmul in `_buckets_udf` the sign bits
+    cannot wobble with accumulation order — the property that makes this tier
+    oracle-replayable rather than rows-only. Quantization shifts each
+    hyperplane by < dim/scale relative to unit vectors: bucket assignments
+    are those of a slightly perturbed (still data-independent) SRP family,
+    so the Goemans-Williamson collision bound is unaffected in practice."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    nproj = num_tables * bits_per_table
+    planes = np.array(_srp_weights(nproj, dim), dtype=np.int64)  # (nproj, dim)
+    weights = (2 ** np.arange(bits_per_table - 1, -1, -1)).astype(np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(v: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        q = np.floor(mat * scale).astype(np.int64)          # (n, dim)
+        signs = (q @ planes.T) >= 0                          # exact int64
+        packed = (signs.reshape(len(q), num_tables, bits_per_table) * weights).sum(axis=2)
+        return pd.Series(list(packed))
+
+    return buckets
+
+
+def srp_int_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_tables: int = 4,
+    bits_per_table: int = 8,
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Approximate cosine top-k with fully deterministic, SQL-replayable
+    bucketing: same candidate/re-rank shape as lsh_topk, but buckets come
+    from `_srp_int_buckets_udf` (integer-quantized md5-Rademacher SRP), so a
+    DuckDB oracle can regenerate the identical buckets, candidates, and
+    ranking. Queries with fewer than k bucket-mates return fewer rows —
+    mirrored exactly by the oracle."""
+    bucket_fn = _srp_int_buckets_udf(num_tables, bits_per_table, dim, scale)
+
+    def with_buckets(df: DataFrame, idname: str, vecname: str, normname: str) -> DataFrame:
+        out = df.select(
+            F.col(id_col).alias(idname),
+            F.col(vec_col).alias(vecname),
+            norm(F.col(vec_col)).alias(normname),
+        )
+        # posexplode_OUTER for the same InferFiltersFromGenerate reason as
+        # lsh_topk: the non-outer form re-invokes the UDF below this node.
+        return out.select(
+            idname, vecname, normname,
+            F.posexplode_outer(bucket_fn(F.col(vecname))).alias("tbl", "bucket"),
+        )
+
+    cq = with_buckets(queries, "query_id", "q_vec", "norm_q")
+    cc = with_buckets(corpus, "neighbor_id", "c_vec", "norm_c")
+    cand = (
+        cc.join(F.broadcast(cq), on=["tbl", "bucket"], how="inner")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q_vec", "norm_q", "neighbor_id", "c_vec", "norm_c")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("sim_r", F.round(_paired_cosine(), 6)).select(
+        "query_id", "neighbor_id", "sim_r"
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("sim_r").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rnk",
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

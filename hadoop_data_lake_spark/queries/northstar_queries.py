@@ -20,6 +20,7 @@ from hadoop_data_lake_spark.functions.hashing import salted_md5_60bit_sql
 from hadoop_data_lake_spark.functions.vectors import cosine_sql
 from hadoop_data_lake_spark.operators import dedup as DD
 from hadoop_data_lake_spark.operators import similarity as SIM
+from hadoop_data_lake_spark.operators import spans as SP
 from hadoop_data_lake_spark.operators.multimodal import (
     extract_features,
     synth_media_from_text,
@@ -200,6 +201,130 @@ FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
 """
 
 
+def span_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact span dedup (operators/spans.py) — the hash-join
+    relaxation of suffix-array substring dedup. Reference has no analog;
+    north-star training-data stage."""
+    docs = read_table(spark, sf_dir, "documents")
+    return SP.span_dedup_corpus(docs, "doc_id", "text", width=5)
+
+
+SPAN_DEDUP_CORPUS_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+occ AS (
+  SELECT doc_id, CAST(u.i AS INT) AS span_idx,
+         array_to_string(list_slice(w, CAST(u.i AS INT) * 5 + 1, CAST(u.i AS INT) * 5 + 5), ' ') AS span_text
+  FROM toks, unnest(range(0, CAST(ceil(len(w) / 5.0) AS BIGINT))) AS u(i)
+),
+ranked AS (
+  SELECT doc_id, span_idx, span_text,
+         row_number() OVER (PARTITION BY span_text ORDER BY doc_id, span_idx) AS rn
+  FROM occ
+),
+kept AS (
+  SELECT doc_id, count(*)::bigint AS n_kept,
+         string_agg(span_text, ' ' ORDER BY span_idx) AS clean_text
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*)::bigint AS n_spans FROM occ GROUP BY doc_id)
+SELECT t.doc_id, t.n_spans, coalesce(k.n_kept, 0)::bigint AS n_kept,
+       coalesce(k.clean_text, '') AS clean_text
+FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
+"""
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment C(A→B) = |A∩B|/|A| — near-superset detection
+    (quote/boilerplate absorption), the asymmetric signal Jaccard misses."""
+    docs = read_table(spark, sf_dir, "documents")
+    return DD.containment_pairs(docs, "doc_id", "text", k=3, threshold=0.4)
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH {_SHINGLES_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)
+SELECT co.doc_a, co.doc_b, co.inter, sa.n_sh::bigint AS n_a,
+       round(co.inter::double / sa.n_sh, 6) AS containment_r
+FROM co JOIN sizes sa ON co.doc_a = sa.doc_id
+WHERE co.inter::double / sa.n_sh >= 0.4
+"""
+
+
+def token_budget_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token accounting under a 25-token/doc cap
+    (operators/spans.py) — the mixture-budget bookkeeping stage."""
+    docs = read_table(spark, sf_dir, "documents")
+    return SP.token_budget_truncate(docs, "doc_id", "text", "source", budget=25)
+
+
+TOKEN_BUDGET_TRUNCATE_SQL = """
+WITH per AS (
+  SELECT source, len(string_split(text, ' ')) AS n_tokens,
+         least(len(string_split(text, ' ')), 25) AS n_kept
+  FROM documents
+)
+SELECT source, count(*)::bigint AS n_docs, sum(n_tokens)::bigint AS total_tokens,
+       sum(n_kept)::bigint AS kept_tokens,
+       sum(CASE WHEN n_tokens > 25 THEN 1 ELSE 0 END)::bigint AS n_truncated
+FROM per GROUP BY source
+"""
+
+
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum ordering: global position + 4 phases by
+    ascending lexical diversity (distinct-token ratio), WITHOUT a global
+    window sort — positions come from the two-phase distributed prefix sum
+    (operators/packing.token_prefix_sum), phases from NTILE's exact fill
+    rule as plain arithmetic (same shape as order_price_deciles). The
+    DuckDB oracle uses native row_number()/ntile(), pinning the semantics.
+    """
+    from hadoop_data_lake_spark.operators.packing import token_prefix_sum
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    scored = toks.select(
+        "doc_id",
+        (F.size(F.array_distinct("w")).cast("double") / F.size("w")).alias("score"),
+        F.lit(1).alias("__one"),
+    )
+    n_total = scored.count()
+    q, r = divmod(n_total, 4)
+    cum = token_prefix_sum(scored, ["score", "doc_id"], "__one")
+    pos0 = F.col("cum") - 1
+    if q == 0:
+        phase = pos0 + 1
+    else:
+        phase = (
+            F.when(pos0 < r * (q + 1), F.floor(pos0 / (q + 1)))
+            .otherwise(r + F.floor((pos0 - r * (q + 1)) / q))
+            + 1
+        )
+    return cum.select(
+        "doc_id",
+        F.round("score", 6).alias("score_r"),
+        F.col("cum").cast("long").alias("pos"),
+        phase.cast("long").alias("phase"),
+    )
+
+
+CURRICULUM_ORDER_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+scored AS (
+  SELECT doc_id, len(list_distinct(w))::double / len(w) AS score FROM toks
+)
+SELECT doc_id, round(score, 6) AS score_r,
+       row_number() OVER (ORDER BY score, doc_id) AS pos,
+       ntile(4) OVER (ORDER BY score, doc_id) AS phase
+FROM scored
+"""
+
+
 # --------------------------------------------------------------------------
 # Text analysis family
 # --------------------------------------------------------------------------
@@ -342,6 +467,66 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs brute force is asserted in tests/test_similarity.py."""
     emb = _corpus(spark, sf_dir)
     return SIM.lsh_topk(emb, _query_set(emb), k=5, num_tables=8, bits_per_table=8)
+
+
+def ann_lsh_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully deterministic SRP-LSH top-k (operators/similarity.srp_int_topk):
+    md5-Rademacher hyperplanes + integer-quantized projections mean the
+    DuckDB oracle regenerates the IDENTICAL buckets, candidate set, and
+    ranking — the oracle-checkable ANN tier (the numpy-seeded lsh_topk and
+    IVF tiers stay rows-only)."""
+    emb = _corpus(spark, sf_dir)
+    return SIM.srp_int_topk(
+        emb, _query_set(emb), k=5, num_tables=4, bits_per_table=8, dim=64
+    )
+
+
+# Bucket replay: wt(p,d) = +1 iff the 60-bit md5 prefix of 'p|d' is even
+# (operators/similarity._srp_weights); projections are exact int64 sums of
+# wt * floor(component * 1e6), so sign bits — and therefore buckets,
+# candidates, and the final ranking — match Spark bit-for-bit.
+ANN_LSH_DET_SQL = f"""
+WITH w AS (
+  SELECT p.range AS p, d.range AS d,
+         CASE WHEN ('0x' || substr(md5(concat(p.range, '|', d.range)), 1, 15))::ubigint % 2 = 0
+              THEN 1 ELSE -1 END AS wt
+  FROM range(32) p, range(64) d
+),
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qi
+  FROM embeddings
+),
+proj AS (
+  SELECT qv.vec_id, w.p, sum(w.wt * list_extract(qv.qi, w.d + 1)) AS s
+  FROM qv, w
+  GROUP BY qv.vec_id, w.p
+),
+bits AS (
+  SELECT vec_id, p // 8 AS tbl,
+         sum((CASE WHEN s >= 0 THEN 1 ELSE 0 END) * (1 << CAST(7 - (p % 8) AS INT)))::bigint AS bucket
+  FROM proj GROUP BY vec_id, p // 8
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bits q JOIN bits c
+    ON q.tbl = c.tbl AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id % 50 = 0
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS sim_r
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.query_id
+  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim_r, rnk FROM ranked WHERE rnk <= 5
+"""
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -98,8 +98,20 @@ _WINDOW: dict[str, QuerySpec] = {
     "rolling_3event_value": QuerySpec(EV.rolling_3event_value, EV.ROLLING_3EVENT_VALUE_SQL, ("window", "rows-frame")),
     "nation_revenue_share": QuerySpec(TQ.nation_revenue_share, TQ.NATION_REVENUE_SHARE_SQL, ("window", "ratio-to-report")),
     "brand_basket_pairs": QuerySpec(TQ.brand_basket_pairs, TQ.BRAND_BASKET_PAIRS_SQL, ("join", "self-join", "market-basket")),
-    # --- 38-50: re-proof slots (r1-green, REGRESSED at r2 HEAD by the ts
-    # contract bug, fixed this round). New round-3 queries displace these
+    # --- 38-43: new round-3 operators (each displaced a re-proof slot;
+    # displacement pairs: span_dedup_corpus→weekday_hour_heatmap,
+    # dedup_containment→event_pair_candidates, token_budget_truncate→
+    # purchase_attribution_asof, curriculum_order→user_value_ffill,
+    # ann_lsh_det→rolling_hour_activity, grouping_sets_revenue→
+    # user_proximity_pairs; all displaced entries hold r1 green rows).
+    "span_dedup_corpus": QuerySpec(NS.span_dedup_corpus, NS.SPAN_DEDUP_CORPUS_SQL, ("dedup", "spans", "training-data")),
+    "dedup_containment": QuerySpec(NS.dedup_containment, NS.DEDUP_CONTAINMENT_SQL, ("dedup", "containment")),
+    "token_budget_truncate": QuerySpec(NS.token_budget_truncate, NS.TOKEN_BUDGET_TRUNCATE_SQL, ("training-data", "budget")),
+    "curriculum_order": QuerySpec(NS.curriculum_order, NS.CURRICULUM_ORDER_SQL, ("training-data", "curriculum", "prefix-sum")),
+    "ann_lsh_det": QuerySpec(NS.ann_lsh_det, NS.ANN_LSH_DET_SQL, ("ann", "lsh", "deterministic")),
+    "grouping_sets_revenue": QuerySpec(TQ.grouping_sets_revenue, TQ.GROUPING_SETS_REVENUE_SQL, ("agg", "grouping-sets")),
+    # --- 44-50: re-proof slots (r1-green, REGRESSED at r2 HEAD by the ts
+    # contract bug, fixed this round). Further new queries displace these
     # first — each already holds a CORRECTNESS_r01.json green row.
     "zone_report": QuerySpec(EV.zone_report, EV.ZONE_REPORT_SQL, ("flagship", "pivot", "window", "join")),
     "nearest_city": QuerySpec(GQ.nearest_city, GQ.NEAREST_CITY_SQL, ("geo", "crossjoin", "window", "argmin")),
@@ -108,12 +120,6 @@ _WINDOW: dict[str, QuerySpec] = {
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
     "user_gap_stats": QuerySpec(EV.user_gap_stats, EV.USER_GAP_STATS_SQL, ("window",)),
     "weekly_type_pivot": QuerySpec(EV.weekly_type_pivot, EV.WEEKLY_TYPE_PIVOT_SQL, ("pivot",)),
-    "weekday_hour_heatmap": QuerySpec(EV.weekday_hour_heatmap, EV.WEEKDAY_HOUR_HEATMAP_SQL, ("agg", "datetime")),
-    "event_pair_candidates": QuerySpec(EV.event_pair_candidates, EV.EVENT_PAIR_CANDIDATES_SQL, ("join", "range-join")),
-    "purchase_attribution_asof": QuerySpec(EV.purchase_attribution_asof, EV.PURCHASE_ATTRIBUTION_ASOF_SQL, ("join", "asof", "pandas-udf")),
-    "user_value_ffill": QuerySpec(EV.user_value_ffill, EV.USER_VALUE_FFILL_SQL, ("timeseries", "ffill", "grid")),
-    "rolling_hour_activity": QuerySpec(EV.rolling_hour_activity, EV.ROLLING_HOUR_ACTIVITY_SQL, ("window", "range-frame")),
-    "user_proximity_pairs": QuerySpec(GQ.user_proximity_pairs, GQ.USER_PROXIMITY_PAIRS_SQL, ("geo", "range-join", "grid")),
 }
 
 _BACKLOG: dict[str, QuerySpec] = {
@@ -165,6 +171,12 @@ _BACKLOG: dict[str, QuerySpec] = {
     "bpe_merges": QuerySpec(NS.bpe_merges, None, ("text", "tokenizer", "bpe", "iterative")),
     "token_heavy_hitters_approx": QuerySpec(NS.token_heavy_hitters_approx, None, ("text", "sketch", "topk")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
+    "weekday_hour_heatmap": QuerySpec(EV.weekday_hour_heatmap, EV.WEEKDAY_HOUR_HEATMAP_SQL, ("agg", "datetime")),
+    "event_pair_candidates": QuerySpec(EV.event_pair_candidates, EV.EVENT_PAIR_CANDIDATES_SQL, ("join", "range-join")),
+    "purchase_attribution_asof": QuerySpec(EV.purchase_attribution_asof, EV.PURCHASE_ATTRIBUTION_ASOF_SQL, ("join", "asof", "pandas-udf")),
+    "user_value_ffill": QuerySpec(EV.user_value_ffill, EV.USER_VALUE_FFILL_SQL, ("timeseries", "ffill", "grid")),
+    "rolling_hour_activity": QuerySpec(EV.rolling_hour_activity, EV.ROLLING_HOUR_ACTIVITY_SQL, ("window", "range-frame")),
+    "user_proximity_pairs": QuerySpec(GQ.user_proximity_pairs, GQ.USER_PROXIMITY_PAIRS_SQL, ("geo", "range-join", "grid")),
     "user_latest_position": QuerySpec(GQ.user_latest_position, GQ.USER_LATEST_POSITION_SQL, ("geo", "window")),
     "user_local_time": QuerySpec(GQ.user_local_time, GQ.USER_LOCAL_TIME_SQL, ("geo", "timezone")),
     "user_event_history": QuerySpec(GQ.user_event_history, GQ.USER_EVENT_HISTORY_SQL, ("agg", "collect-list")),

@@ -1303,6 +1303,52 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form rollup/cube specialize: disjoint
+    marginal totals by nation, by order status, and the grand total in ONE
+    pass (one shuffle with a grouping-id expand, vs three scans + union for
+    the naive equivalent). GROUPING() flags distinguish 'aggregated-away'
+    from a genuinely NULL key."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupingSets(
+            [["n_name"], ["o_orderstatus"], []], "n_name", "o_orderstatus"
+        )
+        .agg(
+            F.grouping("n_name").cast("long").alias("g_nation"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.count("*").alias("n_orders"),
+            sum_fixed(F.col("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "g_nation",
+            "g_status",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+GROUPING_SETS_REVENUE_SQL = f"""
+SELECT coalesce(n_name, 'ALL') AS nation,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       grouping(n_name)::bigint AS g_nation,
+       grouping(o_orderstatus)::bigint AS g_status,
+       count(*) AS n_orders,
+       {sum_fixed_sql('o_totalprice', 2)} AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (o_orderstatus), ())
+"""
+
+
 # --------------------------------------------------------------------------
 # UNION ALL across heterogeneous sources (unionByName), then one aggregate:
 # account-balance distribution for customers and suppliers side by side.

@@ -70,6 +70,24 @@ def test_ngram_jaccard_max_df_no_change_below_cap(docs):
     assert sorted(map(key, base.collect())) == sorted(map(key, capped.collect()))
 
 
+def test_containment_detects_near_superset(spark):
+    from hadoop_data_lake_spark.operators.dedup import containment_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta"),                             # short doc
+        (2, "intro words alpha beta gamma delta trailing words"),  # quotes doc 1
+        (3, "totally unrelated content entirely different words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_a"], r["doc_b"]): r for r in
+           containment_pairs(df, "doc_id", "text", k=3, threshold=0.9).collect()}
+    # all of doc 1's shingles appear in doc 2 -> containment 1.0 one way...
+    assert out[(1, 2)]["containment_r"] == 1.0
+    # ...but NOT the other way (doc 2 has extra shingles) — asymmetry.
+    assert (2, 1) not in out
+    assert not any(3 in pair for pair in out)
+
+
 def test_minhash_candidates_cover_exact_pairs(docs):
     """LSH candidates (verified with exact Jaccard) must find every pair the
     exhaustive index finds at a high threshold — identical docs collide in

@@ -89,6 +89,31 @@ def test_lsh_recall_on_clusters(emb):
     assert again == {(r["query_id"], r["neighbor_id"], r["sim_r"]) for r in out.collect()}
 
 
+def test_srp_int_topk_recall_and_determinism(emb):
+    """The integer-quantized md5-Rademacher tier must find cluster-mates
+    (quantization perturbs hyperplanes by < dim/scale — irrelevant at these
+    margins) and, being integer-exact, must be bit-identical across runs."""
+    from hadoop_data_lake_spark.operators.similarity import srp_int_topk
+
+    out = srp_int_topk(emb, emb, k=4, num_tables=4, bits_per_table=8, dim=DIM)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for qid in range(N_CLUSTERS * PER_CLUSTER):
+        mates = {qid // PER_CLUSTER * PER_CLUSTER + i for i in range(PER_CLUSTER)} - {qid}
+        hits += len(got.get(qid, set()) & mates)
+        total += len(mates)
+    assert hits / total >= 0.9
+    again = {
+        (r["query_id"], r["neighbor_id"], r["sim_r"], r["rnk"])
+        for r in srp_int_topk(emb, emb, k=4, num_tables=4, bits_per_table=8, dim=DIM).collect()
+    }
+    assert again == {
+        (r["query_id"], r["neighbor_id"], r["sim_r"], r["rnk"]) for r in out.collect()
+    }
+
+
 def test_ivf_probes_own_cell(emb):
     out = ivf_topk(emb, emb, centroid_col="label", k=4, nprobe=1)
     got = {}
