@@ -51,3 +51,62 @@ def grid_cell(
     row = F.floor(lat / F.lit(lat_deg)).cast("long")
     col = ((F.floor((lon + F.lit(180.0)) / F.lit(lon_deg)).cast("long") % n_lon) + n_lon) % n_lon
     return row, col, n_lon
+
+
+def tz_from_lon(lon: Column) -> Column:
+    """Deterministic nautical timezone from longitude: 15-degree bands
+    mapped to IANA fixed-offset zones (`Etc/GMT-9` == UTC+9 — POSIX sign
+    inversion). The engine-native fallback for the reference's
+    timezonefinder coordinate lookup (calculate_user_city.py:28-38,
+    SURVEY.md §2.8/§7.5): pure column arithmetic (JVM-side, oracle-
+    replayable), exact for ocean/nautical zones, approximate over land
+    where political boundaries deviate. For boundary-exact semantics use
+    `tz_from_coords_udf` when the optional library is installed."""
+    off = F.floor((lon + 7.5) / 15.0).cast("int")
+    return F.concat(
+        F.lit("Etc/GMT"),
+        F.when(off > 0, F.concat(F.lit("-"), off.cast("string")))
+        .when(off < 0, F.concat(F.lit("+"), (-off).cast("string")))
+        .otherwise(F.lit("+0")),
+    )
+
+
+TZ_FROM_LON_SQL = (
+    "('Etc/GMT' || CASE WHEN floor(({lon} + 7.5) / 15.0) > 0 "
+    "THEN '-' || CAST(floor(({lon} + 7.5) / 15.0) AS INT) "
+    "WHEN floor(({lon} + 7.5) / 15.0) < 0 "
+    "THEN '+' || CAST(-floor(({lon} + 7.5) / 15.0) AS INT) "
+    "ELSE '+0' END)"
+)
+
+
+def tz_from_coords_udf():
+    """Boundary-exact timezone name from (lon, lat) via the optional
+    `timezonefinder` package — the reference's exact semantics
+    (calculate_user_city.py:28-38) as an Arrow-batched pandas UDF with the
+    finder memoized per worker process (the reference memoizes via
+    cachetools; a module-level singleton does the same job). Returns None
+    when the library is absent — callers fall back to `tz_from_lon`."""
+    try:
+        import timezonefinder  # noqa: F401
+    except ImportError:
+        return None
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    _state: dict = {}
+
+    @pandas_udf(StringType())
+    def _tz(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        if "tf" not in _state:
+            from timezonefinder import TimezoneFinder
+
+            _state["tf"] = TimezoneFinder()
+        tf = _state["tf"]
+        return pd.Series(
+            [tf.timezone_at(lng=x, lat=y) for x, y in zip(lon, lat)]
+        )
+
+    return _tz

@@ -228,6 +228,53 @@ FROM ranked WHERE rn = 1
 """
 
 
+def user_local_time_coords(spark: SparkSession, sf_dir: str, exact: bool = False) -> DataFrame:
+    """Local time of each user's latest event from COORDINATES — the
+    reference's actual lookup shape (timezonefinder on raw lat/lon,
+    calculate_user_city.py:28-38), which the city-dimension join deviates
+    from (SURVEY.md §7.5). `exact=True` uses the boundary-exact
+    timezonefinder pandas UDF when the optional library is installed;
+    the default is the deterministic nautical-band fallback
+    (functions/geo.tz_from_lon) — pure column arithmetic, oracle-checkable,
+    and dependency-free."""
+    from hadoop_data_lake_spark.functions.geo import tz_from_coords_udf, tz_from_lon
+
+    ev = _located_events(spark, sf_dir)
+    latest = top1_per_group(ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()])
+    udf = tz_from_coords_udf() if exact else None
+    tz = udf(F.col("lon"), F.col("lat")) if udf is not None else tz_from_lon(F.col("lon"))
+    return latest.select(
+        "user_id",
+        tz.alias("tz_name"),
+        F.from_utc_timestamp("ts", tz).alias("local_time"),
+    )
+
+
+_TZ_LON_SQL = None  # assembled below to keep the fragment next to its use
+
+
+def _user_local_time_coords_sql() -> str:
+    from hadoop_data_lake_spark.functions.geo import TZ_FROM_LON_SQL
+
+    tz = TZ_FROM_LON_SQL.format(lon="lon")
+    return f"""
+WITH located AS (
+  SELECT event_id, user_id, ts, {_LON_SQL} AS lon FROM events
+),
+ranked AS (
+  SELECT user_id, ts, lon,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM located
+)
+SELECT user_id, {tz} AS tz_name,
+       timezone({tz}, timezone('UTC', ts)) AS local_time
+FROM ranked WHERE rn = 1
+"""
+
+
+USER_LOCAL_TIME_COORDS_SQL = _user_local_time_coords_sql()
+
+
 # --------------------------------------------------------------------------
 # Ordered event history per user (reference A5: collect_list(struct) +
 # sort_array, calculate_user_city.py:63-69) — emitted as a joined string so

@@ -119,7 +119,10 @@ _WINDOW: dict[str, QuerySpec] = {
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
     "user_gap_stats": QuerySpec(EV.user_gap_stats, EV.USER_GAP_STATS_SQL, ("window",)),
-    "weekly_type_pivot": QuerySpec(EV.weekly_type_pivot, EV.WEEKLY_TYPE_PIVOT_SQL, ("pivot",)),
+    # new this round: coordinate-based tz (displaced weekly_type_pivot,
+    # r1-green) — closes the SURVEY §7.5 deviation from the reference's
+    # timezonefinder lookup with a deterministic, oracle-checkable fallback.
+    "user_local_time_coords": QuerySpec(GQ.user_local_time_coords, GQ.USER_LOCAL_TIME_COORDS_SQL, ("geo", "timezone", "coords")),
 }
 
 _BACKLOG: dict[str, QuerySpec] = {
@@ -171,6 +174,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "bpe_merges": QuerySpec(NS.bpe_merges, None, ("text", "tokenizer", "bpe", "iterative")),
     "token_heavy_hitters_approx": QuerySpec(NS.token_heavy_hitters_approx, None, ("text", "sketch", "topk")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
+    "weekly_type_pivot": QuerySpec(EV.weekly_type_pivot, EV.WEEKLY_TYPE_PIVOT_SQL, ("pivot",)),
     "weekday_hour_heatmap": QuerySpec(EV.weekday_hour_heatmap, EV.WEEKDAY_HOUR_HEATMAP_SQL, ("agg", "datetime")),
     "event_pair_candidates": QuerySpec(EV.event_pair_candidates, EV.EVENT_PAIR_CANDIDATES_SQL, ("join", "range-join")),
     "purchase_attribution_asof": QuerySpec(EV.purchase_attribution_asof, EV.PURCHASE_ATTRIBUTION_ASOF_SQL, ("join", "asof", "pandas-udf")),

@@ -100,3 +100,42 @@ def test_grid_join_enforces_latitude_domain(spark):
     )
     # 0.1 deg lon at lat 85 is ~1 km — inside the 5 km radius
     assert ok.count() == 1
+
+
+def test_tz_from_lon_nautical_bands(spark):
+    """15-degree longitude bands map to the POSIX-inverted Etc/GMT zones and
+    from_utc_timestamp applies the expected wall-clock shift."""
+    import pyspark.sql.functions as F
+
+    from hadoop_data_lake_spark.functions.geo import tz_from_lon
+
+    rows = [
+        (1, 139.7),   # Tokyo-ish      -> UTC+9  -> Etc/GMT-9
+        (2, -74.0),   # New-York-ish   -> UTC-5  -> Etc/GMT+5
+        (3, 0.0),     # Greenwich      -> UTC+0  -> Etc/GMT+0
+        (4, 180.0),   # antimeridian   -> UTC+12 -> Etc/GMT-12
+    ]
+    df = spark.createDataFrame(rows, "uid long, lon double").select(
+        "uid",
+        tz_from_lon(F.col("lon")).alias("tz"),
+        F.from_utc_timestamp(F.lit("2026-01-01 00:00:00"), tz_from_lon(F.col("lon"))).alias("local"),
+    )
+    got = {r["uid"]: (r["tz"], str(r["local"])) for r in df.collect()}
+    assert got[1] == ("Etc/GMT-9", "2026-01-01 09:00:00")
+    assert got[2] == ("Etc/GMT+5", "2025-12-31 19:00:00")
+    assert got[3] == ("Etc/GMT+0", "2026-01-01 00:00:00")
+    assert got[4] == ("Etc/GMT-12", "2026-01-01 12:00:00")
+
+
+def test_tz_from_coords_udf_gated_on_optional_dep(spark):
+    """Without timezonefinder installed the exact tier reports unavailable
+    and user_local_time_coords(exact=True)'s caller contract is the
+    fallback; with it installed the UDF path is exercised instead."""
+    from hadoop_data_lake_spark.functions.geo import tz_from_coords_udf
+
+    udf = tz_from_coords_udf()
+    try:
+        import timezonefinder  # noqa: F401
+        assert udf is not None
+    except ImportError:
+        assert udf is None
