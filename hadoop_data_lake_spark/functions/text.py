@@ -36,8 +36,10 @@ def tokens_sql(expr: str) -> str:
     return f"string_split({expr}, ' ')"
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles; whole text when fewer than k tokens.
+def ordered_shingles(text: Column, k: int = 3) -> Column:
+    """Positional k-word shingles in document order (duplicates preserved —
+    winnowing and other positional fingerprints need the full sequence);
+    whole text when fewer than k tokens.
 
     Built as zip_with over k shifted slices of the token array. The lambdas
     reference ONLY their lambda variables: putting `element_at(w, i+j)`
@@ -51,18 +53,28 @@ def shingles(text: Column, k: int = 3) -> Column:
     make = parts[-1]
     for part in reversed(parts[:-1]):
         make = F.zip_with(part, make, lambda a, b: F.concat_ws(" ", a, b))
-    return F.array_distinct(F.when(n >= k, make).otherwise(F.array(text)))
+    return F.when(n >= k, make).otherwise(F.array(text))
 
 
-def shingles_sql(w_col: str, text_expr: str, k: int = 3) -> str:
-    """DuckDB twin of shingles(); `w_col` names a column already holding the
-    token list (bind `string_split(text, ' ') AS w` in a prior CTE)."""
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (set semantics — the dedup family's input)."""
+    return F.array_distinct(ordered_shingles(text, k))
+
+
+def ordered_shingles_sql(w_col: str, text_expr: str, k: int = 3) -> str:
+    """DuckDB twin of ordered_shingles(); `w_col` names a column already
+    holding the token list (bind `string_split(text, ' ') AS w` first)."""
     parts = " || ' ' || ".join(f"{w_col}[i + {j}]" for j in range(k))
     return (
-        f"list_distinct(CASE WHEN len({w_col}) >= {k} THEN "
+        f"(CASE WHEN len({w_col}) >= {k} THEN "
         f"list_transform(range(1, len({w_col}) - {k - 2}), i -> {parts}) "
         f"ELSE [{text_expr}] END)"
     )
+
+
+def shingles_sql(w_col: str, text_expr: str, k: int = 3) -> str:
+    """DuckDB twin of shingles()."""
+    return f"list_distinct({ordered_shingles_sql(w_col, text_expr, k)})"
 
 
 def token_count(text: Column) -> Column:

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from hadoop_data_lake_spark.core.io import ensure_parallelism
 
-from hadoop_data_lake_spark.functions.text import shingles
+from hadoop_data_lake_spark.functions.text import ordered_shingles, shingles
 
 
 def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
@@ -168,6 +168,57 @@ def containment_pairs(
         "inter",
         F.col("n_a").cast("long").alias("n_a"),
         F.round("containment", 6).alias("containment_r"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every POSITIONAL k-gram, slide a
+    `window`-wide frame over the hash sequence, keep each frame's minimum.
+    Guarantees: any shared run of window+k-1 tokens between two documents
+    yields at least one shared fingerprint, while selecting only ~2/(w+1) of
+    all hashes — position-robust local fingerprints at a bounded density
+    (the property plain MinHash lacks: it is global, so a shared paragraph
+    inside otherwise-different docs is invisible to it).
+
+    All hashing/windowing is per-row array arithmetic over the portable
+    60-bit MD5 prefix — JVM codegen, no shuffle, and bit-replayable by a
+    SQL oracle. Output: (doc, n_fps, fps) with fps the sorted distinct
+    fingerprints comma-joined (set semantics for downstream overlap joins).
+    """
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        ordered_shingles(F.col(content_col), k).alias("sh"),
+    )
+    # Each projection binds its array under TWO references (size + transform)
+    # so CollapseProject cannot inline the expensive upstream expression into
+    # the HOF lambda (which would re-evaluate it once per element).
+    hashed = base.select(
+        "doc",
+        F.size("sh").alias("__m"),
+        F.expr(
+            "transform(sh, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"
+        ).alias("hs"),
+    )
+    wins = hashed.select(
+        "doc",
+        F.size("hs").alias("__n"),
+        F.expr(
+            f"transform(sequence(1, greatest(1, size(hs) - {window} + 1)), "
+            f"i -> array_min(slice(hs, i, {window})))"
+        ).alias("wins"),
+    )
+    fps = wins.select("doc", F.array_sort(F.array_distinct("wins")).alias("fps"))
+    return fps.select(
+        "doc",
+        F.size("fps").cast("long").alias("n_fps"),
+        F.array_join(F.transform("fps", lambda x: x.cast("string")), ",").alias("fps"),
     )
 
 

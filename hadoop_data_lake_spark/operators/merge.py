@@ -92,3 +92,53 @@ def snapshot_diff(
     return kept.select(
         *keys, "op", *[out_payload[c].alias(c) for c in payload]
     )
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Signed row-delta between two snapshots: retractions (`sign` = -1,
+    old payload) and additions (`sign` = +1, new payload), such that for any
+    distributive aggregate  agg(new) = agg(old) ⊕ agg(delta · sign).
+
+    The incremental-view-maintenance primitive: instead of re-aggregating
+    the full new snapshot, downstream aggregates fold in |changed keys|
+    signed rows — at 100 TB with a <1% daily churn that is a 100× smaller
+    input to the same plan. An update whose GROUP key moved is handled for
+    free: its retraction and addition carry different key values.
+
+    Same single full-outer hash join as `snapshot_diff`; changed keys emit
+    up to two rows via an inline array explode (no second join, no union
+    re-scan of either snapshot).
+    """
+    payload = compare_cols or [c for c in old.columns if c not in keys]
+    if set(payload) - set(new.columns) or set(payload) - set(old.columns):
+        raise ValueError("compare_cols must exist on both snapshots")
+
+    o = old.select(*keys, F.struct(*payload).alias("__o"), F.lit(True).alias("__in_o"))
+    n = new.select(*keys, F.struct(*payload).alias("__n"), F.lit(True).alias("__in_n"))
+    j = o.join(n, on=keys, how="full_outer")
+    retract = F.when(
+        F.col("__in_o").isNotNull()
+        & (F.col("__in_n").isNull() | ~F.col("__o").eqNullSafe(F.col("__n"))),
+        F.struct(F.lit(-1).alias("sign"), F.col("__o").alias("p")),
+    )
+    add = F.when(
+        F.col("__in_n").isNotNull()
+        & (F.col("__in_o").isNull() | ~F.col("__o").eqNullSafe(F.col("__n"))),
+        F.struct(F.lit(1).alias("sign"), F.col("__n").alias("p")),
+    )
+    rows = j.select(
+        *keys,
+        F.explode(
+            F.filter(F.array(retract, add), lambda s: s.isNotNull())
+        ).alias("__d"),
+    )
+    return rows.select(
+        *keys,
+        F.col("__d.sign").alias("sign"),
+        *[F.col("__d.p")[c].alias(c) for c in payload],
+    )

@@ -250,9 +250,6 @@ def user_local_time_coords(spark: SparkSession, sf_dir: str, exact: bool = False
     )
 
 
-_TZ_LON_SQL = None  # assembled below to keep the fragment next to its use
-
-
 def _user_local_time_coords_sql() -> str:
     from hadoop_data_lake_spark.functions.geo import TZ_FROM_LON_SQL
 

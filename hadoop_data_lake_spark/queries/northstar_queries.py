@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from hadoop_data_lake_spark.core.io import read_table
 from hadoop_data_lake_spark.functions import text as TX
-from hadoop_data_lake_spark.functions.hashing import salted_md5_60bit_sql
+from hadoop_data_lake_spark.functions.hashing import md5_60bit_sql, salted_md5_60bit_sql
 from hadoop_data_lake_spark.functions.vectors import cosine_sql
 from hadoop_data_lake_spark.operators import dedup as DD
 from hadoop_data_lake_spark.operators import similarity as SIM
@@ -231,6 +231,62 @@ SELECT t.doc_id, t.n_spans, coalesce(k.n_kept, 0)::bigint AS n_kept,
        coalesce(k.clean_text, '') AS clean_text
 FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
 """
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints (operators/dedup.py) — position-
+    robust local fingerprints at bounded density; a shared run of w+k-1
+    tokens always yields a shared fingerprint."""
+    docs = read_table(spark, sf_dir, "documents")
+    return DD.winnow_fingerprints(docs, "doc_id", "text", k=3, window=4).withColumnRenamed(
+        "doc", "doc_id"
+    )
+
+
+WINNOW_FINGERPRINTS_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents),
+sh AS (SELECT doc_id, {TX.ordered_shingles_sql('w', 'text', 3)} AS sh FROM toks),
+hs AS (
+  SELECT doc_id, list_transform(sh, s -> {md5_60bit_sql("s")}::bigint) AS hs
+  FROM sh
+),
+wins AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(1, len(hs) - 4 + 1) + 1),
+                        i -> list_min(list_slice(hs, i, i + 3))) AS wins
+  FROM hs
+),
+fps AS (SELECT doc_id, list_sort(list_distinct(wins)) AS fps FROM wins)
+SELECT doc_id, len(fps)::bigint AS n_fps, array_to_string(fps, ',') AS fps FROM fps
+"""
+
+
+def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-quantile gate: per-language 90th-percentile cutoff over
+    the bigram-LM cross-entropy (doc_lm_perplexity), reporting survivors —
+    the CCNet-style 'drop the most surprising tail per language' stage.
+    Exact percentile (Spark percentile == DuckDB quantile_cont bit-for-bit
+    on this data — the value_mad precedent)."""
+    ppl = doc_lm_perplexity(spark, sf_dir)
+    langs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = ppl.join(langs, "doc_id")
+    cut = j.groupBy("lang").agg(
+        F.percentile("cross_entropy_bits", F.lit(0.9)).alias("cutoff")
+    )
+    return (
+        j.join(F.broadcast(cut), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("cross_entropy_bits") <= F.col("cutoff")).cast("long")).alias(
+                "n_kept"
+            ),
+            F.round(F.max("cutoff"), 6).alias("cutoff_r"),
+        )
+    )
+
+
+# PERPLEXITY_FILTER_SQL is assembled after DOC_LM_PERPLEXITY_SQL (below).
 
 
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1542,6 +1598,26 @@ FROM bg
 JOIN model USING (bigram)
 JOIN prefix ON split_part(bg.bigram, ' ', 1) = prefix.w1
 GROUP BY bg.doc_id
+"""
+
+
+# Assembled here (module top defines the fn) — nests the full perplexity
+# query as a derived table; the outer query adds the per-lang quantile gate.
+PERPLEXITY_FILTER_SQL = f"""
+WITH ppl AS (SELECT * FROM ({DOC_LM_PERPLEXITY_SQL}) t),
+scored AS (
+  SELECT d.lang, ppl.cross_entropy_bits
+  FROM ppl JOIN documents d USING (doc_id)
+),
+cut AS (
+  SELECT lang, quantile_cont(cross_entropy_bits, 0.9) AS cutoff
+  FROM scored GROUP BY lang
+)
+SELECT s.lang, count(*) AS n_docs,
+       sum(CASE WHEN s.cross_entropy_bits <= c.cutoff THEN 1 ELSE 0 END)::bigint AS n_kept,
+       round(max(c.cutoff), 6) AS cutoff_r
+FROM scored s JOIN cut c ON s.lang = c.lang
+GROUP BY s.lang
 """
 
 

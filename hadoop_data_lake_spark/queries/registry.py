@@ -110,15 +110,17 @@ _WINDOW: dict[str, QuerySpec] = {
     "curriculum_order": QuerySpec(NS.curriculum_order, NS.CURRICULUM_ORDER_SQL, ("training-data", "curriculum", "prefix-sum")),
     "ann_lsh_det": QuerySpec(NS.ann_lsh_det, NS.ANN_LSH_DET_SQL, ("ann", "lsh", "deterministic")),
     "grouping_sets_revenue": QuerySpec(TQ.grouping_sets_revenue, TQ.GROUPING_SETS_REVENUE_SQL, ("agg", "grouping-sets")),
+    # second round-3 batch (displaced latest_event_per_user,
+    # first_event_per_user, user_gap_stats — all r1-green):
+    "winnow_fingerprints": QuerySpec(NS.winnow_fingerprints, NS.WINNOW_FINGERPRINTS_SQL, ("dedup", "fingerprint", "winnowing")),
+    "incremental_orders_agg": QuerySpec(TQ.incremental_orders_agg, TQ.INCREMENTAL_ORDERS_AGG_SQL, ("cdc", "ivm", "delta")),
+    "perplexity_filter": QuerySpec(NS.perplexity_filter, NS.PERPLEXITY_FILTER_SQL, ("text", "quality", "perplexity", "percentile")),
     # --- 44-50: re-proof slots (r1-green, REGRESSED at r2 HEAD by the ts
     # contract bug, fixed this round). Further new queries displace these
     # first — each already holds a CORRECTNESS_r01.json green row.
     "zone_report": QuerySpec(EV.zone_report, EV.ZONE_REPORT_SQL, ("flagship", "pivot", "window", "join")),
     "nearest_city": QuerySpec(GQ.nearest_city, GQ.NEAREST_CITY_SQL, ("geo", "crossjoin", "window", "argmin")),
     "user_sessions": QuerySpec(EV.user_sessions, EV.USER_SESSIONS_SQL, ("window", "sessionize")),
-    "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
-    "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
-    "user_gap_stats": QuerySpec(EV.user_gap_stats, EV.USER_GAP_STATS_SQL, ("window",)),
     # new this round: coordinate-based tz (displaced weekly_type_pivot,
     # r1-green) — closes the SURVEY §7.5 deviation from the reference's
     # timezonefinder lookup with a deterministic, oracle-checkable fallback.
@@ -174,6 +176,9 @@ _BACKLOG: dict[str, QuerySpec] = {
     "bpe_merges": QuerySpec(NS.bpe_merges, None, ("text", "tokenizer", "bpe", "iterative")),
     "token_heavy_hitters_approx": QuerySpec(NS.token_heavy_hitters_approx, None, ("text", "sketch", "topk")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
+    "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
+    "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
+    "user_gap_stats": QuerySpec(EV.user_gap_stats, EV.USER_GAP_STATS_SQL, ("window",)),
     "weekly_type_pivot": QuerySpec(EV.weekly_type_pivot, EV.WEEKLY_TYPE_PIVOT_SQL, ("pivot",)),
     "weekday_hour_heatmap": QuerySpec(EV.weekday_hour_heatmap, EV.WEEKDAY_HOUR_HEATMAP_SQL, ("agg", "datetime")),
     "event_pair_candidates": QuerySpec(EV.event_pair_candidates, EV.EVENT_PAIR_CANDIDATES_SQL, ("join", "range-join")),

@@ -153,3 +153,35 @@ def test_minhash_index_incremental_probe(spark, tmp_path):
         for r in minhash_lsh_pairs(corpus.unionByName(new), "doc_id", "text").collect()
     }
     assert full[(1, 10)] == got[(10, 1)]
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Winnowing guarantee: documents sharing a run of window+k-1 = 6 tokens
+    must share >= 1 fingerprint; disjoint docs share none."""
+    from hadoop_data_lake_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"{shared} seven eight nine ten eleven"),
+        (3, "totally different words with nothing common here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc"]: set(r["fps"].split(",")) for r in
+           winnow_fingerprints(df, "doc_id", "text", k=3, window=4).collect()}
+    assert out[1] & out[2]            # shared run -> shared fingerprint
+    assert not (out[1] & out[3])
+    assert not (out[2] & out[3])
+
+
+def test_winnow_density_bounded(spark):
+    """Winnowing selects far fewer fingerprints than k-grams (expected
+    ~2/(w+1) of hashes) and is invariant to duplicate selection."""
+    from hadoop_data_lake_spark.operators.dedup import winnow_fingerprints
+
+    text = " ".join(f"w{i % 17}x{i % 5}" for i in range(200))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = winnow_fingerprints(df, "doc_id", "text", k=3, window=4).collect()[0]
+    n_grams = 198
+    assert r["n_fps"] <= n_grams * 0.75
+    assert r["n_fps"] >= 1

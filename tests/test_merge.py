@@ -61,3 +61,50 @@ def test_snapshot_diff_rejects_missing_columns(spark):
     new = spark.createDataFrame([(1,)], "k long")
     with _pytest.raises(ValueError):
         snapshot_diff(old, new, keys=["k"])
+
+
+def test_snapshot_delta_folds_to_full_recompute(spark):
+    """agg(old) + signed delta == agg(new) for count and sum — including an
+    update whose GROUP key moves (retraction and addition land in different
+    groups)."""
+    import pyspark.sql.functions as F
+
+    from hadoop_data_lake_spark.operators.merge import snapshot_delta
+
+    old = spark.createDataFrame(
+        [(1, "g1", 10.0), (2, "g1", 20.0), (3, "g2", 30.0), (4, "g2", 40.0)],
+        "k long, grp string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "g1", 10.0),   # unchanged
+         (2, "g2", 25.0),   # updated AND moved g1 -> g2
+         (4, "g2", 40.0),   # unchanged (3 deleted)
+         (5, "g1", 50.0)],  # inserted
+        "k long, grp string, v double",
+    )
+    delta = snapshot_delta(old, new, keys=["k"])
+    rows = {(r["k"], r["sign"]): (r["grp"], r["v"]) for r in delta.collect()}
+    assert rows[(2, -1)] == ("g1", 20.0) and rows[(2, 1)] == ("g2", 25.0)
+    assert rows[(3, -1)] == ("g2", 30.0)
+    assert rows[(5, 1)] == ("g1", 50.0)
+    assert len(rows) == 4  # unchanged keys emit nothing
+
+    old_agg = old.groupBy("grp").agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    d_agg = delta.groupBy("grp").agg(
+        F.sum("sign").alias("dn"), F.sum(F.col("sign") * F.col("v")).alias("ds")
+    )
+    merged = {
+        r["grp"]: (r["n"], r["s"])
+        for r in old_agg.join(d_agg, "grp", "full_outer")
+        .select(
+            "grp",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+            (F.coalesce("s", F.lit(0.0)) + F.coalesce("ds", F.lit(0.0))).alias("s"),
+        )
+        .collect()
+    }
+    direct = {
+        r["grp"]: (r["n"], r["s"])
+        for r in new.groupBy("grp").agg(F.count("*").alias("n"), F.sum("v").alias("s")).collect()
+    }
+    assert merged == direct
