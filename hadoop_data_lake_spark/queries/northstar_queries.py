@@ -623,12 +623,29 @@ FROM documents
 
 
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: Arrow-batched mapInPandas over binary blobs with the
-    deterministic fake decoder (real codecs stubbed — see
-    operators/multimodal.py)."""
+    """Arrow-batched mapInPandas over binary blobs with the deterministic
+    fake decoder (real codecs stubbed — see operators/multimodal.py).
+    Full oracle since round 3: the corpus is pure ASCII, so the byte-level
+    features are replayable as code-point arithmetic in SQL."""
     docs = read_table(spark, sf_dir, "documents")
     media = synth_media_from_text(docs, "doc_id", "text")
     return extract_features(media, fake_decode=True)
+
+
+MULTIMODAL_DECODE_FEATURES_SQL = """
+WITH b AS (
+  SELECT doc_id AS media_id,
+         length(text)::bigint AS n_bytes,
+         list_sum(list_transform(range(1, length(text) + 1),
+                                 i -> ord(substr(text, CAST(i AS INT), 1))))::bigint AS byte_sum,
+         ord(substr(text, 1, 1)) AS first_byte,
+         ord(substr(text, length(text), 1)) AS last_byte
+  FROM documents
+)
+SELECT media_id, n_bytes, byte_sum, first_byte, last_byte,
+       byte_sum::double / n_bytes AS byte_mean
+FROM b
+"""
 
 
 def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -706,23 +723,67 @@ FROM events GROUP BY user_id
 
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: mapInPandas resize stub (deterministic fake codec; exact
-    bytes pinned in tests/test_streaming_multimodal.py)."""
+    """mapInPandas resize stub (deterministic fake codec; exact bytes pinned
+    in tests/test_streaming_multimodal.py). The query projects the blob to
+    its md5 so the oracle compares content hashes, not raw binary columns —
+    the ASCII corpus makes the fake nearest-neighbor byte resample exactly
+    replayable as substr() arithmetic."""
     from hadoop_data_lake_spark.operators.multimodal import resize_media
 
     docs = read_table(spark, sf_dir, "documents")
     media = synth_media_from_text(docs, "doc_id", "text")
-    return resize_media(media, target_w=8, target_h=8)
+    out = resize_media(media, target_w=8, target_h=8)
+    return out.select(
+        "media_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5("media").alias("media_md5"),
+    )
+
+
+# Fake resize keeps byte at position int(j * len/n_out) (truncation == floor
+# for positives), j in [0, 64); clamped to the last byte.
+MULTIMODAL_RESIZE_SQL = """
+WITH r AS (
+  SELECT doc_id AS media_id,
+         array_to_string(
+           list_transform(range(0, 64),
+             j -> substr(text,
+                         CAST(least(floor(j * (length(text)::double / 64)),
+                                    length(text) - 1) AS INT) + 1,
+                         1)),
+           '') AS resized
+  FROM documents
+)
+SELECT media_id, length(resized)::bigint AS n_bytes, md5(resized) AS media_md5
+FROM r
+"""
 
 
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: 1->n frame sampling via mapInPandas (cardinality-changing
-    batch transform)."""
+    """1->n frame sampling via mapInPandas (cardinality-changing batch
+    transform); frames projected to md5 content hashes for the oracle."""
     from hadoop_data_lake_spark.operators.multimodal import sample_frames
 
     docs = read_table(spark, sf_dir, "documents")
     media = synth_media_from_text(docs, "doc_id", "text")
-    return sample_frames(media, n_frames=4)
+    out = sample_frames(media, n_frames=4)
+    return out.select("media_id", "frame_idx", "n_bytes", F.md5("frame").alias("frame_md5"))
+
+
+# Fake demux: chunk j = bytes[j*step : (j+1)*step], step = max(1, len // 4)
+# (python slice semantics: the tail past 4*step is dropped, short docs yield
+# empty trailing chunks — substr() clamps identically).
+MULTIMODAL_FRAMES_SQL = """
+WITH f AS (
+  SELECT doc_id AS media_id, CAST(u.j AS INT) AS frame_idx,
+         substr(text,
+                CAST(u.j AS INT) * greatest(1, length(text) // 4) + 1,
+                greatest(1, length(text) // 4)) AS frame
+  FROM documents, unnest(range(0, 4)) AS u(j)
+)
+SELECT media_id, frame_idx, length(frame)::bigint AS n_bytes, md5(frame) AS frame_md5
+FROM f
+"""
 
 
 def token_counts_regex(spark: SparkSession, sf_dir: str) -> DataFrame:

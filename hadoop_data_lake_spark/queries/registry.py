@@ -167,9 +167,11 @@ _BACKLOG: dict[str, QuerySpec] = {
     "ann_ivf": QuerySpec(NS.ann_ivf, None, ("ann", "ivf")),
     "ann_ivf_kmeans": QuerySpec(NS.ann_ivf_kmeans, None, ("ann", "ivf", "kmeans", "iterative")),
     "ann_pq": QuerySpec(NS.ann_pq, None, ("ann", "pq", "adc")),
-    "multimodal_decode_features": QuerySpec(NS.multimodal_decode_features, None, ("multimodal", "pandas-udf")),
-    "multimodal_resize": QuerySpec(NS.multimodal_resize, None, ("multimodal", "pandas-udf")),
-    "multimodal_frames": QuerySpec(NS.multimodal_frames, None, ("multimodal", "pandas-udf", "generator")),
+    # upgraded rows-only -> full oracle in round 3: the ASCII corpus makes
+    # the deterministic fake codec replayable as code-point/substr SQL.
+    "multimodal_decode_features": QuerySpec(NS.multimodal_decode_features, NS.MULTIMODAL_DECODE_FEATURES_SQL, ("multimodal", "pandas-udf")),
+    "multimodal_resize": QuerySpec(NS.multimodal_resize, NS.MULTIMODAL_RESIZE_SQL, ("multimodal", "pandas-udf")),
+    "multimodal_frames": QuerySpec(NS.multimodal_frames, NS.MULTIMODAL_FRAMES_SQL, ("multimodal", "pandas-udf", "generator")),
     "value_percentiles_approx": QuerySpec(EV.value_percentiles_approx, None, ("sketch", "percentile")),
     "purchase_graph_pagerank": QuerySpec(TQ.purchase_graph_pagerank, None, ("graph", "iterative", "pagerank")),
     "weekly_unique_users_hll": QuerySpec(NS.weekly_unique_users_hll, None, ("sketch", "hll", "rollup")),
