@@ -51,45 +51,46 @@ def span_dedup_corpus(
     """Cross-document span dedup: a span survives only at its globally first
     occurrence (lexicographically smallest (doc_id, span_idx)).
 
-    Winner selection is a hash aggregation (min over a (doc, idx) struct per
-    span key) + semi-join back — one shuffle on span_text and one on the
-    composite key, no window sort (the same argmin-by-agg plan shape that
-    beat row_number in nearest_city). Output: one row per input doc with the
-    span-level kept/total counts and the reassembled text ('' when every
-    span was a repeat).
-    """
-    occ = doc_spans(df, id_col, text_col, width)
+    Single-pass plan: the span stream is evaluated ONCE — a row_number
+    window keyed on span_text flags each occurrence's global rank, then one
+    hash aggregation per doc rebuilds the text from rank-1 spans
+    (collect_list skips the NULLed-out losers). Exactly two shuffles
+    (span_text, then doc), no self-join. An earlier agg-argmin + semi-join
+    draft was rejected by plan audit: its three branches re-executed the
+    tokenize/explode subtree three times (alias-differing subtrees get no
+    ReusedExchange) — three corpus scans at 100 TB. Window groups here are
+    per-span (tiny), so the window sort that loses to hash-agg argmin on
+    heavy groups (the nearest_city case) is immaterial.
 
-    winners = occ.groupBy("span_text").agg(
-        F.min(F.struct("doc", "span_idx")).alias("first_occ")
-    )
-    kept = occ.join(
-        winners.select(
-            F.col("first_occ.doc").alias("doc"),
-            F.col("first_occ.span_idx").alias("span_idx"),
-            "span_text",
-        ),
-        ["doc", "span_idx", "span_text"],
-        "left_semi",
-    )
-    kept_per_doc = kept.groupBy("doc").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("span_idx", "span_text"))),
-                lambda s: s["span_text"],
-            ),
-            " ",
-        ).alias("clean_text"),
-    )
-    totals = occ.groupBy("doc").agg(F.count(F.lit(1)).alias("n_spans"))
+    Output: one row per input doc with span-level kept/total counts and the
+    reassembled text ('' when every span was a repeat).
+    """
+    from pyspark.sql import Window
+
+    occ = doc_spans(df, id_col, text_col, width)
+    w = Window.partitionBy("span_text").orderBy("doc", "span_idx")
+    flagged = occ.withColumn("rn", F.row_number().over(w))
     return (
-        totals.join(kept_per_doc, "doc", "left")
+        flagged.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1, F.struct("span_idx", "span_text")
+                            )
+                        )
+                    ),
+                    lambda s: s["span_text"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
         .select(
-            F.col("doc").alias(id_col),
-            F.col("n_spans"),
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("doc").alias(id_col), "n_spans", "n_kept", "clean_text"
         )
     )
 
