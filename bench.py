@@ -53,6 +53,13 @@ HEADLINE = [
     "coactivity_triangles",
     "export_shuffle_shards",
     "zorder_code_orders",
+    # round-3 additions
+    "span_dedup_corpus",
+    "winnow_fingerprints",
+    "ann_lsh_det",
+    "incremental_orders_agg",
+    "curriculum_order",
+    "perplexity_filter",
     "stream_windowed_counts",
     "stream_session_stats",
 ]
