@@ -48,14 +48,21 @@ def asof_join(
     direction='forward': smallest right_ts >= left_ts (running frame
     flipped to current..unboundedFollowing, tie-break to the MIN struct —
     mirroring pd.merge_asof(direction='forward')).
+    direction='nearest': whichever of the backward/forward candidates is
+    closer in absolute time; equidistant ties resolve to the backward row
+    (pd.merge_asof(direction='nearest') behavior). Both running frames are
+    evaluated over the SAME partition sort, so nearest still costs one
+    shuffle + one sort — not two plans glued together.
 
     Plan shape: Union -> Exchange hashpartitioning(on) -> Sort(on, __t,
     __side, __r) -> Window(last/first over a running frame) ->
     Filter(left side). One shuffle total; the window frame is running, so
     Spark evaluates it in a single pass per partition.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     # Fail loudly instead of silently emitting duplicate/ambiguous columns:
     # every non-key name must be disjoint, and the temp names are reserved.
     overlap = (set(left.columns) & set(right.columns)) - {on}
@@ -64,7 +71,9 @@ def asof_join(
             f"asof_join requires disjoint non-key columns; both sides have "
             f"{sorted(overlap)} — alias one side before joining"
         )
-    reserved = {"__t", "__side", "__r", "__m"} & (set(left.columns) | set(right.columns))
+    reserved = {"__t", "__side", "__r", "__m", "__mb", "__mf"} & (
+        set(left.columns) | set(right.columns)
+    )
     if reserved:
         raise ValueError(
             f"asof_join reserves temp column names {sorted(reserved)}; rename them"
@@ -82,8 +91,10 @@ def asof_join(
     )
     # side tag ordering makes the equal-timestamp right row fall INSIDE the
     # frame for both directions: backward keeps right rows before the left
-    # row (0 < 1), forward keeps them after (1 > 0).
-    right_side = 0 if direction == "backward" else 1
+    # row (0 < 1), forward keeps them after (1 > 0). nearest uses the
+    # backward layout: an equal-timestamp right is then a zero-distance
+    # backward candidate, which wins every tie — same net result.
+    right_side = 0 if direction in ("backward", "nearest") else 1
     ru = right.select(
         F.col(on),
         F.col(right_ts).alias("__t"),
@@ -104,18 +115,41 @@ def asof_join(
     base = Window.partitionBy(on).orderBy(
         F.col("__t").asc(), F.col("__side").asc(), F.col("__r").asc()
     )
-    if direction == "backward":
-        # right rows at the same instant sort BEFORE the left row => the
-        # running last() sees them (inclusive <=); struct asc means last()
-        # takes the max (right_ts, tiebreaks...) among equals.
-        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        pick = F.last("__r", ignorenulls=True)
+    if direction == "nearest":
+        wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        matched = u.withColumn(
+            "__mb", F.last("__r", ignorenulls=True).over(wb)
+        ).withColumn("__mf", F.first("__r", ignorenulls=True).over(wf))
+        # Distance works for timestamp AND plain numeric ts columns.
+        is_ts = u.schema["__t"].dataType.simpleString() in ("timestamp", "timestamp_ntz")
+
+        def _num(c):
+            return F.unix_micros(c.cast("timestamp")) if is_ts else c.cast("double")
+
+        t_us = _num(F.col("__t"))
+        db = t_us - _num(F.col("__mb")[right_ts])
+        df_ = _num(F.col("__mf")[right_ts]) - t_us
+        pick_nearest = (
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            .when(db <= df_, F.col("__mb"))  # tie -> backward, per merge_asof
+            .otherwise(F.col("__mf"))
+        )
+        matched = matched.withColumn("__m", pick_nearest)
     else:
-        # right rows at the same instant sort AFTER the left row => the
-        # forward frame sees them (inclusive >=); first() takes the min.
-        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        pick = F.first("__r", ignorenulls=True)
-    matched = u.withColumn("__m", pick.over(w))
+        if direction == "backward":
+            # right rows at the same instant sort BEFORE the left row => the
+            # running last() sees them (inclusive <=); struct asc means
+            # last() takes the max (right_ts, tiebreaks...) among equals.
+            w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            pick = F.last("__r", ignorenulls=True)
+        else:
+            # right rows at the same instant sort AFTER the left row => the
+            # forward frame sees them (inclusive >=); first() takes the min.
+            w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            pick = F.first("__r", ignorenulls=True)
+        matched = u.withColumn("__m", pick.over(w))
     out = matched.where(F.col("__side") == F.lit(1 - right_side)).select(
         *[F.col(c) for c in left_cols],
         *[F.col("__m").getField(c).alias(c) for c in right_cols],

@@ -224,6 +224,114 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE batch `session_window` aggregation —
+    the same 30-minute-gap semantics as the lag+cumsum `user_sessions`, but
+    expressed as one groupBy on (user, session_window): Spark merges
+    overlapping [ts, ts+gap) windows inside the aggregation, one shuffle,
+    no window-function pass. Boundary note: session_window starts a new
+    session at gap >= 30 min (window end is exclusive), while the lag
+    formulation uses gap > 30 min — the oracle pins the native (>=)
+    semantics. window.end = last_ts + gap, so last_ts is recovered by
+    subtracting the gap."""
+    ev = read_table(spark, sf_dir, "events")
+    gap_us = 1800 * 1_000_000
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            (F.unix_micros(F.col("sw.end")) - F.lit(gap_us)).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+USER_SESSIONS_NATIVE_SQL = """
+WITH gapped AS (
+  SELECT user_id, ts,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts,
+         CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM gapped
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, min(epoch_us(ts)) AS session_start_us,
+       max(epoch_us(ts)) AS session_end_us, count(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+def sequential_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered milestone funnel: users with a view, a click strictly AFTER
+    their first view, and a purchase strictly after that first click. The
+    ordering constraint is what pivot/conditional-count funnels
+    (zone_conversion_funnel) cannot express. Every stage is a filtered
+    min-aggregation joined on user_id: the groupBys and joins all hash on
+    the same key, so the stages reuse one partitioning instead of
+    re-shuffling per stage."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("tv").alias("n_view"),
+            F.count("tc").alias("n_click_after_view"),
+            F.count("tp").alias("n_purchase_after_click"),
+        )
+    )
+
+
+SEQUENTIAL_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS tv FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS tc
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.tv
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS tp
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.tc
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v)::bigint AS n_view,
+       (SELECT count(*) FROM c)::bigint AS n_click_after_view,
+       (SELECT count(*) FROM p)::bigint AS n_purchase_after_click
+"""
+
+
 USER_SESSIONS_SQL = """
 WITH gapped AS (
   SELECT user_id, event_id, ts,

@@ -128,6 +128,11 @@ _WINDOW: dict[str, QuerySpec] = {
 }
 
 _BACKLOG: dict[str, QuerySpec] = {
+    # --- new in round 3, window already full: verified locally by
+    # tools/check_oracle.py; lead candidates for the round-4 window.
+    "user_sessions_native": QuerySpec(EV.user_sessions_native, EV.USER_SESSIONS_NATIVE_SQL, ("window", "sessionize", "session-window")),
+    "sequential_funnel": QuerySpec(EV.sequential_funnel, EV.SEQUENTIAL_FUNNEL_SQL, ("agg", "funnel", "ordered")),
+    "expectations_report": QuerySpec(TQ.expectations_report, TQ.EXPECTATIONS_REPORT_SQL, ("quality", "expectations", "unpivot")),
     # --- round-2 green (full DuckDB hash match in CORRECTNESS_r02.json) --
     "dedup_exact": QuerySpec(NS.dedup_exact, NS.DEDUP_EXACT_SQL, ("dedup",)),
     "dedup_ngram_jaccard": QuerySpec(NS.dedup_ngram_jaccard, NS.DEDUP_NGRAM_JACCARD_SQL, ("dedup",)),

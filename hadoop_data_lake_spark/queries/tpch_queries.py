@@ -1674,6 +1674,54 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, keys=["o_orderkey"])
 
 
+def expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations in ONE scan: every rule is a conditional
+    count folded into a single aggregation, then unpivoted to one row per
+    rule — the 'expectations suite' shape (dbt tests / Great Expectations)
+    without a second pass per rule. At 100 TB, N rules still cost exactly
+    one scan and one 1-row shuffle. NULL handling is pinned by writing each
+    rule as when(valid, 0).otherwise(1), so NULLs count as violations in
+    both engines."""
+    o = read_table(spark, sf_dir, "orders")
+    viol = {
+        "positive_price": F.when(F.col("o_totalprice") > 0, 0).otherwise(1),
+        "status_in_domain": F.when(
+            F.col("o_orderstatus").isin("F", "O", "P"), 0
+        ).otherwise(1),
+        "custkey_not_null": F.when(F.col("o_custkey").isNotNull(), 0).otherwise(1),
+        "orderdate_in_range": F.when(
+            (F.col("o_orderdate") >= F.lit("1992-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01")),
+            0,
+        ).otherwise(1),
+    }
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum(c.cast("long")).alias(f"v_{name}") for name, c in viol.items()],
+    )
+    stack_args = ", ".join(f"'{name}', v_{name}" for name in viol)
+    return agg.selectExpr(
+        f"stack({len(viol)}, {stack_args}) as (rule, n_violations)", "n_rows"
+    )
+
+
+EXPECTATIONS_REPORT_SQL = """
+WITH a AS (
+  SELECT count(*) AS n_rows,
+    sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)::bigint AS v_positive_price,
+    sum(CASE WHEN o_orderstatus IN ('F', 'O', 'P') THEN 0 ELSE 1 END)::bigint AS v_status_in_domain,
+    sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END)::bigint AS v_custkey_not_null,
+    sum(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+             THEN 0 ELSE 1 END)::bigint AS v_orderdate_in_range
+  FROM orders
+)
+SELECT 'positive_price' AS rule, v_positive_price AS n_violations, n_rows FROM a
+UNION ALL SELECT 'status_in_domain', v_status_in_domain, n_rows FROM a
+UNION ALL SELECT 'custkey_not_null', v_custkey_not_null, n_rows FROM a
+UNION ALL SELECT 'orderdate_in_range', v_orderdate_in_range, n_rows FROM a
+"""
+
+
 def incremental_orders_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance: per-status order counts + revenue kept
     current by folding the SIGNED delta (operators/merge.snapshot_delta)

@@ -92,3 +92,36 @@ def test_asof_rejects_bad_direction(spark):
     df = spark.createDataFrame([(1, 1)], "k long, t long")
     with _pytest.raises(ValueError):
         asof_join(df, df.selectExpr("k", "t as t2"), "k", "t", "t2", direction="sideways")
+
+
+def test_asof_nearest_matches_merge_asof(spark):
+    import pandas as pd
+
+    from hadoop_data_lake_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 24, "b"), (1, 26, "c"), (1, 25, "d"), (2, 100, "e"), (3, 7, "f")],
+        "k long, lts long, lbl string",
+    )
+    right = spark.createDataFrame(
+        [(1, 20, 1.0), (1, 30, 2.0), (2, 1, 3.0)],
+        "k long, rts long, rv double",
+    )
+    got = {
+        (r["k"], r["lts"]): (r["rts"], r["rv"])
+        for r in asof_join(left, right, "k", "lts", "rts", direction="nearest").collect()
+    }
+    assert got[(1, 10)] == (20, 1.0)     # only forward in range? nearest is 20
+    assert got[(1, 24)] == (20, 1.0)     # 4 back vs 6 fwd
+    assert got[(1, 26)] == (30, 2.0)     # 6 back vs 4 fwd
+    assert got[(1, 25)] == (20, 1.0)     # equidistant -> backward
+    assert got[(2, 100)] == (1, 3.0)     # only backward exists
+    assert got[(3, 7)] == (None, None)   # no right rows for key
+
+    lp = left.toPandas().sort_values("lts")
+    rp = right.toPandas().sort_values("rts")
+    ref = pd.merge_asof(lp, rp, left_on="lts", right_on="rts", by="k", direction="nearest")
+    for _, row in ref.iterrows():
+        exp = (None if pd.isna(row["rts"]) else row["rts"],
+               None if pd.isna(row["rv"]) else row["rv"])
+        assert got[(row["k"], row["lts"])] == exp
