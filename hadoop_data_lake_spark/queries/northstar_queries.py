@@ -381,6 +381,51 @@ FROM scored
 """
 
 
+def synthetic_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile aggregation over the custom Python DataSource connector
+    (sources/synthetic.py): 2000 rows generated partition-parallel across 8
+    input partitions, rolled up per event type. The generator is a pure
+    function of the row index through the portable md5 prefix, so the
+    DuckDB oracle REGENERATES the source's rows in SQL and must agree —
+    the connector itself sits under the correctness gate, not just pytest.
+    (sf_dir unused: the source is its own data.)"""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from hadoop_data_lake_spark.sources.synthetic import SyntheticEvents
+
+    spark.dataSource.register(SyntheticEvents)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 2000)
+        .option("numPartitions", 8)
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        (F.sum(to_units(F.col("value"), 3)) / F.lit(1000.0)).cast("double").alias("value_sum"),
+    )
+
+
+_SRC_H = "('0x' || substr(md5('0|' || i || '|' || {f}), 1, 15))::ubigint"
+
+SYNTHETIC_SOURCE_PROFILE_SQL = f"""
+WITH gen AS (
+  SELECT CAST(u.i AS BIGINT) AS i FROM unnest(range(0, 2000)) AS u(i)
+),
+rows_ AS (
+  SELECT i AS event_id,
+         {_SRC_H.format(f="'user'")} % 1000 AS user_id,
+         (['view', 'click', 'purchase', 'signup', 'error'])[
+           CAST({_SRC_H.format(f="'type'")} % 5 AS INT) + 1] AS event_type,
+         ({_SRC_H.format(f="'value'")} % 1000000) / 1000.0 AS value
+  FROM gen
+)
+SELECT event_type, count(*) AS n, count(DISTINCT user_id)::bigint AS n_users,
+       (sum(CAST(round(value * 1000) AS BIGINT)) / 1000.0) AS value_sum
+FROM rows_ GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Text analysis family
 # --------------------------------------------------------------------------
