@@ -180,3 +180,91 @@ def test_scd2_invariants(spark, rows):
         for a, b in zip(ivs, ivs[1:]):
             assert a["valid_to"] == b["valid_from"]
             assert a["attr"] != b["attr"] or (a["attr"] is None) != (b["attr"] is None)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_span_dedup_invariants(spark, docs):
+    """(1) every doc appears exactly once in the output; (2) kept <= total
+    spans per doc; (3) each distinct span string survives in EXACTLY one
+    doc across the corpus; (4) corpus-wide kept == number of distinct
+    spans."""
+    from hadoop_data_lake_spark.operators.spans import doc_spans, span_dedup_corpus
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_dedup_corpus(df, "doc_id", "text", width=3).collect()}
+    assert set(out) == set(range(len(docs)))
+    assert all(0 <= r["n_kept"] <= r["n_spans"] for r in out.values())
+    occ = doc_spans(df, "doc_id", "text", 3).collect()
+    n_distinct = len({r["span_text"] for r in occ})
+    assert sum(r["n_kept"] for r in out.values()) == n_distinct
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 20), st.sampled_from("abc"), st.integers(-50, 50)),
+             min_size=0, max_size=25),
+    st.lists(st.tuples(st.integers(0, 20), st.sampled_from("abc"), st.integers(-50, 50)),
+             min_size=0, max_size=25),
+)
+def test_snapshot_delta_fold_property(spark, old_rows, new_rows):
+    """For ARBITRARY snapshots (dedup on key): agg(old) + delta == agg(new)
+    per group, for count and sum."""
+    from hadoop_data_lake_spark.operators.merge import snapshot_delta
+
+    old_rows = list({k: (k, g, v) for k, g, v in old_rows}.values())
+    new_rows = list({k: (k, g, v) for k, g, v in new_rows}.values())
+    schema = "k long, grp string, v long"
+    old = spark.createDataFrame(old_rows, schema) if old_rows else spark.createDataFrame([], schema)
+    new = spark.createDataFrame(new_rows, schema) if new_rows else spark.createDataFrame([], schema)
+
+    delta = snapshot_delta(old, new, keys=["k"]).collect()
+    folded: dict[str, list[int]] = {}
+    for k, g, v in old_rows:
+        folded.setdefault(g, [0, 0])
+        folded[g][0] += 1
+        folded[g][1] += v
+    for r in delta:
+        folded.setdefault(r["grp"], [0, 0])
+        folded[r["grp"]][0] += r["sign"]
+        folded[r["grp"]][1] += r["sign"] * r["v"]
+    folded = {g: t for g, t in folded.items() if t[0] != 0 or t[1] != 0}
+
+    direct: dict[str, list[int]] = {}
+    for k, g, v in new_rows:
+        direct.setdefault(g, [0, 0])
+        direct[g][0] += 1
+        direct[g][1] += v
+    direct = {g: t for g, t in direct.items() if t[0] != 0 or t[1] != 0}
+    assert folded == direct
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.data())
+def test_winnow_shared_window_guarantee_random(spark, data):
+    """Random docs sharing a random (window+k-1)-token run must share a
+    fingerprint — the winnowing guarantee under arbitrary surroundings."""
+    from hadoop_data_lake_spark.operators.dedup import winnow_fingerprints
+
+    vocab = [f"t{i}" for i in range(30)]
+    k, w = 3, 4
+    shared = data.draw(st.lists(st.sampled_from(vocab), min_size=k + w - 1, max_size=k + w - 1))
+    pre1 = data.draw(st.lists(st.sampled_from(vocab), min_size=0, max_size=8))
+    post1 = data.draw(st.lists(st.sampled_from(vocab), min_size=0, max_size=8))
+    pre2 = data.draw(st.lists(st.sampled_from(vocab), min_size=0, max_size=8))
+    post2 = data.draw(st.lists(st.sampled_from(vocab), min_size=0, max_size=8))
+    rows = [
+        (1, " ".join(pre1 + shared + post1)),
+        (2, " ".join(pre2 + shared + post2)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc"]: set(r["fps"].split(",")) for r in
+           winnow_fingerprints(df, "doc_id", "text", k=k, window=w).collect()}
+    assert out[1] & out[2]
