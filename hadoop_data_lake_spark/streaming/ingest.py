@@ -402,3 +402,78 @@ def run_tws_replay(spark: SparkSession, parquet_path: str) -> DataFrame:
     stream, src_dir = _open_stream(spark, parquet_path)
     out = user_totals_tws(stream)
     return _drain_replay(spark, out, src_dir, output_mode="update")
+
+
+# --------------------------------------------------------------------------
+# foreachBatch CDC apply: the streaming-lakehouse upsert pattern. Each
+# micro-batch MERGES into a keyed parquet target instead of appending —
+# what every "stream changes into a dimension table" pipeline does. The
+# merge keeps the max (ts, event_id) row per key, which is commutative
+# across batches, so the final table is independent of file->batch
+# assignment order (asserted in tests).
+# --------------------------------------------------------------------------
+
+def stream_upsert_latest(
+    spark: SparkSession,
+    parquet_path: str,
+    target_path: str,
+    n_slices: int = 4,
+) -> DataFrame:
+    """Replay `parquet_path` as `n_slices` micro-batches (maxFilesPerTrigger=1
+    over a re-sliced copy) and foreachBatch-upsert the latest event per user
+    into a parquet target. Returns the final target table.
+
+    Batch writes go to a staging dir then atomically swap into place —
+    overwriting a path that the same batch just read is undefined behavior,
+    and a crash mid-write must not leave a half-table (the poor man's
+    transactional commit; a lakehouse table format does this with manifest
+    pointers instead of directory renames).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from hadoop_data_lake_spark.core.io import normalize_ns_ts
+    from hadoop_data_lake_spark.operators.windows import top1_per_group
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = normalize_ns_ts(spark.read.parquet(parquet_path))
+    scratch = tempfile.mkdtemp(prefix="stream_upsert_src_")
+    src.repartition(n_slices).write.mode("overwrite").parquet(scratch)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        latest = top1_per_group(
+            batch_df,
+            ["user_id"],
+            [F.col("ts").desc(), F.col("event_id").desc()],
+        )
+        if os.path.isdir(target_path):
+            current = spark.read.parquet(target_path)
+            merged = top1_per_group(
+                current.unionByName(latest),
+                ["user_id"],
+                [F.col("ts").desc(), F.col("event_id").desc()],
+            )
+        else:
+            merged = latest
+        stage = f"{target_path}__stage_{batch_id}"
+        merged.write.mode("overwrite").parquet(stage)
+        old = f"{target_path}__old_{batch_id}"
+        if os.path.isdir(target_path):
+            os.rename(target_path, old)
+        os.rename(stage, target_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    try:
+        q = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(scratch)
+            .writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.read.parquet(target_path).localCheckpoint(eager=True)

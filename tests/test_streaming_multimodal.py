@@ -258,3 +258,32 @@ def test_tws_environment_limited_or_runs(spark):
     g = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in got.collect()}
     b = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in batch.collect()}
     assert g == b
+
+
+def test_stream_upsert_latest_matches_batch(spark, tmp_path):
+    """foreachBatch CDC apply across 4 micro-batches must converge to the
+    same latest-per-user table a single batch computation produces — the
+    max-(ts, event_id) merge is commutative, so batch order can't matter.
+    The target must contain ONLY final rows (no stage/old leftovers)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from hadoop_data_lake_spark.core.io import read_table
+    from hadoop_data_lake_spark.operators.windows import top1_per_group
+    from hadoop_data_lake_spark.streaming.ingest import stream_upsert_latest
+
+    sf_dir = "/root/testdata/sf0.001"
+    target = str(tmp_path / "latest_by_user")
+    got = stream_upsert_latest(spark, f"{sf_dir}/events.parquet", target, n_slices=4)
+
+    expected = top1_per_group(
+        read_table(spark, sf_dir, "events"),
+        ["user_id"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+    )
+    key = lambda r: (r["user_id"], r["event_id"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, expected.collect()))
+    # staging/old dirs cleaned up
+    leftovers = [d for d in os.listdir(tmp_path) if "__stage_" in d or "__old_" in d]
+    assert leftovers == []
