@@ -171,6 +171,38 @@ def containment_pairs(
     )
 
 
+def _winnow_fps(
+    df: DataFrame, id_col: str, content_col: str, k: int, window: int
+) -> DataFrame:
+    """(doc, fps) — per-doc sorted distinct winnowing fingerprint array.
+
+    All hashing/windowing is per-row array arithmetic over the portable
+    60-bit MD5 prefix — JVM codegen, no shuffle, SQL-replayable. Each
+    projection binds its array under TWO references (size + transform) so
+    CollapseProject cannot inline the expensive upstream expression into
+    the HOF lambda (which would re-evaluate it once per element)."""
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        ordered_shingles(F.col(content_col), k).alias("sh"),
+    )
+    hashed = base.select(
+        "doc",
+        F.size("sh").alias("__m"),
+        F.expr(
+            "transform(sh, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"
+        ).alias("hs"),
+    )
+    wins = hashed.select(
+        "doc",
+        F.size("hs").alias("__n"),
+        F.expr(
+            f"transform(sequence(1, greatest(1, size(hs) - {window} + 1)), "
+            f"i -> array_min(slice(hs, i, {window})))"
+        ).alias("wins"),
+    )
+    return wins.select("doc", F.array_sort(F.array_distinct("wins")).alias("fps"))
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str,
@@ -187,38 +219,52 @@ def winnow_fingerprints(
     (the property plain MinHash lacks: it is global, so a shared paragraph
     inside otherwise-different docs is invisible to it).
 
-    All hashing/windowing is per-row array arithmetic over the portable
-    60-bit MD5 prefix — JVM codegen, no shuffle, and bit-replayable by a
-    SQL oracle. Output: (doc, n_fps, fps) with fps the sorted distinct
-    fingerprints comma-joined (set semantics for downstream overlap joins).
-    """
-    base = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc"),
-        ordered_shingles(F.col(content_col), k).alias("sh"),
-    )
-    # Each projection binds its array under TWO references (size + transform)
-    # so CollapseProject cannot inline the expensive upstream expression into
-    # the HOF lambda (which would re-evaluate it once per element).
-    hashed = base.select(
-        "doc",
-        F.size("sh").alias("__m"),
-        F.expr(
-            "transform(sh, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"
-        ).alias("hs"),
-    )
-    wins = hashed.select(
-        "doc",
-        F.size("hs").alias("__n"),
-        F.expr(
-            f"transform(sequence(1, greatest(1, size(hs) - {window} + 1)), "
-            f"i -> array_min(slice(hs, i, {window})))"
-        ).alias("wins"),
-    )
-    fps = wins.select("doc", F.array_sort(F.array_distinct("wins")).alias("fps"))
+    Output: (doc, n_fps, fps) with fps the sorted distinct fingerprints
+    comma-joined (set semantics for downstream overlap joins)."""
+    fps = _winnow_fps(df, id_col, content_col, k, window)
     return fps.select(
         "doc",
         F.size("fps").cast("long").alias("n_fps"),
         F.array_join(F.transform("fps", lambda x: x.cast("string")), ",").alias("fps"),
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing >= min_shared winnowing fingerprints — the
+    MOSS similarity-detection join: position-robust local overlap (shared
+    paragraphs/quotes), not global set similarity. Inverted fingerprint
+    index -> equi self-join -> pair count; `max_df` caps hot fingerprints
+    exactly like the shingle cap in ngram_jaccard_pairs (a fingerprint
+    present in thousands of docs is boilerplate, not signal, and would make
+    the candidate join quadratic)."""
+    inv = _winnow_fps(df, id_col, content_col, k, window).select(
+        "doc", F.explode_outer("fps").alias("fp")
+    )
+    if max_df is not None:
+        hot = (
+            inv.groupBy("fp")
+            .agg(F.count("*").alias("df_f"))
+            .where(F.col("df_f") > max_df)
+            .select("fp")
+        )
+        inv = inv.join(F.broadcast(hot), "fp", "left_anti")
+    return (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
     )
 
 

@@ -261,6 +261,36 @@ SELECT doc_id, len(fps)::bigint AS n_fps, array_to_string(fps, ',') AS fps FROM 
 """
 
 
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS similarity detection: pairs sharing >= 2 winnowing fingerprints
+    (position-robust local overlap, not global set similarity)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return DD.winnow_overlap_pairs(docs, "doc_id", "text", k=3, window=4, min_shared=2)
+
+
+WINNOW_OVERLAP_PAIRS_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents),
+sh AS (SELECT doc_id, {TX.ordered_shingles_sql('w', 'text', 3)} AS sh FROM toks),
+hs AS (
+  SELECT doc_id, list_transform(sh, s -> {md5_60bit_sql("s")}::bigint) AS hs
+  FROM sh
+),
+wins AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(1, len(hs) - 4 + 1) + 1),
+                        i -> list_min(list_slice(hs, i, i + 3))) AS wins
+  FROM hs
+),
+inv AS (
+  SELECT doc_id, unnest(list_distinct(wins)) AS fp FROM wins
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+"""
+
+
 def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-quantile gate: per-language 90th-percentile cutoff over
     the bigram-LM cross-entropy (doc_lm_perplexity), reporting survivors —

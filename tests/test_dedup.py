@@ -185,3 +185,30 @@ def test_winnow_density_bounded(spark):
     n_grams = 198
     assert r["n_fps"] <= n_grams * 0.75
     assert r["n_fps"] >= 1
+
+
+def test_winnow_overlap_pairs_and_hot_fp_cap(spark):
+    from hadoop_data_lake_spark.operators.dedup import winnow_overlap_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"{shared} unique one two three"),
+        (2, f"four five six {shared} seven"),
+        (3, "completely different text with no run in common at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["shared_fps"]
+           for r in winnow_overlap_pairs(df, "doc_id", "text", min_shared=1).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 1
+    assert not any(3 in p for p in got)
+
+    # a fingerprint shared by EVERY doc is boilerplate: capped out, the
+    # all-pairs blowup it causes disappears
+    # shared run of 8 tokens >= window+k-1 = 6 -> every pair is guaranteed
+    # a shared fingerprint
+    boiler = [(i, f"common run of eight words right here now u{i} v{i} w{i}") for i in range(10)]
+    bdf = spark.createDataFrame(boiler, "doc_id long, text string")
+    uncapped = winnow_overlap_pairs(bdf, "doc_id", "text", min_shared=1)
+    assert uncapped.count() == 45
+    capped = winnow_overlap_pairs(bdf, "doc_id", "text", min_shared=1, max_df=5)
+    assert capped.count() == 0
