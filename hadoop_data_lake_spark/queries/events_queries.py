@@ -942,6 +942,71 @@ FROM acc
 # DuckDB quantile_cont on this data; abs(v - med) is a single IEEE sub).
 # --------------------------------------------------------------------------
 
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of `value` per user (alpha=0.3)
+    — an inherently SEQUENTIAL recurrence (e_i = a*v_i + (1-a)*e_{i-1}) that
+    plain SQL window frames cannot express. Batch formulation: one shuffle
+    collects each user's (ts, event_id)-ordered values, then a JVM
+    aggregate() fold runs the recurrence per row — the batch analog of a
+    stateful streaming operator, with state bounded by events-per-user.
+    Both engines fold left over the identical ordering with identical IEEE
+    double ops, so the result is bit-replayable (rounded 6dp)."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    per_user = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("vals")
+    )
+    # element_at is 1-based; vals[1] would be the SECOND element (the []
+    # operator is 0-based in Spark SQL, unlike slice) — a silent off-by-one
+    # that skips v_1 and double-weights v_2.
+    ewma = F.expr(
+        "aggregate(slice(vals, 2, size(vals) - 1), element_at(vals, 1), "
+        "(acc, x) -> 0.3D * x + 0.7D * acc)"
+    )
+    return per_user.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        F.round(ewma, 6).alias("ewma_r"),
+    )
+
+
+USER_VALUE_EWMA_SQL = """
+WITH per_user AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id, len(vals)::bigint AS n_events,
+       round(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma_r
+FROM per_user
+"""
+
+
+def user_favorite_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-user mode: most frequent event type, ties broken
+    by type name ascending — count aggregation + top-1, never a
+    nondeterministic mode()/any_value()."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    return top1_per_group(
+        counts, ["user_id"], [F.col("n").desc(), F.col("event_type").asc()]
+    )
+
+
+USER_FAVORITE_EVENT_TYPE_SQL = """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY user_id, event_type
+),
+ranked AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+  FROM counts
+)
+SELECT user_id, event_type, n FROM ranked WHERE rn = 1
+"""
+
+
 def value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     med = ev.groupBy(F.col("event_type").alias("et_m")).agg(

@@ -135,6 +135,8 @@ _BACKLOG: dict[str, QuerySpec] = {
     "expectations_report": QuerySpec(TQ.expectations_report, TQ.EXPECTATIONS_REPORT_SQL, ("quality", "expectations", "unpivot")),
     "synthetic_source_profile": QuerySpec(NS.synthetic_source_profile, NS.SYNTHETIC_SOURCE_PROFILE_SQL, ("source", "connector", "python-datasource")),
     "winnow_overlap_pairs": QuerySpec(NS.winnow_overlap_pairs, NS.WINNOW_OVERLAP_PAIRS_SQL, ("dedup", "winnowing", "moss")),
+    "user_value_ewma": QuerySpec(EV.user_value_ewma, EV.USER_VALUE_EWMA_SQL, ("timeseries", "ewma", "sequential-fold")),
+    "user_favorite_event_type": QuerySpec(EV.user_favorite_event_type, EV.USER_FAVORITE_EVENT_TYPE_SQL, ("agg", "mode", "argmax")),
     # --- round-2 green (full DuckDB hash match in CORRECTNESS_r02.json) --
     "dedup_exact": QuerySpec(NS.dedup_exact, NS.DEDUP_EXACT_SQL, ("dedup",)),
     "dedup_ngram_jaccard": QuerySpec(NS.dedup_ngram_jaccard, NS.DEDUP_NGRAM_JACCARD_SQL, ("dedup",)),
