@@ -18,7 +18,7 @@ Reference parity notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_data_lake_spark.core.io import read_table
@@ -1004,6 +1004,64 @@ ranked AS (
   FROM counts
 )
 SELECT user_id, event_type, n FROM ranked WHERE rn = 1
+"""
+
+
+def running_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day. Windowed COUNT(DISTINCT) doesn't
+    exist; the scale-safe identity is: a user first contributes on their
+    FIRST day, so running-distinct == running SUM of first-seen counts.
+    Two hash aggregations shrink the input to O(#days) rows; only that tiny
+    frame passes through the unpartitioned running-sum window (a single
+    task over hundreds of rows, not over the corpus)."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("day"))
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    per_day = first_day.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        # day as an ISO string: engines disagree on DATE canonicalization
+        # (DuckDB's pandas bridge widens DATE to datetime64), strings don't.
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+RUNNING_UNIQUE_USERS_SQL = """
+WITH first_day AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+),
+per_day AS (SELECT day, count(*) AS new_users FROM first_day GROUP BY day)
+SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+       sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::bigint AS cum_users
+FROM per_day
+"""
+
+
+def weekly_type_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot WITHOUT an explicit value list: Spark discovers the distinct
+    event types with an extra job at plan time and sorts them into columns
+    (bounded by spark.sql.pivotMaxValues) — the schema-on-read counterpart
+    of the fixed-list weekly_type_pivot, for pipelines where the category
+    set isn't known upfront. The oracle pins this corpus's discovered set;
+    a new category appearing in data would (intentionally) change the
+    output schema."""
+    ev = read_table(spark, sf_dir, "events")
+    wk = ev.select(F.weekofyear("ts").alias("week"), "event_type")
+    piv = wk.groupBy("week").pivot("event_type").count().na.fill(0)
+    return piv.select(
+        "week", *[F.col(c).cast("long").alias(c) for c in piv.columns if c != "week"]
+    )
+
+
+WEEKLY_TYPE_PIVOT_DYNAMIC_SQL = """
+SELECT weekofyear(ts) AS week,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::bigint AS click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::bigint AS error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::bigint AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::bigint AS signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::bigint AS view
+FROM events GROUP BY weekofyear(ts)
 """
 
 

@@ -137,6 +137,8 @@ _BACKLOG: dict[str, QuerySpec] = {
     "winnow_overlap_pairs": QuerySpec(NS.winnow_overlap_pairs, NS.WINNOW_OVERLAP_PAIRS_SQL, ("dedup", "winnowing", "moss")),
     "user_value_ewma": QuerySpec(EV.user_value_ewma, EV.USER_VALUE_EWMA_SQL, ("timeseries", "ewma", "sequential-fold")),
     "user_favorite_event_type": QuerySpec(EV.user_favorite_event_type, EV.USER_FAVORITE_EVENT_TYPE_SQL, ("agg", "mode", "argmax")),
+    "running_unique_users": QuerySpec(EV.running_unique_users, EV.RUNNING_UNIQUE_USERS_SQL, ("window", "running-distinct", "first-seen")),
+    "weekly_type_pivot_dynamic": QuerySpec(EV.weekly_type_pivot_dynamic, EV.WEEKLY_TYPE_PIVOT_DYNAMIC_SQL, ("pivot", "dynamic")),
     # --- round-2 green (full DuckDB hash match in CORRECTNESS_r02.json) --
     "dedup_exact": QuerySpec(NS.dedup_exact, NS.DEDUP_EXACT_SQL, ("dedup",)),
     "dedup_ngram_jaccard": QuerySpec(NS.dedup_ngram_jaccard, NS.DEDUP_NGRAM_JACCARD_SQL, ("dedup",)),
