@@ -1065,6 +1065,90 @@ FROM events GROUP BY weekofyear(ts)
 """
 
 
+def session_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types co-occurring in the
+    same session: PMI(a,b) = log2( p(a,b) / (p(a) p(b)) ) over per-session
+    distinct type sets — the association-mining signal ('which behaviors
+    travel together beyond chance'). All probabilities are exact integer
+    count ratios from one sessionized pass; unordered pairs a < b. The
+    candidate join is per-session (sets of <= 5 types), so the pair blowup
+    is bounded by |types|^2 per session, never corpus-quadratic."""
+    from hadoop_data_lake_spark.operators.windows import sessionize
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    sess = sessionize(
+        ev, ["user_id"], "ts", gap_seconds=1800,
+        order=[F.col("ts").asc(), F.col("event_id").asc()],
+    ).select("user_id", "session_id", "event_type").distinct()
+    n_sessions = sess.select("user_id", "session_id").distinct().count()
+
+    singles = sess.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_a"))
+    pairs = (
+        sess.alias("a")
+        .join(
+            sess.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_id") == F.col("b.session_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    out = (
+        pairs.join(singles.withColumnsRenamed({"event_type": "type_a", "n_a": "na"}), "type_a")
+        .join(singles.withColumnsRenamed({"event_type": "type_b", "n_a": "nb"}), "type_b")
+        .withColumn(
+            "pmi_r",
+            F.round(
+                F.log2(
+                    (F.col("n_ab") * F.lit(float(n_sessions)))
+                    / (F.col("na").cast("double") * F.col("nb"))
+                ),
+                6,
+            ),
+        )
+    )
+    return out.select("type_a", "type_b", "n_ab", "pmi_r")
+
+
+SESSION_TYPE_PMI_SQL = """
+WITH gapped AS (
+  SELECT user_id, event_id, ts, event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM gapped
+),
+sess AS (
+  SELECT DISTINCT user_id, event_type,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+n_s AS (SELECT count(*) AS n FROM (SELECT DISTINCT user_id, session_id FROM sess)),
+singles AS (SELECT event_type, count(*) AS n_a FROM sess GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+  FROM sess a JOIN sess b
+    ON a.user_id = b.user_id AND a.session_id = b.session_id
+   AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.type_a, p.type_b, p.n_ab,
+       round(log2((p.n_ab * (SELECT n::double FROM n_s))
+                  / (sa.n_a::double * sb.n_a)), 6) AS pmi_r
+FROM pairs p
+JOIN singles sa ON p.type_a = sa.event_type
+JOIN singles sb ON p.type_b = sb.event_type
+"""
+
+
 def value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     med = ev.groupBy(F.col("event_type").alias("et_m")).agg(
