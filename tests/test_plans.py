@@ -225,3 +225,30 @@ def test_runtime_bloom_filter_prunes_big_side(spark, tmp_path):
             old_thr,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+
+def test_join_strategy_hints_control_physical_plan(spark):
+    """The same logical join compiles to all three physical strategies on
+    demand — hint-level control matters at 100 TB where the optimizer's
+    stats-based choice can be wrong (e.g. a filtered dim it can't size)."""
+    import pyspark.sql.functions as F
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.range(10_000).withColumnRenamed("id", "k")
+        b = spark.range(1_000).withColumnRenamed("id", "k")
+
+        def plan(df):
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        smj = plan(a.join(b.hint("merge"), "k"))
+        assert "SortMergeJoin" in smj
+        bhj = plan(a.join(F.broadcast(b), "k"))
+        assert "BroadcastHashJoin" in bhj
+        shj = plan(a.join(b.hint("shuffle_hash"), "k"))
+        assert "ShuffledHashJoin" in shj
+        # all three agree on the result, obviously
+        assert a.join(b.hint("shuffle_hash"), "k").count() == 1_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
