@@ -121,3 +121,50 @@ def test_triangle_count_empty_and_no_triangle_graphs(spark):
     assert triangle_count(chain).count() == 0
     empty = spark.createDataFrame([], "src long, dst long")
     assert triangle_count(empty).count() == 0
+
+
+def test_winnow_single_token_doc(spark):
+    """Shorter-than-k docs fall back to the whole-text shingle: exactly one
+    fingerprint, never an empty array or a crash."""
+    from hadoop_data_lake_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "solo"), (2, "two words")], "doc_id long, text string")
+    out = {r["doc"]: r for r in winnow_fingerprints(df, "doc_id", "text", k=3, window=4).collect()}
+    assert out[1]["n_fps"] == 1 and out[2]["n_fps"] == 1
+
+
+def test_span_dedup_width_exceeds_doc(spark):
+    """A doc shorter than the span width is a single (short) span; exact
+    duplicates still collapse to the first doc."""
+    from hadoop_data_lake_spark.operators.spans import span_dedup_corpus
+
+    df = spark.createDataFrame([(1, "a b"), (2, "a b")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_dedup_corpus(df, "doc_id", "text", width=5).collect()}
+    assert out[1]["n_spans"] == 1 and out[1]["n_kept"] == 1
+    assert out[2]["n_kept"] == 0 and out[2]["clean_text"] == ""
+
+
+def test_ewma_single_event_user(spark):
+    """One event => EWMA is that value (the fold over the empty tail is the
+    init)."""
+    import pyspark.sql.functions as F
+
+    from hadoop_data_lake_spark.queries.events_queries import user_value_ewma
+    # build a tiny events table in the driver layout and run via a temp dir
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ewma_edge_")
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7, "view", 42.5, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = user_value_ewma(spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["n_events"] == 1 and out[0]["ewma_r"] == 42.5
+
+
+def test_snapshot_delta_identical_snapshots_is_empty(spark):
+    from hadoop_data_lake_spark.operators.merge import snapshot_delta
+
+    df = spark.createDataFrame([(1, "x", 1.0), (2, "y", None)], "k long, s string, v double")
+    assert snapshot_delta(df, df, keys=["k"]).count() == 0
