@@ -134,6 +134,22 @@ def rebalance_domains(docs: DataFrame) -> DataFrame:
     )
 
 
+def drop_span_dups(docs: DataFrame, width: int = 5) -> DataFrame:
+    """Cross-document span dedup stage (operators/spans.span_dedup_corpus):
+    replaces each surviving doc's text with its span-deduplicated form and
+    drops docs whose every span was a repeat — the sub-document cleanup
+    exact/near dedup can't do (they keep or drop WHOLE docs)."""
+    from hadoop_data_lake_spark.operators.spans import span_dedup_corpus
+
+    cleaned = span_dedup_corpus(docs, "doc_id", "text", width=width)
+    return (
+        docs.drop("text")
+        .join(cleaned.where(F.col("n_kept") > 0), "doc_id")
+        .withColumnRenamed("clean_text", "text")
+        .drop("n_spans", "n_kept")
+    )
+
+
 def run_pretrain_pipeline(
     spark: SparkSession,
     sf_dir: str,
@@ -153,6 +169,7 @@ def run_pretrain_pipeline(
     docs = stage("quality", quality_keep(docs))
     docs = stage("exact_dedup", drop_exact_dups(docs))
     docs = stage("near_dedup", drop_near_dups(docs))
+    docs = stage("span_dedup", drop_span_dups(docs))
     docs = stage("decontaminated", drop_contaminated(docs))
     docs = stage("pii_redacted", redact_pii(docs))
     docs = stage("mixed", rebalance_domains(docs))

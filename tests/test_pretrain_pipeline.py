@@ -9,7 +9,7 @@ from tests.conftest import SF_DIR
 def test_pretrain_funnel_monotone_and_deterministic(spark):
     plan, funnel = run_pretrain_pipeline(spark, SF_DIR, n_shards=4)
     order = [
-        "raw", "quality", "exact_dedup", "near_dedup",
+        "raw", "quality", "exact_dedup", "near_dedup", "span_dedup",
         "decontaminated", "pii_redacted", "mixed",
     ]
     assert list(funnel) == order
