@@ -198,6 +198,9 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     # Estimate the scan's partition count from optimizer stats instead of
     # df.rdd.getNumPartitions(): the stats call is analysis-only (no
     # physical planning, no Python<->JVM RDD materialization per call).
+    # TODO: df._jdf is a private classic-API handle and does not exist under
+    # Spark Connect — the except branch below already covers that case, but
+    # a Connect-native stats source should replace this when one lands.
     # ceil(sizeInBytes / maxPartitionBytes) is exact for large-file scans
     # and an UNDERestimate for many-small-files inputs — which only makes
     # this trigger a coalescing repartition of already-small data, never

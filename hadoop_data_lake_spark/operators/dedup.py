@@ -15,6 +15,12 @@ Five strategies, all shuffle-bounded (never all-pairs over the full corpus):
 - simhash_pairs:      60-bit SimHash + 4x15-bit chunk banding (any pair
                       within Hamming distance 3 must share a chunk by
                       pigeonhole); exact popcount verification after.
+- containment_pairs:  directed |A ∩ B| / |A| over the same inverted index —
+                      near-superset detection (the asymmetric signal
+                      Jaccard misses).
+- winnow_fingerprints / winnow_overlap_pairs: MOSS winnowing — position-
+                      robust LOCAL fingerprints (shared-run guarantee)
+                      and the pairwise overlap join over them.
 - embedding near-dup: see operators/similarity.py (cosine threshold).
 
 Hashing uses the portable 60-bit MD5 prefix (functions/hashing.py) so the
