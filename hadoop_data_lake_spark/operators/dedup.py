@@ -30,7 +30,7 @@ bit-for-bit reproducible, not just statistically similar.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hadoop_data_lake_spark.core.io import ensure_parallelism
@@ -111,6 +111,65 @@ def ngram_jaccard_pairs(
         inv.alias("a")
         .join(inv.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        co.join(sizes.withColumnsRenamed({"doc": "doc_a", "n_sh": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc": "doc_b", "n_sh": "n_b"}), "doc_b")
+        .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .withColumn("jaccard", F.col("inter").cast("double") / F.col("uni"))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select(
+        "doc_a", "doc_b", "inter", "uni", F.round("jaccard", 6).alias("jaccard_r")
+    )
+
+
+def jaccard_pairs_prefix_filter(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    k: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact Jaccard >= threshold pairs via PREFIX FILTERING (Chaudhuri et
+    al. ICDE'06 / PPJoin): identical output to `ngram_jaccard_pairs`, far
+    fewer candidates.
+
+    Theorem: order every doc's shingles by one global total order (here:
+    ascending doc-frequency, rarest first, ties by shingle) and keep only
+    each doc's first |x| - ceil(t*|x|) + 1 shingles as its PREFIX. Any pair
+    with J >= t must share at least one prefix shingle — so the candidate
+    join runs over the prefix index (dominated by RARE shingles) instead of
+    the full inverted index, where the hottest shingles generate almost all
+    of the quadratic candidate mass. Verification stays exact (full-index
+    co-counts), so output equality with the naive operator is provable —
+    the registry reuses the SAME DuckDB oracle for both.
+    """
+    sets, inv = _shingle_index(df, id_col, content_col, k)
+    sizes = sets.select("doc", F.size("sh").alias("n_sh"))
+
+    freq = inv.groupBy("s").agg(F.count("*").alias("df_s"))
+    w = Window.partitionBy("doc").orderBy(F.col("df_s").asc(), F.col("s").asc())
+    ranked = (
+        inv.join(freq, "s")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "doc")
+    )
+    prefix = ranked.where(
+        F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select("doc", "s")
+
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    co = (
+        cand.join(inv.select(F.col("doc").alias("doc_a"), "s"), "doc_a")
+        .join(inv.select(F.col("doc").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
     out = (

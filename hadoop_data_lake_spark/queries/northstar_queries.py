@@ -319,6 +319,19 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PERPLEXITY_FILTER_SQL is assembled after DOC_LM_PERPLEXITY_SQL (below).
 
 
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard join (PPJoin-style candidate
+    reduction). Same parameters, same output, same ORACLE as
+    dedup_ngram_jaccard — a green row is an equivalence proof that the
+    optimized plan computes the identical relation."""
+    docs = read_table(spark, sf_dir, "documents")
+    return DD.jaccard_pairs_prefix_filter(docs, "doc_id", "text", k=3, threshold=0.3)
+
+
+# Intentionally identical to DEDUP_NGRAM_JACCARD_SQL (see docstring above).
+DEDUP_JACCARD_PREFIX_SQL = DEDUP_NGRAM_JACCARD_SQL
+
+
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed containment C(A→B) = |A∩B|/|A| — near-superset detection
     (quote/boilerplate absorption), the asymmetric signal Jaccard misses."""

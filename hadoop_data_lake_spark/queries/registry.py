@@ -140,6 +140,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "running_unique_users": QuerySpec(EV.running_unique_users, EV.RUNNING_UNIQUE_USERS_SQL, ("window", "running-distinct", "first-seen")),
     "weekly_type_pivot_dynamic": QuerySpec(EV.weekly_type_pivot_dynamic, EV.WEEKLY_TYPE_PIVOT_DYNAMIC_SQL, ("pivot", "dynamic")),
     "session_type_pmi": QuerySpec(EV.session_type_pmi, EV.SESSION_TYPE_PMI_SQL, ("agg", "pmi", "association", "sessionize")),
+    "dedup_jaccard_prefix": QuerySpec(NS.dedup_jaccard_prefix, NS.DEDUP_JACCARD_PREFIX_SQL, ("dedup", "prefix-filter", "ppjoin")),
     # --- round-2 green (full DuckDB hash match in CORRECTNESS_r02.json) --
     "dedup_exact": QuerySpec(NS.dedup_exact, NS.DEDUP_EXACT_SQL, ("dedup",)),
     "dedup_ngram_jaccard": QuerySpec(NS.dedup_ngram_jaccard, NS.DEDUP_NGRAM_JACCARD_SQL, ("dedup",)),

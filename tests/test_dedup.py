@@ -212,3 +212,36 @@ def test_winnow_overlap_pairs_and_hot_fp_cap(spark):
     assert uncapped.count() == 45
     capped = winnow_overlap_pairs(bdf, "doc_id", "text", min_shared=1, max_df=5)
     assert capped.count() == 0
+
+
+def test_prefix_filter_equals_naive_with_fewer_candidates(spark, docs):
+    """Prefix filtering must compute the IDENTICAL relation as the full
+    inverted-index join, from a strictly smaller candidate index."""
+    import pyspark.sql.functions as F
+
+    from hadoop_data_lake_spark.operators.dedup import (
+        _shingle_index,
+        jaccard_pairs_prefix_filter,
+    )
+
+    t = 0.3
+    naive = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=t)
+    pref = jaccard_pairs_prefix_filter(docs, "doc_id", "text", k=3, threshold=t)
+    key = lambda r: (r["doc_a"], r["doc_b"], r["inter"], r["uni"], r["jaccard_r"])
+    assert sorted(map(key, naive.collect())) == sorted(map(key, pref.collect()))
+
+    # the prefix index is strictly smaller than the full inverted index
+    sets, inv = _shingle_index(docs, "doc_id", "text", 3)
+    n_full = inv.count()
+    freq = inv.groupBy("s").agg(F.count("*").alias("df_s"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc").orderBy(F.col("df_s").asc(), F.col("s").asc())
+    sizes = sets.select("doc", F.size("sh").alias("n_sh"))
+    n_prefix = (
+        inv.join(freq, "s")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "doc")
+        .where(F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1)
+        .count()
+    )
+    assert n_prefix < n_full
