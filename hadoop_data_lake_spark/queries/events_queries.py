@@ -1149,6 +1149,53 @@ JOIN singles sb ON p.type_b = sb.event_type
 """
 
 
+def gdpr_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation audit: given a deletion list (here
+    the deterministic stand-in user_id % 37 == 0), report per affected
+    table how many rows the delete removes and how many survive — the
+    pre-flight report a compliance pipeline emits before rewriting files.
+    Deletion is an anti-join per table (broadcast: deletion lists are tiny
+    relative to data); at scale the rewrite itself would be limited to the
+    files whose min/max user_id stats overlap the list (operators/layout
+    file skipping), not a full-table rewrite."""
+    ev = read_table(spark, sf_dir, "events")
+    dele = ev.select("user_id").distinct().where(F.col("user_id") % 37 == 0)
+
+    def audit(df: DataFrame, table: str, key: str) -> DataFrame:
+        total = df.count()
+        surviving = df.join(
+            F.broadcast(dele.withColumnRenamed("user_id", key)), key, "left_anti"
+        ).count()
+        return spark.createDataFrame(
+            [(table, total, total - surviving, surviving)],
+            "table_name string, n_rows long, n_deleted long, n_surviving long",
+        )
+
+    orders = read_table(spark, sf_dir, "orders")
+    return audit(ev, "events", "user_id").unionByName(
+        # o_custkey stands in for the user key on the orders table
+        audit(orders, "orders", "o_custkey")
+    )
+
+
+GDPR_DELETE_AUDIT_SQL = """
+WITH dele AS (SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0),
+ev AS (
+  SELECT 'events' AS table_name, count(*) AS n_rows,
+         sum(CASE WHEN user_id IN (SELECT user_id FROM dele) THEN 1 ELSE 0 END)::bigint AS n_deleted
+  FROM events
+),
+orv AS (
+  SELECT 'orders' AS table_name, count(*) AS n_rows,
+         sum(CASE WHEN o_custkey IN (SELECT user_id FROM dele) THEN 1 ELSE 0 END)::bigint AS n_deleted
+  FROM orders
+)
+SELECT table_name, n_rows, n_deleted, n_rows - n_deleted AS n_surviving FROM ev
+UNION ALL
+SELECT table_name, n_rows, n_deleted, n_rows - n_deleted AS n_surviving FROM orv
+"""
+
+
 def value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     med = ev.groupBy(F.col("event_type").alias("et_m")).agg(
