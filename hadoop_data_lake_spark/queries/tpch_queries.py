@@ -1674,6 +1674,84 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, keys=["o_orderkey"])
 
 
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (days since last order, so a
+    HIGH r_score means stale), frequency, monetary, each scored into
+    quartiles against exact-percentile cutoffs. The cutoffs are ONE
+    3x3-value aggregate broadcast back over the customers — never a global
+    NTILE sort (the percentile-threshold formulation is the scale-safe
+    quartiling for wide tables; Spark percentile is bit-equal to DuckDB
+    quantile_cont on this data, the value_mad precedent)."""
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        sum_fixed(F.col("o_totalprice"), 2).alias("money"),
+    )
+    global_max = orders.agg(F.max(F.to_date("o_orderdate")).alias("gmax"))
+    rfm = per_cust.crossJoin(F.broadcast(global_max)).select(
+        "o_custkey",
+        F.datediff("gmax", "last_day").cast("double").alias("rec_days"),
+        F.col("freq").cast("double").alias("freq"),
+        "money",
+    )
+    cuts = rfm.agg(
+        *[
+            F.percentile(c, F.lit(q)).alias(f"{c}_q{i}")
+            for c in ("rec_days", "freq", "money")
+            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+
+    def score(c: str):
+        s = F.lit(1)
+        for i in (1, 2, 3):
+            s = s + (F.col(c) > F.col(f"{c}_q{i}")).cast("int")
+        return s
+
+    out = rfm.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        score("rec_days").alias("r_score"),
+        score("freq").alias("f_score"),
+        score("money").alias("m_score"),
+    )
+    return out.withColumn(
+        "segment",
+        F.concat_ws("-", F.col("r_score"), F.col("f_score"), F.col("m_score")),
+    )
+
+
+CUSTOMER_RFM_SEGMENTS_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_day,
+         count(*) AS freq, {sum_fixed_sql('o_totalprice', 2)} AS money
+  FROM orders GROUP BY o_custkey
+),
+gm AS (SELECT max(CAST(o_orderdate AS DATE)) AS gmax FROM orders),
+rfm AS (
+  SELECT o_custkey,
+         date_diff('day', last_day, gmax)::double AS rec_days,
+         freq::double AS freq, money
+  FROM per_cust, gm
+),
+cuts AS (
+  SELECT quantile_cont(rec_days, 0.25) AS r1, quantile_cont(rec_days, 0.5) AS r2, quantile_cont(rec_days, 0.75) AS r3,
+         quantile_cont(freq, 0.25) AS f1, quantile_cont(freq, 0.5) AS f2, quantile_cont(freq, 0.75) AS f3,
+         quantile_cont(money, 0.25) AS m1, quantile_cont(money, 0.5) AS m2, quantile_cont(money, 0.75) AS m3
+  FROM rfm
+)
+SELECT o_custkey,
+       1 + (rec_days > r1)::int + (rec_days > r2)::int + (rec_days > r3)::int AS r_score,
+       1 + (freq > f1)::int + (freq > f2)::int + (freq > f3)::int AS f_score,
+       1 + (money > m1)::int + (money > m2)::int + (money > m3)::int AS m_score,
+       concat_ws('-',
+         1 + (rec_days > r1)::int + (rec_days > r2)::int + (rec_days > r3)::int,
+         1 + (freq > f1)::int + (freq > f2)::int + (freq > f3)::int,
+         1 + (money > m1)::int + (money > m2)::int + (money > m3)::int) AS segment
+FROM rfm, cuts
+"""
+
+
 def expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectations in ONE scan: every rule is a conditional
     count folded into a single aggregation, then unpivoted to one row per
