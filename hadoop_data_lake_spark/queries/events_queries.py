@@ -1149,6 +1149,48 @@ JOIN singles sb ON p.type_b = sb.event_type
 """
 
 
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix between consecutive event types
+    per user: P(next | current) estimated from lead() pairs — the
+    behavioral-model counterpart of session PMI (ordered transitions vs
+    unordered co-occurrence). Probabilities are exact integer count ratios
+    (one double division, rounded), so the matrix replays bit-for-bit."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .withColumn("p_r", F.round(F.col("n").cast("double") / F.col("n_from"), 6))
+        .select("from_type", "to_type", "n", "p_r")
+    )
+
+
+EVENT_TYPE_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+totals AS (SELECT from_type, sum(n)::bigint AS n_from FROM pairs GROUP BY from_type)
+SELECT p.from_type, p.to_type, p.n, round(p.n::double / t.n_from, 6) AS p_r
+FROM pairs p JOIN totals t ON p.from_type = t.from_type
+"""
+
+
 def gdpr_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten propagation audit: given a deletion list (here
     the deterministic stand-in user_id % 37 == 0), report per affected

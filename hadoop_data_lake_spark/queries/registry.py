@@ -143,6 +143,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "dedup_jaccard_prefix": QuerySpec(NS.dedup_jaccard_prefix, NS.DEDUP_JACCARD_PREFIX_SQL, ("dedup", "prefix-filter", "ppjoin")),
     "gdpr_delete_audit": QuerySpec(EV.gdpr_delete_audit, EV.GDPR_DELETE_AUDIT_SQL, ("compliance", "anti-join", "audit")),
     "customer_rfm_segments": QuerySpec(TQ.customer_rfm_segments, TQ.CUSTOMER_RFM_SEGMENTS_SQL, ("agg", "rfm", "percentile", "segmentation")),
+    "event_type_transitions": QuerySpec(EV.event_type_transitions, EV.EVENT_TYPE_TRANSITIONS_SQL, ("window", "markov", "transitions")),
     # --- round-2 green (full DuckDB hash match in CORRECTNESS_r02.json) --
     "dedup_exact": QuerySpec(NS.dedup_exact, NS.DEDUP_EXACT_SQL, ("dedup",)),
     "dedup_ngram_jaccard": QuerySpec(NS.dedup_ngram_jaccard, NS.DEDUP_NGRAM_JACCARD_SQL, ("dedup",)),
