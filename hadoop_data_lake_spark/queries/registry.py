@@ -13,23 +13,29 @@ so the window is now a SEPARATE dict with a hard `len(_WINDOW) == 50`
 assert at import time: miscounting is an ImportError, not a silent grading
 gap.
 
-Round-3 window composition (judge's prescription, VERDICT r2 item 2):
-1-13   the 13 round-2 errored queries (all were TIMESTAMP_NTZ casualties;
-       they re-enter for free now that core/io.py normalizes the drift):
-       6 batch events shapes + all 7 streaming queries.
-14     zorder_code_orders (the round-2 off-by-one victim).
-15-37  the 23 never-driver-graded SQL-oracle backlog entries.
-38-50  re-proof slots: r1-green events/geo queries that were REGRESSED at
-       round-2 HEAD (events schema contract) — regraded once to prove
-       recovery; each new query added this round displaces one of these
-       (they keep their r1 rows).
+Round-4 window composition (judge's prescription, VERDICT r3 item 1):
+1-14   the 14 previously-never-driver-graded full-oracle queries rotated in
+       from the backlog (burns the never-graded count to 0). They displace
+       14 r3-proven slots: daily_unique_users_approx (rows-only, zero
+       driver signal — VERDICT r3 "What's wrong" item 1) + 13 full-oracle
+       entries that hold CORRECTNESS_r03.json green rows
+       (coactivity_triangles, scd2_event_type_history,
+       user_value_interpolate, next_action_after_purchase,
+       props_variant_stats, zorder_code_orders, salted_type_weight_sum,
+       user_value_twap, order_price_deciles, zone_report, nearest_city,
+       user_sessions, user_local_time_coords).
+15-21  all 7 streaming queries (r3-proven, KEPT as a standing regression
+       guard: streaming was the family that silently broke at r2 HEAD).
+22-41  20 r3-proven batch shapes kept from the r3 window — every one is a
+       displacement candidate for new round-4 queries.
+42-50  the 9 round-3-new operators (r3-proven; same displacement rule).
 
 Entries 51+ = queries already proven by an earlier CORRECTNESS_r{N}.json
 (kept registered so `tools/check_oracle.py` still re-verifies all of them
-locally every round), plus rows-only sketch/BPE/PageRank/PQ/ANN-tier and
-multimodal entries whose real verification is pytest (error-bound/recall/
-parity tests — the value_percentiles_approx precedent: a rows-only driver
-row carries almost no signal).
+locally every round), plus rows-only sketch/BPE/PageRank/PQ/ANN-tier
+entries whose real verification is pytest (error-bound/recall/parity
+tests — the value_percentiles_approx precedent: a rows-only driver row
+carries almost no signal).
 """
 
 from __future__ import annotations
@@ -58,13 +64,25 @@ class QuerySpec:
 
 
 _WINDOW: dict[str, QuerySpec] = {
-    # --- 1-13: round-2 errored (TIMESTAMP_NTZ casualties), re-entering ----
-    "coactivity_triangles": QuerySpec(EV.coactivity_triangles, EV.COACTIVITY_TRIANGLES_SQL, ("graph", "triangles", "self-join")),
-    "scd2_event_type_history": QuerySpec(EV.scd2_event_type_history, EV.SCD2_EVENT_TYPE_HISTORY_SQL, ("scd2", "window", "gaps-and-islands")),
-    "user_value_interpolate": QuerySpec(EV.user_value_interpolate, EV.USER_VALUE_INTERPOLATE_SQL, ("timeseries", "interpolation", "grid")),
-    "next_action_after_purchase": QuerySpec(EV.next_action_after_purchase, EV.NEXT_ACTION_AFTER_PURCHASE_SQL, ("join", "asof", "forward")),
-    "daily_unique_users_approx": QuerySpec(NS.daily_unique_users_approx, None, ("sketch", "hll")),
-    "props_variant_stats": QuerySpec(NS.props_variant_stats, NS.PROPS_VARIANT_STATS_SQL, ("json", "variant")),
+    # --- 1-14: rotated in from the backlog this round — the full-oracle
+    # queries that had never received a driver row (VERDICT r3 item 1).
+    # All locally green via tools/check_oracle.py at sf0.001 + sf0.01.
+    "user_sessions_native": QuerySpec(EV.user_sessions_native, EV.USER_SESSIONS_NATIVE_SQL, ("window", "sessionize", "session-window")),
+    "sequential_funnel": QuerySpec(EV.sequential_funnel, EV.SEQUENTIAL_FUNNEL_SQL, ("agg", "funnel", "ordered")),
+    "expectations_report": QuerySpec(TQ.expectations_report, TQ.EXPECTATIONS_REPORT_SQL, ("quality", "expectations", "unpivot")),
+    "synthetic_source_profile": QuerySpec(NS.synthetic_source_profile, NS.SYNTHETIC_SOURCE_PROFILE_SQL, ("source", "connector", "python-datasource")),
+    "winnow_overlap_pairs": QuerySpec(NS.winnow_overlap_pairs, NS.WINNOW_OVERLAP_PAIRS_SQL, ("dedup", "winnowing", "moss")),
+    "user_value_ewma": QuerySpec(EV.user_value_ewma, EV.USER_VALUE_EWMA_SQL, ("timeseries", "ewma", "sequential-fold")),
+    "user_favorite_event_type": QuerySpec(EV.user_favorite_event_type, EV.USER_FAVORITE_EVENT_TYPE_SQL, ("agg", "mode", "argmax")),
+    "running_unique_users": QuerySpec(EV.running_unique_users, EV.RUNNING_UNIQUE_USERS_SQL, ("window", "running-distinct", "first-seen")),
+    "weekly_type_pivot_dynamic": QuerySpec(EV.weekly_type_pivot_dynamic, EV.WEEKLY_TYPE_PIVOT_DYNAMIC_SQL, ("pivot", "dynamic")),
+    "session_type_pmi": QuerySpec(EV.session_type_pmi, EV.SESSION_TYPE_PMI_SQL, ("agg", "pmi", "association", "sessionize")),
+    "dedup_jaccard_prefix": QuerySpec(NS.dedup_jaccard_prefix, NS.DEDUP_JACCARD_PREFIX_SQL, ("dedup", "prefix-filter", "ppjoin")),
+    "gdpr_delete_audit": QuerySpec(EV.gdpr_delete_audit, EV.GDPR_DELETE_AUDIT_SQL, ("compliance", "anti-join", "audit")),
+    "customer_rfm_segments": QuerySpec(TQ.customer_rfm_segments, TQ.CUSTOMER_RFM_SEGMENTS_SQL, ("agg", "rfm", "percentile", "segmentation")),
+    "event_type_transitions": QuerySpec(EV.event_type_transitions, EV.EVENT_TYPE_TRANSITIONS_SQL, ("window", "markov", "transitions")),
+    # --- 15-21: all 7 streaming queries, KEPT in the graded window as a
+    # standing regression guard (streaming silently broke at r2 HEAD) ------
     "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),
     "stream_sliding_counts": QuerySpec(NS.stream_sliding_counts, NS.STREAM_SLIDING_COUNTS_SQL, ("streaming", "sliding-window")),
     "stream_session_stats": QuerySpec(NS.stream_session_stats, NS.STREAM_SESSION_STATS_SQL, ("streaming", "session-window")),
@@ -72,12 +90,8 @@ _WINDOW: dict[str, QuerySpec] = {
     "stream_enriched_value": QuerySpec(NS.stream_enriched_value, NS.STREAM_ENRICHED_VALUE_SQL, ("streaming", "stream-static-join")),
     "stream_attribution_pairs": QuerySpec(NS.stream_attribution_pairs, NS.STREAM_ATTRIBUTION_PAIRS_SQL, ("streaming", "stream-stream-join", "interval-join")),
     "stream_dedup_keys": QuerySpec(NS.stream_dedup_keys, NS.STREAM_DEDUP_KEYS_SQL, ("streaming", "dedup", "watermark")),
-    # --- 14: the round-2 window off-by-one victim ------------------------
-    "zorder_code_orders": QuerySpec(TQ.zorder_code_orders, TQ.ZORDER_CODE_ORDERS_SQL, ("layout", "zorder", "bit-arithmetic")),
-    # --- 15-37: never-driver-graded SQL-oracle backlog -------------------
-    "salted_type_weight_sum": QuerySpec(EV.salted_type_weight_sum, EV.SALTED_TYPE_WEIGHT_SUM_SQL, ("join", "skew", "salting")),
-    "user_value_twap": QuerySpec(EV.user_value_twap, EV.USER_VALUE_TWAP_SQL, ("timeseries", "window", "weighted-mean")),
-    "order_price_deciles": QuerySpec(EV.order_price_deciles, EV.ORDER_PRICE_DECILES_SQL, ("window", "ntile")),
+    # --- 22-41: r3-proven batch shapes kept from the r3 window; every one
+    # is a displacement candidate for new round-4 queries -----------------
     "importance_sample_events": QuerySpec(EV.importance_sample_events, EV.IMPORTANCE_SAMPLE_EVENTS_SQL, ("sampling", "weighted", "deterministic")),
     "value_outliers_zscore": QuerySpec(EV.value_outliers_zscore, EV.VALUE_OUTLIERS_ZSCORE_SQL, ("agg", "robust-stats", "outliers")),
     "cohort_retention": QuerySpec(EV.cohort_retention, EV.COHORT_RETENTION_SQL, ("window", "join", "cohort")),
@@ -98,12 +112,8 @@ _WINDOW: dict[str, QuerySpec] = {
     "rolling_3event_value": QuerySpec(EV.rolling_3event_value, EV.ROLLING_3EVENT_VALUE_SQL, ("window", "rows-frame")),
     "nation_revenue_share": QuerySpec(TQ.nation_revenue_share, TQ.NATION_REVENUE_SHARE_SQL, ("window", "ratio-to-report")),
     "brand_basket_pairs": QuerySpec(TQ.brand_basket_pairs, TQ.BRAND_BASKET_PAIRS_SQL, ("join", "self-join", "market-basket")),
-    # --- 38-43: new round-3 operators (each displaced a re-proof slot;
-    # displacement pairs: span_dedup_corpus→weekday_hour_heatmap,
-    # dedup_containment→event_pair_candidates, token_budget_truncate→
-    # purchase_attribution_asof, curriculum_order→user_value_ffill,
-    # ann_lsh_det→rolling_hour_activity, grouping_sets_revenue→
-    # user_proximity_pairs; all displaced entries hold r1 green rows).
+    # --- 42-50: the 9 round-3-new operators (r3-proven; displacement
+    # candidates like 22-41) ----------------------------------------------
     "span_dedup_corpus": QuerySpec(NS.span_dedup_corpus, NS.SPAN_DEDUP_CORPUS_SQL, ("dedup", "spans", "training-data")),
     "dedup_containment": QuerySpec(NS.dedup_containment, NS.DEDUP_CONTAINMENT_SQL, ("dedup", "containment")),
     "token_budget_truncate": QuerySpec(NS.token_budget_truncate, NS.TOKEN_BUDGET_TRUNCATE_SQL, ("training-data", "budget")),
@@ -115,35 +125,24 @@ _WINDOW: dict[str, QuerySpec] = {
     "winnow_fingerprints": QuerySpec(NS.winnow_fingerprints, NS.WINNOW_FINGERPRINTS_SQL, ("dedup", "fingerprint", "winnowing")),
     "incremental_orders_agg": QuerySpec(TQ.incremental_orders_agg, TQ.INCREMENTAL_ORDERS_AGG_SQL, ("cdc", "ivm", "delta")),
     "perplexity_filter": QuerySpec(NS.perplexity_filter, NS.PERPLEXITY_FILTER_SQL, ("text", "quality", "perplexity", "percentile")),
-    # --- 44-50: re-proof slots (r1-green, REGRESSED at r2 HEAD by the ts
-    # contract bug, fixed this round). Further new queries displace these
-    # first — each already holds a CORRECTNESS_r01.json green row.
-    "zone_report": QuerySpec(EV.zone_report, EV.ZONE_REPORT_SQL, ("flagship", "pivot", "window", "join")),
-    "nearest_city": QuerySpec(GQ.nearest_city, GQ.NEAREST_CITY_SQL, ("geo", "crossjoin", "window", "argmin")),
-    "user_sessions": QuerySpec(EV.user_sessions, EV.USER_SESSIONS_SQL, ("window", "sessionize")),
-    # new this round: coordinate-based tz (displaced weekly_type_pivot,
-    # r1-green) — closes the SURVEY §7.5 deviation from the reference's
-    # timezonefinder lookup with a deterministic, oracle-checkable fallback.
-    "user_local_time_coords": QuerySpec(GQ.user_local_time_coords, GQ.USER_LOCAL_TIME_COORDS_SQL, ("geo", "timezone", "coords")),
 }
 
 _BACKLOG: dict[str, QuerySpec] = {
-    # --- new in round 3, window already full: verified locally by
-    # tools/check_oracle.py; lead candidates for the round-4 window.
-    "user_sessions_native": QuerySpec(EV.user_sessions_native, EV.USER_SESSIONS_NATIVE_SQL, ("window", "sessionize", "session-window")),
-    "sequential_funnel": QuerySpec(EV.sequential_funnel, EV.SEQUENTIAL_FUNNEL_SQL, ("agg", "funnel", "ordered")),
-    "expectations_report": QuerySpec(TQ.expectations_report, TQ.EXPECTATIONS_REPORT_SQL, ("quality", "expectations", "unpivot")),
-    "synthetic_source_profile": QuerySpec(NS.synthetic_source_profile, NS.SYNTHETIC_SOURCE_PROFILE_SQL, ("source", "connector", "python-datasource")),
-    "winnow_overlap_pairs": QuerySpec(NS.winnow_overlap_pairs, NS.WINNOW_OVERLAP_PAIRS_SQL, ("dedup", "winnowing", "moss")),
-    "user_value_ewma": QuerySpec(EV.user_value_ewma, EV.USER_VALUE_EWMA_SQL, ("timeseries", "ewma", "sequential-fold")),
-    "user_favorite_event_type": QuerySpec(EV.user_favorite_event_type, EV.USER_FAVORITE_EVENT_TYPE_SQL, ("agg", "mode", "argmax")),
-    "running_unique_users": QuerySpec(EV.running_unique_users, EV.RUNNING_UNIQUE_USERS_SQL, ("window", "running-distinct", "first-seen")),
-    "weekly_type_pivot_dynamic": QuerySpec(EV.weekly_type_pivot_dynamic, EV.WEEKLY_TYPE_PIVOT_DYNAMIC_SQL, ("pivot", "dynamic")),
-    "session_type_pmi": QuerySpec(EV.session_type_pmi, EV.SESSION_TYPE_PMI_SQL, ("agg", "pmi", "association", "sessionize")),
-    "dedup_jaccard_prefix": QuerySpec(NS.dedup_jaccard_prefix, NS.DEDUP_JACCARD_PREFIX_SQL, ("dedup", "prefix-filter", "ppjoin")),
-    "gdpr_delete_audit": QuerySpec(EV.gdpr_delete_audit, EV.GDPR_DELETE_AUDIT_SQL, ("compliance", "anti-join", "audit")),
-    "customer_rfm_segments": QuerySpec(TQ.customer_rfm_segments, TQ.CUSTOMER_RFM_SEGMENTS_SQL, ("agg", "rfm", "percentile", "segmentation")),
-    "event_type_transitions": QuerySpec(EV.event_type_transitions, EV.EVENT_TYPE_TRANSITIONS_SQL, ("window", "markov", "transitions")),
+    # --- rotated out of the window in round 4 — each holds a
+    # CORRECTNESS_r03.json full-oracle green row ---------------------------
+    "coactivity_triangles": QuerySpec(EV.coactivity_triangles, EV.COACTIVITY_TRIANGLES_SQL, ("graph", "triangles", "self-join")),
+    "scd2_event_type_history": QuerySpec(EV.scd2_event_type_history, EV.SCD2_EVENT_TYPE_HISTORY_SQL, ("scd2", "window", "gaps-and-islands")),
+    "user_value_interpolate": QuerySpec(EV.user_value_interpolate, EV.USER_VALUE_INTERPOLATE_SQL, ("timeseries", "interpolation", "grid")),
+    "next_action_after_purchase": QuerySpec(EV.next_action_after_purchase, EV.NEXT_ACTION_AFTER_PURCHASE_SQL, ("join", "asof", "forward")),
+    "props_variant_stats": QuerySpec(NS.props_variant_stats, NS.PROPS_VARIANT_STATS_SQL, ("json", "variant")),
+    "zorder_code_orders": QuerySpec(TQ.zorder_code_orders, TQ.ZORDER_CODE_ORDERS_SQL, ("layout", "zorder", "bit-arithmetic")),
+    "salted_type_weight_sum": QuerySpec(EV.salted_type_weight_sum, EV.SALTED_TYPE_WEIGHT_SUM_SQL, ("join", "skew", "salting")),
+    "user_value_twap": QuerySpec(EV.user_value_twap, EV.USER_VALUE_TWAP_SQL, ("timeseries", "window", "weighted-mean")),
+    "order_price_deciles": QuerySpec(EV.order_price_deciles, EV.ORDER_PRICE_DECILES_SQL, ("window", "ntile")),
+    "zone_report": QuerySpec(EV.zone_report, EV.ZONE_REPORT_SQL, ("flagship", "pivot", "window", "join")),
+    "nearest_city": QuerySpec(GQ.nearest_city, GQ.NEAREST_CITY_SQL, ("geo", "crossjoin", "window", "argmin")),
+    "user_sessions": QuerySpec(EV.user_sessions, EV.USER_SESSIONS_SQL, ("window", "sessionize")),
+    "user_local_time_coords": QuerySpec(GQ.user_local_time_coords, GQ.USER_LOCAL_TIME_COORDS_SQL, ("geo", "timezone", "coords")),
     # --- round-2 green (full DuckDB hash match in CORRECTNESS_r02.json) --
     "dedup_exact": QuerySpec(NS.dedup_exact, NS.DEDUP_EXACT_SQL, ("dedup",)),
     "dedup_ngram_jaccard": QuerySpec(NS.dedup_ngram_jaccard, NS.DEDUP_NGRAM_JACCARD_SQL, ("dedup",)),
@@ -179,6 +178,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     # --- rows-only tiers: pytest is the real verification (recall bounds,
     # error bounds, serial-reference parity) — value_percentiles_approx
     # precedent. Kept registered for the local runner.
+    "daily_unique_users_approx": QuerySpec(NS.daily_unique_users_approx, None, ("sketch", "hll")),
     "ann_lsh": QuerySpec(NS.ann_lsh, None, ("ann", "lsh")),
     "ann_ivf": QuerySpec(NS.ann_ivf, None, ("ann", "ivf")),
     "ann_ivf_kmeans": QuerySpec(NS.ann_ivf_kmeans, None, ("ann", "ivf", "kmeans", "iterative")),

@@ -27,6 +27,29 @@ def test_connected_components_long_chain(spark):
     assert len(got) == 12
 
 
+def test_connected_components_huge_diameter_converges_in_log_rounds(spark):
+    """A 512-vertex path (diameter 511) would need >500 rounds under naive
+    min-label propagation; alternating large-star/small-star must finish
+    within ~log2(n) rounds — max_iter=12 is the proof (VERDICT r3 item 3)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(511)], "src long, dst long"
+    )
+    got = connected_components(edges, max_iter=12)
+    comps = {r["component"] for r in got.collect()}
+    assert comps == {0}
+    assert got.count() == 512
+
+
+def test_connected_components_messy_input(spark):
+    """Duplicates, reversed duplicates, and self-loops are tolerated; a
+    self-loop-only vertex still labels itself."""
+    edges = spark.createDataFrame(
+        [(2, 1), (1, 2), (2, 1), (3, 3), (4, 5)], "src long, dst long"
+    )
+    got = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 4}
+
+
 def test_dedup_clusters_sizes_and_reps(spark):
     pairs = spark.createDataFrame(
         [(5, 9), (9, 12), (30, 31)], "doc_a long, doc_b long"
