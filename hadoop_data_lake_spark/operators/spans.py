@@ -30,8 +30,16 @@ def doc_spans(df: DataFrame, id_col: str, text_col: str, width: int) -> DataFram
     projection (lambda + size), so CollapseProject does not inline the
     split() into the transform lambda — HOF lambda bodies re-evaluate
     non-lambda subexpressions per element, which would make this O(len^2)
-    per doc (same pitfall as functions/text.shingles)."""
-    toks = df.select(F.col(id_col).alias("doc"), F.split(text_col, " ").alias("w"))
+    per doc (same pitfall as functions/text.shingles).
+
+    NULL text coalesces to '' (one empty span) so Spark and the DuckDB
+    oracle agree on row counts — posexplode_outer over split(NULL) would
+    emit a (null, null) span row the SQL's unnest(range(len(NULL))) drops
+    (ADVICE r3)."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("w"),
+    )
     spans = toks.select(
         "doc",
         F.size("w").alias("n_words"),

@@ -214,7 +214,7 @@ def span_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPAN_DEDUP_CORPUS_SQL = """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+WITH toks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents),
 occ AS (
   SELECT doc_id, CAST(u.i AS INT) AS span_idx,
          array_to_string(list_slice(w, CAST(u.i AS INT) * 5 + 1, CAST(u.i AS INT) * 5 + 5), ' ') AS span_text
@@ -303,13 +303,15 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-quantile gate: per-language 90th-percentile cutoff over
     the bigram-LM cross-entropy (doc_lm_perplexity), reporting survivors —
     the CCNet-style 'drop the most surprising tail per language' stage.
-    Exact percentile (Spark percentile == DuckDB quantile_cont bit-for-bit
-    on this data — the value_mad precedent)."""
+    The cutoff is ROUNDED to 6dp before the keep-comparison in both
+    engines, so the gate itself is replay-stable — a 1-ulp interpolation
+    difference between Spark percentile and DuckDB quantile_cont on some
+    future dataset can no longer flip n_kept (ADVICE r3)."""
     ppl = doc_lm_perplexity(spark, sf_dir)
     langs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
     j = ppl.join(langs, "doc_id")
     cut = j.groupBy("lang").agg(
-        F.percentile("cross_entropy_bits", F.lit(0.9)).alias("cutoff")
+        F.round(F.percentile("cross_entropy_bits", F.lit(0.9)), 6).alias("cutoff")
     )
     return (
         j.join(F.broadcast(cut), "lang")
@@ -722,25 +724,46 @@ FROM documents
 """
 
 
+def _ascii_nonempty(docs: DataFrame) -> DataFrame:
+    """Rows satisfying the fake-codec replay invariant: non-empty pure-ASCII
+    text (octet_length == char length). The byte-level oracle SQLs replay
+    the codec via ord()/substr()/length() — valid only under this invariant,
+    which a future corpus regen could break. Filtering BOTH engines to the
+    invariant subset (today: every row) makes the oracle structurally
+    unable to diverge on it instead of relying on a skill-notes assertion
+    (ADVICE r3)."""
+    return docs.where(
+        (F.length("text") > 0) & (F.octet_length("text") == F.length("text"))
+    )
+
+
+#: DuckDB mirror of _ascii_nonempty (octet_length needs an explicit BLOB).
+_ASCII_NONEMPTY_SQL = (
+    "length(text) > 0 AND octet_length(encode(text)) = length(text)"
+)
+
+
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas over binary blobs with the deterministic
     fake decoder (real codecs stubbed — see operators/multimodal.py).
     Full oracle since round 3: the corpus is pure ASCII, so the byte-level
-    features are replayable as code-point arithmetic in SQL."""
-    docs = read_table(spark, sf_dir, "documents")
+    features are replayable as code-point arithmetic in SQL (both sides
+    filtered to the invariant subset — see _ascii_nonempty)."""
+    docs = _ascii_nonempty(read_table(spark, sf_dir, "documents"))
     media = synth_media_from_text(docs, "doc_id", "text")
     return extract_features(media, fake_decode=True)
 
 
-MULTIMODAL_DECODE_FEATURES_SQL = """
-WITH b AS (
+MULTIMODAL_DECODE_FEATURES_SQL = f"""
+WITH src AS (SELECT * FROM documents WHERE {_ASCII_NONEMPTY_SQL}),
+b AS (
   SELECT doc_id AS media_id,
          length(text)::bigint AS n_bytes,
          list_sum(list_transform(range(1, length(text) + 1),
                                  i -> ord(substr(text, CAST(i AS INT), 1))))::bigint AS byte_sum,
          ord(substr(text, 1, 1)) AS first_byte,
          ord(substr(text, length(text), 1)) AS last_byte
-  FROM documents
+  FROM src
 )
 SELECT media_id, n_bytes, byte_sum, first_byte, last_byte,
        byte_sum::double / n_bytes AS byte_mean
@@ -830,7 +853,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayable as substr() arithmetic."""
     from hadoop_data_lake_spark.operators.multimodal import resize_media
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _ascii_nonempty(read_table(spark, sf_dir, "documents"))
     media = synth_media_from_text(docs, "doc_id", "text")
     out = resize_media(media, target_w=8, target_h=8)
     return out.select(
@@ -842,8 +865,9 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Fake resize keeps byte at position int(j * len/n_out) (truncation == floor
 # for positives), j in [0, 64); clamped to the last byte.
-MULTIMODAL_RESIZE_SQL = """
-WITH r AS (
+MULTIMODAL_RESIZE_SQL = f"""
+WITH src AS (SELECT * FROM documents WHERE {_ASCII_NONEMPTY_SQL}),
+r AS (
   SELECT doc_id AS media_id,
          array_to_string(
            list_transform(range(0, 64),
@@ -852,7 +876,7 @@ WITH r AS (
                                     length(text) - 1) AS INT) + 1,
                          1)),
            '') AS resized
-  FROM documents
+  FROM src
 )
 SELECT media_id, length(resized)::bigint AS n_bytes, md5(resized) AS media_md5
 FROM r
@@ -864,7 +888,7 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform); frames projected to md5 content hashes for the oracle."""
     from hadoop_data_lake_spark.operators.multimodal import sample_frames
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _ascii_nonempty(read_table(spark, sf_dir, "documents"))
     media = synth_media_from_text(docs, "doc_id", "text")
     out = sample_frames(media, n_frames=4)
     return out.select("media_id", "frame_idx", "n_bytes", F.md5("frame").alias("frame_md5"))
@@ -873,13 +897,14 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Fake demux: chunk j = bytes[j*step : (j+1)*step], step = max(1, len // 4)
 # (python slice semantics: the tail past 4*step is dropped, short docs yield
 # empty trailing chunks — substr() clamps identically).
-MULTIMODAL_FRAMES_SQL = """
-WITH f AS (
+MULTIMODAL_FRAMES_SQL = f"""
+WITH src AS (SELECT * FROM documents WHERE {_ASCII_NONEMPTY_SQL}),
+f AS (
   SELECT doc_id AS media_id, CAST(u.j AS INT) AS frame_idx,
          substr(text,
                 CAST(u.j AS INT) * greatest(1, length(text) // 4) + 1,
                 greatest(1, length(text) // 4)) AS frame
-  FROM documents, unnest(range(0, 4)) AS u(j)
+  FROM src, unnest(range(0, 4)) AS u(j)
 )
 SELECT media_id, frame_idx, length(frame)::bigint AS n_bytes, md5(frame) AS frame_md5
 FROM f
@@ -1771,7 +1796,7 @@ scored AS (
   FROM ppl JOIN documents d USING (doc_id)
 ),
 cut AS (
-  SELECT lang, quantile_cont(cross_entropy_bits, 0.9) AS cutoff
+  SELECT lang, round(quantile_cont(cross_entropy_bits, 0.9), 6) AS cutoff
   FROM scored GROUP BY lang
 )
 SELECT s.lang, count(*) AS n_docs,

@@ -1680,8 +1680,9 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     quartiles against exact-percentile cutoffs. The cutoffs are ONE
     3x3-value aggregate broadcast back over the customers — never a global
     NTILE sort (the percentile-threshold formulation is the scale-safe
-    quartiling for wide tables; Spark percentile is bit-equal to DuckDB
-    quantile_cont on this data, the value_mad precedent)."""
+    quartiling for wide tables). Cutoffs are ROUNDED to 6dp before the
+    score comparisons in both engines so the quartiling is replay-stable
+    against 1-ulp percentile-interpolation differences (ADVICE r3)."""
     orders = read_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(F.to_date("o_orderdate")).alias("last_day"),
@@ -1697,7 +1698,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cuts = rfm.agg(
         *[
-            F.percentile(c, F.lit(q)).alias(f"{c}_q{i}")
+            F.round(F.percentile(c, F.lit(q)), 6).alias(f"{c}_q{i}")
             for c in ("rec_days", "freq", "money")
             for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
         ]
@@ -1735,9 +1736,9 @@ rfm AS (
   FROM per_cust, gm
 ),
 cuts AS (
-  SELECT quantile_cont(rec_days, 0.25) AS r1, quantile_cont(rec_days, 0.5) AS r2, quantile_cont(rec_days, 0.75) AS r3,
-         quantile_cont(freq, 0.25) AS f1, quantile_cont(freq, 0.5) AS f2, quantile_cont(freq, 0.75) AS f3,
-         quantile_cont(money, 0.25) AS m1, quantile_cont(money, 0.5) AS m2, quantile_cont(money, 0.75) AS m3
+  SELECT round(quantile_cont(rec_days, 0.25), 6) AS r1, round(quantile_cont(rec_days, 0.5), 6) AS r2, round(quantile_cont(rec_days, 0.75), 6) AS r3,
+         round(quantile_cont(freq, 0.25), 6) AS f1, round(quantile_cont(freq, 0.5), 6) AS f2, round(quantile_cont(freq, 0.75), 6) AS f3,
+         round(quantile_cont(money, 0.25), 6) AS m1, round(quantile_cont(money, 0.5), 6) AS m2, round(quantile_cont(money, 0.75), 6) AS m3
   FROM rfm
 )
 SELECT o_custkey,

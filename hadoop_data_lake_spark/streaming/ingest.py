@@ -423,11 +423,21 @@ def stream_upsert_latest(
     over a re-sliced copy) and foreachBatch-upsert the latest event per user
     into a parquet target. Returns the final target table.
 
-    Batch writes go to a staging dir then atomically swap into place —
-    overwriting a path that the same batch just read is undefined behavior,
-    and a crash mid-write must not leave a half-table (the poor man's
-    transactional commit; a lakehouse table format does this with manifest
-    pointers instead of directory renames).
+    Commit protocol (generation pointer): `target_path` is a table ROOT
+    holding immutable `gen_<batch>` parquet directories plus a CURRENT
+    pointer file naming the live generation. Each batch reads the pointed-at
+    generation, writes a NEW generation dir (never overwriting what it
+    read), then commits with ONE atomic `os.replace` of the pointer — a
+    crash at any instant leaves CURRENT naming a complete generation; there
+    is no window with a missing or half-written table (the previous
+    rename-pair commit had exactly that window — ADVICE r3). Superseded
+    generations are garbage-collected after the pointer swap; a crash
+    during GC only leaks a directory the next commit removes.
+
+    Contract: LOCAL POSIX FILESYSTEM ONLY — the atomicity guarantee is
+    os.replace(2) rename semantics. On HDFS or an object store use a
+    lakehouse table format (Delta/Iceberg/Hudi), which implements this same
+    pointer-commit idea with manifest files.
     """
     import os
     import shutil
@@ -441,28 +451,42 @@ def stream_upsert_latest(
     scratch = tempfile.mkdtemp(prefix="stream_upsert_src_")
     src.repartition(n_slices).write.mode("overwrite").parquet(scratch)
 
+    os.makedirs(target_path, exist_ok=True)
+    pointer = os.path.join(target_path, "CURRENT")
+
+    def current_gen() -> str | None:
+        try:
+            with open(pointer, encoding="utf-8") as fh:
+                name = fh.read().strip()
+        except FileNotFoundError:
+            return None
+        gen = os.path.join(target_path, name)
+        return gen if os.path.isdir(gen) else None
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         latest = top1_per_group(
             batch_df,
             ["user_id"],
             [F.col("ts").desc(), F.col("event_id").desc()],
         )
-        if os.path.isdir(target_path):
-            current = spark.read.parquet(target_path)
+        live = current_gen()
+        if live is not None:
             merged = top1_per_group(
-                current.unionByName(latest),
+                spark.read.parquet(live).unionByName(latest),
                 ["user_id"],
                 [F.col("ts").desc(), F.col("event_id").desc()],
             )
         else:
             merged = latest
-        stage = f"{target_path}__stage_{batch_id}"
-        merged.write.mode("overwrite").parquet(stage)
-        old = f"{target_path}__old_{batch_id}"
-        if os.path.isdir(target_path):
-            os.rename(target_path, old)
-        os.rename(stage, target_path)
-        shutil.rmtree(old, ignore_errors=True)
+        gen_name = f"gen_{batch_id:010d}"
+        merged.write.mode("overwrite").parquet(os.path.join(target_path, gen_name))
+        tmp = f"{pointer}.tmp_{batch_id}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(gen_name)
+        os.replace(tmp, pointer)  # the commit point — atomic on POSIX
+        for entry in os.listdir(target_path):
+            if entry.startswith("gen_") and entry != gen_name:
+                shutil.rmtree(os.path.join(target_path, entry), ignore_errors=True)
 
     try:
         q = (
@@ -476,4 +500,7 @@ def stream_upsert_latest(
         q.awaitTermination()
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.read.parquet(target_path).localCheckpoint(eager=True)
+    live = current_gen()
+    if live is None:
+        raise RuntimeError(f"stream_upsert_latest committed no generation under {target_path}")
+    return spark.read.parquet(live).localCheckpoint(eager=True)

@@ -54,6 +54,18 @@ def test_span_dedup_fully_duplicated_doc_yields_empty_text(spark):
     assert out[2]["n_kept"] == 0 and out[2]["clean_text"] == ""
 
 
+def test_span_dedup_null_text_counts_one_empty_span(spark):
+    """NULL text coalesces to '' (ADVICE r3): the doc still appears, with
+    exactly one (empty) span — matching the DuckDB oracle's row count
+    instead of emitting a (null, null) span row the SQL would drop."""
+    rows = [(1, "a b c d e"), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_dedup_corpus(df, "doc_id", "text", width=5).collect()}
+    assert len(out) == 2
+    assert out[2]["n_spans"] == 1 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == ""
+
+
 def test_token_budget_truncate_accounting(spark):
     rows = [
         (1, "one two three four", "web"),

@@ -264,7 +264,8 @@ def test_stream_upsert_latest_matches_batch(spark, tmp_path):
     """foreachBatch CDC apply across 4 micro-batches must converge to the
     same latest-per-user table a single batch computation produces — the
     max-(ts, event_id) merge is commutative, so batch order can't matter.
-    The target must contain ONLY final rows (no stage/old leftovers)."""
+    The target root must hold exactly one committed generation + the
+    CURRENT pointer (superseded generations garbage-collected)."""
     import os
 
     import pyspark.sql.functions as F
@@ -284,6 +285,10 @@ def test_stream_upsert_latest_matches_batch(spark, tmp_path):
     )
     key = lambda r: (r["user_id"], r["event_id"])
     assert sorted(map(key, got.collect())) == sorted(map(key, expected.collect()))
-    # staging/old dirs cleaned up
-    leftovers = [d for d in os.listdir(tmp_path) if "__stage_" in d or "__old_" in d]
-    assert leftovers == []
+    # exactly one live generation + the CURRENT pointer; no tmp/leftovers
+    entries = sorted(os.listdir(target))
+    gens = [d for d in entries if d.startswith("gen_")]
+    assert len(gens) == 1 and "CURRENT" in entries
+    assert not [d for d in entries if d.startswith("CURRENT.tmp")]
+    with open(os.path.join(target, "CURRENT"), encoding="utf-8") as fh:
+        assert fh.read().strip() == gens[0]
