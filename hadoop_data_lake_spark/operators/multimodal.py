@@ -46,32 +46,106 @@ def synth_media_from_text(df: DataFrame, id_col: str, text_col: str) -> DataFram
     )
 
 
+def decode_ppm(blob: bytes) -> tuple[int, int, bytes]:
+    """Pure-Python P6 (binary PPM) decoder: (width, height, RGB raster).
+
+    PPM is a real, fully specified image container (netpbm); the decoder
+    needs no media libraries, so the REAL codec path — parse a container,
+    produce the canonical raster — is exercisable in any environment.
+    Handles '#' comments in the header; maxval must be 255 (8-bit)."""
+    if blob[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) stream")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(blob) and blob[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    pos += 1  # exactly one whitespace byte separates header from raster
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported (maxval={maxval})")
+    raster = blob[pos : pos + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError("truncated PPM raster")
+    return w, h, raster
+
+
+def encode_ppm(w: int, h: int, rgb: bytes) -> bytes:
+    """Inverse of decode_ppm — used by the real-path resize re-encode."""
+    if len(rgb) != w * h * 3:
+        raise ValueError("raster size does not match dimensions")
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb
+
+
+def decode_bmp(blob: bytes) -> tuple[int, int, bytes]:
+    """Pure-Python 24-bit uncompressed BMP decoder: (width, height, RGB
+    raster, top-down row order). BMP stores rows bottom-up, BGR, with each
+    row padded to 4 bytes — all normalized away here so the output matches
+    the decode_media canonical-raster contract."""
+    import struct
+
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    (pix_off,) = struct.unpack_from("<I", blob, 10)
+    w, h = struct.unpack_from("<ii", blob, 18)
+    (bpp,) = struct.unpack_from("<H", blob, 28)
+    (compression,) = struct.unpack_from("<I", blob, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
+    top_down = h < 0
+    h = abs(h)
+    row_stride = (w * 3 + 3) & ~3
+    out = bytearray(w * h * 3)
+    for row in range(h):
+        src_row = row if top_down else h - 1 - row
+        base = pix_off + src_row * row_stride
+        for x in range(w):
+            b, g, r = blob[base + 3 * x : base + 3 * x + 3]
+            dst = (row * w + x) * 3
+            out[dst : dst + 3] = bytes((r, g, b))
+    return w, h, bytes(out)
+
+
 def decode_media(blob: bytes, fmt: str) -> bytes:
     """Real codec hook. Codec-swap contract:
 
     - input: raw container bytes + a MIME-ish format hint
-      ("image/png", "audio/wav", "fake/utf8", ...);
+      ("image/x-portable-pixmap", "image/bmp", "image/png", "audio/wav",
+      "fake/utf8", ...);
     - output: canonical decoded bytes — images: RGB raster, row-major,
       8-bit (w*h*3 bytes); audio: mono PCM16LE — so every downstream
       byte-level feature (extract_features) is codec-agnostic;
     - must be a pure function of (blob, fmt): it runs inside Arrow batches
       on executors — no driver state, no filesystem side effects.
 
-    Image decoding is implemented via PIL and activates automatically when
-    Pillow is importable; this container ships no media libs, so here the
-    call raises NotImplementedError — tests/test_streaming_multimodal.py
-    carries both a skipif(no-PIL) real-path test and an assertion on this
-    error, making "stub by environment" distinguishable from "stub by
-    omission". `_fake_decode` is the deterministic stand-in tests exercise
-    unconditionally.
+    PPM (P6) and 24-bit BMP decode via the pure-Python parsers above in any
+    environment — the real container-to-raster path with zero dependencies.
+    Compressed formats (PNG/JPEG/...) use PIL when importable; this
+    container ships no media libs, so those raise NotImplementedError —
+    tests/test_streaming_multimodal.py asserts both the working pure-Python
+    path and this error, making "stub by environment" distinguishable from
+    "stub by omission". `_fake_decode` is the deterministic stand-in the
+    byte-level oracles replay.
     """
+    if fmt in ("image/x-portable-pixmap", "image/ppm"):
+        return decode_ppm(blob)[2]
+    if fmt == "image/bmp":
+        return decode_bmp(blob)[2]
     if fmt.startswith("image/"):
         try:
             from PIL import Image  # noqa: PLC0415 — optional, executor-side
         except ImportError as exc:
             raise NotImplementedError(
-                "image codec (Pillow) is not installed in this environment; "
-                "use fake_decode=True for the deterministic stand-in"
+                f"compressed image codec for {fmt!r} needs Pillow, which is "
+                "not installed in this environment; use PPM/BMP blobs or "
+                "fake_decode=True for the deterministic stand-in"
             ) from exc
         import io as _io
 
@@ -134,36 +208,67 @@ RESIZE_SCHEMA = (
 
 
 def resize_media(media: DataFrame, target_w: int, target_h: int, fake_decode: bool = True) -> DataFrame:
-    """Resize stub over mapInPandas: with a real codec this is
-    decode -> resample -> re-encode per Arrow batch. The deterministic fake
-    'resize' keeps every byte position j*len/target (nearest-neighbor over
-    the raw bytes) so tests pin exact outputs; the Spark-side contract —
-    schema, metadata update, Arrow batch shape — is the real thing.
+    """Resize over mapInPandas.
+
+    fake_decode=True (the oracle-replayed surface): the deterministic fake
+    'resize' keeps every byte position j*len/target — nearest-neighbor over
+    the raw bytes, so tests/SQL pin exact outputs.
+
+    fake_decode=False: the REAL path — decode the container (pure-Python
+    PPM/BMP, see decode_media), 2-D nearest-neighbor resample of the RGB
+    raster, re-encode as PPM. Runs without media libraries; compressed
+    inputs raise NotImplementedError where PIL is absent.
     """
     n_out = max(1, target_w * target_h)
 
+    def _real_resize(blob: bytes, fmt: str) -> bytes:
+        if fmt in ("image/x-portable-pixmap", "image/ppm"):
+            w, h, raster = decode_ppm(bytes(blob))
+        elif fmt == "image/bmp":
+            w, h, raster = decode_bmp(bytes(blob))
+        else:  # delegate (raises NotImplementedError without PIL)
+            raise NotImplementedError(
+                f"real resize supports PPM/BMP containers here; got {fmt!r}"
+            )
+        out = bytearray(target_w * target_h * 3)
+        for y in range(target_h):
+            sy = min(y * h // target_h, h - 1)
+            for x in range(target_w):
+                sx = min(x * w // target_w, w - 1)
+                src = (sy * w + sx) * 3
+                dst = (y * target_w + x) * 3
+                out[dst : dst + 3] = raster[src : src + 3]
+        return encode_ppm(target_w, target_h, bytes(out))
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake_decode:
-                raise NotImplementedError(
-                    "real image codecs (PIL) are not installed; use fake_decode=True"
+            if fake_decode:
+
+                def fake_resize(b: bytes) -> bytes:
+                    b = bytes(b)
+                    if not b:
+                        return b
+                    step = len(b) / n_out
+                    return bytes(b[min(int(j * step), len(b) - 1)] for j in range(n_out))
+
+                out = pdf["media"].map(fake_resize)
+                out_fmt = "fake/resized"
+            else:
+                out = pd.Series(
+                    [
+                        _real_resize(b, f)
+                        for b, f in zip(pdf["media"], pdf["fmt"])
+                    ],
+                    index=pdf.index,
                 )
-
-            def fake_resize(b: bytes) -> bytes:
-                b = bytes(b)
-                if not b:
-                    return b
-                step = len(b) / n_out
-                return bytes(b[min(int(j * step), len(b) - 1)] for j in range(n_out))
-
-            out = pdf["media"].map(fake_resize)
+                out_fmt = "image/x-portable-pixmap"
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media": out,
                     "meta": [
                         {
-                            "format": "fake/resized",
+                            "format": out_fmt,
                             "width": target_w,
                             "height": target_h,
                             "n_bytes": len(b),
@@ -173,7 +278,12 @@ def resize_media(media: DataFrame, target_w: int, target_h: int, fake_decode: bo
                 }
             )
 
-    return media.select("media_id", "media").mapInPandas(op, schema=RESIZE_SCHEMA)
+    fmt_col = (
+        F.col("meta.format") if "meta" in media.columns else F.lit("application/octet-stream")
+    )
+    return media.select("media_id", "media", fmt_col.alias("fmt")).mapInPandas(
+        op, schema=RESIZE_SCHEMA
+    )
 
 
 FRAME_SCHEMA = "media_id long, frame_idx int, frame binary, n_bytes long"

@@ -129,10 +129,10 @@ def _pil_available() -> bool:
 
 @pytest.mark.skipif(_pil_available(), reason="Pillow installed: real codec path active")
 def test_decode_media_environment_limited():
-    """The real-codec hook must fail with NotImplementedError — not a crash,
-    not a silent fake — when codecs are absent, so 'stub by environment' is
-    provable. The skipif inverts when Pillow is installed (the companion
-    test below takes over)."""
+    """COMPRESSED formats must fail with NotImplementedError — not a crash,
+    not a silent fake — when Pillow is absent, so 'stub by environment' is
+    provable for the codecs that genuinely need a library. The skipif
+    inverts when Pillow is installed (the PIL roundtrip below takes over)."""
     from hadoop_data_lake_spark.operators.multimodal import decode_media
 
     with pytest.raises(NotImplementedError, match="Pillow"):
@@ -141,24 +141,62 @@ def test_decode_media_environment_limited():
         decode_media(b"RIFF fake", "audio/wav")
 
 
-@pytest.mark.skipif(not _pil_available(), reason="Pillow not installed in this container")
+def _ppm_bytes(w: int, h: int, px) -> bytes:
+    raster = bytes(b for row in range(h) for col in range(w) for b in px(col, row))
+    return b"P6\n%d %d\n255\n" % (w, h) + raster
+
+
 def test_decode_media_real_codec_roundtrip(spark):
-    """Exercises the REAL codec path end-to-end through extract_features
-    (runs wherever Pillow exists; skipped — visibly — in this container)."""
-    import io
-
-    from PIL import Image
-
-    buf = io.BytesIO()
-    Image.new("RGB", (4, 3), (10, 20, 30)).save(buf, format="PNG")
-    png = buf.getvalue()
+    """The REAL codec path — container bytes in, canonical RGB raster out —
+    end-to-end through extract_features, using the dependency-free P6 PPM
+    decoder (VERDICT r3 item 7: no more PIL skip)."""
+    ppm = _ppm_bytes(4, 3, lambda x, y: (10, 20, 30))
     media = spark.createDataFrame(
-        [(1, bytearray(png), {"format": "image/png", "width": 4, "height": 3, "n_bytes": len(png)})],
+        [(1, bytearray(ppm), {"format": "image/x-portable-pixmap", "width": 4, "height": 3, "n_bytes": len(ppm)})],
         "media_id long, media binary, meta struct<format string, width int, height int, n_bytes long>",
     )
     row = extract_features(media, fake_decode=False).collect()[0]
-    assert row["n_bytes"] == 4 * 3 * 3  # RGB raster bytes, not PNG container
-    assert row["first_byte"] == 10
+    assert row["n_bytes"] == 4 * 3 * 3  # RGB raster bytes, not the container
+    assert row["first_byte"] == 10 and row["last_byte"] == 30
+
+
+def test_decode_bmp_normalizes_bgr_bottom_up():
+    """24-bit BMP: bottom-up BGR rows with 4-byte padding must come out as
+    top-down RGB — the canonical-raster contract."""
+    import struct
+
+    from hadoop_data_lake_spark.operators.multimodal import decode_bmp
+
+    # 2x2 image; BMP rows bottom-up, BGR, row stride padded 6 -> 8 bytes.
+    # Logical top row: red, green; bottom row: blue, white.
+    bottom_row = bytes((255, 0, 0)) + bytes((255, 255, 255)) + b"\x00\x00"  # blue, white (BGR)
+    top_row = bytes((0, 0, 255)) + bytes((0, 255, 0)) + b"\x00\x00"  # red, green (BGR)
+    pixel_data = bottom_row + top_row  # stored bottom-up
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    w, h, raster = decode_bmp(header + info + pixel_data)
+    assert (w, h) == (2, 2)
+    assert raster == bytes(
+        (255, 0, 0)) + bytes((0, 255, 0)) + bytes((0, 0, 255)) + bytes((255, 255, 255)
+    )
+
+
+def test_resize_media_real_path_ppm(spark):
+    """Real resize: PPM in -> decode -> 2-D nearest-neighbor -> PPM out.
+    A 4x4 image whose left half is black and right half is white resized to
+    2x2 must keep that structure exactly."""
+    from hadoop_data_lake_spark.operators.multimodal import decode_ppm, resize_media
+
+    ppm = _ppm_bytes(4, 4, lambda x, y: (0, 0, 0) if x < 2 else (255, 255, 255))
+    media = spark.createDataFrame(
+        [(1, bytearray(ppm), {"format": "image/x-portable-pixmap", "width": 4, "height": 4, "n_bytes": len(ppm)})],
+        "media_id long, media binary, meta struct<format string, width int, height int, n_bytes long>",
+    )
+    row = resize_media(media, target_w=2, target_h=2, fake_decode=False).collect()[0]
+    assert row["meta"]["format"] == "image/x-portable-pixmap"
+    w, h, raster = decode_ppm(bytes(row["media"]))
+    assert (w, h) == (2, 2)
+    assert raster == bytes((0, 0, 0)) + bytes((255, 255, 255)) + bytes((0, 0, 0)) + bytes((255, 255, 255))
 
 
 def test_replay_releases_scratch_and_sink(spark):
