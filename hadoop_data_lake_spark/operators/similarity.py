@@ -892,3 +892,142 @@ def pq_topk(
         k=k,
         rank_col="rnk",
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic PQ: the oracle-checkable PQ tier (ann_lsh_det precedent).
+# Trained codebooks (pq_train) stay the quality tier but are not
+# SQL-replayable (iterative numpy k-means); this tier derives the codebooks
+# from the same portable 60-bit md5 the dedup/SRP families replay, and keeps
+# every step up to the shortlist in EXACT int64 arithmetic, so a DuckDB
+# oracle regenerates the identical codes, ADC scores, shortlist, and final
+# ranking.
+# --------------------------------------------------------------------------
+
+def _det_pq_codebooks_int(
+    m: int, ksub: int, sub: int, value_scale: int = 1000, quant_scale: int = 1000
+) -> "np.ndarray":
+    """(m, ksub, sub) int64 codebooks from the portable md5 hash — no RNG
+    state, regenerable by any engine:
+
+        entry(j, c, d) = ((h % (2*value_scale+1)) - value_scale) * quant_scale
+        h = int64 of the 60-bit md5 prefix of "j|c|d"
+
+    With quant_scale=1000 entries land on a +/-1e6 grid — the same scale as
+    floor(x * 1e6)-quantized unit-vector components, so nearest-entry
+    assignment is balanced rather than degenerate."""
+    import hashlib
+
+    def val(j: int, c: int, d: int) -> int:
+        h = int(hashlib.md5(f"{j}|{c}|{d}".encode()).hexdigest()[:15], 16)
+        return (h % (2 * value_scale + 1) - value_scale) * quant_scale
+
+    return np.array(
+        [[[val(j, c, d) for d in range(sub)] for c in range(ksub)] for j in range(m)],
+        dtype=np.int64,
+    )
+
+
+def pq_det_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    nbits: int = 4,
+    dim: int = 64,
+    rerank: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """PQ/ADC top-k with md5-derived integer codebooks — bit-replayable in
+    SQL end to end.
+
+    Exactness chain: embeddings quantize to int64 (floor(x*scale)); encoding
+    argmin and the per-query ADC lookup tables are pure int64 sums (first-min
+    numpy argmin == smallest-code tie-break, mirrored by the oracle's
+    ORDER BY dist, c); the shortlist (rerank*k by ADC desc, id asc) is
+    therefore exact, and only the final re-rank touches floats — the same
+    round-6 paired cosine every other ANN tier replays. Search shape is
+    identical to pq_topk: corpus scanned as codes, LUTs broadcast, one
+    top-k shuffle."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    assert dim % m == 0
+    sub = dim // m
+    ksub = 2**nbits
+    books = _det_pq_codebooks_int(m, ksub, sub)
+
+    @pandas_udf(ArrayType(LongType()))
+    def codes_of(v: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        q = np.floor(mat * scale).astype(np.int64).reshape(len(mat), m, sub)
+        # exact int64 distances; numpy argmin returns the FIRST minimum ==
+        # smallest code index (the oracle's ORDER BY dist, c tie-break)
+        diffs = q[:, :, None, :] - books[None, :, :, :]
+        d = (diffs * diffs).sum(axis=3)
+        return pd.Series(list(np.argmin(d, axis=2).astype(np.int64)))
+
+    codes = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        codes_of(F.col(vec_col)).alias("codes"),
+    )
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("norm_q"),
+    )
+    spark = corpus.sparkSession
+    lut_rows = []
+    for r in q_rows.collect():  # query side: tiny, already the broadcast side
+        qi = np.floor(
+            np.array([float(x) for x in r["q_vec"]]) * scale
+        ).astype(np.int64).reshape(m, sub)
+        lut = np.einsum("ms,mks->mk", qi, books)  # exact int64 (~8e12 max)
+        lut_rows.append((r["query_id"], [[int(v) for v in row] for row in lut]))
+    luts = spark.createDataFrame(lut_rows, "query_id long, lut array<array<bigint>>")
+
+    adc = (
+        codes.crossJoin(F.broadcast(luts))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "adc",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("lut"),
+                    lambda c, row: F.element_at(row, c.cast("int") + 1),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    shortlist = topk_per_group(
+        adc.select("query_id", "neighbor_id", "adc"),
+        ["query_id"],
+        [F.col("adc").desc(), F.col("neighbor_id").asc()],
+        k=rerank * k,
+        rank_col="adc_rnk",
+    ).select("query_id", "neighbor_id")
+
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("norm_c"),
+    )
+    scored = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(q_rows), "query_id")
+        .withColumn("sim_r", F.round(_paired_cosine(), 6))
+        .select("query_id", "neighbor_id", "sim_r")
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("sim_r").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rnk",
+    )

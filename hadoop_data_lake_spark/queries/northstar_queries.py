@@ -702,6 +702,83 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_topk(emb, _query_set(emb), k=5, m=8, nbits=4, dim=64, rerank=4)
 
 
+def ann_pq_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PQ/ADC (operators/similarity.pq_det_topk): md5-derived
+    integer codebooks + int64 encode/LUT/score, so the DuckDB oracle
+    regenerates the identical codes, ADC shortlist, and final ranking — the
+    second fully oracle-checkable ANN tier (ann_lsh_det precedent; the
+    k-means-trained pq_topk stays the rows-only quality tier)."""
+    emb = _corpus(spark, sf_dir)
+    return SIM.pq_det_topk(emb, _query_set(emb), k=5, m=8, nbits=4, dim=64, rerank=4)
+
+
+# Codebook replay: entry(j,c,d) = ((md5_60bit('j|c|d') % 2001) - 1000) * 1000
+# (operators/similarity._det_pq_codebooks_int). Encoding argmin, LUTs, and
+# ADC scores are exact int64 sums; only the final re-rank is the same
+# round-6 cosine every ANN tier replays. Tie-breaks: smallest code on equal
+# dist (numpy first-min == ORDER BY dist, c), neighbor_id asc on equal
+# ADC/sim.
+ANN_PQ_DET_SQL = f"""
+WITH cb AS (
+  SELECT j.range AS j, c.range AS c, d.range AS d,
+         ((('0x' || substr(md5(concat(j.range, '|', c.range, '|', d.range)), 1, 15))::ubigint % 2001)::bigint - 1000) * 1000 AS val
+  FROM range(8) j, range(16) c, range(8) d
+),
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qi
+  FROM embeddings
+),
+dists AS (
+  SELECT qv.vec_id, cb.j, cb.c,
+         sum((list_extract(qv.qi, cb.j * 8 + cb.d + 1) - cb.val)
+             * (list_extract(qv.qi, cb.j * 8 + cb.d + 1) - cb.val)) AS dist
+  FROM qv, cb
+  GROUP BY qv.vec_id, cb.j, cb.c
+),
+enc AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, c ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT qv.vec_id AS query_id, cb.j, cb.c,
+         sum(list_extract(qv.qi, cb.j * 8 + cb.d + 1) * cb.val) AS lutv
+  FROM qv, cb
+  WHERE qv.vec_id % 50 = 0
+  GROUP BY qv.vec_id, cb.j, cb.c
+),
+adc AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id, sum(l.lutv) AS adc
+  FROM enc e JOIN lut l ON l.j = e.j AND l.c = e.c
+  WHERE e.vec_id <> l.query_id
+  GROUP BY l.query_id, e.vec_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC) AS adc_rnk
+    FROM adc
+  ) WHERE adc_rnk <= 20
+),
+scored AS (
+  SELECT s.query_id, s.neighbor_id,
+         round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS sim_r
+  FROM shortlist s
+  JOIN embeddings a ON a.vec_id = s.query_id
+  JOIN embeddings b ON b.vec_id = s.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim_r, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal + streaming
 # --------------------------------------------------------------------------

@@ -91,8 +91,9 @@ _WINDOW: dict[str, QuerySpec] = {
     "stream_attribution_pairs": QuerySpec(NS.stream_attribution_pairs, NS.STREAM_ATTRIBUTION_PAIRS_SQL, ("streaming", "stream-stream-join", "interval-join")),
     "stream_dedup_keys": QuerySpec(NS.stream_dedup_keys, NS.STREAM_DEDUP_KEYS_SQL, ("streaming", "dedup", "watermark")),
     # --- 22-41: r3-proven batch shapes kept from the r3 window; every one
-    # is a displacement candidate for new round-4 queries -----------------
-    "importance_sample_events": QuerySpec(EV.importance_sample_events, EV.IMPORTANCE_SAMPLE_EVENTS_SQL, ("sampling", "weighted", "deterministic")),
+    # is a displacement candidate for new round-4 queries. Round-4
+    # displacements so far: ann_pq_det→importance_sample_events (r3-green).
+    "ann_pq_det": QuerySpec(NS.ann_pq_det, NS.ANN_PQ_DET_SQL, ("ann", "pq", "adc", "deterministic")),
     "value_outliers_zscore": QuerySpec(EV.value_outliers_zscore, EV.VALUE_OUTLIERS_ZSCORE_SQL, ("agg", "robust-stats", "outliers")),
     "cohort_retention": QuerySpec(EV.cohort_retention, EV.COHORT_RETENTION_SQL, ("window", "join", "cohort")),
     "value_histogram": QuerySpec(NS.value_histogram, NS.VALUE_HISTOGRAM_SQL, ("agg", "histogram")),
@@ -143,6 +144,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "nearest_city": QuerySpec(GQ.nearest_city, GQ.NEAREST_CITY_SQL, ("geo", "crossjoin", "window", "argmin")),
     "user_sessions": QuerySpec(EV.user_sessions, EV.USER_SESSIONS_SQL, ("window", "sessionize")),
     "user_local_time_coords": QuerySpec(GQ.user_local_time_coords, GQ.USER_LOCAL_TIME_COORDS_SQL, ("geo", "timezone", "coords")),
+    "importance_sample_events": QuerySpec(EV.importance_sample_events, EV.IMPORTANCE_SAMPLE_EVENTS_SQL, ("sampling", "weighted", "deterministic")),
     # --- round-2 green (full DuckDB hash match in CORRECTNESS_r02.json) --
     "dedup_exact": QuerySpec(NS.dedup_exact, NS.DEDUP_EXACT_SQL, ("dedup",)),
     "dedup_ngram_jaccard": QuerySpec(NS.dedup_ngram_jaccard, NS.DEDUP_NGRAM_JACCARD_SQL, ("dedup",)),

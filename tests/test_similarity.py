@@ -114,6 +114,32 @@ def test_srp_int_topk_recall_and_determinism(emb):
     }
 
 
+def test_pq_det_topk_recall_and_determinism(emb):
+    """Deterministic PQ: md5-derived integer codebooks encode by best-of-16
+    random directions per subspace, so cluster mates share codes and the
+    int64 ADC shortlist keeps them; exact re-rank then orders them right.
+    Integer-exact end to end => bit-identical across runs."""
+    from hadoop_data_lake_spark.operators.similarity import pq_det_topk
+
+    out = pq_det_topk(emb, emb, k=4, m=8, nbits=4, dim=DIM, rerank=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for qid in range(N_CLUSTERS * PER_CLUSTER):
+        mates = {qid // PER_CLUSTER * PER_CLUSTER + i for i in range(PER_CLUSTER)} - {qid}
+        hits += len(got.get(qid, set()) & mates)
+        total += len(mates)
+    assert hits / total >= 0.9
+    again = {
+        (r["query_id"], r["neighbor_id"], r["sim_r"], r["rnk"])
+        for r in pq_det_topk(emb, emb, k=4, m=8, nbits=4, dim=DIM, rerank=4).collect()
+    }
+    assert again == {
+        (r["query_id"], r["neighbor_id"], r["sim_r"], r["rnk"]) for r in out.collect()
+    }
+
+
 def test_ivf_probes_own_cell(emb):
     out = ivf_topk(emb, emb, centroid_col="label", k=4, nprobe=1)
     got = {}
