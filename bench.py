@@ -65,6 +65,112 @@ HEADLINE = [
 ]
 
 
+# --------------------------------------------------------------------------
+# Scale-shape tier (VERDICT r3 item 6): time the dedup/ANN/graph family on a
+# 1x and a synthetic 10x corpus slice and report the runtime ratio. These
+# operators' 100 TB viability rests on near-linear candidate generation
+# (banded/bucketed indexes, hot-key caps); a quadratic escape is invisible
+# at one size but shows up here as a ratio far above ~10.
+# --------------------------------------------------------------------------
+
+SCALE_MULT = 10
+SCALE_BASE_ENV = "SPARK_GRAFT_SCALE_BASE"  # default: sf0.01 (keeps tier <1min)
+
+
+def _scaled_docs(spark, base_dir: str, mult: int):
+    """documents corpus replicated `mult`x with fresh ids and one unique
+    trailing token per copy: copies of one doc stay high-Jaccard near-dups
+    (pair count grows LINEARLY with mult), while exact dedup and shingle
+    statistics keep realistic shape. localCheckpoint so the timed region
+    measures the operator, not corpus synthesis."""
+    from pyspark.sql import functions as F
+
+    from hadoop_data_lake_spark.core.io import read_table
+
+    docs = read_table(spark, base_dir, "documents").select("doc_id", "text")
+    if mult > 1:
+        rep = spark.range(mult).select(F.col("id").alias("rep"))
+        new_id = F.col("doc_id") * mult + F.col("rep")
+        docs = docs.crossJoin(rep).select(
+            new_id.alias("doc_id"),
+            F.concat_ws(
+                " ", "text", F.concat(F.lit("u"), new_id.cast("string"))
+            ).alias("text"),
+        )
+    return docs.localCheckpoint(eager=True)
+
+
+def _scaled_embeddings(spark, base_dir: str, mult: int):
+    from pyspark.sql import functions as F
+
+    from hadoop_data_lake_spark.core.io import read_table
+
+    emb = read_table(spark, base_dir, "embeddings").select("vec_id", "embedding")
+    if mult > 1:
+        rep = spark.range(mult).select(F.col("id").alias("rep"))
+        emb = emb.crossJoin(rep).select(
+            (F.col("vec_id") * mult + F.col("rep")).alias("vec_id"), "embedding"
+        )
+    return emb.localCheckpoint(eager=True)
+
+
+def _scale_ops(spark, docs, emb):
+    """name -> thunk returning the operator frame. All run with their SCALE
+    defaults (hot-key caps ON) — this tier times the 100 TB configuration,
+    not the oracle-replay one."""
+    from pyspark.sql import functions as F
+
+    from hadoop_data_lake_spark.operators import dedup as DD
+    from hadoop_data_lake_spark.operators import similarity as SIM
+    from hadoop_data_lake_spark.operators.graph import dedup_clusters
+
+    queries = emb.where(F.col("vec_id") % 500 == 0)  # fixed-size query set
+    return {
+        "minhash_lsh_pairs": lambda: DD.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.3
+        ),
+        "jaccard_pairs_prefix": lambda: DD.jaccard_pairs_prefix_filter(
+            docs, "doc_id", "text", k=3, threshold=0.3
+        ),
+        "winnow_overlap_pairs": lambda: DD.winnow_overlap_pairs(
+            docs, "doc_id", "text", k=3, window=4, min_shared=2
+        ),
+        "dedup_clusters": lambda: dedup_clusters(
+            DD.minhash_lsh_pairs(
+                docs, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.3
+            ).select("doc_a", "doc_b")
+        ),
+        "srp_int_topk": lambda: SIM.srp_int_topk(
+            emb, queries, k=5, num_tables=4, bits_per_table=8, dim=64
+        ),
+    }
+
+
+def run_scale_tier(spark, base_dir: str) -> dict:
+    """{op: {"t1x": s, "t10x": s, "ratio": r}} — single-shot timings (the
+    ratio of two same-box measurements is what matters, not the absolute)."""
+    out: dict[str, dict] = {}
+    frames = {
+        1: (_scaled_docs(spark, base_dir, 1), _scaled_embeddings(spark, base_dir, 1)),
+        SCALE_MULT: (
+            _scaled_docs(spark, base_dir, SCALE_MULT),
+            _scaled_embeddings(spark, base_dir, SCALE_MULT),
+        ),
+    }
+    for mult, (docs, emb) in frames.items():
+        for name, thunk in _scale_ops(spark, docs, emb).items():
+            t0 = time.perf_counter()
+            rows = thunk().count()
+            dt = time.perf_counter() - t0
+            key = "t1x" if mult == 1 else f"t{SCALE_MULT}x"
+            out.setdefault(name, {})[key] = round(dt, 3)
+            print(f"# scale {name} {mult}x: {dt:.3f}s ({rows} rows)", file=sys.stderr)
+    for name, d in out.items():
+        if d.get("t1x", 0) > 0:
+            d["ratio"] = round(d[f"t{SCALE_MULT}x"] / d["t1x"], 2)
+    return out
+
+
 def _partitioned_events_root(sf_dir: str) -> str:
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     return f"/tmp/spark_graft_bench/events_by_date_{sf_tag}"
@@ -126,6 +232,9 @@ def main() -> None:
         lambda: events_partitioned_range_bench(spark, sf_dir),
     )
 
+    scale_base = os.environ.get(SCALE_BASE_ENV, "/root/testdata/sf0.01")
+    scale_check = run_scale_tier(spark, scale_base) if os.path.isdir(scale_base) else {}
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -135,6 +244,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "scale_check": {
+                    "mult": SCALE_MULT,
+                    "base": scale_base,
+                    "ops": scale_check,
+                },
             }
         )
     )
