@@ -479,6 +479,70 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    content_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN two corpora — the minhash form of train-vs-eval
+    decontamination: every LEFT (training) doc whose Jaccard similarity to
+    some RIGHT (held-out/benchmark) doc reaches `threshold`.
+
+    Same band-collision candidate generation + exact-Jaccard verification as
+    `minhash_lsh_pairs`, but the two sides are different tables and BOTH
+    directions matter, so there is no `doc_a < doc_b` canonicalization —
+    output keys are (doc_left, doc_right). The right side is the probe set
+    (benchmarks are small), so its banded index and inverted index are
+    BROADCAST: the corpus side never shuffles. Complements
+    `decontaminate_ngram_overlap` (exact n-gram hits): minhash catches
+    paraphrase-level contamination exact overlap misses.
+    """
+    _, inv_l = _shingle_index(left, id_col, content_col, k)
+    _, inv_r = _shingle_index(right, id_col, content_col, k)
+    banded_l = _banded_signatures(inv_l, num_hashes, bands)
+    banded_r = _banded_signatures(inv_r, num_hashes, bands)
+
+    cand = (
+        banded_l.alias("a")
+        .join(
+            F.broadcast(banded_r.alias("b")),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(F.col("a.doc").alias("doc_left"), F.col("b.doc").alias("doc_right"))
+        .dropDuplicates(["doc_left", "doc_right"])
+    )
+    sizes_l = inv_l.groupBy("doc").agg(F.count("*").alias("n_l"))
+    sizes_r = inv_r.groupBy("doc").agg(F.count("*").alias("n_r"))
+    co = (
+        cand.join(inv_l.select(F.col("doc").alias("doc_left"), "s"), "doc_left")
+        .join(
+            F.broadcast(inv_r.select(F.col("doc").alias("doc_right"), "s")),
+            ["doc_right", "s"],
+        )
+        .groupBy("doc_left", "doc_right")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        co.join(sizes_l.select(F.col("doc").alias("doc_left"), "n_l"), "doc_left")
+        .join(
+            F.broadcast(sizes_r.select(F.col("doc").alias("doc_right"), "n_r")),
+            "doc_right",
+        )
+        .withColumn("uni", F.col("n_l") + F.col("n_r") - F.col("inter"))
+        .withColumn("jaccard", F.col("inter").cast("double") / F.col("uni"))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select(
+        "doc_left", "doc_right", "inter", "uni", F.round("jaccard", 6).alias("jaccard_r")
+    )
+
+
 def simhash_expr(tokens_col: str) -> Column:
     """60-bit SimHash over a (distinct) token array column, as a single SQL
     expression (nested aggregate: per bit, majority vote of token-hash bits).

@@ -1668,3 +1668,288 @@ FROM ev, mx
 WHERE ('0x' || substr(md5('imp|' || event_id::varchar), 1, 15))::ubigint % 1000000
       < floor(value * 1000000 / max_value)
 """
+
+
+def user_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per user over `value` — the classic time-series
+    downsample (open/high/low/close + volume). Open/close are argmin/argmax
+    by the unique (ts, event_id) key via min_by/max_by STRUCT ordering — one
+    hash aggregation, no window sort (the nearest_city argmin lesson); the
+    oracle mirrors the endpoints with two row_number windows because DuckDB
+    arg_min does not take composite keys. At 100 TB this is one shuffle on
+    (user, hour) with full map-side partial aggregation."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            "user_id",
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+        )
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+USER_VALUE_OHLC_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(date_trunc('hour', ts)) AS hour_us, ts, event_id, value
+  FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, hour_us ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, hour_us ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM ev
+)
+SELECT user_id, hour_us,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS n_events
+FROM ranked GROUP BY user_id, hour_us
+"""
+
+
+def priority_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic priority sampling, 3 per event-type stratum: rank every
+    event by a salted md5 priority (the hash-as-uniform-draw trick behind
+    Efraimidis-Spirakis weighted reservoirs) and keep each stratum's top 3.
+    Unlike rand()-based TABLESAMPLE the sample is identical on any engine,
+    partitioning, or rerun — and unlike a driver-side reservoir it is one
+    window over the scan, no sequential state. At 100 TB: top-k per group
+    shuffles only (type, priority) pairs after map-side partial rank
+    pruning."""
+    from hadoop_data_lake_spark.functions.hashing import salted_md5_60bit
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    pr = salted_md5_60bit(F.col("event_id").cast("string"), "psamp")
+    w = Window.partitionBy("event_type").orderBy(pr.asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("event_type", "rnk", "event_id", "user_id")
+    )
+
+
+PRIORITY_SAMPLE_STRATIFIED_SQL = """
+WITH pr AS (
+  SELECT event_type, event_id, user_id,
+         ('0x' || substr(md5('psamp|' || event_id::varchar), 1, 15))::ubigint AS priority
+  FROM events
+),
+ranked AS (
+  SELECT event_type, event_id, user_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY priority, event_id) AS rnk
+  FROM pr
+)
+SELECT event_type, rnk, event_id, user_id FROM ranked WHERE rnk <= 3
+"""
+
+
+def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per session: how many OTHER-user sessions overlap it in time — the
+    interval-overlap self-join (room-occupancy / concurrency analytics).
+
+    Scale shape: interval x interval overlap has no equi-key, so candidates
+    come from HOUR-BUCKET banding — each session explodes to the hour
+    buckets it touches (sequence/floor), candidates join on the bucket
+    (equi-join!), pairs dedup, then the exact overlap predicate verifies.
+    Join work is bounded by (sessions per hour)^2 per bucket instead of
+    all-pairs; a skewed hot hour salts or sub-buckets the band. Same
+    banding pattern as the proximity grid join (user_proximity_pairs), in
+    time instead of space. Sessions with zero concurrency are kept via a
+    left join."""
+    HOUR = 3_600_000_000
+    sess = user_sessions(spark, sf_dir).select(
+        "user_id", "session_id", "session_start_us", "session_end_us"
+    )
+    # bucketed is joined twice (both sides of the pair join): bind it once.
+    bucketed = sess.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("session_start_us") / HOUR),
+                F.floor(F.col("session_end_us") / HOUR),
+            )
+        ),
+    ).localCheckpoint(eager=True)
+    pairs = (
+        bucketed.alias("a")
+        .join(
+            bucketed.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") != F.col("b.user_id")),
+        )
+        .where(
+            (F.col("a.session_start_us") <= F.col("b.session_end_us"))
+            & (F.col("b.session_start_us") <= F.col("a.session_end_us"))
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.session_id").alias("session_id"),
+            F.col("b.user_id").alias("o_user"),
+            F.col("b.session_id").alias("o_session"),
+        )
+        .dropDuplicates(["user_id", "session_id", "o_user", "o_session"])
+    )
+    counts = pairs.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_concurrent")
+    )
+    return (
+        sess.join(counts, ["user_id", "session_id"], "left")
+        .select(
+            "user_id",
+            "session_id",
+            "session_start_us",
+            "session_end_us",
+            F.coalesce(F.col("n_concurrent"), F.lit(0).cast("long")).alias(
+                "n_concurrent"
+            ),
+        )
+    )
+
+
+CONCURRENT_SESSIONS_SQL = """
+WITH gapped AS (
+  SELECT user_id, event_id, ts,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM gapped
+),
+sessions AS (
+  SELECT user_id, event_id, ts,
+         cast(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS bigint) AS session_id
+  FROM marked
+),
+sess AS (
+  SELECT user_id, session_id,
+         min(epoch_us(ts)) AS session_start_us, max(epoch_us(ts)) AS session_end_us
+  FROM sessions GROUP BY user_id, session_id
+),
+bucketed AS (
+  SELECT user_id, session_id, session_start_us, session_end_us, u.b AS bucket
+  FROM sess, unnest(range(session_start_us // 3600000000,
+                          session_end_us // 3600000000 + 1)) AS u(b)
+),
+pairs AS (
+  SELECT DISTINCT a.user_id, a.session_id, b.user_id AS o_user, b.session_id AS o_session
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.user_id <> b.user_id
+  WHERE a.session_start_us <= b.session_end_us
+    AND b.session_start_us <= a.session_end_us
+),
+counts AS (
+  SELECT user_id, session_id, count(*) AS n_concurrent
+  FROM pairs GROUP BY user_id, session_id
+)
+SELECT s.user_id, s.session_id, s.session_start_us, s.session_end_us,
+       coalesce(c.n_concurrent, 0)::bigint AS n_concurrent
+FROM sess s LEFT JOIN counts c
+  ON s.user_id = c.user_id AND s.session_id = c.session_id
+"""
+
+
+def week_over_week_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral drift: per user, the Jaccard similarity between this
+    week's and the previous ACTIVE week's event-type SET — the set-valued
+    lag-window composition (collect_set -> window lag over an array column
+    -> array_intersect/union). Low similarity = changed behavior; the
+    weekly cohort-health signal.
+
+    Scale shape: one aggregation to (user, week) — cardinality bounded by
+    users x weeks, tiny next to the fact table — then a window over that
+    SMALL frame. The event-type sets are sorted so set arithmetic and the
+    oracle's list representation agree element-for-element."""
+    ev = read_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        "user_id", F.weekofyear("ts").alias("week"), F.year("ts").alias("yr")
+    ).agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+    w = Window.partitionBy("user_id").orderBy("yr", "week")
+    lagged = wk.withColumn("prev_types", F.lag("types").over(w))
+    return (
+        lagged.where(F.col("prev_types").isNotNull())
+        .select(
+            "user_id",
+            "yr",
+            "week",
+            F.size("types").cast("long").alias("n_types"),
+            F.size(F.array_intersect("types", "prev_types")).cast("long").alias("n_shared"),
+            F.round(
+                F.size(F.array_intersect("types", "prev_types")).cast("double")
+                / F.size(F.array_union("types", "prev_types")),
+                6,
+            ).alias("jaccard_r"),
+        )
+    )
+
+
+WEEK_OVER_WEEK_DRIFT_SQL = """
+WITH wk AS (
+  SELECT user_id, weekofyear(ts) AS week, year(ts) AS yr,
+         list_sort(list(DISTINCT event_type)) AS types
+  FROM events GROUP BY user_id, weekofyear(ts), year(ts)
+),
+lagged AS (
+  SELECT user_id, yr, week, types,
+         lag(types) OVER (PARTITION BY user_id ORDER BY yr, week) AS prev_types
+  FROM wk
+)
+SELECT user_id, yr, week,
+       len(types)::bigint AS n_types,
+       len(list_intersect(types, prev_types))::bigint AS n_shared,
+       round(len(list_intersect(types, prev_types))::double
+             / len(list_distinct(list_concat(types, prev_types))), 6) AS jaccard_r
+FROM lagged WHERE prev_types IS NOT NULL
+"""
+
+
+def user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution (bits) — the
+    behavioral-diversity score (0 = single-type bot-like, log2(5) ≈ 2.32 =
+    uniform across all five types). Two hash aggregations: (user, type)
+    counts, then the entropy fold per user — no window, no shuffle beyond
+    the two group-bys, the same re-aggregation shape as zone_report's
+    rollups."""
+    ev = read_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    # per-user totals from the tiny counts frame (re-aggregation, not a
+    # second fact scan), joined back for the probability terms
+    tot = counts.groupBy("user_id").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total")
+    return (
+        counts.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+        )
+    )
+
+
+USER_TYPE_ENTROPY_SQL = """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+),
+tot AS (
+  SELECT user_id, sum(n) AS total FROM counts GROUP BY user_id
+)
+SELECT c.user_id,
+       sum(c.n)::bigint AS n_events,
+       count(*)::bigint AS n_types,
+       round(-sum((c.n / t.total) * log2(c.n / t.total)), 6) AS entropy_bits
+FROM counts c JOIN tot t ON c.user_id = t.user_id
+GROUP BY c.user_id
+"""

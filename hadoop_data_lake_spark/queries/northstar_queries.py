@@ -1485,6 +1485,64 @@ _EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _PHONE_RE = "555-[0-9]{4}"
 
 
+def decontaminate_minhash_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup decontamination (operators/dedup.
+    minhash_cross_pairs): training docs (doc_id % 13 != 0) whose Jaccard
+    similarity to a held-out probe doc (doc_id % 13 == 0; a wider split
+    than decontaminate_ngram_overlap's 1/97 so cross-split near-dup pairs
+    exist at gate scale) reaches 0.3 — the minhash stage that
+    catches paraphrase-level benchmark contamination exact n-gram overlap
+    misses. Probe-side indexes broadcast; corpus side never shuffles."""
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 13 != 0)
+    probes = docs.where(F.col("doc_id") % 13 == 0)
+    return DD.minhash_cross_pairs(
+        corpus, probes, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.3
+    ).withColumnsRenamed({"doc_left": "doc_id", "doc_right": "probe_id"})
+
+
+DECONTAMINATE_MINHASH_CROSS_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents),
+sh AS (SELECT doc_id, {TX.shingles_sql('w', 'text', 3)} AS shingles FROM toks),
+hp AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> struct_pack(
+           h1 := ('0x' || substr(md5(s), 1, 8))::bigint,
+           h2 := ('0x' || substr(md5(s), 9, 8))::bigint)) AS hp
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id,
+         list_transform(range(0, 16),
+           i -> list_min(list_transform(hp, p -> p.h1 + i * p.h2))) AS sig
+  FROM hp
+),
+banded AS (
+  SELECT doc_id, b AS band,
+         sig[b * 4 + 1]::varchar || ',' || sig[b * 4 + 2]::varchar || ',' ||
+         sig[b * 4 + 3]::varchar || ',' || sig[b * 4 + 4]::varchar AS band_key
+  FROM sigs, unnest([0, 1, 2, 3]) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id, b.doc_id AS probe_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id % 13 <> 0 AND b.doc_id % 13 = 0
+),
+verified AS (
+  SELECT c.doc_id, c.probe_id,
+         len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+         len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles)) AS uni
+  FROM cand c
+  JOIN sh sa ON c.doc_id = sa.doc_id
+  JOIN sh sb ON c.probe_id = sb.doc_id
+)
+SELECT doc_id, probe_id, inter, uni, round(inter::double / uni, 6) AS jaccard_r
+FROM verified WHERE inter::double / uni >= 0.3
+"""
+
+
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing stage: count and redact email/phone patterns.
 
@@ -1672,6 +1730,59 @@ JOIN events p
   ON v.user_id = p.user_id
  AND v.event_type = 'view' AND p.event_type = 'purchase'
  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1800 SECONDS
+"""
+
+
+def stream_attribution_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join (streaming/ingest.
+    attribution_join_left): converted views pair with their purchases;
+    never-converted views emit a null-purchase row ONLY once the global
+    watermark proves no match can still arrive — the state-eviction
+    semantics that distinguish outer streaming joins from inner ones. The
+    oracle replays the final-watermark cutoff explicitly."""
+    from hadoop_data_lake_spark.streaming.ingest import run_attribution_left_replay
+
+    return run_attribution_left_replay(
+        spark, f"{sf_dir}/events.parquet", horizon_seconds=1800
+    )
+
+
+# Final watermark after an availableNow drain = min(max view ts, max
+# purchase ts) - 30min delay (multipleWatermarkPolicy=min default). An
+# unmatched view emits iff view_ts + horizon < that watermark; later views
+# are still "undecided" at end-of-stream and never appear.
+STREAM_ATTRIBUTION_LEFT_SQL = """
+WITH v AS (
+  SELECT user_id, event_id AS view_id, ts AS view_ts FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT least((SELECT max(view_ts) FROM v), (SELECT max(purchase_ts) FROM p))
+         - INTERVAL 30 MINUTE AS w
+),
+matched AS (
+  SELECT v.user_id, v.view_id, p.purchase_id,
+         epoch_us(v.view_ts) AS view_ts_us, epoch_us(p.purchase_ts) AS purchase_ts_us
+  FROM v JOIN p
+    ON v.user_id = p.user_id
+   AND p.purchase_ts >= v.view_ts
+   AND p.purchase_ts <= v.view_ts + INTERVAL 1800 SECONDS
+),
+unmatched AS (
+  SELECT v.user_id, v.view_id, NULL::bigint AS purchase_id,
+         epoch_us(v.view_ts) AS view_ts_us, NULL::bigint AS purchase_ts_us
+  FROM v, wm
+  WHERE v.view_ts + INTERVAL 1800 SECONDS < wm.w
+    AND NOT EXISTS (
+      SELECT 1 FROM p
+      WHERE p.user_id = v.user_id
+        AND p.purchase_ts >= v.view_ts
+        AND p.purchase_ts <= v.view_ts + INTERVAL 1800 SECONDS
+    )
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched
 """
 
 

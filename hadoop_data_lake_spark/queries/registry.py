@@ -92,15 +92,22 @@ _WINDOW: dict[str, QuerySpec] = {
     "stream_dedup_keys": QuerySpec(NS.stream_dedup_keys, NS.STREAM_DEDUP_KEYS_SQL, ("streaming", "dedup", "watermark")),
     # --- 22-41: r3-proven batch shapes kept from the r3 window; every one
     # is a displacement candidate for new round-4 queries. Round-4
-    # displacements so far: ann_pq_det→importance_sample_events (r3-green).
+    # displacements so far (each displaced entry holds an r3 green row):
+    # ann_pq_det→importance_sample_events, user_value_ohlc→
+    # value_outliers_zscore, priority_sample_stratified→cohort_retention,
+    # concurrent_sessions→value_histogram, decontaminate_minhash_cross→
+    # props_map_entries.
     "ann_pq_det": QuerySpec(NS.ann_pq_det, NS.ANN_PQ_DET_SQL, ("ann", "pq", "adc", "deterministic")),
-    "value_outliers_zscore": QuerySpec(EV.value_outliers_zscore, EV.VALUE_OUTLIERS_ZSCORE_SQL, ("agg", "robust-stats", "outliers")),
-    "cohort_retention": QuerySpec(EV.cohort_retention, EV.COHORT_RETENTION_SQL, ("window", "join", "cohort")),
-    "value_histogram": QuerySpec(NS.value_histogram, NS.VALUE_HISTOGRAM_SQL, ("agg", "histogram")),
-    "props_map_entries": QuerySpec(NS.props_map_entries, NS.PROPS_MAP_ENTRIES_SQL, ("json", "map")),
-    "part_name_near_matches": QuerySpec(TQ.part_name_near_matches, TQ.PART_NAME_NEAR_MATCHES_SQL, ("join", "fuzzy", "blocking", "levenshtein")),
-    "monthly_revenue_yoy": QuerySpec(TQ.monthly_revenue_yoy, TQ.MONTHLY_REVENUE_YOY_SQL, ("window", "lag", "post-agg")),
-    "halves_activity_nullsafe": QuerySpec(EV.halves_activity_nullsafe, EV.HALVES_ACTIVITY_NULLSAFE_SQL, ("join", "null-safe", "full-outer")),
+    "user_value_ohlc": QuerySpec(EV.user_value_ohlc, EV.USER_VALUE_OHLC_SQL, ("timeseries", "ohlc", "argmin", "downsample")),
+    "priority_sample_stratified": QuerySpec(EV.priority_sample_stratified, EV.PRIORITY_SAMPLE_STRATIFIED_SQL, ("sampling", "reservoir", "priority", "deterministic")),
+    "concurrent_sessions": QuerySpec(EV.concurrent_sessions, EV.CONCURRENT_SESSIONS_SQL, ("join", "interval-join", "banding", "sessionize")),
+    "decontaminate_minhash_cross": QuerySpec(NS.decontaminate_minhash_cross, NS.DECONTAMINATE_MINHASH_CROSS_SQL, ("dedup", "decontamination", "lsh", "cross-corpus")),
+    # round-4 batch 2 displacements: stream_attribution_left→
+    # part_name_near_matches, week_over_week_drift→monthly_revenue_yoy,
+    # user_type_entropy→halves_activity_nullsafe (all displaced: r3-green).
+    "stream_attribution_left": QuerySpec(NS.stream_attribution_left, NS.STREAM_ATTRIBUTION_LEFT_SQL, ("streaming", "stream-stream-join", "outer-join", "watermark")),
+    "week_over_week_drift": QuerySpec(EV.week_over_week_drift, EV.WEEK_OVER_WEEK_DRIFT_SQL, ("window", "array", "set-similarity", "cohort")),
+    "user_type_entropy": QuerySpec(EV.user_type_entropy, EV.USER_TYPE_ENTROPY_SQL, ("agg", "entropy", "re-aggregation")),
     "orders_snapshot_merge": QuerySpec(TQ.orders_snapshot_merge, TQ.ORDERS_SNAPSHOT_MERGE_SQL, ("merge", "upsert", "full-outer")),
     "last_purchase_carryforward": QuerySpec(EV.last_purchase_carryforward, EV.LAST_PURCHASE_CARRYFORWARD_SQL, ("window", "ignore-nulls", "carry-forward")),
     "zone_conversion_funnel": QuerySpec(EV.zone_conversion_funnel, EV.ZONE_CONVERSION_FUNNEL_SQL, ("agg", "funnel", "conditional-agg")),
@@ -145,6 +152,13 @@ _BACKLOG: dict[str, QuerySpec] = {
     "user_sessions": QuerySpec(EV.user_sessions, EV.USER_SESSIONS_SQL, ("window", "sessionize")),
     "user_local_time_coords": QuerySpec(GQ.user_local_time_coords, GQ.USER_LOCAL_TIME_COORDS_SQL, ("geo", "timezone", "coords")),
     "importance_sample_events": QuerySpec(EV.importance_sample_events, EV.IMPORTANCE_SAMPLE_EVENTS_SQL, ("sampling", "weighted", "deterministic")),
+    "value_outliers_zscore": QuerySpec(EV.value_outliers_zscore, EV.VALUE_OUTLIERS_ZSCORE_SQL, ("agg", "robust-stats", "outliers")),
+    "cohort_retention": QuerySpec(EV.cohort_retention, EV.COHORT_RETENTION_SQL, ("window", "join", "cohort")),
+    "value_histogram": QuerySpec(NS.value_histogram, NS.VALUE_HISTOGRAM_SQL, ("agg", "histogram")),
+    "props_map_entries": QuerySpec(NS.props_map_entries, NS.PROPS_MAP_ENTRIES_SQL, ("json", "map")),
+    "part_name_near_matches": QuerySpec(TQ.part_name_near_matches, TQ.PART_NAME_NEAR_MATCHES_SQL, ("join", "fuzzy", "blocking", "levenshtein")),
+    "monthly_revenue_yoy": QuerySpec(TQ.monthly_revenue_yoy, TQ.MONTHLY_REVENUE_YOY_SQL, ("window", "lag", "post-agg")),
+    "halves_activity_nullsafe": QuerySpec(EV.halves_activity_nullsafe, EV.HALVES_ACTIVITY_NULLSAFE_SQL, ("join", "null-safe", "full-outer")),
     # --- round-2 green (full DuckDB hash match in CORRECTNESS_r02.json) --
     "dedup_exact": QuerySpec(NS.dedup_exact, NS.DEDUP_EXACT_SQL, ("dedup",)),
     "dedup_ngram_jaccard": QuerySpec(NS.dedup_ngram_jaccard, NS.DEDUP_NGRAM_JACCARD_SQL, ("dedup",)),

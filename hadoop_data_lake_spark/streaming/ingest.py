@@ -306,6 +306,54 @@ def run_attribution_replay(
     return _drain_replay(spark, out, src_dir, output_mode="append")
 
 
+def attribution_join_left(events: DataFrame, horizon_seconds: int = 1800,
+                          watermark: str = "30 minutes") -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every view, matched to the
+    same-user purchases in the following `horizon_seconds` — plus a
+    null-purchase row for views that never converted.
+
+    The outer side is what makes this a different operator from
+    `attribution_join`: an unmatched view can only be emitted once the
+    engine PROVES no matching purchase can still arrive, i.e. when the
+    global watermark (min over both sides of max-event-time - delay)
+    passes view_ts + horizon — that's the state-eviction contract of outer
+    stream-stream joins. Views still inside the watermark at end-of-stream
+    are never emitted at all (their fate is undecided), which the batch
+    oracle replays with an explicit final-watermark cutoff."""
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    ).withWatermark("view_ts", watermark)
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    ).withWatermark("purchase_ts", watermark)
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_seconds} SECONDS")),
+        "leftOuter",
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.unix_micros("view_ts").alias("view_ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+    )
+
+
+def run_attribution_left_replay(
+    spark: SparkSession, parquet_path: str, horizon_seconds: int = 1800
+) -> DataFrame:
+    stream, src_dir = _open_stream(spark, parquet_path)
+    out = attribution_join_left(stream, horizon_seconds)
+    return _drain_replay(spark, out, src_dir, output_mode="append")
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Streaming ingest dedup: keep one row per (user_id, event_type, minute)
     via dropDuplicatesWithinWatermark — the bounded-state dedup for at-least-

@@ -260,3 +260,37 @@ def test_prefix_filter_equals_naive_with_fewer_candidates(spark, docs):
         .count()
     )
     assert n_prefix < n_full
+
+
+def test_minhash_cross_pairs_between_corpora(spark):
+    """Cross-corpus decontamination: a training doc near-duplicating a probe
+    doc must surface with both directions keyed (doc_left from the left
+    table, doc_right from the right) and no within-corpus pairs."""
+    from hadoop_data_lake_spark.operators.dedup import minhash_cross_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    train = spark.createDataFrame(
+        [
+            (1, base),                       # near-dup of probe 100
+            (2, base + " with a tiny edit"),  # near-dup of probe 100
+            (3, "completely unrelated text about parquet shuffle plans"),
+            # within-corpus dup of doc 1 — must NOT appear (left x left)
+            (4, base),
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, base), (200, "other held out benchmark prompt entirely")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_left"], r["doc_right"]): r["jaccard_r"]
+        for r in minhash_cross_pairs(
+            train, probes, "doc_id", "text", k=3, threshold=0.3
+        ).collect()
+    }
+    assert (1, 100) in got and got[(1, 100)] == 1.0
+    assert (4, 100) in got and got[(4, 100)] == 1.0
+    assert (2, 100) in got and 0.3 <= got[(2, 100)] < 1.0
+    # no within-corpus pairs, nothing matched the unrelated docs
+    assert all(r in ((1, 100), (2, 100), (4, 100)) for r in got)
