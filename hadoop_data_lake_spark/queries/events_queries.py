@@ -1917,24 +1917,25 @@ FROM lagged WHERE prev_types IS NOT NULL
 def user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of each user's event-type distribution (bits) — the
     behavioral-diversity score (0 = single-type bot-like, log2(5) ≈ 2.32 =
-    uniform across all five types). Two hash aggregations: (user, type)
-    counts, then the entropy fold per user — no window, no shuffle beyond
-    the two group-bys, the same re-aggregation shape as zone_report's
-    rollups."""
+    uniform across all five types). Uses the algebraic identity
+    H = log2(N) - (Σ n·log2 n)/N so the whole query is TWO stacked hash
+    aggregations on one scan — a counts->totals join formulation was
+    rejected by plan audit (the counts subtree re-executed: 2 scans, 5
+    exchanges; this shape is 1 scan, 2 exchanges)."""
     ev = read_table(spark, sf_dir, "events")
     counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
-    # per-user totals from the tiny counts frame (re-aggregation, not a
-    # second fact scan), joined back for the probability terms
-    tot = counts.groupBy("user_id").agg(F.sum("n").alias("total"))
-    p = F.col("n") / F.col("total")
-    return (
-        counts.join(tot, "user_id")
-        .groupBy("user_id")
-        .agg(
-            F.sum("n").alias("n_events"),
-            F.count(F.lit(1)).cast("long").alias("n_types"),
-            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
-        )
+    n = F.col("n").cast("double")
+    per_user = counts.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(n * F.log2(n)).alias("nlogn"),
+    )
+    total = F.col("n_events").cast("double")
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.round(F.log2(total) - F.col("nlogn") / total, 6).alias("entropy_bits"),
     )
 
 
@@ -1943,13 +1944,12 @@ WITH counts AS (
   SELECT user_id, event_type, count(*) AS n
   FROM events GROUP BY user_id, event_type
 ),
-tot AS (
-  SELECT user_id, sum(n) AS total FROM counts GROUP BY user_id
+per_user AS (
+  SELECT user_id, sum(n)::bigint AS n_events, count(*)::bigint AS n_types,
+         sum(n::double * log2(n::double)) AS nlogn
+  FROM counts GROUP BY user_id
 )
-SELECT c.user_id,
-       sum(c.n)::bigint AS n_events,
-       count(*)::bigint AS n_types,
-       round(-sum((c.n / t.total) * log2(c.n / t.total)), 6) AS entropy_bits
-FROM counts c JOIN tot t ON c.user_id = t.user_id
-GROUP BY c.user_id
+SELECT user_id, n_events, n_types,
+       round(log2(n_events::double) - nlogn / n_events::double, 6) AS entropy_bits
+FROM per_user
 """
