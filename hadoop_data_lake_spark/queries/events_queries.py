@@ -1953,3 +1953,79 @@ SELECT user_id, n_events, n_types,
        round(log2(n_events::double) - nlogn / n_events::double, 6) AS entropy_bits
 FROM per_user
 """
+
+
+def session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over sessions (the MATCH_RECOGNIZE shape
+    without the SQL:2016 syntax): each session's ordered event-type
+    sequence collapses to a compact symbol string ('c'lick/'e'rror/
+    'p'urchase/'s'ignup/'v'iew), and patterns become plain regexes over
+    it — `v.*p` = "viewed then eventually purchased", adjacent `vp` =
+    direct view->purchase conversions.
+
+    Scale shape: one groupBy(user, session) building the string via
+    collect_list(struct)+array_sort (the user_event_history pattern —
+    per-session rows are small), then pure string ops; pattern evaluation
+    adds NO shuffle. The regex engine differences don't matter because
+    both engines evaluate the same anchored character-class patterns over
+    identical strings."""
+    ev = read_table(spark, sf_dir, "events")
+    sess = sessionize(
+        ev, ["user_id"], "ts", gap_seconds=1800,
+        order=[F.col("ts").asc(), F.col("event_id").asc()],
+    )
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts"), F.col("event_id"),
+                        F.substring("event_type", 1, 1).alias("sym"),
+                    )
+                )
+            ),
+            lambda x: x["sym"],
+        ),
+        "",
+    )
+    grouped = sess.groupBy("user_id", "session_id").agg(seq.alias("seq"))
+    n_direct = (
+        (F.length("seq") - F.length(F.regexp_replace("seq", "vp", "")))
+        / F.lit(2)
+    ).cast("long")
+    return grouped.select(
+        "user_id",
+        "session_id",
+        "seq",
+        F.col("seq").rlike("v.*p").alias("has_funnel"),
+        n_direct.alias("n_direct_vp"),
+    )
+
+
+SESSION_PATTERN_MATCH_SQL = """
+WITH gapped AS (
+  SELECT user_id, event_id, ts, event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM gapped
+),
+sessions AS (
+  SELECT user_id, event_id, ts, event_type,
+         cast(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS bigint) AS session_id
+  FROM marked
+),
+seqs AS (
+  SELECT user_id, session_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id, session_id, seq,
+       regexp_matches(seq, 'v.*p') AS has_funnel,
+       ((length(seq) - length(replace(seq, 'vp', ''))) / 2)::bigint AS n_direct_vp
+FROM seqs
+"""

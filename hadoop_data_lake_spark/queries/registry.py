@@ -108,8 +108,10 @@ _WINDOW: dict[str, QuerySpec] = {
     "stream_attribution_left": QuerySpec(NS.stream_attribution_left, NS.STREAM_ATTRIBUTION_LEFT_SQL, ("streaming", "stream-stream-join", "outer-join", "watermark")),
     "week_over_week_drift": QuerySpec(EV.week_over_week_drift, EV.WEEK_OVER_WEEK_DRIFT_SQL, ("window", "array", "set-similarity", "cohort")),
     "user_type_entropy": QuerySpec(EV.user_type_entropy, EV.USER_TYPE_ENTROPY_SQL, ("agg", "entropy", "re-aggregation")),
-    "orders_snapshot_merge": QuerySpec(TQ.orders_snapshot_merge, TQ.ORDERS_SNAPSHOT_MERGE_SQL, ("merge", "upsert", "full-outer")),
-    "last_purchase_carryforward": QuerySpec(EV.last_purchase_carryforward, EV.LAST_PURCHASE_CARRYFORWARD_SQL, ("window", "ignore-nulls", "carry-forward")),
+    # round-4 batch 3: ivm_join_delta→orders_snapshot_merge (r3-green).
+    "ivm_join_delta": QuerySpec(TQ.ivm_join_delta, TQ.IVM_JOIN_DELTA_SQL, ("cdc", "ivm", "delta", "join")),
+    # session_pattern_match→last_purchase_carryforward (r3-green).
+    "session_pattern_match": QuerySpec(EV.session_pattern_match, EV.SESSION_PATTERN_MATCH_SQL, ("sessionize", "pattern", "match-recognize", "regex")),
     "zone_conversion_funnel": QuerySpec(EV.zone_conversion_funnel, EV.ZONE_CONVERSION_FUNNEL_SQL, ("agg", "funnel", "conditional-agg")),
     "user_gap_days": QuerySpec(EV.user_gap_days, EV.USER_GAP_DAYS_SQL, ("generator", "anti-join", "densification")),
     "value_moments_profile": QuerySpec(EV.value_moments_profile, EV.VALUE_MOMENTS_PROFILE_SQL, ("agg", "moments", "deterministic")),
@@ -159,6 +161,8 @@ _BACKLOG: dict[str, QuerySpec] = {
     "part_name_near_matches": QuerySpec(TQ.part_name_near_matches, TQ.PART_NAME_NEAR_MATCHES_SQL, ("join", "fuzzy", "blocking", "levenshtein")),
     "monthly_revenue_yoy": QuerySpec(TQ.monthly_revenue_yoy, TQ.MONTHLY_REVENUE_YOY_SQL, ("window", "lag", "post-agg")),
     "halves_activity_nullsafe": QuerySpec(EV.halves_activity_nullsafe, EV.HALVES_ACTIVITY_NULLSAFE_SQL, ("join", "null-safe", "full-outer")),
+    "orders_snapshot_merge": QuerySpec(TQ.orders_snapshot_merge, TQ.ORDERS_SNAPSHOT_MERGE_SQL, ("merge", "upsert", "full-outer")),
+    "last_purchase_carryforward": QuerySpec(EV.last_purchase_carryforward, EV.LAST_PURCHASE_CARRYFORWARD_SQL, ("window", "ignore-nulls", "carry-forward")),
     # --- round-2 green (full DuckDB hash match in CORRECTNESS_r02.json) --
     "dedup_exact": QuerySpec(NS.dedup_exact, NS.DEDUP_EXACT_SQL, ("dedup",)),
     "dedup_ngram_jaccard": QuerySpec(NS.dedup_ngram_jaccard, NS.DEDUP_NGRAM_JACCARD_SQL, ("dedup",)),
