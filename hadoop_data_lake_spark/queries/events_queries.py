@@ -2029,3 +2029,75 @@ SELECT user_id, session_id, seq,
        ((length(seq) - length(replace(seq, 'vp', ''))) / 2)::bigint AS n_direct_vp
 FROM seqs
 """
+
+
+def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: flag events whose value deviates
+    >= 1.5 population standard deviations from the same user's trailing
+    24-hour window (>= 5 samples incl. the event) — the monitoring-pipeline
+    primitive (spend spikes, metric regressions). 1.5 rather than the
+    usual 2 because a bounded-uniform value distribution (this corpus)
+    cannot exceed sqrt(3) ~ 1.73 sigma, so a 2-sigma gate matches nothing
+    anywhere; production data with heavier tails raises the bar back.
+
+    Exactness: float window aggregates are NOT replay-stable across engines
+    (Spark re-aggregates sliding buffers, DuckDB uses segment trees —
+    different summation orders). So value quantizes to integer cents and
+    the window computes integer (n, Σv, Σv²); the anomaly gate is the
+    INTEGER predicate 4·(v·n − Σv)² >= 9·(n·Σv² − (Σv)²) — algebra of
+    |z| >= 1.5 with no division — and only the reported z itself touches
+    floats, derived identically from identical integers. RANGE frame over
+    unix-micros; one shuffle on user."""
+    ev = read_table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100, 0).cast("long")
+    base = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value",
+        vc.alias("vc"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    stats = base.select(
+        "user_id", "event_id", "ts_us", "value", "vc",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("vc").over(w).alias("s1"),
+        F.sum(F.col("vc") * F.col("vc")).over(w).alias("s2"),
+    )
+    dev = F.col("vc") * F.col("n") - F.col("s1")
+    var_int = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return (
+        stats.where(
+            (F.col("n") >= 5)
+            & (var_int > 0)
+            & (F.lit(4) * dev * dev >= F.lit(9) * var_int)
+        )
+        .select(
+            "user_id", "event_id", "ts_us", "value",
+            F.round(
+                dev.cast("double") / F.sqrt(var_int.cast("double")), 6
+            ).alias("z_r"),
+        )
+    )
+
+
+ROLLING_ZSCORE_ANOMALY_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+         round(value * 100)::bigint AS vc
+  FROM events
+),
+stats AS (
+  SELECT user_id, event_id, ts_us, value, vc,
+         count(*) OVER w AS n, sum(vc) OVER w AS s1, sum(vc * vc) OVER w AS s2
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, ts_us, value,
+       round((vc * n - s1)::double / sqrt((n * s2 - s1 * s1)::double), 6) AS z_r
+FROM stats
+WHERE n >= 5 AND (n * s2 - s1 * s1) > 0
+  AND 4 * (vc * n - s1) * (vc * n - s1) >= 9 * (n * s2 - s1 * s1)
+"""

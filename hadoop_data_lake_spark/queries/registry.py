@@ -112,7 +112,8 @@ _WINDOW: dict[str, QuerySpec] = {
     "ivm_join_delta": QuerySpec(TQ.ivm_join_delta, TQ.IVM_JOIN_DELTA_SQL, ("cdc", "ivm", "delta", "join")),
     # session_pattern_match→last_purchase_carryforward (r3-green).
     "session_pattern_match": QuerySpec(EV.session_pattern_match, EV.SESSION_PATTERN_MATCH_SQL, ("sessionize", "pattern", "match-recognize", "regex")),
-    "zone_conversion_funnel": QuerySpec(EV.zone_conversion_funnel, EV.ZONE_CONVERSION_FUNNEL_SQL, ("agg", "funnel", "conditional-agg")),
+    # rolling_zscore_anomaly→zone_conversion_funnel (r3-green).
+    "rolling_zscore_anomaly": QuerySpec(EV.rolling_zscore_anomaly, EV.ROLLING_ZSCORE_ANOMALY_SQL, ("window", "range-frame", "anomaly", "integer-exact")),
     "user_gap_days": QuerySpec(EV.user_gap_days, EV.USER_GAP_DAYS_SQL, ("generator", "anti-join", "densification")),
     "value_moments_profile": QuerySpec(EV.value_moments_profile, EV.VALUE_MOMENTS_PROFILE_SQL, ("agg", "moments", "deterministic")),
     "value_mad": QuerySpec(EV.value_mad, EV.VALUE_MAD_SQL, ("agg", "percentile", "robust-stats")),
@@ -163,6 +164,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "halves_activity_nullsafe": QuerySpec(EV.halves_activity_nullsafe, EV.HALVES_ACTIVITY_NULLSAFE_SQL, ("join", "null-safe", "full-outer")),
     "orders_snapshot_merge": QuerySpec(TQ.orders_snapshot_merge, TQ.ORDERS_SNAPSHOT_MERGE_SQL, ("merge", "upsert", "full-outer")),
     "last_purchase_carryforward": QuerySpec(EV.last_purchase_carryforward, EV.LAST_PURCHASE_CARRYFORWARD_SQL, ("window", "ignore-nulls", "carry-forward")),
+    "zone_conversion_funnel": QuerySpec(EV.zone_conversion_funnel, EV.ZONE_CONVERSION_FUNNEL_SQL, ("agg", "funnel", "conditional-agg")),
     # --- round-2 green (full DuckDB hash match in CORRECTNESS_r02.json) --
     "dedup_exact": QuerySpec(NS.dedup_exact, NS.DEDUP_EXACT_SQL, ("dedup",)),
     "dedup_ngram_jaccard": QuerySpec(NS.dedup_ngram_jaccard, NS.DEDUP_NGRAM_JACCARD_SQL, ("dedup",)),
