@@ -252,3 +252,37 @@ def test_join_strategy_hints_control_physical_plan(spark):
         assert a.join(b.hint("shuffle_hash"), "k").count() == 1_000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+
+def test_ohlc_is_single_shuffle_hash_aggregate(spark):
+    """OHLC via min_by/max_by struct keys must stay one hash aggregation
+    (one Exchange), no window sort — the argmin-over-agg formulation."""
+    plan = _plan(spark, "user_value_ohlc")
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
+
+
+def test_entropy_is_one_scan_two_aggregations(spark):
+    """The log-sum identity keeps entropy to stacked aggregations over ONE
+    fact scan (the counts->totals join draft re-scanned: plan-audit
+    regression guard)."""
+    plan = _plan(spark, "user_type_entropy")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_pq_det_broadcasts_luts_and_avoids_python_in_scoring(spark):
+    """Deterministic PQ: the per-query LUT side must broadcast (corpus side
+    never shuffles for the ADC scan) and the ADC scoring itself is JVM
+    HOFs — the only Python is the encode pandas UDF."""
+    plan = _plan(spark, "ann_pq_det")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # exactly one Arrow-batched python stage (the encoder)
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_minhash_cross_broadcasts_probe_side(spark):
+    """Cross-corpus decontamination must broadcast the probe-side indexes —
+    the corpus side of the candidate join never shuffles."""
+    plan = _plan(spark, "decontaminate_minhash_cross")
+    assert "BroadcastHashJoin" in plan
