@@ -114,3 +114,97 @@ def read_skipping(spark, root: str, stats: DataFrame, bounds: dict[str, tuple]) 
     for c, (lo, hi) in bounds.items():
         df = df.where((F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi)))
     return df
+
+
+def hilbert_xy2d(x: int, y: int, bits: int = 16) -> int:
+    """Serial reference Hilbert distance (Wikipedia xy2d): the pytest oracle
+    for the distributed column version below."""
+    n1 = (1 << bits) - 1
+    d = 0
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n1 - x, n1 - y
+            x, y = y, x
+    return d
+
+
+def with_hilbert_code(
+    df: DataFrame, a: Column, b: Column, out: str = "hcode", bits: int = 16
+) -> DataFrame:
+    """Append the Hilbert-curve distance of two quantized <=`bits`-bit
+    dimensions — the locality-superior alternative to Morton codes for
+    layout clustering (a Hilbert walk never makes the long diagonal jumps
+    Z-order takes at quadrant boundaries, so per-file bounding rectangles
+    are tighter and data skipping prunes more).
+
+    Returns a DataFrame (not a Column) deliberately: the xy2d recurrence
+    rewrites (x, y) at every bit level with each referenced twice, so a
+    single inlined Column expression grows ~4^bits nodes (the janino 64 KB
+    trap). Materializing each level as NAMED projection columns keeps the
+    plan linear in `bits` — Spark's CollapseProject declines to inline
+    multi-referenced non-cheap expressions, so the 16 stacked projections
+    survive into one codegen stage of linear size. Pure JVM bit arithmetic;
+    no UDF."""
+    n1 = (1 << bits) - 1
+    res = df.withColumn("__hx", a.cast("long")).withColumn(
+        "__hy", b.cast("long")
+    ).withColumn(out, F.lit(0).cast("long"))
+    for i in range(bits - 1, -1, -1):
+        rx = F.shiftright("__hx", i).bitwiseAND(F.lit(1))
+        ry = F.shiftright("__hy", i).bitwiseAND(F.lit(1))
+        res = (
+            res.withColumn(
+                out,
+                F.col(out) + F.lit(1 << (2 * i)) * (rx * F.lit(3)).bitwiseXOR(ry),
+            )
+            .withColumn(
+                "__hx2",
+                F.when(ry == F.lit(1), F.col("__hx")).otherwise(
+                    F.when(rx == F.lit(1), F.lit(n1) - F.col("__hy")).otherwise(
+                        F.col("__hy")
+                    )
+                ),
+            )
+            .withColumn(
+                "__hy2",
+                F.when(ry == F.lit(1), F.col("__hy")).otherwise(
+                    F.when(rx == F.lit(1), F.lit(n1) - F.col("__hx")).otherwise(
+                        F.col("__hx")
+                    )
+                ),
+            )
+            .withColumn("__hx", F.col("__hx2"))
+            .withColumn("__hy", F.col("__hy2"))
+            .drop("__hx2", "__hy2")
+        )
+    return res.drop("__hx", "__hy")
+
+
+def hilbert_sql_ctes(src: str, keep: str, x: str, y: str, bits: int = 16) -> str:
+    """DuckDB replay of `with_hilbert_code`: one chained CTE per bit level
+    (named columns keep the SQL linear in `bits`, the same trick as the
+    stacked projections). `src` is the input CTE exposing `keep` columns
+    plus quantized `x`/`y`; the final CTE is named h0 with columns
+    (keep..., d)."""
+    n1 = (1 << bits) - 1
+    prev = src
+    parts = []
+    for i in range(bits - 1, -1, -1):
+        xi, yi = ("x", "y") if prev != src else (x, y)
+        di = "d" if prev != src else "0::BIGINT"
+        parts.append(f"""h{i} AS (
+  SELECT {keep},
+    CASE WHEN (({yi} >> {i}) & 1) = 1 THEN {xi}
+         WHEN (({xi} >> {i}) & 1) = 1 THEN {n1} - {yi} ELSE {yi} END AS x,
+    CASE WHEN (({yi} >> {i}) & 1) = 1 THEN {yi}
+         WHEN (({xi} >> {i}) & 1) = 1 THEN {n1} - {xi} ELSE {xi} END AS y,
+    {di} + {1 << (2 * i)} * xor(3 * (({xi} >> {i}) & 1), ({yi} >> {i}) & 1) AS d
+  FROM {prev}
+)""")
+        prev = f"h{i}"
+    return ",\n".join(parts)

@@ -114,7 +114,8 @@ _WINDOW: dict[str, QuerySpec] = {
     "session_pattern_match": QuerySpec(EV.session_pattern_match, EV.SESSION_PATTERN_MATCH_SQL, ("sessionize", "pattern", "match-recognize", "regex")),
     # rolling_zscore_anomaly→zone_conversion_funnel (r3-green).
     "rolling_zscore_anomaly": QuerySpec(EV.rolling_zscore_anomaly, EV.ROLLING_ZSCORE_ANOMALY_SQL, ("window", "range-frame", "anomaly", "integer-exact")),
-    "user_gap_days": QuerySpec(EV.user_gap_days, EV.USER_GAP_DAYS_SQL, ("generator", "anti-join", "densification")),
+    # hilbert_code_orders→user_gap_days (r3-green).
+    "hilbert_code_orders": QuerySpec(TQ.hilbert_code_orders, TQ.HILBERT_CODE_ORDERS_SQL, ("layout", "hilbert", "bit-arithmetic")),
     "value_moments_profile": QuerySpec(EV.value_moments_profile, EV.VALUE_MOMENTS_PROFILE_SQL, ("agg", "moments", "deterministic")),
     "value_mad": QuerySpec(EV.value_mad, EV.VALUE_MAD_SQL, ("agg", "percentile", "robust-stats")),
     "weekly_counts_unpivot": QuerySpec(TQ.weekly_counts_unpivot, TQ.WEEKLY_COUNTS_UNPIVOT_SQL, ("unpivot", "melt")),
@@ -165,6 +166,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "orders_snapshot_merge": QuerySpec(TQ.orders_snapshot_merge, TQ.ORDERS_SNAPSHOT_MERGE_SQL, ("merge", "upsert", "full-outer")),
     "last_purchase_carryforward": QuerySpec(EV.last_purchase_carryforward, EV.LAST_PURCHASE_CARRYFORWARD_SQL, ("window", "ignore-nulls", "carry-forward")),
     "zone_conversion_funnel": QuerySpec(EV.zone_conversion_funnel, EV.ZONE_CONVERSION_FUNNEL_SQL, ("agg", "funnel", "conditional-agg")),
+    "user_gap_days": QuerySpec(EV.user_gap_days, EV.USER_GAP_DAYS_SQL, ("generator", "anti-join", "densification")),
     # --- round-2 green (full DuckDB hash match in CORRECTNESS_r02.json) --
     "dedup_exact": QuerySpec(NS.dedup_exact, NS.DEDUP_EXACT_SQL, ("dedup",)),
     "dedup_ngram_jaccard": QuerySpec(NS.dedup_ngram_jaccard, NS.DEDUP_NGRAM_JACCARD_SQL, ("dedup",)),

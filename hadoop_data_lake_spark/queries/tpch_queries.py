@@ -2037,3 +2037,48 @@ SELECT c.c_mktsegment AS segment, count(*) AS n_orders,
 FROM o_new o JOIN c_new c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """
+
+
+def hilbert_code_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve codes over orders: customer key x price bucket, both
+    quantized to 16 bits (operators/layout.with_hilbert_code — stacked
+    named projections, pure JVM bit arithmetic). The locality-superior
+    sibling of zorder_code_orders: a Hilbert walk has no quadrant-boundary
+    jumps, so range-partitioning on `hcode` yields tighter per-file
+    bounding rectangles and better min/max skipping than Morton order.
+    The oracle replays the xy2d recurrence as 16 chained CTEs."""
+    from hadoop_data_lake_spark.operators.layout import with_hilbert_code
+
+    orders = read_table(spark, sf_dir, "orders")
+    a = F.pmod(F.col("o_custkey"), F.lit(65536)).cast("long")
+    b = F.least(F.floor(F.col("o_totalprice") / 10), F.lit(65535)).cast("long")
+    return with_hilbert_code(
+        orders.select(
+            "o_orderkey", a.alias("cust_q"), b.alias("price_q")
+        ),
+        F.col("cust_q"),
+        F.col("price_q"),
+        out="hcode",
+        bits=16,
+    )
+
+
+def _hilbert_orders_sql() -> str:
+    from hadoop_data_lake_spark.operators.layout import hilbert_sql_ctes
+
+    ctes = hilbert_sql_ctes(
+        "q", "o_orderkey, cust_q, price_q", "cust_q", "price_q", bits=16
+    )
+    return f"""
+WITH q AS (
+  SELECT o_orderkey,
+         (o_custkey % 65536)::bigint AS cust_q,
+         least(floor(o_totalprice / 10), 65535)::bigint AS price_q
+  FROM orders
+),
+{ctes}
+SELECT o_orderkey, cust_q, price_q, d AS hcode FROM h0
+"""
+
+
+HILBERT_CODE_ORDERS_SQL = _hilbert_orders_sql()
