@@ -146,3 +146,41 @@ def test_hilbert_is_bijective_and_continuous_small_grid(spark):
     zpath = [zinv[d] for d in range(64)]
     zsteps = [abs(a[0] - b[0]) + abs(a[1] - b[1]) for a, b in zip(zpath, zpath[1:])]
     assert max(zsteps) > 1
+
+
+def test_hilbert_clustering_skips_like_zorder(spark, tmp_path):
+    """Hilbert-clustered files must prune a corner-tile query at least as
+    well as Z-order on the same grid — the layout actually pays off in
+    file skipping, not just in the code's locality theory."""
+    from hadoop_data_lake_spark.operators.layout import (
+        collect_file_stats,
+        prune_files,
+        with_hilbert_code,
+    )
+
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    ).repartition(9)
+    hpath, zpath = str(tmp_path / "h"), str(tmp_path / "z")
+    coded = with_hilbert_code(grid, F.col("x") * 1024, F.col("y") * 1024)
+    (
+        coded.repartitionByRange(16, F.col("hcode"))
+        .sortWithinPartitions("hcode")
+        .drop("hcode")
+        .write.mode("overwrite")
+        .parquet(hpath)
+    )
+    zorder_write(grid, F.col("x"), F.col("y"), zpath, num_files=16)
+
+    bounds = {"x": (0, 15), "y": (0, 15)}
+    hstats = collect_file_stats(spark, hpath, ["x", "y"])
+    zstats = collect_file_stats(spark, zpath, ["x", "y"])
+    h_files = prune_files(hstats, bounds)
+    z_files = prune_files(zstats, bounds)
+    assert len(h_files) <= len(z_files) <= 2, (len(h_files), len(z_files))
+    # pruning never loses rows
+    kept = spark.read.parquet(*h_files).where(
+        (F.col("x") <= 15) & (F.col("y") <= 15)
+    )
+    assert kept.count() == 256
