@@ -99,6 +99,28 @@ def drop_contaminated(docs: DataFrame, min_shared: int = 2) -> DataFrame:
     return corpus.join(hits, "doc_id", "left_anti")
 
 
+def drop_near_contaminated(
+    docs: DataFrame, probes: DataFrame, threshold: float = 0.3
+) -> DataFrame:
+    """Second decontamination pass: drop corpus docs whose JACCARD
+    similarity to a probe doc reaches `threshold` — the minhash stage
+    (operators/dedup.minhash_cross_pairs) that catches paraphrase-level
+    benchmark leakage the exact n-gram pass misses. `probes` is passed
+    explicitly because the exact pass already removed the held-out split
+    from the funnel frame; probe-side indexes broadcast, corpus side never
+    shuffles."""
+    from hadoop_data_lake_spark.operators.dedup import minhash_cross_pairs
+
+    hits = (
+        minhash_cross_pairs(
+            docs, probes, "doc_id", "text", k=3, threshold=threshold
+        )
+        .select(F.col("doc_left").alias("doc_id"))
+        .distinct()
+    )
+    return docs.join(hits, "doc_id", "left_anti")
+
+
 def redact_pii(docs: DataFrame) -> DataFrame:
     email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
     phone = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
@@ -166,11 +188,15 @@ def run_pretrain_pipeline(
         return df
 
     docs = stage("raw", read_table(spark, sf_dir, "documents"))
+    # the held-out probe split, captured BEFORE any stage drops it (the
+    # exact decontamination pass removes probes from the funnel frame)
+    probes = docs.where(F.col("doc_id") % 97 == 0)
     docs = stage("quality", quality_keep(docs))
     docs = stage("exact_dedup", drop_exact_dups(docs))
     docs = stage("near_dedup", drop_near_dups(docs))
     docs = stage("span_dedup", drop_span_dups(docs))
     docs = stage("decontaminated", drop_contaminated(docs))
+    docs = stage("near_decontaminated", drop_near_contaminated(docs, probes))
     docs = stage("pii_redacted", redact_pii(docs))
     docs = stage("mixed", rebalance_domains(docs))
     plan = shuffle_shard_plan(docs.select("doc_id"), "doc_id", n_shards=n_shards)

@@ -13,21 +13,22 @@ so the window is now a SEPARATE dict with a hard `len(_WINDOW) == 50`
 assert at import time: miscounting is an ImportError, not a silent grading
 gap.
 
-Round-4 window composition (judge's prescription, VERDICT r3 item 1):
+Round-4 window composition (final):
 1-14   the 14 previously-never-driver-graded full-oracle queries rotated in
        from the backlog (burns the never-graded count to 0). They displace
        14 r3-proven slots: daily_unique_users_approx (rows-only, zero
        driver signal — VERDICT r3 "What's wrong" item 1) + 13 full-oracle
-       entries that hold CORRECTNESS_r03.json green rows
-       (coactivity_triangles, scd2_event_type_history,
-       user_value_interpolate, next_action_after_purchase,
-       props_variant_stats, zorder_code_orders, salted_type_weight_sum,
-       user_value_twap, order_price_deciles, zone_report, nearest_city,
-       user_sessions, user_local_time_coords).
+       entries that hold CORRECTNESS_r03.json green rows.
 15-21  all 7 streaming queries (r3-proven, KEPT as a standing regression
        guard: streaming was the family that silently broke at r2 HEAD).
-22-41  20 r3-proven batch shapes kept from the r3 window — every one is a
-       displacement candidate for new round-4 queries.
+22-41  originally the 20 r3-proven batch keeps; 12 were then displaced by
+       the round-4-NEW queries (ann_pq_det, user_value_ohlc,
+       priority_sample_stratified, concurrent_sessions,
+       decontaminate_minhash_cross, stream_attribution_left,
+       week_over_week_drift, user_type_entropy, ivm_join_delta,
+       session_pattern_match, rolling_zscore_anomaly,
+       hilbert_code_orders) — displacement pairs recorded inline; every
+       displaced entry holds an r3 green row.
 42-50  the 9 round-3-new operators (r3-proven; same displacement rule).
 
 Entries 51+ = queries already proven by an earlier CORRECTNESS_r{N}.json

@@ -10,7 +10,7 @@ def test_pretrain_funnel_monotone_and_deterministic(spark):
     plan, funnel = run_pretrain_pipeline(spark, SF_DIR, n_shards=4)
     order = [
         "raw", "quality", "exact_dedup", "near_dedup", "span_dedup",
-        "decontaminated", "pii_redacted", "mixed",
+        "decontaminated", "near_decontaminated", "pii_redacted", "mixed",
     ]
     assert list(funnel) == order
     # every gate only removes rows
