@@ -110,3 +110,52 @@ def tz_from_coords_udf():
         )
 
     return _tz
+
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_of(lat: Column, lon: Column, precision: int = 8) -> Column:
+    """Standard geohash string of (lat, lon) — the spatial CELL INDEX that
+    turns point data into groupable/joinable keys (per-cell rollups,
+    cell-equality spatial joins, prefix truncation = coarser cells).
+
+    Construction is the textbook one, expressed as pure column arithmetic:
+    quantize both axes to 20 bits, interleave with the existing Morton
+    spread (lon on odd bit positions so the MSB-first read alternates
+    lon, lat — the geohash bit order), then map each 5-bit group through
+    the base-32 alphabet. Bit-replayable in any engine: quantization is
+    floor((coord+offset)/range * 2^20) on identical doubles, everything
+    after is integer."""
+    from hadoop_data_lake_spark.operators.layout import morton_code
+
+    q = 1 << 20
+    lat_q = F.least(F.floor((lat + 90.0) / 180.0 * q), F.lit(q - 1)).cast("long")
+    lon_q = F.least(F.floor((lon + 180.0) / 360.0 * q), F.lit(q - 1)).cast("long")
+    code = morton_code(lat_q, lon_q)  # lat even bits, lon odd => lon leads MSB-first
+    letters = F.array(*[F.lit(c) for c in GEOHASH_ALPHABET])
+    chars = [
+        F.element_at(
+            letters,
+            (F.shiftrightunsigned(code, 35 - 5 * i).bitwiseAND(F.lit(31))).cast("int")
+            + 1,
+        )
+        for i in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_sql(lat: str, lon: str, precision: int = 8) -> str:
+    """DuckDB replay of `geohash_of` (same quantization, same Morton
+    spread, same alphabet indexing)."""
+    from hadoop_data_lake_spark.operators.layout import morton_code_sql
+
+    q = 1 << 20
+    lat_q = f"least(floor(({lat} + 90.0) / 180.0 * {q}), {q - 1})::bigint"
+    lon_q = f"least(floor(({lon} + 180.0) / 360.0 * {q}), {q - 1})::bigint"
+    code = morton_code_sql(f"({lat_q})", f"({lon_q})")
+    parts = " || ".join(
+        f"substr('{GEOHASH_ALPHABET}', ((({code}) >> {35 - 5 * i}) & 31)::int + 1, 1)"
+        for i in range(precision)
+    )
+    return f"({parts})"

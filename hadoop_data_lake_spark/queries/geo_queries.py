@@ -297,3 +297,40 @@ SELECT user_id, count(*) AS n_events,
        string_agg(event_type, ',' ORDER BY ts, event_id) AS history
 FROM events GROUP BY user_id
 """
+
+
+def geohash_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell spatial rollup: events bucketed by 4-character geohash cell
+    (functions/geo.geohash_of — the standard base-32 cell index; prefix
+    truncation = coarser cells). The spatial-aggregation primitive the
+    reference's zone reports approximate with synthetic zone ids — here
+    the cell key derives from actual coordinates, composes with
+    cell-equality spatial joins, and is one hash aggregation over the
+    scan. Oracle replays the full quantize/interleave/base-32 pipeline."""
+    from hadoop_data_lake_spark.functions.geo import geohash_of
+
+    ev = _located_events(spark, sf_dir)
+    cell = F.substring(geohash_of(F.col("lat"), F.col("lon"), precision=8), 1, 4)
+    return (
+        ev.groupBy(cell.alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def _geohash_cell_counts_sql() -> str:
+    from hadoop_data_lake_spark.functions.geo import geohash_sql
+
+    gh = geohash_sql(_LAT_SQL, _LON_SQL, precision=8)
+    return f"""
+SELECT substr({gh}, 1, 4) AS cell,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+"""
+
+
+GEOHASH_CELL_COUNTS_SQL = _geohash_cell_counts_sql()

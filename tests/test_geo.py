@@ -139,3 +139,24 @@ def test_tz_from_coords_udf_gated_on_optional_dep(spark):
         assert udf is not None
     except ImportError:
         assert udf is None
+
+
+def test_geohash_matches_canonical_vectors(spark):
+    """geohash_of must reproduce the published reference encodings — the
+    20-bit quantization + Morton interleave is exactly 20 rounds of the
+    textbook bisection."""
+    import pyspark.sql.functions as F
+
+    from hadoop_data_lake_spark.functions.geo import geohash_of
+
+    df = spark.createDataFrame(
+        [(1, 57.64911, 10.40744), (2, 39.92324, 116.3906), (3, 0.0, 0.0)],
+        "id long, lat double, lon double",
+    )
+    got = {
+        r["id"]: r["gh"]
+        for r in df.select("id", geohash_of(F.col("lat"), F.col("lon")).alias("gh")).collect()
+    }
+    assert got[1] == "u4pruydq"   # the classic Jutland example
+    assert got[2] == "wx4g0ec1"   # Beijing
+    assert got[3].startswith("s00000")
