@@ -62,6 +62,15 @@ HEADLINE = [
     "perplexity_filter",
     "stream_windowed_counts",
     "stream_session_stats",
+    # round-4 additions
+    "ann_pq_det",
+    "concurrent_sessions",
+    "decontaminate_minhash_cross",
+    "session_pattern_match",
+    "rolling_zscore_anomaly",
+    "hilbert_code_orders",
+    "geohash_cell_counts",
+    "ivm_join_delta",
 ]
 
 
