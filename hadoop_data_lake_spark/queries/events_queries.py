@@ -2101,3 +2101,69 @@ FROM stats
 WHERE n >= 5 AND (n * s2 - s1 * s1) > 0
   AND 4 * (vc * n - s1) * (vc * n - s1) >= 9 * (n * s2 - s1 * s1)
 """
+
+
+def user_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per user: S_i = max(0, S_{i-1} +
+    (v_i - mu)) over the (ts, event_id)-ordered values, with mu the user's
+    own mean — the Page (1954) control-chart statistic; the final S equals
+    the maximum suffix-sum of deviations, i.e. how far the recent values
+    have drifted above the user's norm. `drifted` flags S > 2*sigma using
+    the ROUNDED values on both engines (replay-stable gate, the
+    percentile-cutoff lesson).
+
+    Exactness: mean, variance, and the clamped CUSUM recurrence are all
+    SEQUENTIAL aggregate() folds over the identical ordered array in both
+    engines — identical IEEE double ops in identical order (the EWMA
+    precedent), so the 6dp-rounded outputs replay bit-for-bit. mu/sq are
+    bound as columns referenced more than once downstream, so
+    CollapseProject does not inline the fold into the CUSUM lambda (the
+    per-element HOF re-evaluation trap)."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    per_user = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("vals")
+    )
+    stats = per_user.select(
+        "user_id",
+        "vals",
+        F.expr("aggregate(vals, 0D, (a, x) -> a + x) / size(vals)").alias("mu"),
+        F.expr("aggregate(vals, 0D, (a, x) -> a + x * x) / size(vals)").alias("sq"),
+    )
+    out = stats.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        F.round("mu", 6).alias("mu_r"),
+        F.round(F.sqrt(F.greatest(F.col("sq") - F.col("mu") * F.col("mu"), F.lit(0.0))), 6).alias("sigma_r"),
+        F.round(
+            F.expr("aggregate(vals, 0D, (acc, x) -> greatest(0D, acc + (x - mu)))"), 6
+        ).alias("cusum_r"),
+    )
+    return out.withColumn("drifted", F.col("cusum_r") > F.lit(2.0) * F.col("sigma_r"))
+
+
+USER_VALUE_CUSUM_SQL = """
+WITH per_user AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+),
+stats AS (
+  SELECT user_id, vals,
+         list_reduce(list_prepend(0.0, vals), (a, x) -> a + x) / len(vals) AS mu,
+         list_reduce(list_prepend(0.0, vals), (a, x) -> a + x * x) / len(vals) AS sq
+  FROM per_user
+),
+scored AS (
+  SELECT user_id, len(vals)::bigint AS n_events,
+         round(mu, 6) AS mu_r,
+         round(sqrt(greatest(sq - mu * mu, 0.0)), 6) AS sigma_r,
+         round(list_reduce(list_prepend(0.0, vals),
+                           (acc, x) -> greatest(0.0, acc + (x - mu))), 6) AS cusum_r
+  FROM stats
+)
+SELECT user_id, n_events, mu_r, sigma_r, cusum_r,
+       cusum_r > 2.0 * sigma_r AS drifted
+FROM scored
+"""

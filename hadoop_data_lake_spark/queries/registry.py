@@ -119,7 +119,8 @@ _WINDOW: dict[str, QuerySpec] = {
     "hilbert_code_orders": QuerySpec(TQ.hilbert_code_orders, TQ.HILBERT_CODE_ORDERS_SQL, ("layout", "hilbert", "bit-arithmetic")),
     # geohash_cell_counts→value_moments_profile (r3-green).
     "geohash_cell_counts": QuerySpec(GQ.geohash_cell_counts, GQ.GEOHASH_CELL_COUNTS_SQL, ("geo", "geohash", "spatial-index", "agg")),
-    "value_mad": QuerySpec(EV.value_mad, EV.VALUE_MAD_SQL, ("agg", "percentile", "robust-stats")),
+    # user_value_cusum→value_mad (r3-green).
+    "user_value_cusum": QuerySpec(EV.user_value_cusum, EV.USER_VALUE_CUSUM_SQL, ("timeseries", "cusum", "drift", "sequential-fold")),
     "weekly_counts_unpivot": QuerySpec(TQ.weekly_counts_unpivot, TQ.WEEKLY_COUNTS_UNPIVOT_SQL, ("unpivot", "melt")),
     "regional_revenue_rollup": QuerySpec(TQ.regional_revenue_rollup, TQ.REGIONAL_REVENUE_ROLLUP_SQL, ("agg", "rollup")),
     "acctbal_union_stats": QuerySpec(TQ.acctbal_union_stats, TQ.ACCTBAL_UNION_STATS_SQL, ("setop", "union-all")),
@@ -170,6 +171,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "zone_conversion_funnel": QuerySpec(EV.zone_conversion_funnel, EV.ZONE_CONVERSION_FUNNEL_SQL, ("agg", "funnel", "conditional-agg")),
     "user_gap_days": QuerySpec(EV.user_gap_days, EV.USER_GAP_DAYS_SQL, ("generator", "anti-join", "densification")),
     "value_moments_profile": QuerySpec(EV.value_moments_profile, EV.VALUE_MOMENTS_PROFILE_SQL, ("agg", "moments", "deterministic")),
+    "value_mad": QuerySpec(EV.value_mad, EV.VALUE_MAD_SQL, ("agg", "percentile", "robust-stats")),
     # --- round-2 green (full DuckDB hash match in CORRECTNESS_r02.json) --
     "dedup_exact": QuerySpec(NS.dedup_exact, NS.DEDUP_EXACT_SQL, ("dedup",)),
     "dedup_ngram_jaccard": QuerySpec(NS.dedup_ngram_jaccard, NS.DEDUP_NGRAM_JACCARD_SQL, ("dedup",)),
