@@ -2073,3 +2073,212 @@ SELECT doc_id, n_tok, bucket,
        (rn % 8)::int AS pos_in_batch
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sketch family (functions/detsketches.py): the oracle-checked
+# counterparts of the rows-only approx_count_distinct / approx_top_k entries.
+# ---------------------------------------------------------------------------
+
+
+def hll_det_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per day via the DETERMINISTIC HyperLogLog
+    (functions/detsketches.hll_det_estimate): md5-bucketed integer
+    registers, one closed-form float estimate — fully replayed by the
+    DuckDB oracle, unlike `daily_unique_users_approx` whose HLL++ internals
+    are engine-specific. exact_users rides along so the estimate's error is
+    visible in the result itself. One shuffle of the facts down to 256
+    integer registers per day — the 100 TB rollup shape."""
+    from hadoop_data_lake_spark.functions.detsketches import hll_det_estimate
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.to_date("ts").cast("string").alias("day"), "user_id"
+    )
+    est = hll_det_estimate(ev, ["day"], "user_id")
+    exact = ev.groupBy("day").agg(F.countDistinct("user_id").alias("exact_users"))
+    return est.join(exact, "day").select(
+        "day", F.round("est", 4).alias("hll_users_r"), "exact_users"
+    )
+
+
+def _hll_daily_sql() -> str:
+    from hadoop_data_lake_spark.functions.detsketches import hll_det_estimate_sql
+
+    inner = hll_det_estimate_sql(
+        "(SELECT CAST(ts AS DATE)::varchar AS day, user_id FROM events) s",
+        ["day"],
+        "user_id::varchar"
+    )
+    return f"""
+WITH est AS ({inner}),
+exact AS (
+  SELECT CAST(ts AS DATE)::varchar AS day, count(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY CAST(ts AS DATE)::varchar
+)
+SELECT est.day, round(est.est, 4) AS hll_users_r, exact.exact_users
+FROM est JOIN exact ON est.day = exact.day
+"""
+
+
+HLL_DET_DAILY_USERS_SQL = _hll_daily_sql()
+
+
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type via a deterministic KMV (theta-style)
+    sketch, PLUS the '__all__' row estimated by MERGING the per-type
+    sketches — the k smallest hashes of the unioned states — without ever
+    revisiting the facts. That merge step is the whole point of KMV at
+    100 TB: distinct-count any union of grains from tiny persisted states.
+    Estimates and exact counts side by side; oracle replays both."""
+    from pyspark.sql import Window
+
+    from hadoop_data_lake_spark.functions.detsketches import (
+        KMV_K,
+        kmv_estimate,
+        kmv_minima,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "user_id")
+    mins = kmv_minima(ev, ["event_type"], "user_id")
+    merged = mins.select(F.lit("__all__").alias("event_type"), "h").distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    merged_k = (
+        merged.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+    est = kmv_estimate(mins.unionByName(merged_k), ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    ).unionByName(
+        ev.agg(
+            F.lit("__all__").alias("event_type"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", F.round("est", 4).alias("kmv_users_r"), "exact_users"
+    )
+
+
+def _kmv_users_sql() -> str:
+    from hadoop_data_lake_spark.functions.detsketches import KMV_K
+
+    h = md5_60bit_sql("user_id::varchar")
+    return f"""
+WITH hh AS (
+  SELECT DISTINCT event_type, {h}::bigint AS h FROM events
+),
+mins AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM hh
+  ) WHERE rn <= {KMV_K}
+),
+merged AS (
+  SELECT '__all__' AS event_type, h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM mins)
+  ) WHERE rn <= {KMV_K}
+),
+state AS (
+  SELECT * FROM mins UNION ALL SELECT * FROM merged
+),
+agg AS (
+  SELECT event_type, count(*) AS n_min, max(h) AS hk
+  FROM state GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         CASE WHEN n_min < {KMV_K} THEN n_min::double
+              ELSE {float((KMV_K - 1) * (1 << 60))!r} / hk::double END AS est
+  FROM agg
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_users FROM events GROUP BY event_type
+  UNION ALL
+  SELECT '__all__', count(DISTINCT user_id) FROM events
+)
+SELECT est.event_type, round(est.est, 4) AS kmv_users_r, exact.exact_users
+FROM est JOIN exact ON est.event_type = exact.event_type
+"""
+
+
+KMV_DISTINCT_USERS_SQL = _kmv_users_sql()
+
+
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point estimates for the exact top-20 corpus tokens:
+    token, n_true, cms_est (cms_est >= n_true by construction; the gap is
+    the collision error e*N/w). The sketch is the d x w bigint cell table —
+    ONE shuffle of the token stream into 2048 mergeable integer cells; the
+    probe side is a broadcast join. Deterministic salted-md5 bucketing makes
+    the whole estimate SQL-replayable, unlike `token_heavy_hitters_approx`
+    (approx_top_k, engine-specific)."""
+    from pyspark.sql import Window
+
+    from hadoop_data_lake_spark.functions.detsketches import (
+        cms_point_estimates,
+        cms_sketch,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    sketch = cms_sketch(toks, "tok")
+    w = Window.orderBy(F.col("n_true").desc(), F.col("tok").asc())
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n_true"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .drop("rnk")
+    )
+    est = cms_point_estimates(sketch, top.select("tok"), "tok")
+    return top.join(est, "tok").select(
+        F.col("tok").alias("token"), "n_true", "cms_est"
+    )
+
+
+def _cms_tokens_sql() -> str:
+    from hadoop_data_lake_spark.functions.detsketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_cells_sql,
+    )
+
+    nz_sql = (
+        "SELECT tok FROM (SELECT unnest(string_split(text, ' ')) AS tok "
+        "FROM documents) WHERE tok <> ''"
+    )
+    cells = cms_cells_sql(nz_sql, "it.tok")
+    hp = salted_md5_60bit_sql("t.tok", "i.range")
+    return f"""
+WITH nz AS ({nz_sql}),
+cells AS (
+{cells}
+),
+top AS (
+  SELECT tok, n_true FROM (
+    SELECT tok, count(*) AS n_true,
+           row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rnk
+    FROM nz GROUP BY tok
+  ) WHERE rnk <= 20
+),
+probes AS (
+  SELECT t.tok, i.range AS r, {hp} % {CMS_WIDTH} AS b
+  FROM top t CROSS JOIN range({CMS_DEPTH}) i
+),
+est AS (
+  SELECT p.tok, min(c.cnt) AS cms_est
+  FROM probes p JOIN cells c ON p.r = c.r AND p.b = c.b
+  GROUP BY p.tok
+)
+SELECT top.tok AS token, top.n_true, est.cms_est
+FROM top JOIN est ON top.tok = est.tok
+"""
+
+
+CMS_TOKEN_COUNTS_SQL = _cms_tokens_sql()

@@ -222,6 +222,12 @@ _BACKLOG: dict[str, QuerySpec] = {
     "weekly_unique_users_hll": QuerySpec(NS.weekly_unique_users_hll, None, ("sketch", "hll", "rollup")),
     "bpe_merges": QuerySpec(NS.bpe_merges, None, ("text", "tokenizer", "bpe", "iterative")),
     "token_heavy_hitters_approx": QuerySpec(NS.token_heavy_hitters_approx, None, ("text", "sketch", "topk")),
+    # --- deterministic sketch tier (round 4): md5-derived integer state +
+    # one closed-form float, so the FULL estimate replays in DuckDB — the
+    # ann_lsh_det precedent applied to the sketch family.
+    "hll_det_daily_users": QuerySpec(NS.hll_det_daily_users, NS.HLL_DET_DAILY_USERS_SQL, ("sketch", "hll", "deterministic")),
+    "kmv_distinct_users": QuerySpec(NS.kmv_distinct_users, NS.KMV_DISTINCT_USERS_SQL, ("sketch", "kmv", "theta", "mergeable", "deterministic")),
+    "cms_token_counts": QuerySpec(NS.cms_token_counts, NS.CMS_TOKEN_COUNTS_SQL, ("sketch", "count-min", "deterministic")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
