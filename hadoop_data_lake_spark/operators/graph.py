@@ -280,3 +280,129 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.explode(F.array("ta", "tb", "tc")).alias("vertex")
     )
     return corners.groupBy("vertex").agg(F.count("*").alias("n_triangles"))
+
+
+def pagerank_intexact(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """(node, rank_units): power iteration in FIXED-POINT integer arithmetic.
+
+    Float PageRank (`pagerank` above) is rows-only at the correctness gate:
+    each iteration sums float contributions, and float addition is not
+    associative, so two engines (or two partitionings) legitimately differ
+    in the low bits. This variant keeps every quantity a bigint multiple of
+    1/scale:
+
+        r0      = scale div n                  (per node)
+        contrib = r div out_deg                (per edge, integer div)
+        r'      = (15 * (scale div n)) div 100
+                  + (85 * (in_sum + dang div n)) div 100
+
+    Integer addition IS associative — partition order cannot change any
+    result — and an external SQL engine replays the whole iteration exactly
+    (oracle: the same recurrence unrolled as chained CTEs). The truncation
+    the integer divisions introduce is deterministic and bounded by
+    n*iters/scale total mass, irrelevant for ranking at scale=1e12.
+
+    Shapes per iteration: one equi-join (edges x ranks, shuffled on src) +
+    one agg on dst + a one-row dangling-mass aggregate broadcast back — the
+    same distributed sparse mat-vec as the float path, localCheckpoint-ed
+    so round N never re-executes rounds 1..N-1.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()  # bounded driver scalar (node count only)
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    contrib_base = e.join(out_deg, "src").localCheckpoint(eager=True)
+    base = (100 - damping_pct) * (scale // n) // 100
+
+    ranks = nodes.withColumn("rank", F.lit(scale // n)).localCheckpoint(eager=True)
+    for _ in range(iters):
+        in_sum = (
+            contrib_base.join(ranks, F.col("src") == F.col("node"))
+            .select(F.col("dst"), F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        dang = (
+            ranks.join(out_deg, F.col("node") == F.col("src"), "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dsum"))
+        )
+        ranks = (
+            nodes.join(in_sum, F.col("node") == F.col("dst"), "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(s, cast(0 as bigint))"
+                        f" + (dsum div {n}))) div 100"
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("rank").alias("rank_units"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """(node, hop): minimum hop count from any seed, breadth-first, over an
+    UNDIRECTED edge list, bounded at max_hops.
+
+    The canonical distributed frontier expansion: hop k's frontier is the
+    neighbors of hop k-1's frontier minus everything already visited — one
+    equi-join plus one anti-join per level, all on the node key. Because
+    every level is a set operation on integer ids the result is exactly
+    replayable, and the fixed level count unrolls into chained SQL CTEs for
+    the oracle (no recursive-CTE path-explosion risk on cyclic graphs).
+
+    At 100 TB the frontier join shuffles on the node key both sides; the
+    visited set stays partitioned the same way, so each level reuses one
+    exchange. Frontiers are localCheckpoint-ed per level (lineage doubles
+    otherwise, as in connected_components).
+    """
+    e0 = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = (
+        e0.unionByName(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = seeds.select(F.col(seed_col).alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    visited = frontier
+    out = frontier.withColumn("hop", F.lit(0))
+    for k in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier, sym["s"] == frontier["node"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        out = out.unionByName(nxt.withColumn("hop", F.lit(k)))
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return out

@@ -228,6 +228,8 @@ _BACKLOG: dict[str, QuerySpec] = {
     "hll_det_daily_users": QuerySpec(NS.hll_det_daily_users, NS.HLL_DET_DAILY_USERS_SQL, ("sketch", "hll", "deterministic")),
     "kmv_distinct_users": QuerySpec(NS.kmv_distinct_users, NS.KMV_DISTINCT_USERS_SQL, ("sketch", "kmv", "theta", "mergeable", "deterministic")),
     "cms_token_counts": QuerySpec(NS.cms_token_counts, NS.CMS_TOKEN_COUNTS_SQL, ("sketch", "count-min", "deterministic")),
+    "pagerank_det": QuerySpec(TQ.pagerank_det, TQ.PAGERANK_DET_SQL, ("graph", "iterative", "pagerank", "fixed-point", "deterministic")),
+    "bfs_hops_det": QuerySpec(TQ.bfs_hops_det, TQ.BFS_HOPS_DET_SQL, ("graph", "iterative", "bfs", "deterministic")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),

@@ -2082,3 +2082,124 @@ SELECT o_orderkey, cust_q, price_q, d AS hcode FROM h0
 
 
 HILBERT_CODE_ORDERS_SQL = _hilbert_orders_sql()
+
+
+def pagerank_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (operators/graph.pagerank_intexact) over
+    the same bipartite customer->supplier purchase graph as
+    `purchase_graph_pagerank` — but value-hash replayable: every iteration
+    is integer arithmetic, and the DuckDB oracle unrolls the 10 iterations
+    as chained CTEs computing the identical recurrence. This promotes the
+    iterative-graph family from rows-only to the full correctness gate."""
+    from hadoop_data_lake_spark.operators.graph import pagerank_intexact
+
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank_intexact(edges, iters=10)
+
+
+def _pagerank_det_sql(iters: int = 10, scale: int = 10**12) -> str:
+    parts = [
+        f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS src, -l.l_suppkey AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+verts AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM verts),
+outdeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, ({scale} // (SELECT n FROM nn)) AS rank FROM verts)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",
+s{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(r.rank // d.deg)::bigint AS s
+  FROM e JOIN r{p} r ON e.src = r.node JOIN outdeg d ON e.src = d.src
+  GROUP BY e.dst
+),
+dg{i} AS MATERIALIZED (
+  SELECT coalesce(sum(r.rank), 0)::bigint AS dsum FROM r{p} r
+  WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = r.node)
+),
+r{i} AS MATERIALIZED (
+  SELECT v.node,
+         ((15 * ({scale} // (SELECT n FROM nn))) // 100)
+         + ((85 * (coalesce(s.s, 0)
+                   + ((SELECT dsum FROM dg{i}) // (SELECT n FROM nn)))) // 100)
+         AS rank
+  FROM verts v LEFT JOIN s{i} s ON v.node = s.node
+)"""
+        )
+    parts.append(f"\nSELECT node, rank AS rank_units FROM r{iters}")
+    return "".join(parts)
+
+
+PAGERANK_DET_SQL = _pagerank_det_sql()
+
+
+def bfs_hops_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first minimum hop counts from a deterministic seed set of
+    suppliers (s_suppkey % 7 == 1 — non-empty at every sf) over the
+    undirected purchase graph, bounded at 4 levels
+    (operators/graph.bfs_hops). Each level is a frontier equi-join + an
+    anti-join against the visited set — all integer set operations, so the
+    DuckDB oracle replays the levels as unrolled CTEs (no recursive CTE:
+    cyclic graphs make naive recursion enumerate paths, not nodes)."""
+    from hadoop_data_lake_spark.operators.graph import bfs_hops
+
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = read_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = supp.where(F.col("s_suppkey") % 7 == 1).select(
+        (-F.col("s_suppkey")).alias("node")
+    )
+    return bfs_hops(edges, seeds, max_hops=4)
+
+
+def _bfs_hops_det_sql(max_hops: int = 4) -> str:
+    parts = [
+        """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS src, -l.l_suppkey AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+e AS MATERIALIZED (SELECT src AS s, dst AS d FROM e0 UNION SELECT dst, src FROM e0),
+f0 AS MATERIALIZED (SELECT DISTINCT -s_suppkey AS node FROM supplier WHERE s_suppkey % 7 = 1),
+v0 AS MATERIALIZED (SELECT node FROM f0)"""
+    ]
+    for k in range(1, max_hops + 1):
+        p = k - 1
+        parts.append(
+            f""",
+f{k} AS MATERIALIZED (
+  SELECT DISTINCT e.d AS node FROM e JOIN f{p} ON e.s = f{p}.node
+  WHERE NOT EXISTS (SELECT 1 FROM v{p} WHERE v{p}.node = e.d)
+),
+v{k} AS MATERIALIZED (SELECT node FROM v{p} UNION SELECT node FROM f{k})"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT node, {k} AS hop FROM f{k}" for k in range(max_hops + 1)
+    )
+    parts.append(f"\n{selects}")
+    return "".join(parts)
+
+
+BFS_HOPS_DET_SQL = _bfs_hops_det_sql()

@@ -117,3 +117,85 @@ def test_triangle_count_known_graph(spark):
     )
     got = {r["vertex"]: r["n_triangles"] for r in triangle_count(edges).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_pagerank_intexact_matches_serial_integer_simulation(spark):
+    from hadoop_data_lake_spark.operators.graph import pagerank_intexact
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]  # node 5 absent; 3->1 cycle
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["rank_units"]
+        for r in pagerank_intexact(df, iters=10).collect()
+    }
+
+    # serial replay of the exact integer recurrence
+    scale = 10**12
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: scale // n for v in nodes}
+    base = 15 * (scale // n) // 100
+    for _ in range(10):
+        in_sum = {v: 0 for v in nodes}
+        for s, d in edges:
+            in_sum[d] += rank[s] // out[s]
+        dang = sum(rank[v] for v in nodes if v not in out)
+        rank = {
+            v: base + 85 * (in_sum[v] + dang // n) // 100 for v in nodes
+        }
+    assert got == rank
+
+
+def test_pagerank_intexact_mass_is_conserved_up_to_truncation(spark):
+    from hadoop_data_lake_spark.operators.graph import pagerank_intexact
+
+    df = spark.createDataFrame(
+        [(i, (i + 1) % 20) for i in range(20)] + [(0, 10), (5, 15)],
+        ["src", "dst"],
+    )
+    ranks = [r["rank_units"] for r in pagerank_intexact(df, iters=10).collect()]
+    scale = 10**12
+    # every div floors, so total mass only ever shrinks — by at most a few
+    # units per node per iteration.
+    assert scale >= sum(ranks) > scale - 20 * 10 * 200
+    assert all(r > 0 for r in ranks)
+
+
+def test_bfs_hops_matches_serial_bfs(spark):
+    from collections import deque
+
+    from hadoop_data_lake_spark.operators.graph import bfs_hops
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (2, 7), (8, 9)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(1,), (8,)], ["node"])
+    got = {r["node"]: r["hop"] for r in bfs_hops(df, seeds, max_hops=3).collect()}
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want, q = {1: 0, 8: 0}, deque([1, 8])
+    while q:
+        u = q.popleft()
+        if want[u] == 3:
+            continue
+        for v in adj.get(u, ()):
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    assert got == want  # nodes 5,6 at hops 4,5 excluded by the bound... see below
+    # explicit bound check: nothing beyond max_hops leaks out
+    assert all(h <= 3 for h in got.values())
+
+
+def test_bfs_hops_stops_early_when_frontier_empties(spark):
+    from hadoop_data_lake_spark.operators.graph import bfs_hops
+
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {r["node"]: r["hop"] for r in bfs_hops(df, seeds, max_hops=10).collect()}
+    assert got == {1: 0, 2: 1}
