@@ -2167,3 +2167,160 @@ SELECT user_id, n_events, mu_r, sigma_r, cusum_r,
        cusum_r > 2.0 * sigma_r AS drifted
 FROM scored
 """
+
+
+def target_encode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold out-of-fold target encoding of event_type against `value` —
+    the standard leakage-safe categorical encoder for tabular ML: each
+    row's encoding is the category mean computed WITHOUT the row's own
+    fold. Folds are deterministic (md5(event_id) mod 5), and the
+    out-of-fold mean is derived by subtraction from per-(type, fold)
+    integer-cent partials:
+
+        oof_mean(type, fold) = (S_type - S_fold) / (N_type - N_fold)
+
+    so one aggregation pass over the facts serves all five folds — at
+    100 TB that's one shuffle keyed by (type, fold) and a 25-row window
+    re-sum, versus the naive five filtered re-scans. Integer-cent sums keep
+    the means bit-replayable; the single division rounds once."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from hadoop_data_lake_spark.functions.hashing import md5_60bit
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    per = (
+        ev.select(
+            "event_type",
+            (md5_60bit(F.col("event_id").cast("string")) % 5).alias("fold"),
+            to_units(F.col("value")).alias("cents"),
+        )
+        .groupBy("event_type", "fold")
+        .agg(F.count("*").alias("n_rows"), F.sum("cents").alias("s_fold"))
+    )
+    w = Window.partitionBy("event_type")
+    return per.select(
+        "event_type",
+        "fold",
+        "n_rows",
+        F.round(
+            (F.sum("s_fold").over(w) - F.col("s_fold")).cast("double")
+            / ((F.sum("n_rows").over(w) - F.col("n_rows")).cast("double") * 100.0),
+            6,
+        ).alias("oof_mean_r"),
+    )
+
+
+from hadoop_data_lake_spark.functions.hashing import md5_60bit_sql as _md5_sql
+
+TARGET_ENCODE_EVENT_TYPE_SQL = f"""
+WITH per AS (
+  SELECT event_type,
+         {_md5_sql("event_id::varchar")} % 5 AS fold,
+         count(*) AS n_rows,
+         sum(round(value * 100)::bigint)::bigint AS s_fold
+  FROM events
+  GROUP BY event_type, {_md5_sql("event_id::varchar")} % 5
+)
+SELECT event_type, fold, n_rows,
+       round((sum(s_fold) OVER (PARTITION BY event_type) - s_fold)::double
+             / ((sum(n_rows) OVER (PARTITION BY event_type) - n_rows)::double * 100.0),
+             6) AS oof_mean_r
+FROM per
+"""
+
+
+def autocorr_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type autocorrelation of the daily value total at lags 1-3
+    — the seasonality/persistence screen run before fitting any forecast
+    model. Day totals quantize to integer cents; the Pearson moments
+    (n, Sx, Sy, Sxy, Sxx, Syy) are then exact integer sums (order-immune),
+    and r is one closed-form double expression both engines evaluate on
+    identical inputs. All three lags ride ONE window pass (a single sort by
+    (event_type, day)) and unpivot via stack — not three scans.
+
+    Moment magnitudes stay under 2^63 through ~sf10 here; beyond that the
+    sums need decimal(38)/hugeint widening (noted, not needed at bench
+    scale)."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(to_units(F.col("value"))).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("y1"),
+        F.lag("x", 2).over(w).alias("y2"),
+        F.lag("x", 3).over(w).alias("y3"),
+    )
+    pairs = lagged.select(
+        "event_type",
+        "x",
+        F.expr("stack(3, 1, y1, 2, y2, 3, y3) AS (lag, y)"),
+    ).where(F.col("y").isNotNull())
+    mom = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    )
+    den2 = (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * (
+        F.col("n").cast("double") * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return mom.select(
+        "event_type",
+        "lag",
+        "n",
+        F.when(den2 > 0, F.round(num / F.sqrt(den2), 6)).alias("acf_r"),
+    )
+
+
+AUTOCORR_DAILY_VALUE_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(round(value * 100)::bigint)::bigint AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+lagged AS (
+  SELECT event_type, x,
+         lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1,
+         lag(x, 2) OVER (PARTITION BY event_type ORDER BY day) AS y2,
+         lag(x, 3) OVER (PARTITION BY event_type ORDER BY day) AS y3
+  FROM daily
+),
+pairs AS (
+  SELECT event_type, x, u.lag, u.y
+  FROM lagged,
+       LATERAL (VALUES (1, y1), (2, y2), (3, y3)) AS u(lag, y)
+  WHERE u.y IS NOT NULL
+),
+mom AS (
+  SELECT event_type, lag, count(*) AS n,
+         sum(x)::bigint AS sx, sum(y)::bigint AS sy,
+         sum(x * y)::bigint AS sxy, sum(x * x)::bigint AS sxx,
+         sum(y * y)::bigint AS syy
+  FROM pairs GROUP BY event_type, lag
+)
+SELECT event_type, lag, n,
+       CASE WHEN (n::double * sxx::double - sx::double * sx::double)
+                 * (n::double * syy::double - sy::double * sy::double) > 0
+            THEN round((n::double * sxy::double - sx::double * sy::double)
+                       / sqrt((n::double * sxx::double - sx::double * sx::double)
+                              * (n::double * syy::double - sy::double * sy::double)),
+                       6)
+       END AS acf_r
+FROM mom
+"""

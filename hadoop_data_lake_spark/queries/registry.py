@@ -230,6 +230,10 @@ _BACKLOG: dict[str, QuerySpec] = {
     "cms_token_counts": QuerySpec(NS.cms_token_counts, NS.CMS_TOKEN_COUNTS_SQL, ("sketch", "count-min", "deterministic")),
     "pagerank_det": QuerySpec(TQ.pagerank_det, TQ.PAGERANK_DET_SQL, ("graph", "iterative", "pagerank", "fixed-point", "deterministic")),
     "bfs_hops_det": QuerySpec(TQ.bfs_hops_det, TQ.BFS_HOPS_DET_SQL, ("graph", "iterative", "bfs", "deterministic")),
+    "benford_first_digit": QuerySpec(TQ.benford_first_digit, TQ.BENFORD_FIRST_DIGIT_SQL, ("quality", "audit", "distribution")),
+    "bloom_semijoin_orders": QuerySpec(TQ.bloom_semijoin_orders, TQ.BLOOM_SEMIJOIN_ORDERS_SQL, ("join", "bloom", "prefilter", "broadcast")),
+    "target_encode_event_type": QuerySpec(EV.target_encode_event_type, EV.TARGET_ENCODE_EVENT_TYPE_SQL, ("ml", "target-encoding", "kfold", "leakage-safe")),
+    "autocorr_daily_value": QuerySpec(EV.autocorr_daily_value, EV.AUTOCORR_DAILY_VALUE_SQL, ("timeseries", "acf", "integer-exact")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),

@@ -2203,3 +2203,108 @@ v{k} AS MATERIALIZED (SELECT node FROM v{p} UNION SELECT node FROM f{k})"""
 
 
 BFS_HOPS_DET_SQL = _bfs_hops_det_sql()
+
+
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law quality audit of o_totalprice: observed first-digit
+    share vs the expected log10(1 + 1/d). Fraud/synthetic-data screens run
+    exactly this on financial facts. The digit comes from the INTEGER cents
+    rendering (cast bigint -> string), never from float formatting, which
+    engines disagree on; shares divide identical bigints and round once.
+    One aggregation pass; the 9-row total re-sum is window arithmetic on
+    the agg output, not a second scan."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        to_units(F.col("o_totalprice")).cast("string"), 1, 1
+    ).cast("int")
+    per = orders.groupBy(digit.alias("digit")).agg(F.count("*").alias("n_obs"))
+    w = Window.partitionBy()
+    return per.select(
+        "digit",
+        "n_obs",
+        F.round(
+            F.col("n_obs").cast("double") / F.sum("n_obs").over(w).cast("double"), 6
+        ).alias("obs_share_r"),
+        F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")), 6).alias(
+            "benford_p_r"
+        ),
+    )
+
+
+BENFORD_FIRST_DIGIT_SQL = """
+WITH per AS (
+  SELECT substr((round(o_totalprice * 100)::bigint)::varchar, 1, 1)::int AS digit,
+         count(*) AS n_obs
+  FROM orders GROUP BY 1
+)
+SELECT digit, n_obs,
+       round(n_obs::double / (sum(n_obs) OVER ())::double, 6) AS obs_share_r,
+       round(log10(1.0 + 1.0 / digit::double), 6) AS benford_p_r
+FROM per
+"""
+
+
+def bloom_semijoin_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join orders to BUILDING-segment customers through a bloom-filter
+    PREFILTER: the qualifying keys' k=3 salted-md5 bit positions (m=65536)
+    form a distinct bucket set; an order survives the prefilter iff all
+    three of its positions are present, then an exact semi-join removes the
+    bloom's false positives. No false negatives by construction, so the
+    result equals the plain semi-join — which IS the oracle.
+
+    The 100 TB story: the bit set is a few thousand integers (broadcast,
+    ~KBs) while the exact join's build side is the full key set — the bloom
+    stage prunes the probe-side scan output to ~|matches| rows before any
+    shuffle, the same role runtime row-group bloom pushdown plays in
+    lakehouse engines. False-positive rate at these fills: (fill)^3 ~ 1e-5.
+    """
+    from hadoop_data_lake_spark.functions.hashing import salted_md5_60bit
+
+    m = 65536
+    cust = read_table(spark, sf_dir, "customer")
+    qual = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bits = (
+        qual.select(
+            F.explode(
+                F.array(
+                    *[
+                        (salted_md5_60bit(F.col("c_custkey").cast("string"), i) % m)
+                        for i in range(3)
+                    ]
+                )
+            ).alias("b")
+        )
+        .distinct()
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    pos = F.array(
+        *[
+            (salted_md5_60bit(F.col("o_custkey").cast("string"), i) % m)
+            for i in range(3)
+        ]
+    )
+    candidates = (
+        orders.withColumn("b", F.explode(pos))
+        .join(F.broadcast(bits), "b")
+        .groupBy("o_orderkey", "o_custkey", "o_totalprice")
+        .agg(F.count("*").alias("hits"))
+        .where(F.col("hits") == 3)
+        .drop("hits")
+    )
+    return candidates.join(
+        F.broadcast(qual),
+        candidates["o_custkey"] == qual["c_custkey"],
+        "left_semi",
+    )
+
+
+BLOOM_SEMIJOIN_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""

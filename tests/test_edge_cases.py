@@ -168,3 +168,86 @@ def test_snapshot_delta_identical_snapshots_is_empty(spark):
 
     df = spark.createDataFrame([(1, "x", 1.0), (2, "y", None)], "k long, s string, v double")
     assert snapshot_delta(df, df, keys=["k"]).count() == 0
+
+
+def test_bloom_prefilter_prunes_and_admits_all_matches(spark):
+    """The bloom candidate set must (a) contain every true match — no false
+    negatives, the correctness half — and (b) actually prune, the
+    performance half: candidates ~ matches << orders at the ~1.4% bit-fill
+    this segment produces."""
+    from hadoop_data_lake_spark.queries.tpch_queries import bloom_semijoin_orders
+
+    sf = "/root/testdata/sf0.001"
+    from hadoop_data_lake_spark.core.io import read_table
+    import pyspark.sql.functions as F
+
+    result = bloom_semijoin_orders(spark, sf)
+    orders = read_table(spark, sf, "orders")
+    cust = read_table(spark, sf, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    true_matches = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"], "left_semi"
+    )
+    n_res, n_true, n_all = result.count(), true_matches.count(), orders.count()
+    assert n_res == n_true
+    assert 0 < n_true < n_all
+
+
+def test_target_encoding_oof_mean_excludes_own_fold(spark):
+    """Hand-check on a 2-type, 2-fold-ish frame: the out-of-fold mean for a
+    fold must equal the mean over the OTHER folds' rows only."""
+    import pyspark.sql.functions as F
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [("a", 0, 10.0), ("a", 0, 20.0), ("a", 1, 40.0), ("b", 0, 5.0), ("b", 1, 7.0)],
+        ["t", "fold", "v"],
+    )
+    per = df.groupBy("t", "fold").agg(
+        F.count("*").alias("n"), F.sum(to_units(F.col("v"))).alias("s")
+    )
+    w = Window.partitionBy("t")
+    oof = per.select(
+        "t",
+        "fold",
+        (
+            (F.sum("s").over(w) - F.col("s")).cast("double")
+            / ((F.sum("n").over(w) - F.col("n")).cast("double") * 100.0)
+        ).alias("m"),
+    )
+    got = {(r["t"], r["fold"]): r["m"] for r in oof.collect()}
+    assert got[("a", 0)] == 40.0  # only fold 1's row
+    assert got[("a", 1)] == 15.0  # mean(10, 20)
+    assert got[("b", 0)] == 7.0 and got[("b", 1)] == 5.0
+
+
+def test_autocorr_perfect_linear_series_is_one(spark):
+    """A strictly linear daily series has ACF exactly 1 at every lag under
+    the integer-moment formula (the numerator/denominator collapse is
+    exact, no float drift)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    days = spark.range(30).select(
+        F.lit("t").alias("event_type"),
+        F.col("id").alias("day"),
+        (F.col("id") * 100 + 7).alias("x"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = days.select(
+        "event_type", "x", F.lag("x", 1).over(w).alias("y")
+    ).where(F.col("y").isNotNull())
+    mom = lagged.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).first()
+    n, sx, sy, sxy, sxx, syy = (mom[c] for c in ["n", "sx", "sy", "sxy", "sxx", "syy"])
+    num = n * sxy - sx * sy
+    den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    assert num * num == den2  # exact integer identity for a linear series
