@@ -2282,3 +2282,150 @@ FROM top JOIN est ON top.tok = est.tok
 
 
 CMS_TOKEN_COUNTS_SQL = _cms_tokens_sql()
+
+
+def doc_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under an interpolated Kneser-Ney bigram
+    LM — the smoothing that actually ships in n-gram LM toolkits (absolute
+    discount D=0.75 + continuation-probability backoff), upgrading
+    `doc_lm_perplexity`'s unsmoothed MLE. Every model quantity is an
+    integer count (bigram count, prefix count, distinct-successor count,
+    distinct-predecessor "continuation" count, distinct-bigram total), so
+    the per-bigram probability
+
+        P(w2|w1) = max(c12 - D, 0)/c1 + (D * n1p_fwd(w1)/c1) * (n1p_bwd(w2)/B)
+
+    is one identical float expression per row in both engines; the per-doc
+    score is avg(-log2 P) rounded (the doc_lm_perplexity precedent). Model
+    tables derive from ONE bigram aggregation (prefix/successor counts
+    re-aggregate the model, not the corpus)."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", w.alias("w"), F.size(w).alias("n")).where(
+        F.col("n") >= 2
+    )
+    bg = base.select(
+        "doc_id",
+        F.explode_outer(
+            F.zip_with(
+                F.slice(F.col("w"), 1, F.col("n") - 1),
+                F.slice(F.col("w"), 2, F.col("n") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    )
+    model = (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("c12"))
+        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+        .localCheckpoint(eager=True)
+    )  # three re-aggregations below read the model — one corpus pass total
+    fwd = model.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1p_fwd")
+    )
+    bwd = model.groupBy("w2").agg(F.count("*").alias("n1p_bwd"))
+    btot = model.agg(F.count("*").alias("b_total"))
+    d = F.lit(0.75)
+    scored = (
+        bg.join(model.select("bigram", "c12", "w1", "w2"), "bigram")
+        .join(fwd, "w1")
+        .join(bwd, "w2")
+        .crossJoin(F.broadcast(btot))
+        .withColumn(
+            "p",
+            F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+            + (d * F.col("n1p_fwd") / F.col("c1"))
+            * (F.col("n1p_bwd") / F.col("b_total")),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log2("p")), 6).alias("kn_entropy_bits"),
+        )
+    )
+    return scored
+
+
+DOC_LM_KNESER_NEY_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM base WHERE len(w) >= 2
+),
+model AS MATERIALIZED (
+  SELECT bigram, count(*) AS c12,
+         split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2
+  FROM bg GROUP BY bigram
+),
+fwd AS (SELECT w1, sum(c12)::bigint AS c1, count(*) AS n1p_fwd FROM model GROUP BY w1),
+bwd AS (SELECT w2, count(*) AS n1p_bwd FROM model GROUP BY w2),
+btot AS (SELECT count(*) AS b_total FROM model),
+scored AS (
+  SELECT bg.doc_id,
+         greatest(m.c12 - 0.75, 0.0) / f.c1
+         + (0.75 * f.n1p_fwd / f.c1) * (b.n1p_bwd / (SELECT b_total FROM btot)) AS p
+  FROM bg
+  JOIN model m ON bg.bigram = m.bigram
+  JOIN fwd f ON m.w1 = f.w1
+  JOIN bwd b ON m.w2 = b.w2
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(-log2(p)), 6) AS kn_entropy_bits
+FROM scored GROUP BY doc_id
+"""
+
+
+def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length ACROSS sources — the
+    classic cross-batch distribution alignment (genomics' quantile
+    normalization, discretized to a percentile grid): rank each doc within
+    its source, map the rank to a 100-cell grid with INTEGER arithmetic
+    (g = (rank-1)*100 div n_source), and replace the doc's length with the
+    corpus-wide mean length of its grid cell. Ranks tie-break on doc_id so
+    both engines agree row-for-row; the only float is the final mean of
+    integer lengths, rounded once. Two shuffles (rank per source, grid
+    agg) + one broadcast-back join."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("source")).alias("ns"),
+    ).withColumn("g", F.expr("((rk - 1) * 100) div ns"))
+    grid = ranked.groupBy("g").agg(
+        F.count("*").alias("n_in_cell"),
+        F.round(F.sum("n_chars").cast("double") / F.count("*"), 6).alias("ref_len_r"),
+    )
+    return ranked.join(F.broadcast(grid), "g").select(
+        "doc_id", "source", "n_chars", "g", "ref_len_r"
+    )
+
+
+QUANTILE_NORMALIZE_DOCLEN_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS ns
+  FROM documents
+),
+g AS (
+  SELECT doc_id, source, n_chars, ((rk - 1) * 100) // ns AS g FROM ranked
+),
+grid AS (
+  SELECT g, count(*) AS n_in_cell,
+         round(sum(n_chars)::double / count(*), 6) AS ref_len_r
+  FROM g GROUP BY g
+)
+SELECT g.doc_id, g.source, g.n_chars, g.g, grid.ref_len_r
+FROM g JOIN grid ON g.g = grid.g
+"""

@@ -234,6 +234,9 @@ _BACKLOG: dict[str, QuerySpec] = {
     "bloom_semijoin_orders": QuerySpec(TQ.bloom_semijoin_orders, TQ.BLOOM_SEMIJOIN_ORDERS_SQL, ("join", "bloom", "prefilter", "broadcast")),
     "target_encode_event_type": QuerySpec(EV.target_encode_event_type, EV.TARGET_ENCODE_EVENT_TYPE_SQL, ("ml", "target-encoding", "kfold", "leakage-safe")),
     "autocorr_daily_value": QuerySpec(EV.autocorr_daily_value, EV.AUTOCORR_DAILY_VALUE_SQL, ("timeseries", "acf", "integer-exact")),
+    "doc_lm_kneser_ney": QuerySpec(NS.doc_lm_kneser_ney, NS.DOC_LM_KNESER_NEY_SQL, ("text", "quality", "lm", "kneser-ney", "smoothing")),
+    "quantile_normalize_doclen": QuerySpec(NS.quantile_normalize_doclen, NS.QUANTILE_NORMALIZE_DOCLEN_SQL, ("ml", "normalization", "quantile", "cross-source")),
+    "zonemap_tile_pruning": QuerySpec(TQ.zonemap_tile_pruning, TQ.ZONEMAP_TILE_PRUNING_SQL, ("layout", "zonemap", "data-skipping", "zorder")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),

@@ -2308,3 +2308,62 @@ SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
 WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
 """
+
+
+def zonemap_tile_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map effectiveness report for the Z-order layout: bucket orders
+    into 64 Morton tiles (zcode high bits — the file/row-group boundaries a
+    zorder_write layout would produce), record each tile's min/max on both
+    clustered dimensions, and flag which tiles a 2-D box predicate
+    (cust_q in [8000,16000] x price_q in [10000,20000]) can skip WITHOUT
+    reading. This is the quantified version of what
+    operators/layout.collect_file_stats + prune_files do against real
+    files — expressed on tiles so the oracle can replay it: data skipping
+    is min/max interval disjointness, all integer arithmetic."""
+    from hadoop_data_lake_spark.operators.layout import morton_code
+
+    orders = read_table(spark, sf_dir, "orders")
+    a = F.pmod(F.col("o_custkey"), F.lit(65536)).cast("long")
+    b = F.least(F.floor(F.col("o_totalprice") / 10), F.lit(65535)).cast("long")
+    tiles = orders.select(a.alias("cust_q"), b.alias("price_q")).withColumn(
+        "tile", F.shiftright(morton_code(F.col("cust_q"), F.col("price_q")), 26)
+    )
+    rep = tiles.groupBy("tile").agg(
+        F.count("*").alias("n_rows"),
+        F.min("cust_q").alias("min_cust"),
+        F.max("cust_q").alias("max_cust"),
+        F.min("price_q").alias("min_price"),
+        F.max("price_q").alias("max_price"),
+    )
+    skip = (
+        (F.col("max_cust") < 8000)
+        | (F.col("min_cust") > 16000)
+        | (F.col("max_price") < 10000)
+        | (F.col("min_price") > 20000)
+    )
+    return rep.select(
+        "tile", "n_rows", "min_cust", "max_cust", "min_price", "max_price",
+        skip.cast("int").alias("skippable"),
+    )
+
+
+ZONEMAP_TILE_PRUNING_SQL = """
+WITH q AS (
+  SELECT (o_custkey % 65536)::bigint AS cust_q,
+         least(floor(o_totalprice / 10), 65535)::bigint AS price_q
+  FROM orders
+),
+t AS (
+  SELECT cust_q, price_q, (((((((((((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) | ((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) | ((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | ((((((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) | ((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) | ((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) | ((((((((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) | ((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) | ((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | ((((((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) | ((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) | ((((cust_q & 4294967295) | ((cust_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) << 1)) & 6148914691236517205) | ((((((((((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) | ((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) | ((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | ((((((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) | ((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) | ((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) | ((((((((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) | ((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) | ((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | ((((((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) | ((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) | ((((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) | ((((price_q & 4294967295) | ((price_q & 4294967295) << 16)) & 281470681808895) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) << 1)) & 6148914691236517205) << 1)) // 67108864)::bigint AS tile FROM q
+),
+rep AS (
+  SELECT tile, count(*) AS n_rows,
+         min(cust_q) AS min_cust, max(cust_q) AS max_cust,
+         min(price_q) AS min_price, max(price_q) AS max_price
+  FROM t GROUP BY tile
+)
+SELECT tile, n_rows, min_cust, max_cust, min_price, max_price,
+       (max_cust < 8000 OR min_cust > 16000
+        OR max_price < 10000 OR min_price > 20000)::int AS skippable
+FROM rep
+"""

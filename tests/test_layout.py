@@ -184,3 +184,30 @@ def test_hilbert_clustering_skips_like_zorder(spark, tmp_path):
         (F.col("x") <= 15) & (F.col("y") <= 15)
     )
     assert kept.count() == 256
+
+
+def test_zonemap_skippable_tiles_hold_no_matching_rows(spark):
+    """A tile flagged skippable for the box predicate must contain zero
+    rows satisfying it — the data-skipping soundness invariant."""
+    import pyspark.sql.functions as F
+
+    from hadoop_data_lake_spark.core.io import read_table
+    from hadoop_data_lake_spark.operators.layout import morton_code
+    from hadoop_data_lake_spark.queries.tpch_queries import zonemap_tile_pruning
+
+    sf = "/root/testdata/sf0.001"
+    rep = zonemap_tile_pruning(spark, sf)
+    skippable = {r["tile"] for r in rep.where(F.col("skippable") == 1).collect()}
+    orders = read_table(spark, sf, "orders")
+    a = F.pmod(F.col("o_custkey"), F.lit(65536)).cast("long")
+    b = F.least(F.floor(F.col("o_totalprice") / 10), F.lit(65535)).cast("long")
+    rows = (
+        orders.select(a.alias("cust_q"), b.alias("price_q"))
+        .withColumn("tile", F.shiftright(morton_code(F.col("cust_q"), F.col("price_q")), 26))
+        .where(
+            F.col("cust_q").between(8000, 16000)
+            & F.col("price_q").between(10000, 20000)
+            & F.col("tile").isin(list(skippable) or [-1])
+        )
+    )
+    assert rows.count() == 0

@@ -181,3 +181,43 @@ def test_approx_top_k_overlaps_exact(spark):
     # the sketch must recover at least 80% of the true top-20 (in practice
     # it is exact on this vocabulary size)
     assert len(approx & set(exact)) >= 16
+
+
+def test_kneser_ney_probabilities_sum_to_one_per_prefix(spark):
+    """Interpolated KN is a proper distribution: for every prefix w1,
+    sum over observed w2 of P(w2|w1) plus the continuation mass assigned
+    to UNOBSERVED successors... restricted to the closed vocab here, the
+    sum over ALL vocab successors equals 1. Verify on a tiny corpus by
+    direct enumeration."""
+    import itertools
+    from collections import Counter
+
+    corpus = ["a b a c a b", "b a b c"]
+    bigrams = []
+    for doc in corpus:
+        t = doc.split()
+        bigrams += list(zip(t, t[1:]))
+    c12 = Counter(bigrams)
+    c1 = Counter(w1 for w1, _ in bigrams)
+    n1p_fwd = Counter(w1 for w1, _ in set(bigrams))
+    n1p_bwd = Counter(w2 for _, w2 in set(bigrams))
+    b_total = len(set(bigrams))
+    vocab = sorted({w for doc in corpus for w in doc.split()})
+    d = 0.75
+    for w1 in c1:
+        total = 0.0
+        for w2 in vocab:
+            total += max(c12[(w1, w2)] - d, 0.0) / c1[w1] + (
+                d * n1p_fwd[w1] / c1[w1]
+            ) * (n1p_bwd[w2] / b_total)
+        # sums to 1 iff continuation distribution is normalized over the
+        # closed vocab: sum n1p_bwd = b_total by construction.
+        assert abs(total - 1.0) < 1e-9, (w1, total)
+
+
+def test_kneser_ney_query_scores_every_multiword_doc(spark):
+    from hadoop_data_lake_spark.queries.northstar_queries import doc_lm_kneser_ney
+
+    out = doc_lm_kneser_ney(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 500
+    assert all(r["kn_entropy_bits"] is not None and r["kn_entropy_bits"] > 0 for r in out)
