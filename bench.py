@@ -71,6 +71,15 @@ HEADLINE = [
     "hilbert_code_orders",
     "geohash_cell_counts",
     "ivm_join_delta",
+    # round-4 session-2 additions: deterministic sketches, fixed-point
+    # graph iteration, bloom prefilter, KN smoothing
+    "hll_det_daily_users",
+    "kmv_distinct_users",
+    "cms_token_counts",
+    "pagerank_det",
+    "bloom_semijoin_orders",
+    "doc_lm_kneser_ney",
+    "target_encode_event_type",
 ]
 
 

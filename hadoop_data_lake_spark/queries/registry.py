@@ -29,7 +29,12 @@ Round-4 window composition (final):
        session_pattern_match, rolling_zscore_anomaly,
        hilbert_code_orders) — displacement pairs recorded inline; every
        displaced entry holds an r3 green row.
-42-50  the 9 round-3-new operators (r3-proven; same displacement rule).
+42-50  originally the 9 round-3-new operators (r3-proven); session 2 of
+       round 4 then displaced 12 more r3-proven slots (6 batch keeps + 6
+       of these) with the deterministic-sketch/graph/quality/ML-prep
+       queries — displacement pairs recorded inline at the rotation
+       comment. Every displaced entry holds an r3 green row and moves to
+       the backlog, where check_oracle still re-verifies it each round.
 
 Entries 51+ = queries already proven by an earlier CORRECTNESS_r{N}.json
 (kept registered so `tools/check_oracle.py` still re-verifies all of them
@@ -121,20 +126,29 @@ _WINDOW: dict[str, QuerySpec] = {
     "geohash_cell_counts": QuerySpec(GQ.geohash_cell_counts, GQ.GEOHASH_CELL_COUNTS_SQL, ("geo", "geohash", "spatial-index", "agg")),
     # user_value_cusum→value_mad (r3-green).
     "user_value_cusum": QuerySpec(EV.user_value_cusum, EV.USER_VALUE_CUSUM_SQL, ("timeseries", "cusum", "drift", "sequential-fold")),
-    "weekly_counts_unpivot": QuerySpec(TQ.weekly_counts_unpivot, TQ.WEEKLY_COUNTS_UNPIVOT_SQL, ("unpivot", "melt")),
-    "regional_revenue_rollup": QuerySpec(TQ.regional_revenue_rollup, TQ.REGIONAL_REVENUE_ROLLUP_SQL, ("agg", "rollup")),
-    "acctbal_union_stats": QuerySpec(TQ.acctbal_union_stats, TQ.ACCTBAL_UNION_STATS_SQL, ("setop", "union-all")),
-    "rolling_3event_value": QuerySpec(EV.rolling_3event_value, EV.ROLLING_3EVENT_VALUE_SQL, ("window", "rows-frame")),
-    "nation_revenue_share": QuerySpec(TQ.nation_revenue_share, TQ.NATION_REVENUE_SHARE_SQL, ("window", "ratio-to-report")),
-    "brand_basket_pairs": QuerySpec(TQ.brand_basket_pairs, TQ.BRAND_BASKET_PAIRS_SQL, ("join", "self-join", "market-basket")),
-    # --- 42-50: the 9 round-3-new operators (r3-proven; displacement
-    # candidates like 22-41) ----------------------------------------------
-    "span_dedup_corpus": QuerySpec(NS.span_dedup_corpus, NS.SPAN_DEDUP_CORPUS_SQL, ("dedup", "spans", "training-data")),
-    "dedup_containment": QuerySpec(NS.dedup_containment, NS.DEDUP_CONTAINMENT_SQL, ("dedup", "containment")),
-    "token_budget_truncate": QuerySpec(NS.token_budget_truncate, NS.TOKEN_BUDGET_TRUNCATE_SQL, ("training-data", "budget")),
-    "curriculum_order": QuerySpec(NS.curriculum_order, NS.CURRICULUM_ORDER_SQL, ("training-data", "curriculum", "prefix-sum")),
-    "ann_lsh_det": QuerySpec(NS.ann_lsh_det, NS.ANN_LSH_DET_SQL, ("ann", "lsh", "deterministic")),
-    "grouping_sets_revenue": QuerySpec(TQ.grouping_sets_revenue, TQ.GROUPING_SETS_REVENUE_SQL, ("agg", "grouping-sets")),
+    # --- round-4 session-2 rotation: the 12 deterministic-sketch / graph /
+    # quality / ML-prep queries added this session displace 12 r3-proven
+    # slots (each displaced entry holds a CORRECTNESS_r03.json green row):
+    # hll_det_daily_users→weekly_counts_unpivot, kmv_distinct_users→
+    # regional_revenue_rollup, cms_token_counts→acctbal_union_stats,
+    # pagerank_det→rolling_3event_value, bfs_hops_det→nation_revenue_share,
+    # benford_first_digit→brand_basket_pairs, bloom_semijoin_orders→
+    # span_dedup_corpus, target_encode_event_type→dedup_containment,
+    # autocorr_daily_value→token_budget_truncate, doc_lm_kneser_ney→
+    # curriculum_order, quantile_normalize_doclen→ann_lsh_det,
+    # zonemap_tile_pruning→grouping_sets_revenue.
+    "hll_det_daily_users": QuerySpec(NS.hll_det_daily_users, NS.HLL_DET_DAILY_USERS_SQL, ("sketch", "hll", "deterministic")),
+    "kmv_distinct_users": QuerySpec(NS.kmv_distinct_users, NS.KMV_DISTINCT_USERS_SQL, ("sketch", "kmv", "theta", "mergeable", "deterministic")),
+    "cms_token_counts": QuerySpec(NS.cms_token_counts, NS.CMS_TOKEN_COUNTS_SQL, ("sketch", "count-min", "deterministic")),
+    "pagerank_det": QuerySpec(TQ.pagerank_det, TQ.PAGERANK_DET_SQL, ("graph", "iterative", "pagerank", "fixed-point", "deterministic")),
+    "bfs_hops_det": QuerySpec(TQ.bfs_hops_det, TQ.BFS_HOPS_DET_SQL, ("graph", "iterative", "bfs", "deterministic")),
+    "benford_first_digit": QuerySpec(TQ.benford_first_digit, TQ.BENFORD_FIRST_DIGIT_SQL, ("quality", "audit", "distribution")),
+    "bloom_semijoin_orders": QuerySpec(TQ.bloom_semijoin_orders, TQ.BLOOM_SEMIJOIN_ORDERS_SQL, ("join", "bloom", "prefilter", "broadcast")),
+    "target_encode_event_type": QuerySpec(EV.target_encode_event_type, EV.TARGET_ENCODE_EVENT_TYPE_SQL, ("ml", "target-encoding", "kfold", "leakage-safe")),
+    "autocorr_daily_value": QuerySpec(EV.autocorr_daily_value, EV.AUTOCORR_DAILY_VALUE_SQL, ("timeseries", "acf", "integer-exact")),
+    "doc_lm_kneser_ney": QuerySpec(NS.doc_lm_kneser_ney, NS.DOC_LM_KNESER_NEY_SQL, ("text", "quality", "lm", "kneser-ney", "smoothing")),
+    "quantile_normalize_doclen": QuerySpec(NS.quantile_normalize_doclen, NS.QUANTILE_NORMALIZE_DOCLEN_SQL, ("ml", "normalization", "quantile", "cross-source")),
+    "zonemap_tile_pruning": QuerySpec(TQ.zonemap_tile_pruning, TQ.ZONEMAP_TILE_PRUNING_SQL, ("layout", "zonemap", "data-skipping", "zorder")),
     # second round-3 batch (displaced latest_event_per_user,
     # first_event_per_user, user_gap_stats — all r1-green):
     "winnow_fingerprints": QuerySpec(NS.winnow_fingerprints, NS.WINNOW_FINGERPRINTS_SQL, ("dedup", "fingerprint", "winnowing")),
@@ -145,6 +159,18 @@ _WINDOW: dict[str, QuerySpec] = {
 _BACKLOG: dict[str, QuerySpec] = {
     # --- rotated out of the window in round 4 — each holds a
     # CORRECTNESS_r03.json full-oracle green row ---------------------------
+    "weekly_counts_unpivot": QuerySpec(TQ.weekly_counts_unpivot, TQ.WEEKLY_COUNTS_UNPIVOT_SQL, ("unpivot", "melt")),
+    "regional_revenue_rollup": QuerySpec(TQ.regional_revenue_rollup, TQ.REGIONAL_REVENUE_ROLLUP_SQL, ("agg", "rollup")),
+    "acctbal_union_stats": QuerySpec(TQ.acctbal_union_stats, TQ.ACCTBAL_UNION_STATS_SQL, ("setop", "union-all")),
+    "rolling_3event_value": QuerySpec(EV.rolling_3event_value, EV.ROLLING_3EVENT_VALUE_SQL, ("window", "rows-frame")),
+    "nation_revenue_share": QuerySpec(TQ.nation_revenue_share, TQ.NATION_REVENUE_SHARE_SQL, ("window", "ratio-to-report")),
+    "brand_basket_pairs": QuerySpec(TQ.brand_basket_pairs, TQ.BRAND_BASKET_PAIRS_SQL, ("join", "self-join", "market-basket")),
+    "span_dedup_corpus": QuerySpec(NS.span_dedup_corpus, NS.SPAN_DEDUP_CORPUS_SQL, ("dedup", "spans", "training-data")),
+    "dedup_containment": QuerySpec(NS.dedup_containment, NS.DEDUP_CONTAINMENT_SQL, ("dedup", "containment")),
+    "token_budget_truncate": QuerySpec(NS.token_budget_truncate, NS.TOKEN_BUDGET_TRUNCATE_SQL, ("training-data", "budget")),
+    "curriculum_order": QuerySpec(NS.curriculum_order, NS.CURRICULUM_ORDER_SQL, ("training-data", "curriculum", "prefix-sum")),
+    "ann_lsh_det": QuerySpec(NS.ann_lsh_det, NS.ANN_LSH_DET_SQL, ("ann", "lsh", "deterministic")),
+    "grouping_sets_revenue": QuerySpec(TQ.grouping_sets_revenue, TQ.GROUPING_SETS_REVENUE_SQL, ("agg", "grouping-sets")),
     "coactivity_triangles": QuerySpec(EV.coactivity_triangles, EV.COACTIVITY_TRIANGLES_SQL, ("graph", "triangles", "self-join")),
     "scd2_event_type_history": QuerySpec(EV.scd2_event_type_history, EV.SCD2_EVENT_TYPE_HISTORY_SQL, ("scd2", "window", "gaps-and-islands")),
     "user_value_interpolate": QuerySpec(EV.user_value_interpolate, EV.USER_VALUE_INTERPOLATE_SQL, ("timeseries", "interpolation", "grid")),
@@ -222,21 +248,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "weekly_unique_users_hll": QuerySpec(NS.weekly_unique_users_hll, None, ("sketch", "hll", "rollup")),
     "bpe_merges": QuerySpec(NS.bpe_merges, None, ("text", "tokenizer", "bpe", "iterative")),
     "token_heavy_hitters_approx": QuerySpec(NS.token_heavy_hitters_approx, None, ("text", "sketch", "topk")),
-    # --- deterministic sketch tier (round 4): md5-derived integer state +
-    # one closed-form float, so the FULL estimate replays in DuckDB — the
-    # ann_lsh_det precedent applied to the sketch family.
-    "hll_det_daily_users": QuerySpec(NS.hll_det_daily_users, NS.HLL_DET_DAILY_USERS_SQL, ("sketch", "hll", "deterministic")),
-    "kmv_distinct_users": QuerySpec(NS.kmv_distinct_users, NS.KMV_DISTINCT_USERS_SQL, ("sketch", "kmv", "theta", "mergeable", "deterministic")),
-    "cms_token_counts": QuerySpec(NS.cms_token_counts, NS.CMS_TOKEN_COUNTS_SQL, ("sketch", "count-min", "deterministic")),
-    "pagerank_det": QuerySpec(TQ.pagerank_det, TQ.PAGERANK_DET_SQL, ("graph", "iterative", "pagerank", "fixed-point", "deterministic")),
-    "bfs_hops_det": QuerySpec(TQ.bfs_hops_det, TQ.BFS_HOPS_DET_SQL, ("graph", "iterative", "bfs", "deterministic")),
-    "benford_first_digit": QuerySpec(TQ.benford_first_digit, TQ.BENFORD_FIRST_DIGIT_SQL, ("quality", "audit", "distribution")),
-    "bloom_semijoin_orders": QuerySpec(TQ.bloom_semijoin_orders, TQ.BLOOM_SEMIJOIN_ORDERS_SQL, ("join", "bloom", "prefilter", "broadcast")),
-    "target_encode_event_type": QuerySpec(EV.target_encode_event_type, EV.TARGET_ENCODE_EVENT_TYPE_SQL, ("ml", "target-encoding", "kfold", "leakage-safe")),
-    "autocorr_daily_value": QuerySpec(EV.autocorr_daily_value, EV.AUTOCORR_DAILY_VALUE_SQL, ("timeseries", "acf", "integer-exact")),
-    "doc_lm_kneser_ney": QuerySpec(NS.doc_lm_kneser_ney, NS.DOC_LM_KNESER_NEY_SQL, ("text", "quality", "lm", "kneser-ney", "smoothing")),
-    "quantile_normalize_doclen": QuerySpec(NS.quantile_normalize_doclen, NS.QUANTILE_NORMALIZE_DOCLEN_SQL, ("ml", "normalization", "quantile", "cross-source")),
-    "zonemap_tile_pruning": QuerySpec(TQ.zonemap_tile_pruning, TQ.ZONEMAP_TILE_PRUNING_SQL, ("layout", "zonemap", "data-skipping", "zorder")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
