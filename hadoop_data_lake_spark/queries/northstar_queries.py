@@ -2429,3 +2429,128 @@ grid AS (
 SELECT g.doc_id, g.source, g.n_chars, g.g, grid.ref_len_r
 FROM g JOIN grid ON g.g = grid.g
 """
+
+
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the standard RAG
+    pattern: a LEXICAL ranking (distinct-token overlap with the query
+    document) and a VECTOR ranking (embedding cosine to the query vector,
+    documents and embeddings sharing ids) are fused as
+
+        rrf = 1/(60 + rank_lex) + 1/(60 + rank_vec)
+
+    (Cormack et al.'s k=60), top-20 returned. Both ranks are integers with
+    (rounded score desc, id asc) tie-breaks, so the fusion is exactly
+    replayable. Shapes: the lexical side is an inverted-index semi-join on
+    the broadcast query token set (never a corpus self-join); the vector
+    side is one broadcast cosine pass — the brute-force tier, swappable
+    for the LSH/IVF tiers at corpus scale."""
+    from hadoop_data_lake_spark.functions.vectors import cosine
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qtok = (
+        docs.where(F.col("doc_id") == 0)
+        .select(F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("token"))
+        .distinct()
+    )
+    dtok = docs.where(F.col("doc_id") != 0).select(
+        "doc_id", F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("token")
+    )
+    overlap = (
+        dtok.join(F.broadcast(qtok), "token")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("ov"))
+    )
+    lex = (
+        docs.where(F.col("doc_id") != 0)
+        .join(overlap, "doc_id", "left")
+        .select("doc_id", F.coalesce("ov", F.lit(0)).alias("ov"))
+        .withColumn(
+            "r_lex",
+            F.row_number().over(
+                Window.orderBy(F.col("ov").desc(), F.col("doc_id").asc())
+            ),
+        )
+    )
+    qvec = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qemb")
+    )
+    vec = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("qemb")), 6).alias("cos_r"),
+        )
+        .withColumn(
+            "r_vec",
+            F.row_number().over(
+                Window.orderBy(F.col("cos_r").desc(), F.col("doc_id").asc())
+            ),
+        )
+    )
+    fused = (
+        lex.join(vec, "doc_id")
+        .withColumn(
+            "rrf_r",
+            F.round(
+                F.lit(1.0) / (F.lit(60.0) + F.col("r_lex"))
+                + F.lit(1.0) / (F.lit(60.0) + F.col("r_vec")),
+                9,
+            ),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("rrf_r").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .where(F.col("rnk") <= 20)
+        .drop("rnk")
+    )
+    return fused.select("doc_id", "ov", "r_lex", "cos_r", "r_vec", "rrf_r")
+
+
+def _rrf_sql() -> str:
+    cos = cosine_sql("e.embedding", "q.embedding")
+    return f"""
+WITH qtok AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE doc_id = 0
+),
+dtok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE doc_id <> 0
+),
+overlap AS (
+  SELECT d.doc_id, count(*) AS ov
+  FROM dtok d JOIN qtok USING (token) GROUP BY d.doc_id
+),
+lex AS (
+  SELECT doc.doc_id, coalesce(o.ov, 0) AS ov,
+         row_number() OVER (ORDER BY coalesce(o.ov, 0) DESC, doc.doc_id ASC) AS r_lex
+  FROM (SELECT doc_id FROM documents WHERE doc_id <> 0) doc
+  LEFT JOIN overlap o ON doc.doc_id = o.doc_id
+),
+vec AS (
+  SELECT e.vec_id AS doc_id,
+         round({cos}, 6) AS cos_r,
+         row_number() OVER (ORDER BY round({cos}, 6) DESC, e.vec_id ASC) AS r_vec
+  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  WHERE e.vec_id <> 0
+),
+fused AS (
+  SELECT l.doc_id, l.ov, l.r_lex, v.cos_r, v.r_vec,
+         round(1.0 / (60.0 + l.r_lex) + 1.0 / (60.0 + v.r_vec), 9) AS rrf_r
+  FROM lex l JOIN vec v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, ov, r_lex, cos_r, r_vec, rrf_r
+FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf_r DESC, doc_id ASC) AS rnk FROM fused
+) WHERE rnk <= 20
+"""
+
+
+RRF_HYBRID_RETRIEVAL_SQL = _rrf_sql()

@@ -248,6 +248,10 @@ _BACKLOG: dict[str, QuerySpec] = {
     "weekly_unique_users_hll": QuerySpec(NS.weekly_unique_users_hll, None, ("sketch", "hll", "rollup")),
     "bpe_merges": QuerySpec(NS.bpe_merges, None, ("text", "tokenizer", "bpe", "iterative")),
     "token_heavy_hitters_approx": QuerySpec(NS.token_heavy_hitters_approx, None, ("text", "sketch", "topk")),
+    # --- round-4 session-2 backlog additions (full-oracle, awaiting a
+    # future window slot) --------------------------------------------------
+    "linkage_jaro_winkler": QuerySpec(TQ.linkage_jaro_winkler, TQ.LINKAGE_JARO_WINKLER_SQL, ("join", "fuzzy", "blocking", "jaro-winkler", "pandas-udf")),
+    "rrf_hybrid_retrieval": QuerySpec(NS.rrf_hybrid_retrieval, NS.RRF_HYBRID_RETRIEVAL_SQL, ("retrieval", "rrf", "hybrid", "rag")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
