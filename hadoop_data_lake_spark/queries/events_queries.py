@@ -2324,3 +2324,159 @@ SELECT event_type, lag, n,
        END AS acf_r
 FROM mom
 """
+
+
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: Welch's z between two deterministic user-level
+    variants (md5(user_id) mod 2 — the hash bucketing real experiment
+    platforms use), per event_type. The analysis unit is the USER (each
+    user's total value in cents), not the event — event-level comparison
+    understates variance through within-user correlation, the classic A/B
+    mistake. Moments (n, sum, sum-of-squares) are exact bigints from one
+    aggregation; mean/variance/z are one closed-form double expression
+    both engines evaluate identically, rounded once. Sum-of-squares stays
+    under 2^63 through ~sf1 on this corpus; beyond that widen to
+    decimal(38)/hugeint."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from hadoop_data_lake_spark.functions.hashing import md5_60bit
+
+    ev = read_table(spark, sf_dir, "events")
+    per_user = (
+        ev.select(
+            "event_type",
+            "user_id",
+            (md5_60bit(F.col("user_id").cast("string")) % 2).alias("variant"),
+            to_units(F.col("value")).alias("cents"),
+        )
+        .groupBy("event_type", "variant", "user_id")
+        .agg(F.sum("cents").alias("user_total"))
+    )
+    mom = per_user.groupBy("event_type", "variant").agg(
+        F.count("*").alias("n"),
+        F.sum("user_total").alias("s"),
+        F.sum(F.col("user_total") * F.col("user_total")).alias("ssq"),
+    )
+    a = mom.where(F.col("variant") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+        F.col("ssq").alias("ssq_a"),
+    )
+    b = mom.where(F.col("variant") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+        F.col("ssq").alias("ssq_b"),
+    )
+    j = a.join(b, "event_type")
+    mean_a = F.col("s_a").cast("double") / F.col("n_a").cast("double")
+    mean_b = F.col("s_b").cast("double") / F.col("n_b").cast("double")
+    var_a = (
+        F.col("ssq_a").cast("double")
+        - F.col("s_a").cast("double") * F.col("s_a").cast("double") / F.col("n_a").cast("double")
+    ) / (F.col("n_a").cast("double") - 1.0)
+    var_b = (
+        F.col("ssq_b").cast("double")
+        - F.col("s_b").cast("double") * F.col("s_b").cast("double") / F.col("n_b").cast("double")
+    ) / (F.col("n_b").cast("double") - 1.0)
+    z = (mean_a - mean_b) / F.sqrt(
+        var_a / F.col("n_a").cast("double") + var_b / F.col("n_b").cast("double")
+    )
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(mean_a / 100.0, 6).alias("mean_a_r"),
+        F.round(mean_b / 100.0, 6).alias("mean_b_r"),
+        F.round(z, 6).alias("welch_z_r"),
+    )
+
+
+AB_TEST_WELCH_SQL = f"""
+WITH per_user AS (
+  SELECT event_type,
+         {_md5_sql("user_id::varchar")} % 2 AS variant,
+         user_id,
+         sum(round(value * 100)::bigint)::bigint AS user_total
+  FROM events
+  GROUP BY event_type, {_md5_sql("user_id::varchar")} % 2, user_id
+),
+mom AS (
+  SELECT event_type, variant, count(*) AS n,
+         sum(user_total)::bigint AS s,
+         sum(user_total * user_total)::bigint AS ssq
+  FROM per_user GROUP BY event_type, variant
+),
+j AS (
+  SELECT a.event_type,
+         a.n AS n_a, a.s AS s_a, a.ssq AS ssq_a,
+         b.n AS n_b, b.s AS s_b, b.ssq AS ssq_b
+  FROM (SELECT * FROM mom WHERE variant = 0) a
+  JOIN (SELECT * FROM mom WHERE variant = 1) b USING (event_type)
+)
+SELECT event_type, n_a, n_b,
+       round((s_a::double / n_a::double) / 100.0, 6) AS mean_a_r,
+       round((s_b::double / n_b::double) / 100.0, 6) AS mean_b_r,
+       round(((s_a::double / n_a::double) - (s_b::double / n_b::double))
+             / sqrt(((ssq_a::double - s_a::double * s_a::double / n_a::double) / (n_a::double - 1.0)) / n_a::double
+                    + ((ssq_b::double - s_b::double * s_b::double / n_b::double) / (n_b::double - 1.0)) / n_b::double),
+             6) AS welch_z_r
+FROM j
+"""
+
+
+def holt_smoothing_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, alpha=0.3
+    beta=0.1) per user — the forecast-ready upgrade of the EWMA fold. The
+    recurrence carries TWO coupled states, encoded as a 2-element double
+    array threaded through the same JVM aggregate() fold the EWMA uses
+    (DuckDB: list_reduce over [v, 0] pairs — its accumulator must match
+    the element type, hence the encoding). Identical left-fold order and
+    IEEE ops in both engines; rounded once at the end."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("vals")
+    ).where(F.size("vals") >= 2)
+    # state = array(level, trend); seed: level = v1, trend = v2 - v1
+    state = F.expr(
+        "aggregate(slice(vals, 3, size(vals) - 2), "
+        "array(element_at(vals, 2), element_at(vals, 2) - element_at(vals, 1)), "
+        "(acc, x) -> array("
+        "  0.3D * x + 0.7D * (acc[0] + acc[1]), "
+        "  0.1D * ((0.3D * x + 0.7D * (acc[0] + acc[1])) - acc[0]) + 0.9D * acc[1]))"
+    )
+    return per_user.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        F.round(state[0], 6).alias("level_r"),
+        F.round(state[1], 6).alias("trend_r"),
+    )
+
+
+HOLT_SMOOTHING_PER_USER_SQL = """
+WITH per_user AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+),
+folded AS (
+  SELECT user_id, len(vals) AS n,
+         list_reduce(
+           list_prepend([vals[2], vals[2] - vals[1]],
+                        list_transform(vals[3:], v -> [v, 0.0])),
+           (acc, x) -> [
+             0.3 * x[1] + 0.7 * (acc[1] + acc[2]),
+             0.1 * ((0.3 * x[1] + 0.7 * (acc[1] + acc[2])) - acc[1]) + 0.9 * acc[2]
+           ]
+         ) AS st
+  FROM per_user
+  WHERE len(vals) >= 2
+)
+SELECT user_id, n::bigint AS n_events,
+       round(st[1], 6) AS level_r, round(st[2], 6) AS trend_r
+FROM folded
+"""

@@ -2554,3 +2554,99 @@ FROM (
 
 
 RRF_HYBRID_RETRIEVAL_SQL = _rrf_sql()
+
+
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-class geometry report: cosine similarity between per-label
+    embedding centroids — the embedding-space health check run before
+    training a classifier on the labels (collapsed or overlapping classes
+    show up as near-1 off-diagonal similarity). Float centroid means are
+    order-sensitive, so each component is QUANTIZED to integer micro-units
+    first (floor(x * 1e6), the srp_int_topk precedent); the per-label
+    component sums are then exact bigints, and the centroid cosine is one
+    closed-form double expression over identical integers. Shapes: explode
+    to (label, dim, q) -> one shuffle to 10x64 integer cells -> re-collect
+    ordered centroid arrays -> tiny 45-row cross of label pairs."""
+    emb = read_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    cells = (
+        emb.select(
+            "label", F.posexplode(F.col("embedding")).alias("dim", "x")
+        )
+        .withColumn("q", F.floor(F.col("x").cast("double") * 1e6).cast("long"))
+        .groupBy("label", "dim")
+        .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+    )
+    cent = cells.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "s"))), lambda t: t["s"]
+        ).alias("c"),
+        F.min("n").alias("n"),
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), F.col("c").alias("ca"), F.col("n").alias("na")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("c").alias("cb"), F.col("n").alias("nb")
+    )
+    pairs = a.join(b, a["label_a"] < b["label_b"])
+    # cosine over integer sums: scale factors (1/na, 1/nb) cancel in the
+    # cosine, so the integer vectors ARE the centroids up to scale.
+    dotc = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norma = F.sqrt(
+        F.aggregate(
+            F.transform("ca", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    normb = F.sqrt(
+        F.aggregate(
+            F.transform("cb", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(dotc / (norma * normb), 6).alias("centroid_cos_r"),
+    )
+
+
+LABEL_CENTROID_SIMILARITY_SQL = """
+WITH cells AS (
+  SELECT label, u.dim, sum(floor(u.x::double * 1e6)::bigint)::bigint AS s,
+         count(*) AS n
+  FROM embeddings,
+       LATERAL (SELECT generate_subscripts(embedding, 1) AS dim,
+                       unnest(embedding) AS x) u
+  GROUP BY label, u.dim
+),
+cent AS (
+  SELECT label, list(s ORDER BY dim) AS c, min(n) AS n FROM cells GROUP BY label
+),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         a.c AS ca, b.c AS cb, a.n AS na, b.n AS nb
+  FROM cent a JOIN cent b ON a.label < b.label
+)
+SELECT label_a, label_b, na::bigint AS n_a, nb::bigint AS n_b,
+       round(
+         list_reduce(list_prepend(0.0::double,
+           list_transform(range(1, len(ca) + 1), i -> ca[i]::double * cb[i]::double)),
+           (acc, v) -> acc + v)
+         / (sqrt(list_reduce(list_prepend(0.0::double,
+              list_transform(range(1, len(ca) + 1), i -> ca[i]::double * ca[i]::double)),
+              (acc, v) -> acc + v))
+            * sqrt(list_reduce(list_prepend(0.0::double,
+                list_transform(range(1, len(cb) + 1), i -> cb[i]::double * cb[i]::double)),
+                (acc, v) -> acc + v))),
+         6) AS centroid_cos_r
+FROM pairs
+"""

@@ -252,6 +252,9 @@ _BACKLOG: dict[str, QuerySpec] = {
     # future window slot) --------------------------------------------------
     "linkage_jaro_winkler": QuerySpec(TQ.linkage_jaro_winkler, TQ.LINKAGE_JARO_WINKLER_SQL, ("join", "fuzzy", "blocking", "jaro-winkler", "pandas-udf")),
     "rrf_hybrid_retrieval": QuerySpec(NS.rrf_hybrid_retrieval, NS.RRF_HYBRID_RETRIEVAL_SQL, ("retrieval", "rrf", "hybrid", "rag")),
+    "ab_test_welch": QuerySpec(EV.ab_test_welch, EV.AB_TEST_WELCH_SQL, ("experiment", "welch", "ab-test", "integer-exact")),
+    "holt_smoothing_per_user": QuerySpec(EV.holt_smoothing_per_user, EV.HOLT_SMOOTHING_PER_USER_SQL, ("timeseries", "holt", "sequential-fold")),
+    "label_centroid_similarity": QuerySpec(NS.label_centroid_similarity, NS.LABEL_CENTROID_SIMILARITY_SQL, ("embedding", "centroid", "class-geometry", "integer-exact")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),

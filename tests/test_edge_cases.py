@@ -251,3 +251,38 @@ def test_autocorr_perfect_linear_series_is_one(spark):
     num = n * sxy - sx * sy
     den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
     assert num * num == den2  # exact integer identity for a linear series
+
+
+def test_holt_smoothing_matches_serial_fold(spark):
+    """The array-state aggregate() fold must equal the plain-Python Holt
+    recurrence over the same ordered values."""
+    import pyspark.sql.functions as F
+    from datetime import datetime, timedelta
+
+    vals = [10.0, 12.0, 11.0, 15.0, 14.0, 18.0]
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + timedelta(hours=i), i, v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    per_user = df.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("vals")
+    )
+    state = F.expr(
+        "aggregate(slice(vals, 3, size(vals) - 2), "
+        "array(element_at(vals, 2), element_at(vals, 2) - element_at(vals, 1)), "
+        "(acc, x) -> array("
+        "  0.3D * x + 0.7D * (acc[0] + acc[1]), "
+        "  0.1D * ((0.3D * x + 0.7D * (acc[0] + acc[1])) - acc[0]) + 0.9D * acc[1]))"
+    )
+    got = per_user.select(state[0].alias("l"), state[1].alias("b")).first()
+
+    l, b = vals[1], vals[1] - vals[0]
+    for v in vals[2:]:
+        nl = 0.3 * v + 0.7 * (l + b)
+        b = 0.1 * (nl - l) + 0.9 * b
+        l = nl
+    assert got["l"] == l and got["b"] == b

@@ -286,3 +286,43 @@ def test_minhash_cross_broadcasts_probe_side(spark):
     the corpus side of the candidate join never shuffles."""
     plan = _plan(spark, "decontaminate_minhash_cross")
     assert "BroadcastHashJoin" in plan
+
+
+def test_target_encoding_is_one_scan_one_shuffle_plus_window(spark):
+    """All five folds' out-of-fold means must derive from ONE events scan
+    and ONE (type, fold) aggregation — the subtraction identity; a naive
+    per-fold filtered re-scan would show 5 FileScans."""
+    plan = _plan(spark, "target_encode_event_type")
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_autocorr_single_scan_single_sort(spark):
+    """Lags 1-3 ride one window pass over the daily frame: one events scan
+    and one Sort for the window (stack unpivot adds no shuffle)."""
+    plan = _plan(spark, "autocorr_daily_value")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Window") == 1
+
+
+def test_bloom_semijoin_broadcasts_bitset_and_dim(spark):
+    """Both the bloom bucket set and the exact-join customer side must
+    broadcast — the orders side may shuffle for its own aggregation but
+    never for a join build."""
+    plan = _plan(spark, "bloom_semijoin_orders")
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_kneser_ney_model_reused_not_rederived(spark):
+    """The bigram model feeds fwd/bwd/btot re-aggregations and the scoring
+    join; localCheckpoint must keep the corpus explode to a bounded number
+    of scans (2: model build + rescore) instead of one per consumer."""
+    plan = _plan(spark, "doc_lm_kneser_ney")
+    assert plan.count("FileScan parquet") <= 2
+
+
+def test_hll_det_register_state_is_integer(spark):
+    """The HLL query's schema must carry the rounded estimate and exact
+    count only — and its physical plan one scan for the register pipeline
+    plus one for the exact count (the join of two aggregations)."""
+    plan = _plan(spark, "hll_det_daily_users")
+    assert plan.count("FileScan parquet") <= 2
