@@ -2480,3 +2480,264 @@ SELECT user_id, n::bigint AS n_events,
        round(st[1], 6) AS level_r, round(st[2], 6) AS trend_r
 FROM folded
 """
+
+
+# Poisson(1) inverse-CDF thresholds, shared verbatim by the Spark and
+# DuckDB expressions so the bootstrap weights are identical by construction.
+_POISSON1_CDF = [
+    (0, 0.36787944117144233),
+    (1, 0.7357588823428847),
+    (2, 0.9196986029286058),
+    (3, 0.9810118431238463),
+    (4, 0.9963401531726563),
+    (5, 0.9994058151824183),
+    (6, 0.999916758850712),
+    (7, 0.9999897508033253),
+]
+_BOOT_B = 32  # resamples; CI = 2nd smallest / 2nd largest resample mean
+
+
+def _poisson_case_spark(u: "F.Column") -> "F.Column":
+    expr = F.lit(len(_POISSON1_CDF))
+    for k, c in reversed(_POISSON1_CDF):
+        expr = F.when(u < F.lit(c), F.lit(k)).otherwise(expr)
+    return expr
+
+
+def _poisson_case_sql(u: str) -> str:
+    whens = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in _POISSON1_CDF
+    )
+    return f"(CASE {whens} ELSE {len(_POISSON1_CDF)} END)"
+
+
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-bootstrap confidence interval for the per-user mean value,
+    per event_type — the assumption-free uncertainty quantification the
+    Welch readout's normality shortcut avoids. DERANDOMIZED: resample b's
+    weight for user u is Poisson(1) drawn by inverse-CDF from the uniform
+    md5(b|user)/2^60 — the standard Poisson bootstrap (what makes bootstrap
+    distributed-friendly: no global multinomial, each row independently
+    weighted), made hash-deterministic so both engines generate the SAME
+    32 resamples. Pipeline: user totals (1 shuffle of facts) -> x32
+    explode of the per-user frame only -> weighted means from exact
+    bigint sums -> order-statistic CI (2nd smallest / 2nd largest of 32,
+    ~ the 95% percentile interval). Facts are scanned ONCE; the B-fold
+    blowup touches only the user-level frame."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    per_user = (
+        ev.select("event_type", "user_id", to_units(F.col("value")).alias("cents"))
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("cents").alias("user_total"), F.count("*").alias("n_ev"))
+    )
+    boot = per_user.withColumn(
+        "b", F.explode(F.array(*[F.lit(i) for i in range(_BOOT_B)]))
+    )
+    # uniform draw per (resample, user): md5('b|user') normalized to [0,1)
+    uu = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("b").cast("string"), F.lit("|"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    weighted = boot.withColumn("w", _poisson_case_spark(uu))
+    means = (
+        weighted.groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("user_total")).alias("ws"),
+            F.sum("w").alias("wn"),
+        )
+        .where(F.col("wn") > 0)
+        .select(
+            "event_type",
+            "b",
+            (F.col("ws").cast("double") / (F.col("wn").cast("double") * 100.0)).alias(
+                "m"
+            ),
+        )
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(F.col("m").asc(), F.col("b").asc())
+    ranked = means.withColumn("rk", F.row_number().over(w_rank)).withColumn(
+        "nb", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    ci = ranked.groupBy("event_type").agg(
+        F.round(F.min(F.when(F.col("rk") == 2, F.col("m"))), 6).alias("ci_lo_r"),
+        F.round(F.min(F.when(F.col("rk") == F.col("nb") - 1, F.col("m"))), 6).alias(
+            "ci_hi_r"
+        ),
+    )
+    point = per_user.groupBy("event_type").agg(
+        F.round(
+            F.sum("user_total").cast("double")
+            / (F.count("*").cast("double") * 100.0),
+            6,
+        ).alias("mean_r"),
+        F.count("*").alias("n_users"),
+    )
+    return point.join(ci, "event_type").select(
+        "event_type", "n_users", "mean_r", "ci_lo_r", "ci_hi_r"
+    )
+
+
+def _bootstrap_sql() -> str:
+    from hadoop_data_lake_spark.functions.hashing import md5_60bit_sql
+
+    uu = f"({md5_60bit_sql('concat(b.range::varchar, chr(124), user_id::varchar)')}::double / {float(1 << 60)!r})"
+    w = _poisson_case_sql(uu)
+    return f"""
+WITH per_user AS (
+  SELECT event_type, user_id,
+         sum(round(value * 100)::bigint)::bigint AS user_total,
+         count(*) AS n_ev
+  FROM events GROUP BY event_type, user_id
+),
+boot AS (
+  SELECT event_type, user_id, user_total, b.range AS b, {w} AS w
+  FROM per_user CROSS JOIN range({_BOOT_B}) b
+),
+means AS (
+  SELECT event_type, b,
+         sum(w * user_total)::bigint::double / (sum(w)::bigint::double * 100.0) AS m
+  FROM boot GROUP BY event_type, b HAVING sum(w) > 0
+),
+ranked AS (
+  SELECT event_type, b, m,
+         row_number() OVER (PARTITION BY event_type ORDER BY m ASC, b ASC) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS nb
+  FROM means
+),
+ci AS (
+  SELECT event_type,
+         round(min(CASE WHEN rk = 2 THEN m END), 6) AS ci_lo_r,
+         round(min(CASE WHEN rk = nb - 1 THEN m END), 6) AS ci_hi_r
+  FROM ranked GROUP BY event_type
+),
+point AS (
+  SELECT event_type,
+         round(sum(user_total)::double / (count(*)::double * 100.0), 6) AS mean_r,
+         count(*) AS n_users
+  FROM per_user GROUP BY event_type
+)
+SELECT point.event_type, point.n_users, point.mean_r, ci.ci_lo_r, ci.ci_hi_r
+FROM point JOIN ci ON point.event_type = ci.event_type
+"""
+
+
+BOOTSTRAP_MEAN_CI_SQL = _bootstrap_sql()
+
+
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day — the windowed-distinct metric
+    plain window frames cannot express (no windowed COUNT DISTINCT).
+    Scale-safe identity: dedupe to (user, day) pairs first (one shuffle,
+    output bounded by users x active-days), then each pair CONTRIBUTES to
+    days d..d+6 via a 7-element explode of the small deduped frame, and a
+    distinct count per contributed day finishes. The 7x blowup touches
+    user-days, never raw events. Days beyond the observed range are
+    clipped so every output day has a full-or-partial trailing window over
+    real data."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    user_days = ev.distinct()
+    bounds = ev.agg(F.max("day").alias("max_day"))
+    contrib = (
+        user_days.withColumn("k", F.explode(F.array(*[F.lit(i) for i in range(7)])))
+        .select("user_id", F.date_add(F.col("day"), F.col("k")).alias("day"))
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("day") <= F.col("max_day"))
+    )
+    return (
+        contrib.groupBy("day")
+        .agg(F.countDistinct("user_id").alias("u7"))
+        .select(F.col("day").cast("string").alias("day"), "u7")
+    )
+
+
+ROLLING_7D_DISTINCT_USERS_SQL = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+bounds AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events),
+contrib AS (
+  SELECT user_id, day + k.range::int AS day
+  FROM user_days CROSS JOIN range(7) k, bounds
+  WHERE day + k.range::int <= bounds.max_day
+)
+SELECT day::varchar AS day, count(DISTINCT user_id) AS u7
+FROM contrib GROUP BY day
+"""
+
+
+def chi2_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen: is event_type usage independent of
+    weekday? One contingency aggregation (type x dow integer counts);
+    expected cells and the chi-square contribution derive from row/column
+    marginal INTEGER totals re-aggregated from the 35-cell table (window
+    sums — the facts are scanned once). Per-cell output keeps every float
+    a single rounded expression; the verdict statistic is the sum of the
+    rounded cells downstream, so no cross-cell float accumulation enters
+    the hash."""
+    ev = read_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("event_type")
+    wd = Window.partitionBy("dow")
+    wall = Window.partitionBy()
+    out = cells.select(
+        "event_type",
+        "dow",
+        "n",
+        F.sum("n").over(wt).alias("row_total"),
+        F.sum("n").over(wd).alias("col_total"),
+        F.sum("n").over(wall).alias("grand"),
+    )
+    expected = (
+        F.col("row_total").cast("double")
+        * F.col("col_total").cast("double")
+        / F.col("grand").cast("double")
+    )
+    contrib = (F.col("n").cast("double") - expected) * (
+        F.col("n").cast("double") - expected
+    ) / expected
+    return out.select(
+        "event_type",
+        "dow",
+        "n",
+        F.round(expected, 6).alias("expected_r"),
+        F.round(contrib, 6).alias("chi2_contrib_r"),
+    )
+
+
+CHI2_TYPE_WEEKDAY_SQL = """
+WITH cells AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow, count(*) AS n
+  FROM events GROUP BY event_type, dayofweek(ts) + 1
+),
+tot AS (
+  SELECT event_type, dow, n,
+         sum(n) OVER (PARTITION BY event_type) AS row_total,
+         sum(n) OVER (PARTITION BY dow) AS col_total,
+         sum(n) OVER () AS grand
+  FROM cells
+)
+SELECT event_type, dow, n,
+       round(row_total::double * col_total::double / grand::double, 6) AS expected_r,
+       round((n::double - row_total::double * col_total::double / grand::double)
+             * (n::double - row_total::double * col_total::double / grand::double)
+             / (row_total::double * col_total::double / grand::double), 6) AS chi2_contrib_r
+FROM tot
+"""

@@ -255,6 +255,9 @@ _BACKLOG: dict[str, QuerySpec] = {
     "ab_test_welch": QuerySpec(EV.ab_test_welch, EV.AB_TEST_WELCH_SQL, ("experiment", "welch", "ab-test", "integer-exact")),
     "holt_smoothing_per_user": QuerySpec(EV.holt_smoothing_per_user, EV.HOLT_SMOOTHING_PER_USER_SQL, ("timeseries", "holt", "sequential-fold")),
     "label_centroid_similarity": QuerySpec(NS.label_centroid_similarity, NS.LABEL_CENTROID_SIMILARITY_SQL, ("embedding", "centroid", "class-geometry", "integer-exact")),
+    "bootstrap_mean_ci": QuerySpec(EV.bootstrap_mean_ci, EV.BOOTSTRAP_MEAN_CI_SQL, ("experiment", "bootstrap", "poisson", "ci", "deterministic")),
+    "rolling_7d_distinct_users": QuerySpec(EV.rolling_7d_distinct_users, EV.ROLLING_7D_DISTINCT_USERS_SQL, ("window", "distinct", "sliding", "contribution-explode")),
+    "chi2_type_weekday": QuerySpec(EV.chi2_type_weekday, EV.CHI2_TYPE_WEEKDAY_SQL, ("quality", "chi-square", "independence", "contingency")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),

@@ -286,3 +286,37 @@ def test_holt_smoothing_matches_serial_fold(spark):
         b = 0.1 * (nl - l) + 0.9 * b
         l = nl
     assert got["l"] == l and got["b"] == b
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark):
+    """Order-statistic CI from 32 Poisson resamples must bracket the point
+    mean (a resampling scheme that fails this is miscoded, not unlucky —
+    the draws are deterministic)."""
+    from hadoop_data_lake_spark.queries.events_queries import bootstrap_mean_ci
+
+    out = bootstrap_mean_ci(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["ci_lo_r"] <= r["mean_r"] <= r["ci_hi_r"], r
+        assert r["ci_lo_r"] < r["ci_hi_r"]
+
+
+def test_rolling_7d_distinct_never_below_daily_distinct(spark):
+    import pyspark.sql.functions as F
+
+    from hadoop_data_lake_spark.core.io import read_table
+    from hadoop_data_lake_spark.queries.events_queries import (
+        rolling_7d_distinct_users,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    u7 = {r["day"]: r["u7"] for r in rolling_7d_distinct_users(spark, sf).collect()}
+    daily = {
+        str(r["day"]): r["u"]
+        for r in read_table(spark, sf, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    for day, u in daily.items():
+        assert u7[day] >= u, (day, u7[day], u)
