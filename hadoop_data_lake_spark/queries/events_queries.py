@@ -2741,3 +2741,119 @@ SELECT event_type, dow, n,
              / (row_total::double * col_total::double / grand::double), 6) AS chi2_contrib_r
 FROM tot
 """
+
+
+def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of the
+    event stream, over REFERENCE-decile value bins — the standard model-
+    monitoring drift score. Bin edges are order statistics of the
+    reference period's integer cents (rank-grid bucketing, no float
+    quantile interpolation), so binning is exact in both engines; the
+    current period buckets against those integer edges via a broadcast
+    9-row join. Per-bin output: reference/current shares and the PSI
+    contribution (p_c - p_r) * ln(p_c / p_r), each a single rounded float
+    expression over integer counts."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), to_units(F.col("value")).alias("cents")
+    )
+    mid = ev.agg(
+        F.date_add(F.min("day"), 15).alias("cut")
+    )
+    tagged = ev.crossJoin(F.broadcast(mid)).withColumn(
+        "period", F.when(F.col("day") < F.col("cut"), "ref").otherwise("cur")
+    )
+    ref = tagged.where(F.col("period") == "ref")
+    w = Window.orderBy("cents", "day")
+    binned_ref = ref.withColumn("rk", F.row_number().over(w)).crossJoin(
+        F.broadcast(ref.agg(F.count("*").alias("nr")))
+    ).withColumn("bin", F.expr("((rk - 1) * 10) div nr"))
+    edges = binned_ref.groupBy("bin").agg(F.max("cents").alias("edge")).where(
+        F.col("bin") < 9
+    )
+    # bucket against the 9 integer edges: bin(cents) = #edges < cents. The
+    # mapping depends only on the value, so it's computed once per DISTINCT
+    # cents (a tiny frame) and joined back — never a 9x row explosion of
+    # the facts.
+    all_rows = tagged.select("period", "cents")
+    cents_bins = (
+        all_rows.select("cents")
+        .distinct()
+        .crossJoin(F.broadcast(edges.select("edge")))
+        .groupBy("cents")
+        .agg(F.sum((F.col("edge") < F.col("cents")).cast("int")).alias("bin"))
+    )
+    counts = (
+        all_rows.join(cents_bins, "cents")
+        .groupBy("period", "bin")
+        .agg(F.count("*").alias("n"))
+    )
+    wide = (
+        counts.groupBy("bin")
+        .pivot("period", ["ref", "cur"])
+        .agg(F.first("n"))
+        .fillna(0, subset=["ref", "cur"])
+    )
+    tot = wide.agg(
+        F.sum("ref").alias("tr"), F.sum("cur").alias("tc")
+    )
+    out = wide.crossJoin(F.broadcast(tot))
+    p_r = F.col("ref").cast("double") / F.col("tr").cast("double")
+    p_c = F.col("cur").cast("double") / F.col("tc").cast("double")
+    return out.select(
+        "bin",
+        F.col("ref").alias("n_ref"),
+        F.col("cur").alias("n_cur"),
+        F.round(p_r, 6).alias("p_ref_r"),
+        F.round(p_c, 6).alias("p_cur_r"),
+        F.round((p_c - p_r) * F.log(p_c / p_r), 6).alias("psi_contrib_r"),
+    )
+
+
+VALUE_PSI_DRIFT_SQL = """
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, round(value * 100)::bigint AS cents FROM events
+),
+mid AS (SELECT min(day) + 15 AS cut FROM ev),
+tagged AS (
+  SELECT day, cents,
+         CASE WHEN day < (SELECT cut FROM mid) THEN 'ref' ELSE 'cur' END AS period
+  FROM ev
+),
+ref AS (SELECT * FROM tagged WHERE period = 'ref'),
+binned_ref AS (
+  SELECT cents,
+         ((row_number() OVER (ORDER BY cents, day) - 1) * 10)
+           // (SELECT count(*) FROM ref) AS bin
+  FROM ref
+),
+edges AS (
+  SELECT bin, max(cents) AS edge FROM binned_ref GROUP BY bin HAVING bin < 9
+),
+cents_bins AS (
+  SELECT t.cents, sum(CASE WHEN e.edge < t.cents THEN 1 ELSE 0 END)::int AS bin
+  FROM (SELECT DISTINCT cents FROM tagged) t CROSS JOIN edges e
+  GROUP BY t.cents
+),
+counts AS (
+  SELECT a.period, b.bin, count(*) AS n
+  FROM tagged a JOIN cents_bins b ON a.cents = b.cents
+  GROUP BY a.period, b.bin
+),
+wide AS (
+  SELECT bin,
+         coalesce(sum(CASE WHEN period = 'ref' THEN n END), 0)::bigint AS n_ref,
+         coalesce(sum(CASE WHEN period = 'cur' THEN n END), 0)::bigint AS n_cur
+  FROM counts GROUP BY bin
+),
+tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM wide)
+SELECT bin, n_ref, n_cur,
+       round(n_ref::double / tot.tr::double, 6) AS p_ref_r,
+       round(n_cur::double / tot.tc::double, 6) AS p_cur_r,
+       round((n_cur::double / tot.tc::double - n_ref::double / tot.tr::double)
+             * ln((n_cur::double / tot.tc::double) / (n_ref::double / tot.tr::double)),
+             6) AS psi_contrib_r
+FROM wide, tot
+"""

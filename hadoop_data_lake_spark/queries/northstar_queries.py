@@ -2650,3 +2650,106 @@ SELECT label_a, label_b, na::bigint AS n_a, nb::bigint AS n_b,
          6) AS centroid_cos_r
 FROM pairs
 """
+
+
+def stream_topk_types_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 event types per tumbling 10-minute window, where the counts
+    come from the STREAMING pipeline (watermarked windowed aggregation
+    replayed deterministically over static parquet) and the rank is batch
+    post-processing on the drained sink — the lambda seam as it actually
+    ships: append-mode streaming cannot rank its own aggregates (rank over
+    an un-finalized window would retract), so serving-time top-k runs on
+    the materialized aggregate table. Oracle: the equivalent batch
+    window+rank."""
+    from pyspark.sql import Window
+
+    out = run_batch_replay(spark, f"{sf_dir}/events.parquet", window_seconds=600)
+    w = Window.partitionBy("window_start_us").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        out.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 2)
+        .select("window_start_us", "event_type", "n", "rnk")
+    )
+
+
+STREAM_TOPK_TYPES_PER_WINDOW_SQL = """
+WITH counts AS (
+  SELECT (epoch_us(ts) // 600000000) * 600000000 AS window_start_us,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start_us, event_type, n, rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY window_start_us ORDER BY n DESC, event_type ASC) AS rnk
+  FROM counts
+) WHERE rnk <= 2
+"""
+
+
+def minhash_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the banded MinHash LSH pipeline
+    against exact-Jaccard ground truth at threshold 0.3 (the registry
+    configuration): candidate pairs
+    from band collisions (the production path) vs all true pairs from the
+    naive index (feasible at eval scale; its max_df=None mode exists
+    exactly for this). One summary row: candidate/true-positive counts,
+    precision and recall — the measure-don't-guess loop every dedup
+    deployment needs before trusting a banding config. Pair frames join on
+    canonical (doc_a < doc_b) keys; counts are integers, the two ratios a
+    single rounded division each."""
+    from hadoop_data_lake_spark.operators import dedup as DD
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    truth = DD.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.3, max_df=None
+    ).select("doc_a", "doc_b")
+    cand = DD.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.3
+    ).select("doc_a", "doc_b")
+    hits = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+    stats = (
+        cand.agg(F.count("*").alias("n_candidates"))
+        .crossJoin(truth.agg(F.count("*").alias("n_true")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+    )
+    return stats.select(
+        "n_candidates",
+        "n_true",
+        "n_hits",
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_candidates").cast("double"),
+                6,
+            ),
+        ).alias("precision_r"),
+        F.when(
+            F.col("n_true") > 0,
+            F.round(F.col("n_hits").cast("double") / F.col("n_true").cast("double"), 6),
+        ).alias("recall_r"),
+    )
+
+
+
+def _minhash_eval_pr_sql() -> str:
+    return f"""
+WITH truth AS (SELECT doc_a, doc_b FROM ({DEDUP_NGRAM_JACCARD_SQL}) t),
+cand AS (SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_LSH_SQL}) c),
+hits AS (SELECT * FROM cand SEMI JOIN truth USING (doc_a, doc_b)),
+n AS (
+  SELECT (SELECT count(*) FROM cand) AS n_candidates,
+         (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM hits) AS n_hits
+)
+SELECT n_candidates, n_true, n_hits,
+       CASE WHEN n_candidates > 0
+            THEN round(n_hits::double / n_candidates::double, 6) END AS precision_r,
+       CASE WHEN n_true > 0
+            THEN round(n_hits::double / n_true::double, 6) END AS recall_r
+FROM n
+"""
+
+
+MINHASH_EVAL_PR_SQL = _minhash_eval_pr_sql()

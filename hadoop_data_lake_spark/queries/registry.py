@@ -258,6 +258,10 @@ _BACKLOG: dict[str, QuerySpec] = {
     "bootstrap_mean_ci": QuerySpec(EV.bootstrap_mean_ci, EV.BOOTSTRAP_MEAN_CI_SQL, ("experiment", "bootstrap", "poisson", "ci", "deterministic")),
     "rolling_7d_distinct_users": QuerySpec(EV.rolling_7d_distinct_users, EV.ROLLING_7D_DISTINCT_USERS_SQL, ("window", "distinct", "sliding", "contribution-explode")),
     "chi2_type_weekday": QuerySpec(EV.chi2_type_weekday, EV.CHI2_TYPE_WEEKDAY_SQL, ("quality", "chi-square", "independence", "contingency")),
+    "stream_topk_types_per_window": QuerySpec(NS.stream_topk_types_per_window, NS.STREAM_TOPK_TYPES_PER_WINDOW_SQL, ("streaming", "topk", "lambda-seam")),
+    "value_psi_drift": QuerySpec(EV.value_psi_drift, EV.VALUE_PSI_DRIFT_SQL, ("quality", "psi", "drift", "monitoring")),
+    "pareto_frontier_orders": QuerySpec(TQ.pareto_frontier_orders, TQ.PARETO_FRONTIER_ORDERS_SQL, ("window", "skyline", "pareto", "range-frame")),
+    "minhash_eval_pr": QuerySpec(NS.minhash_eval_pr, NS.MINHASH_EVAL_PR_SQL, ("dedup", "evaluation", "precision-recall", "lsh")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),

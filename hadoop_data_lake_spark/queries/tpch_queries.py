@@ -2415,3 +2415,60 @@ FROM blocked a JOIN blocked b
   ON a.blk = b.blk AND a.p_partkey < b.p_partkey
 WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.93
 """
+
+
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) of orders: maximize total price AND
+    recency. An order is dominated iff some other order is strictly later
+    AND strictly more expensive; the frontier is everything not dominated.
+    The distributed-friendly 2-D formulation is sort-based, not a
+    quadratic self-join: scan in descending date order and keep rows whose
+    price (cents) exceeds the running maximum over all STRICTLY-later
+    dates — one window over a date-desc sort with a range frame excluding
+    the current date (ties on date must not dominate each other).
+    O(n log n), one exchange; the self-join skyline is O(n^2) and never
+    built."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        to_units(F.col("o_totalprice")).alias("cents"),
+        F.unix_date(F.to_date("o_orderdate")).alias("d"),
+    )
+    w = (
+        Window.orderBy(F.col("d").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    # rangeBetween on a desc sort: "-1" = one unit TOWARD the sort start,
+    # i.e. dates strictly greater than the current row's.
+    flagged = orders.withColumn("max_later", F.max("cents").over(w))
+    return (
+        flagged.where(
+            F.col("max_later").isNull() | (F.col("cents") > F.col("max_later"))
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "cents",
+        )
+    )
+
+
+PARETO_FRONTIER_ORDERS_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_orderdate::varchar AS o_orderdate,
+         round(o_totalprice * 100)::bigint AS cents,
+         datediff('day', DATE '1970-01-01', o_orderdate::date) AS d
+  FROM orders
+),
+f AS (
+  SELECT *, max(cents) OVER (
+           ORDER BY d DESC RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS max_later
+  FROM o
+)
+SELECT o_orderkey, o_orderdate, cents
+FROM f WHERE max_later IS NULL OR cents > max_later
+"""

@@ -320,3 +320,32 @@ def test_rolling_7d_distinct_never_below_daily_distinct(spark):
     }
     for day, u in daily.items():
         assert u7[day] >= u, (day, u7[day], u)
+
+
+def test_pareto_frontier_soundness_and_completeness(spark):
+    """No frontier point may be dominated (strictly later AND strictly
+    pricier other order), and every non-frontier point must be dominated —
+    checked by brute force at sf0.001."""
+    import pyspark.sql.functions as F
+
+    from hadoop_data_lake_spark.core.io import read_table
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from hadoop_data_lake_spark.queries.tpch_queries import pareto_frontier_orders
+
+    sf = "/root/testdata/sf0.001"
+    frontier = {r["o_orderkey"] for r in pareto_frontier_orders(spark, sf).collect()}
+    pts = {
+        r["o_orderkey"]: (str(r["d"]), r["c"])
+        for r in read_table(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("d"),
+            to_units(F.col("o_totalprice")).alias("c"),
+        )
+        .collect()
+    }
+    def dominated(k):
+        d, c = pts[k]
+        return any(d2 > d and c2 > c for d2, c2 in pts.values())
+    for k in pts:
+        assert (k in frontier) == (not dominated(k)), k
