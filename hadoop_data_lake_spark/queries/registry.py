@@ -151,9 +151,12 @@ _WINDOW: dict[str, QuerySpec] = {
     "zonemap_tile_pruning": QuerySpec(TQ.zonemap_tile_pruning, TQ.ZONEMAP_TILE_PRUNING_SQL, ("layout", "zonemap", "data-skipping", "zorder")),
     # second round-3 batch (displaced latest_event_per_user,
     # first_event_per_user, user_gap_stats — all r1-green):
-    "winnow_fingerprints": QuerySpec(NS.winnow_fingerprints, NS.WINNOW_FINGERPRINTS_SQL, ("dedup", "fingerprint", "winnowing")),
-    "incremental_orders_agg": QuerySpec(TQ.incremental_orders_agg, TQ.INCREMENTAL_ORDERS_AGG_SQL, ("cdc", "ivm", "delta")),
-    "perplexity_filter": QuerySpec(NS.perplexity_filter, NS.PERPLEXITY_FILTER_SQL, ("text", "quality", "perplexity", "percentile")),
+    # final session-2 displacements (displaced entries r3-green):
+    # linkage_jaro_winkler→winnow_fingerprints, rrf_hybrid_retrieval→
+    # incremental_orders_agg, bootstrap_mean_ci→perplexity_filter.
+    "linkage_jaro_winkler": QuerySpec(TQ.linkage_jaro_winkler, TQ.LINKAGE_JARO_WINKLER_SQL, ("join", "fuzzy", "blocking", "jaro-winkler", "pandas-udf")),
+    "rrf_hybrid_retrieval": QuerySpec(NS.rrf_hybrid_retrieval, NS.RRF_HYBRID_RETRIEVAL_SQL, ("retrieval", "rrf", "hybrid", "rag")),
+    "bootstrap_mean_ci": QuerySpec(EV.bootstrap_mean_ci, EV.BOOTSTRAP_MEAN_CI_SQL, ("experiment", "bootstrap", "poisson", "ci", "deterministic")),
 }
 
 _BACKLOG: dict[str, QuerySpec] = {
@@ -250,12 +253,12 @@ _BACKLOG: dict[str, QuerySpec] = {
     "token_heavy_hitters_approx": QuerySpec(NS.token_heavy_hitters_approx, None, ("text", "sketch", "topk")),
     # --- round-4 session-2 backlog additions (full-oracle, awaiting a
     # future window slot) --------------------------------------------------
-    "linkage_jaro_winkler": QuerySpec(TQ.linkage_jaro_winkler, TQ.LINKAGE_JARO_WINKLER_SQL, ("join", "fuzzy", "blocking", "jaro-winkler", "pandas-udf")),
-    "rrf_hybrid_retrieval": QuerySpec(NS.rrf_hybrid_retrieval, NS.RRF_HYBRID_RETRIEVAL_SQL, ("retrieval", "rrf", "hybrid", "rag")),
+    "winnow_fingerprints": QuerySpec(NS.winnow_fingerprints, NS.WINNOW_FINGERPRINTS_SQL, ("dedup", "fingerprint", "winnowing")),
+    "incremental_orders_agg": QuerySpec(TQ.incremental_orders_agg, TQ.INCREMENTAL_ORDERS_AGG_SQL, ("cdc", "ivm", "delta")),
+    "perplexity_filter": QuerySpec(NS.perplexity_filter, NS.PERPLEXITY_FILTER_SQL, ("text", "quality", "perplexity", "percentile")),
     "ab_test_welch": QuerySpec(EV.ab_test_welch, EV.AB_TEST_WELCH_SQL, ("experiment", "welch", "ab-test", "integer-exact")),
     "holt_smoothing_per_user": QuerySpec(EV.holt_smoothing_per_user, EV.HOLT_SMOOTHING_PER_USER_SQL, ("timeseries", "holt", "sequential-fold")),
     "label_centroid_similarity": QuerySpec(NS.label_centroid_similarity, NS.LABEL_CENTROID_SIMILARITY_SQL, ("embedding", "centroid", "class-geometry", "integer-exact")),
-    "bootstrap_mean_ci": QuerySpec(EV.bootstrap_mean_ci, EV.BOOTSTRAP_MEAN_CI_SQL, ("experiment", "bootstrap", "poisson", "ci", "deterministic")),
     "rolling_7d_distinct_users": QuerySpec(EV.rolling_7d_distinct_users, EV.ROLLING_7D_DISTINCT_USERS_SQL, ("window", "distinct", "sliding", "contribution-explode")),
     "chi2_type_weekday": QuerySpec(EV.chi2_type_weekday, EV.CHI2_TYPE_WEEKDAY_SQL, ("quality", "chi-square", "independence", "contingency")),
     "stream_topk_types_per_window": QuerySpec(NS.stream_topk_types_per_window, NS.STREAM_TOPK_TYPES_PER_WINDOW_SQL, ("streaming", "topk", "lambda-seam")),
