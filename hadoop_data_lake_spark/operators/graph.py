@@ -406,3 +406,51 @@ def bfs_hops(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return out
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    peels: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, deg) surviving EXACTLY `peels` rounds of k-core peeling over
+    an undirected edge list: each round drops every node with degree < k,
+    then every edge touching a dropped node. Fixed-round semantics (not
+    run-to-convergence) keep the result a pure function of (edges, k,
+    peels) that an external engine replays by unrolling the rounds — the
+    bfs_hops/pagerank_det contract. If the peeling has converged within
+    the budget the output IS the exact k-core (checkable: one more peel is
+    a fixed point); otherwise it's the standard bounded-round
+    over-approximation. Each round: one degree aggregation + two
+    semi-joins, all on the node key; frames are localCheckpoint-ed so
+    round N never re-executes rounds 1..N-1."""
+    e0 = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    e = (
+        e0.where(F.col("s") != F.col("d"))
+        .select(F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(peels):
+        deg = (
+            e.select(F.col("s").alias("node"))
+            .unionByName(e.select(F.col("d").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "s"), "s", "left_semi")
+            .join(keep.withColumnRenamed("node", "d"), "d", "left_semi")
+            .select("s", "d")
+            .localCheckpoint(eager=True)
+        )
+    final_deg = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    return final_deg.where(F.col("deg") >= k)

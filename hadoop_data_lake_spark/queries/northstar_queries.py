@@ -22,6 +22,7 @@ from hadoop_data_lake_spark.operators import dedup as DD
 from hadoop_data_lake_spark.operators import similarity as SIM
 from hadoop_data_lake_spark.operators import spans as SP
 from hadoop_data_lake_spark.operators.multimodal import (
+    arrow_byte_entropy,
     extract_features,
     synth_media_from_text,
 )
@@ -2753,3 +2754,47 @@ FROM n
 
 
 MINHASH_EVAL_PR_SQL = _minhash_eval_pr_sql()
+
+
+def multimodal_arrow_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-value Shannon entropy per media blob via mapInArrow
+    (operators/multimodal.arrow_byte_entropy) — the zero-copy Arrow tier
+    of the multimodal family (mapInPandas handles decode/resize; this
+    operator never materializes pandas at all). A corruption/
+    compressibility screen over opaque binary columns. The Python fold is
+    strict left-to-right over ascending byte values, so the DuckDB oracle
+    replays it exactly with an ordered list_reduce (ASCII corpus: byte ==
+    code point, the multimodal oracle invariant)."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = synth_media_from_text(docs.where(F.length("text") > 0), "doc_id", "text")
+    out = arrow_byte_entropy(media)
+    return out.select(
+        "media_id", "n_bytes", F.round("byte_entropy", 6).alias("byte_entropy_r")
+    )
+
+
+MULTIMODAL_ARROW_ENTROPY_SQL = """
+WITH bytes AS (
+  SELECT media_id, n, ord(substr(text, i, 1)) AS bv
+  FROM (
+    SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n,
+           unnest(range(1, octet_length(encode(text)) + 1)) AS i
+    FROM documents WHERE length(text) > 0
+  )
+),
+counts AS (
+  SELECT media_id, min(n) AS n, bv, count(*) AS c
+  FROM bytes GROUP BY media_id, bv
+),
+folded AS (
+  SELECT media_id, min(n) AS n_bytes,
+         list_reduce(
+           list_prepend(0.0::double, list(c::double * log2(c::double) ORDER BY bv)),
+           (acc, x) -> acc + x
+         ) AS s
+  FROM counts GROUP BY media_id
+)
+SELECT media_id, n_bytes::bigint AS n_bytes,
+       round(log2(n_bytes::double) - s / n_bytes::double, 6) AS byte_entropy_r
+FROM folded
+"""

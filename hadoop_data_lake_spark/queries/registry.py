@@ -265,6 +265,8 @@ _BACKLOG: dict[str, QuerySpec] = {
     "value_psi_drift": QuerySpec(EV.value_psi_drift, EV.VALUE_PSI_DRIFT_SQL, ("quality", "psi", "drift", "monitoring")),
     "pareto_frontier_orders": QuerySpec(TQ.pareto_frontier_orders, TQ.PARETO_FRONTIER_ORDERS_SQL, ("window", "skyline", "pareto", "range-frame")),
     "minhash_eval_pr": QuerySpec(NS.minhash_eval_pr, NS.MINHASH_EVAL_PR_SQL, ("dedup", "evaluation", "precision-recall", "lsh")),
+    "kcore_purchase_graph": QuerySpec(TQ.kcore_purchase_graph, TQ.KCORE_PURCHASE_GRAPH_SQL, ("graph", "kcore", "iterative", "deterministic")),
+    "multimodal_arrow_entropy": QuerySpec(NS.multimodal_arrow_entropy, NS.MULTIMODAL_ARROW_ENTROPY_SQL, ("multimodal", "arrow", "map-in-arrow", "entropy")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),

@@ -1904,8 +1904,10 @@ SELECT * FROM d WHERE op IS NOT NULL
 
 def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the bipartite customer->supplier purchase graph
-    (orders x lineitem; node ids disambiguated by sign: customers positive,
-    suppliers negative). Rows-only: iterative float accumulation is not
+    (orders x lineitem; node ids disambiguated as customers >= 0,
+    suppliers mapped to -(suppkey+1) — plain negation collides supplier 0
+    with customer 0, both of which exist). Rows-only: iterative float
+    accumulation is not
     value-hash-stable across engines; numpy power-iteration parity is
     asserted in tests/test_graph.py."""
     from hadoop_data_lake_spark.operators.graph import pagerank
@@ -1916,7 +1918,7 @@ def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(
             F.col("o_custkey").alias("src"),
-            (-F.col("l_suppkey")).alias("dst"),
+            (-F.col("l_suppkey") - 1).alias("dst"),
         )
         .distinct()
     )
@@ -2099,7 +2101,7 @@ def pagerank_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(
             F.col("o_custkey").alias("src"),
-            (-F.col("l_suppkey")).alias("dst"),
+            (-F.col("l_suppkey") - 1).alias("dst"),
         )
         .distinct()
     )
@@ -2110,7 +2112,7 @@ def _pagerank_det_sql(iters: int = 10, scale: int = 10**12) -> str:
     parts = [
         f"""
 WITH e AS MATERIALIZED (
-  SELECT DISTINCT o.o_custkey AS src, -l.l_suppkey AS dst
+  SELECT DISTINCT o.o_custkey AS src, -l.l_suppkey - 1 AS dst
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 ),
 verts AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
@@ -2164,12 +2166,12 @@ def bfs_hops_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(
             F.col("o_custkey").alias("src"),
-            (-F.col("l_suppkey")).alias("dst"),
+            (-F.col("l_suppkey") - 1).alias("dst"),
         )
         .distinct()
     )
     seeds = supp.where(F.col("s_suppkey") % 7 == 1).select(
-        (-F.col("s_suppkey")).alias("node")
+        (-F.col("s_suppkey") - 1).alias("node")
     )
     return bfs_hops(edges, seeds, max_hops=4)
 
@@ -2178,11 +2180,11 @@ def _bfs_hops_det_sql(max_hops: int = 4) -> str:
     parts = [
         """
 WITH e0 AS MATERIALIZED (
-  SELECT DISTINCT o.o_custkey AS src, -l.l_suppkey AS dst
+  SELECT DISTINCT o.o_custkey AS src, -l.l_suppkey - 1 AS dst
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 ),
 e AS MATERIALIZED (SELECT src AS s, dst AS d FROM e0 UNION SELECT dst, src FROM e0),
-f0 AS MATERIALIZED (SELECT DISTINCT -s_suppkey AS node FROM supplier WHERE s_suppkey % 7 = 1),
+f0 AS MATERIALIZED (SELECT DISTINCT -s_suppkey - 1 AS node FROM supplier WHERE s_suppkey % 7 = 1),
 v0 AS MATERIALIZED (SELECT node FROM f0)"""
     ]
     for k in range(1, max_hops + 1):
@@ -2472,3 +2474,61 @@ f AS (
 SELECT o_orderkey, o_orderdate, cents
 FROM f WHERE max_later IS NULL OR cents > max_later
 """
+
+
+def kcore_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nodes surviving 4 rounds of 3-core peeling on the undirected
+    customer-supplier purchase graph (operators/graph.kcore_peel) with
+    their residual degrees — the dense-subgraph extraction used to find
+    committed buyer/supplier communities. Fixed-round peeling unrolls into
+    chained materialized CTEs for the oracle, like pagerank_det/bfs_hops."""
+    from hadoop_data_lake_spark.operators.graph import kcore_peel
+
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-F.col("l_suppkey") - 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return kcore_peel(edges, k=3, peels=4)
+
+
+def _kcore_sql(k: int = 3, peels: int = 4) -> str:
+    parts = [
+        """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(o.o_custkey, -l.l_suppkey - 1) AS s,
+         greatest(o.o_custkey, -l.l_suppkey - 1) AS d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)"""
+    ]
+    for i in range(1, peels + 1):
+        p = i - 1
+        parts.append(
+            f""",
+deg{i} AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT s AS node FROM e{p} UNION ALL SELECT d FROM e{p}
+  ) GROUP BY node
+),
+keep{i} AS MATERIALIZED (SELECT node FROM deg{i} WHERE deg >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT e.s, e.d FROM e{p} e
+  WHERE EXISTS (SELECT 1 FROM keep{i} x WHERE x.node = e.s)
+    AND EXISTS (SELECT 1 FROM keep{i} y WHERE y.node = e.d)
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, count(*) AS deg FROM (
+  SELECT s AS node FROM e{peels} UNION ALL SELECT d FROM e{peels}
+) GROUP BY node HAVING count(*) >= {k}"""
+    )
+    return "".join(parts)
+
+
+KCORE_PURCHASE_GRAPH_SQL = _kcore_sql()
