@@ -1031,3 +1031,55 @@ def pq_det_topk(
         k=k,
         rank_col="rnk",
     )
+
+
+def mmr_rerank_pool(
+    pool: "DataFrame",
+    sims: "DataFrame",
+    k: int,
+    lam_num: int = 7,
+    lam_den_minus: int = 3,
+) -> list[tuple]:
+    """Greedy Maximal Marginal Relevance over a BOUNDED candidate pool:
+    step 1 takes the highest-relevance doc; each later step takes
+    argmax( lam_num * rel_q - lam_den_minus * max_sim_q_to_selected ),
+    ties broken by doc_id ascending. `pool` = (doc_id, rel_q) integer-
+    quantized relevance; `sims` = (a, b, sim_q) canonical a < b pairwise
+    integer similarities. Runs DRIVER-SIDE over the collected pool — the
+    bounded mini-state pattern (IVF centroids precedent): MMR is
+    inherently sequential in k, and the pool is by construction top-N of
+    a distributed scan, so the collect is O(N + N^2) integers, never the
+    corpus. Integer scores make every comparison exact — no float ties.
+
+    Returns [(rank, doc_id, rel_q, score_q)] for rank 1..k.
+    """
+    rel = {r["doc_id"]: int(r["rel_q"]) for r in pool.collect()}
+    sim: dict[tuple, int] = {}
+    for r in sims.collect():
+        sim[(r["a"], r["b"])] = int(r["sim_q"])
+
+    def s(x, y):
+        return sim.get((x, y) if x < y else (y, x), 0)
+
+    selected: list[tuple] = []
+    chosen: list = []
+    remaining = set(rel)
+    for rank in range(1, min(k, len(rel)) + 1):
+        if rank == 1:
+            scored = [(lam_num * rel[c], c) for c in remaining]
+        else:
+            scored = [
+                (
+                    lam_num * rel[c]
+                    - lam_den_minus * max(s(c, x) for x in chosen),
+                    c,
+                )
+                for c in remaining
+            ]
+        # deterministic tie-break: highest score, then smallest doc_id
+        best_score = max(sc for sc, _ in scored)
+        best = min(c for sc, c in scored if sc == best_score)
+        selected.append((rank, best, rel[best], best_score))
+        chosen.append(best)
+        remaining.remove(best)
+    return selected

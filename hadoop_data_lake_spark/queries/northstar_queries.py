@@ -2798,3 +2798,111 @@ SELECT media_id, n_bytes::bigint AS n_bytes,
        round(log2(n_bytes::double) - s / n_bytes::double, 6) AS byte_entropy_r
 FROM folded
 """
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking of the top-20 cosine candidates for query
+    vector 0 (lambda = 0.7, k = 10) — the retrieval step between ANN and
+    the context window that stops near-duplicate passages crowding out
+    coverage. Distributed part: one broadcast cosine pass for relevance,
+    one 20x20 pairwise pass for the pool similarity matrix, both
+    integer-quantized (floor(cos * 1e6)) so the greedy argmax chain is
+    exact integer arithmetic. Sequential part: the k greedy selections
+    over the 20-candidate pool run driver-side
+    (operators/similarity.mmr_rerank_pool, bounded mini-state). Oracle:
+    the same 10 selections unrolled as chained CTEs."""
+    from pyspark.sql import Window
+
+    from hadoop_data_lake_spark.functions.vectors import cosine
+    from hadoop_data_lake_spark.operators.similarity import mmr_rerank_pool
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qemb"))
+    scored = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            "embedding",
+            F.floor(cosine(F.col("embedding"), F.col("qemb")) * 1e6)
+            .cast("long")
+            .alias("rel_q"),
+        )
+    )
+    w = Window.orderBy(F.col("rel_q").desc(), F.col("doc_id").asc())
+    pool = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .drop("rnk")
+        .localCheckpoint(eager=True)
+    )
+    a = pool.select(F.col("doc_id").alias("a"), F.col("embedding").alias("ea"))
+    b = pool.select(F.col("doc_id").alias("b"), F.col("embedding").alias("eb"))
+    sims = (
+        a.join(b, a["a"] < b["b"])
+        .select(
+            "a",
+            "b",
+            F.floor(cosine(F.col("ea"), F.col("eb")) * 1e6).cast("long").alias("sim_q"),
+        )
+    )
+    rows = mmr_rerank_pool(pool.select("doc_id", "rel_q"), sims, k=10)
+    return spark.createDataFrame(
+        rows, "rank int, doc_id long, rel_q long, score_q long"
+    )
+
+
+def _mmr_sql(k: int = 10) -> str:
+    cos_rel = cosine_sql("e.embedding", "q.embedding")
+    cos_ab = cosine_sql("pa.embedding", "pb.embedding")
+    parts = [
+        f"""
+WITH scored AS MATERIALIZED (
+  SELECT e.vec_id AS doc_id, e.embedding,
+         floor({cos_rel} * 1e6)::bigint AS rel_q
+  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  WHERE e.vec_id <> 0
+),
+pool AS MATERIALIZED (
+  SELECT doc_id, embedding, rel_q FROM (
+    SELECT *, row_number() OVER (ORDER BY rel_q DESC, doc_id ASC) AS rnk FROM scored
+  ) WHERE rnk <= 20
+),
+sims AS MATERIALIZED (
+  SELECT pa.doc_id AS a, pb.doc_id AS b,
+         floor({cos_ab} * 1e6)::bigint AS sim_q
+  FROM pool pa JOIN pool pb ON pa.doc_id < pb.doc_id
+),
+sel1 AS MATERIALIZED (
+  SELECT 1 AS rank, doc_id, rel_q, 7 * rel_q AS score_q FROM pool
+  ORDER BY 7 * rel_q DESC, doc_id ASC LIMIT 1
+)"""
+    ]
+    for i in range(2, k + 1):
+        p = i - 1
+        union_sel = " UNION ALL ".join(
+            f"SELECT doc_id FROM sel{j}" for j in range(1, i)
+        )
+        parts.append(
+            f""",
+chosen{p} AS MATERIALIZED ({union_sel}),
+cand{i} AS MATERIALIZED (
+  SELECT c.doc_id, c.rel_q,
+         7 * c.rel_q - 3 * max(s.sim_q) AS score_q
+  FROM pool c
+  JOIN sims s ON (s.a = c.doc_id AND s.b IN (SELECT doc_id FROM chosen{p}))
+             OR (s.b = c.doc_id AND s.a IN (SELECT doc_id FROM chosen{p}))
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM chosen{p})
+  GROUP BY c.doc_id, c.rel_q
+),
+sel{i} AS MATERIALIZED (
+  SELECT {i} AS rank, doc_id, rel_q, score_q FROM cand{i}
+  ORDER BY score_q DESC, doc_id ASC LIMIT 1
+)"""
+        )
+    final = " UNION ALL ".join(f"SELECT * FROM sel{j}" for j in range(1, k + 1))
+    parts.append(f"\n{final}")
+    return "".join(parts)
+
+
+MMR_RERANK_SQL = _mmr_sql()

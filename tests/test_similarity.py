@@ -265,3 +265,39 @@ def test_pq_encode_is_deterministic(spark, emb):
     }
     assert a == b
     assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in a.values())
+
+
+def test_mmr_penalizes_redundancy_on_synthetic_pool(spark):
+    """Three near-identical high-relevance docs + diverse mid-relevance
+    docs: after the first pick, MMR must prefer a diverse doc over the
+    near-clones of the winner."""
+    from hadoop_data_lake_spark.operators.similarity import mmr_rerank_pool
+
+    pool = spark.createDataFrame(
+        [(1, 1000000), (2, 990000), (3, 980000), (4, 700000), (5, 690000)],
+        ["doc_id", "rel_q"],
+    )
+    # docs 1-3 mutually ~identical; 4 & 5 dissimilar to everything
+    sims = spark.createDataFrame(
+        [
+            (1, 2, 990000), (1, 3, 985000), (2, 3, 992000),
+            (1, 4, 100000), (2, 4, 110000), (3, 4, 90000),
+            (1, 5, 120000), (2, 5, 105000), (3, 5, 95000),
+            (4, 5, 150000),
+        ],
+        ["a", "b", "sim_q"],
+    )
+    out = mmr_rerank_pool(pool, sims, k=3)
+    order = [doc for _, doc, _, _ in out]
+    assert order[0] == 1  # pure relevance first
+    assert order[1] == 4  # diversity beats the clones (7*0.99M-3*0.99M < 7*0.7M-3*0.1M)
+    assert order[2] == 5
+
+
+def test_mmr_rank1_is_top_relevance_and_ranks_unique(spark):
+    from hadoop_data_lake_spark.queries.northstar_queries import mmr_rerank
+
+    out = mmr_rerank(spark, "/root/testdata/sf0.001").collect()
+    assert [r["rank"] for r in out] == list(range(1, 11))
+    assert len({r["doc_id"] for r in out}) == 10
+    assert out[0]["score_q"] == 7 * out[0]["rel_q"]
