@@ -2857,3 +2857,102 @@ SELECT bin, n_ref, n_cur,
              6) AS psi_contrib_r
 FROM wide, tot
 """
+
+
+def quantile_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-based quantile estimation, derandomized — the replayable
+    counterpart of `value_percentiles_approx` (whose sketch internals are
+    engine-specific), completing the deterministic twins of the sketch
+    family (HLL/KMV -> distinct counts, CMS -> frequencies, this ->
+    quantiles). A 10% deterministic hash sample (md5(event_id) —
+    the importance-sampling trick) feeds ORDER-STATISTIC percentiles
+    (value at rank ceil(p*n/100); no interpolation, so every output is an
+    integer cent from the data), next to the exact full-data order
+    statistics per event_type for the error readout. Ranks come from
+    per-type windows (partitioned sort); at 100 TB the sample side is the
+    point — the full-data side would be replaced by this very estimator."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from hadoop_data_lake_spark.functions.hashing import salted_md5_60bit
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", to_units(F.col("value")).alias("cents")
+    )
+    sample = ev.where(
+        salted_md5_60bit(F.col("event_id").cast("string"), "qs") % 10 == 0
+    )
+
+    def order_stats(df: DataFrame, prefix: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+        ranked = df.select(
+            "event_type",
+            "cents",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+        )
+        picks = [
+            F.min(
+                F.when(
+                    F.col("rk") == F.ceil(F.lit(p / 100.0) * F.col("n")),
+                    F.col("cents"),
+                )
+            ).alias(f"{prefix}_p{p}")
+            for p in (50, 90, 99)
+        ]
+        return ranked.groupBy("event_type").agg(
+            F.max("n").alias(f"{prefix}_n"), *picks
+        )
+
+    return order_stats(sample, "smp").join(
+        order_stats(ev, "full"), "event_type"
+    ).select(
+        "event_type",
+        "smp_n",
+        "smp_p50",
+        "smp_p90",
+        "smp_p99",
+        "full_n",
+        "full_p50",
+        "full_p90",
+        "full_p99",
+    )
+
+
+QUANTILE_SAMPLE_DET_SQL = f"""
+WITH ev AS (
+  SELECT event_type, event_id, round(value * 100)::bigint AS cents FROM events
+),
+smp AS (
+  SELECT * FROM ev
+  WHERE {_md5_sql("concat('qs|', event_id::varchar)")} % 10 = 0
+),
+rs AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM smp
+),
+s_stats AS (
+  SELECT event_type, max(n) AS smp_n,
+         min(CASE WHEN rk = ceil(0.5 * n) THEN cents END) AS smp_p50,
+         min(CASE WHEN rk = ceil(0.9 * n) THEN cents END) AS smp_p90,
+         min(CASE WHEN rk = ceil(0.99 * n) THEN cents END) AS smp_p99
+  FROM rs GROUP BY event_type
+),
+rf AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+f_stats AS (
+  SELECT event_type, max(n) AS full_n,
+         min(CASE WHEN rk = ceil(0.5 * n) THEN cents END) AS full_p50,
+         min(CASE WHEN rk = ceil(0.9 * n) THEN cents END) AS full_p90,
+         min(CASE WHEN rk = ceil(0.99 * n) THEN cents END) AS full_p99
+  FROM rf GROUP BY event_type
+)
+SELECT s.event_type, s.smp_n, s.smp_p50, s.smp_p90, s.smp_p99,
+       f.full_n, f.full_p50, f.full_p90, f.full_p99
+FROM s_stats s JOIN f_stats f ON s.event_type = f.event_type
+"""

@@ -268,6 +268,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "kcore_purchase_graph": QuerySpec(TQ.kcore_purchase_graph, TQ.KCORE_PURCHASE_GRAPH_SQL, ("graph", "kcore", "iterative", "deterministic")),
     "multimodal_arrow_entropy": QuerySpec(NS.multimodal_arrow_entropy, NS.MULTIMODAL_ARROW_ENTROPY_SQL, ("multimodal", "arrow", "map-in-arrow", "entropy")),
     "mmr_rerank": QuerySpec(NS.mmr_rerank, NS.MMR_RERANK_SQL, ("retrieval", "mmr", "diversity", "rag")),
+    "quantile_sample_det": QuerySpec(EV.quantile_sample_det, EV.QUANTILE_SAMPLE_DET_SQL, ("sketch", "quantile", "sampling", "deterministic")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),

@@ -349,3 +349,21 @@ def test_pareto_frontier_soundness_and_completeness(spark):
         return any(d2 > d and c2 > c for d2, c2 in pts.values())
     for k in pts:
         assert (k in frontier) == (not dominated(k)), k
+
+
+def test_sampled_quantiles_close_to_exact(spark):
+    """The 10% deterministic hash sample's order-statistic p50/p90 must
+    land near the exact full-data order statistics (fixed hash: either
+    the estimator works or it's miscoded)."""
+    from hadoop_data_lake_spark.queries.events_queries import quantile_sample_det
+
+    out = quantile_sample_det(spark, "/root/testdata/sf0.01").collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["smp_n"] < r["full_n"] // 5  # ~10% sample
+        for p in ("p50", "p90"):
+            exact = r[f"full_{p}"]
+            got = r[f"smp_{p}"]
+            # ~200 samples/type; order-statistic relative error on this
+            # heavy-tailed value distribution stays well inside 25%
+            assert abs(got - exact) / max(abs(exact), 1) < 0.25, (r["event_type"], p)
