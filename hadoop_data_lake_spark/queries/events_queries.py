@@ -2956,3 +2956,92 @@ SELECT s.event_type, s.smp_n, s.smp_p50, s.smp_p90, s.smp_p99,
        f.full_n, f.full_p50, f.full_p90, f.full_p99
 FROM s_stats s JOIN f_stats f ON s.event_type = f.event_type
 """
+
+
+def dp_noisy_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy counts per event type (epsilon = 0.5,
+    sensitivity 1) — the differential-privacy release shape, DERANDOMIZED
+    for the correctness gate: the Laplace draw comes from the inverse CDF
+
+        noise = -b * sign(u - 0.5) * ln(1 - 2|u - 0.5|)
+
+    applied to the uniform md5('dp|' || event_type)/2^60. A production DP
+    release uses a fresh secret seed (a fixed per-key hash would leak via
+    repeat queries — noted, not its purpose here); the pipeline shape —
+    aggregate once, add calibrated noise post-aggregation, never touch
+    row-level data again — is exactly the deployable one. Both engines
+    evaluate the same closed-form expression on identical integers."""
+    from hadoop_data_lake_spark.functions.hashing import salted_md5_60bit
+
+    ev = read_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n_true"))
+    u = salted_md5_60bit(F.col("event_type"), "dp").cast("double") / F.lit(
+        float(1 << 60)
+    )
+    b = 1.0 / 0.5  # sensitivity / epsilon
+    noise = (
+        -F.lit(b)
+        * F.signum(u - 0.5)
+        * F.log(F.lit(1.0) - 2.0 * F.abs(u - 0.5))
+    )
+    return counts.select(
+        "event_type",
+        "n_true",
+        F.round(F.col("n_true") + noise, 4).alias("n_noisy_r"),
+    )
+
+
+def _dp_sql() -> str:
+    from hadoop_data_lake_spark.functions.hashing import md5_60bit_sql
+
+    salted = "concat('dp|', event_type)"
+    u = f"({md5_60bit_sql(salted)}::double / {float(1 << 60)!r})"
+    return f"""
+WITH counts AS (
+  SELECT event_type, count(*) AS n_true FROM events GROUP BY event_type
+)
+SELECT event_type, n_true,
+       round(n_true + (-2.0 * sign({u} - 0.5) * ln(1.0 - 2.0 * abs({u} - 0.5))), 4)
+         AS n_noisy_r
+FROM counts
+"""
+
+
+DP_NOISY_TYPE_COUNTS_SQL = _dp_sql()
+
+
+def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via the Observation API: row count, integer-
+    cent value sum, and null-props count attached to ONE pass over events
+    with df.observe() — the zero-extra-scan way to publish data-quality
+    counters from production jobs (metrics ride the action's existing
+    scan; a separate metrics query would re-read the table). The observed
+    values are returned as a one-row frame; the DuckDB oracle computes
+    the same aggregates directly, proving observe() reports exactly what
+    a dedicated aggregation would."""
+    from pyspark.sql import Observation
+
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+
+    ev = read_table(spark, sf_dir, "events")
+    obs = Observation("scan_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(to_units(F.col("value"))).alias("sum_cents"),
+        F.sum(F.col("props").isNull().cast("long")).alias("n_null_props"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["sum_cents"]), int(m["n_null_props"]))],
+        "n_rows long, sum_cents long, n_null_props long",
+    )
+
+
+OBSERVED_SCAN_METRICS_SQL = """
+SELECT count(*) AS n_rows,
+       sum(round(value * 100)::bigint)::bigint AS sum_cents,
+       sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::bigint AS n_null_props
+FROM events
+"""

@@ -269,6 +269,8 @@ _BACKLOG: dict[str, QuerySpec] = {
     "multimodal_arrow_entropy": QuerySpec(NS.multimodal_arrow_entropy, NS.MULTIMODAL_ARROW_ENTROPY_SQL, ("multimodal", "arrow", "map-in-arrow", "entropy")),
     "mmr_rerank": QuerySpec(NS.mmr_rerank, NS.MMR_RERANK_SQL, ("retrieval", "mmr", "diversity", "rag")),
     "quantile_sample_det": QuerySpec(EV.quantile_sample_det, EV.QUANTILE_SAMPLE_DET_SQL, ("sketch", "quantile", "sampling", "deterministic")),
+    "dp_noisy_type_counts": QuerySpec(EV.dp_noisy_type_counts, EV.DP_NOISY_TYPE_COUNTS_SQL, ("privacy", "dp", "laplace", "deterministic")),
+    "observed_scan_metrics": QuerySpec(EV.observed_scan_metrics, EV.OBSERVED_SCAN_METRICS_SQL, ("observability", "metrics", "observe-api")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
