@@ -3045,3 +3045,153 @@ SELECT count(*) AS n_rows,
        sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::bigint AS n_null_props
 FROM events
 """
+
+
+def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier curve for time-to-first-purchase from each user's
+    first event, with right-censoring: users who never purchase inside
+    the observation window are censored at the horizon, not dropped —
+    dropping them is the classic conversion-analysis bias. Risk sets and
+    event counts are integer suffix/exact counts; the survival product
+    S(t) = prod(1 - d_i/n_i) evaluates as exp(cumsum(ln(...))) where the
+    cumulative sum runs over the WINDOW-ORDERED event times — a
+    sequential, deterministic summation both engines replay. One pass to
+    user conversion times, then all arithmetic on the tiny
+    distinct-duration frame."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.to_date("ts").alias("day")
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min("day").alias("first_day"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("day"))).alias(
+            "first_purchase"
+        ),
+    )
+    horizon = ev.agg(F.max("day").alias("max_day"))
+    users = span.crossJoin(F.broadcast(horizon)).select(
+        F.datediff(
+            F.coalesce("first_purchase", "max_day"), F.col("first_day")
+        ).alias("t"),
+        F.col("first_purchase").isNotNull().cast("int").alias("churned"),
+    )
+    per_t = users.groupBy("t").agg(
+        F.count("*").alias("ending_here"),
+        F.sum("churned").alias("d"),
+    )
+    w_ord = Window.orderBy(F.col("t").asc())
+    w_suffix = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # the terminal time where EVERYONE remaining converts has d == n_risk:
+    # its factor is exactly 0, and ln(0) is an error in DuckDB, so the
+    # zero is carried as an explicit flag instead of a -inf log term.
+    cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_t.withColumn("n_risk", F.sum("ending_here").over(w_suffix))
+        .where(F.col("d") > 0)
+        .withColumn(
+            "lnterm",
+            F.when(
+                F.col("d") < F.col("n_risk"),
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d").cast("double") / F.col("n_risk").cast("double")
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "hit_zero", F.max((F.col("d") == F.col("n_risk")).cast("int")).over(cum)
+        )
+        .withColumn(
+            "surv_r",
+            F.when(F.col("hit_zero") == 1, F.lit(0.0)).otherwise(
+                F.round(F.exp(F.sum("lnterm").over(cum)), 6)
+            ),
+        )
+    )
+    return curve.select("t", "n_risk", F.col("d").alias("d_converted"), "surv_r")
+
+
+KAPLAN_MEIER_CHURN_SQL = """
+WITH ev AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day FROM events),
+horizon AS (SELECT max(day) AS max_day FROM ev),
+span AS (
+  SELECT user_id, min(day) AS first_day,
+         min(CASE WHEN event_type = 'purchase' THEN day END) AS first_purchase
+  FROM ev GROUP BY user_id
+),
+users AS (
+  SELECT datediff('day', first_day,
+                  coalesce(first_purchase, (SELECT max_day FROM horizon))) AS t,
+         CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END AS churned
+  FROM span
+),
+per_t AS (
+  SELECT t, count(*) AS ending_here, sum(churned)::bigint AS d
+  FROM users GROUP BY t
+),
+risk AS (
+  SELECT t, d, ending_here,
+         sum(ending_here) OVER (
+           ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         )::bigint AS n_risk
+  FROM per_t
+),
+curve AS (
+  SELECT t, n_risk, d,
+         exp(sum(CASE WHEN d < n_risk
+                      THEN ln(1.0 - d::double / n_risk::double)
+                      ELSE 0.0 END) OVER (
+           ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         )) AS surv,
+         max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (
+           ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS hit_zero
+  FROM risk WHERE d > 0
+)
+SELECT t, n_risk, d AS d_converted,
+       CASE WHEN hit_zero = 1 THEN 0.0 ELSE round(surv, 6) END AS surv_r
+FROM curve
+"""
+
+
+def temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal train/validation split with an embargo gap:
+    train = first 20 days, embargo = next 2 (discarded — events there
+    share sessions/labels with both sides), test = the rest. The split
+    that k-fold on time series silently gets wrong. Output: per (split,
+    event_type) row counts plus each split's actual date bounds as
+    strings — an auditable split manifest."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    t0 = ev.agg(F.min("day").alias("d0"))
+    tagged = ev.crossJoin(F.broadcast(t0)).withColumn(
+        "split",
+        F.when(F.datediff("day", "d0") < 20, "train")
+        .when(F.datediff("day", "d0") < 22, "embargo")
+        .otherwise("test"),
+    )
+    return tagged.groupBy("split", "event_type").agg(
+        F.count("*").alias("n"),
+        F.min("day").cast("string").alias("from_day"),
+        F.max("day").cast("string").alias("to_day"),
+    )
+
+
+TEMPORAL_SPLIT_EMBARGO_SQL = """
+WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+t0 AS (SELECT min(day) AS d0 FROM ev),
+tagged AS (
+  SELECT event_type, day,
+         CASE WHEN datediff('day', (SELECT d0 FROM t0), day) < 20 THEN 'train'
+              WHEN datediff('day', (SELECT d0 FROM t0), day) < 22 THEN 'embargo'
+              ELSE 'test' END AS split
+  FROM ev
+)
+SELECT split, event_type, count(*) AS n,
+       min(day)::varchar AS from_day, max(day)::varchar AS to_day
+FROM tagged GROUP BY split, event_type
+"""

@@ -2906,3 +2906,112 @@ sel{i} AS MATERIALIZED (
 
 
 MMR_RERANK_SQL = _mmr_sql()
+
+
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75, Lucene idf) retrieval for the query document's
+    token set — the lexical standard the RRF query's raw overlap
+    approximates. Every model quantity is an integer count (tf, df, N,
+    doclen; avgdl is one exact integer ratio), each matched term's partial
+    score is one identical float expression, and the per-document SUM of
+    term scores — the one place float order could diverge — is an ordered
+    left fold over terms sorted by token (collect -> array_sort ->
+    aggregate ⇔ DuckDB list(... ORDER BY) -> list_reduce). Shapes: inverted
+    index semi-joined to the broadcast query token set; never a corpus
+    self-join."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").alias("tot_dl"), F.count("*").alias("n_docs")
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    qtok = (
+        docs.where(F.col("doc_id") == 0)
+        .select(F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    matched = (
+        tf.join(F.broadcast(qtok), "token")
+        .where(F.col("doc_id") != 0)
+        .join(df_, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("tot_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+        + 1.0
+    )
+    tscore = idf * (
+        F.col("tf") * 2.2
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl").cast("double") / avgdl))
+    )
+    per_doc = (
+        matched.select("doc_id", "token", tscore.alias("ts"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("token", "ts"))),
+                    lambda s: s["ts"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.round("score", 6).desc(), F.col("doc_id").asc())
+    return (
+        per_doc.withColumn("score_r", F.round("score", 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select("rnk", "doc_id", "n_terms", "score_r")
+    )
+
+
+BM25_RETRIEVAL_SQL = """
+WITH toks AS (
+  SELECT doc_id, tok AS token
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT sum(dl)::bigint AS tot_dl, count(*) AS n_docs FROM dl),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+qtok AS (SELECT DISTINCT token FROM toks WHERE doc_id = 0),
+matched AS (
+  SELECT tf.doc_id, tf.token,
+         ln((s.n_docs::double - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         * (tf.tf * 2.2
+            / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl::double
+                              / (s.tot_dl::double / s.n_docs::double)))) AS ts
+  FROM tf
+  JOIN qtok USING (token)
+  JOIN df USING (token)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  WHERE tf.doc_id <> 0
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_terms,
+         list_reduce(
+           list_prepend(0.0::double, list(ts ORDER BY token)),
+           (acc, x) -> acc + x
+         ) AS score
+  FROM matched GROUP BY doc_id
+)
+SELECT rnk, doc_id, n_terms, round(score, 6) AS score_r FROM (
+  SELECT *, row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rnk
+  FROM per_doc
+) WHERE rnk <= 20
+"""

@@ -271,6 +271,9 @@ _BACKLOG: dict[str, QuerySpec] = {
     "quantile_sample_det": QuerySpec(EV.quantile_sample_det, EV.QUANTILE_SAMPLE_DET_SQL, ("sketch", "quantile", "sampling", "deterministic")),
     "dp_noisy_type_counts": QuerySpec(EV.dp_noisy_type_counts, EV.DP_NOISY_TYPE_COUNTS_SQL, ("privacy", "dp", "laplace", "deterministic")),
     "observed_scan_metrics": QuerySpec(EV.observed_scan_metrics, EV.OBSERVED_SCAN_METRICS_SQL, ("observability", "metrics", "observe-api")),
+    "bm25_retrieval": QuerySpec(NS.bm25_retrieval, NS.BM25_RETRIEVAL_SQL, ("retrieval", "bm25", "lexical", "rag")),
+    "kaplan_meier_conversion": QuerySpec(EV.kaplan_meier_churn, EV.KAPLAN_MEIER_CHURN_SQL, ("survival", "kaplan-meier", "censoring", "conversion")),
+    "temporal_split_embargo": QuerySpec(EV.temporal_split_embargo, EV.TEMPORAL_SPLIT_EMBARGO_SQL, ("ml", "split", "temporal", "leakage-safe")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),

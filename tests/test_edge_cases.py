@@ -367,3 +367,55 @@ def test_sampled_quantiles_close_to_exact(spark):
             # ~200 samples/type; order-statistic relative error on this
             # heavy-tailed value distribution stays well inside 25%
             assert abs(got - exact) / max(abs(exact), 1) < 0.25, (r["event_type"], p)
+
+
+def test_kaplan_meier_survival_is_monotone_nonincreasing(spark):
+    from hadoop_data_lake_spark.queries.events_queries import kaplan_meier_churn
+
+    out = sorted(
+        kaplan_meier_churn(spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r["t"],
+    )
+    assert len(out) > 3
+    prev = 1.0
+    for r in out:
+        assert 0.0 <= r["surv_r"] <= prev + 1e-9, r
+        prev = r["surv_r"]
+    # risk sets shrink as t grows
+    risks = [r["n_risk"] for r in out]
+    assert risks == sorted(risks, reverse=True)
+
+
+def test_kaplan_meier_known_example(spark):
+    """Classic hand-checked KM: times [1,1,2,3+] (3+ censored at horizon).
+    S(1) = 1 - 2/4 = 0.5; S(2) = 0.5 * (1 - 1/2) = 0.25. Reproduced by
+    building an event frame with matching first-event/purchase days."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    # users 1,2 purchase at day 1; user 3 at day 2; user 4 never (active to day 3)
+    for uid, pday in [(1, 1), (2, 1), (3, 2)]:
+        rows.append((uid, base, "view", 1.0, None))
+        rows.append((uid, base + dt.timedelta(days=pday), "purchase", 1.0, None))
+    rows.append((4, base, "view", 1.0, None))
+    rows.append((4, base + dt.timedelta(days=3), "view", 1.0, None))
+    df = spark.createDataFrame(
+        [(i, ts, uid, et, v) for i, (uid, ts, et, v, _) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    ev = df.select("user_id", "event_type", F.to_date("ts").alias("day"))
+    span = ev.groupBy("user_id").agg(
+        F.min("day").alias("first_day"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("day"))).alias("fp"),
+    )
+    horizon = ev.agg(F.max("day").alias("max_day"))
+    users = span.crossJoin(F.broadcast(horizon)).select(
+        F.datediff(F.coalesce("fp", "max_day"), "first_day").alias("t"),
+        F.col("fp").isNotNull().cast("int").alias("churned"),
+    )
+    got = {(r["t"]): (r["churned"]) for r in users.collect()}
+    assert got == {1: 1, 2: 1, 3: 0}  # durations per spec (two users at t=1)
