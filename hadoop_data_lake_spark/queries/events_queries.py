@@ -3195,3 +3195,77 @@ SELECT split, event_type, count(*) AS n,
        min(day)::varchar AS from_day, max(day)::varchar AS to_day
 FROM tagged GROUP BY split, event_type
 """
+
+
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the daily value total per event type: the
+    MEDIAN of all pairwise slopes (y_j - y_i)/(x_j - x_i) — outlier-immune
+    where least squares is not. Day totals are integer cents; each slope
+    is one identical division of integers; the median is an ORDER
+    STATISTIC (lower median, ties by slope then day-pair) — no quantile
+    interpolation. The pairwise self-join is per-type over ~30 daily
+    points (bounded: the aggregation shrank the facts first), the pattern
+    for robust statistics at scale: reduce, then be quadratic on the
+    reduced frame only."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from pyspark.sql import Window
+
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(to_units(F.col("value"))).alias("y"))
+        .withColumn("x", F.unix_date(F.col("day")))
+    )
+    a = daily.select("event_type", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select("event_type", F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = (
+        a.join(b, "event_type")
+        .where(F.col("xa") < F.col("xb"))
+        .select(
+            "event_type",
+            "xa",
+            "xb",
+            (
+                (F.col("yb") - F.col("ya")).cast("double")
+                / (F.col("xb") - F.col("xa")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("slope").asc(), F.col("xa").asc(), F.col("xb").asc()
+    )
+    ranked = slopes.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    return (
+        ranked.where(F.col("rk") == F.ceil((F.col("n") + 1) / 2.0))
+        .select(
+            "event_type",
+            F.col("n").alias("n_pairs"),
+            F.round(F.col("slope") / 100.0, 6).alias("slope_per_day_r"),
+        )
+    )
+
+
+THEIL_SEN_DAILY_TREND_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(round(value * 100)::bigint)::bigint AS y,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+slopes AS (
+  SELECT a.event_type, a.x AS xa, b.x AS xb,
+         (b.y - a.y)::double / (b.x - a.x)::double AS slope
+  FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.x < b.x
+),
+ranked AS (
+  SELECT event_type, slope,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY slope ASC, xa ASC, xb ASC) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM slopes
+)
+SELECT event_type, n AS n_pairs, round(slope / 100.0, 6) AS slope_per_day_r
+FROM ranked WHERE rk = ceil((n + 1) / 2.0)
+"""

@@ -3015,3 +3015,168 @@ SELECT rnk, doc_id, n_terms, round(score, 6) AS score_r FROM (
   FROM per_doc
 ) WHERE rnk <= 20
 """
+
+
+def nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained DISTRIBUTED (one token-count
+    aggregation = the sufficient statistics; that's why NB is the
+    canonical map-reduce classifier) on an 80% deterministic hash split
+    of documents, predicting `source`, evaluated on the held-out 20%.
+    Add-one smoothing keeps every likelihood a ratio of integers; each
+    test doc's class score is log-prior + an ORDERED fold of token
+    log-likelihoods (token-sorted, exactly replayable); argmax ties break
+    on class name. Output: per (true_source, predicted_source) confusion
+    counts — the evaluation artifact, not just an accuracy scalar."""
+    from hadoop_data_lake_spark.functions.hashing import md5_60bit
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    split = docs.withColumn(
+        "is_train", (md5_60bit(F.col("doc_id").cast("string")) % 5 < 4).cast("int")
+    )
+    toks = split.select(
+        "doc_id", "source", "is_train", F.explode(TX.tokens(F.col("text"))).alias("t")
+    ).where(F.col("t") != "")
+    # --- sufficient statistics from the train split (one shuffle) ---------
+    class_tok = toks.where(F.col("is_train") == 1).groupBy("source", "t").agg(
+        F.count("*").alias("ctk")
+    )
+    class_tot = class_tok.groupBy("source").agg(
+        F.sum("ctk").alias("ctot"), F.count("*").alias("v_seen")
+    )
+    vocab = class_tok.select("t").distinct()
+    v_size = vocab.agg(F.count("*").alias("v"))
+    priors = (
+        split.where(F.col("is_train") == 1)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    n_train = split.where(F.col("is_train") == 1).agg(
+        F.count("*").alias("n_train")
+    )
+    # --- score test docs: per (doc, class) ordered log-likelihood fold ----
+    test_toks = (
+        toks.where(F.col("is_train") == 0)
+        .groupBy("doc_id", "source", "t")
+        .agg(F.count("*").alias("tf"))
+        .join(vocab, "t", "left_semi")  # OOV tokens dropped (both engines)
+    )
+    classes = priors.select(F.col("source").alias("cls"))
+    scored = (
+        test_toks.crossJoin(F.broadcast(classes))
+        .join(
+            class_tok.select(
+                F.col("source").alias("cls"), "t", "ctk"
+            ),
+            ["cls", "t"],
+            "left",
+        )
+        .join(class_tot.select(F.col("source").alias("cls"), "ctot"), "cls")
+        .crossJoin(F.broadcast(v_size))
+        .withColumn(
+            "ll",
+            F.col("tf")
+            * F.log(
+                (F.coalesce(F.col("ctk"), F.lit(0)) + 1).cast("double")
+                / (F.col("ctot") + F.col("v")).cast("double")
+            ),
+        )
+    )
+    doc_cls = scored.groupBy("doc_id", "source", "cls").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "ll"))),
+                lambda s: s["ll"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("ll_sum")
+    )
+    with_prior = (
+        doc_cls.join(priors.select(F.col("source").alias("cls"), "n_docs"), "cls")
+        .crossJoin(F.broadcast(n_train))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("ll_sum")
+                + F.log(
+                    F.col("n_docs").cast("double") / F.col("n_train").cast("double")
+                ),
+                9,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cls").asc())
+    pred = with_prior.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") == 1
+    )
+    return (
+        pred.groupBy(
+            F.col("source").alias("true_source"),
+            F.col("cls").alias("predicted_source"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _nb_sql() -> str:
+    h = md5_60bit_sql("doc_id::varchar")
+    return f"""
+WITH split AS MATERIALIZED (
+  SELECT doc_id, source, text,
+         CASE WHEN {h} % 5 < 4 THEN 1 ELSE 0 END AS is_train
+  FROM documents
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, source, is_train, t
+  FROM (SELECT doc_id, source, is_train,
+               unnest(string_split(text, ' ')) AS t FROM split)
+  WHERE t <> ''
+),
+class_tok AS MATERIALIZED (
+  SELECT source, t, count(*) AS ctk FROM toks WHERE is_train = 1 GROUP BY source, t
+),
+class_tot AS (SELECT source, sum(ctk)::bigint AS ctot FROM class_tok GROUP BY source),
+vocab AS MATERIALIZED (SELECT DISTINCT t FROM class_tok),
+v_size AS (SELECT count(*) AS v FROM vocab),
+priors AS (SELECT source, count(*) AS n_docs FROM split WHERE is_train = 1 GROUP BY source),
+n_train AS (SELECT count(*) AS n_train FROM split WHERE is_train = 1),
+test_toks AS MATERIALIZED (
+  SELECT doc_id, source, t, count(*) AS tf
+  FROM toks WHERE is_train = 0 GROUP BY doc_id, source, t
+),
+test_iv AS (SELECT tt.* FROM test_toks tt SEMI JOIN vocab v ON tt.t = v.t),
+scored AS (
+  SELECT ti.doc_id, ti.source, c.source AS cls, ti.t,
+         ti.tf * ln((coalesce(ct.ctk, 0) + 1)::double
+                    / (tot.ctot + (SELECT v FROM v_size))::double) AS ll
+  FROM test_iv ti
+  CROSS JOIN (SELECT source FROM priors) c
+  LEFT JOIN class_tok ct ON ct.source = c.source AND ct.t = ti.t
+  JOIN class_tot tot ON tot.source = c.source
+),
+doc_cls AS (
+  SELECT doc_id, source, cls,
+         list_reduce(list_prepend(0.0::double, list(ll ORDER BY t)),
+                     (acc, x) -> acc + x) AS ll_sum
+  FROM scored GROUP BY doc_id, source, cls
+),
+with_prior AS (
+  SELECT d.doc_id, d.source, d.cls,
+         round(d.ll_sum + ln(p.n_docs::double
+                             / (SELECT n_train FROM n_train)::double), 9) AS score
+  FROM doc_cls d JOIN priors p ON p.source = d.cls
+),
+pred AS (
+  SELECT doc_id, source, cls FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rnk
+    FROM with_prior
+  ) WHERE rnk = 1
+)
+SELECT source AS true_source, cls AS predicted_source, count(*) AS n
+FROM pred GROUP BY source, cls
+"""
+
+
+NB_SOURCE_CLASSIFIER_SQL = _nb_sql()

@@ -274,6 +274,10 @@ _BACKLOG: dict[str, QuerySpec] = {
     "bm25_retrieval": QuerySpec(NS.bm25_retrieval, NS.BM25_RETRIEVAL_SQL, ("retrieval", "bm25", "lexical", "rag")),
     "kaplan_meier_conversion": QuerySpec(EV.kaplan_meier_churn, EV.KAPLAN_MEIER_CHURN_SQL, ("survival", "kaplan-meier", "censoring", "conversion")),
     "temporal_split_embargo": QuerySpec(EV.temporal_split_embargo, EV.TEMPORAL_SPLIT_EMBARGO_SQL, ("ml", "split", "temporal", "leakage-safe")),
+    "nb_source_classifier": QuerySpec(NS.nb_source_classifier, NS.NB_SOURCE_CLASSIFIER_SQL, ("ml", "naive-bayes", "classifier", "confusion-matrix")),
+    "association_rules_brands": QuerySpec(TQ.association_rules_brands, TQ.ASSOCIATION_RULES_BRANDS_SQL, ("market-basket", "association-rules", "lift")),
+    "clustering_coefficient": QuerySpec(TQ.clustering_coefficient, TQ.CLUSTERING_COEFFICIENT_SQL, ("graph", "triangles", "clustering-coefficient")),
+    "theil_sen_daily_trend": QuerySpec(EV.theil_sen_daily_trend, EV.THEIL_SEN_DAILY_TREND_SQL, ("timeseries", "robust", "theil-sen", "trend")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),

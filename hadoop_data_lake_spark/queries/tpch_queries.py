@@ -2532,3 +2532,176 @@ SELECT node, count(*) AS deg FROM (
 
 
 KCORE_PURCHASE_GRAPH_SQL = _kcore_sql()
+
+
+def association_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over brand baskets (the step after
+    brand_basket_pairs): for each directed rule A -> B with pair support
+    >= 50 orders, confidence = n_ab / n_a and lift = confidence /
+    (n_b / N). Every input is an integer count from two aggregations over
+    the same basket frame (pairs + per-brand supports, grand total as a
+    broadcast scalar); the two ratios are single rounded expressions —
+    the market-basket classic in its distributed shape (co-occurrence
+    self-join on the order key, never a cross of the catalog)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    ob = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds three aggregations below
+    )
+    a = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("brand_a") != F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= 50)
+    )
+    support = ob.groupBy("p_brand").agg(F.count("*").alias("n_brand"))
+    n_orders = ob.select("l_orderkey").distinct().agg(F.count("*").alias("n_o"))
+    out = (
+        pairs.join(
+            support.select(F.col("p_brand").alias("brand_a"), F.col("n_brand").alias("n_a")),
+            "brand_a",
+        )
+        .join(
+            support.select(F.col("p_brand").alias("brand_b"), F.col("n_brand").alias("n_b")),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+    )
+    conf = F.col("n_ab").cast("double") / F.col("n_a").cast("double")
+    lift = conf / (F.col("n_b").cast("double") / F.col("n_o").cast("double"))
+    return out.select(
+        "brand_a",
+        "brand_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.round(conf, 6).alias("confidence_r"),
+        F.round(lift, 6).alias("lift_r"),
+    )
+
+
+ASSOCIATION_RULES_BRANDS_SQL = """
+WITH ob AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_ab
+  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+  GROUP BY a.p_brand, b.p_brand HAVING count(*) >= 50
+),
+support AS (SELECT p_brand, count(*) AS n_brand FROM ob GROUP BY p_brand),
+n_orders AS (SELECT count(DISTINCT l_orderkey) AS n_o FROM ob)
+SELECT p.brand_a, p.brand_b, p.n_ab, sa.n_brand AS n_a, sb.n_brand AS n_b,
+       round(p.n_ab::double / sa.n_brand::double, 6) AS confidence_r,
+       round((p.n_ab::double / sa.n_brand::double)
+             / (sb.n_brand::double / (SELECT n_o FROM n_orders)::double), 6) AS lift_r
+FROM pairs p
+JOIN support sa ON sa.p_brand = p.brand_a
+JOIN support sb ON sb.p_brand = p.brand_b
+"""
+
+
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the brand co-occurrence graph
+    (brands adjacent when they share >= 2% of orders — a RELATIVE support
+    threshold, so the graph keeps its shape across scale factors where an
+    absolute cutoff empties or saturates): triangles via the
+    ordered two-wedge join (operators/graph.triangle_count) divided by
+    deg*(deg-1)/2 possible wedges — how clique-like each brand's
+    neighborhood is. Integer triangles/degrees; one rounded ratio."""
+    from hadoop_data_lake_spark.operators.graph import triangle_count
+
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    ob = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("ba"))
+    b = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("bb"))
+    n_orders = ob.select("l_orderkey").distinct().agg(F.count("*").alias("n_o"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("ba") < F.col("bb"))
+        .groupBy("ba", "bb")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(n_orders))
+        .where(F.col("n") * 50 >= F.col("n_o"))
+        .select(F.col("ba").alias("src"), F.col("bb").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    tri = triangle_count(edges)
+    deg = (
+        edges.select(F.col("src").alias("vertex"))
+        .unionByName(edges.select(F.col("dst").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count("*").alias("deg"))
+    )
+    return (
+        deg.join(tri, "vertex", "left")
+        .select(
+            F.col("vertex").alias("brand"),
+            "deg",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    F.coalesce("n_triangles", F.lit(0)).cast("double") * 2.0
+                    / (F.col("deg").cast("double") * (F.col("deg").cast("double") - 1.0)),
+                    6,
+                ),
+            ).alias("clustering_r"),
+        )
+    )
+
+
+CLUSTERING_COEFFICIENT_SQL = """
+WITH ob AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+edges AS MATERIALIZED (
+  SELECT a.p_brand AS s, b.p_brand AS d
+  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+  HAVING count(*) * 50 >= (SELECT count(DISTINCT l_orderkey) FROM ob)
+),
+tris AS (
+  SELECT e1.s AS ta, e1.d AS tb, e2.d AS tc
+  FROM edges e1
+  JOIN edges e2 ON e1.d = e2.s
+  JOIN edges e3 ON e3.s = e1.s AND e3.d = e2.d
+),
+corners AS (
+  SELECT ta AS vertex FROM tris
+  UNION ALL SELECT tb FROM tris
+  UNION ALL SELECT tc FROM tris
+),
+tri_counts AS (SELECT vertex, count(*) AS n_triangles FROM corners GROUP BY vertex),
+deg AS (
+  SELECT vertex, count(*) AS deg FROM (
+    SELECT s AS vertex FROM edges UNION ALL SELECT d FROM edges
+  ) GROUP BY vertex
+)
+SELECT deg.vertex AS brand, deg.deg,
+       coalesce(t.n_triangles, 0)::bigint AS n_triangles,
+       CASE WHEN deg.deg >= 2
+            THEN round(coalesce(t.n_triangles, 0)::double * 2.0
+                       / (deg.deg::double * (deg.deg::double - 1.0)), 6)
+       END AS clustering_r
+FROM deg LEFT JOIN tri_counts t ON deg.vertex = t.vertex
+"""
