@@ -3180,3 +3180,229 @@ FROM pred GROUP BY source, cls
 
 
 NB_SOURCE_CLASSIFIER_SQL = _nb_sql()
+
+
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: PageRank over the corpus word
+    co-occurrence graph (adjacent-token pairs, both directions), top-25
+    words by rank. Reuses the FIXED-POINT integer PageRank operator
+    (operators/graph.pagerank_intexact) verbatim — the whole point of
+    having the deterministic iterative core as an operator: TextRank is
+    PageRank on a different edge list. Words are mapped to dense integer
+    ids by a sorted-vocabulary window (replayable), ranks are exact
+    integer units, and the oracle unrolls the same 10 iterations over the
+    same CTE-built graph."""
+    from pyspark.sql import Window
+
+    from hadoop_data_lake_spark.operators.graph import pagerank_intexact
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", w.alias("w"), F.size(w).alias("n")).where(
+        F.col("n") >= 2
+    )
+    bg = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("w"), 1, F.col("n") - 1),
+                F.slice(F.col("w"), 2, F.col("n") - 1),
+                lambda a, b: F.struct(a.alias("wa"), b.alias("wb")),
+            )
+        ).alias("p")
+    ).select(F.col("p.wa").alias("wa"), F.col("p.wb").alias("wb")).where(
+        (F.col("wa") != "") & (F.col("wb") != "") & (F.col("wa") != F.col("wb"))
+    )
+    vocab = (
+        bg.select(F.col("wa").alias("word"))
+        .unionByName(bg.select(F.col("wb").alias("word")))
+        .distinct()
+        .withColumn("wid", F.row_number().over(Window.orderBy("word")))
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        bg.join(vocab.select(F.col("word").alias("wa"), F.col("wid").alias("src")), "wa")
+        .join(vocab.select(F.col("word").alias("wb"), F.col("wid").alias("dst")), "wb")
+        .select("src", "dst")
+        .unionByName(
+            bg.join(
+                vocab.select(F.col("word").alias("wa"), F.col("wid").alias("dst")), "wa"
+            )
+            .join(vocab.select(F.col("word").alias("wb"), F.col("wid").alias("src")), "wb")
+            .select("src", "dst")
+        )
+        .distinct()
+    )
+    ranks = pagerank_intexact(edges, iters=10)
+    w2 = Window.orderBy(F.col("rank_units").desc(), F.col("word").asc())
+    return (
+        ranks.join(vocab, ranks["node"] == vocab["wid"])
+        .select("word", "rank_units")
+        .withColumn("rnk", F.row_number().over(w2))
+        .where(F.col("rnk") <= 25)
+    )
+
+
+def _textrank_sql(iters: int = 10, scale: int = 10**12) -> str:
+    parts = [
+        """
+WITH bgp AS MATERIALIZED (
+  SELECT w[i] AS wa, w[i + 1] AS wb
+  FROM (
+    SELECT w, unnest(range(1, len(w))) AS i
+    FROM (SELECT string_split(text, ' ') AS w FROM documents)
+    WHERE len(w) >= 2
+  )
+),
+bg AS MATERIALIZED (
+  SELECT wa, wb FROM bgp WHERE wa <> '' AND wb <> '' AND wa <> wb
+),
+vocab AS MATERIALIZED (
+  SELECT word, row_number() OVER (ORDER BY word) AS wid FROM (
+    SELECT DISTINCT wa AS word FROM bg UNION SELECT DISTINCT wb FROM bg
+  )
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT va.wid AS src, vb.wid AS dst
+  FROM bg JOIN vocab va ON bg.wa = va.word JOIN vocab vb ON bg.wb = vb.word
+  UNION
+  SELECT DISTINCT vb.wid, va.wid
+  FROM bg JOIN vocab va ON bg.wa = va.word JOIN vocab vb ON bg.wb = vb.word
+),
+verts AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM verts),
+outdeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, (%SCALE% // (SELECT n FROM nn)) AS rank FROM verts)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",
+s{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(r.rank // d.deg)::bigint AS s
+  FROM e JOIN r{p} r ON e.src = r.node JOIN outdeg d ON e.src = d.src
+  GROUP BY e.dst
+),
+dg{i} AS MATERIALIZED (
+  SELECT coalesce(sum(r.rank), 0)::bigint AS dsum FROM r{p} r
+  WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = r.node)
+),
+r{i} AS MATERIALIZED (
+  SELECT v.node,
+         ((15 * (%SCALE% // (SELECT n FROM nn))) // 100)
+         + ((85 * (coalesce(s.s, 0)
+                   + ((SELECT dsum FROM dg{i}) // (SELECT n FROM nn)))) // 100)
+         AS rank
+  FROM verts v LEFT JOIN s{i} s ON v.node = s.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT word, rank_units, rnk FROM (
+  SELECT v.word, r.rank AS rank_units,
+         row_number() OVER (ORDER BY r.rank DESC, v.word ASC) AS rnk
+  FROM r{iters} r JOIN vocab v ON r.node = v.wid
+) WHERE rnk <= 25"""
+    )
+    return "".join(parts).replace("%SCALE%", str(scale))
+
+
+TEXTRANK_KEYWORDS_SQL = _textrank_sql()
+
+
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification readout over the embedding space: a 10%
+    deterministic hash split is scored against the remaining 90% by
+    5-nearest-cosine majority vote (ties: higher summed quantized
+    similarity, then smaller label), emitting the confusion matrix. The
+    neighbor ranks use integer-quantized cosines (floor(cos*1e6)) with
+    (sim, id) tie-breaks, so winner selection is exact. Shape: the
+    brute-force tier (one broadcast of the 10% probe side against the
+    corpus — the eval harness pattern); production retrieval would swap
+    in the LSH/IVF tiers, which is precisely what minhash_eval_pr-style
+    readouts quantify."""
+    from hadoop_data_lake_spark.functions.hashing import md5_60bit
+    from hadoop_data_lake_spark.functions.vectors import cosine
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    tagged = emb.withColumn(
+        "is_test", (md5_60bit(F.col("vec_id").cast("string")) % 10 == 0).cast("int")
+    )
+    test = tagged.where(F.col("is_test") == 1).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        F.col("label").alias("true_label"),
+    )
+    train = tagged.where(F.col("is_test") == 0).select(
+        F.col("vec_id").alias("tid"), "embedding", F.col("label").alias("nlabel")
+    )
+    scored = train.crossJoin(F.broadcast(test)).select(
+        "qid",
+        "true_label",
+        "tid",
+        "nlabel",
+        F.floor(cosine(F.col("embedding"), F.col("qemb")) * 1e6)
+        .cast("long")
+        .alias("sim_q"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim_q").desc(), F.col("tid").asc())
+    top5 = scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 5)
+    votes = top5.groupBy("qid", "true_label", "nlabel").agg(
+        F.count("*").alias("n_votes"), F.sum("sim_q").alias("sim_sum")
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.col("n_votes").desc(), F.col("sim_sum").desc(), F.col("nlabel").asc()
+    )
+    pred = votes.withColumn("vr", F.row_number().over(wv)).where(F.col("vr") == 1)
+    return pred.groupBy(
+        F.col("true_label").alias("true_label"),
+        F.col("nlabel").alias("predicted_label"),
+    ).agg(F.count("*").alias("n"))
+
+
+def _knn_sql() -> str:
+    h = md5_60bit_sql("vec_id::varchar")
+    cos = cosine_sql("t.embedding", "q.qemb")
+    return f"""
+WITH tagged AS MATERIALIZED (
+  SELECT vec_id, embedding, label,
+         CASE WHEN {h} % 10 = 0 THEN 1 ELSE 0 END AS is_test
+  FROM embeddings
+),
+test AS (SELECT vec_id AS qid, embedding AS qemb, label AS true_label
+         FROM tagged WHERE is_test = 1),
+train AS (SELECT vec_id AS tid, embedding, label AS nlabel
+          FROM tagged WHERE is_test = 0),
+scored AS MATERIALIZED (
+  SELECT q.qid, q.true_label, t.tid, t.nlabel,
+         floor({cos} * 1e6)::bigint AS sim_q
+  FROM train t CROSS JOIN test q
+),
+top5 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY sim_q DESC, tid ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= 5
+),
+votes AS (
+  SELECT qid, true_label, nlabel, count(*) AS n_votes,
+         sum(sim_q)::bigint AS sim_sum
+  FROM top5 GROUP BY qid, true_label, nlabel
+),
+pred AS (
+  SELECT qid, true_label, nlabel FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY qid
+      ORDER BY n_votes DESC, sim_sum DESC, nlabel ASC) AS vr
+    FROM votes
+  ) WHERE vr = 1
+)
+SELECT true_label, nlabel AS predicted_label, count(*) AS n
+FROM pred GROUP BY true_label, nlabel
+"""
+
+
+KNN_LABEL_EVAL_SQL = _knn_sql()

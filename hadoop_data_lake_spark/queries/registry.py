@@ -278,6 +278,8 @@ _BACKLOG: dict[str, QuerySpec] = {
     "association_rules_brands": QuerySpec(TQ.association_rules_brands, TQ.ASSOCIATION_RULES_BRANDS_SQL, ("market-basket", "association-rules", "lift")),
     "clustering_coefficient": QuerySpec(TQ.clustering_coefficient, TQ.CLUSTERING_COEFFICIENT_SQL, ("graph", "triangles", "clustering-coefficient")),
     "theil_sen_daily_trend": QuerySpec(EV.theil_sen_daily_trend, EV.THEIL_SEN_DAILY_TREND_SQL, ("timeseries", "robust", "theil-sen", "trend")),
+    "textrank_keywords": QuerySpec(NS.textrank_keywords, NS.TEXTRANK_KEYWORDS_SQL, ("text", "textrank", "pagerank", "keywords", "deterministic")),
+    "knn_label_eval": QuerySpec(NS.knn_label_eval, NS.KNN_LABEL_EVAL_SQL, ("ml", "knn", "embedding", "confusion-matrix")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
