@@ -2923,8 +2923,17 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
     ).where(F.col("token") != "")
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # ONE corpus explode: tf is the model table, materialized because four
+    # consumers (dl, stats, df, the scoring join) would otherwise each
+    # re-execute the explode (alias-differing subtrees reuse nothing —
+    # the plan-audit caught 5 scans). dl re-aggregates tf: sum(tf) per
+    # doc == the token count.
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.sum("dl").alias("tot_dl"), F.count("*").alias("n_docs")
     )
@@ -3034,9 +3043,24 @@ def nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = docs.withColumn(
         "is_train", (md5_60bit(F.col("doc_id").cast("string")) % 5 < 4).cast("int")
     )
-    toks = split.select(
-        "doc_id", "source", "is_train", F.explode(TX.tokens(F.col("text"))).alias("t")
-    ).where(F.col("t") != "")
+    # labels (tiny) and the tokenized corpus are each materialized ONCE:
+    # seven downstream consumers (train stats, priors, vocab, test side)
+    # otherwise re-run the scan+explode per branch (plan audit: 8 scans).
+    # Persisting the tokenized intermediate is the standard move in
+    # retrieval/LM pipelines — it is the expensive pass.
+    labels = split.select("doc_id", "source", "is_train").localCheckpoint(
+        eager=True
+    )
+    toks = (
+        split.select(
+            "doc_id",
+            "source",
+            "is_train",
+            F.explode(TX.tokens(F.col("text"))).alias("t"),
+        )
+        .where(F.col("t") != "")
+        .localCheckpoint(eager=True)
+    )
     # --- sufficient statistics from the train split (one shuffle) ---------
     class_tok = toks.where(F.col("is_train") == 1).groupBy("source", "t").agg(
         F.count("*").alias("ctk")
@@ -3047,11 +3071,11 @@ def nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = class_tok.select("t").distinct()
     v_size = vocab.agg(F.count("*").alias("v"))
     priors = (
-        split.where(F.col("is_train") == 1)
+        labels.where(F.col("is_train") == 1)
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"))
     )
-    n_train = split.where(F.col("is_train") == 1).agg(
+    n_train = labels.where(F.col("is_train") == 1).agg(
         F.count("*").alias("n_train")
     )
     # --- score test docs: per (doc, class) ordered log-likelihood fold ----

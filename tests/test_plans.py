@@ -326,3 +326,36 @@ def test_hll_det_register_state_is_integer(spark):
     plus one for the exact count (the join of two aggregations)."""
     plan = _plan(spark, "hll_det_daily_users")
     assert plan.count("FileScan parquet") <= 2
+
+
+def test_bm25_builds_on_single_token_explode(spark):
+    """tf/dl/df/stats all derive from ONE exploded token frame: the plan
+    may re-scan documents a bounded number of times (tf + query side) but
+    must never explode per-consumer (the kneser-ney lesson)."""
+    plan = _plan(spark, "bm25_retrieval")
+    # tf is checkpointed: only the query-token side re-reads documents
+    assert plan.count("FileScan parquet") <= 2
+
+
+def test_knn_eval_broadcasts_probe_side(spark):
+    """The 10% test split must broadcast against the train corpus — the
+    corpus side never shuffles for the similarity join."""
+    plan = _plan(spark, "knn_label_eval")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_nb_classifier_single_training_aggregation(spark):
+    """Sufficient statistics (class-token counts) must come from one
+    aggregation pipeline; class totals and vocab re-aggregate the MODEL,
+    not the corpus."""
+    plan = _plan(spark, "nb_source_classifier")
+    # labels + tokenized corpus are checkpointed: zero live document scans
+    # remain in the final plan (both materializations happen up front)
+    assert plan.count("FileScan parquet") <= 2
+
+
+def test_theil_sen_self_join_is_post_aggregation(spark):
+    """The quadratic pairwise-slope join must operate on the aggregated
+    daily frame (HashAggregate below the join), never on raw events."""
+    plan = _plan(spark, "theil_sen_daily_trend")
+    assert plan.count("FileScan parquet") <= 2
