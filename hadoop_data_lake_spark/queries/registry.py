@@ -280,6 +280,8 @@ _BACKLOG: dict[str, QuerySpec] = {
     "theil_sen_daily_trend": QuerySpec(EV.theil_sen_daily_trend, EV.THEIL_SEN_DAILY_TREND_SQL, ("timeseries", "robust", "theil-sen", "trend")),
     "textrank_keywords": QuerySpec(NS.textrank_keywords, NS.TEXTRANK_KEYWORDS_SQL, ("text", "textrank", "pagerank", "keywords", "deterministic")),
     "knn_label_eval": QuerySpec(NS.knn_label_eval, NS.KNN_LABEL_EVAL_SQL, ("ml", "knn", "embedding", "confusion-matrix")),
+    "point_in_polygon_zones": QuerySpec(GQ.point_in_polygon_zones, GQ.POINT_IN_POLYGON_ZONES_SQL, ("geo", "geofence", "ray-casting", "point-in-polygon")),
+    "row_provenance_files": QuerySpec(EV.row_provenance_files, EV.ROW_PROVENANCE_FILES_SQL, ("lineage", "provenance", "input-file")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),

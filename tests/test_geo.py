@@ -160,3 +160,38 @@ def test_geohash_matches_canonical_vectors(spark):
     assert got[1] == "u4pruydq"   # the classic Jutland example
     assert got[2] == "wx4g0ec1"   # Beijing
     assert got[3].startswith("s00000")
+
+
+def test_ray_casting_known_points(spark):
+    """Hand-checked containment: center of each fence is inside, far
+    poles are outside, and a point in the equator box is labeled by the
+    FIRST matching zone."""
+    import pyspark.sql.functions as F
+
+    from hadoop_data_lake_spark.queries.geo_queries import (
+        _GEOFENCES,
+        _ray_cast_sql,
+    )
+
+    cases = [
+        (5.0, -10.0, "equator_box", True),   # box center-ish
+        (45.0, -100.0, "north_tri", True),   # triangle interior
+        (-40.0, 110.0, "south_quad", True),  # quad interior
+        (80.0, 0.0, "equator_box", False),
+        (80.0, 0.0, "north_tri", False),
+        (80.0, 0.0, "south_quad", False),
+    ]
+    df = spark.createDataFrame(
+        [(la, lo) for la, lo, _, _ in cases], ["lat", "lon"]
+    )
+    rows = df.select(
+        "lat",
+        "lon",
+        *[
+            F.expr(_ray_cast_sql(v, "lat", "lon")).alias(name)
+            for name, v in _GEOFENCES
+        ],
+    ).collect()
+    got = {(r["lat"], r["lon"]): r for r in rows}
+    for la, lo, zone, want in cases:
+        assert bool(got[(la, lo)][zone]) == want, (la, lo, zone)
