@@ -80,6 +80,8 @@ HEADLINE = [
     "bloom_semijoin_orders",
     "doc_lm_kneser_ney",
     "target_encode_event_type",
+    "bm25_retrieval",
+    "textrank_keywords",
 ]
 
 

@@ -3430,3 +3430,122 @@ FROM pred GROUP BY true_label, nlabel
 
 
 KNN_LABEL_EVAL_SQL = _knn_sql()
+
+
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; each word scores degree/frequency
+    (degree = summed length of phrases containing it — rewards words that
+    travel in long collocations); a phrase scores the sum of its words'
+    scores. Top-15 DISTINCT phrases. Phrase segmentation is a cumulative
+    stopword-boundary count over token positions (one window per doc);
+    degree/frequency are integer aggregations over the phrase-word table;
+    the only float is score = deg/freq summed per phrase as an ORDERED
+    fold over word positions. The corpus never self-joins."""
+    from pyspark.sql import Window
+
+    from hadoop_data_lake_spark.functions.text import _STOPWORDS
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "w"),
+    ).where(F.col("w") != "")
+    stop = F.col("w").isin(list(_STOPWORDS))
+    wseg = Window.partitionBy("doc_id").orderBy("pos")
+    seg = toks.withColumn("is_stop", stop.cast("int")).withColumn(
+        "seg", F.sum("is_stop").over(wseg)
+    )
+    words = seg.where(F.col("is_stop") == 0).localCheckpoint(eager=True)
+    phrases = words.groupBy("doc_id", "seg").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+        ).alias("pw")
+    ).withColumn("phrase", F.array_join("pw", " ")).withColumn(
+        "plen", F.size("pw")
+    )
+    # word stats over phrase membership: freq = occurrences, deg = sum of
+    # the hosting phrase's length per occurrence (classic RAKE).
+    pw = phrases.select("phrase", "plen", F.explode("pw").alias("w"))
+    wstats = pw.groupBy("w").agg(
+        F.count("*").alias("freq"), F.sum("plen").alias("deg")
+    )
+    scored = (
+        pw.join(wstats, "w")
+        .withColumn("ws", F.col("deg").cast("double") / F.col("freq").cast("double"))
+        .groupBy("phrase")
+        .agg(
+            F.max("plen").alias("n_words"),
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("w", "ws"))),
+                        lambda s: s["ws"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.count("*")
+                * F.max("plen"),
+                6,
+            ).alias("score_r"),
+        )
+    )
+    w2 = Window.orderBy(F.col("score_r").desc(), F.col("phrase").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w2))
+        .where(F.col("rnk") <= 15)
+        .select("rnk", "phrase", "n_words", "score_r")
+    )
+
+
+def _rake_sql() -> str:
+    from hadoop_data_lake_spark.functions.text import _STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, pos, w
+  FROM (
+    SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+  ) WHERE w <> ''
+),
+seg AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN w IN ({stoplist}) THEN 1 ELSE 0 END AS is_stop,
+         sum(CASE WHEN w IN ({stoplist}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+  FROM toks
+),
+phrases AS MATERIALIZED (
+  SELECT doc_id, seg, list(w ORDER BY pos) AS pw,
+         array_to_string(list(w ORDER BY pos), ' ') AS phrase,
+         count(*) AS plen
+  FROM seg WHERE is_stop = 0 GROUP BY doc_id, seg
+),
+pw AS MATERIALIZED (
+  SELECT phrase, plen, unnest(pw) AS w FROM phrases
+),
+wstats AS (
+  SELECT w, count(*) AS freq, sum(plen)::bigint AS deg FROM pw GROUP BY w
+),
+scored AS (
+  SELECT p.phrase, max(p.plen) AS n_words,
+         round(
+           list_reduce(
+             list_prepend(0.0::double,
+               list(ws.deg::double / ws.freq::double ORDER BY ws.w)),
+             (acc, x) -> acc + x)
+           / count(*) * max(p.plen), 6) AS score_r
+  FROM pw p JOIN wstats ws ON p.w = ws.w
+  GROUP BY p.phrase
+)
+SELECT rnk, phrase, n_words::bigint AS n_words, score_r FROM (
+  SELECT *, row_number() OVER (ORDER BY score_r DESC, phrase ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 15
+"""
+
+
+RAKE_KEYPHRASES_SQL = _rake_sql()

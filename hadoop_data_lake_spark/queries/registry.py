@@ -282,6 +282,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "knn_label_eval": QuerySpec(NS.knn_label_eval, NS.KNN_LABEL_EVAL_SQL, ("ml", "knn", "embedding", "confusion-matrix")),
     "point_in_polygon_zones": QuerySpec(GQ.point_in_polygon_zones, GQ.POINT_IN_POLYGON_ZONES_SQL, ("geo", "geofence", "ray-casting", "point-in-polygon")),
     "row_provenance_files": QuerySpec(EV.row_provenance_files, EV.ROW_PROVENANCE_FILES_SQL, ("lineage", "provenance", "input-file")),
+    "rake_keyphrases": QuerySpec(NS.rake_keyphrases, NS.RAKE_KEYPHRASES_SQL, ("text", "rake", "keyphrases", "collocation")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
