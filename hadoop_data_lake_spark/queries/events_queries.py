@@ -3292,3 +3292,153 @@ def row_provenance_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROW_PROVENANCE_FILES_SQL = """
 SELECT 'events.parquet' AS file_name, count(*) AS n_rows FROM events
 """
+
+
+def split_revenue_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution with EXACT money splitting: each
+    purchase's value (integer cents) divides across the user's view/click
+    touches in the preceding 24h by the largest-remainder method —
+    floor(cents/n) each plus one extra cent to the first (cents mod n)
+    touches in time order — so per-purchase credits sum to the purchase
+    EXACTLY (floating-point splits leak cents; finance pipelines reject
+    them). Output: credited cents per (event_type, zone-free) touch
+    channel. Joins are an interval predicate on the user key (touch in
+    [purchase - 24h, purchase)); integer arithmetic end to end."""
+    ev = read_table(spark, sf_dir, "events")
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from pyspark.sql import Window
+
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        to_units(F.col("value")).alias("cents"),
+    )
+    touches = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    paired = purchases.join(
+        touches,
+        (F.col("pu") == F.col("tu"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS")),
+    )
+    w = Window.partitionBy("pid").orderBy(F.col("tts").asc(), F.col("tid").asc())
+    credited = (
+        paired.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("pid")))
+        .withColumn(
+            "credit",
+            F.expr("cents div n")
+            + (F.col("rk") <= F.col("cents") % F.col("n")).cast("long"),
+        )
+    )
+    return credited.groupBy("channel").agg(
+        F.count("*").alias("n_touches"),
+        F.sum("credit").alias("credited_cents"),
+    )
+
+
+SPLIT_REVENUE_ATTRIBUTION_SQL = """
+WITH purchases AS (
+  SELECT event_id AS pid, user_id AS pu, ts AS pts,
+         round(value * 100)::bigint AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT event_id AS tid, user_id AS tu, ts AS tts, event_type AS channel
+  FROM events WHERE event_type IN ('view', 'click')
+),
+paired AS (
+  SELECT p.*, t.tid, t.tts, t.channel
+  FROM purchases p JOIN touches t
+    ON p.pu = t.tu AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 24 HOURS
+),
+credited AS (
+  SELECT channel,
+         (cents // n) + (CASE WHEN rk <= cents % n THEN 1 ELSE 0 END) AS credit
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY pid ORDER BY tts ASC, tid ASC) AS rk,
+           count(*) OVER (PARTITION BY pid) AS n
+    FROM paired
+  )
+)
+SELECT channel, count(*) AS n_touches, sum(credit)::bigint AS credited_cents
+FROM credited GROUP BY channel
+"""
+
+
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value by signup-week cohort and week age: each
+    user joins the cohort of their first event week; purchase cents
+    accumulate over week offsets via a running window on the tiny
+    (cohort, age) aggregate — the LTV triangle every growth team reads.
+    Integer cents end to end; per-user average as one rounded division."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.weekofyear("ts").alias("wk"),
+        to_units(F.col("value")).alias("cents"),
+    )
+    first_wk = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sized = first_wk.groupBy("cohort_wk").agg(F.count("*").alias("cohort_n"))
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first_wk, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("age_wk"))
+        .agg(F.sum("cents").alias("wk_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("age_wk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.withColumn("cum_cents", F.sum("wk_cents").over(w))
+        .join(sized, "cohort_wk")
+        .select(
+            "cohort_wk",
+            "age_wk",
+            "wk_cents",
+            "cum_cents",
+            "cohort_n",
+            F.round(
+                F.col("cum_cents").cast("double")
+                / (F.col("cohort_n").cast("double") * 100.0),
+                6,
+            ).alias("ltv_per_user_r"),
+        )
+    )
+
+
+COHORT_LTV_CURVE_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, weekofyear(ts) AS wk,
+         round(value * 100)::bigint AS cents
+  FROM events
+),
+first_wk AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id),
+sized AS (SELECT cohort_wk, count(*) AS cohort_n FROM first_wk GROUP BY cohort_wk),
+rev AS (
+  SELECT f.cohort_wk, e.wk - f.cohort_wk AS age_wk, sum(e.cents)::bigint AS wk_cents
+  FROM ev e JOIN first_wk f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY f.cohort_wk, e.wk - f.cohort_wk
+),
+cum AS (
+  SELECT cohort_wk, age_wk, wk_cents,
+         sum(wk_cents) OVER (
+           PARTITION BY cohort_wk ORDER BY age_wk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cum_cents
+  FROM rev
+)
+SELECT c.cohort_wk, c.age_wk, c.wk_cents, c.cum_cents, s.cohort_n,
+       round(c.cum_cents::double / (s.cohort_n::double * 100.0), 6) AS ltv_per_user_r
+FROM cum c JOIN sized s ON c.cohort_wk = s.cohort_wk
+"""

@@ -283,6 +283,8 @@ _BACKLOG: dict[str, QuerySpec] = {
     "point_in_polygon_zones": QuerySpec(GQ.point_in_polygon_zones, GQ.POINT_IN_POLYGON_ZONES_SQL, ("geo", "geofence", "ray-casting", "point-in-polygon")),
     "row_provenance_files": QuerySpec(EV.row_provenance_files, EV.ROW_PROVENANCE_FILES_SQL, ("lineage", "provenance", "input-file")),
     "rake_keyphrases": QuerySpec(NS.rake_keyphrases, NS.RAKE_KEYPHRASES_SQL, ("text", "rake", "keyphrases", "collocation")),
+    "split_revenue_attribution": QuerySpec(EV.split_revenue_attribution, EV.SPLIT_REVENUE_ATTRIBUTION_SQL, ("attribution", "multi-touch", "largest-remainder", "integer-exact")),
+    "cohort_ltv_curve": QuerySpec(EV.cohort_ltv_curve, EV.COHORT_LTV_CURVE_SQL, ("cohort", "ltv", "running-sum")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),

@@ -419,3 +419,49 @@ def test_kaplan_meier_known_example(spark):
     )
     got = {(r["t"]): (r["churned"]) for r in users.collect()}
     assert got == {1: 1, 2: 1, 3: 0}  # durations per spec (two users at t=1)
+
+
+def test_largest_remainder_split_conserves_every_cent(spark):
+    """Per-purchase credits must sum to the purchase cents exactly for
+    every purchase — the invariant float splitting cannot give."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from hadoop_data_lake_spark.core.io import read_table
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+
+    sf = "/root/testdata/sf0.001"
+    ev = read_table(spark, sf, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        to_units(F.col("value")).alias("cents"),
+    )
+    touches = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("tts"),
+    )
+    paired = purchases.join(
+        touches,
+        (F.col("pu") == F.col("tu"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS")),
+    )
+    w = Window.partitionBy("pid").orderBy(F.col("tts").asc(), F.col("tid").asc())
+    credited = (
+        paired.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("pid")))
+        .withColumn(
+            "credit",
+            F.expr("cents div n")
+            + (F.col("rk") <= F.col("cents") % F.col("n")).cast("long"),
+        )
+    )
+    per_purchase = credited.groupBy("pid", "cents").agg(
+        F.sum("credit").alias("sum_credit")
+    )
+    bad = per_purchase.where(F.col("sum_credit") != F.col("cents")).count()
+    assert bad == 0
+    assert per_purchase.count() > 0
