@@ -3442,3 +3442,53 @@ SELECT c.cohort_wk, c.age_wk, c.wk_cents, c.cum_cents, s.cohort_n,
        round(c.cum_cents::double / (s.cohort_n::double * 100.0), 6) AS ltv_per_user_r
 FROM cum c JOIN sized s ON c.cohort_wk = s.cohort_wk
 """
+
+
+def event_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile — the empirical input to every watermark
+    decision: treating event_id as arrival order, each event's lateness
+    is (running max event-time at its arrival) minus its own event-time.
+    The profile reports, for candidate watermark thresholds (0/1/5/15/60
+    minutes), how many events a stream with that watermark would DROP —
+    turning 'pick a watermark' from folklore into a measured trade-off.
+    One arrival-ordered window (a single sort) + one aggregation."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "ts")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    # lateness stays integer MICROSECONDS end to end: double seconds would
+    # hit the DuckDB-rounds / Spark-truncates cast asymmetry.
+    late = ev.withColumn(
+        "late_us",
+        F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts")),
+    )
+    thresholds = [0, 60, 300, 900, 3600]
+    aggs = [
+        F.sum((F.col("late_us") > t * 1_000_000).cast("long")).alias(
+            f"dropped_at_{t}s"
+        )
+        for t in thresholds
+    ]
+    return late.agg(
+        F.count("*").alias("n_events"),
+        F.max("late_us").alias("max_late_us"),
+        *aggs,
+    )
+
+
+EVENT_LATENESS_PROFILE_SQL = """
+WITH late AS (
+  SELECT (epoch_us(max(ts) OVER (
+            ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          - epoch_us(ts)) AS late_us
+  FROM events
+)
+SELECT count(*) AS n_events,
+       max(late_us)::bigint AS max_late_us,
+       sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::bigint AS dropped_at_0s,
+       sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END)::bigint AS dropped_at_60s,
+       sum(CASE WHEN late_us > 300000000 THEN 1 ELSE 0 END)::bigint AS dropped_at_300s,
+       sum(CASE WHEN late_us > 900000000 THEN 1 ELSE 0 END)::bigint AS dropped_at_900s,
+       sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)::bigint AS dropped_at_3600s
+FROM late
+"""

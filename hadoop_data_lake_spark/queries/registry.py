@@ -285,6 +285,8 @@ _BACKLOG: dict[str, QuerySpec] = {
     "rake_keyphrases": QuerySpec(NS.rake_keyphrases, NS.RAKE_KEYPHRASES_SQL, ("text", "rake", "keyphrases", "collocation")),
     "split_revenue_attribution": QuerySpec(EV.split_revenue_attribution, EV.SPLIT_REVENUE_ATTRIBUTION_SQL, ("attribution", "multi-touch", "largest-remainder", "integer-exact")),
     "cohort_ltv_curve": QuerySpec(EV.cohort_ltv_curve, EV.COHORT_LTV_CURVE_SQL, ("cohort", "ltv", "running-sum")),
+    "bitemporal_asof_orders": QuerySpec(TQ.bitemporal_asof_orders, TQ.BITEMPORAL_ASOF_ORDERS_SQL, ("bitemporal", "asof", "audit", "scd")),
+    "event_lateness_profile": QuerySpec(EV.event_lateness_profile, EV.EVENT_LATENESS_PROFILE_SQL, ("streaming", "watermark", "lateness", "profiling")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),

@@ -2705,3 +2705,81 @@ SELECT deg.vertex AS brand, deg.deg,
        END AS clustering_r
 FROM deg LEFT JOIN tri_counts t ON deg.vertex = t.vertex
 """
+
+
+def bitemporal_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal AS-OF point query: orders carry BOTH a valid-time
+    interval (when the stated price was economically true) and a
+    transaction-time interval (when the row version was in the store) —
+    synthesized deterministically from the order date and key (versions:
+    a correction recorded 10 days after entry for every 7th order, each
+    superseding interval closed by its successor). The query answers
+    'what did we BELIEVE on day T_tx the price valid on day T_v was?' —
+    the audit/backtest primitive ordinary SCD2 (one time axis) cannot
+    express. Both filters are half-open interval predicates; count+sum
+    verify the selected version set."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+
+    base = orders.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("valid_from"),
+        F.date_add(F.to_date("o_orderdate"), 3650).alias("valid_to"),
+        F.to_date("o_orderdate").alias("tx_from"),
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.date_add(F.to_date("o_orderdate"), 10),
+        )
+        .otherwise(F.date_add(F.to_date("o_orderdate"), 36500))
+        .alias("tx_to"),
+        to_units(F.col("o_totalprice")).alias("cents"),
+        F.lit(1).alias("version"),
+    )
+    corrections = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("valid_from"),
+        F.date_add(F.to_date("o_orderdate"), 3650).alias("valid_to"),
+        F.date_add(F.to_date("o_orderdate"), 10).alias("tx_from"),
+        F.date_add(F.to_date("o_orderdate"), 36500).alias("tx_to"),
+        (to_units(F.col("o_totalprice")) + 500).alias("cents"),
+        F.lit(2).alias("version"),
+    )
+    bitemporal = base.unionByName(corrections)
+    t_v = F.lit("1998-06-01").cast("date")
+    t_tx = F.lit("1998-06-05").cast("date")
+    snap = bitemporal.where(
+        (F.col("valid_from") <= t_v)
+        & (t_v < F.col("valid_to"))
+        & (F.col("tx_from") <= t_tx)
+        & (t_tx < F.col("tx_to"))
+    )
+    return snap.groupBy("version").agg(
+        F.count("*").alias("n_rows"), F.sum("cents").alias("sum_cents")
+    )
+
+
+BITEMPORAL_ASOF_ORDERS_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderdate::date AS valid_from,
+         o_orderdate::date + 3650 AS valid_to,
+         o_orderdate::date AS tx_from,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_orderdate::date + 10
+              ELSE o_orderdate::date + 36500 END AS tx_to,
+         round(o_totalprice * 100)::bigint AS cents, 1 AS version
+  FROM orders
+),
+corrections AS (
+  SELECT o_orderkey, o_orderdate::date, o_orderdate::date + 3650,
+         o_orderdate::date + 10, o_orderdate::date + 36500,
+         round(o_totalprice * 100)::bigint + 500, 2
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+bt AS (SELECT * FROM base UNION ALL SELECT * FROM corrections)
+SELECT version, count(*) AS n_rows, sum(cents)::bigint AS sum_cents
+FROM bt
+WHERE valid_from <= DATE '1998-06-01' AND DATE '1998-06-01' < valid_to
+  AND tx_from <= DATE '1998-06-05' AND DATE '1998-06-05' < tx_to
+GROUP BY version
+"""
