@@ -3549,3 +3549,84 @@ SELECT rnk, phrase, n_words::bigint AS n_words, score_r FROM (
 
 
 RAKE_KEYPHRASES_SQL = _rake_sql()
+
+
+def source_vocab_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift per source: KL(source || corpus) over add-one-
+    smoothed unigram distributions — the data-mixing diagnostic that
+    flags a source whose token distribution diverges from the blend
+    (domain shift, contamination, template spam). Counts are integers
+    from one token aggregation; each token's contribution
+    p_s * log2(p_s / p_c) is an identical float expression, and the
+    per-source sum folds over tokens IN TOKEN ORDER (the ordered-fold
+    determinism pattern). Smoothing over the joint vocabulary keeps
+    q > 0 everywhere, so KL is finite by construction."""
+    docs = read_table(spark, sf_dir, "documents").select("source", "text")
+    toks = docs.select(
+        "source", F.explode(TX.tokens(F.col("text"))).alias("t")
+    ).where(F.col("t") != "").localCheckpoint(eager=True)
+    per_st = toks.groupBy("source", "t").agg(F.count("*").alias("n_st"))
+    per_t = per_st.groupBy("t").agg(F.sum("n_st").alias("n_t"))
+    per_s = per_st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    totals = per_t.agg(
+        F.sum("n_t").alias("n_corpus"), F.count("*").alias("v")
+    )
+    # joint (source x vocab) grid so unseen tokens smooth to 1/(n_s + V)
+    grid = per_s.crossJoin(per_t).join(
+        per_st, ["source", "t"], "left"
+    ).crossJoin(F.broadcast(totals))
+    p_s = (F.coalesce(F.col("n_st"), F.lit(0)) + 1).cast("double") / (
+        F.col("n_s") + F.col("v")
+    ).cast("double")
+    p_c = (F.col("n_t") + 1).cast("double") / (
+        F.col("n_corpus") + F.col("v")
+    ).cast("double")
+    contrib = p_s * F.log2(p_s / p_c)
+    folded = grid.select("source", "t", contrib.alias("c")).groupBy("source").agg(
+        F.count("*").alias("v_terms"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("t", "c"))),
+                    lambda s: s["c"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("kl_bits_r"),
+    )
+    return folded
+
+
+SOURCE_VOCAB_KL_SQL = """
+WITH toks AS MATERIALIZED (
+  SELECT source, tok AS t
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+),
+per_st AS MATERIALIZED (
+  SELECT source, t, count(*) AS n_st FROM toks GROUP BY source, t
+),
+per_t AS (SELECT t, sum(n_st)::bigint AS n_t FROM per_st GROUP BY t),
+per_s AS (SELECT source, sum(n_st)::bigint AS n_s FROM per_st GROUP BY source),
+totals AS (SELECT sum(n_t)::bigint AS n_corpus, count(*) AS v FROM per_t),
+grid AS (
+  SELECT s.source, tt.t, s.n_s, tt.n_t, st.n_st
+  FROM per_s s CROSS JOIN per_t tt
+  LEFT JOIN per_st st ON st.source = s.source AND st.t = tt.t
+),
+contribs AS (
+  SELECT source, t,
+         ((coalesce(n_st, 0) + 1)::double / (n_s + (SELECT v FROM totals))::double)
+         * log2(((coalesce(n_st, 0) + 1)::double / (n_s + (SELECT v FROM totals))::double)
+                / ((n_t + 1)::double
+                   / ((SELECT n_corpus FROM totals) + (SELECT v FROM totals))::double))
+         AS c
+  FROM grid
+)
+SELECT source, count(*) AS v_terms,
+       round(list_reduce(list_prepend(0.0::double, list(c ORDER BY t)),
+                         (acc, x) -> acc + x), 6) AS kl_bits_r
+FROM contribs GROUP BY source
+"""

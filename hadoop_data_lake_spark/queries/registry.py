@@ -287,6 +287,8 @@ _BACKLOG: dict[str, QuerySpec] = {
     "cohort_ltv_curve": QuerySpec(EV.cohort_ltv_curve, EV.COHORT_LTV_CURVE_SQL, ("cohort", "ltv", "running-sum")),
     "bitemporal_asof_orders": QuerySpec(TQ.bitemporal_asof_orders, TQ.BITEMPORAL_ASOF_ORDERS_SQL, ("bitemporal", "asof", "audit", "scd")),
     "event_lateness_profile": QuerySpec(EV.event_lateness_profile, EV.EVENT_LATENESS_PROFILE_SQL, ("streaming", "watermark", "lateness", "profiling")),
+    "source_vocab_kl": QuerySpec(NS.source_vocab_kl, NS.SOURCE_VOCAB_KL_SQL, ("text", "kl-divergence", "data-mixing", "drift")),
+    "degree_assortativity": QuerySpec(TQ.degree_assortativity, TQ.DEGREE_ASSORTATIVITY_SQL, ("graph", "assortativity", "integer-exact")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),

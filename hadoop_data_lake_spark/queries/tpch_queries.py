@@ -2783,3 +2783,89 @@ WHERE valid_from <= DATE '1998-06-01' AND DATE '1998-06-01' < valid_to
   AND tx_from <= DATE '1998-06-05' AND DATE '1998-06-05' < tx_to
 GROUP BY version
 """
+
+
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the purchase graph: the Pearson correlation
+    of endpoint degrees over all (symmetrized) edges — do well-connected
+    customers buy from well-connected suppliers, or the reverse
+    (bipartite graphs trend disassortative)? Integer-exact through the
+    moments (degree products over edges are bigint sums), one closed-form
+    rounded correlation — the autocorr/Welch determinism pattern applied
+    to graph structure."""
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-F.col("l_suppkey") - 1).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    pairs = (
+        sym.join(deg.withColumnRenamed("src", "s2").withColumnRenamed("deg", "da"),
+                 F.col("src") == F.col("s2"))
+        .join(deg.withColumnRenamed("src", "s3").withColumnRenamed("deg", "db"),
+              F.col("dst") == F.col("s3"))
+        .select("da", "db")
+    )
+    mom = pairs.agg(
+        F.count("*").alias("m"),
+        F.sum("da").alias("sa"),
+        F.sum("db").alias("sb"),
+        F.sum(F.col("da") * F.col("db")).alias("sab"),
+        F.sum(F.col("da") * F.col("da")).alias("saa"),
+        F.sum(F.col("db") * F.col("db")).alias("sbb"),
+    )
+    num = (
+        F.col("m").cast("double") * F.col("sab").cast("double")
+        - F.col("sa").cast("double") * F.col("sb").cast("double")
+    )
+    den2 = (
+        F.col("m").cast("double") * F.col("saa").cast("double")
+        - F.col("sa").cast("double") * F.col("sa").cast("double")
+    ) * (
+        F.col("m").cast("double") * F.col("sbb").cast("double")
+        - F.col("sb").cast("double") * F.col("sb").cast("double")
+    )
+    return mom.select(
+        F.col("m").alias("n_directed_edges"),
+        F.when(den2 > 0, F.round(num / F.sqrt(den2), 6)).alias("assortativity_r"),
+    )
+
+
+DEGREE_ASSORTATIVITY_SQL = """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS src, -l.l_suppkey - 1 AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+),
+deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+pairs AS (
+  SELECT a.deg AS da, b.deg AS db
+  FROM sym JOIN deg a ON sym.src = a.src JOIN deg b ON sym.dst = b.src
+),
+mom AS (
+  SELECT count(*) AS m, sum(da)::bigint AS sa, sum(db)::bigint AS sb,
+         sum(da * db)::bigint AS sab, sum(da * da)::bigint AS saa,
+         sum(db * db)::bigint AS sbb
+  FROM pairs
+)
+SELECT m AS n_directed_edges,
+       CASE WHEN (m::double * saa::double - sa::double * sa::double)
+                 * (m::double * sbb::double - sb::double * sb::double) > 0
+            THEN round((m::double * sab::double - sa::double * sb::double)
+                       / sqrt((m::double * saa::double - sa::double * sa::double)
+                              * (m::double * sbb::double - sb::double * sb::double)),
+                       6)
+       END AS assortativity_r
+FROM mom
+"""
