@@ -289,6 +289,9 @@ _BACKLOG: dict[str, QuerySpec] = {
     "event_lateness_profile": QuerySpec(EV.event_lateness_profile, EV.EVENT_LATENESS_PROFILE_SQL, ("streaming", "watermark", "lateness", "profiling")),
     "source_vocab_kl": QuerySpec(NS.source_vocab_kl, NS.SOURCE_VOCAB_KL_SQL, ("text", "kl-divergence", "data-mixing", "drift")),
     "degree_assortativity": QuerySpec(TQ.degree_assortativity, TQ.DEGREE_ASSORTATIVITY_SQL, ("graph", "assortativity", "integer-exact")),
+    "gini_customer_revenue": QuerySpec(TQ.gini_customer_revenue, TQ.GINI_CUSTOMER_REVENUE_SQL, ("inequality", "gini", "integer-exact")),
+    "hhi_brand_concentration": QuerySpec(TQ.hhi_brand_concentration, TQ.HHI_BRAND_CONCENTRATION_SQL, ("inequality", "hhi", "market-structure")),
+    "pareto_8020_customers": QuerySpec(TQ.pareto_8020_customers, TQ.PARETO_8020_CUSTOMERS_SQL, ("inequality", "pareto", "concentration")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),

@@ -2869,3 +2869,178 @@ SELECT m AS n_directed_edges,
        END AS assortativity_r
 FROM mom
 """
+
+
+def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration, from the exact
+    rank formula G = (2 * sum(i * x_i)) / (n * sum(x)) - (n + 1) / n over
+    cents sorted ascending (ties broken by customer key, so ranks are
+    identical in both engines). Every sum is a bigint; the coefficient is
+    one closed-form rounded division. The rank window sorts the CUSTOMER
+    aggregate (|customers| rows), not order facts."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(to_units(F.col("o_totalprice"))).alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
+    ranked = per_cust.withColumn("i", F.row_number().over(w))
+    mom = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("i") * F.col("cents")).alias("six"),
+    )
+    g = (
+        2.0 * F.col("six").cast("double")
+        / (F.col("n").cast("double") * F.col("sx").cast("double"))
+        - (F.col("n").cast("double") + 1.0) / F.col("n").cast("double")
+    )
+    return mom.select(
+        F.col("n").alias("n_customers"), F.round(g, 6).alias("gini_r")
+    )
+
+
+GINI_CUSTOMER_REVENUE_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, sum(round(o_totalprice * 100)::bigint)::bigint AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cents, row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS i
+  FROM per_cust
+),
+mom AS (
+  SELECT count(*) AS n, sum(cents)::bigint AS sx,
+         sum(i * cents)::bigint AS six
+  FROM ranked
+)
+SELECT n AS n_customers,
+       round(2.0 * six::double / (n::double * sx::double)
+             - (n::double + 1.0) / n::double, 6) AS gini_r
+FROM mom
+"""
+
+
+def hhi_brand_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of brand revenue per region —
+    the antitrust-style market-structure metric. Share squaring runs on
+    INTEGERS: HHI = sum(cents_i^2) / (sum(cents))^2, so no per-share
+    float accumulates; one rounded division per region (x 10^4 for the
+    conventional 0-10000 scale)."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("n_regionkey", "p_brand")
+        .agg(F.sum(to_units(F.col("l_extendedprice"))).alias("cents"))
+    )
+    # decimal(38,0) headroom: cents^2 can pass 2^63 once regional brand
+    # revenue exceeds ~$3B
+    sq = (F.col("cents").cast("decimal(38,0)") * F.col("cents").cast("decimal(38,0)"))
+    hhi = rev.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_brands"),
+        F.sum(sq).alias("ssq"),
+        F.sum("cents").alias("s"),
+    )
+    return hhi.select(
+        F.col("n_regionkey").alias("region"),
+        "n_brands",
+        F.round(
+            F.col("ssq").cast("double")
+            / (F.col("s").cast("double") * F.col("s").cast("double"))
+            * 10000.0,
+            6,
+        ).alias("hhi_r"),
+    )
+
+
+HHI_BRAND_CONCENTRATION_SQL = """
+WITH rev AS (
+  SELECT n.n_regionkey, p.p_brand,
+         sum(round(l.l_extendedprice * 100)::bigint)::bigint AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY n.n_regionkey, p.p_brand
+)
+SELECT n_regionkey AS region, count(*) AS n_brands,
+       round(sum(cents::hugeint * cents::hugeint)::double
+             / (sum(cents)::double * sum(cents)::double) * 10000.0, 6) AS hhi_r
+FROM rev GROUP BY n_regionkey
+"""
+
+
+def pareto_8020_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 readout: revenue share captured by the top-k% customers
+    (k = 1, 5, 10, 20), from one descending-rank pass over the customer
+    aggregate. Cut points are integer rank thresholds (ceil(k*n/100));
+    cumulative cents are window bigint sums; shares round once."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(to_units(F.col("o_totalprice"))).alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey").asc())
+    ranked = (
+        per_cust.withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "cum",
+            F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .crossJoin(
+            F.broadcast(
+                per_cust.agg(
+                    F.count("*").alias("n"), F.sum("cents").alias("total")
+                )
+            )
+        )
+    )
+    rows = [
+        ranked.where(F.col("i") == F.ceil(F.lit(k / 100.0) * F.col("n"))).select(
+            F.lit(k).alias("top_pct"),
+            F.col("i").alias("n_top_customers"),
+            F.round(F.col("cum").cast("double") / F.col("total").cast("double"), 6).alias(
+                "revenue_share_r"
+            ),
+        )
+        for k in (1, 5, 10, 20)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+PARETO_8020_CUSTOMERS_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, sum(round(o_totalprice * 100)::bigint)::bigint AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents DESC, o_custkey ASC) AS i,
+         sum(cents) OVER (ORDER BY cents DESC, o_custkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cum
+  FROM per_cust
+),
+tot AS (SELECT count(*) AS n, sum(cents)::bigint AS total FROM per_cust)
+SELECT k.top_pct, r.i AS n_top_customers,
+       round(r.cum::double / tot.total::double, 6) AS revenue_share_r
+FROM (VALUES (1), (5), (10), (20)) k(top_pct)
+JOIN tot ON TRUE
+JOIN ranked r ON r.i = ceil(k.top_pct / 100.0 * tot.n)
+"""
