@@ -3492,3 +3492,188 @@ SELECT count(*) AS n_events,
        sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)::bigint AS dropped_at_3600s
 FROM late
 """
+
+
+def mann_whitney_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between the two hash variants per event_type — the
+    nonparametric companion to ab_test_welch (rank-based, so heavy tails
+    and outliers cannot distort it) with the tie-corrected normal
+    approximation. Ranks use the midrank convention computed EXACTLY:
+    rank() gives each tied group its first position, count-over-ties its
+    size, so midrank = first + (size-1)/2 — halves are exact in binary.
+    The tie-correction sum(t^3 - t) aggregates integer group sizes. One
+    rank window over the (type, cents) sort; every aggregate a bigint or
+    exact double; z is one rounded expression."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from hadoop_data_lake_spark.functions.hashing import md5_60bit
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        (md5_60bit(F.col("user_id").cast("string")) % 2).alias("variant"),
+        to_units(F.col("value")).alias("cents"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("cents")
+    w_tie = Window.partitionBy("event_type", "cents")
+    ranked = ev.withColumn("first_rk", F.rank().over(w_rank)).withColumn(
+        "tie_n", F.count("*").over(w_tie)
+    ).withColumn(
+        "midrank",
+        F.col("first_rk").cast("double")
+        + (F.col("tie_n").cast("double") - 1.0) / 2.0,
+    )
+    per_type = ranked.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("midrank"))).alias("r_a"),
+    )
+    ties = (
+        ranked.groupBy("event_type", "cents")
+        .agg(F.max("tie_n").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+                - F.col("t")
+            ).alias("tie_sum")
+        )
+    )
+    j = per_type.join(ties, "event_type")
+    n = F.col("n").cast("double")
+    n_a = F.col("n_a").cast("double")
+    n_b = n - n_a
+    u = F.col("r_a") - n_a * (n_a + 1.0) / 2.0
+    mu = n_a * n_b / 2.0
+    sigma2 = (
+        n_a * n_b / 12.0
+    ) * ((n + 1.0) - F.col("tie_sum").cast("double") / (n * (n - 1.0)))
+    z = (u - mu) / F.sqrt(sigma2)
+    return j.select(
+        "event_type",
+        F.col("n_a"),
+        (F.col("n") - F.col("n_a")).alias("n_b"),
+        F.round(u, 1).alias("u_stat_r"),
+        F.round(z, 6).alias("z_r"),
+    )
+
+
+MANN_WHITNEY_VARIANTS_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         {_md5_sql("user_id::varchar")} % 2 AS variant,
+         round(value * 100)::bigint AS cents
+  FROM events
+),
+ranked AS (
+  SELECT event_type, variant, cents,
+         rank() OVER (PARTITION BY event_type ORDER BY cents) AS first_rk,
+         count(*) OVER (PARTITION BY event_type, cents) AS tie_n
+  FROM ev
+),
+mid AS (
+  SELECT event_type, variant,
+         first_rk::double + (tie_n::double - 1.0) / 2.0 AS midrank
+  FROM ranked
+),
+per_type AS (
+  SELECT event_type, count(*) AS n,
+         sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::bigint AS n_a,
+         sum(CASE WHEN variant = 0 THEN midrank END) AS r_a
+  FROM mid GROUP BY event_type
+),
+ties AS (
+  SELECT event_type,
+         sum(t::hugeint * t * t - t)::double AS tie_sum
+  FROM (
+    SELECT event_type, cents, max(tie_n) AS t
+    FROM ranked GROUP BY event_type, cents
+  ) GROUP BY event_type
+)
+SELECT p.event_type, p.n_a, (p.n - p.n_a)::bigint AS n_b,
+       round(p.r_a - p.n_a::double * (p.n_a::double + 1.0) / 2.0, 1) AS u_stat_r,
+       round((p.r_a - p.n_a::double * (p.n_a::double + 1.0) / 2.0
+              - p.n_a::double * (p.n::double - p.n_a::double) / 2.0)
+             / sqrt((p.n_a::double * (p.n::double - p.n_a::double) / 12.0)
+                    * ((p.n::double + 1.0)
+                       - t.tie_sum / (p.n::double * (p.n::double - 1.0)))),
+             6) AS z_r
+FROM per_type p JOIN ties t ON p.event_type = t.event_type
+"""
+
+
+def conformal_value_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% prediction interval for `value` per event_type:
+    the predictor is the calibration-complement (training) mean; the
+    interval half-width is the ceil((n_cal + 1) * 0.9)-th smallest
+    absolute calibration residual — the distribution-free order-statistic
+    guarantee. Hash split, integer-cent residuals (|cents - mean| rounds
+    the mean to a cent first, keeping residual ranks integer-exact), one
+    rank window on the calibration slice."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from hadoop_data_lake_spark.functions.hashing import md5_60bit
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        (md5_60bit(F.col("event_id").cast("string")) % 2).alias("half"),
+        to_units(F.col("value")).alias("cents"),
+    )
+    train = ev.where(F.col("half") == 0).groupBy("event_type").agg(
+        F.expr("sum(cents) div count(*)").alias("mean_cents")
+    )
+    cal = ev.where(F.col("half") == 1).join(train, "event_type").withColumn(
+        "resid", F.abs(F.col("cents") - F.col("mean_cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("resid").asc(), F.col("event_id").asc()
+    )
+    ranked = cal.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_cal", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    q = ranked.where(
+        F.col("rk") == F.least(F.ceil((F.col("n_cal") + 1) * 0.9), F.col("n_cal"))
+    ).select("event_type", F.col("resid").alias("q_resid"), "n_cal")
+    return train.join(q, "event_type").select(
+        "event_type",
+        "n_cal",
+        F.round(F.col("mean_cents") / 100.0, 2).alias("pred_r"),
+        F.round((F.col("mean_cents") - F.col("q_resid")) / 100.0, 2).alias("lo_r"),
+        F.round((F.col("mean_cents") + F.col("q_resid")) / 100.0, 2).alias("hi_r"),
+    )
+
+
+CONFORMAL_VALUE_INTERVAL_SQL = f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         {_md5_sql("event_id::varchar")} % 2 AS half,
+         round(value * 100)::bigint AS cents
+  FROM events
+),
+train AS (
+  SELECT event_type, (sum(cents) // count(*))::bigint AS mean_cents
+  FROM ev WHERE half = 0 GROUP BY event_type
+),
+cal AS (
+  SELECT e.event_type, e.event_id, abs(e.cents - t.mean_cents) AS resid
+  FROM ev e JOIN train t ON e.event_type = t.event_type
+  WHERE e.half = 1
+),
+ranked AS (
+  SELECT event_type, resid,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY resid ASC, event_id ASC) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n_cal
+  FROM cal
+),
+q AS (
+  SELECT event_type, resid AS q_resid, n_cal
+  FROM ranked
+  WHERE rk = least(ceil((n_cal + 1) * 0.9), n_cal)
+)
+SELECT t.event_type, q.n_cal,
+       round(t.mean_cents / 100.0, 2) AS pred_r,
+       round((t.mean_cents - q.q_resid) / 100.0, 2) AS lo_r,
+       round((t.mean_cents + q.q_resid) / 100.0, 2) AS hi_r
+FROM train t JOIN q ON t.event_type = q.event_type
+"""

@@ -465,3 +465,39 @@ def test_largest_remainder_split_conserves_every_cent(spark):
     bad = per_purchase.where(F.col("sum_credit") != F.col("cents")).count()
     assert bad == 0
     assert per_purchase.count() > 0
+
+
+def test_conformal_interval_achieves_nominal_coverage(spark):
+    """The split-conformal guarantee: >= 90% of FRESH points (here the
+    calibration slice itself re-checked — a lower bound on honest
+    coverage since residual ranks were computed on it) fall inside
+    [lo, hi]. With the deterministic hash split this either holds or the
+    order-statistic indexing is off by one."""
+    import pyspark.sql.functions as F
+
+    from hadoop_data_lake_spark.core.io import read_table
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from hadoop_data_lake_spark.functions.hashing import md5_60bit
+    from hadoop_data_lake_spark.queries.events_queries import (
+        conformal_value_interval,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    iv = {
+        r["event_type"]: (r["lo_r"], r["hi_r"])
+        for r in conformal_value_interval(spark, sf).collect()
+    }
+    ev = (
+        read_table(spark, sf, "events")
+        .select(
+            "event_type",
+            (md5_60bit(F.col("event_id").cast("string")) % 2).alias("half"),
+            (to_units(F.col("value")) / 100.0).alias("v"),
+        )
+        .where(F.col("half") == 1)
+    )
+    rows = ev.collect()
+    for et, (lo, hi) in iv.items():
+        pts = [r["v"] for r in rows if r["event_type"] == et]
+        inside = sum(1 for v in pts if lo <= v <= hi)
+        assert inside / len(pts) >= 0.90, (et, inside / len(pts))
