@@ -501,3 +501,35 @@ def test_conformal_interval_achieves_nominal_coverage(spark):
         pts = [r["v"] for r in rows if r["event_type"] == et]
         inside = sum(1 for v in pts if lo <= v <= hi)
         assert inside / len(pts) >= 0.90, (et, inside / len(pts))
+
+
+def test_bitemporal_corrections_supersede_originals(spark):
+    """At a transaction time AFTER a correction lands, the corrected key
+    must be visible ONLY as version 2, and unver sioned keys as version 1
+    — no key may appear twice in one bitemporal snapshot."""
+    import pyspark.sql.functions as F
+
+    from hadoop_data_lake_spark.queries.tpch_queries import bitemporal_asof_orders
+
+    out = {r["version"]: r for r in bitemporal_asof_orders(spark, "/root/testdata/sf0.001").collect()}
+    assert set(out) == {1, 2}
+    # version-2 rows exist (corrections visible at the chosen tx time)
+    assert out[2]["n_rows"] > 0
+    # corrected keys are ~1/7 of visible orders
+    ratio = out[2]["n_rows"] / (out[1]["n_rows"] + out[2]["n_rows"])
+    assert 0.05 < ratio < 0.25
+
+
+def test_lateness_profile_monotone_in_threshold(spark):
+    from hadoop_data_lake_spark.queries.events_queries import event_lateness_profile
+
+    r = event_lateness_profile(spark, "/root/testdata/sf0.001").first()
+    drops = [
+        r["dropped_at_0s"],
+        r["dropped_at_60s"],
+        r["dropped_at_300s"],
+        r["dropped_at_900s"],
+        r["dropped_at_3600s"],
+    ]
+    assert drops == sorted(drops, reverse=True)
+    assert r["n_events"] >= drops[0]
