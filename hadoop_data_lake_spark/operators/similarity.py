@@ -1083,3 +1083,82 @@ def mmr_rerank_pool(
         chosen.append(best)
         remaining.remove(best)
     return selected
+
+
+def pca_power_iterate(emb: "DataFrame", dim: int, iters: int = 8) -> "DataFrame":
+    """(dim, loading): top-component power iteration in exact integer
+    arithmetic — quantize to micro-units, scatter matrix via the
+    n*S - s*s^T identity over bigint moments (one element self-join),
+    then `iters` integer mat-vec steps with truncating renormalization
+    (max|v| held at 1e6). Fully replayable by an external SQL engine
+    (the pca_top_component oracle unrolls it); convergence obeys the
+    spectrum (ratio (l2/l1)^iters — a near-degenerate top needs more
+    iterations than any bounded method can spend). Bigint headroom
+    bounds the corpus at ~100k vectors x 1e6 quantization before
+    decimal widening."""
+    from pyspark.sql import functions as F
+
+    q = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "vec_id", "i", F.floor(F.col("x").cast("double") * 1e6).cast("long").alias("qx")
+    ).localCheckpoint(eager=True)
+    n_frame = q.agg((F.count("*") / dim).cast("long").alias("n"))
+    s = q.groupBy("i").agg(F.sum("qx").alias("si"))
+    left = q.select("vec_id", F.col("i").alias("li"), F.col("qx").alias("lx"))
+    right = q.select("vec_id", F.col("i").alias("rj"), F.col("qx").alias("rx"))
+    smat = (
+        left.join(right, "vec_id")
+        .groupBy("li", "rj")
+        .agg(F.sum(F.col("lx") * F.col("rx")).alias("sij"))
+    )
+    cov = (
+        smat.crossJoin(F.broadcast(n_frame))
+        .join(s.select(F.col("i").alias("li"), F.col("si").alias("s_l")), "li")
+        .join(s.select(F.col("i").alias("rj"), F.col("si").alias("s_r")), "rj")
+        .select(
+            "li",
+            "rj",
+            (F.col("n") * F.col("sij") - F.col("s_l") * F.col("s_r")).alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shift_f = cov.agg(
+        F.greatest(
+            F.length(F.expr("bin(max(abs(c)))")) - F.lit(30), F.lit(0)
+        ).alias("sh")
+    )
+    a = (
+        cov.crossJoin(F.broadcast(shift_f))
+        .select(
+            "li",
+            "rj",
+            (
+                F.when(F.col("c") < 0, -1).otherwise(1)
+                * F.expr("abs(c) div shiftleft(cast(1 as bigint), sh)")
+            ).alias("a"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    v = a.select(F.col("rj").alias("j")).distinct().withColumn(
+        "v", F.lit(1_000_000).cast("long")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        u = (
+            a.join(v, a["rj"] == v["j"])
+            .groupBy("li")
+            .agg(F.sum(F.col("a") * F.col("v")).alias("u"))
+        )
+        vm = u.agg(F.max(F.abs(F.col("u"))).alias("vm"))
+        v = (
+            u.crossJoin(F.broadcast(vm))
+            .select(
+                F.col("li").alias("j"),
+                (
+                    F.when(F.col("u") < 0, -1).otherwise(1)
+                    * F.expr("abs(u) div ((vm div 1000000) + 1)")
+                ).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return v.select(F.col("j").alias("dim"), F.col("v").alias("loading"))

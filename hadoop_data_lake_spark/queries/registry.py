@@ -294,6 +294,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "pareto_8020_customers": QuerySpec(TQ.pareto_8020_customers, TQ.PARETO_8020_CUSTOMERS_SQL, ("inequality", "pareto", "concentration")),
     "mann_whitney_variants": QuerySpec(EV.mann_whitney_variants, EV.MANN_WHITNEY_VARIANTS_SQL, ("experiment", "mann-whitney", "nonparametric", "rank-test")),
     "conformal_value_interval": QuerySpec(EV.conformal_value_interval, EV.CONFORMAL_VALUE_INTERVAL_SQL, ("ml", "conformal", "prediction-interval", "order-statistic")),
+    "pca_top_component": QuerySpec(NS.pca_top_component, NS.PCA_TOP_COMPONENT_SQL, ("ml", "pca", "power-iteration", "integer-exact", "deterministic")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
