@@ -3677,3 +3677,42 @@ SELECT t.event_type, q.n_cal,
        round((t.mean_cents + q.q_resid) / 100.0, 2) AS hi_r
 FROM train t JOIN q ON t.event_type = q.event_type
 """
+
+
+def activity_streak_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user, reported as a
+    histogram (streak length -> user count) — the engagement metric the
+    gaps-and-islands idiom exists for: island id = epoch-day minus the
+    per-user day rank (constant within a consecutive run), one window +
+    two aggregations, all integer."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_date(F.to_date("ts")).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = ev.withColumn("isl", F.col("d") - F.row_number().over(w))
+    streaks = runs.groupBy("user_id", "isl").agg(F.count("*").alias("len"))
+    longest = streaks.groupBy("user_id").agg(F.max("len").alias("max_streak"))
+    return longest.groupBy("max_streak").agg(F.count("*").alias("n_users"))
+
+
+ACTIVITY_STREAK_HISTOGRAM_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+),
+runs AS (
+  SELECT user_id, d,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS isl
+  FROM ud
+),
+streaks AS (
+  SELECT user_id, isl, count(*) AS len FROM runs GROUP BY user_id, isl
+),
+longest AS (
+  SELECT user_id, max(len) AS max_streak FROM streaks GROUP BY user_id
+)
+SELECT max_streak, count(*) AS n_users FROM longest GROUP BY max_streak
+"""

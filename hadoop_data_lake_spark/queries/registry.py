@@ -295,6 +295,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "mann_whitney_variants": QuerySpec(EV.mann_whitney_variants, EV.MANN_WHITNEY_VARIANTS_SQL, ("experiment", "mann-whitney", "nonparametric", "rank-test")),
     "conformal_value_interval": QuerySpec(EV.conformal_value_interval, EV.CONFORMAL_VALUE_INTERVAL_SQL, ("ml", "conformal", "prediction-interval", "order-statistic")),
     "pca_top_component": QuerySpec(NS.pca_top_component, NS.PCA_TOP_COMPONENT_SQL, ("ml", "pca", "power-iteration", "integer-exact", "deterministic")),
+    "activity_streak_histogram": QuerySpec(EV.activity_streak_histogram, EV.ACTIVITY_STREAK_HISTOGRAM_SQL, ("window", "gaps-and-islands", "streak", "engagement")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
