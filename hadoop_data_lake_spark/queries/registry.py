@@ -296,6 +296,9 @@ _BACKLOG: dict[str, QuerySpec] = {
     "conformal_value_interval": QuerySpec(EV.conformal_value_interval, EV.CONFORMAL_VALUE_INTERVAL_SQL, ("ml", "conformal", "prediction-interval", "order-statistic")),
     "pca_top_component": QuerySpec(NS.pca_top_component, NS.PCA_TOP_COMPONENT_SQL, ("ml", "pca", "power-iteration", "integer-exact", "deterministic")),
     "activity_streak_histogram": QuerySpec(EV.activity_streak_histogram, EV.ACTIVITY_STREAK_HISTOGRAM_SQL, ("window", "gaps-and-islands", "streak", "engagement")),
+    "brand_cf_similarity": QuerySpec(TQ.brand_cf_similarity, TQ.BRAND_CF_SIMILARITY_SQL, ("recsys", "item-item", "collaborative-filtering")),
+    "abc_part_classification": QuerySpec(TQ.abc_part_classification, TQ.ABC_PART_CLASSIFICATION_SQL, ("inventory", "abc", "pareto", "integer-exact")),
+    "duplicate_invoice_screen": QuerySpec(TQ.duplicate_invoice_screen, TQ.DUPLICATE_INVOICE_SCREEN_SQL, ("fraud", "dedup", "banded-self-join")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),

@@ -3044,3 +3044,206 @@ FROM (VALUES (1), (5), (10), (20)) k(top_pct)
 JOIN tot ON TRUE
 JOIN ranked r ON r.i = ceil(k.top_pct / 100.0 * tot.n)
 """
+
+
+def brand_cf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over brand baskets: cosine on
+    BINARY basket vectors is n_ab / sqrt(n_a * n_b) — computable exactly
+    from three integer co-occurrence counts, no embedding needed (the
+    classic Amazon-style item-item recommender). Top-3 most similar
+    brands per brand, ties by partner brand name. One basket self-join
+    keyed on the order (never a brand-catalog cross) + a per-brand
+    top-k window."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    from pyspark.sql import Window
+
+    ob = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    support = ob.groupBy("p_brand").agg(F.count("*").alias("n"))
+    a = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+    b = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("other"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("brand") != F.col("other"))
+        .groupBy("brand", "other")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    scored = (
+        pairs.join(
+            support.select(F.col("p_brand").alias("brand"), F.col("n").alias("n_a")),
+            "brand",
+        )
+        .join(
+            support.select(F.col("p_brand").alias("other"), F.col("n").alias("n_b")),
+            "other",
+        )
+        .withColumn(
+            "sim_r",
+            F.round(
+                F.col("n_ab").cast("double")
+                / F.sqrt(F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("brand").orderBy(
+        F.col("sim_r").desc(), F.col("other").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("brand", "rnk", F.col("other").alias("similar_brand"), "n_ab", "sim_r")
+    )
+
+
+BRAND_CF_SIMILARITY_SQL = """
+WITH ob AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+support AS (SELECT p_brand, count(*) AS n FROM ob GROUP BY p_brand),
+pairs AS (
+  SELECT a.p_brand AS brand, b.p_brand AS other, count(*) AS n_ab
+  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+),
+scored AS (
+  SELECT p.brand, p.other, p.n_ab,
+         round(p.n_ab::double / sqrt(sa.n::double * sb.n::double), 6) AS sim_r
+  FROM pairs p
+  JOIN support sa ON sa.p_brand = p.brand
+  JOIN support sb ON sb.p_brand = p.other
+)
+SELECT brand, rnk, other AS similar_brand, n_ab, sim_r FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY brand ORDER BY sim_r DESC, other ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
+def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue; class A
+    covers the first 80% of cumulative revenue, B to 95%, C the tail —
+    the ops-planning workhorse. The cumulative share threshold compares
+    INTEGER cumulative cents against integer thresholds (cum * 100 <=
+    total * 80), so classification never touches a float boundary.
+    Output: per class, part count and revenue share."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(to_units(F.col("l_extendedprice"))).alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("l_partkey").asc())
+    ranked = per_part.withColumn(
+        "cum", F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).crossJoin(F.broadcast(per_part.agg(F.sum("cents").alias("total"))))
+    classed = ranked.withColumn(
+        "abc",
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C"),
+    )
+    return classed.groupBy("abc").agg(
+        F.count("*").alias("n_parts"),
+        F.round(
+            F.sum("cents").cast("double") / F.max("total").cast("double"), 6
+        ).alias("revenue_share_r"),
+    )
+
+
+ABC_PART_CLASSIFICATION_SQL = """
+WITH per_part AS (
+  SELECT l_partkey, sum(round(l_extendedprice * 100)::bigint)::bigint AS cents
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT sum(cents)::bigint AS total FROM per_part),
+ranked AS (
+  SELECT cents,
+         sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cum
+  FROM per_part
+),
+classed AS (
+  SELECT cents,
+         CASE WHEN cum * 100 <= tot.total * 80 THEN 'A'
+              WHEN cum * 100 <= tot.total * 95 THEN 'B'
+              ELSE 'C' END AS abc,
+         tot.total
+  FROM ranked, tot
+)
+SELECT abc, count(*) AS n_parts,
+       round(sum(cents)::double / max(total)::double, 6) AS revenue_share_r
+FROM classed GROUP BY abc
+"""
+
+
+def duplicate_invoice_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraud/ops screen: order pairs from the SAME customer within 3 days
+    whose totals agree within 5% — the duplicate-billing candidate set
+    (retried submissions, split-entry errors; exact-amount collisions are
+    vanishingly rare on real spreads, so the tolerance is RELATIVE and
+    the comparison integer: |ca - cb| * 20 <= min(ca, cb)). The self-join
+    keys on the customer — per-customer order counts bound the quadratic
+    term — with date and tolerance predicates pruning inside the group.
+    Canonical (key_a < key_b) pairs, integer throughout."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        to_units(F.col("o_totalprice")).alias("cents"),
+    )
+    a = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("cents").alias("ca"),
+        F.col("o_orderkey").alias("key_a"),
+        F.col("d").alias("da"),
+    )
+    b = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("cents").alias("cb"),
+        F.col("o_orderkey").alias("key_b"),
+        F.col("d").alias("db"),
+    )
+    return (
+        a.join(b, "cust")
+        .where(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.abs(F.datediff("da", "db")) <= 3)
+            & (
+                F.abs(F.col("ca") - F.col("cb")) * 20
+                <= F.least(F.col("ca"), F.col("cb"))
+            )
+        )
+        .select(
+            "cust",
+            "key_a",
+            "key_b",
+            "ca",
+            "cb",
+            F.abs(F.datediff("da", "db")).alias("gap_days"),
+        )
+    )
+
+
+DUPLICATE_INVOICE_SCREEN_SQL = """
+SELECT a.o_custkey AS cust, a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+       round(a.o_totalprice * 100)::bigint AS ca,
+       round(b.o_totalprice * 100)::bigint AS cb,
+       abs(datediff('day', b.o_orderdate::date, a.o_orderdate::date)) AS gap_days
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderkey < b.o_orderkey
+ AND abs(datediff('day', b.o_orderdate::date, a.o_orderdate::date)) <= 3
+ AND abs(round(a.o_totalprice * 100)::bigint - round(b.o_totalprice * 100)::bigint) * 20
+     <= least(round(a.o_totalprice * 100)::bigint, round(b.o_totalprice * 100)::bigint)
+"""
