@@ -3716,3 +3716,64 @@ longest AS (
 )
 SELECT max_streak, count(*) AS n_users FROM longest GROUP BY max_streak
 """
+
+
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest: predict each of the LAST 7 days' per-type value
+    totals with the seasonal-naive estimator (mean of the same weekday's
+    totals over the training prefix) and report per-type MAE in cents —
+    the baseline every fancier forecaster must beat, evaluated the honest
+    way (strict temporal holdout, no leakage). Training means are
+    integer-cent ratios (exact sum div count, matching both engines);
+    the error aggregate is an integer sum of absolute differences after
+    one identical rounding of the prediction."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        to_units(F.col("value")).alias("cents"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.sum("cents").alias("y"))
+    cutoff = daily.agg(F.date_sub(F.max("day"), 7).alias("cut"))
+    tagged = daily.crossJoin(F.broadcast(cutoff)).withColumn(
+        "is_test", (F.col("day") > F.col("cut")).cast("int")
+    ).withColumn("dow", F.dayofweek("day"))
+    train = tagged.where(F.col("is_test") == 0).groupBy("event_type", "dow").agg(
+        F.expr("sum(y) div count(*)").alias("pred")
+    )
+    test = tagged.where(F.col("is_test") == 1).join(train, ["event_type", "dow"])
+    return test.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.abs(F.col("y") - F.col("pred"))).alias("abs_err_cents"),
+        F.expr("sum(abs(y - pred)) div count(*)").alias("mae_cents"),
+    )
+
+
+SEASONAL_NAIVE_BACKTEST_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(round(value * 100)::bigint)::bigint AS y
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+cutoff AS (SELECT max(day) - 7 AS cut FROM daily),
+tagged AS (
+  SELECT event_type, day, y,
+         CASE WHEN day > (SELECT cut FROM cutoff) THEN 1 ELSE 0 END AS is_test,
+         dayofweek(day) + 1 AS dow
+  FROM daily
+),
+train AS (
+  SELECT event_type, dow, (sum(y) // count(*))::bigint AS pred
+  FROM tagged WHERE is_test = 0 GROUP BY event_type, dow
+),
+test AS (
+  SELECT t.event_type, t.y, tr.pred
+  FROM tagged t JOIN train tr ON t.event_type = tr.event_type AND t.dow = tr.dow
+  WHERE t.is_test = 1
+)
+SELECT event_type, count(*) AS n_days,
+       sum(abs(y - pred))::bigint AS abs_err_cents,
+       (sum(abs(y - pred)) // count(*))::bigint AS mae_cents
+FROM test GROUP BY event_type
+"""

@@ -299,6 +299,8 @@ _BACKLOG: dict[str, QuerySpec] = {
     "brand_cf_similarity": QuerySpec(TQ.brand_cf_similarity, TQ.BRAND_CF_SIMILARITY_SQL, ("recsys", "item-item", "collaborative-filtering")),
     "abc_part_classification": QuerySpec(TQ.abc_part_classification, TQ.ABC_PART_CLASSIFICATION_SQL, ("inventory", "abc", "pareto", "integer-exact")),
     "duplicate_invoice_screen": QuerySpec(TQ.duplicate_invoice_screen, TQ.DUPLICATE_INVOICE_SCREEN_SQL, ("fraud", "dedup", "banded-self-join")),
+    "user_cf_recommendations": QuerySpec(TQ.user_cf_recommendations, TQ.USER_CF_RECOMMENDATIONS_SQL, ("recsys", "recommendations", "item-item", "anti-join")),
+    "seasonal_naive_backtest": QuerySpec(EV.seasonal_naive_backtest, EV.SEASONAL_NAIVE_BACKTEST_SQL, ("forecast", "backtest", "seasonal-naive", "temporal-holdout")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),

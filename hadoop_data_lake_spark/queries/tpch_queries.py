@@ -3247,3 +3247,145 @@ FROM orders a JOIN orders b
  AND abs(round(a.o_totalprice * 100)::bigint - round(b.o_totalprice * 100)::bigint) * 20
      <= least(round(a.o_totalprice * 100)::bigint, round(b.o_totalprice * 100)::bigint)
 """
+
+
+def user_cf_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item CF recommendations end to end: for every 50th customer,
+    score each brand NOT in their basket by the sum of its binary-cosine
+    similarities to the brands they did buy (the standard item-item
+    scorer), and emit the top-3. Similarity comes from the same integer
+    co-occurrence identity as brand_cf_similarity; the per-(customer,
+    candidate) score is an ordered fold over basket brands so the float
+    sum replays; candidate generation joins the sampled customers'
+    baskets to the 25-brand similarity table (broadcast) — the corpus
+    never self-joins at the user level."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    from pyspark.sql import Window
+
+    cb = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("o_custkey", "p_brand")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ob = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    support = ob.groupBy("p_brand").agg(F.count("*").alias("n"))
+    a = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+    b = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("other"))
+    sims = (
+        a.join(b, "ok")
+        .where(F.col("brand") != F.col("other"))
+        .groupBy("brand", "other")
+        .agg(F.count("*").alias("n_ab"))
+        .join(
+            support.select(F.col("p_brand").alias("brand"), F.col("n").alias("n_a")),
+            "brand",
+        )
+        .join(
+            support.select(F.col("p_brand").alias("other"), F.col("n").alias("n_b")),
+            "other",
+        )
+        .select(
+            "brand",
+            "other",
+            (
+                F.col("n_ab").cast("double")
+                / F.sqrt(F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sampled = cb.where(F.col("o_custkey") % 50 == 0)
+    cand = (
+        sampled.join(F.broadcast(sims), sampled["p_brand"] == sims["brand"])
+        .join(
+            cb.select(
+                F.col("o_custkey").alias("c2"), F.col("p_brand").alias("owned")
+            ),
+            (F.col("o_custkey") == F.col("c2")) & (F.col("other") == F.col("owned")),
+            "left_anti",
+        )
+    )
+    scored = cand.groupBy("o_custkey", "other").agg(
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("brand"), F.col("sim")))),
+                    lambda s: s["sim"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("score_r"),
+        F.count("*").alias("n_evidence"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("score_r").desc(), F.col("other").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "rnk",
+            F.col("other").alias("recommended_brand"),
+            "n_evidence",
+            "score_r",
+        )
+    )
+
+
+USER_CF_RECOMMENDATIONS_SQL = """
+WITH cb AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey, p.p_brand
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+),
+ob AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+support AS (SELECT p_brand, count(*) AS n FROM ob GROUP BY p_brand),
+sims AS MATERIALIZED (
+  SELECT x.brand, x.other,
+         x.n_ab::double / sqrt(sa.n::double * sb.n::double) AS sim
+  FROM (
+    SELECT a.p_brand AS brand, b.p_brand AS other, count(*) AS n_ab
+    FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+    GROUP BY a.p_brand, b.p_brand
+  ) x
+  JOIN support sa ON sa.p_brand = x.brand
+  JOIN support sb ON sb.p_brand = x.other
+),
+cand AS (
+  SELECT s.o_custkey, si.brand, si.other, si.sim
+  FROM (SELECT * FROM cb WHERE o_custkey % 50 = 0) s
+  JOIN sims si ON s.p_brand = si.brand
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cb o WHERE o.o_custkey = s.o_custkey AND o.p_brand = si.other
+  )
+),
+scored AS (
+  SELECT o_custkey, other,
+         round(list_reduce(list_prepend(0.0::double, list(sim ORDER BY brand)),
+                           (acc, x) -> acc + x), 6) AS score_r,
+         count(*) AS n_evidence
+  FROM cand GROUP BY o_custkey, other
+)
+SELECT custkey, rnk, recommended_brand, n_evidence, score_r FROM (
+  SELECT o_custkey AS custkey, other AS recommended_brand, n_evidence, score_r,
+         row_number() OVER (
+           PARTITION BY o_custkey ORDER BY score_r DESC, other ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
