@@ -3777,3 +3777,46 @@ SELECT event_type, count(*) AS n_days,
        (sum(abs(y - pred)) // count(*))::bigint AS mae_cents
 FROM test GROUP BY event_type
 """
+
+
+def mm1_wait_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-planning readout: hourly arrival rates fit an M/M/1 queue
+    sized at mu = 1.25x the PEAK hourly rate, reporting per-hour-of-day
+    utilization rho and expected queue length Lq = rho^2/(1-rho) — the
+    standard back-of-envelope that turns event telemetry into a
+    provisioning decision. Arrival counts are integers; rho and Lq are
+    single rounded expressions over (count, peak) pairs."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.hour("ts").alias("hod"), F.to_date("ts").alias("day")
+    )
+    hourly = ev.groupBy("hod").agg(
+        (F.count("*") / F.countDistinct("day")).alias("lam")
+    )
+    peak = hourly.agg(F.max("lam").alias("peak"))
+    out = hourly.crossJoin(F.broadcast(peak))
+    rho = F.col("lam") / (F.col("peak") * 1.25)
+    lq = rho * rho / (1.0 - rho)
+    return out.select(
+        "hod",
+        F.round("lam", 6).alias("arrivals_per_hour_r"),
+        F.round(rho, 6).alias("rho_r"),
+        F.round(lq, 6).alias("lq_r"),
+    )
+
+
+MM1_WAIT_ESTIMATE_SQL = """
+WITH hourly AS (
+  SELECT hour(ts) AS hod,
+         count(*)::double / count(DISTINCT CAST(ts AS DATE))::double AS lam
+  FROM events GROUP BY hour(ts)
+),
+peak AS (SELECT max(lam) AS peak FROM hourly)
+SELECT hod,
+       round(lam, 6) AS arrivals_per_hour_r,
+       round(lam / (peak.peak * 1.25), 6) AS rho_r,
+       round((lam / (peak.peak * 1.25)) * (lam / (peak.peak * 1.25))
+             / (1.0 - lam / (peak.peak * 1.25)), 6) AS lq_r
+FROM hourly, peak
+"""

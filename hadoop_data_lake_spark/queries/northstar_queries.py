@@ -3719,3 +3719,91 @@ v{k} AS MATERIALIZED (
 
 
 PCA_TOP_COMPONENT_SQL = _pca_sql()
+
+
+def token_npmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation discovery: top-20 adjacent token pairs by normalized
+    PMI, npmi = pmi / -log2(p_ab) — the measure that doesn't over-reward
+    rare pairs the way raw PMI does. All probabilities are ratios of
+    integer counts from ONE bigram aggregation (unigram counts
+    re-aggregate the bigram model, the doc_lm pattern); min support 5
+    keeps degenerate one-off pairs out. One rounded expression per pair,
+    rank ties on the pair text."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    w = F.split(F.col("text"), " ")
+    base = docs.select(w.alias("w"), F.size(w).alias("n")).where(F.col("n") >= 2)
+    bg = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("w"), 1, F.col("n") - 1),
+                F.slice(F.col("w"), 2, F.col("n") - 1),
+                lambda a, b: F.struct(a.alias("wa"), b.alias("wb")),
+            )
+        ).alias("p")
+    ).select(F.col("p.wa").alias("wa"), F.col("p.wb").alias("wb")).where(
+        (F.col("wa") != "") & (F.col("wb") != "")
+    )
+    model = bg.groupBy("wa", "wb").agg(F.count("*").alias("c_ab")).localCheckpoint(
+        eager=True
+    )
+    left = model.groupBy("wa").agg(F.sum("c_ab").alias("c_a"))
+    right = model.groupBy("wb").agg(F.sum("c_ab").alias("c_b"))
+    total = model.agg(F.sum("c_ab").alias("n_tot"))
+    scored = (
+        model.where(F.col("c_ab") >= 5)
+        .join(left, "wa")
+        .join(right, "wb")
+        .crossJoin(F.broadcast(total))
+    )
+    p_ab = F.col("c_ab").cast("double") / F.col("n_tot").cast("double")
+    pmi = F.log2(
+        F.col("n_tot").cast("double")
+        * F.col("c_ab").cast("double")
+        / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+    )
+    npmi = pmi / -F.log2(p_ab)
+    wr = Window.orderBy(
+        F.round(npmi, 6).desc(), F.col("wa").asc(), F.col("wb").asc()
+    )
+    return (
+        scored.withColumn("npmi_r", F.round(npmi, 6))
+        .withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= 20)
+        .select("rnk", "wa", "wb", "c_ab", "npmi_r")
+    )
+
+
+TOKEN_NPMI_PAIRS_SQL = """
+WITH base AS (
+  SELECT string_split(text, ' ') AS w FROM documents
+),
+bg AS (
+  SELECT split_part(b, chr(1), 1) AS wa, split_part(b, chr(1), 2) AS wb
+  FROM (
+    SELECT unnest(list_transform(range(1, len(w)),
+                  i -> w[i] || chr(1) || w[i + 1])) AS b
+    FROM base WHERE len(w) >= 2
+  )
+  WHERE split_part(b, chr(1), 1) <> '' AND split_part(b, chr(1), 2) <> ''
+),
+model AS MATERIALIZED (
+  SELECT wa, wb, count(*) AS c_ab FROM bg GROUP BY wa, wb
+),
+l AS (SELECT wa, sum(c_ab)::bigint AS c_a FROM model GROUP BY wa),
+r AS (SELECT wb, sum(c_ab)::bigint AS c_b FROM model GROUP BY wb),
+tot AS (SELECT sum(c_ab)::bigint AS n_tot FROM model),
+scored AS (
+  SELECT m.wa, m.wb, m.c_ab,
+         round(
+           log2(tot.n_tot::double * m.c_ab::double / (l.c_a::double * r.c_b::double))
+           / -log2(m.c_ab::double / tot.n_tot::double), 6) AS npmi_r
+  FROM model m JOIN l ON m.wa = l.wa JOIN r ON m.wb = r.wb CROSS JOIN tot
+  WHERE m.c_ab >= 5
+)
+SELECT rnk, wa, wb, c_ab, npmi_r FROM (
+  SELECT *, row_number() OVER (ORDER BY npmi_r DESC, wa ASC, wb ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 20
+"""

@@ -301,6 +301,9 @@ _BACKLOG: dict[str, QuerySpec] = {
     "duplicate_invoice_screen": QuerySpec(TQ.duplicate_invoice_screen, TQ.DUPLICATE_INVOICE_SCREEN_SQL, ("fraud", "dedup", "banded-self-join")),
     "user_cf_recommendations": QuerySpec(TQ.user_cf_recommendations, TQ.USER_CF_RECOMMENDATIONS_SQL, ("recsys", "recommendations", "item-item", "anti-join")),
     "seasonal_naive_backtest": QuerySpec(EV.seasonal_naive_backtest, EV.SEASONAL_NAIVE_BACKTEST_SQL, ("forecast", "backtest", "seasonal-naive", "temporal-holdout")),
+    "token_npmi_pairs": QuerySpec(NS.token_npmi_pairs, NS.TOKEN_NPMI_PAIRS_SQL, ("text", "npmi", "collocation")),
+    "mm1_wait_estimate": QuerySpec(EV.mm1_wait_estimate, EV.MM1_WAIT_ESTIMATE_SQL, ("capacity", "queueing", "mm1")),
+    "k_anonymity_audit": QuerySpec(TQ.k_anonymity_audit, TQ.K_ANONYMITY_AUDIT_SQL, ("privacy", "k-anonymity", "audit")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),

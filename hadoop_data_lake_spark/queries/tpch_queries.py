@@ -3389,3 +3389,51 @@ SELECT custkey, rnk, recommended_brand, n_evidence, score_r FROM (
   FROM scored
 ) WHERE rnk <= 3
 """
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the quasi-identifier
+    (nation, market segment, account-balance band of 1000): group sizes
+    below k = 5 are re-identification risks a release must generalize or
+    suppress. Pure integer bucketing + one aggregation; the report rolls
+    the violating groups up to per-nation counts (publishing the
+    violating quasi-identifiers verbatim would itself leak — the audit
+    output is privacy-safe by construction)."""
+    cust = read_table(spark, sf_dir, "customer")
+    qi = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("cast(floor(c_acctbal / 1000) as bigint)").alias("bal_band"),
+    )
+    groups = qi.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count("*").alias("k")
+    )
+    return (
+        groups.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum((F.col("k") < 5).cast("long")).alias("n_violating"),
+            F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0)).alias(
+                "n_risky_rows"
+            ),
+            F.min("k").alias("min_k"),
+        )
+    )
+
+
+K_ANONYMITY_AUDIT_SQL = """
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment,
+         floor(c_acctbal / 1000)::bigint AS bal_band
+  FROM customer
+),
+groups AS (
+  SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS k
+  FROM qi GROUP BY c_nationkey, c_mktsegment, bal_band
+)
+SELECT c_nationkey, count(*) AS n_groups,
+       sum(CASE WHEN k < 5 THEN 1 ELSE 0 END)::bigint AS n_violating,
+       sum(CASE WHEN k < 5 THEN k ELSE 0 END)::bigint AS n_risky_rows,
+       min(k) AS min_k
+FROM groups GROUP BY c_nationkey
+"""
