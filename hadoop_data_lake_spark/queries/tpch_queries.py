@@ -3437,3 +3437,151 @@ SELECT c_nationkey, count(*) AS n_groups,
        min(k) AS min_k
 FROM groups GROUP BY c_nationkey
 """
+
+
+def shipping_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfilment SLA report: order-to-ship latency (days) percentiles per
+    order month — p50/p90/p99 as ORDER STATISTICS (value at rank
+    ceil(p*n), integer days, no interpolation) plus the share of lines
+    breaching a 60-day SLA. One join to attach order dates, one rank
+    window per month partition; every output an integer or one rounded
+    ratio."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.to_date("l_shipdate").alias("ship")
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("odate")
+    )
+    lat = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.date_format("odate", "yyyy-MM").alias("month"),
+        F.datediff("ship", "odate").alias("days"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("month").orderBy(
+        F.col("days").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    ranked = lat.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("month"))
+    )
+    return ranked.groupBy("month").agg(
+        F.max("n").alias("n_lines"),
+        *[
+            F.min(
+                F.when(F.col("rk") == F.ceil(F.lit(p) * F.col("n")), F.col("days"))
+            ).alias(f"p{int(p*100)}_days")
+            for p in (0.5, 0.9, 0.99)
+        ],
+        F.round(
+            F.sum((F.col("days") > 60).cast("long")).cast("double")
+            / F.max("n").cast("double"),
+            6,
+        ).alias("sla_breach_share_r"),
+    )
+
+
+SHIPPING_LATENCY_SLA_SQL = """
+WITH lat AS (
+  SELECT strftime(o.o_orderdate::date, '%Y-%m') AS month,
+         datediff('day', o.o_orderdate::date, l.l_shipdate::date) AS days,
+         l.l_orderkey, l.l_linenumber
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+ranked AS (
+  SELECT month, days,
+         row_number() OVER (
+           PARTITION BY month ORDER BY days ASC, l_orderkey ASC, l_linenumber ASC) AS rk,
+         count(*) OVER (PARTITION BY month) AS n
+  FROM lat
+)
+SELECT month, max(n) AS n_lines,
+       min(CASE WHEN rk = ceil(0.5 * n) THEN days END) AS p50_days,
+       min(CASE WHEN rk = ceil(0.9 * n) THEN days END) AS p90_days,
+       min(CASE WHEN rk = ceil(0.99 * n) THEN days END) AS p99_days,
+       round(sum(CASE WHEN days > 60 THEN 1 ELSE 0 END)::double / max(n)::double, 6)
+         AS sla_breach_share_r
+FROM ranked GROUP BY month
+"""
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table foreign-key audit: orphan counts and coverage rates for
+    every FK edge in the schema (lineitem->orders, lineitem->part,
+    lineitem->supplier, orders->customer, customer->nation,
+    nation->region) — the data-contract check that runs before anything
+    downstream trusts a load. Each edge is one anti-join count plus a
+    denominator; output one row per edge with the orphan count and the
+    rounded coverage share."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    part = read_table(spark, sf_dir, "part")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def edge(name, child, fk, parent, pk):
+        total = child.select(fk).count()
+        orphans = (
+            child.select(F.col(fk).alias("k"))
+            .join(parent.select(F.col(pk).alias("k")), "k", "left_anti")
+            .count()
+        )
+        if not total:
+            return (name, total, orphans, None)
+        # HALF_UP, not Python's banker's round — must match SQL round()
+        cov = float(
+            Decimal(repr(1.0 - orphans / total)).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        )
+        return (name, total, orphans, cov)
+
+    rows = [
+        edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+        edge("lineitem->part", li, "l_partkey", part, "p_partkey"),
+        edge("lineitem->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        edge("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+        edge("customer->nation", cust, "c_nationkey", nation, "n_nationkey"),
+        edge("nation->region", nation, "n_regionkey", region, "r_regionkey"),
+    ]
+    return spark.createDataFrame(
+        rows, "fk_edge string, n_child long, n_orphans long, coverage_r double"
+    )
+
+
+REFERENTIAL_INTEGRITY_AUDIT_SQL = """
+SELECT 'lineitem->orders' AS fk_edge, (SELECT count(*) FROM lineitem) AS n_child,
+       (SELECT count(*) FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey) AS n_orphans,
+       round(1.0 - (SELECT count(*) FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey)::double
+                   / (SELECT count(*) FROM lineitem)::double, 6) AS coverage_r
+UNION ALL
+SELECT 'lineitem->part', (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l ANTI JOIN part p ON l.l_partkey = p.p_partkey),
+       round(1.0 - (SELECT count(*) FROM lineitem l ANTI JOIN part p ON l.l_partkey = p.p_partkey)::double
+                   / (SELECT count(*) FROM lineitem)::double, 6)
+UNION ALL
+SELECT 'lineitem->supplier', (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l ANTI JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+       round(1.0 - (SELECT count(*) FROM lineitem l ANTI JOIN supplier s ON l.l_suppkey = s.s_suppkey)::double
+                   / (SELECT count(*) FROM lineitem)::double, 6)
+UNION ALL
+SELECT 'orders->customer', (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey),
+       round(1.0 - (SELECT count(*) FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey)::double
+                   / (SELECT count(*) FROM orders)::double, 6)
+UNION ALL
+SELECT 'customer->nation', (SELECT count(*) FROM customer),
+       (SELECT count(*) FROM customer c ANTI JOIN nation n ON c.c_nationkey = n.n_nationkey),
+       round(1.0 - (SELECT count(*) FROM customer c ANTI JOIN nation n ON c.c_nationkey = n.n_nationkey)::double
+                   / (SELECT count(*) FROM customer)::double, 6)
+UNION ALL
+SELECT 'nation->region', (SELECT count(*) FROM nation),
+       (SELECT count(*) FROM nation n ANTI JOIN region r ON n.n_regionkey = r.r_regionkey),
+       round(1.0 - (SELECT count(*) FROM nation n ANTI JOIN region r ON n.n_regionkey = r.r_regionkey)::double
+                   / (SELECT count(*) FROM nation)::double, 6)
+"""
