@@ -306,6 +306,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "k_anonymity_audit": QuerySpec(TQ.k_anonymity_audit, TQ.K_ANONYMITY_AUDIT_SQL, ("privacy", "k-anonymity", "audit")),
     "shipping_latency_sla": QuerySpec(TQ.shipping_latency_sla, TQ.SHIPPING_LATENCY_SLA_SQL, ("sla", "latency", "order-statistic", "percentile")),
     "referential_integrity_audit": QuerySpec(TQ.referential_integrity_audit, TQ.REFERENTIAL_INTEGRITY_AUDIT_SQL, ("quality", "referential-integrity", "anti-join", "audit")),
+    "supplier_scorecard": QuerySpec(TQ.supplier_scorecard, TQ.SUPPLIER_SCORECARD_SQL, ("bi", "scorecard", "composite-rank")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),

@@ -3585,3 +3585,74 @@ SELECT 'nation->region', (SELECT count(*) FROM nation),
        round(1.0 - (SELECT count(*) FROM nation n ANTI JOIN region r ON n.n_regionkey = r.r_regionkey)::double
                    / (SELECT count(*) FROM nation)::double, 6)
 """
+
+
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite supplier scorecard: weighted blend of return rate
+    (quality, weight 0.6, lower better) and revenue share normalized to
+    the top supplier (volume, weight 0.4) — the standard vendor-review
+    artifact. Rates are ratios of integer line counts / cents; the
+    composite is one rounded expression; ranking ties on the supplier
+    key. Top 10."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_lines"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("n_returned"),
+        F.sum(to_units(F.col("l_extendedprice"))).alias("cents"),
+    )
+    top_rev = per_supp.agg(F.max("cents").alias("max_cents"))
+    scored = per_supp.crossJoin(F.broadcast(top_rev)).withColumn(
+        "return_rate_r",
+        F.round(
+            F.col("n_returned").cast("double") / F.col("n_lines").cast("double"), 6
+        ),
+    ).withColumn(
+        "score_r",
+        F.round(
+            0.6
+            * (
+                1.0
+                - F.col("n_returned").cast("double") / F.col("n_lines").cast("double")
+            )
+            + 0.4 * F.col("cents").cast("double") / F.col("max_cents").cast("double"),
+            6,
+        ),
+    )
+    w = Window.orderBy(F.col("score_r").desc(), F.col("l_suppkey").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select(
+            "rnk",
+            F.col("l_suppkey").alias("suppkey"),
+            "n_lines",
+            "return_rate_r",
+            "score_r",
+        )
+    )
+
+
+SUPPLIER_SCORECARD_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey, count(*) AS n_lines,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::bigint AS n_returned,
+         sum(round(l_extendedprice * 100)::bigint)::bigint AS cents
+  FROM lineitem GROUP BY l_suppkey
+),
+tot AS (SELECT max(cents)::bigint AS max_cents FROM per_supp),
+scored AS (
+  SELECT l_suppkey, n_lines,
+         round(n_returned::double / n_lines::double, 6) AS return_rate_r,
+         round(0.6 * (1.0 - n_returned::double / n_lines::double)
+               + 0.4 * cents::double / tot.max_cents::double, 6) AS score_r
+  FROM per_supp, tot
+)
+SELECT rnk, suppkey, n_lines, return_rate_r, score_r FROM (
+  SELECT l_suppkey AS suppkey, n_lines, return_rate_r, score_r,
+         row_number() OVER (ORDER BY score_r DESC, l_suppkey ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 10
+"""
