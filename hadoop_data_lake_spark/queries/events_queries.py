@@ -3820,3 +3820,208 @@ SELECT hod,
              / (1.0 - lam / (peak.peak * 1.25)), 6) AS lq_r
 FROM hourly, peak
 """
+
+
+def ks_test_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D per event_type between the hash
+    variants: D = max |ECDF_a - ECDF_b|, computed EXACTLY — running
+    per-variant counts over the value-sorted window give both ECDFs at
+    every distinct value with integer numerators, and the max of their
+    absolute difference is one aggregation. Completes the
+    distribution-comparison family (Welch: means; Mann-Whitney: ranks;
+    PSI: binned drift; chi2: categorical; KS: the full ECDF)."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from hadoop_data_lake_spark.functions.hashing import md5_60bit
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        (md5_60bit(F.col("user_id").cast("string")) % 2).alias("variant"),
+        to_units(F.col("value")).alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    counted = ev.withColumn(
+        "ca", F.sum((F.col("variant") == 0).cast("long")).over(w)
+    ).withColumn("cb", F.sum((F.col("variant") == 1).cast("long")).over(w))
+    totals = ev.groupBy("event_type").agg(
+        F.sum((F.col("variant") == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("variant") == 1).cast("long")).alias("n_b"),
+    )
+    d = counted.join(totals, "event_type").withColumn(
+        "gap",
+        F.abs(
+            F.col("ca").cast("double") / F.col("n_a").cast("double")
+            - F.col("cb").cast("double") / F.col("n_b").cast("double")
+        ),
+    )
+    return d.groupBy("event_type").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.round(F.max("gap"), 6).alias("ks_d_r"),
+    )
+
+
+KS_TEST_VARIANTS_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         {_md5_sql("user_id::varchar")} % 2 AS variant,
+         round(value * 100)::bigint AS cents
+  FROM events
+),
+counted AS (
+  SELECT event_type, variant, cents,
+         sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY event_type ORDER BY cents
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY event_type ORDER BY cents
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+  FROM ev
+),
+totals AS (
+  SELECT event_type,
+         sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::bigint AS n_a,
+         sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::bigint AS n_b
+  FROM ev GROUP BY event_type
+)
+SELECT c.event_type, max(t.n_a) AS n_a, max(t.n_b) AS n_b,
+       round(max(abs(c.ca::double / t.n_a::double
+                     - c.cb::double / t.n_b::double)), 6) AS ks_d_r
+FROM counted c JOIN totals t ON c.event_type = t.event_type
+GROUP BY c.event_type
+"""
+
+
+def odds_ratio_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-outcome experiment effect size: the odds ratio of user
+    conversion (made >= 1 purchase) between the hash variants, with the
+    Wald 95% CI exp(ln OR +/- 1.96 * sqrt(1/a + 1/b + 1/c + 1/d)) — the
+    2x2-table readout that complements the continuous-metric tests. All
+    four cells are integer user counts from one aggregation; the
+    Haldane-Anscombe +0.5 correction (the standard zero-cell fix) keeps
+    the estimate finite at small n; OR and its bounds are single rounded
+    expressions."""
+    from hadoop_data_lake_spark.functions.hashing import md5_60bit
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        (md5_60bit(F.col("user_id").cast("string")) % 2).alias("variant"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    per_user = ev.groupBy("user_id", "variant").agg(
+        F.max("is_p").alias("converted")
+    )
+    cells = per_user.groupBy().agg(
+        F.sum(((F.col("variant") == 0) & (F.col("converted") == 1)).cast("long")).alias("a"),
+        F.sum(((F.col("variant") == 0) & (F.col("converted") == 0)).cast("long")).alias("b"),
+        F.sum(((F.col("variant") == 1) & (F.col("converted") == 1)).cast("long")).alias("c"),
+        F.sum(((F.col("variant") == 1) & (F.col("converted") == 0)).cast("long")).alias("d"),
+    )
+    a, b, c, d = (F.col(x).cast("double") + 0.5 for x in "abcd")
+    orr = (a * d) / (b * c)
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(orr, 6).alias("odds_ratio_r"),
+        F.round(F.exp(F.log(orr) - 1.96 * se), 6).alias("ci_lo_r"),
+        F.round(F.exp(F.log(orr) + 1.96 * se), 6).alias("ci_hi_r"),
+    )
+
+
+ODDS_RATIO_CONVERSION_SQL = f"""
+WITH per_user AS (
+  SELECT user_id, {_md5_sql("user_id::varchar")} % 2 AS variant,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id, {_md5_sql("user_id::varchar")} % 2
+),
+cells AS (
+  SELECT sum(CASE WHEN variant = 0 AND converted = 1 THEN 1 ELSE 0 END)::bigint AS a,
+         sum(CASE WHEN variant = 0 AND converted = 0 THEN 1 ELSE 0 END)::bigint AS b,
+         sum(CASE WHEN variant = 1 AND converted = 1 THEN 1 ELSE 0 END)::bigint AS c,
+         sum(CASE WHEN variant = 1 AND converted = 0 THEN 1 ELSE 0 END)::bigint AS d
+  FROM per_user
+)
+SELECT a, b, c, d,
+       round(((a::double + 0.5) * (d::double + 0.5))
+             / ((b::double + 0.5) * (c::double + 0.5)), 6) AS odds_ratio_r,
+       round(exp(ln(((a::double + 0.5) * (d::double + 0.5))
+                    / ((b::double + 0.5) * (c::double + 0.5)))
+                 - 1.96 * sqrt(1.0/(a::double + 0.5) + 1.0/(b::double + 0.5)
+                               + 1.0/(c::double + 0.5) + 1.0/(d::double + 0.5))), 6) AS ci_lo_r,
+       round(exp(ln(((a::double + 0.5) * (d::double + 0.5))
+                    / ((b::double + 0.5) * (c::double + 0.5)))
+                 + 1.96 * sqrt(1.0/(a::double + 0.5) + 1.0/(b::double + 0.5)
+                               + 1.0/(c::double + 0.5) + 1.0/(d::double + 0.5))), 6) AS ci_hi_r
+FROM cells
+"""
+
+
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event_type: values clipped at the p5/p95 ORDER
+    STATISTICS (integer cents at ranks ceil(.05n)/ceil(.95n)) before
+    averaging — the robust location estimate that keeps sample size
+    (unlike trimming) while bounding outlier leverage. Clip bounds are
+    integers, the clipped sum is an integer, the mean one rounded
+    division."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", to_units(F.col("value")).alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = ev.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("rk") == F.ceil(0.05 * F.col("n")), F.col("cents"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("rk") == F.ceil(0.95 * F.col("n")), F.col("cents"))
+        ).alias("hi"),
+    )
+    clipped = ev.join(bounds, "event_type").withColumn(
+        "cw", F.greatest(F.least(F.col("cents"), F.col("hi")), F.col("lo"))
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.max("lo").alias("lo_cents"),
+        F.max("hi").alias("hi_cents"),
+        F.round(
+            F.sum("cw").cast("double") / (F.count("*").cast("double") * 100.0), 6
+        ).alias("winsor_mean_r"),
+    )
+
+
+WINSORIZED_VALUE_STATS_SQL = """
+WITH ev AS (
+  SELECT event_type, event_id, round(value * 100)::bigint AS cents FROM events
+),
+ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+bounds AS (
+  SELECT event_type,
+         min(CASE WHEN rk = ceil(0.05 * n) THEN cents END) AS lo,
+         min(CASE WHEN rk = ceil(0.95 * n) THEN cents END) AS hi
+  FROM ranked GROUP BY event_type
+),
+clipped AS (
+  SELECT e.event_type, greatest(least(e.cents, b.hi), b.lo) AS cw, b.lo, b.hi
+  FROM ev e JOIN bounds b ON e.event_type = b.event_type
+)
+SELECT event_type, count(*) AS n, max(lo) AS lo_cents, max(hi) AS hi_cents,
+       round(sum(cw)::double / (count(*)::double * 100.0), 6) AS winsor_mean_r
+FROM clipped GROUP BY event_type
+"""

@@ -307,6 +307,9 @@ _BACKLOG: dict[str, QuerySpec] = {
     "shipping_latency_sla": QuerySpec(TQ.shipping_latency_sla, TQ.SHIPPING_LATENCY_SLA_SQL, ("sla", "latency", "order-statistic", "percentile")),
     "referential_integrity_audit": QuerySpec(TQ.referential_integrity_audit, TQ.REFERENTIAL_INTEGRITY_AUDIT_SQL, ("quality", "referential-integrity", "anti-join", "audit")),
     "supplier_scorecard": QuerySpec(TQ.supplier_scorecard, TQ.SUPPLIER_SCORECARD_SQL, ("bi", "scorecard", "composite-rank")),
+    "ks_test_variants": QuerySpec(EV.ks_test_variants, EV.KS_TEST_VARIANTS_SQL, ("experiment", "kolmogorov-smirnov", "ecdf", "integer-exact")),
+    "odds_ratio_conversion": QuerySpec(EV.odds_ratio_conversion, EV.ODDS_RATIO_CONVERSION_SQL, ("experiment", "odds-ratio", "wald-ci", "binary-outcome")),
+    "winsorized_value_stats": QuerySpec(EV.winsorized_value_stats, EV.WINSORIZED_VALUE_STATS_SQL, ("robust-stats", "winsorize", "order-statistic")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
