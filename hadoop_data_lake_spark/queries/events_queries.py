@@ -4025,3 +4025,144 @@ SELECT event_type, count(*) AS n, max(lo) AS lo_cents, max(hi) AS hi_cents,
        round(sum(cw)::double / (count(*)::double * 100.0), 6) AS winsor_mean_r
 FROM clipped GROUP BY event_type
 """
+
+
+def max_drawdown_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily purchase-revenue curve per
+    event-free lens: running peak of the cumulative integer-cent series,
+    drawdown = peak - current (an integer!), max over days — the
+    financial risk metric applied to revenue telemetry (worst
+    peak-to-trough run-rate slump). Two ordered windows over the
+    30-row daily aggregate; the only float is the final rounded
+    peak-relative share."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(to_units(F.col("value")) - 5000).alias("net_cents")
+    )
+    # net of a fixed 50.00 daily-mean offset so the cumulative curve can
+    # actually draw down (raw revenue is monotone by construction)
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    curve = daily.withColumn("cum", F.sum("net_cents").over(w)).withColumn(
+        "peak", F.max(F.sum("net_cents").over(w)).over(w)
+    )
+    dd = curve.withColumn("drawdown", F.col("peak") - F.col("cum"))
+    return dd.agg(
+        F.count("*").alias("n_days"),
+        F.max("drawdown").alias("max_drawdown_cents"),
+        F.max("peak").alias("peak_cents"),
+        F.round(
+            F.max("drawdown").cast("double")
+            / F.greatest(F.max("peak").cast("double"), F.lit(1.0)),
+            6,
+        ).alias("dd_over_peak_r"),
+    )
+
+
+MAX_DRAWDOWN_DAILY_REVENUE_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         sum(round(value * 100)::bigint - 5000)::bigint AS net_cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY CAST(ts AS DATE)
+),
+curve AS (
+  SELECT day, net_cents,
+         sum(net_cents) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cum
+  FROM daily
+),
+dd AS (
+  SELECT day, cum,
+         max(cum) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS peak
+  FROM curve
+)
+SELECT count(*) AS n_days,
+       max(peak - cum)::bigint AS max_drawdown_cents,
+       max(peak)::bigint AS peak_cents,
+       round(max(peak - cum)::double / greatest(max(peak)::double, 1.0), 6)
+         AS dd_over_peak_r
+FROM dd
+"""
+
+
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type process: H = -sum_s pi(s)
+    sum_t p(t|s) log2 p(t|s), with the stationary distribution
+    approximated by the empirical source frequency — how predictable the
+    NEXT action is given the current one (the sequence-model value
+    ceiling). Transition and source counts are integers from one lag
+    window; each (s, t) contributes one closed-form term, folded in
+    (s, t) order for the cross-engine sum."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.withColumn("nxt", F.lead("event_type").over(w)).where(
+        F.col("nxt").isNotNull()
+    )
+    trans = pairs.groupBy("event_type", "nxt").agg(F.count("*").alias("c_st"))
+    src = trans.groupBy("event_type").agg(F.sum("c_st").alias("c_s"))
+    total = trans.agg(F.sum("c_st").alias("n"))
+    contrib = (
+        trans.join(src, "event_type")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "term",
+            -(F.col("c_s").cast("double") / F.col("n").cast("double"))
+            * (F.col("c_st").cast("double") / F.col("c_s").cast("double"))
+            * F.log2(F.col("c_st").cast("double") / F.col("c_s").cast("double")),
+        )
+    )
+    folded = contrib.select(
+        F.struct("event_type", "nxt").alias("k"), "term"
+    ).agg(
+        F.count("*").alias("n_transitions"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "term"))),
+                    lambda s: s["term"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("entropy_rate_bits_r"),
+    )
+    return folded
+
+
+MARKOV_ENTROPY_RATE_SQL = """
+WITH pairs AS (
+  SELECT event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+trans AS (
+  SELECT event_type, nxt, count(*) AS c_st
+  FROM pairs WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+),
+src AS (SELECT event_type, sum(c_st)::bigint AS c_s FROM trans GROUP BY event_type),
+tot AS (SELECT sum(c_st)::bigint AS n FROM trans),
+contrib AS (
+  SELECT t.event_type, t.nxt,
+         -(s.c_s::double / tot.n::double)
+         * (t.c_st::double / s.c_s::double)
+         * log2(t.c_st::double / s.c_s::double) AS term
+  FROM trans t JOIN src s ON t.event_type = s.event_type CROSS JOIN tot
+)
+SELECT count(*) AS n_transitions,
+       round(list_reduce(
+               list_prepend(0.0::double, list(term ORDER BY event_type, nxt)),
+               (acc, x) -> acc + x), 6) AS entropy_rate_bits_r
+FROM contrib
+"""

@@ -310,6 +310,8 @@ _BACKLOG: dict[str, QuerySpec] = {
     "ks_test_variants": QuerySpec(EV.ks_test_variants, EV.KS_TEST_VARIANTS_SQL, ("experiment", "kolmogorov-smirnov", "ecdf", "integer-exact")),
     "odds_ratio_conversion": QuerySpec(EV.odds_ratio_conversion, EV.ODDS_RATIO_CONVERSION_SQL, ("experiment", "odds-ratio", "wald-ci", "binary-outcome")),
     "winsorized_value_stats": QuerySpec(EV.winsorized_value_stats, EV.WINSORIZED_VALUE_STATS_SQL, ("robust-stats", "winsorize", "order-statistic")),
+    "max_drawdown_daily_revenue": QuerySpec(EV.max_drawdown_daily_revenue, EV.MAX_DRAWDOWN_DAILY_REVENUE_SQL, ("finance", "drawdown", "running-peak")),
+    "markov_entropy_rate": QuerySpec(EV.markov_entropy_rate, EV.MARKOV_ENTROPY_RATE_SQL, ("sequence", "entropy-rate", "markov")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
