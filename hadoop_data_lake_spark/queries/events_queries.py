@@ -4166,3 +4166,73 @@ SELECT count(*) AS n_transitions,
                (acc, x) -> acc + x), 6) AS entropy_rate_bits_r
 FROM contrib
 """
+
+
+def ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares daily trend per event_type — the parametric
+    complement to theil_sen_daily_trend, fitted from exact integer
+    moments (n, Sx, Sy, Sxy, Sxx over epoch-day x integer cents):
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), intercept via the means,
+    plus R^2 — each a single rounded expression, so the whole regression
+    replays. The moment aggregation is the only pass over the daily
+    frame; no iterative solver."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(to_units(F.col("value"))).alias("y"))
+        .withColumn("x", F.unix_date(F.col("day")))
+    )
+    mom = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2_num = (n * sxy - sx * sy) * (n * sxy - sx * sy)
+    r2_den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    return mom.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(slope / 100.0, 6).alias("slope_per_day_r"),
+        F.round((sy / n - slope * sx / n) / 100.0, 4).alias("intercept_r"),
+        F.round(r2_num / r2_den, 6).alias("r2_r"),
+    )
+
+
+OLS_DAILY_TREND_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(round(value * 100)::bigint)::bigint AS y,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+mom AS (
+  SELECT event_type, count(*) AS n,
+         sum(x)::bigint AS sx, sum(y)::bigint AS sy,
+         sum(x * y)::bigint AS sxy, sum(x * x)::bigint AS sxx,
+         sum(y::hugeint * y)::double AS syy
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n AS n_days,
+       round(((n::double * sxy::double - sx::double * sy::double)
+              / (n::double * sxx::double - sx::double * sx::double)) / 100.0, 6)
+         AS slope_per_day_r,
+       round((sy::double / n::double
+              - ((n::double * sxy::double - sx::double * sy::double)
+                 / (n::double * sxx::double - sx::double * sx::double))
+                * sx::double / n::double) / 100.0, 4) AS intercept_r,
+       round(((n::double * sxy::double - sx::double * sy::double)
+              * (n::double * sxy::double - sx::double * sy::double))
+             / ((n::double * sxx::double - sx::double * sx::double)
+                * (n::double * syy - sy::double * sy::double)), 6) AS r2_r
+FROM mom
+"""

@@ -312,6 +312,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "winsorized_value_stats": QuerySpec(EV.winsorized_value_stats, EV.WINSORIZED_VALUE_STATS_SQL, ("robust-stats", "winsorize", "order-statistic")),
     "max_drawdown_daily_revenue": QuerySpec(EV.max_drawdown_daily_revenue, EV.MAX_DRAWDOWN_DAILY_REVENUE_SQL, ("finance", "drawdown", "running-peak")),
     "markov_entropy_rate": QuerySpec(EV.markov_entropy_rate, EV.MARKOV_ENTROPY_RATE_SQL, ("sequence", "entropy-rate", "markov")),
+    "ols_daily_trend": QuerySpec(EV.ols_daily_trend, EV.OLS_DAILY_TREND_SQL, ("timeseries", "regression", "ols", "integer-moments")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
