@@ -4236,3 +4236,138 @@ SELECT event_type, n AS n_days,
                 * (n::double * syy - sy::double * sy::double)), 6) AS r2_r
 FROM mom
 """
+
+
+def fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness per event_type: the Fano factor (variance/mean of hourly
+    arrival counts) — 1 for a Poisson process, above 1 for bursty
+    traffic; the dispersion screen behind rate-limit and capacity
+    decisions. Hourly counts are integers, so the variance derives from
+    exact (n, S, SS) moments; one rounded ratio."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    )
+    hourly = ev.groupBy("event_type", "h").agg(F.count("*").alias("c"))
+    mom = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = (F.col("ss").cast("double") - F.col("s").cast("double") * mean) / (n - 1.0)
+    return mom.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.round(mean, 6).alias("mean_per_hour_r"),
+        F.round(var / mean, 6).alias("fano_r"),
+    )
+
+
+FANO_BURSTINESS_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+mom AS (
+  SELECT event_type, count(*) AS n, sum(c)::bigint AS s,
+         sum(c * c)::bigint AS ss
+  FROM hourly GROUP BY event_type
+)
+SELECT event_type, n AS n_hours,
+       round(s::double / n::double, 6) AS mean_per_hour_r,
+       round(((ss::double - s::double * (s::double / n::double)) / (n::double - 1.0))
+             / (s::double / n::double), 6) AS fano_r
+FROM mom
+"""
+
+
+def adstock_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decay-weighted (adstock) multi-touch attribution: each purchase
+    splits credit across its 24h view/click touches proportionally to
+    the exponential recency weight 0.5^(hours_before / 12) — recent
+    touches earn more, the marketing-mix convention. Weights are
+    closed-form from integer microsecond gaps; each purchase's credit
+    shares fold over its touches in time order so the normalization
+    replays; output aggregates credited value per channel."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        to_units(F.col("value")).alias("cents"),
+    )
+    touches = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    paired = purchases.join(
+        touches,
+        (F.col("pu") == F.col("tu"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS")),
+    ).withColumn(
+        "wgt",
+        F.pow(
+            F.lit(0.5),
+            (F.unix_micros("pts") - F.unix_micros("tts")).cast("double")
+            / (12.0 * 3600.0 * 1e6),
+        ),
+    )
+    wsum = paired.groupBy("pid").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tts", "tid", "wgt"))),
+                lambda s: s["wgt"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("wtot")
+    )
+    credited = paired.join(wsum, "pid").withColumn(
+        "credit_r",
+        F.round(F.col("cents") * F.col("wgt") / F.col("wtot") / 100.0, 6),
+    )
+    return credited.groupBy("channel").agg(
+        F.count("*").alias("n_touches"),
+        F.round(F.sum("credit_r"), 4).alias("credited_value_r"),
+    )
+
+
+ADSTOCK_ATTRIBUTION_SQL = """
+WITH purchases AS (
+  SELECT event_id AS pid, user_id AS pu, ts AS pts,
+         round(value * 100)::bigint AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT event_id AS tid, user_id AS tu, ts AS tts, event_type AS channel
+  FROM events WHERE event_type IN ('view', 'click')
+),
+paired AS (
+  SELECT p.pid, p.cents, t.tid, t.tts, t.channel,
+         power(0.5, (epoch_us(p.pts) - epoch_us(t.tts))::double
+                    / (12.0 * 3600.0 * 1e6)) AS wgt
+  FROM purchases p JOIN touches t
+    ON p.pu = t.tu AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 24 HOURS
+),
+wsum AS (
+  SELECT pid,
+         list_reduce(list_prepend(0.0::double, list(wgt ORDER BY tts, tid)),
+                     (a, x) -> a + x) AS wtot
+  FROM paired GROUP BY pid
+),
+credited AS (
+  SELECT p.channel,
+         round(p.cents * p.wgt / w.wtot / 100.0, 6) AS credit_r
+  FROM paired p JOIN wsum w ON p.pid = w.pid
+)
+SELECT channel, count(*) AS n_touches,
+       round(sum(credit_r), 4) AS credited_value_r
+FROM credited GROUP BY channel
+"""

@@ -3807,3 +3807,88 @@ SELECT rnk, wa, wb, c_ab, npmi_r FROM (
   FROM scored
 ) WHERE rnk <= 20
 """
+
+
+def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health diagnostic: fit log(freq) = a - s * log(rank) over
+    the top-200 tokens — natural corpora sit near Zipf s = 1; template
+    spam and synthetic filler bend the slope. Ranks and frequencies are
+    integers; the OLS moments over (log rank, log freq) pairs fold IN
+    RANK ORDER (the ordered-fold pattern), so the fitted slope replays
+    bit-for-bit. One token aggregation + a 200-row fold."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("t")).where(
+        F.col("t") != ""
+    )
+    freq = toks.groupBy("t").agg(F.count("*").alias("f"))
+    w = Window.orderBy(F.col("f").desc(), F.col("t").asc())
+    top = freq.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= 200
+    )
+    pairs = top.select(
+        "rank",
+        F.log(F.col("rank").cast("double")).alias("lx"),
+        F.log(F.col("f").cast("double")).alias("ly"),
+    )
+    # ordered folds for every moment that sums floats
+    def fold(expr_col: str) -> "F.Column":
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", F.col(expr_col).alias("v")))),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    mom = pairs.select(
+        "rank", "lx", "ly", (F.col("lx") * F.col("ly")).alias("lxy"),
+        (F.col("lx") * F.col("lx")).alias("lxx"),
+    ).agg(
+        F.count("*").alias("n"),
+        fold("lx").alias("sx"),
+        fold("ly").alias("sy"),
+        fold("lxy").alias("sxy"),
+        fold("lxx").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return mom.select(
+        F.col("n").alias("n_tokens"),
+        F.round(-slope, 6).alias("zipf_s_r"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("log_c_r"),
+    )
+
+
+ZIPF_FIT_TOKENS_SQL = """
+WITH toks AS (
+  SELECT tok AS t
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+),
+freq AS (SELECT t, count(*) AS f FROM toks GROUP BY t),
+top AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, t ASC) AS rank
+  FROM freq QUALIFY rank <= 200
+),
+pairs AS (
+  SELECT rank, ln(rank::double) AS lx, ln(f::double) AS ly FROM top
+),
+mom AS (
+  SELECT count(*) AS n,
+         list_reduce(list_prepend(0.0::double, list(lx ORDER BY rank)), (a, x) -> a + x) AS sx,
+         list_reduce(list_prepend(0.0::double, list(ly ORDER BY rank)), (a, x) -> a + x) AS sy,
+         list_reduce(list_prepend(0.0::double, list(lx * ly ORDER BY rank)), (a, x) -> a + x) AS sxy,
+         list_reduce(list_prepend(0.0::double, list(lx * lx ORDER BY rank)), (a, x) -> a + x) AS sxx
+  FROM pairs
+)
+SELECT n AS n_tokens,
+       round(-((n::double * sxy - sx * sy) / (n::double * sxx - sx * sx)), 6) AS zipf_s_r,
+       round((sy - ((n::double * sxy - sx * sy) / (n::double * sxx - sx * sx)) * sx)
+             / n::double, 6) AS log_c_r
+FROM mom
+"""

@@ -313,6 +313,9 @@ _BACKLOG: dict[str, QuerySpec] = {
     "max_drawdown_daily_revenue": QuerySpec(EV.max_drawdown_daily_revenue, EV.MAX_DRAWDOWN_DAILY_REVENUE_SQL, ("finance", "drawdown", "running-peak")),
     "markov_entropy_rate": QuerySpec(EV.markov_entropy_rate, EV.MARKOV_ENTROPY_RATE_SQL, ("sequence", "entropy-rate", "markov")),
     "ols_daily_trend": QuerySpec(EV.ols_daily_trend, EV.OLS_DAILY_TREND_SQL, ("timeseries", "regression", "ols", "integer-moments")),
+    "zipf_fit_tokens": QuerySpec(NS.zipf_fit_tokens, NS.ZIPF_FIT_TOKENS_SQL, ("text", "zipf", "power-law", "corpus-health")),
+    "fano_burstiness": QuerySpec(EV.fano_burstiness, EV.FANO_BURSTINESS_SQL, ("capacity", "burstiness", "fano", "dispersion")),
+    "adstock_attribution": QuerySpec(EV.adstock_attribution, EV.ADSTOCK_ATTRIBUTION_SQL, ("attribution", "adstock", "decay-weighted")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
