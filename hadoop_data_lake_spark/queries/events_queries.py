@@ -4371,3 +4371,129 @@ SELECT channel, count(*) AS n_touches,
        round(sum(credit_r), 4) AS credited_value_r
 FROM credited GROUP BY channel
 """
+
+
+def forecast_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model bake-off on the same strict 7-day holdout: seasonal-naive
+    (weekday mean) vs global-mean baseline, MAE per event_type per
+    model — the evaluation harness shape (same split, same metric, one
+    row per contender) that keeps forecaster comparisons honest. Both
+    predictors are integer-cent ratios; errors are integer sums."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        to_units(F.col("value")).alias("cents"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.sum("cents").alias("y"))
+    cutoff = daily.agg(F.date_sub(F.max("day"), 7).alias("cut"))
+    tagged = daily.crossJoin(F.broadcast(cutoff)).withColumn(
+        "is_test", (F.col("day") > F.col("cut")).cast("int")
+    ).withColumn("dow", F.dayofweek("day"))
+    seasonal = tagged.where(F.col("is_test") == 0).groupBy(
+        "event_type", "dow"
+    ).agg(F.expr("sum(y) div count(*)").alias("pred"))
+    globalm = tagged.where(F.col("is_test") == 0).groupBy("event_type").agg(
+        F.expr("sum(y) div count(*)").alias("pred")
+    )
+    test = tagged.where(F.col("is_test") == 1)
+    m1 = (
+        test.join(seasonal, ["event_type", "dow"])
+        .groupBy("event_type")
+        .agg(F.expr("sum(abs(y - pred)) div count(*)").alias("mae_cents"))
+        .withColumn("model", F.lit("seasonal_naive"))
+    )
+    m2 = (
+        test.join(globalm, "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("sum(abs(y - pred)) div count(*)").alias("mae_cents"))
+        .withColumn("model", F.lit("global_mean"))
+    )
+    return m1.unionByName(m2).select("event_type", "model", "mae_cents")
+
+
+FORECAST_BAKEOFF_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(round(value * 100)::bigint)::bigint AS y
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+cutoff AS (SELECT max(day) - 7 AS cut FROM daily),
+tagged AS (
+  SELECT event_type, day, y,
+         CASE WHEN day > (SELECT cut FROM cutoff) THEN 1 ELSE 0 END AS is_test,
+         dayofweek(day) + 1 AS dow
+  FROM daily
+),
+seasonal AS (
+  SELECT event_type, dow, (sum(y) // count(*))::bigint AS pred
+  FROM tagged WHERE is_test = 0 GROUP BY event_type, dow
+),
+globalm AS (
+  SELECT event_type, (sum(y) // count(*))::bigint AS pred
+  FROM tagged WHERE is_test = 0 GROUP BY event_type
+)
+SELECT t.event_type, 'seasonal_naive' AS model,
+       (sum(abs(t.y - s.pred)) // count(*))::bigint AS mae_cents
+FROM tagged t JOIN seasonal s ON t.event_type = s.event_type AND t.dow = s.dow
+WHERE t.is_test = 1 GROUP BY t.event_type
+UNION ALL
+SELECT t.event_type, 'global_mean',
+       (sum(abs(t.y - g.pred)) // count(*))::bigint
+FROM tagged t JOIN globalm g ON t.event_type = g.event_type
+WHERE t.is_test = 1 GROUP BY t.event_type
+"""
+
+
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU28 stickiness per day — the growth-team engagement ratio:
+    daily actives divided by trailing-28-day actives, both EXACT distinct
+    counts via the contribution-explode identity (each user-day
+    contributes to the 28 following days' windows; the blowup touches the
+    deduped user-day frame only, the rolling_7d pattern). One rounded
+    ratio per day."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    user_days = ev.distinct().localCheckpoint(eager=True)
+    dau = user_days.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    bounds = ev.agg(F.max("day").alias("max_day"))
+    contrib = (
+        user_days.withColumn(
+            "k", F.explode(F.array(*[F.lit(i) for i in range(28)]))
+        )
+        .select("user_id", F.date_add(F.col("day"), F.col("k")).alias("day"))
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("day") <= F.col("max_day"))
+    )
+    mau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("mau28"))
+    return (
+        dau.join(mau, "day")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "mau28",
+            F.round(
+                F.col("dau").cast("double") / F.col("mau28").cast("double"), 6
+            ).alias("stickiness_r"),
+        )
+    )
+
+
+DAU_MAU_STICKINESS_SQL = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM user_days GROUP BY day),
+bounds AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events),
+contrib AS (
+  SELECT user_id, day + k.range::int AS day
+  FROM user_days CROSS JOIN range(28) k, bounds
+  WHERE day + k.range::int <= bounds.max_day
+),
+mau AS (SELECT day, count(DISTINCT user_id) AS mau28 FROM contrib GROUP BY day)
+SELECT d.day::varchar AS day, d.dau, m.mau28,
+       round(d.dau::double / m.mau28::double, 6) AS stickiness_r
+FROM dau d JOIN mau m ON d.day = m.day
+"""

@@ -3892,3 +3892,63 @@ SELECT n AS n_tokens,
              / n::double, 6) AS log_c_r
 FROM mom
 """
+
+
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus redundancy profile: distinct-to-total n-gram ratio for
+    n = 1..4 — near 1 means almost every n-gram is unique (high-entropy
+    text), low values flag template/boilerplate corpora before they
+    poison training. One explode per n over the token arrays; counts are
+    integers, one rounded ratio per row."""
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    w = F.split(F.col("text"), " ")
+    base = docs.select(w.alias("w"), F.size(w).alias("nw"))
+    rows = []
+    for n in range(1, 5):
+        grams = base.where(F.col("nw") >= n).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("nw") - n + 1),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at("w", (i + j).cast("int")) for j in range(n)]
+                    ),
+                )
+            ).alias("g")
+        )
+        agg = grams.agg(
+            F.lit(n).alias("n"),
+            F.count("*").alias("total"),
+            F.countDistinct("g").alias("distinct_"),
+        )
+        rows.append(agg)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "n",
+        "total",
+        F.col("distinct_").alias("n_distinct"),
+        F.round(F.col("distinct_").cast("double") / F.col("total").cast("double"), 6).alias(
+            "novelty_r"
+        ),
+    )
+
+
+def _novelty_sql() -> str:
+    parts = []
+    for n in range(1, 5):
+        gram = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+        parts.append(
+            f"""
+SELECT {n} AS n, count(*) AS total, count(DISTINCT g) AS n_distinct,
+       round(count(DISTINCT g)::double / count(*)::double, 6) AS novelty_r
+FROM (
+  SELECT unnest(list_transform(range(1, len(w) - {n} + 2), i -> {gram})) AS g
+  FROM (SELECT string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= {n}
+)"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+NGRAM_NOVELTY_CURVE_SQL = _novelty_sql()

@@ -316,6 +316,9 @@ _BACKLOG: dict[str, QuerySpec] = {
     "zipf_fit_tokens": QuerySpec(NS.zipf_fit_tokens, NS.ZIPF_FIT_TOKENS_SQL, ("text", "zipf", "power-law", "corpus-health")),
     "fano_burstiness": QuerySpec(EV.fano_burstiness, EV.FANO_BURSTINESS_SQL, ("capacity", "burstiness", "fano", "dispersion")),
     "adstock_attribution": QuerySpec(EV.adstock_attribution, EV.ADSTOCK_ATTRIBUTION_SQL, ("attribution", "adstock", "decay-weighted")),
+    "forecast_bakeoff": QuerySpec(EV.forecast_bakeoff, EV.FORECAST_BAKEOFF_SQL, ("forecast", "bakeoff", "evaluation")),
+    "dau_mau_stickiness": QuerySpec(EV.dau_mau_stickiness, EV.DAU_MAU_STICKINESS_SQL, ("engagement", "stickiness", "contribution-explode")),
+    "ngram_novelty_curve": QuerySpec(NS.ngram_novelty_curve, NS.NGRAM_NOVELTY_CURVE_SQL, ("text", "redundancy", "ngram", "corpus-health")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
