@@ -3656,3 +3656,91 @@ SELECT rnk, suppkey, n_lines, return_rate_r, score_r FROM (
   FROM scored
 ) WHERE rnk <= 10
 """
+
+
+def discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demand elasticity from the discount ladder: mean quantity per
+    discrete discount level, then OLS of log(mean_qty) on
+    log(1 - discount) over the ~11 ladder points — the retail
+    econometrics readout (elasticity = the slope; negative means deeper
+    discounts move volume). Level means are exact integer ratios
+    (quantity scaled x100); the tiny log-log regression folds its float
+    moments in discount order, so the fitted elasticity replays."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+    )
+    levels = li.groupBy("disc_pct").agg(
+        F.count("*").alias("n"), F.sum("qty_c").alias("sq")
+    ).where(F.col("disc_pct") < 100)
+    pairs = levels.select(
+        "disc_pct",
+        "n",
+        F.log(F.lit(1.0) - F.col("disc_pct").cast("double") / 100.0).alias("lx"),
+        F.log(
+            F.col("sq").cast("double") / (F.col("n").cast("double") * 100.0)
+        ).alias("ly"),
+    )
+
+    def fold(col: str) -> "F.Column":
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("disc_pct", F.col(col).alias("v")))
+                ),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    mom = pairs.select(
+        "disc_pct", "lx", "ly",
+        (F.col("lx") * F.col("ly")).alias("lxy"),
+        (F.col("lx") * F.col("lx")).alias("lxx"),
+    ).agg(
+        F.count("*").alias("k"),
+        fold("lx").alias("sx"),
+        fold("ly").alias("sy"),
+        fold("lxy").alias("sxy"),
+        fold("lxx").alias("sxx"),
+    )
+    k = F.col("k").cast("double")
+    slope = (k * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        k * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return mom.select(
+        F.col("k").alias("n_levels"),
+        F.round(slope, 6).alias("elasticity_r"),
+    )
+
+
+DISCOUNT_ELASTICITY_SQL = """
+WITH li AS (
+  SELECT round(l_discount * 100)::bigint AS disc_pct,
+         round(l_quantity * 100)::bigint AS qty_c
+  FROM lineitem
+),
+levels AS (
+  SELECT disc_pct, count(*) AS n, sum(qty_c)::bigint AS sq
+  FROM li WHERE disc_pct < 100 GROUP BY disc_pct
+),
+pairs AS (
+  SELECT disc_pct,
+         ln(1.0 - disc_pct::double / 100.0) AS lx,
+         ln(sq::double / (n::double * 100.0)) AS ly
+  FROM levels
+),
+mom AS (
+  SELECT count(*) AS k,
+         list_reduce(list_prepend(0.0::double, list(lx ORDER BY disc_pct)), (a, x) -> a + x) AS sx,
+         list_reduce(list_prepend(0.0::double, list(ly ORDER BY disc_pct)), (a, x) -> a + x) AS sy,
+         list_reduce(list_prepend(0.0::double, list(lx * ly ORDER BY disc_pct)), (a, x) -> a + x) AS sxy,
+         list_reduce(list_prepend(0.0::double, list(lx * lx ORDER BY disc_pct)), (a, x) -> a + x) AS sxx
+  FROM pairs
+)
+SELECT k AS n_levels,
+       round((k::double * sxy - sx * sy) / (k::double * sxx - sx * sx), 6)
+         AS elasticity_r
+FROM mom
+"""
