@@ -4497,3 +4497,47 @@ SELECT d.day::varchar AS day, d.dau, m.mau28,
        round(d.dau::double / m.mau28::double, 6) AS stickiness_r
 FROM dau d JOIN mau m ON d.day = m.day
 """
+
+
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active-user split into new (first-ever day) vs returning —
+    the first chart on every growth dashboard. Uses the first-seen
+    identity (the running_unique_users trick): a user's min(day) marks
+    their one new-day; returning = DAU minus new. Two aggregations, one
+    rounded share."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    user_days = ev.distinct().localCheckpoint(eager=True)
+    first_day = user_days.groupBy("user_id").agg(F.min("day").alias("day"))
+    new_per_day = first_day.groupBy("day").agg(F.count("*").alias("n_new"))
+    dau = user_days.groupBy("day").agg(F.count("*").alias("dau"))
+    return (
+        dau.join(new_per_day, "day", "left")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            (F.col("dau") - F.coalesce("n_new", F.lit(0))).alias("n_returning"),
+            F.round(
+                F.coalesce("n_new", F.lit(0)).cast("double")
+                / F.col("dau").cast("double"),
+                6,
+            ).alias("new_share_r"),
+        )
+    )
+
+
+NEW_VS_RETURNING_DAILY_SQL = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+first_day AS (SELECT user_id, min(day) AS day FROM user_days GROUP BY user_id),
+new_per_day AS (SELECT day, count(*) AS n_new FROM first_day GROUP BY day),
+dau AS (SELECT day, count(*) AS dau FROM user_days GROUP BY day)
+SELECT d.day::varchar AS day, d.dau,
+       coalesce(n.n_new, 0)::bigint AS n_new,
+       (d.dau - coalesce(n.n_new, 0))::bigint AS n_returning,
+       round(coalesce(n.n_new, 0)::double / d.dau::double, 6) AS new_share_r
+FROM dau d LEFT JOIN new_per_day n ON d.day = n.day
+"""

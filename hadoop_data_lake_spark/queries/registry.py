@@ -320,6 +320,8 @@ _BACKLOG: dict[str, QuerySpec] = {
     "dau_mau_stickiness": QuerySpec(EV.dau_mau_stickiness, EV.DAU_MAU_STICKINESS_SQL, ("engagement", "stickiness", "contribution-explode")),
     "ngram_novelty_curve": QuerySpec(NS.ngram_novelty_curve, NS.NGRAM_NOVELTY_CURVE_SQL, ("text", "redundancy", "ngram", "corpus-health")),
     "discount_elasticity": QuerySpec(TQ.discount_elasticity, TQ.DISCOUNT_ELASTICITY_SQL, ("econometrics", "elasticity", "log-log", "ordered-fold")),
+    "order_cycle_percentiles": QuerySpec(TQ.order_cycle_percentiles, TQ.ORDER_CYCLE_PERCENTILES_SQL, ("crm", "cycle-time", "order-statistic")),
+    "new_vs_returning_daily": QuerySpec(EV.new_vs_returning_daily, EV.NEW_VS_RETURNING_DAILY_SQL, ("engagement", "new-vs-returning", "first-seen")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),

@@ -3744,3 +3744,76 @@ SELECT k AS n_levels,
          AS elasticity_r
 FROM mom
 """
+
+
+def order_cycle_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cycle time per market segment: days between a
+    customer's consecutive orders (one lag window), percentiles as
+    integer-day order statistics — the reorder-cadence input to
+    replenishment and CRM timing. Ties in the rank sort break on
+    (customer, order key) so both engines rank identically."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = (
+        orders.withColumn("prev_d", F.lag("d").over(w))
+        .where(F.col("prev_d").isNotNull())
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff("d", "prev_d").alias("gap_days"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    wr = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("gap_days").asc(), F.col("o_custkey").asc(), F.col("o_orderkey").asc()
+    )
+    ranked = gaps.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("c_mktsegment"))
+    )
+    return ranked.groupBy("c_mktsegment").agg(
+        F.max("n").alias("n_gaps"),
+        *[
+            F.min(
+                F.when(F.col("rk") == F.ceil(F.lit(p) * F.col("n")), F.col("gap_days"))
+            ).alias(f"p{int(p*100)}_days")
+            for p in (0.25, 0.5, 0.75)
+        ],
+    )
+
+
+ORDER_CYCLE_PERCENTILES_SQL = """
+WITH gaps AS (
+  SELECT o.o_custkey, o.o_orderkey,
+         datediff('day',
+                  lag(o.o_orderdate::date) OVER (
+                    PARTITION BY o.o_custkey
+                    ORDER BY o.o_orderdate::date, o.o_orderkey),
+                  o.o_orderdate::date) AS gap_days
+  FROM orders o
+),
+seg AS (
+  SELECT g.gap_days, g.o_custkey, g.o_orderkey, c.c_mktsegment
+  FROM gaps g JOIN customer c ON g.o_custkey = c.c_custkey
+  WHERE g.gap_days IS NOT NULL
+),
+ranked AS (
+  SELECT c_mktsegment, gap_days,
+         row_number() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY gap_days ASC, o_custkey ASC, o_orderkey ASC) AS rk,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM seg
+)
+SELECT c_mktsegment, max(n) AS n_gaps,
+       min(CASE WHEN rk = ceil(0.25 * n) THEN gap_days END) AS p25_days,
+       min(CASE WHEN rk = ceil(0.5 * n) THEN gap_days END) AS p50_days,
+       min(CASE WHEN rk = ceil(0.75 * n) THEN gap_days END) AS p75_days
+FROM ranked GROUP BY c_mktsegment
+"""
