@@ -4541,3 +4541,171 @@ SELECT d.day::varchar AS day, d.dau,
        round(coalesce(n.n_new, 0)::double / d.dau::double, 6) AS new_share_r
 FROM dau d LEFT JOIN new_per_day n ON d.day = n.day
 """
+
+
+def kaplan_meier_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified Kaplan-Meier: the time-to-first-purchase survival curve
+    computed SEPARATELY per hash variant — the time-to-event experiment
+    readout (faster conversion shows as the treatment curve dropping
+    sooner; comparing means alone hides censoring). Same integer
+    risk-set/event machinery as kaplan_meier_conversion, with the
+    variant as a partition key everywhere, including the window-ordered
+    log-sum survival product."""
+    from hadoop_data_lake_spark.functions.hashing import md5_60bit
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (md5_60bit(F.col("user_id").cast("string")) % 2).alias("variant"),
+        F.to_date("ts").alias("day"),
+    )
+    span = ev.groupBy("user_id", "variant").agg(
+        F.min("day").alias("first_day"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("day"))).alias(
+            "first_purchase"
+        ),
+    )
+    horizon = ev.agg(F.max("day").alias("max_day"))
+    users = span.crossJoin(F.broadcast(horizon)).select(
+        "variant",
+        F.datediff(
+            F.coalesce("first_purchase", "max_day"), F.col("first_day")
+        ).alias("t"),
+        F.col("first_purchase").isNotNull().cast("int").alias("converted"),
+    )
+    per_t = users.groupBy("variant", "t").agg(
+        F.count("*").alias("ending_here"), F.sum("converted").alias("d")
+    )
+    w_ord = Window.partitionBy("variant").orderBy(F.col("t").asc())
+    w_suffix = Window.partitionBy("variant").orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_t.withColumn("n_risk", F.sum("ending_here").over(w_suffix))
+        .where(F.col("d") > 0)
+        .withColumn(
+            "lnterm",
+            F.when(
+                F.col("d") < F.col("n_risk"),
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d").cast("double") / F.col("n_risk").cast("double")
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "hit_zero", F.max((F.col("d") == F.col("n_risk")).cast("int")).over(cum)
+        )
+        .withColumn(
+            "surv_r",
+            F.when(F.col("hit_zero") == 1, F.lit(0.0)).otherwise(
+                F.round(F.exp(F.sum("lnterm").over(cum)), 6)
+            ),
+        )
+    )
+    return curve.select(
+        "variant", "t", "n_risk", F.col("d").alias("d_converted"), "surv_r"
+    )
+
+
+KAPLAN_MEIER_BY_VARIANT_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         {_md5_sql("user_id::varchar")} % 2 AS variant,
+         CAST(ts AS DATE) AS day
+  FROM events
+),
+horizon AS (SELECT max(day) AS max_day FROM ev),
+span AS (
+  SELECT user_id, variant, min(day) AS first_day,
+         min(CASE WHEN event_type = 'purchase' THEN day END) AS first_purchase
+  FROM ev GROUP BY user_id, variant
+),
+users AS (
+  SELECT variant,
+         datediff('day', first_day,
+                  coalesce(first_purchase, (SELECT max_day FROM horizon))) AS t,
+         CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END AS converted
+  FROM span
+),
+per_t AS (
+  SELECT variant, t, count(*) AS ending_here, sum(converted)::bigint AS d
+  FROM users GROUP BY variant, t
+),
+risk AS (
+  SELECT variant, t, d, ending_here,
+         sum(ending_here) OVER (
+           PARTITION BY variant ORDER BY t DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS n_risk
+  FROM per_t
+),
+curve AS (
+  SELECT variant, t, n_risk, d,
+         exp(sum(CASE WHEN d < n_risk
+                      THEN ln(1.0 - d::double / n_risk::double)
+                      ELSE 0.0 END) OVER (
+           PARTITION BY variant ORDER BY t ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS surv,
+         max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (
+           PARTITION BY variant ORDER BY t ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit_zero
+  FROM risk WHERE d > 0
+)
+SELECT variant, t, n_risk, d AS d_converted,
+       CASE WHEN hit_zero = 1 THEN 0.0 ELSE round(surv, 6) END AS surv_r
+FROM curve
+"""
+
+
+def weekday_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality indices per event_type: each weekday's mean
+    daily value total over the all-days mean — the multiplicative
+    profile behind the seasonal-naive forecaster, made explicit (index
+    1.0 = no weekday effect). Means are exact integer-cent ratios; the
+    index is one rounded double division of two such ratios."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from pyspark.sql import Window
+
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(to_units(F.col("value"))).alias("y"))
+        .withColumn("dow", F.dayofweek("day"))
+    )
+    per_dow = daily.groupBy("event_type", "dow").agg(
+        F.count("*").alias("n_days"), F.sum("y").alias("s")
+    )
+    overall = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_all"), F.sum("y").alias("s_all")
+    )
+    j = per_dow.join(overall, "event_type")
+    idx = (
+        F.col("s").cast("double") / F.col("n_days").cast("double")
+    ) / (F.col("s_all").cast("double") / F.col("n_all").cast("double"))
+    return j.select(
+        "event_type", "dow", "n_days", F.round(idx, 6).alias("seasonality_idx_r")
+    )
+
+
+WEEKDAY_SEASONALITY_INDEX_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(round(value * 100)::bigint)::bigint AS y,
+         dayofweek(CAST(ts AS DATE)) + 1 AS dow
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+per_dow AS (
+  SELECT event_type, dow, count(*) AS n_days, sum(y)::bigint AS s
+  FROM daily GROUP BY event_type, dow
+),
+overall AS (
+  SELECT event_type, count(*) AS n_all, sum(y)::bigint AS s_all
+  FROM daily GROUP BY event_type
+)
+SELECT p.event_type, p.dow, p.n_days,
+       round((p.s::double / p.n_days::double)
+             / (o.s_all::double / o.n_all::double), 6) AS seasonality_idx_r
+FROM per_dow p JOIN overall o ON p.event_type = o.event_type
+"""

@@ -322,6 +322,9 @@ _BACKLOG: dict[str, QuerySpec] = {
     "discount_elasticity": QuerySpec(TQ.discount_elasticity, TQ.DISCOUNT_ELASTICITY_SQL, ("econometrics", "elasticity", "log-log", "ordered-fold")),
     "order_cycle_percentiles": QuerySpec(TQ.order_cycle_percentiles, TQ.ORDER_CYCLE_PERCENTILES_SQL, ("crm", "cycle-time", "order-statistic")),
     "new_vs_returning_daily": QuerySpec(EV.new_vs_returning_daily, EV.NEW_VS_RETURNING_DAILY_SQL, ("engagement", "new-vs-returning", "first-seen")),
+    "kaplan_meier_by_variant": QuerySpec(EV.kaplan_meier_by_variant, EV.KAPLAN_MEIER_BY_VARIANT_SQL, ("survival", "kaplan-meier", "experiment", "stratified")),
+    "weekday_seasonality_index": QuerySpec(EV.weekday_seasonality_index, EV.WEEKDAY_SEASONALITY_INDEX_SQL, ("timeseries", "seasonality", "index")),
+    "price_dispersion_by_brand": QuerySpec(TQ.price_dispersion_by_brand, TQ.PRICE_DISPERSION_BY_BRAND_SQL, ("pricing", "dispersion", "cv", "integer-moments")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),

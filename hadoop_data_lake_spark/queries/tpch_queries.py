@@ -3817,3 +3817,50 @@ SELECT c_mktsegment, max(n) AS n_gaps,
        min(CASE WHEN rk = ceil(0.75 * n) THEN gap_days END) AS p75_days
 FROM ranked GROUP BY c_mktsegment
 """
+
+
+def price_dispersion_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price dispersion per brand: the coefficient of variation of line
+    extended prices from exact integer moments — high CV flags
+    inconsistent pricing (or a heterogeneous catalog) per brand. One
+    aggregation; mean/variance/CV as single rounded expressions."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    mom = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand", to_units(F.col("l_extendedprice")).alias("c"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("s"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("ss"),
+        )
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = (F.col("ss").cast("double") - F.col("s").cast("double") * mean) / (n - 1.0)
+    return mom.select(
+        "p_brand",
+        "n",
+        F.round(mean / 100.0, 4).alias("mean_price_r"),
+        F.round(F.sqrt(var) / mean, 6).alias("cv_r"),
+    )
+
+
+PRICE_DISPERSION_BY_BRAND_SQL = """
+WITH mom AS (
+  SELECT p.p_brand, count(*) AS n,
+         sum(round(l.l_extendedprice * 100)::bigint)::bigint AS s,
+         sum(round(l.l_extendedprice * 100)::bigint::hugeint
+             * round(l.l_extendedprice * 100)::bigint)::double AS ss
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+)
+SELECT p_brand, n,
+       round((s::double / n::double) / 100.0, 4) AS mean_price_r,
+       round(sqrt((ss - s::double * (s::double / n::double)) / (n::double - 1.0))
+             / (s::double / n::double), 6) AS cv_r
+FROM mom
+"""
