@@ -4709,3 +4709,166 @@ SELECT p.event_type, p.dow, p.n_days,
              / (o.s_all::double / o.n_all::double), 6) AS seasonality_idx_r
 FROM per_dow p JOIN overall o ON p.event_type = o.event_type
 """
+
+
+def anova_eta_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA decomposition of value variance across event types:
+    SS_between / SS_total (eta-squared — how much of the spend variance
+    the type explains) plus the F statistic, all from exact per-group
+    integer moments (n, S, SS in cents): SS_total = SS - S^2/N,
+    SS_between = sum_g S_g^2/n_g - S^2/N. Group sums are bigint; the
+    per-group S_g^2/n_g terms fold in group order so the float
+    accumulation replays."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", to_units(F.col("value")).alias("c")
+    )
+    per_g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_g"),
+        F.sum("c").alias("s_g"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("ss_g"),
+    )
+    folded = per_g.agg(
+        F.count("*").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "event_type",
+                            (
+                                F.col("s_g").cast("double")
+                                * F.col("s_g").cast("double")
+                                / F.col("n_g").cast("double")
+                            ).alias("t"),
+                        )
+                    )
+                ),
+                lambda x: x["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sum_sg2ng"),
+    )
+    n = F.col("n").cast("double")
+    ss_total = F.col("ss").cast("double") - F.col("s").cast("double") * F.col(
+        "s"
+    ).cast("double") / n
+    ss_between = F.col("sum_sg2ng") - F.col("s").cast("double") * F.col("s").cast(
+        "double"
+    ) / n
+    k = F.col("k").cast("double")
+    f_stat = (ss_between / (k - 1.0)) / ((ss_total - ss_between) / (n - k))
+    return folded.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_rows"),
+        F.round(ss_between / ss_total, 6).alias("eta_sq_r"),
+        F.round(f_stat, 6).alias("f_stat_r"),
+    )
+
+
+ANOVA_ETA_SQUARED_SQL = """
+WITH per_g AS (
+  SELECT event_type, count(*) AS n_g,
+         sum(round(value * 100)::bigint)::bigint AS s_g,
+         sum(round(value * 100)::bigint::hugeint
+             * round(value * 100)::bigint)::double AS ss_g
+  FROM events GROUP BY event_type
+),
+folded AS (
+  SELECT count(*) AS k, sum(n_g)::bigint AS n, sum(s_g)::bigint AS s,
+         sum(ss_g) AS ss,
+         list_reduce(
+           list_prepend(0.0::double,
+             list(s_g::double * s_g::double / n_g::double ORDER BY event_type)),
+           (a, x) -> a + x) AS sum_sg2ng
+  FROM per_g
+)
+SELECT k AS n_groups, n AS n_rows,
+       round((sum_sg2ng - s::double * s::double / n::double)
+             / (ss - s::double * s::double / n::double), 6) AS eta_sq_r,
+       round(((sum_sg2ng - s::double * s::double / n::double) / (k::double - 1.0))
+             / ((ss - sum_sg2ng) / (n::double - k::double)), 6) AS f_stat_r
+FROM folded
+"""
+
+
+def type_comovement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series comovement: Pearson correlation between every pair of
+    event types' daily value totals — do purchases and errors spike
+    together? Day-aligned integer-cent series join on the date; each
+    pair's correlation derives from exact integer moments (the
+    autocorr/Welch pattern applied across series). 10 canonical pairs
+    out."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(to_units(F.col("value"))).alias("y"))
+    )
+    a = daily.select(
+        F.col("event_type").alias("ta"), "day", F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("event_type").alias("tb"), "day", F.col("y").alias("yb")
+    )
+    pairs = a.join(b, "day").where(F.col("ta") < F.col("tb"))
+    mom = pairs.groupBy("ta", "tb").agg(
+        F.count("*").alias("n"),
+        F.sum("ya").alias("sa"),
+        F.sum("yb").alias("sb"),
+        F.sum(F.col("ya") * F.col("yb")).alias("sab"),
+        F.sum(F.col("ya") * F.col("ya")).alias("saa"),
+        F.sum(F.col("yb") * F.col("yb")).alias("sbb"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sab").cast("double") - F.col("sa").cast("double") * F.col(
+        "sb"
+    ).cast("double")
+    den2 = (
+        n * F.col("saa").cast("double")
+        - F.col("sa").cast("double") * F.col("sa").cast("double")
+    ) * (
+        n * F.col("sbb").cast("double")
+        - F.col("sb").cast("double") * F.col("sb").cast("double")
+    )
+    return mom.select(
+        "ta",
+        "tb",
+        F.col("n").alias("n_days"),
+        F.when(den2 > 0, F.round(num / F.sqrt(den2), 6)).alias("corr_r"),
+    )
+
+
+TYPE_COMOVEMENT_MATRIX_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(round(value * 100)::bigint)::bigint AS y
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, a.y AS ya, b.y AS yb
+  FROM daily a JOIN daily b ON a.day = b.day AND a.event_type < b.event_type
+),
+mom AS (
+  SELECT ta, tb, count(*) AS n,
+         sum(ya)::bigint AS sa, sum(yb)::bigint AS sb,
+         sum(ya * yb)::bigint AS sab, sum(ya * ya)::bigint AS saa,
+         sum(yb * yb)::bigint AS sbb
+  FROM pairs GROUP BY ta, tb
+)
+SELECT ta, tb, n AS n_days,
+       CASE WHEN (n::double * saa::double - sa::double * sa::double)
+                 * (n::double * sbb::double - sb::double * sb::double) > 0
+            THEN round((n::double * sab::double - sa::double * sb::double)
+                       / sqrt((n::double * saa::double - sa::double * sa::double)
+                              * (n::double * sbb::double - sb::double * sb::double)),
+                       6)
+       END AS corr_r
+FROM mom
+"""

@@ -325,6 +325,9 @@ _BACKLOG: dict[str, QuerySpec] = {
     "kaplan_meier_by_variant": QuerySpec(EV.kaplan_meier_by_variant, EV.KAPLAN_MEIER_BY_VARIANT_SQL, ("survival", "kaplan-meier", "experiment", "stratified")),
     "weekday_seasonality_index": QuerySpec(EV.weekday_seasonality_index, EV.WEEKDAY_SEASONALITY_INDEX_SQL, ("timeseries", "seasonality", "index")),
     "price_dispersion_by_brand": QuerySpec(TQ.price_dispersion_by_brand, TQ.PRICE_DISPERSION_BY_BRAND_SQL, ("pricing", "dispersion", "cv", "integer-moments")),
+    "anova_eta_squared": QuerySpec(EV.anova_eta_squared, EV.ANOVA_ETA_SQUARED_SQL, ("statistics", "anova", "effect-size", "ordered-fold")),
+    "type_comovement_matrix": QuerySpec(EV.type_comovement_matrix, EV.TYPE_COMOVEMENT_MATRIX_SQL, ("timeseries", "correlation-matrix", "comovement")),
+    "lorenz_curve_points": QuerySpec(TQ.lorenz_curve_points, TQ.LORENZ_CURVE_POINTS_SQL, ("inequality", "lorenz", "deciles")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),

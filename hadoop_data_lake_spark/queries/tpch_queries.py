@@ -3864,3 +3864,63 @@ SELECT p_brand, n,
              / (s::double / n::double), 6) AS cv_r
 FROM mom
 """
+
+
+def lorenz_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue at population deciles: cumulative
+    revenue share held by the bottom d*10% of customers — the curve the
+    Gini coefficient integrates, published as 10 exact points
+    (integer-rank cut offs, integer cumulative cents, one rounded share
+    each)."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(to_units(F.col("o_totalprice"))).alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
+    ranked = (
+        per_cust.withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "cum", F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .crossJoin(
+            F.broadcast(
+                per_cust.agg(F.count("*").alias("n"), F.sum("cents").alias("total"))
+            )
+        )
+    )
+    rows = [
+        ranked.where(F.col("i") == F.ceil(F.lit(d / 10.0) * F.col("n"))).select(
+            F.lit(d * 10).alias("pop_pct"),
+            F.round(
+                F.col("cum").cast("double") / F.col("total").cast("double"), 6
+            ).alias("rev_share_r"),
+        )
+        for d in range(1, 11)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+LORENZ_CURVE_POINTS_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, sum(round(o_totalprice * 100)::bigint)::bigint AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS i,
+         sum(cents) OVER (ORDER BY cents ASC, o_custkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cum
+  FROM per_cust
+),
+tot AS (SELECT count(*) AS n, sum(cents)::bigint AS total FROM per_cust)
+SELECT d.pop_pct, round(r.cum::double / tot.total::double, 6) AS rev_share_r
+FROM (VALUES (10),(20),(30),(40),(50),(60),(70),(80),(90),(100)) d(pop_pct)
+JOIN tot ON TRUE
+JOIN ranked r ON r.i = ceil(d.pop_pct / 100.0 * tot.n)
+"""
