@@ -328,6 +328,9 @@ _BACKLOG: dict[str, QuerySpec] = {
     "anova_eta_squared": QuerySpec(EV.anova_eta_squared, EV.ANOVA_ETA_SQUARED_SQL, ("statistics", "anova", "effect-size", "ordered-fold")),
     "type_comovement_matrix": QuerySpec(EV.type_comovement_matrix, EV.TYPE_COMOVEMENT_MATRIX_SQL, ("timeseries", "correlation-matrix", "comovement")),
     "lorenz_curve_points": QuerySpec(TQ.lorenz_curve_points, TQ.LORENZ_CURVE_POINTS_SQL, ("inequality", "lorenz", "deciles")),
+    "order_backlog_aging": QuerySpec(TQ.order_backlog_aging, TQ.ORDER_BACKLOG_AGING_SQL, ("operations", "aging", "backlog")),
+    "revenue_waterfall": QuerySpec(TQ.revenue_waterfall, TQ.REVENUE_WATERFALL_SQL, ("finance", "waterfall", "reconciliation", "integer-exact")),
+    "supplier_customer_dependency": QuerySpec(TQ.supplier_customer_dependency, TQ.SUPPLIER_CUSTOMER_DEPENDENCY_SQL, ("risk", "concentration", "argmax")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),

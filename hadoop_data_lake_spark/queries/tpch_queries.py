@@ -3924,3 +3924,160 @@ FROM (VALUES (10),(20),(30),(40),(50),(60),(70),(80),(90),(100)) d(pop_pct)
 JOIN tot ON TRUE
 JOIN ranked r ON r.i = ceil(d.pop_pct / 100.0 * tot.n)
 """
+
+
+def order_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: orders still open ('O') bucketed by age
+    at the data horizon (30/90/365-day bands), with counts and integer-
+    cent value per band — the operations report behind working-capital
+    and fulfilment-escalation reviews. Ages are integer day diffs
+    against the max order date; bands are CASE cuts."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+
+    orders = read_table(spark, sf_dir, "orders")
+    horizon = orders.agg(F.max(F.to_date("o_orderdate")).alias("h"))
+    aged = (
+        orders.where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(horizon))
+        .withColumn("age", F.datediff("h", F.to_date("o_orderdate")))
+        .withColumn(
+            "band",
+            F.when(F.col("age") <= 30, "0-30d")
+            .when(F.col("age") <= 90, "31-90d")
+            .when(F.col("age") <= 365, "91-365d")
+            .otherwise(">365d"),
+        )
+    )
+    return aged.groupBy("band").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(to_units(F.col("o_totalprice"))).alias("value_cents"),
+        F.min("age").alias("min_age"),
+        F.max("age").alias("max_age"),
+    )
+
+
+ORDER_BACKLOG_AGING_SQL = """
+WITH horizon AS (SELECT max(o_orderdate::date) AS h FROM orders),
+aged AS (
+  SELECT datediff('day', o_orderdate::date, (SELECT h FROM horizon)) AS age,
+         round(o_totalprice * 100)::bigint AS cents
+  FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT CASE WHEN age <= 30 THEN '0-30d'
+            WHEN age <= 90 THEN '31-90d'
+            WHEN age <= 365 THEN '91-365d'
+            ELSE '>365d' END AS band,
+       count(*) AS n_orders,
+       sum(cents)::bigint AS value_cents,
+       min(age) AS min_age, max(age) AS max_age
+FROM aged GROUP BY 1
+"""
+
+
+def revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue waterfall: gross extended price, the discount
+    given, and the tax collected — the P&L bridge decomposition. Each
+    component quantizes the IDENTICAL float product (price * rate) to
+    cents with the same round-then-sum expression in both engines, so
+    the bridge reconciles exactly: net = gross - discount; billed =
+    net + tax."""
+    li = read_table(spark, sf_dir, "lineitem")
+    gross = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("long")
+    tax = F.round(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * F.col("l_tax")
+        * 100
+    ).cast("long")
+    return (
+        li.select(
+            F.date_format(F.to_date("l_shipdate"), "yyyy-MM").alias("month"),
+            gross.alias("g"),
+            disc.alias("d"),
+            tax.alias("t"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("g").alias("gross_cents"),
+            F.sum("d").alias("discount_cents"),
+            (F.sum("g") - F.sum("d")).alias("net_cents"),
+            F.sum("t").alias("tax_cents"),
+        )
+    )
+
+
+REVENUE_WATERFALL_SQL = """
+SELECT strftime(l_shipdate::date, '%Y-%m') AS month,
+       count(*) AS n_lines,
+       sum(round(l_extendedprice * 100)::bigint)::bigint AS gross_cents,
+       sum(round(l_extendedprice * l_discount * 100)::bigint)::bigint AS discount_cents,
+       (sum(round(l_extendedprice * 100)::bigint)
+        - sum(round(l_extendedprice * l_discount * 100)::bigint))::bigint AS net_cents,
+       sum(round(l_extendedprice * (1 - l_discount) * l_tax * 100)::bigint)::bigint AS tax_cents
+FROM lineitem GROUP BY 1
+"""
+
+
+def supplier_customer_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration-risk screen per supplier: the single largest
+    customer's share of the supplier's revenue (top-1 dependency) — high
+    values flag suppliers whose business collapses if one buyer leaves.
+    One (supplier, customer) aggregation, a per-supplier argmax window,
+    one rounded share. Top 15 most dependent."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    sc = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_suppkey", "o_custkey")
+        .agg(F.sum(to_units(F.col("l_extendedprice"))).alias("cents"))
+    )
+    tot = sc.groupBy("l_suppkey").agg(F.sum("cents").alias("total"))
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("cents").desc(), F.col("o_custkey").asc()
+    )
+    top1 = sc.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    scored = top1.join(tot, "l_suppkey").select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("o_custkey").alias("top_custkey"),
+        F.round(
+            F.col("cents").cast("double") / F.col("total").cast("double"), 6
+        ).alias("top1_share_r"),
+    )
+    w2 = Window.orderBy(F.col("top1_share_r").desc(), F.col("suppkey").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w2))
+        .where(F.col("rnk") <= 15)
+        .select("rnk", "suppkey", "top_custkey", "top1_share_r")
+    )
+
+
+SUPPLIER_CUSTOMER_DEPENDENCY_SQL = """
+WITH sc AS (
+  SELECT l.l_suppkey, o.o_custkey,
+         sum(round(l.l_extendedprice * 100)::bigint)::bigint AS cents
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY l.l_suppkey, o.o_custkey
+),
+tot AS (SELECT l_suppkey, sum(cents)::bigint AS total FROM sc GROUP BY l_suppkey),
+top1 AS (
+  SELECT l_suppkey, o_custkey, cents FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY l_suppkey ORDER BY cents DESC, o_custkey ASC) AS rk
+    FROM sc
+  ) WHERE rk = 1
+),
+scored AS (
+  SELECT t1.l_suppkey AS suppkey, t1.o_custkey AS top_custkey,
+         round(t1.cents::double / t.total::double, 6) AS top1_share_r
+  FROM top1 t1 JOIN tot t ON t1.l_suppkey = t.l_suppkey
+)
+SELECT rnk, suppkey, top_custkey, top1_share_r FROM (
+  SELECT *, row_number() OVER (ORDER BY top1_share_r DESC, suppkey ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 15
+"""
