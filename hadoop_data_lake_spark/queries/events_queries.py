@@ -4872,3 +4872,58 @@ SELECT ta, tb, n AS n_days,
        END AS corr_r
 FROM mom
 """
+
+
+def sample_representativeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of the 10% deterministic hash sample used across the sampling
+    family: per event_type, the sample's share vs the population share
+    and their gap — hash sampling is only defensible if it reproduces
+    the composition, and this query MEASURES that instead of assuming
+    it. Counts are integers; shares and the gap are single rounded
+    expressions."""
+    from hadoop_data_lake_spark.functions.hashing import salted_md5_60bit
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        (salted_md5_60bit(F.col("event_id").cast("string"), "qs") % 10 == 0).cast(
+            "int"
+        ).alias("in_sample"),
+    )
+    per_type = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_pop"), F.sum("in_sample").alias("n_smp")
+    )
+    totals = per_type.agg(
+        F.sum("n_pop").alias("tp"), F.sum("n_smp").alias("ts")
+    )
+    j = per_type.crossJoin(F.broadcast(totals))
+    pop_share = F.col("n_pop").cast("double") / F.col("tp").cast("double")
+    smp_share = F.col("n_smp").cast("double") / F.col("ts").cast("double")
+    return j.select(
+        "event_type",
+        "n_pop",
+        "n_smp",
+        F.round(pop_share, 6).alias("pop_share_r"),
+        F.round(smp_share, 6).alias("smp_share_r"),
+        F.round(F.abs(smp_share - pop_share), 6).alias("share_gap_r"),
+    )
+
+
+SAMPLE_REPRESENTATIVENESS_AUDIT_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN {_md5_sql("concat('qs|', event_id::varchar)")} % 10 = 0
+              THEN 1 ELSE 0 END AS in_sample
+  FROM events
+),
+per_type AS (
+  SELECT event_type, count(*) AS n_pop, sum(in_sample)::bigint AS n_smp
+  FROM ev GROUP BY event_type
+),
+totals AS (SELECT sum(n_pop)::bigint AS tp, sum(n_smp)::bigint AS ts FROM per_type)
+SELECT p.event_type, p.n_pop, p.n_smp,
+       round(p.n_pop::double / t.tp::double, 6) AS pop_share_r,
+       round(p.n_smp::double / t.ts::double, 6) AS smp_share_r,
+       round(abs(p.n_smp::double / t.ts::double - p.n_pop::double / t.tp::double), 6)
+         AS share_gap_r
+FROM per_type p, totals t
+"""

@@ -331,6 +331,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "order_backlog_aging": QuerySpec(TQ.order_backlog_aging, TQ.ORDER_BACKLOG_AGING_SQL, ("operations", "aging", "backlog")),
     "revenue_waterfall": QuerySpec(TQ.revenue_waterfall, TQ.REVENUE_WATERFALL_SQL, ("finance", "waterfall", "reconciliation", "integer-exact")),
     "supplier_customer_dependency": QuerySpec(TQ.supplier_customer_dependency, TQ.SUPPLIER_CUSTOMER_DEPENDENCY_SQL, ("risk", "concentration", "argmax")),
+    "sample_representativeness_audit": QuerySpec(EV.sample_representativeness_audit, EV.SAMPLE_REPRESENTATIVENESS_AUDIT_SQL, ("sampling", "audit", "representativeness")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
