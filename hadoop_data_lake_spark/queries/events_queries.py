@@ -4927,3 +4927,188 @@ SELECT p.event_type, p.n_pop, p.n_smp,
          AS share_gap_r
 FROM per_type p, totals t
 """
+
+
+def did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the change in mean user-day value from
+    the first to the second half of the window, compared between the
+    hash variants — DiD = (B_post - B_pre) - (A_post - A_pre), the
+    quasi-experimental estimate that nets out the common time trend a
+    naive post-period comparison absorbs. All four cell means are exact
+    integer-cent ratios; the estimate is one rounded expression over
+    them."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from hadoop_data_lake_spark.functions.hashing import md5_60bit
+
+    ev = read_table(spark, sf_dir, "events").select(
+        (md5_60bit(F.col("user_id").cast("string")) % 2).alias("variant"),
+        F.to_date("ts").alias("day"),
+        to_units(F.col("value")).alias("cents"),
+    )
+    mid = ev.agg(F.date_add(F.min("day"), 15).alias("cut"))
+    cells = (
+        ev.crossJoin(F.broadcast(mid))
+        .withColumn("post", (F.col("day") >= F.col("cut")).cast("int"))
+        .groupBy("variant", "post")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+    )
+    wide = cells.groupBy().pivot("variant", [0, 1]).agg(
+        F.min(F.when(F.col("post") == 0, F.col("s").cast("double") / F.col("n"))).alias("pre"),
+        F.min(F.when(F.col("post") == 1, F.col("s").cast("double") / F.col("n"))).alias("post"),
+    )
+    did = (F.col("1_post") - F.col("1_pre")) - (F.col("0_post") - F.col("0_pre"))
+    return wide.select(
+        F.round(F.col("0_pre") / 100.0, 6).alias("a_pre_r"),
+        F.round(F.col("0_post") / 100.0, 6).alias("a_post_r"),
+        F.round(F.col("1_pre") / 100.0, 6).alias("b_pre_r"),
+        F.round(F.col("1_post") / 100.0, 6).alias("b_post_r"),
+        F.round(did / 100.0, 6).alias("did_r"),
+    )
+
+
+DID_ESTIMATE_SQL = f"""
+WITH ev AS (
+  SELECT {_md5_sql("user_id::varchar")} % 2 AS variant,
+         CAST(ts AS DATE) AS day,
+         round(value * 100)::bigint AS cents
+  FROM events
+),
+mid AS (SELECT min(day) + 15 AS cut FROM ev),
+cells AS (
+  SELECT variant,
+         CASE WHEN day >= (SELECT cut FROM mid) THEN 1 ELSE 0 END AS post,
+         count(*) AS n, sum(cents)::bigint AS s
+  FROM ev GROUP BY 1, 2
+),
+wide AS (
+  SELECT
+    min(CASE WHEN variant = 0 AND post = 0 THEN s::double / n END) AS a_pre,
+    min(CASE WHEN variant = 0 AND post = 1 THEN s::double / n END) AS a_post,
+    min(CASE WHEN variant = 1 AND post = 0 THEN s::double / n END) AS b_pre,
+    min(CASE WHEN variant = 1 AND post = 1 THEN s::double / n END) AS b_post
+  FROM cells
+)
+SELECT round(a_pre / 100.0, 6) AS a_pre_r,
+       round(a_post / 100.0, 6) AS a_post_r,
+       round(b_pre / 100.0, 6) AS b_pre_r,
+       round(b_post / 100.0, 6) AS b_post_r,
+       round(((b_post - b_pre) - (a_post - a_pre)) / 100.0, 6) AS did_r
+FROM wide
+"""
+
+
+def ipw_outcome_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted outcome means: the propensity of
+    variant-1 assignment is ESTIMATED per event_type (the covariate) as
+    an exact integer ratio, each observation weighted 1/e(x) or
+    1/(1-e(x)), and the weighted means compared — the causal-adjustment
+    estimator that removes covariate imbalance a raw mean comparison
+    keeps. Weighted sums fold per type in type order (weights and
+    outcomes are exact ratios of integers); one rounded final ratio per
+    arm."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from hadoop_data_lake_spark.functions.hashing import md5_60bit
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        (md5_60bit(F.col("user_id").cast("string")) % 2).alias("z"),
+        to_units(F.col("value")).alias("cents"),
+    )
+    per_tz = ev.groupBy("event_type", "z").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s")
+    )
+    per_t = per_tz.groupBy("event_type").agg(
+        F.sum("n").alias("n_t"),
+        F.sum(F.when(F.col("z") == 1, F.col("n")).otherwise(0)).alias("n1_t"),
+    )
+    j = per_tz.join(per_t, "event_type")
+    e = F.col("n1_t").cast("double") / F.col("n_t").cast("double")
+    wgt = F.when(F.col("z") == 1, 1.0 / e).otherwise(1.0 / (1.0 - e))
+    contrib = j.select(
+        "event_type",
+        "z",
+        (wgt * F.col("s").cast("double")).alias("ws"),
+        (wgt * F.col("n").cast("double")).alias("wn"),
+    )
+
+    def fold(col: str, z: int) -> "F.Column":
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "event_type",
+                            F.when(F.col("z") == z, F.col(col)).otherwise(0.0).alias("v"),
+                        )
+                    )
+                ),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    out = contrib.agg(
+        fold("ws", 1).alias("ws1"),
+        fold("wn", 1).alias("wn1"),
+        fold("ws", 0).alias("ws0"),
+        fold("wn", 0).alias("wn0"),
+    )
+    return out.select(
+        F.round(F.col("ws1") / F.col("wn1") / 100.0, 6).alias("ipw_mean_treated_r"),
+        F.round(F.col("ws0") / F.col("wn0") / 100.0, 6).alias("ipw_mean_control_r"),
+        F.round(
+            (F.col("ws1") / F.col("wn1") - F.col("ws0") / F.col("wn0")) / 100.0, 6
+        ).alias("ate_r"),
+    )
+
+
+IPW_OUTCOME_ESTIMATE_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         {_md5_sql("user_id::varchar")} % 2 AS z,
+         round(value * 100)::bigint AS cents
+  FROM events
+),
+per_tz AS (
+  SELECT event_type, z, count(*) AS n, sum(cents)::bigint AS s
+  FROM ev GROUP BY event_type, z
+),
+per_t AS (
+  SELECT event_type, sum(n)::bigint AS n_t,
+         sum(CASE WHEN z = 1 THEN n ELSE 0 END)::bigint AS n1_t
+  FROM per_tz GROUP BY event_type
+),
+contrib AS (
+  SELECT j.event_type, j.z,
+         (CASE WHEN j.z = 1
+               THEN 1.0 / (t.n1_t::double / t.n_t::double)
+               ELSE 1.0 / (1.0 - t.n1_t::double / t.n_t::double) END)
+           * j.s::double AS ws,
+         (CASE WHEN j.z = 1
+               THEN 1.0 / (t.n1_t::double / t.n_t::double)
+               ELSE 1.0 / (1.0 - t.n1_t::double / t.n_t::double) END)
+           * j.n::double AS wn
+  FROM per_tz j JOIN per_t t ON j.event_type = t.event_type
+),
+folded AS (
+  SELECT
+    list_reduce(list_prepend(0.0::double,
+      list(CASE WHEN z = 1 THEN ws ELSE 0.0 END ORDER BY event_type, z)),
+      (a, x) -> a + x) AS ws1,
+    list_reduce(list_prepend(0.0::double,
+      list(CASE WHEN z = 1 THEN wn ELSE 0.0 END ORDER BY event_type, z)),
+      (a, x) -> a + x) AS wn1,
+    list_reduce(list_prepend(0.0::double,
+      list(CASE WHEN z = 0 THEN ws ELSE 0.0 END ORDER BY event_type, z)),
+      (a, x) -> a + x) AS ws0,
+    list_reduce(list_prepend(0.0::double,
+      list(CASE WHEN z = 0 THEN wn ELSE 0.0 END ORDER BY event_type, z)),
+      (a, x) -> a + x) AS wn0
+  FROM contrib
+)
+SELECT round(ws1 / wn1 / 100.0, 6) AS ipw_mean_treated_r,
+       round(ws0 / wn0 / 100.0, 6) AS ipw_mean_control_r,
+       round((ws1 / wn1 - ws0 / wn0) / 100.0, 6) AS ate_r
+FROM folded
+"""
