@@ -5112,3 +5112,63 @@ SELECT round(ws1 / wn1 / 100.0, 6) AS ipw_mean_treated_r,
        round((ws1 / wn1 - ws0 / wn0) / 100.0, 6) AS ate_r
 FROM folded
 """
+
+
+def value_tail_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail heaviness per event_type: p99/p50 and p99/p90 ratios from
+    integer order statistics — the tail-index shorthand (SRE latency
+    reviews, risk sizing) without fitting a distribution. One rank
+    window; ratios are single rounded divisions of integer cents."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", to_units(F.col("value")).alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = ev.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    qs = ranked.groupBy("event_type").agg(
+        *[
+            F.min(
+                F.when(F.col("rk") == F.ceil(F.lit(p) * F.col("n")), F.col("cents"))
+            ).alias(f"p{int(p*100)}")
+            for p in (0.5, 0.9, 0.99)
+        ]
+    )
+    return qs.select(
+        "event_type",
+        "p50",
+        "p90",
+        "p99",
+        F.round(F.col("p99").cast("double") / F.col("p50").cast("double"), 6).alias(
+            "p99_over_p50_r"
+        ),
+        F.round(F.col("p99").cast("double") / F.col("p90").cast("double"), 6).alias(
+            "p99_over_p90_r"
+        ),
+    )
+
+
+VALUE_TAIL_RATIO_SQL = """
+WITH ranked AS (
+  SELECT event_type, round(value * 100)::bigint AS cents,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY round(value * 100)::bigint, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+qs AS (
+  SELECT event_type,
+         min(CASE WHEN rk = ceil(0.5 * n) THEN cents END) AS p50,
+         min(CASE WHEN rk = ceil(0.9 * n) THEN cents END) AS p90,
+         min(CASE WHEN rk = ceil(0.99 * n) THEN cents END) AS p99
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, p50, p90, p99,
+       round(p99::double / p50::double, 6) AS p99_over_p50_r,
+       round(p99::double / p90::double, 6) AS p99_over_p90_r
+FROM qs
+"""

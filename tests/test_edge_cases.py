@@ -533,3 +533,73 @@ def test_lateness_profile_monotone_in_threshold(spark):
     ]
     assert drops == sorted(drops, reverse=True)
     assert r["n_events"] >= drops[0]
+
+
+def test_adstock_credit_normalizes_per_purchase(spark):
+    """Decay-weighted credit shares must sum to ~the purchase value for
+    every purchase (up to the documented 6dp per-touch rounding)."""
+    import pyspark.sql.functions as F
+
+    from hadoop_data_lake_spark.core.io import read_table
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+
+    sf = "/root/testdata/sf0.001"
+    ev = read_table(spark, sf, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        to_units(F.col("value")).alias("cents"),
+    )
+    touches = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("tu"), F.col("ts").alias("tts")
+    )
+    paired = purchases.join(
+        touches,
+        (F.col("pu") == F.col("tu"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS")),
+    ).withColumn(
+        "wgt",
+        F.pow(
+            F.lit(0.5),
+            (F.unix_micros("pts") - F.unix_micros("tts")).cast("double")
+            / (12.0 * 3600.0 * 1e6),
+        ),
+    )
+    per_p = paired.groupBy("pid", "cents").agg(F.sum("wgt").alias("wtot"))
+    joined = paired.join(per_p.select("pid", "wtot"), "pid").withColumn(
+        "credit", F.col("cents") * F.col("wgt") / F.col("wtot")
+    )
+    check = joined.groupBy("pid", "cents").agg(F.sum("credit").alias("sc"))
+    bad = check.where(F.abs(F.col("sc") - F.col("cents")) > 0.01).count()
+    assert bad == 0
+
+
+def test_km_by_variant_curves_are_valid_survival_functions(spark):
+    from hadoop_data_lake_spark.queries.events_queries import (
+        kaplan_meier_by_variant,
+    )
+
+    rows = kaplan_meier_by_variant(spark, "/root/testdata/sf0.01").collect()
+    by_v = {}
+    for r in rows:
+        by_v.setdefault(r["variant"], []).append((r["t"], r["surv_r"]))
+    assert set(by_v) == {0, 1}
+    for v, pts in by_v.items():
+        pts.sort()
+        prev = 1.0
+        for _, s in pts:
+            assert 0.0 <= s <= prev + 1e-9, (v, s, prev)
+            prev = s
+
+
+def test_forecast_bakeoff_contains_both_models_per_type(spark):
+    from hadoop_data_lake_spark.queries.events_queries import forecast_bakeoff
+
+    rows = forecast_bakeoff(spark, "/root/testdata/sf0.001").collect()
+    seen = {(r["event_type"], r["model"]) for r in rows}
+    types = {t for t, _ in seen}
+    for t in types:
+        assert (t, "seasonal_naive") in seen and (t, "global_mean") in seen
+    assert all(r["mae_cents"] >= 0 for r in rows)
