@@ -5172,3 +5172,95 @@ SELECT event_type, p50, p90, p99,
        round(p99::double / p90::double, 6) AS p99_over_p90_r
 FROM qs
 """
+
+
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution baseline: each purchase's full value goes
+    to the EARLIEST view/click in its 24h window — the simplest member
+    of the attribution trio (first-touch / linear largest-remainder /
+    adstock decay), kept for the comparison every attribution review
+    makes. One argmin window over the paired frame; integer cents."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        to_units(F.col("value")).alias("cents"),
+    )
+    touches = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    paired = purchases.join(
+        touches,
+        (F.col("pu") == F.col("tu"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS")),
+    )
+    w = Window.partitionBy("pid").orderBy(F.col("tts").asc(), F.col("tid").asc())
+    first = paired.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    return first.groupBy("channel").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum("cents").alias("credited_cents"),
+    )
+
+
+FIRST_TOUCH_ATTRIBUTION_SQL = """
+WITH purchases AS (
+  SELECT event_id AS pid, user_id AS pu, ts AS pts,
+         round(value * 100)::bigint AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT event_id AS tid, user_id AS tu, ts AS tts, event_type AS channel
+  FROM events WHERE event_type IN ('view', 'click')
+),
+first AS (
+  SELECT pid, cents, channel FROM (
+    SELECT p.pid, p.cents, t.channel,
+           row_number() OVER (
+             PARTITION BY p.pid ORDER BY t.tts ASC, t.tid ASC) AS rk
+    FROM purchases p JOIN touches t
+      ON p.pu = t.tu AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 24 HOURS
+  ) WHERE rk = 1
+)
+SELECT channel, count(*) AS n_purchases, sum(cents)::bigint AS credited_cents
+FROM first GROUP BY channel
+"""
+
+
+def user_activity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User activity distribution in power-of-two buckets: how many users
+    produced 1-1, 2-3, 4-7, ... events — the first look at whale-vs-
+    casual composition, and the skew early-warning for any per-user
+    aggregation. Bucket = 2^floor(log2(n)) computed EXACTLY from the
+    integer bit length (length(bin(n)) - the HLL trick), never float
+    log2."""
+    ev = read_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    bucket_lo = F.expr("shiftleft(cast(1 as bigint), length(bin(n_events)) - 1)")
+    return (
+        ev.withColumn("bucket_lo", bucket_lo)
+        .groupBy("bucket_lo")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n_events").alias("n_events_total"),
+        )
+    )
+
+
+USER_ACTIVITY_HISTOGRAM_SQL = """
+WITH per_user AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+)
+SELECT (1::bigint << (length(bin(n_events)) - 1))::bigint AS bucket_lo,
+       count(*) AS n_users,
+       sum(n_events)::bigint AS n_events_total
+FROM per_user GROUP BY 1
+"""

@@ -335,6 +335,8 @@ _BACKLOG: dict[str, QuerySpec] = {
     "did_estimate": QuerySpec(EV.did_estimate, EV.DID_ESTIMATE_SQL, ("causal", "difference-in-differences", "quasi-experiment")),
     "ipw_outcome_estimate": QuerySpec(EV.ipw_outcome_estimate, EV.IPW_OUTCOME_ESTIMATE_SQL, ("causal", "ipw", "propensity", "ordered-fold")),
     "value_tail_ratio": QuerySpec(EV.value_tail_ratio, EV.VALUE_TAIL_RATIO_SQL, ("robust-stats", "tail", "order-statistic")),
+    "first_touch_attribution": QuerySpec(EV.first_touch_attribution, EV.FIRST_TOUCH_ATTRIBUTION_SQL, ("attribution", "first-touch", "argmin")),
+    "user_activity_histogram": QuerySpec(EV.user_activity_histogram, EV.USER_ACTIVITY_HISTOGRAM_SQL, ("engagement", "histogram", "power-of-two", "skew")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
