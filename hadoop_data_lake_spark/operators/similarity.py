@@ -1162,3 +1162,119 @@ def pca_power_iterate(emb: "DataFrame", dim: int, iters: int = 8) -> "DataFrame"
             .localCheckpoint(eager=True)
         )
     return v.select(F.col("j").alias("dim"), F.col("v").alias("loading"))
+
+
+def semdedup_prune(
+    emb: "DataFrame",
+    num_clusters: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-bounded
+    semantic deduplication over an embedding column.
+
+    1. Pick `num_clusters` medoid centroids deterministically: the rows
+       with the lexicographically smallest md5(id) — a portable-hash
+       "k-medoid init" that an external SQL engine replays verbatim (the
+       ann_lsh_det / pq_det precedent; no RNG, no float iteration).
+    2. Assign every vector to its max-cosine centroid (similarity rounded
+       to 6 dp before the argmax; ties break on centroid id ascending).
+    3. Within each cluster only, drop a vector when a semantic duplicate
+       (pairwise cosine >= `threshold`) exists that is STRICTLY closer to
+       the paper's keep-criterion: SemDeDup keeps the duplicate with the
+       LOWEST similarity to the centroid, so x is dropped iff some
+       same-cluster y has pair-cosine >= threshold and
+       (cent_sim(y), id(y)) < (cent_sim(x), id(x)) lexicographically.
+       This "exists a better representative" form is the greedy relaxation
+       of the paper's per-group argmin — deterministic, join-expressible,
+       and identical on clean duplicate groups (pytest-verified).
+
+    Returns one row per input vector: (id, cluster_id, cent_sim_r, keep).
+
+    100 TB shape: the centroid set is broadcast (num_clusters rows);
+    assignment is a narrow map over the corpus (one cosine per centroid);
+    the only pairwise work is the per-cluster self-join — the whole point
+    of SemDeDup is that cluster size bounds the quadratic. At real scale
+    num_clusters is large (the paper uses 110k for LAION) so the
+    cluster-id shuffle is well-spread; the default 8 is test-scale. The
+    assignment frame is localCheckpoint-ed so the centroid cross join is
+    not recomputed for each side of the pair join.
+    """
+    pts = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("norm_q"),
+    )
+    cent = (
+        emb.select(
+            F.col(id_col).alias("cluster_id"),
+            F.col(vec_col).alias("c_vec"),
+        )
+        .withColumn("__h", F.md5(F.col("cluster_id").cast("string")))
+        .orderBy("__h", "cluster_id")
+        .limit(num_clusters)
+        .drop("__h")
+        .withColumn("norm_c", norm(F.col("c_vec")))
+    )
+    scored = (
+        pts.crossJoin(F.broadcast(cent))
+        .withColumn("sim_r", F.round(_paired_cosine(), 6))
+    )
+    assigned = (
+        topk_per_group(
+            scored,
+            ["vec_id"],
+            [F.col("sim_r").desc(), F.col("cluster_id").asc()],
+            k=1,
+        )
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("sim_r").alias("cent_sim_r"),
+            "q_vec",
+            "norm_q",
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster_id").alias("cl_a"),
+        F.col("cent_sim_r").alias("cs_a"),
+        "q_vec",
+        "norm_q",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cluster_id").alias("cl_b"),
+        F.col("cent_sim_r").alias("cs_b"),
+        F.col("q_vec").alias("c_vec"),
+        F.col("norm_q").alias("norm_c"),
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("cl_a") == F.col("cl_b"))
+            & (F.col("id_a") != F.col("id_b")),
+        )
+        .withColumn("pair_sim_r", F.round(_paired_cosine(), 6))
+        .where(
+            (F.col("pair_sim_r") >= threshold)
+            & (
+                (F.col("cs_b") < F.col("cs_a"))
+                | (
+                    (F.col("cs_b") == F.col("cs_a"))
+                    & (F.col("id_b") < F.col("id_a"))
+                )
+            )
+        )
+        .select(F.col("id_a").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cluster_id",
+        "cent_sim_r",
+        F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
+    )

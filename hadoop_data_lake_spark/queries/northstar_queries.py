@@ -3952,3 +3952,52 @@ FROM (
 
 
 NGRAM_NOVELTY_CURVE_SQL = _novelty_sql()
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: cluster-bounded semantic dedup (Abbas et al. 2023)
+# --------------------------------------------------------------------------
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table (operators/similarity.py::
+    semdedup_prune): deterministic md5-medoid centroids, max-cosine
+    assignment, then within-cluster drop of semantic duplicates keeping
+    the lowest-centroid-similarity representative. Full DuckDB oracle —
+    the centroid choice, assignment argmax, and keep-rule are all
+    portable-hash / rounded-cosine replayable."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.semdedup_prune(emb, num_clusters=8, threshold=0.95)
+
+
+SEMDEDUP_PRUNE_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cluster_id, embedding AS c_vec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 8
+),
+scored AS (
+  SELECT e.vec_id, c.cluster_id,
+         round({cosine_sql('e.embedding', 'c.c_vec')}, 6) AS sim_r
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, cluster_id, sim_r AS cent_sim_r FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY sim_r DESC, cluster_id) AS rn
+    FROM scored) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a
+  JOIN assigned b ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE round({cosine_sql('ea.embedding', 'eb.embedding')}, 6) >= 0.95
+    AND (b.cent_sim_r < a.cent_sim_r
+         OR (b.cent_sim_r = a.cent_sim_r AND b.vec_id < a.vec_id))
+)
+SELECT a.vec_id, a.cluster_id, a.cent_sim_r,
+       (d.vec_id IS NULL) AS keep
+FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+"""

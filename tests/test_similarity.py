@@ -359,3 +359,48 @@ def test_pca_iterate_rayleigh_quotient_beats_mean_eigenvalue(spark):
     rq = float(v @ C @ v)
     assert rq > w.mean()
     assert rq > 0.85 * w.max()
+
+
+def test_semdedup_keeps_lowest_centroid_sim_per_dup_group(emb):
+    from hadoop_data_lake_spark.operators.similarity import semdedup_prune
+
+    rows = semdedup_prune(emb, num_clusters=4, threshold=0.95).collect()
+    assert len(rows) == N_CLUSTERS * PER_CLUSTER
+    label = {r[0]: r[1] for r in _vectors()}
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(label[r["vec_id"]], []).append(r)
+    # SemDeDup's invariant is per ASSIGNED cluster: if several md5-medoid
+    # centroids land inside one planted group, that group legitimately
+    # splits across clusters (the paper's cluster-boundary blindspot) —
+    # so assert exactly one survivor per (assigned cluster, planted
+    # group), and that it is the paper's keep-choice: lowest
+    # (centroid-similarity, id).
+    n_dropped = 0
+    for (lab, _cl), members in (
+        (key, grp)
+        for key, grp in _group_by(
+            ((label[r["vec_id"]], r["cluster_id"]), r) for r in rows
+        ).items()
+    ):
+        kept = [r for r in members if r["keep"]]
+        assert len(kept) == 1, f"group {lab}: {kept}"
+        n_dropped += len(members) - 1
+        expect = min(members, key=lambda r: (r["cent_sim_r"], r["vec_id"]))
+        assert kept[0]["vec_id"] == expect["vec_id"]
+    # the planted 5-per-group duplicates make real pruning happen
+    assert n_dropped >= N_CLUSTERS * (PER_CLUSTER - 1) - (PER_CLUSTER - 1)
+
+
+def test_semdedup_no_drops_above_threshold_one(emb):
+    from hadoop_data_lake_spark.operators.similarity import semdedup_prune
+
+    rows = semdedup_prune(emb, num_clusters=4, threshold=1.5).collect()
+    assert all(r["keep"] for r in rows)
+
+
+def _group_by(pairs):
+    out = {}
+    for key, val in pairs:
+        out.setdefault(key, []).append(val)
+    return out
