@@ -381,3 +381,122 @@ def arrow_byte_entropy(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "media").mapInArrow(op, schema)
+
+
+PHASH_SCHEMA = "media_id long, phash long, n_bytes long"
+
+#: 60-bit perceptual hash: 61 byte-sum segments -> 60 gradient-sign bits.
+PHASH_BITS = 60
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """1-D difference hash (dHash) over opaque media blobs: (media_id,
+    phash bigint, n_bytes).
+
+    The classic image dHash downsamples to a (w+1) x h grayscale grid and
+    emits one bit per horizontal gradient sign. Applied to an opaque byte
+    stream the same construction is: split the blob into 61 near-equal
+    segments (boundaries floor(k * L / 61) — the exact integer grid
+    downsample), take each segment's byte sum as the "pixel", and emit
+    bit_k = (sum_k > sum_{k+1}) for k = 0..59, packed MSB-first into a
+    60-bit bigint (the repo's md5_60bit convention: stays clear of the
+    int64 sign bit in every engine).
+
+    Integer-exact end to end => bit-for-bit replayable by an external SQL
+    engine (ord/substr segment sums), while the Spark side runs the real
+    multimodal plumbing: Arrow-batched mapInArrow over the binary column,
+    one Python hop, numpy cumsum per blob — no per-row serde.
+
+    Near-dup property: byte-local edits move one or two segment sums, so
+    hamming(phash_a, phash_b) <= 2-3 for same-length perturbed copies,
+    while unrelated blobs land ~30 bits apart.
+    """
+    import math  # noqa: F401  (parallel to arrow_byte_entropy imports)
+
+    import numpy as np
+    import pyarrow as pa
+
+    segs = PHASH_BITS + 1
+
+    def op(batches):
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            blobs = batch.column("media").to_pylist()
+            n_out, h_out = [], []
+            for b in blobs:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                n = int(arr.size)
+                n_out.append(n)
+                cs = np.concatenate([[0], np.cumsum(arr, dtype=np.int64)])
+                bounds = (np.arange(segs + 1, dtype=np.int64) * n) // segs
+                sums = cs[bounds[1:]] - cs[bounds[:-1]]
+                bits = sums[:-1] > sums[1:]
+                h = 0
+                for k in range(PHASH_BITS):
+                    if bits[k]:
+                        h |= 1 << (PHASH_BITS - 1 - k)
+                h_out.append(h)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(h_out, type=pa.int64()),
+                    pa.array(n_out, type=pa.int64()),
+                ],
+                names=["media_id", "phash", "n_bytes"],
+            )
+
+    return media.select("media_id", "media").mapInArrow(op, PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    hashed: DataFrame,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual-hash hamming distance.
+
+    Candidate generation is the SimHash pigeonhole banding (dedup.py
+    simhash_pairs): split the 60-bit hash into `chunks` equal chunks; any
+    pair within `max_hamming` flips (max_hamming < chunks) leaves at least
+    one chunk untouched, so an equi-join on (chunk_idx, chunk_value) finds
+    EVERY qualifying pair — banded output == exact all-pairs output, with
+    shuffle O(n x chunks) instead of an O(n^2) theta join. Verification is
+    exact: bit_count(xor) <= max_hamming.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    assert max_hamming < chunks, "pigeonhole guarantee needs flips < chunks"
+    width = PHASH_BITS // chunks
+    mask = (1 << width) - 1
+    chunked = hashed.select(
+        F.col("media_id"),
+        F.col("phash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        (
+                            F.shiftright(F.col("phash"), c * width)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("ck"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select("media_id", "phash", F.col("ch.c").alias("c"), F.col("ch.ck").alias("ck"))
+    a = chunked.select(
+        F.col("media_id").alias("id_a"), F.col("phash").alias("ph_a"), "c", "ck"
+    )
+    b = chunked.select(
+        F.col("media_id").alias("id_b"), F.col("phash").alias("ph_b"), "c", "ck"
+    )
+    return (
+        a.join(b, ["c", "ck"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.expr("ph_a ^ ph_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -24,6 +24,8 @@ from hadoop_data_lake_spark.operators import spans as SP
 from hadoop_data_lake_spark.operators.multimodal import (
     arrow_byte_entropy,
     extract_features,
+    perceptual_hash,
+    phash_near_dup_pairs,
     synth_media_from_text,
 )
 from hadoop_data_lake_spark.streaming.ingest import (
@@ -4000,4 +4002,58 @@ dropped AS (
 SELECT a.vec_id, a.cluster_id, a.cent_sim_r,
        (d.vec_id IS NULL) AS keep
 FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash (dHash) multimodal near-dup
+# --------------------------------------------------------------------------
+
+def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dHash near-dup over media blobs (operators/multimodal.py::
+    perceptual_hash + phash_near_dup_pairs). The corpus has no duplicate
+    texts, so the query PLANTS length-preserving near-dup blobs (every
+    50th doc re-ingested with its first byte replaced by 'z', id offset
+    +10M) — a byte-local edit moves at most one segment sum, so each
+    planted copy sits within hamming 2 of its original while unrelated
+    blobs are ~30 bits apart. Banding is pigeonhole-complete at
+    max_hamming=3 < chunks=4, so the banded Spark output equals the
+    oracle's exact all-pairs scan."""
+    docs = read_table(spark, sf_dir, "documents")
+    planted = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("z"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    media = synth_media_from_text(corpus, "doc_id", "text")
+    return phash_near_dup_pairs(perceptual_hash(media), max_hamming=3, chunks=4)
+
+
+MEDIA_PHASH_NEAR_DUP_SQL = """
+WITH corpus AS (
+  SELECT doc_id AS media_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, 'z' || substr(text, 2)
+  FROM documents WHERE doc_id % 50 = 0
+),
+d AS (SELECT media_id, text, octet_length(encode(text)) AS L FROM corpus),
+seg AS (
+  SELECT media_id, k,
+         coalesce(list_sum(list_transform(
+           range((k * L) // 61 + 1, ((k + 1) * L) // 61 + 1),
+           i -> ord(substr(text, i, 1)))), 0)::bigint AS s
+  FROM (SELECT media_id, text, L, unnest(range(0, 61)) AS k FROM d)
+),
+ph AS MATERIALIZED (
+  SELECT a.media_id,
+         sum(CASE WHEN a.s > b.s THEN (1::bigint << (59 - a.k))
+                  ELSE 0::bigint END)::bigint AS phash
+  FROM seg a JOIN seg b ON a.media_id = b.media_id AND b.k = a.k + 1
+  WHERE a.k < 60
+  GROUP BY a.media_id
+)
+SELECT x.media_id AS id_a, y.media_id AS id_b,
+       bit_count(xor(x.phash, y.phash))::int AS hamming
+FROM ph x JOIN ph y ON x.media_id < y.media_id
+WHERE bit_count(xor(x.phash, y.phash)) <= 3
 """

@@ -210,6 +210,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "ann_brute_force": QuerySpec(NS.ann_brute_force, NS.ANN_BRUTE_FORCE_SQL, ("ann",)),
     "embedding_near_dup": QuerySpec(NS.embedding_near_dup, NS.EMBEDDING_NEAR_DUP_SQL, ("ann", "dedup", "lsh")),
     "semdedup_prune": QuerySpec(NS.semdedup_prune, NS.SEMDEDUP_PRUNE_SQL, ("dedup", "semantic", "clustering", "semdedup")),
+    "media_phash_near_dup": QuerySpec(NS.media_phash_near_dup, NS.MEDIA_PHASH_NEAR_DUP_SQL, ("multimodal", "dedup", "phash", "hamming")),
     "text_stats": QuerySpec(NS.text_stats, NS.TEXT_STATS_SQL, ("text",)),
     "lang_id": QuerySpec(NS.lang_id, NS.LANG_ID_SQL, ("text",)),
     "doc_fingerprint": QuerySpec(NS.doc_fingerprint, NS.DOC_FINGERPRINT_SQL, ("text",)),
