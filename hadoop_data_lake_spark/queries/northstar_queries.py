@@ -4057,3 +4057,207 @@ SELECT x.media_id AS id_a, y.media_id AS id_b,
 FROM ph x JOIN ph y ON x.media_id < y.media_id
 WHERE bit_count(xor(x.phash, y.phash)) <= 3
 """
+
+
+def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination: training vectors whose cosine to a
+    held-out probe (benchmark) vector reaches 0.9 — the semantic stage that
+    catches reworded contamination both exact n-gram overlap and lexical
+    minhash miss. The corpus has no natural pairs above 0.7, so the query
+    PLANTS leaked benchmarks: every 50th vector re-enters as a probe
+    (id + 10M) with +0.3 on its first coordinate — cosine ~0.93-0.96 to
+    its source (unit-norm 64-dim corpus), cleanly above the 0.9 gate while
+    every unrelated pair stays below 0.7. Returns each contaminated vector
+    with its best probe (argmax of 6 dp-rounded cosine, probe-id
+    tie-break).
+
+    100 TB shape: the probe (benchmark) side is tiny and broadcast; the
+    training corpus is scanned once and never shuffles; the per-vector
+    top-1 is a WindowGroupLimit over the already-thresholded hits."""
+    from hadoop_data_lake_spark.functions.vectors import norm
+    from hadoop_data_lake_spark.operators.windows import topk_per_group
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    c = emb.select(
+        "vec_id",
+        F.col("embedding").alias("q_vec"),
+        norm(F.col("embedding")).alias("norm_q"),
+    )
+    pv = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(i == 0, x.cast("double") + F.lit(0.3)).otherwise(
+            x.cast("double")
+        ),
+    )
+    p = (
+        emb.where(F.col("vec_id") % 50 == 0)
+        .select((F.col("vec_id") + 10_000_000).alias("probe_id"), pv.alias("c_vec"))
+        .withColumn("norm_c", norm(F.col("c_vec")))
+    )
+    hits = (
+        c.crossJoin(F.broadcast(p))
+        .withColumn("sim_r", F.round(SIM._paired_cosine(), 6))
+        .where(F.col("sim_r") >= 0.9)
+    )
+    return topk_per_group(
+        hits,
+        ["vec_id"],
+        [F.col("sim_r").desc(), F.col("probe_id").asc()],
+        k=1,
+    ).select("vec_id", "probe_id", "sim_r")
+
+
+DECONTAMINATE_EMBEDDING_COSINE_SQL = f"""
+WITH p AS (
+  SELECT vec_id + 10000000 AS probe_id,
+         list_transform(range(1, len(embedding) + 1),
+           i -> CASE WHEN i = 1 THEN embedding[i]::double + 0.3
+                     ELSE embedding[i]::double END) AS pv
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+hits AS (
+  SELECT c.vec_id, p.probe_id,
+         round({cosine_sql('c.embedding', 'p.pv')}, 6) AS sim_r
+  FROM embeddings c CROSS JOIN p
+),
+best AS (
+  SELECT vec_id, probe_id, sim_r,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim_r DESC, probe_id) AS rn
+  FROM hits WHERE sim_r >= 0.9
+)
+SELECT vec_id, probe_id, sim_r FROM best WHERE rn = 1
+"""
+
+
+def cluster_safe_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: near-dup CLUSTERS (minhash pairs →
+    connected components) are assigned to a side atomically by the md5 of
+    the cluster representative, so no near-dup pair ever straddles the
+    split — the group-aware split every serious eval pipeline needs.
+    Contrasted in the same output with the NAIVE per-doc hash split, whose
+    leaked-pair count is the measurable damage (near-dups of training docs
+    landing in test). Output: (split_kind, n_train, n_test, leaked_pairs).
+
+    100 TB shape: pairs come from the banded minhash path (no all-pairs);
+    components from the O(log n) large-star/small-star loop; the audit
+    joins are doc-sized hash joins. pairs/sides frames are
+    localCheckpoint-ed so the minhash pipeline is not re-executed per
+    branch."""
+    from hadoop_data_lake_spark.operators.graph import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = (
+        DD.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.3
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    comp = dedup_clusters(pairs).select(
+        F.col("doc").alias("doc_id"), "cluster_rep"
+    )
+
+    def side_of(col):
+        return F.when(
+            F.substring(F.md5(col.cast("string")), 1, 1).isin("0", "1", "2"),
+            F.lit("test"),
+        ).otherwise(F.lit("train"))
+
+    sides = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("rep", F.coalesce("cluster_rep", "doc_id"))
+        .select(
+            "doc_id",
+            side_of(F.col("rep")).alias("side_cluster"),
+            side_of(F.col("doc_id")).alias("side_naive"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    counts = sides.agg(
+        F.count(F.when(F.col("side_cluster") == "train", 1)).alias("tr_c"),
+        F.count(F.when(F.col("side_cluster") == "test", 1)).alias("te_c"),
+        F.count(F.when(F.col("side_naive") == "train", 1)).alias("tr_n"),
+        F.count(F.when(F.col("side_naive") == "test", 1)).alias("te_n"),
+    )
+    sa = sides.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("side_cluster").alias("ca"),
+        F.col("side_naive").alias("na"),
+    )
+    sb = sides.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("side_cluster").alias("cb"),
+        F.col("side_naive").alias("nb"),
+    )
+    leaks = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .agg(
+            F.coalesce(
+                F.count(F.when(F.col("ca") != F.col("cb"), 1)), F.lit(0)
+            ).alias("leak_c"),
+            F.coalesce(
+                F.count(F.when(F.col("na") != F.col("nb"), 1)), F.lit(0)
+            ).alias("leak_n"),
+        )
+    )
+    joined = counts.crossJoin(leaks)
+    row_cluster = joined.select(
+        F.lit("cluster_aware").alias("split_kind"),
+        F.col("tr_c").alias("n_train"),
+        F.col("te_c").alias("n_test"),
+        F.col("leak_c").alias("leaked_pairs"),
+    )
+    row_naive = joined.select(
+        F.lit("naive_hash").alias("split_kind"),
+        F.col("tr_n").alias("n_train"),
+        F.col("te_n").alias("n_test"),
+        F.col("leak_n").alias("leaked_pairs"),
+    )
+    return row_cluster.unionByName(row_naive)
+
+
+CLUSTER_SAFE_SPLIT_AUDIT_SQL = f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+edges2 AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(v, r) AS (
+  SELECT a, a FROM edges2
+  UNION
+  SELECT e.a, w.r FROM edges2 e JOIN walk w ON e.b = w.v
+),
+comp AS (SELECT v, min(r) AS rep FROM walk GROUP BY v),
+sides AS MATERIALIZED (
+  SELECT d.doc_id,
+         CASE WHEN substr(md5(CAST(coalesce(c.rep, d.doc_id) AS VARCHAR)), 1, 1)
+                   IN ('0', '1', '2') THEN 'test' ELSE 'train' END AS side_cluster,
+         CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)
+                   IN ('0', '1', '2') THEN 'test' ELSE 'train' END AS side_naive
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+),
+counts AS (
+  SELECT
+    (count(*) FILTER (WHERE side_cluster = 'train'))::bigint AS tr_c,
+    (count(*) FILTER (WHERE side_cluster = 'test'))::bigint AS te_c,
+    (count(*) FILTER (WHERE side_naive = 'train'))::bigint AS tr_n,
+    (count(*) FILTER (WHERE side_naive = 'test'))::bigint AS te_n
+  FROM sides
+),
+leaks AS (
+  SELECT
+    (count(*) FILTER (WHERE sa.side_cluster <> sb.side_cluster))::bigint AS leak_c,
+    (count(*) FILTER (WHERE sa.side_naive <> sb.side_naive))::bigint AS leak_n
+  FROM pairs p
+  JOIN sides sa ON p.doc_a = sa.doc_id
+  JOIN sides sb ON p.doc_b = sb.doc_id
+)
+SELECT 'cluster_aware' AS split_kind, tr_c AS n_train, te_c AS n_test,
+       leak_c AS leaked_pairs
+FROM counts, leaks
+UNION ALL
+SELECT 'naive_hash', tr_n, te_n, leak_n FROM counts, leaks
+"""

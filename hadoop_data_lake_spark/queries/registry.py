@@ -211,6 +211,8 @@ _BACKLOG: dict[str, QuerySpec] = {
     "embedding_near_dup": QuerySpec(NS.embedding_near_dup, NS.EMBEDDING_NEAR_DUP_SQL, ("ann", "dedup", "lsh")),
     "semdedup_prune": QuerySpec(NS.semdedup_prune, NS.SEMDEDUP_PRUNE_SQL, ("dedup", "semantic", "clustering", "semdedup")),
     "media_phash_near_dup": QuerySpec(NS.media_phash_near_dup, NS.MEDIA_PHASH_NEAR_DUP_SQL, ("multimodal", "dedup", "phash", "hamming")),
+    "decontaminate_embedding_cosine": QuerySpec(NS.decontaminate_embedding_cosine, NS.DECONTAMINATE_EMBEDDING_COSINE_SQL, ("dedup", "decontamination", "embedding", "cross-corpus")),
+    "cluster_safe_split_audit": QuerySpec(NS.cluster_safe_split_audit, NS.CLUSTER_SAFE_SPLIT_AUDIT_SQL, ("ml-prep", "split", "leakage", "graph")),
     "text_stats": QuerySpec(NS.text_stats, NS.TEXT_STATS_SQL, ("text",)),
     "lang_id": QuerySpec(NS.lang_id, NS.LANG_ID_SQL, ("text",)),
     "doc_fingerprint": QuerySpec(NS.doc_fingerprint, NS.DOC_FINGERPRINT_SQL, ("text",)),
