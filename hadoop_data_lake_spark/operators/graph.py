@@ -454,3 +454,76 @@ def kcore_peel(
         .agg(F.count("*").alias("deg"))
     )
     return final_deg.where(F.col("deg") >= k)
+
+
+def lpa_communities(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 4,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al. 2007)
+    over an undirected weighted graph: (vertex, community).
+
+    Every vertex starts as its own label; each round ALL vertices adopt,
+    simultaneously from the previous round's labels, the label with the
+    highest incident weight sum among their neighbors — ties broken by
+    label ascending, which (with integer weights) makes every round, and
+    therefore the fixed-`iters` outcome, exactly replayable by an external
+    SQL engine (the pagerank_intexact unrolled-CTE precedent). Isolated
+    or degree-tied vertices keep deterministic labels; no RNG, no
+    vertex-ordering dependence (the classic asynchronous LPA is
+    order-dependent by design — the synchronous variant trades possible
+    label oscillation for reproducibility, which a data-lake operator
+    needs more).
+
+    100 TB shape: one shuffle per round (message tally on vertex id),
+    labels localCheckpoint-ed each round so lineage stays O(1); rounds
+    are fixed, not data-dependent.
+    """
+    w = (
+        F.col(weight).cast("long")
+        if weight is not None
+        else F.lit(1).cast("long")
+    )
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"), w.alias("w"))
+        .unionByName(
+            edges.select(
+                F.col(dst).alias("s"), F.col(src).alias("d"), w.alias("w")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("s").alias("vertex"))
+        .distinct()
+        .withColumn("label", F.col("vertex"))
+        .localCheckpoint(eager=True)
+    )
+    from hadoop_data_lake_spark.operators.windows import topk_per_group
+
+    for _ in range(iters):
+        msgs = e.join(
+            labels.select(F.col("vertex").alias("d"), "label"), "d"
+        ).select(F.col("s").alias("vertex"), "label", "w")
+        tally = msgs.groupBy("vertex", "label").agg(F.sum("w").alias("score"))
+        new = topk_per_group(
+            tally,
+            ["vertex"],
+            [F.col("score").desc(), F.col("label").asc()],
+            k=1,
+        ).select("vertex", F.col("label").alias("new_label"))
+        labels = (
+            labels.join(new, "vertex", "left")
+            .select(
+                "vertex",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
+    return labels.join(sizes, "label").select(
+        "vertex", F.col("label").alias("community"), "community_size"
+    )

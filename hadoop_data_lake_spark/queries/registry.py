@@ -213,6 +213,8 @@ _BACKLOG: dict[str, QuerySpec] = {
     "media_phash_near_dup": QuerySpec(NS.media_phash_near_dup, NS.MEDIA_PHASH_NEAR_DUP_SQL, ("multimodal", "dedup", "phash", "hamming")),
     "decontaminate_embedding_cosine": QuerySpec(NS.decontaminate_embedding_cosine, NS.DECONTAMINATE_EMBEDDING_COSINE_SQL, ("dedup", "decontamination", "embedding", "cross-corpus")),
     "cluster_safe_split_audit": QuerySpec(NS.cluster_safe_split_audit, NS.CLUSTER_SAFE_SPLIT_AUDIT_SQL, ("ml-prep", "split", "leakage", "graph")),
+    "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),
+    "brand_communities_lpa": QuerySpec(TQ.brand_communities_lpa, TQ.BRAND_COMMUNITIES_LPA_SQL, ("graph", "community", "lpa", "deterministic")),
     "text_stats": QuerySpec(NS.text_stats, NS.TEXT_STATS_SQL, ("text",)),
     "lang_id": QuerySpec(NS.lang_id, NS.LANG_ID_SQL, ("text",)),
     "doc_fingerprint": QuerySpec(NS.doc_fingerprint, NS.DOC_FINGERPRINT_SQL, ("text",)),

@@ -4081,3 +4081,168 @@ SELECT rnk, suppkey, top_custkey, top1_share_r FROM (
   FROM scored
 ) WHERE rnk <= 15
 """
+
+
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end to end — the MDM "golden record" shape:
+    blocked Jaro-Winkler linkage (`linkage_jaro_winkler`'s candidate
+    machinery) -> connected components over match pairs (operators/
+    graph.py, O(log n) large-star/small-star) -> one survivor row per
+    multi-member entity with survivorship rules applied: canonical key =
+    min member key, canonical name = the representative's, and the price
+    spread across members (cents-exact) as the consolidation signal.
+
+    100 TB shape: blocking bounds the pair space (no all-pairs), the
+    pandas-UDF metric sees only blocked candidates via Arrow, components
+    converge in O(log n) rounds, and survivorship is one agg + one hash
+    join back to the attribute table."""
+    from hadoop_data_lake_spark.functions.strsim import jaro_winkler
+    from hadoop_data_lake_spark.operators.graph import dedup_clusters
+
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+    blocked = part.withColumn(
+        "blk", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1))
+    )
+    a = blocked.select(
+        "blk", F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a")
+    )
+    b = blocked.select(
+        "blk", F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b")
+    )
+    pairs = (
+        a.join(b, "blk")
+        .where(F.col("key_a") < F.col("key_b"))
+        .withColumn(
+            "sim_r", F.round(jaro_winkler(F.col("name_a"), F.col("name_b")), 6)
+        )
+        .where(F.col("sim_r") >= 0.93)
+        .select(F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b"))
+        .localCheckpoint(eager=False)
+    )
+    comp = dedup_clusters(pairs).select(
+        F.col("doc").alias("p_partkey"),
+        F.col("cluster_rep").alias("entity_key"),
+        "cluster_size",
+    )
+    members = comp.join(part, "p_partkey")
+    golden = (
+        members.groupBy("entity_key")
+        .agg(
+            F.count("*").alias("n_members"),
+            (
+                F.max(F.round(F.col("p_retailprice") * 100).cast("long"))
+                - F.min(F.round(F.col("p_retailprice") * 100).cast("long"))
+            ).alias("price_spread_cents"),
+        )
+    )
+    canon = part.select(
+        F.col("p_partkey").alias("entity_key"),
+        F.col("p_name").alias("canonical_name"),
+    )
+    return golden.join(canon, "entity_key").select(
+        "entity_key", "canonical_name", "n_members", "price_spread_cents"
+    )
+
+
+ER_GOLDEN_RECORD_SQL = """
+WITH RECURSIVE blocked AS (
+  SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part
+),
+pairs AS MATERIALIZED (
+  SELECT a.p_partkey AS doc_a, b.p_partkey AS doc_b
+  FROM blocked a JOIN blocked b
+    ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+  WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.93
+),
+edges2 AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(v, r) AS (
+  SELECT s, s FROM edges2
+  UNION
+  SELECT e.s, w.r FROM edges2 e JOIN walk w ON e.d = w.v
+),
+comp AS (SELECT v, min(r) AS entity_key FROM walk GROUP BY v),
+golden AS (
+  SELECT c.entity_key,
+         count(*)::bigint AS n_members,
+         (max(round(p.p_retailprice * 100)::bigint)
+          - min(round(p.p_retailprice * 100)::bigint)) AS price_spread_cents
+  FROM comp c JOIN part p ON c.v = p.p_partkey
+  GROUP BY c.entity_key
+)
+SELECT g.entity_key, p.p_name AS canonical_name, g.n_members,
+       g.price_spread_cents
+FROM golden g JOIN part p ON g.entity_key = p.p_partkey
+"""
+
+
+def brand_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities
+    (operators/graph.lpa_communities) over the weighted brand
+    co-occurrence graph (edges = brand_basket_pairs, weight = co-order
+    count). Fixed 4 rounds, integer weights, label-asc tie-break — the
+    DuckDB oracle unrolls the identical recurrence round by round
+    (pagerank_det precedent), promoting community detection into the full
+    value-hash correctness gate."""
+    from hadoop_data_lake_spark.operators.graph import lpa_communities
+
+    edges = brand_basket_pairs(spark, sf_dir)
+    return lpa_communities(
+        edges, src="brand_a", dst="brand_b", weight="n_orders", iters=4
+    )
+
+
+def _lpa_sql(iters: int = 4) -> str:
+    parts = [
+        """
+WITH ob AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+pe AS MATERIALIZED (
+  SELECT a.p_brand AS s, b.p_brand AS d, count(*)::bigint AS w
+  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+),
+e AS MATERIALIZED (
+  SELECT s, d, w FROM pe UNION ALL SELECT d, s, w FROM pe
+),
+l0 AS MATERIALIZED (SELECT DISTINCT s AS vertex, s AS label FROM e)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+t{k} AS (
+  SELECT e.s AS vertex, l.label, sum(e.w)::bigint AS score
+  FROM e JOIN l{k - 1} l ON e.d = l.vertex
+  GROUP BY 1, 2
+),
+n{k} AS (
+  SELECT vertex, label FROM (
+    SELECT vertex, label,
+           row_number() OVER (PARTITION BY vertex
+                              ORDER BY score DESC, label) AS rn
+    FROM t{k}) WHERE rn = 1
+),
+l{k} AS MATERIALIZED (
+  SELECT l.vertex, coalesce(n.label, l.label) AS label
+  FROM l{k - 1} l LEFT JOIN n{k} n ON l.vertex = n.vertex
+)"""
+        )
+    parts.append(
+        f"""
+SELECT l.vertex, l.label AS community, sz.community_size
+FROM l{iters} l
+JOIN (SELECT label, count(*)::bigint AS community_size
+      FROM l{iters} GROUP BY label) sz
+  ON l.label = sz.label"""
+    )
+    return "".join(parts)
+
+
+BRAND_COMMUNITIES_LPA_SQL = _lpa_sql()

@@ -199,3 +199,37 @@ def test_bfs_hops_stops_early_when_frontier_empties(spark):
     seeds = spark.createDataFrame([(1,)], ["node"])
     got = {r["node"]: r["hop"] for r in bfs_hops(df, seeds, max_hops=10).collect()}
     assert got == {1: 0, 2: 1}
+
+
+def test_lpa_finds_planted_cliques_and_is_deterministic(spark):
+    """Two 4-cliques joined by one weak bridge edge: synchronous LPA must
+    label each clique with its min vertex id and never merge them across
+    the bridge (intra-clique weight dominates); repeated runs identical."""
+    from hadoop_data_lake_spark.operators.graph import lpa_communities
+
+    edges = []
+    for base in (0, 10):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((base + i, base + j, 5))
+    edges.append((3, 10, 1))  # weak bridge
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    out = lpa_communities(df, weight="w", iters=4)
+    got = {r["vertex"]: r["community"] for r in out.collect()}
+    assert {got[v] for v in (0, 1, 2, 3)} == {0}
+    assert {got[v] for v in (10, 11, 12, 13)} == {10}
+    sizes = {r["community"]: r["community_size"] for r in out.collect()}
+    assert sizes == {0: 4, 10: 4}
+    again = {r["vertex"]: r["community"] for r in lpa_communities(df, weight="w", iters=4).collect()}
+    assert again == got
+
+
+def test_lpa_unweighted_single_component_converges_to_min_label(spark):
+    from hadoop_data_lake_spark.operators.graph import lpa_communities
+
+    # a triangle: everyone adopts the min label within 2 rounds and stays
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    out = {r["vertex"]: r["community"] for r in lpa_communities(df, iters=4).collect()}
+    assert set(out.values()) == {1}
