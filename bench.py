@@ -82,6 +82,13 @@ HEADLINE = [
     "target_encode_event_type",
     "bm25_retrieval",
     "textrank_keywords",
+    # round-4 session-3 additions: semantic dedup, multimodal phash,
+    # ER golden record, leakage-safe split, LPA communities
+    "semdedup_prune",
+    "media_phash_near_dup",
+    "er_golden_record",
+    "cluster_safe_split_audit",
+    "brand_communities_lpa",
 ]
 
 

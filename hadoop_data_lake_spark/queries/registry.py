@@ -87,15 +87,20 @@ _WINDOW: dict[str, QuerySpec] = {
     "gdpr_delete_audit": QuerySpec(EV.gdpr_delete_audit, EV.GDPR_DELETE_AUDIT_SQL, ("compliance", "anti-join", "audit")),
     "customer_rfm_segments": QuerySpec(TQ.customer_rfm_segments, TQ.CUSTOMER_RFM_SEGMENTS_SQL, ("agg", "rfm", "percentile", "segmentation")),
     "event_type_transitions": QuerySpec(EV.event_type_transitions, EV.EVENT_TYPE_TRANSITIONS_SQL, ("window", "markov", "transitions")),
-    # --- 15-21: all 7 streaming queries, KEPT in the graded window as a
-    # standing regression guard (streaming silently broke at r2 HEAD) ------
+    # --- 15-21: the streaming regression guard (streaming silently broke
+    # at r2 HEAD). Session 3 displaced two of the seven —
+    # stream_sliding_counts and stream_dedup_keys (both r3-green driver
+    # rows; their micro-batch/watermark machinery is shared with the five
+    # that stay) — for the session's two new-FAMILY operators:
+    # semdedup_prune (semantic dedup) and er_golden_record (entity
+    # resolution), neither of which any graded entry covers.
     "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),
-    "stream_sliding_counts": QuerySpec(NS.stream_sliding_counts, NS.STREAM_SLIDING_COUNTS_SQL, ("streaming", "sliding-window")),
+    "semdedup_prune": QuerySpec(NS.semdedup_prune, NS.SEMDEDUP_PRUNE_SQL, ("dedup", "semantic", "clustering", "semdedup")),
     "stream_session_stats": QuerySpec(NS.stream_session_stats, NS.STREAM_SESSION_STATS_SQL, ("streaming", "session-window")),
     "stream_running_max": QuerySpec(NS.stream_running_max, NS.STREAM_RUNNING_MAX_SQL, ("streaming", "stateful", "pandas-udf")),
     "stream_enriched_value": QuerySpec(NS.stream_enriched_value, NS.STREAM_ENRICHED_VALUE_SQL, ("streaming", "stream-static-join")),
     "stream_attribution_pairs": QuerySpec(NS.stream_attribution_pairs, NS.STREAM_ATTRIBUTION_PAIRS_SQL, ("streaming", "stream-stream-join", "interval-join")),
-    "stream_dedup_keys": QuerySpec(NS.stream_dedup_keys, NS.STREAM_DEDUP_KEYS_SQL, ("streaming", "dedup", "watermark")),
+    "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),
     # --- 22-41: r3-proven batch shapes kept from the r3 window; every one
     # is a displacement candidate for new round-4 queries. Round-4
     # displacements so far (each displaced entry holds an r3 green row):
@@ -209,12 +214,16 @@ _BACKLOG: dict[str, QuerySpec] = {
     "dedup_clusters_minhash": QuerySpec(NS.dedup_clusters_minhash, NS.DEDUP_CLUSTERS_MINHASH_SQL, ("dedup", "graph", "iterative")),
     "ann_brute_force": QuerySpec(NS.ann_brute_force, NS.ANN_BRUTE_FORCE_SQL, ("ann",)),
     "embedding_near_dup": QuerySpec(NS.embedding_near_dup, NS.EMBEDDING_NEAR_DUP_SQL, ("ann", "dedup", "lsh")),
-    "semdedup_prune": QuerySpec(NS.semdedup_prune, NS.SEMDEDUP_PRUNE_SQL, ("dedup", "semantic", "clustering", "semdedup")),
+    # session-3 new queries (window members semdedup_prune /
+    # er_golden_record live in _WINDOW; the rest verify locally here):
     "media_phash_near_dup": QuerySpec(NS.media_phash_near_dup, NS.MEDIA_PHASH_NEAR_DUP_SQL, ("multimodal", "dedup", "phash", "hamming")),
     "decontaminate_embedding_cosine": QuerySpec(NS.decontaminate_embedding_cosine, NS.DECONTAMINATE_EMBEDDING_COSINE_SQL, ("dedup", "decontamination", "embedding", "cross-corpus")),
     "cluster_safe_split_audit": QuerySpec(NS.cluster_safe_split_audit, NS.CLUSTER_SAFE_SPLIT_AUDIT_SQL, ("ml-prep", "split", "leakage", "graph")),
-    "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),
     "brand_communities_lpa": QuerySpec(TQ.brand_communities_lpa, TQ.BRAND_COMMUNITIES_LPA_SQL, ("graph", "community", "lpa", "deterministic")),
+    # displaced from the streaming guard block by session 3 (r3-green
+    # driver rows; still locally re-verified every round):
+    "stream_sliding_counts": QuerySpec(NS.stream_sliding_counts, NS.STREAM_SLIDING_COUNTS_SQL, ("streaming", "sliding-window")),
+    "stream_dedup_keys": QuerySpec(NS.stream_dedup_keys, NS.STREAM_DEDUP_KEYS_SQL, ("streaming", "dedup", "watermark")),
     "text_stats": QuerySpec(NS.text_stats, NS.TEXT_STATS_SQL, ("text",)),
     "lang_id": QuerySpec(NS.lang_id, NS.LANG_ID_SQL, ("text",)),
     "doc_fingerprint": QuerySpec(NS.doc_fingerprint, NS.DOC_FINGERPRINT_SQL, ("text",)),

@@ -4084,58 +4084,62 @@ SELECT rnk, suppkey, top_custkey, top1_share_r FROM (
 
 
 def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity resolution end to end — the MDM "golden record" shape:
-    blocked Jaro-Winkler linkage (`linkage_jaro_winkler`'s candidate
-    machinery) -> connected components over match pairs (operators/
-    graph.py, O(log n) large-star/small-star) -> one survivor row per
-    multi-member entity with survivorship rules applied: canonical key =
-    min member key, canonical name = the representative's, and the price
-    spread across members (cents-exact) as the consolidation signal.
+    """Entity resolution end to end — the MDM "golden record" shape, in the
+    order that survives scale: (1) COLLAPSE exact duplicates first (64
+    distinct names cover 20k parts at sf0.1 — never materialize pairs of
+    identical records: that is quadratic in group size, measured 186 s at
+    sf0.1 for the naive per-record pair join this replaced), (2) blocked
+    Jaro-Winkler linkage over DISTINCT names only (pairs bounded by the
+    name vocabulary, not the record count; the pandas-UDF metric sees a
+    vocabulary-sized Arrow batch), (3) connected components over the name
+    match graph (O(log n) large-star/small-star), (4) survivorship back
+    over the full record set: entity key = min member key, canonical name
+    = the key-holder's, cents-exact price spread across members. Output:
+    one row per multi-member entity.
 
-    100 TB shape: blocking bounds the pair space (no all-pairs), the
-    pandas-UDF metric sees only blocked candidates via Arrow, components
-    converge in O(log n) rounds, and survivorship is one agg + one hash
-    join back to the attribute table."""
+    100 TB shape: the record table is touched by exactly one hash join
+    (name -> entity, broadcast vocabulary side) and one aggregation; all
+    pairwise work happens in vocabulary space."""
     from hadoop_data_lake_spark.functions.strsim import jaro_winkler
     from hadoop_data_lake_spark.operators.graph import dedup_clusters
 
     part = read_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_retailprice"
     )
-    blocked = part.withColumn(
+    names = part.select("p_name").distinct()
+    blocked = names.withColumn(
         "blk", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1))
     )
-    a = blocked.select(
-        "blk", F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a")
-    )
-    b = blocked.select(
-        "blk", F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b")
-    )
-    pairs = (
+    a = blocked.select("blk", F.col("p_name").alias("name_a"))
+    b = blocked.select("blk", F.col("p_name").alias("name_b"))
+    npairs = (
         a.join(b, "blk")
-        .where(F.col("key_a") < F.col("key_b"))
+        .where(F.col("name_a") < F.col("name_b"))
         .withColumn(
             "sim_r", F.round(jaro_winkler(F.col("name_a"), F.col("name_b")), 6)
         )
         .where(F.col("sim_r") >= 0.93)
-        .select(F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b"))
-        .localCheckpoint(eager=False)
+        .select(F.col("name_a").alias("doc_a"), F.col("name_b").alias("doc_b"))
     )
-    comp = dedup_clusters(pairs).select(
-        F.col("doc").alias("p_partkey"),
-        F.col("cluster_rep").alias("entity_key"),
-        "cluster_size",
+    comp = dedup_clusters(npairs).select(
+        F.col("doc").alias("p_name"), F.col("cluster_rep").alias("rep")
     )
-    members = comp.join(part, "p_partkey")
+    nm = (
+        names.join(comp, "p_name", "left")
+        .select("p_name", F.coalesce("rep", "p_name").alias("name_rep"))
+    )
+    members = part.join(F.broadcast(nm), "p_name")
     golden = (
-        members.groupBy("entity_key")
+        members.groupBy("name_rep")
         .agg(
+            F.min("p_partkey").alias("entity_key"),
             F.count("*").alias("n_members"),
             (
                 F.max(F.round(F.col("p_retailprice") * 100).cast("long"))
                 - F.min(F.round(F.col("p_retailprice") * 100).cast("long"))
             ).alias("price_spread_cents"),
         )
+        .where(F.col("n_members") >= 2)
     )
     canon = part.select(
         F.col("p_partkey").alias("entity_key"),
@@ -4147,33 +4151,40 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ER_GOLDEN_RECORD_SQL = """
-WITH RECURSIVE blocked AS (
-  SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part
+WITH RECURSIVE names AS MATERIALIZED (SELECT DISTINCT p_name FROM part),
+blocked AS (
+  SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM names
 ),
-pairs AS MATERIALIZED (
-  SELECT a.p_partkey AS doc_a, b.p_partkey AS doc_b
+npairs AS MATERIALIZED (
+  SELECT a.p_name AS doc_a, b.p_name AS doc_b
   FROM blocked a JOIN blocked b
-    ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    ON a.blk = b.blk AND a.p_name < b.p_name
   WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.93
 ),
 edges2 AS (
-  SELECT doc_a AS s, doc_b AS d FROM pairs
+  SELECT doc_a AS s, doc_b AS d FROM npairs
   UNION ALL
-  SELECT doc_b, doc_a FROM pairs
+  SELECT doc_b, doc_a FROM npairs
 ),
 walk(v, r) AS (
   SELECT s, s FROM edges2
   UNION
   SELECT e.s, w.r FROM edges2 e JOIN walk w ON e.d = w.v
 ),
-comp AS (SELECT v, min(r) AS entity_key FROM walk GROUP BY v),
+comp AS (SELECT v, min(r) AS rep FROM walk GROUP BY v),
+nm AS MATERIALIZED (
+  SELECT n.p_name, coalesce(c.rep, n.p_name) AS name_rep
+  FROM names n LEFT JOIN comp c ON n.p_name = c.v
+),
 golden AS (
-  SELECT c.entity_key,
+  SELECT nm.name_rep,
+         min(p.p_partkey) AS entity_key,
          count(*)::bigint AS n_members,
          (max(round(p.p_retailprice * 100)::bigint)
           - min(round(p.p_retailprice * 100)::bigint)) AS price_spread_cents
-  FROM comp c JOIN part p ON c.v = p.p_partkey
-  GROUP BY c.entity_key
+  FROM part p JOIN nm ON p.p_name = nm.p_name
+  GROUP BY nm.name_rep
+  HAVING count(*) >= 2
 )
 SELECT g.entity_key, p.p_name AS canonical_name, g.n_members,
        g.price_spread_cents
