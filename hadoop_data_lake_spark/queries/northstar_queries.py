@@ -4261,3 +4261,115 @@ FROM counts, leaks
 UNION ALL
 SELECT 'naive_hash', tr_n, te_n, leak_n FROM counts, leaks
 """
+
+
+def token_lang_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 language-indicative tokens by mutual-information contribution
+    I_t = sum_l p(t,l) * log2( p(t,l) / (p(t) p(l)) ) — the classic MI
+    feature-selection score, here as a corpus diagnostic: which tokens
+    carry the language signal (and would leak it through a "language-
+    blind" model). All counts are exact integers from ONE token
+    aggregation pivoted over the fixed language list; the per-token score
+    is a single closed-form double expression summing the five language
+    terms in fixed order (de,en,es,fr,zh — the ordered-fold determinism
+    pattern), so an external engine replays it bit-for-bit. Ranking uses
+    the ROUNDED score (rank-on-rounded gotcha) with token tie-break.
+
+    100 TB shape: one explode + one count shuffle on (token, lang); the
+    language marginals are a 5-row broadcast; top-20 is a TakeOrdered,
+    never a global sort materialization."""
+    langs = ["de", "en", "es", "fr", "zh"]
+    docs = read_table(spark, sf_dir, "documents")
+    tl = (
+        docs.select("lang", F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    marg = (
+        docs.select("lang", F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_total"),
+            *[
+                F.count(F.when(F.col("lang") == lg, 1)).alias(f"m_{lg}")
+                for lg in langs
+            ],
+        )
+    )
+    t = tl.crossJoin(F.broadcast(marg))
+    c_t = sum(F.col(lg) for lg in langs)
+    t = t.withColumn("c_tok", c_t.cast("long"))
+
+    def term(lg: str):
+        ctl = F.col(lg).cast("double")
+        return F.when(
+            F.col(lg) > 0,
+            (ctl / F.col("n_total"))
+            * F.log2(
+                (ctl * F.col("n_total"))
+                / (F.col("c_tok").cast("double") * F.col(f"m_{lg}"))
+            ),
+        ).otherwise(F.lit(0.0))
+
+    mi = term(langs[0])
+    for lg in langs[1:]:
+        mi = mi + term(lg)
+    best = F.greatest(
+        *[
+            F.struct(F.col(lg).alias("c"), F.lit(lg).alias("lg"))
+            for lg in langs
+        ]
+    )
+    out = t.select(
+        "token",
+        F.round(mi, 6).alias("mi_r"),
+        F.col("c_tok").alias("n_occurrences"),
+        best["lg"].alias("top_lang"),
+    )
+    return out.orderBy(F.col("mi_r").desc(), F.col("token").asc()).limit(20)
+
+
+TOKEN_LANG_MI_SQL = """
+WITH tl AS (
+  SELECT token,
+         count(*) FILTER (WHERE lang = 'de')::bigint AS de,
+         count(*) FILTER (WHERE lang = 'en')::bigint AS en,
+         count(*) FILTER (WHERE lang = 'es')::bigint AS es,
+         count(*) FILTER (WHERE lang = 'fr')::bigint AS fr,
+         count(*) FILTER (WHERE lang = 'zh')::bigint AS zh
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+),
+marg AS (
+  SELECT count(*)::bigint AS n_total,
+         count(*) FILTER (WHERE lang = 'de')::bigint AS m_de,
+         count(*) FILTER (WHERE lang = 'en')::bigint AS m_en,
+         count(*) FILTER (WHERE lang = 'es')::bigint AS m_es,
+         count(*) FILTER (WHERE lang = 'fr')::bigint AS m_fr,
+         count(*) FILTER (WHERE lang = 'zh')::bigint AS m_zh
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+),
+scored AS (
+  SELECT token,
+         (de + en + es + fr + zh) AS c_tok,
+         round(
+           (CASE WHEN de > 0 THEN (de::double / n_total) * log2((de::double * n_total) / ((de + en + es + fr + zh)::double * m_de)) ELSE 0.0 END)
+         + (CASE WHEN en > 0 THEN (en::double / n_total) * log2((en::double * n_total) / ((de + en + es + fr + zh)::double * m_en)) ELSE 0.0 END)
+         + (CASE WHEN es > 0 THEN (es::double / n_total) * log2((es::double * n_total) / ((de + en + es + fr + zh)::double * m_es)) ELSE 0.0 END)
+         + (CASE WHEN fr > 0 THEN (fr::double / n_total) * log2((fr::double * n_total) / ((de + en + es + fr + zh)::double * m_fr)) ELSE 0.0 END)
+         + (CASE WHEN zh > 0 THEN (zh::double / n_total) * log2((zh::double * n_total) / ((de + en + es + fr + zh)::double * m_zh)) ELSE 0.0 END)
+         , 6) AS mi_r,
+         CASE WHEN zh = greatest(de, en, es, fr, zh) THEN 'zh'
+              WHEN fr = greatest(de, en, es, fr, zh) THEN 'fr'
+              WHEN es = greatest(de, en, es, fr, zh) THEN 'es'
+              WHEN en = greatest(de, en, es, fr, zh) THEN 'en'
+              ELSE 'de' END AS top_lang
+  FROM tl CROSS JOIN marg
+)
+SELECT token, mi_r, c_tok AS n_occurrences, top_lang
+FROM scored
+ORDER BY mi_r DESC, token ASC
+LIMIT 20
+"""
