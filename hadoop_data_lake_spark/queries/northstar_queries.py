@@ -4373,3 +4373,69 @@ FROM scored
 ORDER BY mi_r DESC, token ASC
 LIMIT 20
 """
+
+
+def length_bias_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-bias audit: exact ROC-AUC of document LENGTH as a predictor
+    of lang = 'en' — quantifies the length/language confound that makes
+    naive length-based quality filters shift the language mix. AUC is the
+    Mann-Whitney rank-sum with full tie correction, kept INTEGER to the
+    end: per distinct length, num2 += n_pos(s) * (2 * cum_n_neg_below(s)
+    + n_neg(s)); AUC = num2 / (2 * N_pos * N_neg) — one closed-form
+    double + round (the deterministic-estimate pattern). 0.5 = no
+    confound; the distance from 0.5 is the bias a length filter inherits.
+
+    100 TB shape: one count shuffle on the score key, one window over the
+    (tiny) distinct-score frame, one scalar aggregate."""
+    docs = read_table(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            F.col("n_chars"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        )
+        .groupBy("n_chars")
+        .agg(
+            F.sum("pos").alias("n1"),
+            F.sum(1 - F.col("pos")).alias("n0"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per = per.withColumn(
+        "cum0", F.coalesce(F.sum("n0").over(w), F.lit(0))
+    )
+    return per.agg(
+        F.sum("n1").cast("long").alias("n_pos"),
+        F.sum("n0").cast("long").alias("n_neg"),
+        F.round(
+            F.sum(F.col("n1") * (2 * F.col("cum0") + F.col("n0"))).cast("double")
+            / (2.0 * F.sum("n1") * F.sum("n0")),
+            6,
+        ).alias("auc_r"),
+    )
+
+
+LENGTH_BIAS_AUC_SQL = """
+WITH per AS (
+  SELECT n_chars,
+         (count(*) FILTER (WHERE lang = 'en'))::bigint AS n1,
+         (count(*) FILTER (WHERE lang <> 'en'))::bigint AS n0
+  FROM documents
+  GROUP BY n_chars
+),
+c AS (
+  SELECT n_chars, n1, n0,
+         coalesce(sum(n0) OVER (ORDER BY n_chars
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::bigint AS cum0
+  FROM per
+)
+SELECT sum(n1)::bigint AS n_pos,
+       sum(n0)::bigint AS n_neg,
+       round(sum(n1 * (2 * cum0 + n0))::double
+             / (2.0 * sum(n1) * sum(n0)), 6) AS auc_r
+FROM c
+"""

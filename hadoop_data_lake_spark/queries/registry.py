@@ -221,6 +221,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "cluster_safe_split_audit": QuerySpec(NS.cluster_safe_split_audit, NS.CLUSTER_SAFE_SPLIT_AUDIT_SQL, ("ml-prep", "split", "leakage", "graph")),
     "brand_communities_lpa": QuerySpec(TQ.brand_communities_lpa, TQ.BRAND_COMMUNITIES_LPA_SQL, ("graph", "community", "lpa", "deterministic")),
     "token_lang_mi": QuerySpec(NS.token_lang_mi, NS.TOKEN_LANG_MI_SQL, ("text", "mutual-information", "feature-selection", "diagnostics")),
+    "length_bias_auc": QuerySpec(NS.length_bias_auc, NS.LENGTH_BIAS_AUC_SQL, ("ml-eval", "auc", "bias-audit", "rank-stats")),
     # displaced from the streaming guard block by session 3 (r3-green
     # driver rows; still locally re-verified every round):
     "stream_sliding_counts": QuerySpec(NS.stream_sliding_counts, NS.STREAM_SLIDING_COUNTS_SQL, ("streaming", "sliding-window")),
