@@ -4439,3 +4439,111 @@ SELECT sum(n1)::bigint AS n_pos,
              / (2.0 * sum(n1) * sum(n0)), 6) AS auc_r
 FROM c
 """
+
+
+def token_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-repetition detector: per document, the longest CONSECUTIVE
+    run of one repeated token (the inference-loop / keyboard-mash signal
+    that complements Gopher's duplicate-2-gram ratio, which misses long
+    single-token runs inside otherwise-diverse text). Classic
+    gaps-and-islands: token position minus per-token rank is constant
+    within a run; one groupBy counts each island, a per-doc argmax picks
+    (longest, token asc, earliest) deterministically. Output flags
+    max_run >= 3 as degenerate.
+
+    100 TB shape: one explode + two shuffles on doc_id (island count,
+    per-doc top-1 WindowGroupLimit); no self-joins."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id", "token").orderBy("pos")
+    islands = (
+        toks.withColumn("isl", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "token", "isl")
+        .agg(F.count("*").alias("run"), F.min("pos").alias("start_pos"))
+    )
+    from hadoop_data_lake_spark.operators.windows import topk_per_group
+
+    best = topk_per_group(
+        islands,
+        ["doc_id"],
+        [F.col("run").desc(), F.col("token").asc(), F.col("start_pos").asc()],
+        k=1,
+    )
+    return best.select(
+        "doc_id",
+        F.col("token").alias("run_token"),
+        F.col("run").cast("long").alias("max_run"),
+        (F.col("run") >= 3).alias("is_degenerate"),
+    )
+
+
+TOKEN_RUN_LENGTHS_SQL = """
+WITH toks AS (
+  SELECT doc_id, i - 1 AS pos, w[i] AS token
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(range(1, len(w) + 1)) AS t(i)
+),
+islands AS (
+  SELECT doc_id, token,
+         pos - row_number() OVER (PARTITION BY doc_id, token ORDER BY pos) AS isl,
+         pos
+  FROM toks
+),
+runs AS (
+  SELECT doc_id, token, isl, count(*)::bigint AS run, min(pos) AS start_pos
+  FROM islands GROUP BY doc_id, token, isl
+),
+best AS (
+  SELECT doc_id, token, run, start_pos,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY run DESC, token ASC, start_pos ASC) AS rn
+  FROM runs
+)
+SELECT doc_id, token AS run_token, run AS max_run,
+       (run >= 3) AS is_degenerate
+FROM best WHERE rn = 1
+"""
+
+
+#: Corpus-vocabulary stand-in for a bad-words list (C4-style blocklist
+#: filtering); the operator is the stage, the list is configuration.
+BLOCKLIST = ["slow", "dup", "bad"]
+
+
+def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist safety filter: per document, the blocklisted-token
+    count and ratio, and the keep verdict (ratio <= 0.1 — filter stages
+    gate on rate, not presence, so one incidental hit does not nuke a
+    long document). Pure column ops — one explode-free pass using
+    array filter over the token array."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    blocked = F.filter(toks, lambda t: t.isin(*BLOCKLIST))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(blocked).cast("long").alias("n_blocked"),
+        F.round(
+            F.size(blocked).cast("double") / F.size(toks).cast("double"), 6
+        ).alias("blocked_ratio_r"),
+        (
+            F.size(blocked).cast("double") / F.size(toks).cast("double")
+            <= 0.1
+        ).alias("keep"),
+    )
+
+
+BLOCKLIST_FILTER_SQL = """
+SELECT doc_id,
+       len(w)::bigint AS n_tokens,
+       len(list_filter(w, t -> t IN ('slow', 'dup', 'bad')))::bigint AS n_blocked,
+       round(len(list_filter(w, t -> t IN ('slow', 'dup', 'bad')))::double
+             / len(w)::double, 6) AS blocked_ratio_r,
+       (len(list_filter(w, t -> t IN ('slow', 'dup', 'bad')))::double
+        / len(w)::double <= 0.1) AS keep
+FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+"""

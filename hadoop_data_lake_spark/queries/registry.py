@@ -222,6 +222,8 @@ _BACKLOG: dict[str, QuerySpec] = {
     "brand_communities_lpa": QuerySpec(TQ.brand_communities_lpa, TQ.BRAND_COMMUNITIES_LPA_SQL, ("graph", "community", "lpa", "deterministic")),
     "token_lang_mi": QuerySpec(NS.token_lang_mi, NS.TOKEN_LANG_MI_SQL, ("text", "mutual-information", "feature-selection", "diagnostics")),
     "length_bias_auc": QuerySpec(NS.length_bias_auc, NS.LENGTH_BIAS_AUC_SQL, ("ml-eval", "auc", "bias-audit", "rank-stats")),
+    "token_run_lengths": QuerySpec(NS.token_run_lengths, NS.TOKEN_RUN_LENGTHS_SQL, ("text", "quality", "repetition", "gaps-islands")),
+    "blocklist_filter": QuerySpec(NS.blocklist_filter, NS.BLOCKLIST_FILTER_SQL, ("text", "quality", "safety", "filter-stage")),
     # displaced from the streaming guard block by session 3 (r3-green
     # driver rows; still locally re-verified every round):
     "stream_sliding_counts": QuerySpec(NS.stream_sliding_counts, NS.STREAM_SLIDING_COUNTS_SQL, ("streaming", "sliding-window")),
