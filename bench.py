@@ -141,13 +141,14 @@ def _scaled_embeddings(spark, base_dir: str, mult: int):
     return emb.localCheckpoint(eager=True)
 
 
-def _scale_ops(spark, docs, emb):
+def _scale_ops(spark, docs, emb, mult):
     """name -> thunk returning the operator frame. All run with their SCALE
     defaults (hot-key caps ON) — this tier times the 100 TB configuration,
     not the oracle-replay one."""
     from pyspark.sql import functions as F
 
     from hadoop_data_lake_spark.operators import dedup as DD
+    from hadoop_data_lake_spark.operators import multimodal as MM
     from hadoop_data_lake_spark.operators import similarity as SIM
     from hadoop_data_lake_spark.operators.graph import dedup_clusters
 
@@ -170,6 +171,17 @@ def _scale_ops(spark, docs, emb):
         "srp_int_topk": lambda: SIM.srp_int_topk(
             emb, queries, k=5, num_tables=4, bits_per_table=8, dim=64
         ),
+        # SemDeDup scales its cluster count WITH the corpus (the paper's
+        # k ~ n regime): cluster size stays constant, so the intra-cluster
+        # pair join stays linear. A fixed k here would read ~100x — the
+        # quadratic regime the operator is documented to avoid.
+        "semdedup_prune": lambda: SIM.semdedup_prune(
+            emb, num_clusters=16 * mult, threshold=0.95
+        ),
+        "phash_near_dup": lambda: MM.phash_near_dup_pairs(
+            MM.perceptual_hash(MM.synth_media_from_text(docs, "doc_id", "text")),
+            max_hamming=3,
+        ),
     }
 
 
@@ -185,7 +197,7 @@ def run_scale_tier(spark, base_dir: str) -> dict:
         ),
     }
     for mult, (docs, emb) in frames.items():
-        for name, thunk in _scale_ops(spark, docs, emb).items():
+        for name, thunk in _scale_ops(spark, docs, emb, mult).items():
             t0 = time.perf_counter()
             rows = thunk().count()
             dt = time.perf_counter() - t0
