@@ -603,3 +603,51 @@ def test_forecast_bakeoff_contains_both_models_per_type(spark):
     for t in types:
         assert (t, "seasonal_naive") in seen and (t, "global_mean") in seen
     assert all(r["mae_cents"] >= 0 for r in rows)
+
+
+def test_semdedup_empty_and_single_vector(spark):
+    from hadoop_data_lake_spark.operators.similarity import semdedup_prune
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert semdedup_prune(empty, num_clusters=4).count() == 0
+    one = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    rows = semdedup_prune(one, num_clusters=4).collect()
+    # a lone vector is its own centroid, keeps itself
+    assert len(rows) == 1 and rows[0]["keep"] and rows[0]["cluster_id"] == 1
+
+
+def test_phash_empty_blob_and_empty_frame(spark):
+    from hadoop_data_lake_spark.operators.multimodal import (
+        perceptual_hash,
+        phash_near_dup_pairs,
+    )
+
+    empty = spark.createDataFrame([], "media_id long, media binary")
+    assert perceptual_hash(empty).count() == 0
+    blank = spark.createDataFrame(
+        [(1, bytearray(b"")), (2, bytearray(b""))],
+        "media_id long, media binary",
+    )
+    rows = {r["media_id"]: r for r in perceptual_hash(blank).collect()}
+    # empty blob: all segment sums 0 -> phash 0, n_bytes 0 (no crash)
+    assert rows[1]["phash"] == 0 and rows[1]["n_bytes"] == 0
+    # two all-zero hashes are hamming-0 near-dups — pairs path stays sane
+    pairs = phash_near_dup_pairs(perceptual_hash(blank)).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+
+
+def test_lpa_empty_and_self_loop_free(spark):
+    from hadoop_data_lake_spark.operators.graph import lpa_communities
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert lpa_communities(empty).count() == 0
+    pair = spark.createDataFrame([(7, 9)], "src long, dst long")
+    # the documented synchronous-LPA trade: a 2-vertex graph label-swaps
+    # with period 2 (deterministically!) instead of converging — even
+    # iteration counts return to the start, odd ones sit mid-swap
+    even = {r["vertex"]: r["community"] for r in lpa_communities(pair, iters=4).collect()}
+    assert even == {7: 7, 9: 9}
+    odd = {r["vertex"]: r["community"] for r in lpa_communities(pair, iters=3).collect()}
+    assert odd == {7: 9, 9: 7}
