@@ -268,3 +268,63 @@ def test_winnow_shared_window_guarantee_random(spark, data):
     out = {r["doc"]: set(r["fps"].split(",")) for r in
            winnow_fingerprints(df, "doc_id", "text", k=k, window=w).collect()}
     assert out[1] & out[2]
+
+
+def _py_phash(b: bytes) -> int:
+    """Pure-Python mirror of operators/multimodal.perceptual_hash."""
+    n = len(b)
+    segs = 61
+    cs = [0]
+    for x in b:
+        cs.append(cs[-1] + x)
+    bounds = [(k * n) // segs for k in range(segs + 1)]
+    sums = [cs[bounds[k + 1]] - cs[bounds[k]] for k in range(segs)]
+    h = 0
+    for k in range(60):
+        if sums[k] > sums[k + 1]:
+            h |= 1 << (59 - k)
+    return h
+
+
+ascii_text_s = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=1,
+    max_size=200,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            ascii_text_s,
+            st.integers(min_value=0, max_value=10_000),
+            st.characters(min_codepoint=33, max_codepoint=126),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_phash_matches_python_and_byte_edit_locality(spark, cases):
+    """(a) the Arrow phash equals the pure-Python reference on arbitrary
+    ASCII blobs; (b) a single length-preserving byte substitution moves at
+    most one segment sum and therefore at most TWO gradient bits — the
+    locality guarantee the near-dup banding relies on."""
+    from hadoop_data_lake_spark.operators.multimodal import perceptual_hash
+
+    rows = []
+    expected = {}
+    for i, (text, pos, ch) in enumerate(cases):
+        orig = text.encode("ascii")
+        p = pos % len(orig)
+        edited = orig[:p] + ch.encode("ascii") + orig[p + 1 :]
+        rows.append((2 * i, bytearray(orig)))
+        rows.append((2 * i + 1, bytearray(edited)))
+        expected[2 * i] = _py_phash(orig)
+        expected[2 * i + 1] = _py_phash(edited)
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    got = {r["media_id"]: r["phash"] for r in perceptual_hash(df).collect()}
+    assert got == expected
+    for i in range(len(cases)):
+        ham = bin(got[2 * i] ^ got[2 * i + 1]).count("1")
+        assert ham <= 2, f"case {i}: single byte edit moved {ham} bits"
