@@ -5264,3 +5264,170 @@ SELECT (1::bigint << (length(bin(n_events)) - 1))::bigint AS bucket_lo,
        sum(n_events)::bigint AS n_events_total
 FROM per_user GROUP BY 1
 """
+
+
+def user_series_sax_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search via SAX (symbolic aggregate
+    approximation — the classic distributed series-indexing method;
+    cf. the REPOSE/EDBT time-series search line): per user, the 30-day
+    value series is reduced to 6 five-day PAA segments (integer
+    micro-cent sums over a zero-filled grid), each segment discretized to
+    a quartile symbol by ntile(4) over (segment_sum, user_id) — an
+    exactly replayable rank-based symbolization (no z-normal breakpoint
+    floats). The 6-symbol SAX word is the index key; candidate neighbors
+    share >= 1 (segment, symbol) band (the LSH banding pattern), verified
+    by EXACT integer L2 over the segment sums; output = each user's
+    nearest neighbor. At scale the alphabet/word length tune candidate
+    rate exactly like minhash bands.
+
+    100 TB shape: one shuffle to daily sums, one to segments; the banded
+    self-join never materializes all pairs; per-user top-1 is a
+    WindowGroupLimit."""
+    from pyspark.sql import Window
+
+    from hadoop_data_lake_spark.operators.windows import topk_per_group
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            F.round(F.col("value") * 1e6).cast("long").alias("v"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.sum("v").alias("dv"))
+    )
+    bounds = daily.agg(F.min("d").alias("d0")).localCheckpoint(eager=False)
+    segs = (
+        daily.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "seg", F.least(F.floor(F.datediff("d", "d0") / 5), F.lit(5)).cast("int")
+        )
+        .groupBy("user_id", "seg")
+        .agg(F.sum("dv").alias("segsum"))
+    )
+    # zero-fill the (user, segment) grid so absent activity is a real 0
+    users = segs.select("user_id").distinct()
+    grid = users.crossJoin(
+        F.broadcast(
+            spark.range(6).select(F.col("id").cast("int").alias("seg"))
+        )
+    )
+    full = (
+        grid.join(segs, ["user_id", "seg"], "left")
+        .withColumn("segsum", F.coalesce("segsum", F.lit(0)))
+    )
+    w = Window.partitionBy("seg").orderBy(F.col("segsum").asc(), F.col("user_id").asc())
+    sym = full.withColumn("symbol", F.ntile(4).over(w)).localCheckpoint(
+        eager=False
+    )
+    per_user = sym.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("seg", "symbol"))
+                ),
+                lambda s: s["symbol"].cast("string"),
+            ),
+            "",
+        ).alias("sax_word"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seg", "segsum"))),
+            lambda s: s["segsum"],
+        ).alias("sums"),
+    ).localCheckpoint(eager=False)
+    bands_a = sym.select(
+        F.col("user_id").alias("ua"), "seg", "symbol"
+    )
+    bands_b = sym.select(
+        F.col("user_id").alias("ub"), "seg", "symbol"
+    )
+    cand = (
+        bands_a.join(bands_b, ["seg", "symbol"])
+        .where(F.col("ua") != F.col("ub"))
+        .select("ua", "ub")
+        .distinct()
+    )
+    pa = per_user.select(
+        F.col("user_id").alias("ua"), F.col("sax_word"), F.col("sums").alias("sums_a")
+    )
+    pb = per_user.select(
+        F.col("user_id").alias("ub"), F.col("sums").alias("sums_b")
+    )
+    scored = (
+        cand.join(pa, "ua")
+        .join(pb, "ub")
+        .withColumn(
+            "dist_q",
+            F.aggregate(
+                F.zip_with(
+                    "sums_a", "sums_b", lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    return topk_per_group(
+        scored,
+        ["ua"],
+        [F.col("dist_q").asc(), F.col("ub").asc()],
+        k=1,
+    ).select(
+        F.col("ua").alias("user_id"),
+        "sax_word",
+        F.col("ub").alias("nn_user"),
+        "dist_q",
+    )
+
+
+USER_SERIES_SAX_SIMILARITY_SQL = """
+WITH daily AS (
+  SELECT user_id, ts::date AS d, sum(round(value * 1e6)::bigint) AS dv
+  FROM events GROUP BY user_id, ts::date
+),
+b AS (SELECT min(d) AS d0 FROM daily),
+segs AS (
+  SELECT user_id, least((d - d0) // 5, 5)::int AS seg, sum(dv)::bigint AS segsum
+  FROM daily CROSS JOIN b
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT u.user_id, s.seg
+  FROM (SELECT DISTINCT user_id FROM segs) u
+  CROSS JOIN (SELECT unnest(range(0, 6))::int AS seg) s
+),
+full_g AS (
+  SELECT g.user_id, g.seg, coalesce(s.segsum, 0)::bigint AS segsum
+  FROM grid g LEFT JOIN segs s ON g.user_id = s.user_id AND g.seg = s.seg
+),
+sym AS MATERIALIZED (
+  SELECT user_id, seg, segsum,
+         ntile(4) OVER (PARTITION BY seg ORDER BY segsum ASC, user_id ASC) AS symbol
+  FROM full_g
+),
+per_user AS MATERIALIZED (
+  SELECT user_id,
+         string_agg(symbol::varchar, '' ORDER BY seg) AS sax_word,
+         list(segsum ORDER BY seg) AS sums
+  FROM sym GROUP BY user_id
+),
+cand AS (
+  SELECT DISTINCT a.user_id AS ua, c.user_id AS ub
+  FROM sym a JOIN sym c ON a.seg = c.seg AND a.symbol = c.symbol
+                        AND a.user_id <> c.user_id
+),
+scored AS (
+  SELECT cand.ua, cand.ub, pa.sax_word,
+         list_sum(list_transform(range(1, 7),
+           i -> (pa.sums[i] - pb.sums[i]) * (pa.sums[i] - pb.sums[i])))::bigint AS dist_q
+  FROM cand
+  JOIN per_user pa ON cand.ua = pa.user_id
+  JOIN per_user pb ON cand.ub = pb.user_id
+)
+SELECT ua AS user_id, sax_word, ub AS nn_user, dist_q
+FROM (SELECT *, row_number() OVER (PARTITION BY ua
+                                   ORDER BY dist_q ASC, ub ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
