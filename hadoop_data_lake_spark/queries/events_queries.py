@@ -5271,7 +5271,8 @@ def user_series_sax_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximation — the classic distributed series-indexing method;
     cf. the REPOSE/EDBT time-series search line): per user, the 30-day
     value series is reduced to 6 five-day PAA segments (integer
-    micro-cent sums over a zero-filled grid), each segment discretized to
+    micro-cent sums over a zero-filled grid; CENTS quantization keeps the worst-case
+    squared distance ~1e12, six orders under int64 overflow), each segment discretized to
     a quartile symbol by ntile(4) over (segment_sum, user_id) — an
     exactly replayable rank-based symbolization (no z-normal breakpoint
     floats). The 6-symbol SAX word is the index key; candidate neighbors
@@ -5292,7 +5293,7 @@ def user_series_sax_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "user_id",
             F.to_date("ts").alias("d"),
-            F.round(F.col("value") * 1e6).cast("long").alias("v"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
         )
         .groupBy("user_id", "d")
         .agg(F.sum("v").alias("dv"))
@@ -5383,7 +5384,7 @@ def user_series_sax_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 USER_SERIES_SAX_SIMILARITY_SQL = """
 WITH daily AS (
-  SELECT user_id, ts::date AS d, sum(round(value * 1e6)::bigint) AS dv
+  SELECT user_id, ts::date AS d, sum(round(value * 100)::bigint) AS dv
   FROM events GROUP BY user_id, ts::date
 ),
 b AS (SELECT min(d) AS d0 FROM daily),
@@ -5429,5 +5430,182 @@ SELECT ua AS user_id, sax_word, ub AS nn_user, dist_q
 FROM (SELECT *, row_number() OVER (PARTITION BY ua
                                    ORDER BY dist_q ASC, ub ASC) AS rn
       FROM scored)
+WHERE rn = 1
+"""
+
+
+def _dtw_cells_sql(a: str, b: str) -> str:
+    """Select-list fragment computing the exact 6x6 DTW DP over two 6-long
+    integer lists via DuckDB lateral column aliases: cell c{i}{j} =
+    (a_i - b_j)^2 + min of the three predecessors; returns cells ending in
+    c66 (the DTW distance). Generated by the same loop shape the Python
+    DP uses, so the recurrence is structurally identical."""
+    cells = []
+    for i in range(1, 7):
+        for j in range(1, 7):
+            d = f"({a}[{i}] - {b}[{j}]) * ({a}[{i}] - {b}[{j}])"
+            if i == 1 and j == 1:
+                expr = d
+            elif i == 1:
+                expr = f"{d} + c1{j - 1}"
+            elif j == 1:
+                expr = f"{d} + c{i - 1}1"
+            else:
+                expr = f"{d} + least(c{i - 1}{j}, c{i}{j - 1}, c{i - 1}{j - 1})"
+            cells.append(f"{expr} AS c{i}{j}")
+    return ",\n         ".join(cells)
+
+
+def user_series_dtw_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping nearest neighbor over the per-user 6-segment
+    cents series (same integer PAA reduction as
+    `user_series_sax_similarity`): candidates come from the SAX
+    (segment, symbol) banding — never all pairs — and each candidate pair
+    is verified with the EXACT integer 6x6 DTW DP. DTW is inherently
+    sequential per pair, so the DP runs in an Arrow-batched pandas UDF
+    (the sanctioned Python path: Catalyst cannot express the recurrence
+    without an exponential expression tree); integers make it bit-exact,
+    and the DuckDB oracle unrolls the identical 36-cell recurrence as
+    lateral column aliases. Output: each user's DTW-nearest neighbor."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    from hadoop_data_lake_spark.operators.windows import topk_per_group
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.sum("v").alias("dv"))
+    )
+    bounds = daily.agg(F.min("d").alias("d0")).localCheckpoint(eager=False)
+    segs = (
+        daily.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "seg", F.least(F.floor(F.datediff("d", "d0") / 5), F.lit(5)).cast("int")
+        )
+        .groupBy("user_id", "seg")
+        .agg(F.sum("dv").alias("segsum"))
+    )
+    users = segs.select("user_id").distinct()
+    grid = users.crossJoin(
+        F.broadcast(spark.range(6).select(F.col("id").cast("int").alias("seg")))
+    )
+    full = grid.join(segs, ["user_id", "seg"], "left").withColumn(
+        "segsum", F.coalesce("segsum", F.lit(0))
+    )
+    w = Window.partitionBy("seg").orderBy(F.col("segsum").asc(), F.col("user_id").asc())
+    sym = full.withColumn("symbol", F.ntile(4).over(w)).localCheckpoint(eager=False)
+    per_user = (
+        sym.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", "segsum"))),
+                lambda s: s["segsum"],
+            ).alias("sums")
+        )
+        .localCheckpoint(eager=False)
+    )
+    cand = (
+        sym.select(F.col("user_id").alias("ua"), "seg", "symbol")
+        .join(
+            sym.select(F.col("user_id").alias("ub"), "seg", "symbol"),
+            ["seg", "symbol"],
+        )
+        .where(F.col("ua") != F.col("ub"))
+        .select("ua", "ub")
+        .distinct()
+    )
+
+    @pandas_udf("long")
+    def dtw(a, b):
+        import pandas as pd
+
+        out = []
+        for xs, ys in zip(a, b):
+            x = [int(v) for v in xs]
+            y = [int(v) for v in ys]
+            dp = [[0] * 6 for _ in range(6)]
+            for i in range(6):
+                for j in range(6):
+                    d = (x[i] - y[j]) * (x[i] - y[j])
+                    if i == 0 and j == 0:
+                        dp[i][j] = d
+                    elif i == 0:
+                        dp[i][j] = d + dp[i][j - 1]
+                    elif j == 0:
+                        dp[i][j] = d + dp[i - 1][j]
+                    else:
+                        dp[i][j] = d + min(
+                            dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1]
+                        )
+            out.append(dp[5][5])
+        return pd.Series(out)
+
+    scored = (
+        cand.join(
+            per_user.select(F.col("user_id").alias("ua"), F.col("sums").alias("sums_a")),
+            "ua",
+        )
+        .join(
+            per_user.select(F.col("user_id").alias("ub"), F.col("sums").alias("sums_b")),
+            "ub",
+        )
+        .withColumn("dtw_q", dtw("sums_a", "sums_b"))
+    )
+    return topk_per_group(
+        scored, ["ua"], [F.col("dtw_q").asc(), F.col("ub").asc()], k=1
+    ).select(F.col("ua").alias("user_id"), F.col("ub").alias("nn_user"), "dtw_q")
+
+
+USER_SERIES_DTW_NN_SQL = f"""
+WITH daily AS (
+  SELECT user_id, ts::date AS d, sum(round(value * 100)::bigint) AS dv
+  FROM events GROUP BY user_id, ts::date
+),
+b AS (SELECT min(d) AS d0 FROM daily),
+segs AS (
+  SELECT user_id, least((d - d0) // 5, 5)::int AS seg, sum(dv)::bigint AS segsum
+  FROM daily CROSS JOIN b
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT u.user_id, s.seg
+  FROM (SELECT DISTINCT user_id FROM segs) u
+  CROSS JOIN (SELECT unnest(range(0, 6))::int AS seg) s
+),
+full_g AS (
+  SELECT g.user_id, g.seg, coalesce(s.segsum, 0)::bigint AS segsum
+  FROM grid g LEFT JOIN segs s ON g.user_id = s.user_id AND g.seg = s.seg
+),
+sym AS MATERIALIZED (
+  SELECT user_id, seg, segsum,
+         ntile(4) OVER (PARTITION BY seg ORDER BY segsum ASC, user_id ASC) AS symbol
+  FROM full_g
+),
+per_user AS MATERIALIZED (
+  SELECT user_id, list(segsum ORDER BY seg) AS sums
+  FROM sym GROUP BY user_id
+),
+cand AS (
+  SELECT DISTINCT a.user_id AS ua, c.user_id AS ub
+  FROM sym a JOIN sym c ON a.seg = c.seg AND a.symbol = c.symbol
+                        AND a.user_id <> c.user_id
+),
+cells AS (
+  SELECT cand.ua, cand.ub,
+         {_dtw_cells_sql('pa.sums', 'pb.sums')}
+  FROM cand
+  JOIN per_user pa ON cand.ua = pa.user_id
+  JOIN per_user pb ON cand.ub = pb.user_id
+)
+SELECT ua AS user_id, ub AS nn_user, c66::bigint AS dtw_q
+FROM (SELECT ua, ub, c66,
+             row_number() OVER (PARTITION BY ua ORDER BY c66 ASC, ub ASC) AS rn
+      FROM cells)
 WHERE rn = 1
 """

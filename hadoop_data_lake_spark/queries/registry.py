@@ -225,6 +225,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "token_run_lengths": QuerySpec(NS.token_run_lengths, NS.TOKEN_RUN_LENGTHS_SQL, ("text", "quality", "repetition", "gaps-islands")),
     "blocklist_filter": QuerySpec(NS.blocklist_filter, NS.BLOCKLIST_FILTER_SQL, ("text", "quality", "safety", "filter-stage")),
     "user_series_sax_similarity": QuerySpec(EV.user_series_sax_similarity, EV.USER_SERIES_SAX_SIMILARITY_SQL, ("timeseries", "sax", "similarity", "banding")),
+    "user_series_dtw_nn": QuerySpec(EV.user_series_dtw_nn, EV.USER_SERIES_DTW_NN_SQL, ("timeseries", "dtw", "similarity", "pandas-udf")),
     # displaced from the streaming guard block by session 3 (r3-green
     # driver rows; still locally re-verified every round):
     "stream_sliding_counts": QuerySpec(NS.stream_sliding_counts, NS.STREAM_SLIDING_COUNTS_SQL, ("streaming", "sliding-window")),
