@@ -149,3 +149,45 @@ def time_grid_interpolate(
         interp.alias(value_col),
         F.col("__observed").alias("observed"),
     )
+
+
+def dtw_distance_col(a_col: str, b_col: str, length: int = 6):
+    """Column: exact integer DTW distance between two fixed-`length`
+    bigint-array columns (squared pointwise cost, full warping window).
+
+    The DP recurrence is inherently sequential per pair, so it runs in an
+    Arrow-batched pandas UDF — the sanctioned Python path: a Catalyst
+    expression tree for the recurrence is exponential in `length`.
+    Integer arithmetic end to end makes the result bit-exact and
+    replayable by an external engine's unrolled-cell SQL
+    (queries/events_queries._dtw_cells_sql)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    n = length
+
+    @pandas_udf("long")
+    def dtw(a, b):
+        out = []
+        for xs, ys in zip(a, b):
+            x = [int(v) for v in xs]
+            y = [int(v) for v in ys]
+            dp = [[0] * n for _ in range(n)]
+            for i in range(n):
+                for j in range(n):
+                    d = (x[i] - y[j]) * (x[i] - y[j])
+                    if i == 0 and j == 0:
+                        dp[i][j] = d
+                    elif i == 0:
+                        dp[i][j] = d + dp[i][j - 1]
+                    elif j == 0:
+                        dp[i][j] = d + dp[i - 1][j]
+                    else:
+                        dp[i][j] = d + min(
+                            dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1]
+                        )
+            out.append(dp[n - 1][n - 1])
+        return pd.Series(out)
+
+    return dtw(F.col(a_col), F.col(b_col))

@@ -5468,8 +5468,8 @@ def user_series_dtw_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the DuckDB oracle unrolls the identical 36-cell recurrence as
     lateral column aliases. Output: each user's DTW-nearest neighbor."""
     from pyspark.sql import Window
-    from pyspark.sql.functions import pandas_udf
 
+    from hadoop_data_lake_spark.operators.timeseries import dtw_distance_col
     from hadoop_data_lake_spark.operators.windows import topk_per_group
 
     ev = read_table(spark, sf_dir, "events")
@@ -5521,31 +5521,6 @@ def user_series_dtw_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    @pandas_udf("long")
-    def dtw(a, b):
-        import pandas as pd
-
-        out = []
-        for xs, ys in zip(a, b):
-            x = [int(v) for v in xs]
-            y = [int(v) for v in ys]
-            dp = [[0] * 6 for _ in range(6)]
-            for i in range(6):
-                for j in range(6):
-                    d = (x[i] - y[j]) * (x[i] - y[j])
-                    if i == 0 and j == 0:
-                        dp[i][j] = d
-                    elif i == 0:
-                        dp[i][j] = d + dp[i][j - 1]
-                    elif j == 0:
-                        dp[i][j] = d + dp[i - 1][j]
-                    else:
-                        dp[i][j] = d + min(
-                            dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1]
-                        )
-            out.append(dp[5][5])
-        return pd.Series(out)
-
     scored = (
         cand.join(
             per_user.select(F.col("user_id").alias("ua"), F.col("sums").alias("sums_a")),
@@ -5555,7 +5530,7 @@ def user_series_dtw_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
             per_user.select(F.col("user_id").alias("ub"), F.col("sums").alias("sums_b")),
             "ub",
         )
-        .withColumn("dtw_q", dtw("sums_a", "sums_b"))
+        .withColumn("dtw_q", dtw_distance_col("sums_a", "sums_b", length=6))
     )
     return topk_per_group(
         scored, ["ua"], [F.col("dtw_q").asc(), F.col("ub").asc()], k=1

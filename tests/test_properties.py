@@ -328,3 +328,37 @@ def test_phash_matches_python_and_byte_edit_locality(spark, cases):
     for i in range(len(cases)):
         ham = bin(got[2 * i] ^ got[2 * i + 1]).count("1")
         assert ham <= 2, f"case {i}: single byte edit moved {ham} bits"
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=6, max_size=6),
+            st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=6, max_size=6),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_dtw_udf_identity_symmetry_and_alignment_bound(spark, pairs):
+    """The REAL Arrow DTW kernel (operators/timeseries.dtw_distance_col)
+    must satisfy the DTW invariants on arbitrary integer series: d(x,x)=0,
+    d(x,y)=d(y,x), and warping never costs more than the straight diagonal
+    alignment (sum of squared pointwise diffs)."""
+    from hadoop_data_lake_spark.operators.timeseries import dtw_distance_col
+
+    rows = []
+    for i, (x, y) in enumerate(pairs):
+        rows.append((3 * i, x, y))        # d(x, y)
+        rows.append((3 * i + 1, y, x))    # d(y, x)
+        rows.append((3 * i + 2, x, x))    # d(x, x)
+    df = spark.createDataFrame(rows, "i long, a array<long>, b array<long>")
+    got = {
+        r["i"]: r["d"]
+        for r in df.withColumn("d", dtw_distance_col("a", "b", length=6)).collect()
+    }
+    for i, (x, y) in enumerate(pairs):
+        assert got[3 * i + 2] == 0
+        assert got[3 * i] == got[3 * i + 1]
+        assert got[3 * i] <= sum((p - q) ** 2 for p, q in zip(x, y))
