@@ -129,3 +129,26 @@ def test_schema_contract_mismatch_fails_loudly(spark, tmp_path):
     assert df.count() == 1
     with pytest.raises(SchemaContractError):
         read_table(spark, str(tmp_path), "region")
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Data-lake schema evolution: files written before a column was added
+    must still read alongside newer files — mergeSchema unions the file
+    schemas and backfills the missing column with NULL (per-file column
+    pruning still applies: old files never materialize the new column)."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    v1.write.mode("overwrite").parquet(root + "/batch=1")
+    v2 = spark.createDataFrame(
+        [(3, "c", 30.0), (4, "d", 40.0)], "id long, name string, score double"
+    )
+    v2.write.mode("overwrite").parquet(root + "/batch=2")
+
+    merged = read_any(spark, root, fmt="parquet", mergeSchema="true")
+    assert set(merged.columns) == {"id", "name", "score", "batch"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[3]["score"] == 30.0
+    # evolved-column aggregation skips NULL backfill rows, not files
+    assert merged.agg(F.count("score")).collect()[0][0] == 2
