@@ -23,6 +23,7 @@ from hadoop_data_lake_spark.operators import similarity as SIM
 from hadoop_data_lake_spark.operators import spans as SP
 from hadoop_data_lake_spark.operators.multimodal import (
     arrow_byte_entropy,
+    decode_channel_stats,
     extract_features,
     perceptual_hash,
     phash_near_dup_pairs,
@@ -4546,4 +4547,46 @@ SELECT doc_id,
        (len(list_filter(w, t -> t IN ('slow', 'dup', 'bad')))::double
         / len(w)::double <= 0.1) AS keep
 FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+"""
+
+
+def media_ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec registry proof: every document's bytes become a genuine
+    binary PPM (P6) image — "P6\\n8 {h}\\n255\\n" header + the first h*24
+    text bytes as an 8xh RGB raster — which the pure-Python container
+    parser (operators/multimodal.decode_ppm: header scan, comment
+    handling, raster slice) decodes inside Arrow batches; the reduced
+    integer channel sums are then replayed by the oracle straight from
+    the SOURCE text via strided ord()/substr() — so the real
+    parse-a-container-produce-a-raster path is value-checked end to end,
+    not just pytest'd (the PIL-gated compressed formats remain the only
+    env-gated codecs)."""
+    docs = read_table(spark, sf_dir, "documents")
+    h = F.floor(F.octet_length("text") / 24).cast("int")
+    raster = F.encode(F.substring("text", 1, h * 24), "UTF-8")
+    header = F.encode(
+        F.concat(F.lit("P6\n8 "), h.cast("string"), F.lit("\n255\n")), "UTF-8"
+    )
+    media = docs.where(h >= 1).select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(header, raster).alias("media"),
+    )
+    return decode_channel_stats(media, "image/ppm")
+
+
+MEDIA_PPM_DECODE_STATS_SQL = """
+SELECT doc_id AS media_id,
+       8 AS width,
+       (octet_length(encode(text)) // 24)::int AS height,
+       list_sum(list_transform(
+         range(1, (octet_length(encode(text)) // 24) * 24 + 1, 3),
+         i -> ord(substr(text, i, 1))))::bigint AS r_sum,
+       list_sum(list_transform(
+         range(2, (octet_length(encode(text)) // 24) * 24 + 1, 3),
+         i -> ord(substr(text, i, 1))))::bigint AS g_sum,
+       list_sum(list_transform(
+         range(3, (octet_length(encode(text)) // 24) * 24 + 1, 3),
+         i -> ord(substr(text, i, 1))))::bigint AS b_sum
+FROM documents
+WHERE octet_length(encode(text)) >= 24
 """
