@@ -150,9 +150,12 @@ def decode_media(blob: bytes, fmt: str) -> bytes:
         import io as _io
 
         return Image.open(_io.BytesIO(blob)).convert("RGB").tobytes()
+    if fmt in ("audio/wav", "audio/x-wav"):
+        return decode_wav(blob)[2]
     raise NotImplementedError(
-        f"no codec for format {fmt!r} (audio/video codecs are not installed "
-        "in this environment); use fake_decode=True for the stand-in"
+        f"no codec for format {fmt!r} (compressed audio/video codecs are "
+        "not installed in this environment); use fake_decode=True for the "
+        "stand-in"
     )
 
 
@@ -553,3 +556,89 @@ def decode_channel_stats(media: DataFrame, fmt: str) -> DataFrame:
             )
 
     return media.select("media_id", "media").mapInArrow(op, CHANNEL_STATS_SCHEMA)
+
+
+def synth_wav_pcm16(pcm: bytes, sample_rate: int = 8000, channels: int = 1) -> bytes:
+    """Build a real RIFF/WAVE container around raw PCM16LE bytes — the
+    audio-ingest counterpart of encode_ppm."""
+    import struct
+
+    byte_rate = sample_rate * channels * 2
+    block_align = channels * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, block_align, 16)
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, bytes]:
+    """Pure-Python RIFF/WAVE parser: (channels, sample_rate, PCM16LE bytes).
+
+    Walks the chunk list properly (fmt/data may be preceded by LIST/fact
+    chunks in real files); only uncompressed PCM16 is supported — the same
+    zero-dependency real-container contract as decode_ppm/decode_bmp."""
+    import struct
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, channels, rate, pcm = 12, None, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", blob, pos + 4)
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt_tag != 1 or bits != 16:
+                raise ValueError("only uncompressed PCM16 WAV supported")
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if channels is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    return channels, rate, pcm
+
+
+AUDIO_STATS_SCHEMA = (
+    "media_id long, n_samples long, sample_sum long, sample_min int, sample_max int"
+)
+
+
+def decode_audio_stats(media: DataFrame) -> DataFrame:
+    """REAL audio decode: parse each blob's RIFF/WAVE container
+    (decode_wav) inside Arrow batches and reduce the PCM16LE samples to
+    integer stats — the audio twin of decode_channel_stats; replayable
+    from source bytes by an external engine."""
+    import numpy as np
+    import pyarrow as pa
+
+    def op(batches):
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            blobs = batch.column("media").to_pylist()
+            n_o, s_o, mn_o, mx_o = [], [], [], []
+            for blob in blobs:
+                _, _, pcm = decode_wav(bytes(blob))
+                arr = np.frombuffer(pcm, dtype="<i2")
+                n_o.append(int(arr.size))
+                s_o.append(int(arr.sum(dtype=np.int64)))
+                mn_o.append(int(arr.min()) if arr.size else 0)
+                mx_o.append(int(arr.max()) if arr.size else 0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(n_o, type=pa.int64()),
+                    pa.array(s_o, type=pa.int64()),
+                    pa.array(mn_o, type=pa.int32()),
+                    pa.array(mx_o, type=pa.int32()),
+                ],
+                names=["media_id", "n_samples", "sample_sum", "sample_min", "sample_max"],
+            )
+
+    return media.select("media_id", "media").mapInArrow(op, AUDIO_STATS_SCHEMA)

@@ -4590,3 +4590,58 @@ SELECT doc_id AS media_id,
 FROM documents
 WHERE octet_length(encode(text)) >= 24
 """
+
+
+def media_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-codec registry proof (the WAV twin of
+    media_ppm_decode_stats): each document's bytes become a genuine
+    RIFF/WAVE container (operators/multimodal.synth_wav_pcm16 — 44-byte
+    canonical PCM header + the first 2*(len//2) text bytes as PCM16LE
+    samples), parsed back by the real chunk-walking parser (decode_wav)
+    inside Arrow batches; integer sample stats are replayed by the oracle
+    straight from the source text (sample_i = byte_{2i-1} + 256 *
+    byte_{2i} — ASCII bytes keep every sample positive, so no sign
+    branch)."""
+    import pyarrow as pa
+
+    from hadoop_data_lake_spark.operators.multimodal import (
+        decode_audio_stats,
+        synth_wav_pcm16,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+
+    def synth(batches):
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            blobs = []
+            for t in texts:
+                raw = t.encode("utf-8")
+                pcm = raw[: 2 * (len(raw) // 2)]
+                blobs.append(synth_wav_pcm16(pcm))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), pa.array(blobs, type=pa.binary())],
+                names=["media_id", "media"],
+            )
+
+    media = docs.select("doc_id", "text").mapInArrow(
+        synth, "media_id long, media binary"
+    )
+    return decode_audio_stats(media)
+
+
+MEDIA_WAV_DECODE_STATS_SQL = """
+SELECT doc_id AS media_id,
+       (octet_length(encode(text)) // 2)::bigint AS n_samples,
+       list_sum(list_transform(range(1, octet_length(encode(text)) // 2 + 1),
+         i -> ord(substr(text, 2 * i - 1, 1))
+              + 256 * ord(substr(text, 2 * i, 1))))::bigint AS sample_sum,
+       list_min(list_transform(range(1, octet_length(encode(text)) // 2 + 1),
+         i -> ord(substr(text, 2 * i - 1, 1))
+              + 256 * ord(substr(text, 2 * i, 1))))::int AS sample_min,
+       list_max(list_transform(range(1, octet_length(encode(text)) // 2 + 1),
+         i -> ord(substr(text, 2 * i - 1, 1))
+              + 256 * ord(substr(text, 2 * i, 1))))::int AS sample_max
+FROM documents
+"""

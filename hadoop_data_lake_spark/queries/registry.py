@@ -227,6 +227,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "user_series_sax_similarity": QuerySpec(EV.user_series_sax_similarity, EV.USER_SERIES_SAX_SIMILARITY_SQL, ("timeseries", "sax", "similarity", "banding")),
     "user_series_dtw_nn": QuerySpec(EV.user_series_dtw_nn, EV.USER_SERIES_DTW_NN_SQL, ("timeseries", "dtw", "similarity", "pandas-udf")),
     "media_ppm_decode_stats": QuerySpec(NS.media_ppm_decode_stats, NS.MEDIA_PPM_DECODE_STATS_SQL, ("multimodal", "real-codec", "ppm", "arrow")),
+    "media_wav_decode_stats": QuerySpec(NS.media_wav_decode_stats, NS.MEDIA_WAV_DECODE_STATS_SQL, ("multimodal", "real-codec", "wav", "audio", "arrow")),
     # displaced from the streaming guard block by session 3 (r3-green
     # driver rows; still locally re-verified every round):
     "stream_sliding_counts": QuerySpec(NS.stream_sliding_counts, NS.STREAM_SLIDING_COUNTS_SQL, ("streaming", "sliding-window")),

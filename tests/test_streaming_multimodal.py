@@ -137,8 +137,12 @@ def test_decode_media_environment_limited():
 
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_media(b"\x89PNG fake", "image/png")
+    # WAV is now a REAL pure-Python codec; only compressed audio stays
+    # environment-gated
     with pytest.raises(NotImplementedError, match="codec"):
-        decode_media(b"RIFF fake", "audio/wav")
+        decode_media(b"ID3 fake", "audio/mpeg")
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_media(b"not a riff", "audio/wav")
 
 
 def _ppm_bytes(w: int, h: int, px) -> bytes:
@@ -403,3 +407,45 @@ def test_phash_deterministic_and_banding_equals_exact(spark):
         for r in phash_near_dup_pairs(hashed, max_hamming=3, chunks=4).collect()
     }
     assert again == banded
+
+
+def test_wav_roundtrip_and_chunk_walking():
+    """The RIFF parser must survive real-file chunk layouts: extra LIST
+    chunks before data, word-aligned odd-size chunks; and reject
+    non-PCM16 or malformed streams loudly."""
+    import struct
+
+    import pytest as _pytest
+
+    from hadoop_data_lake_spark.operators.multimodal import (
+        decode_wav,
+        synth_wav_pcm16,
+    )
+
+    pcm = bytes(range(40))
+    w = synth_wav_pcm16(pcm, sample_rate=16000, channels=1)
+    assert decode_wav(w) == (1, 16000, pcm)
+
+    # inject an odd-size LIST chunk between fmt and data (word-aligned pad)
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOX" + b"\x00"
+    w2 = w[:36] + extra + w[36:]
+    w2 = w2[:4] + struct.pack("<I", struct.unpack("<I", w[4:8])[0] + len(extra)) + w2[8:]
+    assert decode_wav(w2) == (1, 16000, pcm)
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+    # 8-bit wav must be rejected, not silently misparsed
+    bad = bytearray(w)
+    bad[34:36] = struct.pack("<H", 8)
+    with _pytest.raises(ValueError):
+        decode_wav(bytes(bad))
+
+
+def test_decode_media_wav_dispatch(spark):
+    from hadoop_data_lake_spark.operators.multimodal import (
+        decode_media,
+        synth_wav_pcm16,
+    )
+
+    pcm = b"ab" * 10
+    assert decode_media(synth_wav_pcm16(pcm), "audio/wav") == pcm
