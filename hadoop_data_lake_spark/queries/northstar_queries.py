@@ -4645,3 +4645,56 @@ SELECT doc_id AS media_id,
               + 256 * ord(substr(text, 2 * i, 1))))::int AS sample_max
 FROM documents
 """
+
+
+def media_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container registry proof (completing the modality trio
+    with media_ppm_decode_stats and media_wav_decode_stats): each
+    document's bytes become a structurally valid AVI — RIFF 'AVI ' with an
+    avih main header (true dwTotalFrames) and a LIST movi holding 4
+    equal-size '00db' raw frames cut from the text — parsed back by the
+    chunk-walking decoder (operators/multimodal.decode_avi, which also
+    cross-checks avih's declared count against the movi chunks), sampling
+    every 2nd frame to integer byte stats. The oracle replays the kept
+    frames straight from the source text slices."""
+    import pyarrow as pa
+
+    from hadoop_data_lake_spark.operators.multimodal import (
+        avi_frame_stats,
+        synth_avi_raw,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+
+    def synth(batches):
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            blobs = []
+            for t in texts:
+                raw = t.encode("utf-8")
+                m = len(raw) // 4
+                frames = [raw[i * m : (i + 1) * m] for i in range(4)]
+                blobs.append(synth_avi_raw(frames))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), pa.array(blobs, type=pa.binary())],
+                names=["media_id", "media"],
+            )
+
+    media = docs.select("doc_id", "text").mapInArrow(
+        synth, "media_id long, media binary"
+    )
+    return avi_frame_stats(media, every=2)
+
+
+MEDIA_AVI_FRAME_STATS_SQL = """
+SELECT doc_id AS media_id,
+       f.frame_idx,
+       (octet_length(encode(text)) // 4)::bigint AS n_bytes,
+       list_sum(list_transform(
+         range(f.frame_idx * (octet_length(encode(text)) // 4) + 1,
+               (f.frame_idx + 1) * (octet_length(encode(text)) // 4) + 1),
+         i -> ord(substr(text, i, 1))))::bigint AS byte_sum
+FROM documents
+CROSS JOIN (SELECT unnest([0, 2])::int AS frame_idx) f
+"""

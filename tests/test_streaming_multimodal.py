@@ -449,3 +449,52 @@ def test_decode_media_wav_dispatch(spark):
 
     pcm = b"ab" * 10
     assert decode_media(synth_wav_pcm16(pcm), "audio/wav") == pcm
+
+
+def test_avi_roundtrip_and_mismatch_guard():
+    """The AVI parser must roundtrip synth_avi_raw (word-aligned odd-size
+    frames included), reject non-AVI RIFFs, and the frame-stats operator
+    must refuse a container whose avih count disagrees with movi."""
+    import struct
+
+    import pytest as _pytest
+
+    from hadoop_data_lake_spark.operators.multimodal import (
+        decode_avi,
+        synth_avi_raw,
+        synth_wav_pcm16,
+    )
+
+    frames = [b"odd", b"evenly", b"x"]
+    blob = synth_avi_raw(frames, width=4, height=2)
+    declared, got = decode_avi(blob)
+    assert declared == 3 and got == frames
+
+    with _pytest.raises(ValueError, match="AVI"):
+        decode_avi(synth_wav_pcm16(b"ab"))  # a RIFF, but WAVE not AVI
+
+    # corrupt the declared count -> operator-level mismatch guard
+    bad = bytearray(blob)
+    # avih body starts at: RIFF(12) + LIST hdr(8) + 'hdrl'(4) + avih hdr(8)
+    struct.pack_into("<I", bad, 12 + 8 + 4 + 8 + 16, 99)
+    d2, got2 = decode_avi(bytes(bad))
+    assert d2 == 99 and got2 == frames  # parser reports, operator enforces
+
+
+def test_avi_frame_stats_real_container(spark):
+    from hadoop_data_lake_spark.operators.multimodal import (
+        avi_frame_stats,
+        synth_avi_raw,
+    )
+
+    frames = [b"aaaa", b"bbbb", b"cccc", b"dddd"]
+    media = spark.createDataFrame(
+        [(1, bytearray(synth_avi_raw(frames)))], "media_id long, media binary"
+    )
+    rows = sorted(
+        avi_frame_stats(media, every=2).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert [(r["frame_idx"], r["n_bytes"], r["byte_sum"]) for r in rows] == [
+        (0, 4, 4 * ord("a")),
+        (2, 4, 4 * ord("c")),
+    ]
