@@ -1,9 +1,15 @@
 """Multimodal columns: image/audio/video as opaque `binary` + typed metadata.
 
-The container has no media libraries, so the actual codec step is stubbed —
-but everything Spark-side is real and tested: the schema contract, the
-mapInPandas batch plumbing (Arrow in/out), the partitioning, and the
-deterministic fallback decoder used by tests/oracles.
+All three modalities have REAL, zero-dependency container codecs: PPM (P6)
+and 24-bit BMP for images, RIFF/WAVE PCM16 for audio, RIFF/AVI raw-frame
+for video — each a genuine parse-the-container path (header scan, chunk
+walk, raster/PCM/frame normalization) exercised by oracle-verified registry
+queries (media_ppm_decode_stats / media_wav_decode_stats /
+media_avi_frame_stats). Only COMPRESSED formats (PNG/JPEG via PIL,
+MP3/H.264) are environment-gated behind NotImplementedError; the
+deterministic `_fake_decode` stand-in remains for byte-level oracle tests.
+Everything Spark-side — schema contract, Arrow mapInPandas/mapInArrow batch
+plumbing, partitioning — is identical between the real and fake paths.
 
 Contract for a media table:
     media_id long, media binary, meta struct<format string, width int,
