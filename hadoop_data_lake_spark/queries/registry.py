@@ -229,6 +229,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "media_ppm_decode_stats": QuerySpec(NS.media_ppm_decode_stats, NS.MEDIA_PPM_DECODE_STATS_SQL, ("multimodal", "real-codec", "ppm", "arrow")),
     "media_wav_decode_stats": QuerySpec(NS.media_wav_decode_stats, NS.MEDIA_WAV_DECODE_STATS_SQL, ("multimodal", "real-codec", "wav", "audio", "arrow")),
     "media_avi_frame_stats": QuerySpec(NS.media_avi_frame_stats, NS.MEDIA_AVI_FRAME_STATS_SQL, ("multimodal", "real-codec", "avi", "video", "frame-sample")),
+    "cf_ndcg_backtest": QuerySpec(TQ.cf_ndcg_backtest, TQ.CF_NDCG_BACKTEST_SQL, ("ml-eval", "ndcg", "recommender", "backtest")),
     # displaced from the streaming guard block by session 3 (r3-green
     # driver rows; still locally re-verified every round):
     "stream_sliding_counts": QuerySpec(NS.stream_sliding_counts, NS.STREAM_SLIDING_COUNTS_SQL, ("streaming", "sliding-window")),

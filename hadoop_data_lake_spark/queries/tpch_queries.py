@@ -4257,3 +4257,156 @@ JOIN (SELECT label, count(*)::bigint AS community_size
 
 
 BRAND_COMMUNITIES_LPA_SQL = _lpa_sql()
+
+
+def cf_ndcg_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender backtest with NDCG@5 — the ML-eval closing bracket for
+    the CF family: temporal split (train = orders before 2000-01-01, test
+    = after), recommend each customer the 5 most popular train brands they
+    have NOT bought (popularity desc, brand asc — the deterministic
+    popularity baseline every CF model must beat), score against the
+    brands they actually bought in test. Per-customer DCG is a fixed-order
+    5-term sum rel_i / log2(i+1); IDCG is the same sum over
+    min(5, |relevant|); output one row per evaluated customer (customers
+    with no new test brands are excluded — NDCG is undefined) — per-row
+    closed-form floats only, never a cross-row float sum, so the oracle
+    replays it exactly.
+
+    100 TB shape: brand popularity is a catalog-bounded broadcast; the
+    per-customer candidate frame is |customers| x |brands| with the
+    already-bought anti-join applied before ranking; one window for the
+    top-5, one join to test purchases."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cb = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(
+            "o_custkey",
+            "p_brand",
+            (F.to_date("o_orderdate") < F.lit("2000-01-01").cast("date")).alias(
+                "is_train"
+            ),
+        )
+    )
+    train = cb.where("is_train").select("o_custkey", "p_brand").distinct()
+    test = cb.where(~F.col("is_train")).select("o_custkey", "p_brand").distinct()
+    pop = (
+        cb.where("is_train")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("pop"))
+    )
+    test_users = test.select("o_custkey").distinct()
+    cand = (
+        test_users.crossJoin(F.broadcast(pop))
+        .join(train, ["o_custkey", "p_brand"], "left_anti")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("pop").desc(), F.col("p_brand").asc()
+    )
+    recs = (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .join(
+            test.withColumn("rel", F.lit(1)),
+            ["o_custkey", "p_brand"],
+            "left",
+        )
+        .withColumn("rel", F.coalesce("rel", F.lit(0)))
+    )
+    # relevant set size per customer = test brands NOT already in train
+    relevant = (
+        test.join(train, ["o_custkey", "p_brand"], "left_anti")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_relevant"))
+    )
+    dcg_terms = [
+        F.max(F.when(F.col("rnk") == i, F.col("rel"))).cast("double")
+        / F.log2(F.lit(float(i + 1)))
+        for i in range(1, 6)
+    ]
+    dcg = dcg_terms[0]
+    for t in dcg_terms[1:]:
+        dcg = dcg + t
+    per_user = recs.groupBy("o_custkey").agg(dcg.alias("dcg"))
+    idcg_terms = [
+        F.when(F.col("n_relevant") >= i, 1.0).otherwise(0.0)
+        / F.log2(F.lit(float(i + 1)))
+        for i in range(1, 6)
+    ]
+    idcg = idcg_terms[0]
+    for t in idcg_terms[1:]:
+        idcg = idcg + t
+    return (
+        per_user.join(relevant, "o_custkey")
+        .withColumn("idcg", idcg)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("n_relevant").cast("long").alias("n_relevant"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_r"),
+        )
+    )
+
+
+CF_NDCG_BACKTEST_SQL = """
+WITH cb AS (
+  SELECT o_custkey, p_brand, (o_orderdate::date < DATE '2000-01-01') AS is_train
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+),
+train AS (SELECT DISTINCT o_custkey, p_brand FROM cb WHERE is_train),
+test AS (SELECT DISTINCT o_custkey, p_brand FROM cb WHERE NOT is_train),
+pop AS (
+  SELECT p_brand, count(*)::bigint AS pop FROM cb WHERE is_train GROUP BY 1
+),
+cand AS (
+  SELECT u.o_custkey, p.p_brand, p.pop
+  FROM (SELECT DISTINCT o_custkey FROM test) u
+  CROSS JOIN pop p
+  WHERE NOT EXISTS (SELECT 1 FROM train t
+                    WHERE t.o_custkey = u.o_custkey AND t.p_brand = p.p_brand)
+),
+recs AS (
+  SELECT o_custkey, p_brand, rnk,
+         CASE WHEN EXISTS (SELECT 1 FROM test t
+                           WHERE t.o_custkey = c.o_custkey
+                             AND t.p_brand = c.p_brand)
+              THEN 1 ELSE 0 END AS rel
+  FROM (SELECT o_custkey, p_brand,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY pop DESC, p_brand ASC) AS rnk
+        FROM cand) c
+  WHERE rnk <= 5
+),
+relevant AS (
+  SELECT t.o_custkey, count(*)::bigint AS n_relevant
+  FROM test t
+  WHERE NOT EXISTS (SELECT 1 FROM train tr
+                    WHERE tr.o_custkey = t.o_custkey AND tr.p_brand = t.p_brand)
+  GROUP BY t.o_custkey
+),
+per_user AS (
+  SELECT o_custkey,
+         (max(CASE WHEN rnk = 1 THEN rel END)::double / log2(2.0))
+       + (max(CASE WHEN rnk = 2 THEN rel END)::double / log2(3.0))
+       + (max(CASE WHEN rnk = 3 THEN rel END)::double / log2(4.0))
+       + (max(CASE WHEN rnk = 4 THEN rel END)::double / log2(5.0))
+       + (max(CASE WHEN rnk = 5 THEN rel END)::double / log2(6.0)) AS dcg
+  FROM recs GROUP BY o_custkey
+)
+SELECT p.o_custkey AS custkey, r.n_relevant,
+       round(p.dcg / (
+         (CASE WHEN r.n_relevant >= 1 THEN 1.0 ELSE 0.0 END / log2(2.0))
+       + (CASE WHEN r.n_relevant >= 2 THEN 1.0 ELSE 0.0 END / log2(3.0))
+       + (CASE WHEN r.n_relevant >= 3 THEN 1.0 ELSE 0.0 END / log2(4.0))
+       + (CASE WHEN r.n_relevant >= 4 THEN 1.0 ELSE 0.0 END / log2(5.0))
+       + (CASE WHEN r.n_relevant >= 5 THEN 1.0 ELSE 0.0 END / log2(6.0))
+       ), 6) AS ndcg_r
+FROM per_user p JOIN relevant r ON p.o_custkey = r.o_custkey
+"""
