@@ -359,3 +359,42 @@ def test_theil_sen_self_join_is_post_aggregation(spark):
     daily frame (HashAggregate below the join), never on raw events."""
     plan = _plan(spark, "theil_sen_daily_trend")
     assert plan.count("FileScan parquet") <= 2
+
+
+def test_semdedup_pair_join_is_equi_on_cluster(spark):
+    """SemDeDup: the assignment frame is localCheckpoint-ed (its centroid
+    cross join — broadcast by construction, F.broadcast in the operator —
+    runs once and leaves the final plan); the visible plan must show the
+    intra-cluster work as an EQUI join on cluster id, never a cartesian
+    pair generation."""
+    plan = _plan(spark, "semdedup_prune")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # no all-pairs fallback
+    assert "cl_a" in plan and "cl_b" in plan  # join keyed on cluster ids
+
+
+def test_er_golden_record_broadcasts_vocabulary(spark):
+    """Collapse-then-link ER: the record table is joined to the (tiny)
+    distinct-name entity map via broadcast; no shuffle of the record table
+    for the pairwise stage (which lives entirely in vocabulary space)."""
+    plan = _plan(spark, "er_golden_record")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_decontamination_broadcasts_probes(spark):
+    """Cross-corpus decontamination: the probe (benchmark) side broadcasts;
+    the training corpus is scanned once and never shuffled for the
+    threshold scan; per-vector top-1 is a WindowGroupLimit."""
+    plan = _plan(spark, "decontaminate_embedding_cosine")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_phash_near_dup_is_equi_banded(spark):
+    """Perceptual-hash near-dup: candidates come from an equi-join on the
+    (chunk, value) band key — no nested-loop/cartesian pair generation —
+    and the hashing runs in one Arrow pass (single Python stage)."""
+    plan = _plan(spark, "media_phash_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
