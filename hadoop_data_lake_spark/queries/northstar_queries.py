@@ -4698,3 +4698,59 @@ SELECT doc_id AS media_id,
 FROM documents
 CROSS JOIN (SELECT unnest([0, 2])::int AS frame_idx) f
 """
+
+
+def lake_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-level lake profile: one row per registered table with its
+    row count, column count, and total null cells — the "dataset card"
+    overview a data platform surfaces before anyone queries (and the
+    check that a testdata regeneration didn't silently change shape).
+    Each table contributes one count-aggregation (nulls counted with
+    count(*) - count(col), per column, summed — integer-exact); the union
+    is 10 small frames, so the plan is 10 independent scans that AQE runs
+    concurrently — no cross-table shuffle at all."""
+    from hadoop_data_lake_spark.core.io import TABLES
+
+    frames = []
+    for t in TABLES:
+        df = read_table(spark, sf_dir, t)
+        null_cells = None
+        for c in df.columns:
+            term = F.count(F.lit(1)) - F.count(F.col(c))
+            null_cells = term if null_cells is None else null_cells + term
+        frames.append(
+            df.agg(
+                F.lit(t).alias("table_name"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.lit(len(df.columns)).cast("long").alias("n_columns"),
+                null_cells.cast("long").alias("n_null_cells"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _lake_profile_sql() -> str:
+    from hadoop_data_lake_spark.core.io import TABLES
+
+    parts = []
+    for t in TABLES:
+        parts.append(
+            f"""
+SELECT '{t}' AS table_name,
+       count(*)::bigint AS n_rows,
+       (SELECT count(*) FROM (DESCRIBE {t}))::bigint AS n_columns,
+       (SELECT (count(*) * (SELECT count(*) FROM (DESCRIBE {t})))::bigint
+        FROM {t}) - (
+         SELECT sum(cnt)::bigint FROM (
+           SELECT count(columns(*)) AS cnt FROM {t}
+         ) UNPIVOT (cnt FOR col IN (COLUMNS(*)))
+       ) AS n_null_cells
+FROM {t}"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+LAKE_TABLE_PROFILE_SQL = _lake_profile_sql()

@@ -230,6 +230,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "media_wav_decode_stats": QuerySpec(NS.media_wav_decode_stats, NS.MEDIA_WAV_DECODE_STATS_SQL, ("multimodal", "real-codec", "wav", "audio", "arrow")),
     "media_avi_frame_stats": QuerySpec(NS.media_avi_frame_stats, NS.MEDIA_AVI_FRAME_STATS_SQL, ("multimodal", "real-codec", "avi", "video", "frame-sample")),
     "cf_ndcg_backtest": QuerySpec(TQ.cf_ndcg_backtest, TQ.CF_NDCG_BACKTEST_SQL, ("ml-eval", "ndcg", "recommender", "backtest")),
+    "lake_table_profile": QuerySpec(NS.lake_table_profile, NS.LAKE_TABLE_PROFILE_SQL, ("catalog", "profile", "quality")),
     # displaced from the streaming guard block by session 3 (r3-green
     # driver rows; still locally re-verified every round):
     "stream_sliding_counts": QuerySpec(NS.stream_sliding_counts, NS.STREAM_SLIDING_COUNTS_SQL, ("streaming", "sliding-window")),
