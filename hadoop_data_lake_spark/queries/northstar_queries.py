@@ -4754,3 +4754,106 @@ FROM {t}"""
 
 
 LAKE_TABLE_PROFILE_SQL = _lake_profile_sql()
+
+
+def zonemap_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map INTEGRITY audit: read every table's parquet FOOTER
+    statistics (row-group column chunks, merged: sum of value counts, sum
+    of null counts, min-of-mins / max-of-maxes for plain-integer columns)
+    and emit them as rows — which the oracle then recomputes FROM THE DATA
+    (count(*), count(col), min, max). Footer-vs-data equality is exactly
+    what data-skipping correctness rests on: a writer that produced wrong
+    row-group stats would silently corrupt every min/max-pruned scan.
+
+    Footer reads run DISTRIBUTED: one task per file via mapInPandas over
+    the file list (the manifest-build shape — at 100 TB the footers are
+    thousands of objects and never touch the driver). min/max only for
+    columns whose schema type is integer (exact in both engines); other
+    columns contribute counts and null counts."""
+    import pandas as pd
+
+    import pyspark.sql.types as T
+
+    from hadoop_data_lake_spark.core.io import SCHEMAS, TABLES
+
+    int_cols = {
+        t: {
+            f.name
+            for f in SCHEMAS[t].fields
+            if isinstance(f.dataType, (T.LongType, T.IntegerType))
+        }
+        for t in TABLES
+    }
+    files = spark.createDataFrame(
+        [(t, f"{sf_dir}/{t}.parquet") for t in TABLES],
+        "table_name string, path string",
+    ).repartition(len(TABLES))
+
+    def op(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for t, path in zip(pdf["table_name"], pdf["path"]):
+                md = pq.ParquetFile(path).metadata
+                agg: dict = {}
+                for rg in range(md.num_row_groups):
+                    for j in range(md.num_columns):
+                        col = md.row_group(rg).column(j)
+                        name = col.path_in_schema
+                        if "." in name:  # nested leaf (list/struct): the
+                            continue     # audit covers top-level primitives
+                        st = col.statistics
+                        a = agg.setdefault(
+                            name, {"nv": 0, "nc": 0, "mn": None, "mx": None}
+                        )
+                        a["nv"] += col.num_values
+                        a["nc"] += st.null_count if st is not None else 0
+                        if name in int_cols[t] and st is not None and st.has_min_max:
+                            mn, mx = int(st.min), int(st.max)
+                            a["mn"] = mn if a["mn"] is None else min(a["mn"], mn)
+                            a["mx"] = mx if a["mx"] is None else max(a["mx"], mx)
+                for name, a in agg.items():
+                    out.append((t, name, a["nv"], a["nc"], a["mn"], a["mx"]))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "table_name",
+                    "column_name",
+                    "n_values",
+                    "null_count",
+                    "min_i64",
+                    "max_i64",
+                ],
+            )
+
+    return files.mapInPandas(
+        op,
+        "table_name string, column_name string, n_values long, "
+        "null_count long, min_i64 long, max_i64 long",
+    )
+
+
+def _zonemap_audit_sql() -> str:
+    import pyspark.sql.types as T
+
+    from hadoop_data_lake_spark.core.io import SCHEMAS, TABLES
+
+    parts = []
+    for t in TABLES:
+        for f in SCHEMAS[t].fields:
+            if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType)):
+                continue  # nested: footer stats live on leaves, skipped above
+            is_int = isinstance(f.dataType, (T.LongType, T.IntegerType))
+            mn = f"min({f.name})::bigint" if is_int else "NULL::bigint"
+            mx = f"max({f.name})::bigint" if is_int else "NULL::bigint"
+            parts.append(
+                f"SELECT '{t}' AS table_name, '{f.name}' AS column_name, "
+                f"count(*)::bigint AS n_values, "
+                f"(count(*) - count({f.name}))::bigint AS null_count, "
+                f"{mn} AS min_i64, {mx} AS max_i64 FROM {t}"
+            )
+    return " UNION ALL ".join(parts)
+
+
+ZONEMAP_INTEGRITY_AUDIT_SQL = _zonemap_audit_sql()

@@ -231,6 +231,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "media_avi_frame_stats": QuerySpec(NS.media_avi_frame_stats, NS.MEDIA_AVI_FRAME_STATS_SQL, ("multimodal", "real-codec", "avi", "video", "frame-sample")),
     "cf_ndcg_backtest": QuerySpec(TQ.cf_ndcg_backtest, TQ.CF_NDCG_BACKTEST_SQL, ("ml-eval", "ndcg", "recommender", "backtest")),
     "lake_table_profile": QuerySpec(NS.lake_table_profile, NS.LAKE_TABLE_PROFILE_SQL, ("catalog", "profile", "quality")),
+    "zonemap_integrity_audit": QuerySpec(NS.zonemap_integrity_audit, NS.ZONEMAP_INTEGRITY_AUDIT_SQL, ("lakehouse", "zonemap", "footer-stats", "data-skipping")),
     # displaced from the streaming guard block by session 3 (r3-green
     # driver rows; still locally re-verified every round):
     "stream_sliding_counts": QuerySpec(NS.stream_sliding_counts, NS.STREAM_SLIDING_COUNTS_SQL, ("streaming", "sliding-window")),
