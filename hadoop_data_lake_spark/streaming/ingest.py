@@ -466,6 +466,7 @@ def stream_upsert_latest(
     parquet_path: str,
     target_path: str,
     n_slices: int = 4,
+    keep_generations: int = 1,
 ) -> DataFrame:
     """Replay `parquet_path` as `n_slices` micro-batches (maxFilesPerTrigger=1
     over a re-sliced copy) and foreachBatch-upsert the latest event per user
@@ -532,9 +533,15 @@ def stream_upsert_latest(
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(gen_name)
         os.replace(tmp, pointer)  # the commit point — atomic on POSIX
-        for entry in os.listdir(target_path):
-            if entry.startswith("gen_") and entry != gen_name:
-                shutil.rmtree(os.path.join(target_path, entry), ignore_errors=True)
+        # retention: keep the newest `keep_generations` immutable dirs —
+        # every retained superseded generation is a TIME-TRAVEL snapshot
+        # (read_table_generation); GC only what falls off the horizon.
+        gens = sorted(
+            (e for e in os.listdir(target_path) if e.startswith("gen_")),
+            reverse=True,
+        )
+        for entry in gens[max(1, keep_generations):]:
+            shutil.rmtree(os.path.join(target_path, entry), ignore_errors=True)
 
     try:
         q = (
@@ -552,3 +559,38 @@ def stream_upsert_latest(
     if live is None:
         raise RuntimeError(f"stream_upsert_latest committed no generation under {target_path}")
     return spark.read.parquet(live).localCheckpoint(eager=True)
+
+
+def list_generations(target_path: str) -> list[str]:
+    """Retained snapshot names, oldest first; the CURRENT pointer's target
+    is the last entry (pointer-commit invariant)."""
+    import os
+
+    gens = sorted(
+        e for e in os.listdir(target_path) if e.startswith("gen_")
+    )
+    return gens
+
+
+def read_table_generation(
+    spark: SparkSession, target_path: str, generation: str | None = None
+) -> DataFrame:
+    """Time travel over a generation-pointer table: read the CURRENT
+    snapshot (generation=None) or any retained historical generation by
+    name — the lakehouse VERSION AS OF read, on the same immutable-dirs +
+    atomic-pointer commit protocol stream_upsert_latest writes. Reading
+    never races a writer: generations are immutable once written and the
+    pointer swap is atomic, so a concurrent commit changes which snapshot
+    is CURRENT but never the bytes under a snapshot being read."""
+    import os
+
+    if generation is None:
+        with open(os.path.join(target_path, "CURRENT"), encoding="utf-8") as fh:
+            generation = fh.read().strip()
+    gen_dir = os.path.join(target_path, generation)
+    if not os.path.isdir(gen_dir):
+        raise FileNotFoundError(
+            f"generation {generation!r} not retained in {target_path} "
+            f"(have: {list_generations(target_path)})"
+        )
+    return spark.read.parquet(gen_dir)

@@ -398,3 +398,31 @@ def test_phash_near_dup_is_equi_banded(spark):
     plan = _plan(spark, "media_phash_near_dup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Dynamic partition pruning: joining a date-partitioned fact with a
+    FILTERED small dim must inject a runtime partition filter (the dim's
+    surviving keys prune fact partitions at execution, not plan, time) —
+    the mechanism star-schema scans at 100 TB live on. Requires the fact
+    to be partitioned on the join key and the dim filter to be selective;
+    asserted via the dynamicpruning subquery marker in the plan."""
+    import pyspark.sql.functions as F
+
+    from hadoop_data_lake_spark.core.io import read_table, write_overwrite
+
+    ev = read_table(spark, SF, "events").withColumn("d", F.to_date("ts"))
+    root = str(tmp_path / "events_by_date")
+    write_overwrite(ev, root, partition_by="d")
+
+    fact = spark.read.parquet(root)
+    dim = (
+        fact.select("d").distinct().limit(3)
+        .withColumn("flag", F.lit(1))
+    )
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+    dim_t = spark.read.parquet(str(tmp_path / "dim")).where(F.col("flag") == 1)
+
+    joined = fact.join(dim_t, "d").groupBy("d").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

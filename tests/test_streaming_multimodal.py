@@ -498,3 +498,39 @@ def test_avi_frame_stats_real_container(spark):
         (0, 4, 4 * ord("a")),
         (2, 4, 4 * ord("c")),
     ]
+
+
+def test_time_travel_generations(spark, tmp_path):
+    """VERSION AS OF over the generation-pointer table: with retention on,
+    superseded snapshots stay readable and immutable; CURRENT always names
+    the newest; monotonicity holds (a user set never shrinks under
+    latest-upsert); evicted generations fail loudly."""
+    from hadoop_data_lake_spark.streaming.ingest import (
+        list_generations,
+        read_table_generation,
+        stream_upsert_latest,
+    )
+
+    target = str(tmp_path / "latest_by_user")
+    final = stream_upsert_latest(
+        spark, f"{SF_DIR}/events.parquet", target, n_slices=4, keep_generations=8
+    )
+    gens = list_generations(target)
+    assert len(gens) >= 2  # history retained
+    current = read_table_generation(spark, target)
+    assert sorted(map(tuple, current.collect())) == sorted(
+        map(tuple, final.collect())
+    )
+    # each older snapshot covers a subset of users, never more rows/user
+    prev_users = None
+    for g in gens:
+        snap = read_table_generation(spark, target, g)
+        assert snap.groupBy("user_id").count().agg(F.max("count")).collect()[0][0] == 1
+        users = {r["user_id"] for r in snap.select("user_id").collect()}
+        if prev_users is not None:
+            assert prev_users <= users
+        prev_users = users
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="not retained"):
+        read_table_generation(spark, target, "gen_9999999999")
