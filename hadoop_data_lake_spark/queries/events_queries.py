@@ -5584,3 +5584,52 @@ FROM (SELECT ua, ub, c66,
       FROM cells)
 WHERE rn = 1
 """
+
+
+def user_value_gcd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-quantum detection via a CUSTOM PANDAS UDAF (the GROUPED_AGG
+    flavor — completing the UDF surface next to scalar pandas UDFs,
+    cogrouped applyInPandas, applyInPandasWithState, and the UDTF): per
+    user, the GCD of all observed cent amounts — the largest tick all
+    their transaction values are multiples of (fixed-tick pricing and
+    bot-like uniform spends surface as large quanta). GCD is associative,
+    commutative, and integer, so the one aggregate Spark cannot express
+    natively is still order-insensitive and exactly replayable (DuckDB:
+    list_reduce over gcd).
+
+    100 TB shape: GROUPED_AGG pandas UDFs run as real partial-less hash
+    aggregation over Arrow batches per group; the shuffle is the groupBy
+    on user_id — same exchange profile as a built-in aggregate."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def gcd_agg(v):
+        arr = v.to_numpy(dtype=np.int64)
+        return int(np.gcd.reduce(np.abs(arr))) if arr.size else 0
+
+    # Spark disallows mixing a GROUPED_AGG UDF with built-in aggregates in
+    # one agg() — the row count rides a second tiny UDAF instead
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def count_agg(v):
+        return int(len(v))
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.select("user_id", cents.alias("cents"))
+        .groupBy("user_id")
+        .agg(
+            gcd_agg(F.col("cents")).alias("value_gcd_cents"),
+            count_agg(F.col("cents")).alias("n_events"),
+        )
+    )
+
+
+USER_VALUE_GCD_SQL = """
+SELECT user_id,
+       list_reduce(list(abs(cents)), (a, b) -> gcd(a, b))::bigint AS value_gcd_cents,
+       count(*)::bigint AS n_events
+FROM (SELECT user_id, round(value * 100)::bigint AS cents FROM events)
+GROUP BY user_id
+"""
