@@ -4857,3 +4857,44 @@ def _zonemap_audit_sql() -> str:
 
 
 ZONEMAP_INTEGRITY_AUDIT_SQL = _zonemap_audit_sql()
+
+
+def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone decontamination REPORT: one row per detection layer —
+    exact n-gram overlap, lexical MinHash-LSH cross-corpus, semantic
+    embedding cosine — with flagged-document and hit counts side by side.
+    The layered report is what a pretraining run actually reviews before
+    dropping data: each layer catches what the previous one structurally
+    misses (verbatim -> paraphrase -> reworded), and a layer whose count
+    collapses to 0 signals a probe-set or threshold regression. Reuses the
+    three oracle-verified pipelines verbatim; each contributes one
+    aggregate over its own plan (no cross-layer shuffle)."""
+    ng = decontaminate_ngram_overlap(spark, sf_dir).agg(
+        F.lit("ngram_overlap").alias("method"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_hits"),
+    )
+    mh = decontaminate_minhash_cross(spark, sf_dir).agg(
+        F.lit("minhash_cross").alias("method"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_hits"),
+    )
+    em = decontaminate_embedding_cosine(spark, sf_dir).agg(
+        F.lit("embedding_cosine").alias("method"),
+        F.countDistinct("vec_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_hits"),
+    )
+    return ng.unionByName(mh).unionByName(em)
+
+
+DECONTAMINATION_REPORT_SQL = f"""
+SELECT 'ngram_overlap' AS method, count(DISTINCT doc_id)::bigint AS n_docs,
+       count(*)::bigint AS n_hits
+FROM ({DECONTAMINATE_NGRAM_OVERLAP_SQL})
+UNION ALL
+SELECT 'minhash_cross', count(DISTINCT doc_id)::bigint, count(*)::bigint
+FROM ({DECONTAMINATE_MINHASH_CROSS_SQL})
+UNION ALL
+SELECT 'embedding_cosine', count(DISTINCT vec_id)::bigint, count(*)::bigint
+FROM ({DECONTAMINATE_EMBEDDING_COSINE_SQL})
+"""
