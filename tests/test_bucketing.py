@@ -47,3 +47,37 @@ def test_bucketed_aggregation_has_no_shuffle(spark, bucketed_tables):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert agg.count() == 1000
+
+
+def test_analyze_table_statistics_feed_planner(spark, tmp_path):
+    """Catalog statistics surface: ANALYZE TABLE COMPUTE STATISTICS (table
+    + column level) must land rowCount/size in the catalog — the numbers
+    cost-based planning reads — and a join against the analyzed small
+    table must plan as a broadcast."""
+    import pyspark.sql.functions as F
+
+    from hadoop_data_lake_spark.core.io import read_table
+
+    nation = read_table(spark, "/root/testdata/sf0.001", "nation")
+    spark.sql("DROP TABLE IF EXISTS nation_stats_t")
+    nation.write.saveAsTable("nation_stats_t")
+    try:
+        spark.sql("ANALYZE TABLE nation_stats_t COMPUTE STATISTICS FOR ALL COLUMNS")
+        desc = spark.sql("DESCRIBE EXTENDED nation_stats_t").collect()
+        stats_row = next(r for r in desc if r["col_name"] == "Statistics")
+        assert "rows" in stats_row["data_type"]  # e.g. "1381 bytes, 25 rows"
+        col_desc = spark.sql(
+            "DESCRIBE EXTENDED nation_stats_t n_nationkey"
+        ).collect()
+        info = {r["info_name"]: r["info_value"] for r in col_desc}
+        assert info.get("distinct_count") not in (None, "NULL")
+        big = spark.range(0, 200_000).select(
+            (F.col("id") % 25).alias("n_nationkey"), F.col("id").alias("v")
+        )
+        plan = (
+            big.join(spark.table("nation_stats_t"), "n_nationkey")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_stats_t")
