@@ -404,3 +404,49 @@ def _group_by(pairs):
     for key, val in pairs:
         out.setdefault(key, []).append(val)
     return out
+
+
+def test_srp_recall_not_worse_than_mllib_brp(spark, emb):
+    """External cross-check: on the planted clusters, our deterministic
+    SRP tier must recall cluster-mates at least as well as pyspark.ml's
+    BucketedRandomProjectionLSH with comparable table count — the stock
+    alternative a Spark user would reach for (and which we reject for the
+    oracle path because its hash is seed+version dependent, not
+    cross-engine replayable)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    from hadoop_data_lake_spark.operators.similarity import srp_int_topk
+
+    vec = emb.withColumn("features", array_to_vector("embedding"))
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        numHashTables=4,
+        bucketLength=2.0,
+        seed=42,
+    ).fit(vec)
+    pairs = brp.approxSimilarityJoin(vec, vec, threshold=2.0)
+    got_brp = {}
+    for r in pairs.collect():
+        a, b = r["datasetA"]["vec_id"], r["datasetB"]["vec_id"]
+        if a != b:
+            got_brp.setdefault(a, set()).add(b)
+
+    out = srp_int_topk(emb, emb, k=4, num_tables=4, bits_per_table=8, dim=DIM)
+    got_srp = {}
+    for r in out.collect():
+        got_srp.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(got):
+        hits = total = 0
+        for qid in range(N_CLUSTERS * PER_CLUSTER):
+            mates = {
+                qid // PER_CLUSTER * PER_CLUSTER + i for i in range(PER_CLUSTER)
+            } - {qid}
+            hits += len(got.get(qid, set()) & mates)
+            total += len(mates)
+        return hits / total
+
+    assert recall(got_srp) >= recall(got_brp) - 0.05
+    assert recall(got_srp) >= 0.9
