@@ -5633,3 +5633,106 @@ SELECT user_id,
 FROM (SELECT user_id, round(value * 100)::bigint AS cents FROM events)
 GROUP BY user_id
 """
+
+
+def daily_value_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of daily event value: trend =
+    centered 7-day moving average, weekly seasonal = per-weekday mean of
+    the detrended series, residual = remainder. The decomposition every
+    monitoring stack runs before alerting on a metric.
+
+    Determinism: the moving sum and the per-weekday sums are INTEGER
+    (cents; detrended kept 7x-scaled so subtraction of trend stays exact:
+    det7 = 7 * r_d - sum7); every float is a single closed-form division
+    of integer aggregates, rounded once — no cross-row float accumulation
+    anywhere. Weekday index is pure arithmetic (days since an anchor mod
+    7), sidestepping engine-specific dow conventions. Only days with a
+    complete centered window are emitted."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.to_date("ts").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("r"))
+    )
+    bounds = daily.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    ).localCheckpoint(eager=False)
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("d"), "d0"
+    )
+    full = (
+        spine.join(daily, "d", "left")
+        .select(
+            "d",
+            F.datediff("d", "d0").alias("di"),
+            (F.datediff("d", "d0") % 7).alias("dow"),
+            F.coalesce("r", F.lit(0)).cast("long").alias("r"),
+        )
+    )
+    w7 = Window.orderBy("di").rowsBetween(-3, 3)
+    t = (
+        full.withColumn("sum7", F.sum("r").over(w7))
+        .withColumn("n7", F.count("*").over(w7))
+        .where(F.col("n7") == 7)
+        .withColumn("det7", 7 * F.col("r") - F.col("sum7"))
+        .localCheckpoint(eager=False)
+    )
+    season = t.groupBy("dow").agg(
+        F.sum("det7").alias("s_sum"), F.count("*").alias("s_cnt")
+    )
+    return (
+        t.join(season, "dow")
+        .select(
+            F.col("d").cast("string").alias("d"),
+            F.round(F.col("r") / 100.0, 6).alias("revenue_r"),
+            F.round(F.col("sum7") / 700.0, 6).alias("trend_r"),
+            F.round(F.col("s_sum") / (F.col("s_cnt") * 700.0), 6).alias(
+                "seasonal_r"
+            ),
+            F.round(
+                (F.col("det7") - F.col("s_sum") / F.col("s_cnt")) / 700.0, 6
+            ).alias("resid_r"),
+        )
+    )
+
+
+DAILY_VALUE_STL_SQL = """
+WITH daily AS (
+  SELECT ts::date AS d, sum(round(value * 100)::bigint) AS r
+  FROM events GROUP BY ts::date
+),
+b AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+spine AS (
+  SELECT dd::date AS d, d0 FROM (
+    SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS dd, d0 FROM b)
+),
+full_g AS (
+  SELECT s.d, (s.d - s.d0) AS di, (s.d - s.d0) % 7 AS dow,
+         coalesce(dd.r, 0)::bigint AS r
+  FROM spine s LEFT JOIN daily dd ON s.d = dd.d
+),
+t AS (
+  SELECT *, sum(r) OVER w AS sum7, count(*) OVER w AS n7
+  FROM full_g
+  WINDOW w AS (ORDER BY di ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+t7 AS (
+  SELECT d, dow, r, sum7, (7 * r - sum7)::bigint AS det7
+  FROM t WHERE n7 = 7
+),
+season AS (
+  SELECT dow, sum(det7)::bigint AS s_sum, count(*)::bigint AS s_cnt
+  FROM t7 GROUP BY dow
+)
+SELECT t7.d::varchar AS d,
+       round(t7.r / 100.0, 6) AS revenue_r,
+       round(t7.sum7 / 700.0, 6) AS trend_r,
+       round(season.s_sum / (season.s_cnt * 700.0), 6) AS seasonal_r,
+       round((t7.det7 - season.s_sum / season.s_cnt) / 700.0, 6) AS resid_r
+FROM t7 JOIN season ON t7.dow = season.dow
+"""

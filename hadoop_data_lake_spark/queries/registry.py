@@ -234,6 +234,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "zonemap_integrity_audit": QuerySpec(NS.zonemap_integrity_audit, NS.ZONEMAP_INTEGRITY_AUDIT_SQL, ("lakehouse", "zonemap", "footer-stats", "data-skipping")),
     "user_value_gcd": QuerySpec(EV.user_value_gcd, EV.USER_VALUE_GCD_SQL, ("udaf", "pandas-grouped-agg", "price-quantum")),
     "decontamination_report": QuerySpec(NS.decontamination_report, NS.DECONTAMINATION_REPORT_SQL, ("dedup", "decontamination", "report", "capstone")),
+    "daily_value_stl": QuerySpec(EV.daily_value_stl, EV.DAILY_VALUE_STL_SQL, ("timeseries", "stl", "decomposition", "seasonality")),
     # displaced from the streaming guard block by session 3 (r3-green
     # driver rows; still locally re-verified every round):
     "stream_sliding_counts": QuerySpec(NS.stream_sliding_counts, NS.STREAM_SLIDING_COUNTS_SQL, ("streaming", "sliding-window")),
