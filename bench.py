@@ -186,8 +186,10 @@ def _scale_ops(spark, docs, emb, mult):
 
 
 def run_scale_tier(spark, base_dir: str) -> dict:
-    """{op: {"t1x": s, "t10x": s, "ratio": r}} — single-shot timings (the
-    ratio of two same-box measurements is what matters, not the absolute)."""
+    """{op: {"t1x": s, "t10x": s, "ratio": r}} — best-of-2 timings: a
+    single cold shot samples JIT + co-tenant noise (measured semdedup
+     0.58s/11.5s cold vs 1.15s/5.55s warm on the same box — a phantom 20x
+    ratio); the second rep prices the operator, not the JVM."""
     out: dict[str, dict] = {}
     frames = {
         1: (_scaled_docs(spark, base_dir, 1), _scaled_embeddings(spark, base_dir, 1)),
@@ -198,12 +200,15 @@ def run_scale_tier(spark, base_dir: str) -> dict:
     }
     for mult, (docs, emb) in frames.items():
         for name, thunk in _scale_ops(spark, docs, emb, mult).items():
-            t0 = time.perf_counter()
-            rows = thunk().count()
-            dt = time.perf_counter() - t0
+            best, rows = None, 0
+            for _rep in range(2):
+                t0 = time.perf_counter()
+                rows = thunk().count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
             key = "t1x" if mult == 1 else f"t{SCALE_MULT}x"
-            out.setdefault(name, {})[key] = round(dt, 3)
-            print(f"# scale {name} {mult}x: {dt:.3f}s ({rows} rows)", file=sys.stderr)
+            out.setdefault(name, {})[key] = round(best, 3)
+            print(f"# scale {name} {mult}x: {best:.3f}s ({rows} rows)", file=sys.stderr)
     for name, d in out.items():
         if d.get("t1x", 0) > 0:
             d["ratio"] = round(d[f"t{SCALE_MULT}x"] / d["t1x"], 2)

@@ -235,6 +235,8 @@ _BACKLOG: dict[str, QuerySpec] = {
     "user_value_gcd": QuerySpec(EV.user_value_gcd, EV.USER_VALUE_GCD_SQL, ("udaf", "pandas-grouped-agg", "price-quantum")),
     "decontamination_report": QuerySpec(NS.decontamination_report, NS.DECONTAMINATION_REPORT_SQL, ("dedup", "decontamination", "report", "capstone")),
     "daily_value_stl": QuerySpec(EV.daily_value_stl, EV.DAILY_VALUE_STL_SQL, ("timeseries", "stl", "decomposition", "seasonality")),
+    "l_diversity_audit": QuerySpec(TQ.l_diversity_audit, TQ.L_DIVERSITY_AUDIT_SQL, ("privacy", "l-diversity", "audit")),
+    "activity_tail_hill": QuerySpec(TQ.activity_tail_hill, TQ.ACTIVITY_TAIL_HILL_SQL, ("stats", "heavy-tail", "hill", "ordered-fold")),
     # displaced from the streaming guard block by session 3 (r3-green
     # driver rows; still locally re-verified every round):
     "stream_sliding_counts": QuerySpec(NS.stream_sliding_counts, NS.STREAM_SLIDING_COUNTS_SQL, ("streaming", "sliding-window")),

@@ -4410,3 +4410,126 @@ SELECT p.o_custkey AS custkey, r.n_relevant,
        ), 6) AS ndcg_r
 FROM per_user p JOIN relevant r ON p.o_custkey = r.o_custkey
 """
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the companion k-anonymity misses: a group can
+    be large (k-anonymous) yet expose everyone's SENSITIVE attribute if
+    the group is homogeneous in it. Quasi-identifier = (nation, balance
+    band of 1000) over customers; sensitive attribute = market segment;
+    l(group) = distinct segments observed. Rolled up per nation
+    (publishing violating quasi-identifiers verbatim would itself leak):
+    group counts, groups below l = 2 (homogeneous), exposed row count,
+    and the worst l. Pure integer bucketing + two aggregations."""
+    cust = read_table(spark, sf_dir, "customer")
+    groups = (
+        cust.select(
+            "c_nationkey",
+            F.expr("cast(floor(c_acctbal / 1000) as bigint)").alias("bal_band"),
+            "c_mktsegment",
+        )
+        .groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.countDistinct("c_mktsegment").alias("l"),
+            F.count("*").alias("k"),
+        )
+    )
+    return (
+        groups.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum((F.col("l") < 2).cast("long")).alias("n_homogeneous"),
+            F.sum(F.when(F.col("l") < 2, F.col("k")).otherwise(0))
+            .cast("long")
+            .alias("n_exposed_rows"),
+            F.min("l").cast("long").alias("min_l"),
+        )
+    )
+
+
+L_DIVERSITY_AUDIT_SQL = """
+WITH groups AS (
+  SELECT c_nationkey, floor(c_acctbal / 1000)::bigint AS bal_band,
+         count(DISTINCT c_mktsegment)::bigint AS l, count(*)::bigint AS k
+  FROM customer
+  GROUP BY 1, 2
+)
+SELECT c_nationkey,
+       count(*)::bigint AS n_groups,
+       sum(CASE WHEN l < 2 THEN 1 ELSE 0 END)::bigint AS n_homogeneous,
+       sum(CASE WHEN l < 2 THEN k ELSE 0 END)::bigint AS n_exposed_rows,
+       min(l)::bigint AS min_l
+FROM groups
+GROUP BY c_nationkey
+"""
+
+
+def activity_tail_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the user-activity tail index — the standard
+    heavy-tail diagnostic (alpha ~ 1/hill): over the k = 20 most active
+    users' event counts x_1 >= ... >= x_k, hill = (1/(k-1)) * sum_{i<k}
+    ln(x_i / x_k). Counts are integers; the log-ratio sum is an ORDERED
+    fold over the rank-sorted top-k list (the source_vocab_kl determinism
+    pattern) — one closed-form double per fold step, identical in both
+    engines, rounded once. Output also carries the integer top-k bounds
+    so a drifting tail is visible at a glance."""
+    ev = read_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    topk = counts.orderBy(F.col("c").desc(), F.col("user_id").asc()).limit(20)
+    arr = topk.agg(
+        F.reverse(F.array_sort(F.collect_list("c"))).alias("xs")
+    )
+    return arr.select(
+        F.size("xs").cast("long").alias("k_used"),
+        F.element_at("xs", 1).cast("long").alias("x_max"),
+        F.element_at("xs", -1).cast("long").alias("x_k"),
+        F.round(
+            F.aggregate(
+                F.slice("xs", 1, F.size("xs") - 1),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + F.log(
+                    x.cast("double") / F.element_at("xs", -1).cast("double")
+                ),
+            )
+            / (F.size("xs") - 1),
+            6,
+        ).alias("hill_r"),
+        F.round(
+            (F.size("xs") - 1)
+            / F.aggregate(
+                F.slice("xs", 1, F.size("xs") - 1),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + F.log(
+                    x.cast("double") / F.element_at("xs", -1).cast("double")
+                ),
+            ),
+            6,
+        ).alias("alpha_r"),
+    )
+
+
+ACTIVITY_TAIL_HILL_SQL = """
+WITH counts AS (
+  SELECT user_id, count(*)::bigint AS c FROM events GROUP BY user_id
+),
+topk AS (
+  SELECT c FROM counts ORDER BY c DESC, user_id ASC LIMIT 20
+),
+arr AS (
+  SELECT list_reverse(list_sort(list(c))) AS xs FROM topk
+)
+SELECT len(xs)::bigint AS k_used,
+       xs[1]::bigint AS x_max,
+       xs[-1]::bigint AS x_k,
+       round(list_reduce(list_prepend(0.0,
+               list_transform(list_slice(xs, 1, len(xs) - 1),
+                 x -> ln(x::double / (xs[-1])::double))),
+             (acc, v) -> acc + v) / (len(xs) - 1), 6) AS hill_r,
+       round((len(xs) - 1) / list_reduce(list_prepend(0.0,
+               list_transform(list_slice(xs, 1, len(xs) - 1),
+                 x -> ln(x::double / (xs[-1])::double))),
+             (acc, v) -> acc + v), 6) AS alpha_r
+FROM arr
+"""
