@@ -4898,3 +4898,135 @@ UNION ALL
 SELECT 'embedding_cosine', count(DISTINCT vec_id)::bigint, count(*)::bigint
 FROM ({DECONTAMINATE_EMBEDDING_COSINE_SQL})
 """
+
+
+def kmv_week_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET OPERATIONS — the capability that justifies keeping
+    sketches at all: estimate the user-base overlap of two weeks (union,
+    Jaccard, intersection) purely from the two k-min states, never
+    re-reading the facts. Method (Beyer et al. 2007): the k smallest
+    hashes of S1 ∪ S2 form the union sketch; the fraction of those
+    present in BOTH input sketches estimates Jaccard; intersection =
+    jaccard x union. Everything post-hash is integer until one closed-form
+    float per estimate (detsketches determinism rules); exact counts ride
+    along for the error to be visible."""
+    from hadoop_data_lake_spark.functions.detsketches import (
+        KMV_K,
+        kmv_estimate,
+        kmv_minima,
+    )
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    wk = ev.select(
+        (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7)
+        .cast("int")
+        .alias("wk"),
+        "user_id",
+    ).where(F.col("wk").isin(0, 1))
+    mins = kmv_minima(wk, ["wk"], "user_id").localCheckpoint(eager=False)
+    est = kmv_estimate(mins, ["wk"])
+    union_all = mins.select("h").distinct()
+    w = Window.orderBy("h")
+    union_k = (
+        union_all.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .drop("rn")
+        .localCheckpoint(eager=False)
+    )
+    union_est = kmv_estimate(
+        union_k.withColumn("g", F.lit(1)), ["g"]
+    ).select(F.col("est").alias("est_union"))
+    s0 = mins.where(F.col("wk") == 0).select("h")
+    s1 = mins.where(F.col("wk") == 1).select("h")
+    in_both = (
+        union_k.join(s0, "h", "left_semi").join(s1, "h", "left_semi").count()
+    )
+    k_used = union_k.count()
+    exact = (
+        wk.groupBy("user_id")
+        .agg(F.max(F.when(F.col("wk") == 0, 1).otherwise(0)).alias("w0"),
+             F.max(F.when(F.col("wk") == 1, 1).otherwise(0)).alias("w1"))
+        .agg(
+            F.sum("w0").cast("long").alias("exact_w0"),
+            F.sum("w1").cast("long").alias("exact_w1"),
+            F.sum(F.col("w0") * F.col("w1")).cast("long").alias("exact_inter"),
+        )
+    )
+    ests = (
+        est.groupBy()
+        .pivot("wk", [0, 1])
+        .agg(F.first("est"))
+        .withColumnRenamed("0", "e0")
+        .withColumnRenamed("1", "e1")
+        .crossJoin(union_est)
+    )
+    return (
+        ests.crossJoin(exact)
+        .select(
+            F.round("e0", 6).alias("est_w0_r"),
+            F.round("e1", 6).alias("est_w1_r"),
+            F.round("est_union", 6).alias("est_union_r"),
+            F.round(F.lit(in_both) / F.lit(k_used), 6).alias("jaccard_est_r"),
+            F.round(
+                (F.lit(in_both) / F.lit(k_used)) * F.col("est_union"), 6
+            ).alias("est_inter_r"),
+            "exact_w0",
+            "exact_w1",
+            "exact_inter",
+        )
+    )
+
+
+KMV_WEEK_OVERLAP_SQL = f"""
+WITH wkt AS (
+  SELECT ((ts::date - DATE '2024-01-01') // 7)::int AS wk, user_id
+  FROM events
+  WHERE ((ts::date - DATE '2024-01-01') // 7)::int IN (0, 1)
+),
+hh AS (
+  SELECT DISTINCT wk, {md5_60bit_sql('user_id::varchar')}::bigint AS h FROM wkt
+),
+mins AS (
+  SELECT wk, h FROM (
+    SELECT wk, h, row_number() OVER (PARTITION BY wk ORDER BY h) AS rn
+    FROM hh) WHERE rn <= 64
+),
+est AS (
+  SELECT wk, CASE WHEN count(*) < 64 THEN count(*)::double
+                  ELSE {float(63 * (1 << 60))!r} / max(h)::double END AS est
+  FROM mins GROUP BY wk
+),
+union_k AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM mins)) WHERE rn <= 64
+),
+union_est AS (
+  SELECT CASE WHEN count(*) < 64 THEN count(*)::double
+              ELSE {float(63 * (1 << 60))!r} / max(h)::double END AS est_union,
+         count(*)::bigint AS k_used
+  FROM union_k
+),
+in_both AS (
+  SELECT count(*)::bigint AS n
+  FROM union_k u
+  WHERE EXISTS (SELECT 1 FROM mins m WHERE m.wk = 0 AND m.h = u.h)
+    AND EXISTS (SELECT 1 FROM mins m WHERE m.wk = 1 AND m.h = u.h)
+),
+exact AS (
+  SELECT sum(w0)::bigint AS exact_w0, sum(w1)::bigint AS exact_w1,
+         sum(w0 * w1)::bigint AS exact_inter
+  FROM (SELECT user_id,
+               max(CASE WHEN wk = 0 THEN 1 ELSE 0 END) AS w0,
+               max(CASE WHEN wk = 1 THEN 1 ELSE 0 END) AS w1
+        FROM wkt GROUP BY user_id)
+)
+SELECT round((SELECT est FROM est WHERE wk = 0), 6) AS est_w0_r,
+       round((SELECT est FROM est WHERE wk = 1), 6) AS est_w1_r,
+       round(u.est_union, 6) AS est_union_r,
+       round(b.n::double / u.k_used, 6) AS jaccard_est_r,
+       round((b.n::double / u.k_used) * u.est_union, 6) AS est_inter_r,
+       e.exact_w0, e.exact_w1, e.exact_inter
+FROM union_est u, in_both b, exact e
+"""

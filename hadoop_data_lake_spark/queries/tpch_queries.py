@@ -4533,3 +4533,56 @@ SELECT len(xs)::bigint AS k_used,
              (acc, v) -> acc + v), 6) AS alpha_r
 FROM arr
 """
+
+
+def monthly_from_daily_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view rewrite legality: the monthly revenue report
+    answered ONLY from a daily pre-aggregate (sum/count/min/max carried
+    up; avg re-derived as sum-of-sums over sum-of-counts — never the
+    avg-of-avgs pitfall), verified against the oracle computing monthly
+    straight from the facts. This is the contract every rollup-serving
+    layer (and incremental_orders_agg's refresh) rests on: coarser grains
+    must be answerable from finer pre-aggregates without touching facts.
+
+    100 TB shape: facts are read once at the daily grain; the monthly
+    pass aggregates ~365 rows per year."""
+    orders = read_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.to_date("o_orderdate").alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(
+            F.sum("cents").alias("day_cents"),
+            F.count("*").alias("day_orders"),
+            F.min("cents").alias("day_min"),
+            F.max("cents").alias("day_max"),
+        )
+    )
+    return (
+        daily.groupBy(F.date_format("d", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum("day_cents").cast("long").alias("rev_cents"),
+            F.sum("day_orders").cast("long").alias("n_orders"),
+            F.min("day_min").cast("long").alias("min_cents"),
+            F.max("day_max").cast("long").alias("max_cents"),
+        )
+        .withColumn(
+            "avg_cents_r",
+            F.round(F.col("rev_cents") / F.col("n_orders").cast("double"), 6),
+        )
+    )
+
+
+MONTHLY_FROM_DAILY_MV_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       sum(round(o_totalprice * 100)::bigint)::bigint AS rev_cents,
+       count(*)::bigint AS n_orders,
+       min(round(o_totalprice * 100)::bigint)::bigint AS min_cents,
+       max(round(o_totalprice * 100)::bigint)::bigint AS max_cents,
+       round(sum(round(o_totalprice * 100)::bigint)::double / count(*), 6)
+         AS avg_cents_r
+FROM orders
+GROUP BY 1
+"""
