@@ -72,3 +72,61 @@ def compact_dataset(
         writer = writer.partitionBy(*parts)
     writer.parquet(dst)
     return spark.read.parquet(dst)
+
+
+def write_audit_publish(
+    spark,
+    df,
+    target_path: str,
+    expectations: dict,
+    keep_generations: int = 2,
+) -> dict:
+    """Write-Audit-Publish (the Iceberg WAP pattern) on the repo's
+    generation-pointer protocol: stage the frame as a new immutable
+    generation dir, AUDIT the staged files (each expectation is a
+    callable DataFrame -> bool evaluated on a re-read of the staged data
+    — auditing what was actually written, not the input lineage), and
+    only then PUBLISH with one atomic pointer replace. A failing audit
+    leaves CURRENT untouched and the staged dir quarantined under its
+    gen_* name with a REJECTED marker — consumers never observe a bad
+    snapshot, and the rejected data stays inspectable.
+
+    Returns {"published": bool, "generation": name, "audit": {name: bool}}.
+
+    Same LOCAL-POSIX contract as stream_upsert_latest's commit; on object
+    stores the identical choreography runs over a manifest/branch commit
+    (Iceberg's wap.branch).
+    """
+    import os
+    import shutil
+    import time as _time
+
+    os.makedirs(target_path, exist_ok=True)
+    pointer = os.path.join(target_path, "CURRENT")
+    gen_name = f"gen_{int(_time.time() * 1000):013d}"
+    gen_dir = os.path.join(target_path, gen_name)
+    df.write.mode("overwrite").parquet(gen_dir)
+
+    staged = spark.read.parquet(gen_dir)
+    results = {name: bool(check(staged)) for name, check in expectations.items()}
+    if not all(results.values()):
+        with open(os.path.join(gen_dir, "REJECTED"), "w", encoding="utf-8") as fh:
+            fh.write(",".join(n for n, ok in results.items() if not ok))
+        return {"published": False, "generation": gen_name, "audit": results}
+
+    tmp = f"{pointer}.tmp_{gen_name}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(gen_name)
+    os.replace(tmp, pointer)  # the commit point
+    gens = sorted(
+        (
+            e
+            for e in os.listdir(target_path)
+            if e.startswith("gen_")
+            and not os.path.exists(os.path.join(target_path, e, "REJECTED"))
+        ),
+        reverse=True,
+    )
+    for entry in gens[max(1, keep_generations):]:
+        shutil.rmtree(os.path.join(target_path, entry), ignore_errors=True)
+    return {"published": True, "generation": gen_name, "audit": results}
