@@ -5736,3 +5736,49 @@ SELECT t7.d::varchar AS d,
        round((t7.det7 - season.s_sum / season.s_cnt) / 700.0, 6) AS resid_r
 FROM t7 JOIN season ON t7.dow = season.dow
 """
+
+
+def user_type_share_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions end to end: per user, build
+    map<event_type, count> (map_from_entries over the grouped counts),
+    drop rare types with map_filter (count >= 3), normalize to shares
+    with transform_values (count / kept-total, the SQL-lambda closing
+    over an aggregate of the same map via aggregate()), then explode the
+    map back to rows. The relational RESULT is plain (user, type, share)
+    — which is exactly what makes the map pipeline oracle-checkable."""
+    ev = read_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "c")))
+        ).alias("m")
+    )
+    kept = m.withColumn(
+        "mk", F.map_filter("m", lambda k, v: v >= 3)
+    ).withColumn(
+        "total",
+        F.aggregate(
+            F.map_values("mk"), F.lit(0).cast("long"), lambda a, x: a + x
+        ),
+    )
+    shares = kept.withColumn(
+        "ms",
+        F.transform_values(
+            "mk", lambda k, v: F.round(v / F.col("total").cast("double"), 6)
+        ),
+    )
+    return shares.select(
+        "user_id", F.explode("ms").alias("event_type", "share_r")
+    )
+
+
+USER_TYPE_SHARE_MAP_SQL = """
+WITH counts AS (
+  SELECT user_id, event_type, count(*)::bigint AS c
+  FROM events GROUP BY 1, 2
+),
+kept AS (SELECT * FROM counts WHERE c >= 3),
+tot AS (SELECT user_id, sum(c)::bigint AS total FROM kept GROUP BY user_id)
+SELECT k.user_id, k.event_type, round(k.c / t.total::double, 6) AS share_r
+FROM kept k JOIN tot t ON k.user_id = t.user_id
+"""
