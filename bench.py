@@ -141,6 +141,29 @@ def _scaled_embeddings(spark, base_dir: str, mult: int):
     return emb.localCheckpoint(eager=True)
 
 
+def _scaled_events(spark, base_dir: str, mult: int):
+    """events replicated `mult`x with disjoint user-id spaces: every copy
+    keeps realistic per-user time series (sessionization / as-of joins see
+    the same per-key density) while keys and rows grow linearly."""
+    from pyspark.sql import functions as F
+
+    from hadoop_data_lake_spark.core.io import read_table
+
+    ev = read_table(spark, base_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    if mult > 1:
+        rep = spark.range(mult).select(F.col("id").alias("rep"))
+        ev = ev.crossJoin(rep).select(
+            (F.col("event_id") * mult + F.col("rep")).alias("event_id"),
+            "ts",
+            (F.col("user_id") * mult + F.col("rep")).alias("user_id"),
+            "event_type",
+            "value",
+        )
+    return ev.localCheckpoint(eager=True)
+
+
 def _scale_ops(spark, docs, emb, mult):
     """name -> thunk returning the operator frame. All run with their SCALE
     defaults (hot-key caps ON) — this tier times the 100 TB configuration,
@@ -185,6 +208,37 @@ def _scale_ops(spark, docs, emb, mult):
     }
 
 
+def _event_scale_ops(spark, ev):
+    """Shuffle-heavy event operators for the scale tier: sessionization
+    (window shuffle on user) and the as-of join (union + running last) —
+    the two patterns whose exchanges dominate event pipelines."""
+    from pyspark.sql import functions as F
+
+    from hadoop_data_lake_spark.operators.asof import asof_join
+    from hadoop_data_lake_spark.operators.windows import sessionize
+
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("purchase_ts_us"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("click_ts_us"),
+    )
+    return {
+        # aggregate ON the session id so count() cannot prune the window
+        "sessionize_events": lambda: sessionize(
+            ev, ["user_id"], "ts", gap_seconds=1800
+        ).groupBy("user_id", "session_id").count(),
+        "asof_purchase_click": lambda: asof_join(
+            purchases, clicks, on="user_id",
+            left_ts="purchase_ts_us", right_ts="click_ts_us",
+        ),
+    }
+
+
 def run_scale_tier(spark, base_dir: str) -> dict:
     """{op: {"t1x": s, "t10x": s, "ratio": r}} — best-of-2 timings: a
     single cold shot samples JIT + co-tenant noise (measured semdedup
@@ -192,14 +246,21 @@ def run_scale_tier(spark, base_dir: str) -> dict:
     ratio); the second rep prices the operator, not the JVM."""
     out: dict[str, dict] = {}
     frames = {
-        1: (_scaled_docs(spark, base_dir, 1), _scaled_embeddings(spark, base_dir, 1)),
+        1: (
+            _scaled_docs(spark, base_dir, 1),
+            _scaled_embeddings(spark, base_dir, 1),
+            _scaled_events(spark, base_dir, 1),
+        ),
         SCALE_MULT: (
             _scaled_docs(spark, base_dir, SCALE_MULT),
             _scaled_embeddings(spark, base_dir, SCALE_MULT),
+            _scaled_events(spark, base_dir, SCALE_MULT),
         ),
     }
-    for mult, (docs, emb) in frames.items():
-        for name, thunk in _scale_ops(spark, docs, emb, mult).items():
+    for mult, (docs, emb, ev) in frames.items():
+        ops = _scale_ops(spark, docs, emb, mult)
+        ops.update(_event_scale_ops(spark, ev))
+        for name, thunk in ops.items():
             best, rows = None, 0
             for _rep in range(2):
                 t0 = time.perf_counter()
