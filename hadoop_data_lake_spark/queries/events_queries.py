@@ -5782,3 +5782,92 @@ tot AS (SELECT user_id, sum(c)::bigint AS total FROM kept GROUP BY user_id)
 SELECT k.user_id, k.event_type, round(k.c / t.total::double, 6) AS share_r
 FROM kept k JOIN tot t ON k.user_id = t.user_id
 """
+
+
+def quantile_forecast_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-forecast backtest scored with pinball (quantile) loss —
+    the proper scoring rule for P10/P50/P90 service-level forecasts,
+    closing the forecasting family (point bakeoff, seasonal-naive
+    backtest) with interval evaluation. Train = first 21 days of daily
+    value; forecasts for the remaining days are the TRAIN weekday
+    empirical quantiles (seasonal-naive quantile model); each (test day,
+    q) row carries its own closed-form loss max(q*(y-f), (q-1)*(y-f)) —
+    per-row floats only, quantiles rounded before use (rank-on-rounded
+    rule), weekday by anchor-mod-7 arithmetic. No cross-row float
+    accumulation anywhere."""
+    from pyspark.sql import functions as _F
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.to_date("ts").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("y"))
+        .withColumn(
+            "di", F.datediff("d", F.lit("2024-01-01").cast("date"))
+        )
+        .withColumn("dow", F.col("di") % 7)
+    )
+    train = daily.where(F.col("di") < 21)
+    test = daily.where(F.col("di") >= 21)
+    qs = [("p10", 0.1), ("p50", 0.5), ("p90", 0.9)]
+    fc = train.groupBy("dow").agg(
+        *[
+            F.round(F.percentile("y", F.lit(q)), 6).alias(label)
+            for label, q in qs
+        ]
+    )
+    joined = test.join(F.broadcast(fc), "dow")
+    rows = []
+    for label, q in qs:
+        f = F.col(label)
+        y = F.col("y").cast("double")
+        loss = F.greatest(q * (y - f), (q - 1) * (y - f))
+        rows.append(
+            joined.select(
+                F.col("d").cast("string").alias("d"),
+                F.lit(label).alias("q_label"),
+                F.round(f / 100.0, 6).alias("forecast_r"),
+                F.round(y / 100.0, 6).alias("actual_r"),
+                F.round(loss / 100.0, 6).alias("pinball_r"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+QUANTILE_FORECAST_PINBALL_SQL = """
+WITH daily AS (
+  SELECT ts::date AS d, sum(round(value * 100)::bigint) AS y,
+         (ts::date - DATE '2024-01-01') AS di,
+         (ts::date - DATE '2024-01-01') % 7 AS dow
+  FROM events GROUP BY ts::date
+),
+train AS (SELECT * FROM daily WHERE di < 21),
+test AS (SELECT * FROM daily WHERE di >= 21),
+fc AS (
+  SELECT dow,
+         round(quantile_cont(y, 0.1), 6) AS p10,
+         round(quantile_cont(y, 0.5), 6) AS p50,
+         round(quantile_cont(y, 0.9), 6) AS p90
+  FROM train GROUP BY dow
+),
+j AS (SELECT t.d, t.y, f.p10, f.p50, f.p90 FROM test t JOIN fc f ON t.dow = f.dow)
+SELECT d::varchar AS d, 'p10' AS q_label,
+       round(p10 / 100.0, 6) AS forecast_r,
+       round(y / 100.0, 6) AS actual_r,
+       round(greatest(0.1 * (y - p10), (0.1 - 1.0) * (y - p10)) / 100.0, 6) AS pinball_r
+FROM j
+UNION ALL
+SELECT d::varchar, 'p50', round(p50 / 100.0, 6), round(y / 100.0, 6),
+       round(greatest(0.5 * (y - p50), (0.5 - 1.0) * (y - p50)) / 100.0, 6)
+FROM j
+UNION ALL
+SELECT d::varchar, 'p90', round(p90 / 100.0, 6), round(y / 100.0, 6),
+       round(greatest(0.9 * (y - p90), (0.9 - 1.0) * (y - p90)) / 100.0, 6)
+FROM j
+"""
