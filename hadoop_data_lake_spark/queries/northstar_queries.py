@@ -5030,3 +5030,103 @@ SELECT round((SELECT est FROM est WHERE wk = 0), 6) AS est_w0_r,
        e.exact_w0, e.exact_w1, e.exact_inter
 FROM union_est u, in_both b, exact e
 """
+
+
+def hashed_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embed-then-search END TO END with no external model: documents ->
+    64-dim feature-hashed count vectors (the hashing trick,
+    hashed_token_vectors' bucket hash at KNN width) -> sparse cosine
+    top-3 for each probe doc (doc_id % 100 == 0). The dot product is the
+    SPARSE formulation — a (bucket)-keyed equi-join summing c_a * c_b —
+    which is the only shape that survives high-dim hashed spaces at scale
+    (dense arrays would shuffle 64x the data for mostly-zero products);
+    counts and dot products are integers, norms one sqrt each, cosine a
+    single closed-form double, rounded then ranked (rank-on-rounded).
+
+    100 TB shape: probe side broadcast; corpus token pass is one shuffle
+    to (doc, bucket) counts; candidates only exist where buckets collide."""
+    dim = 64
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode_outer(TX.tokens(F.col("text"))).alias("t")
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long"), F.lit(dim)
+    )
+    counts = (
+        toks.withColumn("b", bucket)
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    norms = counts.groupBy("doc_id").agg(
+        F.sum(F.col("c") * F.col("c")).alias("n2")
+    )
+    probes = counts.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("probe_id"), "b", F.col("c").alias("cp")
+    )
+    probe_norms = norms.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("probe_id"), F.col("n2").alias("np2")
+    )
+    dots = (
+        counts.join(F.broadcast(probes), "b")
+        .where(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("probe_id", "doc_id")
+        .agg(F.sum(F.col("c") * F.col("cp")).alias("dot"))
+    )
+    scored = (
+        dots.join(norms, "doc_id")
+        .join(F.broadcast(probe_norms), "probe_id")
+        .withColumn(
+            "sim_r",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("np2").cast("double"))),
+                6,
+            ),
+        )
+    )
+    from hadoop_data_lake_spark.operators.windows import topk_per_group
+
+    return topk_per_group(
+        scored,
+        ["probe_id"],
+        [F.col("sim_r").desc(), F.col("doc_id").asc()],
+        k=3,
+    ).select("probe_id", F.col("doc_id").alias("neighbor_id"), "sim_r", "rnk")
+
+
+HASHED_EMBEDDING_KNN_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+counts AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(t), 1, 8))::bigint % 64 AS b,
+         count(*)::bigint AS c
+  FROM toks GROUP BY 1, 2
+),
+norms AS (
+  SELECT doc_id, sum(c * c)::bigint AS n2 FROM counts GROUP BY doc_id
+),
+probes AS (
+  SELECT doc_id AS probe_id, b, c AS cp FROM counts WHERE doc_id % 100 = 0
+),
+dots AS (
+  SELECT p.probe_id, c.doc_id, sum(c.c * p.cp)::bigint AS dot
+  FROM counts c JOIN probes p ON c.b = p.b AND c.doc_id <> p.probe_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.probe_id, d.doc_id,
+         round(d.dot::double / (sqrt(n.n2::double) * sqrt(pn.n2::double)), 6) AS sim_r
+  FROM dots d
+  JOIN norms n ON d.doc_id = n.doc_id
+  JOIN norms pn ON d.probe_id = pn.doc_id
+)
+SELECT probe_id, doc_id AS neighbor_id, sim_r, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY sim_r DESC, doc_id ASC) AS rnk
+      FROM scored)
+WHERE rnk <= 3
+"""

@@ -241,6 +241,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "monthly_from_daily_mv": QuerySpec(TQ.monthly_from_daily_mv, TQ.MONTHLY_FROM_DAILY_MV_SQL, ("mv-rewrite", "rollup", "re-aggregation")),
     "user_type_share_map": QuerySpec(EV.user_type_share_map, EV.USER_TYPE_SHARE_MAP_SQL, ("map-hof", "complex-types", "shares")),
     "quantile_forecast_pinball": QuerySpec(EV.quantile_forecast_pinball, EV.QUANTILE_FORECAST_PINBALL_SQL, ("forecast", "pinball", "quantile", "backtest")),
+    "hashed_embedding_knn": QuerySpec(NS.hashed_embedding_knn, NS.HASHED_EMBEDDING_KNN_SQL, ("ann", "hashing-trick", "sparse-cosine", "text-embedding")),
     # displaced from the streaming guard block by session 3 (r3-green
     # driver rows; still locally re-verified every round):
     "stream_sliding_counts": QuerySpec(NS.stream_sliding_counts, NS.STREAM_SLIDING_COUNTS_SQL, ("streaming", "sliding-window")),
