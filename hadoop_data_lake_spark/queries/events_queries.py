@@ -5871,3 +5871,103 @@ SELECT d::varchar, 'p90', round(p90 / 100.0, 6), round(y / 100.0, 6),
        round(greatest(0.9 * (y - p90), (0.9 - 1.0) * (y - p90)) / 100.0, 6)
 FROM j
 """
+
+
+def ols_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple regression with EXACT integer linear algebra: daily value
+    (cents) regressed on trend + weekend dummy, y = a + b*day + c*is_wknd,
+    solved by Cramer's rule over the 3x3 normal equations whose every
+    entry (n, Σd, Σw, Σd², Σdw, Σw², Σy, Σdy, Σwy) is a bigint — the four
+    determinants are INTEGER expressions, so both engines agree bit-for-bit
+    and the only floats are the three final ratios, rounded once. Extends
+    ols_daily_trend (single regressor) to the multi-regressor design
+    matrix; 2024-01-01 anchors Monday, so dow 5,6 = weekend.
+
+    100 TB shape: one aggregation to nine integers; the solve is O(1)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.to_date("ts").alias("dt"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("dt")
+        .agg(F.sum("cents").alias("y"))
+        .select(
+            F.datediff("dt", F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("d"),
+            ((F.datediff("dt", F.lit("2024-01-01").cast("date")) % 7) >= 5)
+            .cast("long")
+            .alias("w"),
+            "y",
+        )
+    )
+    s = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("d").alias("sd"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("d") * F.col("w")).alias("sdw"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("d") * F.col("y")).alias("sdy"),
+        F.sum(F.col("w") * F.col("y")).alias("swy"),
+    )
+
+    def det3(a1, a2, a3, b1, b2, b3, c1, c2, c3):
+        return (
+            a1 * (b2 * c3 - b3 * c2)
+            - a2 * (b1 * c3 - b3 * c1)
+            + a3 * (b1 * c2 - b2 * c1)
+        )
+
+    n, sd, sw = F.col("n"), F.col("sd"), F.col("sw")
+    sdd, sdw, sww = F.col("sdd"), F.col("sdw"), F.col("sww")
+    sy, sdy, swy = F.col("sy"), F.col("sdy"), F.col("swy")
+    D = det3(n, sd, sw, sd, sdd, sdw, sw, sdw, sww)
+    Da = det3(sy, sd, sw, sdy, sdd, sdw, swy, sdw, sww)
+    Db = det3(n, sy, sw, sd, sdy, sdw, sw, swy, sww)
+    Dc = det3(n, sd, sy, sd, sdd, sdy, sw, sdw, swy)
+    return s.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(Da.cast("double") / D.cast("double") / 100.0, 6).alias(
+            "intercept_r"
+        ),
+        F.round(Db.cast("double") / D.cast("double") / 100.0, 6).alias(
+            "trend_per_day_r"
+        ),
+        F.round(Dc.cast("double") / D.cast("double") / 100.0, 6).alias(
+            "weekend_effect_r"
+        ),
+    )
+
+
+OLS_WEEKEND_EFFECT_SQL = """
+WITH daily AS (
+  SELECT (ts::date - DATE '2024-01-01')::bigint AS d,
+         (((ts::date - DATE '2024-01-01') % 7) >= 5)::bigint AS w,
+         sum(round(value * 100)::bigint) AS y
+  FROM events GROUP BY ts::date
+),
+s AS (
+  SELECT count(*)::bigint AS n, sum(d)::bigint AS sd, sum(w)::bigint AS sw,
+         sum(d * d)::bigint AS sdd, sum(d * w)::bigint AS sdw,
+         sum(w * w)::bigint AS sww, sum(y)::bigint AS sy,
+         sum(d * y)::bigint AS sdy, sum(w * y)::bigint AS swy
+  FROM daily
+)
+SELECT n AS n_days,
+       round((sy * (sdd * sww - sdw * sdw) - sd * (sdy * sww - sdw * swy)
+              + sw * (sdy * sdw - sdd * swy))::double
+             / (n * (sdd * sww - sdw * sdw) - sd * (sd * sww - sdw * sw)
+                + sw * (sd * sdw - sdd * sw))::double / 100.0, 6) AS intercept_r,
+       round((n * (sdy * sww - sdw * swy) - sy * (sd * sww - sdw * sw)
+              + sw * (sd * swy - sdy * sw))::double
+             / (n * (sdd * sww - sdw * sdw) - sd * (sd * sww - sdw * sw)
+                + sw * (sd * sdw - sdd * sw))::double / 100.0, 6) AS trend_per_day_r,
+       round((n * (sdd * swy - sdy * sdw) - sd * (sd * swy - sdy * sw)
+              + sy * (sd * sdw - sdd * sw))::double
+             / (n * (sdd * sww - sdw * sdw) - sd * (sd * sww - sdw * sw)
+                + sw * (sd * sdw - sdd * sw))::double / 100.0, 6) AS weekend_effect_r
+FROM s
+"""

@@ -242,6 +242,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "user_type_share_map": QuerySpec(EV.user_type_share_map, EV.USER_TYPE_SHARE_MAP_SQL, ("map-hof", "complex-types", "shares")),
     "quantile_forecast_pinball": QuerySpec(EV.quantile_forecast_pinball, EV.QUANTILE_FORECAST_PINBALL_SQL, ("forecast", "pinball", "quantile", "backtest")),
     "hashed_embedding_knn": QuerySpec(NS.hashed_embedding_knn, NS.HASHED_EMBEDDING_KNN_SQL, ("ann", "hashing-trick", "sparse-cosine", "text-embedding")),
+    "ols_weekend_effect": QuerySpec(EV.ols_weekend_effect, EV.OLS_WEEKEND_EFFECT_SQL, ("regression", "ols", "integer-exact", "cramer")),
     # displaced from the streaming guard block by session 3 (r3-green
     # driver rows; still locally re-verified every round):
     "stream_sliding_counts": QuerySpec(NS.stream_sliding_counts, NS.STREAM_SLIDING_COUNTS_SQL, ("streaming", "sliding-window")),
