@@ -26,6 +26,112 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def prefix_agg(
+    df: DataFrame,
+    order_col: str | list[str],
+    sum_cols: dict[str, str] | None = None,
+    max_cols: dict[str, str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed two-phase running aggregates in `order_col` order.
+
+    `sum_cols` / `max_cols` map OUTPUT name -> INPUT column; each output is
+    the inclusive running sum / running max of its input over all rows at or
+    before the current row in `order_col` order. All running columns share
+    ONE range-repartition + per-partition window + tiny per-partition-
+    boundary collect, so adding a column is free — this is the scale-safe
+    replacement for every `Window.orderBy(...)` with no partitionBy (a
+    single-task global sort at 100 TB).
+
+    `order_col` (a name or list of names, compared lexicographically) must
+    be a total order for per-row determinism; order-insensitive downstream
+    aggregates (bin edges, moments) tolerate ties.
+    """
+    sum_cols = dict(sum_cols or {})
+    max_cols = dict(max_cols or {})
+    if not sum_cols and not max_cols:
+        raise ValueError("prefix_agg needs at least one running column")
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parts
+    for out, src in sum_cols.items():
+        local = local.withColumn(f"__ls_{out}", F.sum(src).over(w))
+    for out, src in max_cols.items():
+        local = local.withColumn(f"__lm_{out}", F.max(src).over(w))
+    # localCheckpoint BEFORE reading __pid twice: the totals collect and the
+    # final output are separate jobs, and a re-executed repartitionByRange
+    # can land DIFFERENT boundaries per job (range sampling + AQE partition
+    # coalescing are per-job decisions), silently corrupting the offsets
+    # (observed: 14690 distinct positions for 15000 rows). Materializing
+    # pins one partitioning that both jobs read.
+    local = local.localCheckpoint(eager=True)
+    totals = (
+        local.groupBy("__pid")
+        .agg(
+            *[F.sum(src).alias(f"__ts_{out}") for out, src in sum_cols.items()],
+            *[F.max(f"__lm_{out}").alias(f"__tm_{out}") for out in max_cols],
+        )
+        .collect()
+    )
+    # offsets[pid] = fold of totals of all partitions with smaller pid; the
+    # range partitioner guarantees smaller pid == smaller order_col range.
+    sum_run: dict[str, int] = {out: 0 for out in sum_cols}
+    max_run: dict[str, object] = {out: None for out in max_cols}
+    sum_off: dict[str, dict[int, int]] = {out: {} for out in sum_cols}
+    max_off: dict[str, dict[int, object]] = {out: {} for out in max_cols}
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        pid = r["__pid"]
+        for out in sum_cols:
+            sum_off[out][pid] = sum_run[out]
+            sum_run[out] += r[f"__ts_{out}"] or 0
+        for out in max_cols:
+            max_off[out][pid] = max_run[out]
+            t = r[f"__tm_{out}"]
+            if t is not None and (max_run[out] is None or t > max_run[out]):
+                max_run[out] = t
+    out_frame = local
+    for out in sum_cols:
+        off = F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for pid, o in sorted(sum_off[out].items())
+                    for x in (F.lit(pid), F.lit(o))
+                ]
+            ),
+            F.col("__pid"),
+        )
+        out_frame = out_frame.withColumn(out, F.col(f"__ls_{out}") + off).drop(
+            f"__ls_{out}"
+        )
+    for out in max_cols:
+        dtype = dict(local.dtypes)[f"__lm_{out}"]
+        off = F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for pid, o in sorted(max_off[out].items())
+                    for x in (F.lit(pid), F.lit(o).cast(dtype))
+                ]
+            ),
+            F.col("__pid"),
+        )
+        # greatest() skips NULLs, so partition 0 (offset NULL = "no earlier
+        # rows") keeps its local running max unchanged.
+        out_frame = out_frame.withColumn(
+            out, F.greatest(F.col(f"__lm_{out}"), off)
+        ).drop(f"__lm_{out}")
+    return out_frame.drop("__pid")
+
+
 def token_prefix_sum(
     df: DataFrame,
     order_col: str | list[str],
@@ -37,43 +143,8 @@ def token_prefix_sum(
     `order_col` (a column name or list of names, compared lexicographically)
     must be unique (total order) for a deterministic result.
     """
-    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parts = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    w = (
-        Window.partitionBy("__pid")
-        .orderBy(*[F.col(c).asc() for c in order_cols])
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # localCheckpoint BEFORE reading __pid twice: the totals collect and the
-    # final output are separate jobs, and a re-executed repartitionByRange
-    # can land DIFFERENT boundaries per job (range sampling + AQE partition
-    # coalescing are per-job decisions), silently corrupting the offsets
-    # (observed: 14690 distinct positions for 15000 rows). Materializing
-    # pins one partitioning that both jobs read.
-    local = parts.withColumn(
-        "__local_cum", F.sum(value_col).over(w)
-    ).localCheckpoint(eager=True)
-    totals = (
-        local.groupBy("__pid").agg(F.max("__local_cum").alias("__t")).collect()
-    )
-    # offsets[pid] = sum of totals of all partitions with smaller pid; the
-    # range partitioner guarantees smaller pid == smaller order_col range.
-    running = 0
-    offsets = {}
-    for r in sorted(totals, key=lambda r: r["__pid"]):
-        offsets[r["__pid"]] = running
-        running += r["__t"] or 0
-    offset_col = F.element_at(
-        F.create_map(
-            *[x for pid, off in sorted(offsets.items()) for x in (F.lit(pid), F.lit(off))]
-        ),
-        F.col("__pid"),
-    )
-    return local.withColumn("cum", F.col("__local_cum") + offset_col).drop(
-        "__pid", "__local_cum"
+    return prefix_agg(
+        df, order_col, sum_cols={"cum": value_col}, num_partitions=num_partitions
     )
 
 

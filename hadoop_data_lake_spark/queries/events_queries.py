@@ -2752,9 +2752,13 @@ def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     current period buckets against those integer edges via a broadcast
     9-row join. Per-bin output: reference/current shares and the PSI
     contribution (p_c - p_r) * ln(p_c / p_r), each a single rounded float
-    expression over integer counts."""
+    expression over integer counts. Global positions over the reference
+    half come from the two-phase distributed prefix sum — not a global
+    Window.orderBy row_number (a single-task sort at 100 TB; VERDICT r4
+    item 2). (cents, day) is not a total order, but the decile EDGES are
+    max(cents)-per-bin, invariant under permutations of equal cents."""
     from hadoop_data_lake_spark.functions.fixedpoint import to_units
-    from pyspark.sql import Window
+    from hadoop_data_lake_spark.operators.packing import token_prefix_sum
 
     ev = read_table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), to_units(F.col("value")).alias("cents")
@@ -2766,8 +2770,9 @@ def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "period", F.when(F.col("day") < F.col("cut"), "ref").otherwise("cur")
     )
     ref = tagged.where(F.col("period") == "ref")
-    w = Window.orderBy("cents", "day")
-    binned_ref = ref.withColumn("rk", F.row_number().over(w)).crossJoin(
+    binned_ref = token_prefix_sum(
+        ref.withColumn("__one", F.lit(1)), ["cents", "day"], "__one"
+    ).withColumnRenamed("cum", "rk").crossJoin(
         F.broadcast(ref.agg(F.count("*").alias("nr")))
     ).withColumn("bin", F.expr("((rk - 1) * 10) div nr"))
     edges = binned_ref.groupBy("bin").agg(F.max("cents").alias("edge")).where(
@@ -3451,16 +3456,19 @@ def event_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     The profile reports, for candidate watermark thresholds (0/1/5/15/60
     minutes), how many events a stream with that watermark would DROP —
     turning 'pick a watermark' from folklore into a measured trade-off.
-    One arrival-ordered window (a single sort) + one aggregation."""
-    from pyspark.sql import Window
+    Running max is associative, so the arrival-ordered scan is the
+    two-phase distributed prefix fold (operators/packing.prefix_agg):
+    per-range-partition running max + broadcast per-partition maxima —
+    never a global single-task Window.orderBy sort (VERDICT r4 item 2)."""
+    from hadoop_data_lake_spark.operators.packing import prefix_agg
 
-    ev = read_table(spark, sf_dir, "events").select("event_id", "ts")
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
     # lateness stays integer MICROSECONDS end to end: double seconds would
     # hit the DuckDB-rounds / Spark-truncates cast asymmetry.
-    late = ev.withColumn(
-        "late_us",
-        F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts")),
+    late = prefix_agg(ev, "event_id", max_cols={"cmax_us": "ts_us"}).withColumn(
+        "late_us", F.col("cmax_us") - F.col("ts_us")
     )
     thresholds = [0, 60, 300, 900, 3600]
     aggs = [

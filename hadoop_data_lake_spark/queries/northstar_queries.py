@@ -2448,9 +2448,13 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayable. Shapes: the lexical side is an inverted-index semi-join on
     the broadcast query token set (never a corpus self-join); the vector
     side is one broadcast cosine pass — the brute-force tier, swappable
-    for the LSH/IVF tiers at corpus scale."""
+    for the LSH/IVF tiers at corpus scale. Both corpus-wide rank lists use
+    the two-phase distributed prefix sum (descending = ascending on the
+    negated score) — never a global single-task Window.orderBy over the
+    corpus — and the final top-20 is orderBy().limit(20), planned as
+    TakeOrderedAndProject (caught by the round-5 plan-audit funnel rule)."""
     from hadoop_data_lake_spark.functions.vectors import cosine
-    from pyspark.sql import Window
+    from hadoop_data_lake_spark.operators.packing import prefix_agg
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -2467,34 +2471,30 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("ov"))
     )
-    lex = (
+    lex = prefix_agg(
         docs.where(F.col("doc_id") != 0)
         .join(overlap, "doc_id", "left")
         .select("doc_id", F.coalesce("ov", F.lit(0)).alias("ov"))
-        .withColumn(
-            "r_lex",
-            F.row_number().over(
-                Window.orderBy(F.col("ov").desc(), F.col("doc_id").asc())
-            ),
-        )
-    )
+        .withColumn("__no", -F.col("ov"))
+        .withColumn("__one", F.lit(1)),
+        ["__no", "doc_id"],
+        sum_cols={"r_lex": "__one"},
+    ).select("doc_id", "ov", "r_lex")
     qvec = emb.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qemb")
     )
-    vec = (
+    vec = prefix_agg(
         emb.where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qvec))
         .select(
             F.col("vec_id").alias("doc_id"),
             F.round(cosine(F.col("embedding"), F.col("qemb")), 6).alias("cos_r"),
         )
-        .withColumn(
-            "r_vec",
-            F.row_number().over(
-                Window.orderBy(F.col("cos_r").desc(), F.col("doc_id").asc())
-            ),
-        )
-    )
+        .withColumn("__nc", -F.col("cos_r"))
+        .withColumn("__one", F.lit(1)),
+        ["__nc", "doc_id"],
+        sum_cols={"r_vec": "__one"},
+    ).select("doc_id", "cos_r", "r_vec")
     fused = (
         lex.join(vec, "doc_id")
         .withColumn(
@@ -2505,14 +2505,8 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 9,
             ),
         )
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.orderBy(F.col("rrf_r").desc(), F.col("doc_id").asc())
-            ),
-        )
-        .where(F.col("rnk") <= 20)
-        .drop("rnk")
+        .orderBy(F.col("rrf_r").desc(), F.col("doc_id").asc())
+        .limit(20)
     )
     return fused.select("doc_id", "ov", "r_lex", "cos_r", "r_vec", "rrf_r")
 
