@@ -6,6 +6,20 @@ anti-patterns that kill 100 TB jobs:
 
   * CartesianProduct           — unbounded pair blowup
   * BatchEvalPython            — row-at-a-time Python in the data path
+  * GLOBAL-WINDOW / GLOBAL-SORT — an `Exchange SinglePartition` feeding a
+                                 Sort/Window (every row through ONE task)
+                                 whose input subtree is NOT already an
+                                 aggregate or limit-bounded frame. A global
+                                 window over a HashAggregate (dimension-
+                                 bounded rollup) or under a TakeOrdered/
+                                 GlobalLimit is exempt; one over a raw fact
+                                 scan is the classic cumsum scale-killer
+                                 (VERDICT r4 item 3 — the blind spot that
+                                 let three raw-fact window queries through).
+  * SORT-NO-LIMIT              — a `Sort [...], true` (global range sort)
+                                 with no limit and a non-aggregated child:
+                                 parallel, but an avoidable full shuffle+
+                                 sort of fact data.
   * BroadcastNestedLoopJoin    — reported as INFO, not failure: every
                                  occurrence in this codebase is an explicit
                                  crossJoin(F.broadcast(tiny)) — scalar
@@ -25,6 +39,7 @@ Usage: python tools/plan_audit.py [sf_dir]
 
 from __future__ import annotations
 
+import re
 import sys
 import time
 
@@ -34,6 +49,68 @@ from hadoop_data_lake_spark.core.session import get_spark
 from hadoop_data_lake_spark.queries.registry import REGISTRY
 
 RED = ("CartesianProduct", "BatchEvalPython")
+
+_AGG = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+_BOUNDED = _AGG + ("GlobalLimit", "CollectLimit", "TakeOrderedAndProject", "LocalLimit")
+
+
+def _depth(line: str) -> int:
+    """Tree depth from the ASCII-art prefix (3 chars per level)."""
+    m = re.match(r"^[\s:+\-]*", line)
+    return m.end() // 3
+
+
+def scan_single_partition_funnels(plan: str) -> list[str]:
+    """Flags for Exchange SinglePartition nodes that funnel unaggregated,
+    unbounded data into one task (global Window/Sort), plus global range
+    sorts without a limit over non-aggregated children."""
+    lines = plan.splitlines()
+    depths = [_depth(l) for l in lines]
+    flags: list[str] = []
+
+    def subtree_below(i: int) -> list[str]:
+        d = depths[i]
+        out = []
+        for j in range(i + 1, len(lines)):
+            if depths[j] <= d:
+                break
+            out.append(lines[j])
+        return out
+
+    def nearest_ancestors(i: int, k: int = 3) -> list[str]:
+        d = depths[i]
+        out = []
+        for j in range(i - 1, -1, -1):
+            if depths[j] < d:
+                out.append(lines[j])
+                d = depths[j]
+                if len(out) >= k:
+                    break
+        return out
+
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            anc = nearest_ancestors(i)
+            anc_txt = " ".join(anc)
+            # single-row/global aggregates and limits legitimately
+            # single-partition: tiny row counts flow through.
+            if any(a in anc_txt for a in _BOUNDED) and not (
+                "Window" in anc_txt or re.search(r"\bSort \[", anc_txt)
+            ):
+                continue
+            if "Window" in anc_txt or re.search(r"\bSort \[", anc_txt):
+                below = " ".join(subtree_below(i))
+                if not any(b in below for b in _BOUNDED):
+                    kind = "GLOBAL-WINDOW" if "Window" in anc_txt else "GLOBAL-SORT"
+                    flags.append(kind)
+        elif re.search(r"\bSort \[[^\]]*\], true", line):
+            anc_txt = " ".join(nearest_ancestors(i))
+            if any(a in anc_txt for a in ("GlobalLimit", "CollectLimit", "TakeOrderedAndProject")):
+                continue
+            below = " ".join(subtree_below(i))
+            if not any(b in below for b in _BOUNDED):
+                flags.append("SORT-NO-LIMIT")
+    return sorted(set(flags))
 
 
 def main(sf_dir: str) -> int:
@@ -54,6 +131,7 @@ def main(sf_dir: str) -> int:
             failures += 1
             continue
         flags = [m for m in RED if m in plan]
+        flags += scan_single_partition_funnels(plan)
         if flags:
             failures += 1
         info = "bnlj-broadcast" if "BroadcastNestedLoopJoin" in plan else ""
@@ -65,8 +143,13 @@ def main(sf_dir: str) -> int:
         fh.write(
             "# PLAN_AUDIT — registry-wide physical-plan hygiene\n\n"
             f"{len(rows)} queries planned at `{sf_dir}`; hard red flags: "
-            "CartesianProduct and BatchEvalPython (row-at-a-time Python). "
-            "`bnlj-broadcast` marks the deliberate "
+            "CartesianProduct, BatchEvalPython (row-at-a-time Python), "
+            "GLOBAL-WINDOW / GLOBAL-SORT (an Exchange SinglePartition "
+            "funneling a non-aggregated, non-limited frame into one task "
+            "— the cumsum scale-killer), and SORT-NO-LIMIT (global range "
+            "sort of unaggregated data with no limit). Windows/sorts over "
+            "aggregate or limit-bounded frames are exempt: their inputs "
+            "are dimension-bounded. `bnlj-broadcast` marks the deliberate "
             "crossJoin(F.broadcast(tiny)) pattern (scalar stats frames, "
             "centroid/probe sets) — the correct plan for those shapes, "
             "listed so any NEW nested-loop join gets reviewed.\n\n"
