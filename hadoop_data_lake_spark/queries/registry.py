@@ -13,28 +13,21 @@ so the window is now a SEPARATE dict with a hard `len(_WINDOW) == 50`
 assert at import time: miscounting is an ImportError, not a silent grading
 gap.
 
-Round-4 window composition (final):
-1-14   the 14 previously-never-driver-graded full-oracle queries rotated in
-       from the backlog (burns the never-graded count to 0). They displace
-       14 r3-proven slots: daily_unique_users_approx (rows-only, zero
-       driver signal — VERDICT r3 "What's wrong" item 1) + 13 full-oracle
-       entries that hold CORRECTNESS_r03.json green rows.
-15-21  all 7 streaming queries (r3-proven, KEPT as a standing regression
-       guard: streaming was the family that silently broke at r2 HEAD).
-22-41  originally the 20 r3-proven batch keeps; 12 were then displaced by
-       the round-4-NEW queries (ann_pq_det, user_value_ohlc,
-       priority_sample_stratified, concurrent_sessions,
-       decontaminate_minhash_cross, stream_attribution_left,
-       week_over_week_drift, user_type_entropy, ivm_join_delta,
-       session_pattern_match, rolling_zscore_anomaly,
-       hilbert_code_orders) — displacement pairs recorded inline; every
-       displaced entry holds an r3 green row.
-42-50  originally the 9 round-3-new operators (r3-proven); session 2 of
-       round 4 then displaced 12 more r3-proven slots (6 batch keeps + 6
-       of these) with the deterministic-sketch/graph/quality/ML-prep
-       queries — displacement pairs recorded inline at the rotation
-       comment. Every displaced entry holds an r3 green row and moves to
-       the backlog, where check_oracle still re-verifies it each round.
+Round-5 window composition (VERDICT r4 item 6: keep burning the 108-entry
+never-graded backlog, ~25-30 per round, prioritizing never-graded FAMILIES;
+displacement pairs recorded inline at the _WINDOW comment):
+1-8    the 8 queries REFORMULATED this round off global single-task
+       windows onto prefix-sum / aggregate-then-window / TakeOrdered plans
+       (VERDICT r4 items 2+7) — driver rows prove the rewrites kept exact
+       semantics (all were also never-graded before this round).
+9-17   the 9 never-graded families the judge named (phash near-dup, LPA,
+       k-core, BM25, TextRank, STL, NDCG backtest, point-in-polygon, DTW).
+18-36  19 more never-graded full-oracle entries incl. the 3 pure-Python
+       media codecs (PPM/WAV/AVI — a family with zero driver rows).
+37-44  8 r4-proven batch keeps, one anchor per major family.
+45-50  the 6-slot streaming regression guard (r≤4-proven).
+Every displaced entry holds a CORRECTNESS_r04.json green row and moves to
+the backlog, where check_oracle still re-verifies it each round.
 
 Entries 51+ = queries already proven by an earlier CORRECTNESS_r{N}.json
 (kept registered so `tools/check_oracle.py` still re-verifies all of them
@@ -70,14 +63,123 @@ class QuerySpec:
 
 
 _WINDOW: dict[str, QuerySpec] = {
-    # --- 1-14: rotated in from the backlog this round — the full-oracle
-    # queries that had never received a driver row (VERDICT r3 item 1).
-    # All locally green via tools/check_oracle.py at sf0.001 + sf0.01.
+    # ---- ROUND-5 WINDOW -------------------------------------------------
+    # Composition: 36 rotated in from the never-driver-graded backlog
+    # (VERDICT r4 item 6: burn the backlog, prioritize never-graded
+    # FAMILIES) + 8 r4-proven batch keeps + the 6-slot streaming guard.
+    # Groups below: (a) the 8 queries REFORMULATED this round onto the
+    # two-phase prefix-sum / aggregate-then-window / TakeOrdered patterns
+    # (VERDICT r4 items 2+7) — driver-grading them proves the rewrites
+    # kept exact semantics; (b) the 9 never-graded families the judge
+    # named; (c) 19 more never-graded full-oracle entries, including the
+    # 3 pure-Python media codecs (a whole family with zero driver rows).
+    # Every displaced entry holds a CORRECTNESS_r04.json green row and
+    # stays registered in _BACKLOG (check_oracle re-verifies all 293
+    # every round). Displacement pairs:
+    # event_lateness_profile -> displaces user_sessions_native (r4-green)
+    # value_psi_drift -> displaces sequential_funnel (r4-green)
+    # pareto_frontier_orders -> displaces expectations_report (r4-green)
+    # gini_customer_revenue -> displaces synthetic_source_profile (r4-green)
+    # lorenz_curve_points -> displaces user_value_ewma (r4-green)
+    # pareto_8020_customers -> displaces user_favorite_event_type (r4-green)
+    # abc_part_classification -> displaces running_unique_users (r4-green)
+    # supplier_scorecard -> displaces weekly_type_pivot_dynamic (r4-green)
+    # media_phash_near_dup -> displaces session_type_pmi (r4-green)
+    # brand_communities_lpa -> displaces dedup_jaccard_prefix (r4-green)
+    # kcore_purchase_graph -> displaces gdpr_delete_audit (r4-green)
+    # bm25_retrieval -> displaces customer_rfm_segments (r4-green)
+    # textrank_keywords -> displaces event_type_transitions (r4-green)
+    # daily_value_stl -> displaces user_value_ohlc (r4-green)
+    # cf_ndcg_backtest -> displaces priority_sample_stratified (r4-green)
+    # point_in_polygon_zones -> displaces concurrent_sessions (r4-green)
+    # user_series_dtw_nn -> displaces week_over_week_drift (r4-green)
+    # cluster_safe_split_audit -> displaces user_type_entropy (r4-green)
+    # decontaminate_embedding_cosine -> displaces ivm_join_delta (r4-green)
+    # hashed_embedding_knn -> displaces session_pattern_match (r4-green)
+    # decontamination_report -> displaces rolling_zscore_anomaly (r4-green)
+    # clustering_coefficient -> displaces hilbert_code_orders (r4-green)
+    # degree_assortativity -> displaces geohash_cell_counts (r4-green)
+    # bitemporal_asof_orders -> displaces user_value_cusum (r4-green)
+    # temporal_split_embargo -> displaces kmv_distinct_users (r4-green)
+    # mmr_rerank -> displaces cms_token_counts (r4-green)
+    # rake_keyphrases -> displaces bfs_hops_det (r4-green)
+    # zipf_fit_tokens -> displaces benford_first_digit (r4-green)
+    # ols_daily_trend -> displaces bloom_semijoin_orders (r4-green)
+    # mann_whitney_variants -> displaces target_encode_event_type (r4-green)
+    # kaplan_meier_conversion -> displaces autocorr_daily_value (r4-green)
+    # dau_mau_stickiness -> displaces quantile_normalize_doclen (r4-green)
+    # hhi_brand_concentration -> displaces zonemap_tile_pruning (r4-green)
+    # media_ppm_decode_stats -> displaces linkage_jaro_winkler (r4-green)
+    # media_wav_decode_stats -> displaces rrf_hybrid_retrieval (r4-green)
+    # media_avi_frame_stats -> displaces bootstrap_mean_ci (r4-green)
+    # --- (a) round-5 scale reformulations (8) ---
+    "event_lateness_profile": QuerySpec(EV.event_lateness_profile, EV.EVENT_LATENESS_PROFILE_SQL, ("streaming", "watermark", "lateness", "profiling")),
+    "value_psi_drift": QuerySpec(EV.value_psi_drift, EV.VALUE_PSI_DRIFT_SQL, ("quality", "psi", "drift", "monitoring")),
+    "pareto_frontier_orders": QuerySpec(TQ.pareto_frontier_orders, TQ.PARETO_FRONTIER_ORDERS_SQL, ("window", "skyline", "pareto", "range-frame")),
+    "gini_customer_revenue": QuerySpec(TQ.gini_customer_revenue, TQ.GINI_CUSTOMER_REVENUE_SQL, ("inequality", "gini", "integer-exact")),
+    "lorenz_curve_points": QuerySpec(TQ.lorenz_curve_points, TQ.LORENZ_CURVE_POINTS_SQL, ("inequality", "lorenz", "deciles")),
+    "pareto_8020_customers": QuerySpec(TQ.pareto_8020_customers, TQ.PARETO_8020_CUSTOMERS_SQL, ("inequality", "pareto", "concentration")),
+    "abc_part_classification": QuerySpec(TQ.abc_part_classification, TQ.ABC_PART_CLASSIFICATION_SQL, ("inventory", "abc", "pareto", "integer-exact")),
+    "supplier_scorecard": QuerySpec(TQ.supplier_scorecard, TQ.SUPPLIER_SCORECARD_SQL, ("bi", "scorecard", "composite-rank")),
+    # --- (b) never-graded families named in VERDICT r4 (9) ---
+    "media_phash_near_dup": QuerySpec(NS.media_phash_near_dup, NS.MEDIA_PHASH_NEAR_DUP_SQL, ("multimodal", "dedup", "phash", "hamming")),
+    "brand_communities_lpa": QuerySpec(TQ.brand_communities_lpa, TQ.BRAND_COMMUNITIES_LPA_SQL, ("graph", "community", "lpa", "deterministic")),
+    "kcore_purchase_graph": QuerySpec(TQ.kcore_purchase_graph, TQ.KCORE_PURCHASE_GRAPH_SQL, ("graph", "kcore", "iterative", "deterministic")),
+    "bm25_retrieval": QuerySpec(NS.bm25_retrieval, NS.BM25_RETRIEVAL_SQL, ("retrieval", "bm25", "lexical", "rag")),
+    "textrank_keywords": QuerySpec(NS.textrank_keywords, NS.TEXTRANK_KEYWORDS_SQL, ("text", "textrank", "pagerank", "keywords", "deterministic")),
+    "daily_value_stl": QuerySpec(EV.daily_value_stl, EV.DAILY_VALUE_STL_SQL, ("timeseries", "stl", "decomposition", "seasonality")),
+    "cf_ndcg_backtest": QuerySpec(TQ.cf_ndcg_backtest, TQ.CF_NDCG_BACKTEST_SQL, ("ml-eval", "ndcg", "recommender", "backtest")),
+    "point_in_polygon_zones": QuerySpec(GQ.point_in_polygon_zones, GQ.POINT_IN_POLYGON_ZONES_SQL, ("geo", "geofence", "ray-casting", "point-in-polygon")),
+    "user_series_dtw_nn": QuerySpec(EV.user_series_dtw_nn, EV.USER_SERIES_DTW_NN_SQL, ("timeseries", "dtw", "similarity", "pandas-udf")),
+    # --- (c) more never-graded full-oracle entries (19) ---
+    "cluster_safe_split_audit": QuerySpec(NS.cluster_safe_split_audit, NS.CLUSTER_SAFE_SPLIT_AUDIT_SQL, ("ml-prep", "split", "leakage", "graph")),
+    "decontaminate_embedding_cosine": QuerySpec(NS.decontaminate_embedding_cosine, NS.DECONTAMINATE_EMBEDDING_COSINE_SQL, ("dedup", "decontamination", "embedding", "cross-corpus")),
+    "hashed_embedding_knn": QuerySpec(NS.hashed_embedding_knn, NS.HASHED_EMBEDDING_KNN_SQL, ("ann", "hashing-trick", "sparse-cosine", "text-embedding")),
+    "decontamination_report": QuerySpec(NS.decontamination_report, NS.DECONTAMINATION_REPORT_SQL, ("dedup", "decontamination", "report", "capstone")),
+    "clustering_coefficient": QuerySpec(TQ.clustering_coefficient, TQ.CLUSTERING_COEFFICIENT_SQL, ("graph", "triangles", "clustering-coefficient")),
+    "degree_assortativity": QuerySpec(TQ.degree_assortativity, TQ.DEGREE_ASSORTATIVITY_SQL, ("graph", "assortativity", "integer-exact")),
+    "bitemporal_asof_orders": QuerySpec(TQ.bitemporal_asof_orders, TQ.BITEMPORAL_ASOF_ORDERS_SQL, ("bitemporal", "asof", "audit", "scd")),
+    "temporal_split_embargo": QuerySpec(EV.temporal_split_embargo, EV.TEMPORAL_SPLIT_EMBARGO_SQL, ("ml", "split", "temporal", "leakage-safe")),
+    "mmr_rerank": QuerySpec(NS.mmr_rerank, NS.MMR_RERANK_SQL, ("retrieval", "mmr", "diversity", "rag")),
+    "rake_keyphrases": QuerySpec(NS.rake_keyphrases, NS.RAKE_KEYPHRASES_SQL, ("text", "rake", "keyphrases", "collocation")),
+    "zipf_fit_tokens": QuerySpec(NS.zipf_fit_tokens, NS.ZIPF_FIT_TOKENS_SQL, ("text", "zipf", "power-law", "corpus-health")),
+    "ols_daily_trend": QuerySpec(EV.ols_daily_trend, EV.OLS_DAILY_TREND_SQL, ("timeseries", "regression", "ols", "integer-moments")),
+    "mann_whitney_variants": QuerySpec(EV.mann_whitney_variants, EV.MANN_WHITNEY_VARIANTS_SQL, ("experiment", "mann-whitney", "nonparametric", "rank-test")),
+    "kaplan_meier_conversion": QuerySpec(EV.kaplan_meier_churn, EV.KAPLAN_MEIER_CHURN_SQL, ("survival", "kaplan-meier", "censoring", "conversion")),
+    "dau_mau_stickiness": QuerySpec(EV.dau_mau_stickiness, EV.DAU_MAU_STICKINESS_SQL, ("engagement", "stickiness", "contribution-explode")),
+    "hhi_brand_concentration": QuerySpec(TQ.hhi_brand_concentration, TQ.HHI_BRAND_CONCENTRATION_SQL, ("inequality", "hhi", "market-structure")),
+    "media_ppm_decode_stats": QuerySpec(NS.media_ppm_decode_stats, NS.MEDIA_PPM_DECODE_STATS_SQL, ("multimodal", "real-codec", "ppm", "arrow")),
+    "media_wav_decode_stats": QuerySpec(NS.media_wav_decode_stats, NS.MEDIA_WAV_DECODE_STATS_SQL, ("multimodal", "real-codec", "wav", "audio", "arrow")),
+    "media_avi_frame_stats": QuerySpec(NS.media_avi_frame_stats, NS.MEDIA_AVI_FRAME_STATS_SQL, ("multimodal", "real-codec", "avi", "video", "frame-sample")),
+    # --- r4-proven batch keeps (8): one anchor per major family
+    # (winnowing, semantic dedup, ER, PQ-ANN, cross-corpus decon,
+    # graph fixed-point, sketches, KN-smoothed LM) ---
+    "winnow_overlap_pairs": QuerySpec(NS.winnow_overlap_pairs, NS.WINNOW_OVERLAP_PAIRS_SQL, ("dedup", "winnowing", "moss")),
+    "semdedup_prune": QuerySpec(NS.semdedup_prune, NS.SEMDEDUP_PRUNE_SQL, ("dedup", "semantic", "clustering", "semdedup")),
+    "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),
+    "ann_pq_det": QuerySpec(NS.ann_pq_det, NS.ANN_PQ_DET_SQL, ("ann", "pq", "adc", "deterministic")),
+    "decontaminate_minhash_cross": QuerySpec(NS.decontaminate_minhash_cross, NS.DECONTAMINATE_MINHASH_CROSS_SQL, ("dedup", "decontamination", "lsh", "cross-corpus")),
+    "pagerank_det": QuerySpec(TQ.pagerank_det, TQ.PAGERANK_DET_SQL, ("graph", "iterative", "pagerank", "fixed-point", "deterministic")),
+    "hll_det_daily_users": QuerySpec(NS.hll_det_daily_users, NS.HLL_DET_DAILY_USERS_SQL, ("sketch", "hll", "deterministic")),
+    "doc_lm_kneser_ney": QuerySpec(NS.doc_lm_kneser_ney, NS.DOC_LM_KNESER_NEY_SQL, ("text", "quality", "lm", "kneser-ney", "smoothing")),
+    # --- streaming regression guard (6): streaming silently broke at
+    # r2 HEAD; these keep every micro-batch/watermark/stream-join path
+    # under the driver gate ---
+    "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),
+    "stream_session_stats": QuerySpec(NS.stream_session_stats, NS.STREAM_SESSION_STATS_SQL, ("streaming", "session-window")),
+    "stream_running_max": QuerySpec(NS.stream_running_max, NS.STREAM_RUNNING_MAX_SQL, ("streaming", "stateful", "pandas-udf")),
+    "stream_enriched_value": QuerySpec(NS.stream_enriched_value, NS.STREAM_ENRICHED_VALUE_SQL, ("streaming", "stream-static-join")),
+    "stream_attribution_pairs": QuerySpec(NS.stream_attribution_pairs, NS.STREAM_ATTRIBUTION_PAIRS_SQL, ("streaming", "stream-stream-join", "interval-join")),
+    "stream_attribution_left": QuerySpec(NS.stream_attribution_left, NS.STREAM_ATTRIBUTION_LEFT_SQL, ("streaming", "stream-stream-join", "outer-join", "watermark")),
+}
+
+_BACKLOG: dict[str, QuerySpec] = {
+    # --- rotated out of the window in round 5 — each holds a
+    # CORRECTNESS_r04.json full-oracle green row -------------------------
     "user_sessions_native": QuerySpec(EV.user_sessions_native, EV.USER_SESSIONS_NATIVE_SQL, ("window", "sessionize", "session-window")),
     "sequential_funnel": QuerySpec(EV.sequential_funnel, EV.SEQUENTIAL_FUNNEL_SQL, ("agg", "funnel", "ordered")),
     "expectations_report": QuerySpec(TQ.expectations_report, TQ.EXPECTATIONS_REPORT_SQL, ("quality", "expectations", "unpivot")),
     "synthetic_source_profile": QuerySpec(NS.synthetic_source_profile, NS.SYNTHETIC_SOURCE_PROFILE_SQL, ("source", "connector", "python-datasource")),
-    "winnow_overlap_pairs": QuerySpec(NS.winnow_overlap_pairs, NS.WINNOW_OVERLAP_PAIRS_SQL, ("dedup", "winnowing", "moss")),
     "user_value_ewma": QuerySpec(EV.user_value_ewma, EV.USER_VALUE_EWMA_SQL, ("timeseries", "ewma", "sequential-fold")),
     "user_favorite_event_type": QuerySpec(EV.user_favorite_event_type, EV.USER_FAVORITE_EVENT_TYPE_SQL, ("agg", "mode", "argmax")),
     "running_unique_users": QuerySpec(EV.running_unique_users, EV.RUNNING_UNIQUE_USERS_SQL, ("window", "running-distinct", "first-seen")),
@@ -87,84 +189,29 @@ _WINDOW: dict[str, QuerySpec] = {
     "gdpr_delete_audit": QuerySpec(EV.gdpr_delete_audit, EV.GDPR_DELETE_AUDIT_SQL, ("compliance", "anti-join", "audit")),
     "customer_rfm_segments": QuerySpec(TQ.customer_rfm_segments, TQ.CUSTOMER_RFM_SEGMENTS_SQL, ("agg", "rfm", "percentile", "segmentation")),
     "event_type_transitions": QuerySpec(EV.event_type_transitions, EV.EVENT_TYPE_TRANSITIONS_SQL, ("window", "markov", "transitions")),
-    # --- 15-21: the streaming regression guard (streaming silently broke
-    # at r2 HEAD). Session 3 displaced two of the seven —
-    # stream_sliding_counts and stream_dedup_keys (both r3-green driver
-    # rows; their micro-batch/watermark machinery is shared with the five
-    # that stay) — for the session's two new-FAMILY operators:
-    # semdedup_prune (semantic dedup) and er_golden_record (entity
-    # resolution), neither of which any graded entry covers.
-    "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),
-    "semdedup_prune": QuerySpec(NS.semdedup_prune, NS.SEMDEDUP_PRUNE_SQL, ("dedup", "semantic", "clustering", "semdedup")),
-    "stream_session_stats": QuerySpec(NS.stream_session_stats, NS.STREAM_SESSION_STATS_SQL, ("streaming", "session-window")),
-    "stream_running_max": QuerySpec(NS.stream_running_max, NS.STREAM_RUNNING_MAX_SQL, ("streaming", "stateful", "pandas-udf")),
-    "stream_enriched_value": QuerySpec(NS.stream_enriched_value, NS.STREAM_ENRICHED_VALUE_SQL, ("streaming", "stream-static-join")),
-    "stream_attribution_pairs": QuerySpec(NS.stream_attribution_pairs, NS.STREAM_ATTRIBUTION_PAIRS_SQL, ("streaming", "stream-stream-join", "interval-join")),
-    "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),
-    # --- 22-41: r3-proven batch shapes kept from the r3 window; every one
-    # is a displacement candidate for new round-4 queries. Round-4
-    # displacements so far (each displaced entry holds an r3 green row):
-    # ann_pq_det→importance_sample_events, user_value_ohlc→
-    # value_outliers_zscore, priority_sample_stratified→cohort_retention,
-    # concurrent_sessions→value_histogram, decontaminate_minhash_cross→
-    # props_map_entries.
-    "ann_pq_det": QuerySpec(NS.ann_pq_det, NS.ANN_PQ_DET_SQL, ("ann", "pq", "adc", "deterministic")),
     "user_value_ohlc": QuerySpec(EV.user_value_ohlc, EV.USER_VALUE_OHLC_SQL, ("timeseries", "ohlc", "argmin", "downsample")),
     "priority_sample_stratified": QuerySpec(EV.priority_sample_stratified, EV.PRIORITY_SAMPLE_STRATIFIED_SQL, ("sampling", "reservoir", "priority", "deterministic")),
     "concurrent_sessions": QuerySpec(EV.concurrent_sessions, EV.CONCURRENT_SESSIONS_SQL, ("join", "interval-join", "banding", "sessionize")),
-    "decontaminate_minhash_cross": QuerySpec(NS.decontaminate_minhash_cross, NS.DECONTAMINATE_MINHASH_CROSS_SQL, ("dedup", "decontamination", "lsh", "cross-corpus")),
-    # round-4 batch 2 displacements: stream_attribution_left→
-    # part_name_near_matches, week_over_week_drift→monthly_revenue_yoy,
-    # user_type_entropy→halves_activity_nullsafe (all displaced: r3-green).
-    "stream_attribution_left": QuerySpec(NS.stream_attribution_left, NS.STREAM_ATTRIBUTION_LEFT_SQL, ("streaming", "stream-stream-join", "outer-join", "watermark")),
     "week_over_week_drift": QuerySpec(EV.week_over_week_drift, EV.WEEK_OVER_WEEK_DRIFT_SQL, ("window", "array", "set-similarity", "cohort")),
     "user_type_entropy": QuerySpec(EV.user_type_entropy, EV.USER_TYPE_ENTROPY_SQL, ("agg", "entropy", "re-aggregation")),
-    # round-4 batch 3: ivm_join_delta→orders_snapshot_merge (r3-green).
     "ivm_join_delta": QuerySpec(TQ.ivm_join_delta, TQ.IVM_JOIN_DELTA_SQL, ("cdc", "ivm", "delta", "join")),
-    # session_pattern_match→last_purchase_carryforward (r3-green).
     "session_pattern_match": QuerySpec(EV.session_pattern_match, EV.SESSION_PATTERN_MATCH_SQL, ("sessionize", "pattern", "match-recognize", "regex")),
-    # rolling_zscore_anomaly→zone_conversion_funnel (r3-green).
     "rolling_zscore_anomaly": QuerySpec(EV.rolling_zscore_anomaly, EV.ROLLING_ZSCORE_ANOMALY_SQL, ("window", "range-frame", "anomaly", "integer-exact")),
-    # hilbert_code_orders→user_gap_days (r3-green).
     "hilbert_code_orders": QuerySpec(TQ.hilbert_code_orders, TQ.HILBERT_CODE_ORDERS_SQL, ("layout", "hilbert", "bit-arithmetic")),
-    # geohash_cell_counts→value_moments_profile (r3-green).
     "geohash_cell_counts": QuerySpec(GQ.geohash_cell_counts, GQ.GEOHASH_CELL_COUNTS_SQL, ("geo", "geohash", "spatial-index", "agg")),
-    # user_value_cusum→value_mad (r3-green).
     "user_value_cusum": QuerySpec(EV.user_value_cusum, EV.USER_VALUE_CUSUM_SQL, ("timeseries", "cusum", "drift", "sequential-fold")),
-    # --- round-4 session-2 rotation: the 12 deterministic-sketch / graph /
-    # quality / ML-prep queries added this session displace 12 r3-proven
-    # slots (each displaced entry holds a CORRECTNESS_r03.json green row):
-    # hll_det_daily_users→weekly_counts_unpivot, kmv_distinct_users→
-    # regional_revenue_rollup, cms_token_counts→acctbal_union_stats,
-    # pagerank_det→rolling_3event_value, bfs_hops_det→nation_revenue_share,
-    # benford_first_digit→brand_basket_pairs, bloom_semijoin_orders→
-    # span_dedup_corpus, target_encode_event_type→dedup_containment,
-    # autocorr_daily_value→token_budget_truncate, doc_lm_kneser_ney→
-    # curriculum_order, quantile_normalize_doclen→ann_lsh_det,
-    # zonemap_tile_pruning→grouping_sets_revenue.
-    "hll_det_daily_users": QuerySpec(NS.hll_det_daily_users, NS.HLL_DET_DAILY_USERS_SQL, ("sketch", "hll", "deterministic")),
     "kmv_distinct_users": QuerySpec(NS.kmv_distinct_users, NS.KMV_DISTINCT_USERS_SQL, ("sketch", "kmv", "theta", "mergeable", "deterministic")),
     "cms_token_counts": QuerySpec(NS.cms_token_counts, NS.CMS_TOKEN_COUNTS_SQL, ("sketch", "count-min", "deterministic")),
-    "pagerank_det": QuerySpec(TQ.pagerank_det, TQ.PAGERANK_DET_SQL, ("graph", "iterative", "pagerank", "fixed-point", "deterministic")),
     "bfs_hops_det": QuerySpec(TQ.bfs_hops_det, TQ.BFS_HOPS_DET_SQL, ("graph", "iterative", "bfs", "deterministic")),
     "benford_first_digit": QuerySpec(TQ.benford_first_digit, TQ.BENFORD_FIRST_DIGIT_SQL, ("quality", "audit", "distribution")),
     "bloom_semijoin_orders": QuerySpec(TQ.bloom_semijoin_orders, TQ.BLOOM_SEMIJOIN_ORDERS_SQL, ("join", "bloom", "prefilter", "broadcast")),
     "target_encode_event_type": QuerySpec(EV.target_encode_event_type, EV.TARGET_ENCODE_EVENT_TYPE_SQL, ("ml", "target-encoding", "kfold", "leakage-safe")),
     "autocorr_daily_value": QuerySpec(EV.autocorr_daily_value, EV.AUTOCORR_DAILY_VALUE_SQL, ("timeseries", "acf", "integer-exact")),
-    "doc_lm_kneser_ney": QuerySpec(NS.doc_lm_kneser_ney, NS.DOC_LM_KNESER_NEY_SQL, ("text", "quality", "lm", "kneser-ney", "smoothing")),
     "quantile_normalize_doclen": QuerySpec(NS.quantile_normalize_doclen, NS.QUANTILE_NORMALIZE_DOCLEN_SQL, ("ml", "normalization", "quantile", "cross-source")),
     "zonemap_tile_pruning": QuerySpec(TQ.zonemap_tile_pruning, TQ.ZONEMAP_TILE_PRUNING_SQL, ("layout", "zonemap", "data-skipping", "zorder")),
-    # second round-3 batch (displaced latest_event_per_user,
-    # first_event_per_user, user_gap_stats — all r1-green):
-    # final session-2 displacements (displaced entries r3-green):
-    # linkage_jaro_winkler→winnow_fingerprints, rrf_hybrid_retrieval→
-    # incremental_orders_agg, bootstrap_mean_ci→perplexity_filter.
     "linkage_jaro_winkler": QuerySpec(TQ.linkage_jaro_winkler, TQ.LINKAGE_JARO_WINKLER_SQL, ("join", "fuzzy", "blocking", "jaro-winkler", "pandas-udf")),
     "rrf_hybrid_retrieval": QuerySpec(NS.rrf_hybrid_retrieval, NS.RRF_HYBRID_RETRIEVAL_SQL, ("retrieval", "rrf", "hybrid", "rag")),
     "bootstrap_mean_ci": QuerySpec(EV.bootstrap_mean_ci, EV.BOOTSTRAP_MEAN_CI_SQL, ("experiment", "bootstrap", "poisson", "ci", "deterministic")),
-}
-
-_BACKLOG: dict[str, QuerySpec] = {
     # --- rotated out of the window in round 4 — each holds a
     # CORRECTNESS_r03.json full-oracle green row ---------------------------
     "weekly_counts_unpivot": QuerySpec(TQ.weekly_counts_unpivot, TQ.WEEKLY_COUNTS_UNPIVOT_SQL, ("unpivot", "melt")),
@@ -216,32 +263,20 @@ _BACKLOG: dict[str, QuerySpec] = {
     "embedding_near_dup": QuerySpec(NS.embedding_near_dup, NS.EMBEDDING_NEAR_DUP_SQL, ("ann", "dedup", "lsh")),
     # session-3 new queries (window members semdedup_prune /
     # er_golden_record live in _WINDOW; the rest verify locally here):
-    "media_phash_near_dup": QuerySpec(NS.media_phash_near_dup, NS.MEDIA_PHASH_NEAR_DUP_SQL, ("multimodal", "dedup", "phash", "hamming")),
-    "decontaminate_embedding_cosine": QuerySpec(NS.decontaminate_embedding_cosine, NS.DECONTAMINATE_EMBEDDING_COSINE_SQL, ("dedup", "decontamination", "embedding", "cross-corpus")),
-    "cluster_safe_split_audit": QuerySpec(NS.cluster_safe_split_audit, NS.CLUSTER_SAFE_SPLIT_AUDIT_SQL, ("ml-prep", "split", "leakage", "graph")),
-    "brand_communities_lpa": QuerySpec(TQ.brand_communities_lpa, TQ.BRAND_COMMUNITIES_LPA_SQL, ("graph", "community", "lpa", "deterministic")),
     "token_lang_mi": QuerySpec(NS.token_lang_mi, NS.TOKEN_LANG_MI_SQL, ("text", "mutual-information", "feature-selection", "diagnostics")),
     "length_bias_auc": QuerySpec(NS.length_bias_auc, NS.LENGTH_BIAS_AUC_SQL, ("ml-eval", "auc", "bias-audit", "rank-stats")),
     "token_run_lengths": QuerySpec(NS.token_run_lengths, NS.TOKEN_RUN_LENGTHS_SQL, ("text", "quality", "repetition", "gaps-islands")),
     "blocklist_filter": QuerySpec(NS.blocklist_filter, NS.BLOCKLIST_FILTER_SQL, ("text", "quality", "safety", "filter-stage")),
     "user_series_sax_similarity": QuerySpec(EV.user_series_sax_similarity, EV.USER_SERIES_SAX_SIMILARITY_SQL, ("timeseries", "sax", "similarity", "banding")),
-    "user_series_dtw_nn": QuerySpec(EV.user_series_dtw_nn, EV.USER_SERIES_DTW_NN_SQL, ("timeseries", "dtw", "similarity", "pandas-udf")),
-    "media_ppm_decode_stats": QuerySpec(NS.media_ppm_decode_stats, NS.MEDIA_PPM_DECODE_STATS_SQL, ("multimodal", "real-codec", "ppm", "arrow")),
-    "media_wav_decode_stats": QuerySpec(NS.media_wav_decode_stats, NS.MEDIA_WAV_DECODE_STATS_SQL, ("multimodal", "real-codec", "wav", "audio", "arrow")),
-    "media_avi_frame_stats": QuerySpec(NS.media_avi_frame_stats, NS.MEDIA_AVI_FRAME_STATS_SQL, ("multimodal", "real-codec", "avi", "video", "frame-sample")),
-    "cf_ndcg_backtest": QuerySpec(TQ.cf_ndcg_backtest, TQ.CF_NDCG_BACKTEST_SQL, ("ml-eval", "ndcg", "recommender", "backtest")),
     "lake_table_profile": QuerySpec(NS.lake_table_profile, NS.LAKE_TABLE_PROFILE_SQL, ("catalog", "profile", "quality")),
     "zonemap_integrity_audit": QuerySpec(NS.zonemap_integrity_audit, NS.ZONEMAP_INTEGRITY_AUDIT_SQL, ("lakehouse", "zonemap", "footer-stats", "data-skipping")),
     "user_value_gcd": QuerySpec(EV.user_value_gcd, EV.USER_VALUE_GCD_SQL, ("udaf", "pandas-grouped-agg", "price-quantum")),
-    "decontamination_report": QuerySpec(NS.decontamination_report, NS.DECONTAMINATION_REPORT_SQL, ("dedup", "decontamination", "report", "capstone")),
-    "daily_value_stl": QuerySpec(EV.daily_value_stl, EV.DAILY_VALUE_STL_SQL, ("timeseries", "stl", "decomposition", "seasonality")),
     "l_diversity_audit": QuerySpec(TQ.l_diversity_audit, TQ.L_DIVERSITY_AUDIT_SQL, ("privacy", "l-diversity", "audit")),
     "activity_tail_hill": QuerySpec(TQ.activity_tail_hill, TQ.ACTIVITY_TAIL_HILL_SQL, ("stats", "heavy-tail", "hill", "ordered-fold")),
     "kmv_week_overlap": QuerySpec(NS.kmv_week_overlap, NS.KMV_WEEK_OVERLAP_SQL, ("sketch", "kmv", "set-ops", "jaccard")),
     "monthly_from_daily_mv": QuerySpec(TQ.monthly_from_daily_mv, TQ.MONTHLY_FROM_DAILY_MV_SQL, ("mv-rewrite", "rollup", "re-aggregation")),
     "user_type_share_map": QuerySpec(EV.user_type_share_map, EV.USER_TYPE_SHARE_MAP_SQL, ("map-hof", "complex-types", "shares")),
     "quantile_forecast_pinball": QuerySpec(EV.quantile_forecast_pinball, EV.QUANTILE_FORECAST_PINBALL_SQL, ("forecast", "pinball", "quantile", "backtest")),
-    "hashed_embedding_knn": QuerySpec(NS.hashed_embedding_knn, NS.HASHED_EMBEDDING_KNN_SQL, ("ann", "hashing-trick", "sparse-cosine", "text-embedding")),
     "ols_weekend_effect": QuerySpec(EV.ols_weekend_effect, EV.OLS_WEEKEND_EFFECT_SQL, ("regression", "ols", "integer-exact", "cramer")),
     # displaced from the streaming guard block by session 3 (r3-green
     # driver rows; still locally re-verified every round):
@@ -300,42 +335,23 @@ _BACKLOG: dict[str, QuerySpec] = {
     "rolling_7d_distinct_users": QuerySpec(EV.rolling_7d_distinct_users, EV.ROLLING_7D_DISTINCT_USERS_SQL, ("window", "distinct", "sliding", "contribution-explode")),
     "chi2_type_weekday": QuerySpec(EV.chi2_type_weekday, EV.CHI2_TYPE_WEEKDAY_SQL, ("quality", "chi-square", "independence", "contingency")),
     "stream_topk_types_per_window": QuerySpec(NS.stream_topk_types_per_window, NS.STREAM_TOPK_TYPES_PER_WINDOW_SQL, ("streaming", "topk", "lambda-seam")),
-    "value_psi_drift": QuerySpec(EV.value_psi_drift, EV.VALUE_PSI_DRIFT_SQL, ("quality", "psi", "drift", "monitoring")),
-    "pareto_frontier_orders": QuerySpec(TQ.pareto_frontier_orders, TQ.PARETO_FRONTIER_ORDERS_SQL, ("window", "skyline", "pareto", "range-frame")),
     "minhash_eval_pr": QuerySpec(NS.minhash_eval_pr, NS.MINHASH_EVAL_PR_SQL, ("dedup", "evaluation", "precision-recall", "lsh")),
-    "kcore_purchase_graph": QuerySpec(TQ.kcore_purchase_graph, TQ.KCORE_PURCHASE_GRAPH_SQL, ("graph", "kcore", "iterative", "deterministic")),
     "multimodal_arrow_entropy": QuerySpec(NS.multimodal_arrow_entropy, NS.MULTIMODAL_ARROW_ENTROPY_SQL, ("multimodal", "arrow", "map-in-arrow", "entropy")),
-    "mmr_rerank": QuerySpec(NS.mmr_rerank, NS.MMR_RERANK_SQL, ("retrieval", "mmr", "diversity", "rag")),
     "quantile_sample_det": QuerySpec(EV.quantile_sample_det, EV.QUANTILE_SAMPLE_DET_SQL, ("sketch", "quantile", "sampling", "deterministic")),
     "dp_noisy_type_counts": QuerySpec(EV.dp_noisy_type_counts, EV.DP_NOISY_TYPE_COUNTS_SQL, ("privacy", "dp", "laplace", "deterministic")),
     "observed_scan_metrics": QuerySpec(EV.observed_scan_metrics, EV.OBSERVED_SCAN_METRICS_SQL, ("observability", "metrics", "observe-api")),
-    "bm25_retrieval": QuerySpec(NS.bm25_retrieval, NS.BM25_RETRIEVAL_SQL, ("retrieval", "bm25", "lexical", "rag")),
-    "kaplan_meier_conversion": QuerySpec(EV.kaplan_meier_churn, EV.KAPLAN_MEIER_CHURN_SQL, ("survival", "kaplan-meier", "censoring", "conversion")),
-    "temporal_split_embargo": QuerySpec(EV.temporal_split_embargo, EV.TEMPORAL_SPLIT_EMBARGO_SQL, ("ml", "split", "temporal", "leakage-safe")),
     "nb_source_classifier": QuerySpec(NS.nb_source_classifier, NS.NB_SOURCE_CLASSIFIER_SQL, ("ml", "naive-bayes", "classifier", "confusion-matrix")),
     "association_rules_brands": QuerySpec(TQ.association_rules_brands, TQ.ASSOCIATION_RULES_BRANDS_SQL, ("market-basket", "association-rules", "lift")),
-    "clustering_coefficient": QuerySpec(TQ.clustering_coefficient, TQ.CLUSTERING_COEFFICIENT_SQL, ("graph", "triangles", "clustering-coefficient")),
     "theil_sen_daily_trend": QuerySpec(EV.theil_sen_daily_trend, EV.THEIL_SEN_DAILY_TREND_SQL, ("timeseries", "robust", "theil-sen", "trend")),
-    "textrank_keywords": QuerySpec(NS.textrank_keywords, NS.TEXTRANK_KEYWORDS_SQL, ("text", "textrank", "pagerank", "keywords", "deterministic")),
     "knn_label_eval": QuerySpec(NS.knn_label_eval, NS.KNN_LABEL_EVAL_SQL, ("ml", "knn", "embedding", "confusion-matrix")),
-    "point_in_polygon_zones": QuerySpec(GQ.point_in_polygon_zones, GQ.POINT_IN_POLYGON_ZONES_SQL, ("geo", "geofence", "ray-casting", "point-in-polygon")),
     "row_provenance_files": QuerySpec(EV.row_provenance_files, EV.ROW_PROVENANCE_FILES_SQL, ("lineage", "provenance", "input-file")),
-    "rake_keyphrases": QuerySpec(NS.rake_keyphrases, NS.RAKE_KEYPHRASES_SQL, ("text", "rake", "keyphrases", "collocation")),
     "split_revenue_attribution": QuerySpec(EV.split_revenue_attribution, EV.SPLIT_REVENUE_ATTRIBUTION_SQL, ("attribution", "multi-touch", "largest-remainder", "integer-exact")),
     "cohort_ltv_curve": QuerySpec(EV.cohort_ltv_curve, EV.COHORT_LTV_CURVE_SQL, ("cohort", "ltv", "running-sum")),
-    "bitemporal_asof_orders": QuerySpec(TQ.bitemporal_asof_orders, TQ.BITEMPORAL_ASOF_ORDERS_SQL, ("bitemporal", "asof", "audit", "scd")),
-    "event_lateness_profile": QuerySpec(EV.event_lateness_profile, EV.EVENT_LATENESS_PROFILE_SQL, ("streaming", "watermark", "lateness", "profiling")),
     "source_vocab_kl": QuerySpec(NS.source_vocab_kl, NS.SOURCE_VOCAB_KL_SQL, ("text", "kl-divergence", "data-mixing", "drift")),
-    "degree_assortativity": QuerySpec(TQ.degree_assortativity, TQ.DEGREE_ASSORTATIVITY_SQL, ("graph", "assortativity", "integer-exact")),
-    "gini_customer_revenue": QuerySpec(TQ.gini_customer_revenue, TQ.GINI_CUSTOMER_REVENUE_SQL, ("inequality", "gini", "integer-exact")),
-    "hhi_brand_concentration": QuerySpec(TQ.hhi_brand_concentration, TQ.HHI_BRAND_CONCENTRATION_SQL, ("inequality", "hhi", "market-structure")),
-    "pareto_8020_customers": QuerySpec(TQ.pareto_8020_customers, TQ.PARETO_8020_CUSTOMERS_SQL, ("inequality", "pareto", "concentration")),
-    "mann_whitney_variants": QuerySpec(EV.mann_whitney_variants, EV.MANN_WHITNEY_VARIANTS_SQL, ("experiment", "mann-whitney", "nonparametric", "rank-test")),
     "conformal_value_interval": QuerySpec(EV.conformal_value_interval, EV.CONFORMAL_VALUE_INTERVAL_SQL, ("ml", "conformal", "prediction-interval", "order-statistic")),
     "pca_top_component": QuerySpec(NS.pca_top_component, NS.PCA_TOP_COMPONENT_SQL, ("ml", "pca", "power-iteration", "integer-exact", "deterministic")),
     "activity_streak_histogram": QuerySpec(EV.activity_streak_histogram, EV.ACTIVITY_STREAK_HISTOGRAM_SQL, ("window", "gaps-and-islands", "streak", "engagement")),
     "brand_cf_similarity": QuerySpec(TQ.brand_cf_similarity, TQ.BRAND_CF_SIMILARITY_SQL, ("recsys", "item-item", "collaborative-filtering")),
-    "abc_part_classification": QuerySpec(TQ.abc_part_classification, TQ.ABC_PART_CLASSIFICATION_SQL, ("inventory", "abc", "pareto", "integer-exact")),
     "duplicate_invoice_screen": QuerySpec(TQ.duplicate_invoice_screen, TQ.DUPLICATE_INVOICE_SCREEN_SQL, ("fraud", "dedup", "banded-self-join")),
     "user_cf_recommendations": QuerySpec(TQ.user_cf_recommendations, TQ.USER_CF_RECOMMENDATIONS_SQL, ("recsys", "recommendations", "item-item", "anti-join")),
     "seasonal_naive_backtest": QuerySpec(EV.seasonal_naive_backtest, EV.SEASONAL_NAIVE_BACKTEST_SQL, ("forecast", "backtest", "seasonal-naive", "temporal-holdout")),
@@ -344,18 +360,14 @@ _BACKLOG: dict[str, QuerySpec] = {
     "k_anonymity_audit": QuerySpec(TQ.k_anonymity_audit, TQ.K_ANONYMITY_AUDIT_SQL, ("privacy", "k-anonymity", "audit")),
     "shipping_latency_sla": QuerySpec(TQ.shipping_latency_sla, TQ.SHIPPING_LATENCY_SLA_SQL, ("sla", "latency", "order-statistic", "percentile")),
     "referential_integrity_audit": QuerySpec(TQ.referential_integrity_audit, TQ.REFERENTIAL_INTEGRITY_AUDIT_SQL, ("quality", "referential-integrity", "anti-join", "audit")),
-    "supplier_scorecard": QuerySpec(TQ.supplier_scorecard, TQ.SUPPLIER_SCORECARD_SQL, ("bi", "scorecard", "composite-rank")),
     "ks_test_variants": QuerySpec(EV.ks_test_variants, EV.KS_TEST_VARIANTS_SQL, ("experiment", "kolmogorov-smirnov", "ecdf", "integer-exact")),
     "odds_ratio_conversion": QuerySpec(EV.odds_ratio_conversion, EV.ODDS_RATIO_CONVERSION_SQL, ("experiment", "odds-ratio", "wald-ci", "binary-outcome")),
     "winsorized_value_stats": QuerySpec(EV.winsorized_value_stats, EV.WINSORIZED_VALUE_STATS_SQL, ("robust-stats", "winsorize", "order-statistic")),
     "max_drawdown_daily_revenue": QuerySpec(EV.max_drawdown_daily_revenue, EV.MAX_DRAWDOWN_DAILY_REVENUE_SQL, ("finance", "drawdown", "running-peak")),
     "markov_entropy_rate": QuerySpec(EV.markov_entropy_rate, EV.MARKOV_ENTROPY_RATE_SQL, ("sequence", "entropy-rate", "markov")),
-    "ols_daily_trend": QuerySpec(EV.ols_daily_trend, EV.OLS_DAILY_TREND_SQL, ("timeseries", "regression", "ols", "integer-moments")),
-    "zipf_fit_tokens": QuerySpec(NS.zipf_fit_tokens, NS.ZIPF_FIT_TOKENS_SQL, ("text", "zipf", "power-law", "corpus-health")),
     "fano_burstiness": QuerySpec(EV.fano_burstiness, EV.FANO_BURSTINESS_SQL, ("capacity", "burstiness", "fano", "dispersion")),
     "adstock_attribution": QuerySpec(EV.adstock_attribution, EV.ADSTOCK_ATTRIBUTION_SQL, ("attribution", "adstock", "decay-weighted")),
     "forecast_bakeoff": QuerySpec(EV.forecast_bakeoff, EV.FORECAST_BAKEOFF_SQL, ("forecast", "bakeoff", "evaluation")),
-    "dau_mau_stickiness": QuerySpec(EV.dau_mau_stickiness, EV.DAU_MAU_STICKINESS_SQL, ("engagement", "stickiness", "contribution-explode")),
     "ngram_novelty_curve": QuerySpec(NS.ngram_novelty_curve, NS.NGRAM_NOVELTY_CURVE_SQL, ("text", "redundancy", "ngram", "corpus-health")),
     "discount_elasticity": QuerySpec(TQ.discount_elasticity, TQ.DISCOUNT_ELASTICITY_SQL, ("econometrics", "elasticity", "log-log", "ordered-fold")),
     "order_cycle_percentiles": QuerySpec(TQ.order_cycle_percentiles, TQ.ORDER_CYCLE_PERCENTILES_SQL, ("crm", "cycle-time", "order-statistic")),
@@ -365,7 +377,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "price_dispersion_by_brand": QuerySpec(TQ.price_dispersion_by_brand, TQ.PRICE_DISPERSION_BY_BRAND_SQL, ("pricing", "dispersion", "cv", "integer-moments")),
     "anova_eta_squared": QuerySpec(EV.anova_eta_squared, EV.ANOVA_ETA_SQUARED_SQL, ("statistics", "anova", "effect-size", "ordered-fold")),
     "type_comovement_matrix": QuerySpec(EV.type_comovement_matrix, EV.TYPE_COMOVEMENT_MATRIX_SQL, ("timeseries", "correlation-matrix", "comovement")),
-    "lorenz_curve_points": QuerySpec(TQ.lorenz_curve_points, TQ.LORENZ_CURVE_POINTS_SQL, ("inequality", "lorenz", "deciles")),
     "order_backlog_aging": QuerySpec(TQ.order_backlog_aging, TQ.ORDER_BACKLOG_AGING_SQL, ("operations", "aging", "backlog")),
     "revenue_waterfall": QuerySpec(TQ.revenue_waterfall, TQ.REVENUE_WATERFALL_SQL, ("finance", "waterfall", "reconciliation", "integer-exact")),
     "supplier_customer_dependency": QuerySpec(TQ.supplier_customer_dependency, TQ.SUPPLIER_CUSTOMER_DEPENDENCY_SQL, ("risk", "concentration", "argmax")),
