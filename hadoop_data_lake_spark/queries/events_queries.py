@@ -5979,3 +5979,126 @@ SELECT n AS n_days,
                 + sw * (sd * sdw - sdd * sw))::double / 100.0, 6) AS weekend_effect_r
 FROM s
 """
+
+
+def exact_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global quantiles (p1/p5/p25/p50/p75/p90/p99) of event value
+    cents — without a global sort. approx_percentile trades error for one
+    pass; this is the exact-selection counterpart: global 1-based
+    positions from the two-phase distributed prefix sum
+    (operators/packing.prefix_agg) over the unique (cents, event_id)
+    order, then each quantile is the row at rank ceil(p*n/100) picked by
+    a broadcast 7-row rank join. At 100 TB this is one range shuffle +
+    per-partition window + a tiny join — the single-task
+    Window.orderBy(row_number) formulation it replaces is the first thing
+    the plan audit would flag."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from hadoop_data_lake_spark.operators.packing import token_prefix_sum
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", to_units(F.col("value")).alias("cents")
+    ).where(F.col("cents").isNotNull())
+    n = ev.count()
+    pcts = [1, 5, 25, 50, 75, 90, 99]
+    targets = spark.createDataFrame(
+        [(p, -(-p * n // 100)) for p in pcts], "quantile_pct INT, target BIGINT"
+    )
+    ranked = token_prefix_sum(
+        ev.withColumn("__one", F.lit(1)), ["cents", "event_id"], "__one"
+    )
+    return (
+        ranked.join(F.broadcast(targets), ranked["cum"] == targets["target"])
+        .groupBy("quantile_pct")
+        .agg(F.min("cents").alias("cents"), F.min("target").alias("rank"))
+    )
+
+
+EXACT_VALUE_QUANTILES_SQL = """
+WITH ev AS (
+  SELECT event_id, round(value * 100)::bigint AS cents FROM events
+  WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, event_id) AS rk FROM ev
+),
+tot AS (SELECT count(*)::bigint AS n FROM ev),
+targets AS (
+  SELECT p.quantile_pct, ceil(p.quantile_pct * tot.n / 100.0)::bigint AS target
+  FROM (VALUES (1),(5),(25),(50),(75),(90),(99)) p(quantile_pct), tot
+)
+SELECT t.quantile_pct, min(r.cents)::bigint AS cents, min(t.target)::bigint AS rank
+FROM ranked r JOIN targets t ON r.rk = t.target
+GROUP BY t.quantile_pct
+"""
+
+
+def ece_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + per-bin calibration gaps for a deterministic
+    propensity score against the purchase outcome — the standard ML-eval
+    readout for 'is the score a probability?'. The score is the portable
+    60-bit MD5 of the event id scaled to [0, 1) ppm (a stand-in for a
+    model score that both engines replay bit-for-bit); outcome is
+    event_type = 'purchase'. 10 equal-width score bins; per bin the mean
+    score (confidence) and empirical purchase rate (accuracy) aggregate
+    as INTEGER ppm sums with one rounded division each, plus the bin's
+    |gap| and its weighted ECE contribution. One hash aggregation over a
+    narrow projection — trivially linear at any scale."""
+    from hadoop_data_lake_spark.functions.hashing import salted_md5_60bit
+
+    ev = read_table(spark, sf_dir, "events").select(
+        (salted_md5_60bit(F.col("event_id").cast("string"), 7) % 1000000).alias(
+            "score_ppm"
+        ),
+        (F.col("event_type") == "purchase").cast("long").alias("hit"),
+    )
+    tot = ev.agg(F.count("*").alias("n_total"))
+    bins = (
+        ev.withColumn("bin", F.expr("score_ppm div 100000"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("score_ppm").alias("s_ppm"),
+            F.sum("hit").alias("n_hit"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    conf = F.col("s_ppm").cast("double") / F.col("n").cast("double") / 1e6
+    acc = F.col("n_hit").cast("double") / F.col("n").cast("double")
+    return bins.select(
+        "bin",
+        "n",
+        "n_hit",
+        F.round(conf, 6).alias("conf_r"),
+        F.round(acc, 6).alias("acc_r"),
+        F.round(F.abs(conf - acc), 6).alias("gap_r"),
+        F.round(
+            F.abs(conf - acc) * F.col("n").cast("double")
+            / F.col("n_total").cast("double"),
+            6,
+        ).alias("ece_contrib_r"),
+    )
+
+
+ECE_CALIBRATION_BINS_SQL = """
+WITH ev AS (
+  SELECT (('0x' || substr(md5('7|' || event_id::varchar), 1, 15))::ubigint
+          % 1000000)::bigint AS score_ppm,
+         (event_type = 'purchase')::bigint AS hit
+  FROM events
+),
+tot AS (SELECT count(*)::bigint AS n_total FROM ev),
+bins AS (
+  SELECT score_ppm // 100000 AS bin, count(*)::bigint AS n,
+         sum(score_ppm)::bigint AS s_ppm, sum(hit)::bigint AS n_hit
+  FROM ev GROUP BY score_ppm // 100000
+)
+SELECT b.bin::bigint AS bin, b.n, b.n_hit,
+       round(b.s_ppm::double / b.n::double / 1e6, 6) AS conf_r,
+       round(b.n_hit::double / b.n::double, 6) AS acc_r,
+       round(abs(b.s_ppm::double / b.n::double / 1e6
+                 - b.n_hit::double / b.n::double), 6) AS gap_r,
+       round(abs(b.s_ppm::double / b.n::double / 1e6
+                 - b.n_hit::double / b.n::double)
+             * b.n::double / t.n_total::double, 6) AS ece_contrib_r
+FROM bins b, tot t
+"""

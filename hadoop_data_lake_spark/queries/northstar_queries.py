@@ -5124,3 +5124,283 @@ FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
       FROM scored)
 WHERE rnk <= 3
 """
+
+
+def data_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data source mixing by water-filling: given per-source token
+    totals and a global budget of half the corpus, allocate each source
+    min(tokens, tau) where the water level tau is chosen so the
+    allocations exhaust the budget — the standard 'cap the biggest
+    sources, keep the small ones whole' mixing rule. All arithmetic is
+    integer (token counts, floor-divided levels), so tau replays exactly.
+    Scale shape: one hash aggregate to the per-source totals, a prefix
+    pass over that aggregate (operators/packing.prefix_agg — sources are
+    ~10^5+ at web scale, so even the aggregate frame avoids a single-task
+    sort), one broadcast of the scalar tau back."""
+    from hadoop_data_lake_spark.operators.packing import prefix_agg
+
+    docs = read_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select(
+            "source", F.size(F.split(F.col("text"), " ")).cast("long").alias("toks")
+        )
+        .groupBy("source")
+        .agg(F.sum("toks").alias("toks"))
+    )
+    tot = per_src.agg(
+        F.count("*").alias("m"), F.sum("toks").alias("g")
+    ).select("m", "g", F.expr("g div 2").alias("b"))
+    ranked = prefix_agg(
+        per_src.withColumn("__one", F.lit(1)),
+        ["toks", "source"],
+        sum_cols={"k": "__one", "cum": "toks"},
+    ).crossJoin(F.broadcast(tot))
+    # smallest k where filling every remaining source to T_k covers the
+    # budget; tau is the exact level inside that bracket (integer floor).
+    cand = ranked.where(
+        (F.col("cum") - F.col("toks"))
+        + (F.col("m") - F.col("k") + 1) * F.col("toks")
+        >= F.col("b")
+    )
+    tau = cand.agg(
+        F.min_by(
+            F.expr("(b - (cum - toks)) div (m - k + 1)"), F.col("k")
+        ).alias("tau")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tau))
+        .select(
+            "source",
+            "toks",
+            F.least(F.col("toks"), F.col("tau")).alias("alloc_toks"),
+            (F.col("toks") > F.col("tau")).alias("capped"),
+        )
+    )
+
+
+DATA_MIX_WATERFILL_SQL = """
+WITH per_src AS (
+  SELECT source, sum(len(string_split(text, ' ')))::bigint AS toks
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT count(*)::bigint AS m, sum(toks)::bigint AS g,
+         sum(toks)::bigint // 2 AS b
+  FROM per_src
+),
+ranked AS (
+  SELECT source, toks,
+         row_number() OVER (ORDER BY toks, source) AS k,
+         sum(toks) OVER (ORDER BY toks, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cum
+  FROM per_src
+),
+tau AS (
+  SELECT arg_min((b - (cum - toks)) // (m - k + 1), k) AS tau
+  FROM ranked, tot
+  WHERE (cum - toks) + (m - k + 1) * toks >= b
+)
+SELECT p.source, p.toks, least(p.toks, tau.tau)::bigint AS alloc_toks,
+       p.toks > tau.tau AS capped
+FROM per_src p, tau
+"""
+
+
+def quality_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-ensemble ablation report over the five Gopher rules: per
+    rule, how many documents it fails, how many it ALONE fails (the
+    rule's unique contribution — the number the corpus gets back if the
+    rule is dropped), plus the corpus-level keep counts under strict
+    AND-of-all-rules vs majority vote (>= 4 of 5) — the ablation table a
+    data team reads before shipping a filter change. Reuses the
+    quality_gopher_filters frame; one melt + two hash aggregations."""
+    g = quality_gopher_filters(spark, sf_dir)
+    melted = g.select(
+        "doc_id",
+        (
+            F.lit(5)
+            - F.col("ok_word_count").cast("int")
+            - F.col("ok_mean_word_len").cast("int")
+            - F.col("ok_stopwords").cast("int")
+            - F.col("ok_digit_ratio").cast("int")
+            - F.col("ok_repetition").cast("int")
+        ).alias("n_fail_doc"),
+        F.expr(
+            "stack(5, 'word_count', ok_word_count, 'mean_word_len', "
+            "ok_mean_word_len, 'stopwords', ok_stopwords, "
+            "'digit_ratio', ok_digit_ratio, 'repetition', ok_repetition) "
+            "as (rule, ok)"
+        ),
+    )
+    tot = melted.groupBy().agg(
+        (F.count_distinct("doc_id")).alias("n_docs"),
+        (F.sum((F.col("n_fail_doc") == 0).cast("long")) / 5).alias("n_kept_strict"),
+        (F.sum((F.col("n_fail_doc") <= 1).cast("long")) / 5).alias("n_kept_majority"),
+    ).select(
+        "n_docs",
+        F.col("n_kept_strict").cast("long").alias("n_kept_strict"),
+        F.col("n_kept_majority").cast("long").alias("n_kept_majority"),
+    )
+    return (
+        melted.groupBy("rule")
+        .agg(
+            F.sum((~F.col("ok")).cast("long")).alias("n_fail"),
+            F.sum(
+                ((~F.col("ok")) & (F.col("n_fail_doc") == 1)).cast("long")
+            ).alias("n_fail_alone"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+
+
+QUALITY_ENSEMBLE_VOTE_SQL = f"""
+WITH g AS ({QUALITY_GOPHER_FILTERS_SQL}),
+d AS (
+  SELECT doc_id,
+         (NOT ok_word_count)::int + (NOT ok_mean_word_len)::int
+         + (NOT ok_stopwords)::int + (NOT ok_digit_ratio)::int
+         + (NOT ok_repetition)::int AS n_fail_doc,
+         ok_word_count, ok_mean_word_len, ok_stopwords, ok_digit_ratio,
+         ok_repetition
+  FROM g
+),
+r AS (
+  SELECT 'word_count' AS rule, NOT ok_word_count AS fail, n_fail_doc FROM d
+  UNION ALL
+  SELECT 'mean_word_len', NOT ok_mean_word_len, n_fail_doc FROM d
+  UNION ALL
+  SELECT 'stopwords', NOT ok_stopwords, n_fail_doc FROM d
+  UNION ALL
+  SELECT 'digit_ratio', NOT ok_digit_ratio, n_fail_doc FROM d
+  UNION ALL
+  SELECT 'repetition', NOT ok_repetition, n_fail_doc FROM d
+),
+tot AS (
+  SELECT count(*)::bigint AS n_docs,
+         sum((n_fail_doc = 0)::int)::bigint AS n_kept_strict,
+         sum((n_fail_doc <= 1)::int)::bigint AS n_kept_majority
+  FROM d
+)
+SELECT r.rule, sum(r.fail::int)::bigint AS n_fail,
+       sum((r.fail AND r.n_fail_doc = 1)::int)::bigint AS n_fail_alone,
+       tot.n_docs, tot.n_kept_strict, tot.n_kept_majority
+FROM r, tot
+GROUP BY r.rule, tot.n_docs, tot.n_kept_strict, tot.n_kept_majority
+"""
+
+
+def dedup_survivor_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship policy on top of the minhash near-dup clusters: per
+    cluster keep the member with the MOST content (max n_chars, ties to
+    the smallest doc id) — the doc-level analog of er_golden_record's
+    field survivorship, and the step that turns 'clusters found' into
+    'rows to delete'. Two tiny aggregations over the cluster frame (max
+    length, then min id among the maximal members); everything upstream
+    rides the banded-LSH + O(log n) connected-components path."""
+    clusters = dedup_clusters_minhash(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = clusters.join(docs, clusters["doc"] == docs["doc_id"]).select(
+        "cluster_rep", "doc", "n_chars"
+    )
+    per = j.groupBy("cluster_rep").agg(
+        F.count("*").alias("n_members"),
+        F.max("n_chars").alias("survivor_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    winners = (
+        j.join(per, "cluster_rep")
+        .where(F.col("n_chars") == F.col("survivor_chars"))
+        .groupBy("cluster_rep", "n_members", "survivor_chars", "total_chars")
+        .agg(F.min("doc").alias("survivor_doc"))
+    )
+    return winners.select(
+        "cluster_rep",
+        "survivor_doc",
+        "n_members",
+        "survivor_chars",
+        (F.col("n_members") - 1).alias("n_dropped"),
+        (F.col("total_chars") - F.col("survivor_chars")).alias("chars_dropped"),
+    )
+
+
+DEDUP_SURVIVOR_SELECTION_SQL = f"""
+WITH c AS ({DEDUP_CLUSTERS_MINHASH_SQL}),
+j AS (
+  SELECT c.cluster_rep, c.doc, d.n_chars
+  FROM c JOIN documents d ON c.doc = d.doc_id
+),
+per AS (
+  SELECT cluster_rep, count(*)::bigint AS n_members,
+         max(n_chars)::bigint AS survivor_chars,
+         sum(n_chars)::bigint AS total_chars
+  FROM j GROUP BY cluster_rep
+)
+SELECT p.cluster_rep, min(j.doc)::bigint AS survivor_doc, p.n_members,
+       p.survivor_chars, (p.n_members - 1)::bigint AS n_dropped,
+       (p.total_chars - p.survivor_chars)::bigint AS chars_dropped
+FROM j JOIN per p ON j.cluster_rep = p.cluster_rep
+WHERE j.n_chars = p.survivor_chars
+GROUP BY p.cluster_rep, p.n_members, p.survivor_chars, p.total_chars
+"""
+
+
+def shard_lpt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced export sharding by snake placement: documents ranked by
+    token count descending are dealt to 8 shards boustrophedon-style
+    (1..8, 8..1, ...) — the deterministic one-pass approximation of
+    longest-processing-time scheduling that keeps every shard within one
+    max-document of optimal. Global ranks come from the two-phase prefix
+    pass (never a single-task sort of the corpus); output is the per-
+    shard doc count, token total, and skew against the ideal equal
+    share."""
+    from hadoop_data_lake_spark.operators.packing import prefix_agg
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("toks")
+    )
+    ranked = prefix_agg(
+        docs.withColumn("__one", F.lit(1)).withColumn("__neg", -F.col("toks")),
+        ["__neg", "doc_id"],
+        sum_cols={"rk": "__one"},
+    )
+    pos = F.col("rk") - 1
+    r = pos % 16
+    placed = ranked.withColumn(
+        "shard", F.when(r < 8, r).otherwise(15 - r).cast("int")
+    )
+    tot = placed.agg(F.sum("toks").alias("g"))
+    return (
+        placed.groupBy("shard")
+        .agg(F.count("*").alias("n_docs"), F.sum("toks").alias("toks"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "toks",
+            F.round(
+                F.col("toks").cast("double") * 8.0 / F.col("g").cast("double"), 6
+            ).alias("skew_r"),
+        )
+    )
+
+
+SHARD_LPT_PLAN_SQL = """
+WITH docs AS (
+  SELECT doc_id, len(string_split(text, ' '))::bigint AS toks FROM documents
+),
+ranked AS (
+  SELECT doc_id, toks,
+         row_number() OVER (ORDER BY toks DESC, doc_id) - 1 AS pos
+  FROM docs
+),
+placed AS (
+  SELECT toks,
+         CASE WHEN pos % 16 < 8 THEN pos % 16 ELSE 15 - pos % 16 END::int AS shard
+  FROM ranked
+),
+tot AS (SELECT sum(toks)::bigint AS g FROM placed)
+SELECT p.shard, count(*)::bigint AS n_docs, sum(p.toks)::bigint AS toks,
+       round(sum(p.toks)::double * 8.0 / tot.g::double, 6) AS skew_r
+FROM placed p, tot
+GROUP BY p.shard, tot.g
+"""

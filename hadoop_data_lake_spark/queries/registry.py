@@ -24,7 +24,11 @@ displacement pairs recorded inline at the _WINDOW comment):
        k-core, BM25, TextRank, STL, NDCG backtest, point-in-polygon, DTW).
 18-36  19 more never-graded full-oracle entries incl. the 3 pure-Python
        media codecs (PPM/WAV/AVI — a family with zero driver rows).
-37-44  8 r4-proven batch keeps, one anchor per major family.
+37-44  the 7 round-5 NEW queries (exact distributed quantiles, HITS,
+       calibration/ECE, water-fill mixing, filter-ensemble ablation,
+       dedup survivorship, LPT sharding) + 1 r4-proven batch keep
+       (er_golden_record); the other 7 r4-proven keeps moved to the
+       backlog to make room (displacement pairs at the window comment).
 45-50  the 6-slot streaming regression guard (r≤4-proven).
 Every displaced entry holds a CORRECTNESS_r04.json green row and moves to
 the backlog, where check_oracle still re-verifies it each round.
@@ -151,17 +155,24 @@ _WINDOW: dict[str, QuerySpec] = {
     "media_ppm_decode_stats": QuerySpec(NS.media_ppm_decode_stats, NS.MEDIA_PPM_DECODE_STATS_SQL, ("multimodal", "real-codec", "ppm", "arrow")),
     "media_wav_decode_stats": QuerySpec(NS.media_wav_decode_stats, NS.MEDIA_WAV_DECODE_STATS_SQL, ("multimodal", "real-codec", "wav", "audio", "arrow")),
     "media_avi_frame_stats": QuerySpec(NS.media_avi_frame_stats, NS.MEDIA_AVI_FRAME_STATS_SQL, ("multimodal", "real-codec", "avi", "video", "frame-sample")),
-    # --- r4-proven batch keeps (8): one anchor per major family
-    # (winnowing, semantic dedup, ER, PQ-ANN, cross-corpus decon,
-    # graph fixed-point, sketches, KN-smoothed LM) ---
-    "winnow_overlap_pairs": QuerySpec(NS.winnow_overlap_pairs, NS.WINNOW_OVERLAP_PAIRS_SQL, ("dedup", "winnowing", "moss")),
-    "semdedup_prune": QuerySpec(NS.semdedup_prune, NS.SEMDEDUP_PRUNE_SQL, ("dedup", "semantic", "clustering", "semdedup")),
+    # --- round-5 NEW queries (7), displacing 7 of the 8 r4-proven batch
+    # keeps (each displaced entry holds a CORRECTNESS_r04.json green row):
+    # exact_value_quantiles -> winnow_overlap_pairs,
+    # hits_hubs_authorities -> ann_pq_det,
+    # ece_calibration_bins -> decontaminate_minhash_cross,
+    # data_mix_waterfill -> hll_det_daily_users,
+    # quality_ensemble_vote -> doc_lm_kneser_ney,
+    # dedup_survivor_selection -> semdedup_prune,
+    # shard_lpt_plan -> pagerank_det.
+    "exact_value_quantiles": QuerySpec(EV.exact_value_quantiles, EV.EXACT_VALUE_QUANTILES_SQL, ("quantile", "exact", "prefix-sum", "distributed-selection")),
+    "hits_hubs_authorities": QuerySpec(TQ.hits_hubs_authorities, TQ.HITS_HUBS_AUTHORITIES_SQL, ("graph", "iterative", "hits", "fixed-point", "deterministic")),
+    "ece_calibration_bins": QuerySpec(EV.ece_calibration_bins, EV.ECE_CALIBRATION_BINS_SQL, ("ml", "calibration", "ece", "reliability")),
+    "data_mix_waterfill": QuerySpec(NS.data_mix_waterfill, NS.DATA_MIX_WATERFILL_SQL, ("training-data", "mixing", "waterfill", "budget")),
+    "quality_ensemble_vote": QuerySpec(NS.quality_ensemble_vote, NS.QUALITY_ENSEMBLE_VOTE_SQL, ("quality", "ensemble", "ablation", "filter")),
+    "dedup_survivor_selection": QuerySpec(NS.dedup_survivor_selection, NS.DEDUP_SURVIVOR_SELECTION_SQL, ("dedup", "survivorship", "clusters")),
+    "shard_lpt_plan": QuerySpec(NS.shard_lpt_plan, NS.SHARD_LPT_PLAN_SQL, ("training-data", "sharding", "lpt", "balance")),
+    # --- r4-proven batch keep (1): the ER anchor ---
     "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),
-    "ann_pq_det": QuerySpec(NS.ann_pq_det, NS.ANN_PQ_DET_SQL, ("ann", "pq", "adc", "deterministic")),
-    "decontaminate_minhash_cross": QuerySpec(NS.decontaminate_minhash_cross, NS.DECONTAMINATE_MINHASH_CROSS_SQL, ("dedup", "decontamination", "lsh", "cross-corpus")),
-    "pagerank_det": QuerySpec(TQ.pagerank_det, TQ.PAGERANK_DET_SQL, ("graph", "iterative", "pagerank", "fixed-point", "deterministic")),
-    "hll_det_daily_users": QuerySpec(NS.hll_det_daily_users, NS.HLL_DET_DAILY_USERS_SQL, ("sketch", "hll", "deterministic")),
-    "doc_lm_kneser_ney": QuerySpec(NS.doc_lm_kneser_ney, NS.DOC_LM_KNESER_NEY_SQL, ("text", "quality", "lm", "kneser-ney", "smoothing")),
     # --- streaming regression guard (6): streaming silently broke at
     # r2 HEAD; these keep every micro-batch/watermark/stream-join path
     # under the driver gate ---
@@ -176,6 +187,13 @@ _WINDOW: dict[str, QuerySpec] = {
 _BACKLOG: dict[str, QuerySpec] = {
     # --- rotated out of the window in round 5 — each holds a
     # CORRECTNESS_r04.json full-oracle green row -------------------------
+    "winnow_overlap_pairs": QuerySpec(NS.winnow_overlap_pairs, NS.WINNOW_OVERLAP_PAIRS_SQL, ("dedup", "winnowing", "moss")),
+    "semdedup_prune": QuerySpec(NS.semdedup_prune, NS.SEMDEDUP_PRUNE_SQL, ("dedup", "semantic", "clustering", "semdedup")),
+    "ann_pq_det": QuerySpec(NS.ann_pq_det, NS.ANN_PQ_DET_SQL, ("ann", "pq", "adc", "deterministic")),
+    "decontaminate_minhash_cross": QuerySpec(NS.decontaminate_minhash_cross, NS.DECONTAMINATE_MINHASH_CROSS_SQL, ("dedup", "decontamination", "lsh", "cross-corpus")),
+    "pagerank_det": QuerySpec(TQ.pagerank_det, TQ.PAGERANK_DET_SQL, ("graph", "iterative", "pagerank", "fixed-point", "deterministic")),
+    "hll_det_daily_users": QuerySpec(NS.hll_det_daily_users, NS.HLL_DET_DAILY_USERS_SQL, ("sketch", "hll", "deterministic")),
+    "doc_lm_kneser_ney": QuerySpec(NS.doc_lm_kneser_ney, NS.DOC_LM_KNESER_NEY_SQL, ("text", "quality", "lm", "kneser-ney", "smoothing")),
     "user_sessions_native": QuerySpec(EV.user_sessions_native, EV.USER_SESSIONS_NATIVE_SQL, ("window", "sessionize", "session-window")),
     "sequential_funnel": QuerySpec(EV.sequential_funnel, EV.SEQUENTIAL_FUNNEL_SQL, ("agg", "funnel", "ordered")),
     "expectations_report": QuerySpec(TQ.expectations_report, TQ.EXPECTATIONS_REPORT_SQL, ("quality", "expectations", "unpivot")),

@@ -4605,3 +4605,99 @@ SELECT strftime(o_orderdate, '%Y-%m') AS month,
 FROM orders
 GROUP BY 1
 """
+
+
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg hubs & authorities) on the bipartite
+    customer -> supplier purchase graph: customers are hubs, suppliers
+    authorities; two full mutual-reinforcement iterations (a = sum of
+    neighbor hub scores, h = sum of neighbor authority scores), each
+    followed by INTEGER rescaling score * 10^6 div max(score) — the
+    normalization both engines floor-divide identically, so the fixed
+    point replays bit-for-bit (the pagerank_det pattern). Top-10 hubs and
+    top-10 authorities via orderBy().limit() (TakeOrderedAndProject —
+    never a global sort of the customer dimension). Scale shape: the edge
+    list is checkpointed once and every round is one hash join + one
+    hash aggregate + a broadcast scalar max; 10^6-scaled sums stay under
+    bigint for degrees < ~10^6 per node (cast to decimal beyond)."""
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def rescale(df: DataFrame) -> DataFrame:
+        # checkpoint before branching: the max-agg and the join both read
+        # the frame, and an uncheckpointed branch re-executes the whole
+        # round chain per reference (2^rounds blowup).
+        df = df.localCheckpoint(eager=True)
+        m = df.agg(F.max("v").alias("m"))
+        return df.crossJoin(F.broadcast(m)).select(
+            df.columns[0], F.expr("v * 1000000 div m").alias("v")
+        )
+
+    a = rescale(e.groupBy("s").agg(F.count("*").cast("long").alias("v")))
+    h = rescale(e.join(a, "s").groupBy("c").agg(F.sum("v").alias("v")))
+    a = rescale(e.join(h, "c").groupBy("s").agg(F.sum("v").alias("v")))
+    h = rescale(e.join(a, "s").groupBy("c").agg(F.sum("v").alias("v")))
+    top_h = (
+        h.orderBy(F.col("v").desc(), F.col("c").asc())
+        .limit(10)
+        .select(
+            F.lit("hub").alias("side"),
+            F.col("c").alias("node"),
+            F.col("v").alias("score"),
+        )
+    )
+    top_a = (
+        a.orderBy(F.col("v").desc(), F.col("s").asc())
+        .limit(10)
+        .select(
+            F.lit("auth").alias("side"),
+            F.col("s").alias("node"),
+            F.col("v").alias("score"),
+        )
+    )
+    return top_h.unionByName(top_a)
+
+
+HITS_HUBS_AUTHORITIES_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+a1 AS MATERIALIZED (SELECT s, count(*)::bigint AS v FROM e GROUP BY s),
+a1s AS MATERIALIZED (
+  SELECT s, (v * 1000000) // (SELECT max(v) FROM a1) AS v FROM a1
+),
+h1 AS MATERIALIZED (
+  SELECT e.c, sum(a1s.v)::bigint AS v FROM e JOIN a1s ON e.s = a1s.s GROUP BY e.c
+),
+h1s AS MATERIALIZED (
+  SELECT c, (v * 1000000) // (SELECT max(v) FROM h1) AS v FROM h1
+),
+a2 AS MATERIALIZED (
+  SELECT e.s, sum(h1s.v)::bigint AS v FROM e JOIN h1s ON e.c = h1s.c GROUP BY e.s
+),
+a2s AS MATERIALIZED (
+  SELECT s, (v * 1000000) // (SELECT max(v) FROM a2) AS v FROM a2
+),
+h2 AS MATERIALIZED (
+  SELECT e.c, sum(a2s.v)::bigint AS v FROM e JOIN a2s ON e.s = a2s.s GROUP BY e.c
+),
+h2s AS MATERIALIZED (
+  SELECT c, (v * 1000000) // (SELECT max(v) FROM h2) AS v FROM h2
+)
+SELECT * FROM (
+  SELECT 'hub' AS side, c AS node, v AS score FROM h2s
+  ORDER BY v DESC, c ASC LIMIT 10
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'auth' AS side, s AS node, v AS score FROM a2s
+  ORDER BY v DESC, s ASC LIMIT 10
+)
+"""

@@ -120,3 +120,40 @@ def test_time_grid_interpolate_linear_values(spark):
     assert got[(1, 1_800_000_000)] == (9.0, True)
     assert got[(2, 600_000_000)] == (5.0, True)
     assert len(got) == 5
+
+
+def test_prefix_agg_multi_column_and_running_max(spark):
+    """prefix_agg: several running sums + a running max share one range
+    repartition and match the serial fold, including negative values
+    (where 'max of local running sums' would be the wrong partition
+    total) and a NULL-offset first partition for the max."""
+    from hadoop_data_lake_spark.operators.packing import prefix_agg
+
+    vals = [(i, ((i * 37) % 100) - 50, (i * 13) % 997) for i in range(400)]
+    df = spark.createDataFrame(vals, "id long, v long, m long")
+    out = {
+        r["id"]: (r["cum_v"], r["n"], r["cmax"])
+        for r in prefix_agg(
+            df,
+            "id",
+            sum_cols={"cum_v": "v", "n": "id"},
+            max_cols={"cmax": "m"},
+            num_partitions=8,
+        ).collect()
+    }
+    run_v = run_id = 0
+    run_m = None
+    for i, v, m in vals:
+        run_v += v
+        run_id += i
+        run_m = m if run_m is None or m > run_m else run_m
+        assert out[i] == (run_v, run_id, run_m), i
+
+
+def test_prefix_agg_requires_a_running_column(spark):
+    from hadoop_data_lake_spark.operators.packing import prefix_agg
+    import pytest
+
+    df = spark.range(3)
+    with pytest.raises(ValueError):
+        prefix_agg(df, "id")
