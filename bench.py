@@ -89,6 +89,16 @@ HEADLINE = [
     "er_golden_record",
     "cluster_safe_split_audit",
     "brand_communities_lpa",
+    # round-5 additions: the prefix-sum reformulations (timing the
+    # two-phase pattern at sf0.1) and the new distributed-selection /
+    # graph / mixing / sharding operators
+    "event_lateness_profile",
+    "value_psi_drift",
+    "gini_customer_revenue",
+    "exact_value_quantiles",
+    "hits_hubs_authorities",
+    "data_mix_waterfill",
+    "shard_lpt_plan",
 ]
 
 
@@ -105,11 +115,18 @@ SCALE_BASE_ENV = "SPARK_GRAFT_SCALE_BASE"  # default: sf0.01 (keeps tier <1min)
 
 
 def _scaled_docs(spark, base_dir: str, mult: int):
-    """documents corpus replicated `mult`x with fresh ids and one unique
-    trailing token per copy: copies of one doc stay high-Jaccard near-dups
-    (pair count grows LINEARLY with mult), while exact dedup and shingle
-    statistics keep realistic shape. localCheckpoint so the timed region
-    measures the operator, not corpus synthesis."""
+    """documents corpus replicated `mult`x with fresh ids and a per-copy
+    positional token mask: in copy r, every token at position p with
+    (p + r) % 3 != 0 gets a '_r' suffix. Within one copy the mask is
+    shared, so base-corpus near-dup pairs survive per copy (pair count
+    grows LINEARLY with mult); across copies no 3-token shingle survives
+    intact, so copies of the same doc are NOT near-dups of each other —
+    the earlier trailing-token scheme left them at Jaccard ~0.8 and made
+    the TRUE pair set quadratic in mult, which read as a phantom
+    super-linear operator (r4: 25 -> 25,000 output rows at 10x). Shingle
+    statistics stay realistic (universe grows, hot shingles persist in
+    the unmasked third). localCheckpoint so the timed region measures
+    the operator, not corpus synthesis."""
     from pyspark.sql import functions as F
 
     from hadoop_data_lake_spark.core.io import read_table
@@ -118,11 +135,19 @@ def _scaled_docs(spark, base_dir: str, mult: int):
     if mult > 1:
         rep = spark.range(mult).select(F.col("id").alias("rep"))
         new_id = F.col("doc_id") * mult + F.col("rep")
+        toks = F.split(F.col("text"), " ")
+        masked = F.array_join(
+            F.transform(
+                toks,
+                lambda x, i: F.when(
+                    (i + F.col("rep")) % 3 != 0,
+                    F.concat(x, F.lit("_"), F.col("rep").cast("string")),
+                ).otherwise(x),
+            ),
+            " ",
+        )
         docs = docs.crossJoin(rep).select(
-            new_id.alias("doc_id"),
-            F.concat_ws(
-                " ", "text", F.concat(F.lit("u"), new_id.cast("string"))
-            ).alias("text"),
+            new_id.alias("doc_id"), masked.alias("text")
         )
     return docs.localCheckpoint(eager=True)
 
@@ -196,10 +221,13 @@ def _scale_ops(spark, docs, emb, mult):
         ),
         # SemDeDup scales its cluster count WITH the corpus (the paper's
         # k ~ n regime): cluster size stays constant, so the intra-cluster
-        # pair join stays linear. A fixed k here would read ~100x — the
-        # quadratic regime the operator is documented to avoid.
+        # pair join stays linear. Assignment uses the SRP-bucketed path —
+        # exact assignment is n * k cosines, itself quadratic at k ~ n
+        # (measured 13.8x at 10x in r4's scaled-k run); bucketed
+        # assignment scores a constant number of candidate centroids per
+        # point. This IS the documented 100 TB configuration.
         "semdedup_prune": lambda: SIM.semdedup_prune(
-            emb, num_clusters=16 * mult, threshold=0.95
+            emb, num_clusters=16 * mult, threshold=0.95, assign="srp"
         ),
         "phash_near_dup": lambda: MM.phash_near_dup_pairs(
             MM.perceptual_hash(MM.synth_media_from_text(docs, "doc_id", "text")),

@@ -6102,3 +6102,77 @@ SELECT b.bin::bigint AS bin, b.n, b.n_hit,
              * b.n::double / t.n_total::double, 6) AS ece_contrib_r
 FROM bins b, tot t
 """
+
+
+def benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing correction across the per-event-type Welch tests:
+    two-sided p-values from the Welch z (normal CDF via the
+    Abramowitz-Stegun 7.1.26 erf polynomial — a closed-form double
+    expression both engines evaluate identically on the ROUNDED z), then
+    the Benjamini-Hochberg step-up at FDR 0.10: rank p ascending, find
+    the largest rank with p <= rank/m * q, reject everything at or below
+    it — the standard guard against cherry-picking the one 'significant'
+    metric out of m dashboards. The rank window runs over the m-row test
+    aggregate (m = #event types, dimension-bounded)."""
+    from pyspark.sql import Window
+
+    tests = ab_test_welch(spark, sf_dir).select("event_type", "welch_z_r")
+    az = F.abs(F.col("welch_z_r")) / F.lit(2.0) ** 0.5
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    erf = 1.0 - (
+        0.254829592 * t
+        - 0.284496736 * t * t
+        + 1.421413741 * t * t * t
+        - 1.453152027 * t * t * t * t
+        + 1.061405429 * t * t * t * t * t
+    ) * F.exp(-az * az)
+    p = tests.withColumn("p_r", F.round(1.0 - erf, 6))
+    w = Window.orderBy(F.col("p_r").asc(), F.col("event_type").asc())
+    ranked = p.withColumn("rank", F.row_number().over(w)).crossJoin(
+        F.broadcast(p.agg(F.count("*").alias("m")))
+    ).withColumn(
+        "bh_threshold_r",
+        F.round(F.col("rank").cast("double") * 0.10 / F.col("m").cast("double"), 6),
+    )
+    kstar = ranked.where(F.col("p_r") <= F.col("bh_threshold_r")).agg(
+        F.coalesce(F.max("rank"), F.lit(0)).alias("kstar")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kstar))
+        .select(
+            "event_type",
+            "welch_z_r",
+            "p_r",
+            "rank",
+            "bh_threshold_r",
+            (F.col("rank") <= F.col("kstar")).alias("reject"),
+        )
+    )
+
+
+BENJAMINI_HOCHBERG_FDR_SQL = f"""
+WITH welch AS ({AB_TEST_WELCH_SQL}),
+p AS (
+  SELECT event_type, welch_z_r,
+         round(1.0 - (1.0 - (0.254829592 * (1.0 / (1.0 + 0.3275911 * (abs(welch_z_r) / sqrt(2.0))))
+           - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * (abs(welch_z_r) / sqrt(2.0))), 2)
+           + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * (abs(welch_z_r) / sqrt(2.0))), 3)
+           - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * (abs(welch_z_r) / sqrt(2.0))), 4)
+           + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * (abs(welch_z_r) / sqrt(2.0))), 5))
+           * exp(-(abs(welch_z_r) / sqrt(2.0)) * (abs(welch_z_r) / sqrt(2.0)))), 6) AS p_r
+  FROM welch
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY p_r ASC, event_type ASC) AS rank,
+         (SELECT count(*) FROM p) AS m
+  FROM p
+),
+thr AS (
+  SELECT *, round(rank::double * 0.10 / m::double, 6) AS bh_threshold_r
+  FROM ranked
+),
+ks AS (SELECT coalesce(max(rank), 0) AS kstar FROM thr WHERE p_r <= bh_threshold_r)
+SELECT t.event_type, t.welch_z_r, t.p_r, t.rank::bigint AS rank,
+       t.bh_threshold_r, t.rank <= ks.kstar AS reject
+FROM thr t, ks
+"""

@@ -5404,3 +5404,197 @@ SELECT p.shard, count(*)::bigint AS n_docs, sum(p.toks)::bigint AS toks,
 FROM placed p, tot
 GROUP BY p.shard, tot.g
 """
+
+
+def ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-design readout: what
+    fraction of the corpus token MASS do the top-k vocabulary entries
+    cover, for k in {10, 25, 50, 100} (clamped to the vocabulary size)?
+    Frequency ranks and cumulative mass over the vocabulary come from ONE
+    two-phase prefix pass (operators/packing.prefix_agg — a web-scale
+    vocabulary is 10^8+ entries, so even the aggregate frame avoids a
+    single-task sort); each curve point is then a broadcast rank join.
+    All counts integer; one rounded share per point."""
+    from hadoop_data_lake_spark.operators.packing import prefix_agg
+
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = vocab.agg(
+        F.count("*").alias("n_vocab"), F.sum("cnt").alias("mass")
+    )
+    ranked = prefix_agg(
+        vocab.withColumn("__one", F.lit(1)).withColumn("__neg", -F.col("cnt")),
+        ["__neg", "token"],
+        sum_cols={"rk": "__one", "cum": "cnt"},
+    ).crossJoin(F.broadcast(tot))
+    ks = spark.createDataFrame([(10,), (25,), (50,), (100,)], "k INT")
+    targets = ks.crossJoin(F.broadcast(tot)).select(
+        "k", F.least(F.col("k").cast("long"), F.col("n_vocab")).alias("target")
+    )
+    return (
+        ranked.join(F.broadcast(targets), ranked["rk"] == targets["target"])
+        .groupBy("k")
+        .agg(
+            F.min("target").alias("vocab_used"),
+            F.min("cum").alias("covered"),
+            F.round(
+                F.min("cum").cast("double") / F.min("mass").cast("double"), 6
+            ).alias("coverage_r"),
+        )
+    )
+
+
+NGRAM_COVERAGE_CURVE_SQL = """
+WITH vocab AS (
+  SELECT u.token, count(*)::bigint AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) u
+  WHERE u.token <> '' GROUP BY u.token
+),
+tot AS (SELECT count(*)::bigint AS n_vocab, sum(cnt)::bigint AS mass FROM vocab),
+ranked AS (
+  SELECT token, cnt,
+         row_number() OVER (ORDER BY cnt DESC, token) AS rk,
+         sum(cnt) OVER (ORDER BY cnt DESC, token
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cum
+  FROM vocab
+),
+targets AS (
+  SELECT k.k, least(k.k::bigint, tot.n_vocab) AS target, tot.mass
+  FROM (VALUES (10), (25), (50), (100)) k(k), tot
+)
+SELECT t.k, min(t.target)::bigint AS vocab_used, min(r.cum)::bigint AS covered,
+       round(min(r.cum)::double / min(t.mass)::double, 6) AS coverage_r
+FROM ranked r JOIN targets t ON r.rk = t.target
+GROUP BY t.k
+"""
+
+
+def mutual_nn_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-nearest-neighbor matching between the two halves of the
+    embedding corpus (even vs odd vec_id standing in for two languages /
+    two crawls) — the margin-free core of bitext mining and cross-corpus
+    alignment: a pair survives only if each side is the other's single
+    best cosine match (ties to the smaller id), which kills the hub
+    vectors that dominate one-directional top-1 matching. This is the
+    brute-force tier (one broadcast of the smaller side, argmax per row —
+    no quadratic materialization); at corpus scale the candidate
+    generation swaps for the LSH/IVF ANN tiers like every other
+    embedding query here."""
+    from hadoop_data_lake_spark.functions.vectors import cosine
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    left = emb.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+    )
+    right = emb.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
+    )
+    scored = left.crossJoin(F.broadcast(right)).select(
+        "a", "b", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_r")
+    )
+    best_l = scored.groupBy("a").agg(
+        F.max(F.struct(F.col("cos_r"), (-F.col("b")).alias("nb"))).alias("m")
+    ).select("a", (-F.col("m.nb")).alias("b"), F.col("m.cos_r").alias("cos_r"))
+    best_r = scored.groupBy("b").agg(
+        F.max(F.struct(F.col("cos_r"), (-F.col("a")).alias("na"))).alias("m")
+    ).select("b", (-F.col("m.na")).alias("best_a"))
+    return (
+        best_l.join(best_r, "b")
+        .where(F.col("best_a") == F.col("a"))
+        .select("a", "b", "cos_r")
+    )
+
+
+def _mutual_nn_sql() -> str:
+    cos = cosine_sql("l.embedding", "r.embedding")
+    return f"""
+WITH scored AS MATERIALIZED (
+  SELECT l.vec_id AS a, r.vec_id AS b, round({cos}, 6) AS cos_r
+  FROM embeddings l JOIN embeddings r
+    ON l.vec_id % 2 = 0 AND r.vec_id % 2 = 1
+),
+best_l AS (
+  SELECT a, b, cos_r FROM (
+    SELECT *, row_number() OVER (PARTITION BY a ORDER BY cos_r DESC, b ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+best_r AS (
+  SELECT b, a AS best_a FROM (
+    SELECT *, row_number() OVER (PARTITION BY b ORDER BY cos_r DESC, a ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT l.a, l.b, l.cos_r
+FROM best_l l JOIN best_r r ON l.b = r.b
+WHERE r.best_a = l.a
+"""
+
+
+MUTUAL_NN_BITEXT_PAIRS_SQL = _mutual_nn_sql()
+
+
+def embedding_int8_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 (0..255) min-max quantization audit for the
+    embedding column — the compression readout before shipping a vector
+    index: per dimension the value range, the maximum and mean absolute
+    reconstruction error in micro-units (integers, so both engines agree
+    bit-for-bit after the one deterministic HALF-UP round per element).
+    Scale shape: one explode pass, a 64-row per-dimension aggregate
+    broadcast back, one re-aggregation — full map-side combine on a
+    dimension key that is bounded by the model, not the data."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    el = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    stats = el.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    j = el.join(F.broadcast(stats), "dim")
+    scale = (F.col("mx") - F.col("mn")) / 255.0
+    code = F.when(
+        F.col("mx") > F.col("mn"), F.round((F.col("x") - F.col("mn")) / scale, 0)
+    ).otherwise(F.lit(0.0))
+    deq = F.col("mn") + code * scale
+    err_um = F.round((F.col("x") - deq) * 1e6, 0).cast("long")
+    return (
+        j.select("dim", "mn", "mx", err_um.alias("err_um"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.min("mn"), 6).alias("mn_r"),
+            F.round(F.min("mx"), 6).alias("mx_r"),
+            F.max(F.abs(F.col("err_um"))).alias("max_abs_err_um"),
+            F.round(
+                F.sum(F.abs(F.col("err_um"))).cast("double") / F.count("*"), 3
+            ).alias("mean_abs_err_um_r"),
+        )
+    )
+
+
+EMBEDDING_INT8_QUANTIZE_STATS_SQL = """
+WITH el AS (
+  SELECT vec_id, i - 1 AS dim, x::double AS x
+  FROM (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           unnest(embedding) AS x
+    FROM embeddings
+  )
+),
+stats AS (
+  SELECT dim, min(x) AS mn, max(x) AS mx FROM el GROUP BY dim
+),
+err AS (
+  SELECT el.dim, s.mn, s.mx,
+         round((el.x - (s.mn + (CASE WHEN s.mx > s.mn
+                  THEN round((el.x - s.mn) / ((s.mx - s.mn) / 255.0), 0)
+                  ELSE 0.0 END) * ((s.mx - s.mn) / 255.0))) * 1e6, 0)::bigint AS err_um
+  FROM el JOIN stats s ON el.dim = s.dim
+)
+SELECT dim::int AS dim, round(min(mn), 6) AS mn_r, round(min(mx), 6) AS mx_r,
+       max(abs(err_um))::bigint AS max_abs_err_um,
+       round(sum(abs(err_um))::double / count(*), 3) AS mean_abs_err_um_r
+FROM err GROUP BY dim
+"""

@@ -148,10 +148,6 @@ _WINDOW: dict[str, QuerySpec] = {
     "rake_keyphrases": QuerySpec(NS.rake_keyphrases, NS.RAKE_KEYPHRASES_SQL, ("text", "rake", "keyphrases", "collocation")),
     "zipf_fit_tokens": QuerySpec(NS.zipf_fit_tokens, NS.ZIPF_FIT_TOKENS_SQL, ("text", "zipf", "power-law", "corpus-health")),
     "ols_daily_trend": QuerySpec(EV.ols_daily_trend, EV.OLS_DAILY_TREND_SQL, ("timeseries", "regression", "ols", "integer-moments")),
-    "mann_whitney_variants": QuerySpec(EV.mann_whitney_variants, EV.MANN_WHITNEY_VARIANTS_SQL, ("experiment", "mann-whitney", "nonparametric", "rank-test")),
-    "kaplan_meier_conversion": QuerySpec(EV.kaplan_meier_churn, EV.KAPLAN_MEIER_CHURN_SQL, ("survival", "kaplan-meier", "censoring", "conversion")),
-    "dau_mau_stickiness": QuerySpec(EV.dau_mau_stickiness, EV.DAU_MAU_STICKINESS_SQL, ("engagement", "stickiness", "contribution-explode")),
-    "hhi_brand_concentration": QuerySpec(TQ.hhi_brand_concentration, TQ.HHI_BRAND_CONCENTRATION_SQL, ("inequality", "hhi", "market-structure")),
     "media_ppm_decode_stats": QuerySpec(NS.media_ppm_decode_stats, NS.MEDIA_PPM_DECODE_STATS_SQL, ("multimodal", "real-codec", "ppm", "arrow")),
     "media_wav_decode_stats": QuerySpec(NS.media_wav_decode_stats, NS.MEDIA_WAV_DECODE_STATS_SQL, ("multimodal", "real-codec", "wav", "audio", "arrow")),
     "media_avi_frame_stats": QuerySpec(NS.media_avi_frame_stats, NS.MEDIA_AVI_FRAME_STATS_SQL, ("multimodal", "real-codec", "avi", "video", "frame-sample")),
@@ -171,6 +167,16 @@ _WINDOW: dict[str, QuerySpec] = {
     "quality_ensemble_vote": QuerySpec(NS.quality_ensemble_vote, NS.QUALITY_ENSEMBLE_VOTE_SQL, ("quality", "ensemble", "ablation", "filter")),
     "dedup_survivor_selection": QuerySpec(NS.dedup_survivor_selection, NS.DEDUP_SURVIVOR_SELECTION_SQL, ("dedup", "survivorship", "clusters")),
     "shard_lpt_plan": QuerySpec(NS.shard_lpt_plan, NS.SHARD_LPT_PLAN_SQL, ("training-data", "sharding", "lpt", "balance")),
+    # --- round-5 session-2 NEW queries (4), displacing 4 group-(c)
+    # rotations back to the backlog (benjamini_hochberg_fdr ->
+    # mann_whitney_variants, ngram_coverage_curve -> kaplan_meier_conversion,
+    # mutual_nn_bitext_pairs -> dau_mau_stickiness,
+    # embedding_int8_quantize_stats -> hhi_brand_concentration; the
+    # displaced four stay locally re-verified and return in r6):
+    "benjamini_hochberg_fdr": QuerySpec(EV.benjamini_hochberg_fdr, EV.BENJAMINI_HOCHBERG_FDR_SQL, ("experiment", "fdr", "multiple-testing", "bh")),
+    "ngram_coverage_curve": QuerySpec(NS.ngram_coverage_curve, NS.NGRAM_COVERAGE_CURVE_SQL, ("text", "vocabulary", "coverage", "prefix-sum")),
+    "mutual_nn_bitext_pairs": QuerySpec(NS.mutual_nn_bitext_pairs, NS.MUTUAL_NN_BITEXT_PAIRS_SQL, ("similarity", "mutual-nn", "bitext", "alignment")),
+    "embedding_int8_quantize_stats": QuerySpec(NS.embedding_int8_quantize_stats, NS.EMBEDDING_INT8_QUANTIZE_STATS_SQL, ("embedding", "quantization", "int8", "compression")),
     # --- r4-proven batch keep (1): the ER anchor ---
     "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),
     # --- streaming regression guard (6): streaming silently broke at
@@ -187,6 +193,10 @@ _WINDOW: dict[str, QuerySpec] = {
 _BACKLOG: dict[str, QuerySpec] = {
     # --- rotated out of the window in round 5 — each holds a
     # CORRECTNESS_r04.json full-oracle green row -------------------------
+    "mann_whitney_variants": QuerySpec(EV.mann_whitney_variants, EV.MANN_WHITNEY_VARIANTS_SQL, ("experiment", "mann-whitney", "nonparametric", "rank-test")),
+    "kaplan_meier_conversion": QuerySpec(EV.kaplan_meier_churn, EV.KAPLAN_MEIER_CHURN_SQL, ("survival", "kaplan-meier", "censoring", "conversion")),
+    "dau_mau_stickiness": QuerySpec(EV.dau_mau_stickiness, EV.DAU_MAU_STICKINESS_SQL, ("engagement", "stickiness", "contribution-explode")),
+    "hhi_brand_concentration": QuerySpec(TQ.hhi_brand_concentration, TQ.HHI_BRAND_CONCENTRATION_SQL, ("inequality", "hhi", "market-structure")),
     "winnow_overlap_pairs": QuerySpec(NS.winnow_overlap_pairs, NS.WINNOW_OVERLAP_PAIRS_SQL, ("dedup", "winnowing", "moss")),
     "semdedup_prune": QuerySpec(NS.semdedup_prune, NS.SEMDEDUP_PRUNE_SQL, ("dedup", "semantic", "clustering", "semdedup")),
     "ann_pq_det": QuerySpec(NS.ann_pq_det, NS.ANN_PQ_DET_SQL, ("ann", "pq", "adc", "deterministic")),

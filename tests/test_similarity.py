@@ -450,3 +450,38 @@ def test_srp_recall_not_worse_than_mllib_brp(spark, emb):
 
     assert recall(got_srp) >= recall(got_brp) - 0.05
     assert recall(got_srp) >= 0.9
+
+
+def test_semdedup_srp_assignment_matches_exact_on_planted_clusters(emb):
+    """The SRP-bucketed assignment (the 100 TB configuration) agrees with
+    exact assignment on the planted well-separated clusters — same keep
+    set, same cluster memberships."""
+    from hadoop_data_lake_spark.operators.similarity import semdedup_prune
+
+    exact = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in semdedup_prune(emb, num_clusters=4, threshold=0.95).collect()
+    }
+    srp = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in semdedup_prune(
+            emb, num_clusters=4, threshold=0.95, assign="srp"
+        ).collect()
+    }
+    assert set(srp) == set(exact)  # every point assigned exactly once
+    agree = sum(1 for k in exact if exact[k] == srp[k])
+    # SRP buckets can split a planted group across centroids at the
+    # margin; demand full keep-set size and near-total agreement.
+    assert agree >= len(exact) * 0.9
+    assert sum(1 for _, k in srp.values() if k) >= sum(
+        1 for _, k in exact.values() if k
+    ) * 0.9
+
+
+def test_semdedup_rejects_unknown_assignment(emb):
+    import pytest
+
+    from hadoop_data_lake_spark.operators.similarity import semdedup_prune
+
+    with pytest.raises(ValueError):
+        semdedup_prune(emb, assign="kmeans")
