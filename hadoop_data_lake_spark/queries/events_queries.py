@@ -6176,3 +6176,55 @@ SELECT t.event_type, t.welch_z_r, t.p_r, t.rank::bigint AS rank,
        t.bh_threshold_r, t.rank <= ks.kstar AS reject
 FROM thr t, ks
 """
+
+
+def partition_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-partition compaction planner — the table-maintenance step
+    that turns a day-partitioned event table's long tail of small
+    partitions into target-sized rewrite batches: days ordered by date
+    are packed concat-and-chunk style (a batch boundary every
+    total/8 rows), so each rewrite job gets a contiguous, similar-sized
+    date range — the plan a compaction service executes with one
+    dynamic-partition-overwrite per batch. Offsets come from the
+    two-phase distributed prefix sum: the date dimension is 10^4+ at
+    scale and never sees a single-task sort. Output per batch: date
+    span, day count, rows."""
+    from hadoop_data_lake_spark.operators.packing import token_prefix_sum
+
+    per_day = (
+        read_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = per_day.agg(F.greatest(F.expr("sum(n) div 8"), F.lit(1)).alias("target"))
+    cum = token_prefix_sum(per_day, "day", "n").crossJoin(F.broadcast(tot))
+    batched = cum.withColumn(
+        "batch", F.expr("(cum - n) div target").cast("int")
+    )
+    return batched.groupBy("batch").agg(
+        F.count("*").alias("n_days"),
+        F.min("day").cast("string").alias("first_day"),
+        F.max("day").cast("string").alias("last_day"),
+        F.sum("n").alias("n_rows"),
+    )
+
+
+PARTITION_COMPACTION_PLAN_SQL = """
+WITH per_day AS (
+  SELECT ts::date AS day, count(*)::bigint AS n FROM events GROUP BY ts::date
+),
+tot AS (SELECT greatest(sum(n) // 8, 1)::bigint AS target FROM per_day),
+cum AS (
+  SELECT day, n,
+         sum(n) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cum
+  FROM per_day
+),
+batched AS (
+  SELECT day, n, ((cum - n) // tot.target)::int AS batch FROM cum, tot
+)
+SELECT batch, count(*)::bigint AS n_days, min(day)::varchar AS first_day,
+       max(day)::varchar AS last_day, sum(n)::bigint AS n_rows
+FROM batched GROUP BY batch
+"""

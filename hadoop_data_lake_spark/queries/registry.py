@@ -139,9 +139,7 @@ _WINDOW: dict[str, QuerySpec] = {
     "cluster_safe_split_audit": QuerySpec(NS.cluster_safe_split_audit, NS.CLUSTER_SAFE_SPLIT_AUDIT_SQL, ("ml-prep", "split", "leakage", "graph")),
     "decontaminate_embedding_cosine": QuerySpec(NS.decontaminate_embedding_cosine, NS.DECONTAMINATE_EMBEDDING_COSINE_SQL, ("dedup", "decontamination", "embedding", "cross-corpus")),
     "hashed_embedding_knn": QuerySpec(NS.hashed_embedding_knn, NS.HASHED_EMBEDDING_KNN_SQL, ("ann", "hashing-trick", "sparse-cosine", "text-embedding")),
-    "decontamination_report": QuerySpec(NS.decontamination_report, NS.DECONTAMINATION_REPORT_SQL, ("dedup", "decontamination", "report", "capstone")),
     "clustering_coefficient": QuerySpec(TQ.clustering_coefficient, TQ.CLUSTERING_COEFFICIENT_SQL, ("graph", "triangles", "clustering-coefficient")),
-    "degree_assortativity": QuerySpec(TQ.degree_assortativity, TQ.DEGREE_ASSORTATIVITY_SQL, ("graph", "assortativity", "integer-exact")),
     "bitemporal_asof_orders": QuerySpec(TQ.bitemporal_asof_orders, TQ.BITEMPORAL_ASOF_ORDERS_SQL, ("bitemporal", "asof", "audit", "scd")),
     "temporal_split_embargo": QuerySpec(EV.temporal_split_embargo, EV.TEMPORAL_SPLIT_EMBARGO_SQL, ("ml", "split", "temporal", "leakage-safe")),
     "mmr_rerank": QuerySpec(NS.mmr_rerank, NS.MMR_RERANK_SQL, ("retrieval", "mmr", "diversity", "rag")),
@@ -177,6 +175,14 @@ _WINDOW: dict[str, QuerySpec] = {
     "ngram_coverage_curve": QuerySpec(NS.ngram_coverage_curve, NS.NGRAM_COVERAGE_CURVE_SQL, ("text", "vocabulary", "coverage", "prefix-sum")),
     "mutual_nn_bitext_pairs": QuerySpec(NS.mutual_nn_bitext_pairs, NS.MUTUAL_NN_BITEXT_PAIRS_SQL, ("similarity", "mutual-nn", "bitext", "alignment")),
     "embedding_int8_quantize_stats": QuerySpec(NS.embedding_int8_quantize_stats, NS.EMBEDDING_INT8_QUANTIZE_STATS_SQL, ("embedding", "quantization", "int8", "compression")),
+    # --- round-5 session-3 NEW queries (2), displacing 2 group-(c)
+    # rotations whose families already hold window slots this round
+    # (soundex_word_groups -> decontamination_report [decon family:
+    # decontaminate_embedding_cosine stays], partition_compaction_plan
+    # -> degree_assortativity [graph family: clustering_coefficient,
+    # kcore, lpa, textrank, hits stay]); both return in r6:
+    "soundex_word_groups": QuerySpec(TQ.soundex_word_groups, TQ.SOUNDEX_WORD_GROUPS_SQL, ("linkage", "phonetic", "soundex", "blocking")),
+    "partition_compaction_plan": QuerySpec(EV.partition_compaction_plan, EV.PARTITION_COMPACTION_PLAN_SQL, ("maintenance", "compaction", "prefix-sum", "platform")),
     # --- r4-proven batch keep (1): the ER anchor ---
     "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),
     # --- streaming regression guard (6): streaming silently broke at
@@ -193,6 +199,8 @@ _WINDOW: dict[str, QuerySpec] = {
 _BACKLOG: dict[str, QuerySpec] = {
     # --- rotated out of the window in round 5 — each holds a
     # CORRECTNESS_r04.json full-oracle green row -------------------------
+    "decontamination_report": QuerySpec(NS.decontamination_report, NS.DECONTAMINATION_REPORT_SQL, ("dedup", "decontamination", "report", "capstone")),
+    "degree_assortativity": QuerySpec(TQ.degree_assortativity, TQ.DEGREE_ASSORTATIVITY_SQL, ("graph", "assortativity", "integer-exact")),
     "mann_whitney_variants": QuerySpec(EV.mann_whitney_variants, EV.MANN_WHITNEY_VARIANTS_SQL, ("experiment", "mann-whitney", "nonparametric", "rank-test")),
     "kaplan_meier_conversion": QuerySpec(EV.kaplan_meier_churn, EV.KAPLAN_MEIER_CHURN_SQL, ("survival", "kaplan-meier", "censoring", "conversion")),
     "dau_mau_stickiness": QuerySpec(EV.dau_mau_stickiness, EV.DAU_MAU_STICKINESS_SQL, ("engagement", "stickiness", "contribution-explode")),

@@ -4701,3 +4701,60 @@ SELECT * FROM (
   ORDER BY v DESC, s ASC LIMIT 10
 )
 """
+
+
+def soundex_word_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking audit over the part-name vocabulary: every
+    American-Soundex code that covers two or more DISTINCT words, with the
+    member list — the blocking-key quality readout a linkage pipeline
+    reads before choosing soundex as its candidate generator (big groups
+    = cheap recall, tiny precision). Spark computes the code JVM-side
+    (F.soundex); the DuckDB oracle replays the identical algorithm in
+    pure SQL (functions/phonetic.soundex_sql — validated on the classic
+    vectors, and through this query on EVERY vocabulary word: all code
+    groups are emitted, singletons included, so one divergent encoding
+    anywhere fails the value hash). One
+    explode + two hash aggregations on the DISTINCT word list; candidate
+    pairs at linkage time come from the code equi-join, never a pairwise
+    scan. The vocabulary unions part-name words and document tokens —
+    the cross-table surface a linkage pipeline actually blocks over."""
+    part = read_table(spark, sf_dir, "part").select("p_name")
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    words = (
+        part.select(F.explode(F.split(F.col("p_name"), " ")).alias("word"))
+        .unionByName(
+            docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        )
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    return (
+        words.withColumn("sx", F.soundex(F.col("word")))
+        .groupBy("sx")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.array_join(F.sort_array(F.collect_set("word")), ",").alias("words"),
+        )
+    )
+
+
+def _soundex_word_groups_sql() -> str:
+    from hadoop_data_lake_spark.functions.phonetic import soundex_sql
+
+    return f"""
+WITH words AS (
+  SELECT DISTINCT u.word FROM (
+    SELECT unnest(string_split(p_name, ' ')) AS word FROM part
+    UNION ALL
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) u
+  WHERE u.word <> ''
+),
+coded AS (SELECT word, {soundex_sql('word')} AS sx FROM words)
+SELECT sx, count(*)::bigint AS n_words,
+       string_agg(word, ',' ORDER BY word) AS words
+FROM coded GROUP BY sx
+"""
+
+
+SOUNDEX_WORD_GROUPS_SQL = _soundex_word_groups_sql()
