@@ -5598,3 +5598,47 @@ SELECT dim::int AS dim, round(min(mn), 6) AS mn_r, round(min(mx), 6) AS mx_r,
        round(sum(abs(err_um))::double / count(*), 3) AS mean_abs_err_um_r
 FROM err GROUP BY dim
 """
+
+
+def stream_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch SCD1 upsert replay — the missing sink topology in the
+    streaming family's driver coverage: the event stream re-sliced into 4
+    micro-batches (maxFilesPerTrigger=1) foreachBatch-upserts the latest
+    row per user into a generation-pointer parquet table
+    (streaming/ingest.stream_upsert_latest — immutable gen dirs + one
+    atomic os.replace pointer commit per batch, the lakehouse MERGE
+    pattern). The final table is batch-split independent because
+    latest-per-user is an associative argmax, so the DuckDB oracle is the
+    plain batch argmax — any divergence means the incremental path
+    dropped or double-applied a row. Crash-safety and time travel over
+    the same protocol are pytest-gated."""
+    import shutil
+    import tempfile
+
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from hadoop_data_lake_spark.streaming.ingest import stream_upsert_latest
+
+    target = tempfile.mkdtemp(prefix="stream_scd1_")
+    try:
+        final = stream_upsert_latest(
+            spark, f"{sf_dir}/events.parquet", target, n_slices=4
+        )
+        return final.select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            to_units(F.col("value")).alias("last_value_cents"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+
+
+STREAM_UPSERT_SCD1_SQL = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       round(value * 100)::bigint AS last_value_cents
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""

@@ -183,8 +183,11 @@ _WINDOW: dict[str, QuerySpec] = {
     # kcore, lpa, textrank, hits stay]); both return in r6:
     "soundex_word_groups": QuerySpec(TQ.soundex_word_groups, TQ.SOUNDEX_WORD_GROUPS_SQL, ("linkage", "phonetic", "soundex", "blocking")),
     "partition_compaction_plan": QuerySpec(EV.partition_compaction_plan, EV.PARTITION_COMPACTION_PLAN_SQL, ("maintenance", "compaction", "prefix-sum", "platform")),
-    # --- r4-proven batch keep (1): the ER anchor ---
-    "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),
+    # --- round-5 session-3: stream_upsert_scd1 (foreachBatch SCD1 upsert
+    # over the generation-pointer commit protocol — the one streaming sink
+    # topology with no driver row) displaces er_golden_record, the last
+    # r4-proven batch keep (r4-green; returns in r6): ---
+    "stream_upsert_scd1": QuerySpec(NS.stream_upsert_scd1, NS.STREAM_UPSERT_SCD1_SQL, ("streaming", "foreachbatch", "scd1", "upsert", "commit-protocol")),
     # --- streaming regression guard (6): streaming silently broke at
     # r2 HEAD; these keep every micro-batch/watermark/stream-join path
     # under the driver gate ---
@@ -199,6 +202,7 @@ _WINDOW: dict[str, QuerySpec] = {
 _BACKLOG: dict[str, QuerySpec] = {
     # --- rotated out of the window in round 5 — each holds a
     # CORRECTNESS_r04.json full-oracle green row -------------------------
+    "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),
     "decontamination_report": QuerySpec(NS.decontamination_report, NS.DECONTAMINATION_REPORT_SQL, ("dedup", "decontamination", "report", "capstone")),
     "degree_assortativity": QuerySpec(TQ.degree_assortativity, TQ.DEGREE_ASSORTATIVITY_SQL, ("graph", "assortativity", "integer-exact")),
     "mann_whitney_variants": QuerySpec(EV.mann_whitney_variants, EV.MANN_WHITNEY_VARIANTS_SQL, ("experiment", "mann-whitney", "nonparametric", "rank-test")),
