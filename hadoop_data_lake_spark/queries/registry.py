@@ -24,12 +24,19 @@ displacement pairs recorded inline at the _WINDOW comment):
        k-core, BM25, TextRank, STL, NDCG backtest, point-in-polygon, DTW).
 18-36  19 more never-graded full-oracle entries incl. the 3 pure-Python
        media codecs (PPM/WAV/AVI — a family with zero driver rows).
-37-44  the 7 round-5 NEW queries (exact distributed quantiles, HITS,
+31-44  the 14 round-5 NEW queries (exact distributed quantiles, HITS,
        calibration/ECE, water-fill mixing, filter-ensemble ablation,
-       dedup survivorship, LPT sharding) + 1 r4-proven batch keep
-       (er_golden_record); the other 7 r4-proven keeps moved to the
-       backlog to make room (displacement pairs at the window comment).
+       dedup survivorship, LPT sharding, BH-FDR, vocabulary coverage,
+       mutual-NN bitext, int8 quantization audit, soundex blocking,
+       compaction planning, foreachBatch SCD1 upsert). They displaced
+       the 8 r4-proven batch keeps and 6 group-(b)/(c) rotations —
+       every displacement pair is recorded inline at the _WINDOW
+       comments; displaced rotations return in r6.
 45-50  the 6-slot streaming regression guard (r≤4-proven).
+Net: 44 of the 50 slots grade first-time queries this round (30
+surviving backlog rotations + the 14 round-5-new), taking the
+never-graded full-oracle count from 108 to an expected 78 (<= the
+VERDICT r4 target of ~80) once CORRECTNESS_r05 lands.
 Every displaced entry holds a CORRECTNESS_r04.json green row and moves to
 the backlog, where check_oracle still re-verifies it each round.
 
