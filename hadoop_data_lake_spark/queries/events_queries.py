@@ -6228,3 +6228,154 @@ SELECT batch, count(*)::bigint AS n_days, min(day)::varchar AS first_day,
        max(day)::varchar AS last_day, sum(n)::bigint AS n_rows
 FROM batched GROUP BY batch
 """
+
+
+def self_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew diagnosis for the user-pair self-join (the proximity /
+    co-activity shape): per join key the candidate-pair contribution is
+    n*(n-1)/2, so a handful of power users can dominate the shuffle. The
+    profile reports the top-5 keys by contribution with their share of
+    the total estimated pair count — the number a planner (or the
+    salting operator in operators/skew.py) reads to decide whether to
+    split a key. One hash aggregate + a 5-row TakeOrdered; the quadratic
+    join itself is never built."""
+    ev = read_table(spark, sf_dir, "events").select("user_id")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    pairs = F.col("n") * (F.col("n") - 1) / 2
+    tot = per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(pairs).cast("long").alias("total_est_pairs"),
+    )
+    top = (
+        per_user.withColumn("est_pairs", pairs.cast("long"))
+        .orderBy(F.col("est_pairs").desc(), F.col("user_id").asc())
+        .limit(5)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("est_pairs").desc(), F.col("user_id").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "user_id",
+            F.col("n").alias("n_events"),
+            "est_pairs",
+            F.round(
+                F.col("est_pairs").cast("double")
+                / F.col("total_est_pairs").cast("double"),
+                6,
+            ).alias("share_r"),
+            "n_users",
+            "total_est_pairs",
+        )
+    )
+
+
+SELF_JOIN_SKEW_PROFILE_SQL = """
+WITH per_user AS (
+  SELECT user_id, count(*)::bigint AS n FROM events GROUP BY user_id
+),
+tot AS (
+  SELECT count(*)::bigint AS n_users,
+         sum(n * (n - 1) // 2)::bigint AS total_est_pairs
+  FROM per_user
+),
+top AS (
+  SELECT user_id, n, (n * (n - 1) // 2)::bigint AS est_pairs,
+         row_number() OVER (ORDER BY n * (n - 1) // 2 DESC, user_id ASC) AS rank
+  FROM per_user
+  ORDER BY est_pairs DESC, user_id ASC LIMIT 5
+)
+SELECT t.rank::bigint AS rank, t.user_id, t.n AS n_events, t.est_pairs,
+       round(t.est_pairs::double / tot.total_est_pairs::double, 6) AS share_r,
+       tot.n_users, tot.total_est_pairs
+FROM top t, tot
+"""
+
+
+def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation over event types: a
+    1000-row budget split proportional to stratum size x stratum standard
+    deviation (the design that minimizes estimator variance), with exact
+    largest-remainder integer rounding — the sampling plan a measurement
+    pipeline computes before drawing the actual stratified sample
+    (stratified_sample / priority_sample_stratified execute it). Moments
+    are exact bigints; each std is one closed-form double; the remainder
+    ranking runs over the 5-row stratum aggregate."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", to_units(F.col("value")).alias("cents")
+    ).where(F.col("cents").isNotNull())
+    mom = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ssq"),
+    )
+    sd = F.sqrt(
+        (
+            F.col("ssq").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        )
+        / (F.col("n").cast("double") - 1.0)
+    )
+    scored = mom.withColumn("ns", F.col("n").cast("double") * sd)
+    tot = scored.agg(F.sum("ns").alias("tot_ns"))
+    alloc = (
+        scored.crossJoin(F.broadcast(tot))
+        .withColumn("exact", F.lit(1000.0) * F.col("ns") / F.col("tot_ns"))
+        .withColumn("base", F.floor(F.col("exact")).cast("long"))
+        .withColumn("frac", F.col("exact") - F.col("base"))
+    )
+    rem = alloc.agg((F.lit(1000) - F.sum("base")).alias("r"))
+    w = Window.orderBy(F.col("frac").desc(), F.col("event_type").asc())
+    return (
+        alloc.withColumn("frac_rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(rem))
+        .select(
+            "event_type",
+            "n",
+            F.round(sd / 100.0, 6).alias("std_r"),
+            (
+                F.col("base")
+                + (F.col("frac_rank") <= F.col("r")).cast("long")
+            ).alias("alloc"),
+        )
+    )
+
+
+NEYMAN_ALLOCATION_PLAN_SQL = """
+WITH ev AS (
+  SELECT event_type, round(value * 100)::bigint AS cents FROM events
+  WHERE value IS NOT NULL
+),
+mom AS (
+  SELECT event_type, count(*)::bigint AS n, sum(cents)::bigint AS s,
+         sum(cents * cents)::bigint AS ssq
+  FROM ev GROUP BY event_type
+),
+scored AS (
+  SELECT *, n::double * sqrt((ssq::double - s::double * s::double / n::double)
+                             / (n::double - 1.0)) AS ns
+  FROM mom
+),
+tot AS (SELECT sum(ns) AS tot_ns FROM scored),
+alloc AS (
+  SELECT s.event_type, s.n, s.ns,
+         1000.0 * s.ns / tot.tot_ns AS exact,
+         floor(1000.0 * s.ns / tot.tot_ns)::bigint AS base,
+         1000.0 * s.ns / tot.tot_ns - floor(1000.0 * s.ns / tot.tot_ns) AS frac,
+         sqrt((s.ssq::double - s.s::double * s.s::double / s.n::double)
+              / (s.n::double - 1.0)) AS sd
+  FROM scored s, tot
+),
+rem AS (SELECT 1000 - sum(base) AS r FROM alloc)
+SELECT a.event_type, a.n, round(a.sd / 100.0, 6) AS std_r,
+       (a.base + CASE WHEN row_number() OVER (ORDER BY a.frac DESC, a.event_type ASC)
+                        <= rem.r THEN 1 ELSE 0 END)::bigint AS alloc
+FROM alloc a, rem
+"""

@@ -207,6 +207,10 @@ _WINDOW: dict[str, QuerySpec] = {
 }
 
 _BACKLOG: dict[str, QuerySpec] = {
+    # --- round-5 session-4 NEW (never graded; first candidates for the
+    # r6 window rotation) ------------------------------------------------
+    "self_join_skew_profile": QuerySpec(EV.self_join_skew_profile, EV.SELF_JOIN_SKEW_PROFILE_SQL, ("join", "skew", "diagnostics", "planner")),
+    "neyman_allocation_plan": QuerySpec(EV.neyman_allocation_plan, EV.NEYMAN_ALLOCATION_PLAN_SQL, ("sampling", "stratified", "neyman", "design")),
     # --- rotated out of the window in round 5 — each holds a
     # CORRECTNESS_r04.json full-oracle green row -------------------------
     "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),
