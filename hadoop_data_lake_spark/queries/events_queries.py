@@ -6379,3 +6379,131 @@ SELECT a.event_type, a.n, round(a.sd / 100.0, 6) AS std_r,
                         <= rem.r THEN 1 ELSE 0 END)::bigint AS alloc
 FROM alloc a, rem
 """
+
+
+def decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay user value (half-life feature engineering):
+    per user the sum of value * exp(-age_days / 30), ages measured
+    against the corpus horizon. Each row's decayed contribution is
+    QUANTIZED to integer micro-cents BEFORE summation — summing raw
+    doubles across rows would make the result depend on partitioning and
+    aggregation order (the cross-engine determinism rule); integer sums
+    are associative. One broadcast horizon + one hash aggregate."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"),
+        to_units(F.col("value")).alias("cents"),
+    ).where(F.col("cents").isNotNull())
+    horizon = ev.agg(F.max("day").alias("h"))
+    contrib = ev.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        F.round(
+            F.col("cents").cast("double")
+            * F.exp(-F.datediff("h", "day").cast("double") / 30.0)
+            * 10000.0,
+            0,
+        ).cast("long").alias("decayed_ucents"),
+    )
+    return contrib.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("decayed_ucents").alias("decayed_value_ucents"),
+    )
+
+
+DECAYED_USER_VALUE_SQL = """
+WITH ev AS (
+  SELECT user_id, ts::date AS day, round(value * 100)::bigint AS cents
+  FROM events WHERE value IS NOT NULL
+),
+horizon AS (SELECT max(day) AS h FROM ev)
+SELECT user_id, count(*)::bigint AS n_events,
+       sum(round(cents::double * exp(-(horizon.h - day)::double / 30.0)
+                 * 10000.0, 0)::bigint)::bigint AS decayed_value_ucents
+FROM ev, horizon GROUP BY user_id
+"""
+
+
+def markov_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order sequence structure per user stream: top-10 event-type
+    TRIGRAMS by count (ties on the trigram text) plus, on every row, the
+    second-order conditional entropy H(X_t | X_t-1, X_t-2) of the whole
+    corpus — the number that says how much the extra order of context
+    buys over event_type_transitions' first-order model. Two lag windows
+    partitioned by user (never global), integer counts, entropy folded
+    from one aggregate in log2 space with a single rounded expression."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.withColumn("p1", F.lag("event_type", 1).over(w))
+        .withColumn("p2", F.lag("event_type", 2).over(w))
+        .where(F.col("p2").isNotNull())
+        .select(
+            F.concat_ws(">", "p2", "p1").alias("ctx"),
+            F.col("event_type").alias("nxt"),
+        )
+    )
+    model = tri.groupBy("ctx", "nxt").agg(F.count("*").alias("c")).localCheckpoint(
+        eager=True
+    )
+    ctx_tot = model.groupBy("ctx").agg(F.sum("c").alias("cc"))
+    tot = model.agg(F.sum("c").alias("n_tri"))
+    # H = -sum over (ctx,nxt) of p(ctx,nxt) * log2(c / cc)
+    ent = (
+        model.join(ctx_tot, "ctx")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                -F.sum(
+                    F.col("c").cast("double")
+                    / F.col("n_tri").cast("double")
+                    * F.log2(F.col("c").cast("double") / F.col("cc").cast("double"))
+                ),
+                6,
+            ).alias("h2_r")
+        )
+    )
+    top = (
+        model.withColumn("trigram", F.concat_ws(">", "ctx", "nxt"))
+        .orderBy(F.col("c").desc(), F.col("trigram").asc())
+        .limit(10)
+    )
+    from pyspark.sql import Window as W2
+
+    w2 = W2.orderBy(F.col("c").desc(), F.col("trigram").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w2))
+        .crossJoin(F.broadcast(ent))
+        .select("rank", "trigram", F.col("c").alias("n"), "h2_r")
+    )
+
+
+MARKOV_TRIGRAM_ENTROPY_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type, 1) OVER w AS p1,
+         lag(event_type, 2) OVER w AS p2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tri AS (
+  SELECT p2 || '>' || p1 AS ctx, event_type AS nxt FROM seq WHERE p2 IS NOT NULL
+),
+model AS (SELECT ctx, nxt, count(*)::bigint AS c FROM tri GROUP BY ctx, nxt),
+ctx_tot AS (SELECT ctx, sum(c)::bigint AS cc FROM model GROUP BY ctx),
+tot AS (SELECT sum(c)::bigint AS n_tri FROM model),
+ent AS (
+  SELECT round(-sum(m.c::double / tot.n_tri::double
+                    * log2(m.c::double / ct.cc::double)), 6) AS h2_r
+  FROM model m JOIN ctx_tot ct ON m.ctx = ct.ctx, tot
+),
+top AS (
+  SELECT ctx || '>' || nxt AS trigram, c,
+         row_number() OVER (ORDER BY c DESC, ctx || '>' || nxt ASC) AS rank
+  FROM model ORDER BY c DESC, trigram ASC LIMIT 10
+)
+SELECT t.rank::bigint AS rank, t.trigram, t.c AS n, ent.h2_r
+FROM top t, ent
+"""

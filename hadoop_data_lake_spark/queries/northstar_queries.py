@@ -5642,3 +5642,115 @@ FROM (
   FROM events
 ) WHERE rn = 1
 """
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of the n-gram marker
+    classifier (functions/text.lang_id) against the corpus's labeled
+    `lang` column, with per-cell share of the true-language row — the
+    readout that tells a data pipeline WHICH languages the cheap
+    classifier confuses before it gates routing decisions on it. One
+    narrow projection + one hash aggregate."""
+    docs = read_table(spark, sf_dir, "documents").select("lang", "text")
+    pred = docs.select(
+        F.col("lang").alias("true_lang"), TX.lang_id(F.col("text")).alias("pred_lang")
+    )
+    per_true = pred.groupBy("true_lang").agg(F.count("*").alias("n_true"))
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .join(per_true, "true_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("n_true").cast("double"), 6
+            ).alias("row_share_r"),
+            (F.col("true_lang") == F.col("pred_lang")).alias("correct"),
+        )
+    )
+
+
+def _lang_id_confusion_sql() -> str:
+    return f"""
+WITH pred AS (
+  SELECT lang AS true_lang, {TX.lang_id_sql('text')} AS pred_lang FROM documents
+),
+per_true AS (
+  SELECT true_lang, count(*)::bigint AS n_true FROM pred GROUP BY true_lang
+)
+SELECT p.true_lang, p.pred_lang, count(*)::bigint AS n,
+       round(count(*)::double / min(t.n_true)::double, 6) AS row_share_r,
+       p.true_lang = p.pred_lang AS correct
+FROM pred p JOIN per_true t ON p.true_lang = t.true_lang
+GROUP BY p.true_lang, p.pred_lang
+"""
+
+
+LANG_ID_CONFUSION_SQL = _lang_id_confusion_sql()
+
+
+def hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing collision audit: for bucket counts 2^8 / 2^10 /
+    2^12, how many vocabulary tokens collide (land in an occupied
+    bucket), the occupied-bucket load, and the collision rate — the table
+    that decides the hashing-trick dimension before a hashed-feature
+    model ships (hashed_embedding_knn uses exactly this token->bucket
+    map). Portable 60-bit MD5 bucketing; one explode + three re-uses of
+    one DISTINCT vocabulary frame."""
+    from hadoop_data_lake_spark.functions.hashing import md5_60bit
+
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outs = []
+    for bits in (8, 10, 12):
+        per_bucket = (
+            vocab.select((md5_60bit(F.col("token")) % (2 ** bits)).alias("b"))
+            .groupBy("b")
+            .agg(F.count("*").alias("k"))
+        )
+        outs.append(
+            per_bucket.agg(
+                F.lit(bits).alias("bits"),
+                F.sum("k").alias("n_tokens"),
+                F.count("*").alias("occupied"),
+                F.sum(F.col("k") - 1).alias("n_collisions"),
+                F.round(
+                    F.sum(F.col("k") - 1).cast("double")
+                    / F.sum("k").cast("double"),
+                    6,
+                ).alias("collision_rate_r"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _hash_collision_sql() -> str:
+    from hadoop_data_lake_spark.functions.hashing import md5_60bit_sql
+
+    h = md5_60bit_sql("token")
+    parts = []
+    for bits in (8, 10, 12):
+        parts.append(f"""
+SELECT {bits} AS bits, sum(k)::bigint AS n_tokens, count(*)::bigint AS occupied,
+       sum(k - 1)::bigint AS n_collisions,
+       round(sum(k - 1)::double / sum(k)::double, 6) AS collision_rate_r
+FROM (
+  SELECT {h} % {2 ** bits} AS b, count(*)::bigint AS k
+  FROM (SELECT DISTINCT u.token
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) u
+        WHERE u.token <> '') GROUP BY 1
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+HASH_COLLISION_AUDIT_SQL = _hash_collision_sql()

@@ -211,6 +211,10 @@ _BACKLOG: dict[str, QuerySpec] = {
     # r6 window rotation) ------------------------------------------------
     "self_join_skew_profile": QuerySpec(EV.self_join_skew_profile, EV.SELF_JOIN_SKEW_PROFILE_SQL, ("join", "skew", "diagnostics", "planner")),
     "neyman_allocation_plan": QuerySpec(EV.neyman_allocation_plan, EV.NEYMAN_ALLOCATION_PLAN_SQL, ("sampling", "stratified", "neyman", "design")),
+    "lang_id_confusion": QuerySpec(NS.lang_id_confusion, NS.LANG_ID_CONFUSION_SQL, ("text", "lang-id", "eval", "confusion-matrix")),
+    "hash_collision_audit": QuerySpec(NS.hash_collision_audit, NS.HASH_COLLISION_AUDIT_SQL, ("ml", "feature-hashing", "collision", "audit")),
+    "decayed_user_value": QuerySpec(EV.decayed_user_value, EV.DECAYED_USER_VALUE_SQL, ("ml", "feature", "time-decay", "integer-exact")),
+    "markov_trigram_entropy": QuerySpec(EV.markov_trigram_entropy, EV.MARKOV_TRIGRAM_ENTROPY_SQL, ("sequence", "markov", "second-order", "entropy")),
     # --- rotated out of the window in round 5 — each holds a
     # CORRECTNESS_r04.json full-oracle green row -------------------------
     "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),
