@@ -6507,3 +6507,149 @@ top AS (
 SELECT t.rank::bigint AS rank, t.trigram, t.c AS n, ent.h2_r
 FROM top t, ent
 """
+
+
+def woe_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value readout for the value
+    feature against the purchase outcome — the credit-scoring-style
+    predictive-power table (PSI's sibling: value_psi_drift measures
+    DRIFT, this measures SIGNAL). Bins are corpus-wide value deciles from
+    the distributed prefix rank (never a global sort); per bin the
+    purchase/non-purchase counts are integers, WOE = ln(p_pos/p_neg)
+    with a 0.5 Laplace numerator guard, and the IV contribution
+    (p_pos - p_neg) * WOE rounds once."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from hadoop_data_lake_spark.operators.packing import token_prefix_sum
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        to_units(F.col("value")).alias("cents"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    ).where(F.col("cents").isNotNull())
+    n = ev.count()
+    ranked = token_prefix_sum(
+        ev.withColumn("__one", F.lit(1)), ["cents", "event_id"], "__one"
+    ).withColumn("bin", F.expr(f"((cum - 1) * 10) div {n}"))
+    agg = ranked.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("pos").alias("n_pos"),
+        (F.count("*") - F.sum("pos")).alias("n_neg"),
+    )
+    tot = agg.agg(F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn"))
+    p_pos = (F.col("n_pos").cast("double") + 0.5) / F.col("tp").cast("double")
+    p_neg = (F.col("n_neg").cast("double") + 0.5) / F.col("tn").cast("double")
+    woe = F.log(p_pos / p_neg)
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "n_pos",
+        "n_neg",
+        F.round(woe, 6).alias("woe_r"),
+        F.round((p_pos - p_neg) * woe, 6).alias("iv_contrib_r"),
+    )
+
+
+WOE_VALUE_BINS_SQL = """
+WITH ev AS (
+  SELECT event_id, round(value * 100)::bigint AS cents,
+         (event_type = 'purchase')::bigint AS pos
+  FROM events WHERE value IS NOT NULL
+),
+tot0 AS (SELECT count(*)::bigint AS n FROM ev),
+ranked AS (
+  SELECT pos,
+         ((row_number() OVER (ORDER BY cents, event_id) - 1) * 10)
+           // (SELECT n FROM tot0) AS bin
+  FROM ev
+),
+agg AS (
+  SELECT bin, count(*)::bigint AS n, sum(pos)::bigint AS n_pos,
+         (count(*) - sum(pos))::bigint AS n_neg
+  FROM ranked GROUP BY bin
+),
+tot AS (SELECT sum(n_pos)::bigint AS tp, sum(n_neg)::bigint AS tn FROM agg)
+SELECT a.bin::bigint AS bin, a.n, a.n_pos, a.n_neg,
+       round(ln(((a.n_pos::double + 0.5) / tot.tp::double)
+                / ((a.n_neg::double + 0.5) / tot.tn::double)), 6) AS woe_r,
+       round((((a.n_pos::double + 0.5) / tot.tp::double)
+              - ((a.n_neg::double + 0.5) / tot.tn::double))
+             * ln(((a.n_pos::double + 0.5) / tot.tp::double)
+                  / ((a.n_neg::double + 0.5) / tot.tn::double)), 6) AS iv_contrib_r
+FROM agg a, tot
+"""
+
+
+def churn_label_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe churn-label construction: cutoff T = horizon - 7
+    days; per user, FEATURES aggregate strictly BEFORE T (event count,
+    active days, purchase count, integer cents) and the LABEL is
+    observed strictly AT/AFTER T (churned = no event in the outcome
+    window) — the observation/outcome-window discipline that keeps
+    future information out of training features (temporal_split_embargo's
+    sibling at the label level). Two filtered aggregates over one scan
+    shape, full-outer joined so users active only in the outcome window
+    surface with zero-features."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"),
+        (F.col("event_type") == "purchase").cast("long").alias("is_p"),
+        to_units(F.col("value")).alias("cents"),
+    )
+    cut = ev.agg(F.date_sub(F.max("day"), 7).alias("cut"))
+    tagged = ev.crossJoin(F.broadcast(cut))
+    feat = (
+        tagged.where(F.col("day") < F.col("cut"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("day").alias("active_days"),
+            F.sum("is_p").alias("n_purchases"),
+            F.sum(F.coalesce(F.col("cents"), F.lit(0))).alias("value_cents"),
+        )
+    )
+    outcome = (
+        tagged.where(F.col("day") >= F.col("cut"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_after"))
+    )
+    return (
+        feat.join(outcome, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("active_days", F.lit(0)).alias("active_days"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("value_cents", F.lit(0)).alias("value_cents"),
+            (F.coalesce("n_after", F.lit(0)) == 0).alias("churned"),
+        )
+    )
+
+
+CHURN_LABEL_WINDOWS_SQL = """
+WITH ev AS (
+  SELECT user_id, ts::date AS day,
+         (event_type = 'purchase')::bigint AS is_p,
+         round(value * 100)::bigint AS cents
+  FROM events
+),
+cut AS (SELECT max(day) - 7 AS cut FROM ev),
+feat AS (
+  SELECT user_id, count(*)::bigint AS n_events,
+         count(DISTINCT day)::bigint AS active_days,
+         sum(is_p)::bigint AS n_purchases,
+         sum(coalesce(cents, 0))::bigint AS value_cents
+  FROM ev, cut WHERE day < cut GROUP BY user_id
+),
+outcome AS (
+  SELECT user_id, count(*)::bigint AS n_after
+  FROM ev, cut WHERE day >= cut GROUP BY user_id
+)
+SELECT coalesce(f.user_id, o.user_id) AS user_id,
+       coalesce(f.n_events, 0)::bigint AS n_events,
+       coalesce(f.active_days, 0)::bigint AS active_days,
+       coalesce(f.n_purchases, 0)::bigint AS n_purchases,
+       coalesce(f.value_cents, 0)::bigint AS value_cents,
+       coalesce(o.n_after, 0) = 0 AS churned
+FROM feat f FULL OUTER JOIN outcome o ON f.user_id = o.user_id
+"""

@@ -215,6 +215,8 @@ _BACKLOG: dict[str, QuerySpec] = {
     "hash_collision_audit": QuerySpec(NS.hash_collision_audit, NS.HASH_COLLISION_AUDIT_SQL, ("ml", "feature-hashing", "collision", "audit")),
     "decayed_user_value": QuerySpec(EV.decayed_user_value, EV.DECAYED_USER_VALUE_SQL, ("ml", "feature", "time-decay", "integer-exact")),
     "markov_trigram_entropy": QuerySpec(EV.markov_trigram_entropy, EV.MARKOV_TRIGRAM_ENTROPY_SQL, ("sequence", "markov", "second-order", "entropy")),
+    "woe_value_bins": QuerySpec(EV.woe_value_bins, EV.WOE_VALUE_BINS_SQL, ("ml", "woe", "information-value", "binning")),
+    "churn_label_windows": QuerySpec(EV.churn_label_windows, EV.CHURN_LABEL_WINDOWS_SQL, ("ml", "label-engineering", "churn", "leakage-safe")),
     # --- rotated out of the window in round 5 — each holds a
     # CORRECTNESS_r04.json full-oracle green row -------------------------
     "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),
