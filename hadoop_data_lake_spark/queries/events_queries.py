@@ -6653,3 +6653,93 @@ SELECT coalesce(f.user_id, o.user_id) AS user_id,
        coalesce(o.n_after, 0) = 0 AS churned
 FROM feat f FULL OUTER JOIN outcome o ON f.user_id = o.user_id
 """
+
+
+def qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve for uplift evaluation: users ranked by a deterministic
+    model-score stand-in (portable MD5 ppm), split into score deciles via
+    the distributed prefix rank; per decile the treated/control counts
+    (the experiment's hash variant) and responder counts (any purchase),
+    then the cumulative Qini value cum_rt - cum_rc * cum_nt / cum_nc —
+    the incremental-conversions-vs-targeting-depth readout that grades an
+    uplift model where plain AUC cannot (did_estimate / ipw's sibling on
+    the ranking side). Per-user aggregate, one prefix pass, a 10-row
+    cumulative window over the decile aggregate."""
+    from hadoop_data_lake_spark.functions.hashing import md5_60bit, salted_md5_60bit
+    from hadoop_data_lake_spark.operators.packing import token_prefix_sum
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type")
+    users = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("resp")
+    ).select(
+        "user_id",
+        "resp",
+        (md5_60bit(F.col("user_id").cast("string")) % 2).alias("treated"),
+        (salted_md5_60bit(F.col("user_id").cast("string"), 21) % 1000000).alias(
+            "score"
+        ),
+    )
+    n = users.count()
+    ranked = token_prefix_sum(
+        users.withColumn("__one", F.lit(1)).withColumn("__neg", -F.col("score")),
+        ["__neg", "user_id"],
+        "__one",
+    ).withColumn("decile", F.expr(f"((cum - 1) * 10) div {n}").cast("int"))
+    agg = ranked.groupBy("decile").agg(
+        F.sum("treated").alias("n_t"),
+        F.sum(F.lit(1) - F.col("treated")).alias("n_c"),
+        F.sum(F.col("treated") * F.col("resp")).alias("r_t"),
+        F.sum((F.lit(1) - F.col("treated")) * F.col("resp")).alias("r_c"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return agg.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "r_t",
+        "r_c",
+        F.when(
+            F.sum("n_c").over(w) > 0,
+            F.round(
+                F.sum("r_t").over(w).cast("double")
+                - F.sum("r_c").over(w).cast("double")
+                * F.sum("n_t").over(w).cast("double")
+                / F.sum("n_c").over(w).cast("double"),
+                6,
+            ),
+        ).alias("qini_r"),
+    )
+
+
+QINI_UPLIFT_CURVE_SQL = """
+WITH users AS (
+  SELECT user_id,
+         max((event_type = 'purchase')::bigint) AS resp,
+         ('0x' || substr(md5(user_id::varchar), 1, 15))::ubigint % 2 AS treated,
+         ('0x' || substr(md5('21|' || user_id::varchar), 1, 15))::ubigint
+           % 1000000 AS score
+  FROM events GROUP BY user_id
+),
+tot AS (SELECT count(*)::bigint AS n FROM users),
+ranked AS (
+  SELECT *, ((row_number() OVER (ORDER BY score DESC, user_id) - 1) * 10)
+              // (SELECT n FROM tot) AS decile
+  FROM users
+),
+agg AS (
+  SELECT decile::int AS decile,
+         sum(treated)::bigint AS n_t, sum(1 - treated)::bigint AS n_c,
+         sum(treated * resp)::bigint AS r_t,
+         sum((1 - treated) * resp)::bigint AS r_c
+  FROM ranked GROUP BY decile
+)
+SELECT decile, n_t, n_c, r_t, r_c,
+       CASE WHEN sum(n_c) OVER w > 0 THEN
+         round(sum(r_t) OVER w::double
+               - sum(r_c) OVER w::double * sum(n_t) OVER w::double
+                 / sum(n_c) OVER w::double, 6)
+       END AS qini_r
+FROM agg
+WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""

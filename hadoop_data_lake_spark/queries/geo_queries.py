@@ -404,3 +404,104 @@ GROUP BY CASE {branches} ELSE 'none' END, event_type
 
 
 POINT_IN_POLYGON_ZONES_SQL = _pip_sql()
+
+
+def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN-lite spatial clustering by grid density: events bucket into
+    5-degree cells; a cell is CORE when its count is at least twice the
+    mean occupied-cell density (integer cross-multiplied comparison, no
+    float threshold); core cells that touch (8-neighborhood) merge into
+    clusters via the O(log n) connected-components operator — the
+    standard scalable relaxation of DBSCAN (density cells + component
+    merge) that never computes a point-to-point distance join. Cell
+    adjacency is an equi-join of each core cell's 9 shifted keys against
+    the core-cell set, so candidate edges are bounded by 9x the core
+    cells. Output per cluster: representative cell, cell count, event
+    count. The DuckDB oracle replays the merge as a recursive-CTE
+    transitive closure (the dedup_clusters_minhash precedent) —
+    tractable at gate scale while the Spark side holds up on big
+    grids."""
+    from hadoop_data_lake_spark.operators.graph import dedup_clusters
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.floor(_lat() / 5.0).cast("long").alias("gx"),
+        F.floor(_lon() / 5.0).cast("long").alias("gy"),
+    )
+    cells = ev.groupBy("gx", "gy").agg(F.count("*").alias("cnt"))
+    tot = cells.agg(
+        F.count("*").alias("n_cells"), F.sum("cnt").alias("n_points")
+    )
+    core = (
+        cells.crossJoin(F.broadcast(tot))
+        .where(F.col("cnt") * F.col("n_cells") >= 2 * F.col("n_points"))
+        .select(
+            ((F.col("gx") + 100) * 1000 + (F.col("gy") + 100)).alias("cell"),
+            "gx",
+            "gy",
+            "cnt",
+        )
+        .localCheckpoint(eager=True)
+    )
+    shifts = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx INT, dy INT"
+    )
+    shifted = core.crossJoin(F.broadcast(shifts)).select(
+        F.col("cell").alias("cell_a"),
+        ((F.col("gx") + F.col("dx") + 100) * 1000
+         + (F.col("gy") + F.col("dy") + 100)).alias("nkey"),
+    )
+    edges = (
+        shifted.join(
+            core.select(F.col("cell").alias("cell_b")),
+            shifted["nkey"] == F.col("cell_b"),
+        )
+        .where(F.col("cell_a") < F.col("cell_b"))
+        .select(F.col("cell_a").alias("doc_a"), F.col("cell_b").alias("doc_b"))
+        .distinct()
+    )
+    comp = dedup_clusters(edges).select(
+        F.col("doc").alias("cell"), F.col("cluster_rep").alias("rep")
+    )
+    labeled = core.join(comp, "cell", "left").select(
+        F.coalesce("rep", "cell").alias("cluster_rep"), "cnt"
+    )
+    return labeled.groupBy("cluster_rep").agg(
+        F.count("*").alias("n_cells"), F.sum("cnt").alias("n_events")
+    )
+
+
+GRID_DENSITY_CLUSTERS_SQL = f"""
+WITH RECURSIVE ev AS (
+  SELECT floor({_LAT_SQL} / 5.0)::bigint AS gx,
+         floor({_LON_SQL} / 5.0)::bigint AS gy
+  FROM events
+),
+cells AS (SELECT gx, gy, count(*)::bigint AS cnt FROM ev GROUP BY gx, gy),
+tot AS (SELECT count(*)::bigint AS n_cells, sum(cnt)::bigint AS n_points FROM cells),
+core AS MATERIALIZED (
+  SELECT ((gx + 100) * 1000 + (gy + 100))::bigint AS cell, gx, gy, cnt
+  FROM cells, tot WHERE cnt * n_cells >= 2 * n_points
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT a.cell AS ca, b.cell AS cb
+  FROM core a
+  JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) s(dx, dy) ON TRUE
+  JOIN core b ON ((a.gx + s.dx + 100) * 1000 + (a.gy + s.dy + 100)) = b.cell
+  WHERE a.cell < b.cell
+),
+edges2 AS (
+  SELECT ca AS a, cb AS b FROM edges UNION ALL SELECT cb, ca FROM edges
+),
+walk(v, r) AS (
+  SELECT a, a FROM edges2
+  UNION
+  SELECT e.a, w.r FROM edges2 e JOIN walk w ON e.b = w.v
+),
+comp AS (SELECT v AS cell, min(r) AS rep FROM walk GROUP BY v),
+labeled AS (
+  SELECT coalesce(c.rep, k.cell) AS cluster_rep, k.cnt
+  FROM core k LEFT JOIN comp c ON k.cell = c.cell
+)
+SELECT cluster_rep, count(*)::bigint AS n_cells, sum(cnt)::bigint AS n_events
+FROM labeled GROUP BY cluster_rep
+"""
