@@ -90,3 +90,75 @@ def test_exact_quantiles_match_sorted_positions(spark):
     n = len(ordered)
     for p, cents in got.items():
         assert cents == ordered[math.ceil(p * n / 100) - 1], p
+
+
+def test_soundex_sql_matches_spark_on_classic_vectors(spark):
+    """The DuckDB soundex replay equals Spark's F.soundex on the classic
+    edge-case vectors (collapse through h/w, first-letter runs, vowels)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from hadoop_data_lake_spark.functions.phonetic import soundex_sql
+
+    words = [
+        "Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak", "Pfister",
+        "Honeyman", "Wright", "Hughes", "AA", "MM", "Momo", "jackson",
+        "washington", "lee", "gutierrez",
+    ]
+    got_spark = {
+        r["w"]: r["sx"]
+        for r in spark.createDataFrame([(w,) for w in words], "w string")
+        .select("w", F.soundex("w").alias("sx"))
+        .collect()
+    }
+    con = duckdb.connect()
+    for w in words:
+        (code,) = con.sql(f"SELECT {soundex_sql(repr(w))}").fetchone()
+        assert code == got_spark[w], (w, code, got_spark[w])
+
+
+def test_grid_density_clusters_are_connected_and_dense(spark):
+    """Every reported cluster's event count is at least its cell count
+    times the core threshold floor, and cluster reps are member cells."""
+    from hadoop_data_lake_spark.queries.geo_queries import grid_density_clusters
+
+    rows = grid_density_clusters(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_cells"] >= 1
+        assert r["n_events"] >= r["n_cells"]  # core cells are non-empty
+
+
+def test_markov_trigram_entropy_bounds(spark):
+    """Second-order conditional entropy is bounded by log2(#event types)
+    and equal on every output row."""
+    import math
+
+    from hadoop_data_lake_spark.core.io import read_table
+    from hadoop_data_lake_spark.queries.events_queries import markov_trigram_entropy
+    from pyspark.sql import functions as F
+
+    rows = markov_trigram_entropy(spark, SF_DIR).collect()
+    hs = {r["h2_r"] for r in rows}
+    assert len(hs) == 1
+    h = hs.pop()
+    n_types = (
+        read_table(spark, SF_DIR, "events")
+        .select(F.count_distinct("event_type").alias("k"))
+        .collect()[0]["k"]
+    )
+    assert 0.0 <= h <= math.log2(n_types) + 1e-9
+
+
+def test_qini_final_point_is_overall_uplift(spark):
+    """The last Qini point equals total treated responders minus scaled
+    control responders — the curve's anchor identity."""
+    from hadoop_data_lake_spark.queries.events_queries import qini_uplift_curve
+
+    rows = sorted(qini_uplift_curve(spark, SF_DIR).collect(), key=lambda r: r["decile"])
+    nt = sum(r["n_t"] for r in rows)
+    nc = sum(r["n_c"] for r in rows)
+    rt = sum(r["r_t"] for r in rows)
+    rc = sum(r["r_c"] for r in rows)
+    expect = round(rt - rc * nt / nc, 6)
+    assert abs(rows[-1]["qini_r"] - expect) < 1e-6
