@@ -6743,3 +6743,102 @@ SELECT decile, n_t, n_c, r_t, r_c,
 FROM agg
 WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
+
+
+def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of the ece_calibration_bins propensity score
+    via the exact MINIMAX form of isotonic regression: the fitted value
+    at bin i is max over j<=i of min over k>=i of the empirical rate on
+    bin range [j, k] — the closed form whose result equals
+    pool-adjacent-violators, but expressed as bounded aggregates instead
+    of a sequential pooling loop (10 bins -> ~220 candidate ranges; every
+    range rate is a ratio of integer prefix-sum differences, so both
+    engines compare IEEE-identical doubles). Output per bin: raw rate,
+    isotonic (monotone non-decreasing) rate."""
+    from pyspark.sql import Window
+
+    from hadoop_data_lake_spark.functions.hashing import salted_md5_60bit
+
+    ev = read_table(spark, sf_dir, "events").select(
+        (salted_md5_60bit(F.col("event_id").cast("string"), 7) % 1000000).alias(
+            "score_ppm"
+        ),
+        (F.col("event_type") == "purchase").cast("long").alias("hit"),
+    )
+    bins = (
+        ev.withColumn("bin", F.expr("score_ppm div 100000").cast("int"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"), F.sum("hit").alias("h"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = bins.select(
+        "bin",
+        "n",
+        "h",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("h").over(w).alias("ch"),
+    ).localCheckpoint(eager=True)
+    j = pre.select(
+        F.col("bin").alias("j"),
+        (F.col("cn") - F.col("n")).alias("cn_before_j"),
+        (F.col("ch") - F.col("h")).alias("ch_before_j"),
+    )
+    k = pre.select(
+        F.col("bin").alias("k"), F.col("cn").alias("cn_k"), F.col("ch").alias("ch_k")
+    )
+    i = pre.select(F.col("bin").alias("i"), "n", "h")
+    ranges = (
+        i.join(j, F.col("j") <= F.col("i"))
+        .join(k, F.col("k") >= F.col("i"))
+        .withColumn(
+            "rate",
+            (F.col("ch_k") - F.col("ch_before_j")).cast("double")
+            / (F.col("cn_k") - F.col("cn_before_j")).cast("double"),
+        )
+    )
+    inner = ranges.groupBy("i", "n", "h", "j").agg(F.min("rate").alias("min_rate"))
+    outer = inner.groupBy("i", "n", "h").agg(F.max("min_rate").alias("iso"))
+    return outer.select(
+        F.col("i").alias("bin"),
+        "n",
+        F.col("h").alias("n_hit"),
+        F.round(F.col("h").cast("double") / F.col("n").cast("double"), 6).alias(
+            "raw_rate_r"
+        ),
+        F.round(F.col("iso"), 6).alias("iso_rate_r"),
+    )
+
+
+ISOTONIC_CALIBRATION_BINS_SQL = """
+WITH ev AS (
+  SELECT (('0x' || substr(md5('7|' || event_id::varchar), 1, 15))::ubigint
+          % 1000000)::bigint AS score_ppm,
+         (event_type = 'purchase')::bigint AS hit
+  FROM events
+),
+bins AS (
+  SELECT (score_ppm // 100000)::int AS bin, count(*)::bigint AS n,
+         sum(hit)::bigint AS h
+  FROM ev GROUP BY 1
+),
+pre AS (
+  SELECT bin, n, h,
+         sum(n) OVER w::bigint AS cn, sum(h) OVER w::bigint AS ch
+  FROM bins
+  WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+ranges AS (
+  SELECT i.bin AS i, i.n, i.h, j.bin AS j,
+         (k.ch - (j.ch - j.h))::double / (k.cn - (j.cn - j.n))::double AS rate
+  FROM pre i
+  JOIN pre j ON j.bin <= i.bin
+  JOIN pre k ON k.bin >= i.bin
+),
+inner_min AS (
+  SELECT i, n, h, j, min(rate) AS min_rate FROM ranges GROUP BY i, n, h, j
+)
+SELECT i AS bin, n, h AS n_hit,
+       round(h::double / n::double, 6) AS raw_rate_r,
+       round(max(min_rate), 6) AS iso_rate_r
+FROM inner_min GROUP BY i, n, h
+"""

@@ -219,6 +219,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "churn_label_windows": QuerySpec(EV.churn_label_windows, EV.CHURN_LABEL_WINDOWS_SQL, ("ml", "label-engineering", "churn", "leakage-safe")),
     "grid_density_clusters": QuerySpec(GQ.grid_density_clusters, GQ.GRID_DENSITY_CLUSTERS_SQL, ("geo", "clustering", "dbscan", "graph")),
     "qini_uplift_curve": QuerySpec(EV.qini_uplift_curve, EV.QINI_UPLIFT_CURVE_SQL, ("causal", "uplift", "qini", "experiment")),
+    "isotonic_calibration_bins": QuerySpec(EV.isotonic_calibration_bins, EV.ISOTONIC_CALIBRATION_BINS_SQL, ("ml", "calibration", "isotonic", "pav")),
     # --- rotated out of the window in round 5 — each holds a
     # CORRECTNESS_r04.json full-oracle green row -------------------------
     "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),
