@@ -362,3 +362,63 @@ def test_dtw_udf_identity_symmetry_and_alignment_bound(spark, pairs):
         assert got[3 * i + 2] == 0
         assert got[3 * i] == got[3 * i + 1]
         assert got[3 * i] <= sum((p - q) ** 2 for p, q in zip(x, y))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(-10**6, 10**6), st.integers(-10**6, 10**6)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 7),
+)
+@settings(max_examples=12, deadline=None)
+def test_prefix_agg_matches_serial_fold_random(spark, vals, nparts):
+    """prefix_agg running sum + running max == serial fold for arbitrary
+    (incl. negative) values and any partition count."""
+    from hadoop_data_lake_spark.operators.packing import prefix_agg
+
+    rows = [(i, v, m) for i, (v, m) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long, m long")
+    got = {
+        r["id"]: (r["cum"], r["cmax"])
+        for r in prefix_agg(
+            df, "id", sum_cols={"cum": "v"}, max_cols={"cmax": "m"},
+            num_partitions=nparts,
+        ).collect()
+    }
+    run = 0
+    mx = None
+    for i, v, m in rows:
+        run += v
+        mx = m if mx is None or m > mx else mx
+        assert got[i] == (run, mx), i
+
+
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("abcdefghijklmnopqrstuvwxyzAEIOUYHW"),
+                min_size=1, max_size=12),
+        min_size=1, max_size=20, unique=True,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_soundex_sql_matches_spark_random_words(spark, words):
+    """The pure-SQL soundex replay equals Spark's F.soundex on random
+    alphabetic words (vowel/h/w-heavy alphabet stresses the collapse and
+    strip rules)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from hadoop_data_lake_spark.functions.phonetic import soundex_sql
+
+    got_spark = {
+        r["w"]: r["sx"]
+        for r in spark.createDataFrame([(w,) for w in words], "w string")
+        .select("w", F.soundex("w").alias("sx"))
+        .collect()
+    }
+    con = duckdb.connect()
+    for w in words:
+        (code,) = con.sql(f"SELECT {soundex_sql(repr(w))}").fetchone()
+        assert code == got_spark[w], (w, code, got_spark[w])
