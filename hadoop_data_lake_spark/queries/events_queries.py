@@ -6842,3 +6842,155 @@ SELECT i AS bin, n, h AS n_hit,
        round(max(min_rate), 6) AS iso_rate_r
 FROM inner_min GROUP BY i, n, h
 """
+
+
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value marketing attribution over touched-channel
+    coalitions: each user's coalition is their DISTINCT set of
+    non-purchase event types, the characteristic value v(S) is the
+    observed conversion (purchase) rate of users with exactly coalition
+    S (0 for unobserved coalitions), and each channel's Shapley value is
+    sum over coalitions S containing it of w(|S|) * (v(S) - v(S\\{i}))
+    with the standard weight (|S|-1)!(k-|S|)!/k! — the
+    order-independent credit split that first/last-touch and adstock
+    (both already in the registry) only approximate. The coalition
+    lattice is bounded by 2^k for k observed channels (k <= 4 here), so
+    every join runs over a tiny aggregate; user aggregation is one
+    distributed pass. Rates are integer-count ratios; one rounded
+    Shapley per channel."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.collect_list(
+                        F.when(F.col("event_type") != "purchase", F.col("event_type"))
+                    )
+                )
+            ),
+            ",",
+        ).alias("coal"),
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("conv"),
+    ).where(F.col("coal") != "")
+    coalitions = per_user.groupBy("coal").agg(
+        F.count("*").alias("n"), F.sum("conv").alias("n_conv")
+    ).localCheckpoint(eager=True)
+    channels = coalitions.select(
+        F.explode(F.split(F.col("coal"), ",")).alias("channel")
+    ).distinct()
+    k = channels.count()  # bounded: distinct event types
+    fact = [1, 1, 2, 6, 24, 120, 720]
+    # member-level marginals: for each coalition S and member i,
+    # w(|S|) * (v(S) - v(S minus i)); v of an unobserved coalition is 0.
+    members = coalitions.select(
+        "coal",
+        "n",
+        "n_conv",
+        F.size(F.split(F.col("coal"), ",")).alias("s"),
+        F.explode(F.split(F.col("coal"), ",")).alias("channel"),
+    ).withColumn(
+        "coal_minus",
+        F.array_join(
+            F.array_remove(F.split(F.col("coal"), ","), F.col("channel")), ","
+        ),
+    )
+    minus = coalitions.select(
+        F.col("coal").alias("coal_minus"),
+        (F.col("n_conv").cast("double") / F.col("n").cast("double")).alias("v_minus"),
+    )
+    weight_map = F.create_map(
+        *[
+            x
+            for s in range(1, k + 1)
+            for x in (
+                F.lit(s),
+                F.lit(fact[s - 1] * fact[k - s] / fact[k]),
+            )
+        ]
+    )
+    marg = (
+        members.join(minus, "coal_minus", "left")
+        .withColumn(
+            "v", F.col("n_conv").cast("double") / F.col("n").cast("double")
+        )
+        .withColumn(
+            "delta",
+            (F.col("v") - F.coalesce(F.col("v_minus"), F.lit(0.0)))
+            * F.element_at(weight_map, F.col("s")),
+        )
+    )
+    return (
+        marg.groupBy("channel")
+        .agg(F.round(F.sum("delta"), 6).alias("shapley_r"))
+        .join(
+            coalitions.select(
+                F.explode(F.split(F.col("coal"), ",")).alias("channel"),
+                "n",
+                "n_conv",
+            )
+            .groupBy("channel")
+            .agg(
+                F.sum("n").alias("n_users_touched"),
+                F.sum("n_conv").alias("n_conv_touched"),
+            ),
+            "channel",
+        )
+    )
+
+
+def _shapley_sql() -> str:
+    # k and the factorial weights are data-independent only through k =
+    # #distinct non-purchase channels; the corpus has 4 (click, view,
+    # signup, error). The weight table is inlined for k up to 6.
+    return """
+WITH per_user AS (
+  SELECT user_id,
+         array_to_string(list_sort(list_distinct(list_filter(
+           list(event_type), x -> x <> 'purchase'))), ',') AS coal,
+         max((event_type = 'purchase')::bigint) AS conv
+  FROM events GROUP BY user_id
+),
+coalitions AS MATERIALIZED (
+  SELECT coal, count(*)::bigint AS n, sum(conv)::bigint AS n_conv
+  FROM per_user WHERE coal <> '' GROUP BY coal
+),
+kk AS (
+  SELECT count(DISTINCT u.channel)::int AS k
+  FROM (SELECT unnest(string_split(coal, ',')) AS channel FROM coalitions) u
+),
+fact(i, f) AS (VALUES (0, 1), (1, 1), (2, 2), (3, 6), (4, 24), (5, 120), (6, 720)),
+members AS (
+  SELECT c.coal, c.n, c.n_conv,
+         len(string_split(c.coal, ','))::int AS s,
+         u.channel,
+         array_to_string(list_filter(string_split(c.coal, ','),
+                                     x -> x <> u.channel), ',') AS coal_minus
+  FROM coalitions c,
+       unnest(string_split(c.coal, ',')) AS u(channel)
+),
+marg AS (
+  SELECT m.channel,
+         (m.n_conv::double / m.n::double
+          - coalesce(cm.n_conv::double / cm.n::double, 0.0))
+         * (fs.f::double * fk.f::double / ft.f::double) AS delta
+  FROM members m
+  LEFT JOIN coalitions cm ON m.coal_minus = cm.coal
+  JOIN kk ON TRUE
+  JOIN fact fs ON fs.i = m.s - 1
+  JOIN fact fk ON fk.i = kk.k - m.s
+  JOIN fact ft ON ft.i = kk.k
+),
+touched AS (
+  SELECT u.channel, sum(c.n)::bigint AS n_users_touched,
+         sum(c.n_conv)::bigint AS n_conv_touched
+  FROM coalitions c, unnest(string_split(c.coal, ',')) AS u(channel)
+  GROUP BY u.channel
+)
+SELECT m.channel, round(sum(m.delta), 6) AS shapley_r,
+       t.n_users_touched, t.n_conv_touched
+FROM marg m JOIN touched t ON m.channel = t.channel
+GROUP BY m.channel, t.n_users_touched, t.n_conv_touched
+"""
+
+
+SHAPLEY_CHANNEL_ATTRIBUTION_SQL = _shapley_sql()

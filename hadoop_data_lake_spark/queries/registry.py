@@ -220,6 +220,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "grid_density_clusters": QuerySpec(GQ.grid_density_clusters, GQ.GRID_DENSITY_CLUSTERS_SQL, ("geo", "clustering", "dbscan", "graph")),
     "qini_uplift_curve": QuerySpec(EV.qini_uplift_curve, EV.QINI_UPLIFT_CURVE_SQL, ("causal", "uplift", "qini", "experiment")),
     "isotonic_calibration_bins": QuerySpec(EV.isotonic_calibration_bins, EV.ISOTONIC_CALIBRATION_BINS_SQL, ("ml", "calibration", "isotonic", "pav")),
+    "shapley_channel_attribution": QuerySpec(EV.shapley_channel_attribution, EV.SHAPLEY_CHANNEL_ATTRIBUTION_SQL, ("causal", "attribution", "shapley", "coalition")),
     # --- rotated out of the window in round 5 — each holds a
     # CORRECTNESS_r04.json full-oracle green row -------------------------
     "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),
