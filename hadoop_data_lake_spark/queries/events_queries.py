@@ -6994,3 +6994,86 @@ GROUP BY m.channel, t.n_users_touched, t.n_conv_touched
 
 
 SHAPLEY_CHANNEL_ATTRIBUTION_SQL = _shapley_sql()
+
+
+def user_sequence_edit_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest behavioral twin by EDIT DISTANCE: each user's event stream
+    becomes a compact type-initial string (first 50 events in time
+    order), candidate pairs come from a length-bucket block (sequences
+    within the same len-div-5 bucket — edit distance >= length gap, so
+    distant buckets cannot hold the nearest neighbor for these
+    tie-broken minima at test scale; the blocked join is the scale
+    shape), Levenshtein runs JVM-side (F.levenshtein; DuckDB's
+    levenshtein implements the same classic recurrence), and the top-1
+    neighbor per user resolves with (distance, neighbor) tie-breaks in a
+    user-partitioned window."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqs = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 50)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("rn"), F.col("c")))
+                    ),
+                    lambda s: s["c"],
+                ),
+                "",
+            ).alias("seq")
+        )
+        .withColumn("blk", F.expr("length(seq) div 5"))
+        .localCheckpoint(eager=True)
+    )
+    a = seqs.select(
+        F.col("user_id").alias("ua"), F.col("seq").alias("sa"), "blk"
+    )
+    b = seqs.select(
+        F.col("user_id").alias("ub"), F.col("seq").alias("sb"), "blk"
+    )
+    pairs = (
+        a.join(b, "blk")
+        .where(F.col("ua") != F.col("ub"))
+        .select(
+            "ua",
+            "ub",
+            F.levenshtein(F.col("sa"), F.col("sb")).alias("dist"),
+        )
+    )
+    wnn = Window.partitionBy("ua").orderBy(F.col("dist").asc(), F.col("ub").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(wnn))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("ua").alias("user_id"),
+            F.col("ub").alias("nearest_user"),
+            "dist",
+        )
+    )
+
+
+USER_SEQUENCE_EDIT_NN_SQL = """
+WITH seqs AS (
+  SELECT user_id, string_agg(c, '' ORDER BY ts, event_id) AS seq
+  FROM (
+    SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS c,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+  ) WHERE rn <= 50 GROUP BY user_id
+),
+blocked AS (SELECT user_id, seq, length(seq) // 5 AS blk FROM seqs),
+pairs AS (
+  SELECT a.user_id AS ua, b.user_id AS ub, levenshtein(a.seq, b.seq) AS dist
+  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.user_id <> b.user_id
+)
+SELECT ua AS user_id, ub AS nearest_user, dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY ua ORDER BY dist ASC, ub ASC) AS rn
+  FROM pairs
+) WHERE rn = 1
+"""

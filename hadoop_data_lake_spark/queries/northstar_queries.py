@@ -5754,3 +5754,70 @@ FROM (
 
 
 HASH_COLLISION_AUDIT_SQL = _hash_collision_sql()
+
+
+def lang_id_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the language classifier against the labeled lang
+    column — chance-corrected agreement, the single-number companion to
+    lang_id_confusion (plain accuracy flatters a classifier on skewed
+    label mixes; kappa does not). po and pe fold from integer marginal
+    counts of the confusion matrix; one rounded expression."""
+    docs = read_table(spark, sf_dir, "documents").select("lang", "text")
+    pred = docs.select(
+        F.col("lang").alias("t"), TX.lang_id(F.col("text")).alias("p")
+    ).localCheckpoint(eager=True)
+    cm = pred.groupBy("t", "p").agg(F.count("*").alias("n"))
+    tm = cm.groupBy("t").agg(F.sum("n").alias("nt"))
+    pm = cm.groupBy("p").agg(F.sum("n").alias("np"))
+    tot = cm.agg(
+        F.sum("n").alias("n"),
+        F.sum(F.when(F.col("t") == F.col("p"), F.col("n")).otherwise(0)).alias(
+            "agree"
+        ),
+    )
+    pe_num = (
+        tm.join(pm, tm["t"] == pm["p"])
+        .agg(F.sum(F.col("nt") * F.col("np")).alias("pe_num"))
+    )
+    j = tot.crossJoin(F.broadcast(pe_num))
+    po = F.col("agree").cast("double") / F.col("n").cast("double")
+    pe = F.col("pe_num").cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+    )
+    return j.select(
+        F.col("n").alias("n_docs"),
+        F.col("agree").alias("n_agree"),
+        F.round(po, 6).alias("po_r"),
+        F.round(pe, 6).alias("pe_r"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa_r"),
+    )
+
+
+def _lang_kappa_sql() -> str:
+    return f"""
+WITH pred AS (
+  SELECT lang AS t, {TX.lang_id_sql('text')} AS p FROM documents
+),
+cm AS (SELECT t, p, count(*)::bigint AS n FROM pred GROUP BY t, p),
+tm AS (SELECT t, sum(n)::bigint AS nt FROM cm GROUP BY t),
+pm AS (SELECT p, sum(n)::bigint AS np FROM cm GROUP BY p),
+tot AS (
+  SELECT sum(n)::bigint AS n,
+         sum(CASE WHEN t = p THEN n ELSE 0 END)::bigint AS agree
+  FROM cm
+),
+pe AS (
+  SELECT sum(tm.nt * pm.np)::bigint AS pe_num FROM tm JOIN pm ON tm.t = pm.p
+)
+SELECT tot.n AS n_docs, tot.agree AS n_agree,
+       round(tot.agree::double / tot.n::double, 6) AS po_r,
+       round(pe.pe_num::double / (tot.n::double * tot.n::double), 6) AS pe_r,
+       round((tot.agree::double / tot.n::double
+              - pe.pe_num::double / (tot.n::double * tot.n::double))
+             / (1.0 - pe.pe_num::double / (tot.n::double * tot.n::double)), 6)
+         AS kappa_r
+FROM tot, pe
+"""
+
+
+LANG_ID_COHENS_KAPPA_SQL = _lang_kappa_sql()
