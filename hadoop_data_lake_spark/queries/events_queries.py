@@ -7077,3 +7077,110 @@ SELECT ua AS user_id, ub AS nearest_user, dist FROM (
   FROM pairs
 ) WHERE rn = 1
 """
+
+
+def daily_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single changepoint in the daily revenue series by exact binary
+    segmentation: for every candidate split the two-segment squared-error
+    cost folds from integer prefix sums (SSE = ssq - s^2/n per side, all
+    moments bigint), and the chosen split minimizes total cost with a
+    day tie-break — the first step of binary-segmentation changepoint
+    detection, exact and replayable because the argmin compares
+    bit-identical doubles derived from integer counts. The day dimension
+    is bounded, so the candidate scan is a prefix pass over a tiny
+    aggregate; output: the split day, per-side day counts and mean
+    revenue, and the cost drop vs the unsplit series."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from pyspark.sql import Window
+
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), to_units(F.col("value")).alias("cents"))
+        .where(F.col("cents").isNotNull())
+        .groupBy("day")
+        .agg(F.sum("cents").alias("y"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "day",
+        "y",
+        F.count("*").over(w).alias("k"),
+        F.sum("y").over(w).alias("cs"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("css"),
+    )
+    tot = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("ts"),
+        F.sum(F.col("y") * F.col("y")).alias("tss"),
+    )
+    cand = pre.crossJoin(F.broadcast(tot)).where(F.col("k") < F.col("n"))
+    sse_l = F.col("css").cast("double") - (
+        F.col("cs").cast("double") * F.col("cs").cast("double")
+    ) / F.col("k").cast("double")
+    rs = F.col("ts") - F.col("cs")
+    rss = F.col("tss") - F.col("css")
+    rk = F.col("n") - F.col("k")
+    sse_r = rss.cast("double") - (
+        rs.cast("double") * rs.cast("double")
+    ) / rk.cast("double")
+    sse0 = F.col("tss").cast("double") - (
+        F.col("ts").cast("double") * F.col("ts").cast("double")
+    ) / F.col("n").cast("double")
+    scored = cand.select(
+        "day",
+        "k",
+        "cs",
+        rk.alias("rk"),
+        rs.alias("rs"),
+        (sse_l + sse_r).alias("cost"),
+        sse0.alias("cost0"),
+    )
+    best = scored.orderBy(F.col("cost").asc(), F.col("day").asc()).limit(1)
+    return best.select(
+        F.col("day").cast("string").alias("split_day"),
+        F.col("k").alias("n_days_left"),
+        F.col("rk").alias("n_days_right"),
+        F.round(F.col("cs").cast("double") / F.col("k").cast("double") / 100.0, 6).alias(
+            "mean_left_r"
+        ),
+        F.round(F.col("rs").cast("double") / F.col("rk").cast("double") / 100.0, 6).alias(
+            "mean_right_r"
+        ),
+        F.round((F.col("cost0") - F.col("cost")) / F.col("cost0"), 6).alias(
+            "cost_drop_share_r"
+        ),
+    )
+
+
+DAILY_REVENUE_CHANGEPOINT_SQL = """
+WITH daily AS (
+  SELECT ts::date AS day, sum(round(value * 100)::bigint)::bigint AS y
+  FROM events WHERE value IS NOT NULL GROUP BY ts::date
+),
+pre AS (
+  SELECT day, y,
+         count(*) OVER w::bigint AS k,
+         sum(y) OVER w::bigint AS cs,
+         sum(y * y) OVER w::bigint AS css
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (
+  SELECT count(*)::bigint AS n, sum(y)::bigint AS ts_, sum(y * y)::bigint AS tss
+  FROM daily
+),
+scored AS (
+  SELECT p.day, p.k, p.cs, (t.n - p.k) AS rk, (t.ts_ - p.cs) AS rs,
+         (p.css::double - p.cs::double * p.cs::double / p.k::double)
+         + ((t.tss - p.css)::double
+            - (t.ts_ - p.cs)::double * (t.ts_ - p.cs)::double
+              / (t.n - p.k)::double) AS cost,
+         t.tss::double - t.ts_::double * t.ts_::double / t.n::double AS cost0
+  FROM pre p, tot t WHERE p.k < t.n
+)
+SELECT day::varchar AS split_day, k AS n_days_left, rk AS n_days_right,
+       round(cs::double / k::double / 100.0, 6) AS mean_left_r,
+       round(rs::double / rk::double / 100.0, 6) AS mean_right_r,
+       round((cost0 - cost) / cost0, 6) AS cost_drop_share_r
+FROM scored ORDER BY cost ASC, day ASC LIMIT 1
+"""
