@@ -224,6 +224,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "user_sequence_edit_nn": QuerySpec(EV.user_sequence_edit_nn, EV.USER_SEQUENCE_EDIT_NN_SQL, ("sequence", "edit-distance", "levenshtein", "blocking")),
     "lang_id_cohens_kappa": QuerySpec(NS.lang_id_cohens_kappa, NS.LANG_ID_COHENS_KAPPA_SQL, ("text", "lang-id", "eval", "kappa")),
     "daily_revenue_changepoint": QuerySpec(EV.daily_revenue_changepoint, EV.DAILY_REVENUE_CHANGEPOINT_SQL, ("timeseries", "changepoint", "binary-segmentation", "integer-exact")),
+    "newsvendor_brand_quantiles": QuerySpec(TQ.newsvendor_brand_quantiles, TQ.NEWSVENDOR_BRAND_QUANTILES_SQL, ("ops", "newsvendor", "quantile", "inventory")),
     # --- rotated out of the window in round 5 — each holds a
     # CORRECTNESS_r04.json full-oracle green row -------------------------
     "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),

@@ -4758,3 +4758,87 @@ FROM coded GROUP BY sx
 
 
 SOUNDEX_WORD_GROUPS_SQL = _soundex_word_groups_sql()
+
+
+def newsvendor_brand_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking levels per brand: with critical ratio 0.8
+    (underage cost 4x overage), the optimal order-up-to level is the 80th
+    percentile of daily demand — computed EXACTLY as the rank-ceil order
+    statistic of each brand's daily quantity series (integer centi-units,
+    brand-partitioned rank windows over the bounded per-brand day
+    dimension; never a global sort). Output per brand: observation days,
+    mean daily demand, and the q50/q80/q95 stocking ladder."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.to_date(F.col("l_shipdate").cast("timestamp")).alias("day"),
+        "l_partkey",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    daily = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "day")
+        .agg(F.sum("qty_c").alias("d"))
+    )
+    w = Window.partitionBy("p_brand").orderBy("d", "day")
+    ranked = daily.withColumn("rk", F.row_number().over(w)).join(
+        daily.groupBy("p_brand").agg(
+            F.count("*").alias("n"), F.sum("d").alias("s")
+        ),
+        "p_brand",
+    )
+    picks = []
+    for name, pct in (("q50", 50), ("q80", 80), ("q95", 95)):
+        picks.append(
+            ranked.where(F.col("rk") == F.ceil(F.lit(pct / 100.0) * F.col("n")))
+            .groupBy("p_brand")
+            .agg(F.min("d").alias(name))
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.join(p, "p_brand")
+    return (
+        daily.groupBy("p_brand")
+        .agg(F.count("*").alias("n_days"), F.sum("d").alias("s"))
+        .join(out, "p_brand")
+        .select(
+            "p_brand",
+            "n_days",
+            F.round(F.col("s").cast("double") / F.col("n_days") / 100.0, 6).alias(
+                "mean_daily_r"
+            ),
+            "q50",
+            "q80",
+            "q95",
+        )
+    )
+
+
+NEWSVENDOR_BRAND_QUANTILES_SQL = """
+WITH daily AS (
+  SELECT p.p_brand, l.l_shipdate::date AS day,
+         sum(round(l.l_quantity * 100)::bigint)::bigint AS d
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, l.l_shipdate::date
+),
+ranked AS (
+  SELECT p_brand, day, d,
+         row_number() OVER (PARTITION BY p_brand ORDER BY d, day) AS rk,
+         count(*) OVER (PARTITION BY p_brand) AS n
+  FROM daily
+),
+q AS (
+  SELECT p_brand,
+         min(CASE WHEN rk = ceil(0.50 * n) THEN d END)::bigint AS q50,
+         min(CASE WHEN rk = ceil(0.80 * n) THEN d END)::bigint AS q80,
+         min(CASE WHEN rk = ceil(0.95 * n) THEN d END)::bigint AS q95
+  FROM ranked GROUP BY p_brand
+)
+SELECT a.p_brand, count(*)::bigint AS n_days,
+       round(sum(a.d)::double / count(*)::double / 100.0, 6) AS mean_daily_r,
+       min(q.q50)::bigint AS q50, min(q.q80)::bigint AS q80,
+       min(q.q95)::bigint AS q95
+FROM daily a JOIN q ON a.p_brand = q.p_brand
+GROUP BY a.p_brand
+"""
