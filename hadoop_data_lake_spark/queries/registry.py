@@ -34,9 +34,15 @@ displacement pairs recorded inline at the _WINDOW comment):
        comments; displaced rotations return in r6.
 45-50  the 6-slot streaming regression guard (r≤4-proven).
 Net: 44 of the 50 slots grade first-time queries this round (30
-surviving backlog rotations + the 14 round-5-new), taking the
-never-graded full-oracle count from 108 to an expected 78 (<= the
-VERDICT r4 target of ~80) once CORRECTNESS_r05 lands.
+surviving backlog rotations + 14 round-5-new). Accounting vs the
+VERDICT r4 "never-graded <= ~80" target: the PRE-EXISTING backlog burns
+108 -> 78 as asked, but round 5 also GREW the full-oracle surface
+283 -> 313 (16 more new queries registered straight into the backlog),
+so the absolute never-graded count after CORRECTNESS_r05 is expected at
+94 of 313 (30%, down from 108 of 283 = 38%). Every registered query —
+graded or not — is re-verified against its DuckDB oracle locally each
+round by tools/check_oracle.py at sf0.001 (and new entries additionally
+at sf0.01 before registration).
 Every displaced entry holds a CORRECTNESS_r04.json green row and moves to
 the backlog, where check_oracle still re-verifies it each round.
 
