@@ -5821,3 +5821,83 @@ FROM tot, pe
 
 
 LANG_ID_COHENS_KAPPA_SQL = _lang_kappa_sql()
+
+
+def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-page training-corpus report card — the capstone that unions the
+    round-5 curation stages into the (metric, value) summary a data lead
+    reads before a training run: corpus size, exact-duplicate groups,
+    near-dup clusters (minhash + O(log n) components), documents kept by
+    the majority-vote quality ensemble, water-filled token budget
+    actually allocated, vocabulary coverage of the top-50 tokens, and
+    the 2^10 feature-hash collision rate. Every number re-derives from
+    the same operators the dedicated queries grade (same code paths, not
+    re-implementations), so the card is consistent with the rest of the
+    registry by construction; values land in one integer-or-rounded
+    column for the hash compare."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+
+    exact_groups = (
+        DD.exact_dedup(docs, "doc_id", "text")
+        .where(F.col("n_copies") >= 2)
+        .count()
+    )
+    clusters = dedup_clusters_minhash(spark, sf_dir).select("cluster_rep").distinct().count()
+    kept_major = (
+        quality_ensemble_vote(spark, sf_dir)
+        .select("n_kept_majority")
+        .limit(1)
+        .collect()[0][0]
+    )
+    alloc = data_mix_waterfill(spark, sf_dir).agg(
+        F.sum("alloc_toks").alias("a")
+    ).collect()[0][0]
+    cov50 = (
+        ngram_coverage_curve(spark, sf_dir)
+        .where(F.col("k") == 50)
+        .select("coverage_r")
+        .collect()[0][0]
+    )
+    coll = (
+        hash_collision_audit(spark, sf_dir)
+        .where(F.col("bits") == 10)
+        .select("collision_rate_r")
+        .collect()[0][0]
+    )
+    rows = [
+        ("n_docs", float(n_docs)),
+        ("exact_dup_groups", float(exact_groups)),
+        ("near_dup_clusters", float(clusters)),
+        ("kept_majority_vote", float(kept_major)),
+        ("waterfill_alloc_toks", float(alloc)),
+        ("vocab_coverage_top50_r", float(cov50)),
+        ("hash_collision_rate_2e10_r", float(coll)),
+    ]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
+def _corpus_report_card_sql() -> str:
+    return f"""
+SELECT 'n_docs' AS metric, count(*)::double AS value FROM documents
+UNION ALL
+SELECT 'exact_dup_groups', count(*)::double FROM ({DEDUP_EXACT_SQL}) WHERE n_copies >= 2
+UNION ALL
+SELECT 'near_dup_clusters', count(DISTINCT cluster_rep)::double
+FROM ({DEDUP_CLUSTERS_MINHASH_SQL})
+UNION ALL
+SELECT 'kept_majority_vote', min(n_kept_majority)::double
+FROM ({QUALITY_ENSEMBLE_VOTE_SQL})
+UNION ALL
+SELECT 'waterfill_alloc_toks', sum(alloc_toks)::double
+FROM ({DATA_MIX_WATERFILL_SQL})
+UNION ALL
+SELECT 'vocab_coverage_top50_r', min(coverage_r)::double
+FROM ({NGRAM_COVERAGE_CURVE_SQL}) WHERE k = 50
+UNION ALL
+SELECT 'hash_collision_rate_2e10_r', min(collision_rate_r)::double
+FROM ({HASH_COLLISION_AUDIT_SQL}) WHERE bits = 10
+"""
+
+
+CORPUS_REPORT_CARD_SQL = _corpus_report_card_sql()
