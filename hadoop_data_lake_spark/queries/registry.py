@@ -232,6 +232,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "daily_revenue_changepoint": QuerySpec(EV.daily_revenue_changepoint, EV.DAILY_REVENUE_CHANGEPOINT_SQL, ("timeseries", "changepoint", "binary-segmentation", "integer-exact")),
     "newsvendor_brand_quantiles": QuerySpec(TQ.newsvendor_brand_quantiles, TQ.NEWSVENDOR_BRAND_QUANTILES_SQL, ("ops", "newsvendor", "quantile", "inventory")),
     "corpus_report_card": QuerySpec(NS.corpus_report_card, NS.CORPUS_REPORT_CARD_SQL, ("capstone", "training-data", "report", "summary")),
+    "t_closeness_audit": QuerySpec(TQ.t_closeness_audit, TQ.T_CLOSENESS_AUDIT_SQL, ("privacy", "t-closeness", "emd", "audit")),
     # --- rotated out of the window in round 5 — each holds a
     # CORRECTNESS_r04.json full-oracle green row -------------------------
     "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),

@@ -4842,3 +4842,127 @@ SELECT a.p_brand, count(*)::bigint AS n_days,
 FROM daily a JOIN q ON a.p_brand = q.p_brand
 GROUP BY a.p_brand
 """
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit completing the privacy trio (k_anonymity_audit /
+    l_diversity_audit): for each quasi-identifier group (nation, market
+    segment) the distance between the group's sensitive-attribute
+    distribution (account balance, bucketed to 10 global equal-width
+    bands) and the GLOBAL distribution, measured as the ordered-bin
+    earth-mover distance sum |cum_share_group - cum_share_global| / 9 —
+    a group whose balances skew far from the population leaks the
+    attribute even at high k. Integer band counts, one cumulative window
+    over each group's 10-band frame, a single rounded t per group, and a
+    per-nation rollup flagging groups above t = 0.2 (publishing the
+    violating QI values verbatim would itself leak)."""
+    from pyspark.sql import Window
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    bounds = cust.agg(
+        F.min("bal_c").alias("lo"), F.max("bal_c").alias("hi")
+    )
+    banded = cust.crossJoin(F.broadcast(bounds)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.least(
+            F.lit(9),
+            F.expr("((bal_c - lo) * 10) div (hi - lo + 1)").cast("int"),
+        ).alias("band"),
+    )
+    g = banded.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count("*").alias("n")
+    )
+    g_tot = g.groupBy("c_nationkey", "c_mktsegment").agg(F.sum("n").alias("gn"))
+    glob = banded.groupBy("band").agg(F.count("*").alias("m"))
+    glob_tot = glob.agg(F.sum("m").alias("mn"))
+    # dense 10-band frame per group so missing bands contribute share 0
+    bands = spark.range(10).select(F.col("id").cast("int").alias("band"))
+    dense = (
+        g_tot.crossJoin(F.broadcast(bands))
+        .join(g, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .join(F.broadcast(glob), "band")
+        .crossJoin(F.broadcast(glob_tot))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "band",
+            "gn",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            "m",
+            "mn",
+        )
+    )
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dense.withColumn(
+        "gap",
+        F.abs(
+            F.sum("n").over(w).cast("double") / F.col("gn").cast("double")
+            - F.sum("m").over(w).cast("double") / F.col("mn").cast("double")
+        ),
+    )
+    per_group = cum.groupBy("c_nationkey", "c_mktsegment", "gn").agg(
+        F.round(F.sum("gap") / 9.0, 6).alias("t_r")
+    )
+    return per_group.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_groups"),
+        F.sum((F.col("t_r") > 0.2).cast("long")).alias("n_violating"),
+        F.round(F.max("t_r"), 6).alias("max_t_r"),
+    )
+
+
+T_CLOSENESS_AUDIT_SQL = """
+WITH cust AS (
+  SELECT c_nationkey, c_mktsegment, round(c_acctbal * 100)::bigint AS bal_c
+  FROM customer
+),
+bounds AS (SELECT min(bal_c) AS lo, max(bal_c) AS hi FROM cust),
+banded AS (
+  SELECT c_nationkey, c_mktsegment,
+         least(9, ((bal_c - bounds.lo) * 10) // (bounds.hi - bounds.lo + 1))::int AS band
+  FROM cust, bounds
+),
+g AS (
+  SELECT c_nationkey, c_mktsegment, band, count(*)::bigint AS n
+  FROM banded GROUP BY c_nationkey, c_mktsegment, band
+),
+g_tot AS (
+  SELECT c_nationkey, c_mktsegment, sum(n)::bigint AS gn
+  FROM g GROUP BY c_nationkey, c_mktsegment
+),
+gdist AS (SELECT band, count(*)::bigint AS m FROM banded GROUP BY band),
+gdist_tot AS (SELECT sum(m)::bigint AS mn FROM gdist),
+dense AS (
+  SELECT t.c_nationkey, t.c_mktsegment, b.band, t.gn,
+         coalesce(g.n, 0)::bigint AS n, gl.m, gt.mn
+  FROM g_tot t
+  CROSS JOIN (SELECT unnest(range(0, 10))::int AS band) b
+  LEFT JOIN g ON g.c_nationkey = t.c_nationkey
+             AND g.c_mktsegment = t.c_mktsegment AND g.band = b.band
+  JOIN gdist gl ON gl.band = b.band
+  CROSS JOIN gdist_tot gt
+),
+cum AS (
+  SELECT c_nationkey, c_mktsegment, gn,
+         abs((sum(n) OVER w)::double / gn::double
+             - (sum(m) OVER w)::double / mn::double) AS gap
+  FROM dense
+  WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment ORDER BY band
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+per_group AS (
+  SELECT c_nationkey, c_mktsegment, round(sum(gap) / 9.0, 6) AS t_r
+  FROM cum GROUP BY c_nationkey, c_mktsegment, gn
+)
+SELECT c_nationkey, count(*)::bigint AS n_groups,
+       sum((t_r > 0.2)::int)::bigint AS n_violating,
+       round(max(t_r), 6) AS max_t_r
+FROM per_group GROUP BY c_nationkey
+"""
