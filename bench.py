@@ -255,6 +255,8 @@ def _event_scale_ops(spark, ev):
         F.col("event_id").alias("click_id"),
         F.unix_micros("ts").alias("click_ts_us"),
     )
+    from hadoop_data_lake_spark.operators.packing import prefix_agg
+
     return {
         # aggregate ON the session id so count() cannot prune the window
         "sessionize_events": lambda: sessionize(
@@ -264,6 +266,15 @@ def _event_scale_ops(spark, ev):
             purchases, clicks, on="user_id",
             left_ts="purchase_ts_us", right_ts="click_ts_us",
         ),
+        # the round-5 prefix machinery nine queries now ride: global rank
+        # + running max in one two-phase pass — must stay linear since
+        # it replaced every Window.orderBy global sort.
+        "prefix_agg_events": lambda: prefix_agg(
+            ev.withColumn("__one", F.lit(1)),
+            ["ts", "event_id"],
+            sum_cols={"rk": "__one"},
+            max_cols={"vmax": "value"},
+        ).groupBy().agg(F.max("rk"), F.max("vmax")),
     }
 
 
