@@ -7184,3 +7184,80 @@ SELECT day::varchar AS split_day, k AS n_days_left, rk AS n_days_right,
        round((cost0 - cost) / cost0, 6) AS cost_drop_share_r
 FROM scored ORDER BY cost ASC, day ASC LIMIT 1
 """
+
+
+def ts_delta_compression_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla-style timestamp compressibility estimate per event type:
+    the delta-of-delta of each stream's microsecond timestamps bucketed
+    into the paper's code ranges (0 -> 1 bit, [-63,64] -> 9, [-255,256]
+    -> 12, [-2047,2048] -> 16, else 36), yielding estimated bits/sample
+    vs the raw 64 — the number a storage engineer reads before picking a
+    time-series encoding. Two lag windows partitioned by (user, type)
+    (never global), integer buckets, one rounded ratio per type."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    dod = (
+        ev.withColumn("d1", F.col("us") - F.lag("us", 1).over(w))
+        .withColumn("dod", F.col("d1") - F.lag("d1", 1).over(w))
+        .where(F.col("dod").isNotNull())
+    )
+    bits = (
+        F.when(F.col("dod") == 0, 1)
+        .when((F.col("dod") >= -63) & (F.col("dod") <= 64), 9)
+        .when((F.col("dod") >= -255) & (F.col("dod") <= 256), 12)
+        .when((F.col("dod") >= -2047) & (F.col("dod") <= 2048), 16)
+        .otherwise(36)
+    )
+    agg = dod.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(bits.cast("long")).alias("total_bits"),
+        F.sum((F.col("dod") == 0).cast("long")).alias("n_zero"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "n_zero",
+        F.round(F.col("total_bits").cast("double") / F.col("n").cast("double"), 6).alias(
+            "bits_per_sample_r"
+        ),
+        F.round(
+            F.col("total_bits").cast("double") / (64.0 * F.col("n").cast("double")), 6
+        ).alias("compression_ratio_r"),
+    )
+
+
+TS_DELTA_COMPRESSION_ESTIMATE_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+  FROM events
+),
+d1 AS (
+  SELECT user_id, event_type, us, event_id,
+         us - lag(us, 1) OVER w AS d1
+  FROM seq
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY us, event_id)
+),
+dod AS (
+  SELECT event_type, d1 - lag(d1, 1) OVER w AS dod
+  FROM d1
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY us, event_id)
+),
+coded AS (
+  SELECT event_type,
+         CASE WHEN dod = 0 THEN 1
+              WHEN dod BETWEEN -63 AND 64 THEN 9
+              WHEN dod BETWEEN -255 AND 256 THEN 12
+              WHEN dod BETWEEN -2047 AND 2048 THEN 16
+              ELSE 36 END AS bits,
+         (dod = 0)::bigint AS z
+  FROM dod WHERE dod IS NOT NULL
+)
+SELECT event_type, count(*)::bigint AS n, sum(z)::bigint AS n_zero,
+       round(sum(bits)::double / count(*)::double, 6) AS bits_per_sample_r,
+       round(sum(bits)::double / (64.0 * count(*)::double), 6) AS compression_ratio_r
+FROM coded GROUP BY event_type
+"""
