@@ -4966,3 +4966,84 @@ SELECT c_nationkey, count(*)::bigint AS n_groups,
        round(max(t_r), 6) AS max_t_r
 FROM per_group GROUP BY c_nationkey
 """
+
+
+def graph_feature_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style feature propagation (2 layers, mean aggregator) on
+    the customer-supplier purchase graph — the GNN preprocessing
+    primitive: h0 = node degree, and each layer averages the node's own
+    state with the integer MEAN of its neighbors' states
+    (h' = (h + sum(h_nbr) div deg) div 2, all bigint floor divisions, so
+    the embedding replays bit-for-bit; the float analog would be
+    rows-only). Two rounds of one equi-join + one aggregate each over a
+    checkpointed edge list; output the top-20 nodes by propagated state
+    via TakeOrderedAndProject. The smoothed state is the homophily
+    signal ('am I connected to high-degree hubs?') a downstream model
+    consumes as a feature."""
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("a"),
+            (-F.col("l_suppkey") - 1).alias("b"),
+        )
+        .distinct()
+    )
+    edges = base.unionByName(
+        base.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    deg = edges.groupBy("a").agg(F.count("*").alias("deg"))
+    h = deg.select(F.col("a").alias("node"), F.col("deg").alias("h"))
+    h0 = h
+    for _ in range(2):
+        nbr = (
+            edges.join(h, F.col("b") == F.col("node"))
+            .groupBy("a")
+            .agg(F.sum("h").alias("s"))
+        )
+        h = (
+            deg.join(nbr, "a")
+            .join(h.select(F.col("node"), F.col("h").alias("own")), F.col("a") == F.col("node"))
+            .select(
+                F.col("a").alias("node"),
+                F.expr("(own + (s div deg)) div 2").alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = (
+        h.join(h0.select(F.col("node"), F.col("h").alias("h0")), "node")
+        .orderBy(F.col("h").desc(), F.col("node").asc())
+        .limit(20)
+    )
+    return out.select("node", "h0", F.col("h").alias("h2"))
+
+
+GRAPH_FEATURE_PROPAGATION_SQL = """
+WITH base AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS a, (-l.l_suppkey - 1) AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS MATERIALIZED (
+  SELECT a, b FROM base UNION ALL SELECT b, a FROM base
+),
+deg AS MATERIALIZED (SELECT a, count(*)::bigint AS deg FROM edges GROUP BY a),
+h0 AS MATERIALIZED (SELECT a AS node, deg AS h FROM deg),
+n1 AS MATERIALIZED (
+  SELECT e.a, sum(h0.h)::bigint AS s FROM edges e JOIN h0 ON e.b = h0.node GROUP BY e.a
+),
+h1 AS MATERIALIZED (
+  SELECT d.a AS node, ((o.h + (n1.s // d.deg)) // 2)::bigint AS h
+  FROM deg d JOIN n1 ON d.a = n1.a JOIN h0 o ON d.a = o.node
+),
+n2 AS MATERIALIZED (
+  SELECT e.a, sum(h1.h)::bigint AS s FROM edges e JOIN h1 ON e.b = h1.node GROUP BY e.a
+),
+h2 AS MATERIALIZED (
+  SELECT d.a AS node, ((o.h + (n2.s // d.deg)) // 2)::bigint AS h
+  FROM deg d JOIN n2 ON d.a = n2.a JOIN h1 o ON d.a = o.node
+)
+SELECT h2.node, h0.h AS h0, h2.h AS h2
+FROM h2 JOIN h0 ON h2.node = h0.node
+ORDER BY h2.h DESC, h2.node ASC LIMIT 20
+"""
