@@ -7261,3 +7261,96 @@ SELECT event_type, count(*)::bigint AS n, sum(z)::bigint AS n_zero,
        round(sum(bits)::double / (64.0 * count(*)::double), 6) AS compression_ratio_r
 FROM coded GROUP BY event_type
 """
+
+
+def eb_shrunk_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-user conversion rates: a
+    beta-binomial prior fitted by method of moments over the per-user
+    (purchases, events) table, then every user's rate shrinks toward the
+    prior mean as (hits + alpha) / (n + alpha + beta) — the estimator
+    that stops 1-for-1 users from outranking 90-for-100 users in any
+    downstream ranking. Moments are exact bigints; alpha/beta are one
+    closed-form double pair computed once and broadcast; per-user output
+    keeps raw and shrunk rates side by side (top-15 shrunk via
+    TakeOrderedAndProject to stay dimension-safe)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", (F.col("event_type") == "purchase").cast("long").alias("hit")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("hit").alias("h")
+    )
+    # method of moments on the per-user RATES (unweighted), with each
+    # rate QUANTIZED to integer ppm before summation — float sums across
+    # rows depend on partition/accumulation order (the cross-engine
+    # determinism rule); integer sums do not. m1 = mean rate, var = m2 -
+    # m1^2; common = m1*(1-m1)/var - 1; alpha/beta = m1-split of common.
+    quant = per_user.select(
+        F.round(F.col("h") * 1000000 / F.col("n"), 0).cast("long").alias("r_ppm")
+    )
+    mom = quant.agg(
+        F.count("*").alias("u"),
+        F.sum("r_ppm").alias("s1"),
+        F.sum(F.col("r_ppm") * F.col("r_ppm")).alias("s2"),
+    ).select(
+        (F.col("s1").cast("double") / F.col("u").cast("double") / 1e6).alias("m1"),
+        (
+            F.col("s2").cast("double") / F.col("u").cast("double") / 1e12
+            - (F.col("s1").cast("double") / F.col("u").cast("double") / 1e6)
+            * (F.col("s1").cast("double") / F.col("u").cast("double") / 1e6)
+        ).alias("v"),
+    ).select(
+        "m1",
+        "v",
+        (F.col("m1") * (1.0 - F.col("m1")) / F.col("v") - 1.0).alias("common"),
+    ).select(
+        F.round(F.col("m1") * F.col("common"), 6).alias("alpha_r"),
+        F.round((1.0 - F.col("m1")) * F.col("common"), 6).alias("beta_r"),
+    )
+    out = per_user.crossJoin(F.broadcast(mom)).select(
+        "user_id",
+        "n",
+        "h",
+        F.round(F.col("h").cast("double") / F.col("n").cast("double"), 6).alias(
+            "raw_rate_r"
+        ),
+        F.round(
+            (F.col("h").cast("double") + F.col("alpha_r"))
+            / (F.col("n").cast("double") + F.col("alpha_r") + F.col("beta_r")),
+            6,
+        ).alias("shrunk_rate_r"),
+    )
+    return out.orderBy(F.col("shrunk_rate_r").desc(), F.col("user_id").asc()).limit(15)
+
+
+EB_SHRUNK_CONVERSION_SQL = """
+WITH per_user AS (
+  SELECT user_id, count(*)::bigint AS n,
+         sum((event_type = 'purchase')::bigint)::bigint AS h
+  FROM events GROUP BY user_id
+),
+quant AS (
+  SELECT round(h * 1000000 / n, 0)::bigint AS r_ppm FROM per_user
+),
+mom0 AS (
+  SELECT count(*)::bigint AS u, sum(r_ppm)::bigint AS s1,
+         sum(r_ppm * r_ppm)::bigint AS s2
+  FROM quant
+),
+mom1 AS (
+  SELECT s1::double / u::double / 1e6 AS m1,
+         s2::double / u::double / 1e12
+         - (s1::double / u::double / 1e6) * (s1::double / u::double / 1e6) AS v
+  FROM mom0
+),
+prior AS (
+  SELECT round(m1 * (m1 * (1.0 - m1) / v - 1.0), 6) AS alpha_r,
+         round((1.0 - m1) * (m1 * (1.0 - m1) / v - 1.0), 6) AS beta_r
+  FROM mom1
+)
+SELECT p.user_id, p.n, p.h,
+       round(p.h::double / p.n::double, 6) AS raw_rate_r,
+       round((p.h::double + pr.alpha_r) / (p.n::double + pr.alpha_r + pr.beta_r), 6)
+         AS shrunk_rate_r
+FROM per_user p, prior pr
+ORDER BY shrunk_rate_r DESC, user_id ASC LIMIT 15
+"""

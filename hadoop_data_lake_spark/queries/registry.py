@@ -235,6 +235,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "t_closeness_audit": QuerySpec(TQ.t_closeness_audit, TQ.T_CLOSENESS_AUDIT_SQL, ("privacy", "t-closeness", "emd", "audit")),
     "ts_delta_compression_estimate": QuerySpec(EV.ts_delta_compression_estimate, EV.TS_DELTA_COMPRESSION_ESTIMATE_SQL, ("storage", "compression", "gorilla", "timeseries")),
     "graph_feature_propagation": QuerySpec(TQ.graph_feature_propagation, TQ.GRAPH_FEATURE_PROPAGATION_SQL, ("graph", "gnn", "feature-propagation", "integer-exact")),
+    "eb_shrunk_conversion": QuerySpec(EV.eb_shrunk_conversion, EV.EB_SHRUNK_CONVERSION_SQL, ("stats", "empirical-bayes", "shrinkage", "beta-binomial")),
     # --- rotated out of the window in round 5 — each holds a
     # CORRECTNESS_r04.json full-oracle green row -------------------------
     "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),
