@@ -5047,3 +5047,76 @@ SELECT h2.node, h0.h AS h0, h2.h AS h2
 FROM h2 JOIN h0 ON h2.node = h0.node
 ORDER BY h2.h DESC, h2.node ASC LIMIT 20
 """
+
+
+def laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly Laspeyres price index over the brand basket: base-month
+    (first month) quantities weight each brand's unit price, so the
+    index isolates PRICE movement from mix shift — the standard
+    inflation-style readout. Per-brand unit prices quantize to integer
+    centi-cents (round(sum_price * 10000 / sum_qty)) BEFORE the basket
+    products, so every numerator/denominator is an exact bigint
+    dot-product of the base basket with the month's price vector; one
+    rounded ratio per month. Two hash aggregates + a broadcast of the
+    bounded brand basket."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_trunc("month", F.col("l_shipdate").cast("timestamp")).cast("date").alias("month"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bm = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "month")
+        .agg(F.sum("price_c").alias("sp"), F.sum("qty_c").alias("sq"))
+        .withColumn("up", F.round(F.col("sp") * 10000 / F.col("sq"), 0).cast("long"))
+    )
+    base_month = bm.agg(F.min("month").alias("b0"))
+    base = (
+        bm.crossJoin(F.broadcast(base_month))
+        .where(F.col("month") == F.col("b0"))
+        .select(
+            "p_brand", F.col("sq").alias("q0"), F.col("up").alias("up0")
+        )
+    )
+    j = bm.join(F.broadcast(base), "p_brand")
+    return (
+        j.groupBy("month")
+        .agg(
+            F.count("*").alias("n_brands"),
+            F.sum(F.col("up") * F.col("q0")).alias("num"),
+            F.sum(F.col("up0") * F.col("q0")).alias("den"),
+        )
+        .select(
+            F.col("month").cast("string").alias("month"),
+            "n_brands",
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double") * 100.0, 6
+            ).alias("laspeyres_r"),
+        )
+    )
+
+
+LASPEYRES_PRICE_INDEX_SQL = """
+WITH li AS (
+  SELECT p.p_brand, date_trunc('month', l.l_shipdate::date)::date AS month,
+         round(l.l_extendedprice * 100)::bigint AS price_c,
+         round(l.l_quantity * 100)::bigint AS qty_c
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+bm AS (
+  SELECT p_brand, month, sum(price_c)::bigint AS sp, sum(qty_c)::bigint AS sq,
+         round(sum(price_c) * 10000 / sum(qty_c), 0)::bigint AS up
+  FROM li GROUP BY p_brand, month
+),
+base AS (
+  SELECT p_brand, sq AS q0, up AS up0 FROM bm
+  WHERE month = (SELECT min(month) FROM bm)
+)
+SELECT bm.month::varchar AS month, count(*)::bigint AS n_brands,
+       round(sum(bm.up * base.q0)::double
+             / sum(base.up0 * base.q0)::double * 100.0, 6) AS laspeyres_r
+FROM bm JOIN base ON bm.p_brand = base.p_brand
+GROUP BY bm.month
+"""
