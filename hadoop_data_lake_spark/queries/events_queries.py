@@ -7476,3 +7476,81 @@ SELECT variant, var_reduction_r, count(*)::bigint AS n_users,
        round(sum(adj_uc)::double / count(*)::double / 1e6, 6) AS mean_cuped_r
 FROM q GROUP BY variant, var_reduction_r
 """
+
+
+def sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential probability ratio test on the daily purchase rate —
+    'when could the experiment have stopped?': the cumulative
+    log-likelihood ratio of H1 (rate 0.25) vs H0 (rate 0.20) walks day
+    by day (each day contributes k*ln(p1/p0) + (n-k)*ln(q1/q0), the
+    per-day term QUANTIZED to integer micro-nats before the cumulative
+    sum so the walk is partition-order independent), against Wald's
+    alpha = beta = 0.05 boundaries +-ln(19). Output per day: daily
+    counts, the running LLR, and the boundary state (accept_h1 /
+    accept_h0 / continue) — the dashboard a sequential-testing platform
+    renders. The day dimension is bounded; the walk is one cumulative
+    window over the daily aggregate."""
+    from pyspark.sql import Window
+    import math
+
+    l1 = math.log(0.25 / 0.20)
+    l0 = math.log(0.75 / 0.80)
+    bound = math.log(19.0)
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            F.to_date("ts").alias("day"),
+            (F.col("event_type") == "purchase").cast("long").alias("hit"),
+        )
+        .groupBy("day")
+        .agg(F.count("*").alias("n"), F.sum("hit").alias("k"))
+    )
+    contrib = daily.withColumn(
+        "llr_un",
+        F.round(
+            (F.col("k").cast("double") * F.lit(l1)
+             + (F.col("n") - F.col("k")).cast("double") * F.lit(l0))
+            * 1e6,
+            0,
+        ).cast("long"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    walk = contrib.withColumn("cum_un", F.sum("llr_un").over(w))
+    llr = F.col("cum_un").cast("double") / 1e6
+    return walk.select(
+        F.col("day").cast("string").alias("day"),
+        "n",
+        "k",
+        F.round(llr, 6).alias("llr_r"),
+        F.when(llr >= bound, "accept_h1")
+        .when(llr <= -bound, "accept_h0")
+        .otherwise("continue")
+        .alias("state"),
+    )
+
+
+SPRT_CONVERSION_MONITOR_SQL = """
+WITH daily AS (
+  SELECT ts::date AS day, count(*)::bigint AS n,
+         sum((event_type = 'purchase')::bigint)::bigint AS k
+  FROM events GROUP BY ts::date
+),
+contrib AS (
+  SELECT day, n, k,
+         round((k::double * ln(0.25 / 0.20)
+                + (n - k)::double * ln(0.75 / 0.80)) * 1e6, 0)::bigint AS llr_un
+  FROM daily
+),
+walk AS (
+  SELECT day, n, k,
+         sum(llr_un) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cum_un
+  FROM contrib
+)
+SELECT day::varchar AS day, n, k,
+       round(cum_un::double / 1e6, 6) AS llr_r,
+       CASE WHEN cum_un::double / 1e6 >= ln(19.0) THEN 'accept_h1'
+            WHEN cum_un::double / 1e6 <= -ln(19.0) THEN 'accept_h0'
+            ELSE 'continue' END AS state
+FROM walk
+"""
