@@ -5120,3 +5120,89 @@ SELECT bm.month::varchar AS month, count(*)::bigint AS n_brands,
 FROM bm JOIN base ON bm.p_brand = base.p_brand
 GROUP BY bm.month
 """
+
+
+def croston_intermittent_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for intermittent demand, per part: demand SIZES
+    and inter-demand INTERVALS each get their own sequential EWMA
+    (alpha = 0.2, the inherently ordered recurrence plain window frames
+    cannot express — the user_value_ewma JVM fold pattern), and the
+    forecast per period is ewma(size) / ewma(interval) — the standard
+    spare-parts answer where a plain EWMA of the daily series collapses
+    toward zero on the long runs of zero-demand days. One daily
+    aggregate, one shuffle collecting each part's ordered demand
+    occurrences (state bounded by demand days per part), two identical
+    IEEE folds in both engines, one rounded ratio."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.unix_date(F.to_date(F.col("l_shipdate").cast("timestamp"))).alias("d"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+    )
+    daily = (
+        li.groupBy("l_partkey", "d")
+        .agg(F.sum("qty_c").alias("z"))
+        .where(F.col("z") > 0)
+    )
+    per_part = daily.groupBy("l_partkey").agg(
+        F.array_sort(F.collect_list(F.struct("d", "z"))).alias("occ")
+    ).select(
+        "l_partkey",
+        F.transform(F.col("occ"), lambda s: s["z"].cast("double")).alias("sizes"),
+        F.col("occ"),
+    ).select(
+        "l_partkey",
+        "sizes",
+        F.expr(
+            "transform(sequence(1, size(occ)), j -> CASE WHEN j = 1 THEN 1.0D "
+            "ELSE cast(occ[j - 1].d - occ[j - 2].d as double) END)"
+        ).alias("ivals"),
+    )
+    fold = (
+        "aggregate(slice({c}, 2, size({c}) - 1), element_at({c}, 1), "
+        "(acc, x) -> 0.2D * x + 0.8D * acc)"
+    )
+    out = per_part.select(
+        "l_partkey",
+        F.size("sizes").cast("long").alias("n_demand_days"),
+        F.expr(fold.format(c="sizes")).alias("ez"),
+        F.expr(fold.format(c="ivals")).alias("ei"),
+    )
+    return out.select(
+        "l_partkey",
+        "n_demand_days",
+        F.round(F.col("ez") / 100.0, 6).alias("ewma_size_r"),
+        F.round(F.col("ei"), 6).alias("ewma_interval_r"),
+        F.round(F.col("ez") / F.col("ei") / 100.0, 6).alias("croston_rate_r"),
+    )
+
+
+CROSTON_INTERMITTENT_FORECAST_SQL = """
+WITH daily AS (
+  SELECT l_partkey, (l_shipdate::date - DATE '1970-01-01')::bigint AS d,
+         sum(round(l_quantity * 100)::bigint)::bigint AS z
+  FROM lineitem GROUP BY l_partkey, l_shipdate::date
+  HAVING sum(round(l_quantity * 100)::bigint) > 0
+),
+per_part AS (
+  SELECT l_partkey,
+         list(z::double ORDER BY d) AS sizes,
+         list(d ORDER BY d) AS ds
+  FROM daily GROUP BY l_partkey
+),
+prepped AS (
+  SELECT l_partkey, sizes,
+         list_transform(range(1, len(ds) + 1),
+           j -> CASE WHEN j = 1 THEN 1.0
+                     ELSE (ds[j] - ds[j - 1])::double END) AS ivals
+  FROM per_part
+)
+SELECT l_partkey, len(sizes)::bigint AS n_demand_days,
+       round(list_reduce(sizes, (acc, x) -> 0.2 * x + 0.8 * acc) / 100.0, 6)
+         AS ewma_size_r,
+       round(list_reduce(ivals, (acc, x) -> 0.2 * x + 0.8 * acc), 6)
+         AS ewma_interval_r,
+       round(list_reduce(sizes, (acc, x) -> 0.2 * x + 0.8 * acc)
+             / list_reduce(ivals, (acc, x) -> 0.2 * x + 0.8 * acc) / 100.0, 6)
+         AS croston_rate_r
+FROM prepped
+"""
