@@ -7554,3 +7554,96 @@ SELECT day::varchar AS day, n, k,
             ELSE 'continue' END AS state
 FROM walk
 """
+
+
+def ecod_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECOD-style distribution-free outlier scoring (Li et al. 2022):
+    each event's score sums, over three features (value cents, hour of
+    day, day of week), the negative log of its two-sided empirical tail
+    probability min(ecdf_left, ecdf_right) — no parameters, no
+    distributional assumption, the modern default before z-scores. Every
+    feature's ECDF comes from the two-phase distributed prefix rank
+    (three prefix passes, never a global sort); per-feature terms
+    quantize to integer micro-nats before the cross-feature sum so the
+    score is partition-order independent. Top-10 outliers via
+    TakeOrderedAndProject."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from hadoop_data_lake_spark.operators.packing import token_prefix_sum
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        to_units(F.col("value")).alias("f_cents"),
+        F.hour("ts").cast("long").alias("f_hour"),
+        F.dayofweek("ts").cast("long").alias("f_dow"),
+    ).where(F.col("f_cents").isNotNull()).localCheckpoint(eager=True)
+    n = ev.count()
+
+    def tail_term(feature: str):
+        ranked = token_prefix_sum(
+            ev.select("event_id", feature).withColumn("__one", F.lit(1)),
+            [feature, "event_id"],
+            "__one",
+        )
+        left = F.col("cum").cast("double") / n
+        right = (F.lit(n) - F.col("cum") + 1).cast("double") / n
+        return ranked.select(
+            "event_id",
+            F.round(-F.log(F.least(left, right)) * 1e6, 0)
+            .cast("long")
+            .alias(f"t_{feature}"),
+        )
+
+    out = (
+        tail_term("f_cents")
+        .join(tail_term("f_hour"), "event_id")
+        .join(tail_term("f_dow"), "event_id")
+        .select(
+            "event_id",
+            (
+                (F.col("t_f_cents") + F.col("t_f_hour") + F.col("t_f_dow"))
+                .cast("double")
+                / 1e6
+            ).alias("score"),
+        )
+    )
+    return (
+        out.orderBy(F.col("score").desc(), F.col("event_id").asc())
+        .limit(10)
+        .select("event_id", F.round("score", 6).alias("ecod_score_r"))
+    )
+
+
+ECOD_OUTLIER_SCORES_SQL = """
+WITH ev AS (
+  SELECT event_id, round(value * 100)::bigint AS f_cents,
+         hour(ts)::bigint AS f_hour, dayofweek(ts)::bigint AS f_dow
+  FROM events WHERE value IS NOT NULL
+),
+tot AS (SELECT count(*)::bigint AS n FROM ev),
+t1 AS (
+  SELECT event_id,
+         round(-ln(least(rk::double / tot.n,
+                         (tot.n - rk + 1)::double / tot.n)) * 1e6, 0)::bigint AS t
+  FROM (SELECT event_id,
+               row_number() OVER (ORDER BY f_cents, event_id) AS rk FROM ev), tot
+),
+t2 AS (
+  SELECT event_id,
+         round(-ln(least(rk::double / tot.n,
+                         (tot.n - rk + 1)::double / tot.n)) * 1e6, 0)::bigint AS t
+  FROM (SELECT event_id,
+               row_number() OVER (ORDER BY f_hour, event_id) AS rk FROM ev), tot
+),
+t3 AS (
+  SELECT event_id,
+         round(-ln(least(rk::double / tot.n,
+                         (tot.n - rk + 1)::double / tot.n)) * 1e6, 0)::bigint AS t
+  FROM (SELECT event_id,
+               row_number() OVER (ORDER BY f_dow, event_id) AS rk FROM ev), tot
+)
+SELECT t1.event_id,
+       round((t1.t + t2.t + t3.t)::double / 1e6, 6) AS ecod_score_r
+FROM t1 JOIN t2 ON t1.event_id = t2.event_id
+JOIN t3 ON t1.event_id = t3.event_id
+ORDER BY (t1.t + t2.t + t3.t) DESC, t1.event_id ASC LIMIT 10
+"""
