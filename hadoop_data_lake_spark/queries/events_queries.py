@@ -7647,3 +7647,74 @@ FROM t1 JOIN t2 ON t1.event_id = t2.event_id
 JOIN t3 ON t1.event_id = t3.event_id
 ORDER BY (t1.t + t2.t + t3.t) DESC, t1.event_id ASC LIMIT 10
 """
+
+
+def circular_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular statistics of event time-of-day per type: arithmetic
+    means break on a clock (23h and 1h average to NOON), so each event
+    maps to a unit vector at angle 2*pi*seconds/86400, components
+    QUANTIZE to integer micro-units before summation (cross-engine
+    associative), and the mean direction/resultant length come from one
+    atan2/hypot pair per type — mean hour plus concentration R in [0,1]
+    (R near 0 = uniform around the clock, near 1 = sharply peaked). The
+    standard diurnal-pattern readout done right."""
+    import math
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            (F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")).cast(
+                "double"
+            )
+            * (2.0 * math.pi / 86400.0)
+        ).alias("theta"),
+    )
+    q = ev.select(
+        "event_type",
+        F.round(F.cos("theta") * 1e6, 0).cast("long").alias("c_um"),
+        F.round(F.sin("theta") * 1e6, 0).cast("long").alias("s_um"),
+    )
+    agg = q.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c_um").alias("sc"),
+        F.sum("s_um").alias("ss"),
+    )
+    cbar = F.col("sc").cast("double") / F.col("n") / 1e6
+    sbar = F.col("ss").cast("double") / F.col("n") / 1e6
+    r = F.sqrt(cbar * cbar + sbar * sbar)
+    mean_hour = (
+        (F.atan2(sbar, cbar) + 2.0 * math.pi) % (2.0 * math.pi)
+    ) * (24.0 / (2.0 * math.pi))
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(mean_hour, 6).alias("mean_hour_r"),
+        F.round(r, 6).alias("concentration_r"),
+    )
+
+
+CIRCULAR_HOUR_STATS_SQL = """
+WITH ev AS (
+  SELECT event_type,
+         (hour(ts) * 3600 + minute(ts) * 60 + floor(extract(second FROM ts)))::double
+           * (2.0 * pi() / 86400.0) AS theta
+  FROM events
+),
+q AS (
+  SELECT event_type,
+         round(cos(theta) * 1e6, 0)::bigint AS c_um,
+         round(sin(theta) * 1e6, 0)::bigint AS s_um
+  FROM ev
+),
+agg AS (
+  SELECT event_type, count(*)::bigint AS n, sum(c_um)::bigint AS sc,
+         sum(s_um)::bigint AS ss
+  FROM q GROUP BY event_type
+)
+SELECT event_type, n,
+       round(((atan2(ss::double / n / 1e6, sc::double / n / 1e6) + 2.0 * pi())
+              % (2.0 * pi())) * (24.0 / (2.0 * pi())), 6) AS mean_hour_r,
+       round(sqrt(pow(sc::double / n / 1e6, 2) + pow(ss::double / n / 1e6, 2)), 6)
+         AS concentration_r
+FROM agg
+"""

@@ -5901,3 +5901,101 @@ FROM ({HASH_COLLISION_AUDIT_SQL}) WHERE bits = 10
 
 
 CORPUS_REPORT_CARD_SQL = _corpus_report_card_sql()
+
+
+def semdedup_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified-silhouette quality audit of the SemDeDup clustering:
+    per vector a = cosine distance to its own medoid, b = distance to
+    the nearest OTHER medoid, s = (b - a) / max(a, b) — the standard
+    clustering-quality score in its centroid form (no pairwise point
+    joins, so it scales exactly like assignment). Distances derive from
+    the same rounded cosine the clustering used; per-vector s quantizes
+    to integer micro-units before the per-cluster mean so aggregation
+    order cannot move the result. Output per cluster: size and mean
+    silhouette."""
+    from hadoop_data_lake_spark.functions.vectors import cosine
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = SIM.semdedup_prune(emb, num_clusters=8, threshold=0.95).select(
+        "vec_id", "cluster_id"
+    )
+    cent = (
+        emb.withColumn("__h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__h", "vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    scored = (
+        emb.join(assigned, "vec_id")
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cluster_id",
+            "cid",
+            (1.0 - F.round(cosine(F.col("embedding"), F.col("cvec")), 6)).alias("dist"),
+        )
+    )
+    own = scored.where(F.col("cid") == F.col("cluster_id")).select(
+        "vec_id", "cluster_id", F.col("dist").alias("a")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+    other = (
+        scored.where(F.col("cid") != F.col("cluster_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("dist").alias("b"))
+    )
+    s = own.join(other, "vec_id").select(
+        "cluster_id",
+        F.round(
+            (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")) * 1e6, 0
+        )
+        .cast("long")
+        .alias("s_um"),
+    )
+    return s.groupBy("cluster_id").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.sum("s_um").cast("double") / F.count("*") / 1e6, 6).alias(
+            "mean_silhouette_r"
+        ),
+    )
+
+
+def _semdedup_silhouette_sql() -> str:
+    cos = cosine_sql("e.embedding", "c.cvec")
+    return f"""
+WITH cent AS MATERIALIZED (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  ORDER BY md5(vec_id::varchar), vec_id LIMIT 8
+),
+assign0 AS MATERIALIZED (
+  SELECT e.vec_id, c.cid,
+         round({cos}, 6) AS sim,
+         1.0 - round({cos}, 6) AS dist
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS MATERIALIZED (
+  SELECT vec_id, cid AS cluster_id, dist AS a FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cid ASC) AS rn
+    FROM assign0
+  ) WHERE rn = 1
+),
+other AS (
+  SELECT s.vec_id, min(s.dist) AS b
+  FROM assign0 s JOIN assigned a ON s.vec_id = a.vec_id
+  WHERE s.cid <> a.cluster_id GROUP BY s.vec_id
+),
+scores AS (
+  SELECT a.cluster_id,
+         round((o.b - a.a) / greatest(a.a, o.b) * 1e6, 0)::bigint AS s_um
+  FROM assigned a JOIN other o ON a.vec_id = o.vec_id
+)
+SELECT cluster_id, count(*)::bigint AS n_vectors,
+       round(sum(s_um)::double / count(*)::double / 1e6, 6) AS mean_silhouette_r
+FROM scores GROUP BY cluster_id
+"""
+
+
+SEMDEDUP_SILHOUETTE_SQL = _semdedup_silhouette_sql()
