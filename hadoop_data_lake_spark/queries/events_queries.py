@@ -7718,3 +7718,86 @@ SELECT event_type, n,
          AS concentration_r
 FROM agg
 """
+
+
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily revenue and daily active users — the
+    rank correlation that stays exact under ties (tau-b's tie
+    corrections) and outliers, completing the association family next to
+    the OLS/Theil-Sen slopes and the ACF. All concordance/discordance/tie
+    counts are integers over the bounded day-pair lattice (the day
+    dimension is ~10^3-10^4 even at 100 TB, so the pair join is a
+    dimension-bounded self-join, never a fact-table quadratic); tau is
+    one closed-form rounded expression."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            F.to_date("ts").alias("day"),
+            to_units(F.col("value")).alias("cents"),
+            "user_id",
+        )
+        .groupBy("day")
+        .agg(
+            F.sum(F.coalesce(F.col("cents"), F.lit(0))).alias("rev"),
+            F.count_distinct("user_id").alias("dau"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = daily.select(
+        F.col("day").alias("d1"), F.col("rev").alias("r1"), F.col("dau").alias("u1")
+    )
+    b = daily.select(
+        F.col("day").alias("d2"), F.col("rev").alias("r2"), F.col("dau").alias("u2")
+    )
+    pairs = a.join(b, F.col("d1") < F.col("d2"))
+    sgn = (
+        F.signum((F.col("r2") - F.col("r1")).cast("double"))
+        * F.signum((F.col("u2") - F.col("u1")).cast("double"))
+    ).cast("long")
+    agg = pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(sgn > 0, 1).otherwise(0)).alias("conc"),
+        F.sum(F.when(sgn < 0, 1).otherwise(0)).alias("disc"),
+        F.sum((F.col("r1") == F.col("r2")).cast("long")).alias("tie_r"),
+        F.sum((F.col("u1") == F.col("u2")).cast("long")).alias("tie_u"),
+    )
+    denom = F.sqrt(
+        (F.col("n_pairs") - F.col("tie_r")).cast("double")
+        * (F.col("n_pairs") - F.col("tie_u")).cast("double")
+    )
+    return agg.select(
+        "n_pairs",
+        "conc",
+        "disc",
+        F.round(
+            (F.col("conc") - F.col("disc")).cast("double") / denom, 6
+        ).alias("tau_b_r"),
+    )
+
+
+KENDALL_TAU_DAILY_SQL = """
+WITH daily AS (
+  SELECT ts::date AS day, sum(coalesce(round(value * 100)::bigint, 0))::bigint AS rev,
+         count(DISTINCT user_id)::bigint AS dau
+  FROM events GROUP BY ts::date
+),
+pairs AS (
+  SELECT a.rev AS r1, a.dau AS u1, b.rev AS r2, b.dau AS u2
+  FROM daily a JOIN daily b ON a.day < b.day
+),
+agg AS (
+  SELECT count(*)::bigint AS n_pairs,
+         sum(CASE WHEN sign(r2 - r1) * sign(u2 - u1) > 0 THEN 1 ELSE 0 END)::bigint AS conc,
+         sum(CASE WHEN sign(r2 - r1) * sign(u2 - u1) < 0 THEN 1 ELSE 0 END)::bigint AS disc,
+         sum((r1 = r2)::int)::bigint AS tie_r,
+         sum((u1 = u2)::int)::bigint AS tie_u
+  FROM pairs
+)
+SELECT n_pairs, conc, disc,
+       round((conc - disc)::double
+             / sqrt((n_pairs - tie_r)::double * (n_pairs - tie_u)::double), 6)
+         AS tau_b_r
+FROM agg
+"""
