@@ -7801,3 +7801,108 @@ SELECT n_pairs, conc, disc,
          AS tau_b_r
 FROM agg
 """
+
+
+def haar_energy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet energy decomposition of the first 16 days of daily
+    revenue: three transform levels of pairwise sums/approximations and
+    differences/details, ALL integer (unnormalized Haar, the 1/sqrt(2)
+    factors deferred to the published shares), so every coefficient
+    replays bit-for-bit; per level the detail-energy share says where
+    the series' variation lives (level 1 = day-to-day noise, level 3 =
+    week-scale structure) — the multi-resolution readout STL's fixed
+    seasonal period cannot give. The day frame is bounded; each level is
+    one aggregate over it."""
+    from pyspark.sql import Window
+
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            F.to_date("ts").alias("day"),
+            F.coalesce(
+                F.round(F.col("value") * 100).cast("long"), F.lit(0)
+            ).alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("y"))
+    )
+    w = Window.orderBy("day")
+    base = (
+        daily.withColumn("idx", F.row_number().over(w) - 1)
+        .where(F.col("idx") < 16)
+        .select("idx", "y")
+    )
+    levels = []
+    cur = base
+    for lvl in (1, 2, 3):
+        paired = cur.groupBy(F.expr("idx div 2").alias("idx")).agg(
+            F.sum(
+                F.when(F.col("idx") % 2 == 0, F.col("y")).otherwise(-F.col("y"))
+            ).alias("d"),
+            F.sum("y").alias("a"),
+        )
+        # unnormalized detail energy, rescaled by the level's 2^lvl Haar
+        # normalization so shares compare across levels
+        energy = paired.agg(
+            F.lit(lvl).alias("level"),
+            F.count("*").alias("n_coeffs"),
+            (F.sum(F.col("d") * F.col("d")) / F.lit(2 ** lvl)).cast("long").alias(
+                "detail_energy"
+            ),
+        )
+        levels.append(energy)
+        cur = paired.select("idx", F.col("a").alias("y"))
+    out = levels[0]
+    for e in levels[1:]:
+        out = out.unionByName(e)
+    tot = out.agg(F.sum("detail_energy").alias("te"))
+    return out.crossJoin(F.broadcast(tot)).select(
+        "level",
+        "n_coeffs",
+        "detail_energy",
+        F.round(
+            F.col("detail_energy").cast("double") / F.col("te").cast("double"), 6
+        ).alias("energy_share_r"),
+    )
+
+
+HAAR_ENERGY_DAILY_SQL = """
+WITH daily AS (
+  SELECT ts::date AS day, sum(coalesce(round(value * 100)::bigint, 0))::bigint AS y
+  FROM events GROUP BY ts::date
+),
+base AS (
+  SELECT row_number() OVER (ORDER BY day) - 1 AS idx, y FROM daily
+  QUALIFY idx < 16
+),
+l1 AS (
+  SELECT idx // 2 AS idx,
+         sum(CASE WHEN idx % 2 = 0 THEN y ELSE -y END)::bigint AS d,
+         sum(y)::bigint AS a
+  FROM base GROUP BY idx // 2
+),
+l2 AS (
+  SELECT idx // 2 AS idx,
+         sum(CASE WHEN idx % 2 = 0 THEN a ELSE -a END)::bigint AS d,
+         sum(a)::bigint AS a
+  FROM l1 GROUP BY idx // 2
+),
+l3 AS (
+  SELECT idx // 2 AS idx,
+         sum(CASE WHEN idx % 2 = 0 THEN a ELSE -a END)::bigint AS d,
+         sum(a)::bigint AS a
+  FROM l2 GROUP BY idx // 2
+),
+lev AS (
+  SELECT 1 AS level, count(*)::bigint AS n_coeffs,
+         (sum(d * d) // 2)::bigint AS detail_energy FROM l1
+  UNION ALL
+  SELECT 2, count(*)::bigint, (sum(d * d) // 4)::bigint FROM l2
+  UNION ALL
+  SELECT 3, count(*)::bigint, (sum(d * d) // 8)::bigint FROM l3
+),
+tot AS (SELECT sum(detail_energy)::bigint AS te FROM lev)
+SELECT lev.level, lev.n_coeffs, lev.detail_energy,
+       round(lev.detail_energy::double / tot.te::double, 6) AS energy_share_r
+FROM lev, tot
+"""
