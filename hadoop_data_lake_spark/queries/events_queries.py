@@ -7906,3 +7906,111 @@ SELECT lev.level, lev.n_coeffs, lev.detail_energy,
        round(lev.detail_energy::double / tot.te::double, 6) AS energy_share_r
 FROM lev, tot
 """
+
+
+def jackknife_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-day jackknife standard error of mean daily revenue —
+    the resampling-free variance estimate (bootstrap_mean_ci's exact
+    sibling): every leave-one-out mean is the closed form
+    (S - y_i) / (n - 1) over the bounded day aggregate, so the jackknife
+    runs as one prefix-free aggregate pass with zero randomness. The
+    pseudo-value spread folds from integer cents; SE is one rounded
+    sqrt."""
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            F.to_date("ts").alias("day"),
+            F.coalesce(F.round(F.col("value") * 100).cast("long"), F.lit(0)).alias(
+                "cents"
+            ),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("y"))
+    )
+    tot = daily.agg(F.count("*").alias("n"), F.sum("y").alias("s"))
+    j = daily.crossJoin(F.broadcast(tot))
+    # theta_i = (s - y_i)/(n - 1); jackknife var = (n-1)/n * sum (theta_i - theta_bar)^2
+    # with theta_bar = s/n exactly when theta_i is linear in y_i. Keep the
+    # quadratic in integers: sum (theta_i - s/n)^2
+    #   = sum ((s - y_i)/(n-1) - s/n)^2 = sum ((s - n*y_i)/(n*(n-1)))^2.
+    dev = (F.col("s") - F.col("n") * F.col("y")).cast("double")
+    var = F.sum(dev * dev)  # exact: dev is an integer-valued double per day
+    out = j.groupBy("n", "s").agg(var.alias("ssq"))
+    n = F.col("n").cast("double")
+    jk_var = (n - 1.0) / n * F.col("ssq") / (n * n * (n - 1.0) * (n - 1.0))
+    return out.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("s").cast("double") / n / 100.0, 6).alias("mean_daily_r"),
+        F.round(F.sqrt(jk_var) / 100.0, 6).alias("jackknife_se_r"),
+    )
+
+
+JACKKNIFE_DAILY_MEAN_SQL = """
+WITH daily AS (
+  SELECT ts::date AS day, sum(coalesce(round(value * 100)::bigint, 0))::bigint AS y
+  FROM events GROUP BY ts::date
+),
+tot AS (SELECT count(*)::bigint AS n, sum(y)::bigint AS s FROM daily),
+dev AS (
+  SELECT tot.n, tot.s, sum(((tot.s - tot.n * d.y)::double)
+                           * ((tot.s - tot.n * d.y)::double)) AS ssq
+  FROM daily d, tot GROUP BY tot.n, tot.s
+)
+SELECT n AS n_days,
+       round(s::double / n::double / 100.0, 6) AS mean_daily_r,
+       round(sqrt((n::double - 1.0) / n::double * ssq
+                  / (n::double * n::double * (n::double - 1.0) * (n::double - 1.0)))
+             / 100.0, 6) AS jackknife_se_r
+FROM dev
+"""
+
+
+def chapman_population_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the active-user population:
+    the first and second halves of the observation window are the two
+    'capture' samples, users seen in both are the marks, and the
+    bias-corrected Chapman estimator (n1+1)(n2+1)/(m+1) - 1 estimates
+    how many users exist INCLUDING the never-observed — the ecology
+    trick a growth team uses to size the true audience behind partial
+    telemetry. Three distinct-count aggregates, one closed-form rounded
+    estimate plus its standard error."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    cut = ev.agg(F.date_add(F.min("day"), 15).alias("cut"))
+    tagged = ev.crossJoin(F.broadcast(cut))
+    s1 = tagged.where(F.col("day") < F.col("cut")).select("user_id").distinct()
+    s2 = tagged.where(F.col("day") >= F.col("cut")).select("user_id").distinct()
+    n1 = s1.count()
+    n2 = s2.count()
+    m = s1.join(s2, "user_id").count()
+    est = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    var = (
+        (n1 + 1.0)
+        * (n2 + 1.0)
+        * (n1 - m)
+        * (n2 - m)
+        / ((m + 1.0) * (m + 1.0) * (m + 2.0))
+    )
+    rows = [(n1, n2, m, round(est, 6), round(var ** 0.5, 6))]
+    return spark.createDataFrame(
+        rows, "n_first BIGINT, n_second BIGINT, n_both BIGINT, chapman_r DOUBLE, se_r DOUBLE"
+    )
+
+
+CHAPMAN_POPULATION_ESTIMATE_SQL = """
+WITH ev AS (SELECT user_id, ts::date AS day FROM events),
+cut AS (SELECT min(day) + 15 AS cut FROM ev),
+s1 AS (SELECT DISTINCT user_id FROM ev, cut WHERE day < cut),
+s2 AS (SELECT DISTINCT user_id FROM ev, cut WHERE day >= cut),
+counts AS (
+  SELECT (SELECT count(*) FROM s1)::bigint AS n1,
+         (SELECT count(*) FROM s2)::bigint AS n2,
+         (SELECT count(*) FROM s1 JOIN s2 USING (user_id))::bigint AS m
+)
+SELECT n1 AS n_first, n2 AS n_second, m AS n_both,
+       round((n1 + 1) * (n2 + 1) / (m + 1) - 1, 6) AS chapman_r,
+       round(sqrt((n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m)
+                  / ((m + 1.0) * (m + 1.0) * (m + 2.0))), 6) AS se_r
+FROM counts
+"""
