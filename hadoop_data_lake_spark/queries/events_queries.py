@@ -8014,3 +8014,87 @@ SELECT n1 AS n_first, n2 AS n_second, m AS n_both,
                   / ((m + 1.0) * (m + 1.0) * (m + 2.0))), 6) AS se_r
 FROM counts
 """
+
+
+def selectivity_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality-estimation audit: for value-threshold predicates at
+    the 50/75/90/99th percentile cut points, compare the UNIFORM-
+    HISTOGRAM selectivity estimate (the min/max interpolation a planner
+    falls back to without statistics: est = (max - t) / (max - min))
+    against the ACTUAL row fraction — the per-predicate error table that
+    says where ANALYZE statistics matter most (heavy right tails make
+    the uniform guess overestimate high-threshold selectivity by
+    orders). Thresholds come from the exact distributed-quantile rank
+    join; estimates and actuals are integer-count ratios rounded once."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from hadoop_data_lake_spark.operators.packing import token_prefix_sum
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", to_units(F.col("value")).alias("cents")
+    ).where(F.col("cents").isNotNull()).localCheckpoint(eager=True)
+    n = ev.count()
+    targets = spark.createDataFrame(
+        [(p, -(-p * n // 100)) for p in (50, 75, 90, 99)],
+        "pct INT, target BIGINT",
+    )
+    ranked = token_prefix_sum(
+        ev.withColumn("__one", F.lit(1)), ["cents", "event_id"], "__one"
+    )
+    cuts = (
+        ranked.join(F.broadcast(targets), ranked["cum"] == targets["target"])
+        .groupBy("pct")
+        .agg(F.min("cents").alias("t"))
+    )
+    bounds = ev.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    actual = (
+        ev.crossJoin(F.broadcast(cuts))
+        .where(F.col("cents") > F.col("t"))
+        .groupBy("pct", "t")
+        .agg(F.count("*").alias("n_match"))
+    )
+    est = F.col("hi").cast("double") - F.col("t").cast("double")
+    rng = F.col("hi").cast("double") - F.col("lo").cast("double")
+    return (
+        actual.crossJoin(F.broadcast(bounds))
+        .select(
+            "pct",
+            F.col("t").alias("threshold_cents"),
+            "n_match",
+            F.round(F.col("n_match").cast("double") / n, 6).alias("actual_sel_r"),
+            F.round(est / rng, 6).alias("uniform_est_r"),
+            F.round(est / rng - F.col("n_match").cast("double") / n, 6).alias(
+                "est_error_r"
+            ),
+        )
+    )
+
+
+SELECTIVITY_ESTIMATE_AUDIT_SQL = """
+WITH ev AS (
+  SELECT event_id, round(value * 100)::bigint AS cents FROM events
+  WHERE value IS NOT NULL
+),
+tot AS (SELECT count(*)::bigint AS n FROM ev),
+ranked AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, event_id) AS rk FROM ev
+),
+targets AS (
+  SELECT p.pct, ceil(p.pct * tot.n / 100.0)::bigint AS target
+  FROM (VALUES (50), (75), (90), (99)) p(pct), tot
+),
+cuts AS (
+  SELECT t.pct, min(r.cents)::bigint AS t
+  FROM ranked r JOIN targets t ON r.rk = t.target GROUP BY t.pct
+),
+bounds AS (SELECT min(cents)::bigint AS lo, max(cents)::bigint AS hi FROM ev),
+actual AS (
+  SELECT c.pct, c.t, count(*)::bigint AS n_match
+  FROM ev, cuts c WHERE ev.cents > c.t GROUP BY c.pct, c.t
+)
+SELECT a.pct, a.t AS threshold_cents, a.n_match,
+       round(a.n_match::double / tot.n::double, 6) AS actual_sel_r,
+       round((b.hi - a.t)::double / (b.hi - b.lo)::double, 6) AS uniform_est_r,
+       round((b.hi - a.t)::double / (b.hi - b.lo)::double
+             - a.n_match::double / tot.n::double, 6) AS est_error_r
+FROM actual a, bounds b, tot
+"""
