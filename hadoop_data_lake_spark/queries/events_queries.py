@@ -8098,3 +8098,121 @@ SELECT a.pct, a.t AS threshold_cents, a.n_match,
              - a.n_match::double / tot.n::double, 6) AS est_error_r
 FROM actual a, bounds b, tot
 """
+
+
+def covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization-check covariate balance: standardized mean
+    differences between the hash variants over pre-period user
+    covariates (event count, active days, total cents) — the step-zero
+    audit every experiment readout should gate on (|SMD| > 0.1 means the
+    'randomization' is confounded and ab_test_welch / cuped numbers
+    cannot be trusted). Per-covariate moments are exact bigints per
+    variant; SMD = (m1 - m0) / sqrt((v1 + v0) / 2) is one rounded
+    expression per covariate row."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.coalesce(F.round(F.col("value") * 100).cast("long"), F.lit(0)).alias(
+            "cents"
+        ),
+    )
+    cut = ev.agg(F.date_add(F.min("day"), 15).alias("cut"))
+    from hadoop_data_lake_spark.functions.hashing import md5_60bit
+
+    per_user = (
+        ev.crossJoin(F.broadcast(cut))
+        .where(F.col("day") < F.col("cut"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("f_events"),
+            F.count_distinct("day").alias("f_days"),
+            F.sum("cents").alias("f_cents"),
+        )
+        .withColumn("v", md5_60bit(F.col("user_id").cast("string")) % 2)
+    )
+    melted = per_user.select(
+        "v",
+        F.expr(
+            "stack(3, 'events', f_events, 'active_days', f_days, "
+            "'total_cents', f_cents) as (covariate, x)"
+        ),
+    )
+    mom = melted.groupBy("covariate", "v").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ssq"),
+    )
+    a = mom.where(F.col("v") == 0).select(
+        "covariate", F.col("n").alias("n0"), F.col("s").alias("s0"),
+        F.col("ssq").alias("q0"),
+    )
+    b = mom.where(F.col("v") == 1).select(
+        "covariate", F.col("n").alias("n1"), F.col("s").alias("s1"),
+        F.col("ssq").alias("q1"),
+    )
+    j = a.join(b, "covariate")
+    m0 = F.col("s0").cast("double") / F.col("n0").cast("double")
+    m1 = F.col("s1").cast("double") / F.col("n1").cast("double")
+    v0 = (
+        F.col("q0").cast("double") - F.col("s0").cast("double") * m0
+    ) / (F.col("n0").cast("double") - 1.0)
+    v1 = (
+        F.col("q1").cast("double") - F.col("s1").cast("double") * m1
+    ) / (F.col("n1").cast("double") - 1.0)
+    smd = (m1 - m0) / F.sqrt((v0 + v1) / 2.0)
+    return j.select(
+        "covariate",
+        "n0",
+        "n1",
+        F.round(m0, 6).alias("mean_v0_r"),
+        F.round(m1, 6).alias("mean_v1_r"),
+        F.round(smd, 6).alias("smd_r"),
+        (F.abs(smd) > 0.1).alias("imbalanced"),
+    )
+
+
+COVARIATE_BALANCE_SMD_SQL = """
+WITH ev AS (
+  SELECT user_id, ts::date AS day,
+         coalesce(round(value * 100)::bigint, 0) AS cents
+  FROM events
+),
+cut AS (SELECT min(day) + 15 AS cut FROM ev),
+per_user AS (
+  SELECT user_id, count(*)::bigint AS f_events,
+         count(DISTINCT day)::bigint AS f_days,
+         sum(cents)::bigint AS f_cents,
+         ('0x' || substr(md5(user_id::varchar), 1, 15))::ubigint % 2 AS v
+  FROM ev, cut WHERE day < cut GROUP BY user_id
+),
+melted AS (
+  SELECT v, 'events' AS covariate, f_events AS x FROM per_user
+  UNION ALL SELECT v, 'active_days', f_days FROM per_user
+  UNION ALL SELECT v, 'total_cents', f_cents FROM per_user
+),
+mom AS (
+  SELECT covariate, v, count(*)::bigint AS n, sum(x)::bigint AS s,
+         sum(x * x)::bigint AS ssq
+  FROM melted GROUP BY covariate, v
+),
+j AS (
+  SELECT a.covariate, a.n AS n0, a.s AS s0, a.ssq AS q0,
+         b.n AS n1, b.s AS s1, b.ssq AS q1
+  FROM (SELECT * FROM mom WHERE v = 0) a
+  JOIN (SELECT * FROM mom WHERE v = 1) b USING (covariate)
+)
+SELECT covariate, n0, n1,
+       round(s0::double / n0::double, 6) AS mean_v0_r,
+       round(s1::double / n1::double, 6) AS mean_v1_r,
+       round((s1::double / n1::double - s0::double / n0::double)
+             / sqrt(((q0::double - s0::double * s0::double / n0::double)
+                       / (n0::double - 1.0)
+                     + (q1::double - s1::double * s1::double / n1::double)
+                       / (n1::double - 1.0)) / 2.0), 6) AS smd_r,
+       abs((s1::double / n1::double - s0::double / n0::double)
+           / sqrt(((q0::double - s0::double * s0::double / n0::double)
+                     / (n0::double - 1.0)
+                   + (q1::double - s1::double * s1::double / n1::double)
+                     / (n1::double - 1.0)) / 2.0)) > 0.1 AS imbalanced
+FROM j
+"""

@@ -248,6 +248,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "jackknife_daily_mean": QuerySpec(EV.jackknife_daily_mean, EV.JACKKNIFE_DAILY_MEAN_SQL, ("stats", "jackknife", "resampling-free", "exact")),
     "chapman_population_estimate": QuerySpec(EV.chapman_population_estimate, EV.CHAPMAN_POPULATION_ESTIMATE_SQL, ("stats", "capture-recapture", "chapman", "population")),
     "selectivity_estimate_audit": QuerySpec(EV.selectivity_estimate_audit, EV.SELECTIVITY_ESTIMATE_AUDIT_SQL, ("planner", "cardinality", "selectivity", "diagnostics")),
+    "covariate_balance_smd": QuerySpec(EV.covariate_balance_smd, EV.COVARIATE_BALANCE_SMD_SQL, ("experiment", "balance", "smd", "randomization-check")),
     # --- rotated out of the window in round 5 — each holds a
     # CORRECTNESS_r04.json full-oracle green row -------------------------
     "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),
