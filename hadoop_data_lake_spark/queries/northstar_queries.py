@@ -5999,3 +5999,85 @@ FROM scores GROUP BY cluster_id
 
 
 SEMDEDUP_SILHOUETTE_SQL = _semdedup_silhouette_sql()
+
+
+def source_mmd_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-mean-discrepancy drift test between each source and the
+    rest of the corpus, in hashed-feature space: every document becomes
+    a 64-dimensional hashed token-count vector (the hashing-trick
+    embedding of hashed_embedding_knn), and MMD^2 with the linear kernel
+    is just |mean_vec(source) - mean_vec(rest)|^2 — computable entirely
+    from per-dimension INTEGER count sums, no pairwise kernel matrix, no
+    sampling. Per source: document counts and the rounded MMD against
+    its complement, ranked so the most distribution-shifted sources
+    surface first (the source-level drift gate a mixing pipeline runs
+    before re-weighting). One explode pass, one (source, dim) aggregate,
+    a 64-row-per-source reduction."""
+    from hadoop_data_lake_spark.functions.hashing import md5_60bit
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    n_per_src = docs.groupBy("source").agg(F.count_distinct("doc_id").alias("nd"))
+    tot_docs = docs.select(F.count_distinct("doc_id").alias("ntot"))
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).select("source", (md5_60bit(F.col("token")) % 64).alias("dim"))
+    per_src_dim = toks.groupBy("source", "dim").agg(F.count("*").alias("c"))
+    per_dim = per_src_dim.groupBy("dim").agg(F.sum("c").alias("ct"))
+    j = (
+        per_src_dim.join(F.broadcast(per_dim), "dim")
+        .join(F.broadcast(n_per_src), "source")
+        .crossJoin(F.broadcast(tot_docs))
+    )
+    mean_src = F.col("c").cast("double") / F.col("nd").cast("double")
+    mean_rest = (F.col("ct") - F.col("c")).cast("double") / (
+        F.col("ntot") - F.col("nd")
+    ).cast("double")
+    diff2_um = F.round((mean_src - mean_rest) * (mean_src - mean_rest) * 1e6, 0).cast(
+        "long"
+    )
+    return (
+        j.select("source", "nd", diff2_um.alias("d_um"))
+        .groupBy("source", "nd")
+        .agg(
+            F.round(F.sum("d_um").cast("double") / 1e6, 6).alias("mmd2_r")
+        )
+        .select(F.col("source"), F.col("nd").alias("n_docs"), "mmd2_r")
+    )
+
+
+def _source_mmd_sql() -> str:
+    from hadoop_data_lake_spark.functions.hashing import md5_60bit_sql
+
+    h = md5_60bit_sql("u.token")
+    return f"""
+WITH n_per_src AS (
+  SELECT source, count(DISTINCT doc_id)::bigint AS nd FROM documents GROUP BY source
+),
+tot AS (SELECT count(DISTINCT doc_id)::bigint AS ntot FROM documents),
+toks AS (
+  SELECT d.source, {h} % 64 AS dim
+  FROM documents d, unnest(string_split(d.text, ' ')) AS u(token)
+),
+per_src_dim AS (
+  SELECT source, dim, count(*)::bigint AS c FROM toks GROUP BY source, dim
+),
+per_dim AS (SELECT dim, sum(c)::bigint AS ct FROM per_src_dim GROUP BY dim),
+j AS (
+  SELECT s.source, n.nd, t.ntot,
+         round((s.c::double / n.nd::double
+                - (p.ct - s.c)::double / (t.ntot - n.nd)::double)
+               * (s.c::double / n.nd::double
+                  - (p.ct - s.c)::double / (t.ntot - n.nd)::double) * 1e6, 0)::bigint
+           AS d_um
+  FROM per_src_dim s
+  JOIN per_dim p ON s.dim = p.dim
+  JOIN n_per_src n ON s.source = n.source
+  CROSS JOIN tot t
+)
+SELECT source, min(nd)::bigint AS n_docs,
+       round(sum(d_um)::double / 1e6, 6) AS mmd2_r
+FROM j GROUP BY source
+"""
+
+
+SOURCE_MMD_HASHED_SQL = _source_mmd_sql()
