@@ -8216,3 +8216,92 @@ SELECT covariate, n0, n1,
                      / (n1::double - 1.0)) / 2.0)) > 0.1 AS imbalanced
 FROM j
 """
+
+
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard for time-to-first-purchase — the
+    estimator survival analysts read next to Kaplan-Meier (it estimates
+    the HAZARD integral directly, is defined even where KM hits zero,
+    and exp(-H) is the Fleming-Harrington survival variant). Same
+    censoring-correct risk-set machinery as kaplan_meier_churn; the
+    hazard increments d_i/n_i accumulate over the WINDOW-ORDERED
+    distinct durations (sequential, deterministic in both engines), one
+    rounded H and exp(-H) per event time."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.to_date("ts").alias("day")
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min("day").alias("first_day"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("day"))).alias(
+            "first_purchase"
+        ),
+    )
+    horizon = ev.agg(F.max("day").alias("max_day"))
+    users = span.crossJoin(F.broadcast(horizon)).select(
+        F.datediff(
+            F.coalesce("first_purchase", "max_day"), F.col("first_day")
+        ).alias("t"),
+        F.col("first_purchase").isNotNull().cast("int").alias("converted"),
+    )
+    per_t = users.groupBy("t").agg(
+        F.count("*").alias("ending_here"), F.sum("converted").alias("d")
+    )
+    w_suffix = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = Window.orderBy(F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    curve = (
+        per_t.withColumn("n_risk", F.sum("ending_here").over(w_suffix))
+        .where(F.col("d") > 0)
+        .withColumn(
+            "hterm", F.col("d").cast("double") / F.col("n_risk").cast("double")
+        )
+        .withColumn("h_cum", F.sum("hterm").over(cum))
+    )
+    return curve.select(
+        "t",
+        "n_risk",
+        F.col("d").alias("d_converted"),
+        F.round(F.col("h_cum"), 6).alias("cum_hazard_r"),
+        F.round(F.exp(-F.col("h_cum")), 6).alias("fh_surv_r"),
+    )
+
+
+NELSON_AALEN_HAZARD_SQL = """
+WITH ev AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day FROM events),
+horizon AS (SELECT max(day) AS max_day FROM ev),
+span AS (
+  SELECT user_id, min(day) AS first_day,
+         min(CASE WHEN event_type = 'purchase' THEN day END) AS first_purchase
+  FROM ev GROUP BY user_id
+),
+users AS (
+  SELECT (coalesce(first_purchase, horizon.max_day) - first_day)::bigint AS t,
+         (first_purchase IS NOT NULL)::int AS converted
+  FROM span, horizon
+),
+per_t AS (
+  SELECT t, count(*)::bigint AS ending_here, sum(converted)::bigint AS d
+  FROM users GROUP BY t
+),
+curve AS (
+  SELECT t, d,
+         sum(ending_here) OVER (ORDER BY t DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS n_risk
+  FROM per_t
+),
+hz AS (
+  SELECT t, n_risk, d,
+         sum(d::double / n_risk::double) OVER (ORDER BY t ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h_cum
+  FROM curve WHERE d > 0
+)
+SELECT t, n_risk, d AS d_converted,
+       round(h_cum, 6) AS cum_hazard_r,
+       round(exp(-h_cum), 6) AS fh_surv_r
+FROM hz
+"""

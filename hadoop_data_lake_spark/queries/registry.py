@@ -250,6 +250,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "selectivity_estimate_audit": QuerySpec(EV.selectivity_estimate_audit, EV.SELECTIVITY_ESTIMATE_AUDIT_SQL, ("planner", "cardinality", "selectivity", "diagnostics")),
     "covariate_balance_smd": QuerySpec(EV.covariate_balance_smd, EV.COVARIATE_BALANCE_SMD_SQL, ("experiment", "balance", "smd", "randomization-check")),
     "source_mmd_hashed": QuerySpec(NS.source_mmd_hashed, NS.SOURCE_MMD_HASHED_SQL, ("text", "drift", "mmd", "hashed-features")),
+    "nelson_aalen_hazard": QuerySpec(EV.nelson_aalen_hazard, EV.NELSON_AALEN_HAZARD_SQL, ("survival", "nelson-aalen", "hazard", "censoring")),
     # --- rotated out of the window in round 5 — each holds a
     # CORRECTNESS_r04.json full-oracle green row -------------------------
     "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),
