@@ -8305,3 +8305,59 @@ SELECT t, n_risk, d AS d_converted,
        round(exp(-h_cum), 6) AS fh_surv_r
 FROM hz
 """
+
+
+def missing_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planning: which calendar dates between the table's min
+    and max have NO events (the holes a partition-complete consumer
+    trips over), plus each hole's run length — the gaps-and-islands
+    read on the date spine (generated with sequence(), anti-joined to
+    observed dates, runs collapsed by the date-minus-rank idiom on the
+    bounded date dimension). Empty result = table is
+    partition-complete."""
+    from pyspark.sql import Window
+
+    days = (
+        read_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    bounds = days.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    missing = spine.join(days, "day", "left_anti")
+    w = Window.orderBy("day")
+    runs = missing.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    return (
+        runs.groupBy("grp")
+        .agg(
+            F.min("day").cast("string").alias("gap_start"),
+            F.max("day").cast("string").alias("gap_end"),
+            F.count("*").alias("n_days_missing"),
+        )
+        .drop("grp")
+    )
+
+
+MISSING_PARTITION_AUDIT_SQL = """
+WITH days AS (SELECT DISTINCT ts::date AS day FROM events),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM days),
+spine AS (
+  SELECT unnest(generate_series(bounds.lo, bounds.hi, INTERVAL 1 DAY))::date AS day
+  FROM bounds
+),
+missing AS (
+  SELECT s.day FROM spine s LEFT JOIN days d ON s.day = d.day
+  WHERE d.day IS NULL
+),
+runs AS (
+  SELECT day, day - CAST(row_number() OVER (ORDER BY day) AS INT) AS grp
+  FROM missing
+)
+SELECT min(day)::varchar AS gap_start, max(day)::varchar AS gap_end,
+       count(*)::bigint AS n_days_missing
+FROM runs GROUP BY grp
+"""
