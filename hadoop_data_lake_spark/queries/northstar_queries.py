@@ -6081,3 +6081,92 @@ FROM j GROUP BY source
 
 
 SOURCE_MMD_HASHED_SQL = _source_mmd_sql()
+
+
+def fightin_words_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monroe et al.'s 'fightin' words': which tokens most distinguish
+    source src0 from the rest of the corpus, by log-odds-ratio with an
+    informative Dirichlet prior (the corpus itself, scaled to alpha0 =
+    500 pseudo-counts) and per-token z-scoring — the method that fixes
+    both raw-PMI's rare-token inflation and chi-square's length bias.
+    Counts are integers end to end; each token's delta and variance are
+    closed-form double expressions; top-10 by |z| via
+    TakeOrderedAndProject."""
+    docs = read_table(spark, sf_dir, "documents").select("source", "text")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(
+        F.sum((F.col("source") == "src0").cast("long")).alias("a"),
+        F.count("*").alias("tot"),
+    ).withColumn("b", F.col("tot") - F.col("a"))
+    sums = counts.agg(
+        F.sum("a").alias("na"),
+        F.sum("b").alias("nb"),
+        F.sum("tot").alias("nt"),
+    )
+    j = counts.crossJoin(F.broadcast(sums))
+    alpha0 = 500.0
+    aw = alpha0 * F.col("tot").cast("double") / F.col("nt").cast("double")
+    la = F.log(
+        (F.col("a").cast("double") + aw)
+        / (F.col("na").cast("double") + alpha0 - F.col("a").cast("double") - aw)
+    )
+    lb = F.log(
+        (F.col("b").cast("double") + aw)
+        / (F.col("nb").cast("double") + alpha0 - F.col("b").cast("double") - aw)
+    )
+    delta = la - lb
+    var = 1.0 / (F.col("a").cast("double") + aw) + 1.0 / (
+        F.col("b").cast("double") + aw
+    )
+    scored = j.select(
+        "token",
+        F.col("a").alias("n_src0"),
+        F.col("b").alias("n_rest"),
+        F.round(delta, 6).alias("log_odds_r"),
+        F.round(delta / F.sqrt(var), 6).alias("z_r"),
+    )
+    return scored.orderBy(
+        F.abs(F.col("z_r")).desc(), F.col("token").asc()
+    ).limit(10)
+
+
+FIGHTIN_WORDS_TOKENS_SQL = """
+WITH toks AS (
+  SELECT source, u.token
+  FROM documents, unnest(string_split(text, ' ')) AS u(token)
+  WHERE u.token <> ''
+),
+counts AS (
+  SELECT token, sum((source = 'src0')::bigint)::bigint AS a,
+         count(*)::bigint AS tot
+  FROM toks GROUP BY token
+),
+sums AS (
+  SELECT sum(a)::bigint AS na, sum(tot - a)::bigint AS nb,
+         sum(tot)::bigint AS nt
+  FROM counts
+),
+scored AS (
+  SELECT c.token, c.a AS n_src0, (c.tot - c.a) AS n_rest,
+         round(ln((c.a::double + 500.0 * c.tot::double / s.nt::double)
+                  / (s.na::double + 500.0 - c.a::double
+                     - 500.0 * c.tot::double / s.nt::double))
+               - ln(((c.tot - c.a)::double + 500.0 * c.tot::double / s.nt::double)
+                    / (s.nb::double + 500.0 - (c.tot - c.a)::double
+                       - 500.0 * c.tot::double / s.nt::double)), 6) AS log_odds_r,
+         round((ln((c.a::double + 500.0 * c.tot::double / s.nt::double)
+                   / (s.na::double + 500.0 - c.a::double
+                      - 500.0 * c.tot::double / s.nt::double))
+                - ln(((c.tot - c.a)::double + 500.0 * c.tot::double / s.nt::double)
+                     / (s.nb::double + 500.0 - (c.tot - c.a)::double
+                        - 500.0 * c.tot::double / s.nt::double)))
+               / sqrt(1.0 / (c.a::double + 500.0 * c.tot::double / s.nt::double)
+                      + 1.0 / ((c.tot - c.a)::double
+                               + 500.0 * c.tot::double / s.nt::double)), 6) AS z_r
+  FROM counts c, sums s
+)
+SELECT token, n_src0, n_rest, log_odds_r, z_r
+FROM scored ORDER BY abs(z_r) DESC, token ASC LIMIT 10
+"""
