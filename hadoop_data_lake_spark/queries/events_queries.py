@@ -8312,10 +8312,12 @@ def missing_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and max have NO events (the holes a partition-complete consumer
     trips over), plus each hole's run length — the gaps-and-islands
     read on the date spine (generated with sequence(), anti-joined to
-    observed dates, runs collapsed by the date-minus-rank idiom on the
-    bounded date dimension). Empty result = table is
+    observed dates, runs collapsed by the date-minus-rank idiom with
+    ranks from the two-phase distributed prefix sum — the spine is
+    dimension-bounded, but the plan still never funnels it through a
+    single-task global window). Empty result = table is
     partition-complete."""
-    from pyspark.sql import Window
+    from hadoop_data_lake_spark.operators.packing import token_prefix_sum
 
     days = (
         read_table(spark, sf_dir, "events")
@@ -8327,10 +8329,9 @@ def missing_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
     )
     missing = spine.join(days, "day", "left_anti")
-    w = Window.orderBy("day")
-    runs = missing.withColumn(
-        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
-    )
+    runs = token_prefix_sum(
+        missing.withColumn("__one", F.lit(1)), "day", "__one"
+    ).withColumn("grp", F.expr("date_sub(day, cast(cum as int))"))
     return (
         runs.groupBy("grp")
         .agg(
