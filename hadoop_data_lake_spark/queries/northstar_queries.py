@@ -6170,3 +6170,119 @@ scored AS (
 SELECT token, n_src0, n_rest, log_odds_r, z_r
 FROM scored ORDER BY abs(z_r) DESC, token ASC LIMIT 10
 """
+
+
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve + Heaps-law exponent: streaming the corpus
+    in doc_id order, V(n) = distinct tokens among the first n token
+    positions is sampled at ten 10%-checkpoints, and the Heaps exponent
+    beta comes from the log-log OLS slope over those points (V ~ K n^b;
+    sublinear beta < 1 is the universal corpus signature; the number a
+    tokenizer-vocabulary plan extrapolates from). Global token positions
+    come from the pack_sequences prefix machinery (doc offsets by
+    two-phase prefix sum + within-doc posexplode); first occurrences are
+    one min-aggregate; the tiny 10-point regression quantizes each
+    log-log point to micro-units before the moment sums so the fit is
+    engine-exact."""
+    from hadoop_data_lake_spark.operators.packing import token_prefix_sum
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with_counts = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+    ).select("doc_id", "toks", F.size("toks").cast("long").alias("n_toks"))
+    offs = token_prefix_sum(with_counts, "doc_id", "n_toks").select(
+        "doc_id", "toks", (F.col("cum") - F.col("n_toks")).alias("off")
+    )
+    positions = offs.select(
+        "off", F.posexplode("toks").alias("p", "token")
+    ).select((F.col("off") + F.col("p")).alias("pos"), "token").where(
+        F.col("token") != ""
+    )
+    firsts = positions.groupBy("token").agg(F.min("pos").alias("first_pos"))
+    n_total = positions.count()
+    cps = spark.createDataFrame(
+        [(k, -(-n_total * k // 10)) for k in range(1, 11)], "k INT, n BIGINT"
+    )
+    curve = (
+        firsts.crossJoin(F.broadcast(cps))
+        .where(F.col("first_pos") < F.col("n"))
+        .groupBy("k", "n")
+        .agg(F.count("*").alias("v"))
+    )
+    pts = curve.select(
+        "k",
+        "n",
+        "v",
+        F.round(F.log(F.col("n").cast("double")) * 1e6, 0).cast("long").alias("lx"),
+        F.round(F.log(F.col("v").cast("double")) * 1e6, 0).cast("long").alias("ly"),
+    )
+    mom = pts.agg(
+        F.count("*").alias("m"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    m = F.col("m").cast("double")
+    beta = (
+        (m * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+        / (m * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+    )
+    fit = mom.select(F.round(beta, 6).alias("heaps_beta_r"))
+    return pts.crossJoin(F.broadcast(fit)).select(
+        "k", "n", F.col("v").alias("vocab"), "heaps_beta_r"
+    )
+
+
+HEAPS_LAW_FIT_SQL = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+with_counts AS (
+  SELECT doc_id, toks, len(toks)::bigint AS n_toks FROM docs
+),
+offs AS (
+  SELECT doc_id, toks,
+         sum(n_toks) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS off
+  FROM with_counts
+),
+positions AS (
+  SELECT pos, token FROM (
+    SELECT off + generate_subscripts(toks, 1) - 1 AS pos,
+           unnest(toks) AS token
+    FROM offs
+  ) WHERE token <> ''
+),
+firsts AS (SELECT token, min(pos)::bigint AS first_pos FROM positions GROUP BY token),
+tot AS (SELECT count(*)::bigint AS n_total FROM positions),
+cps AS (
+  SELECT k.k, ceil(tot.n_total * k.k / 10.0)::bigint AS n
+  FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)) k(k), tot
+),
+curve AS (
+  SELECT c.k, c.n, count(*)::bigint AS v
+  FROM firsts f JOIN cps c ON f.first_pos < c.n
+  GROUP BY c.k, c.n
+),
+pts AS (
+  SELECT k, n, v,
+         round(ln(n::double) * 1e6, 0)::bigint AS lx,
+         round(ln(v::double) * 1e6, 0)::bigint AS ly
+  FROM curve
+),
+mom AS (
+  SELECT count(*)::bigint AS m, sum(lx)::bigint AS sx, sum(ly)::bigint AS sy,
+         sum(lx * ly)::bigint AS sxy, sum(lx * lx)::bigint AS sxx
+  FROM pts
+),
+fit AS (
+  SELECT round((m::double * sxy::double - sx::double * sy::double)
+               / (m::double * sxx::double - sx::double * sx::double), 6)
+           AS heaps_beta_r
+  FROM mom
+)
+SELECT pts.k, pts.n, pts.v AS vocab, fit.heaps_beta_r
+FROM pts, fit
+"""
