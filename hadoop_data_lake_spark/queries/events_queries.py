@@ -8362,3 +8362,54 @@ SELECT min(day)::varchar AS gap_start, max(day)::varchar AS gap_end,
        count(*)::bigint AS n_days_missing
 FROM runs GROUP BY grp
 """
+
+
+def poisson_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based burst detection: hourly event counts scored by the
+    Chernoff bound on the Poisson upper tail, surprise =
+    k*ln(k/lambda) - k + lambda for k > lambda (a rigorous
+    -ln P(X >= k) lower bound in closed form — no incomplete gamma
+    needed), with lambda the corpus mean hourly rate. This is the
+    COUNT-side anomaly lens next to the value-side z-score/MAD/ECOD
+    detectors: it flags when something happened too OFTEN, not too big.
+    Integer counts; one closed-form double per emitted hour; top-10
+    bursts via TakeOrderedAndProject."""
+    hourly = (
+        read_table(spark, sf_dir, "events")
+        .select(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .groupBy("hour")
+        .agg(F.count("*").alias("k"))
+    )
+    lam = hourly.agg(
+        (F.sum("k").cast("double") / F.count("*").cast("double")).alias("lam")
+    )
+    j = hourly.crossJoin(F.broadcast(lam)).where(
+        F.col("k").cast("double") > F.col("lam")
+    )
+    k = F.col("k").cast("double")
+    surprise = k * F.log(k / F.col("lam")) - k + F.col("lam")
+    scored = j.select(
+        F.col("hour").cast("string").alias("hour"),
+        "k",
+        F.round(F.col("lam"), 6).alias("lambda_r"),
+        F.round(surprise, 6).alias("surprise_r"),
+    )
+    return scored.orderBy(
+        F.col("surprise_r").desc(), F.col("hour").asc()
+    ).limit(10)
+
+
+POISSON_BURST_HOURS_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, count(*)::bigint AS k
+  FROM events GROUP BY date_trunc('hour', ts)
+),
+lam AS (SELECT sum(k)::double / count(*)::double AS lam FROM hourly)
+SELECT hour::varchar AS hour, k,
+       round(lam.lam, 6) AS lambda_r,
+       round(k::double * ln(k::double / lam.lam) - k::double + lam.lam, 6)
+         AS surprise_r
+FROM hourly, lam
+WHERE k::double > lam.lam
+ORDER BY surprise_r DESC, hour ASC LIMIT 10
+"""
