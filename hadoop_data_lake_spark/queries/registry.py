@@ -255,6 +255,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "fightin_words_tokens": QuerySpec(NS.fightin_words_tokens, NS.FIGHTIN_WORDS_TOKENS_SQL, ("text", "log-odds", "dirichlet", "source-attribution")),
     "heaps_law_fit": QuerySpec(NS.heaps_law_fit, NS.HEAPS_LAW_FIT_SQL, ("text", "vocabulary", "heaps-law", "prefix-sum")),
     "poisson_burst_hours": QuerySpec(EV.poisson_burst_hours, EV.POISSON_BURST_HOURS_SQL, ("anomaly", "poisson", "burst", "chernoff")),
+    "lpa_modularity": QuerySpec(TQ.lpa_modularity, TQ.LPA_MODULARITY_SQL, ("graph", "modularity", "community-quality", "lpa")),
     # --- rotated out of the window in round 5 — each holds a
     # CORRECTNESS_r04.json full-oracle green row -------------------------
     "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),

@@ -5206,3 +5206,112 @@ SELECT l_partkey, len(sizes)::bigint AS n_demand_days,
          AS croston_rate_r
 FROM prepped
 """
+
+
+def lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Newman modularity of the LPA brand communities — the
+    quality number community detection is judged by (Q near 0 = no
+    better than random; the clustering-quality companion to
+    semdedup_silhouette, on the graph side): per community,
+    Q_c = w_in/W - (deg_c / 2W)^2 from INTEGER in-community edge
+    weights and weighted degrees; contributions quantize to micro-units
+    before the total so Q replays exactly. Everything reuses the graded
+    brand_basket_pairs edges and brand_communities_lpa labels."""
+    edges = brand_basket_pairs(spark, sf_dir).select(
+        "brand_a", "brand_b", F.col("n_orders").alias("w")
+    ).localCheckpoint(eager=True)
+    labels = brand_communities_lpa(spark, sf_dir).select(
+        F.col("vertex"), F.col("community")
+    )
+    la = labels.select(
+        F.col("vertex").alias("brand_a"), F.col("community").alias("ca")
+    )
+    lb = labels.select(
+        F.col("vertex").alias("brand_b"), F.col("community").alias("cb")
+    )
+    e = edges.join(la, "brand_a").join(lb, "brand_b")
+    big_w = edges.agg(F.sum("w").alias("bw"))
+    w_in = (
+        e.where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.sum("w").alias("w_in"))
+    )
+    deg = (
+        edges.select(F.col("brand_a").alias("v"), "w")
+        .unionByName(edges.select(F.col("brand_b").alias("v"), "w"))
+        .groupBy("v")
+        .agg(F.sum("w").alias("d"))
+        .join(labels, F.col("v") == F.col("vertex"))
+        .groupBy("community")
+        .agg(F.sum("d").alias("deg_c"), F.count("*").alias("n_brands"))
+    )
+    j = deg.join(w_in, "community", "left").crossJoin(F.broadcast(big_w))
+    q_c = F.coalesce(F.col("w_in"), F.lit(0)).cast("double") / F.col("bw").cast(
+        "double"
+    ) - (
+        F.col("deg_c").cast("double") / (2.0 * F.col("bw").cast("double"))
+    ) * (
+        F.col("deg_c").cast("double") / (2.0 * F.col("bw").cast("double"))
+    )
+    per = j.select(
+        "community",
+        "n_brands",
+        F.coalesce(F.col("w_in"), F.lit(0)).alias("w_in"),
+        "deg_c",
+        F.round(q_c * 1e6, 0).cast("long").alias("q_um"),
+    )
+    tot = per.agg(
+        F.round(F.sum("q_um").cast("double") / 1e6, 6).alias("modularity_r")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "community",
+        "n_brands",
+        "w_in",
+        "deg_c",
+        F.round(F.col("q_um").cast("double") / 1e6, 6).alias("q_contrib_r"),
+        "modularity_r",
+    )
+
+
+def _lpa_modularity_sql() -> str:
+    return f"""
+WITH labels AS MATERIALIZED ({BRAND_COMMUNITIES_LPA_SQL}),
+edges AS MATERIALIZED (
+  SELECT brand_a, brand_b, n_orders AS w FROM ({BRAND_BASKET_PAIRS_SQL})
+),
+bw AS (SELECT sum(w)::bigint AS bw FROM edges),
+e AS (
+  SELECT ed.w, la.community AS ca, lb.community AS cb
+  FROM edges ed
+  JOIN labels la ON ed.brand_a = la.vertex
+  JOIN labels lb ON ed.brand_b = lb.vertex
+),
+w_in AS (
+  SELECT ca AS community, sum(w)::bigint AS w_in FROM e WHERE ca = cb GROUP BY ca
+),
+deg AS (
+  SELECT l.community, sum(d.d)::bigint AS deg_c, count(*)::bigint AS n_brands
+  FROM (
+    SELECT v, sum(w)::bigint AS d FROM (
+      SELECT brand_a AS v, w FROM edges UNION ALL SELECT brand_b, w FROM edges
+    ) GROUP BY v
+  ) d JOIN labels l ON d.v = l.vertex
+  GROUP BY l.community
+),
+per AS (
+  SELECT deg.community, deg.n_brands, coalesce(w_in.w_in, 0)::bigint AS w_in,
+         deg.deg_c,
+         round((coalesce(w_in.w_in, 0)::double / bw.bw::double
+                - (deg.deg_c::double / (2.0 * bw.bw::double))
+                  * (deg.deg_c::double / (2.0 * bw.bw::double))) * 1e6, 0)::bigint
+           AS q_um
+  FROM deg LEFT JOIN w_in ON deg.community = w_in.community, bw
+),
+tot AS (SELECT round(sum(q_um)::double / 1e6, 6) AS modularity_r FROM per)
+SELECT per.community, per.n_brands, per.w_in, per.deg_c,
+       round(per.q_um::double / 1e6, 6) AS q_contrib_r, tot.modularity_r
+FROM per, tot
+"""
+
+
+LPA_MODULARITY_SQL = _lpa_modularity_sql()
