@@ -8413,3 +8413,202 @@ FROM hourly, lam
 WHERE k::double > lam.lam
 ORDER BY surprise_r DESC, hour ASC LIMIT 10
 """
+
+
+def cvar_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional value-at-risk (expected shortfall) of event value at
+    the 90/95/99 levels: VaR_p is the exact rank-ceil order statistic
+    (distributed prefix rank, no global sort) and CVaR_p the exact mean
+    of everything at or above it — integer sums over the tail, one
+    rounded division per level. The coherent tail-risk number
+    winsorized means and max-drawdowns only gesture at."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from hadoop_data_lake_spark.operators.packing import token_prefix_sum
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", to_units(F.col("value")).alias("cents")
+    ).where(F.col("cents").isNotNull()).localCheckpoint(eager=True)
+    n = ev.count()
+    targets = spark.createDataFrame(
+        [(p, -(-p * n // 100)) for p in (90, 95, 99)], "pct INT, target BIGINT"
+    )
+    ranked = token_prefix_sum(
+        ev.withColumn("__one", F.lit(1)), ["cents", "event_id"], "__one"
+    ).localCheckpoint(eager=True)
+    var = (
+        ranked.join(F.broadcast(targets), ranked["cum"] == targets["target"])
+        .groupBy("pct")
+        .agg(F.min("cents").alias("var_cents"), F.min("target").alias("target"))
+    )
+    tail = (
+        ranked.crossJoin(F.broadcast(var.select("pct", "target")))
+        .where(F.col("cum") >= F.col("target"))
+        .groupBy("pct")
+        .agg(F.count("*").alias("n_tail"), F.sum("cents").alias("s_tail"))
+    )
+    return var.join(tail, "pct").select(
+        "pct",
+        "var_cents",
+        "n_tail",
+        F.round(
+            F.col("s_tail").cast("double") / F.col("n_tail").cast("double") / 100.0,
+            6,
+        ).alias("cvar_r"),
+    )
+
+
+CVAR_EXPECTED_SHORTFALL_SQL = """
+WITH ev AS (
+  SELECT event_id, round(value * 100)::bigint AS cents FROM events
+  WHERE value IS NOT NULL
+),
+tot AS (SELECT count(*)::bigint AS n FROM ev),
+ranked AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, event_id) AS rk FROM ev
+),
+targets AS (
+  SELECT p.pct, ceil(p.pct * tot.n / 100.0)::bigint AS target
+  FROM (VALUES (90), (95), (99)) p(pct), tot
+),
+var_ AS (
+  SELECT t.pct, min(r.cents)::bigint AS var_cents, min(t.target)::bigint AS target
+  FROM ranked r JOIN targets t ON r.rk = t.target GROUP BY t.pct
+),
+tail AS (
+  SELECT v.pct, count(*)::bigint AS n_tail, sum(r.cents)::bigint AS s_tail
+  FROM ranked r JOIN var_ v ON r.rk >= v.target GROUP BY v.pct
+)
+SELECT v.pct, v.var_cents, t.n_tail,
+       round(t.s_tail::double / t.n_tail::double / 100.0, 6) AS cvar_r
+FROM var_ v JOIN tail t ON v.pct = t.pct
+"""
+
+
+def rdd_value_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression discontinuity at the median event value: does
+    purchase probability JUMP as value crosses the median (say a free-
+    shipping threshold)? Local linear fits on each side within a
+    25-percentile bandwidth — each side's slope/intercept from exact
+    bigint moments of (centered running variable, outcome), the jump =
+    intercept_right - intercept_left at the cutoff — the
+    quasi-experimental estimator joining DiD/IPW/CUPED in the causal
+    family. Cutoff and band edges are exact rank order statistics via
+    the distributed prefix rank."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from hadoop_data_lake_spark.operators.packing import token_prefix_sum
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        to_units(F.col("value")).alias("cents"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    ).where(F.col("cents").isNotNull()).localCheckpoint(eager=True)
+    n = ev.count()
+    targets = spark.createDataFrame(
+        [(p, -(-p * n // 100)) for p in (25, 50, 75)], "pct INT, target BIGINT"
+    )
+    ranked = token_prefix_sum(
+        ev.withColumn("__one", F.lit(1)), ["cents", "event_id"], "__one"
+    ).localCheckpoint(eager=True)
+    cuts = (
+        ranked.join(F.broadcast(targets), ranked["cum"] == targets["target"])
+        .groupBy()
+        .pivot("pct", [25, 50, 75])
+        .agg(F.min("cents"))
+        .select(
+            F.col("25").alias("lo"), F.col("50").alias("c"), F.col("75").alias("hi")
+        )
+    )
+    band = ranked.crossJoin(F.broadcast(cuts)).where(
+        (F.col("cents") >= F.col("lo")) & (F.col("cents") <= F.col("hi"))
+    ).select(
+        (F.col("cents") - F.col("c")).alias("x"),
+        "y",
+        (F.col("cents") >= F.col("c")).cast("int").alias("side"),
+    )
+    mom = band.groupBy("side").agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    m = F.col("m").cast("double")
+    slope = (
+        m * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        m * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / m
+    fits = mom.select(
+        "side",
+        "m",
+        F.round(intercept, 6).alias("intercept_r"),
+        F.round(slope * 100.0, 6).alias("slope_per_dollar_r"),
+    )
+    left = fits.where(F.col("side") == 0).select(
+        F.col("m").alias("n_left"), F.col("intercept_r").alias("b_left"),
+        F.col("slope_per_dollar_r").alias("s_left"),
+    )
+    right = fits.where(F.col("side") == 1).select(
+        F.col("m").alias("n_right"), F.col("intercept_r").alias("b_right"),
+        F.col("slope_per_dollar_r").alias("s_right"),
+    )
+    return left.crossJoin(right).select(
+        "n_left",
+        "n_right",
+        "b_left",
+        "b_right",
+        "s_left",
+        "s_right",
+        F.round(F.col("b_right") - F.col("b_left"), 6).alias("rdd_jump_r"),
+    )
+
+
+RDD_VALUE_THRESHOLD_SQL = """
+WITH ev AS (
+  SELECT event_id, round(value * 100)::bigint AS cents,
+         (event_type = 'purchase')::bigint AS y
+  FROM events WHERE value IS NOT NULL
+),
+tot AS (SELECT count(*)::bigint AS n FROM ev),
+ranked AS (
+  SELECT cents, y, row_number() OVER (ORDER BY cents, event_id) AS rk FROM ev
+),
+targets AS (
+  SELECT p.pct, ceil(p.pct * tot.n / 100.0)::bigint AS target
+  FROM (VALUES (25), (50), (75)) p(pct), tot
+),
+cuts AS (
+  SELECT min(CASE WHEN t.pct = 25 THEN r.cents END)::bigint AS lo,
+         min(CASE WHEN t.pct = 50 THEN r.cents END)::bigint AS c,
+         min(CASE WHEN t.pct = 75 THEN r.cents END)::bigint AS hi
+  FROM ranked r JOIN targets t ON r.rk = t.target
+),
+band AS (
+  SELECT (r.cents - cuts.c)::bigint AS x, r.y,
+         (r.cents >= cuts.c)::int AS side
+  FROM ranked r, cuts WHERE r.cents BETWEEN cuts.lo AND cuts.hi
+),
+mom AS (
+  SELECT side, count(*)::bigint AS m, sum(x)::bigint AS sx, sum(y)::bigint AS sy,
+         sum(x * y)::bigint AS sxy, sum(x * x)::bigint AS sxx
+  FROM band GROUP BY side
+),
+fits AS (
+  SELECT side, m,
+         round((sy::double - ((m::double * sxy::double - sx::double * sy::double)
+                / (m::double * sxx::double - sx::double * sx::double))
+                * sx::double) / m::double, 6) AS intercept_r,
+         round(((m::double * sxy::double - sx::double * sy::double)
+                / (m::double * sxx::double - sx::double * sx::double)) * 100.0, 6)
+           AS slope_per_dollar_r
+  FROM mom
+)
+SELECT l.m AS n_left, r.m AS n_right,
+       l.intercept_r AS b_left, r.intercept_r AS b_right,
+       l.slope_per_dollar_r AS s_left, r.slope_per_dollar_r AS s_right,
+       round(r.intercept_r - l.intercept_r, 6) AS rdd_jump_r
+FROM (SELECT * FROM fits WHERE side = 0) l, (SELECT * FROM fits WHERE side = 1) r
+"""

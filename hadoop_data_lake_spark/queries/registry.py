@@ -256,6 +256,8 @@ _BACKLOG: dict[str, QuerySpec] = {
     "heaps_law_fit": QuerySpec(NS.heaps_law_fit, NS.HEAPS_LAW_FIT_SQL, ("text", "vocabulary", "heaps-law", "prefix-sum")),
     "poisson_burst_hours": QuerySpec(EV.poisson_burst_hours, EV.POISSON_BURST_HOURS_SQL, ("anomaly", "poisson", "burst", "chernoff")),
     "lpa_modularity": QuerySpec(TQ.lpa_modularity, TQ.LPA_MODULARITY_SQL, ("graph", "modularity", "community-quality", "lpa")),
+    "cvar_expected_shortfall": QuerySpec(EV.cvar_expected_shortfall, EV.CVAR_EXPECTED_SHORTFALL_SQL, ("risk", "cvar", "expected-shortfall", "prefix-sum")),
+    "rdd_value_threshold": QuerySpec(EV.rdd_value_threshold, EV.RDD_VALUE_THRESHOLD_SQL, ("causal", "regression-discontinuity", "local-linear", "integer-exact")),
     # --- rotated out of the window in round 5 — each holds a
     # CORRECTNESS_r04.json full-oracle green row -------------------------
     "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),
