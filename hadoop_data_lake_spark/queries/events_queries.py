@@ -8612,3 +8612,78 @@ SELECT l.m AS n_left, r.m AS n_right,
        round(r.intercept_r - l.intercept_r, 6) AS rdd_jump_r
 FROM (SELECT * FROM fits WHERE side = 0) l, (SELECT * FROM fits WHERE side = 1) r
 """
+
+
+def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization parameter sensitivity: how many sessions would the
+    corpus split into at inactivity gaps of 5/15/30/60 minutes — from
+    ONE pass over per-user inter-event gaps (sessions at threshold G =
+    users + gaps exceeding G; no need to run sessionize four times).
+    The curve is what picks the gap parameter before
+    user_sessions/stream_session_stats run with it: the knee where the
+    session count stops falling is the natural inactivity scale. Lag
+    gaps per user (partitioned window), four conditional sums, exact
+    integers."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.withColumn("gap_us", F.col("us") - F.lag("us", 1).over(w))
+    n_users = ev.select("user_id").distinct().count()
+    agg = gaps.where(F.col("gap_us").isNotNull()).agg(
+        *[
+            F.sum((F.col("gap_us") > g * 60 * 1_000_000).cast("long")).alias(
+                f"br_{g}"
+            )
+            for g in (5, 15, 30, 60)
+        ]
+    )
+    rows = agg.select(
+        *[
+            (F.col(f"br_{g}") + n_users).alias(f"s_{g}")
+            for g in (5, 15, 30, 60)
+        ]
+    )
+    melted = rows.select(
+        F.expr(
+            "stack(4, 5, s_5, 15, s_15, 30, s_30, 60, s_60) "
+            "as (gap_minutes, n_sessions)"
+        )
+    )
+    return melted.select(
+        "gap_minutes",
+        "n_sessions",
+        F.round(F.col("n_sessions").cast("double") / n_users, 6).alias(
+            "sessions_per_user_r"
+        ),
+    )
+
+
+SESSION_GAP_SENSITIVITY_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+),
+gaps AS (
+  SELECT us - lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id)
+           AS gap_us
+  FROM ev
+),
+nu AS (SELECT count(DISTINCT user_id)::bigint AS n_users FROM ev),
+agg AS (
+  SELECT sum((gap_us > 5::bigint * 60 * 1000000)::int)::bigint AS br_5,
+         sum((gap_us > 15::bigint * 60 * 1000000)::int)::bigint AS br_15,
+         sum((gap_us > 30::bigint * 60 * 1000000)::int)::bigint AS br_30,
+         sum((gap_us > 60::bigint * 60 * 1000000)::int)::bigint AS br_60
+  FROM gaps WHERE gap_us IS NOT NULL
+)
+SELECT g.gap_minutes, g.n_sessions,
+       round(g.n_sessions::double / nu.n_users::double, 6) AS sessions_per_user_r
+FROM (
+  SELECT 5 AS gap_minutes, br_5 + nu.n_users AS n_sessions FROM agg, nu
+  UNION ALL SELECT 15, br_15 + nu.n_users FROM agg, nu
+  UNION ALL SELECT 30, br_30 + nu.n_users FROM agg, nu
+  UNION ALL SELECT 60, br_60 + nu.n_users FROM agg, nu
+) g, nu
+"""

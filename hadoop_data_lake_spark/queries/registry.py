@@ -258,6 +258,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "lpa_modularity": QuerySpec(TQ.lpa_modularity, TQ.LPA_MODULARITY_SQL, ("graph", "modularity", "community-quality", "lpa")),
     "cvar_expected_shortfall": QuerySpec(EV.cvar_expected_shortfall, EV.CVAR_EXPECTED_SHORTFALL_SQL, ("risk", "cvar", "expected-shortfall", "prefix-sum")),
     "rdd_value_threshold": QuerySpec(EV.rdd_value_threshold, EV.RDD_VALUE_THRESHOLD_SQL, ("causal", "regression-discontinuity", "local-linear", "integer-exact")),
+    "session_gap_sensitivity": QuerySpec(EV.session_gap_sensitivity, EV.SESSION_GAP_SENSITIVITY_SQL, ("sessionize", "sensitivity", "parameter-tuning", "diagnostics")),
     # --- rotated out of the window in round 5 — each holds a
     # CORRECTNESS_r04.json full-oracle green row -------------------------
     "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),
