@@ -6241,13 +6241,16 @@ def self_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     join itself is never built."""
     ev = read_table(spark, sf_dir, "events").select("user_id")
     per_user = ev.groupBy("user_id").agg(F.count("*").alias("n"))
-    pairs = F.col("n") * (F.col("n") - 1) / 2
+    # Integer pair count (n*(n-1) is always even): float division here
+    # would sum doubles partition-order-dependently and can diverge from
+    # the oracle's exact integer sum past 2^53.
+    pairs = F.expr("n * (n - 1) div 2")
     tot = per_user.agg(
         F.count("*").alias("n_users"),
-        F.sum(pairs).cast("long").alias("total_est_pairs"),
+        F.sum(pairs).alias("total_est_pairs"),
     )
     top = (
-        per_user.withColumn("est_pairs", pairs.cast("long"))
+        per_user.withColumn("est_pairs", pairs)
         .orderBy(F.col("est_pairs").desc(), F.col("user_id").asc())
         .limit(5)
     )
@@ -6850,12 +6853,17 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-purchase event types, the characteristic value v(S) is the
     observed conversion (purchase) rate of users with exactly coalition
     S (0 for unobserved coalitions), and each channel's Shapley value is
-    sum over coalitions S containing it of w(|S|) * (v(S) - v(S\\{i}))
-    with the standard weight (|S|-1)!(k-|S|)!/k! — the
-    order-independent credit split that first/last-touch and adstock
-    (both already in the registry) only approximate. The coalition
-    lattice is bounded by 2^k for k observed channels (k <= 4 here), so
-    every join runs over a tiny aggregate; user aggregation is one
+    sum over ALL coalitions S in the 2^k lattice containing it of
+    w(|S|) * (v(S) - v(S\\{i})) with the standard weight
+    (|S|-1)!(k-|S|)!/k! — the order-independent credit split that
+    first/last-touch and adstock (both already in the registry) only
+    approximate. The FULL subset lattice is enumerated (not just
+    observed coalitions): terms where S is unobserved but S\\{i} is
+    observed contribute w(|S|) * (0 - v(S\\{i})) and are required for
+    the efficiency axiom to hold. The lattice is bounded by 2^k for k
+    observed channels (k <= 6 here; the k-element channel list is a
+    bounded-dimension driver collect, same class as the weight map), so
+    every join runs over a tiny broadcast; user aggregation is one
     distributed pass. Rates are integer-count ratios; one rounded
     Shapley per channel."""
     ev = read_table(spark, sf_dir, "events").select("user_id", "event_type")
@@ -6875,28 +6883,50 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalitions = per_user.groupBy("coal").agg(
         F.count("*").alias("n"), F.sum("conv").alias("n_conv")
     ).localCheckpoint(eager=True)
+    from itertools import combinations
+
     channels = coalitions.select(
         F.explode(F.split(F.col("coal"), ",")).alias("channel")
     ).distinct()
-    k = channels.count()  # bounded: distinct event types
+    # Bounded-dimension driver collect (k = distinct non-purchase event
+    # types, <= 6): needed to enumerate the FULL 2^k lattice so unobserved
+    # coalitions contribute their v=0 terms (efficiency axiom).
+    chans = sorted(r["channel"] for r in channels.collect())
+    k = len(chans)
     fact = [1, 1, 2, 6, 24, 120, 720]
-    # member-level marginals: for each coalition S and member i,
-    # w(|S|) * (v(S) - v(S minus i)); v of an unobserved coalition is 0.
-    members = coalitions.select(
-        "coal",
-        "n",
-        "n_conv",
-        F.size(F.split(F.col("coal"), ",")).alias("s"),
-        F.explode(F.split(F.col("coal"), ",")).alias("channel"),
-    ).withColumn(
-        "coal_minus",
-        F.array_join(
-            F.array_remove(F.split(F.col("coal"), ","), F.col("channel")), ","
-        ),
+    lattice = spark.createDataFrame(
+        [
+            (",".join(combo), s)
+            for s in range(1, k + 1)
+            for combo in combinations(chans, s)
+        ],
+        "coal string, s int",
     )
-    minus = coalitions.select(
-        F.col("coal").alias("coal_minus"),
-        (F.col("n_conv").cast("double") / F.col("n").cast("double")).alias("v_minus"),
+    obs_v = coalitions.select(
+        "coal",
+        (F.col("n_conv").cast("double") / F.col("n").cast("double")).alias("v_obs"),
+    )
+    # member-level marginals over the FULL lattice: for each subset S and
+    # member i, w(|S|) * (v(S) - v(S minus i)); v of an unobserved
+    # coalition is 0 on both sides of the difference.
+    members = (
+        lattice.join(F.broadcast(obs_v), "coal", "left")
+        .withColumn("v", F.coalesce(F.col("v_obs"), F.lit(0.0)))
+        .select(
+            "coal",
+            "s",
+            "v",
+            F.explode(F.split(F.col("coal"), ",")).alias("channel"),
+        )
+        .withColumn(
+            "coal_minus",
+            F.array_join(
+                F.array_remove(F.split(F.col("coal"), ","), F.col("channel")), ","
+            ),
+        )
+    )
+    minus = obs_v.select(
+        F.col("coal").alias("coal_minus"), F.col("v_obs").alias("v_minus")
     )
     weight_map = F.create_map(
         *[
@@ -6908,16 +6938,10 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
-    marg = (
-        members.join(minus, "coal_minus", "left")
-        .withColumn(
-            "v", F.col("n_conv").cast("double") / F.col("n").cast("double")
-        )
-        .withColumn(
-            "delta",
-            (F.col("v") - F.coalesce(F.col("v_minus"), F.lit(0.0)))
-            * F.element_at(weight_map, F.col("s")),
-        )
+    marg = members.join(F.broadcast(minus), "coal_minus", "left").withColumn(
+        "delta",
+        (F.col("v") - F.coalesce(F.col("v_minus"), F.lit(0.0)))
+        * F.element_at(weight_map, F.col("s")),
     )
     return (
         marg.groupBy("channel")
@@ -6954,24 +6978,36 @@ coalitions AS MATERIALIZED (
   SELECT coal, count(*)::bigint AS n, sum(conv)::bigint AS n_conv
   FROM per_user WHERE coal <> '' GROUP BY coal
 ),
-kk AS (
-  SELECT count(DISTINCT u.channel)::int AS k
-  FROM (SELECT unnest(string_split(coal, ',')) AS channel FROM coalitions) u
+chan_idx AS (
+  SELECT channel, row_number() OVER (ORDER BY channel) - 1 AS idx
+  FROM (SELECT DISTINCT unnest(string_split(coal, ',')) AS channel
+        FROM coalitions)
 ),
+kk AS (SELECT count(*)::int AS k FROM chan_idx),
 fact(i, f) AS (VALUES (0, 1), (1, 1), (2, 2), (3, 6), (4, 24), (5, 120), (6, 720)),
+-- FULL 2^k subset lattice via bitmasks (k <= 6 => masks 1..63): terms
+-- where S is unobserved but S minus i is observed must contribute.
+lattice AS (
+  SELECT array_to_string(list_sort(list(ci.channel)), ',') AS coal,
+         count(*)::int AS s
+  FROM generate_series(1, 63) g(mask)
+  JOIN chan_idx ci ON ((g.mask >> ci.idx) & 1) = 1
+  JOIN kk ON g.mask < (1 << kk.k)
+  GROUP BY g.mask
+),
 members AS (
-  SELECT c.coal, c.n, c.n_conv,
-         len(string_split(c.coal, ','))::int AS s,
+  SELECT l.coal, l.s,
+         coalesce(c.n_conv::double / c.n::double, 0.0) AS v,
          u.channel,
-         array_to_string(list_filter(string_split(c.coal, ','),
+         array_to_string(list_filter(string_split(l.coal, ','),
                                      x -> x <> u.channel), ',') AS coal_minus
-  FROM coalitions c,
-       unnest(string_split(c.coal, ',')) AS u(channel)
+  FROM lattice l
+  LEFT JOIN coalitions c ON l.coal = c.coal,
+       unnest(string_split(l.coal, ',')) AS u(channel)
 ),
 marg AS (
   SELECT m.channel,
-         (m.n_conv::double / m.n::double
-          - coalesce(cm.n_conv::double / cm.n::double, 0.0))
+         (m.v - coalesce(cm.n_conv::double / cm.n::double, 0.0))
          * (fs.f::double * fk.f::double / ft.f::double) AS delta
   FROM members m
   LEFT JOIN coalitions cm ON m.coal_minus = cm.coal
@@ -7561,11 +7597,14 @@ def ecod_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     each event's score sums, over three features (value cents, hour of
     day, day of week), the negative log of its two-sided empirical tail
     probability min(ecdf_left, ecdf_right) — no parameters, no
-    distributional assumption, the modern default before z-scores. Every
-    feature's ECDF comes from the two-phase distributed prefix rank
-    (three prefix passes, never a global sort); per-feature terms
-    quantize to integer micro-nats before the cross-feature sum so the
-    score is partition-order independent. Top-10 outliers via
+    distributional assumption, the modern default before z-scores. The
+    ECDF is a function of the feature VALUE, not the row: ties share one
+    tail probability (left = count(<= v)/n, right = count(>= v)/n),
+    computed as a distributed prefix sum over DISTINCT values (f_hour has
+    24, f_dow 7 — per-row ranks would hand tied rows arbitrary tail
+    probabilities) joined back to events. Per-feature terms quantize to
+    integer micro-nats before the cross-feature sum so the score is
+    partition-order independent. Top-10 outliers via
     TakeOrderedAndProject."""
     from hadoop_data_lake_spark.functions.fixedpoint import to_units
     from hadoop_data_lake_spark.operators.packing import token_prefix_sum
@@ -7579,18 +7618,20 @@ def ecod_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = ev.count()
 
     def tail_term(feature: str):
-        ranked = token_prefix_sum(
-            ev.select("event_id", feature).withColumn("__one", F.lit(1)),
-            [feature, "event_id"],
-            "__one",
-        )
+        # ECDF over distinct values: cum = count(rows <= v); ties share
+        # left = cum/n and right = (n - cum + cnt)/n = count(rows >= v)/n.
+        per_val = ev.groupBy(feature).agg(F.count("*").alias("cnt"))
+        ranked = token_prefix_sum(per_val, feature, "cnt")
         left = F.col("cum").cast("double") / n
-        right = (F.lit(n) - F.col("cum") + 1).cast("double") / n
-        return ranked.select(
-            "event_id",
+        right = (F.lit(n) - F.col("cum") + F.col("cnt")).cast("double") / n
+        terms = ranked.select(
+            feature,
             F.round(-F.log(F.least(left, right)) * 1e6, 0)
             .cast("long")
             .alias(f"t_{feature}"),
+        )
+        return ev.select("event_id", feature).join(terms, feature).select(
+            "event_id", f"t_{feature}"
         )
 
     out = (
@@ -7620,27 +7661,36 @@ WITH ev AS (
   FROM events WHERE value IS NOT NULL
 ),
 tot AS (SELECT count(*)::bigint AS n FROM ev),
-t1 AS (
-  SELECT event_id,
-         round(-ln(least(rk::double / tot.n,
-                         (tot.n - rk + 1)::double / tot.n)) * 1e6, 0)::bigint AS t
-  FROM (SELECT event_id,
-               row_number() OVER (ORDER BY f_cents, event_id) AS rk FROM ev), tot
+v1 AS (
+  SELECT f_cents,
+         round(-ln(least(cum::double / tot.n,
+                         (tot.n - cum + cnt)::double / tot.n)) * 1e6, 0)::bigint AS t
+  FROM (SELECT f_cents, count(*)::bigint AS cnt,
+               sum(count(*)) OVER (ORDER BY f_cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cum
+        FROM ev GROUP BY f_cents), tot
 ),
-t2 AS (
-  SELECT event_id,
-         round(-ln(least(rk::double / tot.n,
-                         (tot.n - rk + 1)::double / tot.n)) * 1e6, 0)::bigint AS t
-  FROM (SELECT event_id,
-               row_number() OVER (ORDER BY f_hour, event_id) AS rk FROM ev), tot
+v2 AS (
+  SELECT f_hour,
+         round(-ln(least(cum::double / tot.n,
+                         (tot.n - cum + cnt)::double / tot.n)) * 1e6, 0)::bigint AS t
+  FROM (SELECT f_hour, count(*)::bigint AS cnt,
+               sum(count(*)) OVER (ORDER BY f_hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cum
+        FROM ev GROUP BY f_hour), tot
 ),
-t3 AS (
-  SELECT event_id,
-         round(-ln(least(rk::double / tot.n,
-                         (tot.n - rk + 1)::double / tot.n)) * 1e6, 0)::bigint AS t
-  FROM (SELECT event_id,
-               row_number() OVER (ORDER BY f_dow, event_id) AS rk FROM ev), tot
-)
+v3 AS (
+  SELECT f_dow,
+         round(-ln(least(cum::double / tot.n,
+                         (tot.n - cum + cnt)::double / tot.n)) * 1e6, 0)::bigint AS t
+  FROM (SELECT f_dow, count(*)::bigint AS cnt,
+               sum(count(*)) OVER (ORDER BY f_dow
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cum
+        FROM ev GROUP BY f_dow), tot
+),
+t1 AS (SELECT e.event_id, v1.t FROM ev e JOIN v1 USING (f_cents)),
+t2 AS (SELECT e.event_id, v2.t FROM ev e JOIN v2 USING (f_hour)),
+t3 AS (SELECT e.event_id, v3.t FROM ev e JOIN v3 USING (f_dow))
 SELECT t1.event_id,
        round((t1.t + t2.t + t3.t)::double / 1e6, 6) AS ecod_score_r
 FROM t1 JOIN t2 ON t1.event_id = t2.event_id

@@ -28,9 +28,8 @@ def test_waterfill_respects_budget_and_level(spark):
         tau = levels.pop()
         # tau is maximal: raising the level by 1 for every capped source
         # would overshoot the budget.
-        assert alloc + sum(1 for r in rows if r["capped"]) > budget - sum(
-            0 for _ in rows
-        ) or alloc <= budget
+        n_capped = sum(1 for r in rows if r["capped"])
+        assert alloc + n_capped > budget
         assert all(r["toks"] > tau for r in rows if r["capped"])
 
 
@@ -194,3 +193,46 @@ def test_missing_partition_audit_finds_planted_gaps(spark, tmp_path):
         (str(days[3]), str(days[4]), 2),
         (str(days[10]), str(days[10]), 1),
     }
+
+
+def test_shapley_efficiency_axiom(spark):
+    """Sum of Shapley values must equal v(grand coalition) - v(empty) =
+    the conversion rate of users whose coalition is exactly all k
+    channels (0 if unobserved). Only holds when the FULL 2^k lattice is
+    enumerated — the restricted observed-coalition sum violates it
+    (ADVICE r5)."""
+    from hadoop_data_lake_spark.core.io import read_table
+    from hadoop_data_lake_spark.queries.events_queries import (
+        shapley_channel_attribution,
+    )
+    from pyspark.sql import functions as F
+
+    rows = shapley_channel_attribution(spark, SF_DIR).collect()
+    total = sum(r["shapley_r"] for r in rows)
+    chans = sorted(r["channel"] for r in rows)
+    ev = read_table(spark, SF_DIR, "events").select("user_id", "event_type")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(
+                        F.collect_list(
+                            F.when(
+                                F.col("event_type") != "purchase",
+                                F.col("event_type"),
+                            )
+                        )
+                    )
+                ),
+                ",",
+            ).alias("coal"),
+            F.max((F.col("event_type") == "purchase").cast("long")).alias("conv"),
+        )
+        .where(F.col("coal") == ",".join(chans))
+    )
+    grand = per_user.agg(
+        F.count("*").alias("n"), F.sum("conv").alias("c")
+    ).collect()[0]
+    v_grand = (grand["c"] / grand["n"]) if grand["n"] else 0.0
+    assert abs(total - v_grand) < 1e-4  # 6-dp rounding x k channels
