@@ -13,37 +13,37 @@ so the window is now a SEPARATE dict with a hard `len(_WINDOW) == 50`
 assert at import time: miscounting is an ImportError, not a silent grading
 gap.
 
-Round-5 window composition (VERDICT r4 item 6: keep burning the 108-entry
-never-graded backlog, ~25-30 per round, prioritizing never-graded FAMILIES;
-displacement pairs recorded inline at the _WINDOW comment):
-1-8    the 8 queries REFORMULATED this round off global single-task
-       windows onto prefix-sum / aggregate-then-window / TakeOrdered plans
-       (VERDICT r4 items 2+7) — driver rows prove the rewrites kept exact
-       semantics (all were also never-graded before this round).
-9-17   the 9 never-graded families the judge named (phash near-dup, LPA,
-       k-core, BM25, TextRank, STL, NDCG backtest, point-in-polygon, DTW).
-18-36  19 more never-graded full-oracle entries incl. the 3 pure-Python
-       media codecs (PPM/WAV/AVI — a family with zero driver rows).
-31-44  the 14 round-5 NEW queries (exact distributed quantiles, HITS,
-       calibration/ECE, water-fill mixing, filter-ensemble ablation,
-       dedup survivorship, LPT sharding, BH-FDR, vocabulary coverage,
-       mutual-NN bitext, int8 quantization audit, soundex blocking,
-       compaction planning, foreachBatch SCD1 upsert). They displaced
-       the 8 r4-proven batch keeps and 6 group-(b)/(c) rotations —
-       every displacement pair is recorded inline at the _WINDOW
-       comments; displaced rotations return in r6.
+Round-6 window composition (VERDICT r5 item 1: FREEZE the surface — zero
+new registry entries this round — and burn the 122-entry never-graded
+backlog below 78; displacement pairs recorded inline at the _WINDOW
+comment, earlier rounds' pairs in this file's git history):
+1-12   the 7 queries the judge named (self_join_skew_profile,
+       grid_density_clusters, shapley_channel_attribution,
+       qini_uplift_curve, corpus_report_card, t_closeness_audit,
+       graph_feature_propagation) + the 5-query causal family
+       (cuped/did/ipw/rdd/covariate-balance).
+13     ecod_outlier_scores — with shapley and self_join_skew (group 1)
+       it carries this round's ADVICE fixes (full 2^k lattice,
+       tie-aware ECDF, integer pair math): driver rows prove the fixes.
+14-23  10 round-5 coda entries (session-gap sensitivity, CVaR, LPA
+       modularity, Poisson bursts, Heaps' law, fightin' words, missing
+       partitions, Nelson-Aalen, hashed MMD, selectivity audit).
+24-44  the 21 OLDEST never-graded entries by first-registration commit
+       date (r2-r3 era: Welch A/B, Holt smoothing, centroid similarity,
+       chi2, rolling distinct, minhash eval, stream top-k, Arrow
+       entropy, deterministic sampling, DP counts, scan metrics,
+       Kaplan-Meier, association rules, NB classifier, Theil-Sen, kNN
+       eval, provenance, cohort LTV, split attribution, assortativity,
+       vocab KL).
 45-50  the 6-slot streaming regression guard (r≤4-proven).
-Net: 44 of the 50 slots grade first-time queries this round (30
-surviving backlog rotations + 14 round-5-new). Accounting vs the
-VERDICT r4 "never-graded <= ~80" target: the PRE-EXISTING backlog burns
-108 -> 78 as asked, but round 5 also GREW the full-oracle surface
-283 -> 313 (16 more new queries registered straight into the backlog),
-so the absolute never-graded count after CORRECTNESS_r05 is expected at
-94 of 313 (30%, down from 108 of 283 = 38%). Every registered query —
-graded or not — is re-verified against its DuckDB oracle locally each
-round by tools/check_oracle.py at sf0.001 (and new entries additionally
-at sf0.01 before registration).
-Every displaced entry holds a CORRECTNESS_r04.json green row and moves to
+Net: all 44 non-guard slots grade NEVER-graded queries; the backlog
+burns 122 -> 78 exactly at the VERDICT r5 target with the registry
+size unchanged at 351. Every registered query — graded or not — is
+re-verified against its DuckDB oracle locally each round by
+tools/check_oracle.py at sf0.001; the 50-slot window additionally at
+sf0.01 (the gate scale) and sf0.1 (the bench scale, VERDICT r5 item 8)
+before shipping.
+Every displaced entry holds a CORRECTNESS_r05.json green row and moves to
 the backlog, where check_oracle still re-verifies it each round.
 
 Entries 51+ = queries already proven by an earlier CORRECTNESS_r{N}.json
@@ -80,56 +80,128 @@ class QuerySpec:
 
 
 _WINDOW: dict[str, QuerySpec] = {
-    # ---- ROUND-5 WINDOW -------------------------------------------------
-    # Composition: 36 rotated in from the never-driver-graded backlog
-    # (VERDICT r4 item 6: burn the backlog, prioritize never-graded
-    # FAMILIES) + 8 r4-proven batch keeps + the 6-slot streaming guard.
-    # Groups below: (a) the 8 queries REFORMULATED this round onto the
-    # two-phase prefix-sum / aggregate-then-window / TakeOrdered patterns
-    # (VERDICT r4 items 2+7) — driver-grading them proves the rewrites
-    # kept exact semantics; (b) the 9 never-graded families the judge
-    # named; (c) 19 more never-graded full-oracle entries, including the
-    # 3 pure-Python media codecs (a whole family with zero driver rows).
-    # Every displaced entry holds a CORRECTNESS_r04.json green row and
-    # stays registered in _BACKLOG (check_oracle re-verifies all 293
-    # every round). Displacement pairs:
-    # event_lateness_profile -> displaces user_sessions_native (r4-green)
-    # value_psi_drift -> displaces sequential_funnel (r4-green)
-    # pareto_frontier_orders -> displaces expectations_report (r4-green)
-    # gini_customer_revenue -> displaces synthetic_source_profile (r4-green)
-    # lorenz_curve_points -> displaces user_value_ewma (r4-green)
-    # pareto_8020_customers -> displaces user_favorite_event_type (r4-green)
-    # abc_part_classification -> displaces running_unique_users (r4-green)
-    # supplier_scorecard -> displaces weekly_type_pivot_dynamic (r4-green)
-    # media_phash_near_dup -> displaces session_type_pmi (r4-green)
-    # brand_communities_lpa -> displaces dedup_jaccard_prefix (r4-green)
-    # kcore_purchase_graph -> displaces gdpr_delete_audit (r4-green)
-    # bm25_retrieval -> displaces customer_rfm_segments (r4-green)
-    # textrank_keywords -> displaces event_type_transitions (r4-green)
-    # daily_value_stl -> displaces user_value_ohlc (r4-green)
-    # cf_ndcg_backtest -> displaces priority_sample_stratified (r4-green)
-    # point_in_polygon_zones -> displaces concurrent_sessions (r4-green)
-    # user_series_dtw_nn -> displaces week_over_week_drift (r4-green)
-    # cluster_safe_split_audit -> displaces user_type_entropy (r4-green)
-    # decontaminate_embedding_cosine -> displaces ivm_join_delta (r4-green)
-    # hashed_embedding_knn -> displaces session_pattern_match (r4-green)
-    # decontamination_report -> displaces rolling_zscore_anomaly (r4-green)
-    # clustering_coefficient -> displaces hilbert_code_orders (r4-green)
-    # degree_assortativity -> displaces geohash_cell_counts (r4-green)
-    # bitemporal_asof_orders -> displaces user_value_cusum (r4-green)
-    # temporal_split_embargo -> displaces kmv_distinct_users (r4-green)
-    # mmr_rerank -> displaces cms_token_counts (r4-green)
-    # rake_keyphrases -> displaces bfs_hops_det (r4-green)
-    # zipf_fit_tokens -> displaces benford_first_digit (r4-green)
-    # ols_daily_trend -> displaces bloom_semijoin_orders (r4-green)
-    # mann_whitney_variants -> displaces target_encode_event_type (r4-green)
-    # kaplan_meier_conversion -> displaces autocorr_daily_value (r4-green)
-    # dau_mau_stickiness -> displaces quantile_normalize_doclen (r4-green)
-    # hhi_brand_concentration -> displaces zonemap_tile_pruning (r4-green)
-    # media_ppm_decode_stats -> displaces linkage_jaro_winkler (r4-green)
-    # media_wav_decode_stats -> displaces rrf_hybrid_retrieval (r4-green)
-    # media_avi_frame_stats -> displaces bootstrap_mean_ci (r4-green)
-    # --- (a) round-5 scale reformulations (8) ---
+    # ---- ROUND-6 WINDOW -------------------------------------------------
+    # VERDICT r5 item 1: surface FROZEN (zero new registry entries this
+    # round); all 44 non-guard slots rotate in NEVER-driver-graded
+    # full-oracle entries, burning the backlog 122 -> 78 exactly as asked.
+    # Groups: (a) the 7 queries the judge named + the 5-query causal
+    # family; (b) ecod_outlier_scores, shapley_channel_attribution and
+    # self_join_skew_profile carry this round's ADVICE fixes (full 2^k
+    # lattice / tie-aware ECDF / integer pair math) so their driver rows
+    # prove the fixes; (c) 10 round-5 coda entries; (d) the 21 OLDEST
+    # never-graded entries by first-registration commit date (r2-r3 era).
+    # Every displaced entry is CORRECTNESS_r05.json-green and moves to
+    # the top of _BACKLOG (check_oracle re-verifies all 351 locally every
+    # round). r5 displacement pairs: see git history of this file at tag
+    # round-5 (commit 8b59d79). r6 displacement pairs:
+    # self_join_skew_profile -> displaces event_lateness_profile (r5-green)
+    # grid_density_clusters -> displaces value_psi_drift (r5-green)
+    # shapley_channel_attribution -> displaces pareto_frontier_orders (r5-green)
+    # qini_uplift_curve -> displaces gini_customer_revenue (r5-green)
+    # corpus_report_card -> displaces lorenz_curve_points (r5-green)
+    # t_closeness_audit -> displaces pareto_8020_customers (r5-green)
+    # graph_feature_propagation -> displaces abc_part_classification (r5-green)
+    # cuped_adjusted_lift -> displaces supplier_scorecard (r5-green)
+    # did_estimate -> displaces media_phash_near_dup (r5-green)
+    # ipw_outcome_estimate -> displaces brand_communities_lpa (r5-green)
+    # rdd_value_threshold -> displaces kcore_purchase_graph (r5-green)
+    # covariate_balance_smd -> displaces bm25_retrieval (r5-green)
+    # ecod_outlier_scores -> displaces textrank_keywords (r5-green)
+    # session_gap_sensitivity -> displaces daily_value_stl (r5-green)
+    # cvar_expected_shortfall -> displaces cf_ndcg_backtest (r5-green)
+    # lpa_modularity -> displaces point_in_polygon_zones (r5-green)
+    # poisson_burst_hours -> displaces user_series_dtw_nn (r5-green)
+    # heaps_law_fit -> displaces cluster_safe_split_audit (r5-green)
+    # fightin_words_tokens -> displaces decontaminate_embedding_cosine (r5-green)
+    # missing_partition_audit -> displaces hashed_embedding_knn (r5-green)
+    # nelson_aalen_hazard -> displaces clustering_coefficient (r5-green)
+    # source_mmd_hashed -> displaces bitemporal_asof_orders (r5-green)
+    # selectivity_estimate_audit -> displaces temporal_split_embargo (r5-green)
+    # ab_test_welch -> displaces mmr_rerank (r5-green)
+    # holt_smoothing_per_user -> displaces rake_keyphrases (r5-green)
+    # label_centroid_similarity -> displaces zipf_fit_tokens (r5-green)
+    # chi2_type_weekday -> displaces ols_daily_trend (r5-green)
+    # rolling_7d_distinct_users -> displaces media_ppm_decode_stats (r5-green)
+    # minhash_eval_pr -> displaces media_wav_decode_stats (r5-green)
+    # stream_topk_types_per_window -> displaces media_avi_frame_stats (r5-green)
+    # multimodal_arrow_entropy -> displaces exact_value_quantiles (r5-green)
+    # quantile_sample_det -> displaces hits_hubs_authorities (r5-green)
+    # dp_noisy_type_counts -> displaces ece_calibration_bins (r5-green)
+    # observed_scan_metrics -> displaces data_mix_waterfill (r5-green)
+    # kaplan_meier_conversion -> displaces quality_ensemble_vote (r5-green)
+    # association_rules_brands -> displaces dedup_survivor_selection (r5-green)
+    # nb_source_classifier -> displaces shard_lpt_plan (r5-green)
+    # theil_sen_daily_trend -> displaces benjamini_hochberg_fdr (r5-green)
+    # knn_label_eval -> displaces ngram_coverage_curve (r5-green)
+    # row_provenance_files -> displaces mutual_nn_bitext_pairs (r5-green)
+    # cohort_ltv_curve -> displaces embedding_int8_quantize_stats (r5-green)
+    # split_revenue_attribution -> displaces soundex_word_groups (r5-green)
+    # degree_assortativity -> displaces partition_compaction_plan (r5-green)
+    # source_vocab_kl -> displaces stream_upsert_scd1 (r5-green)
+    # stream_upsert_scd1 (r5-green) also retires to _BACKLOG to restore
+    # the 6-slot guard.
+    # --- (a) judge-named + causal family (12) ---
+    "self_join_skew_profile": QuerySpec(EV.self_join_skew_profile, EV.SELF_JOIN_SKEW_PROFILE_SQL, ("join", "skew", "diagnostics", "planner")),
+    "grid_density_clusters": QuerySpec(GQ.grid_density_clusters, GQ.GRID_DENSITY_CLUSTERS_SQL, ("geo", "clustering", "dbscan", "graph")),
+    "shapley_channel_attribution": QuerySpec(EV.shapley_channel_attribution, EV.SHAPLEY_CHANNEL_ATTRIBUTION_SQL, ("causal", "attribution", "shapley", "coalition")),
+    "qini_uplift_curve": QuerySpec(EV.qini_uplift_curve, EV.QINI_UPLIFT_CURVE_SQL, ("causal", "uplift", "qini", "experiment")),
+    "corpus_report_card": QuerySpec(NS.corpus_report_card, NS.CORPUS_REPORT_CARD_SQL, ("capstone", "training-data", "report", "summary")),
+    "t_closeness_audit": QuerySpec(TQ.t_closeness_audit, TQ.T_CLOSENESS_AUDIT_SQL, ("privacy", "t-closeness", "emd", "audit")),
+    "graph_feature_propagation": QuerySpec(TQ.graph_feature_propagation, TQ.GRAPH_FEATURE_PROPAGATION_SQL, ("graph", "gnn", "feature-propagation", "integer-exact")),
+    "cuped_adjusted_lift": QuerySpec(EV.cuped_adjusted_lift, EV.CUPED_ADJUSTED_LIFT_SQL, ("experiment", "cuped", "variance-reduction", "covariate")),
+    "did_estimate": QuerySpec(EV.did_estimate, EV.DID_ESTIMATE_SQL, ("causal", "difference-in-differences", "quasi-experiment")),
+    "ipw_outcome_estimate": QuerySpec(EV.ipw_outcome_estimate, EV.IPW_OUTCOME_ESTIMATE_SQL, ("causal", "ipw", "propensity", "ordered-fold")),
+    "rdd_value_threshold": QuerySpec(EV.rdd_value_threshold, EV.RDD_VALUE_THRESHOLD_SQL, ("causal", "regression-discontinuity", "local-linear", "integer-exact")),
+    "covariate_balance_smd": QuerySpec(EV.covariate_balance_smd, EV.COVARIATE_BALANCE_SMD_SQL, ("experiment", "balance", "smd", "randomization-check")),
+    # --- (b) ADVICE-fix carrier (1; the other two fixed queries are in (a)) ---
+    "ecod_outlier_scores": QuerySpec(EV.ecod_outlier_scores, EV.ECOD_OUTLIER_SCORES_SQL, ("anomaly", "ecod", "ecdf", "prefix-sum")),
+    # --- (c) round-5 coda (10) ---
+    "session_gap_sensitivity": QuerySpec(EV.session_gap_sensitivity, EV.SESSION_GAP_SENSITIVITY_SQL, ("sessionize", "sensitivity", "parameter-tuning", "diagnostics")),
+    "cvar_expected_shortfall": QuerySpec(EV.cvar_expected_shortfall, EV.CVAR_EXPECTED_SHORTFALL_SQL, ("risk", "cvar", "expected-shortfall", "prefix-sum")),
+    "lpa_modularity": QuerySpec(TQ.lpa_modularity, TQ.LPA_MODULARITY_SQL, ("graph", "modularity", "community-quality", "lpa")),
+    "poisson_burst_hours": QuerySpec(EV.poisson_burst_hours, EV.POISSON_BURST_HOURS_SQL, ("anomaly", "poisson", "burst", "chernoff")),
+    "heaps_law_fit": QuerySpec(NS.heaps_law_fit, NS.HEAPS_LAW_FIT_SQL, ("text", "vocabulary", "heaps-law", "prefix-sum")),
+    "fightin_words_tokens": QuerySpec(NS.fightin_words_tokens, NS.FIGHTIN_WORDS_TOKENS_SQL, ("text", "log-odds", "dirichlet", "source-attribution")),
+    "missing_partition_audit": QuerySpec(EV.missing_partition_audit, EV.MISSING_PARTITION_AUDIT_SQL, ("maintenance", "backfill", "gaps-and-islands", "audit")),
+    "nelson_aalen_hazard": QuerySpec(EV.nelson_aalen_hazard, EV.NELSON_AALEN_HAZARD_SQL, ("survival", "nelson-aalen", "hazard", "censoring")),
+    "source_mmd_hashed": QuerySpec(NS.source_mmd_hashed, NS.SOURCE_MMD_HASHED_SQL, ("text", "drift", "mmd", "hashed-features")),
+    "selectivity_estimate_audit": QuerySpec(EV.selectivity_estimate_audit, EV.SELECTIVITY_ESTIMATE_AUDIT_SQL, ("planner", "cardinality", "selectivity", "diagnostics")),
+    # --- (d) oldest never-graded (21) ---
+    "ab_test_welch": QuerySpec(EV.ab_test_welch, EV.AB_TEST_WELCH_SQL, ("experiment", "welch", "ab-test", "integer-exact")),
+    "holt_smoothing_per_user": QuerySpec(EV.holt_smoothing_per_user, EV.HOLT_SMOOTHING_PER_USER_SQL, ("timeseries", "holt", "sequential-fold")),
+    "label_centroid_similarity": QuerySpec(NS.label_centroid_similarity, NS.LABEL_CENTROID_SIMILARITY_SQL, ("embedding", "centroid", "class-geometry", "integer-exact")),
+    "chi2_type_weekday": QuerySpec(EV.chi2_type_weekday, EV.CHI2_TYPE_WEEKDAY_SQL, ("quality", "chi-square", "independence", "contingency")),
+    "rolling_7d_distinct_users": QuerySpec(EV.rolling_7d_distinct_users, EV.ROLLING_7D_DISTINCT_USERS_SQL, ("window", "distinct", "sliding", "contribution-explode")),
+    "minhash_eval_pr": QuerySpec(NS.minhash_eval_pr, NS.MINHASH_EVAL_PR_SQL, ("dedup", "evaluation", "precision-recall", "lsh")),
+    "stream_topk_types_per_window": QuerySpec(NS.stream_topk_types_per_window, NS.STREAM_TOPK_TYPES_PER_WINDOW_SQL, ("streaming", "topk", "lambda-seam")),
+    "multimodal_arrow_entropy": QuerySpec(NS.multimodal_arrow_entropy, NS.MULTIMODAL_ARROW_ENTROPY_SQL, ("multimodal", "arrow", "map-in-arrow", "entropy")),
+    "quantile_sample_det": QuerySpec(EV.quantile_sample_det, EV.QUANTILE_SAMPLE_DET_SQL, ("sketch", "quantile", "sampling", "deterministic")),
+    "dp_noisy_type_counts": QuerySpec(EV.dp_noisy_type_counts, EV.DP_NOISY_TYPE_COUNTS_SQL, ("privacy", "dp", "laplace", "deterministic")),
+    "observed_scan_metrics": QuerySpec(EV.observed_scan_metrics, EV.OBSERVED_SCAN_METRICS_SQL, ("observability", "metrics", "observe-api")),
+    "kaplan_meier_conversion": QuerySpec(EV.kaplan_meier_churn, EV.KAPLAN_MEIER_CHURN_SQL, ("survival", "kaplan-meier", "censoring", "conversion")),
+    "association_rules_brands": QuerySpec(TQ.association_rules_brands, TQ.ASSOCIATION_RULES_BRANDS_SQL, ("market-basket", "association-rules", "lift")),
+    "nb_source_classifier": QuerySpec(NS.nb_source_classifier, NS.NB_SOURCE_CLASSIFIER_SQL, ("ml", "naive-bayes", "classifier", "confusion-matrix")),
+    "theil_sen_daily_trend": QuerySpec(EV.theil_sen_daily_trend, EV.THEIL_SEN_DAILY_TREND_SQL, ("timeseries", "robust", "theil-sen", "trend")),
+    "knn_label_eval": QuerySpec(NS.knn_label_eval, NS.KNN_LABEL_EVAL_SQL, ("ml", "knn", "embedding", "confusion-matrix")),
+    "row_provenance_files": QuerySpec(EV.row_provenance_files, EV.ROW_PROVENANCE_FILES_SQL, ("lineage", "provenance", "input-file")),
+    "cohort_ltv_curve": QuerySpec(EV.cohort_ltv_curve, EV.COHORT_LTV_CURVE_SQL, ("cohort", "ltv", "running-sum")),
+    "split_revenue_attribution": QuerySpec(EV.split_revenue_attribution, EV.SPLIT_REVENUE_ATTRIBUTION_SQL, ("attribution", "multi-touch", "largest-remainder", "integer-exact")),
+    "degree_assortativity": QuerySpec(TQ.degree_assortativity, TQ.DEGREE_ASSORTATIVITY_SQL, ("graph", "assortativity", "integer-exact")),
+    "source_vocab_kl": QuerySpec(NS.source_vocab_kl, NS.SOURCE_VOCAB_KL_SQL, ("text", "kl-divergence", "data-mixing", "drift")),
+    # --- streaming regression guard (6): streaming silently broke at
+    # r2 HEAD; these keep every micro-batch/watermark/stream-join path
+    # under the driver gate ---
+    "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),
+    "stream_session_stats": QuerySpec(NS.stream_session_stats, NS.STREAM_SESSION_STATS_SQL, ("streaming", "session-window")),
+    "stream_running_max": QuerySpec(NS.stream_running_max, NS.STREAM_RUNNING_MAX_SQL, ("streaming", "stateful", "pandas-udf")),
+    "stream_enriched_value": QuerySpec(NS.stream_enriched_value, NS.STREAM_ENRICHED_VALUE_SQL, ("streaming", "stream-static-join")),
+    "stream_attribution_pairs": QuerySpec(NS.stream_attribution_pairs, NS.STREAM_ATTRIBUTION_PAIRS_SQL, ("streaming", "stream-stream-join", "interval-join")),
+    "stream_attribution_left": QuerySpec(NS.stream_attribution_left, NS.STREAM_ATTRIBUTION_LEFT_SQL, ("streaming", "stream-stream-join", "outer-join", "watermark")),
+}
+
+_BACKLOG: dict[str, QuerySpec] = {
+    # --- round-5 green, displaced by the r6 rotation (all hold a
+    # CORRECTNESS_r05.json full-oracle PASS) ---
     "event_lateness_profile": QuerySpec(EV.event_lateness_profile, EV.EVENT_LATENESS_PROFILE_SQL, ("streaming", "watermark", "lateness", "profiling")),
     "value_psi_drift": QuerySpec(EV.value_psi_drift, EV.VALUE_PSI_DRIFT_SQL, ("quality", "psi", "drift", "monitoring")),
     "pareto_frontier_orders": QuerySpec(TQ.pareto_frontier_orders, TQ.PARETO_FRONTIER_ORDERS_SQL, ("window", "skyline", "pareto", "range-frame")),
@@ -138,7 +210,6 @@ _WINDOW: dict[str, QuerySpec] = {
     "pareto_8020_customers": QuerySpec(TQ.pareto_8020_customers, TQ.PARETO_8020_CUSTOMERS_SQL, ("inequality", "pareto", "concentration")),
     "abc_part_classification": QuerySpec(TQ.abc_part_classification, TQ.ABC_PART_CLASSIFICATION_SQL, ("inventory", "abc", "pareto", "integer-exact")),
     "supplier_scorecard": QuerySpec(TQ.supplier_scorecard, TQ.SUPPLIER_SCORECARD_SQL, ("bi", "scorecard", "composite-rank")),
-    # --- (b) never-graded families named in VERDICT r4 (9) ---
     "media_phash_near_dup": QuerySpec(NS.media_phash_near_dup, NS.MEDIA_PHASH_NEAR_DUP_SQL, ("multimodal", "dedup", "phash", "hamming")),
     "brand_communities_lpa": QuerySpec(TQ.brand_communities_lpa, TQ.BRAND_COMMUNITIES_LPA_SQL, ("graph", "community", "lpa", "deterministic")),
     "kcore_purchase_graph": QuerySpec(TQ.kcore_purchase_graph, TQ.KCORE_PURCHASE_GRAPH_SQL, ("graph", "kcore", "iterative", "deterministic")),
@@ -148,7 +219,6 @@ _WINDOW: dict[str, QuerySpec] = {
     "cf_ndcg_backtest": QuerySpec(TQ.cf_ndcg_backtest, TQ.CF_NDCG_BACKTEST_SQL, ("ml-eval", "ndcg", "recommender", "backtest")),
     "point_in_polygon_zones": QuerySpec(GQ.point_in_polygon_zones, GQ.POINT_IN_POLYGON_ZONES_SQL, ("geo", "geofence", "ray-casting", "point-in-polygon")),
     "user_series_dtw_nn": QuerySpec(EV.user_series_dtw_nn, EV.USER_SERIES_DTW_NN_SQL, ("timeseries", "dtw", "similarity", "pandas-udf")),
-    # --- (c) more never-graded full-oracle entries (19) ---
     "cluster_safe_split_audit": QuerySpec(NS.cluster_safe_split_audit, NS.CLUSTER_SAFE_SPLIT_AUDIT_SQL, ("ml-prep", "split", "leakage", "graph")),
     "decontaminate_embedding_cosine": QuerySpec(NS.decontaminate_embedding_cosine, NS.DECONTAMINATE_EMBEDDING_COSINE_SQL, ("dedup", "decontamination", "embedding", "cross-corpus")),
     "hashed_embedding_knn": QuerySpec(NS.hashed_embedding_knn, NS.HASHED_EMBEDDING_KNN_SQL, ("ann", "hashing-trick", "sparse-cosine", "text-embedding")),
@@ -162,15 +232,6 @@ _WINDOW: dict[str, QuerySpec] = {
     "media_ppm_decode_stats": QuerySpec(NS.media_ppm_decode_stats, NS.MEDIA_PPM_DECODE_STATS_SQL, ("multimodal", "real-codec", "ppm", "arrow")),
     "media_wav_decode_stats": QuerySpec(NS.media_wav_decode_stats, NS.MEDIA_WAV_DECODE_STATS_SQL, ("multimodal", "real-codec", "wav", "audio", "arrow")),
     "media_avi_frame_stats": QuerySpec(NS.media_avi_frame_stats, NS.MEDIA_AVI_FRAME_STATS_SQL, ("multimodal", "real-codec", "avi", "video", "frame-sample")),
-    # --- round-5 NEW queries (7), displacing 7 of the 8 r4-proven batch
-    # keeps (each displaced entry holds a CORRECTNESS_r04.json green row):
-    # exact_value_quantiles -> winnow_overlap_pairs,
-    # hits_hubs_authorities -> ann_pq_det,
-    # ece_calibration_bins -> decontaminate_minhash_cross,
-    # data_mix_waterfill -> hll_det_daily_users,
-    # quality_ensemble_vote -> doc_lm_kneser_ney,
-    # dedup_survivor_selection -> semdedup_prune,
-    # shard_lpt_plan -> pagerank_det.
     "exact_value_quantiles": QuerySpec(EV.exact_value_quantiles, EV.EXACT_VALUE_QUANTILES_SQL, ("quantile", "exact", "prefix-sum", "distributed-selection")),
     "hits_hubs_authorities": QuerySpec(TQ.hits_hubs_authorities, TQ.HITS_HUBS_AUTHORITIES_SQL, ("graph", "iterative", "hits", "fixed-point", "deterministic")),
     "ece_calibration_bins": QuerySpec(EV.ece_calibration_bins, EV.ECE_CALIBRATION_BINS_SQL, ("ml", "calibration", "ece", "reliability")),
@@ -178,44 +239,16 @@ _WINDOW: dict[str, QuerySpec] = {
     "quality_ensemble_vote": QuerySpec(NS.quality_ensemble_vote, NS.QUALITY_ENSEMBLE_VOTE_SQL, ("quality", "ensemble", "ablation", "filter")),
     "dedup_survivor_selection": QuerySpec(NS.dedup_survivor_selection, NS.DEDUP_SURVIVOR_SELECTION_SQL, ("dedup", "survivorship", "clusters")),
     "shard_lpt_plan": QuerySpec(NS.shard_lpt_plan, NS.SHARD_LPT_PLAN_SQL, ("training-data", "sharding", "lpt", "balance")),
-    # --- round-5 session-2 NEW queries (4), displacing 4 group-(c)
-    # rotations back to the backlog (benjamini_hochberg_fdr ->
-    # mann_whitney_variants, ngram_coverage_curve -> kaplan_meier_conversion,
-    # mutual_nn_bitext_pairs -> dau_mau_stickiness,
-    # embedding_int8_quantize_stats -> hhi_brand_concentration; the
-    # displaced four stay locally re-verified and return in r6):
     "benjamini_hochberg_fdr": QuerySpec(EV.benjamini_hochberg_fdr, EV.BENJAMINI_HOCHBERG_FDR_SQL, ("experiment", "fdr", "multiple-testing", "bh")),
     "ngram_coverage_curve": QuerySpec(NS.ngram_coverage_curve, NS.NGRAM_COVERAGE_CURVE_SQL, ("text", "vocabulary", "coverage", "prefix-sum")),
     "mutual_nn_bitext_pairs": QuerySpec(NS.mutual_nn_bitext_pairs, NS.MUTUAL_NN_BITEXT_PAIRS_SQL, ("similarity", "mutual-nn", "bitext", "alignment")),
     "embedding_int8_quantize_stats": QuerySpec(NS.embedding_int8_quantize_stats, NS.EMBEDDING_INT8_QUANTIZE_STATS_SQL, ("embedding", "quantization", "int8", "compression")),
-    # --- round-5 session-3 NEW queries (2), displacing 2 group-(c)
-    # rotations whose families already hold window slots this round
-    # (soundex_word_groups -> decontamination_report [decon family:
-    # decontaminate_embedding_cosine stays], partition_compaction_plan
-    # -> degree_assortativity [graph family: clustering_coefficient,
-    # kcore, lpa, textrank, hits stay]); both return in r6:
     "soundex_word_groups": QuerySpec(TQ.soundex_word_groups, TQ.SOUNDEX_WORD_GROUPS_SQL, ("linkage", "phonetic", "soundex", "blocking")),
     "partition_compaction_plan": QuerySpec(EV.partition_compaction_plan, EV.PARTITION_COMPACTION_PLAN_SQL, ("maintenance", "compaction", "prefix-sum", "platform")),
-    # --- round-5 session-3: stream_upsert_scd1 (foreachBatch SCD1 upsert
-    # over the generation-pointer commit protocol — the one streaming sink
-    # topology with no driver row) displaces er_golden_record, the last
-    # r4-proven batch keep (r4-green; returns in r6): ---
     "stream_upsert_scd1": QuerySpec(NS.stream_upsert_scd1, NS.STREAM_UPSERT_SCD1_SQL, ("streaming", "foreachbatch", "scd1", "upsert", "commit-protocol")),
-    # --- streaming regression guard (6): streaming silently broke at
-    # r2 HEAD; these keep every micro-batch/watermark/stream-join path
-    # under the driver gate ---
-    "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),
-    "stream_session_stats": QuerySpec(NS.stream_session_stats, NS.STREAM_SESSION_STATS_SQL, ("streaming", "session-window")),
-    "stream_running_max": QuerySpec(NS.stream_running_max, NS.STREAM_RUNNING_MAX_SQL, ("streaming", "stateful", "pandas-udf")),
-    "stream_enriched_value": QuerySpec(NS.stream_enriched_value, NS.STREAM_ENRICHED_VALUE_SQL, ("streaming", "stream-static-join")),
-    "stream_attribution_pairs": QuerySpec(NS.stream_attribution_pairs, NS.STREAM_ATTRIBUTION_PAIRS_SQL, ("streaming", "stream-stream-join", "interval-join")),
-    "stream_attribution_left": QuerySpec(NS.stream_attribution_left, NS.STREAM_ATTRIBUTION_LEFT_SQL, ("streaming", "stream-stream-join", "outer-join", "watermark")),
-}
-
-_BACKLOG: dict[str, QuerySpec] = {
+    "stream_upsert_scd1": QuerySpec(NS.stream_upsert_scd1, NS.STREAM_UPSERT_SCD1_SQL, ("streaming", "foreachbatch", "scd1", "upsert", "commit-protocol")),
     # --- round-5 session-4 NEW (never graded; first candidates for the
     # r6 window rotation) ------------------------------------------------
-    "self_join_skew_profile": QuerySpec(EV.self_join_skew_profile, EV.SELF_JOIN_SKEW_PROFILE_SQL, ("join", "skew", "diagnostics", "planner")),
     "neyman_allocation_plan": QuerySpec(EV.neyman_allocation_plan, EV.NEYMAN_ALLOCATION_PLAN_SQL, ("sampling", "stratified", "neyman", "design")),
     "lang_id_confusion": QuerySpec(NS.lang_id_confusion, NS.LANG_ID_CONFUSION_SQL, ("text", "lang-id", "eval", "confusion-matrix")),
     "hash_collision_audit": QuerySpec(NS.hash_collision_audit, NS.HASH_COLLISION_AUDIT_SQL, ("ml", "feature-hashing", "collision", "audit")),
@@ -223,49 +256,27 @@ _BACKLOG: dict[str, QuerySpec] = {
     "markov_trigram_entropy": QuerySpec(EV.markov_trigram_entropy, EV.MARKOV_TRIGRAM_ENTROPY_SQL, ("sequence", "markov", "second-order", "entropy")),
     "woe_value_bins": QuerySpec(EV.woe_value_bins, EV.WOE_VALUE_BINS_SQL, ("ml", "woe", "information-value", "binning")),
     "churn_label_windows": QuerySpec(EV.churn_label_windows, EV.CHURN_LABEL_WINDOWS_SQL, ("ml", "label-engineering", "churn", "leakage-safe")),
-    "grid_density_clusters": QuerySpec(GQ.grid_density_clusters, GQ.GRID_DENSITY_CLUSTERS_SQL, ("geo", "clustering", "dbscan", "graph")),
-    "qini_uplift_curve": QuerySpec(EV.qini_uplift_curve, EV.QINI_UPLIFT_CURVE_SQL, ("causal", "uplift", "qini", "experiment")),
     "isotonic_calibration_bins": QuerySpec(EV.isotonic_calibration_bins, EV.ISOTONIC_CALIBRATION_BINS_SQL, ("ml", "calibration", "isotonic", "pav")),
-    "shapley_channel_attribution": QuerySpec(EV.shapley_channel_attribution, EV.SHAPLEY_CHANNEL_ATTRIBUTION_SQL, ("causal", "attribution", "shapley", "coalition")),
     "user_sequence_edit_nn": QuerySpec(EV.user_sequence_edit_nn, EV.USER_SEQUENCE_EDIT_NN_SQL, ("sequence", "edit-distance", "levenshtein", "blocking")),
     "lang_id_cohens_kappa": QuerySpec(NS.lang_id_cohens_kappa, NS.LANG_ID_COHENS_KAPPA_SQL, ("text", "lang-id", "eval", "kappa")),
     "daily_revenue_changepoint": QuerySpec(EV.daily_revenue_changepoint, EV.DAILY_REVENUE_CHANGEPOINT_SQL, ("timeseries", "changepoint", "binary-segmentation", "integer-exact")),
     "newsvendor_brand_quantiles": QuerySpec(TQ.newsvendor_brand_quantiles, TQ.NEWSVENDOR_BRAND_QUANTILES_SQL, ("ops", "newsvendor", "quantile", "inventory")),
-    "corpus_report_card": QuerySpec(NS.corpus_report_card, NS.CORPUS_REPORT_CARD_SQL, ("capstone", "training-data", "report", "summary")),
-    "t_closeness_audit": QuerySpec(TQ.t_closeness_audit, TQ.T_CLOSENESS_AUDIT_SQL, ("privacy", "t-closeness", "emd", "audit")),
     "ts_delta_compression_estimate": QuerySpec(EV.ts_delta_compression_estimate, EV.TS_DELTA_COMPRESSION_ESTIMATE_SQL, ("storage", "compression", "gorilla", "timeseries")),
-    "graph_feature_propagation": QuerySpec(TQ.graph_feature_propagation, TQ.GRAPH_FEATURE_PROPAGATION_SQL, ("graph", "gnn", "feature-propagation", "integer-exact")),
     "eb_shrunk_conversion": QuerySpec(EV.eb_shrunk_conversion, EV.EB_SHRUNK_CONVERSION_SQL, ("stats", "empirical-bayes", "shrinkage", "beta-binomial")),
     "laspeyres_price_index": QuerySpec(TQ.laspeyres_price_index, TQ.LASPEYRES_PRICE_INDEX_SQL, ("econ", "price-index", "laspeyres", "integer-exact")),
-    "cuped_adjusted_lift": QuerySpec(EV.cuped_adjusted_lift, EV.CUPED_ADJUSTED_LIFT_SQL, ("experiment", "cuped", "variance-reduction", "covariate")),
     "sprt_conversion_monitor": QuerySpec(EV.sprt_conversion_monitor, EV.SPRT_CONVERSION_MONITOR_SQL, ("experiment", "sprt", "sequential", "wald")),
     "croston_intermittent_forecast": QuerySpec(TQ.croston_intermittent_forecast, TQ.CROSTON_INTERMITTENT_FORECAST_SQL, ("forecast", "croston", "intermittent", "sequential-fold")),
-    "ecod_outlier_scores": QuerySpec(EV.ecod_outlier_scores, EV.ECOD_OUTLIER_SCORES_SQL, ("anomaly", "ecod", "ecdf", "prefix-sum")),
     "semdedup_silhouette": QuerySpec(NS.semdedup_silhouette, NS.SEMDEDUP_SILHOUETTE_SQL, ("dedup", "semantic", "silhouette", "cluster-quality")),
     "circular_hour_stats": QuerySpec(EV.circular_hour_stats, EV.CIRCULAR_HOUR_STATS_SQL, ("stats", "circular", "diurnal", "integer-exact")),
     "kendall_tau_daily": QuerySpec(EV.kendall_tau_daily, EV.KENDALL_TAU_DAILY_SQL, ("stats", "kendall", "rank-correlation", "tie-corrected")),
     "haar_energy_daily": QuerySpec(EV.haar_energy_daily, EV.HAAR_ENERGY_DAILY_SQL, ("timeseries", "wavelet", "haar", "multi-resolution")),
     "jackknife_daily_mean": QuerySpec(EV.jackknife_daily_mean, EV.JACKKNIFE_DAILY_MEAN_SQL, ("stats", "jackknife", "resampling-free", "exact")),
     "chapman_population_estimate": QuerySpec(EV.chapman_population_estimate, EV.CHAPMAN_POPULATION_ESTIMATE_SQL, ("stats", "capture-recapture", "chapman", "population")),
-    "selectivity_estimate_audit": QuerySpec(EV.selectivity_estimate_audit, EV.SELECTIVITY_ESTIMATE_AUDIT_SQL, ("planner", "cardinality", "selectivity", "diagnostics")),
-    "covariate_balance_smd": QuerySpec(EV.covariate_balance_smd, EV.COVARIATE_BALANCE_SMD_SQL, ("experiment", "balance", "smd", "randomization-check")),
-    "source_mmd_hashed": QuerySpec(NS.source_mmd_hashed, NS.SOURCE_MMD_HASHED_SQL, ("text", "drift", "mmd", "hashed-features")),
-    "nelson_aalen_hazard": QuerySpec(EV.nelson_aalen_hazard, EV.NELSON_AALEN_HAZARD_SQL, ("survival", "nelson-aalen", "hazard", "censoring")),
-    "missing_partition_audit": QuerySpec(EV.missing_partition_audit, EV.MISSING_PARTITION_AUDIT_SQL, ("maintenance", "backfill", "gaps-and-islands", "audit")),
-    "fightin_words_tokens": QuerySpec(NS.fightin_words_tokens, NS.FIGHTIN_WORDS_TOKENS_SQL, ("text", "log-odds", "dirichlet", "source-attribution")),
-    "heaps_law_fit": QuerySpec(NS.heaps_law_fit, NS.HEAPS_LAW_FIT_SQL, ("text", "vocabulary", "heaps-law", "prefix-sum")),
-    "poisson_burst_hours": QuerySpec(EV.poisson_burst_hours, EV.POISSON_BURST_HOURS_SQL, ("anomaly", "poisson", "burst", "chernoff")),
-    "lpa_modularity": QuerySpec(TQ.lpa_modularity, TQ.LPA_MODULARITY_SQL, ("graph", "modularity", "community-quality", "lpa")),
-    "cvar_expected_shortfall": QuerySpec(EV.cvar_expected_shortfall, EV.CVAR_EXPECTED_SHORTFALL_SQL, ("risk", "cvar", "expected-shortfall", "prefix-sum")),
-    "rdd_value_threshold": QuerySpec(EV.rdd_value_threshold, EV.RDD_VALUE_THRESHOLD_SQL, ("causal", "regression-discontinuity", "local-linear", "integer-exact")),
-    "session_gap_sensitivity": QuerySpec(EV.session_gap_sensitivity, EV.SESSION_GAP_SENSITIVITY_SQL, ("sessionize", "sensitivity", "parameter-tuning", "diagnostics")),
     # --- rotated out of the window in round 5 — each holds a
     # CORRECTNESS_r04.json full-oracle green row -------------------------
     "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),
     "decontamination_report": QuerySpec(NS.decontamination_report, NS.DECONTAMINATION_REPORT_SQL, ("dedup", "decontamination", "report", "capstone")),
-    "degree_assortativity": QuerySpec(TQ.degree_assortativity, TQ.DEGREE_ASSORTATIVITY_SQL, ("graph", "assortativity", "integer-exact")),
     "mann_whitney_variants": QuerySpec(EV.mann_whitney_variants, EV.MANN_WHITNEY_VARIANTS_SQL, ("experiment", "mann-whitney", "nonparametric", "rank-test")),
-    "kaplan_meier_conversion": QuerySpec(EV.kaplan_meier_churn, EV.KAPLAN_MEIER_CHURN_SQL, ("survival", "kaplan-meier", "censoring", "conversion")),
     "dau_mau_stickiness": QuerySpec(EV.dau_mau_stickiness, EV.DAU_MAU_STICKINESS_SQL, ("engagement", "stickiness", "contribution-explode")),
     "hhi_brand_concentration": QuerySpec(TQ.hhi_brand_concentration, TQ.HHI_BRAND_CONCENTRATION_SQL, ("inequality", "hhi", "market-structure")),
     "winnow_overlap_pairs": QuerySpec(NS.winnow_overlap_pairs, NS.WINNOW_OVERLAP_PAIRS_SQL, ("dedup", "winnowing", "moss")),
@@ -428,25 +439,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "winnow_fingerprints": QuerySpec(NS.winnow_fingerprints, NS.WINNOW_FINGERPRINTS_SQL, ("dedup", "fingerprint", "winnowing")),
     "incremental_orders_agg": QuerySpec(TQ.incremental_orders_agg, TQ.INCREMENTAL_ORDERS_AGG_SQL, ("cdc", "ivm", "delta")),
     "perplexity_filter": QuerySpec(NS.perplexity_filter, NS.PERPLEXITY_FILTER_SQL, ("text", "quality", "perplexity", "percentile")),
-    "ab_test_welch": QuerySpec(EV.ab_test_welch, EV.AB_TEST_WELCH_SQL, ("experiment", "welch", "ab-test", "integer-exact")),
-    "holt_smoothing_per_user": QuerySpec(EV.holt_smoothing_per_user, EV.HOLT_SMOOTHING_PER_USER_SQL, ("timeseries", "holt", "sequential-fold")),
-    "label_centroid_similarity": QuerySpec(NS.label_centroid_similarity, NS.LABEL_CENTROID_SIMILARITY_SQL, ("embedding", "centroid", "class-geometry", "integer-exact")),
-    "rolling_7d_distinct_users": QuerySpec(EV.rolling_7d_distinct_users, EV.ROLLING_7D_DISTINCT_USERS_SQL, ("window", "distinct", "sliding", "contribution-explode")),
-    "chi2_type_weekday": QuerySpec(EV.chi2_type_weekday, EV.CHI2_TYPE_WEEKDAY_SQL, ("quality", "chi-square", "independence", "contingency")),
-    "stream_topk_types_per_window": QuerySpec(NS.stream_topk_types_per_window, NS.STREAM_TOPK_TYPES_PER_WINDOW_SQL, ("streaming", "topk", "lambda-seam")),
-    "minhash_eval_pr": QuerySpec(NS.minhash_eval_pr, NS.MINHASH_EVAL_PR_SQL, ("dedup", "evaluation", "precision-recall", "lsh")),
-    "multimodal_arrow_entropy": QuerySpec(NS.multimodal_arrow_entropy, NS.MULTIMODAL_ARROW_ENTROPY_SQL, ("multimodal", "arrow", "map-in-arrow", "entropy")),
-    "quantile_sample_det": QuerySpec(EV.quantile_sample_det, EV.QUANTILE_SAMPLE_DET_SQL, ("sketch", "quantile", "sampling", "deterministic")),
-    "dp_noisy_type_counts": QuerySpec(EV.dp_noisy_type_counts, EV.DP_NOISY_TYPE_COUNTS_SQL, ("privacy", "dp", "laplace", "deterministic")),
-    "observed_scan_metrics": QuerySpec(EV.observed_scan_metrics, EV.OBSERVED_SCAN_METRICS_SQL, ("observability", "metrics", "observe-api")),
-    "nb_source_classifier": QuerySpec(NS.nb_source_classifier, NS.NB_SOURCE_CLASSIFIER_SQL, ("ml", "naive-bayes", "classifier", "confusion-matrix")),
-    "association_rules_brands": QuerySpec(TQ.association_rules_brands, TQ.ASSOCIATION_RULES_BRANDS_SQL, ("market-basket", "association-rules", "lift")),
-    "theil_sen_daily_trend": QuerySpec(EV.theil_sen_daily_trend, EV.THEIL_SEN_DAILY_TREND_SQL, ("timeseries", "robust", "theil-sen", "trend")),
-    "knn_label_eval": QuerySpec(NS.knn_label_eval, NS.KNN_LABEL_EVAL_SQL, ("ml", "knn", "embedding", "confusion-matrix")),
-    "row_provenance_files": QuerySpec(EV.row_provenance_files, EV.ROW_PROVENANCE_FILES_SQL, ("lineage", "provenance", "input-file")),
-    "split_revenue_attribution": QuerySpec(EV.split_revenue_attribution, EV.SPLIT_REVENUE_ATTRIBUTION_SQL, ("attribution", "multi-touch", "largest-remainder", "integer-exact")),
-    "cohort_ltv_curve": QuerySpec(EV.cohort_ltv_curve, EV.COHORT_LTV_CURVE_SQL, ("cohort", "ltv", "running-sum")),
-    "source_vocab_kl": QuerySpec(NS.source_vocab_kl, NS.SOURCE_VOCAB_KL_SQL, ("text", "kl-divergence", "data-mixing", "drift")),
     "conformal_value_interval": QuerySpec(EV.conformal_value_interval, EV.CONFORMAL_VALUE_INTERVAL_SQL, ("ml", "conformal", "prediction-interval", "order-statistic")),
     "pca_top_component": QuerySpec(NS.pca_top_component, NS.PCA_TOP_COMPONENT_SQL, ("ml", "pca", "power-iteration", "integer-exact", "deterministic")),
     "activity_streak_histogram": QuerySpec(EV.activity_streak_histogram, EV.ACTIVITY_STREAK_HISTOGRAM_SQL, ("window", "gaps-and-islands", "streak", "engagement")),
@@ -480,8 +472,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "revenue_waterfall": QuerySpec(TQ.revenue_waterfall, TQ.REVENUE_WATERFALL_SQL, ("finance", "waterfall", "reconciliation", "integer-exact")),
     "supplier_customer_dependency": QuerySpec(TQ.supplier_customer_dependency, TQ.SUPPLIER_CUSTOMER_DEPENDENCY_SQL, ("risk", "concentration", "argmax")),
     "sample_representativeness_audit": QuerySpec(EV.sample_representativeness_audit, EV.SAMPLE_REPRESENTATIVENESS_AUDIT_SQL, ("sampling", "audit", "representativeness")),
-    "did_estimate": QuerySpec(EV.did_estimate, EV.DID_ESTIMATE_SQL, ("causal", "difference-in-differences", "quasi-experiment")),
-    "ipw_outcome_estimate": QuerySpec(EV.ipw_outcome_estimate, EV.IPW_OUTCOME_ESTIMATE_SQL, ("causal", "ipw", "propensity", "ordered-fold")),
     "value_tail_ratio": QuerySpec(EV.value_tail_ratio, EV.VALUE_TAIL_RATIO_SQL, ("robust-stats", "tail", "order-statistic")),
     "first_touch_attribution": QuerySpec(EV.first_touch_attribution, EV.FIRST_TOUCH_ATTRIBUTION_SQL, ("attribution", "first-touch", "argmin")),
     "user_activity_histogram": QuerySpec(EV.user_activity_histogram, EV.USER_ACTIVITY_HISTOGRAM_SQL, ("engagement", "histogram", "power-of-two", "skew")),
