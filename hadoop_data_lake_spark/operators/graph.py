@@ -309,9 +309,23 @@ def pagerank_intexact(
     the integer divisions introduce is deterministic and bounded by
     n*iters/scale total mass, irrelevant for ranking at scale=1e12.
 
-    Shapes per iteration: one equi-join (edges x ranks, shuffled on src) +
-    one agg on dst + a one-row dangling-mass aggregate broadcast back — the
-    same distributed sparse mat-vec as the float path, localCheckpoint-ed
+    Shapes per iteration (round-6 tightening — identical integer results,
+    fewer exchanges; localCheckpoint does NOT preserve partitioning
+    metadata in this Spark version — Scan ExistingRDD reports unknown
+    partitioning — so the win comes from restructuring, not exchange
+    reuse): the contribution join ships only NON-dangling ranks (a
+    dangling node by definition contributes no edge mass — its rank
+    enters through the scalar dangling sum — and in a bipartite purchase
+    graph that halves the shuffled rank volume), the per-node update is
+    a UNION, not a join: nodes with in-edges get their new rank straight
+    from the dst-grouped aggregate (whose rows carry the static
+    `dst_dang` flag as a grouping key), nodes with zero in-degree (a
+    static, checkpointed set; never dangling since they appear as edge
+    sources) get the closed-form s=0 rank from the broadcast dangling
+    scalar. Per round: the edges-x-ranks join + one groupBy(dst) + a
+    one-row filter-aggregate — the previous shape also paid a
+    SortMergeJoin against the full node list and re-aggregated
+    out-degrees for an anti-join every round. localCheckpoint per round
     so round N never re-executes rounds 1..N-1.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
@@ -321,37 +335,66 @@ def pagerank_intexact(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+    )
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # per-edge static metadata: source out-degree + whether the TARGET is
+    # dangling (no out-edges) — carried through the dst aggregation so the
+    # new ranks frame needs no join to recover the flag.
+    contrib_base = (
+        e.join(out_deg, "src")
+        .join(
+            out_deg.select(F.col("src").alias("dst"), F.lit(True).alias("has_out")),
+            "dst",
+            "left",
+        )
+        .select("src", "dst", "deg", F.col("has_out").isNull().alias("dst_dang"))
         .localCheckpoint(eager=True)
     )
-    n = nodes.count()  # bounded driver scalar (node count only)
-    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    contrib_base = e.join(out_deg, "src").localCheckpoint(eager=True)
+    # static zero-in-degree set (appear only as sources => have out-edges
+    # => never dangling); their per-round rank is closed-form (s = 0).
+    zero_in = (
+        nodes.join(e.select(F.col("dst").alias("node")).distinct(), "node", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    nodes_f = nodes.join(out_deg, nodes["node"] == out_deg["src"], "left").select(
+        "node", F.col("deg").isNull().alias("dang")
+    )
+    n = nodes_f.count()  # bounded driver scalar (node count only)
     base = (100 - damping_pct) * (scale // n) // 100
 
-    ranks = nodes.withColumn("rank", F.lit(scale // n)).localCheckpoint(eager=True)
+    ranks = nodes_f.withColumn("rank", F.lit(scale // n)).localCheckpoint(eager=True)
     for _ in range(iters):
         in_sum = (
-            contrib_base.join(ranks, F.col("src") == F.col("node"))
-            .select(F.col("dst"), F.expr("rank div deg").alias("c"))
-            .groupBy("dst")
+            contrib_base.join(
+                ranks.where(~F.col("dang")), F.col("src") == F.col("node")
+            )
+            .select(F.col("dst"), F.col("dst_dang"), F.expr("rank div deg").alias("c"))
+            .groupBy("dst", "dst_dang")
             .agg(F.sum("c").alias("s"))
         )
-        dang = (
-            ranks.join(out_deg, F.col("node") == F.col("src"), "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dsum"))
+        dang = ranks.where("dang").agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).alias("dsum")
+        )
+        new_rank = F.lit(base) + F.expr(
+            f"({damping_pct} * (coalesce(s, cast(0 as bigint))"
+            f" + (dsum div {n}))) div 100"
         )
         ranks = (
-            nodes.join(in_sum, F.col("node") == F.col("dst"), "left")
-            .crossJoin(F.broadcast(dang))
+            in_sum.crossJoin(F.broadcast(dang))
             .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_pct} * (coalesce(s, cast(0 as bigint))"
-                        f" + (dsum div {n}))) div 100"
-                    )
-                ).alias("rank"),
+                F.col("dst").alias("node"),
+                F.col("dst_dang").alias("dang"),
+                new_rank.alias("rank"),
+            )
+            .unionByName(
+                zero_in.crossJoin(F.broadcast(dang)).select(
+                    "node",
+                    F.lit(False).alias("dang"),
+                    (
+                        F.lit(base)
+                        + F.expr(f"({damping_pct} * (dsum div {n})) div 100")
+                    ).alias("rank"),
+                )
             )
             .localCheckpoint(eager=True)
         )
