@@ -1304,12 +1304,18 @@ def events_partitioned_range(
     """
     from hadoop_data_lake_spark.core.io import read_partitioned
 
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+
     ev = read_partitioned(spark, root, "date", start, end)
     return (
         ev.groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # integer-cents sum, one final division: a raw double sum is
+            # partition-order dependent in the low bits
+            (F.sum(to_units(F.col("value"))).cast("double") / F.lit(100.0)).alias(
+                "sum_value"
+            ),
             F.countDistinct("user_id").alias("n_users"),
         )
         .orderBy("event_type")
@@ -1471,10 +1477,38 @@ SELECT vertex, count(*) AS n_triangles FROM corners GROUP BY vertex
 def value_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type z-score outlier flags (|z| >= 3): group stats via one
     aggregation broadcast back onto the rows — the standard two-pass
-    robust-stats screen (value_mad is the median sibling)."""
+    robust-stats screen (value_mad is the median sibling). Moments
+    accumulate as INTEGER cents (sum and sum-of-squares in
+    decimal(38,0)); mean and sample stddev come from one closed-form
+    double expression per group, so the stats — and the rounded z at the
+    |z| = 3 boundary — are partition-order independent."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+
     ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    stats = ev.groupBy("event_type").agg(
-        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    c = to_units(F.col("value"))
+    stats = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum(c.cast("decimal(38,0)")).alias("sc"),
+            F.sum((c * c).cast("decimal(38,0)")).alias("sq"),
+        )
+        .select(
+            "event_type",
+            (F.col("sc").cast("double") / (F.lit(100.0) * F.col("n"))).alias("mu"),
+            (
+                F.sqrt(
+                    (
+                        F.col("sq").cast("double")
+                        - F.col("sc").cast("double")
+                        * F.col("sc").cast("double")
+                        / F.col("n")
+                    )
+                    / (F.col("n") - 1)
+                )
+                / F.lit(100.0)
+            ).alias("sd"),
+        )
     )
     return (
         ev.join(F.broadcast(stats), "event_type")
@@ -1485,9 +1519,17 @@ def value_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 VALUE_OUTLIERS_ZSCORE_SQL = """
-WITH stats AS (
-  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+WITH m AS (
+  SELECT event_type, count(value)::bigint AS n,
+         sum(round(value * 100)::bigint)::hugeint AS sc,
+         sum((round(value * 100)::bigint * round(value * 100)::bigint))::hugeint AS sq
   FROM events GROUP BY event_type
+),
+stats AS (
+  SELECT event_type,
+         sc::double / (100.0 * n) AS mu,
+         sqrt((sq::double - sc::double * sc::double / n) / (n - 1)) / 100.0 AS sd
+  FROM m
 )
 SELECT e.event_id, e.event_type, e.value,
        round((e.value - s.mu) / s.sd, 6) AS z
@@ -1552,7 +1594,11 @@ def user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     how long it remained current (lead ts - ts; the final observation gets
     zero weight — half-open interval convention). The duration-weighted
     mean financial tickers call TWAP; one window + one aggregation on the
-    user shuffle."""
+    user shuffle. The weighted sum accumulates INTEGER cents x micros in
+    decimal(38,0) — summing `value * dur_us` doubles across rows is
+    partition-order dependent (the class the repo's integer-quantization
+    rule exists to prevent); one double division at the end."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
     from pyspark.sql import Window
 
     ev = read_table(spark, sf_dir, "events").select(
@@ -1563,12 +1609,25 @@ def user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = ev.withColumn("dur_us", dur).where(
         F.col("dur_us").isNotNull() & F.col("value").isNotNull()
     )
-    return weighted.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_obs"),
-        F.sum("dur_us").alias("total_dur_us"),
-        F.round(
-            F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 6
-        ).alias("twap"),
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("dur_us").alias("total_dur_us"),
+            F.sum(
+                (to_units(F.col("value")) * F.col("dur_us")).cast("decimal(38,0)")
+            ).alias("swc"),
+        )
+        .select(
+            "user_id",
+            "n_obs",
+            "total_dur_us",
+            F.round(
+                F.col("swc").cast("double")
+                / (F.lit(100.0) * F.col("total_dur_us").cast("double")),
+                6,
+            ).alias("twap"),
+        )
     )
 
 
@@ -1581,7 +1640,8 @@ WITH w AS (
   FROM events
 )
 SELECT user_id, count(*) AS n_obs, sum(dur_us)::bigint AS total_dur_us,
-       round(sum(value * dur_us) / sum(dur_us), 6) AS twap
+       round(sum(round(value * 100)::bigint * dur_us)::double
+             / (100.0 * sum(dur_us)::double), 6) AS twap
 FROM w
 WHERE dur_us IS NOT NULL AND value IS NOT NULL
 GROUP BY user_id

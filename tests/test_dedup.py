@@ -114,9 +114,7 @@ def test_minhash_candidates_cover_exact_pairs(docs):
         (r["doc_a"], r["doc_b"])
         for r in ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.3).collect()
     }
-    # LSH with 8 bands x 2 rows on 16 hashes is highly recall-biased at 0.3
-    assert got <= exact or got >= {(1, 2)}
-    # and every reported pair is a true >= threshold pair (verified re-rank)
+    # every reported pair is a true >= threshold pair (verified re-rank)
     assert got <= exact
 
 
