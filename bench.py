@@ -391,6 +391,21 @@ def run_scale_tier(spark, base_dir: str) -> dict:
         best = dt if best is None else min(best, dt)
     out.setdefault("jaccard_pairs_prefix", {})["t3x"] = round(best, 3)
     print(f"# scale jaccard_pairs_prefix 3x: {best:.3f}s ({rows} rows)", file=sys.stderr)
+    # 3-point curve for k-core peeling — the graph op closest to the bound
+    # in r6 (2.14x at 10x): per-round degree aggregation + two semi-joins
+    # are linear in edges, so a flat 3x point distinguishes fixed per-round
+    # job overhead from a super-linear escape.
+    from hadoop_data_lake_spark.operators.graph import kcore_peel
+
+    edges3 = _scaled_edges(spark, base_dir, 3)
+    best = None
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        rows = kcore_peel(edges3, k=4, peels=3).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    out.setdefault("kcore_peel_3r", {})["t3x"] = round(best, 3)
+    print(f"# scale kcore_peel_3r 3x: {best:.3f}s ({rows} rows)", file=sys.stderr)
     for name, d in out.items():
         if d.get("t1x", 0) > 0:
             d["ratio"] = round(d[f"t{SCALE_MULT}x"] / d["t1x"], 2)

@@ -491,8 +491,13 @@ def kmeans_fit_assign(
     per row) + one aggregation (per-cell per-position mean via posexplode,
     k x dim rows to the driver). Centroids round-trip through the driver
     each iteration — the standard mini-state pattern; the full dataset
-    never leaves executors.
+    never leaves executors. The input frame is materialized ONCE before
+    the loop (Lloyd's re-reads it every iteration: without the checkpoint
+    each of the max_iter rounds re-executes the upstream scan/projection
+    pipeline — the iterative-loop rule from connected_components applies
+    here too).
     """
+    df = df.localCheckpoint(eager=True)
     sample = (
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
         .orderBy(F.col("__id").asc())
