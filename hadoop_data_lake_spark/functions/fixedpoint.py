@@ -47,3 +47,16 @@ def avg_fixed_sql(expr: str, scale: int = 2) -> str:
         f"(cast(sum(cast(round({expr} * {10**scale}) as bigint)) as double)"
         f" / (count({expr}) * {float(10**scale)}))"
     )
+
+
+def dprod(a: Column, b: Column) -> Column:
+    """Overflow-safe integer product for moment sums: both operands cast
+    to decimal(18,0) so the product (decimal(37,0)) and its sum
+    (decimal(38,0)) stay EXACT at any scale. A bigint product/sum chain
+    overflows at ~9.2e18 — reached by cents^2 or ppm^2 moments well
+    inside the 100 TB row counts this engine designs for — and Spark's
+    ANSI mode turns that into a runtime error while DuckDB silently
+    auto-widens to hugeint: the decimal path keeps both engines exact
+    and identical. Downstream code casts the aggregate to double once,
+    as with any integer moment."""
+    return a.cast("decimal(18,0)") * b.cast("decimal(18,0)")

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_data_lake_spark.core.io import read_table
-from hadoop_data_lake_spark.functions.fixedpoint import to_units
+from hadoop_data_lake_spark.functions.fixedpoint import dprod, to_units
 from hadoop_data_lake_spark.operators.aggregates import pivot_counts
 from hadoop_data_lake_spark.operators.asof import asof_join
 from hadoop_data_lake_spark.operators.joins import banded_range_self_join
@@ -905,11 +905,11 @@ def value_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(u).alias("sum_units"),
-        F.sum(u * u).alias("sumsq_units"),
+        F.sum(dprod(u, u)).alias("sumsq_units"),
     )
     mean = F.col("sum_units") / F.col("n") / 100.0
     var = (
-        F.col("sumsq_units") / F.col("n") / 10000.0
+        F.col("sumsq_units").cast("double") / F.col("n") / 10000.0
         - (F.col("sum_units") / F.col("n") / 100.0) * (F.col("sum_units") / F.col("n") / 100.0)
     )
     return agg.select(
@@ -2325,9 +2325,9 @@ def autocorr_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(dprod(F.col("x"), F.col("y"))).alias("sxy"),
+        F.sum(dprod(F.col("x"), F.col("x"))).alias("sxx"),
+        F.sum(dprod(F.col("y"), F.col("y"))).alias("syy"),
     )
     num = (
         F.col("n").cast("double") * F.col("sxy").cast("double")
@@ -2414,7 +2414,7 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom = per_user.groupBy("event_type", "variant").agg(
         F.count("*").alias("n"),
         F.sum("user_total").alias("s"),
-        F.sum(F.col("user_total") * F.col("user_total")).alias("ssq"),
+        F.sum(dprod(F.col("user_total"), F.col("user_total"))).alias("ssq"),
     )
     a = mom.where(F.col("variant") == 0).select(
         "event_type",
@@ -4256,9 +4256,9 @@ def ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+        F.sum(dprod(F.col("x"), F.col("y"))).alias("sxy"),
+        F.sum(dprod(F.col("x"), F.col("x"))).alias("sxx"),
+        F.sum(dprod(F.col("y"), F.col("y"))).alias("syy"),
     )
     n = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
@@ -4319,7 +4319,7 @@ def fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom = hourly.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("c").alias("s"),
-        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.sum(dprod(F.col("c"), F.col("c"))).alias("ss"),
     )
     n = F.col("n").cast("double")
     mean = F.col("s").cast("double") / n
@@ -4890,9 +4890,9 @@ def type_comovement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("ya").alias("sa"),
         F.sum("yb").alias("sb"),
-        F.sum(F.col("ya") * F.col("yb")).alias("sab"),
-        F.sum(F.col("ya") * F.col("ya")).alias("saa"),
-        F.sum(F.col("yb") * F.col("yb")).alias("sbb"),
+        F.sum(dprod(F.col("ya"), F.col("yb"))).alias("sab"),
+        F.sum(dprod(F.col("ya"), F.col("ya"))).alias("saa"),
+        F.sum(dprod(F.col("yb"), F.col("yb"))).alias("sbb"),
     )
     n = F.col("n").cast("double")
     num = n * F.col("sab").cast("double") - F.col("sa").cast("double") * F.col(
@@ -5974,12 +5974,12 @@ def ols_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("d").alias("sd"),
         F.sum("w").alias("sw"),
-        F.sum(F.col("d") * F.col("d")).alias("sdd"),
-        F.sum(F.col("d") * F.col("w")).alias("sdw"),
-        F.sum(F.col("w") * F.col("w")).alias("sww"),
+        F.sum(dprod(F.col("d"), F.col("d"))).alias("sdd"),
+        F.sum(dprod(F.col("d"), F.col("w"))).alias("sdw"),
+        F.sum(dprod(F.col("w"), F.col("w"))).alias("sww"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("d") * F.col("y")).alias("sdy"),
-        F.sum(F.col("w") * F.col("y")).alias("swy"),
+        F.sum(dprod(F.col("d"), F.col("y"))).alias("sdy"),
+        F.sum(dprod(F.col("w"), F.col("y"))).alias("swy"),
     )
 
     def det3(a1, a2, a3, b1, b2, b3, c1, c2, c3):
@@ -6376,7 +6376,7 @@ def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("cents").alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).alias("ssq"),
+        F.sum(dprod(F.col("cents"), F.col("cents"))).alias("ssq"),
     )
     sd = F.sqrt(
         (
@@ -7197,17 +7197,21 @@ def daily_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cents").alias("y"))
     )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    # y^2 overflows bigint once daily totals pass ~3e9 cents; square and
+    # accumulate in decimal (exact at any SF), one double conversion at
+    # the SSE expressions.
+    yd = F.col("y").cast("decimal(18,0)")
     pre = daily.select(
         "day",
         "y",
         F.count("*").over(w).alias("k"),
         F.sum("y").over(w).alias("cs"),
-        F.sum(F.col("y") * F.col("y")).over(w).alias("css"),
+        F.sum(yd * yd).over(w).alias("css"),
     )
     tot = daily.agg(
         F.count("*").alias("n"),
         F.sum("y").alias("ts"),
-        F.sum(F.col("y") * F.col("y")).alias("tss"),
+        F.sum(yd * yd).alias("tss"),
     )
     cand = pre.crossJoin(F.broadcast(tot)).where(F.col("k") < F.col("n"))
     sse_l = F.col("css").cast("double") - (
@@ -7257,12 +7261,13 @@ pre AS (
   SELECT day, y,
          count(*) OVER w::bigint AS k,
          sum(y) OVER w::bigint AS cs,
-         sum(y * y) OVER w::bigint AS css
+         sum(y::hugeint * y::hugeint) OVER w AS css
   FROM daily
   WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ),
 tot AS (
-  SELECT count(*)::bigint AS n, sum(y)::bigint AS ts_, sum(y * y)::bigint AS tss
+  SELECT count(*)::bigint AS n, sum(y)::bigint AS ts_,
+         sum(y::hugeint * y::hugeint) AS tss
   FROM daily
 ),
 scored AS (
@@ -7386,7 +7391,7 @@ def eb_shrunk_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom = quant.agg(
         F.count("*").alias("u"),
         F.sum("r_ppm").alias("s1"),
-        F.sum(F.col("r_ppm") * F.col("r_ppm")).alias("s2"),
+        F.sum(dprod(F.col("r_ppm"), F.col("r_ppm"))).alias("s2"),
     ).select(
         (F.col("s1").cast("double") / F.col("u").cast("double") / 1e6).alias("m1"),
         (
@@ -7489,9 +7494,9 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("u"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(dprod(F.col("x"), F.col("y"))).alias("sxy"),
+        F.sum(dprod(F.col("x"), F.col("x"))).alias("sxx"),
+        F.sum(dprod(F.col("y"), F.col("y"))).alias("syy"),
     )
     u = F.col("u").cast("double")
     cov = F.col("sxy").cast("double") / u - (
@@ -8043,8 +8048,10 @@ def jackknife_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with theta_bar = s/n exactly when theta_i is linear in y_i. Keep the
     # quadratic in integers: sum (theta_i - s/n)^2
     #   = sum ((s - y_i)/(n-1) - s/n)^2 = sum ((s - n*y_i)/(n*(n-1)))^2.
-    dev = (F.col("s") - F.col("n") * F.col("y")).cast("double")
-    var = F.sum(dev * dev)  # exact: dev is an integer-valued double per day
+    # dev^2 exceeds 2^53 once daily totals pass ~1e8 cents, so the square
+    # and its sum stay in decimal (exact); ONE double conversion at the end.
+    dev = (F.col("s") - F.col("n") * F.col("y")).cast("decimal(18,0)")
+    var = F.sum(dev * dev).cast("double")
     out = j.groupBy("n", "s").agg(var.alias("ssq"))
     n = F.col("n").cast("double")
     jk_var = (n - 1.0) / n * F.col("ssq") / (n * n * (n - 1.0) * (n - 1.0))
@@ -8062,8 +8069,9 @@ WITH daily AS (
 ),
 tot AS (SELECT count(*)::bigint AS n, sum(y)::bigint AS s FROM daily),
 dev AS (
-  SELECT tot.n, tot.s, sum(((tot.s - tot.n * d.y)::double)
-                           * ((tot.s - tot.n * d.y)::double)) AS ssq
+  SELECT tot.n, tot.s,
+         sum((tot.s - tot.n * d.y)::hugeint
+             * (tot.s - tot.n * d.y)::hugeint)::double AS ssq
   FROM daily d, tot GROUP BY tot.n, tot.s
 )
 SELECT n AS n_days,
@@ -8102,7 +8110,16 @@ def chapman_population_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (n2 - m)
         / ((m + 1.0) * (m + 1.0) * (m + 2.0))
     )
-    rows = [(n1, n2, m, round(est, 6), round(var ** 0.5, 6))]
+
+    def round_half_up(x: float, nd: int = 6) -> float:
+        # Python round() is banker's rounding; DuckDB/Spark round
+        # HALF_UP on positives — match them for driver-built rows.
+        import math
+
+        f = 10 ** nd
+        return math.floor(x * f + 0.5) / f
+
+    rows = [(n1, n2, m, round_half_up(est), round_half_up(var ** 0.5))]
     return spark.createDataFrame(
         rows, "n_first BIGINT, n_second BIGINT, n_both BIGINT, chapman_r DOUBLE, se_r DOUBLE"
     )
@@ -8639,8 +8656,8 @@ def rdd_value_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("m"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(dprod(F.col("x"), F.col("y"))).alias("sxy"),
+        F.sum(dprod(F.col("x"), F.col("x"))).alias("sxx"),
     )
     m = F.col("m").cast("double")
     slope = (

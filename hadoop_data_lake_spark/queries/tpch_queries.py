@@ -24,6 +24,7 @@ from hadoop_data_lake_spark.core.io import read_table
 from hadoop_data_lake_spark.functions.fixedpoint import (
     avg_fixed,
     avg_fixed_sql,
+    dprod,
     sum_fixed,
     sum_fixed_sql,
     to_units,
@@ -2826,9 +2827,9 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("m"),
         F.sum("da").alias("sa"),
         F.sum("db").alias("sb"),
-        F.sum(F.col("da") * F.col("db")).alias("sab"),
-        F.sum(F.col("da") * F.col("da")).alias("saa"),
-        F.sum(F.col("db") * F.col("db")).alias("sbb"),
+        F.sum(dprod(F.col("da"), F.col("db"))).alias("sab"),
+        F.sum(dprod(F.col("da"), F.col("da"))).alias("saa"),
+        F.sum(dprod(F.col("db"), F.col("db"))).alias("sbb"),
     )
     num = (
         F.col("m").cast("double") * F.col("sab").cast("double")
@@ -2900,7 +2901,7 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom = ranked.agg(
         F.count("*").alias("n"),
         F.sum("cents").alias("sx"),
-        F.sum(F.col("i") * F.col("cents")).alias("six"),
+        F.sum(dprod(F.col("i"), F.col("cents"))).alias("six"),
     )
     g = (
         2.0 * F.col("six").cast("double")
@@ -5085,8 +5086,8 @@ def laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy("month")
         .agg(
             F.count("*").alias("n_brands"),
-            F.sum(F.col("up") * F.col("q0")).alias("num"),
-            F.sum(F.col("up0") * F.col("q0")).alias("den"),
+            F.sum(dprod(F.col("up"), F.col("q0"))).alias("num"),
+            F.sum(dprod(F.col("up0"), F.col("q0"))).alias("den"),
         )
         .select(
             F.col("month").cast("string").alias("month"),
