@@ -4998,7 +4998,7 @@ FROM per_type p, totals t
 
 
 def did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Difference-in-differences: the change in mean user-day value from
+    """Difference-in-differences: the change in mean per-event value from
     the first to the second half of the window, compared between the
     hash variants — DiD = (B_post - B_pre) - (A_post - A_pre), the
     quasi-experimental estimate that nets out the common time trend a
@@ -6953,6 +6953,12 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coalitions contribute their v=0 terms (efficiency axiom).
     chans = sorted(r["channel"] for r in channels.collect())
     k = len(chans)
+    if k > 6:
+        raise ValueError(
+            f"shapley_channel_attribution: {k} channels exceeds the 2^6 "
+            "lattice bound this query (and its SQL oracle's 63-mask "
+            "generate_series) is built for"
+        )
     fact = [1, 1, 2, 6, 24, 120, 720]
     lattice = spark.createDataFrame(
         [
@@ -8267,7 +8273,7 @@ def covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom = melted.groupBy("covariate", "v").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("s"),
-        F.sum(F.col("x") * F.col("x")).alias("ssq"),
+        F.sum(dprod(F.col("x"), F.col("x"))).alias("ssq"),
     )
     a = mom.where(F.col("v") == 0).select(
         "covariate", F.col("n").alias("n0"), F.col("s").alias("s0"),

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from hadoop_data_lake_spark.core.io import read_table
 from hadoop_data_lake_spark.functions import text as TX
+from hadoop_data_lake_spark.functions.fixedpoint import dprod
 from hadoop_data_lake_spark.functions.hashing import md5_60bit_sql, salted_md5_60bit_sql
 from hadoop_data_lake_spark.functions.vectors import cosine_sql
 from hadoop_data_lake_spark.operators import dedup as DD
@@ -5777,7 +5778,7 @@ def lang_id_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pe_num = (
         tm.join(pm, tm["t"] == pm["p"])
-        .agg(F.sum(F.col("nt") * F.col("np")).alias("pe_num"))
+        .agg(F.sum(dprod(F.col("nt"), F.col("np"))).alias("pe_num"))
     )
     j = tot.crossJoin(F.broadcast(pe_num))
     po = F.col("agree").cast("double") / F.col("n").cast("double")
