@@ -6009,7 +6009,12 @@ def source_mmd_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding of hashed_embedding_knn), and MMD^2 with the linear kernel
     is just |mean_vec(source) - mean_vec(rest)|^2 — computable entirely
     from per-dimension INTEGER count sums, no pairwise kernel matrix, no
-    sampling. Per source: document counts and the rounded MMD against
+    sampling. The sum runs over the FULL source x observed-dim lattice
+    (sources x 64, both bounded): a dim where a source has zero tokens
+    still contributes (0 - mean_rest)^2, which a join on observed
+    (source, dim) pairs alone would silently drop (the Shapley
+    missing-terms class). Per source: document counts and the rounded
+    MMD against
     its complement, ranked so the most distribution-shifted sources
     surface first (the source-level drift gate a mixing pipeline runs
     before re-weighting). One explode pass, one (source, dim) aggregate,
@@ -6024,9 +6029,10 @@ def source_mmd_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", (md5_60bit(F.col("token")) % 64).alias("dim"))
     per_src_dim = toks.groupBy("source", "dim").agg(F.count("*").alias("c"))
     per_dim = per_src_dim.groupBy("dim").agg(F.sum("c").alias("ct"))
+    lattice = n_per_src.crossJoin(F.broadcast(per_dim))
     j = (
-        per_src_dim.join(F.broadcast(per_dim), "dim")
-        .join(F.broadcast(n_per_src), "source")
+        lattice.join(F.broadcast(per_src_dim), ["source", "dim"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
         .crossJoin(F.broadcast(tot_docs))
     )
     mean_src = F.col("c").cast("double") / F.col("nd").cast("double")
@@ -6063,16 +6069,17 @@ per_src_dim AS (
   SELECT source, dim, count(*)::bigint AS c FROM toks GROUP BY source, dim
 ),
 per_dim AS (SELECT dim, sum(c)::bigint AS ct FROM per_src_dim GROUP BY dim),
+-- full source x observed-dim lattice: zero-count cells still contribute
 j AS (
-  SELECT s.source, n.nd, t.ntot,
-         round((s.c::double / n.nd::double
-                - (p.ct - s.c)::double / (t.ntot - n.nd)::double)
-               * (s.c::double / n.nd::double
-                  - (p.ct - s.c)::double / (t.ntot - n.nd)::double) * 1e6, 0)::bigint
+  SELECT n.source, n.nd, t.ntot,
+         round((coalesce(s.c, 0)::double / n.nd::double
+                - (p.ct - coalesce(s.c, 0))::double / (t.ntot - n.nd)::double)
+               * (coalesce(s.c, 0)::double / n.nd::double
+                  - (p.ct - coalesce(s.c, 0))::double / (t.ntot - n.nd)::double) * 1e6, 0)::bigint
            AS d_um
-  FROM per_src_dim s
-  JOIN per_dim p ON s.dim = p.dim
-  JOIN n_per_src n ON s.source = n.source
+  FROM n_per_src n
+  CROSS JOIN per_dim p
+  LEFT JOIN per_src_dim s ON s.source = n.source AND s.dim = p.dim
   CROSS JOIN tot t
 )
 SELECT source, min(nd)::bigint AS n_docs,
