@@ -3902,11 +3902,14 @@ def ks_test_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_data_lake_spark.functions.hashing import md5_60bit
     from pyspark.sql import Window
 
+    # NULL values are excluded: KS is defined over observed values, and
+    # a NULL ordering key in a RANGE frame sorts NULLS FIRST in Spark
+    # but NULLS LAST in DuckDB — a latent cross-engine divergence.
     ev = read_table(spark, sf_dir, "events").select(
         "event_type",
         (md5_60bit(F.col("user_id").cast("string")) % 2).alias("variant"),
         to_units(F.col("value")).alias("cents"),
-    )
+    ).where(F.col("cents").isNotNull())
     w = (
         Window.partitionBy("event_type")
         .orderBy("cents")
@@ -3938,7 +3941,7 @@ WITH ev AS (
   SELECT event_type,
          {_md5_sql("user_id::varchar")} % 2 AS variant,
          round(value * 100)::bigint AS cents
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 counted AS (
   SELECT event_type, variant, cents,
