@@ -2694,8 +2694,12 @@ def minhash_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from band collisions (the production path) vs all true pairs from the
     naive index (feasible at eval scale; its max_df=None mode exists
     exactly for this). One summary row: candidate/true-positive counts,
-    precision and recall — the measure-don't-guess loop every dedup
-    deployment needs before trusting a banding config. Pair frames join on
+    precision and recall. Because the production path VERIFIES every
+    band collision with exact Jaccard before emitting, precision is 1.0
+    by construction (the oracle row asserts it rather than assumes it);
+    the informative number is RECALL — the band-miss rate of the
+    16-hash/4-band config — the measure-don't-guess loop every dedup
+    deployment needs before trusting a banding choice. Pair frames join on
     canonical (doc_a < doc_b) keys; counts are integers, the two ratios a
     single rounded division each."""
     from hadoop_data_lake_spark.operators import dedup as DD
