@@ -1478,11 +1478,16 @@ def value_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type z-score outlier flags (|z| >= 3): group stats via one
     aggregation broadcast back onto the rows — the standard two-pass
     robust-stats screen (value_mad is the median sibling). Moments
-    accumulate as INTEGER cents (sum and sum-of-squares in
-    decimal(38,0)); mean and sample stddev come from one closed-form
-    double expression per group, so the stats — and the rounded z at the
-    |z| = 3 boundary — are partition-order independent."""
-    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    accumulate as INTEGER cents; the sum-of-squares uses dprod (operands
+    widened to decimal BEFORE the multiply — a bigint cents^2 per-row
+    product overflows at |value| > ~3e7 and only the post-hoc cast was
+    decimal); mean and sample stddev come from one closed-form double
+    expression per group, so the stats — and the rounded z at the
+    |z| = 3 boundary — are partition-order independent. Singleton groups
+    (n = 1) get a NULL sd via nullif(n-1, 0) — sqrt(0/0) is NaN, which
+    Spark orders ABOVE every number, so the old expression flagged the
+    lone row as its own outlier."""
+    from hadoop_data_lake_spark.functions.fixedpoint import dprod, to_units
 
     ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     c = to_units(F.col("value"))
@@ -1491,7 +1496,7 @@ def value_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("value").alias("n"),
             F.sum(c.cast("decimal(38,0)")).alias("sc"),
-            F.sum((c * c).cast("decimal(38,0)")).alias("sq"),
+            F.sum(dprod(c, c)).alias("sq"),
         )
         .select(
             "event_type",
@@ -1504,7 +1509,7 @@ def value_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * F.col("sc").cast("double")
                         / F.col("n")
                     )
-                    / (F.col("n") - 1)
+                    / F.expr("nullif(n - 1, 0)")
                 )
                 / F.lit(100.0)
             ).alias("sd"),
@@ -1522,13 +1527,14 @@ VALUE_OUTLIERS_ZSCORE_SQL = """
 WITH m AS (
   SELECT event_type, count(value)::bigint AS n,
          sum(round(value * 100)::bigint)::hugeint AS sc,
-         sum((round(value * 100)::bigint * round(value * 100)::bigint))::hugeint AS sq
+         sum(round(value * 100)::hugeint * round(value * 100)::hugeint) AS sq
   FROM events GROUP BY event_type
 ),
 stats AS (
   SELECT event_type,
          sc::double / (100.0 * n) AS mu,
-         sqrt((sq::double - sc::double * sc::double / n) / (n - 1)) / 100.0 AS sd
+         sqrt((sq::double - sc::double * sc::double / n)
+              / nullif(n - 1, 0)) / 100.0 AS sd
   FROM m
 )
 SELECT e.event_id, e.event_type, e.value,
@@ -1594,11 +1600,15 @@ def user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     how long it remained current (lead ts - ts; the final observation gets
     zero weight — half-open interval convention). The duration-weighted
     mean financial tickers call TWAP; one window + one aggregation on the
-    user shuffle. The weighted sum accumulates INTEGER cents x micros in
-    decimal(38,0) — summing `value * dur_us` doubles across rows is
-    partition-order dependent (the class the repo's integer-quantization
-    rule exists to prevent); one double division at the end."""
-    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    user shuffle. The weighted sum accumulates INTEGER cents x micros via
+    dprod (operands widened to decimal BEFORE the multiply — a bigint
+    cents x micros per-row product overflows at ~9.2e18, reachable by a
+    large value held over a multi-hour gap; the old code only cast the
+    already-overflowed product) — summing `value * dur_us` doubles across
+    rows is partition-order dependent (the class the repo's
+    integer-quantization rule exists to prevent); one double division at
+    the end."""
+    from hadoop_data_lake_spark.functions.fixedpoint import dprod, to_units
     from pyspark.sql import Window
 
     ev = read_table(spark, sf_dir, "events").select(
@@ -1614,9 +1624,7 @@ def user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_obs"),
             F.sum("dur_us").alias("total_dur_us"),
-            F.sum(
-                (to_units(F.col("value")) * F.col("dur_us")).cast("decimal(38,0)")
-            ).alias("swc"),
+            F.sum(dprod(to_units(F.col("value")), F.col("dur_us"))).alias("swc"),
         )
         .select(
             "user_id",
@@ -1640,7 +1648,7 @@ WITH w AS (
   FROM events
 )
 SELECT user_id, count(*) AS n_obs, sum(dur_us)::bigint AS total_dur_us,
-       round(sum(round(value * 100)::bigint * dur_us)::double
+       round(sum(round(value * 100)::hugeint * dur_us::hugeint)::double
              / (100.0 * sum(dur_us)::double), 6) AS twap
 FROM w
 WHERE dur_us IS NOT NULL AND value IS NOT NULL

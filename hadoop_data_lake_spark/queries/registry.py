@@ -246,7 +246,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "soundex_word_groups": QuerySpec(TQ.soundex_word_groups, TQ.SOUNDEX_WORD_GROUPS_SQL, ("linkage", "phonetic", "soundex", "blocking")),
     "partition_compaction_plan": QuerySpec(EV.partition_compaction_plan, EV.PARTITION_COMPACTION_PLAN_SQL, ("maintenance", "compaction", "prefix-sum", "platform")),
     "stream_upsert_scd1": QuerySpec(NS.stream_upsert_scd1, NS.STREAM_UPSERT_SCD1_SQL, ("streaming", "foreachbatch", "scd1", "upsert", "commit-protocol")),
-    "stream_upsert_scd1": QuerySpec(NS.stream_upsert_scd1, NS.STREAM_UPSERT_SCD1_SQL, ("streaming", "foreachbatch", "scd1", "upsert", "commit-protocol")),
     # --- round-5 session-4 NEW (never graded; first candidates for the
     # r6 window rotation) ------------------------------------------------
     "neyman_allocation_plan": QuerySpec(EV.neyman_allocation_plan, EV.NEYMAN_ALLOCATION_PLAN_SQL, ("sampling", "stratified", "neyman", "design")),
