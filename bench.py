@@ -12,6 +12,7 @@ JVM/codegen startup isn't billed to the first query.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -33,6 +34,19 @@ from hadoop_data_lake_spark.queries.registry import REGISTRY
 # `headline_frozen_total` over THIS set is THE tracked number in BASELINE.md;
 # the set does not grow. Everything else times under HEADLINE_EXTRAS.
 # ---------------------------------------------------------------------------
+# Control set for cross-round normalization (VERDICT r6 item 6): four
+# flat-history queries whose plans have not changed since round 3; their
+# geomean vs the FROZEN r3 absolutes measures box-wide drift (co-tenant
+# load, thermal state) so per-query ratios can be read through it instead
+# of re-running a manual adjudication (tools/adjudicate_bench.py) each
+# round. r3 absolutes from BENCH_r03.json (sf0.1, this box).
+CONTROL_R3_ABSOLUTES = {
+    "zone_report": 0.649,
+    "ann_brute_force": 0.780,
+    "embedding_near_dup": 1.024,
+    "dedup_clusters_minhash": 2.829,
+}
+
 HEADLINE_FROZEN = [
     "zone_report",
     "nearest_city",
@@ -484,12 +498,27 @@ def main() -> None:
         + timings["events_partitioned_range"],
         3,
     )
+    # Box-drift control: geomean of (this run / r3 absolute) over the four
+    # flat-history controls. Read every cross-round ratio THROUGH this
+    # number (a query at 1.4x under a 1.4x control is flat in real terms).
+    ratios = [
+        timings[n] / r3
+        for n, r3 in CONTROL_R3_ABSOLUTES.items()
+        if timings.get(n)
+    ]
+    control_inflation = (
+        round(math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3)
+        if ratios
+        else None
+    )
     payload = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "headline_frozen_total": frozen_total,
         "headline_frozen": HEADLINE_FROZEN + ["events_partitioned_range"],
+        "control_inflation": control_inflation,
+        "control_set": list(CONTROL_R3_ABSOLUTES),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "scale_check": {
@@ -516,6 +545,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "headline_frozen_total": frozen_total,
+        "control_inflation": control_inflation,
         "n_queries": len(timings),
         "sf": payload["sf"],
         "detail": "bench_detail.json",

@@ -605,6 +605,113 @@ def ivf_kmeans_topk(
     )
 
 
+def _det_ivf_centroids_int(nlist: int, dim: int, mag: int) -> "np.ndarray":
+    """(nlist, dim) int64 Rademacher centroid matrix from the portable md5
+    hash — no RNG state, regenerable by any engine:
+
+        centroid(c, d) = +mag if the 60-bit md5 prefix of "ivf|c|d" is
+        even else -mag
+
+    ("ivf|" namespaces the keys away from the SRP planes' "p|d" and the PQ
+    codebooks' "j|c|d".) Sign vectors of CONSTANT magnitude make every
+    centroid's squared norm identical (dim * mag^2), so nearest-centroid by
+    L2 over the quantized vectors reduces to max inner product — assignment
+    depends only on the vector's DIRECTION, which keeps the cell partition
+    balanced instead of letting a small-norm centroid capture everything.
+    mag defaults to scale/sqrt(dim) so centroid components sit
+    at the typical magnitude of floor(x*scale)-quantized unit-vector
+    components."""
+    import hashlib
+
+    def sgn(c: int, d: int) -> int:
+        h = int(hashlib.md5(f"ivf|{c}|{d}".encode()).hexdigest()[:15], 16)
+        return mag if h % 2 == 0 else -mag
+
+    return np.array(
+        [[sgn(c, d) for d in range(dim)] for c in range(nlist)], dtype=np.int64
+    )
+
+
+def _ivf_det_cells_udf(nlist: int, dim: int, scale: int, n: int, mag: int):
+    """Arrow-batched Pandas UDF: embedding -> the `n` nearest deterministic
+    centroids (cell ids, nearest first), computed ENTIRELY in int64 —
+    floor(x*scale) quantization, exact integer matmul, ties to the smaller
+    cell id (np.argsort stable keeps ascending-c order on equal distance) —
+    so a SQL oracle replays assignment and probing bit-for-bit. n=1 is
+    corpus assignment; n=nprobe is query probing."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cents = _det_ivf_centroids_int(nlist, dim, mag)  # (nlist, dim) int64
+    c_sq = (cents * cents).sum(axis=1)  # constant vector, kept for exactness
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def cells(v: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        q = np.floor(mat * scale).astype(np.int64)
+        d = (q * q).sum(axis=1)[:, None] - 2 * (q @ cents.T) + c_sq[None, :]
+        order = np.argsort(d, axis=1, kind="stable").astype(np.int32)
+        return pd.Series(list(order[:, :n]))
+
+    return cells
+
+
+def ivf_det_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 2,
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fully deterministic IVF top-k — the oracle-checkable sibling of
+    ivf_topk/ivf_kmeans_topk (ann_lsh_det / ann_pq_det precedent): the
+    coarse quantizer is the md5-Rademacher centroid matrix instead of
+    k-means, so a DuckDB oracle regenerates the identical cell assignment,
+    probe set, candidates, and ranking. Search shape is real IVF: one
+    Arrow-batched assignment pass over the corpus (centroids are data-
+    independent literals inside the UDF — no training scan), the tiny
+    probed query set broadcast into an equi-join on cell, exact round-6
+    cosine re-rank of only the probed cells' members. Each vector lands in
+    exactly one cell and a query's nprobe cells are distinct, so candidate
+    pairs are unique by construction — no dedup pass."""
+    mag = scale // max(1, int(dim**0.5))
+    assign1 = _ivf_det_cells_udf(nlist, dim, scale, 1, mag)
+    proben = _ivf_det_cells_udf(nlist, dim, scale, nprobe, mag)
+
+    cells = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("norm_c"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+    )
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("norm_q"),
+        # explode_outer, not explode: InferFiltersFromGenerate would push a
+        # size()>0 filter below this node and re-invoke the UDF (round-1
+        # rule; the array is never empty for nprobe >= 1).
+        F.explode_outer(proben(F.col(vec_col))).alias("cell"),
+    )
+    cand = cells.join(F.broadcast(probed), on="cell", how="inner").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn("sim_r", F.round(_paired_cosine(), 6)).select(
+        "query_id", "neighbor_id", "sim_r"
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("sim_r").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rnk",
+    )
+
+
 # --------------------------------------------------------------------------
 # IVF index persistence: the production build/search split. Build once
 # (k-means fit + cell assignment written as parquet, partitioned by cell so

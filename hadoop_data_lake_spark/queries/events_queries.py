@@ -2378,8 +2378,8 @@ pairs AS (
 mom AS (
   SELECT event_type, lag, count(*) AS n,
          sum(x)::bigint AS sx, sum(y)::bigint AS sy,
-         sum(x * y)::bigint AS sxy, sum(x * x)::bigint AS sxx,
-         sum(y * y)::bigint AS syy
+         sum(x::hugeint * y::hugeint) AS sxy, sum(x::hugeint * x::hugeint) AS sxx,
+         sum(y::hugeint * y::hugeint) AS syy
   FROM pairs GROUP BY event_type, lag
 )
 SELECT event_type, lag, n,
@@ -4297,7 +4297,7 @@ WITH daily AS (
 mom AS (
   SELECT event_type, count(*) AS n,
          sum(x)::bigint AS sx, sum(y)::bigint AS sy,
-         sum(x * y)::bigint AS sxy, sum(x * x)::bigint AS sxx,
+         sum(x::hugeint * y::hugeint) AS sxy, sum(x::hugeint * x::hugeint) AS sxx,
          sum(y::hugeint * y)::double AS syy
   FROM daily GROUP BY event_type
 )
@@ -7569,8 +7569,8 @@ per_user AS (
 ),
 mom AS (
   SELECT count(*)::bigint AS u, sum(x)::bigint AS sx, sum(y)::bigint AS sy,
-         sum(x * y)::bigint AS sxy, sum(x * x)::bigint AS sxx,
-         sum(y * y)::bigint AS syy
+         sum(x::hugeint * y::hugeint) AS sxy, sum(x::hugeint * x::hugeint) AS sxx,
+         sum(y::hugeint * y::hugeint) AS syy
   FROM per_user
 ),
 stats AS (
@@ -8336,7 +8336,7 @@ melted AS (
 ),
 mom AS (
   SELECT covariate, v, count(*)::bigint AS n, sum(x)::bigint AS s,
-         sum(x * x)::bigint AS ssq
+         sum(x::hugeint * x::hugeint) AS ssq
   FROM melted GROUP BY covariate, v
 ),
 j AS (
@@ -8737,7 +8737,7 @@ band AS (
 ),
 mom AS (
   SELECT side, count(*)::bigint AS m, sum(x)::bigint AS sx, sum(y)::bigint AS sy,
-         sum(x * y)::bigint AS sxy, sum(x * x)::bigint AS sxx
+         sum(x::hugeint * y::hugeint) AS sxy, sum(x::hugeint * x::hugeint) AS sxx
   FROM band GROUP BY side
 ),
 fits AS (

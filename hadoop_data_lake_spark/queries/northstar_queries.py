@@ -784,6 +784,80 @@ SELECT query_id, neighbor_id, sim_r, rnk FROM ranked WHERE rnk <= 5
 """
 
 
+def ann_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic IVF (operators/similarity.ivf_det_topk): the coarse
+    quantizer is an md5-Rademacher ±mag centroid matrix (constant norms, so
+    nearest-centroid = max inner product) and assignment/probing run in
+    exact int64, so the DuckDB oracle regenerates the identical cells,
+    probe sets, candidates, and ranking — the third fully oracle-checkable
+    ANN tier (ann_lsh_det / ann_pq_det precedent; the k-means-trained
+    ann_ivf_kmeans stays the rows-only quality tier)."""
+    emb = _corpus(spark, sf_dir)
+    return SIM.ivf_det_topk(
+        emb, _query_set(emb), k=5, nlist=16, nprobe=2, dim=64
+    )
+
+
+# Centroid replay: centroid(c,d) = +-125000 by the parity of the 60-bit md5
+# prefix of 'ivf|c|d' (operators/similarity._det_ivf_centroids_int; mag =
+# 1e6 / sqrt(64)). Distances are exact int64 sums over floor(x*1e6)
+# components; ties break to the smaller cell id (np.argsort stable ==
+# ORDER BY dist, c); each vector has one cell and probe cells are distinct,
+# so candidate pairs are unique without dedup. Final re-rank is the same
+# round-6 cosine every ANN tier replays.
+ANN_IVF_DET_SQL = f"""
+WITH cent AS (
+  SELECT c.range AS c, d.range AS d,
+         CASE WHEN ('0x' || substr(md5(concat('ivf|', c.range, '|', d.range)), 1, 15))::ubigint % 2 = 0
+              THEN 125000 ELSE -125000 END AS val
+  FROM range(16) c, range(64) d
+),
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qi
+  FROM embeddings
+),
+dists AS (
+  SELECT qv.vec_id, cent.c,
+         sum((list_extract(qv.qi, cent.d + 1) - cent.val)
+             * (list_extract(qv.qi, cent.d + 1) - cent.val)) AS dist
+  FROM qv, cent
+  GROUP BY qv.vec_id, cent.c
+),
+assigned AS (
+  SELECT vec_id AS neighbor_id, c AS cell FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, c ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, c AS cell FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, c ASC) AS rn
+    FROM dists WHERE vec_id % 50 = 0
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT p.query_id, a.neighbor_id
+  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS sim_r
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.query_id
+  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim_r, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal + streaming
 # --------------------------------------------------------------------------

@@ -13,38 +13,31 @@ so the window is now a SEPARATE dict with a hard `len(_WINDOW) == 50`
 assert at import time: miscounting is an ImportError, not a silent grading
 gap.
 
-Round-6 window composition (VERDICT r5 item 1: FREEZE the surface — zero
-new registry entries this round — and burn the 122-entry never-graded
-backlog below 78; displacement pairs recorded inline at the _WINDOW
-comment, earlier rounds' pairs in this file's git history):
-1-12   the 7 queries the judge named (self_join_skew_profile,
-       grid_density_clusters, shapley_channel_attribution,
-       qini_uplift_curve, corpus_report_card, t_closeness_audit,
-       graph_feature_propagation) + the 5-query causal family
-       (cuped/did/ipw/rdd/covariate-balance).
-13     ecod_outlier_scores — with shapley and self_join_skew (group 1)
-       it carries this round's ADVICE fixes (full 2^k lattice,
-       tie-aware ECDF, integer pair math): driver rows prove the fixes.
-14-23  10 round-5 coda entries (session-gap sensitivity, CVaR, LPA
-       modularity, Poisson bursts, Heaps' law, fightin' words, missing
-       partitions, Nelson-Aalen, hashed MMD, selectivity audit).
-24-44  the 21 OLDEST never-graded entries by first-registration commit
-       date (r2-r3 era: Welch A/B, Holt smoothing, centroid similarity,
-       chi2, rolling distinct, minhash eval, stream top-k, Arrow
-       entropy, deterministic sampling, DP counts, scan metrics,
-       Kaplan-Meier, association rules, NB classifier, Theil-Sen, kNN
-       eval, provenance, cohort LTV, split attribution, assortativity,
-       vocab KL).
+Round-7 window composition (VERDICT r6 items 1+7; r6's composition is in
+this file's git history at the round-6 tag):
+1-43   the 43 OLDEST never-driver-graded full-oracle entries, exactly
+       the order tools/backlog_report.py printed at round-7 start.
+44     ann_ivf_det — NEW this round (VERDICT r6 item 7): the one ANN
+       tier that lacked a deterministic full-oracle sibling. The only
+       registry addition; 351 -> 352 (342 full-oracle).
 45-50  the 6-slot streaming regression guard (r≤4-proven).
-Net: all 44 non-guard slots grade NEVER-graded queries; the backlog
-burns 122 -> 78 exactly at the VERDICT r5 target with the registry
-size unchanged at 351. Every registered query — graded or not — is
-re-verified against its DuckDB oracle locally each round by
-tools/check_oracle.py at sf0.001; the 50-slot window additionally at
-sf0.01 (the gate scale) and sf0.1 (the bench scale, VERDICT r5 item 8)
-before shipping.
-Every displaced entry holds a CORRECTNESS_r05.json green row and moves to
+Net: all 44 non-guard slots grade NEVER-graded queries; never-graded
+after this window grades = 35 (pca_top_component + 34 younger entries —
+one more rotation clears the backlog entirely; the r6 target of <=34
+assumed zero additions, and the judge's own item 7 added one). Every
+registered query — graded or not — is re-verified against its DuckDB
+oracle locally each round by tools/check_oracle.py at sf0.001; the
+50-slot window additionally at sf0.01 (the gate scale) and sf0.1 (the
+bench scale) before shipping.
+Every displaced entry holds a CORRECTNESS_r06.json green row and moves to
 the backlog, where check_oracle still re-verifies it each round.
+The rotation invariant is MACHINE-CHECKED pre-ship (VERDICT r6 item 3):
+`python tools/backlog_report.py --assert` exits non-zero unless every
+non-guard window slot is absent from all committed CORRECTNESS_r*.json.
+(Not an import-time assert on purpose: the moment the driver writes this
+round's CORRECTNESS file the window legitimately becomes "graded", and an
+import assert would brick every entry point at next round's start before
+the next rotation could be committed.)
 
 Entries 51+ = queries already proven by an earlier CORRECTNESS_r{N}.json
 (kept registered so `tools/check_oracle.py` still re-verifies all of them
@@ -80,67 +73,119 @@ class QuerySpec:
 
 
 _WINDOW: dict[str, QuerySpec] = {
-    # ---- ROUND-6 WINDOW -------------------------------------------------
-    # VERDICT r5 item 1: surface FROZEN (zero new registry entries this
-    # round); all 44 non-guard slots rotate in NEVER-driver-graded
-    # full-oracle entries, burning the backlog 122 -> 78 exactly as asked.
-    # Groups: (a) the 7 queries the judge named + the 5-query causal
-    # family; (b) ecod_outlier_scores, shapley_channel_attribution and
-    # self_join_skew_profile carry this round's ADVICE fixes (full 2^k
-    # lattice / tie-aware ECDF / integer pair math) so their driver rows
-    # prove the fixes; (c) 10 round-5 coda entries; (d) the 21 OLDEST
-    # never-graded entries by first-registration commit date (r2-r3 era).
-    # Every displaced entry is CORRECTNESS_r05.json-green and moves to
-    # the top of _BACKLOG (check_oracle re-verifies all 351 locally every
-    # round). r5 displacement pairs: see git history of this file at tag
-    # round-5 (commit 8b59d79). r6 displacement pairs:
-    # self_join_skew_profile -> displaces event_lateness_profile (r5-green)
-    # grid_density_clusters -> displaces value_psi_drift (r5-green)
-    # shapley_channel_attribution -> displaces pareto_frontier_orders (r5-green)
-    # qini_uplift_curve -> displaces gini_customer_revenue (r5-green)
-    # corpus_report_card -> displaces lorenz_curve_points (r5-green)
-    # t_closeness_audit -> displaces pareto_8020_customers (r5-green)
-    # graph_feature_propagation -> displaces abc_part_classification (r5-green)
-    # cuped_adjusted_lift -> displaces supplier_scorecard (r5-green)
-    # did_estimate -> displaces media_phash_near_dup (r5-green)
-    # ipw_outcome_estimate -> displaces brand_communities_lpa (r5-green)
-    # rdd_value_threshold -> displaces kcore_purchase_graph (r5-green)
-    # covariate_balance_smd -> displaces bm25_retrieval (r5-green)
-    # ecod_outlier_scores -> displaces textrank_keywords (r5-green)
-    # session_gap_sensitivity -> displaces daily_value_stl (r5-green)
-    # cvar_expected_shortfall -> displaces cf_ndcg_backtest (r5-green)
-    # lpa_modularity -> displaces point_in_polygon_zones (r5-green)
-    # poisson_burst_hours -> displaces user_series_dtw_nn (r5-green)
-    # heaps_law_fit -> displaces cluster_safe_split_audit (r5-green)
-    # fightin_words_tokens -> displaces decontaminate_embedding_cosine (r5-green)
-    # missing_partition_audit -> displaces hashed_embedding_knn (r5-green)
-    # nelson_aalen_hazard -> displaces clustering_coefficient (r5-green)
-    # source_mmd_hashed -> displaces bitemporal_asof_orders (r5-green)
-    # selectivity_estimate_audit -> displaces temporal_split_embargo (r5-green)
-    # ab_test_welch -> displaces mmr_rerank (r5-green)
-    # holt_smoothing_per_user -> displaces rake_keyphrases (r5-green)
-    # label_centroid_similarity -> displaces zipf_fit_tokens (r5-green)
-    # chi2_type_weekday -> displaces ols_daily_trend (r5-green)
-    # rolling_7d_distinct_users -> displaces media_ppm_decode_stats (r5-green)
-    # minhash_eval_pr -> displaces media_wav_decode_stats (r5-green)
-    # stream_topk_types_per_window -> displaces media_avi_frame_stats (r5-green)
-    # multimodal_arrow_entropy -> displaces exact_value_quantiles (r5-green)
-    # quantile_sample_det -> displaces hits_hubs_authorities (r5-green)
-    # dp_noisy_type_counts -> displaces ece_calibration_bins (r5-green)
-    # observed_scan_metrics -> displaces data_mix_waterfill (r5-green)
-    # kaplan_meier_conversion -> displaces quality_ensemble_vote (r5-green)
-    # association_rules_brands -> displaces dedup_survivor_selection (r5-green)
-    # nb_source_classifier -> displaces shard_lpt_plan (r5-green)
-    # theil_sen_daily_trend -> displaces benjamini_hochberg_fdr (r5-green)
-    # knn_label_eval -> displaces ngram_coverage_curve (r5-green)
-    # row_provenance_files -> displaces mutual_nn_bitext_pairs (r5-green)
-    # cohort_ltv_curve -> displaces embedding_int8_quantize_stats (r5-green)
-    # split_revenue_attribution -> displaces soundex_word_groups (r5-green)
-    # degree_assortativity -> displaces partition_compaction_plan (r5-green)
-    # source_vocab_kl -> displaces stream_upsert_scd1 (r5-green)
-    # stream_upsert_scd1 (r5-green) also retires to _BACKLOG to restore
-    # the 6-slot guard.
-    # --- (a) judge-named + causal family (12) ---
+    # ---- ROUND-7 WINDOW -------------------------------------------------
+    # VERDICT r6 items 1+7: all 44 non-guard slots again grade NEVER-
+    # driver-graded full-oracle entries — the 43 OLDEST backlog entries
+    # (tools/backlog_report.py order at round-7 start) plus the new
+    # ann_ivf_det (the one ANN tier that lacked a deterministic full-
+    # oracle sibling; ann_lsh_det/ann_pq_det precedent). Never-graded
+    # after this window grades: 35 (pca_top_component + 34 younger
+    # entries) — one more rotation clears the backlog entirely. Every
+    # displaced entry holds a CORRECTNESS_r06.json full-oracle PASS and
+    # moves to the top of _BACKLOG; check_oracle re-verifies all 352
+    # registered queries locally every round. r7 displacement pairs:
+    # neyman_allocation_plan -> displaces self_join_skew_profile (r6-green)
+    # lang_id_confusion -> displaces grid_density_clusters (r6-green)
+    # hash_collision_audit -> displaces shapley_channel_attribution (r6-green)
+    # decayed_user_value -> displaces qini_uplift_curve (r6-green)
+    # markov_trigram_entropy -> displaces corpus_report_card (r6-green)
+    # woe_value_bins -> displaces t_closeness_audit (r6-green)
+    # churn_label_windows -> displaces graph_feature_propagation (r6-green)
+    # isotonic_calibration_bins -> displaces cuped_adjusted_lift (r6-green)
+    # user_sequence_edit_nn -> displaces did_estimate (r6-green)
+    # lang_id_cohens_kappa -> displaces ipw_outcome_estimate (r6-green)
+    # daily_revenue_changepoint -> displaces rdd_value_threshold (r6-green)
+    # newsvendor_brand_quantiles -> displaces covariate_balance_smd (r6-green)
+    # ts_delta_compression_estimate -> displaces ecod_outlier_scores (r6-green)
+    # eb_shrunk_conversion -> displaces session_gap_sensitivity (r6-green)
+    # laspeyres_price_index -> displaces cvar_expected_shortfall (r6-green)
+    # sprt_conversion_monitor -> displaces lpa_modularity (r6-green)
+    # croston_intermittent_forecast -> displaces poisson_burst_hours (r6-green)
+    # semdedup_silhouette -> displaces heaps_law_fit (r6-green)
+    # circular_hour_stats -> displaces fightin_words_tokens (r6-green)
+    # kendall_tau_daily -> displaces missing_partition_audit (r6-green)
+    # haar_energy_daily -> displaces nelson_aalen_hazard (r6-green)
+    # jackknife_daily_mean -> displaces source_mmd_hashed (r6-green)
+    # chapman_population_estimate -> displaces selectivity_estimate_audit (r6-green)
+    # decontamination_report -> displaces ab_test_welch (r6-green)
+    # mann_whitney_variants -> displaces holt_smoothing_per_user (r6-green)
+    # dau_mau_stickiness -> displaces label_centroid_similarity (r6-green)
+    # hhi_brand_concentration -> displaces chi2_type_weekday (r6-green)
+    # token_lang_mi -> displaces rolling_7d_distinct_users (r6-green)
+    # length_bias_auc -> displaces minhash_eval_pr (r6-green)
+    # token_run_lengths -> displaces stream_topk_types_per_window (r6-green)
+    # blocklist_filter -> displaces multimodal_arrow_entropy (r6-green)
+    # user_series_sax_similarity -> displaces quantile_sample_det (r6-green)
+    # lake_table_profile -> displaces dp_noisy_type_counts (r6-green)
+    # zonemap_integrity_audit -> displaces observed_scan_metrics (r6-green)
+    # user_value_gcd -> displaces kaplan_meier_conversion (r6-green)
+    # l_diversity_audit -> displaces association_rules_brands (r6-green)
+    # activity_tail_hill -> displaces nb_source_classifier (r6-green)
+    # kmv_week_overlap -> displaces theil_sen_daily_trend (r6-green)
+    # monthly_from_daily_mv -> displaces knn_label_eval (r6-green)
+    # user_type_share_map -> displaces row_provenance_files (r6-green)
+    # quantile_forecast_pinball -> displaces cohort_ltv_curve (r6-green)
+    # ols_weekend_effect -> displaces split_revenue_attribution (r6-green)
+    # conformal_value_interval -> displaces degree_assortativity (r6-green)
+    # ann_ivf_det -> displaces source_vocab_kl (r6-green)
+    "neyman_allocation_plan": QuerySpec(EV.neyman_allocation_plan, EV.NEYMAN_ALLOCATION_PLAN_SQL, ("sampling", "stratified", "neyman", "design")),
+    "lang_id_confusion": QuerySpec(NS.lang_id_confusion, NS.LANG_ID_CONFUSION_SQL, ("text", "lang-id", "eval", "confusion-matrix")),
+    "hash_collision_audit": QuerySpec(NS.hash_collision_audit, NS.HASH_COLLISION_AUDIT_SQL, ("ml", "feature-hashing", "collision", "audit")),
+    "decayed_user_value": QuerySpec(EV.decayed_user_value, EV.DECAYED_USER_VALUE_SQL, ("ml", "feature", "time-decay", "integer-exact")),
+    "markov_trigram_entropy": QuerySpec(EV.markov_trigram_entropy, EV.MARKOV_TRIGRAM_ENTROPY_SQL, ("sequence", "markov", "second-order", "entropy")),
+    "woe_value_bins": QuerySpec(EV.woe_value_bins, EV.WOE_VALUE_BINS_SQL, ("ml", "woe", "information-value", "binning")),
+    "churn_label_windows": QuerySpec(EV.churn_label_windows, EV.CHURN_LABEL_WINDOWS_SQL, ("ml", "label-engineering", "churn", "leakage-safe")),
+    "isotonic_calibration_bins": QuerySpec(EV.isotonic_calibration_bins, EV.ISOTONIC_CALIBRATION_BINS_SQL, ("ml", "calibration", "isotonic", "pav")),
+    "user_sequence_edit_nn": QuerySpec(EV.user_sequence_edit_nn, EV.USER_SEQUENCE_EDIT_NN_SQL, ("sequence", "edit-distance", "levenshtein", "blocking")),
+    "lang_id_cohens_kappa": QuerySpec(NS.lang_id_cohens_kappa, NS.LANG_ID_COHENS_KAPPA_SQL, ("text", "lang-id", "eval", "kappa")),
+    "daily_revenue_changepoint": QuerySpec(EV.daily_revenue_changepoint, EV.DAILY_REVENUE_CHANGEPOINT_SQL, ("timeseries", "changepoint", "binary-segmentation", "integer-exact")),
+    "newsvendor_brand_quantiles": QuerySpec(TQ.newsvendor_brand_quantiles, TQ.NEWSVENDOR_BRAND_QUANTILES_SQL, ("ops", "newsvendor", "quantile", "inventory")),
+    "ts_delta_compression_estimate": QuerySpec(EV.ts_delta_compression_estimate, EV.TS_DELTA_COMPRESSION_ESTIMATE_SQL, ("storage", "compression", "gorilla", "timeseries")),
+    "eb_shrunk_conversion": QuerySpec(EV.eb_shrunk_conversion, EV.EB_SHRUNK_CONVERSION_SQL, ("stats", "empirical-bayes", "shrinkage", "beta-binomial")),
+    "laspeyres_price_index": QuerySpec(TQ.laspeyres_price_index, TQ.LASPEYRES_PRICE_INDEX_SQL, ("econ", "price-index", "laspeyres", "integer-exact")),
+    "sprt_conversion_monitor": QuerySpec(EV.sprt_conversion_monitor, EV.SPRT_CONVERSION_MONITOR_SQL, ("experiment", "sprt", "sequential", "wald")),
+    "croston_intermittent_forecast": QuerySpec(TQ.croston_intermittent_forecast, TQ.CROSTON_INTERMITTENT_FORECAST_SQL, ("forecast", "croston", "intermittent", "sequential-fold")),
+    "semdedup_silhouette": QuerySpec(NS.semdedup_silhouette, NS.SEMDEDUP_SILHOUETTE_SQL, ("dedup", "semantic", "silhouette", "cluster-quality")),
+    "circular_hour_stats": QuerySpec(EV.circular_hour_stats, EV.CIRCULAR_HOUR_STATS_SQL, ("stats", "circular", "diurnal", "integer-exact")),
+    "kendall_tau_daily": QuerySpec(EV.kendall_tau_daily, EV.KENDALL_TAU_DAILY_SQL, ("stats", "kendall", "rank-correlation", "tie-corrected")),
+    "haar_energy_daily": QuerySpec(EV.haar_energy_daily, EV.HAAR_ENERGY_DAILY_SQL, ("timeseries", "wavelet", "haar", "multi-resolution")),
+    "jackknife_daily_mean": QuerySpec(EV.jackknife_daily_mean, EV.JACKKNIFE_DAILY_MEAN_SQL, ("stats", "jackknife", "resampling-free", "exact")),
+    "chapman_population_estimate": QuerySpec(EV.chapman_population_estimate, EV.CHAPMAN_POPULATION_ESTIMATE_SQL, ("stats", "capture-recapture", "chapman", "population")),
+    "decontamination_report": QuerySpec(NS.decontamination_report, NS.DECONTAMINATION_REPORT_SQL, ("dedup", "decontamination", "report", "capstone")),
+    "mann_whitney_variants": QuerySpec(EV.mann_whitney_variants, EV.MANN_WHITNEY_VARIANTS_SQL, ("experiment", "mann-whitney", "nonparametric", "rank-test")),
+    "dau_mau_stickiness": QuerySpec(EV.dau_mau_stickiness, EV.DAU_MAU_STICKINESS_SQL, ("engagement", "stickiness", "contribution-explode")),
+    "hhi_brand_concentration": QuerySpec(TQ.hhi_brand_concentration, TQ.HHI_BRAND_CONCENTRATION_SQL, ("inequality", "hhi", "market-structure")),
+    "token_lang_mi": QuerySpec(NS.token_lang_mi, NS.TOKEN_LANG_MI_SQL, ("text", "mutual-information", "feature-selection", "diagnostics")),
+    "length_bias_auc": QuerySpec(NS.length_bias_auc, NS.LENGTH_BIAS_AUC_SQL, ("ml-eval", "auc", "bias-audit", "rank-stats")),
+    "token_run_lengths": QuerySpec(NS.token_run_lengths, NS.TOKEN_RUN_LENGTHS_SQL, ("text", "quality", "repetition", "gaps-islands")),
+    "blocklist_filter": QuerySpec(NS.blocklist_filter, NS.BLOCKLIST_FILTER_SQL, ("text", "quality", "safety", "filter-stage")),
+    "user_series_sax_similarity": QuerySpec(EV.user_series_sax_similarity, EV.USER_SERIES_SAX_SIMILARITY_SQL, ("timeseries", "sax", "similarity", "banding")),
+    "lake_table_profile": QuerySpec(NS.lake_table_profile, NS.LAKE_TABLE_PROFILE_SQL, ("catalog", "profile", "quality")),
+    "zonemap_integrity_audit": QuerySpec(NS.zonemap_integrity_audit, NS.ZONEMAP_INTEGRITY_AUDIT_SQL, ("lakehouse", "zonemap", "footer-stats", "data-skipping")),
+    "user_value_gcd": QuerySpec(EV.user_value_gcd, EV.USER_VALUE_GCD_SQL, ("udaf", "pandas-grouped-agg", "price-quantum")),
+    "l_diversity_audit": QuerySpec(TQ.l_diversity_audit, TQ.L_DIVERSITY_AUDIT_SQL, ("privacy", "l-diversity", "audit")),
+    "activity_tail_hill": QuerySpec(TQ.activity_tail_hill, TQ.ACTIVITY_TAIL_HILL_SQL, ("stats", "heavy-tail", "hill", "ordered-fold")),
+    "kmv_week_overlap": QuerySpec(NS.kmv_week_overlap, NS.KMV_WEEK_OVERLAP_SQL, ("sketch", "kmv", "set-ops", "jaccard")),
+    "monthly_from_daily_mv": QuerySpec(TQ.monthly_from_daily_mv, TQ.MONTHLY_FROM_DAILY_MV_SQL, ("mv-rewrite", "rollup", "re-aggregation")),
+    "user_type_share_map": QuerySpec(EV.user_type_share_map, EV.USER_TYPE_SHARE_MAP_SQL, ("map-hof", "complex-types", "shares")),
+    "quantile_forecast_pinball": QuerySpec(EV.quantile_forecast_pinball, EV.QUANTILE_FORECAST_PINBALL_SQL, ("forecast", "pinball", "quantile", "backtest")),
+    "ols_weekend_effect": QuerySpec(EV.ols_weekend_effect, EV.OLS_WEEKEND_EFFECT_SQL, ("regression", "ols", "integer-exact", "cramer")),
+    "conformal_value_interval": QuerySpec(EV.conformal_value_interval, EV.CONFORMAL_VALUE_INTERVAL_SQL, ("ml", "conformal", "prediction-interval", "order-statistic")),
+    "ann_ivf_det": QuerySpec(NS.ann_ivf_det, NS.ANN_IVF_DET_SQL, ("ann", "ivf", "deterministic", "integer-exact")),
+    # --- streaming regression guard (6): streaming silently broke at
+    # r2 HEAD; these keep every micro-batch/watermark/stream-join path
+    # under the driver gate ---
+    "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),
+    "stream_session_stats": QuerySpec(NS.stream_session_stats, NS.STREAM_SESSION_STATS_SQL, ("streaming", "session-window")),
+    "stream_running_max": QuerySpec(NS.stream_running_max, NS.STREAM_RUNNING_MAX_SQL, ("streaming", "stateful", "pandas-udf")),
+    "stream_enriched_value": QuerySpec(NS.stream_enriched_value, NS.STREAM_ENRICHED_VALUE_SQL, ("streaming", "stream-static-join")),
+    "stream_attribution_pairs": QuerySpec(NS.stream_attribution_pairs, NS.STREAM_ATTRIBUTION_PAIRS_SQL, ("streaming", "stream-stream-join", "interval-join")),
+    "stream_attribution_left": QuerySpec(NS.stream_attribution_left, NS.STREAM_ATTRIBUTION_LEFT_SQL, ("streaming", "stream-stream-join", "outer-join", "watermark")),
+}
+
+_BACKLOG: dict[str, QuerySpec] = {
+    # --- round-6 green, displaced by the r7 rotation (all hold a
+    # CORRECTNESS_r06.json full-oracle PASS) ---
     "self_join_skew_profile": QuerySpec(EV.self_join_skew_profile, EV.SELF_JOIN_SKEW_PROFILE_SQL, ("join", "skew", "diagnostics", "planner")),
     "grid_density_clusters": QuerySpec(GQ.grid_density_clusters, GQ.GRID_DENSITY_CLUSTERS_SQL, ("geo", "clustering", "dbscan", "graph")),
     "shapley_channel_attribution": QuerySpec(EV.shapley_channel_attribution, EV.SHAPLEY_CHANNEL_ATTRIBUTION_SQL, ("causal", "attribution", "shapley", "coalition")),
@@ -153,9 +198,7 @@ _WINDOW: dict[str, QuerySpec] = {
     "ipw_outcome_estimate": QuerySpec(EV.ipw_outcome_estimate, EV.IPW_OUTCOME_ESTIMATE_SQL, ("causal", "ipw", "propensity", "ordered-fold")),
     "rdd_value_threshold": QuerySpec(EV.rdd_value_threshold, EV.RDD_VALUE_THRESHOLD_SQL, ("causal", "regression-discontinuity", "local-linear", "integer-exact")),
     "covariate_balance_smd": QuerySpec(EV.covariate_balance_smd, EV.COVARIATE_BALANCE_SMD_SQL, ("experiment", "balance", "smd", "randomization-check")),
-    # --- (b) ADVICE-fix carrier (1; the other two fixed queries are in (a)) ---
     "ecod_outlier_scores": QuerySpec(EV.ecod_outlier_scores, EV.ECOD_OUTLIER_SCORES_SQL, ("anomaly", "ecod", "ecdf", "prefix-sum")),
-    # --- (c) round-5 coda (10) ---
     "session_gap_sensitivity": QuerySpec(EV.session_gap_sensitivity, EV.SESSION_GAP_SENSITIVITY_SQL, ("sessionize", "sensitivity", "parameter-tuning", "diagnostics")),
     "cvar_expected_shortfall": QuerySpec(EV.cvar_expected_shortfall, EV.CVAR_EXPECTED_SHORTFALL_SQL, ("risk", "cvar", "expected-shortfall", "prefix-sum")),
     "lpa_modularity": QuerySpec(TQ.lpa_modularity, TQ.LPA_MODULARITY_SQL, ("graph", "modularity", "community-quality", "lpa")),
@@ -166,7 +209,6 @@ _WINDOW: dict[str, QuerySpec] = {
     "nelson_aalen_hazard": QuerySpec(EV.nelson_aalen_hazard, EV.NELSON_AALEN_HAZARD_SQL, ("survival", "nelson-aalen", "hazard", "censoring")),
     "source_mmd_hashed": QuerySpec(NS.source_mmd_hashed, NS.SOURCE_MMD_HASHED_SQL, ("text", "drift", "mmd", "hashed-features")),
     "selectivity_estimate_audit": QuerySpec(EV.selectivity_estimate_audit, EV.SELECTIVITY_ESTIMATE_AUDIT_SQL, ("planner", "cardinality", "selectivity", "diagnostics")),
-    # --- (d) oldest never-graded (21) ---
     "ab_test_welch": QuerySpec(EV.ab_test_welch, EV.AB_TEST_WELCH_SQL, ("experiment", "welch", "ab-test", "integer-exact")),
     "holt_smoothing_per_user": QuerySpec(EV.holt_smoothing_per_user, EV.HOLT_SMOOTHING_PER_USER_SQL, ("timeseries", "holt", "sequential-fold")),
     "label_centroid_similarity": QuerySpec(NS.label_centroid_similarity, NS.LABEL_CENTROID_SIMILARITY_SQL, ("embedding", "centroid", "class-geometry", "integer-exact")),
@@ -188,18 +230,6 @@ _WINDOW: dict[str, QuerySpec] = {
     "split_revenue_attribution": QuerySpec(EV.split_revenue_attribution, EV.SPLIT_REVENUE_ATTRIBUTION_SQL, ("attribution", "multi-touch", "largest-remainder", "integer-exact")),
     "degree_assortativity": QuerySpec(TQ.degree_assortativity, TQ.DEGREE_ASSORTATIVITY_SQL, ("graph", "assortativity", "integer-exact")),
     "source_vocab_kl": QuerySpec(NS.source_vocab_kl, NS.SOURCE_VOCAB_KL_SQL, ("text", "kl-divergence", "data-mixing", "drift")),
-    # --- streaming regression guard (6): streaming silently broke at
-    # r2 HEAD; these keep every micro-batch/watermark/stream-join path
-    # under the driver gate ---
-    "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),
-    "stream_session_stats": QuerySpec(NS.stream_session_stats, NS.STREAM_SESSION_STATS_SQL, ("streaming", "session-window")),
-    "stream_running_max": QuerySpec(NS.stream_running_max, NS.STREAM_RUNNING_MAX_SQL, ("streaming", "stateful", "pandas-udf")),
-    "stream_enriched_value": QuerySpec(NS.stream_enriched_value, NS.STREAM_ENRICHED_VALUE_SQL, ("streaming", "stream-static-join")),
-    "stream_attribution_pairs": QuerySpec(NS.stream_attribution_pairs, NS.STREAM_ATTRIBUTION_PAIRS_SQL, ("streaming", "stream-stream-join", "interval-join")),
-    "stream_attribution_left": QuerySpec(NS.stream_attribution_left, NS.STREAM_ATTRIBUTION_LEFT_SQL, ("streaming", "stream-stream-join", "outer-join", "watermark")),
-}
-
-_BACKLOG: dict[str, QuerySpec] = {
     # --- round-5 green, displaced by the r6 rotation (all hold a
     # CORRECTNESS_r05.json full-oracle PASS) ---
     "event_lateness_profile": QuerySpec(EV.event_lateness_profile, EV.EVENT_LATENESS_PROFILE_SQL, ("streaming", "watermark", "lateness", "profiling")),
@@ -246,38 +276,9 @@ _BACKLOG: dict[str, QuerySpec] = {
     "soundex_word_groups": QuerySpec(TQ.soundex_word_groups, TQ.SOUNDEX_WORD_GROUPS_SQL, ("linkage", "phonetic", "soundex", "blocking")),
     "partition_compaction_plan": QuerySpec(EV.partition_compaction_plan, EV.PARTITION_COMPACTION_PLAN_SQL, ("maintenance", "compaction", "prefix-sum", "platform")),
     "stream_upsert_scd1": QuerySpec(NS.stream_upsert_scd1, NS.STREAM_UPSERT_SCD1_SQL, ("streaming", "foreachbatch", "scd1", "upsert", "commit-protocol")),
-    # --- round-5 session-4 NEW (never graded; first candidates for the
-    # r6 window rotation) ------------------------------------------------
-    "neyman_allocation_plan": QuerySpec(EV.neyman_allocation_plan, EV.NEYMAN_ALLOCATION_PLAN_SQL, ("sampling", "stratified", "neyman", "design")),
-    "lang_id_confusion": QuerySpec(NS.lang_id_confusion, NS.LANG_ID_CONFUSION_SQL, ("text", "lang-id", "eval", "confusion-matrix")),
-    "hash_collision_audit": QuerySpec(NS.hash_collision_audit, NS.HASH_COLLISION_AUDIT_SQL, ("ml", "feature-hashing", "collision", "audit")),
-    "decayed_user_value": QuerySpec(EV.decayed_user_value, EV.DECAYED_USER_VALUE_SQL, ("ml", "feature", "time-decay", "integer-exact")),
-    "markov_trigram_entropy": QuerySpec(EV.markov_trigram_entropy, EV.MARKOV_TRIGRAM_ENTROPY_SQL, ("sequence", "markov", "second-order", "entropy")),
-    "woe_value_bins": QuerySpec(EV.woe_value_bins, EV.WOE_VALUE_BINS_SQL, ("ml", "woe", "information-value", "binning")),
-    "churn_label_windows": QuerySpec(EV.churn_label_windows, EV.CHURN_LABEL_WINDOWS_SQL, ("ml", "label-engineering", "churn", "leakage-safe")),
-    "isotonic_calibration_bins": QuerySpec(EV.isotonic_calibration_bins, EV.ISOTONIC_CALIBRATION_BINS_SQL, ("ml", "calibration", "isotonic", "pav")),
-    "user_sequence_edit_nn": QuerySpec(EV.user_sequence_edit_nn, EV.USER_SEQUENCE_EDIT_NN_SQL, ("sequence", "edit-distance", "levenshtein", "blocking")),
-    "lang_id_cohens_kappa": QuerySpec(NS.lang_id_cohens_kappa, NS.LANG_ID_COHENS_KAPPA_SQL, ("text", "lang-id", "eval", "kappa")),
-    "daily_revenue_changepoint": QuerySpec(EV.daily_revenue_changepoint, EV.DAILY_REVENUE_CHANGEPOINT_SQL, ("timeseries", "changepoint", "binary-segmentation", "integer-exact")),
-    "newsvendor_brand_quantiles": QuerySpec(TQ.newsvendor_brand_quantiles, TQ.NEWSVENDOR_BRAND_QUANTILES_SQL, ("ops", "newsvendor", "quantile", "inventory")),
-    "ts_delta_compression_estimate": QuerySpec(EV.ts_delta_compression_estimate, EV.TS_DELTA_COMPRESSION_ESTIMATE_SQL, ("storage", "compression", "gorilla", "timeseries")),
-    "eb_shrunk_conversion": QuerySpec(EV.eb_shrunk_conversion, EV.EB_SHRUNK_CONVERSION_SQL, ("stats", "empirical-bayes", "shrinkage", "beta-binomial")),
-    "laspeyres_price_index": QuerySpec(TQ.laspeyres_price_index, TQ.LASPEYRES_PRICE_INDEX_SQL, ("econ", "price-index", "laspeyres", "integer-exact")),
-    "sprt_conversion_monitor": QuerySpec(EV.sprt_conversion_monitor, EV.SPRT_CONVERSION_MONITOR_SQL, ("experiment", "sprt", "sequential", "wald")),
-    "croston_intermittent_forecast": QuerySpec(TQ.croston_intermittent_forecast, TQ.CROSTON_INTERMITTENT_FORECAST_SQL, ("forecast", "croston", "intermittent", "sequential-fold")),
-    "semdedup_silhouette": QuerySpec(NS.semdedup_silhouette, NS.SEMDEDUP_SILHOUETTE_SQL, ("dedup", "semantic", "silhouette", "cluster-quality")),
-    "circular_hour_stats": QuerySpec(EV.circular_hour_stats, EV.CIRCULAR_HOUR_STATS_SQL, ("stats", "circular", "diurnal", "integer-exact")),
-    "kendall_tau_daily": QuerySpec(EV.kendall_tau_daily, EV.KENDALL_TAU_DAILY_SQL, ("stats", "kendall", "rank-correlation", "tie-corrected")),
-    "haar_energy_daily": QuerySpec(EV.haar_energy_daily, EV.HAAR_ENERGY_DAILY_SQL, ("timeseries", "wavelet", "haar", "multi-resolution")),
-    "jackknife_daily_mean": QuerySpec(EV.jackknife_daily_mean, EV.JACKKNIFE_DAILY_MEAN_SQL, ("stats", "jackknife", "resampling-free", "exact")),
-    "chapman_population_estimate": QuerySpec(EV.chapman_population_estimate, EV.CHAPMAN_POPULATION_ESTIMATE_SQL, ("stats", "capture-recapture", "chapman", "population")),
     # --- rotated out of the window in round 5 — each holds a
     # CORRECTNESS_r04.json full-oracle green row -------------------------
     "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),
-    "decontamination_report": QuerySpec(NS.decontamination_report, NS.DECONTAMINATION_REPORT_SQL, ("dedup", "decontamination", "report", "capstone")),
-    "mann_whitney_variants": QuerySpec(EV.mann_whitney_variants, EV.MANN_WHITNEY_VARIANTS_SQL, ("experiment", "mann-whitney", "nonparametric", "rank-test")),
-    "dau_mau_stickiness": QuerySpec(EV.dau_mau_stickiness, EV.DAU_MAU_STICKINESS_SQL, ("engagement", "stickiness", "contribution-explode")),
-    "hhi_brand_concentration": QuerySpec(TQ.hhi_brand_concentration, TQ.HHI_BRAND_CONCENTRATION_SQL, ("inequality", "hhi", "market-structure")),
     "winnow_overlap_pairs": QuerySpec(NS.winnow_overlap_pairs, NS.WINNOW_OVERLAP_PAIRS_SQL, ("dedup", "winnowing", "moss")),
     "semdedup_prune": QuerySpec(NS.semdedup_prune, NS.SEMDEDUP_PRUNE_SQL, ("dedup", "semantic", "clustering", "semdedup")),
     "ann_pq_det": QuerySpec(NS.ann_pq_det, NS.ANN_PQ_DET_SQL, ("ann", "pq", "adc", "deterministic")),
@@ -372,21 +373,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "embedding_near_dup": QuerySpec(NS.embedding_near_dup, NS.EMBEDDING_NEAR_DUP_SQL, ("ann", "dedup", "lsh")),
     # session-3 new queries (window members semdedup_prune /
     # er_golden_record live in _WINDOW; the rest verify locally here):
-    "token_lang_mi": QuerySpec(NS.token_lang_mi, NS.TOKEN_LANG_MI_SQL, ("text", "mutual-information", "feature-selection", "diagnostics")),
-    "length_bias_auc": QuerySpec(NS.length_bias_auc, NS.LENGTH_BIAS_AUC_SQL, ("ml-eval", "auc", "bias-audit", "rank-stats")),
-    "token_run_lengths": QuerySpec(NS.token_run_lengths, NS.TOKEN_RUN_LENGTHS_SQL, ("text", "quality", "repetition", "gaps-islands")),
-    "blocklist_filter": QuerySpec(NS.blocklist_filter, NS.BLOCKLIST_FILTER_SQL, ("text", "quality", "safety", "filter-stage")),
-    "user_series_sax_similarity": QuerySpec(EV.user_series_sax_similarity, EV.USER_SERIES_SAX_SIMILARITY_SQL, ("timeseries", "sax", "similarity", "banding")),
-    "lake_table_profile": QuerySpec(NS.lake_table_profile, NS.LAKE_TABLE_PROFILE_SQL, ("catalog", "profile", "quality")),
-    "zonemap_integrity_audit": QuerySpec(NS.zonemap_integrity_audit, NS.ZONEMAP_INTEGRITY_AUDIT_SQL, ("lakehouse", "zonemap", "footer-stats", "data-skipping")),
-    "user_value_gcd": QuerySpec(EV.user_value_gcd, EV.USER_VALUE_GCD_SQL, ("udaf", "pandas-grouped-agg", "price-quantum")),
-    "l_diversity_audit": QuerySpec(TQ.l_diversity_audit, TQ.L_DIVERSITY_AUDIT_SQL, ("privacy", "l-diversity", "audit")),
-    "activity_tail_hill": QuerySpec(TQ.activity_tail_hill, TQ.ACTIVITY_TAIL_HILL_SQL, ("stats", "heavy-tail", "hill", "ordered-fold")),
-    "kmv_week_overlap": QuerySpec(NS.kmv_week_overlap, NS.KMV_WEEK_OVERLAP_SQL, ("sketch", "kmv", "set-ops", "jaccard")),
-    "monthly_from_daily_mv": QuerySpec(TQ.monthly_from_daily_mv, TQ.MONTHLY_FROM_DAILY_MV_SQL, ("mv-rewrite", "rollup", "re-aggregation")),
-    "user_type_share_map": QuerySpec(EV.user_type_share_map, EV.USER_TYPE_SHARE_MAP_SQL, ("map-hof", "complex-types", "shares")),
-    "quantile_forecast_pinball": QuerySpec(EV.quantile_forecast_pinball, EV.QUANTILE_FORECAST_PINBALL_SQL, ("forecast", "pinball", "quantile", "backtest")),
-    "ols_weekend_effect": QuerySpec(EV.ols_weekend_effect, EV.OLS_WEEKEND_EFFECT_SQL, ("regression", "ols", "integer-exact", "cramer")),
     # displaced from the streaming guard block by session 3 (r3-green
     # driver rows; still locally re-verified every round):
     "stream_sliding_counts": QuerySpec(NS.stream_sliding_counts, NS.STREAM_SLIDING_COUNTS_SQL, ("streaming", "sliding-window")),
@@ -438,7 +424,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "winnow_fingerprints": QuerySpec(NS.winnow_fingerprints, NS.WINNOW_FINGERPRINTS_SQL, ("dedup", "fingerprint", "winnowing")),
     "incremental_orders_agg": QuerySpec(TQ.incremental_orders_agg, TQ.INCREMENTAL_ORDERS_AGG_SQL, ("cdc", "ivm", "delta")),
     "perplexity_filter": QuerySpec(NS.perplexity_filter, NS.PERPLEXITY_FILTER_SQL, ("text", "quality", "perplexity", "percentile")),
-    "conformal_value_interval": QuerySpec(EV.conformal_value_interval, EV.CONFORMAL_VALUE_INTERVAL_SQL, ("ml", "conformal", "prediction-interval", "order-statistic")),
     "pca_top_component": QuerySpec(NS.pca_top_component, NS.PCA_TOP_COMPONENT_SQL, ("ml", "pca", "power-iteration", "integer-exact", "deterministic")),
     "activity_streak_histogram": QuerySpec(EV.activity_streak_histogram, EV.ACTIVITY_STREAK_HISTOGRAM_SQL, ("window", "gaps-and-islands", "streak", "engagement")),
     "brand_cf_similarity": QuerySpec(TQ.brand_cf_similarity, TQ.BRAND_CF_SIMILARITY_SQL, ("recsys", "item-item", "collaborative-filtering")),

@@ -21,6 +21,7 @@ append mode + watermark is the production path.
 
 from __future__ import annotations
 
+import tempfile
 import uuid
 from collections.abc import Iterator
 
@@ -139,6 +140,21 @@ def running_max_per_user(events: DataFrame, watermark: str = "30 minutes") -> Da
     )
 
 
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_root() -> str:
+    """One PROCESS-unique parent for every replay scratch dir. Leak checks
+    (tests/test_streaming_multimodal.py) assert inside this root only —
+    asserting on the global tempdir made the suite fail whenever a
+    concurrent harness (oracle sweep, second pytest) happened to create its
+    own stream_src_* dir mid-test."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark_graft_scratch_")
+    return _SCRATCH_ROOT
+
+
 def _open_stream(spark: SparkSession, parquet_path: str) -> tuple[DataFrame, str]:
     """Returns (streaming frame, scratch dir). The caller must remove the
     scratch dir once the replay has drained (see `_drain_replay`)."""
@@ -151,7 +167,7 @@ def _open_stream(spark: SparkSession, parquet_path: str) -> tuple[DataFrame, str
     schema = spark.read.parquet(parquet_path).schema
     # The file-stream source monitors a DIRECTORY; expose a single-file input
     # through a scratch dir with a symlink (read-only source stays untouched).
-    src_dir = tempfile.mkdtemp(prefix="stream_src_")
+    src_dir = tempfile.mkdtemp(prefix="stream_src_", dir=scratch_root())
     os.symlink(parquet_path, os.path.join(src_dir, os.path.basename(parquet_path)))
     return normalize_ns_ts(spark.readStream.schema(schema).parquet(src_dir)), src_dir
 
@@ -497,7 +513,7 @@ def stream_upsert_latest(
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = normalize_ns_ts(spark.read.parquet(parquet_path))
-    scratch = tempfile.mkdtemp(prefix="stream_upsert_src_")
+    scratch = tempfile.mkdtemp(prefix="stream_upsert_src_", dir=scratch_root())
     src.repartition(n_slices).write.mode("overwrite").parquet(scratch)
 
     os.makedirs(target_path, exist_ok=True)

@@ -98,3 +98,32 @@ def test_twap_survives_bigint_overflow(spark, tmp_path):
     assert r["n_obs"] == 2
     assert r["total_dur_us"] == total
     assert r["twap"] == pytest.approx(round(swc / (100.0 * total), 6))
+
+
+def test_rotation_assert_flags_non_guard_repeats(monkeypatch):
+    """tools/backlog_report.py --assert must fail when a non-guard window
+    slot was already graded in any CORRECTNESS_r*.json, and pass when every
+    repeat is a streaming-guard slot (VERDICT r6 item 3)."""
+    import tools.backlog_report as br
+
+    fake_registry = {f"q{i}": None for i in range(br.DRIVER_WINDOW_SIZE + 5)}
+    monkeypatch.setattr(br, "REGISTRY", fake_registry)
+
+    monkeypatch.setattr(br, "graded_ever", lambda: {"q3"})
+    assert br.assert_rotation() == 1  # q3 is in the window and graded
+
+    monkeypatch.setattr(
+        br, "graded_ever", lambda: {f"q{br.DRIVER_WINDOW_SIZE + 1}"}
+    )
+    assert br.assert_rotation() == 0  # graded entry sits outside the window
+
+    # Rebuild with the guard name INSIDE the window (dict insertion order
+    # is the window order — pop+assign would append it outside).
+    guarded = {
+        ("stream_windowed_counts" if k == "q49" else k): v
+        for k, v in fake_registry.items()
+    }
+    assert list(guarded).index("stream_windowed_counts") < br.DRIVER_WINDOW_SIZE
+    monkeypatch.setattr(br, "REGISTRY", guarded)
+    monkeypatch.setattr(br, "graded_ever", lambda: {"stream_windowed_counts"})
+    assert br.assert_rotation() == 0  # guard slots may repeat

@@ -485,3 +485,30 @@ def test_semdedup_rejects_unknown_assignment(emb):
 
     with pytest.raises(ValueError):
         semdedup_prune(emb, assign="kmeans")
+
+
+def test_ivf_det_topk_recall_and_determinism(emb):
+    """Deterministic IVF: constant-norm md5-Rademacher centroids make
+    assignment a max-inner-product over 16 sign directions, so near-identical
+    cluster mates land in the same cell and nprobe=2 probing recovers them;
+    integer-exact assignment + round-6 cosine re-rank => bit-identical
+    across runs (the ann_lsh_det/ann_pq_det determinism contract)."""
+    from hadoop_data_lake_spark.operators.similarity import ivf_det_topk
+
+    out = ivf_det_topk(emb, emb, k=4, nlist=16, nprobe=2, dim=DIM)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for qid in range(N_CLUSTERS * PER_CLUSTER):
+        mates = {qid // PER_CLUSTER * PER_CLUSTER + i for i in range(PER_CLUSTER)} - {qid}
+        hits += len(got.get(qid, set()) & mates)
+        total += len(mates)
+    assert hits / total >= 0.9
+    again = {
+        (r["query_id"], r["neighbor_id"], r["sim_r"], r["rnk"])
+        for r in ivf_det_topk(emb, emb, k=4, nlist=16, nprobe=2, dim=DIM).collect()
+    }
+    assert again == {
+        (r["query_id"], r["neighbor_id"], r["sim_r"], r["rnk"]) for r in out.collect()
+    }

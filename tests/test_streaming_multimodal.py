@@ -205,14 +205,19 @@ def test_resize_media_real_path_ppm(spark):
 
 def test_replay_releases_scratch_and_sink(spark):
     """Repeated replays must not leak stream_src_* scratch dirs or memory
-    sink tables (session-lifetime leak fixed in streaming/ingest.py)."""
+    sink tables (session-lifetime leak fixed in streaming/ingest.py).
+    Scratch dirs are asserted inside THIS process's scratch_root(), not the
+    global tempdir — a concurrent harness (oracle sweep, second pytest)
+    creating its own stream_src_* dir must not fail this suite."""
     import glob
 
-    before_dirs = set(glob.glob(f"{tempfile.gettempdir()}/stream_src_*"))
+    from hadoop_data_lake_spark.streaming.ingest import scratch_root
+
+    before_dirs = set(glob.glob(f"{scratch_root()}/stream_src_*"))
     before_tables = {t.name for t in spark.catalog.listTables()}
     out = run_batch_replay(spark, f"{SF_DIR}/events.parquet", window_seconds=3600)
     assert out.count() > 0  # result survives resource release
-    assert set(glob.glob(f"{tempfile.gettempdir()}/stream_src_*")) == before_dirs
+    assert set(glob.glob(f"{scratch_root()}/stream_src_*")) == before_dirs
     new_tables = {t.name for t in spark.catalog.listTables()} - before_tables
     assert not {t for t in new_tables if t.startswith("stream_out_")}
 

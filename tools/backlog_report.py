@@ -11,6 +11,9 @@ displaced again before grading. This makes it mechanical:
     python tools/backlog_report.py            # summary + never-graded list
     python tools/backlog_report.py --oldest N # N oldest never-graded (by
                                               # first-registration commit)
+    python tools/backlog_report.py --assert   # pre-ship rotation invariant:
+                                              # exit 1 unless every non-guard
+                                              # window slot is first-time
 """
 
 from __future__ import annotations
@@ -44,6 +47,36 @@ def first_seen_epoch(name: str) -> int:
     return int(out[0]) if out else 0
 
 
+#: Window slots exempt from the first-time rule: the 6-slot streaming
+#: regression guard deliberately re-grades proven queries every round
+#: (registry.py window comment). Named explicitly — a tag-based rule would
+#: also exempt non-guard streaming-tagged queries.
+GUARD_SLOTS = frozenset({
+    "stream_windowed_counts", "stream_session_stats", "stream_running_max",
+    "stream_enriched_value", "stream_attribution_pairs",
+    "stream_attribution_left",
+})
+
+
+def assert_rotation() -> int:
+    """Pre-ship invariant (VERDICT r6 item 3): every non-guard window slot
+    must be ABSENT from all committed CORRECTNESS_r*.json — shipping a
+    window that re-grades proven queries wastes the round's entire grading
+    budget."""
+    graded = graded_ever()
+    window = list(REGISTRY)[:DRIVER_WINDOW_SIZE]
+    repeats = [n for n in window if n in graded and n not in GUARD_SLOTS]
+    if repeats:
+        print("ROTATION VIOLATION: non-guard window slots already graded:")
+        for n in repeats:
+            print(f"  {n}")
+        return 1
+    n_first = sum(1 for n in window if n not in graded)
+    print(f"rotation ok: {n_first}/{DRIVER_WINDOW_SIZE} window slots are "
+          "first-time; every repeat is a guard slot")
+    return 0
+
+
 def main() -> None:
     graded = graded_ever()
     names = list(REGISTRY)
@@ -70,6 +103,8 @@ def main() -> None:
 
 if __name__ == "__main__":
     try:
+        if "--assert" in sys.argv:
+            sys.exit(assert_rotation())
         main()
     except BrokenPipeError:  # piped into head — not an error
         pass
