@@ -3579,7 +3579,10 @@ def mann_whitney_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, so midrank = first + (size-1)/2 — halves are exact in binary.
     The tie-correction sum(t^3 - t) aggregates integer group sizes. One
     rank window over the (type, cents) sort; every aggregate a bigint or
-    exact double; z is one rounded expression."""
+    exact double; z is one rounded expression. NULL values are excluded
+    (the ks_test_variants rule): ranks over missing values are
+    meaningless, and a NULL ordering key sorts NULLS FIRST in Spark but
+    NULLS LAST in DuckDB — a latent cross-engine rank divergence."""
     from hadoop_data_lake_spark.functions.fixedpoint import to_units
     from hadoop_data_lake_spark.functions.hashing import md5_60bit
     from pyspark.sql import Window
@@ -3588,7 +3591,7 @@ def mann_whitney_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (md5_60bit(F.col("user_id").cast("string")) % 2).alias("variant"),
         to_units(F.col("value")).alias("cents"),
-    )
+    ).where(F.col("cents").isNotNull())
     w_rank = Window.partitionBy("event_type").orderBy("cents")
     w_tie = Window.partitionBy("event_type", "cents")
     ranked = ev.withColumn("first_rk", F.rank().over(w_rank)).withColumn(
@@ -3638,7 +3641,7 @@ WITH ev AS (
   SELECT event_type,
          {_md5_sql("user_id::varchar")} % 2 AS variant,
          round(value * 100)::bigint AS cents
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 ranked AS (
   SELECT event_type, variant, cents,
@@ -3684,7 +3687,10 @@ def conformal_value_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     absolute calibration residual — the distribution-free order-statistic
     guarantee. Hash split, integer-cent residuals (|cents - mean| rounds
     the mean to a cent first, keeping residual ranks integer-exact), one
-    rank window on the calibration slice."""
+    rank window on the calibration slice. NULL values are excluded (the
+    ks_test_variants rule): a NULL residual as a rank ordering key sorts
+    NULLS FIRST in Spark but NULLS LAST in DuckDB, and conformal
+    residuals over missing outcomes are meaningless anyway."""
     from hadoop_data_lake_spark.functions.fixedpoint import to_units
     from hadoop_data_lake_spark.functions.hashing import md5_60bit
     from pyspark.sql import Window
@@ -3694,7 +3700,7 @@ def conformal_value_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (md5_60bit(F.col("event_id").cast("string")) % 2).alias("half"),
         to_units(F.col("value")).alias("cents"),
-    )
+    ).where(F.col("cents").isNotNull())
     train = ev.where(F.col("half") == 0).groupBy("event_type").agg(
         F.expr("sum(cents) div count(*)").alias("mean_cents")
     )
@@ -3724,7 +3730,7 @@ WITH ev AS (
   SELECT event_type, event_id,
          {_md5_sql("event_id::varchar")} % 2 AS half,
          round(value * 100)::bigint AS cents
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 train AS (
   SELECT event_type, (sum(cents) // count(*))::bigint AS mean_cents
@@ -5695,8 +5701,12 @@ def user_value_gcd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
+    # NULL values excluded in BOTH engines: a NaN in the Arrow batch breaks
+    # the int64 conversion here, and DuckDB's gcd(NULL, x) would propagate
+    # NULL through the fold — divergent semantics on missing data.
     return (
         ev.select("user_id", cents.alias("cents"))
+        .where(F.col("cents").isNotNull())
         .groupBy("user_id")
         .agg(
             gcd_agg(F.col("cents")).alias("value_gcd_cents"),
@@ -5709,7 +5719,8 @@ USER_VALUE_GCD_SQL = """
 SELECT user_id,
        list_reduce(list(abs(cents)), (a, b) -> gcd(a, b))::bigint AS value_gcd_cents,
        count(*)::bigint AS n_events
-FROM (SELECT user_id, round(value * 100)::bigint AS cents FROM events)
+FROM (SELECT user_id, round(value * 100)::bigint AS cents FROM events
+      WHERE value IS NOT NULL)
 GROUP BY user_id
 """
 
@@ -6377,7 +6388,10 @@ def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline computes before drawing the actual stratified sample
     (stratified_sample / priority_sample_stratified execute it). Moments
     are exact bigints; each std is one closed-form double; the remainder
-    ranking runs over the 5-row stratum aggregate."""
+    ranking runs over the 5-row stratum aggregate. A singleton stratum
+    (n = 1) takes sd = 0 — sqrt(0/0) is NaN and one NaN stratum poisons
+    the whole allocation through tot_ns; zero variance evidence means no
+    variance-driven allocation, matching Neyman's S_h = 0 case."""
     from hadoop_data_lake_spark.functions.fixedpoint import to_units
     from pyspark.sql import Window
 
@@ -6389,14 +6403,17 @@ def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("s"),
         F.sum(dprod(F.col("cents"), F.col("cents"))).alias("ssq"),
     )
-    sd = F.sqrt(
-        (
-            F.col("ssq").cast("double")
-            - F.col("s").cast("double") * F.col("s").cast("double")
-            / F.col("n").cast("double")
-        )
-        / (F.col("n").cast("double") - 1.0)
-    )
+    sd = F.when(
+        F.col("n") > 1,
+        F.sqrt(
+            (
+                F.col("ssq").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double")
+                / F.col("n").cast("double")
+            )
+            / (F.col("n").cast("double") - 1.0)
+        ),
+    ).otherwise(F.lit(0.0))
     scored = mom.withColumn("ns", F.col("n").cast("double") * sd)
     tot = scored.agg(F.sum("ns").alias("tot_ns"))
     alloc = (
@@ -6429,22 +6446,23 @@ WITH ev AS (
 ),
 mom AS (
   SELECT event_type, count(*)::bigint AS n, sum(cents)::bigint AS s,
-         sum(cents * cents)::bigint AS ssq
+         sum(cents::hugeint * cents::hugeint) AS ssq
   FROM ev GROUP BY event_type
 ),
-scored AS (
-  SELECT *, n::double * sqrt((ssq::double - s::double * s::double / n::double)
-                             / (n::double - 1.0)) AS ns
+sds AS (
+  SELECT *, CASE WHEN n > 1 THEN
+              sqrt((ssq::double - s::double * s::double / n::double)
+                   / (n::double - 1.0))
+            ELSE 0.0 END AS sd
   FROM mom
 ),
+scored AS (SELECT *, n::double * sd AS ns FROM sds),
 tot AS (SELECT sum(ns) AS tot_ns FROM scored),
 alloc AS (
-  SELECT s.event_type, s.n, s.ns,
+  SELECT s.event_type, s.n, s.ns, s.sd,
          1000.0 * s.ns / tot.tot_ns AS exact,
          floor(1000.0 * s.ns / tot.tot_ns)::bigint AS base,
-         1000.0 * s.ns / tot.tot_ns - floor(1000.0 * s.ns / tot.tot_ns) AS frac,
-         sqrt((s.ssq::double - s.s::double * s.s::double / s.n::double)
-              / (s.n::double - 1.0)) AS sd
+         1000.0 * s.ns / tot.tot_ns - floor(1000.0 * s.ns / tot.tot_ns) AS frac
   FROM scored s, tot
 ),
 rem AS (SELECT 1000 - sum(base) AS r FROM alloc)
@@ -7974,13 +7992,19 @@ def haar_energy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("y").alias("a"),
         )
         # unnormalized detail energy, rescaled by the level's 2^lvl Haar
-        # normalization so shares compare across levels
+        # normalization so shares compare across levels. dprod keeps the
+        # d^2 sum exact (a long product wraps once daily totals pass ~3e9
+        # cents; the double detour the old /2^lvl division took loses
+        # integer exactness past 2^53); decimal / 2^lvl is exact (the
+        # quotient has <= lvl binary fraction digits), and the long cast
+        # truncates toward zero == floor for the non-negative energy,
+        # matching the oracle's integer // division.
         energy = paired.agg(
             F.lit(lvl).alias("level"),
             F.count("*").alias("n_coeffs"),
-            (F.sum(F.col("d") * F.col("d")) / F.lit(2 ** lvl)).cast("long").alias(
-                "detail_energy"
-            ),
+            (F.sum(dprod(F.col("d"), F.col("d"))) / F.lit(2 ** lvl))
+            .cast("long")
+            .alias("detail_energy"),
         )
         levels.append(energy)
         cur = paired.select("idx", F.col("a").alias("y"))
@@ -8027,11 +8051,11 @@ l3 AS (
 ),
 lev AS (
   SELECT 1 AS level, count(*)::bigint AS n_coeffs,
-         (sum(d * d) // 2)::bigint AS detail_energy FROM l1
+         (sum(d::hugeint * d::hugeint) // 2)::bigint AS detail_energy FROM l1
   UNION ALL
-  SELECT 2, count(*)::bigint, (sum(d * d) // 4)::bigint FROM l2
+  SELECT 2, count(*)::bigint, (sum(d::hugeint * d::hugeint) // 4)::bigint FROM l2
   UNION ALL
-  SELECT 3, count(*)::bigint, (sum(d * d) // 8)::bigint FROM l3
+  SELECT 3, count(*)::bigint, (sum(d::hugeint * d::hugeint) // 8)::bigint FROM l3
 ),
 tot AS (SELECT sum(detail_energy)::bigint AS te FROM lev)
 SELECT lev.level, lev.n_coeffs, lev.detail_energy,

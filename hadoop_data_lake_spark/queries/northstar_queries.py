@@ -4485,7 +4485,10 @@ def length_bias_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n1").cast("long").alias("n_pos"),
         F.sum("n0").cast("long").alias("n_neg"),
         F.round(
-            F.sum(F.col("n1") * (2 * F.col("cum0") + F.col("n0"))).cast("double")
+            # dprod: n1 * cum0 in long wraps once positives-per-length x
+            # negatives-below pass ~9.2e18 — inside 100 TB corpus sizes.
+            F.sum(dprod(F.col("n1"), 2 * F.col("cum0") + F.col("n0")))
+            .cast("double")
             / (2.0 * F.sum("n1") * F.sum("n0")),
             6,
         ).alias("auc_r"),
@@ -4509,7 +4512,7 @@ c AS (
 )
 SELECT sum(n1)::bigint AS n_pos,
        sum(n0)::bigint AS n_neg,
-       round(sum(n1 * (2 * cum0 + n0))::double
+       round(sum(n1::hugeint * (2 * cum0 + n0)::hugeint)::double
              / (2.0 * sum(n1) * sum(n0)), 6) AS auc_r
 FROM c
 """
@@ -5886,7 +5889,8 @@ tot AS (
   FROM cm
 ),
 pe AS (
-  SELECT sum(tm.nt * pm.np)::bigint AS pe_num FROM tm JOIN pm ON tm.t = pm.p
+  SELECT sum(tm.nt::hugeint * pm.np::hugeint) AS pe_num
+  FROM tm JOIN pm ON tm.t = pm.p
 )
 SELECT tot.n AS n_docs, tot.agree AS n_agree,
        round(tot.agree::double / tot.n::double, 6) AS po_r,

@@ -5071,7 +5071,18 @@ def laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "month")
         .agg(F.sum("price_c").alias("sp"), F.sum("qty_c").alias("sq"))
-        .withColumn("up", F.round(F.col("sp") * 10000 / F.col("sq"), 0).cast("long"))
+        # dprod: sp * 10000 in long wraps once a brand-month's price sum
+        # passes ~9.2e14 cents; the exact decimal product converts to
+        # double before the division — the same exact-int-to-double path
+        # DuckDB's hugeint product takes, so rounding stays identical.
+        .withColumn(
+            "up",
+            F.round(
+                dprod(F.col("sp"), F.lit(10000)).cast("double")
+                / F.col("sq").cast("double"),
+                0,
+            ).cast("long"),
+        )
     )
     base_month = bm.agg(F.min("month").alias("b0"))
     base = (
