@@ -2127,14 +2127,20 @@ def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts_us")
         .rangeBetween(-86_400_000_000, 0)
     )
+    # dprod/decimal: Σv² and the n·Σv² − (Σv)² / (v·n − Σv)² quadratics wrap
+    # bigint once a user's 24 h window holds ~10^7 cent-scale events — inside
+    # 100 TB row counts. Decimal keeps the gate predicate exact at any scale;
+    # the oracle widens the same products to hugeint.
     stats = base.select(
         "user_id", "event_id", "ts_us", "value", "vc",
         F.count(F.lit(1)).over(w).alias("n"),
         F.sum("vc").over(w).alias("s1"),
-        F.sum(F.col("vc") * F.col("vc")).over(w).alias("s2"),
+        F.sum(dprod(F.col("vc"), F.col("vc"))).over(w).alias("s2"),
     )
-    dev = F.col("vc") * F.col("n") - F.col("s1")
-    var_int = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    dev = dprod(F.col("vc"), F.col("n")) - F.col("s1").cast("decimal(18,0)")
+    var_int = F.col("n").cast("decimal(18,0)") * F.col("s2") - dprod(
+        F.col("s1"), F.col("s1")
+    )
     return (
         stats.where(
             (F.col("n") >= 5)
@@ -2158,16 +2164,19 @@ WITH base AS (
 ),
 stats AS (
   SELECT user_id, event_id, ts_us, value, vc,
-         count(*) OVER w AS n, sum(vc) OVER w AS s1, sum(vc * vc) OVER w AS s2
+         count(*) OVER w AS n, sum(vc) OVER w AS s1,
+         sum(vc::hugeint * vc::hugeint) OVER w AS s2
   FROM base
   WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
                RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
 )
 SELECT user_id, event_id, ts_us, value,
-       round((vc * n - s1)::double / sqrt((n * s2 - s1 * s1)::double), 6) AS z_r
+       round((vc::hugeint * n - s1)::double
+             / sqrt((n * s2 - s1::hugeint * s1::hugeint)::double), 6) AS z_r
 FROM stats
-WHERE n >= 5 AND (n * s2 - s1 * s1) > 0
-  AND 4 * (vc * n - s1) * (vc * n - s1) >= 9 * (n * s2 - s1 * s1)
+WHERE n >= 5 AND (n * s2 - s1::hugeint * s1::hugeint) > 0
+  AND 4 * (vc::hugeint * n - s1) * (vc::hugeint * n - s1)
+      >= 9 * (n * s2 - s1::hugeint * s1::hugeint)
 """
 
 

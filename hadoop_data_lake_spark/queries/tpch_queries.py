@@ -2883,8 +2883,10 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer revenue concentration, from the exact
     rank formula G = (2 * sum(i * x_i)) / (n * sum(x)) - (n + 1) / n over
     cents sorted ascending (ties broken by customer key, so ranks are
-    identical in both engines). Every sum is a bigint; the coefficient is
-    one closed-form rounded division. Ranks over the CUSTOMER aggregate
+    identical in both engines). Every sum is integer-exact (the rank-
+    weighted moment Σi·x via dprod decimal / oracle hugeint — a bigint
+    product wraps at 10^8 customers x 10^10-cent revenues); the
+    coefficient is one closed-form rounded division. Ranks over the CUSTOMER aggregate
     come from the two-phase distributed prefix sum — the customer
     dimension is 10^8+ at 100 TB, so even the post-aggregate frame never
     gets a global single-task Window.orderBy (VERDICT r4 item 7)."""
@@ -2924,7 +2926,7 @@ ranked AS (
 ),
 mom AS (
   SELECT count(*) AS n, sum(cents)::bigint AS sx,
-         sum(i * cents)::bigint AS six
+         sum(i::hugeint * cents::hugeint) AS six
   FROM ranked
 )
 SELECT n AS n_customers,
