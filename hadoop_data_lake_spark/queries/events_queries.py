@@ -2957,8 +2957,15 @@ def quantile_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_data_lake_spark.functions.hashing import salted_md5_60bit
     from pyspark.sql import Window
 
-    ev = read_table(spark, sf_dir, "events").select(
-        "event_type", "event_id", to_units(F.col("value")).alias("cents")
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "event_type", "event_id", to_units(F.col("value")).alias("cents")
+        )
+        # NULL values excluded (the ks_test_variants rule): a NULL rank
+        # ordering key sorts NULLS FIRST in Spark but NULLS LAST in DuckDB,
+        # shifting every order statistic by the NULL count.
+        .where(F.col("cents").isNotNull())
     )
     sample = ev.where(
         salted_md5_60bit(F.col("event_id").cast("string"), "qs") % 10 == 0
@@ -3003,6 +3010,7 @@ def quantile_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUANTILE_SAMPLE_DET_SQL = f"""
 WITH ev AS (
   SELECT event_type, event_id, round(value * 100)::bigint AS cents FROM events
+  WHERE value IS NOT NULL
 ),
 smp AS (
   SELECT * FROM ev
@@ -4067,8 +4075,15 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_data_lake_spark.functions.fixedpoint import to_units
     from pyspark.sql import Window
 
-    ev = read_table(spark, sf_dir, "events").select(
-        "event_type", "event_id", to_units(F.col("value")).alias("cents")
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "event_type", "event_id", to_units(F.col("value")).alias("cents")
+        )
+        # NULL values excluded (the ks_test_variants rule): a NULL rank
+        # ordering key sorts NULLS FIRST in Spark but NULLS LAST in DuckDB,
+        # shifting every order statistic by the NULL count.
+        .where(F.col("cents").isNotNull())
     )
     w = Window.partitionBy("event_type").orderBy("cents", "event_id")
     ranked = ev.withColumn("rk", F.row_number().over(w)).withColumn(
@@ -4098,6 +4113,7 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINSORIZED_VALUE_STATS_SQL = """
 WITH ev AS (
   SELECT event_type, event_id, round(value * 100)::bigint AS cents FROM events
+  WHERE value IS NOT NULL
 ),
 ranked AS (
   SELECT event_type, cents,
@@ -5216,8 +5232,15 @@ def value_tail_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_data_lake_spark.functions.fixedpoint import to_units
     from pyspark.sql import Window
 
-    ev = read_table(spark, sf_dir, "events").select(
-        "event_type", "event_id", to_units(F.col("value")).alias("cents")
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "event_type", "event_id", to_units(F.col("value")).alias("cents")
+        )
+        # NULL values excluded (the ks_test_variants rule): a NULL rank
+        # ordering key sorts NULLS FIRST in Spark but NULLS LAST in DuckDB,
+        # shifting every order statistic by the NULL count.
+        .where(F.col("cents").isNotNull())
     )
     w = Window.partitionBy("event_type").orderBy("cents", "event_id")
     ranked = ev.withColumn("rk", F.row_number().over(w)).withColumn(
@@ -5252,7 +5275,7 @@ WITH ranked AS (
            PARTITION BY event_type
            ORDER BY round(value * 100)::bigint, event_id) AS rk,
          count(*) OVER (PARTITION BY event_type) AS n
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 qs AS (
   SELECT event_type,
