@@ -194,3 +194,239 @@ def test_theil_sen_scale_equivariance(spark, tmp_path):
         2 * r1["slope_per_day_r"], abs=2e-6
     )
     assert r1["slope_per_day_r"] != 0
+
+
+# ---- Round-7 additions: the estimators this round's overflow/NULL fixes
+# touched get the same treatment — an independent recomputation or a
+# mathematical invariant the value-hash cannot pin (both engines could
+# implement the same mistake; only algebra catches it).
+
+
+def test_mann_whitney_recomputes_from_midranks(spark):
+    """U and z re-derived in driver Python (big-int ranks, midrank ties,
+    tie-corrected variance) from the same quantized (variant, cents) rows
+    the query ranks — a third implementation of the estimator."""
+    from pyspark.sql import functions as F
+
+    from hadoop_data_lake_spark.core.io import read_table
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from hadoop_data_lake_spark.functions.hashing import md5_60bit
+
+    base = (
+        read_table(spark, SF_DIR, "events")
+        .select(
+            "event_type",
+            (md5_60bit(F.col("user_id").cast("string")) % 2).alias("variant"),
+            to_units(F.col("value")).alias("cents"),
+        )
+        .where(F.col("cents").isNotNull())
+        .collect()
+    )
+    by_type: dict = {}
+    for row in base:
+        by_type.setdefault(row["event_type"], []).append(
+            (row["cents"], row["variant"])
+        )
+    got = {r["event_type"]: r for r in _rows(spark, "mann_whitney_variants")}
+    assert set(got) == set(by_type)
+    for t, pairs in by_type.items():
+        pairs.sort()
+        n = len(pairs)
+        # midrank per distinct cents value; ranks are 1-based
+        midrank, tie_sum, i = {}, 0, 0
+        while i < n:
+            j = i
+            while j < n and pairs[j][0] == pairs[i][0]:
+                j += 1
+            size = j - i
+            midrank[pairs[i][0]] = (i + 1) + (size - 1) / 2.0
+            tie_sum += size**3 - size
+            i = j
+        n_a = sum(1 for _, v in pairs if v == 0)
+        r_a = sum(midrank[c] for c, v in pairs if v == 0)
+        n_b = n - n_a
+        u = r_a - n_a * (n_a + 1) / 2.0
+        sigma2 = (n_a * n_b / 12.0) * ((n + 1) - tie_sum / (n * (n - 1)))
+        z = (u - n_a * n_b / 2.0) / math.sqrt(sigma2)
+        assert got[t]["n_a"] == n_a and got[t]["n_b"] == n_b
+        assert got[t]["u_stat_r"] == pytest.approx(u, abs=0.051)
+        assert got[t]["z_r"] == pytest.approx(z, abs=2e-6)
+
+
+def test_twap_telescopes_and_is_convex_combination(spark):
+    """Σ consecutive gaps telescopes to (last − first) per user, and a
+    duration-weighted mean of cents must lie inside the user's value
+    envelope — the invariant the r6 overflow bug would have broken at
+    scale had it wrapped negative."""
+    from pyspark.sql import functions as F
+
+    from hadoop_data_lake_spark.core.io import read_table
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+
+    got = {r["user_id"]: r for r in _rows(spark, "user_value_twap")}
+    assert got
+    spans = {
+        r["user_id"]: r
+        for r in read_table(spark, SF_DIR, "events")
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            to_units(F.col("value")).alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(
+            (F.max("ts_us") - F.min("ts_us")).alias("span_us"),
+            F.min("cents").alias("lo"),
+            F.max("cents").alias("hi"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    for uid, r in got.items():
+        s = spans[uid]
+        assert r["total_dur_us"] == s["span_us"], "gap sum must telescope"
+        assert r["n_obs"] == s["n_events"] - 1, "all but the last event weighted"
+        if r["total_dur_us"] > 0:
+            assert s["lo"] / 100.0 - 1e-6 <= r["twap"] <= s["hi"] / 100.0 + 1e-6
+
+
+def test_conformal_interval_symmetry_and_coverage(spark):
+    """The interval is pred ± q where q is a real calibration residual at
+    the ceil((n+1)·0.9) order statistic — so it must be symmetric, and on
+    the calibration half itself at least 90% of residuals are <= q (the
+    split-conformal finite-sample guarantee, checked by independent
+    recomputation)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_data_lake_spark.core.io import read_table
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+    from hadoop_data_lake_spark.functions.hashing import md5_60bit
+
+    rows = _rows(spark, "conformal_value_interval")
+    assert rows
+    ev = (
+        read_table(spark, SF_DIR, "events")
+        .select(
+            "event_type",
+            "event_id",
+            (md5_60bit(F.col("event_id").cast("string")) % 2).alias("half"),
+            to_units(F.col("value")).alias("cents"),
+        )
+        .where(F.col("cents").isNotNull())
+        .collect()
+    )
+    train: dict = {}
+    cal: dict = {}
+    for e in ev:
+        if e["half"] == 0:
+            s, c = train.get(e["event_type"], (0, 0))
+            train[e["event_type"]] = (s + e["cents"], c + 1)
+        else:
+            cal.setdefault(e["event_type"], []).append(e)
+    for r in rows:
+        t = r["event_type"]
+        mean_c = int(train[t][0] / train[t][1])  # Spark `div` truncates
+        assert r["pred_r"] == pytest.approx(mean_c / 100.0, abs=0.005)
+        assert r["hi_r"] - r["pred_r"] == pytest.approx(
+            r["pred_r"] - r["lo_r"], abs=0.011
+        ), "interval must be symmetric around the point prediction"
+        resids = sorted(
+            (abs(e["cents"] - mean_c), e["event_id"]) for e in cal[t]
+        )
+        n_cal = len(resids)
+        assert r["n_cal"] == n_cal
+        q = resids[min(math.ceil((n_cal + 1) * 0.9), n_cal) - 1][0]
+        assert r["hi_r"] == pytest.approx((mean_c + q) / 100.0, abs=0.005)
+        covered = sum(1 for res, _ in resids if res <= q)
+        if math.ceil((n_cal + 1) * 0.9) <= n_cal:
+            assert covered / n_cal >= 0.9, "split-conformal coverage"
+
+
+def test_neyman_allocation_sums_and_largest_remainder(spark):
+    rows = _rows(spark, "neyman_allocation_plan")
+    assert rows
+    assert sum(r["alloc"] for r in rows) == 1000, "allocation exhausts budget"
+    tot_ns = sum(r["n"] * r["std_r"] for r in rows)
+    for r in rows:
+        assert r["alloc"] >= 0
+        assert r["std_r"] >= 0.0, "singleton strata take sd = 0, never NaN"
+        exact = 1000.0 * r["n"] * r["std_r"] / tot_ns
+        # largest-remainder: every stratum gets floor(exact) or floor+1
+        # (std_r's 1e-6 display rounding perturbs exact by < 5e-3 here)
+        assert exact - 1.01 <= r["alloc"] <= exact + 1.01
+
+
+def test_winsorized_mean_inside_clip_bounds(spark):
+    rows = _rows(spark, "winsorized_value_stats")
+    assert rows
+    for r in rows:
+        assert r["lo_cents"] <= r["hi_cents"]
+        assert (
+            r["lo_cents"] / 100.0 - 1e-6
+            <= r["winsor_mean_r"]
+            <= r["hi_cents"] / 100.0 + 1e-6
+        ), "a mean of clipped values cannot leave the clip envelope"
+
+
+def test_tail_ratio_order_statistics_monotone(spark):
+    rows = _rows(spark, "value_tail_ratio")
+    assert rows
+    for r in rows:
+        assert r["p50"] <= r["p90"] <= r["p99"], "quantiles at increasing ranks"
+        assert r["p99_over_p50_r"] == pytest.approx(r["p99"] / r["p50"], abs=2e-6)
+        assert r["p99_over_p90_r"] == pytest.approx(r["p99"] / r["p90"], abs=2e-6)
+        if r["p50"] > 0:
+            assert r["p99_over_p50_r"] >= r["p99_over_p90_r"] >= 1.0 - 1e-9
+
+
+def test_rolling_zscore_gate_is_exact(spark):
+    """Every emitted row passed the integer predicate |z| >= 1.5, so the
+    reported float z must satisfy it too and be finite — the NaN-emission
+    class (ADVICE r6) would fail here."""
+    rows = _rows(spark, "rolling_zscore_anomaly")
+    assert rows
+    for r in rows:
+        assert math.isfinite(r["z_r"]), "no NaN/inf escapes the integer gate"
+        assert abs(r["z_r"]) >= 1.5 - 1e-6
+
+
+def test_haar_energy_shares_and_dyadic_counts(spark):
+    rows = sorted(_rows(spark, "haar_energy_daily"), key=lambda r: r["level"])
+    assert rows
+    assert sum(r["energy_share_r"] for r in rows) == pytest.approx(
+        1.0, abs=len(rows) * 1e-6
+    ), "shares of the total detail energy sum to 1"
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_coeffs"] == a["n_coeffs"] // 2, "dyadic halving per level"
+    for r in rows:
+        assert r["detail_energy"] >= 0, "sum of squares / 2^lvl is non-negative"
+
+
+def test_gini_in_unit_interval(spark):
+    from hadoop_data_lake_spark.queries.tpch_queries import gini_customer_revenue
+
+    (r,) = gini_customer_revenue(spark, SF_DIR).collect()
+    assert r["n_customers"] > 0
+    assert 0.0 <= r["gini_r"] < 1.0, "Gini of non-negative revenues"
+
+
+def test_ks_zero_on_identical_samples(spark, tmp_path):
+    """VERDICT r6 candidate: D must be exactly 0 when both variants draw
+    from the same degenerate distribution — every value identical, so the
+    two empirical CDFs coincide whatever the hash split does."""
+    from hadoop_data_lake_spark.queries.events_queries import ks_test_variants
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (u * 1000 + 1, base + dt.timedelta(hours=u), u, "m", 5.0, "{}")
+        for u in range(40)
+    ]
+    path = str(tmp_path / "ksz")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/events.parquet")
+    out = ks_test_variants(spark, path).collect()
+    assert out, "both variants non-empty over 40 hashed users"
+    for r in out:
+        assert r["n_a"] > 0 and r["n_b"] > 0
+        assert r["ks_d_r"] == 0.0
