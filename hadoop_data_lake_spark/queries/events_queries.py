@@ -2481,7 +2481,7 @@ WITH per_user AS (
 mom AS (
   SELECT event_type, variant, count(*) AS n,
          sum(user_total)::bigint AS s,
-         sum(user_total * user_total)::bigint AS ssq
+         sum(user_total::hugeint * user_total::hugeint) AS ssq
   FROM per_user GROUP BY event_type, variant
 ),
 j AS (
@@ -2631,7 +2631,7 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     means = (
         weighted.groupBy("event_type", "b")
         .agg(
-            F.sum(F.col("w") * F.col("user_total")).alias("ws"),
+            F.sum(dprod(F.col("w"), F.col("user_total"))).alias("ws"),
             F.sum("w").alias("wn"),
         )
         .where(F.col("wn") > 0)
@@ -2684,7 +2684,8 @@ boot AS (
 ),
 means AS (
   SELECT event_type, b,
-         sum(w * user_total)::bigint::double / (sum(w)::bigint::double * 100.0) AS m
+         sum(w::hugeint * user_total::hugeint)::double
+           / (sum(w)::bigint::double * 100.0) AS m
   FROM boot GROUP BY event_type, b HAVING sum(w) > 0
 ),
 ranked AS (
@@ -4381,7 +4382,7 @@ WITH hourly AS (
 ),
 mom AS (
   SELECT event_type, count(*) AS n, sum(c)::bigint AS s,
-         sum(c * c)::bigint AS ss
+         sum(c::hugeint * c::hugeint) AS ss
   FROM hourly GROUP BY event_type
 )
 SELECT event_type, n AS n_hours,
@@ -4968,8 +4969,9 @@ pairs AS (
 mom AS (
   SELECT ta, tb, count(*) AS n,
          sum(ya)::bigint AS sa, sum(yb)::bigint AS sb,
-         sum(ya * yb)::bigint AS sab, sum(ya * ya)::bigint AS saa,
-         sum(yb * yb)::bigint AS sbb
+         sum(ya::hugeint * yb::hugeint) AS sab,
+         sum(ya::hugeint * ya::hugeint) AS saa,
+         sum(yb::hugeint * yb::hugeint) AS sbb
   FROM pairs GROUP BY ta, tb
 )
 SELECT ta, tb, n AS n_days,
@@ -6073,9 +6075,9 @@ WITH daily AS (
 ),
 s AS (
   SELECT count(*)::bigint AS n, sum(d)::bigint AS sd, sum(w)::bigint AS sw,
-         sum(d * d)::bigint AS sdd, sum(d * w)::bigint AS sdw,
-         sum(w * w)::bigint AS sww, sum(y)::bigint AS sy,
-         sum(d * y)::bigint AS sdy, sum(w * y)::bigint AS swy
+         sum(d::hugeint * d::hugeint) AS sdd, sum(d::hugeint * w::hugeint) AS sdw,
+         sum(w::hugeint * w::hugeint) AS sww, sum(y)::hugeint AS sy,
+         sum(d::hugeint * y::hugeint) AS sdy, sum(w::hugeint * y::hugeint) AS swy
   FROM daily
 )
 SELECT n AS n_days,
@@ -7501,7 +7503,7 @@ quant AS (
 ),
 mom0 AS (
   SELECT count(*)::bigint AS u, sum(r_ppm)::bigint AS s1,
-         sum(r_ppm * r_ppm)::bigint AS s2
+         sum(r_ppm::hugeint * r_ppm::hugeint) AS s2
   FROM quant
 ),
 mom1 AS (

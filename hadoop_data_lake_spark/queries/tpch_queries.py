@@ -2863,8 +2863,9 @@ pairs AS (
 ),
 mom AS (
   SELECT count(*) AS m, sum(da)::bigint AS sa, sum(db)::bigint AS sb,
-         sum(da * db)::bigint AS sab, sum(da * da)::bigint AS saa,
-         sum(db * db)::bigint AS sbb
+         sum(da::hugeint * db::hugeint) AS sab,
+         sum(da::hugeint * da::hugeint) AS saa,
+         sum(db::hugeint * db::hugeint) AS sbb
   FROM pairs
 )
 SELECT m AS n_directed_edges,
@@ -5129,8 +5130,9 @@ base AS (
   WHERE month = (SELECT min(month) FROM bm)
 )
 SELECT bm.month::varchar AS month, count(*)::bigint AS n_brands,
-       round(sum(bm.up * base.q0)::double
-             / sum(base.up0 * base.q0)::double * 100.0, 6) AS laspeyres_r
+       round(sum(bm.up::hugeint * base.q0::hugeint)::double
+             / sum(base.up0::hugeint * base.q0::hugeint)::double * 100.0, 6)
+         AS laspeyres_r
 FROM bm JOIN base ON bm.p_brand = base.p_brand
 GROUP BY bm.month
 """
