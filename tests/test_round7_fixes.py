@@ -127,3 +127,39 @@ def test_rotation_assert_flags_non_guard_repeats(monkeypatch):
     monkeypatch.setattr(br, "REGISTRY", guarded)
     monkeypatch.setattr(br, "graded_ever", lambda: {"stream_windowed_counts"})
     assert br.assert_rotation() == 0  # guard slots may repeat
+
+
+def test_rolling_zscore_survives_window_bigint_overflow(spark, tmp_path):
+    """rolling_zscore_anomaly (round-7 widening): a 24 h window holding
+    1500 cents~9e7 events wraps the old bigint SUM(vc*vc) (~1.2e19) and
+    its s1^2 quadratic (~1.8e22), driving the integer gate's var_int
+    negative — the planted outlier silently vanished. The decimal path
+    must keep the gate exact and emit it."""
+    from hadoop_data_lake_spark.queries.events_queries import rolling_zscore_anomaly
+
+    n_big = 1500
+    rows = [
+        # alternate two nearby large values so the window variance is
+        # positive but tiny next to the planted outlier's deviation
+        (i, EPOCH + dt.timedelta(seconds=10 * i), 1, "m",
+         9.0e5 + (i % 2), "{}")
+        for i in range(n_big)
+    ]
+    outlier_id = 10_000
+    rows.append(
+        (outlier_id, EPOCH + dt.timedelta(seconds=10 * n_big), 1, "m", 1.0, "{}")
+    )
+    sf_dir = _write_events(spark, tmp_path, rows)
+
+    out = {r["event_id"]: r["z_r"] for r in rolling_zscore_anomaly(spark, sf_dir).collect()}
+    assert outlier_id in out, "overflow in the window quadratics ate the outlier"
+
+    # exact recompute at the outlier row (whole history is inside 24 h)
+    cents = [round((9.0e5 + (i % 2)) * 100) for i in range(n_big)] + [100]
+    n, s1 = len(cents), sum(cents)
+    s2 = sum(c * c for c in cents)
+    dev = cents[-1] * n - s1
+    var_int = n * s2 - s1 * s1
+    assert out[outlier_id] == pytest.approx(
+        round(dev / var_int**0.5, 6), abs=2e-6
+    )
