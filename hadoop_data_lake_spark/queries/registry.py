@@ -13,27 +13,32 @@ so the window is now a SEPARATE dict with a hard `len(_WINDOW) == 50`
 assert at import time: miscounting is an ImportError, not a silent grading
 gap.
 
-Round-7 window composition (VERDICT r6 items 1+7; r6's composition is in
-this file's git history at the round-6 tag):
-1-43   the 43 OLDEST never-driver-graded full-oracle entries, exactly
-       the order tools/backlog_report.py printed at round-7 start.
-44     ann_ivf_det — NEW this round (VERDICT r6 item 7): the one ANN
-       tier that lacked a deterministic full-oracle sibling. The only
-       registry addition; 351 -> 352 (342 full-oracle).
-45-50  the 6-slot streaming regression guard (r≤4-proven).
-Net: all 44 non-guard slots grade NEVER-graded queries; never-graded
-after this window grades = 35 (pca_top_component + 34 younger entries —
-one more rotation clears the backlog entirely; the r6 target of <=34
-assumed zero additions, and the judge's own item 7 added one). Every
-registered query — graded or not — is re-verified against its DuckDB
-oracle locally each round by tools/check_oracle.py at sf0.001; the
+Round-8 window composition (VERDICT r7 items 1+7; r7's composition is in
+this file's git history at the round-7 tag):
+1-35   the 35 remaining NEVER-driver-graded full-oracle entries, exactly
+       the order tools/backlog_report.py printed at round-8 start —
+       after this window grades, the never-graded backlog is ZERO.
+36-38  re-grades of the multimodal trio (decode_features/resize/frames):
+       their only driver rows are r2-era `no_oracle` checks; the queries
+       carry full DuckDB oracles since round 3 (COVERAGE.md "Multimodal
+       oracle upgrade") and were never re-graded under them.
+39-44  the stale-ladder six (VERDICT r7 item 7): green rows that predate
+       the r6/r7 integer-widening rewrites of the same queries
+       (dedup_minhash_lsh, ann_brute_force, value_outliers_zscore,
+       user_value_twap, rolling_zscore_anomaly, gini_customer_revenue).
+       All nine re-grades are declared in INTENTIONAL_REGRADES below.
+45-50  the 6-slot streaming regression guard (STREAMING_GUARD below).
+Registry frozen at 352 (342 full-oracle) — zero additions this round.
+Every registered query — graded or not — is re-verified against its
+DuckDB oracle locally each round by tools/check_oracle.py at sf0.001; the
 50-slot window additionally at sf0.01 (the gate scale) and sf0.1 (the
 bench scale) before shipping.
-Every displaced entry holds a CORRECTNESS_r06.json green row and moves to
+Every displaced entry holds a CORRECTNESS_r07.json green row and moves to
 the backlog, where check_oracle still re-verifies it each round.
 The rotation invariant is MACHINE-CHECKED pre-ship (VERDICT r6 item 3):
 `python tools/backlog_report.py --assert` exits non-zero unless every
-non-guard window slot is absent from all committed CORRECTNESS_r*.json.
+non-guard window slot is absent from all committed CORRECTNESS_r*.json
+or declared in INTENTIONAL_REGRADES.
 (Not an import-time assert on purpose: the moment the driver writes this
 round's CORRECTNESS file the window legitimately becomes "graded", and an
 import assert would brick every entry point at next round's start before
@@ -64,6 +69,45 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: Exact number of leading registry entries the external gate grades.
 DRIVER_WINDOW_SIZE = 50
 
+#: The window slots exempt from the first-time rotation rule: the streaming
+#: regression guard deliberately re-grades proven queries every round
+#: (streaming silently broke at r2 HEAD; these keep every micro-batch/
+#: watermark/stream-join path under the driver gate). Single source of
+#: truth (driver-ADVICE r7): tools/backlog_report.py and the rotation
+#: scripts import THIS tuple instead of keeping their own copies, so a
+#: guard-block change here cannot silently desynchronize the invariant.
+STREAMING_GUARD: tuple[str, ...] = (
+    "stream_windowed_counts",
+    "stream_session_stats",
+    "stream_running_max",
+    "stream_enriched_value",
+    "stream_attribution_pairs",
+    "stream_attribution_left",
+)
+
+#: Non-guard window slots that INTENTIONALLY re-grade already-graded
+#: queries this round — each with a stated reason, so
+#: `tools/backlog_report.py --assert` can distinguish a sanctioned
+#: re-grade from a rotation mistake. Round 8 (VERDICT r7 items 1+7):
+#: - multimodal_decode_features / multimodal_resize / multimodal_frames:
+#:   their only driver rows are r2-era `no_oracle` checks; the queries
+#:   were upgraded to full DuckDB oracles in round 3 (COVERAGE.md
+#:   "Multimodal oracle upgrade") and never re-graded since.
+#: - 6 stale re-grades picked by `tools/backlog_report.py --stale`
+#:   (VERDICT r7 item 7 ladder): green rows that predate the last
+#:   semantic change to their query (r6/r7 integer-widening rewrites).
+INTENTIONAL_REGRADES: frozenset[str] = frozenset({
+    "multimodal_decode_features",
+    "multimodal_resize",
+    "multimodal_frames",
+    "dedup_minhash_lsh",
+    "ann_brute_force",
+    "value_outliers_zscore",
+    "user_value_twap",
+    "rolling_zscore_anomaly",
+    "gini_customer_revenue",
+})
+
 
 @dataclass(frozen=True)
 class QuerySpec:
@@ -73,61 +117,122 @@ class QuerySpec:
 
 
 _WINDOW: dict[str, QuerySpec] = {
-    # ---- ROUND-7 WINDOW -------------------------------------------------
-    # VERDICT r6 items 1+7: all 44 non-guard slots again grade NEVER-
-    # driver-graded full-oracle entries — the 43 OLDEST backlog entries
-    # (tools/backlog_report.py order at round-7 start) plus the new
-    # ann_ivf_det (the one ANN tier that lacked a deterministic full-
-    # oracle sibling; ann_lsh_det/ann_pq_det precedent). Never-graded
-    # after this window grades: 35 (pca_top_component + 34 younger
-    # entries) — one more rotation clears the backlog entirely. Every
-    # displaced entry holds a CORRECTNESS_r06.json full-oracle PASS and
+    # ---- ROUND-8 WINDOW -------------------------------------------------
+    # VERDICT r7 items 1+7: the backlog goes to ZERO. Slots 1-35 grade
+    # the 35 remaining NEVER-driver-graded full-oracle entries (exactly
+    # tools/backlog_report.py order at round-8 start); slots 36-38
+    # re-grade the multimodal trio whose only driver rows are r2-era
+    # no_oracle checks (full oracles since r3, COVERAGE.md 'Multimodal
+    # oracle upgrade'); slots 39-44 re-grade the stale-ladder six whose
+    # green rows predate the r6/r7 integer-widening rewrites (declared
+    # in INTENTIONAL_REGRADES above — `backlog_report.py --assert`
+    # enforces that every non-guard repeat is on that list). After this
+    # window grades, never-graded full-oracle entries = 0. Every
+    # displaced entry holds a CORRECTNESS_r07.json full-oracle PASS and
     # moves to the top of _BACKLOG; check_oracle re-verifies all 352
-    # registered queries locally every round. r7 displacement pairs:
-    # neyman_allocation_plan -> displaces self_join_skew_profile (r6-green)
-    # lang_id_confusion -> displaces grid_density_clusters (r6-green)
-    # hash_collision_audit -> displaces shapley_channel_attribution (r6-green)
-    # decayed_user_value -> displaces qini_uplift_curve (r6-green)
-    # markov_trigram_entropy -> displaces corpus_report_card (r6-green)
-    # woe_value_bins -> displaces t_closeness_audit (r6-green)
-    # churn_label_windows -> displaces graph_feature_propagation (r6-green)
-    # isotonic_calibration_bins -> displaces cuped_adjusted_lift (r6-green)
-    # user_sequence_edit_nn -> displaces did_estimate (r6-green)
-    # lang_id_cohens_kappa -> displaces ipw_outcome_estimate (r6-green)
-    # daily_revenue_changepoint -> displaces rdd_value_threshold (r6-green)
-    # newsvendor_brand_quantiles -> displaces covariate_balance_smd (r6-green)
-    # ts_delta_compression_estimate -> displaces ecod_outlier_scores (r6-green)
-    # eb_shrunk_conversion -> displaces session_gap_sensitivity (r6-green)
-    # laspeyres_price_index -> displaces cvar_expected_shortfall (r6-green)
-    # sprt_conversion_monitor -> displaces lpa_modularity (r6-green)
-    # croston_intermittent_forecast -> displaces poisson_burst_hours (r6-green)
-    # semdedup_silhouette -> displaces heaps_law_fit (r6-green)
-    # circular_hour_stats -> displaces fightin_words_tokens (r6-green)
-    # kendall_tau_daily -> displaces missing_partition_audit (r6-green)
-    # haar_energy_daily -> displaces nelson_aalen_hazard (r6-green)
-    # jackknife_daily_mean -> displaces source_mmd_hashed (r6-green)
-    # chapman_population_estimate -> displaces selectivity_estimate_audit (r6-green)
-    # decontamination_report -> displaces ab_test_welch (r6-green)
-    # mann_whitney_variants -> displaces holt_smoothing_per_user (r6-green)
-    # dau_mau_stickiness -> displaces label_centroid_similarity (r6-green)
-    # hhi_brand_concentration -> displaces chi2_type_weekday (r6-green)
-    # token_lang_mi -> displaces rolling_7d_distinct_users (r6-green)
-    # length_bias_auc -> displaces minhash_eval_pr (r6-green)
-    # token_run_lengths -> displaces stream_topk_types_per_window (r6-green)
-    # blocklist_filter -> displaces multimodal_arrow_entropy (r6-green)
-    # user_series_sax_similarity -> displaces quantile_sample_det (r6-green)
-    # lake_table_profile -> displaces dp_noisy_type_counts (r6-green)
-    # zonemap_integrity_audit -> displaces observed_scan_metrics (r6-green)
-    # user_value_gcd -> displaces kaplan_meier_conversion (r6-green)
-    # l_diversity_audit -> displaces association_rules_brands (r6-green)
-    # activity_tail_hill -> displaces nb_source_classifier (r6-green)
-    # kmv_week_overlap -> displaces theil_sen_daily_trend (r6-green)
-    # monthly_from_daily_mv -> displaces knn_label_eval (r6-green)
-    # user_type_share_map -> displaces row_provenance_files (r6-green)
-    # quantile_forecast_pinball -> displaces cohort_ltv_curve (r6-green)
-    # ols_weekend_effect -> displaces split_revenue_attribution (r6-green)
-    # conformal_value_interval -> displaces degree_assortativity (r6-green)
-    # ann_ivf_det -> displaces source_vocab_kl (r6-green)
+    # registered queries locally every round. r8 displacement pairs:
+    # pca_top_component -> displaces neyman_allocation_plan (r7-green)
+    # activity_streak_histogram -> displaces lang_id_confusion (r7-green)
+    # brand_cf_similarity -> displaces hash_collision_audit (r7-green)
+    # duplicate_invoice_screen -> displaces decayed_user_value (r7-green)
+    # user_cf_recommendations -> displaces markov_trigram_entropy (r7-green)
+    # seasonal_naive_backtest -> displaces woe_value_bins (r7-green)
+    # token_npmi_pairs -> displaces churn_label_windows (r7-green)
+    # mm1_wait_estimate -> displaces isotonic_calibration_bins (r7-green)
+    # k_anonymity_audit -> displaces user_sequence_edit_nn (r7-green)
+    # shipping_latency_sla -> displaces lang_id_cohens_kappa (r7-green)
+    # referential_integrity_audit -> displaces daily_revenue_changepoint (r7-green)
+    # ks_test_variants -> displaces newsvendor_brand_quantiles (r7-green)
+    # odds_ratio_conversion -> displaces ts_delta_compression_estimate (r7-green)
+    # winsorized_value_stats -> displaces eb_shrunk_conversion (r7-green)
+    # max_drawdown_daily_revenue -> displaces laspeyres_price_index (r7-green)
+    # markov_entropy_rate -> displaces sprt_conversion_monitor (r7-green)
+    # fano_burstiness -> displaces croston_intermittent_forecast (r7-green)
+    # adstock_attribution -> displaces semdedup_silhouette (r7-green)
+    # forecast_bakeoff -> displaces circular_hour_stats (r7-green)
+    # ngram_novelty_curve -> displaces kendall_tau_daily (r7-green)
+    # discount_elasticity -> displaces haar_energy_daily (r7-green)
+    # order_cycle_percentiles -> displaces jackknife_daily_mean (r7-green)
+    # new_vs_returning_daily -> displaces chapman_population_estimate (r7-green)
+    # kaplan_meier_by_variant -> displaces decontamination_report (r7-green)
+    # weekday_seasonality_index -> displaces mann_whitney_variants (r7-green)
+    # price_dispersion_by_brand -> displaces dau_mau_stickiness (r7-green)
+    # anova_eta_squared -> displaces hhi_brand_concentration (r7-green)
+    # type_comovement_matrix -> displaces token_lang_mi (r7-green)
+    # order_backlog_aging -> displaces length_bias_auc (r7-green)
+    # revenue_waterfall -> displaces token_run_lengths (r7-green)
+    # supplier_customer_dependency -> displaces blocklist_filter (r7-green)
+    # sample_representativeness_audit -> displaces user_series_sax_similarity (r7-green)
+    # value_tail_ratio -> displaces lake_table_profile (r7-green)
+    # first_touch_attribution -> displaces zonemap_integrity_audit (r7-green)
+    # user_activity_histogram -> displaces user_value_gcd (r7-green)
+    # multimodal_decode_features -> displaces l_diversity_audit (r7-green)
+    # multimodal_resize -> displaces activity_tail_hill (r7-green)
+    # multimodal_frames -> displaces kmv_week_overlap (r7-green)
+    # dedup_minhash_lsh -> displaces monthly_from_daily_mv (r7-green)
+    # ann_brute_force -> displaces user_type_share_map (r7-green)
+    # value_outliers_zscore -> displaces quantile_forecast_pinball (r7-green)
+    # user_value_twap -> displaces ols_weekend_effect (r7-green)
+    # rolling_zscore_anomaly -> displaces conformal_value_interval (r7-green)
+    # gini_customer_revenue -> displaces ann_ivf_det (r7-green)
+    "pca_top_component": QuerySpec(NS.pca_top_component, NS.PCA_TOP_COMPONENT_SQL, ("ml", "pca", "power-iteration", "integer-exact", "deterministic")),
+    "activity_streak_histogram": QuerySpec(EV.activity_streak_histogram, EV.ACTIVITY_STREAK_HISTOGRAM_SQL, ("window", "gaps-and-islands", "streak", "engagement")),
+    "brand_cf_similarity": QuerySpec(TQ.brand_cf_similarity, TQ.BRAND_CF_SIMILARITY_SQL, ("recsys", "item-item", "collaborative-filtering")),
+    "duplicate_invoice_screen": QuerySpec(TQ.duplicate_invoice_screen, TQ.DUPLICATE_INVOICE_SCREEN_SQL, ("fraud", "dedup", "banded-self-join")),
+    "user_cf_recommendations": QuerySpec(TQ.user_cf_recommendations, TQ.USER_CF_RECOMMENDATIONS_SQL, ("recsys", "recommendations", "item-item", "anti-join")),
+    "seasonal_naive_backtest": QuerySpec(EV.seasonal_naive_backtest, EV.SEASONAL_NAIVE_BACKTEST_SQL, ("forecast", "backtest", "seasonal-naive", "temporal-holdout")),
+    "token_npmi_pairs": QuerySpec(NS.token_npmi_pairs, NS.TOKEN_NPMI_PAIRS_SQL, ("text", "npmi", "collocation")),
+    "mm1_wait_estimate": QuerySpec(EV.mm1_wait_estimate, EV.MM1_WAIT_ESTIMATE_SQL, ("capacity", "queueing", "mm1")),
+    "k_anonymity_audit": QuerySpec(TQ.k_anonymity_audit, TQ.K_ANONYMITY_AUDIT_SQL, ("privacy", "k-anonymity", "audit")),
+    "shipping_latency_sla": QuerySpec(TQ.shipping_latency_sla, TQ.SHIPPING_LATENCY_SLA_SQL, ("sla", "latency", "order-statistic", "percentile")),
+    "referential_integrity_audit": QuerySpec(TQ.referential_integrity_audit, TQ.REFERENTIAL_INTEGRITY_AUDIT_SQL, ("quality", "referential-integrity", "anti-join", "audit")),
+    "ks_test_variants": QuerySpec(EV.ks_test_variants, EV.KS_TEST_VARIANTS_SQL, ("experiment", "kolmogorov-smirnov", "ecdf", "integer-exact")),
+    "odds_ratio_conversion": QuerySpec(EV.odds_ratio_conversion, EV.ODDS_RATIO_CONVERSION_SQL, ("experiment", "odds-ratio", "wald-ci", "binary-outcome")),
+    "winsorized_value_stats": QuerySpec(EV.winsorized_value_stats, EV.WINSORIZED_VALUE_STATS_SQL, ("robust-stats", "winsorize", "order-statistic")),
+    "max_drawdown_daily_revenue": QuerySpec(EV.max_drawdown_daily_revenue, EV.MAX_DRAWDOWN_DAILY_REVENUE_SQL, ("finance", "drawdown", "running-peak")),
+    "markov_entropy_rate": QuerySpec(EV.markov_entropy_rate, EV.MARKOV_ENTROPY_RATE_SQL, ("sequence", "entropy-rate", "markov")),
+    "fano_burstiness": QuerySpec(EV.fano_burstiness, EV.FANO_BURSTINESS_SQL, ("capacity", "burstiness", "fano", "dispersion")),
+    "adstock_attribution": QuerySpec(EV.adstock_attribution, EV.ADSTOCK_ATTRIBUTION_SQL, ("attribution", "adstock", "decay-weighted")),
+    "forecast_bakeoff": QuerySpec(EV.forecast_bakeoff, EV.FORECAST_BAKEOFF_SQL, ("forecast", "bakeoff", "evaluation")),
+    "ngram_novelty_curve": QuerySpec(NS.ngram_novelty_curve, NS.NGRAM_NOVELTY_CURVE_SQL, ("text", "redundancy", "ngram", "corpus-health")),
+    "discount_elasticity": QuerySpec(TQ.discount_elasticity, TQ.DISCOUNT_ELASTICITY_SQL, ("econometrics", "elasticity", "log-log", "ordered-fold")),
+    "order_cycle_percentiles": QuerySpec(TQ.order_cycle_percentiles, TQ.ORDER_CYCLE_PERCENTILES_SQL, ("crm", "cycle-time", "order-statistic")),
+    "new_vs_returning_daily": QuerySpec(EV.new_vs_returning_daily, EV.NEW_VS_RETURNING_DAILY_SQL, ("engagement", "new-vs-returning", "first-seen")),
+    "kaplan_meier_by_variant": QuerySpec(EV.kaplan_meier_by_variant, EV.KAPLAN_MEIER_BY_VARIANT_SQL, ("survival", "kaplan-meier", "experiment", "stratified")),
+    "weekday_seasonality_index": QuerySpec(EV.weekday_seasonality_index, EV.WEEKDAY_SEASONALITY_INDEX_SQL, ("timeseries", "seasonality", "index")),
+    "price_dispersion_by_brand": QuerySpec(TQ.price_dispersion_by_brand, TQ.PRICE_DISPERSION_BY_BRAND_SQL, ("pricing", "dispersion", "cv", "integer-moments")),
+    "anova_eta_squared": QuerySpec(EV.anova_eta_squared, EV.ANOVA_ETA_SQUARED_SQL, ("statistics", "anova", "effect-size", "ordered-fold")),
+    "type_comovement_matrix": QuerySpec(EV.type_comovement_matrix, EV.TYPE_COMOVEMENT_MATRIX_SQL, ("timeseries", "correlation-matrix", "comovement")),
+    "order_backlog_aging": QuerySpec(TQ.order_backlog_aging, TQ.ORDER_BACKLOG_AGING_SQL, ("operations", "aging", "backlog")),
+    "revenue_waterfall": QuerySpec(TQ.revenue_waterfall, TQ.REVENUE_WATERFALL_SQL, ("finance", "waterfall", "reconciliation", "integer-exact")),
+    "supplier_customer_dependency": QuerySpec(TQ.supplier_customer_dependency, TQ.SUPPLIER_CUSTOMER_DEPENDENCY_SQL, ("risk", "concentration", "argmax")),
+    "sample_representativeness_audit": QuerySpec(EV.sample_representativeness_audit, EV.SAMPLE_REPRESENTATIVENESS_AUDIT_SQL, ("sampling", "audit", "representativeness")),
+    "value_tail_ratio": QuerySpec(EV.value_tail_ratio, EV.VALUE_TAIL_RATIO_SQL, ("robust-stats", "tail", "order-statistic")),
+    "first_touch_attribution": QuerySpec(EV.first_touch_attribution, EV.FIRST_TOUCH_ATTRIBUTION_SQL, ("attribution", "first-touch", "argmin")),
+    "user_activity_histogram": QuerySpec(EV.user_activity_histogram, EV.USER_ACTIVITY_HISTOGRAM_SQL, ("engagement", "histogram", "power-of-two", "skew")),
+    "multimodal_decode_features": QuerySpec(NS.multimodal_decode_features, NS.MULTIMODAL_DECODE_FEATURES_SQL, ("multimodal", "pandas-udf")),
+    "multimodal_resize": QuerySpec(NS.multimodal_resize, NS.MULTIMODAL_RESIZE_SQL, ("multimodal", "pandas-udf")),
+    "multimodal_frames": QuerySpec(NS.multimodal_frames, NS.MULTIMODAL_FRAMES_SQL, ("multimodal", "pandas-udf", "generator")),
+    "dedup_minhash_lsh": QuerySpec(NS.dedup_minhash_lsh, NS.DEDUP_MINHASH_LSH_SQL, ("dedup", "lsh")),
+    "ann_brute_force": QuerySpec(NS.ann_brute_force, NS.ANN_BRUTE_FORCE_SQL, ("ann",)),
+    "value_outliers_zscore": QuerySpec(EV.value_outliers_zscore, EV.VALUE_OUTLIERS_ZSCORE_SQL, ("agg", "robust-stats", "outliers")),
+    "user_value_twap": QuerySpec(EV.user_value_twap, EV.USER_VALUE_TWAP_SQL, ("timeseries", "window", "weighted-mean")),
+    "rolling_zscore_anomaly": QuerySpec(EV.rolling_zscore_anomaly, EV.ROLLING_ZSCORE_ANOMALY_SQL, ("window", "range-frame", "anomaly", "integer-exact")),
+    "gini_customer_revenue": QuerySpec(TQ.gini_customer_revenue, TQ.GINI_CUSTOMER_REVENUE_SQL, ("inequality", "gini", "integer-exact")),
+    # --- streaming regression guard (6 = STREAMING_GUARD above):
+    # streaming silently broke at r2 HEAD; these keep every micro-batch/
+    # watermark/stream-join path under the driver gate ---
+    "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),
+    "stream_session_stats": QuerySpec(NS.stream_session_stats, NS.STREAM_SESSION_STATS_SQL, ("streaming", "session-window")),
+    "stream_running_max": QuerySpec(NS.stream_running_max, NS.STREAM_RUNNING_MAX_SQL, ("streaming", "stateful", "pandas-udf")),
+    "stream_enriched_value": QuerySpec(NS.stream_enriched_value, NS.STREAM_ENRICHED_VALUE_SQL, ("streaming", "stream-static-join")),
+    "stream_attribution_pairs": QuerySpec(NS.stream_attribution_pairs, NS.STREAM_ATTRIBUTION_PAIRS_SQL, ("streaming", "stream-stream-join", "interval-join")),
+    "stream_attribution_left": QuerySpec(NS.stream_attribution_left, NS.STREAM_ATTRIBUTION_LEFT_SQL, ("streaming", "stream-stream-join", "outer-join", "watermark")),
+}
+
+_BACKLOG: dict[str, QuerySpec] = {
+    # --- round-7 green, displaced by the r8 rotation (all hold a
+    # CORRECTNESS_r07.json full-oracle PASS) ---
     "neyman_allocation_plan": QuerySpec(EV.neyman_allocation_plan, EV.NEYMAN_ALLOCATION_PLAN_SQL, ("sampling", "stratified", "neyman", "design")),
     "lang_id_confusion": QuerySpec(NS.lang_id_confusion, NS.LANG_ID_CONFUSION_SQL, ("text", "lang-id", "eval", "confusion-matrix")),
     "hash_collision_audit": QuerySpec(NS.hash_collision_audit, NS.HASH_COLLISION_AUDIT_SQL, ("ml", "feature-hashing", "collision", "audit")),
@@ -172,18 +277,6 @@ _WINDOW: dict[str, QuerySpec] = {
     "ols_weekend_effect": QuerySpec(EV.ols_weekend_effect, EV.OLS_WEEKEND_EFFECT_SQL, ("regression", "ols", "integer-exact", "cramer")),
     "conformal_value_interval": QuerySpec(EV.conformal_value_interval, EV.CONFORMAL_VALUE_INTERVAL_SQL, ("ml", "conformal", "prediction-interval", "order-statistic")),
     "ann_ivf_det": QuerySpec(NS.ann_ivf_det, NS.ANN_IVF_DET_SQL, ("ann", "ivf", "deterministic", "integer-exact")),
-    # --- streaming regression guard (6): streaming silently broke at
-    # r2 HEAD; these keep every micro-batch/watermark/stream-join path
-    # under the driver gate ---
-    "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),
-    "stream_session_stats": QuerySpec(NS.stream_session_stats, NS.STREAM_SESSION_STATS_SQL, ("streaming", "session-window")),
-    "stream_running_max": QuerySpec(NS.stream_running_max, NS.STREAM_RUNNING_MAX_SQL, ("streaming", "stateful", "pandas-udf")),
-    "stream_enriched_value": QuerySpec(NS.stream_enriched_value, NS.STREAM_ENRICHED_VALUE_SQL, ("streaming", "stream-static-join")),
-    "stream_attribution_pairs": QuerySpec(NS.stream_attribution_pairs, NS.STREAM_ATTRIBUTION_PAIRS_SQL, ("streaming", "stream-stream-join", "interval-join")),
-    "stream_attribution_left": QuerySpec(NS.stream_attribution_left, NS.STREAM_ATTRIBUTION_LEFT_SQL, ("streaming", "stream-stream-join", "outer-join", "watermark")),
-}
-
-_BACKLOG: dict[str, QuerySpec] = {
     # --- round-6 green, displaced by the r7 rotation (all hold a
     # CORRECTNESS_r06.json full-oracle PASS) ---
     "self_join_skew_profile": QuerySpec(EV.self_join_skew_profile, EV.SELF_JOIN_SKEW_PROFILE_SQL, ("join", "skew", "diagnostics", "planner")),
@@ -235,7 +328,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "event_lateness_profile": QuerySpec(EV.event_lateness_profile, EV.EVENT_LATENESS_PROFILE_SQL, ("streaming", "watermark", "lateness", "profiling")),
     "value_psi_drift": QuerySpec(EV.value_psi_drift, EV.VALUE_PSI_DRIFT_SQL, ("quality", "psi", "drift", "monitoring")),
     "pareto_frontier_orders": QuerySpec(TQ.pareto_frontier_orders, TQ.PARETO_FRONTIER_ORDERS_SQL, ("window", "skyline", "pareto", "range-frame")),
-    "gini_customer_revenue": QuerySpec(TQ.gini_customer_revenue, TQ.GINI_CUSTOMER_REVENUE_SQL, ("inequality", "gini", "integer-exact")),
     "lorenz_curve_points": QuerySpec(TQ.lorenz_curve_points, TQ.LORENZ_CURVE_POINTS_SQL, ("inequality", "lorenz", "deciles")),
     "pareto_8020_customers": QuerySpec(TQ.pareto_8020_customers, TQ.PARETO_8020_CUSTOMERS_SQL, ("inequality", "pareto", "concentration")),
     "abc_part_classification": QuerySpec(TQ.abc_part_classification, TQ.ABC_PART_CLASSIFICATION_SQL, ("inventory", "abc", "pareto", "integer-exact")),
@@ -306,7 +398,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "user_type_entropy": QuerySpec(EV.user_type_entropy, EV.USER_TYPE_ENTROPY_SQL, ("agg", "entropy", "re-aggregation")),
     "ivm_join_delta": QuerySpec(TQ.ivm_join_delta, TQ.IVM_JOIN_DELTA_SQL, ("cdc", "ivm", "delta", "join")),
     "session_pattern_match": QuerySpec(EV.session_pattern_match, EV.SESSION_PATTERN_MATCH_SQL, ("sessionize", "pattern", "match-recognize", "regex")),
-    "rolling_zscore_anomaly": QuerySpec(EV.rolling_zscore_anomaly, EV.ROLLING_ZSCORE_ANOMALY_SQL, ("window", "range-frame", "anomaly", "integer-exact")),
     "hilbert_code_orders": QuerySpec(TQ.hilbert_code_orders, TQ.HILBERT_CODE_ORDERS_SQL, ("layout", "hilbert", "bit-arithmetic")),
     "geohash_cell_counts": QuerySpec(GQ.geohash_cell_counts, GQ.GEOHASH_CELL_COUNTS_SQL, ("geo", "geohash", "spatial-index", "agg")),
     "user_value_cusum": QuerySpec(EV.user_value_cusum, EV.USER_VALUE_CUSUM_SQL, ("timeseries", "cusum", "drift", "sequential-fold")),
@@ -343,14 +434,12 @@ _BACKLOG: dict[str, QuerySpec] = {
     "props_variant_stats": QuerySpec(NS.props_variant_stats, NS.PROPS_VARIANT_STATS_SQL, ("json", "variant")),
     "zorder_code_orders": QuerySpec(TQ.zorder_code_orders, TQ.ZORDER_CODE_ORDERS_SQL, ("layout", "zorder", "bit-arithmetic")),
     "salted_type_weight_sum": QuerySpec(EV.salted_type_weight_sum, EV.SALTED_TYPE_WEIGHT_SUM_SQL, ("join", "skew", "salting")),
-    "user_value_twap": QuerySpec(EV.user_value_twap, EV.USER_VALUE_TWAP_SQL, ("timeseries", "window", "weighted-mean")),
     "order_price_deciles": QuerySpec(EV.order_price_deciles, EV.ORDER_PRICE_DECILES_SQL, ("window", "ntile")),
     "zone_report": QuerySpec(EV.zone_report, EV.ZONE_REPORT_SQL, ("flagship", "pivot", "window", "join")),
     "nearest_city": QuerySpec(GQ.nearest_city, GQ.NEAREST_CITY_SQL, ("geo", "crossjoin", "window", "argmin")),
     "user_sessions": QuerySpec(EV.user_sessions, EV.USER_SESSIONS_SQL, ("window", "sessionize")),
     "user_local_time_coords": QuerySpec(GQ.user_local_time_coords, GQ.USER_LOCAL_TIME_COORDS_SQL, ("geo", "timezone", "coords")),
     "importance_sample_events": QuerySpec(EV.importance_sample_events, EV.IMPORTANCE_SAMPLE_EVENTS_SQL, ("sampling", "weighted", "deterministic")),
-    "value_outliers_zscore": QuerySpec(EV.value_outliers_zscore, EV.VALUE_OUTLIERS_ZSCORE_SQL, ("agg", "robust-stats", "outliers")),
     "cohort_retention": QuerySpec(EV.cohort_retention, EV.COHORT_RETENTION_SQL, ("window", "join", "cohort")),
     "value_histogram": QuerySpec(NS.value_histogram, NS.VALUE_HISTOGRAM_SQL, ("agg", "histogram")),
     "props_map_entries": QuerySpec(NS.props_map_entries, NS.PROPS_MAP_ENTRIES_SQL, ("json", "map")),
@@ -366,10 +455,8 @@ _BACKLOG: dict[str, QuerySpec] = {
     # --- round-2 green (full DuckDB hash match in CORRECTNESS_r02.json) --
     "dedup_exact": QuerySpec(NS.dedup_exact, NS.DEDUP_EXACT_SQL, ("dedup",)),
     "dedup_ngram_jaccard": QuerySpec(NS.dedup_ngram_jaccard, NS.DEDUP_NGRAM_JACCARD_SQL, ("dedup",)),
-    "dedup_minhash_lsh": QuerySpec(NS.dedup_minhash_lsh, NS.DEDUP_MINHASH_LSH_SQL, ("dedup", "lsh")),
     "dedup_simhash": QuerySpec(NS.dedup_simhash, NS.DEDUP_SIMHASH_SQL, ("dedup", "lsh")),
     "dedup_clusters_minhash": QuerySpec(NS.dedup_clusters_minhash, NS.DEDUP_CLUSTERS_MINHASH_SQL, ("dedup", "graph", "iterative")),
-    "ann_brute_force": QuerySpec(NS.ann_brute_force, NS.ANN_BRUTE_FORCE_SQL, ("ann",)),
     "embedding_near_dup": QuerySpec(NS.embedding_near_dup, NS.EMBEDDING_NEAR_DUP_SQL, ("ann", "dedup", "lsh")),
     # session-3 new queries (window members semdedup_prune /
     # er_golden_record live in _WINDOW; the rest verify locally here):
@@ -411,9 +498,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "ann_pq": QuerySpec(NS.ann_pq, None, ("ann", "pq", "adc")),
     # upgraded rows-only -> full oracle in round 3: the ASCII corpus makes
     # the deterministic fake codec replayable as code-point/substr SQL.
-    "multimodal_decode_features": QuerySpec(NS.multimodal_decode_features, NS.MULTIMODAL_DECODE_FEATURES_SQL, ("multimodal", "pandas-udf")),
-    "multimodal_resize": QuerySpec(NS.multimodal_resize, NS.MULTIMODAL_RESIZE_SQL, ("multimodal", "pandas-udf")),
-    "multimodal_frames": QuerySpec(NS.multimodal_frames, NS.MULTIMODAL_FRAMES_SQL, ("multimodal", "pandas-udf", "generator")),
     "value_percentiles_approx": QuerySpec(EV.value_percentiles_approx, None, ("sketch", "percentile")),
     "purchase_graph_pagerank": QuerySpec(TQ.purchase_graph_pagerank, None, ("graph", "iterative", "pagerank")),
     "weekly_unique_users_hll": QuerySpec(NS.weekly_unique_users_hll, None, ("sketch", "hll", "rollup")),
@@ -424,41 +508,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "winnow_fingerprints": QuerySpec(NS.winnow_fingerprints, NS.WINNOW_FINGERPRINTS_SQL, ("dedup", "fingerprint", "winnowing")),
     "incremental_orders_agg": QuerySpec(TQ.incremental_orders_agg, TQ.INCREMENTAL_ORDERS_AGG_SQL, ("cdc", "ivm", "delta")),
     "perplexity_filter": QuerySpec(NS.perplexity_filter, NS.PERPLEXITY_FILTER_SQL, ("text", "quality", "perplexity", "percentile")),
-    "pca_top_component": QuerySpec(NS.pca_top_component, NS.PCA_TOP_COMPONENT_SQL, ("ml", "pca", "power-iteration", "integer-exact", "deterministic")),
-    "activity_streak_histogram": QuerySpec(EV.activity_streak_histogram, EV.ACTIVITY_STREAK_HISTOGRAM_SQL, ("window", "gaps-and-islands", "streak", "engagement")),
-    "brand_cf_similarity": QuerySpec(TQ.brand_cf_similarity, TQ.BRAND_CF_SIMILARITY_SQL, ("recsys", "item-item", "collaborative-filtering")),
-    "duplicate_invoice_screen": QuerySpec(TQ.duplicate_invoice_screen, TQ.DUPLICATE_INVOICE_SCREEN_SQL, ("fraud", "dedup", "banded-self-join")),
-    "user_cf_recommendations": QuerySpec(TQ.user_cf_recommendations, TQ.USER_CF_RECOMMENDATIONS_SQL, ("recsys", "recommendations", "item-item", "anti-join")),
-    "seasonal_naive_backtest": QuerySpec(EV.seasonal_naive_backtest, EV.SEASONAL_NAIVE_BACKTEST_SQL, ("forecast", "backtest", "seasonal-naive", "temporal-holdout")),
-    "token_npmi_pairs": QuerySpec(NS.token_npmi_pairs, NS.TOKEN_NPMI_PAIRS_SQL, ("text", "npmi", "collocation")),
-    "mm1_wait_estimate": QuerySpec(EV.mm1_wait_estimate, EV.MM1_WAIT_ESTIMATE_SQL, ("capacity", "queueing", "mm1")),
-    "k_anonymity_audit": QuerySpec(TQ.k_anonymity_audit, TQ.K_ANONYMITY_AUDIT_SQL, ("privacy", "k-anonymity", "audit")),
-    "shipping_latency_sla": QuerySpec(TQ.shipping_latency_sla, TQ.SHIPPING_LATENCY_SLA_SQL, ("sla", "latency", "order-statistic", "percentile")),
-    "referential_integrity_audit": QuerySpec(TQ.referential_integrity_audit, TQ.REFERENTIAL_INTEGRITY_AUDIT_SQL, ("quality", "referential-integrity", "anti-join", "audit")),
-    "ks_test_variants": QuerySpec(EV.ks_test_variants, EV.KS_TEST_VARIANTS_SQL, ("experiment", "kolmogorov-smirnov", "ecdf", "integer-exact")),
-    "odds_ratio_conversion": QuerySpec(EV.odds_ratio_conversion, EV.ODDS_RATIO_CONVERSION_SQL, ("experiment", "odds-ratio", "wald-ci", "binary-outcome")),
-    "winsorized_value_stats": QuerySpec(EV.winsorized_value_stats, EV.WINSORIZED_VALUE_STATS_SQL, ("robust-stats", "winsorize", "order-statistic")),
-    "max_drawdown_daily_revenue": QuerySpec(EV.max_drawdown_daily_revenue, EV.MAX_DRAWDOWN_DAILY_REVENUE_SQL, ("finance", "drawdown", "running-peak")),
-    "markov_entropy_rate": QuerySpec(EV.markov_entropy_rate, EV.MARKOV_ENTROPY_RATE_SQL, ("sequence", "entropy-rate", "markov")),
-    "fano_burstiness": QuerySpec(EV.fano_burstiness, EV.FANO_BURSTINESS_SQL, ("capacity", "burstiness", "fano", "dispersion")),
-    "adstock_attribution": QuerySpec(EV.adstock_attribution, EV.ADSTOCK_ATTRIBUTION_SQL, ("attribution", "adstock", "decay-weighted")),
-    "forecast_bakeoff": QuerySpec(EV.forecast_bakeoff, EV.FORECAST_BAKEOFF_SQL, ("forecast", "bakeoff", "evaluation")),
-    "ngram_novelty_curve": QuerySpec(NS.ngram_novelty_curve, NS.NGRAM_NOVELTY_CURVE_SQL, ("text", "redundancy", "ngram", "corpus-health")),
-    "discount_elasticity": QuerySpec(TQ.discount_elasticity, TQ.DISCOUNT_ELASTICITY_SQL, ("econometrics", "elasticity", "log-log", "ordered-fold")),
-    "order_cycle_percentiles": QuerySpec(TQ.order_cycle_percentiles, TQ.ORDER_CYCLE_PERCENTILES_SQL, ("crm", "cycle-time", "order-statistic")),
-    "new_vs_returning_daily": QuerySpec(EV.new_vs_returning_daily, EV.NEW_VS_RETURNING_DAILY_SQL, ("engagement", "new-vs-returning", "first-seen")),
-    "kaplan_meier_by_variant": QuerySpec(EV.kaplan_meier_by_variant, EV.KAPLAN_MEIER_BY_VARIANT_SQL, ("survival", "kaplan-meier", "experiment", "stratified")),
-    "weekday_seasonality_index": QuerySpec(EV.weekday_seasonality_index, EV.WEEKDAY_SEASONALITY_INDEX_SQL, ("timeseries", "seasonality", "index")),
-    "price_dispersion_by_brand": QuerySpec(TQ.price_dispersion_by_brand, TQ.PRICE_DISPERSION_BY_BRAND_SQL, ("pricing", "dispersion", "cv", "integer-moments")),
-    "anova_eta_squared": QuerySpec(EV.anova_eta_squared, EV.ANOVA_ETA_SQUARED_SQL, ("statistics", "anova", "effect-size", "ordered-fold")),
-    "type_comovement_matrix": QuerySpec(EV.type_comovement_matrix, EV.TYPE_COMOVEMENT_MATRIX_SQL, ("timeseries", "correlation-matrix", "comovement")),
-    "order_backlog_aging": QuerySpec(TQ.order_backlog_aging, TQ.ORDER_BACKLOG_AGING_SQL, ("operations", "aging", "backlog")),
-    "revenue_waterfall": QuerySpec(TQ.revenue_waterfall, TQ.REVENUE_WATERFALL_SQL, ("finance", "waterfall", "reconciliation", "integer-exact")),
-    "supplier_customer_dependency": QuerySpec(TQ.supplier_customer_dependency, TQ.SUPPLIER_CUSTOMER_DEPENDENCY_SQL, ("risk", "concentration", "argmax")),
-    "sample_representativeness_audit": QuerySpec(EV.sample_representativeness_audit, EV.SAMPLE_REPRESENTATIVENESS_AUDIT_SQL, ("sampling", "audit", "representativeness")),
-    "value_tail_ratio": QuerySpec(EV.value_tail_ratio, EV.VALUE_TAIL_RATIO_SQL, ("robust-stats", "tail", "order-statistic")),
-    "first_touch_attribution": QuerySpec(EV.first_touch_attribution, EV.FIRST_TOUCH_ATTRIBUTION_SQL, ("attribution", "first-touch", "argmin")),
-    "user_activity_histogram": QuerySpec(EV.user_activity_histogram, EV.USER_ACTIVITY_HISTOGRAM_SQL, ("engagement", "histogram", "power-of-two", "skew")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
