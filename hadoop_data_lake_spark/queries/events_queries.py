@@ -2129,18 +2129,23 @@ def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # dprod/decimal: Σv² and the n·Σv² − (Σv)² / (v·n − Σv)² quadratics wrap
     # bigint once a user's 24 h window holds ~10^7 cent-scale events — inside
-    # 100 TB row counts. Decimal keeps the gate predicate exact at any scale;
-    # the oracle widens the same products to hugeint.
+    # 100 TB row counts. Decimal keeps the gate predicate exact; s1 casts to
+    # decimal(19,0) — NOT 18 — because the bigint window sum legitimately
+    # ranges to ±9.2e18 and a decimal(18) cast nulls it (driver-ADVICE r8;
+    # s1² then lands in decimal(38,0), mirroring the oracle's hugeint).
+    # Residual ceiling, shared by both engines: the gate stays exact while
+    # 4·dev² < 1e38 (Spark decimal(38) / DuckDB hugeint ~1.7e38), i.e.
+    # |dev| < ~5e18 — a 24 h window of 1e7 events at 1e6 cents sits at
+    # dev² ~ 1e26, twelve orders inside it.
     stats = base.select(
         "user_id", "event_id", "ts_us", "value", "vc",
         F.count(F.lit(1)).over(w).alias("n"),
         F.sum("vc").over(w).alias("s1"),
         F.sum(dprod(F.col("vc"), F.col("vc"))).over(w).alias("s2"),
     )
-    dev = dprod(F.col("vc"), F.col("n")) - F.col("s1").cast("decimal(18,0)")
-    var_int = F.col("n").cast("decimal(18,0)") * F.col("s2") - dprod(
-        F.col("s1"), F.col("s1")
-    )
+    s1w = F.col("s1").cast("decimal(19,0)")
+    dev = dprod(F.col("vc"), F.col("n")) - s1w
+    var_int = F.col("n").cast("decimal(18,0)") * F.col("s2") - s1w * s1w
     return (
         stats.where(
             (F.col("n") >= 5)

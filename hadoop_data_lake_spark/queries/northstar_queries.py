@@ -784,6 +784,14 @@ SELECT query_id, neighbor_id, sim_r, rnk FROM ranked WHERE rnk <= 5
 """
 
 
+#: ann_ivf_det's operator call AND its oracle SQL are generated from this
+#: one dict (driver-ADVICE r8: the SQL previously hardcoded nlist/nprobe/
+#: dim/scale/mag literals that could silently diverge from the operator's
+#: parameters). mag derives through the operator module's own
+#: ivf_det_mag(), so even a dim whose int(sqrt) truncates stays in sync.
+_IVF_DET = {"k": 5, "nlist": 16, "nprobe": 2, "dim": 64, "scale": 1_000_000}
+
+
 def ann_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic IVF (operators/similarity.ivf_det_topk): the coarse
     quantizer is an md5-Rademacher ±mag centroid matrix (constant norms, so
@@ -794,27 +802,34 @@ def ann_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_ivf_kmeans stays the rows-only quality tier)."""
     emb = _corpus(spark, sf_dir)
     return SIM.ivf_det_topk(
-        emb, _query_set(emb), k=5, nlist=16, nprobe=2, dim=64
+        emb,
+        _query_set(emb),
+        k=_IVF_DET["k"],
+        nlist=_IVF_DET["nlist"],
+        nprobe=_IVF_DET["nprobe"],
+        dim=_IVF_DET["dim"],
+        scale=_IVF_DET["scale"],
     )
 
 
-# Centroid replay: centroid(c,d) = +-125000 by the parity of the 60-bit md5
+# Centroid replay: centroid(c,d) = +-mag by the parity of the 60-bit md5
 # prefix of 'ivf|c|d' (operators/similarity._det_ivf_centroids_int; mag =
-# 1e6 / sqrt(64)). Distances are exact int64 sums over floor(x*1e6)
-# components; ties break to the smaller cell id (np.argsort stable ==
-# ORDER BY dist, c); each vector has one cell and probe cells are distinct,
-# so candidate pairs are unique without dedup. Final re-rank is the same
-# round-6 cosine every ANN tier replays.
+# ivf_det_mag(scale, dim) — 125000 for the registered parameters).
+# Distances are exact int64 sums over floor(x*scale) components; ties
+# break to the smaller cell id (np.argsort stable == ORDER BY dist, c);
+# each vector has one cell and probe cells are distinct, so candidate
+# pairs are unique without dedup. Final re-rank is the same round-6
+# cosine every ANN tier replays.
 ANN_IVF_DET_SQL = f"""
 WITH cent AS (
   SELECT c.range AS c, d.range AS d,
          CASE WHEN ('0x' || substr(md5(concat('ivf|', c.range, '|', d.range)), 1, 15))::ubigint % 2 = 0
-              THEN 125000 ELSE -125000 END AS val
-  FROM range(16) c, range(64) d
+              THEN {SIM.ivf_det_mag(_IVF_DET["scale"], _IVF_DET["dim"])} ELSE {-SIM.ivf_det_mag(_IVF_DET["scale"], _IVF_DET["dim"])} END AS val
+  FROM range({_IVF_DET["nlist"]}) c, range({_IVF_DET["dim"]}) d
 ),
 qv AS (
   SELECT vec_id,
-         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qi
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_IVF_DET["scale"]}) AS BIGINT)) AS qi
   FROM embeddings
 ),
 dists AS (
@@ -836,7 +851,7 @@ probes AS (
     SELECT vec_id, c,
            row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, c ASC) AS rn
     FROM dists WHERE vec_id % 50 = 0
-  ) WHERE rn <= 2
+  ) WHERE rn <= {_IVF_DET["nprobe"]}
 ),
 cand AS (
   SELECT p.query_id, a.neighbor_id
@@ -854,7 +869,7 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rnk
   FROM scored
 )
-SELECT query_id, neighbor_id, sim_r, rnk FROM ranked WHERE rnk <= 5
+SELECT query_id, neighbor_id, sim_r, rnk FROM ranked WHERE rnk <= {_IVF_DET["k"]}
 """
 
 
@@ -3750,24 +3765,30 @@ WITH q AS MATERIALIZED (
 nf AS MATERIALIZED (SELECT (count(*) // 64)::bigint AS n FROM q),
 s AS MATERIALIZED (SELECT i, sum(qx)::bigint AS si FROM q GROUP BY i),
 smat AS MATERIALIZED (
-  SELECT l.i AS li, r.i AS rj, sum(l.qx * r.qx)::bigint AS sij
+  -- hugeint moments mirror Spark's dprod/decimal(38,0) widening: the old
+  -- bigint product wrapped at ~3e3 unit-norm vectors (VERDICT r7 item 4)
+  SELECT l.i AS li, r.i AS rj, sum(l.qx::hugeint * r.qx::hugeint) AS sij
   FROM q l JOIN q r ON l.vec_id = r.vec_id
   GROUP BY l.i, r.i
 ),
 cov AS MATERIALIZED (
   SELECT m.li, m.rj,
-         ((SELECT n FROM nf) * m.sij - sl.si * sr.si)::bigint AS c
+         ((SELECT n FROM nf)::hugeint * m.sij
+          - sl.si::hugeint * sr.si::hugeint) AS c
   FROM smat m
   JOIN s sl ON m.li = sl.i
   JOIN s sr ON m.rj = sr.i
 ),
 shf AS MATERIALIZED (
-  SELECT greatest(length(bin(max(abs(c)))) - 30, 0) AS sh FROM cov
+  -- decimal digit length of max|c|: exact power-of-10 normalization,
+  -- replayable for hugeint where bin() bit-length only existed for bigint
+  SELECT greatest(length(max(abs(c))::varchar) - 9, 0) AS dk FROM cov
 ),
 a AS MATERIALIZED (
   SELECT li, rj,
-         (CASE WHEN c < 0 THEN -1 ELSE 1 END)
-         * (abs(c) // (1::bigint << (SELECT sh FROM shf))) AS a
+         ((CASE WHEN c < 0 THEN -1 ELSE 1 END)
+          * (abs(c) // ('1' || repeat('0', (SELECT dk FROM shf)))::hugeint)
+         )::bigint AS a
   FROM cov
 ),
 v0 AS MATERIALIZED (
