@@ -7320,9 +7320,13 @@ def daily_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rs").cast("double") / F.col("rk").cast("double") / 100.0, 6).alias(
             "mean_right_r"
         ),
-        F.round((F.col("cost0") - F.col("cost")) / F.col("cost0"), 6).alias(
-            "cost_drop_share_r"
-        ),
+        # nullif guard: a zero-variance (constant) series has cost0 = 0 —
+        # the share is undefined, not infinite; ANSI errored here and the
+        # oracle mirrors NULL (found by the r8 zero-signal property test)
+        F.round(
+            (F.col("cost0") - F.col("cost")) / F.nullif(F.col("cost0"), F.lit(0.0)),
+            6,
+        ).alias("cost_drop_share_r"),
     )
 
 
@@ -7356,7 +7360,7 @@ scored AS (
 SELECT day::varchar AS split_day, k AS n_days_left, rk AS n_days_right,
        round(cs::double / k::double / 100.0, 6) AS mean_left_r,
        round(rs::double / rk::double / 100.0, 6) AS mean_right_r,
-       round((cost0 - cost) / cost0, 6) AS cost_drop_share_r
+       round((cost0 - cost) / nullif(cost0, 0.0), 6) AS cost_drop_share_r
 FROM scored ORDER BY cost ASC, day ASC LIMIT 1
 """
 

@@ -430,3 +430,196 @@ def test_ks_zero_on_identical_samples(spark, tmp_path):
     for r in out:
         assert r["n_a"] > 0 and r["n_b"] > 0
         assert r["ks_d_r"] == 0.0
+
+
+# --------------------------------------------------------------------------
+# Round-8 additions (VERDICT r7 item 6): the still-uncovered math families —
+# Hill, changepoint, Chapman, Benford, BH-FDR, EB shrinkage.
+# --------------------------------------------------------------------------
+
+
+def test_hill_recomputes_and_is_scale_invariant(spark, tmp_path):
+    """The Hill estimator is a function of the log-RATIOS x_i/x_k over the
+    top-k order statistics, so (a) it must re-derive from an independently
+    computed top-20 count list, and (b) replicating every event 3x (every
+    count scales by exactly 3) must leave hill/alpha bit-identical while
+    x_max/x_k triple — the defining scale-invariance of the estimator."""
+    from pyspark.sql import functions as F
+
+    from hadoop_data_lake_spark.core.io import read_table
+    from hadoop_data_lake_spark.queries.tpch_queries import activity_tail_hill
+
+    (r,) = activity_tail_hill(spark, SF_DIR).collect()
+    counts = sorted(
+        (
+            row["c"]
+            for row in read_table(spark, SF_DIR, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        ),
+        reverse=True,
+    )[:20]
+    k, xk = len(counts), counts[-1]
+    hill = sum(math.log(x / xk) for x in counts[: k - 1]) / (k - 1)
+    assert r["k_used"] == k and r["x_max"] == counts[0] and r["x_k"] == xk
+    assert r["hill_r"] == pytest.approx(hill, abs=2e-6)
+    assert r["alpha_r"] == pytest.approx(1.0 / hill, abs=2e-5)
+
+    ev = read_table(spark, SF_DIR, "events")
+    tripled = ev.crossJoin(spark.range(3).select(F.col("id").alias("rep"))).select(
+        (F.col("event_id") * 3 + F.col("rep")).alias("event_id"),
+        "ts", "user_id", "event_type", "value", "props",
+    )
+    path = str(tmp_path / "hill3x")
+    tripled.coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+    (r3,) = activity_tail_hill(spark, path).collect()
+    assert r3["x_max"] == 3 * r["x_max"] and r3["x_k"] == 3 * r["x_k"]
+    assert r3["hill_r"] == r["hill_r"], "Hill must be exactly scale-invariant"
+    assert r3["alpha_r"] == r["alpha_r"]
+
+
+def test_changepoint_zero_signal_splits_at_boundary(spark, tmp_path):
+    """A constant daily-revenue series carries zero changepoint signal:
+    every split has identical (zero) two-segment cost, so the documented
+    tie-break (cost asc, day asc) must pick the FIRST candidate day, and
+    both segment means must equal the constant."""
+    from hadoop_data_lake_spark.queries.events_queries import (
+        daily_revenue_changepoint,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (d * 10 + i, base + dt.timedelta(days=d, hours=i), d * 5 + i, "m", 25.0, "{}")
+        for d in range(12)
+        for i in range(4)  # 4 events x 25.00 = constant 100.00/day
+    ]
+    path = str(tmp_path / "cpzero")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/events.parquet")
+    (r,) = daily_revenue_changepoint(spark, path).collect()
+    assert r["split_day"] == "2024-03-01"
+    assert r["n_days_left"] == 1 and r["n_days_right"] == 11
+    assert r["mean_left_r"] == pytest.approx(100.0, abs=1e-6)
+    assert r["mean_right_r"] == pytest.approx(100.0, abs=1e-6)
+    # zero total variance -> the cost-drop share is undefined, not a
+    # division crash (the nullif guard this test originally flushed out)
+    assert r["cost_drop_share_r"] is None
+
+
+def test_chapman_identity_and_lower_bound(spark, tmp_path):
+    """Chapman = (n1+1)(n2+1)/(m+1) - 1 must re-derive from the reported
+    capture counts and can never fall below max(n1, n2) (since m <= min:
+    (n1+1)(n2+1) >= (max+1)(m+1)). Checked on the real corpus AND on a
+    synthetic partial-overlap population with known counts."""
+    from hadoop_data_lake_spark.queries.events_queries import (
+        chapman_population_estimate,
+    )
+
+    def check(r):
+        n1, n2, m = r["n_first"], r["n_second"], r["n_both"]
+        est = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+        assert r["chapman_r"] == pytest.approx(est, abs=1e-6)
+        assert r["chapman_r"] >= max(n1, n2) - 1e-9
+        var = (n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m) / (
+            (m + 1.0) ** 2 * (m + 2.0)
+        )
+        assert r["se_r"] == pytest.approx(math.sqrt(var), abs=1e-6)
+
+    (real,) = chapman_population_estimate(spark, SF_DIR).collect()
+    check(real)
+
+    # synthetic: users 0-9 captured in the first half, 5-19 in the second
+    # (cut = min day + 15) -> n1=10, n2=15, m=5, chapman = 11*16/6 - 1
+    base = dt.datetime(2024, 3, 1)
+    rows = [(u, base + dt.timedelta(hours=u), u, "m", 1.0, "{}") for u in range(10)]
+    rows += [
+        (100 + u, base + dt.timedelta(days=20, hours=u % 20), u, "m", 1.0, "{}")
+        for u in range(5, 20)
+    ]
+    path = str(tmp_path / "chapman")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/events.parquet")
+    (syn,) = chapman_population_estimate(spark, path).collect()
+    assert (syn["n_first"], syn["n_second"], syn["n_both"]) == (10, 15, 5)
+    assert syn["chapman_r"] == pytest.approx(11 * 16 / 6 - 1, abs=1e-6)
+    check(syn)
+
+
+def test_benford_shares_sum_to_one_and_reference_law(spark):
+    """Observed first-digit shares must sum to 1 over the reported digits
+    (every kept value has exactly one leading digit), each share must equal
+    n_obs / total, and the reference column must BE Benford's law
+    log10(1 + 1/d) — which itself sums to 1 over d = 1..9."""
+    from hadoop_data_lake_spark.queries.tpch_queries import benford_first_digit
+
+    rows = benford_first_digit(spark, SF_DIR).collect()
+    digits = [r["digit"] for r in rows]
+    assert sorted(digits) == list(range(1, 10))
+    total = sum(r["n_obs"] for r in rows)
+    assert sum(r["obs_share_r"] for r in rows) == pytest.approx(1.0, abs=1e-5)
+    assert sum(r["benford_p_r"] for r in rows) == pytest.approx(1.0, abs=1e-5)
+    for r in rows:
+        assert r["n_obs"] > 0
+        assert r["obs_share_r"] == pytest.approx(r["n_obs"] / total, abs=1e-6)
+        assert r["benford_p_r"] == pytest.approx(
+            math.log10(1 + 1 / r["digit"]), abs=1e-6
+        )
+
+
+def test_bh_fdr_is_step_up(spark):
+    """BH is a STEP-UP procedure: find k* = max{rank : p <= rank*q/m} and
+    reject every rank <= k* — including ranks whose own p exceeds their
+    threshold (the property that distinguishes step-up from step-down).
+    Thresholds must be linear in rank and p must be sorted by rank."""
+    rows = sorted(_rows(spark, "benjamini_hochberg_fdr"), key=lambda r: r["rank"])
+    m = len(rows)
+    assert [r["rank"] for r in rows] == list(range(1, m + 1))
+    q = rows[0]["bh_threshold_r"] * m  # infer the FDR level from rank 1
+    prev_p = -1.0
+    for r in rows:
+        assert r["p_r"] >= prev_p - 1e-9, "p must be non-decreasing in rank"
+        prev_p = r["p_r"]
+        assert r["bh_threshold_r"] == pytest.approx(
+            q * r["rank"] / m, abs=1e-6
+        ), "thresholds linear in rank"
+    k_star = max(
+        (r["rank"] for r in rows if r["p_r"] <= r["bh_threshold_r"] + 5e-7),
+        default=0,
+    )
+    for r in rows:
+        assert r["reject"] == (r["rank"] <= k_star), (
+            f"rank {r['rank']}: step-up rejects exactly the k* prefix"
+        )
+
+
+def test_eb_shrinkage_pulls_toward_one_prior_mean(spark):
+    """Every shrunk rate must lie between its raw rate and ONE common prior
+    mean mu (shrunk = convex combination of raw and mu): rows shrinking
+    DOWN bound mu from above by their shrunk rate, rows shrinking UP bound
+    it from below, and the two bounds must leave a non-empty interval. With
+    mu in that interval, |shrunk - mu| <= |raw - mu| row by row, and
+    heavier-n rows keep more of their raw rate per unit of distance."""
+    rows = _rows(spark, "eb_shrunk_conversion")
+    assert len(rows) >= 5
+    lo = max(
+        (r["shrunk_rate_r"] for r in rows if r["shrunk_rate_r"] > r["raw_rate_r"]),
+        default=0.0,
+    )
+    hi = min(
+        (r["shrunk_rate_r"] for r in rows if r["shrunk_rate_r"] < r["raw_rate_r"]),
+        default=1.0,
+    )
+    assert lo <= hi + 1e-6, (
+        "no single prior mean is consistent with the shrink directions"
+    )
+    mu = (lo + hi) / 2
+    for r in rows:
+        lo_b, hi_b = sorted((r["raw_rate_r"], mu))
+        assert lo_b - 1e-6 <= r["shrunk_rate_r"] <= hi_b + 1e-6, (
+            f"user {r['user_id']}: shrunk rate escaped the [raw, prior] envelope"
+        )
+        assert abs(r["shrunk_rate_r"] - mu) <= abs(r["raw_rate_r"] - mu) + 1e-6
+        assert r["raw_rate_r"] == pytest.approx(r["h"] / r["n"], abs=1e-6)
