@@ -75,18 +75,94 @@ def first_seen_epoch(name: str) -> int:
     return int(out[0]) if out else 0
 
 
-def last_modified_epoch(name: str) -> int:
-    """Newest commit epoch whose diff adds/removes `name` in the query
-    modules — an approximation of "last semantic change": the query fn and
-    its *_SQL oracle are named after the query, so body edits hit -S on the
-    defining module. Operator-module rewrites that keep the query module
-    byte-identical are invisible here (documented limitation; those rounds
-    list their re-grades in INTENTIONAL_REGRADES by hand)."""
-    out = subprocess.run(
-        ["git", "log", "-1", "--format=%ct", f"-S{name}", "--", *_QUERY_MODULES],
+_BLOCK_START = __import__("re").compile(
+    r"^(?:def\s+(\w+)\s*\(|class\s+(\w+)|(\w+)\s*(?::[^=\n]+)?=)"
+)
+
+
+def _parse_blocks(text: str) -> dict[str, str]:
+    """Split a module into top-level blocks keyed by the def/class name or
+    assignment target. Triple-quoted strings are tracked so a column-0 SQL
+    line inside an oracle constant cannot start a phantom block."""
+    blocks: dict[str, list[str]] = {}
+    cur: str | None = None
+    in_str = False
+    for line in text.splitlines():
+        if not in_str and not line[:1].isspace() and (m := _BLOCK_START.match(line)):
+            cur = m.group(1) or m.group(2) or m.group(3)
+        if cur:
+            blocks.setdefault(cur, []).append(line)
+        n_triple = line.count('"""') + line.count("'''")
+        if n_triple % 2:
+            in_str = not in_str
+    return {k: "\n".join(v) for k, v in blocks.items()}
+
+
+def _block_mtimes() -> tuple[dict[tuple[str, str], int], dict[str, dict[str, str]]]:
+    """Walk every commit touching the query modules oldest-first, parse each
+    changed file version into top-level blocks, and record the commit epoch
+    whenever a block's TEXT changes (or first appears). Exact semantic
+    attribution — unlike `git log -S <name>`, which only fires when the
+    name string is added/removed, so body-only edits (the r7 dprod
+    widenings) were invisible. Returns ({(path, block): epoch},
+    {path: current blocks}). Remaining blind spot: a rewrite confined to an
+    operators/ module the query calls — those rounds hand-list their
+    re-grades in INTENTIONAL_REGRADES."""
+    log = subprocess.run(
+        ["git", "log", "--reverse", "--format=C|%ct", "--raw",
+         "--no-renames", "--", *_QUERY_MODULES],
         capture_output=True, text=True,
-    ).stdout.split()
-    return int(out[0]) if out else 0
+    ).stdout
+    mtimes: dict[tuple[str, str], int] = {}
+    prev: dict[str, dict[str, str]] = {}
+    blob_cache: dict[str, dict[str, str]] = {}
+    epoch = 0
+    for line in log.splitlines():
+        if line.startswith("C|"):
+            epoch = int(line[2:])
+        elif line.startswith(":"):
+            parts = line.split("\t")
+            path = parts[1]
+            new_sha = parts[0].split()[3]
+            if new_sha not in blob_cache:
+                txt = subprocess.run(
+                    ["git", "cat-file", "blob", new_sha],
+                    capture_output=True, text=True,
+                ).stdout
+                blob_cache[new_sha] = _parse_blocks(txt)
+            blocks = blob_cache[new_sha]
+            old = prev.get(path, {})
+            for name, body in blocks.items():
+                if old.get(name) != body:
+                    mtimes[(path, name)] = epoch
+            prev[path] = blocks
+    return mtimes, prev
+
+
+def semantic_last_modified(names: list[str]) -> dict[str, int]:
+    """name -> epoch of the last commit that changed the query's defining
+    blocks: its def, its <NAME>_SQL constant, plus one hop of same-module
+    top-level blocks those reference (catches `X_SQL = _helper()` and
+    shared SQL-fragment builders)."""
+    import re
+
+    mtimes, heads = _block_mtimes()
+    out: dict[str, int] = {}
+    for q in names:
+        roots = {q, f"{q.upper()}_SQL"}
+        eps: list[int] = []
+        for path, blocks in heads.items():
+            local = roots & blocks.keys()
+            refs: set[str] = set()
+            for r in local:
+                for w in set(re.findall(r"\b[A-Za-z_]\w*\b", blocks[r])):
+                    if w not in roots and w in blocks:
+                        refs.add(w)
+            for b in local | refs:
+                if (path, b) in mtimes:
+                    eps.append(mtimes[(path, b)])
+        out[q] = max(eps, default=0)
+    return out
 
 
 def last_graded_round_epoch() -> dict[str, tuple[str, int]]:
@@ -106,17 +182,19 @@ def last_graded_round_epoch() -> dict[str, tuple[str, int]]:
 
 def stale_report() -> None:
     """Re-grade ladder (VERDICT r7 item 7): graded queries whose defining
-    code changed AFTER the commit of their newest CORRECTNESS row, ranked
-    most-stale first. These rows verify an older implementation; schedule
-    them for re-grade windows once the never-graded backlog is empty."""
+    blocks (def, *_SQL oracle, one hop of same-module helpers they
+    reference) changed AFTER the commit of their newest CORRECTNESS row,
+    ranked most-stale first. These rows verify an older implementation;
+    schedule them for re-grade windows once the never-graded backlog is
+    empty."""
     graded = last_graded_round_epoch()
+    in_reg = sorted(n for n in graded if n in REGISTRY)
+    mod = semantic_last_modified(in_reg)
     rows = []
-    for name, (cfile, graded_ep) in sorted(graded.items()):
-        if name not in REGISTRY:
-            continue
-        mod_ep = last_modified_epoch(name)
-        if mod_ep > graded_ep:
-            rows.append((mod_ep - graded_ep, name, cfile))
+    for name in in_reg:
+        cfile, graded_ep = graded[name]
+        if mod[name] > graded_ep:
+            rows.append((mod[name] - graded_ep, name, cfile))
     rows.sort(reverse=True)
     print(f"stale green rows (code newer than newest driver row): {len(rows)}")
     for delta, name, cfile in rows:
