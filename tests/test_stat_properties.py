@@ -623,3 +623,75 @@ def test_eb_shrinkage_pulls_toward_one_prior_mean(spark):
         )
         assert abs(r["shrunk_rate_r"] - mu) <= abs(r["raw_rate_r"] - mu) + 1e-6
         assert r["raw_rate_r"] == pytest.approx(r["h"] / r["n"], abs=1e-6)
+
+
+def test_fano_counts_empty_hours(spark, tmp_path):
+    """The Fano factor's hourly bins are the OBSERVATION WINDOW's hours,
+    not just the occupied ones: a type active in only 2 of 10 hours has
+    eight zero bins that dominate its dispersion (driver data at sf0.01
+    had 215 empty type-hours, so this changed live graded numbers)."""
+    from hadoop_data_lake_spark.queries.events_queries import fano_burstiness
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        (h * 10 + i, base + dt.timedelta(hours=h, minutes=i), i, "steady", 1.0, "{}")
+        for h in range(10)
+        for i in range(3)  # 3 events EVERY hour -> zero variance
+    ]
+    rows += [
+        (1000 + h * 10 + i, base + dt.timedelta(hours=h, minutes=i), i, "bursty", 1.0, "{}")
+        for h in (0, 9)  # only the span edges occupied
+        for i in range(5)
+    ]
+    path = str(tmp_path / "fano")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/events.parquet")
+    out = {r["event_type"]: r for r in fano_burstiness(spark, path).collect()}
+
+    assert out["steady"]["n_hours"] == 10 and out["bursty"]["n_hours"] == 10
+    assert out["steady"]["fano_r"] == 0.0, "constant rate must read Poisson-sub"
+    counts = [5, 0, 0, 0, 0, 0, 0, 0, 0, 5]
+    n, mean = len(counts), sum(counts) / len(counts)
+    var = sum((c - mean) ** 2 for c in counts) / (n - 1)
+    assert out["bursty"]["mean_per_hour_r"] == pytest.approx(mean, abs=1e-6)
+    assert out["bursty"]["fano_r"] == pytest.approx(var / mean, abs=1e-5)
+
+
+def test_comovement_counts_zero_days(spark, tmp_path):
+    """A day where one type logged nothing is a 0 in that type's daily
+    series, not a missing pair observation: the pair's n_days must be the
+    full corpus span and the correlation must match a recompute with the
+    zeros in place."""
+    import math as _m
+
+    from hadoop_data_lake_spark.queries.events_queries import type_comovement_matrix
+
+    base = dt.datetime(2024, 3, 1)
+    # 'aa' every day with varying totals; 'bb' only on even days
+    a_vals = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0]
+    rows = [
+        (d, base + dt.timedelta(days=d), 1, "aa", a_vals[d], "{}")
+        for d in range(6)
+    ]
+    rows += [
+        (100 + d, base + dt.timedelta(days=d), 2, "bb", 7.0, "{}")
+        for d in range(0, 6, 2)
+    ]
+    path = str(tmp_path / "comove")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/events.parquet")
+    (r,) = type_comovement_matrix(spark, path).collect()
+    assert (r["ta"], r["tb"]) == ("aa", "bb")
+    assert r["n_days"] == 6, "pair series must span ALL corpus days"
+    ya = [round(v * 100) for v in a_vals]
+    yb = [700 if d % 2 == 0 else 0 for d in range(6)]
+    n = 6
+    sa, sb = sum(ya), sum(yb)
+    num = n * sum(p * q for p, q in zip(ya, yb)) - sa * sb
+    den = _m.sqrt(
+        (n * sum(p * p for p in ya) - sa * sa)
+        * (n * sum(q * q for q in yb) - sb * sb)
+    )
+    assert r["corr_r"] == pytest.approx(num / den, abs=1e-6)
