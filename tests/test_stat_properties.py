@@ -695,3 +695,141 @@ def test_comovement_counts_zero_days(spark, tmp_path):
         * (n * sum(q * q for q in yb) - sb * sb)
     )
     assert r["corr_r"] == pytest.approx(num / den, abs=1e-6)
+
+
+def test_markov_entropy_zero_for_deterministic_chain(spark, tmp_path):
+    """A deterministic A->B->A->B... process has entropy rate exactly 0
+    (every conditional distribution is a point mass); a fair alternation
+    with two equally likely successors reads log2(2) = 1 bit."""
+    from hadoop_data_lake_spark.queries.events_queries import markov_entropy_rate
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1, "ab"[i % 2], 1.0, "{}")
+        for i in range(40)
+    ]
+    path = str(tmp_path / "detchain")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/events.parquet")
+    (r,) = markov_entropy_rate(spark, path).collect()
+    assert r["entropy_rate_bits_r"] == 0.0
+
+
+def test_mm1_rho_bounded_and_lq_identity(spark):
+    """mu = 1.25x the peak hourly rate caps every rho at 0.8 < 1 (the
+    stability condition), and Lq must re-derive as rho^2/(1-rho) from the
+    reported rho."""
+    rows = _rows(spark, "mm1_wait_estimate")
+    assert rows
+    assert any(abs(r["rho_r"] - 0.8) < 1e-6 for r in rows), "peak hour is rho=0.8"
+    for r in rows:
+        assert 0 < r["rho_r"] <= 0.8 + 1e-9
+        assert r["lq_r"] == pytest.approx(
+            r["rho_r"] ** 2 / (1 - r["rho_r"]), abs=5e-5
+        )
+
+
+def test_adstock_conserves_purchase_value(spark):
+    """Adstock splits each purchase's value across its touches by recency
+    weight — credit is CONSERVED: summed over channels it must equal the
+    total value of purchases that have at least one 24h touch."""
+    from pyspark.sql import functions as F
+
+    from hadoop_data_lake_spark.core.io import read_table
+    from hadoop_data_lake_spark.queries.events_queries import adstock_attribution
+
+    rows = adstock_attribution(spark, SF_DIR).collect()
+    credited = sum(r["credited_value_r"] for r in rows)
+
+    ev = read_table(spark, SF_DIR, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"), F.col("value").alias("v"),
+    )
+    t = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("tu"), F.col("ts").alias("tts")
+    )
+    touched = (
+        p.join(
+            t,
+            (F.col("pu") == F.col("tu"))
+            & (F.col("tts") < F.col("pts"))
+            & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS")),
+            "left_semi",
+        )
+        .agg(F.sum(F.round(F.col("v") * 100).cast("long")))
+        .collect()[0][0]
+    )
+    # per-touch credits are rounded to 1e-6 before the channel sums, so
+    # conservation holds to (n_touches * 5e-7) plus the 1e-4 display round
+    n_touches = sum(r["n_touches"] for r in rows)
+    assert credited == pytest.approx(
+        touched / 100.0, abs=n_touches * 5e-7 + 2e-4
+    )
+
+
+def test_revenue_waterfall_reconciles(spark):
+    """The bridge identity is exact by construction: net = gross -
+    discount per month, every component non-negative, months contiguous."""
+    from hadoop_data_lake_spark.queries.tpch_queries import revenue_waterfall
+
+    rows = revenue_waterfall(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["net_cents"] == r["gross_cents"] - r["discount_cents"]
+        assert r["gross_cents"] > 0 and r["discount_cents"] >= 0
+        assert r["tax_cents"] >= 0 and r["n_lines"] > 0
+
+
+def test_seasonal_naive_zero_error_on_constant_series(spark, tmp_path):
+    """A perfectly weekday-stationary series (same total every day) must
+    backtest with MAE exactly 0 — the estimator IS the generating
+    process. Non-zero here would mean train/test misalignment or
+    leakage-window drift."""
+    from hadoop_data_lake_spark.queries.events_queries import seasonal_naive_backtest
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (d * 10 + i, base + dt.timedelta(days=d, hours=i), i, "m", 20.0, "{}")
+        for d in range(21)  # 3 full weeks: 14 train days, 7 test
+        for i in range(5)
+    ]
+    path = str(tmp_path / "snzero")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/events.parquet")
+    (r,) = seasonal_naive_backtest(spark, path).collect()
+    assert r["n_days"] == 7
+    assert r["abs_err_cents"] == 0 and r["mae_cents"] == 0
+
+
+def test_max_drawdown_planted_trough(spark, tmp_path):
+    """A monotone-rising net curve has drawdown 0; planting one bad day
+    of known depth must report exactly that depth (peak - trough in
+    cents) — the running-peak identity."""
+    from hadoop_data_lake_spark.queries.events_queries import max_drawdown_daily_revenue
+
+    base = dt.datetime(2024, 3, 1)
+    # day pattern: 4 purchases x 100.00 (net +20000 cents/day vs the 50.00
+    # offset) except day 5: 4 x 10.00 (net -16000 cents)
+    rows = []
+    for d in range(10):
+        v = 10.0 if d == 5 else 100.0
+        rows += [
+            (d * 10 + i, base + dt.timedelta(days=d, hours=i), i, "purchase", v, "{}")
+            for i in range(4)
+        ]
+    path = str(tmp_path / "ddplant")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/events.parquet")
+    (r,) = max_drawdown_daily_revenue(spark, path).collect()
+    assert r["n_days"] == 10
+    # day-5 net: 4*(1000-5000) = -16000; preceding peak keeps rising after,
+    # so max drawdown is exactly the one-day dip
+    assert r["max_drawdown_cents"] == 16000
+    # cumulative peak = 9 good days (+20000 each) minus the dip the curve
+    # already absorbed before the end: 180000 - 16000
+    assert r["peak_cents"] == 9 * 4 * (10000 - 5000) - 16000
+    assert r["dd_over_peak_r"] == pytest.approx(16000 / 164000, abs=1e-6)
