@@ -572,3 +572,103 @@ def test_pointer_commit_crash_window_safety(spark, tmp_path):
         sorted(map(tuple, read_table_generation(spark, target).collect()))
         == rows_before
     )  # readers still get the committed snapshot, bit for bit
+
+
+def test_watermark_evicts_state_across_time_ordered_batches(spark):
+    """State-eviction contract (round-8 streaming scale probe, made a
+    permanent test): replaying events as time-ordered micro-batches
+    advances the watermark between batches, so (a) the final batch's
+    state-store rows must sit far below the peak (closed windows/sessions
+    were dropped — a complete-mode single-batch replay can never show
+    this), and (b) tumbling-window output must equal the batch groupBy
+    regardless of the batching."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import Window
+
+    from hadoop_data_lake_spark.streaming.ingest import (
+        scratch_root,
+        windowed_event_counts,
+    )
+
+    ev = read_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    n_slices = 6
+    sliced = ev.withColumn(
+        "slice", F.ntile(n_slices).over(Window.orderBy("ts", "event_id"))
+    ).localCheckpoint(eager=True)
+    src_dir = tempfile.mkdtemp(prefix="evict_test_", dir=scratch_root())
+    try:
+        for i in range(1, n_slices + 1):
+            tmp = tempfile.mkdtemp(prefix="slice_", dir=scratch_root())
+            (
+                sliced.where(F.col("slice") == i)
+                .drop("slice")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(src_dir, f"slice_{i:03d}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+            shutil.rmtree(tmp, ignore_errors=True)
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        name = f"evict_{uuid.uuid4().hex[:8]}"
+        q = (
+            windowed_event_counts(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in q.recentProgress
+            if p.get("stateOperators")
+        ]
+        got = {
+            (r["window_start_us"], r["event_type"]): r["n"]
+            for r in spark.table(name).collect()
+        }
+        spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+    assert len(state) >= n_slices, "one batch per slice file"
+    assert max(state) > 0
+    assert state[-1] <= max(state) // 4, (
+        f"watermark never evicted: state history {state}"
+    )
+
+    want = {
+        (r["w"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            ((F.unix_micros("ts") / 600_000_000).cast("long") * 600_000_000).alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # Append mode emits a window only once the watermark FINALIZES it, so
+    # every emitted count must equal the batch rollup's, and the only
+    # unemitted windows are the tail ones still inside the final watermark
+    # horizon (max event time - 30 min delay).
+    for k, n in got.items():
+        assert want.get(k) == n, f"emitted window {k} disagrees with batch"
+    wm_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] - 1800 * 1_000_000
+    for (w, _t) in want.keys() - got.keys():
+        assert w + 600_000_000 > wm_us, (
+            f"window starting {w} was finalized but never emitted"
+        )
