@@ -150,3 +150,23 @@ def test_rotation_assert_accepts_declared_regrades(monkeypatch):
 
     monkeypatch.setattr(br, "INTENTIONAL_REGRADES", frozenset({"q3"}))
     assert br.assert_rotation() == 1  # q7 graded but undeclared
+
+
+def test_rotation_assert_rejects_stale_regrade_declarations(monkeypatch):
+    """A declared re-grade that is NOT in the current window is a leftover
+    from a prior rotation and must fail --assert — otherwise it silently
+    sanctions re-grading that query again at the NEXT rotation."""
+    import tools.backlog_report as br
+
+    fake_registry = {f"q{i}": None for i in range(br.DRIVER_WINDOW_SIZE + 5)}
+    monkeypatch.setattr(br, "REGISTRY", fake_registry)
+    monkeypatch.setattr(br, "graded_ever", lambda: set())
+
+    # q52 sits OUTSIDE the 50-slot window -> stale declaration
+    monkeypatch.setattr(
+        br, "INTENTIONAL_REGRADES", frozenset({f"q{br.DRIVER_WINDOW_SIZE + 2}"})
+    )
+    assert br.assert_rotation() == 1
+
+    monkeypatch.setattr(br, "INTENTIONAL_REGRADES", frozenset())
+    assert br.assert_rotation() == 0

@@ -219,6 +219,18 @@ def assert_rotation() -> int:
         for n in violations:
             print(f"  {n}")
         return 1
+    # Lifecycle guard: a declared re-grade that is NOT in the current
+    # window is a leftover from a previous round's rotation — left in
+    # place it would silently sanction re-grading that query again next
+    # rotation, re-opening the hole the first-time rule closes. Each
+    # round's rotation must RESET the set to its own re-grades.
+    stale_decl = sorted(INTENTIONAL_REGRADES - set(window))
+    if stale_decl:
+        print("ROTATION VIOLATION: INTENTIONAL_REGRADES declares entries "
+              "not in the current window (stale from a prior rotation):")
+        for n in stale_decl:
+            print(f"  {n}")
+        return 1
     n_first = sum(1 for n in window if n not in graded)
     print(f"rotation ok: {n_first}/{DRIVER_WINDOW_SIZE} window slots are "
           f"first-time; {len(sanctioned)} declared re-grades "
