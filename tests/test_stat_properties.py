@@ -833,3 +833,99 @@ def test_max_drawdown_planted_trough(spark, tmp_path):
     # already absorbed before the end: 180000 - 16000
     assert r["peak_cents"] == 9 * 4 * (10000 - 5000) - 16000
     assert r["dd_over_peak_r"] == pytest.approx(16000 / 164000, abs=1e-6)
+
+
+def test_kendall_tau_perfect_concordance(spark, tmp_path):
+    """Daily revenue strictly increasing WITH daily active users strictly
+    increasing (no ties) must read tau-b exactly 1: every day-pair
+    concordant, zero tie corrections."""
+    from hadoop_data_lake_spark.queries.events_queries import kendall_tau_daily
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for d in range(8):
+        # day d: (d+1) users, each spending (d+1)*10.00 -> both series rise
+        for u in range(d + 1):
+            rows.append(
+                (d * 100 + u, base + dt.timedelta(days=d, hours=u), u,
+                 "m", (d + 1) * 10.0, "{}")
+            )
+    path = str(tmp_path / "kt1")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/events.parquet")
+    (r,) = kendall_tau_daily(spark, path).collect()
+    assert r["n_pairs"] == 8 * 7 // 2
+    assert r["conc"] == r["n_pairs"] and r["disc"] == 0
+    assert r["tau_b_r"] == 1.0
+
+
+def test_circular_stats_point_mass_and_antipodes(spark, tmp_path):
+    """All events at one clock time -> concentration R = 1 and the mean
+    hour IS that time; an exact antipodal 6h/18h split -> the resultant
+    cancels to R ~ 0 (the case arithmetic hour-averaging gets wrong)."""
+    from hadoop_data_lake_spark.queries.events_queries import circular_hour_stats
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, base + dt.timedelta(days=i % 5, hours=15), i, "peak", 1.0, "{}")
+        for i in range(20)
+    ]
+    rows += [
+        (100 + i, base + dt.timedelta(days=i % 5, hours=6 if i % 2 else 18),
+         i, "split", 1.0, "{}")
+        for i in range(20)
+    ]
+    path = str(tmp_path / "circ")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/events.parquet")
+    out = {r["event_type"]: r for r in circular_hour_stats(spark, path).collect()}
+    assert out["peak"]["concentration_r"] == pytest.approx(1.0, abs=1e-5)
+    assert out["peak"]["mean_hour_r"] == pytest.approx(15.0, abs=1e-4)
+    assert out["split"]["concentration_r"] == pytest.approx(0.0, abs=1e-5)
+
+
+def test_cvar_order_statistics_on_known_values(spark, tmp_path):
+    """100 distinct values 1.00..100.00: VaR_p is the rank-ceil(p*n) order
+    statistic and CVaR_p the exact tail mean — recomputable by hand; and
+    CVaR must be monotone in the level."""
+    from hadoop_data_lake_spark.queries.events_queries import cvar_expected_shortfall
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), i % 7, "m", float(i + 1), "{}")
+        for i in range(100)
+    ]
+    path = str(tmp_path / "cvar")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/events.parquet")
+    out = {r["pct"]: r for r in cvar_expected_shortfall(spark, path).collect()}
+    for pct in (90, 95, 99):
+        tail = list(range(pct + 1, 101))  # values above the rank-pct one
+        var_val = pct  # ceil(pct/100 * 100) = pct-th smallest = value pct
+        assert out[pct]["var_cents"] == var_val * 100
+        full_tail = [var_val] + tail  # 'at or above' includes the VaR row
+        assert out[pct]["n_tail"] == len(full_tail)
+        assert out[pct]["cvar_r"] == pytest.approx(
+            sum(full_tail) / len(full_tail), abs=1e-6
+        )
+    assert out[90]["cvar_r"] < out[95]["cvar_r"] < out[99]["cvar_r"]
+
+
+def test_croston_rate_identity(spark):
+    """Croston's forecast IS the ratio of its two EWMAs: rate = size-EWMA
+    / interval-EWMA, re-derivable row by row from the reported
+    components; intervals are >= 1 so the rate never exceeds the size
+    EWMA."""
+    from hadoop_data_lake_spark.queries.tpch_queries import croston_intermittent_forecast
+
+    rows = croston_intermittent_forecast(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["croston_rate_r"] == pytest.approx(
+            r["ewma_size_r"] / r["ewma_interval_r"], abs=2e-5
+        )
+        assert r["ewma_interval_r"] >= 1.0 - 1e-9
+        assert r["croston_rate_r"] <= r["ewma_size_r"] + 1e-9
