@@ -422,3 +422,49 @@ def test_soundex_sql_matches_spark_random_words(spark, words):
     for w in words:
         (code,) = con.sql(f"SELECT {soundex_sql(repr(w))}").fetchone()
         assert code == got_spark[w], (w, code, got_spark[w])
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.data())
+def test_asof_all_directions_match_merge_asof_random(spark, data):
+    """asof_join (the union + running-window formulation) must agree with
+    pandas merge_asof on random per-key series in all three directions —
+    the boundary semantics (inclusive <=/>=, nearest's backward tie) are
+    exactly where a window-frame off-by-one would hide. Right timestamps
+    are unique per key so the comparison is tie-free (the operator's
+    duplicate-ts tie-break is pinned by test_asof_backward_semantics)."""
+    import pandas as pd
+
+    from hadoop_data_lake_spark.operators.asof import asof_join
+
+    ts_list = st.lists(
+        st.integers(min_value=0, max_value=60), min_size=1, max_size=7, unique=True
+    )
+    lrows, rrows, px = [], [], 0
+    for k in (1, 2, 3):
+        for t in data.draw(ts_list, label=f"left ts k={k}"):
+            lrows.append((k, t, len(lrows)))
+        for t in data.draw(ts_list, label=f"right ts k={k}"):
+            px += 1
+            rrows.append((k, t, px * 10))
+    left = spark.createDataFrame(lrows, "k long, lts long, lid long")
+    right = spark.createDataFrame(rrows, "k long, rts long, px long")
+    lp = pd.DataFrame(lrows, columns=["k", "lts", "lid"]).sort_values("lts")
+    rp = pd.DataFrame(rrows, columns=["k", "rts", "px"]).sort_values("rts")
+
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r["lid"]: r["px"]
+            for r in asof_join(
+                left, right, on="k", left_ts="lts", right_ts="rts",
+                direction=direction,
+            ).collect()
+        }
+        ref_df = pd.merge_asof(
+            lp, rp, left_on="lts", right_on="rts", by="k", direction=direction
+        )
+        ref = {
+            int(r.lid): (None if pd.isna(r.px) else int(r.px))
+            for r in ref_df.itertuples()
+        }
+        assert got == ref, f"direction={direction}"
