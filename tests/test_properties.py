@@ -468,3 +468,95 @@ def test_asof_all_directions_match_merge_asof_random(spark, data):
             for r in ref_df.itertuples()
         }
         assert got == ref, f"direction={direction}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),   # src
+            st.integers(min_value=0, max_value=60),   # dst (self-loops allowed)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_match_union_find_random(spark, pairs):
+    """connected_components (alternating two-star, O(log n) rounds) must
+    equal a serial union-find on arbitrary edge lists — duplicates,
+    reversed duplicates, and self-loops included. component = min
+    reachable vertex id, every edge-touched vertex present exactly once."""
+    from hadoop_data_lake_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    min_of_root: dict[int, int] = {}
+    for v in parent:
+        r = find(v)
+        min_of_root[r] = min(min_of_root.get(r, v), v)
+    want = {v: min_of_root[find(v)] for v in parent}
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # key
+            st.integers(min_value=0, max_value=20_000),  # seconds offset
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_sessionize_matches_serial_fold_random(spark, rows):
+    """sessionize (lag + conditional cumsum) must equal a serial per-key
+    fold: a new session exactly when the gap to the previous event
+    EXCEEDS gap_seconds (strict >, the session_window alignment rule);
+    session ids are 1-based and contiguous per key."""
+    import datetime as dt
+
+    from hadoop_data_lake_spark.operators.windows import sessionize
+
+    gap = 1800
+    base = dt.datetime(2024, 3, 1)
+    data = [
+        (i, k, base + dt.timedelta(seconds=s))
+        for i, (k, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "id long, k long, ts timestamp")
+    got = {
+        r["id"]: r["session_id"]
+        for r in sessionize(df, ["k"], "ts", gap_seconds=gap).collect()
+    }
+
+    want = {}
+    by_key: dict[int, list] = {}
+    for i, (k, s) in enumerate(rows):
+        by_key.setdefault(k, []).append((s, i))
+    for k, evs in by_key.items():
+        evs.sort()
+        sid, prev = 0, None
+        for s, i in evs:
+            if prev is None or s - prev > gap:
+                sid += 1
+            want[i] = sid
+            prev = s
+    assert got == want
