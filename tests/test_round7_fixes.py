@@ -108,6 +108,11 @@ def test_rotation_assert_flags_non_guard_repeats(monkeypatch):
 
     fake_registry = {f"q{i}": None for i in range(br.DRIVER_WINDOW_SIZE + 5)}
     monkeypatch.setattr(br, "REGISTRY", fake_registry)
+    # pin the declared-re-grade set empty: this test exercises the
+    # first-time/guard rules in isolation (the r8 lifecycle rules have
+    # their own tests in test_round8_fixes.py), and the REAL set's names
+    # are never in the fake registry's window
+    monkeypatch.setattr(br, "INTENTIONAL_REGRADES", frozenset())
 
     monkeypatch.setattr(br, "graded_ever", lambda: {"q3"})
     assert br.assert_rotation() == 1  # q3 is in the window and graded
