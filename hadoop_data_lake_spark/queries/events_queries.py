@@ -1515,9 +1515,18 @@ def value_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sd"),
         )
     )
+    # nullif(sd, 0): a ZERO-VARIANCE group (every value identical, n > 1)
+    # has no outliers and an undefined z — the bare division was an ANSI
+    # runtime error there (r8 degenerate-input sweep); NULL z fails the
+    # |z| >= 3 gate in both engines, so such groups emit nothing.
     return (
         ev.join(F.broadcast(stats), "event_type")
-        .withColumn("z", F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6))
+        .withColumn(
+            "z",
+            F.round(
+                (F.col("value") - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0)), 6
+            ),
+        )
         .where(F.abs(F.col("z")) >= 3)
         .select("event_id", "event_type", "value", "z")
     )
@@ -1538,9 +1547,9 @@ stats AS (
   FROM m
 )
 SELECT e.event_id, e.event_type, e.value,
-       round((e.value - s.mu) / s.sd, 6) AS z
+       round((e.value - s.mu) / nullif(s.sd, 0.0), 6) AS z
 FROM events e JOIN stats s USING (event_type)
-WHERE abs(round((e.value - s.mu) / s.sd, 6)) >= 3
+WHERE abs(round((e.value - s.mu) / nullif(s.sd, 0.0), 6)) >= 3
 """
 
 
@@ -3959,17 +3968,26 @@ def ks_test_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("variant") == 0).cast("long")).alias("n_a"),
         F.sum((F.col("variant") == 1).cast("long")).alias("n_b"),
     )
+    # nullif guards + the final filter: KS is UNDEFINED when either sample
+    # is empty (a type whose users all hash to one variant) — the bare
+    # division was an ANSI runtime error there (r8 degenerate-input sweep,
+    # the changepoint class); driver data always populates both variants,
+    # so graded results are unchanged.
     d = counted.join(totals, "event_type").withColumn(
         "gap",
         F.abs(
-            F.col("ca").cast("double") / F.col("n_a").cast("double")
-            - F.col("cb").cast("double") / F.col("n_b").cast("double")
+            F.col("ca").cast("double") / F.nullif(F.col("n_a"), F.lit(0)).cast("double")
+            - F.col("cb").cast("double") / F.nullif(F.col("n_b"), F.lit(0)).cast("double")
         ),
     )
-    return d.groupBy("event_type").agg(
-        F.max("n_a").alias("n_a"),
-        F.max("n_b").alias("n_b"),
-        F.round(F.max("gap"), 6).alias("ks_d_r"),
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.round(F.max("gap"), 6).alias("ks_d_r"),
+        )
+        .where((F.col("n_a") > 0) & (F.col("n_b") > 0))
     )
 
 
@@ -3997,10 +4015,11 @@ totals AS (
   FROM ev GROUP BY event_type
 )
 SELECT c.event_type, max(t.n_a) AS n_a, max(t.n_b) AS n_b,
-       round(max(abs(c.ca::double / t.n_a::double
-                     - c.cb::double / t.n_b::double)), 6) AS ks_d_r
+       round(max(abs(c.ca::double / nullif(t.n_a, 0)::double
+                     - c.cb::double / nullif(t.n_b, 0)::double)), 6) AS ks_d_r
 FROM counted c JOIN totals t ON c.event_type = t.event_type
 GROUP BY c.event_type
+HAVING max(t.n_a) > 0 AND max(t.n_b) > 0
 """
 
 
@@ -4392,7 +4411,11 @@ def fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n").cast("double")
     mean = F.col("s").cast("double") / n
-    var = (F.col("ss").cast("double") - F.col("s").cast("double") * mean) / (n - 1.0)
+    # nullif: a single-hour corpus span has no dispersion to estimate —
+    # fano is NULL there, not an ANSI divide-by-zero (r8 degenerate sweep)
+    var = (F.col("ss").cast("double") - F.col("s").cast("double") * mean) / F.nullif(
+        n - F.lit(1.0), F.lit(0.0)
+    )
     return mom.select(
         "event_type",
         F.col("n").alias("n_hours"),
@@ -4427,7 +4450,7 @@ mom AS (
 )
 SELECT event_type, n AS n_hours,
        round(s::double / n::double, 6) AS mean_per_hour_r,
-       round(((ss::double - s::double * (s::double / n::double)) / (n::double - 1.0))
+       round(((ss::double - s::double * (s::double / n::double)) / nullif(n::double - 1.0, 0.0))
              / (s::double / n::double), 6) AS fano_r
 FROM mom
 """
@@ -4913,11 +4936,17 @@ def anova_eta_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     ) / n
     k = F.col("k").cast("double")
-    f_stat = (ss_between / (k - 1.0)) / ((ss_total - ss_between) / (n - k))
+    # nullif guards (r8 degenerate sweep): eta is undefined at zero total
+    # variance, F at k = 1 groups / n = k rows / zero within-group
+    # variance — each reads NULL instead of an ANSI divide-by-zero.
+    within_ms = (ss_total - ss_between) / F.nullif(n - k, F.lit(0.0))
+    f_stat = (ss_between / F.nullif(k - F.lit(1.0), F.lit(0.0))) / F.nullif(
+        within_ms, F.lit(0.0)
+    )
     return folded.select(
         F.col("k").alias("n_groups"),
         F.col("n").alias("n_rows"),
-        F.round(ss_between / ss_total, 6).alias("eta_sq_r"),
+        F.round(ss_between / F.nullif(ss_total, F.lit(0.0)), 6).alias("eta_sq_r"),
         F.round(f_stat, 6).alias("f_stat_r"),
     )
 
@@ -4941,9 +4970,11 @@ folded AS (
 )
 SELECT k AS n_groups, n AS n_rows,
        round((sum_sg2ng - s::double * s::double / n::double)
-             / (ss - s::double * s::double / n::double), 6) AS eta_sq_r,
-       round(((sum_sg2ng - s::double * s::double / n::double) / (k::double - 1.0))
-             / ((ss - sum_sg2ng) / (n::double - k::double)), 6) AS f_stat_r
+             / nullif(ss - s::double * s::double / n::double, 0.0), 6) AS eta_sq_r,
+       round(((sum_sg2ng - s::double * s::double / n::double)
+              / nullif(k::double - 1.0, 0.0))
+             / nullif((ss - sum_sg2ng) / nullif(n::double - k::double, 0.0), 0.0),
+             6) AS f_stat_r
 FROM folded
 """
 
@@ -5080,7 +5111,12 @@ def sample_representativeness_audit(spark: SparkSession, sf_dir: str) -> DataFra
     )
     j = per_type.crossJoin(F.broadcast(totals))
     pop_share = F.col("n_pop").cast("double") / F.col("tp").cast("double")
-    smp_share = F.col("n_smp").cast("double") / F.col("ts").cast("double")
+    # nullif: a corpus small enough that the 10% hash sample is EMPTY has
+    # no sample composition to audit — NULL, not a divide-by-zero (r8
+    # degenerate sweep)
+    smp_share = F.col("n_smp").cast("double") / F.nullif(F.col("ts"), F.lit(0)).cast(
+        "double"
+    )
     return j.select(
         "event_type",
         "n_pop",
@@ -5105,9 +5141,9 @@ per_type AS (
 totals AS (SELECT sum(n_pop)::bigint AS tp, sum(n_smp)::bigint AS ts FROM per_type)
 SELECT p.event_type, p.n_pop, p.n_smp,
        round(p.n_pop::double / t.tp::double, 6) AS pop_share_r,
-       round(p.n_smp::double / t.ts::double, 6) AS smp_share_r,
-       round(abs(p.n_smp::double / t.ts::double - p.n_pop::double / t.tp::double), 6)
-         AS share_gap_r
+       round(p.n_smp::double / nullif(t.ts, 0)::double, 6) AS smp_share_r,
+       round(abs(p.n_smp::double / nullif(t.ts, 0)::double
+                 - p.n_pop::double / t.tp::double), 6) AS share_gap_r
 FROM per_type p, totals t
 """
 

@@ -170,3 +170,74 @@ def test_rotation_assert_rejects_stale_regrade_declarations(monkeypatch):
 
     monkeypatch.setattr(br, "INTENTIONAL_REGRADES", frozenset())
     assert br.assert_rotation() == 0
+
+
+@pytest.fixture(scope="module")
+def degenerate_dirs(spark, tmp_path_factory):
+    """Three corpora that break closed-form denominators: a single event
+    (one hour bin, one group member, possibly an empty hash sample), one
+    day with two types (empty variants), and thirty identical values
+    (zero variance everywhere)."""
+    cases = {
+        "one_event": [(1, EPOCH, 1, "purchase", 5.0, "{}")],
+        "one_day_two_types": [
+            (1, EPOCH, 1, "purchase", 5.0, "{}"),
+            (2, EPOCH + dt.timedelta(hours=1), 2, "view", 3.0, "{}"),
+        ],
+        "all_same_value": [
+            (i, EPOCH + dt.timedelta(hours=i), i % 3, "click", 7.0, "{}")
+            for i in range(30)
+        ],
+    }
+    dirs = {}
+    root = tmp_path_factory.mktemp("degenerate")
+    for name, rows in cases.items():
+        d = str(root / name)
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/events.parquet")
+        dirs[name] = d
+    return dirs
+
+
+def test_degenerate_inputs_never_divide_by_zero(spark, degenerate_dirs):
+    """The r8 degenerate-input sweep found five window queries crashing
+    with ANSI DIVIDE_BY_ZERO on inputs with empty variants / single bins /
+    one group / zero variance (the daily_revenue_changepoint class).
+    Undefined statistics must read NULL (or filter the undefined rows),
+    never raise."""
+    from hadoop_data_lake_spark.queries.events_queries import (
+        anova_eta_squared,
+        daily_revenue_changepoint,
+        fano_burstiness,
+        ks_test_variants,
+        sample_representativeness_audit,
+        value_outliers_zscore,
+    )
+
+    for d in degenerate_dirs.values():
+        for fn in (
+            ks_test_variants,
+            fano_burstiness,
+            anova_eta_squared,
+            sample_representativeness_audit,
+            value_outliers_zscore,
+            daily_revenue_changepoint,
+        ):
+            fn(spark, d).collect()  # must not raise
+
+    # semantics, not just survival:
+    # zero variance -> no z-score outliers, NULL eta/F, NULL fano
+    same = degenerate_dirs["all_same_value"]
+    assert value_outliers_zscore(spark, same).count() == 0
+    (a,) = anova_eta_squared(spark, same).collect()
+    assert a["eta_sq_r"] is None and a["f_stat_r"] is None
+    for r in fano_burstiness(spark, same).collect():
+        assert r["fano_r"] == 0.0  # one event in each of 30 hours: zero dispersion
+    # one-variant types are UNDEFINED for KS and must be absent, not NULL
+    for r in ks_test_variants(spark, same).collect():
+        assert r["n_a"] > 0 and r["n_b"] > 0
+    # single-hour span -> fano undefined (n-1 = 0)
+    one = degenerate_dirs["one_event"]
+    (f,) = fano_burstiness(spark, one).collect()
+    assert f["n_hours"] == 1 and f["fano_r"] is None
