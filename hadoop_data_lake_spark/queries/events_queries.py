@@ -2293,9 +2293,14 @@ def target_encode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "fold",
         "n_rows",
+        # nullif: a type present in only ONE fold has no out-of-fold rows
+        # to encode from — NULL, not an ANSI divide-by-zero (r8 sweep)
         F.round(
             (F.sum("s_fold").over(w) - F.col("s_fold")).cast("double")
-            / ((F.sum("n_rows").over(w) - F.col("n_rows")).cast("double") * 100.0),
+            / F.nullif(
+                (F.sum("n_rows").over(w) - F.col("n_rows")).cast("double") * 100.0,
+                F.lit(0.0),
+            ),
             6,
         ).alias("oof_mean_r"),
     )
@@ -2314,7 +2319,8 @@ WITH per AS (
 )
 SELECT event_type, fold, n_rows,
        round((sum(s_fold) OVER (PARTITION BY event_type) - s_fold)::double
-             / ((sum(n_rows) OVER (PARTITION BY event_type) - n_rows)::double * 100.0),
+             / nullif((sum(n_rows) OVER (PARTITION BY event_type) - n_rows)::double
+                      * 100.0, 0.0),
              6) AS oof_mean_r
 FROM per
 """
@@ -2897,8 +2903,10 @@ def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ref").alias("tr"), F.sum("cur").alias("tc")
     )
     out = wide.crossJoin(F.broadcast(tot))
-    p_r = F.col("ref").cast("double") / F.col("tr").cast("double")
-    p_c = F.col("cur").cast("double") / F.col("tc").cast("double")
+    # nullif: a corpus shorter than the ref/cur cut leaves one period
+    # EMPTY — its shares are undefined, not an ANSI divide-by-zero
+    p_r = F.col("ref").cast("double") / F.nullif(F.col("tr"), F.lit(0)).cast("double")
+    p_c = F.col("cur").cast("double") / F.nullif(F.col("tc"), F.lit(0)).cast("double")
     return out.select(
         "bin",
         F.col("ref").alias("n_ref"),
@@ -2947,10 +2955,12 @@ wide AS (
 ),
 tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM wide)
 SELECT bin, n_ref, n_cur,
-       round(n_ref::double / tot.tr::double, 6) AS p_ref_r,
-       round(n_cur::double / tot.tc::double, 6) AS p_cur_r,
-       round((n_cur::double / tot.tc::double - n_ref::double / tot.tr::double)
-             * ln((n_cur::double / tot.tc::double) / (n_ref::double / tot.tr::double)),
+       round(n_ref::double / nullif(tot.tr, 0)::double, 6) AS p_ref_r,
+       round(n_cur::double / nullif(tot.tc, 0)::double, 6) AS p_cur_r,
+       round((n_cur::double / nullif(tot.tc, 0)::double
+              - n_ref::double / nullif(tot.tr, 0)::double)
+             * ln((n_cur::double / nullif(tot.tc, 0)::double)
+                  / (n_ref::double / nullif(tot.tr, 0)::double)),
              6) AS psi_contrib_r
 FROM wide, tot
 """
@@ -3655,10 +3665,16 @@ def mann_whitney_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_b = n - n_a
     u = F.col("r_a") - n_a * (n_a + 1.0) / 2.0
     mu = n_a * n_b / 2.0
+    # nullif guards (r8 degenerate sweep): n = 1 zeroes the tie-correction
+    # denominator, and an empty variant or an all-tied sample zeroes
+    # sigma^2 — z is undefined there, not an ANSI divide-by-zero
     sigma2 = (
         n_a * n_b / 12.0
-    ) * ((n + 1.0) - F.col("tie_sum").cast("double") / (n * (n - 1.0)))
-    z = (u - mu) / F.sqrt(sigma2)
+    ) * (
+        (n + 1.0)
+        - F.col("tie_sum").cast("double") / F.nullif(n * (n - 1.0), F.lit(0.0))
+    )
+    z = (u - mu) / F.nullif(F.sqrt(sigma2), F.lit(0.0))
     return j.select(
         "event_type",
         F.col("n_a"),
@@ -3704,9 +3720,10 @@ SELECT p.event_type, p.n_a, (p.n - p.n_a)::bigint AS n_b,
        round(p.r_a - p.n_a::double * (p.n_a::double + 1.0) / 2.0, 1) AS u_stat_r,
        round((p.r_a - p.n_a::double * (p.n_a::double + 1.0) / 2.0
               - p.n_a::double * (p.n::double - p.n_a::double) / 2.0)
-             / sqrt((p.n_a::double * (p.n::double - p.n_a::double) / 12.0)
+             / nullif(sqrt((p.n_a::double * (p.n::double - p.n_a::double) / 12.0)
                     * ((p.n::double + 1.0)
-                       - t.tie_sum / (p.n::double * (p.n::double - 1.0)))),
+                       - t.tie_sum / nullif(p.n::double * (p.n::double - 1.0), 0.0))),
+                      0.0),
              6) AS z_r
 FROM per_type p JOIN ties t ON p.event_type = t.event_type
 """
@@ -4331,9 +4348,12 @@ def ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
     syy = F.col("syy").cast("double")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # nullif guards (r8 degenerate sweep): a single-day series has zero
+    # x-variance (slope undefined) and a constant-y series zeroes the R^2
+    # denominator — NULL, not an ANSI divide-by-zero
+    slope = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
     r2_num = (n * sxy - sx * sy) * (n * sxy - sx * sy)
-    r2_den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    r2_den = F.nullif((n * sxx - sx * sx) * (n * syy - sy * sy), F.lit(0.0))
     return mom.select(
         "event_type",
         F.col("n").alias("n_days"),
@@ -4359,16 +4379,16 @@ mom AS (
 )
 SELECT event_type, n AS n_days,
        round(((n::double * sxy::double - sx::double * sy::double)
-              / (n::double * sxx::double - sx::double * sx::double)) / 100.0, 6)
+              / nullif(n::double * sxx::double - sx::double * sx::double, 0.0)) / 100.0, 6)
          AS slope_per_day_r,
        round((sy::double / n::double
               - ((n::double * sxy::double - sx::double * sy::double)
-                 / (n::double * sxx::double - sx::double * sx::double))
+                 / nullif(n::double * sxx::double - sx::double * sx::double, 0.0))
                 * sx::double / n::double) / 100.0, 4) AS intercept_r,
        round(((n::double * sxy::double - sx::double * sy::double)
               * (n::double * sxy::double - sx::double * sy::double))
-             / ((n::double * sxx::double - sx::double * sx::double)
-                * (n::double * syy - sy::double * sy::double)), 6) AS r2_r
+             / nullif((n::double * sxx::double - sx::double * sx::double)
+                * (n::double * syy - sy::double * sy::double), 0.0), 6) AS r2_r
 FROM mom
 """
 
@@ -5273,12 +5293,15 @@ def ipw_outcome_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold("ws", 0).alias("ws0"),
         fold("wn", 0).alias("wn0"),
     )
+    # nullif: a corpus whose users all hash to ONE arm has an empty
+    # other arm (wn = 0) — the arm mean and ATE are undefined, not an
+    # ANSI divide-by-zero (r8 degenerate sweep)
+    m1 = F.col("ws1") / F.nullif(F.col("wn1"), F.lit(0.0))
+    m0 = F.col("ws0") / F.nullif(F.col("wn0"), F.lit(0.0))
     return out.select(
-        F.round(F.col("ws1") / F.col("wn1") / 100.0, 6).alias("ipw_mean_treated_r"),
-        F.round(F.col("ws0") / F.col("wn0") / 100.0, 6).alias("ipw_mean_control_r"),
-        F.round(
-            (F.col("ws1") / F.col("wn1") - F.col("ws0") / F.col("wn0")) / 100.0, 6
-        ).alias("ate_r"),
+        F.round(m1 / 100.0, 6).alias("ipw_mean_treated_r"),
+        F.round(m0 / 100.0, 6).alias("ipw_mean_control_r"),
+        F.round((m1 - m0) / 100.0, 6).alias("ate_r"),
     )
 
 
@@ -5326,9 +5349,9 @@ folded AS (
       (a, x) -> a + x) AS wn0
   FROM contrib
 )
-SELECT round(ws1 / wn1 / 100.0, 6) AS ipw_mean_treated_r,
-       round(ws0 / wn0 / 100.0, 6) AS ipw_mean_control_r,
-       round((ws1 / wn1 - ws0 / wn0) / 100.0, 6) AS ate_r
+SELECT round(ws1 / nullif(wn1, 0.0) / 100.0, 6) AS ipw_mean_treated_r,
+       round(ws0 / nullif(wn0, 0.0) / 100.0, 6) AS ipw_mean_control_r,
+       round((ws1 / nullif(wn1, 0.0) - ws0 / nullif(wn0, 0.0)) / 100.0, 6) AS ate_r
 FROM folded
 """
 
@@ -6159,17 +6182,15 @@ def ols_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     Da = det3(sy, sd, sw, sdy, sdd, sdw, swy, sdw, sww)
     Db = det3(n, sy, sw, sd, sdy, sdw, sw, swy, sww)
     Dc = det3(n, sd, sy, sd, sdd, sdy, sw, sdw, swy)
+    # nullif: a collinear design (fewer days than coefficients, or all
+    # days sharing one weekend flag) has a singular normal matrix — the
+    # coefficients are undefined, not an ANSI divide-by-zero (r8 sweep)
+    d_safe = F.nullif(D.cast("double"), F.lit(0.0))
     return s.select(
         F.col("n").cast("long").alias("n_days"),
-        F.round(Da.cast("double") / D.cast("double") / 100.0, 6).alias(
-            "intercept_r"
-        ),
-        F.round(Db.cast("double") / D.cast("double") / 100.0, 6).alias(
-            "trend_per_day_r"
-        ),
-        F.round(Dc.cast("double") / D.cast("double") / 100.0, 6).alias(
-            "weekend_effect_r"
-        ),
+        F.round(Da.cast("double") / d_safe / 100.0, 6).alias("intercept_r"),
+        F.round(Db.cast("double") / d_safe / 100.0, 6).alias("trend_per_day_r"),
+        F.round(Dc.cast("double") / d_safe / 100.0, 6).alias("weekend_effect_r"),
     )
 
 
@@ -6190,16 +6211,16 @@ s AS (
 SELECT n AS n_days,
        round((sy * (sdd * sww - sdw * sdw) - sd * (sdy * sww - sdw * swy)
               + sw * (sdy * sdw - sdd * swy))::double
-             / (n * (sdd * sww - sdw * sdw) - sd * (sd * sww - sdw * sw)
-                + sw * (sd * sdw - sdd * sw))::double / 100.0, 6) AS intercept_r,
+             / nullif((n * (sdd * sww - sdw * sdw) - sd * (sd * sww - sdw * sw)
+                + sw * (sd * sdw - sdd * sw))::double, 0.0) / 100.0, 6) AS intercept_r,
        round((n * (sdy * sww - sdw * swy) - sy * (sd * sww - sdw * sw)
               + sw * (sd * swy - sdy * sw))::double
-             / (n * (sdd * sww - sdw * sdw) - sd * (sd * sww - sdw * sw)
-                + sw * (sd * sdw - sdd * sw))::double / 100.0, 6) AS trend_per_day_r,
+             / nullif((n * (sdd * sww - sdw * sdw) - sd * (sd * sww - sdw * sw)
+                + sw * (sd * sdw - sdd * sw))::double, 0.0) / 100.0, 6) AS trend_per_day_r,
        round((n * (sdd * swy - sdy * sdw) - sd * (sd * swy - sdy * sw)
               + sy * (sd * sdw - sdd * sw))::double
-             / (n * (sdd * sww - sdw * sdw) - sd * (sd * sww - sdw * sw)
-                + sw * (sd * sdw - sdd * sw))::double / 100.0, 6) AS weekend_effect_r
+             / nullif((n * (sdd * sww - sdw * sdw) - sd * (sd * sww - sdw * sw)
+                + sw * (sd * sdw - sdd * sw))::double, 0.0) / 100.0, 6) AS weekend_effect_r
 FROM s
 """
 
@@ -6488,9 +6509,11 @@ def self_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("n").alias("n_events"),
             "est_pairs",
+            # nullif: all-singleton users yield ZERO estimated self-join
+            # pairs corpus-wide — shares undefined, not a divide-by-zero
             F.round(
                 F.col("est_pairs").cast("double")
-                / F.col("total_est_pairs").cast("double"),
+                / F.nullif(F.col("total_est_pairs"), F.lit(0)).cast("double"),
                 6,
             ).alias("share_r"),
             "n_users",
@@ -6515,7 +6538,7 @@ top AS (
   ORDER BY est_pairs DESC, user_id ASC LIMIT 5
 )
 SELECT t.rank::bigint AS rank, t.user_id, t.n AS n_events, t.est_pairs,
-       round(t.est_pairs::double / tot.total_est_pairs::double, 6) AS share_r,
+       round(t.est_pairs::double / nullif(tot.total_est_pairs, 0)::double, 6) AS share_r,
        tot.n_users, tot.total_est_pairs
 FROM top t, tot
 """
@@ -6559,7 +6582,13 @@ def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = scored.agg(F.sum("ns").alias("tot_ns"))
     alloc = (
         scored.crossJoin(F.broadcast(tot))
-        .withColumn("exact", F.lit(1000.0) * F.col("ns") / F.col("tot_ns"))
+        # nullif: all-zero-variance strata (every value identical) leave
+        # Neyman weights undefined — NULL allocations, not an ANSI
+        # divide-by-zero (r8 degenerate sweep)
+        .withColumn(
+            "exact",
+            F.lit(1000.0) * F.col("ns") / F.nullif(F.col("tot_ns"), F.lit(0.0)),
+        )
         .withColumn("base", F.floor(F.col("exact")).cast("long"))
         .withColumn("frac", F.col("exact") - F.col("base"))
     )
@@ -6601,9 +6630,10 @@ scored AS (SELECT *, n::double * sd AS ns FROM sds),
 tot AS (SELECT sum(ns) AS tot_ns FROM scored),
 alloc AS (
   SELECT s.event_type, s.n, s.ns, s.sd,
-         1000.0 * s.ns / tot.tot_ns AS exact,
-         floor(1000.0 * s.ns / tot.tot_ns)::bigint AS base,
-         1000.0 * s.ns / tot.tot_ns - floor(1000.0 * s.ns / tot.tot_ns) AS frac
+         1000.0 * s.ns / nullif(tot.tot_ns, 0.0) AS exact,
+         floor(1000.0 * s.ns / nullif(tot.tot_ns, 0.0))::bigint AS base,
+         1000.0 * s.ns / nullif(tot.tot_ns, 0.0)
+           - floor(1000.0 * s.ns / nullif(tot.tot_ns, 0.0)) AS frac
   FROM scored s, tot
 ),
 rem AS (SELECT 1000 - sum(base) AS r FROM alloc)
@@ -6769,8 +6799,15 @@ def woe_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.sum("pos")).alias("n_neg"),
     )
     tot = agg.agg(F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn"))
-    p_pos = (F.col("n_pos").cast("double") + 0.5) / F.col("tp").cast("double")
-    p_neg = (F.col("n_neg").cast("double") + 0.5) / F.col("tn").cast("double")
+    # nullif: a corpus with zero positives (or zero negatives) overall has
+    # undefined class shares — NULL WOE, not an ANSI divide-by-zero (the
+    # per-bin +0.5 smoothing cannot rescue an empty CLASS total)
+    p_pos = (F.col("n_pos").cast("double") + 0.5) / F.nullif(
+        F.col("tp"), F.lit(0)
+    ).cast("double")
+    p_neg = (F.col("n_neg").cast("double") + 0.5) / F.nullif(
+        F.col("tn"), F.lit(0)
+    ).cast("double")
     woe = F.log(p_pos / p_neg)
     return agg.crossJoin(F.broadcast(tot)).select(
         "bin",
@@ -6802,12 +6839,12 @@ agg AS (
 ),
 tot AS (SELECT sum(n_pos)::bigint AS tp, sum(n_neg)::bigint AS tn FROM agg)
 SELECT a.bin::bigint AS bin, a.n, a.n_pos, a.n_neg,
-       round(ln(((a.n_pos::double + 0.5) / tot.tp::double)
-                / ((a.n_neg::double + 0.5) / tot.tn::double)), 6) AS woe_r,
-       round((((a.n_pos::double + 0.5) / tot.tp::double)
-              - ((a.n_neg::double + 0.5) / tot.tn::double))
-             * ln(((a.n_pos::double + 0.5) / tot.tp::double)
-                  / ((a.n_neg::double + 0.5) / tot.tn::double)), 6) AS iv_contrib_r
+       round(ln(((a.n_pos::double + 0.5) / nullif(tot.tp, 0)::double)
+                / ((a.n_neg::double + 0.5) / nullif(tot.tn, 0)::double)), 6) AS woe_r,
+       round((((a.n_pos::double + 0.5) / nullif(tot.tp, 0)::double)
+              - ((a.n_neg::double + 0.5) / nullif(tot.tn, 0)::double))
+             * ln(((a.n_pos::double + 0.5) / nullif(tot.tp, 0)::double)
+                  / ((a.n_neg::double + 0.5) / nullif(tot.tn, 0)::double)), 6) AS iv_contrib_r
 FROM agg a, tot
 """
 
@@ -7582,7 +7619,13 @@ def eb_shrunk_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "m1",
         "v",
-        (F.col("m1") * (1.0 - F.col("m1")) / F.col("v") - 1.0).alias("common"),
+        # nullif: identical per-user rates (v = 0) make the MoM prior
+        # degenerate (infinite concentration) — NULL alpha/beta, not an
+        # ANSI divide-by-zero (r8 degenerate sweep)
+        (
+            F.col("m1") * (1.0 - F.col("m1")) / F.nullif(F.col("v"), F.lit(0.0))
+            - 1.0
+        ).alias("common"),
     ).select(
         F.round(F.col("m1") * F.col("common"), 6).alias("alpha_r"),
         F.round((1.0 - F.col("m1")) * F.col("common"), 6).alias("beta_r"),
@@ -7624,8 +7667,8 @@ mom1 AS (
   FROM mom0
 ),
 prior AS (
-  SELECT round(m1 * (m1 * (1.0 - m1) / v - 1.0), 6) AS alpha_r,
-         round((1.0 - m1) * (m1 * (1.0 - m1) / v - 1.0), 6) AS beta_r
+  SELECT round(m1 * (m1 * (1.0 - m1) / nullif(v, 0.0) - 1.0), 6) AS alpha_r,
+         round((1.0 - m1) * (m1 * (1.0 - m1) / nullif(v, 0.0) - 1.0), 6) AS beta_r
   FROM mom1
 )
 SELECT p.user_id, p.n, p.h,
@@ -7688,11 +7731,13 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     vary = F.col("syy").cast("double") / u - (
         F.col("sy").cast("double") / u
     ) * (F.col("sy").cast("double") / u)
-    theta = cov / varx
+    # nullif: a constant covariate (varx = 0) leaves theta/rho^2 undefined
+    # — NULL, not an ANSI divide-by-zero (r8 degenerate sweep)
+    theta = cov / F.nullif(varx, F.lit(0.0))
     stats = mom.select(
         theta.alias("theta"),
         (F.col("sx").cast("double") / u).alias("mx"),
-        (cov * cov / (varx * vary)).alias("rho2"),
+        (cov * cov / F.nullif(varx * vary, F.lit(0.0))).alias("rho2"),
     )
     j = per_user.crossJoin(F.broadcast(stats))
     adj = F.col("y").cast("double") - F.col("theta") * (
@@ -7738,11 +7783,11 @@ mom AS (
 ),
 stats AS (
   SELECT (sxy::double / u - (sx::double / u) * (sy::double / u))
-         / (sxx::double / u - (sx::double / u) * (sx::double / u)) AS theta,
+         / nullif(sxx::double / u - (sx::double / u) * (sx::double / u), 0.0) AS theta,
          sx::double / u AS mx,
          pow(sxy::double / u - (sx::double / u) * (sy::double / u), 2)
-         / ((sxx::double / u - (sx::double / u) * (sx::double / u))
-            * (syy::double / u - (sy::double / u) * (sy::double / u))) AS rho2
+         / nullif((sxx::double / u - (sx::double / u) * (sx::double / u))
+            * (syy::double / u - (sy::double / u) * (sy::double / u)), 0.0) AS rho2
   FROM mom
 ),
 q AS (
@@ -8058,9 +8103,15 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("r1") == F.col("r2")).cast("long")).alias("tie_r"),
         F.sum((F.col("u1") == F.col("u2")).cast("long")).alias("tie_u"),
     )
-    denom = F.sqrt(
-        (F.col("n_pairs") - F.col("tie_r")).cast("double")
-        * (F.col("n_pairs") - F.col("tie_u")).cast("double")
+    # nullif: an all-tied series (constant revenue or constant DAU) has no
+    # rank signal and tau-b is undefined — NULL, not an ANSI
+    # divide-by-zero (r8 registry-wide degenerate sweep)
+    denom = F.nullif(
+        F.sqrt(
+            (F.col("n_pairs") - F.col("tie_r")).cast("double")
+            * (F.col("n_pairs") - F.col("tie_u")).cast("double")
+        ),
+        F.lit(0.0),
     )
     return agg.select(
         "n_pairs",
@@ -8092,7 +8143,8 @@ agg AS (
 )
 SELECT n_pairs, conc, disc,
        round((conc - disc)::double
-             / sqrt((n_pairs - tie_r)::double * (n_pairs - tie_u)::double), 6)
+             / nullif(sqrt((n_pairs - tie_r)::double
+                           * (n_pairs - tie_u)::double), 0.0), 6)
          AS tau_b_r
 FROM agg
 """
@@ -8240,7 +8292,14 @@ def jackknife_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = F.sum(dev * dev).cast("double")
     out = j.groupBy("n", "s").agg(var.alias("ssq"))
     n = F.col("n").cast("double")
-    jk_var = (n - 1.0) / n * F.col("ssq") / (n * n * (n - 1.0) * (n - 1.0))
+    # nullif: a single-day corpus has no leave-one-out variance — SE is
+    # NULL, not an ANSI divide-by-zero (r8 degenerate sweep)
+    jk_var = (
+        (n - 1.0)
+        / n
+        * F.col("ssq")
+        / F.nullif(n * n * (n - 1.0) * (n - 1.0), F.lit(0.0))
+    )
     return out.select(
         F.col("n").alias("n_days"),
         F.round(F.col("s").cast("double") / n / 100.0, 6).alias("mean_daily_r"),
@@ -8263,7 +8322,8 @@ dev AS (
 SELECT n AS n_days,
        round(s::double / n::double / 100.0, 6) AS mean_daily_r,
        round(sqrt((n::double - 1.0) / n::double * ssq
-                  / (n::double * n::double * (n::double - 1.0) * (n::double - 1.0)))
+                  / nullif(n::double * n::double
+                           * (n::double - 1.0) * (n::double - 1.0), 0.0))
              / 100.0, 6) AS jackknife_se_r
 FROM dev
 """

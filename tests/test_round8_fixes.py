@@ -206,24 +206,27 @@ def test_degenerate_inputs_never_divide_by_zero(spark, degenerate_dirs):
     one group / zero variance (the daily_revenue_changepoint class).
     Undefined statistics must read NULL (or filter the undefined rows),
     never raise."""
-    from hadoop_data_lake_spark.queries.events_queries import (
-        anova_eta_squared,
-        daily_revenue_changepoint,
-        fano_burstiness,
-        ks_test_variants,
-        sample_representativeness_audit,
-        value_outliers_zscore,
-    )
+    from hadoop_data_lake_spark.queries import events_queries as EV
+
+    guarded = [
+        # the five window queries from the first sweep + changepoint
+        EV.ks_test_variants, EV.fano_burstiness, EV.anova_eta_squared,
+        EV.sample_representativeness_audit, EV.value_outliers_zscore,
+        EV.daily_revenue_changepoint,
+        # the thirteen registry-wide offenders from the full sweep
+        EV.kendall_tau_daily, EV.mann_whitney_variants,
+        EV.jackknife_daily_mean, EV.ols_weekend_effect, EV.ols_daily_trend,
+        EV.cuped_adjusted_lift, EV.ipw_outcome_estimate, EV.value_psi_drift,
+        EV.neyman_allocation_plan, EV.woe_value_bins, EV.eb_shrunk_conversion,
+        EV.target_encode_event_type, EV.self_join_skew_profile,
+    ]
+    anova_eta_squared = EV.anova_eta_squared
+    fano_burstiness = EV.fano_burstiness
+    ks_test_variants = EV.ks_test_variants
+    value_outliers_zscore = EV.value_outliers_zscore
 
     for d in degenerate_dirs.values():
-        for fn in (
-            ks_test_variants,
-            fano_burstiness,
-            anova_eta_squared,
-            sample_representativeness_audit,
-            value_outliers_zscore,
-            daily_revenue_changepoint,
-        ):
+        for fn in guarded:
             fn(spark, d).collect()  # must not raise
 
     # semantics, not just survival:
