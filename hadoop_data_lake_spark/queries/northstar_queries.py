@@ -4510,7 +4510,9 @@ def length_bias_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             # negatives-below pass ~9.2e18 — inside 100 TB corpus sizes.
             F.sum(dprod(F.col("n1"), 2 * F.col("cum0") + F.col("n0")))
             .cast("double")
-            / (2.0 * F.sum("n1") * F.sum("n0")),
+            # nullif: AUC is undefined without BOTH classes present —
+            # NULL, not an ANSI divide-by-zero (r8 degenerate sweep)
+            / F.nullif(2.0 * F.sum("n1") * F.sum("n0"), F.lit(0.0)),
             6,
         ).alias("auc_r"),
     )
@@ -4534,7 +4536,7 @@ c AS (
 SELECT sum(n1)::bigint AS n_pos,
        sum(n0)::bigint AS n_neg,
        round(sum(n1::hugeint * (2 * cum0 + n0)::hugeint)::double
-             / (2.0 * sum(n1) * sum(n0)), 6) AS auc_r
+             / nullif(2.0 * sum(n1) * sum(n0), 0.0), 6) AS auc_r
 FROM c
 """
 
@@ -6052,8 +6054,15 @@ def semdedup_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = own.join(other, "vec_id").select(
         "cluster_id",
+        # identical points (a = b = 0) take silhouette 0, the scikit-learn
+        # convention — the bare ratio was an ANSI divide-by-zero there
         F.round(
-            (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")) * 1e6, 0
+            F.when(
+                F.greatest(F.col("a"), F.col("b")) > 0,
+                (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")),
+            ).otherwise(F.lit(0.0))
+            * 1e6,
+            0,
         )
         .cast("long")
         .alias("s_um"),
@@ -6093,7 +6102,9 @@ other AS (
 ),
 scores AS (
   SELECT a.cluster_id,
-         round((o.b - a.a) / greatest(a.a, o.b) * 1e6, 0)::bigint AS s_um
+         round(CASE WHEN greatest(a.a, o.b) > 0
+             THEN (o.b - a.a) / greatest(a.a, o.b) ELSE 0.0 END
+           * 1e6, 0)::bigint AS s_um
   FROM assigned a JOIN other o ON a.vec_id = o.vec_id
 )
 SELECT cluster_id, count(*)::bigint AS n_vectors,
@@ -6139,8 +6150,10 @@ def source_mmd_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot_docs))
     )
     mean_src = F.col("c").cast("double") / F.col("nd").cast("double")
-    mean_rest = (F.col("ct") - F.col("c")).cast("double") / (
-        F.col("ntot") - F.col("nd")
+    # nullif: a single-source corpus has no complement to compare against
+    # — MMD undefined, not an ANSI divide-by-zero (r8 degenerate sweep)
+    mean_rest = (F.col("ct") - F.col("c")).cast("double") / F.nullif(
+        F.col("ntot") - F.col("nd"), F.lit(0)
     ).cast("double")
     diff2_um = F.round((mean_src - mean_rest) * (mean_src - mean_rest) * 1e6, 0).cast(
         "long"
@@ -6176,9 +6189,9 @@ per_dim AS (SELECT dim, sum(c)::bigint AS ct FROM per_src_dim GROUP BY dim),
 j AS (
   SELECT n.source, n.nd, t.ntot,
          round((coalesce(s.c, 0)::double / n.nd::double
-                - (p.ct - coalesce(s.c, 0))::double / (t.ntot - n.nd)::double)
+                - (p.ct - coalesce(s.c, 0))::double / nullif(t.ntot - n.nd, 0)::double)
                * (coalesce(s.c, 0)::double / n.nd::double
-                  - (p.ct - coalesce(s.c, 0))::double / (t.ntot - n.nd)::double) * 1e6, 0)::bigint
+                  - (p.ct - coalesce(s.c, 0))::double / nullif(t.ntot - n.nd, 0)::double) * 1e6, 0)::bigint
            AS d_um
   FROM n_per_src n
   CROSS JOIN per_dim p

@@ -3729,8 +3729,11 @@ def discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold("lxx").alias("sxx"),
     )
     k = F.col("k").cast("double")
-    slope = (k * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        k * F.col("sxx") - F.col("sx") * F.col("sx")
+    # nullif: a single-point discount ladder (every line at one discount)
+    # has no price variation to regress on — elasticity is NULL, not an
+    # ANSI divide-by-zero (r8 degenerate sweep)
+    slope = (k * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        k * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
     )
     return mom.select(
         F.col("k").alias("n_levels"),
@@ -3763,7 +3766,7 @@ mom AS (
   FROM pairs
 )
 SELECT k AS n_levels,
-       round((k::double * sxy - sx * sy) / (k::double * sxx - sx * sx), 6)
+       round((k::double * sxy - sx * sy) / nullif(k::double * sxx - sx * sx, 0.0), 6)
          AS elasticity_r
 FROM mom
 """
@@ -3863,7 +3866,11 @@ def price_dispersion_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n").cast("double")
     mean = F.col("s").cast("double") / n
-    var = (F.col("ss").cast("double") - F.col("s").cast("double") * mean) / (n - 1.0)
+    # nullif: a single-line brand has no sample variance — CV is NULL,
+    # not an ANSI divide-by-zero (r8 degenerate sweep)
+    var = (F.col("ss").cast("double") - F.col("s").cast("double") * mean) / F.nullif(
+        n - F.lit(1.0), F.lit(0.0)
+    )
     return mom.select(
         "p_brand",
         "n",
@@ -3883,7 +3890,8 @@ WITH mom AS (
 )
 SELECT p_brand, n,
        round((s::double / n::double) / 100.0, 4) AS mean_price_r,
-       round(sqrt((ss - s::double * (s::double / n::double)) / (n::double - 1.0))
+       round(sqrt((ss - s::double * (s::double / n::double))
+                  / nullif(n::double - 1.0, 0.0))
              / (s::double / n::double), 6) AS cv_r
 FROM mom
 """
@@ -4506,6 +4514,9 @@ def activity_tail_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("xs").cast("long").alias("k_used"),
         F.element_at("xs", 1).cast("long").alias("x_max"),
         F.element_at("xs", -1).cast("long").alias("x_k"),
+        # nullif guards: k = 1 (a single active user) leaves no log-ratio
+        # terms (hill undefined), and an all-equal top-k zeroes the fold
+        # (alpha undefined) — NULL, not an ANSI divide-by-zero (r8 sweep)
         F.round(
             F.aggregate(
                 F.slice("xs", 1, F.size("xs") - 1),
@@ -4515,18 +4526,21 @@ def activity_tail_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
                     x.cast("double") / F.element_at("xs", -1).cast("double")
                 ),
             )
-            / (F.size("xs") - 1),
+            / F.nullif(F.size("xs") - 1, F.lit(0)),
             6,
         ).alias("hill_r"),
         F.round(
             (F.size("xs") - 1)
-            / F.aggregate(
-                F.slice("xs", 1, F.size("xs") - 1),
-                F.lit(0.0),
-                lambda acc, x: acc
-                + F.log(
-                    x.cast("double") / F.element_at("xs", -1).cast("double")
+            / F.nullif(
+                F.aggregate(
+                    F.slice("xs", 1, F.size("xs") - 1),
+                    F.lit(0.0),
+                    lambda acc, x: acc
+                    + F.log(
+                        x.cast("double") / F.element_at("xs", -1).cast("double")
+                    ),
                 ),
+                F.lit(0.0),
             ),
             6,
         ).alias("alpha_r"),
@@ -4549,11 +4563,11 @@ SELECT len(xs)::bigint AS k_used,
        round(list_reduce(list_prepend(0.0,
                list_transform(list_slice(xs, 1, len(xs) - 1),
                  x -> ln(x::double / (xs[-1])::double))),
-             (acc, v) -> acc + v) / (len(xs) - 1), 6) AS hill_r,
-       round((len(xs) - 1) / list_reduce(list_prepend(0.0,
+             (acc, v) -> acc + v) / nullif(len(xs) - 1, 0), 6) AS hill_r,
+       round((len(xs) - 1) / nullif(list_reduce(list_prepend(0.0,
                list_transform(list_slice(xs, 1, len(xs) - 1),
                  x -> ln(x::double / (xs[-1])::double))),
-             (acc, v) -> acc + v), 6) AS alpha_r
+             (acc, v) -> acc + v), 0.0), 6) AS alpha_r
 FROM arr
 """
 
