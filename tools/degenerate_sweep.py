@@ -1,0 +1,183 @@
+"""Registry-wide degenerate-input sweep: run every query against corpora
+engineered to zero the denominators closed-form statistics divide by.
+
+Round-8 origin: the zero-signal changepoint property test exposed an ANSI
+DIVIDE_BY_ZERO crash; hunting the class systematically found 24 more
+(ks/fano/anova/..., kendall/mann-whitney/jackknife/ols/..., price-CV/
+AUC/hill/mmd/elasticity/silhouette). Every one is now nullif-guarded with
+the guard mirrored in its oracle — this tool keeps the class CLOSED as
+queries are added.
+
+Corpora:
+  events-based (3): a single event; one day with two types; thirty
+    identical values. Exercises empty hash variants/samples/arms/periods,
+    single time bins, single groups/folds, and zero variance.
+  table-based (2, derived from sf0.001 so every schema contract holds):
+    single-row facts (orders LIMIT 1 + its lines, 1 event/doc/embedding);
+    constant values (flat prices/discounts, identical documents and
+    embeddings). Exercises one-class AUCs, single-source MMD, one-point
+    regression ladders, flat top-k tails, and identical-point geometry.
+
+Exclusions (layout, not semantics): zonemap_integrity_audit reads parquet
+FOOTERS of the driver's single-file tables; the fixtures here write Spark
+directory layouts, so it is skipped rather than false-flagged.
+
+Usage: python tools/degenerate_sweep.py [--events-only] [query ...]
+Exit 1 if any query raises. ~15 min for the full registry.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hadoop_data_lake_spark.core.io import TABLES
+from hadoop_data_lake_spark.core.session import get_spark
+from hadoop_data_lake_spark.queries.registry import REGISTRY
+
+SRC = os.environ.get("SPARK_GRAFT_DEGEN_BASE", "/root/testdata/sf0.001")
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+EPOCH = dt.datetime(2024, 1, 1)
+
+SKIP = {"zonemap_integrity_audit"}  # single-file-footer contract (see module doc)
+
+
+def _events_cases(spark) -> dict[str, str]:
+    cases = {
+        "one_event": [(1, EPOCH, 1, "purchase", 5.0, "{}")],
+        "one_day_two_types": [
+            (1, EPOCH, 1, "purchase", 5.0, "{}"),
+            (2, EPOCH + dt.timedelta(hours=1), 2, "view", 3.0, "{}"),
+        ],
+        "all_same_value": [
+            (i, EPOCH + dt.timedelta(hours=i), i % 3, "click", 7.0, "{}")
+            for i in range(30)
+        ],
+    }
+    out = {}
+    for name, rows in cases.items():
+        d = tempfile.mkdtemp(prefix=f"degen_{name}_")
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/events.parquet")
+        out[name] = d
+    return out
+
+
+def _base_dir() -> str:
+    d = tempfile.mkdtemp(prefix="degen_tables_")
+    for t in TABLES:
+        os.symlink(f"{SRC}/{t}.parquet", f"{d}/{t}.parquet")
+    return d
+
+
+def _replace(spark, d: str, t: str, df) -> None:
+    os.remove(f"{d}/{t}.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/{t}.parquet")
+
+
+def _table_cases(spark) -> dict[str, str]:
+    d1 = _base_dir()
+    orders1 = spark.read.parquet(f"{SRC}/orders.parquet").limit(1).localCheckpoint(True)
+    okey = orders1.collect()[0]["o_orderkey"]
+    _replace(spark, d1, "orders", orders1)
+    _replace(
+        spark, d1, "lineitem",
+        spark.read.parquet(f"{SRC}/lineitem.parquet").where(F.col("l_orderkey") == okey),
+    )
+    for t in ("events", "documents", "embeddings"):
+        _replace(spark, d1, t, spark.read.parquet(f"{SRC}/{t}.parquet").limit(1))
+
+    d2 = _base_dir()
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    _replace(
+        spark, d2, "lineitem",
+        li.withColumn("l_extendedprice", F.lit(100.0))
+        .withColumn("l_discount", F.lit(0.0))
+        .withColumn("l_tax", F.lit(0.0))
+        .withColumn("l_quantity", F.lit(1.0)),
+    )
+    _replace(
+        spark, d2, "orders",
+        spark.read.parquet(f"{SRC}/orders.parquet").withColumn(
+            "o_totalprice", F.lit(100.0)
+        ),
+    )
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    text0 = docs.limit(1).collect()[0]["text"]
+    _replace(
+        spark, d2, "documents",
+        docs.withColumn("text", F.lit(text0)).withColumn(
+            "n_chars", F.length(F.lit(text0)).cast("long")
+        ),
+    )
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    vec0 = emb.limit(1).collect()[0]["embedding"]
+    _replace(
+        spark, d2, "embeddings",
+        emb.withColumn(
+            "embedding", F.array(*[F.lit(float(x)).cast("float") for x in vec0])
+        ),
+    )
+    _replace(
+        spark, d2, "events",
+        spark.read.parquet(f"{SRC}/events.parquet").withColumn("value", F.lit(7.0)),
+    )
+    return {"one_row_facts": d1, "constant_values": d2}
+
+
+def main() -> int:
+    events_only = "--events-only" in sys.argv
+    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    spark = get_spark("degenerate_sweep")
+    targets = names or [n for n in REGISTRY if n not in SKIP]
+
+    import hadoop_data_lake_spark.queries.events_queries as EV
+
+    ev_targets = [
+        n for n in targets if getattr(REGISTRY[n].fn, "__module__", "") == EV.__name__
+    ]
+    cases = _events_cases(spark)
+    if not events_only:
+        cases.update(_table_cases(spark))
+
+    crashes = 0
+    for cname, d in cases.items():
+        # events-only corpora can only run events-based queries; the
+        # table-derived corpora carry every table and run everything
+        qset = ev_targets if cname in ("one_event", "one_day_two_types", "all_same_value") else targets
+        for q in qset:
+            try:
+                REGISTRY[q].fn(spark, d).collect()
+            except Exception as exc:
+                msg = str(exc).splitlines()[0][:120]
+                # the events-only corpora carry just events.parquet; a
+                # query that also reads orders/lineitem/... is exercised
+                # by the table-derived corpora instead — skip, not crash
+                if "PATH_NOT_FOUND" in msg:
+                    continue
+                crashes += 1
+                print(f"CRASH {cname} {q}: {msg}")
+    print(f"degenerate sweep: {crashes} crashes over {len(cases)} corpora")
+    return 1 if crashes else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
