@@ -18,9 +18,9 @@ Corpora:
     embeddings). Exercises one-class AUCs, single-source MMD, one-point
     regression ladders, flat top-k tails, and identical-point geometry.
 
-Exclusions (layout, not semantics): zonemap_integrity_audit reads parquet
-FOOTERS of the driver's single-file tables; the fixtures here write Spark
-directory layouts, so it is skipped rather than false-flagged.
+All fixtures are written in the driver's SINGLE-FILE table layout
+(one part file moved to <table>.parquet), so footer-reading queries
+(zonemap_integrity_audit) and DuckDB's direct-path views both work.
 
 Usage: python tools/degenerate_sweep.py [--events-only] [query ...]
 Exit 1 if any query raises. ~15 min for the full registry.
@@ -56,7 +56,20 @@ EVENTS_SCHEMA = T.StructType(
 )
 EPOCH = dt.datetime(2024, 1, 1)
 
-SKIP = {"zonemap_integrity_audit"}  # single-file-footer contract (see module doc)
+SKIP: set[str] = set()
+
+
+def _write_single_file(spark, df, dest: str) -> None:
+    """Write `df` as ONE parquet FILE at `dest` — the driver's table layout
+    (a Spark directory breaks DuckDB's direct-path view in check_oracle,
+    and single files are what the zonemap footer audit contracts on)."""
+    import glob
+    import shutil
+
+    tmp = tempfile.mkdtemp(prefix="degen_part_")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dest)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _events_cases(spark) -> dict[str, str]:
@@ -74,9 +87,9 @@ def _events_cases(spark) -> dict[str, str]:
     out = {}
     for name, rows in cases.items():
         d = tempfile.mkdtemp(prefix=f"degen_{name}_")
-        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{d}/events.parquet")
+        _write_single_file(
+            spark, spark.createDataFrame(rows, EVENTS_SCHEMA), f"{d}/events.parquet"
+        )
         out[name] = d
     return out
 
@@ -90,7 +103,7 @@ def _base_dir() -> str:
 
 def _replace(spark, d: str, t: str, df) -> None:
     os.remove(f"{d}/{t}.parquet")
-    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/{t}.parquet")
+    _write_single_file(spark, df, f"{d}/{t}.parquet")
 
 
 def _table_cases(spark) -> dict[str, str]:
@@ -171,7 +184,7 @@ def main() -> int:
                 # the events-only corpora carry just events.parquet; a
                 # query that also reads orders/lineitem/... is exercised
                 # by the table-derived corpora instead — skip, not crash
-                if "PATH_NOT_FOUND" in msg:
+                if "PATH_NOT_FOUND" in msg or "No such file" in msg:
                     continue
                 crashes += 1
                 print(f"CRASH {cname} {q}: {msg}")
