@@ -244,3 +244,44 @@ def test_degenerate_inputs_never_divide_by_zero(spark, degenerate_dirs):
     one = degenerate_dirs["one_event"]
     (f,) = fano_burstiness(spark, one).collect()
     assert f["n_hours"] == 1 and f["fano_r"] is None
+
+
+def test_degenerate_table_corpora_guards(spark):
+    """The TQ/NS arm of the degenerate sweep, pinned as a test: constant
+    prices / identical documents / identical embeddings and single-row
+    facts must not raise, and the undefined statistics must read NULL
+    (or the scikit silhouette-0 convention)."""
+    from tools.degenerate_sweep import _table_cases
+    from hadoop_data_lake_spark.queries.northstar_queries import (
+        length_bias_auc,
+        semdedup_silhouette,
+        source_mmd_hashed,
+    )
+    from hadoop_data_lake_spark.queries.tpch_queries import (
+        activity_tail_hill,
+        discount_elasticity,
+        price_dispersion_by_brand,
+    )
+
+    dirs = _table_cases(spark)
+    for d in dirs.values():
+        for fn in (
+            price_dispersion_by_brand, length_bias_auc, activity_tail_hill,
+            source_mmd_hashed, discount_elasticity, semdedup_silhouette,
+        ):
+            fn(spark, d).collect()  # must not raise
+
+    # semantics on the constant-values corpus:
+    const = dirs["constant_values"]
+    (e,) = discount_elasticity(spark, const).collect()
+    assert e["n_levels"] == 1 and e["elasticity_r"] is None, (
+        "a one-point discount ladder has no slope"
+    )
+    for r in semdedup_silhouette(spark, const).collect():
+        assert r["mean_silhouette_r"] == 0.0, (
+            "identical points take the scikit-learn s = 0 convention"
+        )
+    # single-row facts: a single active user leaves the Hill mean undefined
+    one = dirs["one_row_facts"]
+    (h,) = activity_tail_hill(spark, one).collect()
+    assert h["k_used"] == 1 and h["hill_r"] is None
