@@ -472,11 +472,13 @@ def main() -> None:
     # regression (r7 driver 5.37s vs adjudicated 1.78s) — one awaitTermination
     # poll under co-tenant load is pure noise, two bound it; more reps would
     # dominate bench time since each replay re-runs the whole micro-batch
-    # pipeline.
+    # pipeline. Streams are floored at 2 even under SPARK_GRAFT_BENCH_REPS=1
+    # (driver-ADVICE r8: min(2, reps) silently reverted them to the
+    # single-rep mode whose noise manufactured the r7 false 3x flags).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     def timed(name: str, fn) -> None:
-        n_reps = min(2, reps) if name.startswith("stream_") else reps
+        n_reps = 2 if name.startswith("stream_") else reps
         best, rows = float("inf"), 0
         for _ in range(n_reps):
             t0 = time.perf_counter()

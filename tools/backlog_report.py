@@ -75,27 +75,32 @@ def first_seen_epoch(name: str) -> int:
     return int(out[0]) if out else 0
 
 
-_BLOCK_START = __import__("re").compile(
-    r"^(?:def\s+(\w+)\s*\(|class\s+(\w+)|(\w+)\s*(?::[^=\n]+)?=)"
-)
-
-
 def _parse_blocks(text: str) -> dict[str, str]:
     """Split a module into top-level blocks keyed by the def/class name or
-    assignment target. Triple-quoted strings are tracked so a column-0 SQL
-    line inside an oracle constant cannot start a phantom block."""
-    blocks: dict[str, list[str]] = {}
-    cur: str | None = None
-    in_str = False
-    for line in text.splitlines():
-        if not in_str and not line[:1].isspace() and (m := _BLOCK_START.match(line)):
-            cur = m.group(1) or m.group(2) or m.group(3)
-        if cur:
-            blocks.setdefault(cur, []).append(line)
-        n_triple = line.count('"""') + line.count("'''")
-        if n_triple % 2:
-            in_str = not in_str
-    return {k: "\n".join(v) for k, v in blocks.items()}
+    assignment target, with EXACT extents from the ast (driver-ADVICE r8:
+    the old line scanner counted \"\"\" and ''' naively, so a ''' inside a
+    \"\"\"-docstring — or either inside a comment — mis-toggled the
+    in-string state and could mis-date blocks, skewing the --stale
+    ladder). Every blob in the modules' history is committed working
+    Python, so ast.parse is total here; a syntactically broken blob would
+    raise rather than silently mis-attribute."""
+    import ast
+
+    tree = ast.parse(text)
+    lines = text.splitlines()
+    blocks: dict[str, str] = {}
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            name = node.name
+            start = min([node.lineno] + [d.lineno for d in node.decorator_list])
+        elif isinstance(node, ast.Assign) and isinstance(node.targets[0], ast.Name):
+            name, start = node.targets[0].id, node.lineno
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            name, start = node.target.id, node.lineno
+        else:
+            continue
+        blocks[name] = "\n".join(lines[start - 1 : node.end_lineno])
+    return blocks
 
 
 def _block_mtimes() -> tuple[dict[tuple[str, str], int], dict[str, dict[str, str]]]:

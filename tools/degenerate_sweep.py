@@ -162,29 +162,30 @@ def main() -> int:
     spark = get_spark("degenerate_sweep")
     targets = names or [n for n in REGISTRY if n not in SKIP]
 
-    import hadoop_data_lake_spark.queries.events_queries as EV
-
-    ev_targets = [
-        n for n in targets if getattr(REGISTRY[n].fn, "__module__", "") == EV.__name__
-    ]
     cases = _events_cases(spark)
+    events_cases = frozenset(cases)
     if not events_only:
         cases.update(_table_cases(spark))
 
     crashes = 0
     for cname, d in cases.items():
-        # events-only corpora can only run events-based queries; the
-        # table-derived corpora carry every table and run everything
-        qset = ev_targets if cname in ("one_event", "one_day_two_types", "all_same_value") else targets
-        for q in qset:
+        # EVERY query runs against EVERY corpus (driver-ADVICE r8: the old
+        # defining-module filter meant NS/TQ queries that read only the
+        # events table were never exercised against the single-event /
+        # one-day / zero-variance shapes). Selection is by what a query
+        # actually reads: on the events-only corpora a query that also
+        # reads orders/lineitem/... fails fast at scan with
+        # PATH_NOT_FOUND and is skipped — the table-derived corpora carry
+        # every table, so there a missing file is a GENUINE regression
+        # and counts as a crash (driver-ADVICE r8 item 1).
+        for q in targets:
             try:
                 REGISTRY[q].fn(spark, d).collect()
             except Exception as exc:
                 msg = str(exc).splitlines()[0][:120]
-                # the events-only corpora carry just events.parquet; a
-                # query that also reads orders/lineitem/... is exercised
-                # by the table-derived corpora instead — skip, not crash
-                if "PATH_NOT_FOUND" in msg or "No such file" in msg:
+                if cname in events_cases and (
+                    "PATH_NOT_FOUND" in msg or "No such file" in msg
+                ):
                     continue
                 crashes += 1
                 print(f"CRASH {cname} {q}: {msg}")
