@@ -929,3 +929,92 @@ def test_croston_rate_identity(spark):
         )
         assert r["ewma_interval_r"] >= 1.0 - 1e-9
         assert r["croston_rate_r"] <= r["ewma_size_r"] + 1e-9
+
+
+def test_autocorr_counts_zero_days(spark, tmp_path):
+    """The ACF's day series is the CALENDAR span, not the occupied days
+    (round-9 densification): a type active only on even days has real 0s
+    on the odd days, and lag-1 must pair day d with day d-1 — never
+    stitch across a gap. Recompute lag-1 r with the zeros in place."""
+    import math as _m
+
+    from hadoop_data_lake_spark.queries.events_queries import autocorr_daily_value
+
+    base = dt.datetime(2024, 3, 1)
+    # events only on even days 0/2/4/6 -> span is days 0..6 (7 calendar
+    # days), with real 0s on the odd days
+    vals = [10.0, 0.0, 30.0, 0.0, 50.0, 0.0, 70.0]  # expected dense series
+    rows = [
+        (d, base + dt.timedelta(days=d), 1, "gap", vals[d], "{}")
+        for d in range(0, 7, 2)
+    ]
+    path = str(tmp_path / "acf")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/events.parquet")
+    out = {r["lag"]: r for r in autocorr_daily_value(spark, path).collect()}
+
+    assert out[1]["n"] == 6, "lag-1 must see span_days - 1 = 6 pairs"
+    y = [round(v * 100) for v in vals]
+    x, yy = y[1:], y[:-1]  # (x_t, x_{t-1}) pairs, t = 1..7
+    n = len(x)
+    sx, sy = sum(x), sum(yy)
+    num = n * sum(p * q for p, q in zip(x, yy)) - sx * sy
+    den = _m.sqrt(
+        (n * sum(p * p for p in x) - sx * sx)
+        * (n * sum(q * q for q in yy) - sy * sy)
+    )
+    assert out[1]["acf_r"] == pytest.approx(num / den, abs=1e-6)
+
+
+def test_ols_trend_counts_zero_days(spark, tmp_path):
+    """A zero-revenue calendar day is a real y=0 observation in the daily
+    OLS fit (round-9 densification): a type with events on only 3 of 6
+    days must fit over all 6, and the slope must match the closed-form
+    recompute with the zeros in place."""
+    from hadoop_data_lake_spark.queries.events_queries import ols_daily_trend
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (d, base + dt.timedelta(days=d), 1, "gap", float(10 * (d + 1)), "{}")
+        for d in (0, 2, 4)
+    ]
+    path = str(tmp_path / "ols")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/events.parquet")
+    (r,) = ols_daily_trend(spark, path).collect()
+
+    assert r["n_days"] == 5, "fit must span min..max day = 5 calendar days"
+    y = [1000, 0, 3000, 0, 5000]  # cents, zeros on the empty days
+    x0 = (base.date() - dt.date(1970, 1, 1)).days
+    xs = [x0 + i for i in range(5)]
+    n, sx, sy = 5, sum(xs), sum(y)
+    sxy = sum(a * b for a, b in zip(xs, y))
+    sxx = sum(a * a for a in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert r["slope_per_day_r"] == pytest.approx(slope / 100.0, abs=1e-6)
+
+
+def test_theil_sen_counts_zero_days(spark, tmp_path):
+    """The Theil-Sen median slope must include pairs touching zero-revenue
+    calendar days (round-9 densification): n_pairs over a 4-day span is
+    C(4,2) = 6 even when only 2 days logged events."""
+    from hadoop_data_lake_spark.queries.events_queries import theil_sen_daily_trend
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (d, base + dt.timedelta(days=d), 1, "gap", 10.0, "{}") for d in (0, 3)
+    ]
+    path = str(tmp_path / "ts")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/events.parquet")
+    (r,) = theil_sen_daily_trend(spark, path).collect()
+
+    assert r["n_pairs"] == 6, "pairs must come from the DENSIFIED 4-day span"
+    # series (cents): [1000, 0, 0, 1000]; slopes of the 6 pairs sorted:
+    # (0,1)->-1000, (0,2)->-500, (1,2)->0, (1,3)->500, (0,3)->0, (2,3)->1000
+    # sorted: [-1000, -500, 0, 0, 500, 1000]; lower median (rank 3) more
+    # precisely rank ceil((6+1)/2) = 4 -> 0
+    assert r["slope_per_day_r"] == pytest.approx(0.0, abs=1e-9)
