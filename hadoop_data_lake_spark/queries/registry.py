@@ -13,27 +13,27 @@ so the window is now a SEPARATE dict with a hard `len(_WINDOW) == 50`
 assert at import time: miscounting is an ImportError, not a silent grading
 gap.
 
-Round-8 window composition (VERDICT r7 items 1+7; r7's composition is in
-this file's git history at the round-7 tag):
-1-35   the 35 remaining NEVER-driver-graded full-oracle entries, exactly
-       the order tools/backlog_report.py printed at round-8 start —
-       after this window grades, the never-graded backlog is ZERO.
-36-38  re-grades of the multimodal trio (decode_features/resize/frames):
-       their only driver rows are r2-era `no_oracle` checks; the queries
-       carry full DuckDB oracles since round 3 (COVERAGE.md "Multimodal
-       oracle upgrade") and were never re-graded under them.
-39-44  the stale-ladder six (VERDICT r7 item 7): green rows that predate
-       the r6/r7 integer-widening rewrites of the same queries
-       (dedup_minhash_lsh, ann_brute_force, value_outliers_zscore,
-       user_value_twap, rolling_zscore_anomaly, gini_customer_revenue).
-       All nine re-grades are declared in INTENTIONAL_REGRADES below.
+Round-9 window composition (VERDICT r7 item 7 ladder; earlier
+compositions are in this file's git history at the round tags). The
+never-graded backlog is ZERO since round 8, so every non-guard slot is
+now a DECLARED re-grade driving the stale ladder:
+1-35   the 35 stale green rows — queries whose code (or oracle) changed
+       AFTER their newest driver row, exactly the order
+       `tools/backlog_report.py --stale` printed at round-9 start
+       (ast-exact per-commit block attribution). Includes the three
+       round-9 densification fixes (autocorr/OLS/Theil-Sen daily
+       trends).
+36-44  freshness re-grades of the 9 OLDEST remaining green rows (all
+       r1-era TPC-H/events basics) so every row in the union keeps
+       aging forward.
+       All 44 re-grades are declared in INTENTIONAL_REGRADES below.
 45-50  the 6-slot streaming regression guard (STREAMING_GUARD below).
 Registry frozen at 352 (342 full-oracle) — zero additions this round.
 Every registered query — graded or not — is re-verified against its
 DuckDB oracle locally each round by tools/check_oracle.py at sf0.001; the
 50-slot window additionally at sf0.01 (the gate scale) and sf0.1 (the
 bench scale) before shipping.
-Every displaced entry holds a CORRECTNESS_r07.json green row and moves to
+Every displaced entry holds a CORRECTNESS_r08.json green row and moves to
 the backlog, where check_oracle still re-verifies it each round.
 The rotation invariant is MACHINE-CHECKED pre-ship (VERDICT r6 item 3):
 `python tools/backlog_report.py --assert` exits non-zero unless every
@@ -88,24 +88,62 @@ STREAMING_GUARD: tuple[str, ...] = (
 #: Non-guard window slots that INTENTIONALLY re-grade already-graded
 #: queries this round — each with a stated reason, so
 #: `tools/backlog_report.py --assert` can distinguish a sanctioned
-#: re-grade from a rotation mistake. Round 8 (VERDICT r7 items 1+7):
-#: - multimodal_decode_features / multimodal_resize / multimodal_frames:
-#:   their only driver rows are r2-era `no_oracle` checks; the queries
-#:   were upgraded to full DuckDB oracles in round 3 (COVERAGE.md
-#:   "Multimodal oracle upgrade") and never re-graded since.
-#: - 6 stale re-grades picked by `tools/backlog_report.py --stale`
-#:   (VERDICT r7 item 7 ladder): green rows that predate the last
-#:   semantic change to their query (r6/r7 integer-widening rewrites).
+#: re-grade from a rotation mistake. Round 9 (the never-graded backlog
+#: is zero, so ALL 44 non-guard slots are declared re-grades):
+#: - slots 1-35: the stale ladder (VERDICT r7 item 7) — green rows whose
+#:   query/oracle code changed after their newest driver row, in
+#:   `tools/backlog_report.py --stale` order at round-9 start
+#:   (ast-exact block attribution; includes the round-9 densification
+#:   fixes to autocorr/OLS/Theil-Sen daily trends).
+#: - slots 36-44: freshness re-grades of the 9 oldest remaining green
+#:   rows (r1-era basics), so the union's oldest row keeps advancing.
 INTENTIONAL_REGRADES: frozenset[str] = frozenset({
-    "multimodal_decode_features",
-    "multimodal_resize",
-    "multimodal_frames",
-    "dedup_minhash_lsh",
-    "ann_brute_force",
-    "value_outliers_zscore",
-    "user_value_twap",
-    "rolling_zscore_anomaly",
-    "gini_customer_revenue",
+    # stale ladder (35)
+    "value_moments_profile",
+    "autocorr_daily_value",
+    "target_encode_event_type",
+    "bootstrap_mean_ci",
+    "ols_daily_trend",
+    "value_psi_drift",
+    "theil_sen_daily_trend",
+    "benjamini_hochberg_fdr",
+    "source_mmd_hashed",
+    "self_join_skew_profile",
+    "ipw_outcome_estimate",
+    "cuped_adjusted_lift",
+    "quantile_sample_det",
+    "ols_weekend_effect",
+    "dedup_ngram_jaccard",
+    "semdedup_silhouette",
+    "length_bias_auc",
+    "activity_tail_hill",
+    "degree_assortativity",
+    "ab_test_welch",
+    "woe_value_bins",
+    "neyman_allocation_plan",
+    "mann_whitney_variants",
+    "kendall_tau_daily",
+    "jackknife_daily_mean",
+    "eb_shrunk_conversion",
+    "conformal_value_interval",
+    "daily_revenue_changepoint",
+    "rrf_hybrid_retrieval",
+    "rdd_value_threshold",
+    "covariate_balance_smd",
+    "ann_ivf_det",
+    "span_dedup_corpus",
+    "perplexity_filter",
+    "dedup_containment",
+    # freshness re-grades: oldest r1-era green rows (9)
+    "cheapest_line_per_part",
+    "customer_order_ranks",
+    "customers_with_orders",
+    "customers_without_orders",
+    "event_pair_candidates",
+    "first_event_per_user",
+    "latest_event_per_user",
+    "monthly_order_stats",
+    "nations_customers_not_suppliers",
 })
 
 
@@ -117,64 +155,121 @@ class QuerySpec:
 
 
 _WINDOW: dict[str, QuerySpec] = {
-    # ---- ROUND-8 WINDOW -------------------------------------------------
-    # VERDICT r7 items 1+7: the backlog goes to ZERO. Slots 1-35 grade
-    # the 35 remaining NEVER-driver-graded full-oracle entries (exactly
-    # tools/backlog_report.py order at round-8 start); slots 36-38
-    # re-grade the multimodal trio whose only driver rows are r2-era
-    # no_oracle checks (full oracles since r3, COVERAGE.md 'Multimodal
-    # oracle upgrade'); slots 39-44 re-grade the stale-ladder six whose
-    # green rows predate the r6/r7 integer-widening rewrites (declared
-    # in INTENTIONAL_REGRADES above — `backlog_report.py --assert`
-    # enforces that every non-guard repeat is on that list). After this
-    # window grades, never-graded full-oracle entries = 0. Every
-    # displaced entry holds a CORRECTNESS_r07.json full-oracle PASS and
-    # moves to the top of _BACKLOG; check_oracle re-verifies all 352
-    # registered queries locally every round. r8 displacement pairs:
-    # pca_top_component -> displaces neyman_allocation_plan (r7-green)
-    # activity_streak_histogram -> displaces lang_id_confusion (r7-green)
-    # brand_cf_similarity -> displaces hash_collision_audit (r7-green)
-    # duplicate_invoice_screen -> displaces decayed_user_value (r7-green)
-    # user_cf_recommendations -> displaces markov_trigram_entropy (r7-green)
-    # seasonal_naive_backtest -> displaces woe_value_bins (r7-green)
-    # token_npmi_pairs -> displaces churn_label_windows (r7-green)
-    # mm1_wait_estimate -> displaces isotonic_calibration_bins (r7-green)
-    # k_anonymity_audit -> displaces user_sequence_edit_nn (r7-green)
-    # shipping_latency_sla -> displaces lang_id_cohens_kappa (r7-green)
-    # referential_integrity_audit -> displaces daily_revenue_changepoint (r7-green)
-    # ks_test_variants -> displaces newsvendor_brand_quantiles (r7-green)
-    # odds_ratio_conversion -> displaces ts_delta_compression_estimate (r7-green)
-    # winsorized_value_stats -> displaces eb_shrunk_conversion (r7-green)
-    # max_drawdown_daily_revenue -> displaces laspeyres_price_index (r7-green)
-    # markov_entropy_rate -> displaces sprt_conversion_monitor (r7-green)
-    # fano_burstiness -> displaces croston_intermittent_forecast (r7-green)
-    # adstock_attribution -> displaces semdedup_silhouette (r7-green)
-    # forecast_bakeoff -> displaces circular_hour_stats (r7-green)
-    # ngram_novelty_curve -> displaces kendall_tau_daily (r7-green)
-    # discount_elasticity -> displaces haar_energy_daily (r7-green)
-    # order_cycle_percentiles -> displaces jackknife_daily_mean (r7-green)
-    # new_vs_returning_daily -> displaces chapman_population_estimate (r7-green)
-    # kaplan_meier_by_variant -> displaces decontamination_report (r7-green)
-    # weekday_seasonality_index -> displaces mann_whitney_variants (r7-green)
-    # price_dispersion_by_brand -> displaces dau_mau_stickiness (r7-green)
-    # anova_eta_squared -> displaces hhi_brand_concentration (r7-green)
-    # type_comovement_matrix -> displaces token_lang_mi (r7-green)
-    # order_backlog_aging -> displaces length_bias_auc (r7-green)
-    # revenue_waterfall -> displaces token_run_lengths (r7-green)
-    # supplier_customer_dependency -> displaces blocklist_filter (r7-green)
-    # sample_representativeness_audit -> displaces user_series_sax_similarity (r7-green)
-    # value_tail_ratio -> displaces lake_table_profile (r7-green)
-    # first_touch_attribution -> displaces zonemap_integrity_audit (r7-green)
-    # user_activity_histogram -> displaces user_value_gcd (r7-green)
-    # multimodal_decode_features -> displaces l_diversity_audit (r7-green)
-    # multimodal_resize -> displaces activity_tail_hill (r7-green)
-    # multimodal_frames -> displaces kmv_week_overlap (r7-green)
-    # dedup_minhash_lsh -> displaces monthly_from_daily_mv (r7-green)
-    # ann_brute_force -> displaces user_type_share_map (r7-green)
-    # value_outliers_zscore -> displaces quantile_forecast_pinball (r7-green)
-    # user_value_twap -> displaces ols_weekend_effect (r7-green)
-    # rolling_zscore_anomaly -> displaces conformal_value_interval (r7-green)
-    # gini_customer_revenue -> displaces ann_ivf_det (r7-green)
+    # ---- ROUND-9 WINDOW -------------------------------------------------
+    # The never-graded backlog is ZERO (round 8), so every non-guard
+    # slot is a DECLARED re-grade (all 44 in INTENTIONAL_REGRADES
+    # above; `backlog_report.py --assert` enforces the declaration).
+    # Slots 1-35 drive the stale ladder (VERDICT r7 item 7): green
+    # rows whose query/oracle code changed AFTER their newest driver
+    # row, in `backlog_report.py --stale` order at round-9 start —
+    # including the round-9 densification fixes (autocorr/OLS/
+    # Theil-Sen daily trends). Slots 36-44 are freshness re-grades of
+    # the 9 oldest remaining green rows (r1-era). Every displaced
+    # entry holds a CORRECTNESS_r08.json full-oracle PASS and moves to
+    # the top of _BACKLOG; check_oracle re-verifies all 352 registered
+    # queries locally every round. r9 displacement pairs:
+    # value_moments_profile -> displaces pca_top_component (r8-green)
+    # autocorr_daily_value -> displaces activity_streak_histogram (r8-green)
+    # target_encode_event_type -> displaces brand_cf_similarity (r8-green)
+    # bootstrap_mean_ci -> displaces duplicate_invoice_screen (r8-green)
+    # ols_daily_trend -> displaces user_cf_recommendations (r8-green)
+    # value_psi_drift -> displaces seasonal_naive_backtest (r8-green)
+    # theil_sen_daily_trend -> displaces token_npmi_pairs (r8-green)
+    # benjamini_hochberg_fdr -> displaces mm1_wait_estimate (r8-green)
+    # source_mmd_hashed -> displaces k_anonymity_audit (r8-green)
+    # self_join_skew_profile -> displaces shipping_latency_sla (r8-green)
+    # ipw_outcome_estimate -> displaces referential_integrity_audit (r8-green)
+    # cuped_adjusted_lift -> displaces ks_test_variants (r8-green)
+    # quantile_sample_det -> displaces odds_ratio_conversion (r8-green)
+    # ols_weekend_effect -> displaces winsorized_value_stats (r8-green)
+    # dedup_ngram_jaccard -> displaces max_drawdown_daily_revenue (r8-green)
+    # semdedup_silhouette -> displaces markov_entropy_rate (r8-green)
+    # length_bias_auc -> displaces fano_burstiness (r8-green)
+    # activity_tail_hill -> displaces adstock_attribution (r8-green)
+    # degree_assortativity -> displaces forecast_bakeoff (r8-green)
+    # ab_test_welch -> displaces ngram_novelty_curve (r8-green)
+    # woe_value_bins -> displaces discount_elasticity (r8-green)
+    # neyman_allocation_plan -> displaces order_cycle_percentiles (r8-green)
+    # mann_whitney_variants -> displaces new_vs_returning_daily (r8-green)
+    # kendall_tau_daily -> displaces kaplan_meier_by_variant (r8-green)
+    # jackknife_daily_mean -> displaces weekday_seasonality_index (r8-green)
+    # eb_shrunk_conversion -> displaces price_dispersion_by_brand (r8-green)
+    # conformal_value_interval -> displaces anova_eta_squared (r8-green)
+    # daily_revenue_changepoint -> displaces type_comovement_matrix (r8-green)
+    # rrf_hybrid_retrieval -> displaces order_backlog_aging (r8-green)
+    # rdd_value_threshold -> displaces revenue_waterfall (r8-green)
+    # covariate_balance_smd -> displaces supplier_customer_dependency (r8-green)
+    # ann_ivf_det -> displaces sample_representativeness_audit (r8-green)
+    # span_dedup_corpus -> displaces value_tail_ratio (r8-green)
+    # perplexity_filter -> displaces first_touch_attribution (r8-green)
+    # dedup_containment -> displaces user_activity_histogram (r8-green)
+    # cheapest_line_per_part -> displaces multimodal_decode_features (r8-green)
+    # customer_order_ranks -> displaces multimodal_resize (r8-green)
+    # customers_with_orders -> displaces multimodal_frames (r8-green)
+    # customers_without_orders -> displaces dedup_minhash_lsh (r8-green)
+    # event_pair_candidates -> displaces ann_brute_force (r8-green)
+    # first_event_per_user -> displaces value_outliers_zscore (r8-green)
+    # latest_event_per_user -> displaces user_value_twap (r8-green)
+    # monthly_order_stats -> displaces rolling_zscore_anomaly (r8-green)
+    # nations_customers_not_suppliers -> displaces gini_customer_revenue (r8-green)
+    "value_moments_profile": QuerySpec(EV.value_moments_profile, EV.VALUE_MOMENTS_PROFILE_SQL, ("agg", "moments", "deterministic")),
+    "autocorr_daily_value": QuerySpec(EV.autocorr_daily_value, EV.AUTOCORR_DAILY_VALUE_SQL, ("timeseries", "acf", "integer-exact")),
+    "target_encode_event_type": QuerySpec(EV.target_encode_event_type, EV.TARGET_ENCODE_EVENT_TYPE_SQL, ("ml", "target-encoding", "kfold", "leakage-safe")),
+    "bootstrap_mean_ci": QuerySpec(EV.bootstrap_mean_ci, EV.BOOTSTRAP_MEAN_CI_SQL, ("experiment", "bootstrap", "poisson", "ci", "deterministic")),
+    "ols_daily_trend": QuerySpec(EV.ols_daily_trend, EV.OLS_DAILY_TREND_SQL, ("timeseries", "regression", "ols", "integer-moments")),
+    "value_psi_drift": QuerySpec(EV.value_psi_drift, EV.VALUE_PSI_DRIFT_SQL, ("quality", "psi", "drift", "monitoring")),
+    "theil_sen_daily_trend": QuerySpec(EV.theil_sen_daily_trend, EV.THEIL_SEN_DAILY_TREND_SQL, ("timeseries", "robust", "theil-sen", "trend")),
+    "benjamini_hochberg_fdr": QuerySpec(EV.benjamini_hochberg_fdr, EV.BENJAMINI_HOCHBERG_FDR_SQL, ("experiment", "fdr", "multiple-testing", "bh")),
+    "source_mmd_hashed": QuerySpec(NS.source_mmd_hashed, NS.SOURCE_MMD_HASHED_SQL, ("text", "drift", "mmd", "hashed-features")),
+    "self_join_skew_profile": QuerySpec(EV.self_join_skew_profile, EV.SELF_JOIN_SKEW_PROFILE_SQL, ("join", "skew", "diagnostics", "planner")),
+    "ipw_outcome_estimate": QuerySpec(EV.ipw_outcome_estimate, EV.IPW_OUTCOME_ESTIMATE_SQL, ("causal", "ipw", "propensity", "ordered-fold")),
+    "cuped_adjusted_lift": QuerySpec(EV.cuped_adjusted_lift, EV.CUPED_ADJUSTED_LIFT_SQL, ("experiment", "cuped", "variance-reduction", "covariate")),
+    "quantile_sample_det": QuerySpec(EV.quantile_sample_det, EV.QUANTILE_SAMPLE_DET_SQL, ("sketch", "quantile", "sampling", "deterministic")),
+    "ols_weekend_effect": QuerySpec(EV.ols_weekend_effect, EV.OLS_WEEKEND_EFFECT_SQL, ("regression", "ols", "integer-exact", "cramer")),
+    "dedup_ngram_jaccard": QuerySpec(NS.dedup_ngram_jaccard, NS.DEDUP_NGRAM_JACCARD_SQL, ("dedup",)),
+    "semdedup_silhouette": QuerySpec(NS.semdedup_silhouette, NS.SEMDEDUP_SILHOUETTE_SQL, ("dedup", "semantic", "silhouette", "cluster-quality")),
+    "length_bias_auc": QuerySpec(NS.length_bias_auc, NS.LENGTH_BIAS_AUC_SQL, ("ml-eval", "auc", "bias-audit", "rank-stats")),
+    "activity_tail_hill": QuerySpec(TQ.activity_tail_hill, TQ.ACTIVITY_TAIL_HILL_SQL, ("stats", "heavy-tail", "hill", "ordered-fold")),
+    "degree_assortativity": QuerySpec(TQ.degree_assortativity, TQ.DEGREE_ASSORTATIVITY_SQL, ("graph", "assortativity", "integer-exact")),
+    "ab_test_welch": QuerySpec(EV.ab_test_welch, EV.AB_TEST_WELCH_SQL, ("experiment", "welch", "ab-test", "integer-exact")),
+    "woe_value_bins": QuerySpec(EV.woe_value_bins, EV.WOE_VALUE_BINS_SQL, ("ml", "woe", "information-value", "binning")),
+    "neyman_allocation_plan": QuerySpec(EV.neyman_allocation_plan, EV.NEYMAN_ALLOCATION_PLAN_SQL, ("sampling", "stratified", "neyman", "design")),
+    "mann_whitney_variants": QuerySpec(EV.mann_whitney_variants, EV.MANN_WHITNEY_VARIANTS_SQL, ("experiment", "mann-whitney", "nonparametric", "rank-test")),
+    "kendall_tau_daily": QuerySpec(EV.kendall_tau_daily, EV.KENDALL_TAU_DAILY_SQL, ("stats", "kendall", "rank-correlation", "tie-corrected")),
+    "jackknife_daily_mean": QuerySpec(EV.jackknife_daily_mean, EV.JACKKNIFE_DAILY_MEAN_SQL, ("stats", "jackknife", "resampling-free", "exact")),
+    "eb_shrunk_conversion": QuerySpec(EV.eb_shrunk_conversion, EV.EB_SHRUNK_CONVERSION_SQL, ("stats", "empirical-bayes", "shrinkage", "beta-binomial")),
+    "conformal_value_interval": QuerySpec(EV.conformal_value_interval, EV.CONFORMAL_VALUE_INTERVAL_SQL, ("ml", "conformal", "prediction-interval", "order-statistic")),
+    "daily_revenue_changepoint": QuerySpec(EV.daily_revenue_changepoint, EV.DAILY_REVENUE_CHANGEPOINT_SQL, ("timeseries", "changepoint", "binary-segmentation", "integer-exact")),
+    "rrf_hybrid_retrieval": QuerySpec(NS.rrf_hybrid_retrieval, NS.RRF_HYBRID_RETRIEVAL_SQL, ("retrieval", "rrf", "hybrid", "rag")),
+    "rdd_value_threshold": QuerySpec(EV.rdd_value_threshold, EV.RDD_VALUE_THRESHOLD_SQL, ("causal", "regression-discontinuity", "local-linear", "integer-exact")),
+    "covariate_balance_smd": QuerySpec(EV.covariate_balance_smd, EV.COVARIATE_BALANCE_SMD_SQL, ("experiment", "balance", "smd", "randomization-check")),
+    "ann_ivf_det": QuerySpec(NS.ann_ivf_det, NS.ANN_IVF_DET_SQL, ("ann", "ivf", "deterministic", "integer-exact")),
+    "span_dedup_corpus": QuerySpec(NS.span_dedup_corpus, NS.SPAN_DEDUP_CORPUS_SQL, ("dedup", "spans", "training-data")),
+    "perplexity_filter": QuerySpec(NS.perplexity_filter, NS.PERPLEXITY_FILTER_SQL, ("text", "quality", "perplexity", "percentile")),
+    "dedup_containment": QuerySpec(NS.dedup_containment, NS.DEDUP_CONTAINMENT_SQL, ("dedup", "containment")),
+    "cheapest_line_per_part": QuerySpec(TQ.cheapest_line_per_part, TQ.CHEAPEST_LINE_PER_PART_SQL, ("window", "argmin")),
+    "customer_order_ranks": QuerySpec(TQ.customer_order_ranks, TQ.CUSTOMER_ORDER_RANKS_SQL, ("window", "rank")),
+    "customers_with_orders": QuerySpec(TQ.customers_with_orders, TQ.CUSTOMERS_WITH_ORDERS_SQL, ("semi-join",)),
+    "customers_without_orders": QuerySpec(TQ.customers_without_orders, TQ.CUSTOMERS_WITHOUT_ORDERS_SQL, ("anti-join",)),
+    "event_pair_candidates": QuerySpec(EV.event_pair_candidates, EV.EVENT_PAIR_CANDIDATES_SQL, ("join", "range-join")),
+    "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
+    "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
+    "monthly_order_stats": QuerySpec(TQ.monthly_order_stats, TQ.MONTHLY_ORDER_STATS_SQL, ("agg", "datetime")),
+    "nations_customers_not_suppliers": QuerySpec(TQ.nations_customers_not_suppliers, TQ.NATIONS_CUSTOMERS_NOT_SUPPLIERS_SQL, ("setop",)),
+    # --- streaming regression guard (6 = STREAMING_GUARD above):
+    # streaming silently broke at r2 HEAD; these keep every micro-batch/
+    # watermark/stream-join path under the driver gate ---
+    "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),
+    "stream_session_stats": QuerySpec(NS.stream_session_stats, NS.STREAM_SESSION_STATS_SQL, ("streaming", "session-window")),
+    "stream_running_max": QuerySpec(NS.stream_running_max, NS.STREAM_RUNNING_MAX_SQL, ("streaming", "stateful", "pandas-udf")),
+    "stream_enriched_value": QuerySpec(NS.stream_enriched_value, NS.STREAM_ENRICHED_VALUE_SQL, ("streaming", "stream-static-join")),
+    "stream_attribution_pairs": QuerySpec(NS.stream_attribution_pairs, NS.STREAM_ATTRIBUTION_PAIRS_SQL, ("streaming", "stream-stream-join", "interval-join")),
+    "stream_attribution_left": QuerySpec(NS.stream_attribution_left, NS.STREAM_ATTRIBUTION_LEFT_SQL, ("streaming", "stream-stream-join", "outer-join", "watermark")),
+}
+
+_BACKLOG: dict[str, QuerySpec] = {
+    # --- round-8 green, displaced by the r9 rotation (all hold a
+    # CORRECTNESS_r08.json full-oracle PASS) ---
     "pca_top_component": QuerySpec(NS.pca_top_component, NS.PCA_TOP_COMPONENT_SQL, ("ml", "pca", "power-iteration", "integer-exact", "deterministic")),
     "activity_streak_histogram": QuerySpec(EV.activity_streak_histogram, EV.ACTIVITY_STREAK_HISTOGRAM_SQL, ("window", "gaps-and-islands", "streak", "engagement")),
     "brand_cf_similarity": QuerySpec(TQ.brand_cf_similarity, TQ.BRAND_CF_SIMILARITY_SQL, ("recsys", "item-item", "collaborative-filtering")),
@@ -219,49 +314,28 @@ _WINDOW: dict[str, QuerySpec] = {
     "user_value_twap": QuerySpec(EV.user_value_twap, EV.USER_VALUE_TWAP_SQL, ("timeseries", "window", "weighted-mean")),
     "rolling_zscore_anomaly": QuerySpec(EV.rolling_zscore_anomaly, EV.ROLLING_ZSCORE_ANOMALY_SQL, ("window", "range-frame", "anomaly", "integer-exact")),
     "gini_customer_revenue": QuerySpec(TQ.gini_customer_revenue, TQ.GINI_CUSTOMER_REVENUE_SQL, ("inequality", "gini", "integer-exact")),
-    # --- streaming regression guard (6 = STREAMING_GUARD above):
-    # streaming silently broke at r2 HEAD; these keep every micro-batch/
-    # watermark/stream-join path under the driver gate ---
-    "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),
-    "stream_session_stats": QuerySpec(NS.stream_session_stats, NS.STREAM_SESSION_STATS_SQL, ("streaming", "session-window")),
-    "stream_running_max": QuerySpec(NS.stream_running_max, NS.STREAM_RUNNING_MAX_SQL, ("streaming", "stateful", "pandas-udf")),
-    "stream_enriched_value": QuerySpec(NS.stream_enriched_value, NS.STREAM_ENRICHED_VALUE_SQL, ("streaming", "stream-static-join")),
-    "stream_attribution_pairs": QuerySpec(NS.stream_attribution_pairs, NS.STREAM_ATTRIBUTION_PAIRS_SQL, ("streaming", "stream-stream-join", "interval-join")),
-    "stream_attribution_left": QuerySpec(NS.stream_attribution_left, NS.STREAM_ATTRIBUTION_LEFT_SQL, ("streaming", "stream-stream-join", "outer-join", "watermark")),
-}
-
-_BACKLOG: dict[str, QuerySpec] = {
     # --- round-7 green, displaced by the r8 rotation (all hold a
     # CORRECTNESS_r07.json full-oracle PASS) ---
-    "neyman_allocation_plan": QuerySpec(EV.neyman_allocation_plan, EV.NEYMAN_ALLOCATION_PLAN_SQL, ("sampling", "stratified", "neyman", "design")),
     "lang_id_confusion": QuerySpec(NS.lang_id_confusion, NS.LANG_ID_CONFUSION_SQL, ("text", "lang-id", "eval", "confusion-matrix")),
     "hash_collision_audit": QuerySpec(NS.hash_collision_audit, NS.HASH_COLLISION_AUDIT_SQL, ("ml", "feature-hashing", "collision", "audit")),
     "decayed_user_value": QuerySpec(EV.decayed_user_value, EV.DECAYED_USER_VALUE_SQL, ("ml", "feature", "time-decay", "integer-exact")),
     "markov_trigram_entropy": QuerySpec(EV.markov_trigram_entropy, EV.MARKOV_TRIGRAM_ENTROPY_SQL, ("sequence", "markov", "second-order", "entropy")),
-    "woe_value_bins": QuerySpec(EV.woe_value_bins, EV.WOE_VALUE_BINS_SQL, ("ml", "woe", "information-value", "binning")),
     "churn_label_windows": QuerySpec(EV.churn_label_windows, EV.CHURN_LABEL_WINDOWS_SQL, ("ml", "label-engineering", "churn", "leakage-safe")),
     "isotonic_calibration_bins": QuerySpec(EV.isotonic_calibration_bins, EV.ISOTONIC_CALIBRATION_BINS_SQL, ("ml", "calibration", "isotonic", "pav")),
     "user_sequence_edit_nn": QuerySpec(EV.user_sequence_edit_nn, EV.USER_SEQUENCE_EDIT_NN_SQL, ("sequence", "edit-distance", "levenshtein", "blocking")),
     "lang_id_cohens_kappa": QuerySpec(NS.lang_id_cohens_kappa, NS.LANG_ID_COHENS_KAPPA_SQL, ("text", "lang-id", "eval", "kappa")),
-    "daily_revenue_changepoint": QuerySpec(EV.daily_revenue_changepoint, EV.DAILY_REVENUE_CHANGEPOINT_SQL, ("timeseries", "changepoint", "binary-segmentation", "integer-exact")),
     "newsvendor_brand_quantiles": QuerySpec(TQ.newsvendor_brand_quantiles, TQ.NEWSVENDOR_BRAND_QUANTILES_SQL, ("ops", "newsvendor", "quantile", "inventory")),
     "ts_delta_compression_estimate": QuerySpec(EV.ts_delta_compression_estimate, EV.TS_DELTA_COMPRESSION_ESTIMATE_SQL, ("storage", "compression", "gorilla", "timeseries")),
-    "eb_shrunk_conversion": QuerySpec(EV.eb_shrunk_conversion, EV.EB_SHRUNK_CONVERSION_SQL, ("stats", "empirical-bayes", "shrinkage", "beta-binomial")),
     "laspeyres_price_index": QuerySpec(TQ.laspeyres_price_index, TQ.LASPEYRES_PRICE_INDEX_SQL, ("econ", "price-index", "laspeyres", "integer-exact")),
     "sprt_conversion_monitor": QuerySpec(EV.sprt_conversion_monitor, EV.SPRT_CONVERSION_MONITOR_SQL, ("experiment", "sprt", "sequential", "wald")),
     "croston_intermittent_forecast": QuerySpec(TQ.croston_intermittent_forecast, TQ.CROSTON_INTERMITTENT_FORECAST_SQL, ("forecast", "croston", "intermittent", "sequential-fold")),
-    "semdedup_silhouette": QuerySpec(NS.semdedup_silhouette, NS.SEMDEDUP_SILHOUETTE_SQL, ("dedup", "semantic", "silhouette", "cluster-quality")),
     "circular_hour_stats": QuerySpec(EV.circular_hour_stats, EV.CIRCULAR_HOUR_STATS_SQL, ("stats", "circular", "diurnal", "integer-exact")),
-    "kendall_tau_daily": QuerySpec(EV.kendall_tau_daily, EV.KENDALL_TAU_DAILY_SQL, ("stats", "kendall", "rank-correlation", "tie-corrected")),
     "haar_energy_daily": QuerySpec(EV.haar_energy_daily, EV.HAAR_ENERGY_DAILY_SQL, ("timeseries", "wavelet", "haar", "multi-resolution")),
-    "jackknife_daily_mean": QuerySpec(EV.jackknife_daily_mean, EV.JACKKNIFE_DAILY_MEAN_SQL, ("stats", "jackknife", "resampling-free", "exact")),
     "chapman_population_estimate": QuerySpec(EV.chapman_population_estimate, EV.CHAPMAN_POPULATION_ESTIMATE_SQL, ("stats", "capture-recapture", "chapman", "population")),
     "decontamination_report": QuerySpec(NS.decontamination_report, NS.DECONTAMINATION_REPORT_SQL, ("dedup", "decontamination", "report", "capstone")),
-    "mann_whitney_variants": QuerySpec(EV.mann_whitney_variants, EV.MANN_WHITNEY_VARIANTS_SQL, ("experiment", "mann-whitney", "nonparametric", "rank-test")),
     "dau_mau_stickiness": QuerySpec(EV.dau_mau_stickiness, EV.DAU_MAU_STICKINESS_SQL, ("engagement", "stickiness", "contribution-explode")),
     "hhi_brand_concentration": QuerySpec(TQ.hhi_brand_concentration, TQ.HHI_BRAND_CONCENTRATION_SQL, ("inequality", "hhi", "market-structure")),
     "token_lang_mi": QuerySpec(NS.token_lang_mi, NS.TOKEN_LANG_MI_SQL, ("text", "mutual-information", "feature-selection", "diagnostics")),
-    "length_bias_auc": QuerySpec(NS.length_bias_auc, NS.LENGTH_BIAS_AUC_SQL, ("ml-eval", "auc", "bias-audit", "rank-stats")),
     "token_run_lengths": QuerySpec(NS.token_run_lengths, NS.TOKEN_RUN_LENGTHS_SQL, ("text", "quality", "repetition", "gaps-islands")),
     "blocklist_filter": QuerySpec(NS.blocklist_filter, NS.BLOCKLIST_FILTER_SQL, ("text", "quality", "safety", "filter-stage")),
     "user_series_sax_similarity": QuerySpec(EV.user_series_sax_similarity, EV.USER_SERIES_SAX_SIMILARITY_SQL, ("timeseries", "sax", "similarity", "banding")),
@@ -269,28 +343,19 @@ _BACKLOG: dict[str, QuerySpec] = {
     "zonemap_integrity_audit": QuerySpec(NS.zonemap_integrity_audit, NS.ZONEMAP_INTEGRITY_AUDIT_SQL, ("lakehouse", "zonemap", "footer-stats", "data-skipping")),
     "user_value_gcd": QuerySpec(EV.user_value_gcd, EV.USER_VALUE_GCD_SQL, ("udaf", "pandas-grouped-agg", "price-quantum")),
     "l_diversity_audit": QuerySpec(TQ.l_diversity_audit, TQ.L_DIVERSITY_AUDIT_SQL, ("privacy", "l-diversity", "audit")),
-    "activity_tail_hill": QuerySpec(TQ.activity_tail_hill, TQ.ACTIVITY_TAIL_HILL_SQL, ("stats", "heavy-tail", "hill", "ordered-fold")),
     "kmv_week_overlap": QuerySpec(NS.kmv_week_overlap, NS.KMV_WEEK_OVERLAP_SQL, ("sketch", "kmv", "set-ops", "jaccard")),
     "monthly_from_daily_mv": QuerySpec(TQ.monthly_from_daily_mv, TQ.MONTHLY_FROM_DAILY_MV_SQL, ("mv-rewrite", "rollup", "re-aggregation")),
     "user_type_share_map": QuerySpec(EV.user_type_share_map, EV.USER_TYPE_SHARE_MAP_SQL, ("map-hof", "complex-types", "shares")),
     "quantile_forecast_pinball": QuerySpec(EV.quantile_forecast_pinball, EV.QUANTILE_FORECAST_PINBALL_SQL, ("forecast", "pinball", "quantile", "backtest")),
-    "ols_weekend_effect": QuerySpec(EV.ols_weekend_effect, EV.OLS_WEEKEND_EFFECT_SQL, ("regression", "ols", "integer-exact", "cramer")),
-    "conformal_value_interval": QuerySpec(EV.conformal_value_interval, EV.CONFORMAL_VALUE_INTERVAL_SQL, ("ml", "conformal", "prediction-interval", "order-statistic")),
-    "ann_ivf_det": QuerySpec(NS.ann_ivf_det, NS.ANN_IVF_DET_SQL, ("ann", "ivf", "deterministic", "integer-exact")),
     # --- round-6 green, displaced by the r7 rotation (all hold a
     # CORRECTNESS_r06.json full-oracle PASS) ---
-    "self_join_skew_profile": QuerySpec(EV.self_join_skew_profile, EV.SELF_JOIN_SKEW_PROFILE_SQL, ("join", "skew", "diagnostics", "planner")),
     "grid_density_clusters": QuerySpec(GQ.grid_density_clusters, GQ.GRID_DENSITY_CLUSTERS_SQL, ("geo", "clustering", "dbscan", "graph")),
     "shapley_channel_attribution": QuerySpec(EV.shapley_channel_attribution, EV.SHAPLEY_CHANNEL_ATTRIBUTION_SQL, ("causal", "attribution", "shapley", "coalition")),
     "qini_uplift_curve": QuerySpec(EV.qini_uplift_curve, EV.QINI_UPLIFT_CURVE_SQL, ("causal", "uplift", "qini", "experiment")),
     "corpus_report_card": QuerySpec(NS.corpus_report_card, NS.CORPUS_REPORT_CARD_SQL, ("capstone", "training-data", "report", "summary")),
     "t_closeness_audit": QuerySpec(TQ.t_closeness_audit, TQ.T_CLOSENESS_AUDIT_SQL, ("privacy", "t-closeness", "emd", "audit")),
     "graph_feature_propagation": QuerySpec(TQ.graph_feature_propagation, TQ.GRAPH_FEATURE_PROPAGATION_SQL, ("graph", "gnn", "feature-propagation", "integer-exact")),
-    "cuped_adjusted_lift": QuerySpec(EV.cuped_adjusted_lift, EV.CUPED_ADJUSTED_LIFT_SQL, ("experiment", "cuped", "variance-reduction", "covariate")),
     "did_estimate": QuerySpec(EV.did_estimate, EV.DID_ESTIMATE_SQL, ("causal", "difference-in-differences", "quasi-experiment")),
-    "ipw_outcome_estimate": QuerySpec(EV.ipw_outcome_estimate, EV.IPW_OUTCOME_ESTIMATE_SQL, ("causal", "ipw", "propensity", "ordered-fold")),
-    "rdd_value_threshold": QuerySpec(EV.rdd_value_threshold, EV.RDD_VALUE_THRESHOLD_SQL, ("causal", "regression-discontinuity", "local-linear", "integer-exact")),
-    "covariate_balance_smd": QuerySpec(EV.covariate_balance_smd, EV.COVARIATE_BALANCE_SMD_SQL, ("experiment", "balance", "smd", "randomization-check")),
     "ecod_outlier_scores": QuerySpec(EV.ecod_outlier_scores, EV.ECOD_OUTLIER_SCORES_SQL, ("anomaly", "ecod", "ecdf", "prefix-sum")),
     "session_gap_sensitivity": QuerySpec(EV.session_gap_sensitivity, EV.SESSION_GAP_SENSITIVITY_SQL, ("sessionize", "sensitivity", "parameter-tuning", "diagnostics")),
     "cvar_expected_shortfall": QuerySpec(EV.cvar_expected_shortfall, EV.CVAR_EXPECTED_SHORTFALL_SQL, ("risk", "cvar", "expected-shortfall", "prefix-sum")),
@@ -300,9 +365,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "fightin_words_tokens": QuerySpec(NS.fightin_words_tokens, NS.FIGHTIN_WORDS_TOKENS_SQL, ("text", "log-odds", "dirichlet", "source-attribution")),
     "missing_partition_audit": QuerySpec(EV.missing_partition_audit, EV.MISSING_PARTITION_AUDIT_SQL, ("maintenance", "backfill", "gaps-and-islands", "audit")),
     "nelson_aalen_hazard": QuerySpec(EV.nelson_aalen_hazard, EV.NELSON_AALEN_HAZARD_SQL, ("survival", "nelson-aalen", "hazard", "censoring")),
-    "source_mmd_hashed": QuerySpec(NS.source_mmd_hashed, NS.SOURCE_MMD_HASHED_SQL, ("text", "drift", "mmd", "hashed-features")),
     "selectivity_estimate_audit": QuerySpec(EV.selectivity_estimate_audit, EV.SELECTIVITY_ESTIMATE_AUDIT_SQL, ("planner", "cardinality", "selectivity", "diagnostics")),
-    "ab_test_welch": QuerySpec(EV.ab_test_welch, EV.AB_TEST_WELCH_SQL, ("experiment", "welch", "ab-test", "integer-exact")),
     "holt_smoothing_per_user": QuerySpec(EV.holt_smoothing_per_user, EV.HOLT_SMOOTHING_PER_USER_SQL, ("timeseries", "holt", "sequential-fold")),
     "label_centroid_similarity": QuerySpec(NS.label_centroid_similarity, NS.LABEL_CENTROID_SIMILARITY_SQL, ("embedding", "centroid", "class-geometry", "integer-exact")),
     "chi2_type_weekday": QuerySpec(EV.chi2_type_weekday, EV.CHI2_TYPE_WEEKDAY_SQL, ("quality", "chi-square", "independence", "contingency")),
@@ -310,23 +373,19 @@ _BACKLOG: dict[str, QuerySpec] = {
     "minhash_eval_pr": QuerySpec(NS.minhash_eval_pr, NS.MINHASH_EVAL_PR_SQL, ("dedup", "evaluation", "precision-recall", "lsh")),
     "stream_topk_types_per_window": QuerySpec(NS.stream_topk_types_per_window, NS.STREAM_TOPK_TYPES_PER_WINDOW_SQL, ("streaming", "topk", "lambda-seam")),
     "multimodal_arrow_entropy": QuerySpec(NS.multimodal_arrow_entropy, NS.MULTIMODAL_ARROW_ENTROPY_SQL, ("multimodal", "arrow", "map-in-arrow", "entropy")),
-    "quantile_sample_det": QuerySpec(EV.quantile_sample_det, EV.QUANTILE_SAMPLE_DET_SQL, ("sketch", "quantile", "sampling", "deterministic")),
     "dp_noisy_type_counts": QuerySpec(EV.dp_noisy_type_counts, EV.DP_NOISY_TYPE_COUNTS_SQL, ("privacy", "dp", "laplace", "deterministic")),
     "observed_scan_metrics": QuerySpec(EV.observed_scan_metrics, EV.OBSERVED_SCAN_METRICS_SQL, ("observability", "metrics", "observe-api")),
     "kaplan_meier_conversion": QuerySpec(EV.kaplan_meier_churn, EV.KAPLAN_MEIER_CHURN_SQL, ("survival", "kaplan-meier", "censoring", "conversion")),
     "association_rules_brands": QuerySpec(TQ.association_rules_brands, TQ.ASSOCIATION_RULES_BRANDS_SQL, ("market-basket", "association-rules", "lift")),
     "nb_source_classifier": QuerySpec(NS.nb_source_classifier, NS.NB_SOURCE_CLASSIFIER_SQL, ("ml", "naive-bayes", "classifier", "confusion-matrix")),
-    "theil_sen_daily_trend": QuerySpec(EV.theil_sen_daily_trend, EV.THEIL_SEN_DAILY_TREND_SQL, ("timeseries", "robust", "theil-sen", "trend")),
     "knn_label_eval": QuerySpec(NS.knn_label_eval, NS.KNN_LABEL_EVAL_SQL, ("ml", "knn", "embedding", "confusion-matrix")),
     "row_provenance_files": QuerySpec(EV.row_provenance_files, EV.ROW_PROVENANCE_FILES_SQL, ("lineage", "provenance", "input-file")),
     "cohort_ltv_curve": QuerySpec(EV.cohort_ltv_curve, EV.COHORT_LTV_CURVE_SQL, ("cohort", "ltv", "running-sum")),
     "split_revenue_attribution": QuerySpec(EV.split_revenue_attribution, EV.SPLIT_REVENUE_ATTRIBUTION_SQL, ("attribution", "multi-touch", "largest-remainder", "integer-exact")),
-    "degree_assortativity": QuerySpec(TQ.degree_assortativity, TQ.DEGREE_ASSORTATIVITY_SQL, ("graph", "assortativity", "integer-exact")),
     "source_vocab_kl": QuerySpec(NS.source_vocab_kl, NS.SOURCE_VOCAB_KL_SQL, ("text", "kl-divergence", "data-mixing", "drift")),
     # --- round-5 green, displaced by the r6 rotation (all hold a
     # CORRECTNESS_r05.json full-oracle PASS) ---
     "event_lateness_profile": QuerySpec(EV.event_lateness_profile, EV.EVENT_LATENESS_PROFILE_SQL, ("streaming", "watermark", "lateness", "profiling")),
-    "value_psi_drift": QuerySpec(EV.value_psi_drift, EV.VALUE_PSI_DRIFT_SQL, ("quality", "psi", "drift", "monitoring")),
     "pareto_frontier_orders": QuerySpec(TQ.pareto_frontier_orders, TQ.PARETO_FRONTIER_ORDERS_SQL, ("window", "skyline", "pareto", "range-frame")),
     "lorenz_curve_points": QuerySpec(TQ.lorenz_curve_points, TQ.LORENZ_CURVE_POINTS_SQL, ("inequality", "lorenz", "deciles")),
     "pareto_8020_customers": QuerySpec(TQ.pareto_8020_customers, TQ.PARETO_8020_CUSTOMERS_SQL, ("inequality", "pareto", "concentration")),
@@ -350,7 +409,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "mmr_rerank": QuerySpec(NS.mmr_rerank, NS.MMR_RERANK_SQL, ("retrieval", "mmr", "diversity", "rag")),
     "rake_keyphrases": QuerySpec(NS.rake_keyphrases, NS.RAKE_KEYPHRASES_SQL, ("text", "rake", "keyphrases", "collocation")),
     "zipf_fit_tokens": QuerySpec(NS.zipf_fit_tokens, NS.ZIPF_FIT_TOKENS_SQL, ("text", "zipf", "power-law", "corpus-health")),
-    "ols_daily_trend": QuerySpec(EV.ols_daily_trend, EV.OLS_DAILY_TREND_SQL, ("timeseries", "regression", "ols", "integer-moments")),
     "media_ppm_decode_stats": QuerySpec(NS.media_ppm_decode_stats, NS.MEDIA_PPM_DECODE_STATS_SQL, ("multimodal", "real-codec", "ppm", "arrow")),
     "media_wav_decode_stats": QuerySpec(NS.media_wav_decode_stats, NS.MEDIA_WAV_DECODE_STATS_SQL, ("multimodal", "real-codec", "wav", "audio", "arrow")),
     "media_avi_frame_stats": QuerySpec(NS.media_avi_frame_stats, NS.MEDIA_AVI_FRAME_STATS_SQL, ("multimodal", "real-codec", "avi", "video", "frame-sample")),
@@ -361,7 +419,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "quality_ensemble_vote": QuerySpec(NS.quality_ensemble_vote, NS.QUALITY_ENSEMBLE_VOTE_SQL, ("quality", "ensemble", "ablation", "filter")),
     "dedup_survivor_selection": QuerySpec(NS.dedup_survivor_selection, NS.DEDUP_SURVIVOR_SELECTION_SQL, ("dedup", "survivorship", "clusters")),
     "shard_lpt_plan": QuerySpec(NS.shard_lpt_plan, NS.SHARD_LPT_PLAN_SQL, ("training-data", "sharding", "lpt", "balance")),
-    "benjamini_hochberg_fdr": QuerySpec(EV.benjamini_hochberg_fdr, EV.BENJAMINI_HOCHBERG_FDR_SQL, ("experiment", "fdr", "multiple-testing", "bh")),
     "ngram_coverage_curve": QuerySpec(NS.ngram_coverage_curve, NS.NGRAM_COVERAGE_CURVE_SQL, ("text", "vocabulary", "coverage", "prefix-sum")),
     "mutual_nn_bitext_pairs": QuerySpec(NS.mutual_nn_bitext_pairs, NS.MUTUAL_NN_BITEXT_PAIRS_SQL, ("similarity", "mutual-nn", "bitext", "alignment")),
     "embedding_int8_quantize_stats": QuerySpec(NS.embedding_int8_quantize_stats, NS.EMBEDDING_INT8_QUANTIZE_STATS_SQL, ("embedding", "quantization", "int8", "compression")),
@@ -406,13 +463,9 @@ _BACKLOG: dict[str, QuerySpec] = {
     "bfs_hops_det": QuerySpec(TQ.bfs_hops_det, TQ.BFS_HOPS_DET_SQL, ("graph", "iterative", "bfs", "deterministic")),
     "benford_first_digit": QuerySpec(TQ.benford_first_digit, TQ.BENFORD_FIRST_DIGIT_SQL, ("quality", "audit", "distribution")),
     "bloom_semijoin_orders": QuerySpec(TQ.bloom_semijoin_orders, TQ.BLOOM_SEMIJOIN_ORDERS_SQL, ("join", "bloom", "prefilter", "broadcast")),
-    "target_encode_event_type": QuerySpec(EV.target_encode_event_type, EV.TARGET_ENCODE_EVENT_TYPE_SQL, ("ml", "target-encoding", "kfold", "leakage-safe")),
-    "autocorr_daily_value": QuerySpec(EV.autocorr_daily_value, EV.AUTOCORR_DAILY_VALUE_SQL, ("timeseries", "acf", "integer-exact")),
     "quantile_normalize_doclen": QuerySpec(NS.quantile_normalize_doclen, NS.QUANTILE_NORMALIZE_DOCLEN_SQL, ("ml", "normalization", "quantile", "cross-source")),
     "zonemap_tile_pruning": QuerySpec(TQ.zonemap_tile_pruning, TQ.ZONEMAP_TILE_PRUNING_SQL, ("layout", "zonemap", "data-skipping", "zorder")),
     "linkage_jaro_winkler": QuerySpec(TQ.linkage_jaro_winkler, TQ.LINKAGE_JARO_WINKLER_SQL, ("join", "fuzzy", "blocking", "jaro-winkler", "pandas-udf")),
-    "rrf_hybrid_retrieval": QuerySpec(NS.rrf_hybrid_retrieval, NS.RRF_HYBRID_RETRIEVAL_SQL, ("retrieval", "rrf", "hybrid", "rag")),
-    "bootstrap_mean_ci": QuerySpec(EV.bootstrap_mean_ci, EV.BOOTSTRAP_MEAN_CI_SQL, ("experiment", "bootstrap", "poisson", "ci", "deterministic")),
     # --- rotated out of the window in round 4 — each holds a
     # CORRECTNESS_r03.json full-oracle green row ---------------------------
     "weekly_counts_unpivot": QuerySpec(TQ.weekly_counts_unpivot, TQ.WEEKLY_COUNTS_UNPIVOT_SQL, ("unpivot", "melt")),
@@ -421,8 +474,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "rolling_3event_value": QuerySpec(EV.rolling_3event_value, EV.ROLLING_3EVENT_VALUE_SQL, ("window", "rows-frame")),
     "nation_revenue_share": QuerySpec(TQ.nation_revenue_share, TQ.NATION_REVENUE_SHARE_SQL, ("window", "ratio-to-report")),
     "brand_basket_pairs": QuerySpec(TQ.brand_basket_pairs, TQ.BRAND_BASKET_PAIRS_SQL, ("join", "self-join", "market-basket")),
-    "span_dedup_corpus": QuerySpec(NS.span_dedup_corpus, NS.SPAN_DEDUP_CORPUS_SQL, ("dedup", "spans", "training-data")),
-    "dedup_containment": QuerySpec(NS.dedup_containment, NS.DEDUP_CONTAINMENT_SQL, ("dedup", "containment")),
     "token_budget_truncate": QuerySpec(NS.token_budget_truncate, NS.TOKEN_BUDGET_TRUNCATE_SQL, ("training-data", "budget")),
     "curriculum_order": QuerySpec(NS.curriculum_order, NS.CURRICULUM_ORDER_SQL, ("training-data", "curriculum", "prefix-sum")),
     "ann_lsh_det": QuerySpec(NS.ann_lsh_det, NS.ANN_LSH_DET_SQL, ("ann", "lsh", "deterministic")),
@@ -450,11 +501,9 @@ _BACKLOG: dict[str, QuerySpec] = {
     "last_purchase_carryforward": QuerySpec(EV.last_purchase_carryforward, EV.LAST_PURCHASE_CARRYFORWARD_SQL, ("window", "ignore-nulls", "carry-forward")),
     "zone_conversion_funnel": QuerySpec(EV.zone_conversion_funnel, EV.ZONE_CONVERSION_FUNNEL_SQL, ("agg", "funnel", "conditional-agg")),
     "user_gap_days": QuerySpec(EV.user_gap_days, EV.USER_GAP_DAYS_SQL, ("generator", "anti-join", "densification")),
-    "value_moments_profile": QuerySpec(EV.value_moments_profile, EV.VALUE_MOMENTS_PROFILE_SQL, ("agg", "moments", "deterministic")),
     "value_mad": QuerySpec(EV.value_mad, EV.VALUE_MAD_SQL, ("agg", "percentile", "robust-stats")),
     # --- round-2 green (full DuckDB hash match in CORRECTNESS_r02.json) --
     "dedup_exact": QuerySpec(NS.dedup_exact, NS.DEDUP_EXACT_SQL, ("dedup",)),
-    "dedup_ngram_jaccard": QuerySpec(NS.dedup_ngram_jaccard, NS.DEDUP_NGRAM_JACCARD_SQL, ("dedup",)),
     "dedup_simhash": QuerySpec(NS.dedup_simhash, NS.DEDUP_SIMHASH_SQL, ("dedup", "lsh")),
     "dedup_clusters_minhash": QuerySpec(NS.dedup_clusters_minhash, NS.DEDUP_CLUSTERS_MINHASH_SQL, ("dedup", "graph", "iterative")),
     "embedding_near_dup": QuerySpec(NS.embedding_near_dup, NS.EMBEDDING_NEAR_DUP_SQL, ("ann", "dedup", "lsh")),
@@ -507,14 +556,10 @@ _BACKLOG: dict[str, QuerySpec] = {
     # future window slot) --------------------------------------------------
     "winnow_fingerprints": QuerySpec(NS.winnow_fingerprints, NS.WINNOW_FINGERPRINTS_SQL, ("dedup", "fingerprint", "winnowing")),
     "incremental_orders_agg": QuerySpec(TQ.incremental_orders_agg, TQ.INCREMENTAL_ORDERS_AGG_SQL, ("cdc", "ivm", "delta")),
-    "perplexity_filter": QuerySpec(NS.perplexity_filter, NS.PERPLEXITY_FILTER_SQL, ("text", "quality", "perplexity", "percentile")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
-    "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
-    "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
     "user_gap_stats": QuerySpec(EV.user_gap_stats, EV.USER_GAP_STATS_SQL, ("window",)),
     "weekly_type_pivot": QuerySpec(EV.weekly_type_pivot, EV.WEEKLY_TYPE_PIVOT_SQL, ("pivot",)),
     "weekday_hour_heatmap": QuerySpec(EV.weekday_hour_heatmap, EV.WEEKDAY_HOUR_HEATMAP_SQL, ("agg", "datetime")),
-    "event_pair_candidates": QuerySpec(EV.event_pair_candidates, EV.EVENT_PAIR_CANDIDATES_SQL, ("join", "range-join")),
     "purchase_attribution_asof": QuerySpec(EV.purchase_attribution_asof, EV.PURCHASE_ATTRIBUTION_ASOF_SQL, ("join", "asof", "pandas-udf")),
     "user_value_ffill": QuerySpec(EV.user_value_ffill, EV.USER_VALUE_FFILL_SQL, ("timeseries", "ffill", "grid")),
     "rolling_hour_activity": QuerySpec(EV.rolling_hour_activity, EV.ROLLING_HOUR_ACTIVITY_SQL, ("window", "range-frame")),
@@ -525,14 +570,9 @@ _BACKLOG: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(TQ.q1_pricing_summary, TQ.Q1_PRICING_SUMMARY_SQL, ("agg",)),
     "q3_order_revenue": QuerySpec(TQ.q3_order_revenue, TQ.Q3_ORDER_REVENUE_SQL, ("join", "agg")),
     "q5_nation_revenue": QuerySpec(TQ.q5_nation_revenue, TQ.Q5_NATION_REVENUE_SQL, ("join", "agg")),
-    "customers_with_orders": QuerySpec(TQ.customers_with_orders, TQ.CUSTOMERS_WITH_ORDERS_SQL, ("semi-join",)),
-    "customers_without_orders": QuerySpec(TQ.customers_without_orders, TQ.CUSTOMERS_WITHOUT_ORDERS_SQL, ("anti-join",)),
     "top_orders_per_customer": QuerySpec(TQ.top_orders_per_customer, TQ.TOP_ORDERS_PER_CUSTOMER_SQL, ("window", "topk")),
-    "cheapest_line_per_part": QuerySpec(TQ.cheapest_line_per_part, TQ.CHEAPEST_LINE_PER_PART_SQL, ("window", "argmin")),
     "sales_cube": QuerySpec(TQ.sales_cube, TQ.SALES_CUBE_SQL, ("agg", "cube")),
-    "nations_customers_not_suppliers": QuerySpec(TQ.nations_customers_not_suppliers, TQ.NATIONS_CUSTOMERS_NOT_SUPPLIERS_SQL, ("setop",)),
     "nations_with_both": QuerySpec(TQ.nations_with_both, TQ.NATIONS_WITH_BOTH_SQL, ("setop", "intersect")),
-    "monthly_order_stats": QuerySpec(TQ.monthly_order_stats, TQ.MONTHLY_ORDER_STATS_SQL, ("agg", "datetime")),
     "top20_orders_global": QuerySpec(TQ.top20_orders_global, TQ.TOP20_ORDERS_GLOBAL_SQL, ("sort", "limit")),
     "q4_late_orders_by_priority": QuerySpec(TQ.q4_late_orders_by_priority, TQ.Q4_LATE_ORDERS_BY_PRIORITY_SQL, ("semi-join", "agg")),
     "q6_forecast_revenue": QuerySpec(TQ.q6_forecast_revenue, TQ.Q6_FORECAST_REVENUE_SQL, ("agg", "pushdown")),
@@ -540,7 +580,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "q12_priority_shipping": QuerySpec(TQ.q12_priority_shipping, TQ.Q12_PRIORITY_SHIPPING_SQL, ("join", "case-agg")),
     "q14_promo_revenue_share": QuerySpec(TQ.q14_promo_revenue_share, TQ.Q14_PROMO_REVENUE_SHARE_SQL, ("join", "ratio-agg")),
     "q19_branded_revenue": QuerySpec(TQ.q19_branded_revenue, TQ.Q19_BRANDED_REVENUE_SQL, ("join", "disjunctive")),
-    "customer_order_ranks": QuerySpec(TQ.customer_order_ranks, TQ.CUSTOMER_ORDER_RANKS_SQL, ("window", "rank")),
     "order_percent_ranks": QuerySpec(TQ.order_percent_ranks, TQ.ORDER_PERCENT_RANKS_SQL, ("window", "distribution")),
     "props_k_stats": QuerySpec(EV.props_k_stats, EV.PROPS_K_STATS_SQL, ("json", "agg")),
     "order_price_percentiles": QuerySpec(TQ.order_price_percentiles, TQ.ORDER_PRICE_PERCENTILES_SQL, ("agg", "percentile")),
