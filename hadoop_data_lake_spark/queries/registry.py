@@ -23,9 +23,13 @@ now a DECLARED re-grade driving the stale ladder:
        (ast-exact per-commit block attribution). Includes the three
        round-9 densification fixes (autocorr/OLS/Theil-Sen daily
        trends).
-36-44  freshness re-grades of the 9 OLDEST remaining green rows (all
-       r1-era TPC-H/events basics) so every row in the union keeps
-       aging forward.
+36-44  the 9 most-stale rows the round-9 CROSS-MODULE attribution hop
+       surfaced in addition (a rewrite of an operators/ or functions/
+       block the query calls now re-dates the query — the blind spot
+       earlier rounds had to hand-list): the r2/r3-era streaming pair,
+       the packing family, the r1 as-of join, pagerank_det and the SCD1
+       upsert. All full-oracle; the ~12 below-the-fold remainder is
+       round-10's ladder.
        All 44 re-grades are declared in INTENTIONAL_REGRADES below.
 45-50  the 6-slot streaming regression guard (STREAMING_GUARD below).
 Registry frozen at 352 (342 full-oracle) — zero additions this round.
@@ -95,10 +99,11 @@ STREAMING_GUARD: tuple[str, ...] = (
 #:   `tools/backlog_report.py --stale` order at round-9 start
 #:   (ast-exact block attribution; includes the round-9 densification
 #:   fixes to autocorr/OLS/Theil-Sen daily trends).
-#: - slots 36-44: freshness re-grades of the 9 oldest remaining green
-#:   rows (r1-era basics), so the union's oldest row keeps advancing.
+#: - slots 36-44: the 9 most-stale additional rows surfaced by the
+#:   round-9 CROSS-MODULE attribution hop (operators/functions rewrites
+#:   now re-date the queries that call them); all full-oracle.
 INTENTIONAL_REGRADES: frozenset[str] = frozenset({
-    # stale ladder (35)
+    # stale ladder, query-module attribution (35)
     "value_moments_profile",
     "autocorr_daily_value",
     "target_encode_event_type",
@@ -134,16 +139,16 @@ INTENTIONAL_REGRADES: frozenset[str] = frozenset({
     "span_dedup_corpus",
     "perplexity_filter",
     "dedup_containment",
-    # freshness re-grades: oldest r1-era green rows (9)
-    "cheapest_line_per_part",
-    "customer_order_ranks",
-    "customers_with_orders",
-    "customers_without_orders",
-    "event_pair_candidates",
-    "first_event_per_user",
-    "latest_event_per_user",
-    "monthly_order_stats",
-    "nations_customers_not_suppliers",
+    # stale ladder, cross-module hop (9)
+    "stream_sliding_counts",
+    "stream_dedup_keys",
+    "pack_sequences_plan",
+    "export_shuffle_shards",
+    "order_price_deciles",
+    "curriculum_order",
+    "purchase_attribution_asof",
+    "pagerank_det",
+    "stream_upsert_scd1",
 })
 
 
@@ -163,8 +168,8 @@ _WINDOW: dict[str, QuerySpec] = {
     # rows whose query/oracle code changed AFTER their newest driver
     # row, in `backlog_report.py --stale` order at round-9 start —
     # including the round-9 densification fixes (autocorr/OLS/
-    # Theil-Sen daily trends). Slots 36-44 are freshness re-grades of
-    # the 9 oldest remaining green rows (r1-era). Every displaced
+    # Theil-Sen daily trends). Slots 36-44: the 9 most-stale rows the
+    # round-9 CROSS-MODULE attribution hop surfaced. Every displaced
     # entry holds a CORRECTNESS_r08.json full-oracle PASS and moves to
     # the top of _BACKLOG; check_oracle re-verifies all 352 registered
     # queries locally every round. r9 displacement pairs:
@@ -203,15 +208,15 @@ _WINDOW: dict[str, QuerySpec] = {
     # span_dedup_corpus -> displaces value_tail_ratio (r8-green)
     # perplexity_filter -> displaces first_touch_attribution (r8-green)
     # dedup_containment -> displaces user_activity_histogram (r8-green)
-    # cheapest_line_per_part -> displaces multimodal_decode_features (r8-green)
-    # customer_order_ranks -> displaces multimodal_resize (r8-green)
-    # customers_with_orders -> displaces multimodal_frames (r8-green)
-    # customers_without_orders -> displaces dedup_minhash_lsh (r8-green)
-    # event_pair_candidates -> displaces ann_brute_force (r8-green)
-    # first_event_per_user -> displaces value_outliers_zscore (r8-green)
-    # latest_event_per_user -> displaces user_value_twap (r8-green)
-    # monthly_order_stats -> displaces rolling_zscore_anomaly (r8-green)
-    # nations_customers_not_suppliers -> displaces gini_customer_revenue (r8-green)
+    # stream_sliding_counts -> displaces multimodal_decode_features (r8-green)
+    # stream_dedup_keys -> displaces multimodal_resize (r8-green)
+    # pack_sequences_plan -> displaces multimodal_frames (r8-green)
+    # export_shuffle_shards -> displaces dedup_minhash_lsh (r8-green)
+    # order_price_deciles -> displaces ann_brute_force (r8-green)
+    # curriculum_order -> displaces value_outliers_zscore (r8-green)
+    # purchase_attribution_asof -> displaces user_value_twap (r8-green)
+    # pagerank_det -> displaces rolling_zscore_anomaly (r8-green)
+    # stream_upsert_scd1 -> displaces gini_customer_revenue (r8-green)
     "value_moments_profile": QuerySpec(EV.value_moments_profile, EV.VALUE_MOMENTS_PROFILE_SQL, ("agg", "moments", "deterministic")),
     "autocorr_daily_value": QuerySpec(EV.autocorr_daily_value, EV.AUTOCORR_DAILY_VALUE_SQL, ("timeseries", "acf", "integer-exact")),
     "target_encode_event_type": QuerySpec(EV.target_encode_event_type, EV.TARGET_ENCODE_EVENT_TYPE_SQL, ("ml", "target-encoding", "kfold", "leakage-safe")),
@@ -247,15 +252,15 @@ _WINDOW: dict[str, QuerySpec] = {
     "span_dedup_corpus": QuerySpec(NS.span_dedup_corpus, NS.SPAN_DEDUP_CORPUS_SQL, ("dedup", "spans", "training-data")),
     "perplexity_filter": QuerySpec(NS.perplexity_filter, NS.PERPLEXITY_FILTER_SQL, ("text", "quality", "perplexity", "percentile")),
     "dedup_containment": QuerySpec(NS.dedup_containment, NS.DEDUP_CONTAINMENT_SQL, ("dedup", "containment")),
-    "cheapest_line_per_part": QuerySpec(TQ.cheapest_line_per_part, TQ.CHEAPEST_LINE_PER_PART_SQL, ("window", "argmin")),
-    "customer_order_ranks": QuerySpec(TQ.customer_order_ranks, TQ.CUSTOMER_ORDER_RANKS_SQL, ("window", "rank")),
-    "customers_with_orders": QuerySpec(TQ.customers_with_orders, TQ.CUSTOMERS_WITH_ORDERS_SQL, ("semi-join",)),
-    "customers_without_orders": QuerySpec(TQ.customers_without_orders, TQ.CUSTOMERS_WITHOUT_ORDERS_SQL, ("anti-join",)),
-    "event_pair_candidates": QuerySpec(EV.event_pair_candidates, EV.EVENT_PAIR_CANDIDATES_SQL, ("join", "range-join")),
-    "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
-    "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
-    "monthly_order_stats": QuerySpec(TQ.monthly_order_stats, TQ.MONTHLY_ORDER_STATS_SQL, ("agg", "datetime")),
-    "nations_customers_not_suppliers": QuerySpec(TQ.nations_customers_not_suppliers, TQ.NATIONS_CUSTOMERS_NOT_SUPPLIERS_SQL, ("setop",)),
+    "stream_sliding_counts": QuerySpec(NS.stream_sliding_counts, NS.STREAM_SLIDING_COUNTS_SQL, ("streaming", "sliding-window")),
+    "stream_dedup_keys": QuerySpec(NS.stream_dedup_keys, NS.STREAM_DEDUP_KEYS_SQL, ("streaming", "dedup", "watermark")),
+    "pack_sequences_plan": QuerySpec(NS.pack_sequences_plan, NS.PACK_SEQUENCES_PLAN_SQL, ("packing", "prefix-sum", "training-data")),
+    "export_shuffle_shards": QuerySpec(NS.export_shuffle_shards, NS.EXPORT_SHUFFLE_SHARDS_SQL, ("training-data", "prefix-sum", "sharding")),
+    "order_price_deciles": QuerySpec(EV.order_price_deciles, EV.ORDER_PRICE_DECILES_SQL, ("window", "ntile")),
+    "curriculum_order": QuerySpec(NS.curriculum_order, NS.CURRICULUM_ORDER_SQL, ("training-data", "curriculum", "prefix-sum")),
+    "purchase_attribution_asof": QuerySpec(EV.purchase_attribution_asof, EV.PURCHASE_ATTRIBUTION_ASOF_SQL, ("join", "asof", "pandas-udf")),
+    "pagerank_det": QuerySpec(TQ.pagerank_det, TQ.PAGERANK_DET_SQL, ("graph", "iterative", "pagerank", "fixed-point", "deterministic")),
+    "stream_upsert_scd1": QuerySpec(NS.stream_upsert_scd1, NS.STREAM_UPSERT_SCD1_SQL, ("streaming", "foreachbatch", "scd1", "upsert", "commit-protocol")),
     # --- streaming regression guard (6 = STREAMING_GUARD above):
     # streaming silently broke at r2 HEAD; these keep every micro-batch/
     # watermark/stream-join path under the driver gate ---
@@ -424,7 +429,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "embedding_int8_quantize_stats": QuerySpec(NS.embedding_int8_quantize_stats, NS.EMBEDDING_INT8_QUANTIZE_STATS_SQL, ("embedding", "quantization", "int8", "compression")),
     "soundex_word_groups": QuerySpec(TQ.soundex_word_groups, TQ.SOUNDEX_WORD_GROUPS_SQL, ("linkage", "phonetic", "soundex", "blocking")),
     "partition_compaction_plan": QuerySpec(EV.partition_compaction_plan, EV.PARTITION_COMPACTION_PLAN_SQL, ("maintenance", "compaction", "prefix-sum", "platform")),
-    "stream_upsert_scd1": QuerySpec(NS.stream_upsert_scd1, NS.STREAM_UPSERT_SCD1_SQL, ("streaming", "foreachbatch", "scd1", "upsert", "commit-protocol")),
     # --- rotated out of the window in round 5 — each holds a
     # CORRECTNESS_r04.json full-oracle green row -------------------------
     "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),
@@ -432,7 +436,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "semdedup_prune": QuerySpec(NS.semdedup_prune, NS.SEMDEDUP_PRUNE_SQL, ("dedup", "semantic", "clustering", "semdedup")),
     "ann_pq_det": QuerySpec(NS.ann_pq_det, NS.ANN_PQ_DET_SQL, ("ann", "pq", "adc", "deterministic")),
     "decontaminate_minhash_cross": QuerySpec(NS.decontaminate_minhash_cross, NS.DECONTAMINATE_MINHASH_CROSS_SQL, ("dedup", "decontamination", "lsh", "cross-corpus")),
-    "pagerank_det": QuerySpec(TQ.pagerank_det, TQ.PAGERANK_DET_SQL, ("graph", "iterative", "pagerank", "fixed-point", "deterministic")),
     "hll_det_daily_users": QuerySpec(NS.hll_det_daily_users, NS.HLL_DET_DAILY_USERS_SQL, ("sketch", "hll", "deterministic")),
     "doc_lm_kneser_ney": QuerySpec(NS.doc_lm_kneser_ney, NS.DOC_LM_KNESER_NEY_SQL, ("text", "quality", "lm", "kneser-ney", "smoothing")),
     "user_sessions_native": QuerySpec(EV.user_sessions_native, EV.USER_SESSIONS_NATIVE_SQL, ("window", "sessionize", "session-window")),
@@ -475,7 +478,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "nation_revenue_share": QuerySpec(TQ.nation_revenue_share, TQ.NATION_REVENUE_SHARE_SQL, ("window", "ratio-to-report")),
     "brand_basket_pairs": QuerySpec(TQ.brand_basket_pairs, TQ.BRAND_BASKET_PAIRS_SQL, ("join", "self-join", "market-basket")),
     "token_budget_truncate": QuerySpec(NS.token_budget_truncate, NS.TOKEN_BUDGET_TRUNCATE_SQL, ("training-data", "budget")),
-    "curriculum_order": QuerySpec(NS.curriculum_order, NS.CURRICULUM_ORDER_SQL, ("training-data", "curriculum", "prefix-sum")),
     "ann_lsh_det": QuerySpec(NS.ann_lsh_det, NS.ANN_LSH_DET_SQL, ("ann", "lsh", "deterministic")),
     "grouping_sets_revenue": QuerySpec(TQ.grouping_sets_revenue, TQ.GROUPING_SETS_REVENUE_SQL, ("agg", "grouping-sets")),
     "coactivity_triangles": QuerySpec(EV.coactivity_triangles, EV.COACTIVITY_TRIANGLES_SQL, ("graph", "triangles", "self-join")),
@@ -485,7 +487,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "props_variant_stats": QuerySpec(NS.props_variant_stats, NS.PROPS_VARIANT_STATS_SQL, ("json", "variant")),
     "zorder_code_orders": QuerySpec(TQ.zorder_code_orders, TQ.ZORDER_CODE_ORDERS_SQL, ("layout", "zorder", "bit-arithmetic")),
     "salted_type_weight_sum": QuerySpec(EV.salted_type_weight_sum, EV.SALTED_TYPE_WEIGHT_SUM_SQL, ("join", "skew", "salting")),
-    "order_price_deciles": QuerySpec(EV.order_price_deciles, EV.ORDER_PRICE_DECILES_SQL, ("window", "ntile")),
     "zone_report": QuerySpec(EV.zone_report, EV.ZONE_REPORT_SQL, ("flagship", "pivot", "window", "join")),
     "nearest_city": QuerySpec(GQ.nearest_city, GQ.NEAREST_CITY_SQL, ("geo", "crossjoin", "window", "argmin")),
     "user_sessions": QuerySpec(EV.user_sessions, EV.USER_SESSIONS_SQL, ("window", "sessionize")),
@@ -511,8 +512,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     # er_golden_record live in _WINDOW; the rest verify locally here):
     # displaced from the streaming guard block by session 3 (r3-green
     # driver rows; still locally re-verified every round):
-    "stream_sliding_counts": QuerySpec(NS.stream_sliding_counts, NS.STREAM_SLIDING_COUNTS_SQL, ("streaming", "sliding-window")),
-    "stream_dedup_keys": QuerySpec(NS.stream_dedup_keys, NS.STREAM_DEDUP_KEYS_SQL, ("streaming", "dedup", "watermark")),
     "text_stats": QuerySpec(NS.text_stats, NS.TEXT_STATS_SQL, ("text",)),
     "lang_id": QuerySpec(NS.lang_id, NS.LANG_ID_SQL, ("text",)),
     "doc_fingerprint": QuerySpec(NS.doc_fingerprint, NS.DOC_FINGERPRINT_SQL, ("text",)),
@@ -526,7 +525,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "multimodal_meta": QuerySpec(NS.multimodal_meta, NS.MULTIMODAL_META_SQL, ("multimodal",)),
     "train_test_split_counts": QuerySpec(NS.train_test_split_counts, NS.TRAIN_TEST_SPLIT_COUNTS_SQL, ("split", "sampling")),
     "stratified_sample": QuerySpec(NS.stratified_sample, NS.STRATIFIED_SAMPLE_SQL, ("split", "sampling", "stratified")),
-    "pack_sequences_plan": QuerySpec(NS.pack_sequences_plan, NS.PACK_SEQUENCES_PLAN_SQL, ("packing", "prefix-sum", "training-data")),
     "length_bucket_batches": QuerySpec(NS.length_bucket_batches, NS.LENGTH_BUCKET_BATCHES_SQL, ("packing", "batching", "training-data")),
     "source_mix_rebalance": QuerySpec(NS.source_mix_rebalance, NS.SOURCE_MIX_REBALANCE_SQL, ("split", "sampling", "data-mixing")),
     "quality_gopher_filters": QuerySpec(NS.quality_gopher_filters, NS.QUALITY_GOPHER_FILTERS_SQL, ("text", "quality", "filter-stage")),
@@ -536,7 +534,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "chunk_text_windows": QuerySpec(NS.chunk_text_windows, NS.CHUNK_TEXT_WINDOWS_SQL, ("text", "chunking", "udtf", "rag")),
     "q21_waiting_suppliers": QuerySpec(TQ.q21_waiting_suppliers, TQ.Q21_WAITING_SUPPLIERS_SQL, ("join", "exists", "argmax")),
     "orders_snapshot_diff": QuerySpec(TQ.orders_snapshot_diff, TQ.ORDERS_SNAPSHOT_DIFF_SQL, ("cdc", "diff", "full-outer")),
-    "export_shuffle_shards": QuerySpec(NS.export_shuffle_shards, NS.EXPORT_SHUFFLE_SHARDS_SQL, ("training-data", "prefix-sum", "sharding")),
     # --- rows-only tiers: pytest is the real verification (recall bounds,
     # error bounds, serial-reference parity) — value_percentiles_approx
     # precedent. Kept registered for the local runner.
@@ -557,10 +554,12 @@ _BACKLOG: dict[str, QuerySpec] = {
     "winnow_fingerprints": QuerySpec(NS.winnow_fingerprints, NS.WINNOW_FINGERPRINTS_SQL, ("dedup", "fingerprint", "winnowing")),
     "incremental_orders_agg": QuerySpec(TQ.incremental_orders_agg, TQ.INCREMENTAL_ORDERS_AGG_SQL, ("cdc", "ivm", "delta")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
+    "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
+    "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
     "user_gap_stats": QuerySpec(EV.user_gap_stats, EV.USER_GAP_STATS_SQL, ("window",)),
     "weekly_type_pivot": QuerySpec(EV.weekly_type_pivot, EV.WEEKLY_TYPE_PIVOT_SQL, ("pivot",)),
     "weekday_hour_heatmap": QuerySpec(EV.weekday_hour_heatmap, EV.WEEKDAY_HOUR_HEATMAP_SQL, ("agg", "datetime")),
-    "purchase_attribution_asof": QuerySpec(EV.purchase_attribution_asof, EV.PURCHASE_ATTRIBUTION_ASOF_SQL, ("join", "asof", "pandas-udf")),
+    "event_pair_candidates": QuerySpec(EV.event_pair_candidates, EV.EVENT_PAIR_CANDIDATES_SQL, ("join", "range-join")),
     "user_value_ffill": QuerySpec(EV.user_value_ffill, EV.USER_VALUE_FFILL_SQL, ("timeseries", "ffill", "grid")),
     "rolling_hour_activity": QuerySpec(EV.rolling_hour_activity, EV.ROLLING_HOUR_ACTIVITY_SQL, ("window", "range-frame")),
     "user_proximity_pairs": QuerySpec(GQ.user_proximity_pairs, GQ.USER_PROXIMITY_PAIRS_SQL, ("geo", "range-join", "grid")),
@@ -570,9 +569,14 @@ _BACKLOG: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(TQ.q1_pricing_summary, TQ.Q1_PRICING_SUMMARY_SQL, ("agg",)),
     "q3_order_revenue": QuerySpec(TQ.q3_order_revenue, TQ.Q3_ORDER_REVENUE_SQL, ("join", "agg")),
     "q5_nation_revenue": QuerySpec(TQ.q5_nation_revenue, TQ.Q5_NATION_REVENUE_SQL, ("join", "agg")),
+    "customers_with_orders": QuerySpec(TQ.customers_with_orders, TQ.CUSTOMERS_WITH_ORDERS_SQL, ("semi-join",)),
+    "customers_without_orders": QuerySpec(TQ.customers_without_orders, TQ.CUSTOMERS_WITHOUT_ORDERS_SQL, ("anti-join",)),
     "top_orders_per_customer": QuerySpec(TQ.top_orders_per_customer, TQ.TOP_ORDERS_PER_CUSTOMER_SQL, ("window", "topk")),
+    "cheapest_line_per_part": QuerySpec(TQ.cheapest_line_per_part, TQ.CHEAPEST_LINE_PER_PART_SQL, ("window", "argmin")),
     "sales_cube": QuerySpec(TQ.sales_cube, TQ.SALES_CUBE_SQL, ("agg", "cube")),
+    "nations_customers_not_suppliers": QuerySpec(TQ.nations_customers_not_suppliers, TQ.NATIONS_CUSTOMERS_NOT_SUPPLIERS_SQL, ("setop",)),
     "nations_with_both": QuerySpec(TQ.nations_with_both, TQ.NATIONS_WITH_BOTH_SQL, ("setop", "intersect")),
+    "monthly_order_stats": QuerySpec(TQ.monthly_order_stats, TQ.MONTHLY_ORDER_STATS_SQL, ("agg", "datetime")),
     "top20_orders_global": QuerySpec(TQ.top20_orders_global, TQ.TOP20_ORDERS_GLOBAL_SQL, ("sort", "limit")),
     "q4_late_orders_by_priority": QuerySpec(TQ.q4_late_orders_by_priority, TQ.Q4_LATE_ORDERS_BY_PRIORITY_SQL, ("semi-join", "agg")),
     "q6_forecast_revenue": QuerySpec(TQ.q6_forecast_revenue, TQ.Q6_FORECAST_REVENUE_SQL, ("agg", "pushdown")),
@@ -580,6 +584,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "q12_priority_shipping": QuerySpec(TQ.q12_priority_shipping, TQ.Q12_PRIORITY_SHIPPING_SQL, ("join", "case-agg")),
     "q14_promo_revenue_share": QuerySpec(TQ.q14_promo_revenue_share, TQ.Q14_PROMO_REVENUE_SHARE_SQL, ("join", "ratio-agg")),
     "q19_branded_revenue": QuerySpec(TQ.q19_branded_revenue, TQ.Q19_BRANDED_REVENUE_SQL, ("join", "disjunctive")),
+    "customer_order_ranks": QuerySpec(TQ.customer_order_ranks, TQ.CUSTOMER_ORDER_RANKS_SQL, ("window", "rank")),
     "order_percent_ranks": QuerySpec(TQ.order_percent_ranks, TQ.ORDER_PERCENT_RANKS_SQL, ("window", "distribution")),
     "props_k_stats": QuerySpec(EV.props_k_stats, EV.PROPS_K_STATS_SQL, ("json", "agg")),
     "order_price_percentiles": QuerySpec(TQ.order_price_percentiles, TQ.ORDER_PRICE_PERCENTILES_SQL, ("agg", "percentile")),

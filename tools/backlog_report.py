@@ -57,6 +57,33 @@ _QUERY_MODULES = [
 ]
 
 
+def _package_modules() -> list[str]:
+    """Every package module a query function can import from (operators/
+    functions/pipelines/streaming) — the cross-module hop of the stale
+    ladder. Excluded on purpose:
+    - registry.py: rotations move names without changing semantics;
+    - __init__ re-export shims: carry no blocks of their own;
+    - core/ (io/session): read_table & co. are imported by EVERY query,
+      so a core edit would re-date the whole registry at once — that is
+      not a prioritization signal (the full-registry check_oracle sweeps
+      at sf0.001/sf0.01 re-verify every query against its oracle each
+      round; the ladder only ranks which DRIVER rows to refresh first)."""
+    out = []
+    for root, _dirs, files in os.walk("hadoop_data_lake_spark"):
+        if os.path.basename(root) == "core":
+            continue
+        for f in files:
+            p = os.path.join(root, f)
+            if (
+                f.endswith(".py")
+                and not f.startswith("__")
+                and p not in _QUERY_MODULES
+                and f != "registry.py"
+            ):
+                out.append(p)
+    return sorted(out)
+
+
 def graded_ever() -> set[str]:
     out: set[str] = set()
     for f in sorted(glob.glob("CORRECTNESS_r*.json")):
@@ -103,19 +130,19 @@ def _parse_blocks(text: str) -> dict[str, str]:
     return blocks
 
 
-def _block_mtimes() -> tuple[dict[tuple[str, str], int], dict[str, dict[str, str]]]:
-    """Walk every commit touching the query modules oldest-first, parse each
+def _block_mtimes(
+    paths: list[str],
+) -> tuple[dict[tuple[str, str], int], dict[str, dict[str, str]]]:
+    """Walk every commit touching `paths` oldest-first, parse each
     changed file version into top-level blocks, and record the commit epoch
     whenever a block's TEXT changes (or first appears). Exact semantic
     attribution — unlike `git log -S <name>`, which only fires when the
     name string is added/removed, so body-only edits (the r7 dprod
     widenings) were invisible. Returns ({(path, block): epoch},
-    {path: current blocks}). Remaining blind spot: a rewrite confined to an
-    operators/ module the query calls — those rounds hand-list their
-    re-grades in INTENTIONAL_REGRADES."""
+    {path: current blocks})."""
     log = subprocess.run(
         ["git", "log", "--reverse", "--format=C|%ct", "--raw",
-         "--no-renames", "--", *_QUERY_MODULES],
+         "--no-renames", "--", *paths],
         capture_output=True, text=True,
     ).stdout
     mtimes: dict[tuple[str, str], int] = {}
@@ -144,28 +171,102 @@ def _block_mtimes() -> tuple[dict[tuple[str, str], int], dict[str, dict[str, str
     return mtimes, prev
 
 
+def _import_maps(paths: list[str]) -> dict[str, dict[str, tuple[str, str | None]]]:
+    """Per importing module: local name -> (target module path, symbol).
+    Covers `from pkg.mod import sym [as alias]` (symbol hop) and
+    `from pkg import mod [as alias]` (module-alias hop, symbol None —
+    resolved per `alias.attr` reference). Imports inside function bodies
+    count (ast.walk); relative imports don't occur in this package."""
+    import ast
+
+    out: dict[str, dict[str, tuple[str, str | None]]] = {}
+    for path in paths:
+        m: dict[str, tuple[str, str | None]] = {}
+        try:
+            tree = ast.parse(open(path).read())
+        except (OSError, SyntaxError):
+            out[path] = m
+            continue
+        for node in ast.walk(tree):
+            if not (
+                isinstance(node, ast.ImportFrom)
+                and node.module
+                and node.module.startswith("hadoop_data_lake_spark")
+            ):
+                continue
+            base = node.module.replace(".", "/")
+            for a in node.names:
+                local = a.asname or a.name
+                if os.path.exists(f"{base}/{a.name}.py"):
+                    m[local] = (f"{base}/{a.name}.py", None)  # module alias
+                elif os.path.exists(base + ".py"):
+                    m[local] = (base + ".py", a.name)  # direct symbol
+        out[path] = m
+    return out
+
+
 def semantic_last_modified(names: list[str]) -> dict[str, int]:
     """name -> epoch of the last commit that changed the query's defining
-    blocks: its def, its <NAME>_SQL constant, plus one hop of same-module
+    blocks: its def, its <NAME>_SQL constant, one hop of same-module
     top-level blocks those reference (catches `X_SQL = _helper()` and
-    shared SQL-fragment builders)."""
+    shared SQL-fragment builders), plus one CROSS-module hop through the
+    query's imports (a rewrite of an operators/ or functions/ block the
+    query calls re-dates the query — the blind spot earlier rounds had
+    to hand-list in INTENTIONAL_REGRADES) and the same-module refs of
+    each imported block (its private helpers)."""
     import re
 
-    mtimes, heads = _block_mtimes()
+    pkg_paths = _package_modules()
+    mtimes, heads = _block_mtimes(_QUERY_MODULES + pkg_paths)
+    imaps = _import_maps(_QUERY_MODULES)
+
+    def same_module_refs(path: str, root: str) -> set[str]:
+        blocks = heads.get(path, {})
+        if root not in blocks:
+            return set()
+        return {
+            w
+            for w in set(re.findall(r"\b[A-Za-z_]\w*\b", blocks[root]))
+            if w != root and w in blocks
+        }
+
     out: dict[str, int] = {}
     for q in names:
         roots = {q, f"{q.upper()}_SQL"}
         eps: list[int] = []
-        for path, blocks in heads.items():
+        targets: set[tuple[str, str]] = set()
+        for path in _QUERY_MODULES:
+            blocks = heads.get(path, {})
             local = roots & blocks.keys()
+            if not local:
+                continue
             refs: set[str] = set()
             for r in local:
-                for w in set(re.findall(r"\b[A-Za-z_]\w*\b", blocks[r])):
-                    if w not in roots and w in blocks:
-                        refs.add(w)
-            for b in local | refs:
-                if (path, b) in mtimes:
-                    eps.append(mtimes[(path, b)])
+                refs |= same_module_refs(path, r)
+            targets |= {(path, b) for b in local | refs}
+            # cross-module hop through this module's imports
+            imap = imaps.get(path, {})
+            text = "\n".join(blocks[r] for r in local | refs)
+            words = set(re.findall(r"\b[A-Za-z_]\w*\b", text))
+            attrs = set(re.findall(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)", text))
+            for w in words:
+                hit = imap.get(w)
+                if not hit:
+                    continue
+                tpath, sym = hit
+                if sym is not None:
+                    syms = {sym}
+                else:  # module alias: attribute only the attrs referenced
+                    syms = {a for m_, a in attrs if m_ == w}
+                for s in syms:
+                    if s in heads.get(tpath, {}):
+                        targets.add((tpath, s))
+                        targets |= {
+                            (tpath, h) for h in same_module_refs(tpath, s)
+                        }
+        for key in targets:
+            if key in mtimes:
+                eps.append(mtimes[key])
         out[q] = max(eps, default=0)
     return out
 

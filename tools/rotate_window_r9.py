@@ -7,8 +7,10 @@ non-guard slots become:
         newest driver row), exactly `tools/backlog_report.py --stale`
         order at round-9 start — includes the round-9 densification
         fixes (autocorr/OLS/Theil-Sen daily trends),
-  36-44 freshness re-grades of the 9 OLDEST remaining green rows (all
-        r1-era), so the union's oldest row keeps advancing.
+  36-44 the 9 most-stale additional rows surfaced by the round-9
+        CROSS-MODULE attribution hop (operators/functions rewrites now
+        re-date the queries that call them); all full-oracle. The ~12
+        below-the-fold remainder is round-10's ladder.
 The 6-slot streaming guard stays. The 44 displaced round-8 entries (all
 CORRECTNESS_r08.json full-oracle PASS) move to the top of _BACKLOG; the
 promoted re-grades are removed from their old _BACKLOG sections.
@@ -49,16 +51,16 @@ STALE_LADDER = [
     "dedup_containment",
 ]
 
-# Slots 36-44: the 9 oldest remaining green rows (all r1).
-FRESHNESS = [
-    "cheapest_line_per_part", "customer_order_ranks",
-    "customers_with_orders", "customers_without_orders",
-    "event_pair_candidates", "first_event_per_user",
-    "latest_event_per_user", "monthly_order_stats",
-    "nations_customers_not_suppliers",
+# Slots 36-44: the 9 most-stale full-oracle rows the cross-module
+# attribution hop surfaced (ladder order; ann_ivf_kmeans skipped —
+# rows-only, its real verification is the recall pytest).
+CROSS_MODULE = [
+    "stream_sliding_counts", "stream_dedup_keys", "pack_sequences_plan",
+    "export_shuffle_shards", "order_price_deciles", "curriculum_order",
+    "purchase_attribution_asof", "pagerank_det", "stream_upsert_scd1",
 ]
 
-INCOMING = STALE_LADDER + FRESHNESS
+INCOMING = STALE_LADDER + CROSS_MODULE
 assert len(INCOMING) == 44, len(INCOMING)
 assert set(INCOMING) == set(INTENTIONAL_REGRADES), (
     set(INCOMING) ^ set(INTENTIONAL_REGRADES)
@@ -113,8 +115,8 @@ header = [
     "    # rows whose query/oracle code changed AFTER their newest driver\n",
     "    # row, in `backlog_report.py --stale` order at round-9 start —\n",
     "    # including the round-9 densification fixes (autocorr/OLS/\n",
-    "    # Theil-Sen daily trends). Slots 36-44 are freshness re-grades of\n",
-    "    # the 9 oldest remaining green rows (r1-era). Every displaced\n",
+    "    # Theil-Sen daily trends). Slots 36-44: the 9 most-stale rows the\n",
+    "    # round-9 CROSS-MODULE attribution hop surfaced. Every displaced\n",
     "    # entry holds a CORRECTNESS_r08.json full-oracle PASS and moves to\n",
     "    # the top of _BACKLOG; check_oracle re-verifies all 352 registered\n",
     "    # queries locally every round. r9 displacement pairs:\n",
