@@ -172,3 +172,39 @@ def test_degenerate_sweep_skip_is_events_only():
         "the defining-module target filter is back — selection must be by "
         "the tables a query actually reads"
     )
+
+
+# ---------------------------------------------------------------------------
+# 5. backlog_report cross-module stale attribution (round-9): a rewrite of
+#    an operators/ or functions/ block must re-date the queries calling it
+# ---------------------------------------------------------------------------
+
+def test_import_maps_resolve_symbols_and_module_aliases():
+    from tools.backlog_report import _import_maps
+
+    maps = _import_maps([
+        "hadoop_data_lake_spark/queries/events_queries.py",
+        "hadoop_data_lake_spark/queries/northstar_queries.py",
+    ])
+    # direct-symbol import (inside a function body — ast.walk must see it)
+    assert maps["hadoop_data_lake_spark/queries/events_queries.py"].get(
+        "to_units"
+    ) == ("hadoop_data_lake_spark/functions/fixedpoint.py", "to_units")
+    # module-alias import: `from ...operators import dedup as DD`
+    assert maps["hadoop_data_lake_spark/queries/northstar_queries.py"].get(
+        "DD"
+    ) == ("hadoop_data_lake_spark/operators/dedup.py", None)
+
+
+def test_package_modules_exclude_core_and_registry():
+    from tools.backlog_report import _package_modules
+
+    mods = _package_modules()
+    assert mods, "package module walk must find operators/functions"
+    assert not any("/core/" in p for p in mods), (
+        "core/ must stay out of the hop: read_table is imported by every "
+        "query, so a core edit would re-date the whole registry at once"
+    )
+    assert not any(p.endswith("registry.py") for p in mods)
+    assert any(p.endswith("operators/dedup.py") for p in mods)
+    assert any(p.endswith("functions/fixedpoint.py") for p in mods)
