@@ -35,6 +35,47 @@ from hadoop_data_lake_spark.operators.windows import (
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def _dense_type_bins(
+    occupied: DataFrame,
+    time_col: str,
+    raw_col: str,
+    out_col: str,
+    step=None,
+) -> DataFrame:
+    """Zero-fill a per-(event_type, time-bin) aggregate over the FULL
+    corpus bin span — the dropped-zero-cell closure (fano/comovement
+    class): a bin where a type logged nothing is a real 0 observation.
+
+    `occupied` must be the ALREADY-aggregated frame, so this costs ONE
+    corpus scan total: it is localCheckpoint-ed (tiny — types x bins)
+    and the span, the type list and the left join all derive from the
+    checkpointed aggregate instead of re-scanning events (the
+    alias-differing-subtree re-execution gotcha: without the checkpoint
+    each of the three consumers re-runs the whole upstream, which the
+    round-9 plan probe measured as 3-6 events scans per query). The
+    span over `occupied` equals the span over events — every event
+    lands in some (type, bin) cell. `step` is the sequence stride
+    (None = unit stride for dates; pass interval expr for timestamps)."""
+    occ = occupied.localCheckpoint(eager=True)
+    span = occ.agg(F.min(time_col).alias("d0"), F.max(time_col).alias("d1"))
+    seq = (
+        F.sequence(F.col("d0"), F.col("d1"), step)
+        if step is not None
+        else F.sequence(F.col("d0"), F.col("d1"))
+    )
+    grid = (
+        occ.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select("event_type", F.explode(seq).alias(time_col))
+    )
+    return grid.join(occ, ["event_type", time_col], "left").select(
+        "event_type",
+        time_col,
+        F.coalesce(F.col(raw_col), F.lit(0)).alias(out_col),
+    )
+
+
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "events").select(
         "event_id",
@@ -2351,20 +2392,8 @@ def autocorr_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(
         "event_type", F.to_date("ts").alias("day"), to_units(F.col("value")).alias("c")
     )
-    span = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    grid = (
-        ev.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(span))
-        .select(
-            "event_type",
-            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
-        )
-    )
     occupied = ev.groupBy("event_type", "day").agg(F.sum("c").alias("x_raw"))
-    daily = grid.join(occupied, ["event_type", "day"], "left").select(
-        "event_type", "day", F.coalesce(F.col("x_raw"), F.lit(0)).alias("x")
-    )
+    daily = _dense_type_bins(occupied, "day", "x_raw", "x")
     w = Window.partitionBy("event_type").orderBy("day")
     lagged = daily.select(
         "event_type",
@@ -3367,25 +3396,9 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(
         "event_type", F.to_date("ts").alias("day"), to_units(F.col("value")).alias("c")
     )
-    span = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    grid = (
-        ev.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(span))
-        .select(
-            "event_type",
-            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
-        )
-    )
     occupied = ev.groupBy("event_type", "day").agg(F.sum("c").alias("y_raw"))
-    daily = (
-        grid.join(occupied, ["event_type", "day"], "left")
-        .select(
-            "event_type",
-            "day",
-            F.coalesce(F.col("y_raw"), F.lit(0)).alias("y"),
-        )
-        .withColumn("x", F.unix_date(F.col("day")))
+    daily = _dense_type_bins(occupied, "day", "y_raw", "y").withColumn(
+        "x", F.unix_date(F.col("day"))
     )
     a = daily.select("event_type", F.col("x").alias("xa"), F.col("y").alias("ya"))
     b = daily.select("event_type", F.col("x").alias("xb"), F.col("y").alias("yb"))
@@ -4409,25 +4422,9 @@ def ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(
         "event_type", F.to_date("ts").alias("day"), to_units(F.col("value")).alias("c")
     )
-    span = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    grid = (
-        ev.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(span))
-        .select(
-            "event_type",
-            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
-        )
-    )
     occupied = ev.groupBy("event_type", "day").agg(F.sum("c").alias("y_raw"))
-    daily = (
-        grid.join(occupied, ["event_type", "day"], "left")
-        .select(
-            "event_type",
-            "day",
-            F.coalesce(F.col("y_raw"), F.lit(0)).alias("y"),
-        )
-        .withColumn("x", F.unix_date(F.col("day")))
+    daily = _dense_type_bins(occupied, "day", "y_raw", "y").withColumn(
+        "x", F.unix_date(F.col("day"))
     )
     mom = daily.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -4515,21 +4512,9 @@ def fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
     )
-    span = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    grid = (
-        ev.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(span))
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
-            ).alias("h"),
-        )
-    )
     occupied = ev.groupBy("event_type", "h").agg(F.count("*").alias("c_raw"))
-    hourly = grid.join(occupied, ["event_type", "h"], "left").select(
-        "event_type", F.coalesce(F.col("c_raw"), F.lit(0)).alias("c")
+    hourly = _dense_type_bins(
+        occupied, "h", "c_raw", "c", step=F.expr("interval 1 hour")
     )
     mom = hourly.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -5123,20 +5108,8 @@ def type_comovement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(
         "event_type", F.to_date("ts").alias("day"), to_units(F.col("value")).alias("c")
     )
-    span = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    grid = (
-        ev.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(span))
-        .select(
-            "event_type",
-            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
-        )
-    )
     occupied = ev.groupBy("event_type", "day").agg(F.sum("c").alias("y_raw"))
-    daily = grid.join(occupied, ["event_type", "day"], "left").select(
-        "event_type", "day", F.coalesce(F.col("y_raw"), F.lit(0)).alias("y")
-    )
+    daily = _dense_type_bins(occupied, "day", "y_raw", "y")
     a = daily.select(
         F.col("event_type").alias("ta"), "day", F.col("y").alias("ya")
     )

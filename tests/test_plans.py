@@ -297,11 +297,16 @@ def test_target_encoding_is_one_scan_one_shuffle_plus_window(spark):
 
 
 def test_autocorr_single_scan_single_sort(spark):
-    """Lags 1-3 ride one window pass over the daily frame: one events scan
-    and one Sort for the window (stack unpivot adds no shuffle)."""
+    """Lags 1-3 ride one window pass over the DENSIFIED daily frame. The
+    round-9 densification checkpoints the (type, day) aggregate, so the
+    visible plan has ZERO FileScans — the corpus is scanned exactly once
+    at checkpoint build, and the span/grid/left-join all derive from the
+    tiny aggregate (without the checkpoint the plan probe measured 3
+    events scans: one per alias-differing consumer)."""
     plan = _plan(spark, "autocorr_daily_value")
-    assert plan.count("FileScan parquet") == 1
+    assert plan.count("FileScan parquet") == 0
     assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
 
 
 def test_bloom_semijoin_broadcasts_bitset_and_dim(spark):
@@ -356,9 +361,12 @@ def test_nb_classifier_single_training_aggregation(spark):
 
 def test_theil_sen_self_join_is_post_aggregation(spark):
     """The quadratic pairwise-slope join must operate on the aggregated
-    daily frame (HashAggregate below the join), never on raw events."""
+    (and round-9: densified + checkpointed) daily frame, never on raw
+    events: zero FileScans in the visible plan (one corpus pass at
+    checkpoint build) and no cartesian pair generation."""
     plan = _plan(spark, "theil_sen_daily_trend")
-    assert plan.count("FileScan parquet") <= 2
+    assert plan.count("FileScan parquet") == 0
+    assert "CartesianProduct" not in plan
 
 
 def test_semdedup_pair_join_is_equi_on_cluster(spark):
