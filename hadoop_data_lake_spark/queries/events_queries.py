@@ -3211,8 +3211,14 @@ def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
+
+    # an empty corpus observes sum() as None (SQL NULL over zero rows) —
+    # preserve it; the oracle's sums are NULL there too (r9 sweep axis)
+    def _i(x):
+        return int(x) if x is not None else None
+
     return spark.createDataFrame(
-        [(int(m["n_rows"]), int(m["sum_cents"]), int(m["n_null_props"]))],
+        [(_i(m["n_rows"]), _i(m["sum_cents"]), _i(m["n_null_props"]))],
         "n_rows long, sum_cents long, n_null_props long",
     )
 

@@ -5033,9 +5033,19 @@ def kmv_week_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .localCheckpoint(eager=False)
     )
-    union_est = kmv_estimate(
-        union_k.withColumn("g", F.lit(1)), ["g"]
-    ).select(F.col("est").alias("est_union"))
+    # GLOBAL aggregate, not kmv_estimate's groupBy (r9 empty-corpus axis):
+    # a grouped agg over an empty union sketch yields ZERO rows while the
+    # oracle's global `FROM union_k` yields one (est 0.0 via the n<k
+    # branch) — the global form keeps the engines row-aligned.
+    union_est = union_k.agg(
+        F.count("*").alias("n_min"), F.max("h").alias("hk")
+    ).select(
+        F.when(F.col("n_min") < KMV_K, F.col("n_min").cast("double"))
+        .otherwise(
+            F.lit(float((KMV_K - 1) * (1 << 60))) / F.col("hk").cast("double")
+        )
+        .alias("est_union")
+    )
     s0 = mins.where(F.col("wk") == 0).select("h")
     s1 = mins.where(F.col("wk") == 1).select("h")
     in_both = (
@@ -5052,23 +5062,30 @@ def kmv_week_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("w0") * F.col("w1")).cast("long").alias("exact_inter"),
         )
     )
-    ests = (
-        est.groupBy()
-        .pivot("wk", [0, 1])
-        .agg(F.first("est"))
-        .withColumnRenamed("0", "e0")
-        .withColumnRenamed("1", "e1")
-        .crossJoin(union_est)
-    )
+    # conditional global agg instead of groupBy().pivot(): a pivot over an
+    # empty per-week estimate frame returns ZERO rows (the oracle's scalar
+    # subqueries return NULL in their one row) — first(when, ignorenulls)
+    # is row-stable on empty input and unambiguous here (one row per wk)
+    ests = est.agg(
+        F.first(F.when(F.col("wk") == 0, F.col("est")), ignorenulls=True).alias("e0"),
+        F.first(F.when(F.col("wk") == 1, F.col("est")), ignorenulls=True).alias("e1"),
+    ).crossJoin(union_est)
     return (
         ests.crossJoin(exact)
         .select(
             F.round("e0", 6).alias("est_w0_r"),
             F.round("e1", 6).alias("est_w1_r"),
             F.round("est_union", 6).alias("est_union_r"),
-            F.round(F.lit(in_both) / F.lit(k_used), 6).alias("jaccard_est_r"),
+            # nullif: an empty corpus leaves an empty union sketch
+            # (k_used = 0) — Jaccard is undefined, NULL in both engines
+            # (DuckDB division by zero already yields NULL; r9 sweep axis)
             F.round(
-                (F.lit(in_both) / F.lit(k_used)) * F.col("est_union"), 6
+                F.lit(in_both) / F.nullif(F.lit(k_used), F.lit(0)), 6
+            ).alias("jaccard_est_r"),
+            F.round(
+                (F.lit(in_both) / F.nullif(F.lit(k_used), F.lit(0)))
+                * F.col("est_union"),
+                6,
             ).alias("est_inter_r"),
             "exact_w0",
             "exact_w1",
@@ -5124,8 +5141,8 @@ exact AS (
 SELECT round((SELECT est FROM est WHERE wk = 0), 6) AS est_w0_r,
        round((SELECT est FROM est WHERE wk = 1), 6) AS est_w1_r,
        round(u.est_union, 6) AS est_union_r,
-       round(b.n::double / u.k_used, 6) AS jaccard_est_r,
-       round((b.n::double / u.k_used) * u.est_union, 6) AS est_inter_r,
+       round(b.n::double / nullif(u.k_used, 0), 6) AS jaccard_est_r,
+       round((b.n::double / nullif(u.k_used, 0)) * u.est_union, 6) AS est_inter_r,
        e.exact_w0, e.exact_w1, e.exact_inter
 FROM union_est u, in_both b, exact e
 """

@@ -4507,9 +4507,13 @@ def activity_tail_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     counts = ev.groupBy("user_id").agg(F.count("*").alias("c"))
     topk = counts.orderBy(F.col("c").desc(), F.col("user_id").asc()).limit(20)
+    # empty-corpus alignment (r9 sweep axis): Spark collect_list over zero
+    # rows yields [] (slice/element_at on it error under ANSI) while the
+    # oracle's list() yields NULL — null the empty array so BOTH engines
+    # NULL-propagate through every downstream expression identically.
     arr = topk.agg(
-        F.reverse(F.array_sort(F.collect_list("c"))).alias("xs")
-    )
+        F.reverse(F.array_sort(F.collect_list("c"))).alias("xs0")
+    ).select(F.when(F.size("xs0") > 0, F.col("xs0")).alias("xs"))
     return arr.select(
         F.size("xs").cast("long").alias("k_used"),
         F.element_at("xs", 1).cast("long").alias("x_max"),

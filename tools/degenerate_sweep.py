@@ -9,14 +9,18 @@ the guard mirrored in its oracle — this tool keeps the class CLOSED as
 queries are added.
 
 Corpora:
-  events-based (3): a single event; one day with two types; thirty
-    identical values. Exercises empty hash variants/samples/arms/periods,
-    single time bins, single groups/folds, and zero variance.
-  table-based (2, derived from sf0.001 so every schema contract holds):
+  events-based (4): ZERO events (r9 axis — NULL spans, empty window
+    partitions, aggregates over nothing); a single event; one day with
+    two types; thirty identical values. Exercises empty hash variants/
+    samples/arms/periods, single time bins, single groups/folds, and
+    zero variance.
+  table-based (3, derived from sf0.001 so every schema contract holds):
     single-row facts (orders LIMIT 1 + its lines, 1 event/doc/embedding);
     constant values (flat prices/discounts, identical documents and
-    embeddings). Exercises one-class AUCs, single-source MMD, one-point
-    regression ladders, flat top-k tails, and identical-point geometry.
+    embeddings); EMPTY facts (r9 axis — all five fact tables zero-row
+    with their real schemas, dimensions populated). Exercises one-class
+    AUCs, single-source MMD, one-point regression ladders, flat top-k
+    tails, identical-point geometry, and zero-row sketch states.
 
 All fixtures are written in the driver's SINGLE-FILE table layout
 (one part file moved to <table>.parquet), so footer-reading queries
@@ -74,6 +78,11 @@ def _write_single_file(spark, df, dest: str) -> None:
 
 def _events_cases(spark) -> dict[str, str]:
     cases = {
+        # zero rows, full schema: a legal slice at 100 TB (an empty day
+        # partition / a filter that matched nothing). Exercises NULL
+        # min/max spans (sequence(NULL, NULL)), empty window partitions,
+        # and global aggregates over nothing (round-9 axis).
+        "empty_events": [],
         "one_event": [(1, EPOCH, 1, "purchase", 5.0, "{}")],
         "one_day_two_types": [
             (1, EPOCH, 1, "purchase", 5.0, "{}"),
@@ -141,6 +150,15 @@ def _table_cases(spark) -> dict[str, str]:
             "n_chars", F.length(F.lit(text0)).cast("long")
         ),
     )
+    # empty facts (r9 axis): every fact table zero-row with its real
+    # schema (limit 0 preserves it), dimensions populated — a legal
+    # corpus slice (an empty day partition / a filter matching nothing).
+    # Exercises NULL min/max spans, empty window partitions, global
+    # aggregates over nothing and zero-row sketch states.
+    d3 = _base_dir()
+    for t in ("orders", "lineitem", "events", "documents", "embeddings"):
+        _replace(spark, d3, t, spark.read.parquet(f"{SRC}/{t}.parquet").limit(0))
+
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
     vec0 = emb.limit(1).collect()[0]["embedding"]
     _replace(
@@ -153,7 +171,7 @@ def _table_cases(spark) -> dict[str, str]:
         spark, d2, "events",
         spark.read.parquet(f"{SRC}/events.parquet").withColumn("value", F.lit(7.0)),
     )
-    return {"one_row_facts": d1, "constant_values": d2}
+    return {"one_row_facts": d1, "constant_values": d2, "empty_facts": d3}
 
 
 def main() -> int:
