@@ -205,6 +205,11 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        # empty edge set (r9 empty-corpus axis): no vertices, no ranks
+        return nodes.select(
+            F.col("v").alias("vertex"), F.lit(None).cast("double").alias("rank")
+        )
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # edges+degree are reused every iteration: materialize once
     contrib_base = e.join(out_deg, "src").localCheckpoint(eager=True)
@@ -360,6 +365,12 @@ def pagerank_intexact(
         "node", F.col("deg").isNull().alias("dang")
     )
     n = nodes_f.count()  # bounded driver scalar (node count only)
+    if n == 0:
+        # empty edge set (r9 empty-corpus axis): no vertices, no ranks —
+        # zero rows, same as the oracle's unrolled CTEs over empty verts
+        return nodes_f.select(
+            "node", F.lit(None).cast("long").alias("rank_units")
+        )
     base = (100 - damping_pct) * (scale // n) // 100
 
     ranks = nodes_f.withColumn("rank", F.lit(scale // n)).localCheckpoint(eager=True)

@@ -505,6 +505,11 @@ def kmeans_fit_assign(
         .collect()
     )
     pts = np.array([[float(x) for x in r["__v"]] for r in sample])
+    if pts.size == 0:
+        # empty corpus (r9 empty-corpus axis): no centroids, every row
+        # (there are none) unassigned — callers see zero centers and an
+        # empty assignment frame with the `cell` column in place
+        return np.zeros((0, 0)), df.withColumn("cell", F.lit(None).cast("int"))
     chosen = [0]  # min-id seed (rows arrive id-ascending)
     d_near = ((pts - pts[0]) ** 2).sum(axis=1)
     for _ in range(k - 1):
@@ -565,6 +570,12 @@ def ivf_kmeans_topk(
     centers, assigned = kmeans_fit_assign(
         corpus, id_col=id_col, vec_col=vec_col, k=n_cells, max_iter=max_iter
     )
+    if len(centers) == 0:
+        # empty corpus (r9 empty-corpus axis): no cells to probe, no
+        # neighbors — zero rows with the stable result schema
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, sim_r double, rnk int"
+        )
     cells = assigned.select(
         F.col("cell"),
         F.col(id_col).alias("neighbor_id"),
@@ -851,6 +862,11 @@ def pq_train(
         .collect()
     )
     pts = np.array([[float(x) for x in r["__v"]] for r in sample])
+    if pts.size == 0:
+        # empty corpus (r9 empty-corpus axis): nothing to train on — zero
+        # codebooks keep the encode/search stages well-typed (they see an
+        # empty corpus anyway and emit zero rows)
+        return np.zeros((m, ksub, sub))
     books = np.empty((m, ksub, sub))
     for j in range(m):
         x = pts[:, j * sub : (j + 1) * sub]

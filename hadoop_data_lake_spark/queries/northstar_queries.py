@@ -3951,13 +3951,18 @@ def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold("lxx").alias("sxx"),
     )
     n = F.col("n").cast("double")
-    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    # nullif guards (r9 empty-corpus axis): an empty/single-token corpus
+    # has zero x-variance (slope undefined) and n = 0 zeroes the
+    # intercept divisor — NULL, not an ANSI divide-by-zero
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        n * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
     )
     return mom.select(
         F.col("n").alias("n_tokens"),
         F.round(-slope, 6).alias("zipf_s_r"),
-        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("log_c_r"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.nullif(n, F.lit(0.0)), 6
+        ).alias("log_c_r"),
     )
 
 
@@ -3984,9 +3989,9 @@ mom AS (
   FROM pairs
 )
 SELECT n AS n_tokens,
-       round(-((n::double * sxy - sx * sy) / (n::double * sxx - sx * sx)), 6) AS zipf_s_r,
-       round((sy - ((n::double * sxy - sx * sy) / (n::double * sxx - sx * sx)) * sx)
-             / n::double, 6) AS log_c_r
+       round(-((n::double * sxy - sx * sy) / nullif(n::double * sxx - sx * sx, 0.0)), 6) AS zipf_s_r,
+       round((sy - ((n::double * sxy - sx * sy) / nullif(n::double * sxx - sx * sx, 0.0)) * sx)
+             / nullif(n::double, 0.0), 6) AS log_c_r
 FROM mom
 """
 
@@ -4025,9 +4030,13 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total",
         F.col("distinct_").alias("n_distinct"),
-        F.round(F.col("distinct_").cast("double") / F.col("total").cast("double"), 6).alias(
-            "novelty_r"
-        ),
+        # nullif: an empty corpus has no n-grams — novelty is undefined
+        # (NULL), not an ANSI divide-by-zero (r9 empty-corpus axis)
+        F.round(
+            F.col("distinct_").cast("double")
+            / F.nullif(F.col("total").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("novelty_r"),
     )
 
 
@@ -4038,7 +4047,7 @@ def _novelty_sql() -> str:
         parts.append(
             f"""
 SELECT {n} AS n, count(*) AS total, count(DISTINCT g) AS n_distinct,
-       round(count(DISTINCT g)::double / count(*)::double, 6) AS novelty_r
+       round(count(DISTINCT g)::double / nullif(count(*)::double, 0.0), 6) AS novelty_r
 FROM (
   SELECT unnest(list_transform(range(1, len(w) - {n} + 2), i -> {gram})) AS g
   FROM (SELECT string_split(text, ' ') AS w FROM documents)
@@ -5961,41 +5970,43 @@ def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     n_docs = docs.count()
 
+    def _scalar(df) -> float | None:
+        # None-tolerant bounded scalar pull (r9 empty-corpus axis): an
+        # empty corpus leaves some sub-stages row-less or NULL — the
+        # oracle's min()/sum() over empty are NULL rows, not crashes
+        r = df.limit(1).collect()
+        return float(r[0][0]) if r and r[0][0] is not None else None
+
     exact_groups = (
         DD.exact_dedup(docs, "doc_id", "text")
         .where(F.col("n_copies") >= 2)
         .count()
     )
     clusters = dedup_clusters_minhash(spark, sf_dir).select("cluster_rep").distinct().count()
-    kept_major = (
-        quality_ensemble_vote(spark, sf_dir)
-        .select("n_kept_majority")
-        .limit(1)
-        .collect()[0][0]
+    kept_major = _scalar(
+        quality_ensemble_vote(spark, sf_dir).select("n_kept_majority")
     )
-    alloc = data_mix_waterfill(spark, sf_dir).agg(
-        F.sum("alloc_toks").alias("a")
-    ).collect()[0][0]
-    cov50 = (
+    alloc = _scalar(
+        data_mix_waterfill(spark, sf_dir).agg(F.sum("alloc_toks").alias("a"))
+    )
+    cov50 = _scalar(
         ngram_coverage_curve(spark, sf_dir)
         .where(F.col("k") == 50)
         .select("coverage_r")
-        .collect()[0][0]
     )
-    coll = (
+    coll = _scalar(
         hash_collision_audit(spark, sf_dir)
         .where(F.col("bits") == 10)
         .select("collision_rate_r")
-        .collect()[0][0]
     )
     rows = [
         ("n_docs", float(n_docs)),
         ("exact_dup_groups", float(exact_groups)),
         ("near_dup_clusters", float(clusters)),
-        ("kept_majority_vote", float(kept_major)),
-        ("waterfill_alloc_toks", float(alloc)),
-        ("vocab_coverage_top50_r", float(cov50)),
-        ("hash_collision_rate_2e10_r", float(coll)),
+        ("kept_majority_vote", kept_major),
+        ("waterfill_alloc_toks", alloc),
+        ("vocab_coverage_top50_r", cov50),
+        ("hash_collision_rate_2e10_r", coll),
     ]
     return spark.createDataFrame(rows, "metric string, value double")
 
