@@ -208,3 +208,40 @@ def test_package_modules_exclude_core_and_registry():
     assert not any(p.endswith("registry.py") for p in mods)
     assert any(p.endswith("operators/dedup.py") for p in mods)
     assert any(p.endswith("functions/fixedpoint.py") for p in mods)
+
+
+# ---------------------------------------------------------------------------
+# 6. empty-input guards (r9 empty-corpus axis): iterative operators must
+#    return empty stable-schema frames, never divide or index by zero
+# ---------------------------------------------------------------------------
+
+def test_pagerank_variants_empty_edges(spark):
+    from hadoop_data_lake_spark.operators.graph import pagerank, pagerank_intexact
+
+    e = spark.createDataFrame([], "src long, dst long")
+    out_f = pagerank(e, max_iter=3)
+    assert out_f.columns == ["vertex", "rank"] and out_f.count() == 0
+    out_i = pagerank_intexact(e, iters=3)
+    assert out_i.columns == ["node", "rank_units"] and out_i.count() == 0
+
+
+def test_kmeans_and_pq_empty_corpus(spark):
+    import numpy as np
+
+    from hadoop_data_lake_spark.operators.similarity import (
+        ivf_kmeans_topk,
+        kmeans_fit_assign,
+        pq_train,
+    )
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    centers, assigned = kmeans_fit_assign(emb, k=4, max_iter=2)
+    assert len(centers) == 0 and assigned.count() == 0
+    assert "cell" in assigned.columns
+
+    books = pq_train(emb, m=8, nbits=4, dim=64)
+    assert books.shape == (8, 16, 8) and not np.any(books)
+
+    out = ivf_kmeans_topk(emb, emb, k=5, n_cells=4, max_iter=2)
+    assert out.columns == ["query_id", "neighbor_id", "sim_r", "rnk"]
+    assert out.count() == 0
