@@ -8299,8 +8299,13 @@ def haar_energy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "level",
         "n_coeffs",
         "detail_energy",
+        # nullif: a flat (e.g. all-NULL-value) series has zero total
+        # detail energy — shares are undefined (NULL), not an ANSI
+        # divide-by-zero (r9 all_null_value corpus)
         F.round(
-            F.col("detail_energy").cast("double") / F.col("te").cast("double"), 6
+            F.col("detail_energy").cast("double")
+            / F.nullif(F.col("te").cast("double"), F.lit(0.0)),
+            6,
         ).alias("energy_share_r"),
     )
 
@@ -8342,7 +8347,7 @@ lev AS (
 ),
 tot AS (SELECT sum(detail_energy)::bigint AS te FROM lev)
 SELECT lev.level, lev.n_coeffs, lev.detail_energy,
-       round(lev.detail_energy::double / tot.te::double, 6) AS energy_share_r
+       round(lev.detail_energy::double / nullif(tot.te::double, 0.0), 6) AS energy_share_r
 FROM lev, tot
 """
 

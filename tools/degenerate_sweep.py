@@ -9,11 +9,11 @@ the guard mirrored in its oracle — this tool keeps the class CLOSED as
 queries are added.
 
 Corpora:
-  events-based (4): ZERO events (r9 axis — NULL spans, empty window
+  events-based (5): ZERO events (r9 axis — NULL spans, empty window
     partitions, aggregates over nothing); a single event; one day with
     two types; thirty identical values. Exercises empty hash variants/
     samples/arms/periods, single time bins, single groups/folds, and
-    zero variance.
+    zero variance; thirty all-NULL values (r9 axis — NULL-heavy slices).
   table-based (3, derived from sf0.001 so every schema contract holds):
     single-row facts (orders LIMIT 1 + its lines, 1 event/doc/embedding);
     constant values (flat prices/discounts, identical documents and
@@ -90,6 +90,20 @@ def _events_cases(spark) -> dict[str, str]:
         ],
         "all_same_value": [
             (i, EPOCH + dt.timedelta(hours=i), i % 3, "click", 7.0, "{}")
+            for i in range(30)
+        ],
+        # every value NULL (r9 axis): value is nullable and NULL-heavy
+        # slices are routine — exercises round(NULL) cents, sums that
+        # skip every row, and NULL-key windows
+        "all_null_value": [
+            (
+                i,
+                EPOCH + dt.timedelta(hours=i),
+                i % 3,
+                ["click", "purchase", "view"][i % 3],
+                None,
+                "{}",
+            )
             for i in range(30)
         ],
     }
