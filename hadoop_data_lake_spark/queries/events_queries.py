@@ -2916,45 +2916,62 @@ def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression over integer counts. Global positions over the reference
     half come from the two-phase distributed prefix sum — not a global
     Window.orderBy row_number (a single-task sort at 100 TB; VERDICT r4
-    item 2). (cents, day) is not a total order, but the decile EDGES are
-    max(cents)-per-bin, invariant under permutations of equal cents."""
+    item 2). (cents, day) is not a total order over ROWS, but the decile
+    EDGES are max(cents)-per-bin, invariant under permutations of equal
+    cents — so the ranking runs at GROUP level (r9 scan-multiplicity
+    audit): ONE events pass aggregates to the bounded (day, cents, n)
+    frame (checkpointed — the old shape re-executed the raw scan for
+    every branch, 12 events scans per run), the prefix sum ranks the
+    n-weighted groups in the same (cents, day) order, and each group's
+    rows occupy exactly the consecutive rank bins [bin_lo, bin_hi]
+    (exploded, <= 10 rows per group) — identical edges by construction."""
     from hadoop_data_lake_spark.functions.fixedpoint import to_units
     from hadoop_data_lake_spark.operators.packing import token_prefix_sum
 
-    ev = read_table(spark, sf_dir, "events").select(
-        F.to_date("ts").alias("day"), to_units(F.col("value")).alias("cents")
+    dc = (
+        read_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), to_units(F.col("value")).alias("cents"))
+        .groupBy("day", "cents")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
     )
-    mid = ev.agg(
-        F.date_add(F.min("day"), 15).alias("cut")
-    )
-    tagged = ev.crossJoin(F.broadcast(mid)).withColumn(
+    mid = dc.agg(F.date_add(F.min("day"), 15).alias("cut"))
+    tagged = dc.crossJoin(F.broadcast(mid)).withColumn(
         "period", F.when(F.col("day") < F.col("cut"), "ref").otherwise("cur")
     )
     ref = tagged.where(F.col("period") == "ref")
-    binned_ref = token_prefix_sum(
-        ref.withColumn("__one", F.lit(1)), ["cents", "day"], "__one"
-    ).withColumnRenamed("cum", "rk").crossJoin(
-        F.broadcast(ref.agg(F.count("*").alias("nr")))
-    ).withColumn("bin", F.expr("((rk - 1) * 10) div nr"))
-    edges = binned_ref.groupBy("bin").agg(F.max("cents").alias("edge")).where(
-        F.col("bin") < 9
+    ranked = token_prefix_sum(ref, ["cents", "day"], "n").crossJoin(
+        F.broadcast(ref.agg(F.sum("n").alias("nr")))
+    )
+    # a group's n rows hold ranks (cum-n, cum]; row-rank bin is
+    # ((rk-1)*10) div nr, nondecreasing in rk, so the group spans the
+    # contiguous bins [((cum-n)*10) div nr, ((cum-1)*10) div nr]
+    spans = ranked.select(
+        "cents",
+        F.expr("((cum - n) * 10) div nr").alias("bin_lo"),
+        F.expr("((cum - 1) * 10) div nr").alias("bin_hi"),
+    )
+    edges = (
+        spans.select("cents", F.explode(F.sequence("bin_lo", "bin_hi")).alias("bin"))
+        .groupBy("bin")
+        .agg(F.max("cents").alias("edge"))
+        .where(F.col("bin") < 9)
     )
     # bucket against the 9 integer edges: bin(cents) = #edges < cents. The
     # mapping depends only on the value, so it's computed once per DISTINCT
     # cents (a tiny frame) and joined back — never a 9x row explosion of
     # the facts.
-    all_rows = tagged.select("period", "cents")
     cents_bins = (
-        all_rows.select("cents")
+        tagged.select("cents")
         .distinct()
         .crossJoin(F.broadcast(edges.select("edge")))
         .groupBy("cents")
         .agg(F.sum((F.col("edge") < F.col("cents")).cast("int")).alias("bin"))
     )
     counts = (
-        all_rows.join(cents_bins, "cents")
+        tagged.join(cents_bins, "cents")
         .groupBy("period", "bin")
-        .agg(F.count("*").alias("n"))
+        .agg(F.sum("n").alias("n"))
     )
     wide = (
         counts.groupBy("bin")
@@ -4678,7 +4695,14 @@ def forecast_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"),
         to_units(F.col("value")).alias("cents"),
     )
-    daily = ev.groupBy("event_type", "day").agg(F.sum("cents").alias("y"))
+    # checkpoint the bounded (type x day) aggregate (r9 scan-multiplicity
+    # audit): the cutoff, both model fits and both test joins each
+    # re-executed the raw events scan otherwise — 8 scans per run
+    daily = (
+        ev.groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("y"))
+        .localCheckpoint(eager=True)
+    )
     cutoff = daily.agg(F.date_sub(F.max("day"), 7).alias("cut"))
     tagged = daily.crossJoin(F.broadcast(cutoff)).withColumn(
         "is_test", (F.col("day") > F.col("cut")).cast("int")
@@ -6446,7 +6470,14 @@ def benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (m = #event types, dimension-bounded)."""
     from pyspark.sql import Window
 
-    tests = ab_test_welch(spark, sf_dir).select("event_type", "welch_z_r")
+    # checkpoint the m-row Welch aggregate (r9 scan-multiplicity audit):
+    # the rank window, the m count and the k* scan each re-executed the
+    # whole Welch pipeline otherwise — 8 events scans per run
+    tests = (
+        ab_test_welch(spark, sf_dir)
+        .select("event_type", "welch_z_r")
+        .localCheckpoint(eager=True)
+    )
     az = F.abs(F.col("welch_z_r")) / F.lit(2.0) ** 0.5
     t = 1.0 / (1.0 + 0.3275911 * az)
     erf = 1.0 - (

@@ -314,7 +314,11 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     future dataset can no longer flip n_kept (ADVICE r3)."""
     ppl = doc_lm_perplexity(spark, sf_dir)
     langs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    j = ppl.join(langs, "doc_id")
+    # checkpoint the per-doc scalar frame (r9 scan-multiplicity audit):
+    # the cutoff agg and the keep-join each re-executed the whole bigram
+    # LM otherwise (8 documents scans per run); (doc_id, lang, bits) is
+    # ~64 bytes/doc — orders smaller than the text corpus it derives from
+    j = ppl.join(langs, "doc_id").localCheckpoint(eager=True)
     cut = j.groupBy("lang").agg(
         F.round(F.percentile("cross_entropy_bits", F.lit(0.9)), 6).alias("cutoff")
     )
@@ -2794,12 +2798,22 @@ def minhash_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_data_lake_spark.operators import dedup as DD
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    truth = DD.ngram_jaccard_pairs(
-        docs, "doc_id", "text", k=3, threshold=0.3, max_df=None
-    ).select("doc_a", "doc_b")
-    cand = DD.minhash_lsh_pairs(
-        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.3
-    ).select("doc_a", "doc_b")
+    # checkpoint both pair frames (r9 scan-multiplicity audit): the
+    # semi-join and the three counts each re-executed the full shingle/
+    # minhash pipelines otherwise — 20 documents scans per run; near-dup
+    # pair sets are tiny next to the corpus
+    truth = (
+        DD.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.3, max_df=None)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    cand = (
+        DD.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.3
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     hits = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
     stats = (
         cand.agg(F.count("*").alias("n_candidates"))

@@ -3910,8 +3910,14 @@ def lorenz_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_data_lake_spark.operators.packing import prefix_agg
 
     orders = read_table(spark, sf_dir, "orders")
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.sum(to_units(F.col("o_totalprice"))).alias("cents")
+    # checkpoint the per-customer aggregate (r9 scan-multiplicity audit):
+    # the prefix pass, the totals and the old 10 per-decile branches each
+    # re-executed the orders scan — 10 scans per run; the decile pick is
+    # now ONE pass (explode d=1..10, keep rows whose rank hits a cutoff)
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(to_units(F.col("o_totalprice"))).alias("cents"))
+        .localCheckpoint(eager=True)
     )
     ranked = prefix_agg(
         per_cust.withColumn("__one", F.lit(1)),
@@ -3922,19 +3928,22 @@ def lorenz_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             per_cust.agg(F.count("*").alias("n"), F.sum("cents").alias("total"))
         )
     )
-    rows = [
-        ranked.where(F.col("i") == F.ceil(F.lit(d / 10.0) * F.col("n"))).select(
-            F.lit(d * 10).alias("pop_pct"),
+    return (
+        ranked.select(
+            "i",
+            "n",
+            "cum",
+            "total",
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("d"),
+        )
+        .where(F.col("i") == F.ceil(F.col("d") / 10.0 * F.col("n")))
+        .select(
+            (F.col("d") * 10).cast("int").alias("pop_pct"),
             F.round(
                 F.col("cum").cast("double") / F.col("total").cast("double"), 6
             ).alias("rev_share_r"),
         )
-        for d in range(1, 11)
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    )
 
 
 LORENZ_CURVE_POINTS_SQL = """
