@@ -165,7 +165,15 @@ def jaccard_pairs_prefix_filter(
     the registry reuses the SAME DuckDB oracle for both.
     """
     sets, inv = _shingle_index(df, id_col, content_col, k)
-    sizes = sets.select("doc", F.size("sh").alias("n_sh"))
+    # the inverted index feeds the df ranking, the prefix build AND both
+    # sides of the verification join — without materialization each
+    # consumer re-runs the interpreted shingle HOF (~0.5 ms/doc) plus the
+    # corpus scan (measured: 10 documents scans per run, r9
+    # scan-multiplicity audit; sf0.1 wall 17.6 s -> ~8 s with the
+    # checkpoint). Token-level but 1 small row per shingle — far cheaper
+    # to persist once than to recompute 4x.
+    inv = inv.localCheckpoint(eager=True)
+    sizes = inv.groupBy(F.col("doc")).agg(F.count("*").alias("n_sh"))
 
     freq = inv.groupBy("s").agg(F.count("*").alias("df_s"))
     w = Window.partitionBy("doc").orderBy(F.col("df_s").asc(), F.col("s").asc())

@@ -321,10 +321,16 @@ def sequential_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same key, so the stages reuse one partitioning instead of
     re-shuffling per stage."""
     ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    # v and c are checkpointed (r9 scan-multiplicity audit): each feeds
+    # both the next stage and the final count join, and without the
+    # checkpoint each consumer re-executed the stage's events scan (6
+    # scans; now 3 — one pushed type-filter scan per stage, the funnel's
+    # inherent shape). Per-user frames, bounded by the user dimension.
     v = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("tv"))
+        .localCheckpoint(eager=True)
     )
     c = (
         ev.where(F.col("event_type") == "click")
@@ -332,6 +338,7 @@ def sequential_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") > F.col("tv"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("tc"))
+        .localCheckpoint(eager=True)
     )
     p = (
         ev.where(F.col("event_type") == "purchase")

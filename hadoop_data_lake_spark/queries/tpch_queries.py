@@ -4334,12 +4334,22 @@ def cf_ndcg_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    train = cb.where("is_train").select("o_custkey", "p_brand").distinct()
-    test = cb.where(~F.col("is_train")).select("o_custkey", "p_brand").distinct()
+    # ONE pass over the fact join (r9 scan-multiplicity audit): aggregate
+    # to the bounded (customer x brand x split) frame and checkpoint it —
+    # train/test/popularity previously each re-executed the
+    # lineitem-orders join (6 lineitem scans per run). Row counts ride
+    # along so popularity still counts purchases, not distinct pairs.
+    cbd = (
+        cb.groupBy("o_custkey", "p_brand", "is_train")
+        .agg(F.count("*").alias("n_rows"))
+        .localCheckpoint(eager=True)
+    )
+    train = cbd.where("is_train").select("o_custkey", "p_brand").distinct()
+    test = cbd.where(~F.col("is_train")).select("o_custkey", "p_brand").distinct()
     pop = (
-        cb.where("is_train")
+        cbd.where("is_train")
         .groupBy("p_brand")
-        .agg(F.count("*").alias("pop"))
+        .agg(F.sum("n_rows").alias("pop"))
     )
     test_users = test.select("o_custkey").distinct()
     cand = (
@@ -4807,32 +4817,35 @@ def newsvendor_brand_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
     )
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # checkpoint the bounded (brand x day) aggregate and take all three
+    # order statistics in ONE conditional aggregation (the oracle's CASE
+    # shape) — the old per-quantile filter branches re-executed the
+    # lineitem join 7x per run (r9 scan-multiplicity audit)
     daily = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "day")
         .agg(F.sum("qty_c").alias("d"))
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("p_brand").orderBy("d", "day")
-    ranked = daily.withColumn("rk", F.row_number().over(w)).join(
-        daily.groupBy("p_brand").agg(
-            F.count("*").alias("n"), F.sum("d").alias("s")
-        ),
-        "p_brand",
+    ranked = daily.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("p_brand"))
     )
-    picks = []
-    for name, pct in (("q50", 50), ("q80", 80), ("q95", 95)):
-        picks.append(
-            ranked.where(F.col("rk") == F.ceil(F.lit(pct / 100.0) * F.col("n")))
-            .groupBy("p_brand")
-            .agg(F.min("d").alias(name))
-        )
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.join(p, "p_brand")
+    q = ranked.groupBy("p_brand").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("rk") == F.ceil(F.lit(pct / 100.0) * F.col("n")),
+                    F.col("d"),
+                )
+            ).alias(name)
+            for name, pct in (("q50", 50), ("q80", 80), ("q95", 95))
+        ]
+    )
     return (
         daily.groupBy("p_brand")
         .agg(F.count("*").alias("n_days"), F.sum("d").alias("s"))
-        .join(out, "p_brand")
+        .join(q, "p_brand")
         .select(
             "p_brand",
             "n_days",
@@ -4904,11 +4917,18 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("((bal_c - lo) * 10) div (hi - lo + 1)").cast("int"),
         ).alias("band"),
     )
-    g = banded.groupBy("c_nationkey", "c_mktsegment", "band").agg(
-        F.count("*").alias("n")
+    # ONE banding pass (r9 scan-multiplicity audit): checkpoint the
+    # bounded (nation x segment x band) counts and derive the global
+    # distribution by re-aggregating them — the old shape re-scanned
+    # customer for the group counts, the global counts and every join
+    # branch (8 scans per run; now 2: the bounds reduction + this one)
+    g = (
+        banded.groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
     )
     g_tot = g.groupBy("c_nationkey", "c_mktsegment").agg(F.sum("n").alias("gn"))
-    glob = banded.groupBy("band").agg(F.count("*").alias("m"))
+    glob = g.groupBy("band").agg(F.sum("n").alias("m"))
     glob_tot = glob.agg(F.sum("m").alias("mn"))
     # dense 10-band frame per group so missing bands contribute share 0
     bands = spark.range(10).select(F.col("id").cast("int").alias("band"))
