@@ -117,6 +117,10 @@ def ngram_jaccard_pairs(
     for small corpora / oracle replay.
     """
     sets, inv = _shingle_index(df, id_col, content_col, k)
+    # checkpoint the inverted index (r9 scan-multiplicity audit): the hot
+    # drop, both self-join sides and the size aggregate each re-ran the
+    # shingle HOF + corpus scan otherwise (4 documents scans per run)
+    inv = inv.localCheckpoint(eager=True)
 
     if max_df is not None:
         inv = _drop_hot(inv, "s", max_df)

@@ -711,23 +711,14 @@ def halves_activity_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_half = ev.crossJoin(F.broadcast(mid)).select(
         k, F.when(F.col("ts") < F.col("mid_ts"), F.lit("h1")).otherwise(F.lit("h2")).alias("half")
     )
-    h1 = (
-        with_half.where(F.col("half") == "h1")
-        .groupBy(F.col("k").alias("k1"))
-        .agg(F.count("*").alias("n_h1"))
-    )
-    h2 = (
-        with_half.where(F.col("half") == "h2")
-        .groupBy(F.col("k").alias("k2"))
-        .agg(F.count("*").alias("n_h2"))
-    )
-    return (
-        h1.join(h2, F.col("k1").eqNullSafe(F.col("k2")), "full_outer")
-        .select(
-            F.coalesce("k1", "k2").alias("k"),
-            F.coalesce("n_h1", F.lit(0)).alias("n_h1"),
-            F.coalesce("n_h2", F.lit(0)).alias("n_h2"),
-        )
+    # ONE conditional aggregation (r9 scan-multiplicity audit): the old
+    # per-half branches + full-outer null-safe join re-executed the
+    # events scan per branch (4 scans; now 2: the midpoint + this pass).
+    # groupBy treats the NULL k as its own group natively — exactly what
+    # the eqNullSafe full outer join reconstructed.
+    return with_half.groupBy("k").agg(
+        F.sum((F.col("half") == "h1").cast("long")).alias("n_h1"),
+        F.sum((F.col("half") == "h2").cast("long")).alias("n_h2"),
     )
 
 
@@ -1124,10 +1115,18 @@ def session_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_data_lake_spark.operators.windows import sessionize
 
     ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
-    sess = sessionize(
-        ev, ["user_id"], "ts", gap_seconds=1800,
-        order=[F.col("ts").asc(), F.col("event_id").asc()],
-    ).select("user_id", "session_id", "event_type").distinct()
+    # checkpoint the per-session type sets (r9 scan-multiplicity audit):
+    # the session count, the singles and both pair-join sides each
+    # re-executed the sessionize window otherwise (4 events scans; now 1)
+    sess = (
+        sessionize(
+            ev, ["user_id"], "ts", gap_seconds=1800,
+            order=[F.col("ts").asc(), F.col("event_id").asc()],
+        )
+        .select("user_id", "session_id", "event_type")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_sessions = sess.select("user_id", "session_id").distinct().count()
 
     singles = sess.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_a"))
@@ -3978,7 +3977,14 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"),
         to_units(F.col("value")).alias("cents"),
     )
-    daily = ev.groupBy("event_type", "day").agg(F.sum("cents").alias("y"))
+    # checkpoint the bounded (type x day) aggregate (r9 scan-multiplicity
+    # audit): cutoff/train/test each re-executed the events scan (4
+    # scans; now 1)
+    daily = (
+        ev.groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("y"))
+        .localCheckpoint(eager=True)
+    )
     cutoff = daily.agg(F.date_sub(F.max("day"), 7).alias("cut"))
     tagged = daily.crossJoin(F.broadcast(cutoff)).withColumn(
         "is_test", (F.col("day") > F.col("cut")).cast("int")
@@ -4634,7 +4640,10 @@ def adstock_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("pts") - F.unix_micros("tts")).cast("double")
             / (12.0 * 3600.0 * 1e6),
         ),
-    )
+        # checkpoint the pair frame (r9 scan-multiplicity audit): the
+        # normalization fold and the credit join each re-executed the
+        # 24h range join + both filtered events scans otherwise
+    ).localCheckpoint(eager=True)
     wsum = paired.groupBy("pid").agg(
         F.aggregate(
             F.transform(
@@ -6169,6 +6178,9 @@ def quantile_forecast_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as _F
 
     ev = read_table(spark, sf_dir, "events")
+    # checkpoint the bounded daily aggregate (r9 scan-multiplicity audit):
+    # the train quantiles and every (test day x q) branch re-executed the
+    # events scan otherwise (6 scans; now 1)
     daily = (
         ev.select(
             F.to_date("ts").alias("d"),
@@ -6180,6 +6192,7 @@ def quantile_forecast_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
             "di", F.datediff("d", F.lit("2024-01-01").cast("date"))
         )
         .withColumn("dow", F.col("di") % 7)
+        .localCheckpoint(eager=True)
     )
     train = daily.where(F.col("di") < 21)
     test = daily.where(F.col("di") >= 21)
@@ -6686,11 +6699,14 @@ def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(
         "event_type", to_units(F.col("value")).alias("cents")
     ).where(F.col("cents").isNotNull())
+    # checkpoint the 5-row stratum moments (r9 scan-multiplicity audit):
+    # the total, the remainder count and the final ranked select each
+    # re-executed the events scan otherwise (4 scans; now 1)
     mom = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("cents").alias("s"),
         F.sum(dprod(F.col("cents"), F.col("cents"))).alias("ssq"),
-    )
+    ).localCheckpoint(eager=True)
     sd = F.when(
         F.col("n") > 1,
         F.sqrt(
@@ -6992,31 +7008,29 @@ def churn_label_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cut = ev.agg(F.date_sub(F.max("day"), 7).alias("cut"))
     tagged = ev.crossJoin(F.broadcast(cut))
-    feat = (
-        tagged.where(F.col("day") < F.col("cut"))
-        .groupBy("user_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.count_distinct("day").alias("active_days"),
-            F.sum("is_p").alias("n_purchases"),
-            F.sum(F.coalesce(F.col("cents"), F.lit(0))).alias("value_cents"),
-        )
+    # ONE conditional aggregation (r9 scan-multiplicity audit): the old
+    # feature/outcome branches + full-outer join re-executed the events
+    # scan per branch (4 scans; now 2: the cut + this pass). Every user
+    # gets one row with zero defaults — exactly what the full-outer
+    # coalesce reconstructed; count_distinct ignores the NULLs the
+    # outcome-window rows contribute to the feature-day count.
+    pre = F.col("day") < F.col("cut")
+    per_user = tagged.groupBy("user_id").agg(
+        F.sum(pre.cast("long")).alias("n_events"),
+        F.count_distinct(F.when(pre, F.col("day"))).alias("active_days"),
+        F.sum(F.when(pre, F.col("is_p")).otherwise(0)).alias("n_purchases"),
+        F.sum(
+            F.when(pre, F.coalesce(F.col("cents"), F.lit(0))).otherwise(0)
+        ).alias("value_cents"),
+        F.sum((~pre).cast("long")).alias("n_after"),
     )
-    outcome = (
-        tagged.where(F.col("day") >= F.col("cut"))
-        .groupBy("user_id")
-        .agg(F.count("*").alias("n_after"))
-    )
-    return (
-        feat.join(outcome, "user_id", "full_outer")
-        .select(
-            "user_id",
-            F.coalesce("n_events", F.lit(0)).alias("n_events"),
-            F.coalesce("active_days", F.lit(0)).alias("active_days"),
-            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
-            F.coalesce("value_cents", F.lit(0)).alias("value_cents"),
-            (F.coalesce("n_after", F.lit(0)) == 0).alias("churned"),
-        )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "active_days",
+        "n_purchases",
+        "value_cents",
+        (F.col("n_after") == 0).alias("churned"),
     )
 
 
@@ -7836,6 +7850,10 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("y"),
         )
         .withColumn("variant", md5_60bit(F.col("user_id").cast("string")) % 2)
+        # checkpoint the per-user frame (r9 scan-multiplicity audit): the
+        # theta moments and the per-variant readout each re-executed the
+        # events scan otherwise (4 scans; now 2: the cut + this pass)
+        .localCheckpoint(eager=True)
     )
     mom = per_user.agg(
         F.count("*").alias("u"),
@@ -8298,10 +8316,14 @@ def haar_energy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cents").alias("y"))
     )
     w = Window.orderBy("day")
+    # checkpoint the 16-row base series (r9 scan-multiplicity audit):
+    # each transform level's energy branch re-executed the events scan
+    # otherwise (6 scans; now 1)
     base = (
         daily.withColumn("idx", F.row_number().over(w) - 1)
         .where(F.col("idx") < 16)
         .select("idx", "y")
+        .localCheckpoint(eager=True)
     )
     levels = []
     cur = base
@@ -8631,6 +8653,10 @@ def covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("f_cents"),
         )
         .withColumn("v", md5_60bit(F.col("user_id").cast("string")) % 2)
+        # checkpoint the per-user covariate frame (r9 scan-multiplicity
+        # audit): the stacked moment branches re-executed the events
+        # scan otherwise (4 scans; now 2: the cut + this pass)
+        .localCheckpoint(eager=True)
     )
     melted = per_user.select(
         "v",

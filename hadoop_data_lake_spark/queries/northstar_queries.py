@@ -2237,7 +2237,11 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = read_table(spark, sf_dir, "events").select("event_type", "user_id")
-    mins = kmv_minima(ev, ["event_type"], "user_id")
+    # checkpoint the k-min states (r9 scan-multiplicity audit): the merge,
+    # the estimate union and the per-type estimates each re-executed the
+    # hash + rank window otherwise (4 events scans; now 3: this pass +
+    # the two exact-count branches)
+    mins = kmv_minima(ev, ["event_type"], "user_id").localCheckpoint(eager=True)
     merged = mins.select(F.lit("__all__").alias("event_type"), "h").distinct()
     w = Window.partitionBy("event_type").orderBy("h")
     merged_k = (
@@ -4019,27 +4023,37 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("text")
     w = F.split(F.col("text"), " ")
     base = docs.select(w.alias("w"), F.size(w).alias("nw"))
-    rows = []
-    for n in range(1, 5):
-        grams = base.where(F.col("nw") >= n).select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.col("nw") - n + 1),
-                    lambda i: F.concat_ws(
-                        " ", *[F.element_at("w", (i + j).cast("int")) for j in range(n)]
-                    ),
-                )
-            ).alias("g")
-        )
-        agg = grams.agg(
-            F.lit(n).alias("n"),
-            F.count("*").alias("total"),
-            F.countDistinct("g").alias("distinct_"),
-        )
-        rows.append(agg)
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
+
+    # ONE corpus pass for all four gram lengths (r9 scan-multiplicity
+    # audit: the old per-n union re-scanned documents 4x): every doc
+    # emits its (n, gram) pairs for n = 1..4 in one flattened explode —
+    # a doc shorter than n contributes nothing for that n (the old
+    # where(nw >= n) guard, expressed as an empty per-n array; never
+    # F.sequence with stop < start, which generates DESCENDING).
+    def grams_for(n: int):
+        return F.when(
+            F.col("nw") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.col("nw") - n + 1),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(
+                        " ",
+                        *[F.element_at("w", (i + j).cast("int")) for j in range(n)],
+                    ).alias("g"),
+                ),
+            ),
+        ).otherwise(F.array())
+
+    tagged = base.select(
+        F.explode(
+            F.flatten(F.array(*[grams_for(n) for n in range(1, 5)]))
+        ).alias("p")
+    ).select(F.col("p.n").alias("n"), F.col("p.g").alias("g"))
+    out = tagged.groupBy("n").agg(
+        F.count("*").alias("total"),
+        F.countDistinct("g").alias("distinct_"),
+    )
     return out.select(
         "n",
         "total",
@@ -4144,7 +4158,11 @@ def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.select("doc_id", "text").unionByName(planted)
     media = synth_media_from_text(corpus, "doc_id", "text")
-    return phash_near_dup_pairs(perceptual_hash(media), max_hamming=3, chunks=4)
+    # checkpoint the per-doc 64-bit hashes (r9 scan-multiplicity audit):
+    # the banded self-join's sides each re-ran the synth + hash pipeline
+    # otherwise (4 documents scans per run; now 2 — base + planted)
+    hashed = perceptual_hash(media).localCheckpoint(eager=True)
+    return phash_near_dup_pairs(hashed, max_hamming=3, chunks=4)
 
 
 MEDIA_PHASH_NEAR_DUP_SQL = """
@@ -5633,11 +5651,20 @@ def mutual_nn_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_data_lake_spark.functions.vectors import cosine
 
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    left = emb.where(F.col("vec_id") % 2 == 0).select(
-        F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+    # both halves checkpointed (r9 scan-multiplicity audit): the two
+    # direction-argmax aggregations each REGENERATE the broadcast cross
+    # stream — correct at scale (materializing the quadratic intermediate
+    # would be worse) — but each regeneration re-scanned the base table
+    # twice; the per-vector halves are cheap to pin (4 scans -> 2)
+    left = (
+        emb.where(F.col("vec_id") % 2 == 0)
+        .select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+        .localCheckpoint(eager=True)
     )
-    right = emb.where(F.col("vec_id") % 2 == 1).select(
-        F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
+    right = (
+        emb.where(F.col("vec_id") % 2 == 1)
+        .select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+        .localCheckpoint(eager=True)
     )
     scored = left.crossJoin(F.broadcast(right)).select(
         "a", "b", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_r")
@@ -6083,6 +6110,11 @@ def semdedup_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid",
             (1.0 - F.round(cosine(F.col("embedding"), F.col("cvec")), 6)).alias("dist"),
         )
+        # checkpoint the (vector x 8 medoids) distance frame (r9
+        # scan-multiplicity audit): the own-medoid and nearest-other
+        # branches each re-executed the SemDeDup assignment + cosine
+        # cross otherwise (4 embeddings scans per run)
+        .localCheckpoint(eager=True)
     )
     own = scored.where(F.col("cid") == F.col("cluster_id")).select(
         "vec_id", "cluster_id", F.col("dist").alias("a")
@@ -6178,12 +6210,26 @@ def source_mmd_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_data_lake_spark.functions.hashing import md5_60bit
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    n_per_src = docs.groupBy("source").agg(F.count_distinct("doc_id").alias("nd"))
-    tot_docs = docs.select(F.count_distinct("doc_id").alias("ntot"))
+    # TWO corpus passes total (r9 scan-multiplicity audit): the doc
+    # counts and the (source, dim) token counts are each checkpointed
+    # (both bounded: sources, sources x 64); the corpus total re-derives
+    # from the per-source counts (doc_id is the PK, so distinct-overall
+    # == sum of per-source distincts). The old shape re-scanned
+    # documents for every lattice branch (4 scans).
+    n_per_src = (
+        docs.groupBy("source")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .localCheckpoint(eager=True)
+    )
+    tot_docs = n_per_src.agg(F.sum("nd").alias("ntot"))
     toks = docs.select(
         "source", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).select("source", (md5_60bit(F.col("token")) % 64).alias("dim"))
-    per_src_dim = toks.groupBy("source", "dim").agg(F.count("*").alias("c"))
+    per_src_dim = (
+        toks.groupBy("source", "dim")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     per_dim = per_src_dim.groupBy("dim").agg(F.sum("c").alias("ct"))
     lattice = n_per_src.crossJoin(F.broadcast(per_dim))
     j = (

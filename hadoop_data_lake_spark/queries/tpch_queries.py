@@ -1685,12 +1685,16 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     score comparisons in both engines so the quartiling is replay-stable
     against 1-ulp percentile-interpolation differences (ADVICE r3)."""
     orders = read_table(spark, sf_dir, "orders")
+    # checkpoint the per-customer aggregate (r9 scan-multiplicity audit):
+    # the cutoff percentiles and the scoring pass each re-executed the
+    # orders scan otherwise (4 scans; now 1 — the global max re-derives
+    # from the per-customer maxima)
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(F.to_date("o_orderdate")).alias("last_day"),
         F.count(F.lit(1)).alias("freq"),
         sum_fixed(F.col("o_totalprice"), 2).alias("money"),
-    )
-    global_max = orders.agg(F.max(F.to_date("o_orderdate")).alias("gmax"))
+    ).localCheckpoint(eager=True)
+    global_max = per_cust.agg(F.max("last_day").alias("gmax"))
     rfm = per_cust.crossJoin(F.broadcast(global_max)).select(
         "o_custkey",
         F.datediff("gmax", "last_day").cast("double").alias("rec_days"),
@@ -3009,8 +3013,14 @@ def pareto_8020_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_data_lake_spark.operators.packing import prefix_agg
 
     orders = read_table(spark, sf_dir, "orders")
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.sum(to_units(F.col("o_totalprice"))).alias("cents")
+    # checkpoint the per-customer aggregate and take all four cut points
+    # in ONE pass (explode k, keep rows whose rank hits a cutoff) — the
+    # old per-k filter branches re-executed the orders scan (4 scans;
+    # now 1; r9 scan-multiplicity audit)
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(to_units(F.col("o_totalprice"))).alias("cents"))
+        .localCheckpoint(eager=True)
     )
     ranked = prefix_agg(
         per_cust.withColumn("__one", F.lit(1)).withColumn(
@@ -3025,20 +3035,23 @@ def pareto_8020_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    rows = [
-        ranked.where(F.col("i") == F.ceil(F.lit(k / 100.0) * F.col("n"))).select(
-            F.lit(k).alias("top_pct"),
+    return (
+        ranked.select(
+            "i",
+            "n",
+            "cum",
+            "total",
+            F.explode(F.array(*[F.lit(k) for k in (1, 5, 10, 20)])).alias("k"),
+        )
+        .where(F.col("i") == F.ceil(F.col("k") / 100.0 * F.col("n")))
+        .select(
+            F.col("k").alias("top_pct"),
             F.col("i").alias("n_top_customers"),
             F.round(F.col("cum").cast("double") / F.col("total").cast("double"), 6).alias(
                 "revenue_share_r"
             ),
         )
-        for k in (1, 5, 10, 20)
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    )
 
 
 PARETO_8020_CUSTOMERS_SQL = """

@@ -50,8 +50,54 @@ from hadoop_data_lake_spark.queries.registry import REGISTRY
 
 RED = ("CartesianProduct", "BatchEvalPython")
 
+#: Fact tables whose repeated scanning is the quiet 100 TB killer: the
+#: r9 scan-multiplicity audit found queries re-executing their raw fact
+#: scan 6-20x because alias-differing subtrees re-run their upstream
+#: (value_psi_drift 12x events, minhash_eval_pr 20x documents, ...).
+#: Dimensions (region/nation/customer/supplier/part) are exempt — they
+#: are broadcast-sized by design.
+FACT_TABLES = ("events", "orders", "lineitem", "documents", "embeddings")
+FACT_RESCAN_THRESHOLD = 4
+#: Documented exemptions — each with a stated reason, not a blanket:
+FACT_RESCAN_ALLOW = {
+    # multi-layer report: each detection layer independently and
+    # legitimately reads the corpus once (not a re-execution bug)
+    "decontamination_report",
+    # BENCH CONTROL queries (bench.py control_set): their plans are
+    # FROZEN — the cross-round control_inflation normalization compares
+    # their timings against r3 absolutes, so a plan change here would
+    # corrupt the box-speed signal every other ratio is read through.
+    # Scheduled for the same aggregate-first fix at the next control
+    # re-baseline.
+    "zone_report",
+    "embedding_near_dup",
+    # go through operators/dedup.minhash_lsh_pairs, which the
+    # dedup_clusters_minhash CONTROL also executes — operator frozen
+    # with the controls (same re-baseline).
+    "dedup_minhash_lsh",
+    "decontaminate_minhash_cross",
+    # incremental-vs-recompute simulations: old/new snapshots and their
+    # deltas all DERIVE from the single driver table here, so the plan
+    # re-reads it once per simulated side; a real deployment has
+    # physically separate snapshot tables (one scan each).
+    "incremental_orders_agg",
+    "ivm_join_delta",
+}
+
 _AGG = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
 _BOUNDED = _AGG + ("GlobalLimit", "CollectLimit", "TakeOrderedAndProject", "LocalLimit")
+
+
+def fact_rescans(plan: str) -> dict[str, int]:
+    """Per-fact-table FileScan counts in the executed plan (checkpointed
+    subtrees already materialized their single pass and show no scan)."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for line in plan.splitlines():
+        if "FileScan" in line:
+            c.update(re.findall(r"(\w+)\.parquet", line))
+    return {t: n for t, n in c.items() if t in FACT_TABLES and n >= 2}
 
 
 def _depth(line: str) -> int:
@@ -132,9 +178,23 @@ def main(sf_dir: str) -> int:
             continue
         flags = [m for m in RED if m in plan]
         flags += scan_single_partition_funnels(plan)
+        rescans = fact_rescans(plan)
+        heavy = {t: n for t, n in rescans.items() if n >= FACT_RESCAN_THRESHOLD}
+        if heavy and name not in FACT_RESCAN_ALLOW:
+            flags.append(
+                "FACT-RESCAN:" + ",".join(f"{t}x{n}" for t, n in sorted(heavy.items()))
+            )
         if flags:
             failures += 1
-        info = "bnlj-broadcast" if "BroadcastNestedLoopJoin" in plan else ""
+        info_parts = []
+        if "BroadcastNestedLoopJoin" in plan:
+            info_parts.append("bnlj-broadcast")
+        light = {t: n for t, n in rescans.items() if n < FACT_RESCAN_THRESHOLD}
+        if light:
+            info_parts.append(
+                "rescan:" + ",".join(f"{t}x{n}" for t, n in sorted(light.items()))
+            )
+        info = " ".join(info_parts)
         verdict = ",".join(flags) if flags else (f"clean ({info})" if info else "clean")
         rows.append((name, verdict, time.time() - t0))
         print(f"{name}: {rows[-1][1]} ({rows[-1][2]:.1f}s)", file=sys.stderr)
@@ -149,10 +209,17 @@ def main(sf_dir: str) -> int:
             "— the cumsum scale-killer), and SORT-NO-LIMIT (global range "
             "sort of unaggregated data with no limit). Windows/sorts over "
             "aggregate or limit-bounded frames are exempt: their inputs "
-            "are dimension-bounded. `bnlj-broadcast` marks the deliberate "
+            "are dimension-bounded. FACT-RESCAN flags a fact table "
+            f"(events/orders/lineitem/documents/embeddings) scanned >= "
+            f"{FACT_RESCAN_THRESHOLD}x in one plan — alias-differing "
+            "subtrees re-executing their upstream, the quiet 100 TB "
+            "killer the r9 audit closed (aggregate-first + checkpoint "
+            "the bounded frame); documented multi-layer reports are "
+            "allow-listed. `bnlj-broadcast` marks the deliberate "
             "crossJoin(F.broadcast(tiny)) pattern (scalar stats frames, "
             "centroid/probe sets) — the correct plan for those shapes, "
-            "listed so any NEW nested-loop join gets reviewed.\n\n"
+            "listed so any NEW nested-loop join gets reviewed; "
+            "`rescan:` notes 2-3x fact scans below the flag bar.\n\n"
             "| query | verdict |\n|---|---|\n"
         )
         for name, verdict, _dt in rows:
