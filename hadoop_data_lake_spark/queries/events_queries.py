@@ -6490,14 +6490,7 @@ def benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (m = #event types, dimension-bounded)."""
     from pyspark.sql import Window
 
-    # checkpoint the m-row Welch aggregate (r9 scan-multiplicity audit):
-    # the rank window, the m count and the k* scan each re-executed the
-    # whole Welch pipeline otherwise — 8 events scans per run
-    tests = (
-        ab_test_welch(spark, sf_dir)
-        .select("event_type", "welch_z_r")
-        .localCheckpoint(eager=True)
-    )
+    tests = ab_test_welch(spark, sf_dir).select("event_type", "welch_z_r")
     az = F.abs(F.col("welch_z_r")) / F.lit(2.0) ** 0.5
     t = 1.0 / (1.0 + 0.3275911 * az)
     erf = 1.0 - (
@@ -6508,12 +6501,21 @@ def benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 1.061405429 * t * t * t * t * t
     ) * F.exp(-az * az)
     p = tests.withColumn("p_r", F.round(1.0 - erf, 6))
+    # rank and m ride ONE window pass over the m-row Welch aggregate
+    # (exempt from the global-window rule: the input subtree is the
+    # dimension-bounded aggregate), and the RANKED frame is checkpointed
+    # so the k* scan and the final select don't re-execute the whole
+    # Welch pipeline (r9 scan-multiplicity audit: 8 events scans -> 1)
     w = Window.orderBy(F.col("p_r").asc(), F.col("event_type").asc())
-    ranked = p.withColumn("rank", F.row_number().over(w)).crossJoin(
-        F.broadcast(p.agg(F.count("*").alias("m")))
-    ).withColumn(
-        "bh_threshold_r",
-        F.round(F.col("rank").cast("double") * 0.10 / F.col("m").cast("double"), 6),
+    ranked = (
+        p.withColumn("rank", F.row_number().over(w))
+        .withColumn("m", F.count(F.lit(1)).over(Window.partitionBy()))
+        .withColumn(
+            "bh_threshold_r",
+            F.round(F.col("rank").cast("double") * 0.10 / F.col("m").cast("double"), 6),
+        )
+        .drop("m")
+        .localCheckpoint(eager=True)
     )
     kstar = ranked.where(F.col("p_r") <= F.col("bh_threshold_r")).agg(
         F.coalesce(F.max("rank"), F.lit(0)).alias("kstar")
