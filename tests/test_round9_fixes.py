@@ -245,3 +245,40 @@ def test_kmeans_and_pq_empty_corpus(spark):
     out = ivf_kmeans_topk(emb, emb, k=5, n_cells=4, max_iter=2)
     assert out.columns == ["query_id", "neighbor_id", "sim_r", "rnk"]
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# 7. plan_audit FACT-RESCAN check (r9 scan-multiplicity campaign)
+# ---------------------------------------------------------------------------
+
+_FAKE_PLAN = "\n".join(
+    [
+        "*(1) Project [a]",
+        "+- FileScan parquet [a] ... Location: InMemoryFileIndex(1 paths)[file:/d/events.parquet]",
+        "+- FileScan parquet [a] ... Location: InMemoryFileIndex(1 paths)[file:/d/events.parquet]",
+        "+- FileScan parquet [a] ... Location: InMemoryFileIndex(1 paths)[file:/d/events.parquet]",
+        "+- FileScan parquet [a] ... Location: InMemoryFileIndex(1 paths)[file:/d/events.parquet]",
+        "+- FileScan parquet [b] ... Location: InMemoryFileIndex(1 paths)[file:/d/nation.parquet]",
+        "+- FileScan parquet [b] ... Location: InMemoryFileIndex(1 paths)[file:/d/nation.parquet]",
+        "+- FileScan parquet [c] ... Location: InMemoryFileIndex(1 paths)[file:/d/orders.parquet]",
+        "   events.parquet mentioned on a non-FileScan line must not count",
+    ]
+)
+
+
+def test_fact_rescans_counts_only_filescan_lines():
+    from tools.plan_audit import fact_rescans
+
+    r = fact_rescans(_FAKE_PLAN)
+    assert r == {"events": 4}, r  # nation is a dim; orders appears once
+
+
+def test_fact_rescan_allowlist_documents_controls():
+    """The exemptions are named, not blanket — and the bench controls are
+    in there because their plans are frozen for control_inflation
+    comparability (changing a control's speed corrupts the box-speed
+    signal every other ratio is read through)."""
+    from tools.plan_audit import FACT_RESCAN_ALLOW
+
+    assert {"zone_report", "embedding_near_dup"} <= FACT_RESCAN_ALLOW
+    assert "decontamination_report" in FACT_RESCAN_ALLOW
