@@ -261,7 +261,7 @@ _FAKE_PLAN = "\n".join(
         "+- FileScan parquet [b] ... Location: InMemoryFileIndex(1 paths)[file:/d/nation.parquet]",
         "+- FileScan parquet [b] ... Location: InMemoryFileIndex(1 paths)[file:/d/nation.parquet]",
         "+- FileScan parquet [c] ... Location: InMemoryFileIndex(1 paths)[file:/d/orders.parquet]",
-        "   events.parquet mentioned on a non-FileScan line must not count",
+        "   events.parquet mentioned on an unrelated plan line must not count",
     ]
 )
 
