@@ -202,6 +202,14 @@ def cosine_near_dup_pairs(
         df, id_col, vec_col,
         num_bands=num_bands, bits_per_band=bits_per_band, dim=dim,
     )
+    # Checkpoint the band index (r10 control re-baseline): the candidate
+    # self-join aliases it twice, and alias-differing subtrees re-execute
+    # upstream — without this the corpus was scanned and the SRP matmul UDF
+    # run twice. The index is narrow (num_bands rows of 3 scalars per
+    # vector), so the materialization is tiny at any scale; the verify
+    # joins below still read the raw table (column-pruned, 2 scans — the
+    # embedding payload is NOT worth materializing to save them).
+    sigs = sigs.localCheckpoint(eager=True)
     cand = (
         sigs.alias("a")
         .join(

@@ -46,12 +46,14 @@ def build_zone_report(base: DataFrame, event_types: list[str]) -> DataFrame:
         ],
         F.grouping_id().alias("gid"),
     )
-    # persist: three consumers slice this frame, and column pruning makes
-    # each slice structurally different (no exchange reuse) — without the
-    # cache the fact scan + Expand + aggregate run three times. The frame is
-    # grain-bounded (weeks x months x zones rows), so the cache is tiny at
-    # any data scale; LRU eviction reclaims it after the job.
-    counts = counts.persist()
+    # localCheckpoint: three consumers slice this frame, and column pruning
+    # makes each slice structurally different (no exchange reuse) — without
+    # materialization the fact scan + Expand + aggregate run three times
+    # (persist() kept the cached plan's FileScan visible and re-executable
+    # under cache eviction; the checkpoint truncates lineage, so the fact
+    # table is provably read ONCE — r10 control re-baseline). The frame is
+    # grain-bounded (weeks x months x zones rows), tiny at any data scale.
+    counts = counts.localCheckpoint(eager=True)
     zone_prep = counts.where(F.col("gid") == 0).select("week", "month", "zone_id", *event_types)
     week_tot = counts.where(F.col("gid") == 2).select(
         "week", "zone_id", *[F.col(t).alias(f"week_{t}") for t in event_types]
@@ -63,9 +65,12 @@ def build_zone_report(base: DataFrame, event_types: list[str]) -> DataFrame:
     regs = top1_per_group(
         base, ["user"], [F.col("ts").asc(), F.col("uid").asc()]
     ).select("user", "week", "month", "zone_id")
+    # Same single-pass move: two grain slices consume this bounded
+    # aggregate; the checkpoint makes the window pass over the fact table
+    # run once (second and last fact read of the whole report).
     reg_counts = regs.groupingSets(
         [["week", "zone_id"], ["month", "zone_id"]], "week", "month", "zone_id"
-    ).agg(F.count("*").alias("n"), F.grouping_id().alias("gid")).persist()
+    ).agg(F.count("*").alias("n"), F.grouping_id().alias("gid")).localCheckpoint(eager=True)
     week_user = reg_counts.where(F.col("gid") == 2).select(
         "week", "zone_id", F.col("n").alias("week_user")
     )

@@ -273,12 +273,12 @@ def test_fact_rescans_counts_only_filescan_lines():
     assert r == {"events": 4}, r  # nation is a dim; orders appears once
 
 
-def test_fact_rescan_allowlist_documents_controls():
-    """The exemptions are named, not blanket — and the bench controls are
-    in there because their plans are frozen for control_inflation
-    comparability (changing a control's speed corrupts the box-speed
-    signal every other ratio is read through)."""
+def test_fact_rescan_allowlist_shrunk_to_snapshot_sims():
+    """r10 control re-baseline: the control-freeze exemptions and the
+    multi-layer report are GONE (their operators now checkpoint their
+    index frames — <= 2 visible fact scans each); only the two
+    snapshot-simulation queries remain, where old/new snapshots derive
+    from one physical table by construction."""
     from tools.plan_audit import FACT_RESCAN_ALLOW
 
-    assert {"zone_report", "embedding_near_dup"} <= FACT_RESCAN_ALLOW
-    assert "decontamination_report" in FACT_RESCAN_ALLOW
+    assert FACT_RESCAN_ALLOW == {"incremental_orders_agg", "ivm_join_delta"}

@@ -60,26 +60,20 @@ FACT_TABLES = ("events", "orders", "lineitem", "documents", "embeddings")
 FACT_RESCAN_THRESHOLD = 4
 #: Documented exemptions — each with a stated reason, not a blanket:
 FACT_RESCAN_ALLOW = {
-    # multi-layer report: each detection layer independently and
-    # legitimately reads the corpus once (not a re-execution bug)
-    "decontamination_report",
-    # BENCH CONTROL queries (bench.py control_set): their plans are
-    # FROZEN — the cross-round control_inflation normalization compares
-    # their timings against r3 absolutes, so a plan change here would
-    # corrupt the box-speed signal every other ratio is read through.
-    # Scheduled for the same aggregate-first fix at the next control
-    # re-baseline.
-    "zone_report",
-    "embedding_near_dup",
-    # go through operators/dedup.minhash_lsh_pairs, which the
-    # dedup_clusters_minhash CONTROL also executes — operator frozen
-    # with the controls (same re-baseline).
-    "dedup_minhash_lsh",
-    "decontaminate_minhash_cross",
     # incremental-vs-recompute simulations: old/new snapshots and their
     # deltas all DERIVE from the single driver table here, so the plan
     # re-reads it once per simulated side; a real deployment has
     # physically separate snapshot tables (one scan each).
+    #
+    # The r9-era control-freeze exemptions (zone_report,
+    # embedding_near_dup, dedup_minhash_lsh, decontaminate_minhash_cross)
+    # and the multi-layer decontamination_report were REMOVED at the r10
+    # control re-baseline: the shared operators now checkpoint their
+    # index frames (operators/dedup.minhash_lsh_pairs inverted index,
+    # operators/similarity.cosine_near_dup_pairs band index,
+    # pipelines/zone_report grain aggregates), dropping every one of them
+    # to <= 2 visible fact scans. New control absolutes in bench.py
+    # (CONTROL_R10_ABSOLUTES); old-plan record = BENCH_r09.json.
     "incremental_orders_agg",
     "ivm_join_delta",
 }
