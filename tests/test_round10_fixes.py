@@ -65,6 +65,26 @@ def test_rebaseline_plans_are_single_pass(spark, name, limits):
         )
 
 
+def test_correctness_file_epoch_untracked_falls_back_to_mtime(tmp_path, monkeypatch, capsys):
+    """VERDICT r9 items 2+3: `git log -1` on an untracked CORRECTNESS file
+    returns nothing, and the old code dated it to epoch 0 — every row of
+    the newest round printed as 'stale by ~20000d' and the raw stale count
+    doubled. Untracked files now fall back to file mtime (with a warning);
+    tracked files keep their commit epoch."""
+    import os
+
+    from tools.backlog_report import correctness_file_epoch
+
+    tracked = correctness_file_epoch("CORRECTNESS_r01.json")
+    assert tracked > 1_600_000_000  # a real commit epoch, not 0
+
+    f = tmp_path / "CORRECTNESS_rXX.json"
+    f.write_text("{}")
+    ep = correctness_file_epoch(str(f))
+    assert abs(ep - os.path.getmtime(str(f))) < 2
+    assert "untracked" in capsys.readouterr().err
+
+
 def test_zone_report_values_survive_checkpoint_swap(spark):
     """The persist->localCheckpoint swap must be value-neutral: the
     flagship report at sf0.001 keeps its known grain and row count, and

@@ -271,16 +271,30 @@ def semantic_last_modified(names: list[str]) -> dict[str, int]:
     return out
 
 
+def correctness_file_epoch(f: str) -> int:
+    """Last-commit epoch of a CORRECTNESS file, falling back to file mtime
+    when the file is not yet tracked (the round-boundary state: the driver
+    writes CORRECTNESS_r{N}.json after the round's last commit). The old
+    behavior dated untracked files to epoch 0, which marked every row of
+    the newest round "stale by ~20000d" and inflated the stale count 2x
+    (VERDICT r9 item 2/3)."""
+    ep_out = subprocess.run(
+        ["git", "log", "-1", "--format=%ct", "--", f],
+        capture_output=True, text=True,
+    ).stdout.split()
+    if ep_out:
+        return int(ep_out[0])
+    print(f"# warning: {f} untracked — using file mtime for staleness",
+          file=sys.stderr)
+    return int(os.path.getmtime(f))
+
+
 def last_graded_round_epoch() -> dict[str, tuple[str, int]]:
     """name -> (newest CORRECTNESS file containing a green row for it,
-    that file's last commit epoch)."""
+    that file's last commit epoch — file mtime if untracked)."""
     out: dict[str, tuple[str, int]] = {}
     for f in sorted(glob.glob("CORRECTNESS_r*.json")):
-        ep_out = subprocess.run(
-            ["git", "log", "-1", "--format=%ct", "--", f],
-            capture_output=True, text=True,
-        ).stdout.split()
-        epoch = int(ep_out[0]) if ep_out else 0
+        epoch = correctness_file_epoch(f)
         for name in json.load(open(f)):
             out[name] = (f, epoch)  # later files overwrite: newest round wins
     return out
