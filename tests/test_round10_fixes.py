@@ -65,6 +65,157 @@ def test_rebaseline_plans_are_single_pass(spark, name, limits):
         )
 
 
+# ---------------------------------------------------------------------------
+# Densification grain rules (VERDICT r9 item 7): the r9 decisions were prose
+# in COVERAGE.md — these fixtures pin the semantics so a refactor can't
+# silently flip them. Rule 1: per-(event_type, day) series are densified
+# over the FULL corpus day span (a sparse type's empty day is a real 0
+# observation). Rule 2: corpus-wide daily series are deliberately NOT
+# densified (a day with zero events across the whole corpus is an outage
+# artifact that belongs to freshness audits, not a synthetic 0).
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+
+def _write_events(spark, tmp_path, rows):
+    """Events corpus in the driver layout: (event_id, ts, user_id,
+    event_type, value, props)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    dest = str(tmp_path / "events.parquet")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(dest)
+    return str(tmp_path)
+
+
+def _sparse_type_corpus(spark, tmp_path):
+    """5-day span; 'click' logs every day, 'error' only on days 1 and 5 —
+    the sparse-type shape where densification matters."""
+    rows = []
+    eid = 0
+    for d in range(5):
+        ts = _dt.datetime(2024, 1, 1 + d, 12, 0, 0)
+        eid += 1
+        rows.append((eid, ts, 1, "click", 10.0 + d, None))
+    for d in (0, 4):
+        ts = _dt.datetime(2024, 1, 1 + d, 13, 0, 0)
+        eid += 1
+        rows.append((eid, ts, 2, "error", 5.0, None))
+    return _write_events(spark, tmp_path, rows)
+
+
+@pytest.fixture(scope="module")
+def sparse_dir(spark, tmp_path_factory):
+    return _sparse_type_corpus(spark, tmp_path_factory.mktemp("sparse"))
+
+
+def test_ols_daily_trend_densifies_sparse_types(spark, sparse_dir):
+    """The sparse 'error' type must fit over ALL 5 calendar days (3 of
+    them zero-filled), not just its 2 occupied days — n_days is the
+    span, and the slope sees the zero observations."""
+    from hadoop_data_lake_spark.queries.registry import REGISTRY
+
+    out = {
+        r["event_type"]: r
+        for r in REGISTRY["ols_daily_trend"].fn(spark, sparse_dir).collect()
+    }
+    assert out["click"]["n_days"] == 5
+    assert out["error"]["n_days"] == 5, (
+        "sparse type fitted over occupied days only — densification lost"
+    )
+    # 2 occupied of 5 days: a fit over (5, 0, 0, 0, 5) cents-scale values
+    # has slope 0 by symmetry; the undensified fit over (5, 5) has slope 0
+    # too, so pin the INTERCEPT which differs (densified mean 2.0 vs 5.0)
+    assert abs(out["error"]["intercept_r"] - 2.0) < 1e-6
+
+
+def test_theil_sen_densifies_sparse_types(spark, sparse_dir):
+    """Median-of-pairwise-slopes over the densified grid: C(5,2)=10 pairs
+    per type, not C(2,2)=1 for the sparse type."""
+    from hadoop_data_lake_spark.queries.registry import REGISTRY
+
+    out = {
+        r["event_type"]: r
+        for r in REGISTRY["theil_sen_daily_trend"].fn(spark, sparse_dir).collect()
+    }
+    assert out["click"]["n_pairs"] == 10
+    assert out["error"]["n_pairs"] == 10, (
+        "sparse type paired over occupied days only — densification lost"
+    )
+
+
+def test_autocorr_densifies_sparse_types(spark, sparse_dir):
+    """Lag-k pairs over the densified series: lag 1 has span-1 = 4 pairs
+    for EVERY type (the sparse type would have 1 undensified)."""
+    from hadoop_data_lake_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["autocorr_daily_value"].fn(spark, sparse_dir).collect()
+    n = {(r["event_type"], r["lag"]): r["n"] for r in rows}
+    assert n[("click", 1)] == 4
+    assert n[("error", 1)] == 4, (
+        "sparse type lagged over occupied days only — densification lost"
+    )
+
+
+def test_corpus_wide_daily_series_not_densified(spark, tmp_path):
+    """Counterexample rule: jackknife_daily_mean's day lattice is the
+    OCCUPIED days. A corpus-wide zero day (total outage) must NOT be
+    injected as a synthetic revenue-0 observation — 4 occupied days of a
+    5-day span means n_days == 4."""
+    from hadoop_data_lake_spark.queries.registry import REGISTRY
+
+    rows = []
+    for i, d in enumerate((1, 2, 4, 5)):  # day 3 missing corpus-wide
+        rows.append((i, _dt.datetime(2024, 1, d, 12, 0, 0), 1, "click", 10.0, None))
+    d = _write_events(spark, tmp_path, rows)
+    out = REGISTRY["jackknife_daily_mean"].fn(spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["n_days"] == 4, (
+        "corpus-wide series densified — the deliberate NOT-densified "
+        "grain rule (COVERAGE.md Round 9) was flipped"
+    )
+
+
+def test_stream_replay_over_empty_source(spark, tmp_path):
+    """VERDICT r9 item 5: an empty availableNow batch is a legal production
+    state (an empty Kafka topic window). A zero-row events source must
+    drain cleanly to a 0-row result with the stable output schema — for a
+    windowed aggregate, a stateful applyInPandasWithState query, and a
+    stream-static join (the three state-machinery shapes in the guard)."""
+    import glob
+    import shutil
+
+    from hadoop_data_lake_spark.queries.registry import REGISTRY
+
+    src = spark.read.parquet(f"{SF}/events.parquet")
+    tmp = str(tmp_path / "part")
+    src.limit(0).coalesce(1).write.parquet(tmp)
+    dest = str(tmp_path / "events.parquet")
+    shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], dest)
+    for other in ("documents", "embeddings", "orders", "lineitem", "customer",
+                  "supplier", "part", "nation", "region"):
+        p = f"{SF}/{other}.parquet"
+        import os
+        if os.path.exists(p):
+            os.symlink(p, str(tmp_path / f"{other}.parquet"))
+
+    for name in ("stream_windowed_counts", "stream_running_max",
+                 "stream_enriched_value"):
+        out = REGISTRY[name].fn(spark, str(tmp_path))
+        assert out.count() == 0, f"{name} emitted rows from an empty source"
+        assert len(out.schema.fields) > 0, f"{name} lost its output schema"
+
+
 def test_correctness_file_epoch_untracked_falls_back_to_mtime(tmp_path, monkeypatch, capsys):
     """VERDICT r9 items 2+3: `git log -1` on an untracked CORRECTNESS file
     returns nothing, and the old code dated it to epoch 0 — every row of

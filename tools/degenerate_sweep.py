@@ -188,8 +188,44 @@ def _table_cases(spark) -> dict[str, str]:
     return {"one_row_facts": d1, "constant_values": d2, "empty_facts": d3}
 
 
+def _plan_probe(spark, sf_dir: str, targets: list[str]) -> int:
+    """Fact-rescan check over a DEGENERATE corpus (VERDICT r9 item 6): the
+    r9 empty-corpus guards added driver-side n==0 branches around eagerly
+    checkpointed frames — checkpoints built BEFORE the guard execute even
+    when downstream is empty, so a guard placed wrong can quietly
+    reintroduce multi-scan plans that only exist on the degenerate path
+    (the sf0.001 audit never sees them). Builds every target's plan on
+    `sf_dir` and applies the same FACT-RESCAN >= threshold rule as
+    tools/plan_audit.py."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from plan_audit import FACT_RESCAN_ALLOW, FACT_RESCAN_THRESHOLD, fact_rescans
+
+    bad = 0
+    for q in targets:
+        try:
+            plan = (
+                REGISTRY[q].fn(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception:
+            continue  # crashes are the crash sweep's job, not the plan probe's
+        heavy = {
+            t: n
+            for t, n in fact_rescans(plan).items()
+            if n >= FACT_RESCAN_THRESHOLD
+        }
+        if heavy and q not in FACT_RESCAN_ALLOW:
+            bad += 1
+            print(f"PLAN-REGRESSION {q}: " + ",".join(f"{t}x{n}" for t, n in sorted(heavy.items())))
+    print(f"degenerate plan probe: {bad} fact-rescan regressions over {len(targets)} queries")
+    return bad
+
+
 def main() -> int:
     events_only = "--events-only" in sys.argv
+    plans_mode = "--plans" in sys.argv
     names = [a for a in sys.argv[1:] if not a.startswith("--")]
     spark = get_spark("degenerate_sweep")
     targets = names or [n for n in REGISTRY if n not in SKIP]
@@ -198,6 +234,12 @@ def main() -> int:
     events_cases = frozenset(cases)
     if not events_only:
         cases.update(_table_cases(spark))
+
+    if plans_mode:
+        # plan probe runs on the empty-facts corpus only: that is where a
+        # misplaced empty-guard changes plan shape; the value semantics of
+        # the other corpora are the crash sweep's domain.
+        return 1 if _plan_probe(spark, cases["empty_facts"], targets) else 0
 
     crashes = 0
     for cname, d in cases.items():
