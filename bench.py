@@ -35,16 +35,28 @@ from hadoop_data_lake_spark.queries.registry import REGISTRY
 # the set does not grow. Everything else times under HEADLINE_EXTRAS.
 # ---------------------------------------------------------------------------
 # Control set for cross-round normalization (VERDICT r6 item 6): four
-# flat-history queries whose plans have not changed since round 3; their
-# geomean vs the FROZEN r3 absolutes measures box-wide drift (co-tenant
-# load, thermal state) so per-query ratios can be read through it instead
-# of re-running a manual adjudication (tools/adjudicate_bench.py) each
-# round. r3 absolutes from BENCH_r03.json (sf0.1, this box).
-CONTROL_R3_ABSOLUTES = {
-    "zone_report": 0.649,
-    "ann_brute_force": 0.780,
-    "embedding_near_dup": 1.024,
-    "dedup_clusters_minhash": 2.829,
+# flat-history queries; their geomean vs FROZEN absolutes measures
+# box-wide drift (co-tenant load, thermal state) so per-query ratios can
+# be read through it instead of re-running a manual adjudication
+# (tools/adjudicate_bench.py) each round.
+#
+# RE-BASED at round 10 (VERDICT r9 item 1): three of the four got the
+# single-pass checkpoint restructuring (zone_report 5->0 visible fact
+# scans, embedding_near_dup 4->2 with the SRP UDF run once,
+# dedup_clusters_minhash's minhash operator 6->0), which ends the r3-era
+# comparability — BENCH_r09.json is the final old-plan record. The r10
+# absolutes are the per-control MIN over two back-to-back full bench runs
+# at HEAD (same best-of-N philosophy the bench itself uses; run1 measured
+# under visible co-tenant load, run2 calm — ann_brute_force, the only
+# UNCHANGED control plan, read 0.966/0.828 vs its 0.780 r3 absolute,
+# bridging the eras at ~1.06x box drift). History of the r3 absolutes:
+# zone_report 0.649, ann_brute_force 0.780, embedding_near_dup 1.024,
+# dedup_clusters_minhash 2.829 (BENCH_r03.json, sf0.1, this box).
+CONTROL_R10_ABSOLUTES = {
+    "zone_report": 0.698,
+    "ann_brute_force": 0.828,
+    "embedding_near_dup": 0.998,
+    "dedup_clusters_minhash": 2.646,
 }
 
 HEADLINE_FROZEN = [
@@ -504,10 +516,10 @@ def main() -> None:
         + timings["events_partitioned_range"],
         3,
     )
-    # Box-drift control: geomean of (this run / r3 absolute) over the four
+    # Box-drift control: geomean of (this run / r10 absolute) over the four
     # flat-history controls. Read every cross-round ratio THROUGH this
     # number (a query at 1.4x under a 1.4x control is flat in real terms).
-    # The r3 absolutes are sf0.1 timings, so the factor is only meaningful
+    # The r10 absolutes are sf0.1 timings, so the factor is only meaningful
     # when THIS run is also sf0.1 (driver-ADVICE r7): a run at another SF
     # (SPARK_GRAFT_SF_DIR override) records control_inflation = None and
     # carries control_baseline_sf so the artifact is self-describing.
@@ -515,13 +527,13 @@ def main() -> None:
     # timing is warned about, not silently dropped (driver-ADVICE r7).
     CONTROL_BASELINE_SF = 0.1
     sf_num = float(sf) if sf.replace(".", "").isdigit() else None
-    controls_used = [n for n in CONTROL_R3_ABSOLUTES if timings.get(n)]
-    for n in CONTROL_R3_ABSOLUTES:
+    controls_used = [n for n in CONTROL_R10_ABSOLUTES if timings.get(n)]
+    for n in CONTROL_R10_ABSOLUTES:
         if n not in controls_used:
             print(f"# WARNING: control query {n} missing from timings; "
                   "control_inflation geomean excludes it", file=sys.stderr)
     control_ratios = {
-        n: round(timings[n] / CONTROL_R3_ABSOLUTES[n], 3) for n in controls_used
+        n: round(timings[n] / CONTROL_R10_ABSOLUTES[n], 3) for n in controls_used
     }
     if sf_num == CONTROL_BASELINE_SF and control_ratios:
         control_inflation = round(
@@ -535,7 +547,7 @@ def main() -> None:
         control_inflation = None
         if sf_num != CONTROL_BASELINE_SF:
             print(f"# control_inflation suppressed: run sf={sf} != baseline "
-                  f"sf{CONTROL_BASELINE_SF} of CONTROL_R3_ABSOLUTES",
+                  f"sf{CONTROL_BASELINE_SF} of CONTROL_R10_ABSOLUTES",
                   file=sys.stderr)
     payload = {
         "metric": "headline_queries_total_runtime",

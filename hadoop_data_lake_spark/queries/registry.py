@@ -102,7 +102,9 @@ STREAMING_GUARD: tuple[str, ...] = (
 #: the 4 NEWEST-stale (semdedup_prune, doc_fingerprint,
 #: decontaminate_ngram_overlap, stream_topk_types_per_window — stale
 #: only by the hours-old r10 commit through the shared dedup/similarity
-#: operators) spill to the round-11 ladder. ann_ivf_kmeans (the oldest
+#: operators) spill to the round-11 ladder, joined there by
+#: incremental_orders_agg and ivm_join_delta (re-dated later in r10 by
+#: their own single-scan restructuring) — r11 ladder = 6. ann_ivf_kmeans (the oldest
 #: row, r2) is included per VERDICT r9 item 2 even though it is
 #: rows-only — its recall pytest is the real verification, and the
 #: driver row re-dates it off the ladder.

@@ -35,6 +35,11 @@ _PINNED = [
     ("dedup_clusters_minhash", {"documents": 0}),
     ("embedding_near_dup", {"embeddings": 2}),
     ("decontamination_report", {"documents": 2, "embeddings": 2}),
+    # snapshot sims: the simulated old/new snapshots derive from ONE
+    # checkpointed projection per physical table (was orders x4 / x5 +
+    # customer x6 through the alias-differing delta subtrees)
+    ("incremental_orders_agg", {"orders": 0}),
+    ("ivm_join_delta", {"orders": 0, "customer": 0}),
 ]
 
 

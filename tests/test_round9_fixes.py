@@ -273,12 +273,13 @@ def test_fact_rescans_counts_only_filescan_lines():
     assert r == {"events": 4}, r  # nation is a dim; orders appears once
 
 
-def test_fact_rescan_allowlist_shrunk_to_snapshot_sims():
-    """r10 control re-baseline: the control-freeze exemptions and the
-    multi-layer report are GONE (their operators now checkpoint their
-    index frames — <= 2 visible fact scans each); only the two
-    snapshot-simulation queries remain, where old/new snapshots derive
-    from one physical table by construction."""
+def test_fact_rescan_allowlist_empty():
+    """r10: every exemption is closed — the control-freeze family fell at
+    the control re-baseline (index-frame checkpoints), the multi-layer
+    report through the shared operators, and the two snapshot sims by
+    checkpointing the single projected base their simulated old/new
+    snapshots derive from. A future entry must be a named, reviewed
+    addition, not a leftover."""
     from tools.plan_audit import FACT_RESCAN_ALLOW
 
-    assert FACT_RESCAN_ALLOW == {"incremental_orders_agg", "ivm_join_delta"}
+    assert FACT_RESCAN_ALLOW == set()

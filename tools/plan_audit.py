@@ -59,24 +59,22 @@ RED = ("CartesianProduct", "BatchEvalPython")
 FACT_TABLES = ("events", "orders", "lineitem", "documents", "embeddings")
 FACT_RESCAN_THRESHOLD = 4
 #: Documented exemptions — each with a stated reason, not a blanket:
-FACT_RESCAN_ALLOW = {
-    # incremental-vs-recompute simulations: old/new snapshots and their
-    # deltas all DERIVE from the single driver table here, so the plan
-    # re-reads it once per simulated side; a real deployment has
-    # physically separate snapshot tables (one scan each).
-    #
-    # The r9-era control-freeze exemptions (zone_report,
-    # embedding_near_dup, dedup_minhash_lsh, decontaminate_minhash_cross)
-    # and the multi-layer decontamination_report were REMOVED at the r10
-    # control re-baseline: the shared operators now checkpoint their
-    # index frames (operators/dedup.minhash_lsh_pairs inverted index,
-    # operators/similarity.cosine_near_dup_pairs band index,
-    # pipelines/zone_report grain aggregates), dropping every one of them
-    # to <= 2 visible fact scans. New control absolutes in bench.py
-    # (CONTROL_R10_ABSOLUTES); old-plan record = BENCH_r09.json.
-    "incremental_orders_agg",
-    "ivm_join_delta",
-}
+#: EMPTY since round 10: every query in the registry passes the
+#: FACT-RESCAN check on its own plan. History — the r9-era control-freeze
+#: exemptions (zone_report, embedding_near_dup, dedup_minhash_lsh,
+#: decontaminate_minhash_cross) and the multi-layer decontamination_report
+#: fell at the r10 control re-baseline (the shared operators checkpoint
+#: their index frames: operators/dedup.minhash_lsh_pairs inverted index,
+#: operators/similarity.cosine_near_dup_pairs band index,
+#: pipelines/zone_report grain aggregates — all <= 2 visible fact scans;
+#: new control absolutes in bench.py, old-plan record = BENCH_r09.json);
+#: the two snapshot simulations (incremental_orders_agg, ivm_join_delta)
+#: followed the same round by checkpointing the single projected base
+#: their simulated old/new snapshots derive from (a real deployment reads
+#: two physical snapshot tables once each — the checkpoint mirrors that).
+#: The set stays so a future, genuinely justified exemption has a named,
+#: reviewed place to live rather than a threshold bump.
+FACT_RESCAN_ALLOW: set[str] = set()
 
 _AGG = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
 _BOUNDED = _AGG + ("GlobalLimit", "CollectLimit", "TakeOrderedAndProject", "LocalLimit")
