@@ -104,7 +104,10 @@ STREAMING_GUARD: tuple[str, ...] = (
 #: only by the hours-old r10 commit through the shared dedup/similarity
 #: operators) spill to the round-11 ladder, joined there by
 #: incremental_orders_agg and ivm_join_delta (re-dated later in r10 by
-#: their own single-scan restructuring) — r11 ladder = 6. ann_ivf_kmeans (the oldest
+#: their own single-scan restructuring) and monthly_from_daily_mv
+#: (cross-module hop from the same tpch_queries edit) — r11 ladder = 7
+#: (`backlog_report.py --stale` minus the r10 window, verified at round
+#: close). ann_ivf_kmeans (the oldest
 #: row, r2) is included per VERDICT r9 item 2 even though it is
 #: rows-only — its recall pytest is the real verification, and the
 #: driver row re-dates it off the ladder.
