@@ -27,6 +27,36 @@ MULTS = [1, 10, 100]
 BASE = os.environ.get("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.01")
 
 
+def _scaled_embeddings_orth(spark, base_dir: str, mult: int):
+    """Embeddings replicated `mult`x under a PER-COPY deterministic sign-flip
+    mask (diagonal +/-1 = an orthogonal transform): within-copy cosines are
+    preserved EXACTLY, so the true near-dup pair set grows linearly with
+    mult, while cross-copy cosines scramble to ~0 — bench._scaled_embeddings
+    replicates vectors identically, which would hand cosine_near_dup_pairs a
+    quadratic TRUE output (every copy-twin is a planted dup: the same
+    phantom-super-linear trap _scaled_docs' token masking avoids). Mask
+    wt(rep, d) = +1 iff the 60-bit md5 prefix of 'rep|d' is even — the same
+    portable hash family as operators/similarity._srp_weights. Synthesis is
+    localCheckpoint'ed OUTSIDE the timed region."""
+    from pyspark.sql import functions as F
+
+    from hadoop_data_lake_spark.core.io import read_table
+
+    emb = read_table(spark, base_dir, "embeddings").select("vec_id", "embedding")
+    if mult > 1:
+        rep = spark.range(mult).select(F.col("id").alias("rep"))
+        masked = F.expr(
+            "transform(embedding, (x, d) -> CASE WHEN "
+            "conv(substring(md5(concat(rep, '|', d)), 1, 15), 16, 10) % 2 = 0 "
+            "THEN x ELSE -x END)"
+        )
+        emb = emb.crossJoin(rep).select(
+            (F.col("vec_id") * mult + F.col("rep")).alias("vec_id"),
+            masked.alias("embedding"),
+        )
+    return emb.localCheckpoint(eager=True)
+
+
 def _zone_report_thunk(spark, ev):
     """zone_report over a scaled events frame: same base derivation as the
     registry query (week/month from ts, zone = user % 10) feeding the
@@ -55,9 +85,11 @@ def main() -> None:
         docs = bench._scaled_docs(spark, BASE, mult)
         ev = bench._scaled_events(spark, BASE, mult)
         edges = bench._scaled_edges(spark, BASE, mult)
-        # Assemble only the four flagships (the full tier would re-time
+        emb = _scaled_embeddings_orth(spark, BASE, mult)
+        # Assemble only the flagships (the full tier would re-time
         # everything; this probe extends exactly the named curves).
         from hadoop_data_lake_spark.operators import dedup as DD
+        from hadoop_data_lake_spark.operators import similarity as SIM
         from hadoop_data_lake_spark.operators.graph import pagerank_intexact
         from hadoop_data_lake_spark.operators.windows import sessionize
         from pyspark.sql import functions as F
@@ -73,6 +105,12 @@ def main() -> None:
             .groupBy("user_id", "session_id")
             .count(),
             "zone_report": _zone_report_thunk(spark, ev),
+            # r10 addition: the SRP-checkpoint near-dup path (the control
+            # re-baseline restructured it — this curve evidences the
+            # checkpointed band index stays index-bounded at 100x)
+            "cosine_near_dup": lambda: SIM.cosine_near_dup_pairs(
+                emb, threshold=0.95
+            ),
         }
         for name, thunk in ops.items():
             best, rows = None, 0
@@ -87,7 +125,7 @@ def main() -> None:
                     file=sys.stderr,
                 )
             out.setdefault(name, {})[f"t{mult}x"] = round(best, 3)
-        for f in (docs, ev, edges):
+        for f in (docs, ev, edges, emb):
             f.unpersist()
     for name, pts in out.items():
         if pts.get("t1x"):
