@@ -38,6 +38,25 @@ BASE = os.environ.get("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.01")
 # quadratic escape when the bucket space is left to saturate.
 LSH_SCALED = {1: (8, 8), 10: (12, 12), 100: (24, 16)}
 
+# Same timing law for the SRP top-k path (candidates/query ~ tables * n /
+# 2^bits, and the query set is a fixed FRACTION of the corpus, so total
+# work is quadratic in n unless 2^bits scales with n) — BUT measured
+# recall shows bucket-scaling is the WRONG lever for top-k: a query's
+# true neighbors sit at mid-cosine (p ~ 0.65 per bit on this corpus, vs
+# 0.899 at the near-dup 0.95 threshold), so per-table recall p^bits
+# collapses exponentially as bits rise (measured recall@5 at 10x: 0.096
+# fixed (4,8) -> 0.036 scaled (6,11); even the 1x real-corpus fixed
+# recall is ~0.10 — the srp_int tier's value is DETERMINISM, not recall).
+# The production top-k scale path is IVF below: cells partition the space
+# (occupancy n/cells), nprobe — a LINEAR knob — governs recall, and
+# nlist ~ sqrt(n) is standard practice (also keeps the centroid literal
+# tree under the janino 64 KB codegen limit).
+TOPK_SCALED = {1: (4, 8), 10: (6, 11), 100: (8, 15)}
+
+# IVF (n_cells, nprobe) per multiplier: nlist ~ sqrt(n), nprobe rising so
+# the probed fraction (nprobe/cells) shrinks while absolute recall holds.
+IVF_SCALED = {1: (8, 2), 10: (25, 3), 100: (80, 4)}
+
 
 def _scaled_embeddings_orth(spark, base_dir: str, mult: int):
     """Embeddings replicated `mult`x under a PER-COPY deterministic sign-flip
@@ -135,6 +154,30 @@ def main() -> None:
                 lambda B=LSH_SCALED[mult][0], R=LSH_SCALED[mult][1]:
                 SIM.cosine_near_dup_pairs(
                     emb, threshold=0.95, num_bands=B, bits_per_band=R
+                )
+            ),
+            # SRP top-k: query set is every 50th vector (a fixed fraction
+            # of the corpus, like the registry's _query_set), so fixed
+            # buckets make total candidate work quadratic — the scaled
+            # variant holds per-bucket occupancy flat.
+            "srp_int_topk": lambda: SIM.srp_int_topk(
+                emb, emb.where(F.col("vec_id") % 50 == 0), k=5,
+                num_tables=4, bits_per_table=8, dim=64,
+            ),
+            "srp_int_topk_scaledlsh": (
+                lambda T=TOPK_SCALED[mult][0], B=TOPK_SCALED[mult][1]:
+                SIM.srp_int_topk(
+                    emb, emb.where(F.col("vec_id") % 50 == 0), k=5,
+                    num_tables=T, bits_per_table=B, dim=64,
+                )
+            ),
+            # the production top-k scale path: learned-centroid IVF with
+            # nlist ~ sqrt(n) (see IVF_SCALED derivation above)
+            "ivf_topk_scaled": (
+                lambda C=IVF_SCALED[mult][0], P=IVF_SCALED[mult][1]:
+                SIM.ivf_kmeans_topk(
+                    emb, emb.where(F.col("vec_id") % 50 == 0), k=5,
+                    n_cells=C, nprobe=P,
                 )
             ),
         }
