@@ -70,6 +70,54 @@ def test_rebaseline_plans_are_single_pass(spark, name, limits):
         )
 
 
+def test_scale_probe_embedding_replication_is_orthogonal(spark):
+    """tools/scale_probe_100x._scaled_embeddings_orth must preserve
+    within-copy cosines EXACTLY (per-copy sign-flip = orthogonal diagonal)
+    and scramble cross-copy twins to ~0 — identical replication would
+    plant a quadratic true-pair set and re-create the phantom
+    super-linear trap the docs token masking avoids."""
+    import sys
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "tools")
+    from scale_probe_100x import _scaled_embeddings_orth
+
+    mult = 3
+    base = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").limit(6).collect()
+    }
+    ids = list(base)
+    wanted = [i * mult + rep for i in ids for rep in range(mult)]
+    scaled = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in _scaled_embeddings_orth(spark, SF, mult)
+        .where(F.col("vec_id").isin(wanted))
+        .collect()
+    }
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    # within-copy: cosine of every pair equals the base cosine (exact up to
+    # float assembly noise)
+    for rep in range(mult):
+        for i in ids[:3]:
+            for j in ids[3:]:
+                got = cos(scaled[i * mult + rep], scaled[j * mult + rep])
+                want = cos(base[i], base[j])
+                assert abs(got - want) < 1e-9, (rep, i, j, got, want)
+    # cross-copy twins (same base vector, different masks): |cos| well
+    # below the 0.95 near-dup threshold
+    for i in ids:
+        for r1 in range(mult):
+            for r2 in range(r1 + 1, mult):
+                c = cos(scaled[i * mult + r1], scaled[i * mult + r2])
+                assert abs(c) < 0.6, (i, r1, r2, c)
+
+
 # ---------------------------------------------------------------------------
 # Densification grain rules (VERDICT r9 item 7): the r9 decisions were prose
 # in COVERAGE.md — these fixtures pin the semantics so a refactor can't
