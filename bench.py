@@ -52,11 +52,21 @@ from hadoop_data_lake_spark.queries.registry import REGISTRY
 # bridging the eras at ~1.06x box drift). History of the r3 absolutes:
 # zone_report 0.649, ann_brute_force 0.780, embedding_near_dup 1.024,
 # dedup_clusters_minhash 2.829 (BENCH_r03.json, sf0.1, this box).
+# Late-r10 amendment: the unbounded index checkpoints switched to the
+# SERIALIZED storage level (core/io.checkpoint_serialized — 6.3x smaller
+# in-memory footprint, the 100 TB posture win), which touches two of the
+# four control plans. Each absolute is the per-control MIN over the HEAD
+# runs of that control's FINAL plan: zone_report and ann_brute_force are
+# untouched by the storage-level change (their minima stand from the
+# first measurement pair); embedding_near_dup and dedup_clusters_minhash
+# re-measured over a second back-to-back pair with serialized
+# checkpoints (+0.2 s / +0.05 s — the deserialize-per-consumer cost the
+# footprint buys).
 CONTROL_R10_ABSOLUTES = {
     "zone_report": 0.698,
     "ann_brute_force": 0.828,
-    "embedding_near_dup": 0.998,
-    "dedup_clusters_minhash": 2.646,
+    "embedding_near_dup": 1.203,
+    "dedup_clusters_minhash": 2.696,
 }
 
 HEADLINE_FROZEN = [

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from hadoop_data_lake_spark.core.io import ensure_parallelism
+from hadoop_data_lake_spark.core.io import checkpoint_serialized, ensure_parallelism
 
 from hadoop_data_lake_spark.functions.text import ordered_shingles, shingles
 
@@ -120,7 +120,7 @@ def ngram_jaccard_pairs(
     # checkpoint the inverted index (r9 scan-multiplicity audit): the hot
     # drop, both self-join sides and the size aggregate each re-ran the
     # shingle HOF + corpus scan otherwise (4 documents scans per run)
-    inv = inv.localCheckpoint(eager=True)
+    inv = checkpoint_serialized(inv)
 
     if max_df is not None:
         inv = _drop_hot(inv, "s", max_df)
@@ -176,7 +176,7 @@ def jaccard_pairs_prefix_filter(
     # scan-multiplicity audit; sf0.1 wall 17.6 s -> ~8 s with the
     # checkpoint). Token-level but 1 small row per shingle — far cheaper
     # to persist once than to recompute 4x.
-    inv = inv.localCheckpoint(eager=True)
+    inv = checkpoint_serialized(inv)
     sizes = inv.groupBy(F.col("doc")).agg(F.count("*").alias("n_sh"))
 
     freq = inv.groupBy("s").agg(F.count("*").alias("df_s"))
@@ -461,7 +461,7 @@ def minhash_lsh_pairs(
     # checkpoint the corpus was scanned AND re-shingled 6x (the measured
     # per-doc hot loop). One scan + one shingle pass, materialized once;
     # same move as the ngram/prefix paths above.
-    inv = inv.localCheckpoint(eager=True)
+    inv = checkpoint_serialized(inv)
     banded = _banded_signatures(inv, num_hashes, bands)
 
     cand = (
@@ -529,8 +529,8 @@ def minhash_cross_pairs(
     # big side) feeds three subtrees (banded build, size agg, co-occurrence
     # join) — checkpoint so it is scanned and shingled once. The probe side
     # is broadcast-small; one checkpoint keeps its shingle pass single too.
-    inv_l = inv_l.localCheckpoint(eager=True)
-    inv_r = inv_r.localCheckpoint(eager=True)
+    inv_l = checkpoint_serialized(inv_l)
+    inv_r = checkpoint_serialized(inv_r)
     banded_l = _banded_signatures(inv_l, num_hashes, bands)
     banded_r = _banded_signatures(inv_r, num_hashes, bands)
 

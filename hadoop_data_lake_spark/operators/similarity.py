@@ -206,10 +206,13 @@ def cosine_near_dup_pairs(
     # self-join aliases it twice, and alias-differing subtrees re-execute
     # upstream — without this the corpus was scanned and the SRP matmul UDF
     # run twice. The index is narrow (num_bands rows of 3 scalars per
-    # vector), so the materialization is tiny at any scale; the verify
+    # vector) and SERIALIZED (core/io.checkpoint_serialized: n-linear
+    # frames store ~6x smaller than the deserialized default); the verify
     # joins below still read the raw table (column-pruned, 2 scans — the
     # embedding payload is NOT worth materializing to save them).
-    sigs = sigs.localCheckpoint(eager=True)
+    from hadoop_data_lake_spark.core.io import checkpoint_serialized
+
+    sigs = checkpoint_serialized(sigs)
     cand = (
         sigs.alias("a")
         .join(

@@ -1822,10 +1822,12 @@ def incremental_orders_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointed projection mirrors that honestly — one orders scan
     # lifetime instead of four (old_agg + the delta join's re-executed
     # old/new subtrees) — closing the FACT_RESCAN_ALLOW exemption (r10).
-    orders = read_table(spark, sf_dir, "orders").select(
+    from hadoop_data_lake_spark.core.io import checkpoint_serialized
+
+    orders = checkpoint_serialized(read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority",
-    ).localCheckpoint(eager=True)
+    ))
     cutoff = F.col("o_orderdate") >= F.lit("2000-07-01")
     old = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
     new = orders.where(~(cutoff & (F.col("o_orderpriority") == "5-LOW"))).select(
@@ -1963,13 +1965,15 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table (orders was re-scanned 5x, customer 6x through the
     # alias-differing old/new/delta subtrees; a real deployment reads each
     # snapshot table once) — closing the FACT_RESCAN_ALLOW exemption (r10).
-    orders = read_table(spark, sf_dir, "orders").select(
+    from hadoop_data_lake_spark.core.io import checkpoint_serialized
+
+    orders = checkpoint_serialized(read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice",
         "o_orderdate", "o_orderpriority",
-    ).localCheckpoint(eager=True)
-    cust = read_table(spark, sf_dir, "customer").select(
+    ))
+    cust = checkpoint_serialized(read_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
-    ).localCheckpoint(eager=True)
+    ))
     cutoff = F.col("o_orderdate") >= F.lit("2000-07-01")
     o_old = orders.select("o_orderkey", "o_custkey", "o_totalprice")
     o_new = (
