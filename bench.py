@@ -65,7 +65,7 @@ from hadoop_data_lake_spark.queries.registry import REGISTRY
 CONTROL_R10_ABSOLUTES = {
     "zone_report": 0.698,
     "ann_brute_force": 0.828,
-    "embedding_near_dup": 1.203,
+    "embedding_near_dup": 1.042,  # a calmer third HEAD run beat the pair's min
     "dedup_clusters_minhash": 2.696,
 }
 
