@@ -62,11 +62,16 @@ from hadoop_data_lake_spark.queries.registry import REGISTRY
 # re-measured over a second back-to-back pair with serialized
 # checkpoints (+0.2 s / +0.05 s — the deserialize-per-consumer cost the
 # footprint buys).
+# Final values: per-control MIN over ALL final-plan HEAD runs recorded
+# this round (four runs). The procedure is CLOSED here — future rounds
+# must NOT chase minima; a calm-box run reading control_inflation
+# slightly below 1.0 is expected and fine (normalization is relative, so
+# a small uniform bias in the absolutes cancels across rounds).
 CONTROL_R10_ABSOLUTES = {
-    "zone_report": 0.698,
+    "zone_report": 0.674,
     "ann_brute_force": 0.828,
-    "embedding_near_dup": 1.042,  # a calmer third HEAD run beat the pair's min
-    "dedup_clusters_minhash": 2.696,
+    "embedding_near_dup": 0.962,
+    "dedup_clusters_minhash": 2.294,
 }
 
 HEADLINE_FROZEN = [
