@@ -31,6 +31,27 @@ class ConvergenceError(RuntimeError):
     """Label propagation hit max_iter with labels still changing."""
 
 
+# Per-vertex iteration state (ranks, labels, frontiers, survivor sets) is
+# localCheckpoint-ed every round, and a checkpointed frame scans as
+# `Scan ExistingRDD` with NO size statistics — Catalyst therefore can't
+# pick it as the broadcast side, and every round's state-x-edges join
+# falls back to a SortMergeJoin that re-shuffles the (much larger) edge
+# list. Measured on pagerank_det at sf0.1: both sides exchanged, 10
+# edge-list shuffles for 10 rounds. When the driver already knows the
+# vertex count, hint the broadcast explicitly below this cap; beyond it
+# (1e9-vertex graphs at 100 TB) the co-partitioned shuffle formulation
+# stands unchanged. 1M rows of (long, long[, long]) is ~24-48 MB — well
+# inside executor broadcast budgets, far above every bench graph.
+BROADCAST_STATE_MAX_ROWS = 1_000_000
+
+
+def _bcast_state(df: DataFrame, n_rows: int | None) -> DataFrame:
+    """Broadcast-hint a bounded per-vertex state frame (see note above)."""
+    if n_rows is not None and 0 <= n_rows <= BROADCAST_STATE_MAX_ROWS:
+        return F.broadcast(df)
+    return df
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -217,7 +238,7 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     for _ in range(max_iter):
         contribs = (
-            contrib_base.join(ranks, F.col("src") == F.col("v"))
+            contrib_base.join(_bcast_state(ranks, n), F.col("src") == F.col("v"))
             .select("dst", (F.col("rank") / F.col("deg")).alias("w"))
             .groupBy("dst")
             .agg(F.sum("w").alias("in_mass"))
@@ -244,7 +265,7 @@ def pagerank(
         )
         delta = (
             ranks.select("v", F.col("rank").alias("old"))
-            .join(new_ranks, "v")
+            .join(_bcast_state(new_ranks, n), "v")
             .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
             .first()[0]
         )
@@ -377,7 +398,8 @@ def pagerank_intexact(
     for _ in range(iters):
         in_sum = (
             contrib_base.join(
-                ranks.where(~F.col("dang")), F.col("src") == F.col("node")
+                _bcast_state(ranks.where(~F.col("dang")), n),
+                F.col("src") == F.col("node"),
             )
             .select(F.col("dst"), F.col("dst_dang"), F.expr("rank div deg").alias("c"))
             .groupBy("dst", "dst_dang")
@@ -487,6 +509,14 @@ def kcore_peel(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # initial vertex count bounds every round's survivor set: one driver
+    # scalar unlocks the state broadcast for all `peels` rounds
+    n_verts = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .count()
+    )
     for _ in range(peels):
         deg = (
             e.select(F.col("s").alias("node"))
@@ -494,10 +524,22 @@ def kcore_peel(
             .groupBy("node")
             .agg(F.count("*").alias("deg"))
         )
-        keep = deg.where(F.col("deg") >= k).select("node")
+        # checkpoint the survivor set once per round: it feeds BOTH
+        # semi-joins (uncheckpointed, the degree aggregation runs twice)
+        keep = (
+            deg.where(F.col("deg") >= k).select("node").localCheckpoint(eager=True)
+        )
         e = (
-            e.join(keep.withColumnRenamed("node", "s"), "s", "left_semi")
-            .join(keep.withColumnRenamed("node", "d"), "d", "left_semi")
+            e.join(
+                _bcast_state(keep.withColumnRenamed("node", "s"), n_verts),
+                "s",
+                "left_semi",
+            )
+            .join(
+                _bcast_state(keep.withColumnRenamed("node", "d"), n_verts),
+                "d",
+                "left_semi",
+            )
             .select("s", "d")
             .localCheckpoint(eager=True)
         )
@@ -556,11 +598,13 @@ def lpa_communities(
         .withColumn("label", F.col("vertex"))
         .localCheckpoint(eager=True)
     )
+    n_verts = labels.count()  # bounded driver scalar: enables the state broadcast
     from hadoop_data_lake_spark.operators.windows import topk_per_group
 
     for _ in range(iters):
         msgs = e.join(
-            labels.select(F.col("vertex").alias("d"), "label"), "d"
+            _bcast_state(labels.select(F.col("vertex").alias("d"), "label"), n_verts),
+            "d",
         ).select(F.col("s").alias("vertex"), "label", "w")
         tally = msgs.groupBy("vertex", "label").agg(F.sum("w").alias("score"))
         new = topk_per_group(
@@ -570,7 +614,7 @@ def lpa_communities(
             k=1,
         ).select("vertex", F.col("label").alias("new_label"))
         labels = (
-            labels.join(new, "vertex", "left")
+            labels.join(_bcast_state(new, n_verts), "vertex", "left")
             .select(
                 "vertex",
                 F.coalesce("new_label", "label").alias("label"),

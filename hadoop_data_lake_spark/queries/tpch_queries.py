@@ -4708,12 +4708,19 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     def rescale(df: DataFrame) -> DataFrame:
         # checkpoint before branching: the max-agg and the join both read
         # the frame, and an uncheckpointed branch re-executes the whole
-        # round chain per reference (2^rounds blowup).
+        # round chain per reference (2^rounds blowup). The returned score
+        # frame is per-vertex state consumed by the next round's edge
+        # join — broadcast-hint it when bounded (operators/graph note:
+        # checkpointed state scans carry no stats, so Catalyst otherwise
+        # SMJ-shuffles the edge list every round).
+        from hadoop_data_lake_spark.operators.graph import _bcast_state
+
         df = df.localCheckpoint(eager=True)
         m = df.agg(F.max("v").alias("m"))
-        return df.crossJoin(F.broadcast(m)).select(
+        scaled = df.crossJoin(F.broadcast(m)).select(
             df.columns[0], F.expr("v * 1000000 div m").alias("v")
         )
+        return _bcast_state(scaled, df.count())
 
     a = rescale(e.groupBy("s").agg(F.count("*").cast("long").alias("v")))
     h = rescale(e.join(a, "s").groupBy("c").agg(F.sum("v").alias("v")))
