@@ -308,3 +308,41 @@ def test_zone_report_values_survive_checkpoint_swap(spark):
         | (F.col("month_user") < 0)
     ).count()
     assert bad == 0
+
+
+def test_graph_state_broadcast_cap_is_value_neutral(spark):
+    """operators/graph._bcast_state must only change the JOIN STRATEGY,
+    never values: pagerank_intexact, lpa_communities and kcore_peel give
+    identical results with the broadcast forced off (cap -1, the 1e9-vertex
+    path) and forced on (the bounded-state path). Integer arithmetic makes
+    this exact — any divergence means the two physical plans computed
+    different math, which would silently split correctness between bench
+    scale and 100 TB."""
+    import hadoop_data_lake_spark.operators.graph as G
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(12) for b in range(12) if a != b and (a * 7 + b) % 3],
+        "src long, dst long",
+    )
+    old_cap = G.BROADCAST_STATE_MAX_ROWS
+    try:
+        results = {}
+        for mode, cap in (("bcast", 1_000_000), ("shuffle", -1)):
+            G.BROADCAST_STATE_MAX_ROWS = cap
+            pr = {
+                (r["node"], r["rank_units"])
+                for r in G.pagerank_intexact(edges, iters=4).collect()
+            }
+            lpa = {
+                (r["vertex"], r["community"])
+                for r in G.lpa_communities(edges, iters=3).collect()
+            }
+            kc = {
+                (r["node"], r["deg"])
+                for r in G.kcore_peel(edges, k=3, peels=2).collect()
+            }
+            results[mode] = (pr, lpa, kc)
+    finally:
+        G.BROADCAST_STATE_MAX_ROWS = old_cap
+    assert results["bcast"] == results["shuffle"]
+    assert results["bcast"][0], "pagerank produced no rows"
