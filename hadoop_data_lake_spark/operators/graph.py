@@ -466,14 +466,18 @@ def bfs_hops(
     frontier = seeds.select(F.col(seed_col).alias("node")).distinct().localCheckpoint(
         eager=True
     )
+    # vertex count bounds frontier AND visited at every level: one driver
+    # scalar unlocks the state broadcast (see _bcast_state note) so the
+    # per-level joins ship the frontier, never re-shuffle the edge list
+    n_verts = sym.select("s").distinct().count()
     visited = frontier
     out = frontier.withColumn("hop", F.lit(0))
     for k in range(1, max_hops + 1):
         nxt = (
-            sym.join(frontier, sym["s"] == frontier["node"])
+            sym.join(_bcast_state(frontier, n_verts), sym["s"] == frontier["node"])
             .select(F.col("d").alias("node"))
             .distinct()
-            .join(visited, "node", "left_anti")
+            .join(_bcast_state(visited, n_verts), "node", "left_anti")
             .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
