@@ -44,6 +44,13 @@ class ConvergenceError(RuntimeError):
 # inside executor broadcast budgets, far above every bench graph.
 BROADCAST_STATE_MAX_ROWS = 1_000_000
 
+# Driver-collect budget for the layered-graph fast path's per-sink
+# out-degree histogram (pagerank_intexact): (sink, src_degree, count)
+# triples. 500k rows ~ 15 MB collected — the same order as the ANN probe
+# sets and shard plans the driver already holds; beyond it the general
+# distributed loop runs instead.
+LAYERED_HIST_MAX_ROWS = 500_000
+
 
 def _bcast_state(df: DataFrame, n_rows: int | None) -> DataFrame:
     """Broadcast-hint a bounded per-vertex state frame (see note above)."""
@@ -353,6 +360,12 @@ def pagerank_intexact(
     SortMergeJoin against the full node list and re-aggregated
     out-degrees for an anti-join every round. localCheckpoint per round
     so round N never re-executes rounds 1..N-1.
+
+    LAYERED graphs (source and sink sets disjoint — bipartite purchase
+    graphs) take a structural fast path: the recurrence collapses onto
+    the iteration-invariant per-sink out-degree histogram and runs
+    driver-side in exact integer arithmetic (bit-identical results, ONE
+    distributed edge pass instead of `iters`); see the inline note.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
         eager=True
@@ -363,19 +376,6 @@ def pagerank_intexact(
         .distinct()
     )
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    # per-edge static metadata: source out-degree + whether the TARGET is
-    # dangling (no out-edges) — carried through the dst aggregation so the
-    # new ranks frame needs no join to recover the flag.
-    contrib_base = (
-        e.join(out_deg, "src")
-        .join(
-            out_deg.select(F.col("src").alias("dst"), F.lit(True).alias("has_out")),
-            "dst",
-            "left",
-        )
-        .select("src", "dst", "deg", F.col("has_out").isNull().alias("dst_dang"))
-        .localCheckpoint(eager=True)
-    )
     # static zero-in-degree set (appear only as sources => have out-edges
     # => never dangling); their per-round rank is closed-form (s = 0).
     zero_in = (
@@ -393,6 +393,85 @@ def pagerank_intexact(
             "node", F.lit(None).cast("long").alias("rank_units")
         )
     base = (100 - damping_pct) * (scale // n) // 100
+
+    # LAYERED fast path — src set and dst set disjoint (bipartite
+    # source->sink purchase graphs, label->item graphs): then every node
+    # is either a pure source (zero in-degree, never dangling: its rank is
+    # the same closed-form scalar every round) or a pure sink (all
+    # dangling: its in-mass depends on sources only through that scalar),
+    # so the whole recurrence collapses onto the per-sink histogram of
+    # source out-degrees: rank_sink = base + d%*(sum_deg cnt*(R div deg)
+    # + dsum div n) div 100. The histogram is iteration-invariant; when it
+    # fits the driver budget the 10 rounds run driver-side in exact Python
+    # integer arithmetic (the kmeans mini-state pattern — bit-identical to
+    # the distributed loop because bigint div/sums are order-independent)
+    # and the distributed work drops to ONE pass over the edges. Detected
+    # structurally (n_zero + n_dang == n); self-loops or chains fall
+    # through to the general loop below, as does an over-budget histogram
+    # (1e9-vertex graphs at 100 TB).
+    if iters >= 1:
+        n_dang = nodes_f.where("dang").count()
+        n_zero = zero_in.count()
+        if n_dang + n_zero == n and n_dang > 0:
+            hist_rows = (
+                e.join(out_deg, "src")
+                .groupBy("dst", "deg")
+                .agg(F.count("*").alias("cnt"))
+                .limit(LAYERED_HIST_MAX_ROWS + 1)
+                .collect()
+            )
+            if len(hist_rows) <= LAYERED_HIST_MAX_ROWS:
+                from collections import defaultdict
+
+                sink_hist: dict[object, list[tuple[int, int]]] = defaultdict(list)
+                for r in hist_rows:
+                    sink_hist[r["dst"]].append((r["deg"], r["cnt"]))
+                r_src = scale // n  # uniform source rank (round 0 init)
+                dsum = n_dang * (scale // n)  # sinks all start at init rank
+                sink_rank: dict[object, int] = {}
+                for _ in range(iters):
+                    d_per = dsum // n
+                    new_dsum = 0
+                    for s, dl in sink_hist.items():
+                        v = base + (
+                            damping_pct
+                            * (sum(c * (r_src // dg) for dg, c in dl) + d_per)
+                        ) // 100
+                        sink_rank[s] = v
+                        new_dsum += v
+                    r_src = base + (damping_pct * d_per) // 100
+                    dsum = new_dsum
+                from pyspark.sql.types import LongType, StructField, StructType
+
+                sinks_df = e.sparkSession.createDataFrame(
+                    list(sink_rank.items()),
+                    StructType(
+                        [
+                            StructField("node", nodes_f.schema["node"].dataType),
+                            StructField("rank_units", LongType()),
+                        ]
+                    ),
+                )
+                return sinks_df.unionByName(
+                    zero_in.select(
+                        "node", F.lit(r_src).cast("long").alias("rank_units")
+                    )
+                )
+
+    # general distributed loop
+    # per-edge static metadata: source out-degree + whether the TARGET is
+    # dangling (no out-edges) — carried through the dst aggregation so the
+    # new ranks frame needs no join to recover the flag.
+    contrib_base = (
+        e.join(out_deg, "src")
+        .join(
+            out_deg.select(F.col("src").alias("dst"), F.lit(True).alias("has_out")),
+            "dst",
+            "left",
+        )
+        .select("src", "dst", "deg", F.col("has_out").isNull().alias("dst_dang"))
+        .localCheckpoint(eager=True)
+    )
 
     ranks = nodes_f.withColumn("rank", F.lit(scale // n)).localCheckpoint(eager=True)
     for _ in range(iters):

@@ -346,3 +346,45 @@ def test_graph_state_broadcast_cap_is_value_neutral(spark):
         G.BROADCAST_STATE_MAX_ROWS = old_cap
     assert results["bcast"] == results["shuffle"]
     assert results["bcast"][0], "pagerank produced no rows"
+
+
+def test_pagerank_layered_fast_path_matches_general_loop(spark):
+    """The layered-graph driver-side fast path must be bit-identical to the
+    general distributed loop (both are exact integer arithmetic). A
+    bipartite src->sink graph exercises the fast path; forcing the
+    histogram budget to -1 re-runs the same graph through the general
+    loop; a chain graph (src and dst sets overlap) must take the general
+    path on its own."""
+    import hadoop_data_lake_spark.operators.graph as G
+
+    bip = spark.createDataFrame(
+        [(c, -(c % 4) - 1) for c in range(30)] + [(7, -5), (11, -5)],
+        "src long, dst long",
+    )
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long"
+    )
+    old = G.LAYERED_HIST_MAX_ROWS
+    try:
+        fast_bip = {
+            (r["node"], r["rank_units"])
+            for r in G.pagerank_intexact(bip, iters=6).collect()
+        }
+        chain_out = {
+            (r["node"], r["rank_units"])
+            for r in G.pagerank_intexact(chain, iters=6).collect()
+        }
+        G.LAYERED_HIST_MAX_ROWS = -1  # force the general loop
+        slow_bip = {
+            (r["node"], r["rank_units"])
+            for r in G.pagerank_intexact(bip, iters=6).collect()
+        }
+        chain_out2 = {
+            (r["node"], r["rank_units"])
+            for r in G.pagerank_intexact(chain, iters=6).collect()
+        }
+    finally:
+        G.LAYERED_HIST_MAX_ROWS = old
+    assert fast_bip == slow_bip
+    assert chain_out == chain_out2
+    assert len(fast_bip) == 35  # 30 sources + 5 sinks
