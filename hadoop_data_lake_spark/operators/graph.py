@@ -47,9 +47,13 @@ BROADCAST_STATE_MAX_ROWS = 1_000_000
 # Driver-collect budget for the layered-graph fast path's per-sink
 # out-degree histogram (pagerank_intexact): (sink, src_degree, count)
 # triples. 500k rows ~ 15 MB collected — the same order as the ANN probe
-# sets and shard plans the driver already holds; beyond it the general
-# distributed loop runs instead.
+# sets and shard plans the driver already holds; beyond it the recurrence
+# still runs over the histogram, just distributed (the middle tier).
 LAYERED_HIST_MAX_ROWS = 500_000
+
+# Escape hatch for tests (and for callers that want the general loop's
+# plan shape regardless of structure): disables BOTH layered tiers.
+LAYERED_FAST_PATH_ENABLED = True
 
 
 def _bcast_state(df: DataFrame, n_rows: int | None) -> DataFrame:
@@ -407,24 +411,30 @@ def pagerank_intexact(
     # the distributed loop because bigint div/sums are order-independent)
     # and the distributed work drops to ONE pass over the edges. Detected
     # structurally (n_zero + n_dang == n); self-loops or chains fall
-    # through to the general loop below, as does an over-budget histogram
-    # (1e9-vertex graphs at 100 TB).
-    if iters >= 1:
+    # through to the general loop below. An over-budget histogram
+    # (1e9-sink graphs at 100 TB) takes the MIDDLE tier instead: the same
+    # recurrence runs distributed over the checkpointed histogram frame —
+    # each round scans (sink, deg, cnt) triples, never the edge list,
+    # which at 100 TB is the difference between re-reading ~1e9 histogram
+    # rows and ~1e12 edges per round. All three tiers are bit-identical
+    # (integer arithmetic; pinned by test).
+    if LAYERED_FAST_PATH_ENABLED and iters >= 1:
         n_dang = nodes_f.where("dang").count()
         n_zero = zero_in.count()
         if n_dang + n_zero == n and n_dang > 0:
-            hist_rows = (
+            hist_df = (
                 e.join(out_deg, "src")
                 .groupBy("dst", "deg")
                 .agg(F.count("*").alias("cnt"))
-                .limit(LAYERED_HIST_MAX_ROWS + 1)
-                .collect()
+                .localCheckpoint(eager=True)
             )
-            if len(hist_rows) <= LAYERED_HIST_MAX_ROWS:
+            n_hist = hist_df.count()
+            if n_hist <= LAYERED_HIST_MAX_ROWS:
+                # driver tier: exact Python ints, zero per-round jobs
                 from collections import defaultdict
 
                 sink_hist: dict[object, list[tuple[int, int]]] = defaultdict(list)
-                for r in hist_rows:
+                for r in hist_df.collect():
                     sink_hist[r["dst"]].append((r["deg"], r["cnt"]))
                 r_src = scale // n  # uniform source rank (round 0 init)
                 dsum = n_dang * (scale // n)  # sinks all start at init rank
@@ -457,6 +467,41 @@ def pagerank_intexact(
                         "node", F.lit(r_src).cast("long").alias("rank_units")
                     )
                 )
+            # distributed-histogram tier: one aggregation over the
+            # histogram per round + a one-row dsum collect; r_src stays a
+            # driver scalar (it is uniform across sources by construction)
+            r_src = scale // n
+            dsum = n_dang * (scale // n)
+            sinks_ranked = None
+            for _ in range(iters):
+                d_per = dsum // n
+                # bigint-safe without dprod: r_src <= ~scale/n and
+                # cnt <= n, so cnt * (r_src div deg) <= ~scale (1e12) and
+                # the per-sink sum f is bounded by total rank mass, also
+                # ~scale — twelve orders under the bigint ceiling.
+                sinks_ranked = (
+                    hist_df.groupBy("dst")
+                    .agg(
+                        F.sum(F.expr(f"cnt * ({r_src} div deg)")).alias("f")
+                    )
+                    .select(
+                        F.col("dst").alias("node"),
+                        (
+                            F.lit(base)
+                            + F.expr(f"({damping_pct} * (f + {d_per})) div 100")
+                        ).alias("rank_units"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                dsum = sinks_ranked.agg(
+                    F.coalesce(F.sum("rank_units"), F.lit(0))
+                ).first()[0]
+                r_src = base + (damping_pct * d_per) // 100
+            return sinks_ranked.unionByName(
+                zero_in.select(
+                    "node", F.lit(r_src).cast("long").alias("rank_units")
+                )
+            )
 
     # general distributed loop
     # per-edge static metadata: source out-degree + whether the TARGET is

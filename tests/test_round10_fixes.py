@@ -349,12 +349,12 @@ def test_graph_state_broadcast_cap_is_value_neutral(spark):
 
 
 def test_pagerank_layered_fast_path_matches_general_loop(spark):
-    """The layered-graph driver-side fast path must be bit-identical to the
-    general distributed loop (both are exact integer arithmetic). A
-    bipartite src->sink graph exercises the fast path; forcing the
-    histogram budget to -1 re-runs the same graph through the general
-    loop; a chain graph (src and dst sets overlap) must take the general
-    path on its own."""
+    """The three pagerank_intexact tiers must be bit-identical (all exact
+    integer arithmetic): driver-histogram (layered graph, histogram under
+    budget), distributed-histogram (layered, budget forced to -1), and the
+    general loop (layered detection disabled). A chain graph (src and dst
+    sets overlap) must produce the same result regardless of the layered
+    machinery being enabled."""
     import hadoop_data_lake_spark.operators.graph as G
 
     bip = spark.createDataFrame(
@@ -364,27 +364,24 @@ def test_pagerank_layered_fast_path_matches_general_loop(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(10)], "src long, dst long"
     )
-    old = G.LAYERED_HIST_MAX_ROWS
+
+    def run(df):
+        return {
+            (r["node"], r["rank_units"])
+            for r in G.pagerank_intexact(df, iters=6).collect()
+        }
+
+    old_cap, old_on = G.LAYERED_HIST_MAX_ROWS, G.LAYERED_FAST_PATH_ENABLED
     try:
-        fast_bip = {
-            (r["node"], r["rank_units"])
-            for r in G.pagerank_intexact(bip, iters=6).collect()
-        }
-        chain_out = {
-            (r["node"], r["rank_units"])
-            for r in G.pagerank_intexact(chain, iters=6).collect()
-        }
-        G.LAYERED_HIST_MAX_ROWS = -1  # force the general loop
-        slow_bip = {
-            (r["node"], r["rank_units"])
-            for r in G.pagerank_intexact(bip, iters=6).collect()
-        }
-        chain_out2 = {
-            (r["node"], r["rank_units"])
-            for r in G.pagerank_intexact(chain, iters=6).collect()
-        }
+        driver_bip = run(bip)
+        chain_out = run(chain)
+        G.LAYERED_HIST_MAX_ROWS = -1  # layered but over budget: middle tier
+        mid_bip = run(bip)
+        G.LAYERED_FAST_PATH_ENABLED = False  # general distributed loop
+        general_bip = run(bip)
+        chain_out2 = run(chain)
     finally:
-        G.LAYERED_HIST_MAX_ROWS = old
-    assert fast_bip == slow_bip
+        G.LAYERED_HIST_MAX_ROWS, G.LAYERED_FAST_PATH_ENABLED = old_cap, old_on
+    assert driver_bip == mid_bip == general_bip
     assert chain_out == chain_out2
-    assert len(fast_bip) == 35  # 30 sources + 5 sinks
+    assert len(driver_bip) == 35  # 30 sources + 5 sinks
