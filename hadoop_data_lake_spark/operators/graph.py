@@ -44,6 +44,51 @@ class ConvergenceError(RuntimeError):
 # inside executor broadcast budgets, far above every bench graph.
 BROADCAST_STATE_MAX_ROWS = 1_000_000
 
+# Row counts alone are blind to row WIDTH: 1M rows of (long, long) is
+# ~16 MB, but 1M rows of (long, string-label, array-state) could be
+# multi-GB — same row cap, 100x the broadcast. The byte cap below is a
+# second gate computed as rows x a conservative per-schema width estimate
+# (driver-side, no job); a state frame broadcasts only when it passes
+# BOTH caps, so the row-cap semantics every existing caller was tested
+# under can only narrow, never widen.
+BROADCAST_STATE_MAX_BYTES = 64 * 1024 * 1024
+
+# conservative on-wire width estimates per Spark SQL type; complex /
+# variable-length types get deliberately pessimistic defaults because a
+# too-small estimate ships an oversized broadcast while a too-large one
+# merely falls back to the (always-correct) shuffle formulation.
+_FIXED_TYPE_BYTES = {
+    "boolean": 1,
+    "byte": 1,
+    "short": 2,
+    "integer": 4,
+    "float": 4,
+    "date": 4,
+    "long": 8,
+    "double": 8,
+    "timestamp": 8,
+    "timestamp_ntz": 8,
+}
+
+
+def _est_row_bytes(schema) -> int:
+    """Pessimistic per-row byte estimate for a broadcast-candidate schema."""
+    total = 0
+    for f in schema.fields:
+        t = f.dataType.typeName()
+        if t in _FIXED_TYPE_BYTES:
+            total += _FIXED_TYPE_BYTES[t]
+        elif t == "decimal":
+            total += 16
+        elif t == "string":
+            total += 48  # id-ish labels in practice; pessimistic for keys
+        else:
+            # array / map / struct / binary: unbounded payloads have no
+            # business inside per-vertex iteration state; price them so a
+            # few such columns push a large frame over the byte cap.
+            total += 256
+    return max(total, 8)
+
 # Driver-collect budget for the layered-graph fast path's per-sink
 # out-degree histogram (pagerank_intexact): (sink, src_degree, count)
 # triples. 500k rows ~ 15 MB collected — the same order as the ANN probe
@@ -56,11 +101,26 @@ LAYERED_HIST_MAX_ROWS = 500_000
 LAYERED_FAST_PATH_ENABLED = True
 
 
-def _bcast_state(df: DataFrame, n_rows: int | None) -> DataFrame:
-    """Broadcast-hint a bounded per-vertex state frame (see note above)."""
-    if n_rows is not None and 0 <= n_rows <= BROADCAST_STATE_MAX_ROWS:
-        return F.broadcast(df)
-    return df
+def broadcast_bounded_state(df: DataFrame, n_rows: int | None) -> DataFrame:
+    """Broadcast-hint a bounded per-vertex state frame (see note above).
+
+    Public entry point for query code that checkpoints per-round state
+    (e.g. the HITS rescale in queries/tpch_queries.py): checkpointed
+    frames scan as ExistingRDD with no stats, so Catalyst can't pick
+    them as the broadcast side on its own. Broadcasts only when the
+    caller-supplied row count passes the row cap AND the estimated byte
+    size (rows x schema width) passes the byte cap; otherwise returns
+    the frame unchanged and the shuffle formulation stands.
+    """
+    if n_rows is None or n_rows < 0 or n_rows > BROADCAST_STATE_MAX_ROWS:
+        return df
+    if n_rows * _est_row_bytes(df.schema) > BROADCAST_STATE_MAX_BYTES:
+        return df
+    return F.broadcast(df)
+
+
+# internal alias kept for the call sites below
+_bcast_state = broadcast_bounded_state
 
 
 def connected_components(
@@ -380,16 +440,45 @@ def pagerank_intexact(
         .distinct()
     )
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    # static zero-in-degree set (appear only as sources => have out-edges
-    # => never dangling); their per-round rank is closed-form (s = 0).
-    zero_in = (
-        nodes.join(e.select(F.col("dst").alias("node")).distinct(), "node", "left_anti")
+    # ONE per-node flags frame (dang = no out-edges; has_in = appears as a
+    # destination), checkpointed once. Every driver scalar the operator
+    # needs — n, the dangling count, and the layered-structure test — then
+    # comes from a SINGLE aggregate job instead of three separate counts
+    # (n / n_dang / n_zero; driver-ADVICE r10: non-layered graphs paid two
+    # extra detection jobs per call), and the static zero-in-degree set
+    # (appear only as sources => have out-edges => never dangling; their
+    # per-round rank is closed-form, s = 0) becomes a cheap filter over
+    # the materialized frame instead of its own checkpointed anti-join.
+    flags = (
+        nodes.join(
+            out_deg.select(F.col("src").alias("node"), F.lit(True).alias("has_out")),
+            "node",
+            "left",
+        )
+        .join(
+            e.select(F.col("dst").alias("node"))
+            .distinct()
+            .withColumn("has_in", F.lit(True)),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            F.col("has_out").isNull().alias("dang"),
+            F.col("has_in").isNotNull().alias("has_in"),
+        )
         .localCheckpoint(eager=True)
     )
-    nodes_f = nodes.join(out_deg, nodes["node"] == out_deg["src"], "left").select(
-        "node", F.col("deg").isNull().alias("dang")
-    )
-    n = nodes_f.count()  # bounded driver scalar (node count only)
+    stats = flags.agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("dang")).alias("n_dang"),
+        # nodes with BOTH in- and out-edges: any such node breaks the
+        # layered (pure-source / pure-sink) structure
+        F.count_if(F.col("has_in") & ~F.col("dang")).alias("n_mid"),
+    ).first()
+    n, n_dang, n_mid = stats["n"], stats["n_dang"], stats["n_mid"]
+    zero_in = flags.where(~F.col("has_in")).select("node")
+    nodes_f = flags.select("node", "dang")
     if n == 0:
         # empty edge set (r9 empty-corpus axis): no vertices, no ranks —
         # zero rows, same as the oracle's unrolled CTEs over empty verts
@@ -410,98 +499,101 @@ def pagerank_intexact(
     # integer arithmetic (the kmeans mini-state pattern — bit-identical to
     # the distributed loop because bigint div/sums are order-independent)
     # and the distributed work drops to ONE pass over the edges. Detected
-    # structurally (n_zero + n_dang == n); self-loops or chains fall
-    # through to the general loop below. An over-budget histogram
+    # structurally (no node has both in- and out-edges: n_mid == 0, a
+    # free byproduct of the single flags aggregate); self-loops or chains
+    # fall through to the general loop below. An over-budget histogram
     # (1e9-sink graphs at 100 TB) takes the MIDDLE tier instead: the same
     # recurrence runs distributed over the checkpointed histogram frame —
     # each round scans (sink, deg, cnt) triples, never the edge list,
     # which at 100 TB is the difference between re-reading ~1e9 histogram
     # rows and ~1e12 edges per round. All three tiers are bit-identical
     # (integer arithmetic; pinned by test).
-    if LAYERED_FAST_PATH_ENABLED and iters >= 1:
-        n_dang = nodes_f.where("dang").count()
-        n_zero = zero_in.count()
-        if n_dang + n_zero == n and n_dang > 0:
-            hist_df = (
-                e.join(out_deg, "src")
-                .groupBy("dst", "deg")
-                .agg(F.count("*").alias("cnt"))
-                .localCheckpoint(eager=True)
-            )
-            n_hist = hist_df.count()
-            if n_hist <= LAYERED_HIST_MAX_ROWS:
-                # driver tier: exact Python ints, zero per-round jobs
-                from collections import defaultdict
+    if LAYERED_FAST_PATH_ENABLED and iters >= 1 and n_mid == 0 and n_dang > 0:
+        hist_df = (
+            e.join(out_deg, "src")
+            .groupBy("dst", "deg")
+            .agg(F.count("*").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        n_hist = hist_df.count()
+        if n_hist <= LAYERED_HIST_MAX_ROWS:
+            # driver tier: exact Python ints, zero per-round jobs
+            from collections import defaultdict
 
-                sink_hist: dict[object, list[tuple[int, int]]] = defaultdict(list)
-                for r in hist_df.collect():
-                    sink_hist[r["dst"]].append((r["deg"], r["cnt"]))
-                r_src = scale // n  # uniform source rank (round 0 init)
-                dsum = n_dang * (scale // n)  # sinks all start at init rank
-                sink_rank: dict[object, int] = {}
-                for _ in range(iters):
-                    d_per = dsum // n
-                    new_dsum = 0
-                    for s, dl in sink_hist.items():
-                        v = base + (
-                            damping_pct
-                            * (sum(c * (r_src // dg) for dg, c in dl) + d_per)
-                        ) // 100
-                        sink_rank[s] = v
-                        new_dsum += v
-                    r_src = base + (damping_pct * d_per) // 100
-                    dsum = new_dsum
-                from pyspark.sql.types import LongType, StructField, StructType
-
-                sinks_df = e.sparkSession.createDataFrame(
-                    list(sink_rank.items()),
-                    StructType(
-                        [
-                            StructField("node", nodes_f.schema["node"].dataType),
-                            StructField("rank_units", LongType()),
-                        ]
-                    ),
-                )
-                return sinks_df.unionByName(
-                    zero_in.select(
-                        "node", F.lit(r_src).cast("long").alias("rank_units")
-                    )
-                )
-            # distributed-histogram tier: one aggregation over the
-            # histogram per round + a one-row dsum collect; r_src stays a
-            # driver scalar (it is uniform across sources by construction)
-            r_src = scale // n
-            dsum = n_dang * (scale // n)
-            sinks_ranked = None
+            sink_hist: dict[object, list[tuple[int, int]]] = defaultdict(list)
+            for r in hist_df.collect():
+                sink_hist[r["dst"]].append((r["deg"], r["cnt"]))
+            r_src = scale // n  # uniform source rank (round 0 init)
+            dsum = n_dang * (scale // n)  # sinks all start at init rank
+            sink_rank: dict[object, int] = {}
             for _ in range(iters):
                 d_per = dsum // n
-                # bigint-safe without dprod: r_src <= ~scale/n and
-                # cnt <= n, so cnt * (r_src div deg) <= ~scale (1e12) and
-                # the per-sink sum f is bounded by total rank mass, also
-                # ~scale — twelve orders under the bigint ceiling.
-                sinks_ranked = (
-                    hist_df.groupBy("dst")
-                    .agg(
-                        F.sum(F.expr(f"cnt * ({r_src} div deg)")).alias("f")
-                    )
-                    .select(
-                        F.col("dst").alias("node"),
-                        (
-                            F.lit(base)
-                            + F.expr(f"({damping_pct} * (f + {d_per})) div 100")
-                        ).alias("rank_units"),
-                    )
-                    .localCheckpoint(eager=True)
-                )
-                dsum = sinks_ranked.agg(
-                    F.coalesce(F.sum("rank_units"), F.lit(0))
-                ).first()[0]
+                new_dsum = 0
+                for s, dl in sink_hist.items():
+                    v = base + (
+                        damping_pct
+                        * (sum(c * (r_src // dg) for dg, c in dl) + d_per)
+                    ) // 100
+                    sink_rank[s] = v
+                    new_dsum += v
                 r_src = base + (damping_pct * d_per) // 100
-            return sinks_ranked.unionByName(
+                dsum = new_dsum
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            sinks_df = e.sparkSession.createDataFrame(
+                list(sink_rank.items()),
+                StructType(
+                    [
+                        StructField("node", nodes_f.schema["node"].dataType),
+                        StructField("rank_units", LongType()),
+                    ]
+                ),
+            )
+            return sinks_df.unionByName(
                 zero_in.select(
                     "node", F.lit(r_src).cast("long").alias("rank_units")
                 )
             )
+        # distributed-histogram tier: one aggregation over the
+        # histogram per round + a one-row dsum collect; r_src stays a
+        # driver scalar (it is uniform across sources by construction)
+        r_src = scale // n
+        dsum = n_dang * (scale // n)
+        sinks_ranked = None
+        for _ in range(iters):
+            d_per = dsum // n
+            # bigint-safe without dprod, MULTI-EDGE INCLUDED (driver-
+            # ADVICE r10): duplicate edges can push cnt past the source
+            # count, but deg counts the same duplicates, so for one
+            # (dst, deg) cell cnt <= deg * n_deg (n_deg = sources with
+            # that out-degree) and cnt * (r_src div deg)
+            # <= n_deg * r_src; summed over deg cells the per-sink f is
+            # <= n * r_src <= scale (r_src <= ~scale/n every round) —
+            # total rank mass, twelve orders under the bigint ceiling,
+            # with or without edge multiplicity.
+            sinks_ranked = (
+                hist_df.groupBy("dst")
+                .agg(
+                    F.sum(F.expr(f"cnt * ({r_src} div deg)")).alias("f")
+                )
+                .select(
+                    F.col("dst").alias("node"),
+                    (
+                        F.lit(base)
+                        + F.expr(f"({damping_pct} * (f + {d_per})) div 100")
+                    ).alias("rank_units"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            dsum = sinks_ranked.agg(
+                F.coalesce(F.sum("rank_units"), F.lit(0))
+            ).first()[0]
+            r_src = base + (damping_pct * d_per) // 100
+        return sinks_ranked.unionByName(
+            zero_in.select(
+                "node", F.lit(r_src).cast("long").alias("rank_units")
+            )
+        )
 
     # general distributed loop
     # per-edge static metadata: source out-degree + whether the TARGET is

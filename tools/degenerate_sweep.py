@@ -223,6 +223,20 @@ def _plan_probe(spark, sf_dir: str, targets: list[str]) -> int:
     return bad
 
 
+def build_cases(spark, events_only: bool, plans_mode: bool):
+    """Corpus map + the subset that is events-only (missing-table skips).
+
+    The plan probe runs on the empty_facts corpus, which lives in the
+    TABLE-derived set — so plans mode builds the table cases even under
+    --events-only (driver-ADVICE r10: the combination used to KeyError).
+    """
+    cases = _events_cases(spark)
+    events_cases = frozenset(cases)
+    if not events_only or plans_mode:
+        cases.update(_table_cases(spark))
+    return cases, events_cases
+
+
 def main() -> int:
     events_only = "--events-only" in sys.argv
     plans_mode = "--plans" in sys.argv
@@ -230,10 +244,7 @@ def main() -> int:
     spark = get_spark("degenerate_sweep")
     targets = names or [n for n in REGISTRY if n not in SKIP]
 
-    cases = _events_cases(spark)
-    events_cases = frozenset(cases)
-    if not events_only:
-        cases.update(_table_cases(spark))
+    cases, events_cases = build_cases(spark, events_only, plans_mode)
 
     if plans_mode:
         # plan probe runs on the empty-facts corpus only: that is where a

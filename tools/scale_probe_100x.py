@@ -156,6 +156,12 @@ def main() -> None:
                     emb, threshold=0.95, num_bands=B, bits_per_band=R
                 )
             ),
+            # r11: the scale law promoted into the operator API
+            # (similarity.scaled_srp_params via auto_scale=True) — this row
+            # must track cosine_near_dup_scaledlsh, not the fixed curve
+            "cosine_near_dup_auto": lambda: SIM.cosine_near_dup_pairs(
+                emb, threshold=0.95, auto_scale=True
+            ),
             # SRP top-k: query set is every 50th vector (a fixed fraction
             # of the corpus, like the registry's _query_set), so fixed
             # buckets make total candidate work quadratic — the scaled
@@ -179,6 +185,12 @@ def main() -> None:
                     emb, emb.where(F.col("vec_id") % 50 == 0), k=5,
                     n_cells=C, nprobe=P,
                 )
+            ),
+            # r11: scaled_ivf_params via auto_scale=True — tracks the row
+            # above (same nlist ~ sqrt(n)/10, log-n nprobe law)
+            "ivf_topk_auto": lambda: SIM.ivf_kmeans_topk(
+                emb, emb.where(F.col("vec_id") % 50 == 0), k=5,
+                auto_scale=True,
             ),
         }
         for name, thunk in ops.items():
