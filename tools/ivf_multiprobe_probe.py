@@ -40,7 +40,7 @@ import numpy as np
 from hadoop_data_lake_spark.core.session import get_spark
 
 BASE = os.environ.get("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.01")
-NPROBES = [1, 2, 3, 4, 8]
+NPROBES = [int(x) for x in os.environ.get("IVF_NPROBES", "1,2,3,4,8").split(",")]
 
 
 def main() -> None:
