@@ -466,9 +466,47 @@ def events_partitioned_range_bench(spark, sf_dir: str):
     return events_partitioned_range(spark, _partitioned_events_root(sf_dir))
 
 
+def wait_for_calm_box() -> dict:
+    """Bounded wait for a calm box before any timing starts (VERDICT r10
+    item 5): the r10 official artifact landed on a box at 1-min load ~4+
+    (control_inflation 1.331) while the same code read ~1.01 calm, making
+    raw round-over-round unreadable without the normalization footnote.
+    The discipline documented in BENCH_NOTES (poll load before timed runs)
+    now lives in the harness itself so the artifact the driver stamps gets
+    it too. Polls the 1-minute load average until it drops under
+    $SPARK_GRAFT_CALM_LOAD (default 2.0 — light on 32 CPUs; observed calm
+    runs sat at 0.2-1.5) or $SPARK_GRAFT_CALM_WAIT_S (default 900) elapses;
+    never blocks forever — an always-loaded box proceeds and the control
+    geomean still normalizes it. Returns a self-describing record for the
+    payload. Runs BEFORE the SparkSession exists so our own JVM never
+    counts against the threshold."""
+    threshold = float(os.environ.get("SPARK_GRAFT_CALM_LOAD", "2.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_CALM_WAIT_S", "900"))
+    t0 = time.monotonic()
+    load = os.getloadavg()[0]
+    first = load
+    while load >= threshold and time.monotonic() - t0 < max_wait:
+        print(f"# calm-box gate: 1-min load {load:.2f} >= {threshold}; "
+              "waiting...", file=sys.stderr)
+        time.sleep(15)
+        load = os.getloadavg()[0]
+    waited = round(time.monotonic() - t0, 1)
+    if waited:
+        print(f"# calm-box gate: proceeding at load {load:.2f} after "
+              f"{waited}s", file=sys.stderr)
+    return {
+        "threshold": threshold,
+        "load_at_invoke": round(first, 2),
+        "load_at_start": round(load, 2),
+        "waited_s": waited,
+        "timed_out": load >= threshold,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    calm = wait_for_calm_box()
     spark = get_spark("bench")
 
     # Warmup at a smaller SF: run every headline query once so codegen
@@ -575,6 +613,7 @@ def main() -> None:
         "control_set": controls_used,
         "control_ratios": control_ratios,
         "queries": timings,
+        "calm_box": calm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "scale_check": {
             "mult": SCALE_MULT,
@@ -602,6 +641,7 @@ def main() -> None:
         "headline_frozen_total": frozen_total,
         "control_inflation": control_inflation,
         "control_ratios": control_ratios,
+        "load_at_start": calm["load_at_start"],
         "n_queries": len(timings),
         "sf": payload["sf"],
         "detail": "bench_detail.json",

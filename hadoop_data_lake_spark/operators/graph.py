@@ -95,6 +95,21 @@ def _est_row_bytes(schema) -> int:
 # sets and shard plans the driver already holds; beyond it the recurrence
 # still runs over the histogram, just distributed (the middle tier).
 LAYERED_HIST_MAX_ROWS = 500_000
+# general-graph driver tier (round 11): a NON-layered graph whose whole
+# edge list fits the driver budget (vocab-bounded word co-occurrence
+# graphs — TextRank at ANY corpus scale — small dimension graphs) runs
+# all `iters` rounds in exact Python integer arithmetic after ONE collect
+# of the already-checkpointed edges: zero per-round Spark jobs instead of
+# iters x (join + agg + scalar) — on local[32] that is ~0.35-0.4 s of
+# fixed job overhead per round, ~3.5 s for the standard 10 rounds. The
+# node cap is checked first (free byproduct of the flags aggregate) so
+# big graphs never pay the edge-count job; both caps measured, never
+# assumed, and the distributed loop above them is unchanged. Bit-identical
+# by construction (the recurrence is integer div/sums, order-independent);
+# pinned by tests/test_round11_fixes.py.
+GENERAL_DRIVER_MAX_NODES = 200_000
+GENERAL_DRIVER_MAX_EDGES = 500_000
+GENERAL_DRIVER_TIER_ENABLED = True
 
 # Escape hatch for tests (and for callers that want the general loop's
 # plan shape regardless of structure): disables BOTH layered tiers.
@@ -593,6 +608,67 @@ def pagerank_intexact(
             zero_in.select(
                 "node", F.lit(r_src).cast("long").alias("rank_units")
             )
+        )
+
+    # GENERAL-GRAPH DRIVER TIER — the non-layered analogue of the layered
+    # driver tier above: when the node count (free from the flags
+    # aggregate) and the edge count (one cheap count over the checkpointed
+    # RDD, only attempted under the node cap) both fit the driver budget,
+    # collect the raw edge list ONCE and run every round in Python ints.
+    # The recurrence below is exactly the distributed loop's: per round,
+    # contributions rank div deg summed per destination, the dangling mass
+    # entering every node as dsum div n, zero-in-degree nodes getting the
+    # closed-form rank. Integer div/sums are order-independent, so the
+    # result is bit-identical to the distributed loop (pinned by test).
+    # At 100 TB this tier is for graphs whose SIZE does not scale with the
+    # corpus — word co-occurrence graphs are vocabulary-bounded — while
+    # corpus-scaled graphs (purchase/web graphs) fail the caps and take
+    # the distributed loop unchanged.
+    if (
+        GENERAL_DRIVER_TIER_ENABLED
+        and iters >= 1
+        and n <= GENERAL_DRIVER_MAX_NODES
+        and e.count() <= GENERAL_DRIVER_MAX_EDGES
+    ):
+        from collections import defaultdict
+
+        out_deg_d: dict[object, int] = defaultdict(int)
+        in_edges: dict[object, list] = defaultdict(list)
+        src_set = set()
+        dst_set = set()
+        for r in e.collect():
+            s, d = r["src"], r["dst"]
+            out_deg_d[s] += 1
+            in_edges[d].append(s)
+            src_set.add(s)
+            dst_set.add(d)
+        all_nodes = src_set | dst_set
+        dang_nodes = all_nodes - src_set  # no out-edges
+        zero_in_nodes = all_nodes - dst_set  # never a destination
+        rank = {v: scale // n for v in all_nodes}
+        for _ in range(iters):
+            dsum = sum(rank[v] for v in dang_nodes)
+            d_per = dsum // n
+            new_rank = {}
+            for v in all_nodes:
+                if v in dst_set:
+                    s_in = sum(
+                        rank[u] // out_deg_d[u] for u in in_edges[v]
+                    )
+                    new_rank[v] = base + (damping_pct * (s_in + d_per)) // 100
+                else:
+                    new_rank[v] = base + (damping_pct * d_per) // 100
+            rank = new_rank
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        return e.sparkSession.createDataFrame(
+            list(rank.items()),
+            StructType(
+                [
+                    StructField("node", nodes_f.schema["node"].dataType),
+                    StructField("rank_units", LongType()),
+                ]
+            ),
         )
 
     # general distributed loop
