@@ -895,6 +895,53 @@ def lpa_communities(
         .localCheckpoint(eager=True)
     )
     n_verts = labels.count()  # bounded driver scalar: enables the state broadcast
+
+    # GENERAL-DRIVER TIER (round 11, the pagerank_intexact pattern): a
+    # dimension-bounded graph — brand/category co-occurrence graphs stay
+    # (dim x dim) at ANY corpus scale because the caller pre-aggregates
+    # co-occurrence counts into the edge weight — runs all rounds in
+    # Python after ONE collect of the checkpointed symmetrized edges.
+    # The recurrence is integer weight sums + (score desc, label asc)
+    # argmax: order-independent, so bit-identical to the distributed loop
+    # (pinned by test). Corpus-scaled graphs fail the measured caps and
+    # take the loop below unchanged.
+    if (
+        GENERAL_DRIVER_TIER_ENABLED
+        and iters >= 1
+        and n_verts <= GENERAL_DRIVER_MAX_NODES
+        and e.count() <= GENERAL_DRIVER_MAX_EDGES
+    ):
+        from collections import defaultdict
+
+        edge_rows = [(r["s"], r["d"], r["w"]) for r in e.collect()]
+        label = {s: s for s, _, _ in edge_rows}
+        for _ in range(iters):
+            tally: dict[object, dict[object, int]] = defaultdict(
+                lambda: defaultdict(int)
+            )
+            for s, d, wt in edge_rows:
+                tally[s][label[d]] += wt
+            label = {
+                v: min(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                for v, scores in tally.items()
+            }
+        csize: dict[object, int] = defaultdict(int)
+        for lb in label.values():
+            csize[lb] += 1
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        vt = e.schema["s"].dataType
+        return e.sparkSession.createDataFrame(
+            [(v, lb, csize[lb]) for v, lb in label.items()],
+            StructType(
+                [
+                    StructField("vertex", vt),
+                    StructField("community", vt),
+                    StructField("community_size", LongType()),
+                ]
+            ),
+        )
+
     from hadoop_data_lake_spark.operators.windows import topk_per_group
 
     for _ in range(iters):

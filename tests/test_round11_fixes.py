@@ -440,3 +440,43 @@ def test_general_driver_tier_caps_route_to_distributed(spark):
     finally:
         G.GENERAL_DRIVER_MAX_NODES = orig_n
         G.GENERAL_DRIVER_MAX_EDGES = orig_m
+
+
+def test_lpa_driver_tier_bit_identical(spark):
+    """Round-11 LPA driver tier: same (score desc, label asc) synchronous
+    recurrence as the distributed loop, string labels + integer weights,
+    including a weight-tied pair (the tie-break path) and an isolated
+    2-clique."""
+    import hadoop_data_lake_spark.operators.graph as G
+
+    rows = [
+        ("a", "b", 3), ("b", "c", 3),      # tie at b: labels a vs c
+        ("c", "d", 5), ("a", "d", 1),
+        ("x", "y", 2),                      # separate component
+    ]
+    out = []
+    for enabled in (True, False):
+        orig = G.GENERAL_DRIVER_TIER_ENABLED
+        G.GENERAL_DRIVER_TIER_ENABLED = enabled
+        try:
+            e = spark.createDataFrame(
+                rows, "brand_a string, brand_b string, n_orders long"
+            )
+            got = sorted(
+                map(
+                    tuple,
+                    G.lpa_communities(
+                        e,
+                        src="brand_a",
+                        dst="brand_b",
+                        weight="n_orders",
+                        iters=4,
+                    ).collect(),
+                )
+            )
+        finally:
+            G.GENERAL_DRIVER_TIER_ENABLED = orig
+        out.append(got)
+    fast, dist = out
+    assert fast == dist
+    assert len(fast) == 6
