@@ -1592,7 +1592,13 @@ WHERE levenshtein(a.p_name, b.p_name) <= 2
 def brand_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part")
-    ob = (
+    # checkpoint the (order, brand) basket before the self-join: the two
+    # alias-differing branches otherwise re-execute the lineitem x part
+    # join + distinct each (2 fact scans -> 1; the FACT-RESCAN cure —
+    # serialized, the frame is corpus-scaled but narrow)
+    from hadoop_data_lake_spark.core.io import checkpoint_serialized
+
+    ob = checkpoint_serialized(
         li.join(F.broadcast(part.select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_orderkey", "p_brand")
         .distinct()
@@ -5331,12 +5337,16 @@ def lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights and weighted degrees; contributions quantize to micro-units
     before the total so Q replays exactly. Everything reuses the graded
     brand_basket_pairs edges and brand_communities_lpa labels."""
-    edges = brand_basket_pairs(spark, sf_dir).select(
-        "brand_a", "brand_b", F.col("n_orders").alias("w")
-    ).localCheckpoint(eager=True)
-    labels = brand_communities_lpa(spark, sf_dir).select(
-        F.col("vertex"), F.col("community")
-    )
+    from hadoop_data_lake_spark.operators.graph import lpa_communities
+
+    # build the basket-pair edges ONCE and feed both consumers — the
+    # previous shape called brand_communities_lpa(spark, sf_dir), which
+    # re-ran the whole lineitem x part basket build a second time
+    pairs = brand_basket_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    edges = pairs.select("brand_a", "brand_b", F.col("n_orders").alias("w"))
+    labels = lpa_communities(
+        pairs, src="brand_a", dst="brand_b", weight="n_orders", iters=4
+    ).select(F.col("vertex"), F.col("community"))
     la = labels.select(
         F.col("vertex").alias("brand_a"), F.col("community").alias("ca")
     )
