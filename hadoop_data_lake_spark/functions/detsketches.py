@@ -230,6 +230,32 @@ def cms_sketch(items: DataFrame, item_col: str, depth: int = CMS_DEPTH, width: i
     )
 
 
+def cms_sketch_weighted(
+    counts: DataFrame, item_col: str, weight_col: str,
+    depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+) -> DataFrame:
+    """`cms_sketch` over a PRE-AGGREGATED (item, weight) frame: each cell
+    sums the weights instead of counting stream rows — identical cells,
+    because per-cell addition commutes with the per-item pre-aggregation.
+    The aggregate-first form: a token stream's count table is
+    vocabulary-bounded, so sketching it costs one fact pass + a tiny
+    shuffle instead of shuffling the full stream."""
+    pos = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                (salted_md5_60bit(F.col(item_col), i) % width).alias("b"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        counts.select(F.col(weight_col).alias("w"), F.explode(pos).alias("p"))
+        .groupBy(F.col("p.r").alias("r"), F.col("p.b").alias("b"))
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
 def cms_point_estimates(
     sketch: DataFrame, candidates: DataFrame, item_col: str,
     depth: int = CMS_DEPTH, width: int = CMS_WIDTH,

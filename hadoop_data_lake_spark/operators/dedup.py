@@ -235,13 +235,18 @@ def containment_pairs(
     the surviving shingles so `containment_r` stays the exact metric over
     the reduced universe; max_df=None = full-universe semantics.
     """
-    sets, inv = _shingle_index(df, id_col, content_col, k)
+    _, inv = _shingle_index(df, id_col, content_col, k)
 
+    # checkpoint the inverted index ONCE (r11; same cure as
+    # ngram_jaccard_pairs above): the self-join's two aliases and the
+    # sizes aggregate otherwise each re-scan + re-shingle the corpus
+    # (3 visible fact scans -> 1). Shingles are distinct per doc
+    # (functions/text.shingles is array_distinct), so |A| == the doc's
+    # index row count in BOTH max_df branches.
+    inv = checkpoint_serialized(inv)
     if max_df is not None:
         inv = _drop_hot(inv, "s", max_df)
-        sizes = inv.groupBy("doc").agg(F.count("*").alias("n_sh"))
-    else:
-        sizes = sets.select("doc", F.size("sh").alias("n_sh"))
+    sizes = inv.groupBy("doc").agg(F.count("*").alias("n_sh"))
 
     co = (
         inv.alias("a")

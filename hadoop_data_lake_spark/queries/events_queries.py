@@ -747,11 +747,15 @@ FROM h1 FULL OUTER JOIN h2 ON h1.k IS NOT DISTINCT FROM h2.k
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     wk = (F.year("ts") * 100 + F.weekofyear("ts")).cast("long")
+    # checkpoint the per-user cohort frame (r11): the sizes aggregate and
+    # the retention join both consume it — uncheckpointed, the first-event
+    # window pass over events re-executes per branch (3 visible fact
+    # scans -> 2: one window pass + the distinct activity pass)
     firsts = top1_per_group(
         ev.select("user_id", "ts", "event_id"),
         ["user_id"],
         [F.col("ts").asc(), F.col("event_id").asc()],
-    ).select("user_id", wk.alias("cohort_wk"))
+    ).select("user_id", wk.alias("cohort_wk")).localCheckpoint(eager=True)
     activity = ev.select("user_id", wk.alias("active_wk")).distinct()
     cohort_sizes = firsts.groupBy("cohort_wk").agg(F.count("*").alias("n_cohort"))
     return (
@@ -3613,7 +3617,14 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear("ts").alias("wk"),
         to_units(F.col("value")).alias("cents"),
     )
-    first_wk = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    # checkpoint the per-user cohort aggregate (r11): the sizes rollup and
+    # the revenue join both consume it — uncheckpointed, the events
+    # min-agg pass re-executes per branch (3 visible fact scans -> 2)
+    first_wk = (
+        ev.groupBy("user_id")
+        .agg(F.min("wk").alias("cohort_wk"))
+        .localCheckpoint(eager=True)
+    )
     sized = first_wk.groupBy("cohort_wk").agg(F.count("*").alias("cohort_n"))
     rev = (
         ev.where(F.col("event_type") == "purchase")
@@ -3862,8 +3873,15 @@ def conformal_value_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (md5_60bit(F.col("event_id").cast("string")) % 2).alias("half"),
         to_units(F.col("value")).alias("cents"),
     ).where(F.col("cents").isNotNull())
-    train = ev.where(F.col("half") == 0).groupBy("event_type").agg(
-        F.expr("sum(cents) div count(*)").alias("mean_cents")
+    # eager-checkpoint the tiny per-type training means (r11): the
+    # calibration join and the final interval join both consume them —
+    # uncheckpointed, the training-half events pass re-executes per
+    # branch (3 visible fact scans -> 2)
+    train = (
+        ev.where(F.col("half") == 0)
+        .groupBy("event_type")
+        .agg(F.expr("sum(cents) div count(*)").alias("mean_cents"))
+        .localCheckpoint(eager=True)
     )
     cal = ev.where(F.col("half") == 1).join(train, "event_type").withColumn(
         "resid", F.abs(F.col("cents") - F.col("mean_cents"))
@@ -4379,7 +4397,14 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ev.withColumn("nxt", F.lead("event_type").over(w)).where(
         F.col("nxt").isNotNull()
     )
-    trans = pairs.groupBy("event_type", "nxt").agg(F.count("*").alias("c_st"))
+    # eager-checkpoint the (type x type) transition counts (r11): three
+    # consumers (src rollup, total, contribution join) otherwise each
+    # re-run the lag window over events (3 visible fact scans -> 1)
+    trans = (
+        pairs.groupBy("event_type", "nxt")
+        .agg(F.count("*").alias("c_st"))
+        .localCheckpoint(eager=True)
+    )
     src = trans.groupBy("event_type").agg(F.sum("c_st").alias("c_s"))
     total = trans.agg(F.sum("c_st").alias("n"))
     contrib = (

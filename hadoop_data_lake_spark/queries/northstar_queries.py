@@ -1133,7 +1133,15 @@ def tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode_outer(TX.tokens(F.col("text"))).alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # checkpoint the (doc, token, tf) aggregate ONCE (r11): the df
+    # re-aggregation and the scoring join both consume it, re-running the
+    # corpus explode each (3 visible fact scans -> the n_docs count-star
+    # only); serialized, per-doc-distinct so smaller than the raw stream
+    from hadoop_data_lake_spark.core.io import checkpoint_serialized
+
+    tf = checkpoint_serialized(
+        toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    )
     df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
@@ -1736,7 +1744,14 @@ def source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("code")
     )
     d = docs.select("doc_id", domain.alias("domain"))
-    counts = d.groupBy("domain").agg(F.count("*").alias("n_domain"))
+    # eager-checkpoint the 3-row domain dimension (r11): the min-aggregate
+    # branch otherwise re-executes the corpus scan behind it (3 visible
+    # fact scans; 2 is the floor — counts first, then the per-row keep pass)
+    counts = (
+        d.groupBy("domain")
+        .agg(F.count("*").alias("n_domain"))
+        .localCheckpoint(eager=True)
+    )
     min_n = counts.agg(F.min("n_domain").alias("min_n"))
     dim = counts.crossJoin(F.broadcast(min_n)).select(
         "domain", "n_domain",
@@ -2022,6 +2037,14 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bigram"),
     )
+    # checkpoint the exploded bigram stream ONCE (r11; the minhash
+    # inverted-index precedent): the model build and the re-score pass
+    # both consumed bg, re-running the split+zip_with+explode over the
+    # corpus each time (3 visible fact scans). Serialized — the stream is
+    # corpus-sized but two narrow columns.
+    from hadoop_data_lake_spark.core.io import checkpoint_serialized
+
+    bg = checkpoint_serialized(bg)
     model = bg.groupBy("bigram").agg(F.count("*").alias("c12"))
     # prefix counts re-aggregate the MODEL (distinct bigrams), not the
     # exploded corpus: sum of c12 over bigrams sharing w1 == the corpus
@@ -2322,19 +2345,27 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hadoop_data_lake_spark.functions.detsketches import (
         cms_point_estimates,
-        cms_sketch,
+        cms_sketch_weighted,
     )
 
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok")).where(
         F.col("tok") != ""
     )
-    sketch = cms_sketch(toks, "tok")
-    w = Window.orderBy(F.col("n_true").desc(), F.col("tok").asc())
-    top = (
+    # aggregate-first (r11): the token COUNT table is vocabulary-bounded,
+    # and both consumers — the sketch (weighted cells are identical to
+    # stream-counted cells, addition commutes) and the exact top-20 —
+    # derive from it, so the corpus is scanned + tokenized ONCE (was 3x)
+    # and the checkpoint is vocab-sized, not stream-sized
+    counts = (
         toks.groupBy("tok")
         .agg(F.count("*").alias("n_true"))
-        .withColumn("rnk", F.row_number().over(w))
+        .localCheckpoint(eager=True)
+    )
+    sketch = cms_sketch_weighted(counts, "tok", "n_true")
+    w = Window.orderBy(F.col("n_true").desc(), F.col("tok").asc())
+    top = (
+        counts.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 20)
         .drop("rnk")
     )

@@ -1662,7 +1662,20 @@ FROM q
 def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_data_lake_spark.operators.merge import snapshot_diff
 
-    orders = read_table(spark, sf_dir, "orders")
+    # checkpoint ONE projected base (r11; the snapshot-sim cure from r10):
+    # the old snapshot plus the new snapshot's two branches otherwise each
+    # re-scan orders (3 visible fact scans -> 1)
+    from hadoop_data_lake_spark.core.io import checkpoint_serialized
+
+    orders = checkpoint_serialized(
+        read_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
     cutoff = F.col("o_orderdate") >= F.lit("2000-07-01")
     old = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
     new = orders.where(~(cutoff & (F.col("o_orderpriority") == "5-LOW"))).select(
@@ -5190,6 +5203,10 @@ def laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 0,
             ).cast("long"),
         )
+        # eager checkpoint (r11): three consumers (base-month scalar, base
+        # basket, index join) otherwise each re-run the lineitem x part
+        # aggregate (3 visible fact scans -> 1); brand x month bounded
+        .localCheckpoint(eager=True)
     )
     base_month = bm.agg(F.min("month").alias("b0"))
     base = (
