@@ -3376,31 +3376,27 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("p.wa").alias("wa"), F.col("p.wb").alias("wb")).where(
         (F.col("wa") != "") & (F.col("wb") != "") & (F.col("wa") != F.col("wb"))
     )
-    vocab = (
-        bg.select(F.col("wa").alias("word"))
-        .unionByName(bg.select(F.col("wb").alias("word")))
-        .distinct()
-        .withColumn("wid", F.row_number().over(Window.orderBy("word")))
-        .localCheckpoint(eager=True)
-    )
+    # r11 simplification: run PageRank on the word strings directly. The
+    # former dense-integer wid mapping (global vocab window + four mapping
+    # joins) existed to cheapen the distributed loop's join keys, but a
+    # word co-occurrence graph is vocabulary-bounded at ANY corpus scale,
+    # so it takes the operator's general driver tier — where node identity
+    # is a dict key and the mapping is pure overhead. Ranks are invariant
+    # under the id bijection, so results are value-identical.
+    # aggregate-first: dedupe the DIRECTED pairs in one corpus pass (the
+    # distinct pair set is vocabulary-bounded), eager-checkpoint the small
+    # frame, then symmetrize it — the two union branches otherwise each
+    # re-run the corpus explode (2 fact scans -> 1)
+    und = bg.distinct().localCheckpoint(eager=True)
     edges = (
-        bg.join(vocab.select(F.col("word").alias("wa"), F.col("wid").alias("src")), "wa")
-        .join(vocab.select(F.col("word").alias("wb"), F.col("wid").alias("dst")), "wb")
-        .select("src", "dst")
-        .unionByName(
-            bg.join(
-                vocab.select(F.col("word").alias("wa"), F.col("wid").alias("dst")), "wa"
-            )
-            .join(vocab.select(F.col("word").alias("wb"), F.col("wid").alias("src")), "wb")
-            .select("src", "dst")
-        )
+        und.select(F.col("wa").alias("src"), F.col("wb").alias("dst"))
+        .unionByName(und.select(F.col("wb").alias("src"), F.col("wa").alias("dst")))
         .distinct()
     )
     ranks = pagerank_intexact(edges, iters=10)
     w2 = Window.orderBy(F.col("rank_units").desc(), F.col("word").asc())
     return (
-        ranks.join(vocab, ranks["node"] == vocab["wid"])
-        .select("word", "rank_units")
+        ranks.select(F.col("node").alias("word"), "rank_units")
         .withColumn("rnk", F.row_number().over(w2))
         .where(F.col("rnk") <= 25)
     )
