@@ -2447,13 +2447,19 @@ def doc_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bigram"),
     )
+    # serialized checkpoint of the bigram stream (r11, the
+    # doc_lm_perplexity cure): the model build and the re-score pass both
+    # consume bg — one corpus scan + one explode total
+    from hadoop_data_lake_spark.core.io import checkpoint_serialized
+
+    bg = checkpoint_serialized(bg)
     model = (
         bg.groupBy("bigram")
         .agg(F.count("*").alias("c12"))
         .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
         .withColumn("w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
         .localCheckpoint(eager=True)
-    )  # three re-aggregations below read the model — one corpus pass total
+    )  # three re-aggregations below read the model, never the corpus
     fwd = model.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count("*").alias("n1p_fwd")
     )
