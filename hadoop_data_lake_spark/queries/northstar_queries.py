@@ -2534,13 +2534,20 @@ def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars"
     )
     w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    ranked = docs.select(
-        "doc_id",
-        "source",
-        "n_chars",
-        F.row_number().over(w).alias("rk"),
-        F.count("*").over(Window.partitionBy("source")).alias("ns"),
-    ).withColumn("g", F.expr("((rk - 1) * 100) div ns"))
+    # serialized checkpoint (r11): the grid aggregate and the broadcast-
+    # back join both consume the ranked frame — uncheckpointed, the
+    # per-source rank window re-runs per branch (2 passes -> 1)
+    from hadoop_data_lake_spark.core.io import checkpoint_serialized
+
+    ranked = checkpoint_serialized(
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(Window.partitionBy("source")).alias("ns"),
+        ).withColumn("g", F.expr("((rk - 1) * 100) div ns"))
+    )
     grid = ranked.groupBy("g").agg(
         F.count("*").alias("n_in_cell"),
         F.round(F.sum("n_chars").cast("double") / F.count("*"), 6).alias("ref_len_r"),
@@ -4449,23 +4456,19 @@ def token_lang_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a global sort materialization."""
     langs = ["de", "en", "es", "fr", "zh"]
     docs = read_table(spark, sf_dir, "documents")
+    # aggregate-first (r11): the language marginals are column sums of the
+    # vocab-bounded pivot table, so the corpus is exploded ONCE (was 2x)
     tl = (
         docs.select("lang", F.explode(TX.tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .pivot("lang", langs)
         .agg(F.count(F.lit(1)))
         .na.fill(0)
+        .localCheckpoint(eager=True)
     )
-    marg = (
-        docs.select("lang", F.explode(TX.tokens(F.col("text"))).alias("token"))
-        .groupBy()
-        .agg(
-            F.count("*").alias("n_total"),
-            *[
-                F.count(F.when(F.col("lang") == lg, 1)).alias(f"m_{lg}")
-                for lg in langs
-            ],
-        )
+    marg = tl.groupBy().agg(
+        sum(F.sum(lg) for lg in langs).alias("n_total"),
+        *[F.sum(lg).alias(f"m_{lg}") for lg in langs],
     )
     t = tl.crossJoin(F.broadcast(marg))
     c_t = sum(F.col(lg) for lg in langs)
@@ -5336,12 +5339,16 @@ def data_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_data_lake_spark.operators.packing import prefix_agg
 
     docs = read_table(spark, sf_dir, "documents")
+    # eager-checkpoint the per-source totals (r11): three consumers (the
+    # totals scalar, the prefix pass, the final allocation select)
+    # otherwise re-run the corpus tokenize-and-sum each
     per_src = (
         docs.select(
             "source", F.size(F.split(F.col("text"), " ")).cast("long").alias("toks")
         )
         .groupBy("source")
         .agg(F.sum("toks").alias("toks"))
+        .localCheckpoint(eager=True)
     )
     tot = per_src.agg(
         F.count("*").alias("m"), F.sum("toks").alias("g")
@@ -5614,11 +5621,14 @@ def ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_data_lake_spark.operators.packing import prefix_agg
 
     docs = read_table(spark, sf_dir, "documents").select("text")
+    # eager-checkpoint the vocab count table (r11): the totals aggregate
+    # and the prefix pass both consume it (2 corpus explodes -> 1)
     vocab = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
         .where(F.col("token") != "")
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     tot = vocab.agg(
         F.count("*").alias("n_vocab"), F.sum("cnt").alias("mass")
@@ -5860,11 +5870,17 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = docs.select(
         F.col("lang").alias("true_lang"), TX.lang_id(F.col("text")).alias("pred_lang")
     )
-    per_true = pred.groupBy("true_lang").agg(F.count("*").alias("n_true"))
-    return (
+    # aggregate-first (r11): the per-true marginals are row sums of the
+    # lang x lang confusion matrix, so the classifier expression runs over
+    # the corpus ONCE (was 2x)
+    cm = (
         pred.groupBy("true_lang", "pred_lang")
         .agg(F.count("*").alias("n"))
-        .join(per_true, "true_lang")
+        .localCheckpoint(eager=True)
+    )
+    per_true = cm.groupBy("true_lang").agg(F.sum("n").alias("n_true"))
+    return (
+        cm.join(per_true, "true_lang")
         .select(
             "true_lang",
             "pred_lang",
@@ -6341,10 +6357,17 @@ def fightin_words_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "source", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).where(F.col("token") != "")
-    counts = toks.groupBy("token").agg(
-        F.sum((F.col("source") == "src0").cast("long")).alias("a"),
-        F.count("*").alias("tot"),
-    ).withColumn("b", F.col("tot") - F.col("a"))
+    # eager-checkpoint the vocab-bounded count table (r11): the corpus
+    # totals and the scoring join both consume it (2 corpus explodes -> 1)
+    counts = (
+        toks.groupBy("token")
+        .agg(
+            F.sum((F.col("source") == "src0").cast("long")).alias("a"),
+            F.count("*").alias("tot"),
+        )
+        .withColumn("b", F.col("tot") - F.col("a"))
+        .localCheckpoint(eager=True)
+    )
     sums = counts.agg(
         F.sum("a").alias("na"),
         F.sum("b").alias("nb"),
