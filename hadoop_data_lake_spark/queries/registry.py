@@ -112,50 +112,50 @@ STREAMING_GUARD: tuple[str, ...] = (
 #: rows-only — its recall pytest is the real verification, and the
 #: driver row re-dates it off the ladder.
 INTENTIONAL_REGRADES: frozenset[str] = frozenset({
-    "embedding_near_dup",
-    "dedup_clusters_minhash",
-    "zone_report",
-    "ann_ivf_kmeans",
-    "halves_activity_nullsafe",
-    "decontaminate_minhash_cross",
-    "winnow_overlap_pairs",
-    "session_type_pmi",
-    "kmv_distinct_users",
-    "dedup_jaccard_prefix",
-    "customer_rfm_segments",
-    "sequential_funnel",
-    "cluster_safe_split_audit",
-    "pareto_8020_customers",
-    "mutual_nn_bitext_pairs",
-    "media_phash_near_dup",
-    "cf_ndcg_backtest",
-    "lorenz_curve_points",
-    "zipf_fit_tokens",
+    "tf_idf_top_terms",
+    "source_mix_rebalance",
+    "orders_snapshot_diff",
+    "doc_lm_perplexity",
+    "cohort_retention",
+    "brand_basket_pairs",
+    "incremental_orders_agg",
+    "quantile_normalize_doclen",
+    "doc_lm_kneser_ney",
+    "geohash_cell_counts",
+    "cms_token_counts",
+    "bfs_hops_det",
+    "ngram_coverage_curve",
+    "data_mix_waterfill",
+    "ivm_join_delta",
+    "fightin_words_tokens",
+    "cohort_ltv_curve",
+    "association_rules_brands",
+    "token_lang_mi",
+    "lang_id_confusion",
+    "lang_id_cohens_kappa",
+    "laspeyres_price_index",
+    "markov_entropy_rate",
+    "monthly_from_daily_mv",
+    "perplexity_filter",
+    "dedup_containment",
+    "conformal_value_interval",
+    "pagerank_det",
+    "ann_ivf_det",
+    "corpus_report_card",
+    "dedup_ngram_jaccard",
     "textrank_keywords",
+    "lpa_modularity",
+    "brand_communities_lpa",
     "kcore_purchase_graph",
     "hits_hubs_authorities",
-    "brand_communities_lpa",
-    "minhash_eval_pr",
-    "knn_label_eval",
-    "t_closeness_audit",
-    "decontamination_report",
-    "lpa_modularity",
-    "corpus_report_card",
-    "observed_scan_metrics",
-    "quantile_forecast_pinball",
-    "haar_energy_daily",
-    "churn_label_windows",
-    "newsvendor_brand_quantiles",
-    "dedup_minhash_lsh",
-    "kmv_week_overlap",
-    "seasonal_naive_backtest",
-    "ngram_novelty_curve",
-    "adstock_attribution",
-    "forecast_bakeoff",
-    "type_comovement_matrix",
-    "fano_burstiness",
-    "coactivity_triangles",
-    "user_proximity_pairs",
+    "embedding_near_dup",
+    "semdedup_prune",
+    "doc_fingerprint",
+    "decontaminate_ngram_overlap",
+    "stream_topk_types_per_window",
+    "cheapest_line_per_part",
+    "customer_order_ranks",
+    "customers_with_orders",
 })
 
 
@@ -167,65 +167,116 @@ class QuerySpec:
 
 
 _WINDOW: dict[str, QuerySpec] = {
-    # ---- ROUND-10 WINDOW ------------------------------------------------
+    # ---- ROUND-11 WINDOW ------------------------------------------------
     # Every non-guard slot is a DECLARED re-grade (all 44 in
     # INTENTIONAL_REGRADES above; `backlog_report.py --assert`
-    # enforces the declaration). Slots 1-44: the COMPLETE genuine
-    # stale ladder in `backlog_report.py --stale` order at round-10
-    # start — topped by the r10 control re-baseline family
-    # (zone_report / embedding_near_dup / the minhash operators /
-    # decontamination_report, all restructured to single-pass plans
-    # this round) and the r2-r8 cohort below it. 48 stale rows exist;
-    # the 4 newest-stale spill to round 11 (see INTENTIONAL_REGRADES
-    # comment). Every displaced entry holds a CORRECTNESS_r09.json
-    # full-oracle PASS and moves to the top of _BACKLOG; check_oracle
-    # re-verifies all 352 registered queries locally every round.
-    # r10 displacement pairs:
-    # embedding_near_dup -> displaces value_moments_profile (r9-green)
-    # dedup_clusters_minhash -> displaces autocorr_daily_value (r9-green)
-    # zone_report -> displaces target_encode_event_type (r9-green)
-    # ann_ivf_kmeans -> displaces bootstrap_mean_ci (r9-green)
-    # halves_activity_nullsafe -> displaces ols_daily_trend (r9-green)
-    # decontaminate_minhash_cross -> displaces value_psi_drift (r9-green)
-    # winnow_overlap_pairs -> displaces theil_sen_daily_trend (r9-green)
-    # session_type_pmi -> displaces benjamini_hochberg_fdr (r9-green)
-    # kmv_distinct_users -> displaces source_mmd_hashed (r9-green)
-    # dedup_jaccard_prefix -> displaces self_join_skew_profile (r9-green)
-    # customer_rfm_segments -> displaces ipw_outcome_estimate (r9-green)
-    # sequential_funnel -> displaces cuped_adjusted_lift (r9-green)
-    # cluster_safe_split_audit -> displaces quantile_sample_det (r9-green)
-    # pareto_8020_customers -> displaces ols_weekend_effect (r9-green)
-    # mutual_nn_bitext_pairs -> displaces dedup_ngram_jaccard (r9-green)
-    # media_phash_near_dup -> displaces semdedup_silhouette (r9-green)
-    # cf_ndcg_backtest -> displaces length_bias_auc (r9-green)
-    # lorenz_curve_points -> displaces activity_tail_hill (r9-green)
-    # zipf_fit_tokens -> displaces degree_assortativity (r9-green)
-    # textrank_keywords -> displaces ab_test_welch (r9-green)
-    # kcore_purchase_graph -> displaces woe_value_bins (r9-green)
-    # hits_hubs_authorities -> displaces neyman_allocation_plan (r9-green)
-    # brand_communities_lpa -> displaces mann_whitney_variants (r9-green)
-    # minhash_eval_pr -> displaces kendall_tau_daily (r9-green)
-    # knn_label_eval -> displaces jackknife_daily_mean (r9-green)
-    # t_closeness_audit -> displaces eb_shrunk_conversion (r9-green)
-    # decontamination_report -> displaces conformal_value_interval (r9-green)
-    # lpa_modularity -> displaces daily_revenue_changepoint (r9-green)
-    # corpus_report_card -> displaces rrf_hybrid_retrieval (r9-green)
-    # observed_scan_metrics -> displaces rdd_value_threshold (r9-green)
-    # quantile_forecast_pinball -> displaces covariate_balance_smd (r9-green)
-    # haar_energy_daily -> displaces ann_ivf_det (r9-green)
-    # churn_label_windows -> displaces span_dedup_corpus (r9-green)
-    # newsvendor_brand_quantiles -> displaces perplexity_filter (r9-green)
-    # dedup_minhash_lsh -> displaces dedup_containment (r9-green)
-    # kmv_week_overlap -> displaces stream_sliding_counts (r9-green)
-    # seasonal_naive_backtest -> displaces stream_dedup_keys (r9-green)
-    # ngram_novelty_curve -> displaces pack_sequences_plan (r9-green)
-    # adstock_attribution -> displaces export_shuffle_shards (r9-green)
-    # forecast_bakeoff -> displaces order_price_deciles (r9-green)
-    # type_comovement_matrix -> displaces curriculum_order (r9-green)
-    # fano_burstiness -> displaces purchase_attribution_asof (r9-green)
-    # coactivity_triangles -> displaces pagerank_det (r9-green)
-    # user_proximity_pairs -> displaces stream_upsert_scd1 (r9-green)
+    # enforces the declaration, and rows-only queries can no longer
+    # occupy a non-guard slot — VERDICT r10 item 3). Slots 1-41: the
+    # COMPLETE genuine stale ladder in `backlog_report.py --stale`
+    # order at round-11 close — the round's single-pass restructuring
+    # (cms/tf-idf/doc-lm/containment/cohorts/laspeyres/snapshot-diff/
+    # basket), the general-graph driver tier family (textrank, LPA,
+    # pagerank), and the r2-r9 cohort beneath. Slots 42-44: the three
+    # OLDEST green rows (CORRECTNESS_r01, alphabetical) as
+    # re-confirmations — no newer stale row exists. Every displaced
+    # entry holds a CORRECTNESS_r10.json full-oracle PASS and moves to
+    # the top of _BACKLOG; check_oracle re-verifies all 352 registered
+    # queries locally every round.
+    # tf_idf_top_terms -> displaces dedup_clusters_minhash (r10-green)
+    # source_mix_rebalance -> displaces zone_report (r10-green)
+    # orders_snapshot_diff -> displaces ann_ivf_kmeans (r10-green)
+    # doc_lm_perplexity -> displaces halves_activity_nullsafe (r10-green)
+    # cohort_retention -> displaces decontaminate_minhash_cross (r10-green)
+    # brand_basket_pairs -> displaces winnow_overlap_pairs (r10-green)
+    # incremental_orders_agg -> displaces session_type_pmi (r10-green)
+    # quantile_normalize_doclen -> displaces kmv_distinct_users (r10-green)
+    # doc_lm_kneser_ney -> displaces dedup_jaccard_prefix (r10-green)
+    # geohash_cell_counts -> displaces customer_rfm_segments (r10-green)
+    # cms_token_counts -> displaces sequential_funnel (r10-green)
+    # bfs_hops_det -> displaces cluster_safe_split_audit (r10-green)
+    # ngram_coverage_curve -> displaces pareto_8020_customers (r10-green)
+    # data_mix_waterfill -> displaces mutual_nn_bitext_pairs (r10-green)
+    # ivm_join_delta -> displaces media_phash_near_dup (r10-green)
+    # fightin_words_tokens -> displaces cf_ndcg_backtest (r10-green)
+    # cohort_ltv_curve -> displaces lorenz_curve_points (r10-green)
+    # association_rules_brands -> displaces zipf_fit_tokens (r10-green)
+    # token_lang_mi -> displaces minhash_eval_pr (r10-green)
+    # lang_id_confusion -> displaces knn_label_eval (r10-green)
+    # lang_id_cohens_kappa -> displaces t_closeness_audit (r10-green)
+    # laspeyres_price_index -> displaces decontamination_report (r10-green)
+    # markov_entropy_rate -> displaces observed_scan_metrics (r10-green)
+    # monthly_from_daily_mv -> displaces quantile_forecast_pinball (r10-green)
+    # perplexity_filter -> displaces haar_energy_daily (r10-green)
+    # dedup_containment -> displaces churn_label_windows (r10-green)
+    # conformal_value_interval -> displaces newsvendor_brand_quantiles (r10-green)
+    # pagerank_det -> displaces dedup_minhash_lsh (r10-green)
+    # ann_ivf_det -> displaces kmv_week_overlap (r10-green)
+    # corpus_report_card -> displaces seasonal_naive_backtest (r10-green)
+    # dedup_ngram_jaccard -> displaces ngram_novelty_curve (r10-green)
+    # textrank_keywords -> displaces adstock_attribution (r10-green)
+    # lpa_modularity -> displaces forecast_bakeoff (r10-green)
+    # brand_communities_lpa -> displaces type_comovement_matrix (r10-green)
+    # kcore_purchase_graph -> displaces fano_burstiness (r10-green)
+    # hits_hubs_authorities -> displaces coactivity_triangles (r10-green)
+    # embedding_near_dup -> displaces user_proximity_pairs (r10-green)
+    "tf_idf_top_terms": QuerySpec(NS.tf_idf_top_terms, NS.TF_IDF_TOP_TERMS_SQL, ("text", "tfidf", "topk")),
+    "source_mix_rebalance": QuerySpec(NS.source_mix_rebalance, NS.SOURCE_MIX_REBALANCE_SQL, ("split", "sampling", "data-mixing")),
+    "orders_snapshot_diff": QuerySpec(TQ.orders_snapshot_diff, TQ.ORDERS_SNAPSHOT_DIFF_SQL, ("cdc", "diff", "full-outer")),
+    "doc_lm_perplexity": QuerySpec(NS.doc_lm_perplexity, NS.DOC_LM_PERPLEXITY_SQL, ("text", "quality", "lm", "perplexity")),
+    "cohort_retention": QuerySpec(EV.cohort_retention, EV.COHORT_RETENTION_SQL, ("window", "join", "cohort")),
+    "brand_basket_pairs": QuerySpec(TQ.brand_basket_pairs, TQ.BRAND_BASKET_PAIRS_SQL, ("join", "self-join", "market-basket")),
+    "incremental_orders_agg": QuerySpec(TQ.incremental_orders_agg, TQ.INCREMENTAL_ORDERS_AGG_SQL, ("cdc", "ivm", "delta")),
+    "quantile_normalize_doclen": QuerySpec(NS.quantile_normalize_doclen, NS.QUANTILE_NORMALIZE_DOCLEN_SQL, ("ml", "normalization", "quantile", "cross-source")),
+    "doc_lm_kneser_ney": QuerySpec(NS.doc_lm_kneser_ney, NS.DOC_LM_KNESER_NEY_SQL, ("text", "quality", "lm", "kneser-ney", "smoothing")),
+    "geohash_cell_counts": QuerySpec(GQ.geohash_cell_counts, GQ.GEOHASH_CELL_COUNTS_SQL, ("geo", "geohash", "spatial-index", "agg")),
+    "cms_token_counts": QuerySpec(NS.cms_token_counts, NS.CMS_TOKEN_COUNTS_SQL, ("sketch", "count-min", "deterministic")),
+    "bfs_hops_det": QuerySpec(TQ.bfs_hops_det, TQ.BFS_HOPS_DET_SQL, ("graph", "iterative", "bfs", "deterministic")),
+    "ngram_coverage_curve": QuerySpec(NS.ngram_coverage_curve, NS.NGRAM_COVERAGE_CURVE_SQL, ("text", "vocabulary", "coverage", "prefix-sum")),
+    "data_mix_waterfill": QuerySpec(NS.data_mix_waterfill, NS.DATA_MIX_WATERFILL_SQL, ("training-data", "mixing", "waterfill", "budget")),
+    "ivm_join_delta": QuerySpec(TQ.ivm_join_delta, TQ.IVM_JOIN_DELTA_SQL, ("cdc", "ivm", "delta", "join")),
+    "fightin_words_tokens": QuerySpec(NS.fightin_words_tokens, NS.FIGHTIN_WORDS_TOKENS_SQL, ("text", "log-odds", "dirichlet", "source-attribution")),
+    "cohort_ltv_curve": QuerySpec(EV.cohort_ltv_curve, EV.COHORT_LTV_CURVE_SQL, ("cohort", "ltv", "running-sum")),
+    "association_rules_brands": QuerySpec(TQ.association_rules_brands, TQ.ASSOCIATION_RULES_BRANDS_SQL, ("market-basket", "association-rules", "lift")),
+    "token_lang_mi": QuerySpec(NS.token_lang_mi, NS.TOKEN_LANG_MI_SQL, ("text", "mutual-information", "feature-selection", "diagnostics")),
+    "lang_id_confusion": QuerySpec(NS.lang_id_confusion, NS.LANG_ID_CONFUSION_SQL, ("text", "lang-id", "eval", "confusion-matrix")),
+    "lang_id_cohens_kappa": QuerySpec(NS.lang_id_cohens_kappa, NS.LANG_ID_COHENS_KAPPA_SQL, ("text", "lang-id", "eval", "kappa")),
+    "laspeyres_price_index": QuerySpec(TQ.laspeyres_price_index, TQ.LASPEYRES_PRICE_INDEX_SQL, ("econ", "price-index", "laspeyres", "integer-exact")),
+    "markov_entropy_rate": QuerySpec(EV.markov_entropy_rate, EV.MARKOV_ENTROPY_RATE_SQL, ("sequence", "entropy-rate", "markov")),
+    "monthly_from_daily_mv": QuerySpec(TQ.monthly_from_daily_mv, TQ.MONTHLY_FROM_DAILY_MV_SQL, ("mv-rewrite", "rollup", "re-aggregation")),
+    "perplexity_filter": QuerySpec(NS.perplexity_filter, NS.PERPLEXITY_FILTER_SQL, ("text", "quality", "perplexity", "percentile")),
+    "dedup_containment": QuerySpec(NS.dedup_containment, NS.DEDUP_CONTAINMENT_SQL, ("dedup", "containment")),
+    "conformal_value_interval": QuerySpec(EV.conformal_value_interval, EV.CONFORMAL_VALUE_INTERVAL_SQL, ("ml", "conformal", "prediction-interval", "order-statistic")),
+    "pagerank_det": QuerySpec(TQ.pagerank_det, TQ.PAGERANK_DET_SQL, ("graph", "iterative", "pagerank", "fixed-point", "deterministic")),
+    "ann_ivf_det": QuerySpec(NS.ann_ivf_det, NS.ANN_IVF_DET_SQL, ("ann", "ivf", "deterministic", "integer-exact")),
+    "corpus_report_card": QuerySpec(NS.corpus_report_card, NS.CORPUS_REPORT_CARD_SQL, ("capstone", "training-data", "report", "summary")),
+    "dedup_ngram_jaccard": QuerySpec(NS.dedup_ngram_jaccard, NS.DEDUP_NGRAM_JACCARD_SQL, ("dedup",)),
+    "textrank_keywords": QuerySpec(NS.textrank_keywords, NS.TEXTRANK_KEYWORDS_SQL, ("text", "textrank", "pagerank", "keywords", "deterministic")),
+    "lpa_modularity": QuerySpec(TQ.lpa_modularity, TQ.LPA_MODULARITY_SQL, ("graph", "modularity", "community-quality", "lpa")),
+    "brand_communities_lpa": QuerySpec(TQ.brand_communities_lpa, TQ.BRAND_COMMUNITIES_LPA_SQL, ("graph", "community", "lpa", "deterministic")),
+    "kcore_purchase_graph": QuerySpec(TQ.kcore_purchase_graph, TQ.KCORE_PURCHASE_GRAPH_SQL, ("graph", "kcore", "iterative", "deterministic")),
+    "hits_hubs_authorities": QuerySpec(TQ.hits_hubs_authorities, TQ.HITS_HUBS_AUTHORITIES_SQL, ("graph", "iterative", "hits", "fixed-point", "deterministic")),
     "embedding_near_dup": QuerySpec(NS.embedding_near_dup, NS.EMBEDDING_NEAR_DUP_SQL, ("ann", "dedup", "lsh")),
+    "semdedup_prune": QuerySpec(NS.semdedup_prune, NS.SEMDEDUP_PRUNE_SQL, ("dedup", "semantic", "clustering", "semdedup")),
+    "doc_fingerprint": QuerySpec(NS.doc_fingerprint, NS.DOC_FINGERPRINT_SQL, ("text",)),
+    "decontaminate_ngram_overlap": QuerySpec(NS.decontaminate_ngram_overlap, NS.DECONTAMINATE_NGRAM_OVERLAP_SQL, ("text", "decontamination", "ngram")),
+    "stream_topk_types_per_window": QuerySpec(NS.stream_topk_types_per_window, NS.STREAM_TOPK_TYPES_PER_WINDOW_SQL, ("streaming", "topk", "lambda-seam")),
+    "cheapest_line_per_part": QuerySpec(TQ.cheapest_line_per_part, TQ.CHEAPEST_LINE_PER_PART_SQL, ("window", "argmin")),
+    "customer_order_ranks": QuerySpec(TQ.customer_order_ranks, TQ.CUSTOMER_ORDER_RANKS_SQL, ("window", "rank")),
+    "customers_with_orders": QuerySpec(TQ.customers_with_orders, TQ.CUSTOMERS_WITH_ORDERS_SQL, ("semi-join",)),
+    # --- streaming regression guard (6 = STREAMING_GUARD above):
+    # streaming silently broke at r2 HEAD; these keep every micro-batch/
+    # watermark/stream-join path under the driver gate ---
+    "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),
+    "stream_session_stats": QuerySpec(NS.stream_session_stats, NS.STREAM_SESSION_STATS_SQL, ("streaming", "session-window")),
+    "stream_running_max": QuerySpec(NS.stream_running_max, NS.STREAM_RUNNING_MAX_SQL, ("streaming", "stateful", "pandas-udf")),
+    "stream_enriched_value": QuerySpec(NS.stream_enriched_value, NS.STREAM_ENRICHED_VALUE_SQL, ("streaming", "stream-static-join")),
+    "stream_attribution_pairs": QuerySpec(NS.stream_attribution_pairs, NS.STREAM_ATTRIBUTION_PAIRS_SQL, ("streaming", "stream-stream-join", "interval-join")),
+    "stream_attribution_left": QuerySpec(NS.stream_attribution_left, NS.STREAM_ATTRIBUTION_LEFT_SQL, ("streaming", "stream-stream-join", "outer-join", "watermark")),
+}
+
+_BACKLOG: dict[str, QuerySpec] = {
+    # --- round-10 green, displaced by the r11 rotation (all hold a
+    # CORRECTNESS_r10.json full-oracle PASS) ---
     "dedup_clusters_minhash": QuerySpec(NS.dedup_clusters_minhash, NS.DEDUP_CLUSTERS_MINHASH_SQL, ("dedup", "graph", "iterative")),
     "zone_report": QuerySpec(EV.zone_report, EV.ZONE_REPORT_SQL, ("flagship", "pivot", "window", "join")),
     "ann_ivf_kmeans": QuerySpec(NS.ann_ivf_kmeans, None, ("ann", "ivf", "kmeans", "iterative")),
@@ -244,16 +295,10 @@ _WINDOW: dict[str, QuerySpec] = {
     "cf_ndcg_backtest": QuerySpec(TQ.cf_ndcg_backtest, TQ.CF_NDCG_BACKTEST_SQL, ("ml-eval", "ndcg", "recommender", "backtest")),
     "lorenz_curve_points": QuerySpec(TQ.lorenz_curve_points, TQ.LORENZ_CURVE_POINTS_SQL, ("inequality", "lorenz", "deciles")),
     "zipf_fit_tokens": QuerySpec(NS.zipf_fit_tokens, NS.ZIPF_FIT_TOKENS_SQL, ("text", "zipf", "power-law", "corpus-health")),
-    "textrank_keywords": QuerySpec(NS.textrank_keywords, NS.TEXTRANK_KEYWORDS_SQL, ("text", "textrank", "pagerank", "keywords", "deterministic")),
-    "kcore_purchase_graph": QuerySpec(TQ.kcore_purchase_graph, TQ.KCORE_PURCHASE_GRAPH_SQL, ("graph", "kcore", "iterative", "deterministic")),
-    "hits_hubs_authorities": QuerySpec(TQ.hits_hubs_authorities, TQ.HITS_HUBS_AUTHORITIES_SQL, ("graph", "iterative", "hits", "fixed-point", "deterministic")),
-    "brand_communities_lpa": QuerySpec(TQ.brand_communities_lpa, TQ.BRAND_COMMUNITIES_LPA_SQL, ("graph", "community", "lpa", "deterministic")),
     "minhash_eval_pr": QuerySpec(NS.minhash_eval_pr, NS.MINHASH_EVAL_PR_SQL, ("dedup", "evaluation", "precision-recall", "lsh")),
     "knn_label_eval": QuerySpec(NS.knn_label_eval, NS.KNN_LABEL_EVAL_SQL, ("ml", "knn", "embedding", "confusion-matrix")),
     "t_closeness_audit": QuerySpec(TQ.t_closeness_audit, TQ.T_CLOSENESS_AUDIT_SQL, ("privacy", "t-closeness", "emd", "audit")),
     "decontamination_report": QuerySpec(NS.decontamination_report, NS.DECONTAMINATION_REPORT_SQL, ("dedup", "decontamination", "report", "capstone")),
-    "lpa_modularity": QuerySpec(TQ.lpa_modularity, TQ.LPA_MODULARITY_SQL, ("graph", "modularity", "community-quality", "lpa")),
-    "corpus_report_card": QuerySpec(NS.corpus_report_card, NS.CORPUS_REPORT_CARD_SQL, ("capstone", "training-data", "report", "summary")),
     "observed_scan_metrics": QuerySpec(EV.observed_scan_metrics, EV.OBSERVED_SCAN_METRICS_SQL, ("observability", "metrics", "observe-api")),
     "quantile_forecast_pinball": QuerySpec(EV.quantile_forecast_pinball, EV.QUANTILE_FORECAST_PINBALL_SQL, ("forecast", "pinball", "quantile", "backtest")),
     "haar_energy_daily": QuerySpec(EV.haar_energy_daily, EV.HAAR_ENERGY_DAILY_SQL, ("timeseries", "wavelet", "haar", "multi-resolution")),
@@ -269,18 +314,6 @@ _WINDOW: dict[str, QuerySpec] = {
     "fano_burstiness": QuerySpec(EV.fano_burstiness, EV.FANO_BURSTINESS_SQL, ("capacity", "burstiness", "fano", "dispersion")),
     "coactivity_triangles": QuerySpec(EV.coactivity_triangles, EV.COACTIVITY_TRIANGLES_SQL, ("graph", "triangles", "self-join")),
     "user_proximity_pairs": QuerySpec(GQ.user_proximity_pairs, GQ.USER_PROXIMITY_PAIRS_SQL, ("geo", "range-join", "grid")),
-    # --- streaming regression guard (6 = STREAMING_GUARD above):
-    # streaming silently broke at r2 HEAD; these keep every micro-batch/
-    # watermark/stream-join path under the driver gate ---
-    "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),
-    "stream_session_stats": QuerySpec(NS.stream_session_stats, NS.STREAM_SESSION_STATS_SQL, ("streaming", "session-window")),
-    "stream_running_max": QuerySpec(NS.stream_running_max, NS.STREAM_RUNNING_MAX_SQL, ("streaming", "stateful", "pandas-udf")),
-    "stream_enriched_value": QuerySpec(NS.stream_enriched_value, NS.STREAM_ENRICHED_VALUE_SQL, ("streaming", "stream-static-join")),
-    "stream_attribution_pairs": QuerySpec(NS.stream_attribution_pairs, NS.STREAM_ATTRIBUTION_PAIRS_SQL, ("streaming", "stream-stream-join", "interval-join")),
-    "stream_attribution_left": QuerySpec(NS.stream_attribution_left, NS.STREAM_ATTRIBUTION_LEFT_SQL, ("streaming", "stream-stream-join", "outer-join", "watermark")),
-}
-
-_BACKLOG: dict[str, QuerySpec] = {
     # --- round-9 green, displaced by the r10 rotation (all hold a
     # CORRECTNESS_r09.json full-oracle PASS) ---
     "value_moments_profile": QuerySpec(EV.value_moments_profile, EV.VALUE_MOMENTS_PROFILE_SQL, ("agg", "moments", "deterministic")),
@@ -297,7 +330,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "cuped_adjusted_lift": QuerySpec(EV.cuped_adjusted_lift, EV.CUPED_ADJUSTED_LIFT_SQL, ("experiment", "cuped", "variance-reduction", "covariate")),
     "quantile_sample_det": QuerySpec(EV.quantile_sample_det, EV.QUANTILE_SAMPLE_DET_SQL, ("sketch", "quantile", "sampling", "deterministic")),
     "ols_weekend_effect": QuerySpec(EV.ols_weekend_effect, EV.OLS_WEEKEND_EFFECT_SQL, ("regression", "ols", "integer-exact", "cramer")),
-    "dedup_ngram_jaccard": QuerySpec(NS.dedup_ngram_jaccard, NS.DEDUP_NGRAM_JACCARD_SQL, ("dedup",)),
     "semdedup_silhouette": QuerySpec(NS.semdedup_silhouette, NS.SEMDEDUP_SILHOUETTE_SQL, ("dedup", "semantic", "silhouette", "cluster-quality")),
     "length_bias_auc": QuerySpec(NS.length_bias_auc, NS.LENGTH_BIAS_AUC_SQL, ("ml-eval", "auc", "bias-audit", "rank-stats")),
     "activity_tail_hill": QuerySpec(TQ.activity_tail_hill, TQ.ACTIVITY_TAIL_HILL_SQL, ("stats", "heavy-tail", "hill", "ordered-fold")),
@@ -309,15 +341,11 @@ _BACKLOG: dict[str, QuerySpec] = {
     "kendall_tau_daily": QuerySpec(EV.kendall_tau_daily, EV.KENDALL_TAU_DAILY_SQL, ("stats", "kendall", "rank-correlation", "tie-corrected")),
     "jackknife_daily_mean": QuerySpec(EV.jackknife_daily_mean, EV.JACKKNIFE_DAILY_MEAN_SQL, ("stats", "jackknife", "resampling-free", "exact")),
     "eb_shrunk_conversion": QuerySpec(EV.eb_shrunk_conversion, EV.EB_SHRUNK_CONVERSION_SQL, ("stats", "empirical-bayes", "shrinkage", "beta-binomial")),
-    "conformal_value_interval": QuerySpec(EV.conformal_value_interval, EV.CONFORMAL_VALUE_INTERVAL_SQL, ("ml", "conformal", "prediction-interval", "order-statistic")),
     "daily_revenue_changepoint": QuerySpec(EV.daily_revenue_changepoint, EV.DAILY_REVENUE_CHANGEPOINT_SQL, ("timeseries", "changepoint", "binary-segmentation", "integer-exact")),
     "rrf_hybrid_retrieval": QuerySpec(NS.rrf_hybrid_retrieval, NS.RRF_HYBRID_RETRIEVAL_SQL, ("retrieval", "rrf", "hybrid", "rag")),
     "rdd_value_threshold": QuerySpec(EV.rdd_value_threshold, EV.RDD_VALUE_THRESHOLD_SQL, ("causal", "regression-discontinuity", "local-linear", "integer-exact")),
     "covariate_balance_smd": QuerySpec(EV.covariate_balance_smd, EV.COVARIATE_BALANCE_SMD_SQL, ("experiment", "balance", "smd", "randomization-check")),
-    "ann_ivf_det": QuerySpec(NS.ann_ivf_det, NS.ANN_IVF_DET_SQL, ("ann", "ivf", "deterministic", "integer-exact")),
     "span_dedup_corpus": QuerySpec(NS.span_dedup_corpus, NS.SPAN_DEDUP_CORPUS_SQL, ("dedup", "spans", "training-data")),
-    "perplexity_filter": QuerySpec(NS.perplexity_filter, NS.PERPLEXITY_FILTER_SQL, ("text", "quality", "perplexity", "percentile")),
-    "dedup_containment": QuerySpec(NS.dedup_containment, NS.DEDUP_CONTAINMENT_SQL, ("dedup", "containment")),
     "stream_sliding_counts": QuerySpec(NS.stream_sliding_counts, NS.STREAM_SLIDING_COUNTS_SQL, ("streaming", "sliding-window")),
     "stream_dedup_keys": QuerySpec(NS.stream_dedup_keys, NS.STREAM_DEDUP_KEYS_SQL, ("streaming", "dedup", "watermark")),
     "pack_sequences_plan": QuerySpec(NS.pack_sequences_plan, NS.PACK_SEQUENCES_PLAN_SQL, ("packing", "prefix-sum", "training-data")),
@@ -325,7 +353,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "order_price_deciles": QuerySpec(EV.order_price_deciles, EV.ORDER_PRICE_DECILES_SQL, ("window", "ntile")),
     "curriculum_order": QuerySpec(NS.curriculum_order, NS.CURRICULUM_ORDER_SQL, ("training-data", "curriculum", "prefix-sum")),
     "purchase_attribution_asof": QuerySpec(EV.purchase_attribution_asof, EV.PURCHASE_ATTRIBUTION_ASOF_SQL, ("join", "asof", "pandas-udf")),
-    "pagerank_det": QuerySpec(TQ.pagerank_det, TQ.PAGERANK_DET_SQL, ("graph", "iterative", "pagerank", "fixed-point", "deterministic")),
     "stream_upsert_scd1": QuerySpec(NS.stream_upsert_scd1, NS.STREAM_UPSERT_SCD1_SQL, ("streaming", "foreachbatch", "scd1", "upsert", "commit-protocol")),
     # --- round-8 green, displaced by the r9 rotation (all hold a
     # CORRECTNESS_r08.json full-oracle PASS) ---
@@ -343,7 +370,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "odds_ratio_conversion": QuerySpec(EV.odds_ratio_conversion, EV.ODDS_RATIO_CONVERSION_SQL, ("experiment", "odds-ratio", "wald-ci", "binary-outcome")),
     "winsorized_value_stats": QuerySpec(EV.winsorized_value_stats, EV.WINSORIZED_VALUE_STATS_SQL, ("robust-stats", "winsorize", "order-statistic")),
     "max_drawdown_daily_revenue": QuerySpec(EV.max_drawdown_daily_revenue, EV.MAX_DRAWDOWN_DAILY_REVENUE_SQL, ("finance", "drawdown", "running-peak")),
-    "markov_entropy_rate": QuerySpec(EV.markov_entropy_rate, EV.MARKOV_ENTROPY_RATE_SQL, ("sequence", "entropy-rate", "markov")),
     "discount_elasticity": QuerySpec(TQ.discount_elasticity, TQ.DISCOUNT_ELASTICITY_SQL, ("econometrics", "elasticity", "log-log", "ordered-fold")),
     "order_cycle_percentiles": QuerySpec(TQ.order_cycle_percentiles, TQ.ORDER_CYCLE_PERCENTILES_SQL, ("crm", "cycle-time", "order-statistic")),
     "new_vs_returning_daily": QuerySpec(EV.new_vs_returning_daily, EV.NEW_VS_RETURNING_DAILY_SQL, ("engagement", "new-vs-returning", "first-seen")),
@@ -368,22 +394,18 @@ _BACKLOG: dict[str, QuerySpec] = {
     "gini_customer_revenue": QuerySpec(TQ.gini_customer_revenue, TQ.GINI_CUSTOMER_REVENUE_SQL, ("inequality", "gini", "integer-exact")),
     # --- round-7 green, displaced by the r8 rotation (all hold a
     # CORRECTNESS_r07.json full-oracle PASS) ---
-    "lang_id_confusion": QuerySpec(NS.lang_id_confusion, NS.LANG_ID_CONFUSION_SQL, ("text", "lang-id", "eval", "confusion-matrix")),
     "hash_collision_audit": QuerySpec(NS.hash_collision_audit, NS.HASH_COLLISION_AUDIT_SQL, ("ml", "feature-hashing", "collision", "audit")),
     "decayed_user_value": QuerySpec(EV.decayed_user_value, EV.DECAYED_USER_VALUE_SQL, ("ml", "feature", "time-decay", "integer-exact")),
     "markov_trigram_entropy": QuerySpec(EV.markov_trigram_entropy, EV.MARKOV_TRIGRAM_ENTROPY_SQL, ("sequence", "markov", "second-order", "entropy")),
     "isotonic_calibration_bins": QuerySpec(EV.isotonic_calibration_bins, EV.ISOTONIC_CALIBRATION_BINS_SQL, ("ml", "calibration", "isotonic", "pav")),
     "user_sequence_edit_nn": QuerySpec(EV.user_sequence_edit_nn, EV.USER_SEQUENCE_EDIT_NN_SQL, ("sequence", "edit-distance", "levenshtein", "blocking")),
-    "lang_id_cohens_kappa": QuerySpec(NS.lang_id_cohens_kappa, NS.LANG_ID_COHENS_KAPPA_SQL, ("text", "lang-id", "eval", "kappa")),
     "ts_delta_compression_estimate": QuerySpec(EV.ts_delta_compression_estimate, EV.TS_DELTA_COMPRESSION_ESTIMATE_SQL, ("storage", "compression", "gorilla", "timeseries")),
-    "laspeyres_price_index": QuerySpec(TQ.laspeyres_price_index, TQ.LASPEYRES_PRICE_INDEX_SQL, ("econ", "price-index", "laspeyres", "integer-exact")),
     "sprt_conversion_monitor": QuerySpec(EV.sprt_conversion_monitor, EV.SPRT_CONVERSION_MONITOR_SQL, ("experiment", "sprt", "sequential", "wald")),
     "croston_intermittent_forecast": QuerySpec(TQ.croston_intermittent_forecast, TQ.CROSTON_INTERMITTENT_FORECAST_SQL, ("forecast", "croston", "intermittent", "sequential-fold")),
     "circular_hour_stats": QuerySpec(EV.circular_hour_stats, EV.CIRCULAR_HOUR_STATS_SQL, ("stats", "circular", "diurnal", "integer-exact")),
     "chapman_population_estimate": QuerySpec(EV.chapman_population_estimate, EV.CHAPMAN_POPULATION_ESTIMATE_SQL, ("stats", "capture-recapture", "chapman", "population")),
     "dau_mau_stickiness": QuerySpec(EV.dau_mau_stickiness, EV.DAU_MAU_STICKINESS_SQL, ("engagement", "stickiness", "contribution-explode")),
     "hhi_brand_concentration": QuerySpec(TQ.hhi_brand_concentration, TQ.HHI_BRAND_CONCENTRATION_SQL, ("inequality", "hhi", "market-structure")),
-    "token_lang_mi": QuerySpec(NS.token_lang_mi, NS.TOKEN_LANG_MI_SQL, ("text", "mutual-information", "feature-selection", "diagnostics")),
     "token_run_lengths": QuerySpec(NS.token_run_lengths, NS.TOKEN_RUN_LENGTHS_SQL, ("text", "quality", "repetition", "gaps-islands")),
     "blocklist_filter": QuerySpec(NS.blocklist_filter, NS.BLOCKLIST_FILTER_SQL, ("text", "quality", "safety", "filter-stage")),
     "user_series_sax_similarity": QuerySpec(EV.user_series_sax_similarity, EV.USER_SERIES_SAX_SIMILARITY_SQL, ("timeseries", "sax", "similarity", "banding")),
@@ -391,7 +413,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "zonemap_integrity_audit": QuerySpec(NS.zonemap_integrity_audit, NS.ZONEMAP_INTEGRITY_AUDIT_SQL, ("lakehouse", "zonemap", "footer-stats", "data-skipping")),
     "user_value_gcd": QuerySpec(EV.user_value_gcd, EV.USER_VALUE_GCD_SQL, ("udaf", "pandas-grouped-agg", "price-quantum")),
     "l_diversity_audit": QuerySpec(TQ.l_diversity_audit, TQ.L_DIVERSITY_AUDIT_SQL, ("privacy", "l-diversity", "audit")),
-    "monthly_from_daily_mv": QuerySpec(TQ.monthly_from_daily_mv, TQ.MONTHLY_FROM_DAILY_MV_SQL, ("mv-rewrite", "rollup", "re-aggregation")),
     "user_type_share_map": QuerySpec(EV.user_type_share_map, EV.USER_TYPE_SHARE_MAP_SQL, ("map-hof", "complex-types", "shares")),
     # --- round-6 green, displaced by the r7 rotation (all hold a
     # CORRECTNESS_r06.json full-oracle PASS) ---
@@ -405,7 +426,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "cvar_expected_shortfall": QuerySpec(EV.cvar_expected_shortfall, EV.CVAR_EXPECTED_SHORTFALL_SQL, ("risk", "cvar", "expected-shortfall", "prefix-sum")),
     "poisson_burst_hours": QuerySpec(EV.poisson_burst_hours, EV.POISSON_BURST_HOURS_SQL, ("anomaly", "poisson", "burst", "chernoff")),
     "heaps_law_fit": QuerySpec(NS.heaps_law_fit, NS.HEAPS_LAW_FIT_SQL, ("text", "vocabulary", "heaps-law", "prefix-sum")),
-    "fightin_words_tokens": QuerySpec(NS.fightin_words_tokens, NS.FIGHTIN_WORDS_TOKENS_SQL, ("text", "log-odds", "dirichlet", "source-attribution")),
     "missing_partition_audit": QuerySpec(EV.missing_partition_audit, EV.MISSING_PARTITION_AUDIT_SQL, ("maintenance", "backfill", "gaps-and-islands", "audit")),
     "nelson_aalen_hazard": QuerySpec(EV.nelson_aalen_hazard, EV.NELSON_AALEN_HAZARD_SQL, ("survival", "nelson-aalen", "hazard", "censoring")),
     "selectivity_estimate_audit": QuerySpec(EV.selectivity_estimate_audit, EV.SELECTIVITY_ESTIMATE_AUDIT_SQL, ("planner", "cardinality", "selectivity", "diagnostics")),
@@ -413,14 +433,11 @@ _BACKLOG: dict[str, QuerySpec] = {
     "label_centroid_similarity": QuerySpec(NS.label_centroid_similarity, NS.LABEL_CENTROID_SIMILARITY_SQL, ("embedding", "centroid", "class-geometry", "integer-exact")),
     "chi2_type_weekday": QuerySpec(EV.chi2_type_weekday, EV.CHI2_TYPE_WEEKDAY_SQL, ("quality", "chi-square", "independence", "contingency")),
     "rolling_7d_distinct_users": QuerySpec(EV.rolling_7d_distinct_users, EV.ROLLING_7D_DISTINCT_USERS_SQL, ("window", "distinct", "sliding", "contribution-explode")),
-    "stream_topk_types_per_window": QuerySpec(NS.stream_topk_types_per_window, NS.STREAM_TOPK_TYPES_PER_WINDOW_SQL, ("streaming", "topk", "lambda-seam")),
     "multimodal_arrow_entropy": QuerySpec(NS.multimodal_arrow_entropy, NS.MULTIMODAL_ARROW_ENTROPY_SQL, ("multimodal", "arrow", "map-in-arrow", "entropy")),
     "dp_noisy_type_counts": QuerySpec(EV.dp_noisy_type_counts, EV.DP_NOISY_TYPE_COUNTS_SQL, ("privacy", "dp", "laplace", "deterministic")),
     "kaplan_meier_conversion": QuerySpec(EV.kaplan_meier_churn, EV.KAPLAN_MEIER_CHURN_SQL, ("survival", "kaplan-meier", "censoring", "conversion")),
-    "association_rules_brands": QuerySpec(TQ.association_rules_brands, TQ.ASSOCIATION_RULES_BRANDS_SQL, ("market-basket", "association-rules", "lift")),
     "nb_source_classifier": QuerySpec(NS.nb_source_classifier, NS.NB_SOURCE_CLASSIFIER_SQL, ("ml", "naive-bayes", "classifier", "confusion-matrix")),
     "row_provenance_files": QuerySpec(EV.row_provenance_files, EV.ROW_PROVENANCE_FILES_SQL, ("lineage", "provenance", "input-file")),
-    "cohort_ltv_curve": QuerySpec(EV.cohort_ltv_curve, EV.COHORT_LTV_CURVE_SQL, ("cohort", "ltv", "running-sum")),
     "split_revenue_attribution": QuerySpec(EV.split_revenue_attribution, EV.SPLIT_REVENUE_ATTRIBUTION_SQL, ("attribution", "multi-touch", "largest-remainder", "integer-exact")),
     "source_vocab_kl": QuerySpec(NS.source_vocab_kl, NS.SOURCE_VOCAB_KL_SQL, ("text", "kl-divergence", "data-mixing", "drift")),
     # --- round-5 green, displaced by the r6 rotation (all hold a
@@ -445,21 +462,17 @@ _BACKLOG: dict[str, QuerySpec] = {
     "media_avi_frame_stats": QuerySpec(NS.media_avi_frame_stats, NS.MEDIA_AVI_FRAME_STATS_SQL, ("multimodal", "real-codec", "avi", "video", "frame-sample")),
     "exact_value_quantiles": QuerySpec(EV.exact_value_quantiles, EV.EXACT_VALUE_QUANTILES_SQL, ("quantile", "exact", "prefix-sum", "distributed-selection")),
     "ece_calibration_bins": QuerySpec(EV.ece_calibration_bins, EV.ECE_CALIBRATION_BINS_SQL, ("ml", "calibration", "ece", "reliability")),
-    "data_mix_waterfill": QuerySpec(NS.data_mix_waterfill, NS.DATA_MIX_WATERFILL_SQL, ("training-data", "mixing", "waterfill", "budget")),
     "quality_ensemble_vote": QuerySpec(NS.quality_ensemble_vote, NS.QUALITY_ENSEMBLE_VOTE_SQL, ("quality", "ensemble", "ablation", "filter")),
     "dedup_survivor_selection": QuerySpec(NS.dedup_survivor_selection, NS.DEDUP_SURVIVOR_SELECTION_SQL, ("dedup", "survivorship", "clusters")),
     "shard_lpt_plan": QuerySpec(NS.shard_lpt_plan, NS.SHARD_LPT_PLAN_SQL, ("training-data", "sharding", "lpt", "balance")),
-    "ngram_coverage_curve": QuerySpec(NS.ngram_coverage_curve, NS.NGRAM_COVERAGE_CURVE_SQL, ("text", "vocabulary", "coverage", "prefix-sum")),
     "embedding_int8_quantize_stats": QuerySpec(NS.embedding_int8_quantize_stats, NS.EMBEDDING_INT8_QUANTIZE_STATS_SQL, ("embedding", "quantization", "int8", "compression")),
     "soundex_word_groups": QuerySpec(TQ.soundex_word_groups, TQ.SOUNDEX_WORD_GROUPS_SQL, ("linkage", "phonetic", "soundex", "blocking")),
     "partition_compaction_plan": QuerySpec(EV.partition_compaction_plan, EV.PARTITION_COMPACTION_PLAN_SQL, ("maintenance", "compaction", "prefix-sum", "platform")),
     # --- rotated out of the window in round 5 — each holds a
     # CORRECTNESS_r04.json full-oracle green row -------------------------
     "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),
-    "semdedup_prune": QuerySpec(NS.semdedup_prune, NS.SEMDEDUP_PRUNE_SQL, ("dedup", "semantic", "clustering", "semdedup")),
     "ann_pq_det": QuerySpec(NS.ann_pq_det, NS.ANN_PQ_DET_SQL, ("ann", "pq", "adc", "deterministic")),
     "hll_det_daily_users": QuerySpec(NS.hll_det_daily_users, NS.HLL_DET_DAILY_USERS_SQL, ("sketch", "hll", "deterministic")),
-    "doc_lm_kneser_ney": QuerySpec(NS.doc_lm_kneser_ney, NS.DOC_LM_KNESER_NEY_SQL, ("text", "quality", "lm", "kneser-ney", "smoothing")),
     "user_sessions_native": QuerySpec(EV.user_sessions_native, EV.USER_SESSIONS_NATIVE_SQL, ("window", "sessionize", "session-window")),
     "expectations_report": QuerySpec(TQ.expectations_report, TQ.EXPECTATIONS_REPORT_SQL, ("quality", "expectations", "unpivot")),
     "synthetic_source_profile": QuerySpec(NS.synthetic_source_profile, NS.SYNTHETIC_SOURCE_PROFILE_SQL, ("source", "connector", "python-datasource")),
@@ -474,16 +487,11 @@ _BACKLOG: dict[str, QuerySpec] = {
     "concurrent_sessions": QuerySpec(EV.concurrent_sessions, EV.CONCURRENT_SESSIONS_SQL, ("join", "interval-join", "banding", "sessionize")),
     "week_over_week_drift": QuerySpec(EV.week_over_week_drift, EV.WEEK_OVER_WEEK_DRIFT_SQL, ("window", "array", "set-similarity", "cohort")),
     "user_type_entropy": QuerySpec(EV.user_type_entropy, EV.USER_TYPE_ENTROPY_SQL, ("agg", "entropy", "re-aggregation")),
-    "ivm_join_delta": QuerySpec(TQ.ivm_join_delta, TQ.IVM_JOIN_DELTA_SQL, ("cdc", "ivm", "delta", "join")),
     "session_pattern_match": QuerySpec(EV.session_pattern_match, EV.SESSION_PATTERN_MATCH_SQL, ("sessionize", "pattern", "match-recognize", "regex")),
     "hilbert_code_orders": QuerySpec(TQ.hilbert_code_orders, TQ.HILBERT_CODE_ORDERS_SQL, ("layout", "hilbert", "bit-arithmetic")),
-    "geohash_cell_counts": QuerySpec(GQ.geohash_cell_counts, GQ.GEOHASH_CELL_COUNTS_SQL, ("geo", "geohash", "spatial-index", "agg")),
     "user_value_cusum": QuerySpec(EV.user_value_cusum, EV.USER_VALUE_CUSUM_SQL, ("timeseries", "cusum", "drift", "sequential-fold")),
-    "cms_token_counts": QuerySpec(NS.cms_token_counts, NS.CMS_TOKEN_COUNTS_SQL, ("sketch", "count-min", "deterministic")),
-    "bfs_hops_det": QuerySpec(TQ.bfs_hops_det, TQ.BFS_HOPS_DET_SQL, ("graph", "iterative", "bfs", "deterministic")),
     "benford_first_digit": QuerySpec(TQ.benford_first_digit, TQ.BENFORD_FIRST_DIGIT_SQL, ("quality", "audit", "distribution")),
     "bloom_semijoin_orders": QuerySpec(TQ.bloom_semijoin_orders, TQ.BLOOM_SEMIJOIN_ORDERS_SQL, ("join", "bloom", "prefilter", "broadcast")),
-    "quantile_normalize_doclen": QuerySpec(NS.quantile_normalize_doclen, NS.QUANTILE_NORMALIZE_DOCLEN_SQL, ("ml", "normalization", "quantile", "cross-source")),
     "zonemap_tile_pruning": QuerySpec(TQ.zonemap_tile_pruning, TQ.ZONEMAP_TILE_PRUNING_SQL, ("layout", "zonemap", "data-skipping", "zorder")),
     "linkage_jaro_winkler": QuerySpec(TQ.linkage_jaro_winkler, TQ.LINKAGE_JARO_WINKLER_SQL, ("join", "fuzzy", "blocking", "jaro-winkler", "pandas-udf")),
     # --- rotated out of the window in round 4 — each holds a
@@ -493,7 +501,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "acctbal_union_stats": QuerySpec(TQ.acctbal_union_stats, TQ.ACCTBAL_UNION_STATS_SQL, ("setop", "union-all")),
     "rolling_3event_value": QuerySpec(EV.rolling_3event_value, EV.ROLLING_3EVENT_VALUE_SQL, ("window", "rows-frame")),
     "nation_revenue_share": QuerySpec(TQ.nation_revenue_share, TQ.NATION_REVENUE_SHARE_SQL, ("window", "ratio-to-report")),
-    "brand_basket_pairs": QuerySpec(TQ.brand_basket_pairs, TQ.BRAND_BASKET_PAIRS_SQL, ("join", "self-join", "market-basket")),
     "token_budget_truncate": QuerySpec(NS.token_budget_truncate, NS.TOKEN_BUDGET_TRUNCATE_SQL, ("training-data", "budget")),
     "ann_lsh_det": QuerySpec(NS.ann_lsh_det, NS.ANN_LSH_DET_SQL, ("ann", "lsh", "deterministic")),
     "grouping_sets_revenue": QuerySpec(TQ.grouping_sets_revenue, TQ.GROUPING_SETS_REVENUE_SQL, ("agg", "grouping-sets")),
@@ -507,7 +514,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "user_sessions": QuerySpec(EV.user_sessions, EV.USER_SESSIONS_SQL, ("window", "sessionize")),
     "user_local_time_coords": QuerySpec(GQ.user_local_time_coords, GQ.USER_LOCAL_TIME_COORDS_SQL, ("geo", "timezone", "coords")),
     "importance_sample_events": QuerySpec(EV.importance_sample_events, EV.IMPORTANCE_SAMPLE_EVENTS_SQL, ("sampling", "weighted", "deterministic")),
-    "cohort_retention": QuerySpec(EV.cohort_retention, EV.COHORT_RETENTION_SQL, ("window", "join", "cohort")),
     "value_histogram": QuerySpec(NS.value_histogram, NS.VALUE_HISTOGRAM_SQL, ("agg", "histogram")),
     "props_map_entries": QuerySpec(NS.props_map_entries, NS.PROPS_MAP_ENTRIES_SQL, ("json", "map")),
     "part_name_near_matches": QuerySpec(TQ.part_name_near_matches, TQ.PART_NAME_NEAR_MATCHES_SQL, ("join", "fuzzy", "blocking", "levenshtein")),
@@ -526,26 +532,20 @@ _BACKLOG: dict[str, QuerySpec] = {
     # driver rows; still locally re-verified every round):
     "text_stats": QuerySpec(NS.text_stats, NS.TEXT_STATS_SQL, ("text",)),
     "lang_id": QuerySpec(NS.lang_id, NS.LANG_ID_SQL, ("text",)),
-    "doc_fingerprint": QuerySpec(NS.doc_fingerprint, NS.DOC_FINGERPRINT_SQL, ("text",)),
     "token_frequencies": QuerySpec(NS.token_frequencies, NS.TOKEN_FREQUENCIES_SQL, ("text", "explode")),
     "token_counts_regex": QuerySpec(NS.token_counts_regex, NS.TOKEN_COUNTS_REGEX_SQL, ("text", "regex")),
     "normalize_text": QuerySpec(NS.normalize_text, NS.NORMALIZE_TEXT_SQL, ("text", "regex", "normalize")),
     "hashed_token_vectors": QuerySpec(NS.hashed_token_vectors, NS.HASHED_TOKEN_VECTORS_SQL, ("text", "feature-hashing")),
-    "tf_idf_top_terms": QuerySpec(NS.tf_idf_top_terms, NS.TF_IDF_TOP_TERMS_SQL, ("text", "tfidf", "topk")),
     "bigram_counts": QuerySpec(NS.bigram_counts, NS.BIGRAM_COUNTS_SQL, ("text", "ngram", "topk")),
     "documents_profile": QuerySpec(NS.documents_profile, NS.DOCUMENTS_PROFILE_SQL, ("profile", "quality")),
     "multimodal_meta": QuerySpec(NS.multimodal_meta, NS.MULTIMODAL_META_SQL, ("multimodal",)),
     "train_test_split_counts": QuerySpec(NS.train_test_split_counts, NS.TRAIN_TEST_SPLIT_COUNTS_SQL, ("split", "sampling")),
     "stratified_sample": QuerySpec(NS.stratified_sample, NS.STRATIFIED_SAMPLE_SQL, ("split", "sampling", "stratified")),
     "length_bucket_batches": QuerySpec(NS.length_bucket_batches, NS.LENGTH_BUCKET_BATCHES_SQL, ("packing", "batching", "training-data")),
-    "source_mix_rebalance": QuerySpec(NS.source_mix_rebalance, NS.SOURCE_MIX_REBALANCE_SQL, ("split", "sampling", "data-mixing")),
     "quality_gopher_filters": QuerySpec(NS.quality_gopher_filters, NS.QUALITY_GOPHER_FILTERS_SQL, ("text", "quality", "filter-stage")),
-    "doc_lm_perplexity": QuerySpec(NS.doc_lm_perplexity, NS.DOC_LM_PERPLEXITY_SQL, ("text", "quality", "lm", "perplexity")),
-    "decontaminate_ngram_overlap": QuerySpec(NS.decontaminate_ngram_overlap, NS.DECONTAMINATE_NGRAM_OVERLAP_SQL, ("text", "decontamination", "ngram")),
     "pii_redact": QuerySpec(NS.pii_redact, NS.PII_REDACT_SQL, ("text", "pii", "regex")),
     "chunk_text_windows": QuerySpec(NS.chunk_text_windows, NS.CHUNK_TEXT_WINDOWS_SQL, ("text", "chunking", "udtf", "rag")),
     "q21_waiting_suppliers": QuerySpec(TQ.q21_waiting_suppliers, TQ.Q21_WAITING_SUPPLIERS_SQL, ("join", "exists", "argmax")),
-    "orders_snapshot_diff": QuerySpec(TQ.orders_snapshot_diff, TQ.ORDERS_SNAPSHOT_DIFF_SQL, ("cdc", "diff", "full-outer")),
     # --- rows-only tiers: pytest is the real verification (recall bounds,
     # error bounds, serial-reference parity) — value_percentiles_approx
     # precedent. Kept registered for the local runner.
@@ -563,7 +563,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     # --- round-4 session-2 backlog additions (full-oracle, awaiting a
     # future window slot) --------------------------------------------------
     "winnow_fingerprints": QuerySpec(NS.winnow_fingerprints, NS.WINNOW_FINGERPRINTS_SQL, ("dedup", "fingerprint", "winnowing")),
-    "incremental_orders_agg": QuerySpec(TQ.incremental_orders_agg, TQ.INCREMENTAL_ORDERS_AGG_SQL, ("cdc", "ivm", "delta")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
     "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
     "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
@@ -579,10 +578,8 @@ _BACKLOG: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(TQ.q1_pricing_summary, TQ.Q1_PRICING_SUMMARY_SQL, ("agg",)),
     "q3_order_revenue": QuerySpec(TQ.q3_order_revenue, TQ.Q3_ORDER_REVENUE_SQL, ("join", "agg")),
     "q5_nation_revenue": QuerySpec(TQ.q5_nation_revenue, TQ.Q5_NATION_REVENUE_SQL, ("join", "agg")),
-    "customers_with_orders": QuerySpec(TQ.customers_with_orders, TQ.CUSTOMERS_WITH_ORDERS_SQL, ("semi-join",)),
     "customers_without_orders": QuerySpec(TQ.customers_without_orders, TQ.CUSTOMERS_WITHOUT_ORDERS_SQL, ("anti-join",)),
     "top_orders_per_customer": QuerySpec(TQ.top_orders_per_customer, TQ.TOP_ORDERS_PER_CUSTOMER_SQL, ("window", "topk")),
-    "cheapest_line_per_part": QuerySpec(TQ.cheapest_line_per_part, TQ.CHEAPEST_LINE_PER_PART_SQL, ("window", "argmin")),
     "sales_cube": QuerySpec(TQ.sales_cube, TQ.SALES_CUBE_SQL, ("agg", "cube")),
     "nations_customers_not_suppliers": QuerySpec(TQ.nations_customers_not_suppliers, TQ.NATIONS_CUSTOMERS_NOT_SUPPLIERS_SQL, ("setop",)),
     "nations_with_both": QuerySpec(TQ.nations_with_both, TQ.NATIONS_WITH_BOTH_SQL, ("setop", "intersect")),
@@ -594,7 +591,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "q12_priority_shipping": QuerySpec(TQ.q12_priority_shipping, TQ.Q12_PRIORITY_SHIPPING_SQL, ("join", "case-agg")),
     "q14_promo_revenue_share": QuerySpec(TQ.q14_promo_revenue_share, TQ.Q14_PROMO_REVENUE_SHARE_SQL, ("join", "ratio-agg")),
     "q19_branded_revenue": QuerySpec(TQ.q19_branded_revenue, TQ.Q19_BRANDED_REVENUE_SQL, ("join", "disjunctive")),
-    "customer_order_ranks": QuerySpec(TQ.customer_order_ranks, TQ.CUSTOMER_ORDER_RANKS_SQL, ("window", "rank")),
     "order_percent_ranks": QuerySpec(TQ.order_percent_ranks, TQ.ORDER_PERCENT_RANKS_SQL, ("window", "distribution")),
     "props_k_stats": QuerySpec(EV.props_k_stats, EV.PROPS_K_STATS_SQL, ("json", "agg")),
     "order_price_percentiles": QuerySpec(TQ.order_price_percentiles, TQ.ORDER_PRICE_PERCENTILES_SQL, ("agg", "percentile")),
