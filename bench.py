@@ -384,7 +384,15 @@ def run_scale_tier(spark, base_dir: str) -> dict:
     """{op: {"t1x": s, "t10x": s, "ratio": r}} — best-of-2 timings: a
     single cold shot samples JIT + co-tenant noise (measured semdedup
      0.58s/11.5s cold vs 1.15s/5.55s warm on the same box — a phantom 20x
-    ratio); the second rep prices the operator, not the JVM."""
+    ratio); the second rep prices the operator, not the JVM.
+
+    The r11 general-graph driver tier is pinned OFF here (same call as
+    tools/scale_probe_100x): this tier's whole purpose is the DISTRIBUTED
+    loops' scaling shape, and the bounded driver tier would intercept the
+    small scaled graphs and splice a Python-loop regime into the curve."""
+    from hadoop_data_lake_spark.operators import graph as _G
+
+    _G.GENERAL_DRIVER_TIER_ENABLED = False
     out: dict[str, dict] = {}
     frames = {
         1: (
@@ -452,6 +460,7 @@ def run_scale_tier(spark, base_dir: str) -> dict:
             d["ratio"] = round(d[f"t{SCALE_MULT}x"] / d["t1x"], 2)
             if "t3x" in d:
                 d["ratio3"] = round(d["t3x"] / d["t1x"], 2)
+    _G.GENERAL_DRIVER_TIER_ENABLED = True
     return out
 
 
