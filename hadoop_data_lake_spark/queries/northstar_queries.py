@@ -2037,15 +2037,17 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bigram"),
     )
-    # checkpoint the exploded bigram stream ONCE (r11; the minhash
-    # inverted-index precedent): the model build and the re-score pass
-    # both consumed bg, re-running the split+zip_with+explode over the
-    # corpus each time (3 visible fact scans). Serialized — the stream is
-    # corpus-sized but two narrow columns.
+    # checkpoint the MODEL, not the stream (r11): the prefix re-aggregation
+    # and the scoring join both consume the model — uncheckpointed, each
+    # re-ran the corpus explode behind it (3 visible fact scans -> 2: one
+    # model build + one scoring pass). The exploded bigram STREAM itself is
+    # ~2x corpus bytes, so materializing it trades a cheap pruned re-scan
+    # for a fat write — the embedding_near_dup rule says don't.
     from hadoop_data_lake_spark.core.io import checkpoint_serialized
 
-    bg = checkpoint_serialized(bg)
-    model = bg.groupBy("bigram").agg(F.count("*").alias("c12"))
+    model = checkpoint_serialized(
+        bg.groupBy("bigram").agg(F.count("*").alias("c12"))
+    )
     # prefix counts re-aggregate the MODEL (distinct bigrams), not the
     # exploded corpus: sum of c12 over bigrams sharing w1 == the corpus
     # unigram-prefix count, one cheap shuffle instead of a third full
@@ -2447,12 +2449,11 @@ def doc_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bigram"),
     )
-    # serialized checkpoint of the bigram stream (r11, the
-    # doc_lm_perplexity cure): the model build and the re-score pass both
-    # consume bg — one corpus scan + one explode total
-    from hadoop_data_lake_spark.core.io import checkpoint_serialized
-
-    bg = checkpoint_serialized(bg)
+    # (r11 note: the checkpointed MODEL below already bounds the plan at
+    # 2 fact passes — model build + re-score. The bigram STREAM is ~2x
+    # corpus bytes, so it is deliberately NOT checkpointed: a pruned
+    # re-scan + explode is cheaper than materializing the fat stream —
+    # the embedding_near_dup rule.)
     model = (
         bg.groupBy("bigram")
         .agg(F.count("*").alias("c12"))
