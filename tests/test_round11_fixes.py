@@ -482,3 +482,23 @@ def test_lpa_driver_tier_bit_identical(spark):
     fast, dist = out
     assert fast == dist
     assert len(fast) == 6
+
+
+def test_lpa_driver_tier_caps_route_to_distributed(spark):
+    """Above either measured cap lpa_communities must take the distributed
+    loop (no collect of an unbounded edge list) — same probe as the
+    pagerank cap test: the distributed loop's labels frame is an iterated
+    localCheckpoint (Scan ExistingRDD), never a local createDataFrame."""
+    import hadoop_data_lake_spark.operators.graph as G
+
+    e = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 2)], "brand_a string, brand_b string, w long"
+    )
+    orig = G.GENERAL_DRIVER_MAX_NODES
+    G.GENERAL_DRIVER_MAX_NODES = 0
+    try:
+        df = G.lpa_communities(e, src="brand_a", dst="brand_b", weight="w", iters=1)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in plan
+    finally:
+        G.GENERAL_DRIVER_MAX_NODES = orig
