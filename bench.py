@@ -484,13 +484,14 @@ def wait_for_calm_box() -> dict:
     now lives in the harness itself so the artifact the driver stamps gets
     it too. Polls the 1-minute load average until it drops under
     $SPARK_GRAFT_CALM_LOAD (default 2.0 — light on 32 CPUs; observed calm
-    runs sat at 0.2-1.5) or $SPARK_GRAFT_CALM_WAIT_S (default 900) elapses;
+    runs sat at 0.2-1.5) or $SPARK_GRAFT_CALM_WAIT_S (default 420 — bounded
+    well under any plausible harness timeout for the whole bench) elapses;
     never blocks forever — an always-loaded box proceeds and the control
     geomean still normalizes it. Returns a self-describing record for the
     payload. Runs BEFORE the SparkSession exists so our own JVM never
     counts against the threshold."""
     threshold = float(os.environ.get("SPARK_GRAFT_CALM_LOAD", "2.0"))
-    max_wait = float(os.environ.get("SPARK_GRAFT_CALM_WAIT_S", "900"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_CALM_WAIT_S", "420"))
     t0 = time.monotonic()
     load = os.getloadavg()[0]
     first = load
