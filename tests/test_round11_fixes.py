@@ -502,3 +502,55 @@ def test_lpa_driver_tier_caps_route_to_distributed(spark):
         assert "ExistingRDD" in plan
     finally:
         G.GENERAL_DRIVER_MAX_NODES = orig
+
+
+def test_driver_tier_property_random_graphs(spark):
+    """Property harness for the r11 driver tiers: on random small digraphs
+    (dangling nodes, self-referential pairs, duplicate edges, multiple
+    components all arise naturally), pagerank_intexact and lpa_communities
+    must return BIT-identical results with the tier on vs off. Seeded
+    stdlib RNG, a handful of draws, one Spark pipeline per draw — the
+    hypothesis float strategies are avoided per tests/test_properties.py's
+    container note, and graph shapes need structured randomness anyway."""
+    import random
+
+    import hadoop_data_lake_spark.operators.graph as G
+
+    rng = random.Random(0xC0FFEE)
+    for draw in range(4):
+        n = rng.randint(2, 14)
+        m = rng.randint(1, 28)
+        rows = [
+            (rng.randint(0, n - 1), rng.randint(0, n - 1)) for _ in range(m)
+        ]
+        rows = [(s, d) for s, d in rows if s != d] or [(0, 1)]
+        out_pr, out_lpa = [], []
+        for enabled in (True, False):
+            orig = G.GENERAL_DRIVER_TIER_ENABLED
+            G.GENERAL_DRIVER_TIER_ENABLED = enabled
+            try:
+                e = spark.createDataFrame(rows, "src int, dst int")
+                out_pr.append(
+                    sorted(
+                        (r["node"], r["rank_units"])
+                        for r in G.pagerank_intexact(e, iters=3).collect()
+                    )
+                )
+                ew = spark.createDataFrame(
+                    [(s, d, 1 + (s + d) % 3) for s, d in rows],
+                    "src int, dst int, w long",
+                )
+                out_lpa.append(
+                    sorted(
+                        map(
+                            tuple,
+                            G.lpa_communities(
+                                ew, src="src", dst="dst", weight="w", iters=3
+                            ).collect(),
+                        )
+                    )
+                )
+            finally:
+                G.GENERAL_DRIVER_TIER_ENABLED = orig
+        assert out_pr[0] == out_pr[1], (draw, rows)
+        assert out_lpa[0] == out_lpa[1], (draw, rows)
