@@ -154,8 +154,8 @@ INTENTIONAL_REGRADES: frozenset[str] = frozenset({
     "decontaminate_ngram_overlap",
     "stream_topk_types_per_window",
     "cheapest_line_per_part",
-    "customer_order_ranks",
-    "customers_with_orders",
+    "q11_important_parts",
+    "q15_top_supplier",
 })
 
 
@@ -176,9 +176,12 @@ _WINDOW: dict[str, QuerySpec] = {
     # order at round-11 close — the round's single-pass restructuring
     # (cms/tf-idf/doc-lm/containment/cohorts/laspeyres/snapshot-diff/
     # basket), the general-graph driver tier family (textrank, LPA,
-    # pagerank), and the r2-r9 cohort beneath. Slots 42-44: the three
-    # OLDEST green rows (CORRECTNESS_r01, alphabetical) as
-    # re-confirmations — no newer stale row exists. Every displaced
+    # pagerank), and the r2-r9 cohort beneath. Slot 42: the OLDEST green
+    # row (CORRECTNESS_r01, alphabetical) as a re-confirmation. Slots
+    # 43-44: q11/q15 — re-dated AFTER the rotation by the late
+    # aggregate-checkpoint fix (2 lineitem scans -> 1), swapped in for
+    # two more r01 re-confirmations so the window again holds the
+    # COMPLETE stale ladder (43 stale + 1 re-confirm). Every displaced
     # entry holds a CORRECTNESS_r10.json full-oracle PASS and moves to
     # the top of _BACKLOG; check_oracle re-verifies all 352 registered
     # queries locally every round.
@@ -261,8 +264,8 @@ _WINDOW: dict[str, QuerySpec] = {
     "decontaminate_ngram_overlap": QuerySpec(NS.decontaminate_ngram_overlap, NS.DECONTAMINATE_NGRAM_OVERLAP_SQL, ("text", "decontamination", "ngram")),
     "stream_topk_types_per_window": QuerySpec(NS.stream_topk_types_per_window, NS.STREAM_TOPK_TYPES_PER_WINDOW_SQL, ("streaming", "topk", "lambda-seam")),
     "cheapest_line_per_part": QuerySpec(TQ.cheapest_line_per_part, TQ.CHEAPEST_LINE_PER_PART_SQL, ("window", "argmin")),
-    "customer_order_ranks": QuerySpec(TQ.customer_order_ranks, TQ.CUSTOMER_ORDER_RANKS_SQL, ("window", "rank")),
-    "customers_with_orders": QuerySpec(TQ.customers_with_orders, TQ.CUSTOMERS_WITH_ORDERS_SQL, ("semi-join",)),
+    "q11_important_parts": QuerySpec(TQ.q11_important_parts, TQ.Q11_IMPORTANT_PARTS_SQL, ("agg", "scalar-subquery", "having")),
+    "q15_top_supplier": QuerySpec(TQ.q15_top_supplier, TQ.Q15_TOP_SUPPLIER_SQL, ("agg", "scalar-subquery", "argmax")),
     # --- streaming regression guard (6 = STREAMING_GUARD above):
     # streaming silently broke at r2 HEAD; these keep every micro-batch/
     # watermark/stream-join path under the driver gate ---
@@ -600,9 +603,9 @@ _BACKLOG: dict[str, QuerySpec] = {
     "q7_volume_shipping": QuerySpec(TQ.q7_volume_shipping, TQ.Q7_VOLUME_SHIPPING_SQL, ("join", "agg", "broadcast")),
     "q8_market_share": QuerySpec(TQ.q8_market_share, TQ.Q8_MARKET_SHARE_SQL, ("join", "ratio-agg", "semi-join")),
     "q9_product_profit": QuerySpec(TQ.q9_product_profit, TQ.Q9_PRODUCT_PROFIT_SQL, ("join", "agg")),
-    "q11_important_parts": QuerySpec(TQ.q11_important_parts, TQ.Q11_IMPORTANT_PARTS_SQL, ("agg", "scalar-subquery", "having")),
+    "customer_order_ranks": QuerySpec(TQ.customer_order_ranks, TQ.CUSTOMER_ORDER_RANKS_SQL, ("window", "rank")),
     "q13_customer_distribution": QuerySpec(TQ.q13_customer_distribution, TQ.Q13_CUSTOMER_DISTRIBUTION_SQL, ("left-join", "agg", "histogram")),
-    "q15_top_supplier": QuerySpec(TQ.q15_top_supplier, TQ.Q15_TOP_SUPPLIER_SQL, ("agg", "scalar-subquery", "argmax")),
+    "customers_with_orders": QuerySpec(TQ.customers_with_orders, TQ.CUSTOMERS_WITH_ORDERS_SQL, ("semi-join",)),
     "q16_parts_supplier_counts": QuerySpec(TQ.q16_parts_supplier_counts, TQ.Q16_PARTS_SUPPLIER_COUNTS_SQL, ("anti-join", "distinct-agg")),
     "q18_large_volume_customers": QuerySpec(TQ.q18_large_volume_customers, TQ.Q18_LARGE_VOLUME_CUSTOMERS_SQL, ("agg", "having", "join")),
     "q20_significant_suppliers": QuerySpec(TQ.q20_significant_suppliers, TQ.Q20_SIGNIFICANT_SUPPLIERS_SQL, ("semi-join", "nested-subquery")),

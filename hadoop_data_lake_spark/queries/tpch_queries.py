@@ -964,10 +964,13 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     units = to_units(F.col("l_extendedprice") * F.col("l_quantity"), 2)
+    # eager-checkpoint the per-part aggregate (r11): the grand-total scalar
+    # and the threshold filter both consume it (2 lineitem scans -> 1)
     per_part = (
         li.join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(F.sum(units).alias("value_units"))
+        .localCheckpoint(eager=True)
     )
     total = per_part.agg(F.sum("value_units").alias("total_units"))
     return (
@@ -1037,10 +1040,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     supp = read_table(spark, sf_dir, "supplier")
     units = to_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    # eager-checkpoint the per-supplier aggregate (r11): the max scalar and
+    # the final filter-join both consume it (2 lineitem scans -> 1)
     revenue = (
         li.where(F.col("l_shipdate").between(F.lit("1996-01-01"), F.lit("1996-03-31")))
         .groupBy("l_suppkey")
         .agg(F.sum(units).alias("rev_units"))
+        .localCheckpoint(eager=True)
     )
     best = revenue.agg(F.max("rev_units").alias("max_units"))
     return (
