@@ -392,7 +392,19 @@ def run_scale_tier(spark, base_dir: str) -> dict:
     small scaled graphs and splice a Python-loop regime into the curve."""
     from hadoop_data_lake_spark.operators import graph as _G
 
+    orig_tier = _G.GENERAL_DRIVER_TIER_ENABLED
     _G.GENERAL_DRIVER_TIER_ENABLED = False
+    try:
+        return _run_scale_tier_inner(spark, base_dir)
+    finally:
+        # restore the caller's value (not a hardcoded True): an exception
+        # mid-tier must not leave the tier disabled for the rest of the
+        # process, and a caller that deliberately disabled it (the
+        # tools/scale_probe_100x pattern) must stay disabled.
+        _G.GENERAL_DRIVER_TIER_ENABLED = orig_tier
+
+
+def _run_scale_tier_inner(spark, base_dir: str) -> dict:
     out: dict[str, dict] = {}
     frames = {
         1: (
@@ -460,7 +472,6 @@ def run_scale_tier(spark, base_dir: str) -> dict:
             d["ratio"] = round(d[f"t{SCALE_MULT}x"] / d["t1x"], 2)
             if "t3x" in d:
                 d["ratio3"] = round(d["t3x"] / d["t1x"], 2)
-    _G.GENERAL_DRIVER_TIER_ENABLED = True
     return out
 
 
@@ -483,14 +494,16 @@ def wait_for_calm_box() -> dict:
     The discipline documented in BENCH_NOTES (poll load before timed runs)
     now lives in the harness itself so the artifact the driver stamps gets
     it too. Polls the 1-minute load average until it drops under
-    $SPARK_GRAFT_CALM_LOAD (default 2.0 — light on 32 CPUs; observed calm
-    runs sat at 0.2-1.5) or $SPARK_GRAFT_CALM_WAIT_S (default 420 — bounded
+    $SPARK_GRAFT_CALM_LOAD (default 1.0 — observed calm runs sat at
+    0.2-0.64 on 32 CPUs, while BENCH_r11 started at exactly the old 2.0
+    threshold as an 8.86 spike drained and recorded inflation 1.403;
+    VERDICT r11 item 1) or $SPARK_GRAFT_CALM_WAIT_S (default 420 — bounded
     well under any plausible harness timeout for the whole bench) elapses;
     never blocks forever — an always-loaded box proceeds and the control
     geomean still normalizes it. Returns a self-describing record for the
     payload. Runs BEFORE the SparkSession exists so our own JVM never
     counts against the threshold."""
-    threshold = float(os.environ.get("SPARK_GRAFT_CALM_LOAD", "2.0"))
+    threshold = float(os.environ.get("SPARK_GRAFT_CALM_LOAD", "1.0"))
     max_wait = float(os.environ.get("SPARK_GRAFT_CALM_WAIT_S", "420"))
     t0 = time.monotonic()
     load = os.getloadavg()[0]
@@ -510,6 +523,27 @@ def wait_for_calm_box() -> dict:
         "load_at_start": round(load, 2),
         "waited_s": waited,
         "timed_out": load >= threshold,
+    }
+
+
+# Mid-run spike annotation (VERDICT r11 item 1): the start gate can't see
+# a co-tenant spike that lands DURING the timed region (run 2's
+# ann_brute_force read 1.519 and the discarded r11 third run 1.912 — both
+# mid-run spikes on a calm-started box). A control reading above this
+# factor of its recorded absolute is flagged into the payload so the
+# judge's normalization has an explicit machine-readable marker instead
+# of a footnote.
+SPIKE_RATIO = 1.5
+
+
+def spike_stamp(control_ratios: dict, factor: float = SPIKE_RATIO) -> dict:
+    """{spike_suspected, spike_controls, spike_factor} from control
+    ratios (this run / recorded absolute). Pure; pinned by tests."""
+    over = sorted(n for n, r in control_ratios.items() if r > factor)
+    return {
+        "spike_suspected": bool(over),
+        "spike_controls": over,
+        "spike_factor": factor,
     }
 
 
@@ -624,6 +658,7 @@ def main() -> None:
         "control_ratios": control_ratios,
         "queries": timings,
         "calm_box": calm,
+        **spike_stamp(control_ratios),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "scale_check": {
             "mult": SCALE_MULT,
@@ -651,6 +686,7 @@ def main() -> None:
         "headline_frozen_total": frozen_total,
         "control_inflation": control_inflation,
         "control_ratios": control_ratios,
+        "spike_suspected": payload["spike_suspected"],
         "load_at_start": calm["load_at_start"],
         "n_queries": len(timings),
         "sf": payload["sf"],

@@ -111,6 +111,18 @@ GENERAL_DRIVER_MAX_NODES = 200_000
 GENERAL_DRIVER_MAX_EDGES = 500_000
 GENERAL_DRIVER_TIER_ENABLED = True
 
+# numpy driver tier (round 12): HITS-style recurrences whose per-round
+# work is a gather + integer bincount are ~1000x cheaper per edge than
+# the pure-Python dict loops above, so they earn a wider edge cap. The
+# budget is BYTES, not dict ops: one Arrow collect of (long, long) edges
+# is 16 B/edge -> 4M edges = 64 MB on the driver, the same order as the
+# broadcast byte budget. Above it the distributed loop stands unchanged
+# (the customer x supplier purchase graph saturates at |C| x |S| but
+# GROWS with the corpus until then — this tier covers the bench scales
+# and bows out exactly where a 1000-executor cluster would want the
+# shuffle formulation anyway).
+NUMPY_DRIVER_MAX_EDGES = 4_000_000
+
 # Escape hatch for tests (and for callers that want the general loop's
 # plan shape regardless of structure): disables BOTH layered tiers.
 LAYERED_FAST_PATH_ENABLED = True
@@ -644,7 +656,6 @@ def pagerank_intexact(
             dst_set.add(d)
         all_nodes = src_set | dst_set
         dang_nodes = all_nodes - src_set  # no out-edges
-        zero_in_nodes = all_nodes - dst_set  # never a destination
         rank = {v: scale // n for v in all_nodes}
         for _ in range(iters):
             dsum = sum(rank[v] for v in dang_nodes)
@@ -916,13 +927,23 @@ def lpa_communities(
         edge_rows = [(r["s"], r["d"], r["w"]) for r in e.collect()]
         label = {s: s for s, _, _ in edge_rows}
         for _ in range(iters):
-            tally: dict[object, dict[object, int]] = defaultdict(
-                lambda: defaultdict(int)
-            )
+            # per-group sums mirror SQL SUM null semantics exactly: null
+            # weights are skipped, but a group whose weights are ALL null
+            # keeps a None score (not 0) so the argmax below can rank it
+            # the way the distributed topk does (desc => nulls LAST).
+            tally: dict[object, dict[object, object]] = defaultdict(dict)
             for s, d, wt in edge_rows:
-                tally[s][label[d]] += wt
+                lb = label[d]
+                grp = tally[s]
+                if lb not in grp:
+                    grp[lb] = wt  # may be None — the SQL "sum of nulls"
+                elif wt is not None:
+                    grp[lb] = (grp[lb] or 0) + wt
             label = {
-                v: min(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                v: min(
+                    scores.items(),
+                    key=lambda kv: (kv[1] is None, -(kv[1] or 0), kv[0]),
+                )[0]
                 for v, scores in tally.items()
             }
         csize: dict[object, int] = defaultdict(int)
@@ -968,3 +989,91 @@ def lpa_communities(
     return labels.join(sizes, "label").select(
         "vertex", F.col("label").alias("community"), "community_size"
     )
+
+
+def hits_scaled_driver(
+    e: DataFrame,
+    hub_col: str,
+    auth_col: str,
+    n_hubs: int,
+    n_auths: int,
+    rounds: int = 2,
+    scale: int = 1_000_000,
+    n_edges: int | None = None,
+):
+    """Driver tier (round 12) for the integer-rescaled HITS fixed point
+    (queries/tpch_queries.hits_hubs_authorities): when the bipartite
+    graph fits the driver budget, collect the checkpointed edge list
+    ONCE (Arrow) and run every mutual-reinforcement round as a numpy
+    gather + bincount in exact integer arithmetic — zero per-round Spark
+    jobs instead of rounds x 2 x (join + agg + scalar max). Returns
+    ``(hub_scores, auth_scores)`` DataFrames with columns
+    ``(hub_col, 'v')`` / ``(auth_col, 'v')`` — the same shape the
+    distributed loop's final score frames carry, so the caller's top-k
+    shaping is shared verbatim by both paths — or ``None`` when any cap
+    fails (the distributed loop then stands unchanged).
+
+    Bit-identity argument (pinned by tests/test_round12_fixes.py):
+    every aggregate is a sum of non-negative ints <= `scale`, so a
+    per-node sum is <= scale * n_edges <= 1e6 * 4e6 = 4e12 < 2^53 —
+    np.bincount's float64 accumulation is therefore EXACT (every addend
+    and partial sum is a representable integer), hence order-independent
+    like the distributed integer hash aggregate; the rescale numerator
+    v * scale <= 4e18 < 2^63-1 never overflows int64, and floor-div of
+    non-negative ints equals SQL `div`.
+    """
+    if not GENERAL_DRIVER_TIER_ENABLED:
+        return None
+    if rounds < 1 or scale > 1_000_000:
+        return None  # the <2^53 / <2^63 exactness chain is sized to 1e6
+    if n_hubs + n_auths > GENERAL_DRIVER_MAX_NODES:
+        return None
+    # callers that already know |E| (folded into their flags aggregate)
+    # pass it in so the cap check costs zero extra jobs; otherwise it is
+    # counted here, and only under the node cap (the r11 gate order).
+    if (e.count() if n_edges is None else n_edges) > NUMPY_DRIVER_MAX_EDGES:
+        return None
+    import numpy as np
+
+    pdf = e.toPandas()
+    if len(pdf) == 0:
+        return None
+    hub_u, hub_i = np.unique(pdf[hub_col].to_numpy(), return_inverse=True)
+    auth_u, auth_i = np.unique(pdf[auth_col].to_numpy(), return_inverse=True)
+
+    def _rescale(v):
+        return (v * scale) // v.max()
+
+    def _agg(idx, w, n):
+        return np.bincount(
+            idx, weights=w.astype(np.float64), minlength=n
+        ).astype(np.int64)
+
+    a = _rescale(np.bincount(auth_i, minlength=len(auth_u)).astype(np.int64))
+    h = _rescale(_agg(hub_i, a[auth_i], len(hub_u)))
+    for _ in range(rounds - 1):
+        a = _rescale(_agg(auth_i, h[hub_i], len(auth_u)))
+        h = _rescale(_agg(hub_i, a[auth_i], len(hub_u)))
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = e.sparkSession
+    h_df = spark.createDataFrame(
+        [(k, int(v)) for k, v in zip(hub_u.tolist(), h.tolist())],
+        StructType(
+            [
+                StructField(hub_col, e.schema[hub_col].dataType),
+                StructField("v", LongType()),
+            ]
+        ),
+    )
+    a_df = spark.createDataFrame(
+        [(k, int(v)) for k, v in zip(auth_u.tolist(), a.tolist())],
+        StructType(
+            [
+                StructField(auth_col, e.schema[auth_col].dataType),
+                StructField("v", LongType()),
+            ]
+        ),
+    )
+    return h_df, a_df

@@ -4452,6 +4452,13 @@ def token_lang_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern), so an external engine replays it bit-for-bit. Ranking uses
     the ROUNDED score (rank-on-rounded gotcha) with token tie-break.
 
+    The MI is defined OVER the fixed 5-language domain: documents with
+    any other lang value are filtered out up front (and the oracle's
+    marginal CTE applies the same ``lang IN`` filter), so Spark and
+    oracle stay equivalent by construction rather than by a data-domain
+    accident (r11 advice: the pivot silently dropped unknown langs from
+    n_total while the oracle counted them).
+
     100 TB shape: one explode + one count shuffle on (token, lang); the
     language marginals are a 5-row broadcast; top-20 is a TakeOrdered,
     never a global sort materialization."""
@@ -4460,7 +4467,8 @@ def token_lang_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate-first (r11): the language marginals are column sums of the
     # vocab-bounded pivot table, so the corpus is exploded ONCE (was 2x)
     tl = (
-        docs.select("lang", F.explode(TX.tokens(F.col("text"))).alias("token"))
+        docs.filter(F.col("lang").isin(langs))
+        .select("lang", F.explode(TX.tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .pivot("lang", langs)
         .agg(F.count(F.lit(1)))
@@ -4512,7 +4520,8 @@ WITH tl AS (
          count(*) FILTER (WHERE lang = 'es')::bigint AS es,
          count(*) FILTER (WHERE lang = 'fr')::bigint AS fr,
          count(*) FILTER (WHERE lang = 'zh')::bigint AS zh
-  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+        WHERE lang IN ('de', 'en', 'es', 'fr', 'zh'))
   GROUP BY token
 ),
 marg AS (
@@ -4522,7 +4531,8 @@ marg AS (
          count(*) FILTER (WHERE lang = 'es')::bigint AS m_es,
          count(*) FILTER (WHERE lang = 'fr')::bigint AS m_fr,
          count(*) FILTER (WHERE lang = 'zh')::bigint AS m_zh
-  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+        WHERE lang IN ('de', 'en', 'es', 'fr', 'zh'))
 ),
 scored AS (
   SELECT token,

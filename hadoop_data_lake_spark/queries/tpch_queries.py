@@ -4720,7 +4720,14 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a global sort of the customer dimension). Scale shape: the edge
     list is checkpointed once and every round is one hash join + one
     hash aggregate + a broadcast scalar max; 10^6-scaled sums stay under
-    bigint for degrees < ~10^6 per node (cast to decimal beyond)."""
+    bigint for degrees < ~10^6 per node (cast to decimal beyond).
+
+    Round 12: when the graph fits the driver caps, the whole fixed point
+    runs as the numpy driver tier (operators/graph.hits_scaled_driver —
+    one Arrow collect, exact int64 bincounts, bit-identical by the
+    <2^53 exactness argument in its docstring); above the caps the
+    distributed loop below stands unchanged, and both paths share the
+    same top-k shaping."""
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     e = (
@@ -4737,9 +4744,20 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # suppliers of the edge list on every round, so one aggregate over the
     # checkpointed edges replaces the per-rescale recount the previous
     # shape ran (4 driver jobs per query; driver-ADVICE r10).
-    n_c, n_s = e.agg(
-        F.countDistinct("c").alias("n_c"), F.countDistinct("s").alias("n_s")
+    n_c, n_s, n_e = e.agg(
+        F.countDistinct("c").alias("n_c"),
+        F.countDistinct("s").alias("n_s"),
+        F.count("*").alias("n_e"),
     ).first()
+
+    from hadoop_data_lake_spark.operators.graph import hits_scaled_driver
+
+    driver_scores = hits_scaled_driver(
+        e, "c", "s", n_c, n_s, rounds=2, n_edges=n_e
+    )
+    if driver_scores is not None:
+        h, a = driver_scores
+        return _hits_top_sides(h, a)
 
     def rescale(df: DataFrame, n_rows: int) -> DataFrame:
         # checkpoint before branching: the max-agg and the join both read
@@ -4760,6 +4778,12 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = rescale(e.join(a, "s").groupBy("c").agg(F.sum("v").alias("v")), n_c)
     a = rescale(e.join(h, "c").groupBy("s").agg(F.sum("v").alias("v")), n_s)
     h = rescale(e.join(a, "s").groupBy("c").agg(F.sum("v").alias("v")), n_c)
+    return _hits_top_sides(h, a)
+
+
+def _hits_top_sides(h: DataFrame, a: DataFrame) -> DataFrame:
+    """Shared top-10 shaping for both HITS tiers: hub scores (c, v) and
+    authority scores (s, v) -> (side, node, score) via TakeOrdered."""
     top_h = (
         h.orderBy(F.col("v").desc(), F.col("c").asc())
         .limit(10)

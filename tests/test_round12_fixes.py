@@ -1,0 +1,346 @@
+"""Regression tests for the round-12 fixes (VERDICT r11 items + ADVICE r11).
+
+- operators/graph.hits_scaled_driver: the numpy driver tier for the
+  integer-rescaled HITS fixed point — bit-identical to the distributed
+  loop (the <2^53 bincount exactness argument), cap-routed so graphs over
+  the node/edge budgets take the distributed loop unchanged.
+- operators/graph.lpa_communities driver tier: NULL edge weights now
+  mirror SQL SUM semantics exactly (skipped inside a group; an all-null
+  group keeps a NULL score that ranks LAST under desc) instead of raising
+  TypeError — divergence flagged by ADVICE r11.
+- bench.run_scale_tier: the GENERAL_DRIVER_TIER_ENABLED pin is restored
+  in a finally block to the CALLER's value (not hardcoded True), so an
+  exception mid-tier can't leave the tier disabled process-wide and a
+  deliberately-disabled caller isn't clobbered.
+- queries/northstar_queries.token_lang_mi: the MI domain is the fixed
+  5-language list BY CONSTRUCTION on both sides (Spark filters lang isin,
+  the oracle filters lang IN) — previously the Spark pivot silently
+  dropped unknown langs from n_total while the oracle counted them.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- HITS tier
+
+
+def _hits_both_tiers(spark):
+    import hadoop_data_lake_spark.operators.graph as G
+    from hadoop_data_lake_spark.queries.tpch_queries import (
+        hits_hubs_authorities,
+    )
+
+    out = []
+    for enabled in (True, False):
+        orig = G.GENERAL_DRIVER_TIER_ENABLED
+        G.GENERAL_DRIVER_TIER_ENABLED = enabled
+        try:
+            got = sorted(
+                map(tuple, hits_hubs_authorities(spark, SF_DIR).collect())
+            )
+        finally:
+            G.GENERAL_DRIVER_TIER_ENABLED = orig
+        out.append(got)
+    return out
+
+
+def test_hits_driver_tier_bit_identical_e2e(spark):
+    """The full query at sf0.001 returns byte-identical rows with the
+    numpy driver tier on vs the distributed loop."""
+    fast, dist = _hits_both_tiers(spark)
+    assert fast == dist
+    assert len(fast) == 20  # top-10 hubs + top-10 authorities
+
+
+def test_hits_scaled_driver_matches_python_int_reference(spark):
+    """Property check of the EXACTNESS argument: on random bipartite
+    multigraphs (duplicate edges allowed — degree counts then differ per
+    edge, exercising the count step), the numpy recurrence must equal a
+    pure-Python arbitrary-precision integer replay of the distributed
+    semantics (count -> rescale -> sum -> rescale per round)."""
+    import hadoop_data_lake_spark.operators.graph as G
+
+    rng = random.Random(0x12C0DE)
+    for _draw in range(4):
+        nh, na = rng.randint(1, 8), rng.randint(1, 6)
+        m = rng.randint(1, 30)
+        rows = [
+            (rng.randint(0, nh - 1), rng.randint(100, 100 + na - 1))
+            for _ in range(m)
+        ]
+        e = spark.createDataFrame(rows, "c long, s long")
+        n_c = len({c for c, _ in rows})
+        n_s = len({s for _, s in rows})
+        got = G.hits_scaled_driver(e, "c", "s", n_c, n_s, rounds=2)
+        assert got is not None
+        h_df, a_df = got
+        got_h = dict(map(tuple, h_df.collect()))
+        got_a = dict(map(tuple, a_df.collect()))
+
+        # pure-Python integer reference
+        scale = 1_000_000
+        a = {}
+        for _c, s in rows:
+            a[s] = a.get(s, 0) + 1
+        m_ = max(a.values())
+        a = {k: (v * scale) // m_ for k, v in a.items()}
+        for rnd in range(3):
+            if rnd % 2 == 0:  # hub update from a
+                h = {}
+                for c, s in rows:
+                    h[c] = h.get(c, 0) + a[s]
+                m_ = max(h.values())
+                h = {k: (v * scale) // m_ for k, v in h.items()}
+            else:  # authority update from h
+                a = {}
+                for c, s in rows:
+                    a[s] = a.get(s, 0) + h[c]
+                m_ = max(a.values())
+                a = {k: (v * scale) // m_ for k, v in a.items()}
+        assert got_h == h
+        assert got_a == a
+
+
+def test_hits_scaled_driver_cap_routing(spark):
+    """Caps and guards: tier disabled, node cap, edge cap, oversize
+    scale, and an empty edge list must all return None (the caller then
+    takes the distributed loop unchanged)."""
+    import hadoop_data_lake_spark.operators.graph as G
+
+    e = spark.createDataFrame([(1, 2), (3, 2)], "c long, s long")
+
+    orig = G.GENERAL_DRIVER_TIER_ENABLED
+    G.GENERAL_DRIVER_TIER_ENABLED = False
+    try:
+        assert G.hits_scaled_driver(e, "c", "s", 2, 1) is None
+    finally:
+        G.GENERAL_DRIVER_TIER_ENABLED = orig
+
+    # node cap: n_hubs + n_auths over the budget — no edge-count job is
+    # observable from here, but the return must be None
+    assert (
+        G.hits_scaled_driver(e, "c", "s", G.GENERAL_DRIVER_MAX_NODES, 1)
+        is None
+    )
+
+    orig_e = G.NUMPY_DRIVER_MAX_EDGES
+    G.NUMPY_DRIVER_MAX_EDGES = 1
+    try:
+        assert G.hits_scaled_driver(e, "c", "s", 2, 1) is None
+    finally:
+        G.NUMPY_DRIVER_MAX_EDGES = orig_e
+
+    # the exactness chain is sized to scale=1e6; larger scales must bow out
+    assert G.hits_scaled_driver(e, "c", "s", 2, 1, scale=10_000_000) is None
+
+    empty = spark.createDataFrame([], "c long, s long")
+    assert G.hits_scaled_driver(empty, "c", "s", 0, 0) is None
+
+
+def test_hits_query_distributed_path_shape(spark):
+    """With the tier pinned off, the query's final frame comes from the
+    iterated checkpoint chain (Scan ExistingRDD), not a local collect —
+    the cap-routing probe the r11 tier tests established."""
+    import hadoop_data_lake_spark.operators.graph as G
+    from hadoop_data_lake_spark.queries.tpch_queries import (
+        hits_hubs_authorities,
+    )
+
+    orig = G.GENERAL_DRIVER_TIER_ENABLED
+    G.GENERAL_DRIVER_TIER_ENABLED = False
+    try:
+        df = hits_hubs_authorities(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in plan
+    finally:
+        G.GENERAL_DRIVER_TIER_ENABLED = orig
+
+
+# ------------------------------------------------------ LPA null weights
+
+
+def _lpa_both_tiers(spark, rows, iters=4):
+    import hadoop_data_lake_spark.operators.graph as G
+
+    out = []
+    for enabled in (True, False):
+        orig = G.GENERAL_DRIVER_TIER_ENABLED
+        G.GENERAL_DRIVER_TIER_ENABLED = enabled
+        try:
+            e = spark.createDataFrame(
+                rows, "brand_a string, brand_b string, w long"
+            )
+            got = sorted(
+                map(
+                    tuple,
+                    G.lpa_communities(
+                        e, src="brand_a", dst="brand_b", weight="w",
+                        iters=iters,
+                    ).collect(),
+                )
+            )
+        finally:
+            G.GENERAL_DRIVER_TIER_ENABLED = orig
+        out.append(got)
+    return out
+
+
+def test_lpa_driver_tier_null_weights_no_crash(spark):
+    """ADVICE r11: a NULL edge weight raised TypeError in the driver
+    tier while the distributed loop's F.sum silently skipped it. Both
+    paths must now agree bit-for-bit on a graph mixing null and non-null
+    weights."""
+    rows = [
+        ("a", "b", None),   # null weight inside a group that also has a 3
+        ("a", "b", 3),
+        ("b", "c", 5),
+        ("c", "d", None),   # group with ONLY null weights (SQL sum -> NULL)
+        ("x", "y", 2),      # clean separate component
+    ]
+    fast, dist = _lpa_both_tiers(spark, rows)
+    assert fast == dist
+    assert len(fast) == 6
+
+
+def test_lpa_driver_tier_null_vs_zero_ranking(spark):
+    """The semantic corner the 'treat null as 0' shortcut gets wrong:
+    a candidate label whose weight sum is 0 must BEAT a candidate whose
+    sum is SQL-NULL (desc ranks nulls last), even when the null label
+    sorts first alphabetically."""
+    # vertex "v" sees label-candidates via neighbors "aa" (null weight,
+    # lexically smaller) and "zz" (weight 0). Distributed: sum(null)=NULL
+    # loses to 0 under desc-nulls-last, so v adopts "zz".
+    rows = [
+        ("v", "aa", None),
+        ("v", "zz", 0),
+    ]
+    fast, dist = _lpa_both_tiers(spark, rows, iters=1)
+    assert fast == dist
+    v_row = [r for r in fast if r[0] == "v"]
+    assert v_row and v_row[0][1] == "zz"
+
+
+# ------------------------------------------------- bench tier-pin restore
+
+
+@pytest.mark.parametrize("orig_value", [True, False])
+def test_run_scale_tier_restores_flag_on_exception(monkeypatch, orig_value):
+    """ADVICE r11: an exception mid-scale-tier must not leave the driver
+    tier disabled process-wide, and the restore must honor a caller that
+    had deliberately disabled it (the tools/scale_probe_100x pattern)."""
+    import bench
+    import hadoop_data_lake_spark.operators.graph as G
+
+    def boom(spark, base_dir):
+        assert G.GENERAL_DRIVER_TIER_ENABLED is False  # pinned inside
+        raise RuntimeError("mid-tier failure")
+
+    monkeypatch.setattr(bench, "_run_scale_tier_inner", boom)
+    monkeypatch.setattr(G, "GENERAL_DRIVER_TIER_ENABLED", orig_value)
+    with pytest.raises(RuntimeError):
+        bench.run_scale_tier(None, "/nonexistent")
+    assert G.GENERAL_DRIVER_TIER_ENABLED is orig_value
+
+
+# ------------------------------------------------- token_lang_mi domain
+
+
+def test_token_lang_mi_unknown_lang_excluded_by_construction(spark, tmp_path):
+    """ADVICE r11 (medium): with a document whose lang is OUTSIDE the
+    fixed 5-language domain, Spark and the DuckDB oracle must still agree
+    — both now filter to the domain up front, where previously the Spark
+    pivot dropped the unknown lang from n_total while the oracle's marg
+    CTE counted all exploded tokens."""
+    import duckdb
+    import pandas as pd
+
+    from hadoop_data_lake_spark.queries.northstar_queries import (
+        TOKEN_LANG_MI_SQL,
+        token_lang_mi,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "hello world hello",
+                "bonjour monde",
+                "ciao mondo hello hello hello",  # out-of-domain: must not count
+                "hello welt",
+            ],
+            "lang": ["en", "fr", "it", "de"],
+            "source": ["t", "t", "t", "t"],
+            "n_chars": [17, 13, 29, 10],
+        }
+    )
+    docs["doc_id"] = docs["doc_id"].astype("int64")
+    docs["n_chars"] = docs["n_chars"].astype("int64")
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    sdf = token_lang_mi(spark, str(tmp_path)).toPandas()
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    odf = con.sql(TOKEN_LANG_MI_SQL).df()
+
+    assert list(sdf.columns) == list(odf.columns)
+    s_rows = sorted(map(tuple, sdf.itertuples(index=False)))
+    o_rows = sorted(map(tuple, odf.itertuples(index=False)))
+    assert s_rows == o_rows
+    # the 'it' doc's three extra 'hello' occurrences are invisible:
+    hello = sdf[sdf.token == "hello"]
+    assert not hello.empty and int(hello.n_occurrences.iloc[0]) == 3
+
+
+# ------------------------------------------------- calm gate + spike stamp
+
+
+def test_spike_stamp_flags_over_factor_controls():
+    import bench
+
+    out = bench.spike_stamp({"a": 1.2, "b": 1.6, "c": 1.501})
+    assert out["spike_suspected"] is True
+    assert out["spike_controls"] == ["b", "c"]
+    assert out["spike_factor"] == bench.SPIKE_RATIO == 1.5
+
+    calm = bench.spike_stamp({"a": 1.5, "b": 0.9})  # 1.5 is NOT over
+    assert calm["spike_suspected"] is False
+    assert calm["spike_controls"] == []
+
+    empty = bench.spike_stamp({})  # non-sf0.1 runs have no ratios
+    assert empty["spike_suspected"] is False
+
+
+def test_calm_gate_default_threshold_and_records(monkeypatch):
+    """VERDICT r11 item 1: default calm threshold is 1.0 (observed calm
+    runs sat at 0.2-0.64 on 32 CPUs; BENCH_r11 proceeded at exactly the
+    old 2.0 as an 8.86 spike drained). Also pins the self-describing
+    record fields the payload carries."""
+    import bench
+
+    monkeypatch.delenv("SPARK_GRAFT_CALM_LOAD", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_CALM_WAIT_S", raising=False)
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.25, 0.3, 0.4))
+    rec = bench.wait_for_calm_box()
+    assert rec["threshold"] == 1.0
+    assert rec["load_at_invoke"] == 0.25
+    assert rec["timed_out"] is False
+
+
+def test_calm_gate_bounded_wait_times_out(monkeypatch):
+    """An always-loaded box proceeds (bounded wait), recording
+    timed_out=True so the artifact is self-describing."""
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_CALM_WAIT_S", "0")
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (9.9, 9.9, 9.9))
+    rec = bench.wait_for_calm_box()
+    assert rec["timed_out"] is True
+    assert rec["load_at_start"] == 9.9
