@@ -658,7 +658,10 @@ def main() -> None:
         "control_ratios": control_ratios,
         "queries": timings,
         "calm_box": calm,
-        **spike_stamp(control_ratios),
+        # only meaningful against same-SF absolutes: a non-sf0.1 run's
+        # ratios measure fixed overhead, not load (control_inflation is
+        # suppressed there for the same reason)
+        **spike_stamp(control_ratios if control_inflation is not None else {}),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "scale_check": {
             "mult": SCALE_MULT,

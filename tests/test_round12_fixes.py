@@ -400,3 +400,19 @@ def test_cli_default_run_leaves_graded_defaults(spark, monkeypatch):
     assert seen.get("n_cells") == 8 and seen.get("nprobe") == 2
     assert not seen.get("auto_scale")
     assert SIM.ANN_DEPLOY_OVERRIDES == {}
+
+
+def test_spike_stamp_suppressed_off_baseline_sf():
+    """A run at another SF has no meaningful control ratios (they compare
+    against sf0.1 absolutes); the payload must then read
+    spike_suspected=False with an empty control list — mirroring the
+    control_inflation suppression. Pinned at the spike_stamp contract
+    level (main() passes {} when control_inflation is None)."""
+    import bench
+
+    out = bench.spike_stamp({})
+    assert out == {
+        "spike_suspected": False,
+        "spike_controls": [],
+        "spike_factor": bench.SPIKE_RATIO,
+    }
