@@ -19,8 +19,27 @@ from pyspark.sql import functions as F
 
 
 def to_units(col: Column, scale: int = 2) -> Column:
-    """Row-level: double -> bigint fixed-point units (10^scale per 1.0)."""
-    return F.round(col * F.lit(10**scale)).cast("long")
+    """Row-level: double -> bigint fixed-point units (10^scale per 1.0).
+
+    Implemented as signum(x) * floor(abs(x) + 0.5) over primitive doubles
+    rather than F.round: Spark's Round(DoubleType) routes EVERY ROW
+    through BigDecimal.valueOf — a Double.toString allocation + decimal
+    parse per value — measured 1.7x slower on the q1 aggregate (round-12
+    adjudication, BENCH_NOTES.md). The two forms agree exactly whenever
+    the column honors the fixed-point contract this module states (a
+    value with at most `scale` true decimals, |x| * 10^scale < 2^52):
+    the scaled value then sits within a few ulps of an integer, far from
+    the half-way boundary where shortest-decimal rounding (Round) and
+    binary +0.5 arithmetic (this form) can disagree — and DuckDB's
+    binary std::round oracle agrees on the same domain (half away from
+    zero on both signs). Outside the contract: +-Infinity saturates to
+    Long.Min/Max instead of raising the ANSI cast error (NaN still
+    raises), and a value within one ulp of a .5 boundary rounds by
+    binary arithmetic rather than by its shortest decimal repr.
+    Row-level equality with F.round on every real money/value column is
+    pinned by tests/test_round12_fixes.py."""
+    x = col * F.lit(10**scale)
+    return (F.signum(x) * F.floor(F.abs(x) + F.lit(0.5))).cast("long")
 
 
 def sum_fixed(col: Column, scale: int = 2) -> Column:

@@ -416,3 +416,61 @@ def test_spike_stamp_suppressed_off_baseline_sf():
         "spike_controls": [],
         "spike_factor": bench.SPIKE_RATIO,
     }
+
+
+# --------------------------------------------- to_units primitive rounding
+
+
+def test_to_units_matches_round_on_every_real_money_column(spark):
+    """to_units now uses signum*floor(abs+0.5) instead of the BigDecimal
+    Round (1.7x on the q1 aggregate). Under the fixed-point contract the
+    forms are identical; this pins row-level equality against F.round on
+    every real corpus column that flows through sum_fixed/avg_fixed."""
+    from hadoop_data_lake_spark.core.io import read_table
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+
+    sf = "/root/testdata/sf0.01"
+    cols = {
+        "lineitem": [("l_quantity", 2), ("l_extendedprice", 2),
+                     ("l_discount", 2), ("l_tax", 2)],
+        "orders": [("o_totalprice", 2)],
+        "customer": [("c_acctbal", 2)],  # negative balances exist
+        "events": [("value", 2), ("value", 4), ("value", 6)],
+    }
+    for table, specs in cols.items():
+        df = read_table(spark, sf, table)
+        for c, scale in specs:
+            legacy = F.round(F.col(c) * F.lit(10**scale)).cast("long")
+            diffs = (
+                df.select(
+                    to_units(F.col(c), scale).alias("new"),
+                    legacy.alias("old"),
+                )
+                .where(~F.col("new").eqNullSafe(F.col("old")))
+                .count()
+            )
+            assert diffs == 0, f"{table}.{c} scale={scale}: {diffs} diffs"
+
+
+def test_to_units_edge_values(spark):
+    """Signs, exact halves, nulls, and the derived-expression shapes q1
+    uses (products of 2-decimal values at scale 4/6)."""
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+
+    rows = [(0.0,), (-0.0,), (2.5,), (-2.5,), (0.005,), (-0.005,),
+            (123.456,), (-123.455,), (None,), (0.1,), (0.07,)]
+    df = spark.createDataFrame(rows, "x double")
+    got = {
+        r["x"]: r["u"]
+        for r in df.select("x", to_units(F.col("x"), 2).alias("u")).collect()
+    }
+    assert got[2.5] == 250 and got[-2.5] == -250
+    assert got[0.005] == 1 and got[-0.005] == -1  # half away from zero
+    assert got[123.456] == 12346 and got[-123.455] == -12346
+    assert got[None] is None
+    # product-of-decimals shape (disc_price at scale 4): 0.1*0.07=0.007..
+    prod = spark.createDataFrame([(0.1, 0.07)], "a double, b double")
+    u = prod.select(
+        to_units(F.col("a") * (1 - F.col("b")), 4).alias("u")
+    ).first()["u"]
+    assert u == 930  # 0.1 * 0.93 = 0.093 -> 930 units at scale 4
