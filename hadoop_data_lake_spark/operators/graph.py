@@ -461,11 +461,6 @@ def pagerank_intexact(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
         eager=True
     )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # ONE per-node flags frame (dang = no out-edges; has_in = appears as a
     # destination), checkpointed once. Every driver scalar the operator
@@ -476,23 +471,20 @@ def pagerank_intexact(
     # (appear only as sources => have out-edges => never dangling; their
     # per-round rank is closed-form, s = 0) becomes a cheap filter over
     # the materialized frame instead of its own checkpointed anti-join.
+    # Round 12: built with ONE shuffle — a side-tagged union aggregated by
+    # node (max/min of the tag recover has_out/has_in) — instead of
+    # distinct + two stats-less joins, which cost three exchanges and a
+    # SortMergeJoin pair per call (profiled 0.65 s of pagerank_det's
+    # scaffolding at sf0.1).
     flags = (
-        nodes.join(
-            out_deg.select(F.col("src").alias("node"), F.lit(True).alias("has_out")),
-            "node",
-            "left",
-        )
-        .join(
-            e.select(F.col("dst").alias("node"))
-            .distinct()
-            .withColumn("has_in", F.lit(True)),
-            "node",
-            "left",
-        )
+        e.select(F.col("src").alias("node"), F.lit(1).alias("s"))
+        .unionByName(e.select(F.col("dst").alias("node"), F.lit(0).alias("s")))
+        .groupBy("node")
+        .agg(F.max("s").alias("mx"), F.min("s").alias("mn"))
         .select(
             "node",
-            F.col("has_out").isNull().alias("dang"),
-            F.col("has_in").isNotNull().alias("has_in"),
+            (F.col("mx") == 0).alias("dang"),  # never a source
+            (F.col("mn") == 0).alias("has_in"),  # appears as a destination
         )
         .localCheckpoint(eager=True)
     )
@@ -506,6 +498,14 @@ def pagerank_intexact(
     n, n_dang, n_mid = stats["n"], stats["n_dang"], stats["n_mid"]
     zero_in = flags.where(~F.col("has_in")).select("node")
     nodes_f = flags.select("node", "dang")
+    # out_deg derives from the checkpointed e (Scan ExistingRDD, no
+    # stats), so Catalyst would SMJ-shuffle every join against it; its
+    # row count is bounded by n (one row per distinct source), known from
+    # the flags aggregate above — hint it through the byte-aware cap so
+    # the histogram / contribution joins become broadcast hash joins
+    # (profiled: the stats-less SMJ added ~0.4 s to the sf0.1 histogram
+    # build). Over-cap graphs keep the shuffle formulation unchanged.
+    out_deg = _bcast_state(out_deg, n)
     if n == 0:
         # empty edge set (r9 empty-corpus axis): no vertices, no ranks —
         # zero rows, same as the oracle's unrolled CTEs over empty verts
