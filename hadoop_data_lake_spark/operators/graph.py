@@ -499,12 +499,15 @@ def pagerank_intexact(
     zero_in = flags.where(~F.col("has_in")).select("node")
     nodes_f = flags.select("node", "dang")
     # out_deg derives from the checkpointed e (Scan ExistingRDD, no
-    # stats), so Catalyst would SMJ-shuffle every join against it; its
-    # row count is bounded by n (one row per distinct source), known from
-    # the flags aggregate above — hint it through the byte-aware cap so
-    # the histogram / contribution joins become broadcast hash joins
-    # (profiled: the stats-less SMJ added ~0.4 s to the sf0.1 histogram
-    # build). Over-cap graphs keep the shuffle formulation unchanged.
+    # stats), so Catalyst's INITIAL plan SMJ-shuffles every join against
+    # it (AQE usually converts it at runtime, so the measured win is the
+    # skipped pre-conversion exchange only: A/B best-of-4 2.378 vs
+    # 2.491 s on pagerank_det/sf0.1, consistent across reps). Its row
+    # count is bounded by n (one row per distinct source), known free
+    # from the flags aggregate — hint it through the byte-aware cap; the
+    # same hint on triangle_count's wedge joins measured FLAT (AQE's
+    # runtime conversion already covered it) and was rejected, see
+    # BENCH_NOTES round 12. Over-cap graphs keep the shuffle formulation.
     out_deg = _bcast_state(out_deg, n)
     if n == 0:
         # empty edge set (r9 empty-corpus axis): no vertices, no ranks —
