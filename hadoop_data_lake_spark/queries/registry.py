@@ -112,50 +112,50 @@ STREAMING_GUARD: tuple[str, ...] = (
 #: rows-only — its recall pytest is the real verification, and the
 #: driver row re-dates it off the ladder.
 INTENTIONAL_REGRADES: frozenset[str] = frozenset({
-    "tf_idf_top_terms",
-    "source_mix_rebalance",
-    "orders_snapshot_diff",
-    "doc_lm_perplexity",
-    "cohort_retention",
-    "brand_basket_pairs",
-    "incremental_orders_agg",
-    "quantile_normalize_doclen",
-    "doc_lm_kneser_ney",
-    "geohash_cell_counts",
-    "cms_token_counts",
-    "bfs_hops_det",
-    "ngram_coverage_curve",
-    "data_mix_waterfill",
-    "ivm_join_delta",
-    "fightin_words_tokens",
-    "cohort_ltv_curve",
-    "association_rules_brands",
-    "token_lang_mi",
-    "lang_id_confusion",
-    "lang_id_cohens_kappa",
-    "laspeyres_price_index",
-    "markov_entropy_rate",
-    "monthly_from_daily_mv",
-    "perplexity_filter",
-    "dedup_containment",
-    "conformal_value_interval",
-    "pagerank_det",
-    "ann_ivf_det",
-    "corpus_report_card",
-    "dedup_ngram_jaccard",
-    "textrank_keywords",
-    "lpa_modularity",
-    "brand_communities_lpa",
-    "kcore_purchase_graph",
-    "hits_hubs_authorities",
-    "embedding_near_dup",
-    "semdedup_prune",
-    "doc_fingerprint",
-    "decontaminate_ngram_overlap",
-    "stream_topk_types_per_window",
-    "cheapest_line_per_part",
-    "q11_important_parts",
-    "q15_top_supplier",
+    "sales_cube",
+    "rolling_hour_activity",
+    "q9_product_profit",
+    "q8_market_share",
+    "q7_volume_shipping",
+    "q6_forecast_revenue",
+    "q5_nation_revenue",
+    "q3_order_revenue",
+    "q22_idle_rich_customers",
+    "q20_significant_suppliers",
+    "q1_pricing_summary",
+    "q19_branded_revenue",
+    "q18_large_volume_customers",
+    "q17_small_quantity_revenue",
+    "q14_promo_revenue_share",
+    "q10_returned_item_revenue",
+    "monthly_order_stats",
+    "salted_type_weight_sum",
+    "rolling_3event_value",
+    "regional_revenue_rollup",
+    "nation_revenue_share",
+    "monthly_revenue_yoy",
+    "last_purchase_carryforward",
+    "grouping_sets_revenue",
+    "acctbal_union_stats",
+    "synthetic_source_profile",
+    "benford_first_digit",
+    "supplier_scorecard",
+    "pareto_frontier_orders",
+    "exact_value_quantiles",
+    "bitemporal_asof_orders",
+    "abc_part_classification",
+    "split_revenue_attribution",
+    "selectivity_estimate_audit",
+    "qini_uplift_curve",
+    "ecod_outlier_scores",
+    "did_estimate",
+    "cvar_expected_shortfall",
+    "hhi_brand_concentration",
+    "decayed_user_value",
+    "winsorized_value_stats",
+    "weekday_seasonality_index",
+    "value_tail_ratio",
+    "value_outliers_zscore",
 })
 
 
@@ -167,61 +167,122 @@ class QuerySpec:
 
 
 _WINDOW: dict[str, QuerySpec] = {
-    # ---- ROUND-11 WINDOW ------------------------------------------------
+    # ---- ROUND-12 WINDOW ------------------------------------------------
     # Every non-guard slot is a DECLARED re-grade (all 44 in
     # INTENTIONAL_REGRADES above; `backlog_report.py --assert`
-    # enforces the declaration, and rows-only queries can no longer
-    # occupy a non-guard slot — VERDICT r10 item 3). Slots 1-41: the
-    # COMPLETE genuine stale ladder in `backlog_report.py --stale`
-    # order at round-11 close — the round's single-pass restructuring
-    # (cms/tf-idf/doc-lm/containment/cohorts/laspeyres/snapshot-diff/
-    # basket), the general-graph driver tier family (textrank, LPA,
-    # pagerank), and the r2-r9 cohort beneath. Slot 42: the OLDEST green
-    # row (CORRECTNESS_r01, alphabetical) as a re-confirmation. Slots
-    # 43-44: q11/q15 — re-dated AFTER the rotation by the late
-    # aggregate-checkpoint fix (2 lineitem scans -> 1), swapped in for
-    # two more r01 re-confirmations so the window again holds the
-    # COMPLETE stale ladder (43 stale + 1 re-confirm). Every displaced
-    # entry holds a CORRECTNESS_r10.json full-oracle PASS and moves to
-    # the top of _BACKLOG; check_oracle re-verifies all 352 registered
-    # queries locally every round.
-    # tf_idf_top_terms -> displaces dedup_clusters_minhash (r10-green)
-    # source_mix_rebalance -> displaces zone_report (r10-green)
-    # orders_snapshot_diff -> displaces ann_ivf_kmeans (r10-green)
-    # doc_lm_perplexity -> displaces halves_activity_nullsafe (r10-green)
-    # cohort_retention -> displaces decontaminate_minhash_cross (r10-green)
-    # brand_basket_pairs -> displaces winnow_overlap_pairs (r10-green)
-    # incremental_orders_agg -> displaces session_type_pmi (r10-green)
-    # quantile_normalize_doclen -> displaces kmv_distinct_users (r10-green)
-    # doc_lm_kneser_ney -> displaces dedup_jaccard_prefix (r10-green)
-    # geohash_cell_counts -> displaces customer_rfm_segments (r10-green)
-    # cms_token_counts -> displaces sequential_funnel (r10-green)
-    # bfs_hops_det -> displaces cluster_safe_split_audit (r10-green)
-    # ngram_coverage_curve -> displaces pareto_8020_customers (r10-green)
-    # data_mix_waterfill -> displaces mutual_nn_bitext_pairs (r10-green)
-    # ivm_join_delta -> displaces media_phash_near_dup (r10-green)
-    # fightin_words_tokens -> displaces cf_ndcg_backtest (r10-green)
-    # cohort_ltv_curve -> displaces lorenz_curve_points (r10-green)
-    # association_rules_brands -> displaces zipf_fit_tokens (r10-green)
-    # token_lang_mi -> displaces minhash_eval_pr (r10-green)
-    # lang_id_confusion -> displaces knn_label_eval (r10-green)
-    # lang_id_cohens_kappa -> displaces t_closeness_audit (r10-green)
-    # laspeyres_price_index -> displaces decontamination_report (r10-green)
-    # markov_entropy_rate -> displaces observed_scan_metrics (r10-green)
-    # monthly_from_daily_mv -> displaces quantile_forecast_pinball (r10-green)
-    # perplexity_filter -> displaces haar_energy_daily (r10-green)
-    # dedup_containment -> displaces churn_label_windows (r10-green)
-    # conformal_value_interval -> displaces newsvendor_brand_quantiles (r10-green)
-    # pagerank_det -> displaces dedup_minhash_lsh (r10-green)
-    # ann_ivf_det -> displaces kmv_week_overlap (r10-green)
-    # corpus_report_card -> displaces seasonal_naive_backtest (r10-green)
-    # dedup_ngram_jaccard -> displaces ngram_novelty_curve (r10-green)
-    # textrank_keywords -> displaces adstock_attribution (r10-green)
-    # lpa_modularity -> displaces forecast_bakeoff (r10-green)
-    # brand_communities_lpa -> displaces type_comovement_matrix (r10-green)
-    # kcore_purchase_graph -> displaces fano_burstiness (r10-green)
-    # hits_hubs_authorities -> displaces coactivity_triangles (r10-green)
-    # embedding_near_dup -> displaces user_proximity_pairs (r10-green)
+    # enforces the declaration; rows-only queries cannot occupy a
+    # non-guard slot). The round-12 to_units kernel change re-dated
+    # every fixed-point consumer at once (103-entry genuine ladder >
+    # 44 slots), so these are the 44 MOST-STALE rows in
+    # `backlog_report.py --stale` order — front-loading the r01-graded
+    # TPC-H money queries whose values the kernel touches; the ladder
+    # remainder waits in _BACKLOG for r13+. Every displaced entry
+    # holds a CORRECTNESS_r11.json full-oracle PASS; check_oracle
+    # re-verifies all 352 registered queries locally every round
+    # (round 12 swept the full registry at sf0.001 AND sf0.01, plus
+    # the window at sf0.1).
+    # sales_cube -> displaces tf_idf_top_terms (r11-green)
+    # rolling_hour_activity -> displaces source_mix_rebalance (r11-green)
+    # q9_product_profit -> displaces orders_snapshot_diff (r11-green)
+    # q8_market_share -> displaces doc_lm_perplexity (r11-green)
+    # q7_volume_shipping -> displaces cohort_retention (r11-green)
+    # q6_forecast_revenue -> displaces brand_basket_pairs (r11-green)
+    # q5_nation_revenue -> displaces incremental_orders_agg (r11-green)
+    # q3_order_revenue -> displaces quantile_normalize_doclen (r11-green)
+    # q22_idle_rich_customers -> displaces doc_lm_kneser_ney (r11-green)
+    # q20_significant_suppliers -> displaces geohash_cell_counts (r11-green)
+    # q1_pricing_summary -> displaces cms_token_counts (r11-green)
+    # q19_branded_revenue -> displaces bfs_hops_det (r11-green)
+    # q18_large_volume_customers -> displaces ngram_coverage_curve (r11-green)
+    # q17_small_quantity_revenue -> displaces data_mix_waterfill (r11-green)
+    # q14_promo_revenue_share -> displaces ivm_join_delta (r11-green)
+    # q10_returned_item_revenue -> displaces fightin_words_tokens (r11-green)
+    # monthly_order_stats -> displaces cohort_ltv_curve (r11-green)
+    # salted_type_weight_sum -> displaces association_rules_brands (r11-green)
+    # rolling_3event_value -> displaces token_lang_mi (r11-green)
+    # regional_revenue_rollup -> displaces lang_id_confusion (r11-green)
+    # nation_revenue_share -> displaces lang_id_cohens_kappa (r11-green)
+    # monthly_revenue_yoy -> displaces laspeyres_price_index (r11-green)
+    # last_purchase_carryforward -> displaces markov_entropy_rate (r11-green)
+    # grouping_sets_revenue -> displaces monthly_from_daily_mv (r11-green)
+    # acctbal_union_stats -> displaces perplexity_filter (r11-green)
+    # synthetic_source_profile -> displaces dedup_containment (r11-green)
+    # benford_first_digit -> displaces conformal_value_interval (r11-green)
+    # supplier_scorecard -> displaces pagerank_det (r11-green)
+    # pareto_frontier_orders -> displaces ann_ivf_det (r11-green)
+    # exact_value_quantiles -> displaces corpus_report_card (r11-green)
+    # bitemporal_asof_orders -> displaces dedup_ngram_jaccard (r11-green)
+    # abc_part_classification -> displaces textrank_keywords (r11-green)
+    # split_revenue_attribution -> displaces lpa_modularity (r11-green)
+    # selectivity_estimate_audit -> displaces brand_communities_lpa (r11-green)
+    # qini_uplift_curve -> displaces kcore_purchase_graph (r11-green)
+    # ecod_outlier_scores -> displaces hits_hubs_authorities (r11-green)
+    # did_estimate -> displaces embedding_near_dup (r11-green)
+    # cvar_expected_shortfall -> displaces semdedup_prune (r11-green)
+    # hhi_brand_concentration -> displaces doc_fingerprint (r11-green)
+    # decayed_user_value -> displaces decontaminate_ngram_overlap (r11-green)
+    # winsorized_value_stats -> displaces stream_topk_types_per_window (r11-green)
+    # weekday_seasonality_index -> displaces cheapest_line_per_part (r11-green)
+    # value_tail_ratio -> displaces q11_important_parts (r11-green)
+    # value_outliers_zscore -> displaces q15_top_supplier (r11-green)
+    "sales_cube": QuerySpec(TQ.sales_cube, TQ.SALES_CUBE_SQL, ("agg", "cube")),
+    "rolling_hour_activity": QuerySpec(EV.rolling_hour_activity, EV.ROLLING_HOUR_ACTIVITY_SQL, ("window", "range-frame")),
+    "q9_product_profit": QuerySpec(TQ.q9_product_profit, TQ.Q9_PRODUCT_PROFIT_SQL, ("join", "agg")),
+    "q8_market_share": QuerySpec(TQ.q8_market_share, TQ.Q8_MARKET_SHARE_SQL, ("join", "ratio-agg", "semi-join")),
+    "q7_volume_shipping": QuerySpec(TQ.q7_volume_shipping, TQ.Q7_VOLUME_SHIPPING_SQL, ("join", "agg", "broadcast")),
+    "q6_forecast_revenue": QuerySpec(TQ.q6_forecast_revenue, TQ.Q6_FORECAST_REVENUE_SQL, ("agg", "pushdown")),
+    "q5_nation_revenue": QuerySpec(TQ.q5_nation_revenue, TQ.Q5_NATION_REVENUE_SQL, ("join", "agg")),
+    "q3_order_revenue": QuerySpec(TQ.q3_order_revenue, TQ.Q3_ORDER_REVENUE_SQL, ("join", "agg")),
+    "q22_idle_rich_customers": QuerySpec(TQ.q22_idle_rich_customers, TQ.Q22_IDLE_RICH_CUSTOMERS_SQL, ("anti-join", "scalar-subquery")),
+    "q20_significant_suppliers": QuerySpec(TQ.q20_significant_suppliers, TQ.Q20_SIGNIFICANT_SUPPLIERS_SQL, ("semi-join", "nested-subquery")),
+    "q1_pricing_summary": QuerySpec(TQ.q1_pricing_summary, TQ.Q1_PRICING_SUMMARY_SQL, ("agg",)),
+    "q19_branded_revenue": QuerySpec(TQ.q19_branded_revenue, TQ.Q19_BRANDED_REVENUE_SQL, ("join", "disjunctive")),
+    "q18_large_volume_customers": QuerySpec(TQ.q18_large_volume_customers, TQ.Q18_LARGE_VOLUME_CUSTOMERS_SQL, ("agg", "having", "join")),
+    "q17_small_quantity_revenue": QuerySpec(TQ.q17_small_quantity_revenue, TQ.Q17_SMALL_QUANTITY_REVENUE_SQL, ("window", "correlated-agg")),
+    "q14_promo_revenue_share": QuerySpec(TQ.q14_promo_revenue_share, TQ.Q14_PROMO_REVENUE_SHARE_SQL, ("join", "ratio-agg")),
+    "q10_returned_item_revenue": QuerySpec(TQ.q10_returned_item_revenue, TQ.Q10_RETURNED_ITEM_REVENUE_SQL, ("join", "agg", "topk")),
+    "monthly_order_stats": QuerySpec(TQ.monthly_order_stats, TQ.MONTHLY_ORDER_STATS_SQL, ("agg", "datetime")),
+    "salted_type_weight_sum": QuerySpec(EV.salted_type_weight_sum, EV.SALTED_TYPE_WEIGHT_SUM_SQL, ("join", "skew", "salting")),
+    "rolling_3event_value": QuerySpec(EV.rolling_3event_value, EV.ROLLING_3EVENT_VALUE_SQL, ("window", "rows-frame")),
+    "regional_revenue_rollup": QuerySpec(TQ.regional_revenue_rollup, TQ.REGIONAL_REVENUE_ROLLUP_SQL, ("agg", "rollup")),
+    "nation_revenue_share": QuerySpec(TQ.nation_revenue_share, TQ.NATION_REVENUE_SHARE_SQL, ("window", "ratio-to-report")),
+    "monthly_revenue_yoy": QuerySpec(TQ.monthly_revenue_yoy, TQ.MONTHLY_REVENUE_YOY_SQL, ("window", "lag", "post-agg")),
+    "last_purchase_carryforward": QuerySpec(EV.last_purchase_carryforward, EV.LAST_PURCHASE_CARRYFORWARD_SQL, ("window", "ignore-nulls", "carry-forward")),
+    "grouping_sets_revenue": QuerySpec(TQ.grouping_sets_revenue, TQ.GROUPING_SETS_REVENUE_SQL, ("agg", "grouping-sets")),
+    "acctbal_union_stats": QuerySpec(TQ.acctbal_union_stats, TQ.ACCTBAL_UNION_STATS_SQL, ("setop", "union-all")),
+    "synthetic_source_profile": QuerySpec(NS.synthetic_source_profile, NS.SYNTHETIC_SOURCE_PROFILE_SQL, ("source", "connector", "python-datasource")),
+    "benford_first_digit": QuerySpec(TQ.benford_first_digit, TQ.BENFORD_FIRST_DIGIT_SQL, ("quality", "audit", "distribution")),
+    "supplier_scorecard": QuerySpec(TQ.supplier_scorecard, TQ.SUPPLIER_SCORECARD_SQL, ("bi", "scorecard", "composite-rank")),
+    "pareto_frontier_orders": QuerySpec(TQ.pareto_frontier_orders, TQ.PARETO_FRONTIER_ORDERS_SQL, ("window", "skyline", "pareto", "range-frame")),
+    "exact_value_quantiles": QuerySpec(EV.exact_value_quantiles, EV.EXACT_VALUE_QUANTILES_SQL, ("quantile", "exact", "prefix-sum", "distributed-selection")),
+    "bitemporal_asof_orders": QuerySpec(TQ.bitemporal_asof_orders, TQ.BITEMPORAL_ASOF_ORDERS_SQL, ("bitemporal", "asof", "audit", "scd")),
+    "abc_part_classification": QuerySpec(TQ.abc_part_classification, TQ.ABC_PART_CLASSIFICATION_SQL, ("inventory", "abc", "pareto", "integer-exact")),
+    "split_revenue_attribution": QuerySpec(EV.split_revenue_attribution, EV.SPLIT_REVENUE_ATTRIBUTION_SQL, ("attribution", "multi-touch", "largest-remainder", "integer-exact")),
+    "selectivity_estimate_audit": QuerySpec(EV.selectivity_estimate_audit, EV.SELECTIVITY_ESTIMATE_AUDIT_SQL, ("planner", "cardinality", "selectivity", "diagnostics")),
+    "qini_uplift_curve": QuerySpec(EV.qini_uplift_curve, EV.QINI_UPLIFT_CURVE_SQL, ("causal", "uplift", "qini", "experiment")),
+    "ecod_outlier_scores": QuerySpec(EV.ecod_outlier_scores, EV.ECOD_OUTLIER_SCORES_SQL, ("anomaly", "ecod", "ecdf", "prefix-sum")),
+    "did_estimate": QuerySpec(EV.did_estimate, EV.DID_ESTIMATE_SQL, ("causal", "difference-in-differences", "quasi-experiment")),
+    "cvar_expected_shortfall": QuerySpec(EV.cvar_expected_shortfall, EV.CVAR_EXPECTED_SHORTFALL_SQL, ("risk", "cvar", "expected-shortfall", "prefix-sum")),
+    "hhi_brand_concentration": QuerySpec(TQ.hhi_brand_concentration, TQ.HHI_BRAND_CONCENTRATION_SQL, ("inequality", "hhi", "market-structure")),
+    "decayed_user_value": QuerySpec(EV.decayed_user_value, EV.DECAYED_USER_VALUE_SQL, ("ml", "feature", "time-decay", "integer-exact")),
+    "winsorized_value_stats": QuerySpec(EV.winsorized_value_stats, EV.WINSORIZED_VALUE_STATS_SQL, ("robust-stats", "winsorize", "order-statistic")),
+    "weekday_seasonality_index": QuerySpec(EV.weekday_seasonality_index, EV.WEEKDAY_SEASONALITY_INDEX_SQL, ("timeseries", "seasonality", "index")),
+    "value_tail_ratio": QuerySpec(EV.value_tail_ratio, EV.VALUE_TAIL_RATIO_SQL, ("robust-stats", "tail", "order-statistic")),
+    "value_outliers_zscore": QuerySpec(EV.value_outliers_zscore, EV.VALUE_OUTLIERS_ZSCORE_SQL, ("agg", "robust-stats", "outliers")),
+    # --- streaming regression guard (6 = STREAMING_GUARD above):
+    # streaming silently broke at r2 HEAD; these keep every micro-batch/
+    # watermark/stream-join path under the driver gate ---
+    "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),
+    "stream_session_stats": QuerySpec(NS.stream_session_stats, NS.STREAM_SESSION_STATS_SQL, ("streaming", "session-window")),
+    "stream_running_max": QuerySpec(NS.stream_running_max, NS.STREAM_RUNNING_MAX_SQL, ("streaming", "stateful", "pandas-udf")),
+    "stream_enriched_value": QuerySpec(NS.stream_enriched_value, NS.STREAM_ENRICHED_VALUE_SQL, ("streaming", "stream-static-join")),
+    "stream_attribution_pairs": QuerySpec(NS.stream_attribution_pairs, NS.STREAM_ATTRIBUTION_PAIRS_SQL, ("streaming", "stream-stream-join", "interval-join")),
+    "stream_attribution_left": QuerySpec(NS.stream_attribution_left, NS.STREAM_ATTRIBUTION_LEFT_SQL, ("streaming", "stream-stream-join", "outer-join", "watermark")),
+}
+
+_BACKLOG: dict[str, QuerySpec] = {
+    # --- round-11 green, displaced by the r12 rotation (all hold a
+    # CORRECTNESS_r11.json full-oracle PASS) ---
     "tf_idf_top_terms": QuerySpec(NS.tf_idf_top_terms, NS.TF_IDF_TOP_TERMS_SQL, ("text", "tfidf", "topk")),
     "source_mix_rebalance": QuerySpec(NS.source_mix_rebalance, NS.SOURCE_MIX_REBALANCE_SQL, ("split", "sampling", "data-mixing")),
     "orders_snapshot_diff": QuerySpec(TQ.orders_snapshot_diff, TQ.ORDERS_SNAPSHOT_DIFF_SQL, ("cdc", "diff", "full-outer")),
@@ -266,18 +327,6 @@ _WINDOW: dict[str, QuerySpec] = {
     "cheapest_line_per_part": QuerySpec(TQ.cheapest_line_per_part, TQ.CHEAPEST_LINE_PER_PART_SQL, ("window", "argmin")),
     "q11_important_parts": QuerySpec(TQ.q11_important_parts, TQ.Q11_IMPORTANT_PARTS_SQL, ("agg", "scalar-subquery", "having")),
     "q15_top_supplier": QuerySpec(TQ.q15_top_supplier, TQ.Q15_TOP_SUPPLIER_SQL, ("agg", "scalar-subquery", "argmax")),
-    # --- streaming regression guard (6 = STREAMING_GUARD above):
-    # streaming silently broke at r2 HEAD; these keep every micro-batch/
-    # watermark/stream-join path under the driver gate ---
-    "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),
-    "stream_session_stats": QuerySpec(NS.stream_session_stats, NS.STREAM_SESSION_STATS_SQL, ("streaming", "session-window")),
-    "stream_running_max": QuerySpec(NS.stream_running_max, NS.STREAM_RUNNING_MAX_SQL, ("streaming", "stateful", "pandas-udf")),
-    "stream_enriched_value": QuerySpec(NS.stream_enriched_value, NS.STREAM_ENRICHED_VALUE_SQL, ("streaming", "stream-static-join")),
-    "stream_attribution_pairs": QuerySpec(NS.stream_attribution_pairs, NS.STREAM_ATTRIBUTION_PAIRS_SQL, ("streaming", "stream-stream-join", "interval-join")),
-    "stream_attribution_left": QuerySpec(NS.stream_attribution_left, NS.STREAM_ATTRIBUTION_LEFT_SQL, ("streaming", "stream-stream-join", "outer-join", "watermark")),
-}
-
-_BACKLOG: dict[str, QuerySpec] = {
     # --- round-10 green, displaced by the r11 rotation (all hold a
     # CORRECTNESS_r10.json full-oracle PASS) ---
     "dedup_clusters_minhash": QuerySpec(NS.dedup_clusters_minhash, NS.DEDUP_CLUSTERS_MINHASH_SQL, ("dedup", "graph", "iterative")),
@@ -371,34 +420,29 @@ _BACKLOG: dict[str, QuerySpec] = {
     "referential_integrity_audit": QuerySpec(TQ.referential_integrity_audit, TQ.REFERENTIAL_INTEGRITY_AUDIT_SQL, ("quality", "referential-integrity", "anti-join", "audit")),
     "ks_test_variants": QuerySpec(EV.ks_test_variants, EV.KS_TEST_VARIANTS_SQL, ("experiment", "kolmogorov-smirnov", "ecdf", "integer-exact")),
     "odds_ratio_conversion": QuerySpec(EV.odds_ratio_conversion, EV.ODDS_RATIO_CONVERSION_SQL, ("experiment", "odds-ratio", "wald-ci", "binary-outcome")),
-    "winsorized_value_stats": QuerySpec(EV.winsorized_value_stats, EV.WINSORIZED_VALUE_STATS_SQL, ("robust-stats", "winsorize", "order-statistic")),
     "max_drawdown_daily_revenue": QuerySpec(EV.max_drawdown_daily_revenue, EV.MAX_DRAWDOWN_DAILY_REVENUE_SQL, ("finance", "drawdown", "running-peak")),
     "discount_elasticity": QuerySpec(TQ.discount_elasticity, TQ.DISCOUNT_ELASTICITY_SQL, ("econometrics", "elasticity", "log-log", "ordered-fold")),
     "order_cycle_percentiles": QuerySpec(TQ.order_cycle_percentiles, TQ.ORDER_CYCLE_PERCENTILES_SQL, ("crm", "cycle-time", "order-statistic")),
     "new_vs_returning_daily": QuerySpec(EV.new_vs_returning_daily, EV.NEW_VS_RETURNING_DAILY_SQL, ("engagement", "new-vs-returning", "first-seen")),
     "kaplan_meier_by_variant": QuerySpec(EV.kaplan_meier_by_variant, EV.KAPLAN_MEIER_BY_VARIANT_SQL, ("survival", "kaplan-meier", "experiment", "stratified")),
-    "weekday_seasonality_index": QuerySpec(EV.weekday_seasonality_index, EV.WEEKDAY_SEASONALITY_INDEX_SQL, ("timeseries", "seasonality", "index")),
     "price_dispersion_by_brand": QuerySpec(TQ.price_dispersion_by_brand, TQ.PRICE_DISPERSION_BY_BRAND_SQL, ("pricing", "dispersion", "cv", "integer-moments")),
     "anova_eta_squared": QuerySpec(EV.anova_eta_squared, EV.ANOVA_ETA_SQUARED_SQL, ("statistics", "anova", "effect-size", "ordered-fold")),
     "order_backlog_aging": QuerySpec(TQ.order_backlog_aging, TQ.ORDER_BACKLOG_AGING_SQL, ("operations", "aging", "backlog")),
     "revenue_waterfall": QuerySpec(TQ.revenue_waterfall, TQ.REVENUE_WATERFALL_SQL, ("finance", "waterfall", "reconciliation", "integer-exact")),
     "supplier_customer_dependency": QuerySpec(TQ.supplier_customer_dependency, TQ.SUPPLIER_CUSTOMER_DEPENDENCY_SQL, ("risk", "concentration", "argmax")),
     "sample_representativeness_audit": QuerySpec(EV.sample_representativeness_audit, EV.SAMPLE_REPRESENTATIVENESS_AUDIT_SQL, ("sampling", "audit", "representativeness")),
-    "value_tail_ratio": QuerySpec(EV.value_tail_ratio, EV.VALUE_TAIL_RATIO_SQL, ("robust-stats", "tail", "order-statistic")),
     "first_touch_attribution": QuerySpec(EV.first_touch_attribution, EV.FIRST_TOUCH_ATTRIBUTION_SQL, ("attribution", "first-touch", "argmin")),
     "user_activity_histogram": QuerySpec(EV.user_activity_histogram, EV.USER_ACTIVITY_HISTOGRAM_SQL, ("engagement", "histogram", "power-of-two", "skew")),
     "multimodal_decode_features": QuerySpec(NS.multimodal_decode_features, NS.MULTIMODAL_DECODE_FEATURES_SQL, ("multimodal", "pandas-udf")),
     "multimodal_resize": QuerySpec(NS.multimodal_resize, NS.MULTIMODAL_RESIZE_SQL, ("multimodal", "pandas-udf")),
     "multimodal_frames": QuerySpec(NS.multimodal_frames, NS.MULTIMODAL_FRAMES_SQL, ("multimodal", "pandas-udf", "generator")),
     "ann_brute_force": QuerySpec(NS.ann_brute_force, NS.ANN_BRUTE_FORCE_SQL, ("ann",)),
-    "value_outliers_zscore": QuerySpec(EV.value_outliers_zscore, EV.VALUE_OUTLIERS_ZSCORE_SQL, ("agg", "robust-stats", "outliers")),
     "user_value_twap": QuerySpec(EV.user_value_twap, EV.USER_VALUE_TWAP_SQL, ("timeseries", "window", "weighted-mean")),
     "rolling_zscore_anomaly": QuerySpec(EV.rolling_zscore_anomaly, EV.ROLLING_ZSCORE_ANOMALY_SQL, ("window", "range-frame", "anomaly", "integer-exact")),
     "gini_customer_revenue": QuerySpec(TQ.gini_customer_revenue, TQ.GINI_CUSTOMER_REVENUE_SQL, ("inequality", "gini", "integer-exact")),
     # --- round-7 green, displaced by the r8 rotation (all hold a
     # CORRECTNESS_r07.json full-oracle PASS) ---
     "hash_collision_audit": QuerySpec(NS.hash_collision_audit, NS.HASH_COLLISION_AUDIT_SQL, ("ml", "feature-hashing", "collision", "audit")),
-    "decayed_user_value": QuerySpec(EV.decayed_user_value, EV.DECAYED_USER_VALUE_SQL, ("ml", "feature", "time-decay", "integer-exact")),
     "markov_trigram_entropy": QuerySpec(EV.markov_trigram_entropy, EV.MARKOV_TRIGRAM_ENTROPY_SQL, ("sequence", "markov", "second-order", "entropy")),
     "isotonic_calibration_bins": QuerySpec(EV.isotonic_calibration_bins, EV.ISOTONIC_CALIBRATION_BINS_SQL, ("ml", "calibration", "isotonic", "pav")),
     "user_sequence_edit_nn": QuerySpec(EV.user_sequence_edit_nn, EV.USER_SEQUENCE_EDIT_NN_SQL, ("sequence", "edit-distance", "levenshtein", "blocking")),
@@ -408,7 +452,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "circular_hour_stats": QuerySpec(EV.circular_hour_stats, EV.CIRCULAR_HOUR_STATS_SQL, ("stats", "circular", "diurnal", "integer-exact")),
     "chapman_population_estimate": QuerySpec(EV.chapman_population_estimate, EV.CHAPMAN_POPULATION_ESTIMATE_SQL, ("stats", "capture-recapture", "chapman", "population")),
     "dau_mau_stickiness": QuerySpec(EV.dau_mau_stickiness, EV.DAU_MAU_STICKINESS_SQL, ("engagement", "stickiness", "contribution-explode")),
-    "hhi_brand_concentration": QuerySpec(TQ.hhi_brand_concentration, TQ.HHI_BRAND_CONCENTRATION_SQL, ("inequality", "hhi", "market-structure")),
     "token_run_lengths": QuerySpec(NS.token_run_lengths, NS.TOKEN_RUN_LENGTHS_SQL, ("text", "quality", "repetition", "gaps-islands")),
     "blocklist_filter": QuerySpec(NS.blocklist_filter, NS.BLOCKLIST_FILTER_SQL, ("text", "quality", "safety", "filter-stage")),
     "user_series_sax_similarity": QuerySpec(EV.user_series_sax_similarity, EV.USER_SERIES_SAX_SIMILARITY_SQL, ("timeseries", "sax", "similarity", "banding")),
@@ -421,17 +464,12 @@ _BACKLOG: dict[str, QuerySpec] = {
     # CORRECTNESS_r06.json full-oracle PASS) ---
     "grid_density_clusters": QuerySpec(GQ.grid_density_clusters, GQ.GRID_DENSITY_CLUSTERS_SQL, ("geo", "clustering", "dbscan", "graph")),
     "shapley_channel_attribution": QuerySpec(EV.shapley_channel_attribution, EV.SHAPLEY_CHANNEL_ATTRIBUTION_SQL, ("causal", "attribution", "shapley", "coalition")),
-    "qini_uplift_curve": QuerySpec(EV.qini_uplift_curve, EV.QINI_UPLIFT_CURVE_SQL, ("causal", "uplift", "qini", "experiment")),
     "graph_feature_propagation": QuerySpec(TQ.graph_feature_propagation, TQ.GRAPH_FEATURE_PROPAGATION_SQL, ("graph", "gnn", "feature-propagation", "integer-exact")),
-    "did_estimate": QuerySpec(EV.did_estimate, EV.DID_ESTIMATE_SQL, ("causal", "difference-in-differences", "quasi-experiment")),
-    "ecod_outlier_scores": QuerySpec(EV.ecod_outlier_scores, EV.ECOD_OUTLIER_SCORES_SQL, ("anomaly", "ecod", "ecdf", "prefix-sum")),
     "session_gap_sensitivity": QuerySpec(EV.session_gap_sensitivity, EV.SESSION_GAP_SENSITIVITY_SQL, ("sessionize", "sensitivity", "parameter-tuning", "diagnostics")),
-    "cvar_expected_shortfall": QuerySpec(EV.cvar_expected_shortfall, EV.CVAR_EXPECTED_SHORTFALL_SQL, ("risk", "cvar", "expected-shortfall", "prefix-sum")),
     "poisson_burst_hours": QuerySpec(EV.poisson_burst_hours, EV.POISSON_BURST_HOURS_SQL, ("anomaly", "poisson", "burst", "chernoff")),
     "heaps_law_fit": QuerySpec(NS.heaps_law_fit, NS.HEAPS_LAW_FIT_SQL, ("text", "vocabulary", "heaps-law", "prefix-sum")),
     "missing_partition_audit": QuerySpec(EV.missing_partition_audit, EV.MISSING_PARTITION_AUDIT_SQL, ("maintenance", "backfill", "gaps-and-islands", "audit")),
     "nelson_aalen_hazard": QuerySpec(EV.nelson_aalen_hazard, EV.NELSON_AALEN_HAZARD_SQL, ("survival", "nelson-aalen", "hazard", "censoring")),
-    "selectivity_estimate_audit": QuerySpec(EV.selectivity_estimate_audit, EV.SELECTIVITY_ESTIMATE_AUDIT_SQL, ("planner", "cardinality", "selectivity", "diagnostics")),
     "holt_smoothing_per_user": QuerySpec(EV.holt_smoothing_per_user, EV.HOLT_SMOOTHING_PER_USER_SQL, ("timeseries", "holt", "sequential-fold")),
     "label_centroid_similarity": QuerySpec(NS.label_centroid_similarity, NS.LABEL_CENTROID_SIMILARITY_SQL, ("embedding", "centroid", "class-geometry", "integer-exact")),
     "chi2_type_weekday": QuerySpec(EV.chi2_type_weekday, EV.CHI2_TYPE_WEEKDAY_SQL, ("quality", "chi-square", "independence", "contingency")),
@@ -441,14 +479,10 @@ _BACKLOG: dict[str, QuerySpec] = {
     "kaplan_meier_conversion": QuerySpec(EV.kaplan_meier_churn, EV.KAPLAN_MEIER_CHURN_SQL, ("survival", "kaplan-meier", "censoring", "conversion")),
     "nb_source_classifier": QuerySpec(NS.nb_source_classifier, NS.NB_SOURCE_CLASSIFIER_SQL, ("ml", "naive-bayes", "classifier", "confusion-matrix")),
     "row_provenance_files": QuerySpec(EV.row_provenance_files, EV.ROW_PROVENANCE_FILES_SQL, ("lineage", "provenance", "input-file")),
-    "split_revenue_attribution": QuerySpec(EV.split_revenue_attribution, EV.SPLIT_REVENUE_ATTRIBUTION_SQL, ("attribution", "multi-touch", "largest-remainder", "integer-exact")),
     "source_vocab_kl": QuerySpec(NS.source_vocab_kl, NS.SOURCE_VOCAB_KL_SQL, ("text", "kl-divergence", "data-mixing", "drift")),
     # --- round-5 green, displaced by the r6 rotation (all hold a
     # CORRECTNESS_r05.json full-oracle PASS) ---
     "event_lateness_profile": QuerySpec(EV.event_lateness_profile, EV.EVENT_LATENESS_PROFILE_SQL, ("streaming", "watermark", "lateness", "profiling")),
-    "pareto_frontier_orders": QuerySpec(TQ.pareto_frontier_orders, TQ.PARETO_FRONTIER_ORDERS_SQL, ("window", "skyline", "pareto", "range-frame")),
-    "abc_part_classification": QuerySpec(TQ.abc_part_classification, TQ.ABC_PART_CLASSIFICATION_SQL, ("inventory", "abc", "pareto", "integer-exact")),
-    "supplier_scorecard": QuerySpec(TQ.supplier_scorecard, TQ.SUPPLIER_SCORECARD_SQL, ("bi", "scorecard", "composite-rank")),
     "bm25_retrieval": QuerySpec(NS.bm25_retrieval, NS.BM25_RETRIEVAL_SQL, ("retrieval", "bm25", "lexical", "rag")),
     "daily_value_stl": QuerySpec(EV.daily_value_stl, EV.DAILY_VALUE_STL_SQL, ("timeseries", "stl", "decomposition", "seasonality")),
     "point_in_polygon_zones": QuerySpec(GQ.point_in_polygon_zones, GQ.POINT_IN_POLYGON_ZONES_SQL, ("geo", "geofence", "ray-casting", "point-in-polygon")),
@@ -456,14 +490,12 @@ _BACKLOG: dict[str, QuerySpec] = {
     "decontaminate_embedding_cosine": QuerySpec(NS.decontaminate_embedding_cosine, NS.DECONTAMINATE_EMBEDDING_COSINE_SQL, ("dedup", "decontamination", "embedding", "cross-corpus")),
     "hashed_embedding_knn": QuerySpec(NS.hashed_embedding_knn, NS.HASHED_EMBEDDING_KNN_SQL, ("ann", "hashing-trick", "sparse-cosine", "text-embedding")),
     "clustering_coefficient": QuerySpec(TQ.clustering_coefficient, TQ.CLUSTERING_COEFFICIENT_SQL, ("graph", "triangles", "clustering-coefficient")),
-    "bitemporal_asof_orders": QuerySpec(TQ.bitemporal_asof_orders, TQ.BITEMPORAL_ASOF_ORDERS_SQL, ("bitemporal", "asof", "audit", "scd")),
     "temporal_split_embargo": QuerySpec(EV.temporal_split_embargo, EV.TEMPORAL_SPLIT_EMBARGO_SQL, ("ml", "split", "temporal", "leakage-safe")),
     "mmr_rerank": QuerySpec(NS.mmr_rerank, NS.MMR_RERANK_SQL, ("retrieval", "mmr", "diversity", "rag")),
     "rake_keyphrases": QuerySpec(NS.rake_keyphrases, NS.RAKE_KEYPHRASES_SQL, ("text", "rake", "keyphrases", "collocation")),
     "media_ppm_decode_stats": QuerySpec(NS.media_ppm_decode_stats, NS.MEDIA_PPM_DECODE_STATS_SQL, ("multimodal", "real-codec", "ppm", "arrow")),
     "media_wav_decode_stats": QuerySpec(NS.media_wav_decode_stats, NS.MEDIA_WAV_DECODE_STATS_SQL, ("multimodal", "real-codec", "wav", "audio", "arrow")),
     "media_avi_frame_stats": QuerySpec(NS.media_avi_frame_stats, NS.MEDIA_AVI_FRAME_STATS_SQL, ("multimodal", "real-codec", "avi", "video", "frame-sample")),
-    "exact_value_quantiles": QuerySpec(EV.exact_value_quantiles, EV.EXACT_VALUE_QUANTILES_SQL, ("quantile", "exact", "prefix-sum", "distributed-selection")),
     "ece_calibration_bins": QuerySpec(EV.ece_calibration_bins, EV.ECE_CALIBRATION_BINS_SQL, ("ml", "calibration", "ece", "reliability")),
     "quality_ensemble_vote": QuerySpec(NS.quality_ensemble_vote, NS.QUALITY_ENSEMBLE_VOTE_SQL, ("quality", "ensemble", "ablation", "filter")),
     "dedup_survivor_selection": QuerySpec(NS.dedup_survivor_selection, NS.DEDUP_SURVIVOR_SELECTION_SQL, ("dedup", "survivorship", "clusters")),
@@ -478,7 +510,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "hll_det_daily_users": QuerySpec(NS.hll_det_daily_users, NS.HLL_DET_DAILY_USERS_SQL, ("sketch", "hll", "deterministic")),
     "user_sessions_native": QuerySpec(EV.user_sessions_native, EV.USER_SESSIONS_NATIVE_SQL, ("window", "sessionize", "session-window")),
     "expectations_report": QuerySpec(TQ.expectations_report, TQ.EXPECTATIONS_REPORT_SQL, ("quality", "expectations", "unpivot")),
-    "synthetic_source_profile": QuerySpec(NS.synthetic_source_profile, NS.SYNTHETIC_SOURCE_PROFILE_SQL, ("source", "connector", "python-datasource")),
     "user_value_ewma": QuerySpec(EV.user_value_ewma, EV.USER_VALUE_EWMA_SQL, ("timeseries", "ewma", "sequential-fold")),
     "user_favorite_event_type": QuerySpec(EV.user_favorite_event_type, EV.USER_FAVORITE_EVENT_TYPE_SQL, ("agg", "mode", "argmax")),
     "running_unique_users": QuerySpec(EV.running_unique_users, EV.RUNNING_UNIQUE_USERS_SQL, ("window", "running-distinct", "first-seen")),
@@ -493,26 +524,19 @@ _BACKLOG: dict[str, QuerySpec] = {
     "session_pattern_match": QuerySpec(EV.session_pattern_match, EV.SESSION_PATTERN_MATCH_SQL, ("sessionize", "pattern", "match-recognize", "regex")),
     "hilbert_code_orders": QuerySpec(TQ.hilbert_code_orders, TQ.HILBERT_CODE_ORDERS_SQL, ("layout", "hilbert", "bit-arithmetic")),
     "user_value_cusum": QuerySpec(EV.user_value_cusum, EV.USER_VALUE_CUSUM_SQL, ("timeseries", "cusum", "drift", "sequential-fold")),
-    "benford_first_digit": QuerySpec(TQ.benford_first_digit, TQ.BENFORD_FIRST_DIGIT_SQL, ("quality", "audit", "distribution")),
     "bloom_semijoin_orders": QuerySpec(TQ.bloom_semijoin_orders, TQ.BLOOM_SEMIJOIN_ORDERS_SQL, ("join", "bloom", "prefilter", "broadcast")),
     "zonemap_tile_pruning": QuerySpec(TQ.zonemap_tile_pruning, TQ.ZONEMAP_TILE_PRUNING_SQL, ("layout", "zonemap", "data-skipping", "zorder")),
     "linkage_jaro_winkler": QuerySpec(TQ.linkage_jaro_winkler, TQ.LINKAGE_JARO_WINKLER_SQL, ("join", "fuzzy", "blocking", "jaro-winkler", "pandas-udf")),
     # --- rotated out of the window in round 4 — each holds a
     # CORRECTNESS_r03.json full-oracle green row ---------------------------
     "weekly_counts_unpivot": QuerySpec(TQ.weekly_counts_unpivot, TQ.WEEKLY_COUNTS_UNPIVOT_SQL, ("unpivot", "melt")),
-    "regional_revenue_rollup": QuerySpec(TQ.regional_revenue_rollup, TQ.REGIONAL_REVENUE_ROLLUP_SQL, ("agg", "rollup")),
-    "acctbal_union_stats": QuerySpec(TQ.acctbal_union_stats, TQ.ACCTBAL_UNION_STATS_SQL, ("setop", "union-all")),
-    "rolling_3event_value": QuerySpec(EV.rolling_3event_value, EV.ROLLING_3EVENT_VALUE_SQL, ("window", "rows-frame")),
-    "nation_revenue_share": QuerySpec(TQ.nation_revenue_share, TQ.NATION_REVENUE_SHARE_SQL, ("window", "ratio-to-report")),
     "token_budget_truncate": QuerySpec(NS.token_budget_truncate, NS.TOKEN_BUDGET_TRUNCATE_SQL, ("training-data", "budget")),
     "ann_lsh_det": QuerySpec(NS.ann_lsh_det, NS.ANN_LSH_DET_SQL, ("ann", "lsh", "deterministic")),
-    "grouping_sets_revenue": QuerySpec(TQ.grouping_sets_revenue, TQ.GROUPING_SETS_REVENUE_SQL, ("agg", "grouping-sets")),
     "scd2_event_type_history": QuerySpec(EV.scd2_event_type_history, EV.SCD2_EVENT_TYPE_HISTORY_SQL, ("scd2", "window", "gaps-and-islands")),
     "user_value_interpolate": QuerySpec(EV.user_value_interpolate, EV.USER_VALUE_INTERPOLATE_SQL, ("timeseries", "interpolation", "grid")),
     "next_action_after_purchase": QuerySpec(EV.next_action_after_purchase, EV.NEXT_ACTION_AFTER_PURCHASE_SQL, ("join", "asof", "forward")),
     "props_variant_stats": QuerySpec(NS.props_variant_stats, NS.PROPS_VARIANT_STATS_SQL, ("json", "variant")),
     "zorder_code_orders": QuerySpec(TQ.zorder_code_orders, TQ.ZORDER_CODE_ORDERS_SQL, ("layout", "zorder", "bit-arithmetic")),
-    "salted_type_weight_sum": QuerySpec(EV.salted_type_weight_sum, EV.SALTED_TYPE_WEIGHT_SUM_SQL, ("join", "skew", "salting")),
     "nearest_city": QuerySpec(GQ.nearest_city, GQ.NEAREST_CITY_SQL, ("geo", "crossjoin", "window", "argmin")),
     "user_sessions": QuerySpec(EV.user_sessions, EV.USER_SESSIONS_SQL, ("window", "sessionize")),
     "user_local_time_coords": QuerySpec(GQ.user_local_time_coords, GQ.USER_LOCAL_TIME_COORDS_SQL, ("geo", "timezone", "coords")),
@@ -520,9 +544,7 @@ _BACKLOG: dict[str, QuerySpec] = {
     "value_histogram": QuerySpec(NS.value_histogram, NS.VALUE_HISTOGRAM_SQL, ("agg", "histogram")),
     "props_map_entries": QuerySpec(NS.props_map_entries, NS.PROPS_MAP_ENTRIES_SQL, ("json", "map")),
     "part_name_near_matches": QuerySpec(TQ.part_name_near_matches, TQ.PART_NAME_NEAR_MATCHES_SQL, ("join", "fuzzy", "blocking", "levenshtein")),
-    "monthly_revenue_yoy": QuerySpec(TQ.monthly_revenue_yoy, TQ.MONTHLY_REVENUE_YOY_SQL, ("window", "lag", "post-agg")),
     "orders_snapshot_merge": QuerySpec(TQ.orders_snapshot_merge, TQ.ORDERS_SNAPSHOT_MERGE_SQL, ("merge", "upsert", "full-outer")),
-    "last_purchase_carryforward": QuerySpec(EV.last_purchase_carryforward, EV.LAST_PURCHASE_CARRYFORWARD_SQL, ("window", "ignore-nulls", "carry-forward")),
     "zone_conversion_funnel": QuerySpec(EV.zone_conversion_funnel, EV.ZONE_CONVERSION_FUNNEL_SQL, ("agg", "funnel", "conditional-agg")),
     "user_gap_days": QuerySpec(EV.user_gap_days, EV.USER_GAP_DAYS_SQL, ("generator", "anti-join", "densification")),
     "value_mad": QuerySpec(EV.value_mad, EV.VALUE_MAD_SQL, ("agg", "percentile", "robust-stats")),
@@ -574,41 +596,24 @@ _BACKLOG: dict[str, QuerySpec] = {
     "weekday_hour_heatmap": QuerySpec(EV.weekday_hour_heatmap, EV.WEEKDAY_HOUR_HEATMAP_SQL, ("agg", "datetime")),
     "event_pair_candidates": QuerySpec(EV.event_pair_candidates, EV.EVENT_PAIR_CANDIDATES_SQL, ("join", "range-join")),
     "user_value_ffill": QuerySpec(EV.user_value_ffill, EV.USER_VALUE_FFILL_SQL, ("timeseries", "ffill", "grid")),
-    "rolling_hour_activity": QuerySpec(EV.rolling_hour_activity, EV.ROLLING_HOUR_ACTIVITY_SQL, ("window", "range-frame")),
     "user_latest_position": QuerySpec(GQ.user_latest_position, GQ.USER_LATEST_POSITION_SQL, ("geo", "window")),
     "user_local_time": QuerySpec(GQ.user_local_time, GQ.USER_LOCAL_TIME_SQL, ("geo", "timezone")),
     "user_event_history": QuerySpec(GQ.user_event_history, GQ.USER_EVENT_HISTORY_SQL, ("agg", "collect-list")),
-    "q1_pricing_summary": QuerySpec(TQ.q1_pricing_summary, TQ.Q1_PRICING_SUMMARY_SQL, ("agg",)),
-    "q3_order_revenue": QuerySpec(TQ.q3_order_revenue, TQ.Q3_ORDER_REVENUE_SQL, ("join", "agg")),
-    "q5_nation_revenue": QuerySpec(TQ.q5_nation_revenue, TQ.Q5_NATION_REVENUE_SQL, ("join", "agg")),
     "customers_without_orders": QuerySpec(TQ.customers_without_orders, TQ.CUSTOMERS_WITHOUT_ORDERS_SQL, ("anti-join",)),
     "top_orders_per_customer": QuerySpec(TQ.top_orders_per_customer, TQ.TOP_ORDERS_PER_CUSTOMER_SQL, ("window", "topk")),
-    "sales_cube": QuerySpec(TQ.sales_cube, TQ.SALES_CUBE_SQL, ("agg", "cube")),
     "nations_customers_not_suppliers": QuerySpec(TQ.nations_customers_not_suppliers, TQ.NATIONS_CUSTOMERS_NOT_SUPPLIERS_SQL, ("setop",)),
     "nations_with_both": QuerySpec(TQ.nations_with_both, TQ.NATIONS_WITH_BOTH_SQL, ("setop", "intersect")),
-    "monthly_order_stats": QuerySpec(TQ.monthly_order_stats, TQ.MONTHLY_ORDER_STATS_SQL, ("agg", "datetime")),
     "top20_orders_global": QuerySpec(TQ.top20_orders_global, TQ.TOP20_ORDERS_GLOBAL_SQL, ("sort", "limit")),
     "q4_late_orders_by_priority": QuerySpec(TQ.q4_late_orders_by_priority, TQ.Q4_LATE_ORDERS_BY_PRIORITY_SQL, ("semi-join", "agg")),
-    "q6_forecast_revenue": QuerySpec(TQ.q6_forecast_revenue, TQ.Q6_FORECAST_REVENUE_SQL, ("agg", "pushdown")),
-    "q10_returned_item_revenue": QuerySpec(TQ.q10_returned_item_revenue, TQ.Q10_RETURNED_ITEM_REVENUE_SQL, ("join", "agg", "topk")),
     "q12_priority_shipping": QuerySpec(TQ.q12_priority_shipping, TQ.Q12_PRIORITY_SHIPPING_SQL, ("join", "case-agg")),
-    "q14_promo_revenue_share": QuerySpec(TQ.q14_promo_revenue_share, TQ.Q14_PROMO_REVENUE_SHARE_SQL, ("join", "ratio-agg")),
-    "q19_branded_revenue": QuerySpec(TQ.q19_branded_revenue, TQ.Q19_BRANDED_REVENUE_SQL, ("join", "disjunctive")),
     "order_percent_ranks": QuerySpec(TQ.order_percent_ranks, TQ.ORDER_PERCENT_RANKS_SQL, ("window", "distribution")),
     "props_k_stats": QuerySpec(EV.props_k_stats, EV.PROPS_K_STATS_SQL, ("json", "agg")),
     "order_price_percentiles": QuerySpec(TQ.order_price_percentiles, TQ.ORDER_PRICE_PERCENTILES_SQL, ("agg", "percentile")),
     "q2_cheapest_supplier_per_nation": QuerySpec(TQ.q2_cheapest_supplier_per_nation, TQ.Q2_CHEAPEST_SUPPLIER_PER_NATION_SQL, ("window", "argmin", "join")),
-    "q17_small_quantity_revenue": QuerySpec(TQ.q17_small_quantity_revenue, TQ.Q17_SMALL_QUANTITY_REVENUE_SQL, ("window", "correlated-agg")),
-    "q22_idle_rich_customers": QuerySpec(TQ.q22_idle_rich_customers, TQ.Q22_IDLE_RICH_CUSTOMERS_SQL, ("anti-join", "scalar-subquery")),
-    "q7_volume_shipping": QuerySpec(TQ.q7_volume_shipping, TQ.Q7_VOLUME_SHIPPING_SQL, ("join", "agg", "broadcast")),
-    "q8_market_share": QuerySpec(TQ.q8_market_share, TQ.Q8_MARKET_SHARE_SQL, ("join", "ratio-agg", "semi-join")),
-    "q9_product_profit": QuerySpec(TQ.q9_product_profit, TQ.Q9_PRODUCT_PROFIT_SQL, ("join", "agg")),
     "customer_order_ranks": QuerySpec(TQ.customer_order_ranks, TQ.CUSTOMER_ORDER_RANKS_SQL, ("window", "rank")),
     "q13_customer_distribution": QuerySpec(TQ.q13_customer_distribution, TQ.Q13_CUSTOMER_DISTRIBUTION_SQL, ("left-join", "agg", "histogram")),
     "customers_with_orders": QuerySpec(TQ.customers_with_orders, TQ.CUSTOMERS_WITH_ORDERS_SQL, ("semi-join",)),
     "q16_parts_supplier_counts": QuerySpec(TQ.q16_parts_supplier_counts, TQ.Q16_PARTS_SUPPLIER_COUNTS_SQL, ("anti-join", "distinct-agg")),
-    "q18_large_volume_customers": QuerySpec(TQ.q18_large_volume_customers, TQ.Q18_LARGE_VOLUME_CUSTOMERS_SQL, ("agg", "having", "join")),
-    "q20_significant_suppliers": QuerySpec(TQ.q20_significant_suppliers, TQ.Q20_SIGNIFICANT_SUPPLIERS_SQL, ("semi-join", "nested-subquery")),
 }
 
 if len(_WINDOW) != DRIVER_WINDOW_SIZE:
