@@ -474,3 +474,42 @@ def test_to_units_edge_values(spark):
         to_units(F.col("a") * (1 - F.col("b")), 4).alias("u")
     ).first()["u"]
     assert u == 930  # 0.1 * 0.93 = 0.093 -> 930 units at scale 4
+
+
+def test_hits_numpy_exactness_at_documented_bounds():
+    """Pins the <2^53 bincount exactness argument at its boundary: with
+    per-node sums right at the documented cap regime (values <= 1e6,
+    4M addends -> sums <= 4e12), float64 accumulation must be exact; and
+    the rescale numerator at the extreme (4e12 * 1e6 = 4e18) must not
+    overflow int64. Pure numpy — no Spark session needed."""
+    import numpy as np
+
+    # worst-case per-node sum at the caps: 4e12 (every addend 1e6 into
+    # one bucket). Use a smaller edge count with the same sum magnitude:
+    # 4_000 addends of 1e9 would NOT occur (values are <= scale=1e6), so
+    # build the real shape — many max-scale addends — and check against
+    # Python bigint arithmetic.
+    m = 400_000
+    w = np.full(m, 1_000_000, dtype=np.int64)
+    idx = np.zeros(m, dtype=np.int64)
+    s = np.bincount(idx, weights=w.astype(np.float64), minlength=1).astype(
+        np.int64
+    )[0]
+    assert s == 1_000_000 * m == sum(int(x) for x in w)
+    assert float(s) < 2**53  # the argument's precondition holds at cap/10
+    # full-cap magnitude: 4e12 is still exactly representable
+    assert np.float64(4_000_000 * 1_000_000) == 4e12 < 2**53
+
+    # rescale numerator at the extreme: int64 arithmetic, no overflow
+    v = np.array([4_000_000_000_000], dtype=np.int64)
+    out = (v * 1_000_000) // v.max()
+    assert out[0] == 1_000_000
+    assert (v * 1_000_000)[0] == 4 * 10**18  # fits int64 (max ~9.22e18)
+
+    # mixed-magnitude exactness: alternating 1 and 1e6 addends sum
+    # bit-identically to Python bigints
+    w2 = np.tile(np.array([1, 1_000_000], dtype=np.int64), 50_000)
+    got = np.bincount(
+        np.zeros(len(w2), dtype=np.int64), weights=w2.astype(np.float64)
+    ).astype(np.int64)[0]
+    assert int(got) == sum(int(x) for x in w2)
