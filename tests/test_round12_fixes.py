@@ -513,3 +513,43 @@ def test_hits_numpy_exactness_at_documented_bounds():
         np.zeros(len(w2), dtype=np.int64), weights=w2.astype(np.float64)
     ).astype(np.int64)[0]
     assert int(got) == sum(int(x) for x in w2)
+
+
+def test_to_units_duckdb_parity_on_contract_domain(spark):
+    """The oracle-parity claim, pinned directly: for values honoring the
+    fixed-point contract (k <= scale true decimals), Spark's primitive
+    to_units equals DuckDB's round(x * 10^s)::bigint row-for-row —
+    randomized over signs, magnitudes, and decimal widths (seeded)."""
+    import duckdb
+
+    from hadoop_data_lake_spark.functions.fixedpoint import to_units
+
+    rng = random.Random(0xF1DE)
+    vals = []
+    for _ in range(4000):
+        scale = rng.choice([2, 4, 6])
+        k = rng.randint(0, scale)  # true decimals, within the contract
+        mag = rng.choice([1, 10, 1_000, 100_000, 10_000_000])
+        x = rng.randint(-(mag * 10**k), mag * 10**k) / 10**k
+        vals.append((x, scale))
+    for scale in (2, 4, 6):
+        xs = [x for x, s in vals if s == scale]
+        sdf = spark.createDataFrame([(v,) for v in xs], "x double")
+        got = [
+            r["u"]
+            for r in sdf.select(to_units(F.col("x"), scale).alias("u"))
+            .orderBy("x")
+            .collect()
+        ]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(x DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in xs])
+        want = [
+            r[0]
+            for r in con.execute(
+                f"SELECT round(x * {10**scale})::bigint FROM t ORDER BY x"
+            ).fetchall()
+        ]
+        assert got == want, f"scale={scale}: first diff at " + str(
+            next((i, a, b) for i, (a, b) in enumerate(zip(got, want)) if a != b)
+        )
