@@ -97,14 +97,21 @@ def main(argv: list[str] | None = None) -> int:
         if args.scan_budget is not None:
             SIM.ANN_DEPLOY_OVERRIDES["scan_budget"] = args.scan_budget
 
-    spark = get_spark(f"cli:{args.query}")
-    df = REGISTRY[args.query].fn(spark, args.sf_dir)
-    if args.out:
-        df.write.mode("overwrite").parquet(args.out)
-        print(f"wrote {args.out}")
-    else:
-        for row in df.limit(args.limit).collect():
-            print(row)
+    try:
+        spark = get_spark(f"cli:{args.query}")
+        df = REGISTRY[args.query].fn(spark, args.sf_dir)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        else:
+            for row in df.limit(args.limit).collect():
+                print(row)
+    finally:
+        # Never leave the scaled posture set for the rest of the process
+        # (driver-ADVICE r12): a raising query would otherwise leak the
+        # overrides into any in-process caller (runner, tests) that runs
+        # graded ANN queries after main() returns.
+        SIM.ANN_DEPLOY_OVERRIDES.clear()
     return 0
 
 

@@ -1034,7 +1034,16 @@ def hits_scaled_driver(
     # callers that already know |E| (folded into their flags aggregate)
     # pass it in so the cap check costs zero extra jobs; otherwise it is
     # counted here, and only under the node cap (the r11 gate order).
-    if (e.count() if n_edges is None else n_edges) > NUMPY_DRIVER_MAX_EDGES:
+    n_e = e.count() if n_edges is None else n_edges
+    if n_e > NUMPY_DRIVER_MAX_EDGES:
+        return None
+    # Tie the exactness envelope to the ACTUAL edge count, not only the
+    # mutable module cap (driver-ADVICE r12): bincount's float64 sums are
+    # exact only while scale*|E| < 2^53, and the rescale numerator fits
+    # int64 only while scale^2*|E| < 2^63 (v <= scale*|E|); numpy wraps
+    # int64 silently, so a future NUMPY_DRIVER_MAX_EDGES raise must not
+    # be able to outrun the proof — the guard travels with the function.
+    if scale * n_e >= 2**53 or scale * scale * n_e >= 2**63:
         return None
     import numpy as np
 

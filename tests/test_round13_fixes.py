@@ -1,0 +1,108 @@
+"""Regression tests for the round-13 hardening (ADVICE r12 items).
+
+- operators/graph.hits_scaled_driver: the int64/float64 exactness
+  envelope now travels WITH the function — a future raise of the mutable
+  NUMPY_DRIVER_MAX_EDGES module cap cannot silently outrun the <2^53
+  bincount / <2^63 rescale proof (numpy wraps int64 without raising).
+- __main__.main: ANN_DEPLOY_OVERRIDES is cleared in a finally block, so
+  a query that raises mid-run can no longer leak the --auto-scale
+  posture into later in-process callers (runner, tests) running graded
+  ANN queries.
+- tests/test_fixedpoint_contract_lint.py (sibling file) is the third
+  ADVICE item: static enforcement of the to_units contract at call
+  sites.
+"""
+
+import types
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _edges(spark):
+    return spark.createDataFrame([(1, 10), (1, 11), (2, 10)], "c int, s int")
+
+
+def test_hits_guard_blocks_int64_rescale_overflow(spark, monkeypatch):
+    """scale^2 * |E| >= 2^63 must route to the distributed loop even when
+    the module edge cap has been raised past the proof's envelope."""
+    import hadoop_data_lake_spark.operators.graph as G
+
+    monkeypatch.setattr(G, "NUMPY_DRIVER_MAX_EDGES", 10**11)
+    e = _edges(spark)
+    # scale=1e6 -> numerator bound scale^2 * |E| = 1e12 * 1e10 >> 2^63
+    assert G.hits_scaled_driver(e, "c", "s", 2, 2, n_edges=10**10) is None
+    # just under the cap but over the envelope: still None
+    assert G.hits_scaled_driver(e, "c", "s", 2, 2, n_edges=10**7) is None
+    # inside the envelope (1e12 * 9e6 < 2^63): the tier runs
+    assert G.hits_scaled_driver(e, "c", "s", 2, 2, n_edges=9_000_000) is not None
+
+
+def test_hits_guard_blocks_float64_sum_inexactness(spark, monkeypatch):
+    """scale * |E| >= 2^53 (bincount float64 exactness) must also gate,
+    independently of the int64 bound — at small scales it binds first."""
+    import hadoop_data_lake_spark.operators.graph as G
+
+    monkeypatch.setattr(G, "NUMPY_DRIVER_MAX_EDGES", 2**54)
+    e = _edges(spark)
+    # scale=1: 2^53 edges breaches the float64 bound while scale^2*|E|
+    # (= 2^53) is still under 2^63
+    assert G.hits_scaled_driver(e, "c", "s", 2, 2, scale=1, n_edges=2**53) is None
+    assert (
+        G.hits_scaled_driver(e, "c", "s", 2, 2, scale=1, n_edges=2**52)
+        is not None
+    )
+
+
+def test_hits_guard_no_false_trigger_at_shipped_caps(spark):
+    """At the shipped caps (scale<=1e6, |E|<=4e6) the new guard is
+    strictly looser than the existing cap checks — it never fires."""
+    import hadoop_data_lake_spark.operators.graph as G
+
+    assert 10**6 * G.NUMPY_DRIVER_MAX_EDGES < 2**53
+    assert 10**12 * G.NUMPY_DRIVER_MAX_EDGES < 2**63
+    got = G.hits_scaled_driver(
+        _edges(spark), "c", "s", 2, 2, n_edges=G.NUMPY_DRIVER_MAX_EDGES
+    )
+    assert got is not None
+
+
+def test_cli_clears_ann_overrides_when_query_raises(spark, monkeypatch):
+    """ADVICE r12: a raising query must not leave the --auto-scale
+    posture set for the rest of the process."""
+    from hadoop_data_lake_spark.__main__ import main
+    from hadoop_data_lake_spark.operators import similarity as SIM
+    from hadoop_data_lake_spark.queries import registry as R
+
+    monkeypatch.setattr(SIM, "ANN_DEPLOY_OVERRIDES", {})
+
+    def boom(spark_, sf_dir):
+        # the overrides ARE set while the query body runs
+        assert SIM.ANN_DEPLOY_OVERRIDES.get("auto_scale") is True
+        raise RuntimeError("mid-query failure")
+
+    monkeypatch.setitem(
+        R.REGISTRY,
+        "boom_test_only",
+        types.SimpleNamespace(fn=boom, oracle=None, tags=("test",)),
+    )
+    with pytest.raises(RuntimeError, match="mid-query failure"):
+        main(
+            ["run", "boom_test_only", "--sf-dir", SF_DIR, "--auto-scale",
+             "--scan-budget", "0.25"]
+        )
+    assert SIM.ANN_DEPLOY_OVERRIDES == {}
+
+
+def test_cli_clears_ann_overrides_on_success_too(spark, monkeypatch):
+    from hadoop_data_lake_spark.__main__ import main
+    from hadoop_data_lake_spark.operators import similarity as SIM
+
+    monkeypatch.setattr(SIM, "ANN_DEPLOY_OVERRIDES", {})
+    rc = main(
+        ["run", "ann_ivf_kmeans", "--sf-dir", SF_DIR, "--limit", "1",
+         "--auto-scale"]
+    )
+    assert rc == 0
+    assert SIM.ANN_DEPLOY_OVERRIDES == {}
