@@ -413,6 +413,7 @@ def pagerank_intexact(
     iters: int = 10,
     scale: int = 10**12,
     damping_pct: int = 85,
+    deg_col: str | None = None,
 ) -> DataFrame:
     """(node, rank_units): power iteration in FIXED-POINT integer arithmetic.
 
@@ -458,10 +459,22 @@ def pagerank_intexact(
     driver-side in exact integer arithmetic (bit-identical results, ONE
     distributed edge pass instead of `iters`); see the inline note.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
-        eager=True
-    )
-    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+    if deg_col is not None:
+        # Round 13: callers that build their edge list through a
+        # src-partitioned exchange anyway (pagerank_det fuses
+        # repartition(src) + local dedup + a window count into ONE
+        # shuffle) pass the out-degree along each edge row — the operator
+        # then skips its own groupBy(src) aggregation AND every
+        # out-degree join (hist_df, contrib_base read `deg` straight off
+        # the edge). Contract: deg_col must equal the edge multiset's
+        # per-src row count, or ranks are silently wrong (pinned by the
+        # bit-identity test against the self-computed path). Costs
+        # +8 B/edge in the checkpoint; callers with skewed hub sources
+        # should keep deg_col=None — the fused window needs every edge
+        # of a src on one task, the agg+join shape does not.
+        cols.append(F.col(deg_col).cast("long").alias("deg"))
+    e = edges.select(*cols).localCheckpoint(eager=True)
     # ONE per-node flags frame (dang = no out-edges; has_in = appears as a
     # destination), checkpointed once. Every driver scalar the operator
     # needs — n, the dangling count, and the layered-structure test — then
@@ -498,17 +511,24 @@ def pagerank_intexact(
     n, n_dang, n_mid = stats["n"], stats["n_dang"], stats["n_mid"]
     zero_in = flags.where(~F.col("has_in")).select("node")
     nodes_f = flags.select("node", "dang")
-    # out_deg derives from the checkpointed e (Scan ExistingRDD, no
-    # stats), so Catalyst's INITIAL plan SMJ-shuffles every join against
-    # it (AQE usually converts it at runtime, so the measured win is the
-    # skipped pre-conversion exchange only: A/B best-of-4 2.378 vs
-    # 2.491 s on pagerank_det/sf0.1, consistent across reps). Its row
-    # count is bounded by n (one row per distinct source), known free
-    # from the flags aggregate — hint it through the byte-aware cap; the
-    # same hint on triangle_count's wedge joins measured FLAT (AQE's
-    # runtime conversion already covered it) and was rejected, see
-    # BENCH_NOTES round 12. Over-cap graphs keep the shuffle formulation.
-    out_deg = _bcast_state(out_deg, n)
+    if deg_col is None:
+        # out_deg derives from the checkpointed e (Scan ExistingRDD, no
+        # stats), so Catalyst's INITIAL plan SMJ-shuffles every join
+        # against it (AQE usually converts it at runtime, so the measured
+        # win is the skipped pre-conversion exchange only: A/B best-of-4
+        # 2.378 vs 2.491 s on pagerank_det/sf0.1, consistent across
+        # reps). Its row count is bounded by n (one row per distinct
+        # source), known free from the flags aggregate — hint it through
+        # the byte-aware cap; the same hint on triangle_count's wedge
+        # joins measured FLAT (AQE's runtime conversion already covered
+        # it) and was rejected, see BENCH_NOTES round 12. Over-cap graphs
+        # keep the shuffle formulation.
+        out_deg = _bcast_state(
+            e.groupBy("src").agg(F.count("*").alias("deg")), n
+        )
+        e_deg = e.join(out_deg, "src")
+    else:
+        e_deg = e  # deg rides every edge row: no aggregate, no join
     if n == 0:
         # empty edge set (r9 empty-corpus axis): no vertices, no ranks —
         # zero rows, same as the oracle's unrolled CTEs over empty verts
@@ -540,8 +560,7 @@ def pagerank_intexact(
     # (integer arithmetic; pinned by test).
     if LAYERED_FAST_PATH_ENABLED and iters >= 1 and n_mid == 0 and n_dang > 0:
         hist_df = (
-            e.join(out_deg, "src")
-            .groupBy("dst", "deg")
+            e_deg.groupBy("dst", "deg")
             .agg(F.count("*").alias("cnt"))
             .localCheckpoint(eager=True)
         )
@@ -651,7 +670,7 @@ def pagerank_intexact(
         in_edges: dict[object, list] = defaultdict(list)
         src_set = set()
         dst_set = set()
-        for r in e.collect():
+        for r in e.select("src", "dst").collect():
             s, d = r["src"], r["dst"]
             out_deg_d[s] += 1
             in_edges[d].append(s)
@@ -688,15 +707,21 @@ def pagerank_intexact(
     # general distributed loop
     # per-edge static metadata: source out-degree + whether the TARGET is
     # dangling (no out-edges) — carried through the dst aggregation so the
-    # new ranks frame needs no join to recover the flag.
+    # new ranks frame needs no join to recover the flag. dst_dang comes
+    # from the already-checkpointed flags frame (dang = never-a-source =
+    # the old out_deg-left-join has_out-IS-NULL, one join instead of two
+    # and shared by both deg paths); broadcast under the same n-row bound.
     contrib_base = (
-        e.join(out_deg, "src")
-        .join(
-            out_deg.select(F.col("src").alias("dst"), F.lit(True).alias("has_out")),
+        e_deg.join(
+            _bcast_state(
+                flags.select(
+                    F.col("node").alias("dst"), F.col("dang").alias("dst_dang")
+                ),
+                n,
+            ),
             "dst",
-            "left",
         )
-        .select("src", "dst", "deg", F.col("has_out").isNull().alias("dst_dang"))
+        .select("src", "dst", "deg", "dst_dang")
         .localCheckpoint(eager=True)
     )
 

@@ -2145,19 +2145,31 @@ def pagerank_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     is integer arithmetic, and the DuckDB oracle unrolls the 10 iterations
     as chained CTEs computing the identical recurrence. This promotes the
     iterative-graph family from rows-only to the full correctness gate."""
+    from pyspark.sql import Window
+
     from hadoop_data_lake_spark.operators.graph import pagerank_intexact
 
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Round 13: ONE exchange builds dedup + out-degree together —
+    # repartition(src) hash-clusters by the prefix, so dropDuplicates
+    # (ClusteredDistribution(src, dst)) AND the deg window
+    # (ClusteredDistribution(src)) both reuse it (the scd2_collapse
+    # prefix rule); the operator's deg_col path then skips its own
+    # groupBy(src) aggregate and every out-degree join. Previously:
+    # distinct shuffled by (src, dst), and the operator re-aggregated +
+    # re-joined degrees (r12 profile: 1.6 s of 2.45 s in this build).
     edges = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(
             F.col("o_custkey").alias("src"),
             (-F.col("l_suppkey") - 1).alias("dst"),
         )
-        .distinct()
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
+        .withColumn("deg", F.count("*").over(Window.partitionBy("src")))
     )
-    return pagerank_intexact(edges, iters=10)
+    return pagerank_intexact(edges, iters=10, deg_col="deg")
 
 
 def _pagerank_det_sql(iters: int = 10, scale: int = 10**12) -> str:

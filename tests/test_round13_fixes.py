@@ -106,3 +106,67 @@ def test_cli_clears_ann_overrides_on_success_too(spark, monkeypatch):
     )
     assert rc == 0
     assert SIM.ANN_DEPLOY_OVERRIDES == {}
+
+
+# ------------------------------------------------- pagerank deg_col fusion
+
+
+def _ranks(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_pagerank_deg_col_bit_identical_layered(spark):
+    """pagerank_det's fused edge build (one exchange carrying deg) must be
+    bit-identical to the operator's self-computed out-degree path on the
+    layered purchase graph (A/B at sf0.1 measured 2.126 -> 1.872 s
+    best-of-4, BENCH_NOTES round 13)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoop_data_lake_spark.operators.graph import pagerank_intexact
+
+    e = spark.createDataFrame(
+        [(1, -1), (1, -2), (2, -1), (3, -2), (3, -3), (4, -1)],
+        "src long, dst long",
+    )
+    plain = pagerank_intexact(e, iters=10)
+    fused = pagerank_intexact(
+        e.repartition("src").withColumn(
+            "deg", F.count("*").over(Window.partitionBy("src"))
+        ),
+        iters=10,
+        deg_col="deg",
+    )
+    assert _ranks(plain) == _ranks(fused)
+
+
+def test_pagerank_deg_col_bit_identical_general_loop_with_multiedges(spark):
+    """The general distributed loop (contrib_base now joins the flags
+    frame for dst_dang instead of an out_deg self-join) must stay
+    bit-identical to the untouched general DRIVER tier, with multi-edges
+    and a cycle so the layered fast path cannot trigger, on BOTH deg
+    paths."""
+    import hadoop_data_lake_spark.operators.graph as G
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # cycle (1->2->3->1) breaks layering; (1,2) is a double edge; 9 dangles
+    e = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 3), (3, 1), (1, 9), (4, 1)],
+        "src long, dst long",
+    )
+    e_deg = e.repartition("src").withColumn(
+        "deg", F.count("*").over(Window.partitionBy("src"))
+    )
+    out = {}
+    for enabled in (True, False):
+        orig = G.GENERAL_DRIVER_TIER_ENABLED
+        G.GENERAL_DRIVER_TIER_ENABLED = enabled
+        try:
+            out[("plain", enabled)] = _ranks(G.pagerank_intexact(e, iters=4))
+            out[("deg", enabled)] = _ranks(
+                G.pagerank_intexact(e_deg, iters=4, deg_col="deg")
+            )
+        finally:
+            G.GENERAL_DRIVER_TIER_ENABLED = orig
+    assert len({tuple(v) for v in out.values()}) == 1, out
