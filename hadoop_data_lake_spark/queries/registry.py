@@ -112,50 +112,50 @@ STREAMING_GUARD: tuple[str, ...] = (
 #: rows-only — its recall pytest is the real verification, and the
 #: driver row re-dates it off the ladder.
 INTENTIONAL_REGRADES: frozenset[str] = frozenset({
-    "sales_cube",
-    "rolling_hour_activity",
-    "q9_product_profit",
-    "q8_market_share",
-    "q7_volume_shipping",
-    "q6_forecast_revenue",
-    "q5_nation_revenue",
-    "q3_order_revenue",
-    "q22_idle_rich_customers",
-    "q20_significant_suppliers",
-    "q1_pricing_summary",
-    "q19_branded_revenue",
-    "q18_large_volume_customers",
-    "q17_small_quantity_revenue",
-    "q14_promo_revenue_share",
-    "q10_returned_item_revenue",
-    "monthly_order_stats",
-    "salted_type_weight_sum",
-    "rolling_3event_value",
-    "regional_revenue_rollup",
-    "nation_revenue_share",
-    "monthly_revenue_yoy",
-    "last_purchase_carryforward",
-    "grouping_sets_revenue",
-    "acctbal_union_stats",
-    "synthetic_source_profile",
-    "benford_first_digit",
-    "supplier_scorecard",
-    "pareto_frontier_orders",
-    "exact_value_quantiles",
-    "bitemporal_asof_orders",
-    "abc_part_classification",
-    "split_revenue_attribution",
-    "selectivity_estimate_audit",
-    "qini_uplift_curve",
-    "ecod_outlier_scores",
-    "did_estimate",
-    "cvar_expected_shortfall",
-    "hhi_brand_concentration",
-    "decayed_user_value",
-    "winsorized_value_stats",
-    "weekday_seasonality_index",
-    "value_tail_ratio",
-    "value_outliers_zscore",
+    "hits_hubs_authorities",
+    "pagerank_det",
+    "textrank_keywords",
+    "lpa_modularity",
+    "brand_communities_lpa",
+    "token_lang_mi",
+    "user_value_twap",
+    "supplier_customer_dependency",
+    "price_dispersion_by_brand",
+    "order_backlog_aging",
+    "max_drawdown_daily_revenue",
+    "ks_test_variants",
+    "gini_customer_revenue",
+    "first_touch_attribution",
+    "duplicate_invoice_screen",
+    "anova_eta_squared",
+    "woe_value_bins",
+    "value_psi_drift",
+    "value_moments_profile",
+    "theil_sen_daily_trend",
+    "target_encode_event_type",
+    "stream_upsert_scd1",
+    "rdd_value_threshold",
+    "quantile_sample_det",
+    "ols_weekend_effect",
+    "ols_daily_trend",
+    "neyman_allocation_plan",
+    "mann_whitney_variants",
+    "kendall_tau_daily",
+    "jackknife_daily_mean",
+    "ipw_outcome_estimate",
+    "daily_revenue_changepoint",
+    "cuped_adjusted_lift",
+    "covariate_balance_smd",
+    "bootstrap_mean_ci",
+    "benjamini_hochberg_fdr",
+    "autocorr_daily_value",
+    "ab_test_welch",
+    "type_comovement_matrix",
+    "seasonal_naive_backtest",
+    "pareto_8020_customers",
+    "observed_scan_metrics",
+    "lorenz_curve_points",
+    "forecast_bakeoff",
 })
 
 
@@ -167,64 +167,121 @@ class QuerySpec:
 
 
 _WINDOW: dict[str, QuerySpec] = {
-    # ---- ROUND-12 WINDOW ------------------------------------------------
+    # ---- ROUND-13 WINDOW ------------------------------------------------
     # Every non-guard slot is a DECLARED re-grade (all 44 in
     # INTENTIONAL_REGRADES above; `backlog_report.py --assert`
     # enforces the declaration; rows-only queries cannot occupy a
-    # non-guard slot). The round-12 to_units kernel change re-dated
-    # every fixed-point consumer at once (103-entry genuine ladder >
-    # 44 slots), so these are the 44 MOST-STALE rows in
-    # `backlog_report.py --stale` order — front-loading the r01-graded
-    # TPC-H money queries whose values the kernel touches; the ladder
-    # remainder waits in _BACKLOG for r13+. Every displaced entry
-    # holds a CORRECTNESS_r11.json full-oracle PASS; check_oracle
-    # re-verifies all 352 registered queries locally every round
-    # (round 12 swept the full registry at sf0.001 AND sf0.01, plus
-    # the window at sf0.1).
-    # sales_cube -> displaces tf_idf_top_terms (r11-green)
-    # rolling_hour_activity -> displaces source_mix_rebalance (r11-green)
-    # q9_product_profit -> displaces orders_snapshot_diff (r11-green)
-    # q8_market_share -> displaces doc_lm_perplexity (r11-green)
-    # q7_volume_shipping -> displaces cohort_retention (r11-green)
-    # q6_forecast_revenue -> displaces brand_basket_pairs (r11-green)
-    # q5_nation_revenue -> displaces incremental_orders_agg (r11-green)
-    # q3_order_revenue -> displaces quantile_normalize_doclen (r11-green)
-    # q22_idle_rich_customers -> displaces doc_lm_kneser_ney (r11-green)
-    # q20_significant_suppliers -> displaces geohash_cell_counts (r11-green)
-    # q1_pricing_summary -> displaces cms_token_counts (r11-green)
-    # q19_branded_revenue -> displaces bfs_hops_det (r11-green)
-    # q18_large_volume_customers -> displaces ngram_coverage_curve (r11-green)
-    # q17_small_quantity_revenue -> displaces data_mix_waterfill (r11-green)
-    # q14_promo_revenue_share -> displaces ivm_join_delta (r11-green)
-    # q10_returned_item_revenue -> displaces fightin_words_tokens (r11-green)
-    # monthly_order_stats -> displaces cohort_ltv_curve (r11-green)
-    # salted_type_weight_sum -> displaces association_rules_brands (r11-green)
-    # rolling_3event_value -> displaces token_lang_mi (r11-green)
-    # regional_revenue_rollup -> displaces lang_id_confusion (r11-green)
-    # nation_revenue_share -> displaces lang_id_cohens_kappa (r11-green)
-    # monthly_revenue_yoy -> displaces laspeyres_price_index (r11-green)
-    # last_purchase_carryforward -> displaces markov_entropy_rate (r11-green)
-    # grouping_sets_revenue -> displaces monthly_from_daily_mv (r11-green)
-    # acctbal_union_stats -> displaces perplexity_filter (r11-green)
-    # synthetic_source_profile -> displaces dedup_containment (r11-green)
-    # benford_first_digit -> displaces conformal_value_interval (r11-green)
-    # supplier_scorecard -> displaces pagerank_det (r11-green)
-    # pareto_frontier_orders -> displaces ann_ivf_det (r11-green)
-    # exact_value_quantiles -> displaces corpus_report_card (r11-green)
-    # bitemporal_asof_orders -> displaces dedup_ngram_jaccard (r11-green)
-    # abc_part_classification -> displaces textrank_keywords (r11-green)
-    # split_revenue_attribution -> displaces lpa_modularity (r11-green)
-    # selectivity_estimate_audit -> displaces brand_communities_lpa (r11-green)
-    # qini_uplift_curve -> displaces kcore_purchase_graph (r11-green)
-    # ecod_outlier_scores -> displaces hits_hubs_authorities (r11-green)
-    # did_estimate -> displaces embedding_near_dup (r11-green)
-    # cvar_expected_shortfall -> displaces semdedup_prune (r11-green)
-    # hhi_brand_concentration -> displaces doc_fingerprint (r11-green)
-    # decayed_user_value -> displaces decontaminate_ngram_overlap (r11-green)
-    # winsorized_value_stats -> displaces stream_topk_types_per_window (r11-green)
-    # weekday_seasonality_index -> displaces cheapest_line_per_part (r11-green)
-    # value_tail_ratio -> displaces q11_important_parts (r11-green)
-    # value_outliers_zscore -> displaces q15_top_supplier (r11-green)
+    # non-guard slot). Drains the r12 stale-ladder remainder, but
+    # leads with the six queries whose BEHAVIOR changed in r12/r13
+    # (HITS numpy tier + r13 overflow guard, pagerank_det one-exchange
+    # deg fusion, textrank via pagerank_intexact, LPA NULL-weight
+    # semantics x2, token_lang_mi domain fix) ahead of the mechanical
+    # staleness order — see tools/rotate_window_r13.py for the
+    # kernel-change protocol this codifies. The ~15-row remainder
+    # waits in _BACKLOG; check_oracle re-verifies all 352 registered
+    # queries locally every round.
+    # hits_hubs_authorities -> displaces sales_cube (r12-green)
+    # pagerank_det -> displaces rolling_hour_activity (r12-green)
+    # textrank_keywords -> displaces q9_product_profit (r12-green)
+    # lpa_modularity -> displaces q8_market_share (r12-green)
+    # brand_communities_lpa -> displaces q7_volume_shipping (r12-green)
+    # token_lang_mi -> displaces q6_forecast_revenue (r12-green)
+    # user_value_twap -> displaces q5_nation_revenue (r12-green)
+    # supplier_customer_dependency -> displaces q3_order_revenue (r12-green)
+    # price_dispersion_by_brand -> displaces q22_idle_rich_customers (r12-green)
+    # order_backlog_aging -> displaces q20_significant_suppliers (r12-green)
+    # max_drawdown_daily_revenue -> displaces q1_pricing_summary (r12-green)
+    # ks_test_variants -> displaces q19_branded_revenue (r12-green)
+    # gini_customer_revenue -> displaces q18_large_volume_customers (r12-green)
+    # first_touch_attribution -> displaces q17_small_quantity_revenue (r12-green)
+    # duplicate_invoice_screen -> displaces q14_promo_revenue_share (r12-green)
+    # anova_eta_squared -> displaces q10_returned_item_revenue (r12-green)
+    # woe_value_bins -> displaces monthly_order_stats (r12-green)
+    # value_psi_drift -> displaces salted_type_weight_sum (r12-green)
+    # value_moments_profile -> displaces rolling_3event_value (r12-green)
+    # theil_sen_daily_trend -> displaces regional_revenue_rollup (r12-green)
+    # target_encode_event_type -> displaces nation_revenue_share (r12-green)
+    # stream_upsert_scd1 -> displaces monthly_revenue_yoy (r12-green)
+    # rdd_value_threshold -> displaces last_purchase_carryforward (r12-green)
+    # quantile_sample_det -> displaces grouping_sets_revenue (r12-green)
+    # ols_weekend_effect -> displaces acctbal_union_stats (r12-green)
+    # ols_daily_trend -> displaces synthetic_source_profile (r12-green)
+    # neyman_allocation_plan -> displaces benford_first_digit (r12-green)
+    # mann_whitney_variants -> displaces supplier_scorecard (r12-green)
+    # kendall_tau_daily -> displaces pareto_frontier_orders (r12-green)
+    # jackknife_daily_mean -> displaces exact_value_quantiles (r12-green)
+    # ipw_outcome_estimate -> displaces bitemporal_asof_orders (r12-green)
+    # daily_revenue_changepoint -> displaces abc_part_classification (r12-green)
+    # cuped_adjusted_lift -> displaces split_revenue_attribution (r12-green)
+    # covariate_balance_smd -> displaces selectivity_estimate_audit (r12-green)
+    # bootstrap_mean_ci -> displaces qini_uplift_curve (r12-green)
+    # benjamini_hochberg_fdr -> displaces ecod_outlier_scores (r12-green)
+    # autocorr_daily_value -> displaces did_estimate (r12-green)
+    # ab_test_welch -> displaces cvar_expected_shortfall (r12-green)
+    # type_comovement_matrix -> displaces hhi_brand_concentration (r12-green)
+    # seasonal_naive_backtest -> displaces decayed_user_value (r12-green)
+    # pareto_8020_customers -> displaces winsorized_value_stats (r12-green)
+    # observed_scan_metrics -> displaces weekday_seasonality_index (r12-green)
+    # lorenz_curve_points -> displaces value_tail_ratio (r12-green)
+    # forecast_bakeoff -> displaces value_outliers_zscore (r12-green)
+    "hits_hubs_authorities": QuerySpec(TQ.hits_hubs_authorities, TQ.HITS_HUBS_AUTHORITIES_SQL, ("graph", "iterative", "hits", "fixed-point", "deterministic")),
+    "pagerank_det": QuerySpec(TQ.pagerank_det, TQ.PAGERANK_DET_SQL, ("graph", "iterative", "pagerank", "fixed-point", "deterministic")),
+    "textrank_keywords": QuerySpec(NS.textrank_keywords, NS.TEXTRANK_KEYWORDS_SQL, ("text", "textrank", "pagerank", "keywords", "deterministic")),
+    "lpa_modularity": QuerySpec(TQ.lpa_modularity, TQ.LPA_MODULARITY_SQL, ("graph", "modularity", "community-quality", "lpa")),
+    "brand_communities_lpa": QuerySpec(TQ.brand_communities_lpa, TQ.BRAND_COMMUNITIES_LPA_SQL, ("graph", "community", "lpa", "deterministic")),
+    "token_lang_mi": QuerySpec(NS.token_lang_mi, NS.TOKEN_LANG_MI_SQL, ("text", "mutual-information", "feature-selection", "diagnostics")),
+    "user_value_twap": QuerySpec(EV.user_value_twap, EV.USER_VALUE_TWAP_SQL, ("timeseries", "window", "weighted-mean")),
+    "supplier_customer_dependency": QuerySpec(TQ.supplier_customer_dependency, TQ.SUPPLIER_CUSTOMER_DEPENDENCY_SQL, ("risk", "concentration", "argmax")),
+    "price_dispersion_by_brand": QuerySpec(TQ.price_dispersion_by_brand, TQ.PRICE_DISPERSION_BY_BRAND_SQL, ("pricing", "dispersion", "cv", "integer-moments")),
+    "order_backlog_aging": QuerySpec(TQ.order_backlog_aging, TQ.ORDER_BACKLOG_AGING_SQL, ("operations", "aging", "backlog")),
+    "max_drawdown_daily_revenue": QuerySpec(EV.max_drawdown_daily_revenue, EV.MAX_DRAWDOWN_DAILY_REVENUE_SQL, ("finance", "drawdown", "running-peak")),
+    "ks_test_variants": QuerySpec(EV.ks_test_variants, EV.KS_TEST_VARIANTS_SQL, ("experiment", "kolmogorov-smirnov", "ecdf", "integer-exact")),
+    "gini_customer_revenue": QuerySpec(TQ.gini_customer_revenue, TQ.GINI_CUSTOMER_REVENUE_SQL, ("inequality", "gini", "integer-exact")),
+    "first_touch_attribution": QuerySpec(EV.first_touch_attribution, EV.FIRST_TOUCH_ATTRIBUTION_SQL, ("attribution", "first-touch", "argmin")),
+    "duplicate_invoice_screen": QuerySpec(TQ.duplicate_invoice_screen, TQ.DUPLICATE_INVOICE_SCREEN_SQL, ("fraud", "dedup", "banded-self-join")),
+    "anova_eta_squared": QuerySpec(EV.anova_eta_squared, EV.ANOVA_ETA_SQUARED_SQL, ("statistics", "anova", "effect-size", "ordered-fold")),
+    "woe_value_bins": QuerySpec(EV.woe_value_bins, EV.WOE_VALUE_BINS_SQL, ("ml", "woe", "information-value", "binning")),
+    "value_psi_drift": QuerySpec(EV.value_psi_drift, EV.VALUE_PSI_DRIFT_SQL, ("quality", "psi", "drift", "monitoring")),
+    "value_moments_profile": QuerySpec(EV.value_moments_profile, EV.VALUE_MOMENTS_PROFILE_SQL, ("agg", "moments", "deterministic")),
+    "theil_sen_daily_trend": QuerySpec(EV.theil_sen_daily_trend, EV.THEIL_SEN_DAILY_TREND_SQL, ("timeseries", "robust", "theil-sen", "trend")),
+    "target_encode_event_type": QuerySpec(EV.target_encode_event_type, EV.TARGET_ENCODE_EVENT_TYPE_SQL, ("ml", "target-encoding", "kfold", "leakage-safe")),
+    "stream_upsert_scd1": QuerySpec(NS.stream_upsert_scd1, NS.STREAM_UPSERT_SCD1_SQL, ("streaming", "foreachbatch", "scd1", "upsert", "commit-protocol")),
+    "rdd_value_threshold": QuerySpec(EV.rdd_value_threshold, EV.RDD_VALUE_THRESHOLD_SQL, ("causal", "regression-discontinuity", "local-linear", "integer-exact")),
+    "quantile_sample_det": QuerySpec(EV.quantile_sample_det, EV.QUANTILE_SAMPLE_DET_SQL, ("sketch", "quantile", "sampling", "deterministic")),
+    "ols_weekend_effect": QuerySpec(EV.ols_weekend_effect, EV.OLS_WEEKEND_EFFECT_SQL, ("regression", "ols", "integer-exact", "cramer")),
+    "ols_daily_trend": QuerySpec(EV.ols_daily_trend, EV.OLS_DAILY_TREND_SQL, ("timeseries", "regression", "ols", "integer-moments")),
+    "neyman_allocation_plan": QuerySpec(EV.neyman_allocation_plan, EV.NEYMAN_ALLOCATION_PLAN_SQL, ("sampling", "stratified", "neyman", "design")),
+    "mann_whitney_variants": QuerySpec(EV.mann_whitney_variants, EV.MANN_WHITNEY_VARIANTS_SQL, ("experiment", "mann-whitney", "nonparametric", "rank-test")),
+    "kendall_tau_daily": QuerySpec(EV.kendall_tau_daily, EV.KENDALL_TAU_DAILY_SQL, ("stats", "kendall", "rank-correlation", "tie-corrected")),
+    "jackknife_daily_mean": QuerySpec(EV.jackknife_daily_mean, EV.JACKKNIFE_DAILY_MEAN_SQL, ("stats", "jackknife", "resampling-free", "exact")),
+    "ipw_outcome_estimate": QuerySpec(EV.ipw_outcome_estimate, EV.IPW_OUTCOME_ESTIMATE_SQL, ("causal", "ipw", "propensity", "ordered-fold")),
+    "daily_revenue_changepoint": QuerySpec(EV.daily_revenue_changepoint, EV.DAILY_REVENUE_CHANGEPOINT_SQL, ("timeseries", "changepoint", "binary-segmentation", "integer-exact")),
+    "cuped_adjusted_lift": QuerySpec(EV.cuped_adjusted_lift, EV.CUPED_ADJUSTED_LIFT_SQL, ("experiment", "cuped", "variance-reduction", "covariate")),
+    "covariate_balance_smd": QuerySpec(EV.covariate_balance_smd, EV.COVARIATE_BALANCE_SMD_SQL, ("experiment", "balance", "smd", "randomization-check")),
+    "bootstrap_mean_ci": QuerySpec(EV.bootstrap_mean_ci, EV.BOOTSTRAP_MEAN_CI_SQL, ("experiment", "bootstrap", "poisson", "ci", "deterministic")),
+    "benjamini_hochberg_fdr": QuerySpec(EV.benjamini_hochberg_fdr, EV.BENJAMINI_HOCHBERG_FDR_SQL, ("experiment", "fdr", "multiple-testing", "bh")),
+    "autocorr_daily_value": QuerySpec(EV.autocorr_daily_value, EV.AUTOCORR_DAILY_VALUE_SQL, ("timeseries", "acf", "integer-exact")),
+    "ab_test_welch": QuerySpec(EV.ab_test_welch, EV.AB_TEST_WELCH_SQL, ("experiment", "welch", "ab-test", "integer-exact")),
+    "type_comovement_matrix": QuerySpec(EV.type_comovement_matrix, EV.TYPE_COMOVEMENT_MATRIX_SQL, ("timeseries", "correlation-matrix", "comovement")),
+    "seasonal_naive_backtest": QuerySpec(EV.seasonal_naive_backtest, EV.SEASONAL_NAIVE_BACKTEST_SQL, ("forecast", "backtest", "seasonal-naive", "temporal-holdout")),
+    "pareto_8020_customers": QuerySpec(TQ.pareto_8020_customers, TQ.PARETO_8020_CUSTOMERS_SQL, ("inequality", "pareto", "concentration")),
+    "observed_scan_metrics": QuerySpec(EV.observed_scan_metrics, EV.OBSERVED_SCAN_METRICS_SQL, ("observability", "metrics", "observe-api")),
+    "lorenz_curve_points": QuerySpec(TQ.lorenz_curve_points, TQ.LORENZ_CURVE_POINTS_SQL, ("inequality", "lorenz", "deciles")),
+    "forecast_bakeoff": QuerySpec(EV.forecast_bakeoff, EV.FORECAST_BAKEOFF_SQL, ("forecast", "bakeoff", "evaluation")),
+    # --- streaming regression guard (6 = STREAMING_GUARD above):
+    # streaming silently broke at r2 HEAD; these keep every micro-batch/
+    # watermark/stream-join path under the driver gate ---
+    "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),
+    "stream_session_stats": QuerySpec(NS.stream_session_stats, NS.STREAM_SESSION_STATS_SQL, ("streaming", "session-window")),
+    "stream_running_max": QuerySpec(NS.stream_running_max, NS.STREAM_RUNNING_MAX_SQL, ("streaming", "stateful", "pandas-udf")),
+    "stream_enriched_value": QuerySpec(NS.stream_enriched_value, NS.STREAM_ENRICHED_VALUE_SQL, ("streaming", "stream-static-join")),
+    "stream_attribution_pairs": QuerySpec(NS.stream_attribution_pairs, NS.STREAM_ATTRIBUTION_PAIRS_SQL, ("streaming", "stream-stream-join", "interval-join")),
+    "stream_attribution_left": QuerySpec(NS.stream_attribution_left, NS.STREAM_ATTRIBUTION_LEFT_SQL, ("streaming", "stream-stream-join", "outer-join", "watermark")),
+}
+
+_BACKLOG: dict[str, QuerySpec] = {
+    # --- round-12 green, displaced by the r13 rotation (all hold a
+    # CORRECTNESS_r12.json full-oracle PASS) ---
     "sales_cube": QuerySpec(TQ.sales_cube, TQ.SALES_CUBE_SQL, ("agg", "cube")),
     "rolling_hour_activity": QuerySpec(EV.rolling_hour_activity, EV.ROLLING_HOUR_ACTIVITY_SQL, ("window", "range-frame")),
     "q9_product_profit": QuerySpec(TQ.q9_product_profit, TQ.Q9_PRODUCT_PROFIT_SQL, ("join", "agg")),
@@ -269,18 +326,6 @@ _WINDOW: dict[str, QuerySpec] = {
     "weekday_seasonality_index": QuerySpec(EV.weekday_seasonality_index, EV.WEEKDAY_SEASONALITY_INDEX_SQL, ("timeseries", "seasonality", "index")),
     "value_tail_ratio": QuerySpec(EV.value_tail_ratio, EV.VALUE_TAIL_RATIO_SQL, ("robust-stats", "tail", "order-statistic")),
     "value_outliers_zscore": QuerySpec(EV.value_outliers_zscore, EV.VALUE_OUTLIERS_ZSCORE_SQL, ("agg", "robust-stats", "outliers")),
-    # --- streaming regression guard (6 = STREAMING_GUARD above):
-    # streaming silently broke at r2 HEAD; these keep every micro-batch/
-    # watermark/stream-join path under the driver gate ---
-    "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),
-    "stream_session_stats": QuerySpec(NS.stream_session_stats, NS.STREAM_SESSION_STATS_SQL, ("streaming", "session-window")),
-    "stream_running_max": QuerySpec(NS.stream_running_max, NS.STREAM_RUNNING_MAX_SQL, ("streaming", "stateful", "pandas-udf")),
-    "stream_enriched_value": QuerySpec(NS.stream_enriched_value, NS.STREAM_ENRICHED_VALUE_SQL, ("streaming", "stream-static-join")),
-    "stream_attribution_pairs": QuerySpec(NS.stream_attribution_pairs, NS.STREAM_ATTRIBUTION_PAIRS_SQL, ("streaming", "stream-stream-join", "interval-join")),
-    "stream_attribution_left": QuerySpec(NS.stream_attribution_left, NS.STREAM_ATTRIBUTION_LEFT_SQL, ("streaming", "stream-stream-join", "outer-join", "watermark")),
-}
-
-_BACKLOG: dict[str, QuerySpec] = {
     # --- round-11 green, displaced by the r12 rotation (all hold a
     # CORRECTNESS_r11.json full-oracle PASS) ---
     "tf_idf_top_terms": QuerySpec(NS.tf_idf_top_terms, NS.TF_IDF_TOP_TERMS_SQL, ("text", "tfidf", "topk")),
@@ -301,7 +346,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "fightin_words_tokens": QuerySpec(NS.fightin_words_tokens, NS.FIGHTIN_WORDS_TOKENS_SQL, ("text", "log-odds", "dirichlet", "source-attribution")),
     "cohort_ltv_curve": QuerySpec(EV.cohort_ltv_curve, EV.COHORT_LTV_CURVE_SQL, ("cohort", "ltv", "running-sum")),
     "association_rules_brands": QuerySpec(TQ.association_rules_brands, TQ.ASSOCIATION_RULES_BRANDS_SQL, ("market-basket", "association-rules", "lift")),
-    "token_lang_mi": QuerySpec(NS.token_lang_mi, NS.TOKEN_LANG_MI_SQL, ("text", "mutual-information", "feature-selection", "diagnostics")),
     "lang_id_confusion": QuerySpec(NS.lang_id_confusion, NS.LANG_ID_CONFUSION_SQL, ("text", "lang-id", "eval", "confusion-matrix")),
     "lang_id_cohens_kappa": QuerySpec(NS.lang_id_cohens_kappa, NS.LANG_ID_COHENS_KAPPA_SQL, ("text", "lang-id", "eval", "kappa")),
     "laspeyres_price_index": QuerySpec(TQ.laspeyres_price_index, TQ.LASPEYRES_PRICE_INDEX_SQL, ("econ", "price-index", "laspeyres", "integer-exact")),
@@ -310,15 +354,10 @@ _BACKLOG: dict[str, QuerySpec] = {
     "perplexity_filter": QuerySpec(NS.perplexity_filter, NS.PERPLEXITY_FILTER_SQL, ("text", "quality", "perplexity", "percentile")),
     "dedup_containment": QuerySpec(NS.dedup_containment, NS.DEDUP_CONTAINMENT_SQL, ("dedup", "containment")),
     "conformal_value_interval": QuerySpec(EV.conformal_value_interval, EV.CONFORMAL_VALUE_INTERVAL_SQL, ("ml", "conformal", "prediction-interval", "order-statistic")),
-    "pagerank_det": QuerySpec(TQ.pagerank_det, TQ.PAGERANK_DET_SQL, ("graph", "iterative", "pagerank", "fixed-point", "deterministic")),
     "ann_ivf_det": QuerySpec(NS.ann_ivf_det, NS.ANN_IVF_DET_SQL, ("ann", "ivf", "deterministic", "integer-exact")),
     "corpus_report_card": QuerySpec(NS.corpus_report_card, NS.CORPUS_REPORT_CARD_SQL, ("capstone", "training-data", "report", "summary")),
     "dedup_ngram_jaccard": QuerySpec(NS.dedup_ngram_jaccard, NS.DEDUP_NGRAM_JACCARD_SQL, ("dedup",)),
-    "textrank_keywords": QuerySpec(NS.textrank_keywords, NS.TEXTRANK_KEYWORDS_SQL, ("text", "textrank", "pagerank", "keywords", "deterministic")),
-    "lpa_modularity": QuerySpec(TQ.lpa_modularity, TQ.LPA_MODULARITY_SQL, ("graph", "modularity", "community-quality", "lpa")),
-    "brand_communities_lpa": QuerySpec(TQ.brand_communities_lpa, TQ.BRAND_COMMUNITIES_LPA_SQL, ("graph", "community", "lpa", "deterministic")),
     "kcore_purchase_graph": QuerySpec(TQ.kcore_purchase_graph, TQ.KCORE_PURCHASE_GRAPH_SQL, ("graph", "kcore", "iterative", "deterministic")),
-    "hits_hubs_authorities": QuerySpec(TQ.hits_hubs_authorities, TQ.HITS_HUBS_AUTHORITIES_SQL, ("graph", "iterative", "hits", "fixed-point", "deterministic")),
     "embedding_near_dup": QuerySpec(NS.embedding_near_dup, NS.EMBEDDING_NEAR_DUP_SQL, ("ann", "dedup", "lsh")),
     "semdedup_prune": QuerySpec(NS.semdedup_prune, NS.SEMDEDUP_PRUNE_SQL, ("dedup", "semantic", "clustering", "semdedup")),
     "doc_fingerprint": QuerySpec(NS.doc_fingerprint, NS.DOC_FINGERPRINT_SQL, ("text",)),
@@ -341,62 +380,35 @@ _BACKLOG: dict[str, QuerySpec] = {
     "customer_rfm_segments": QuerySpec(TQ.customer_rfm_segments, TQ.CUSTOMER_RFM_SEGMENTS_SQL, ("agg", "rfm", "percentile", "segmentation")),
     "sequential_funnel": QuerySpec(EV.sequential_funnel, EV.SEQUENTIAL_FUNNEL_SQL, ("agg", "funnel", "ordered")),
     "cluster_safe_split_audit": QuerySpec(NS.cluster_safe_split_audit, NS.CLUSTER_SAFE_SPLIT_AUDIT_SQL, ("ml-prep", "split", "leakage", "graph")),
-    "pareto_8020_customers": QuerySpec(TQ.pareto_8020_customers, TQ.PARETO_8020_CUSTOMERS_SQL, ("inequality", "pareto", "concentration")),
     "mutual_nn_bitext_pairs": QuerySpec(NS.mutual_nn_bitext_pairs, NS.MUTUAL_NN_BITEXT_PAIRS_SQL, ("similarity", "mutual-nn", "bitext", "alignment")),
     "media_phash_near_dup": QuerySpec(NS.media_phash_near_dup, NS.MEDIA_PHASH_NEAR_DUP_SQL, ("multimodal", "dedup", "phash", "hamming")),
     "cf_ndcg_backtest": QuerySpec(TQ.cf_ndcg_backtest, TQ.CF_NDCG_BACKTEST_SQL, ("ml-eval", "ndcg", "recommender", "backtest")),
-    "lorenz_curve_points": QuerySpec(TQ.lorenz_curve_points, TQ.LORENZ_CURVE_POINTS_SQL, ("inequality", "lorenz", "deciles")),
     "zipf_fit_tokens": QuerySpec(NS.zipf_fit_tokens, NS.ZIPF_FIT_TOKENS_SQL, ("text", "zipf", "power-law", "corpus-health")),
     "minhash_eval_pr": QuerySpec(NS.minhash_eval_pr, NS.MINHASH_EVAL_PR_SQL, ("dedup", "evaluation", "precision-recall", "lsh")),
     "knn_label_eval": QuerySpec(NS.knn_label_eval, NS.KNN_LABEL_EVAL_SQL, ("ml", "knn", "embedding", "confusion-matrix")),
     "t_closeness_audit": QuerySpec(TQ.t_closeness_audit, TQ.T_CLOSENESS_AUDIT_SQL, ("privacy", "t-closeness", "emd", "audit")),
     "decontamination_report": QuerySpec(NS.decontamination_report, NS.DECONTAMINATION_REPORT_SQL, ("dedup", "decontamination", "report", "capstone")),
-    "observed_scan_metrics": QuerySpec(EV.observed_scan_metrics, EV.OBSERVED_SCAN_METRICS_SQL, ("observability", "metrics", "observe-api")),
     "quantile_forecast_pinball": QuerySpec(EV.quantile_forecast_pinball, EV.QUANTILE_FORECAST_PINBALL_SQL, ("forecast", "pinball", "quantile", "backtest")),
     "haar_energy_daily": QuerySpec(EV.haar_energy_daily, EV.HAAR_ENERGY_DAILY_SQL, ("timeseries", "wavelet", "haar", "multi-resolution")),
     "churn_label_windows": QuerySpec(EV.churn_label_windows, EV.CHURN_LABEL_WINDOWS_SQL, ("ml", "label-engineering", "churn", "leakage-safe")),
     "newsvendor_brand_quantiles": QuerySpec(TQ.newsvendor_brand_quantiles, TQ.NEWSVENDOR_BRAND_QUANTILES_SQL, ("ops", "newsvendor", "quantile", "inventory")),
     "dedup_minhash_lsh": QuerySpec(NS.dedup_minhash_lsh, NS.DEDUP_MINHASH_LSH_SQL, ("dedup", "lsh")),
     "kmv_week_overlap": QuerySpec(NS.kmv_week_overlap, NS.KMV_WEEK_OVERLAP_SQL, ("sketch", "kmv", "set-ops", "jaccard")),
-    "seasonal_naive_backtest": QuerySpec(EV.seasonal_naive_backtest, EV.SEASONAL_NAIVE_BACKTEST_SQL, ("forecast", "backtest", "seasonal-naive", "temporal-holdout")),
     "ngram_novelty_curve": QuerySpec(NS.ngram_novelty_curve, NS.NGRAM_NOVELTY_CURVE_SQL, ("text", "redundancy", "ngram", "corpus-health")),
     "adstock_attribution": QuerySpec(EV.adstock_attribution, EV.ADSTOCK_ATTRIBUTION_SQL, ("attribution", "adstock", "decay-weighted")),
-    "forecast_bakeoff": QuerySpec(EV.forecast_bakeoff, EV.FORECAST_BAKEOFF_SQL, ("forecast", "bakeoff", "evaluation")),
-    "type_comovement_matrix": QuerySpec(EV.type_comovement_matrix, EV.TYPE_COMOVEMENT_MATRIX_SQL, ("timeseries", "correlation-matrix", "comovement")),
     "fano_burstiness": QuerySpec(EV.fano_burstiness, EV.FANO_BURSTINESS_SQL, ("capacity", "burstiness", "fano", "dispersion")),
     "coactivity_triangles": QuerySpec(EV.coactivity_triangles, EV.COACTIVITY_TRIANGLES_SQL, ("graph", "triangles", "self-join")),
     "user_proximity_pairs": QuerySpec(GQ.user_proximity_pairs, GQ.USER_PROXIMITY_PAIRS_SQL, ("geo", "range-join", "grid")),
     # --- round-9 green, displaced by the r10 rotation (all hold a
     # CORRECTNESS_r09.json full-oracle PASS) ---
-    "value_moments_profile": QuerySpec(EV.value_moments_profile, EV.VALUE_MOMENTS_PROFILE_SQL, ("agg", "moments", "deterministic")),
-    "autocorr_daily_value": QuerySpec(EV.autocorr_daily_value, EV.AUTOCORR_DAILY_VALUE_SQL, ("timeseries", "acf", "integer-exact")),
-    "target_encode_event_type": QuerySpec(EV.target_encode_event_type, EV.TARGET_ENCODE_EVENT_TYPE_SQL, ("ml", "target-encoding", "kfold", "leakage-safe")),
-    "bootstrap_mean_ci": QuerySpec(EV.bootstrap_mean_ci, EV.BOOTSTRAP_MEAN_CI_SQL, ("experiment", "bootstrap", "poisson", "ci", "deterministic")),
-    "ols_daily_trend": QuerySpec(EV.ols_daily_trend, EV.OLS_DAILY_TREND_SQL, ("timeseries", "regression", "ols", "integer-moments")),
-    "value_psi_drift": QuerySpec(EV.value_psi_drift, EV.VALUE_PSI_DRIFT_SQL, ("quality", "psi", "drift", "monitoring")),
-    "theil_sen_daily_trend": QuerySpec(EV.theil_sen_daily_trend, EV.THEIL_SEN_DAILY_TREND_SQL, ("timeseries", "robust", "theil-sen", "trend")),
-    "benjamini_hochberg_fdr": QuerySpec(EV.benjamini_hochberg_fdr, EV.BENJAMINI_HOCHBERG_FDR_SQL, ("experiment", "fdr", "multiple-testing", "bh")),
     "source_mmd_hashed": QuerySpec(NS.source_mmd_hashed, NS.SOURCE_MMD_HASHED_SQL, ("text", "drift", "mmd", "hashed-features")),
     "self_join_skew_profile": QuerySpec(EV.self_join_skew_profile, EV.SELF_JOIN_SKEW_PROFILE_SQL, ("join", "skew", "diagnostics", "planner")),
-    "ipw_outcome_estimate": QuerySpec(EV.ipw_outcome_estimate, EV.IPW_OUTCOME_ESTIMATE_SQL, ("causal", "ipw", "propensity", "ordered-fold")),
-    "cuped_adjusted_lift": QuerySpec(EV.cuped_adjusted_lift, EV.CUPED_ADJUSTED_LIFT_SQL, ("experiment", "cuped", "variance-reduction", "covariate")),
-    "quantile_sample_det": QuerySpec(EV.quantile_sample_det, EV.QUANTILE_SAMPLE_DET_SQL, ("sketch", "quantile", "sampling", "deterministic")),
-    "ols_weekend_effect": QuerySpec(EV.ols_weekend_effect, EV.OLS_WEEKEND_EFFECT_SQL, ("regression", "ols", "integer-exact", "cramer")),
     "semdedup_silhouette": QuerySpec(NS.semdedup_silhouette, NS.SEMDEDUP_SILHOUETTE_SQL, ("dedup", "semantic", "silhouette", "cluster-quality")),
     "length_bias_auc": QuerySpec(NS.length_bias_auc, NS.LENGTH_BIAS_AUC_SQL, ("ml-eval", "auc", "bias-audit", "rank-stats")),
     "activity_tail_hill": QuerySpec(TQ.activity_tail_hill, TQ.ACTIVITY_TAIL_HILL_SQL, ("stats", "heavy-tail", "hill", "ordered-fold")),
     "degree_assortativity": QuerySpec(TQ.degree_assortativity, TQ.DEGREE_ASSORTATIVITY_SQL, ("graph", "assortativity", "integer-exact")),
-    "ab_test_welch": QuerySpec(EV.ab_test_welch, EV.AB_TEST_WELCH_SQL, ("experiment", "welch", "ab-test", "integer-exact")),
-    "woe_value_bins": QuerySpec(EV.woe_value_bins, EV.WOE_VALUE_BINS_SQL, ("ml", "woe", "information-value", "binning")),
-    "neyman_allocation_plan": QuerySpec(EV.neyman_allocation_plan, EV.NEYMAN_ALLOCATION_PLAN_SQL, ("sampling", "stratified", "neyman", "design")),
-    "mann_whitney_variants": QuerySpec(EV.mann_whitney_variants, EV.MANN_WHITNEY_VARIANTS_SQL, ("experiment", "mann-whitney", "nonparametric", "rank-test")),
-    "kendall_tau_daily": QuerySpec(EV.kendall_tau_daily, EV.KENDALL_TAU_DAILY_SQL, ("stats", "kendall", "rank-correlation", "tie-corrected")),
-    "jackknife_daily_mean": QuerySpec(EV.jackknife_daily_mean, EV.JACKKNIFE_DAILY_MEAN_SQL, ("stats", "jackknife", "resampling-free", "exact")),
     "eb_shrunk_conversion": QuerySpec(EV.eb_shrunk_conversion, EV.EB_SHRUNK_CONVERSION_SQL, ("stats", "empirical-bayes", "shrinkage", "beta-binomial")),
-    "daily_revenue_changepoint": QuerySpec(EV.daily_revenue_changepoint, EV.DAILY_REVENUE_CHANGEPOINT_SQL, ("timeseries", "changepoint", "binary-segmentation", "integer-exact")),
     "rrf_hybrid_retrieval": QuerySpec(NS.rrf_hybrid_retrieval, NS.RRF_HYBRID_RETRIEVAL_SQL, ("retrieval", "rrf", "hybrid", "rag")),
-    "rdd_value_threshold": QuerySpec(EV.rdd_value_threshold, EV.RDD_VALUE_THRESHOLD_SQL, ("causal", "regression-discontinuity", "local-linear", "integer-exact")),
-    "covariate_balance_smd": QuerySpec(EV.covariate_balance_smd, EV.COVARIATE_BALANCE_SMD_SQL, ("experiment", "balance", "smd", "randomization-check")),
     "span_dedup_corpus": QuerySpec(NS.span_dedup_corpus, NS.SPAN_DEDUP_CORPUS_SQL, ("dedup", "spans", "training-data")),
     "stream_sliding_counts": QuerySpec(NS.stream_sliding_counts, NS.STREAM_SLIDING_COUNTS_SQL, ("streaming", "sliding-window")),
     "stream_dedup_keys": QuerySpec(NS.stream_dedup_keys, NS.STREAM_DEDUP_KEYS_SQL, ("streaming", "dedup", "watermark")),
@@ -405,41 +417,30 @@ _BACKLOG: dict[str, QuerySpec] = {
     "order_price_deciles": QuerySpec(EV.order_price_deciles, EV.ORDER_PRICE_DECILES_SQL, ("window", "ntile")),
     "curriculum_order": QuerySpec(NS.curriculum_order, NS.CURRICULUM_ORDER_SQL, ("training-data", "curriculum", "prefix-sum")),
     "purchase_attribution_asof": QuerySpec(EV.purchase_attribution_asof, EV.PURCHASE_ATTRIBUTION_ASOF_SQL, ("join", "asof", "pandas-udf")),
-    "stream_upsert_scd1": QuerySpec(NS.stream_upsert_scd1, NS.STREAM_UPSERT_SCD1_SQL, ("streaming", "foreachbatch", "scd1", "upsert", "commit-protocol")),
     # --- round-8 green, displaced by the r9 rotation (all hold a
     # CORRECTNESS_r08.json full-oracle PASS) ---
     "pca_top_component": QuerySpec(NS.pca_top_component, NS.PCA_TOP_COMPONENT_SQL, ("ml", "pca", "power-iteration", "integer-exact", "deterministic")),
     "activity_streak_histogram": QuerySpec(EV.activity_streak_histogram, EV.ACTIVITY_STREAK_HISTOGRAM_SQL, ("window", "gaps-and-islands", "streak", "engagement")),
     "brand_cf_similarity": QuerySpec(TQ.brand_cf_similarity, TQ.BRAND_CF_SIMILARITY_SQL, ("recsys", "item-item", "collaborative-filtering")),
-    "duplicate_invoice_screen": QuerySpec(TQ.duplicate_invoice_screen, TQ.DUPLICATE_INVOICE_SCREEN_SQL, ("fraud", "dedup", "banded-self-join")),
     "user_cf_recommendations": QuerySpec(TQ.user_cf_recommendations, TQ.USER_CF_RECOMMENDATIONS_SQL, ("recsys", "recommendations", "item-item", "anti-join")),
     "token_npmi_pairs": QuerySpec(NS.token_npmi_pairs, NS.TOKEN_NPMI_PAIRS_SQL, ("text", "npmi", "collocation")),
     "mm1_wait_estimate": QuerySpec(EV.mm1_wait_estimate, EV.MM1_WAIT_ESTIMATE_SQL, ("capacity", "queueing", "mm1")),
     "k_anonymity_audit": QuerySpec(TQ.k_anonymity_audit, TQ.K_ANONYMITY_AUDIT_SQL, ("privacy", "k-anonymity", "audit")),
     "shipping_latency_sla": QuerySpec(TQ.shipping_latency_sla, TQ.SHIPPING_LATENCY_SLA_SQL, ("sla", "latency", "order-statistic", "percentile")),
     "referential_integrity_audit": QuerySpec(TQ.referential_integrity_audit, TQ.REFERENTIAL_INTEGRITY_AUDIT_SQL, ("quality", "referential-integrity", "anti-join", "audit")),
-    "ks_test_variants": QuerySpec(EV.ks_test_variants, EV.KS_TEST_VARIANTS_SQL, ("experiment", "kolmogorov-smirnov", "ecdf", "integer-exact")),
     "odds_ratio_conversion": QuerySpec(EV.odds_ratio_conversion, EV.ODDS_RATIO_CONVERSION_SQL, ("experiment", "odds-ratio", "wald-ci", "binary-outcome")),
-    "max_drawdown_daily_revenue": QuerySpec(EV.max_drawdown_daily_revenue, EV.MAX_DRAWDOWN_DAILY_REVENUE_SQL, ("finance", "drawdown", "running-peak")),
     "discount_elasticity": QuerySpec(TQ.discount_elasticity, TQ.DISCOUNT_ELASTICITY_SQL, ("econometrics", "elasticity", "log-log", "ordered-fold")),
     "order_cycle_percentiles": QuerySpec(TQ.order_cycle_percentiles, TQ.ORDER_CYCLE_PERCENTILES_SQL, ("crm", "cycle-time", "order-statistic")),
     "new_vs_returning_daily": QuerySpec(EV.new_vs_returning_daily, EV.NEW_VS_RETURNING_DAILY_SQL, ("engagement", "new-vs-returning", "first-seen")),
     "kaplan_meier_by_variant": QuerySpec(EV.kaplan_meier_by_variant, EV.KAPLAN_MEIER_BY_VARIANT_SQL, ("survival", "kaplan-meier", "experiment", "stratified")),
-    "price_dispersion_by_brand": QuerySpec(TQ.price_dispersion_by_brand, TQ.PRICE_DISPERSION_BY_BRAND_SQL, ("pricing", "dispersion", "cv", "integer-moments")),
-    "anova_eta_squared": QuerySpec(EV.anova_eta_squared, EV.ANOVA_ETA_SQUARED_SQL, ("statistics", "anova", "effect-size", "ordered-fold")),
-    "order_backlog_aging": QuerySpec(TQ.order_backlog_aging, TQ.ORDER_BACKLOG_AGING_SQL, ("operations", "aging", "backlog")),
     "revenue_waterfall": QuerySpec(TQ.revenue_waterfall, TQ.REVENUE_WATERFALL_SQL, ("finance", "waterfall", "reconciliation", "integer-exact")),
-    "supplier_customer_dependency": QuerySpec(TQ.supplier_customer_dependency, TQ.SUPPLIER_CUSTOMER_DEPENDENCY_SQL, ("risk", "concentration", "argmax")),
     "sample_representativeness_audit": QuerySpec(EV.sample_representativeness_audit, EV.SAMPLE_REPRESENTATIVENESS_AUDIT_SQL, ("sampling", "audit", "representativeness")),
-    "first_touch_attribution": QuerySpec(EV.first_touch_attribution, EV.FIRST_TOUCH_ATTRIBUTION_SQL, ("attribution", "first-touch", "argmin")),
     "user_activity_histogram": QuerySpec(EV.user_activity_histogram, EV.USER_ACTIVITY_HISTOGRAM_SQL, ("engagement", "histogram", "power-of-two", "skew")),
     "multimodal_decode_features": QuerySpec(NS.multimodal_decode_features, NS.MULTIMODAL_DECODE_FEATURES_SQL, ("multimodal", "pandas-udf")),
     "multimodal_resize": QuerySpec(NS.multimodal_resize, NS.MULTIMODAL_RESIZE_SQL, ("multimodal", "pandas-udf")),
     "multimodal_frames": QuerySpec(NS.multimodal_frames, NS.MULTIMODAL_FRAMES_SQL, ("multimodal", "pandas-udf", "generator")),
     "ann_brute_force": QuerySpec(NS.ann_brute_force, NS.ANN_BRUTE_FORCE_SQL, ("ann",)),
-    "user_value_twap": QuerySpec(EV.user_value_twap, EV.USER_VALUE_TWAP_SQL, ("timeseries", "window", "weighted-mean")),
     "rolling_zscore_anomaly": QuerySpec(EV.rolling_zscore_anomaly, EV.ROLLING_ZSCORE_ANOMALY_SQL, ("window", "range-frame", "anomaly", "integer-exact")),
-    "gini_customer_revenue": QuerySpec(TQ.gini_customer_revenue, TQ.GINI_CUSTOMER_REVENUE_SQL, ("inequality", "gini", "integer-exact")),
     # --- round-7 green, displaced by the r8 rotation (all hold a
     # CORRECTNESS_r07.json full-oracle PASS) ---
     "hash_collision_audit": QuerySpec(NS.hash_collision_audit, NS.HASH_COLLISION_AUDIT_SQL, ("ml", "feature-hashing", "collision", "audit")),
