@@ -170,3 +170,47 @@ def test_pagerank_deg_col_bit_identical_general_loop_with_multiedges(spark):
         finally:
             G.GENERAL_DRIVER_TIER_ENABLED = orig
     assert len({tuple(v) for v in out.values()}) == 1, out
+
+def test_pagerank_deg_col_property_random_graphs(spark):
+    """Property harness for the r13 deg_col fusion: on random small
+    digraphs (dangles, duplicate edges, cycles, multiple components all
+    arise naturally), pagerank_intexact must return BIT-identical ranks
+    whether out-degree is self-computed or supplied via deg_col, with
+    the general driver tier on AND off. Seeded stdlib RNG per the
+    test_round11_fixes.py property-harness note (hypothesis float/graph
+    strategies avoided; one Spark pipeline per draw)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import hadoop_data_lake_spark.operators.graph as G
+
+    rng = random.Random(0x13D6C0)
+    for draw in range(4):
+        n = rng.randint(2, 14)
+        m = rng.randint(1, 28)
+        rows = [
+            (rng.randint(0, n - 1), rng.randint(0, n - 1)) for _ in range(m)
+        ]
+        rows = [(s, d) for s, d in rows if s != d] or [(0, 1)]
+        outs = set()
+        for enabled in (True, False):
+            orig = G.GENERAL_DRIVER_TIER_ENABLED
+            G.GENERAL_DRIVER_TIER_ENABLED = enabled
+            try:
+                e = spark.createDataFrame(rows, "src long, dst long")
+                outs.add(tuple(_ranks(G.pagerank_intexact(e, iters=3))))
+                e_deg = e.repartition("src").withColumn(
+                    "deg", F.count("*").over(Window.partitionBy("src"))
+                )
+                outs.add(
+                    tuple(
+                        _ranks(
+                            G.pagerank_intexact(e_deg, iters=3, deg_col="deg")
+                        )
+                    )
+                )
+            finally:
+                G.GENERAL_DRIVER_TIER_ENABLED = orig
+        assert len(outs) == 1, (draw, rows)
