@@ -214,3 +214,47 @@ def test_pagerank_deg_col_property_random_graphs(spark):
             finally:
                 G.GENERAL_DRIVER_TIER_ENABLED = orig
         assert len(outs) == 1, (draw, rows)
+
+# -------------------------------------------- round-artifact checklist gate
+
+
+def test_backlog_artifacts_gate(tmp_path):
+    """`backlog_report --artifacts` (VERDICT r12 item 2 tooling): exit 1
+    while a round artifact is untracked, 0 once the trail is clean. Run
+    against a scratch git repo so the real working tree stays untouched."""
+    import subprocess
+
+    import tools.backlog_report as br
+
+    def run_in(cwd):
+        # assert_artifacts shells out to git in the CURRENT cwd
+        import os
+
+        old = os.getcwd()
+        os.chdir(cwd)
+        try:
+            return br.assert_artifacts()
+        finally:
+            os.chdir(old)
+
+    repo = tmp_path / "r"
+    repo.mkdir()
+    subprocess.run(["git", "init", "-q"], cwd=repo, check=True)
+    subprocess.run(
+        ["git", "-c", "user.email=t@t", "-c", "user.name=t",
+         "commit", "-q", "--allow-empty", "-m", "root"],
+        cwd=repo, check=True,
+    )
+    assert run_in(repo) == 0  # no artifacts at all: clean
+    (repo / "CORRECTNESS_r99.json").write_text("{}")
+    (repo / "bench_detail.json").write_text("{}")
+    assert run_in(repo) == 1  # untracked artifacts: dirty
+    subprocess.run(
+        ["git", "-c", "user.email=t@t", "-c", "user.name=t",
+         "add", "-A"], cwd=repo, check=True)
+    subprocess.run(
+        ["git", "-c", "user.email=t@t", "-c", "user.name=t",
+         "commit", "-q", "-m", "artifacts"], cwd=repo, check=True)
+    assert run_in(repo) == 0  # committed: clean
+    (repo / "bench_detail.json").write_text('{"changed": true}')
+    assert run_in(repo) == 1  # modified tracked artifact: dirty

@@ -20,6 +20,12 @@ displaced again before grading. This makes it mechanical:
                                               # exit 1 unless every non-guard
                                               # window slot is first-time or a
                                               # declared INTENTIONAL_REGRADE
+    python tools/backlog_report.py --artifacts # round-start checklist gate
+                                              # (VERDICT r12 item 2): exit 1
+                                              # while any round artifact
+                                              # (CORRECTNESS_r*/BENCH_r*.json,
+                                              # bench_detail.json) is
+                                              # untracked or modified
 """
 
 from __future__ import annotations
@@ -396,6 +402,31 @@ def assert_rotation() -> int:
     return 0
 
 
+def assert_artifacts() -> int:
+    """Round-start checklist gate (VERDICT r12 item 2): the driver writes
+    CORRECTNESS_r{N}.json / BENCH_r{N}.json / bench_detail.json AFTER the
+    round's last commit, so they sit untracked at the next round's start —
+    and r11 AND r12 both forgot to commit them until the judge flagged it.
+    Exit 1 (listing the offenders) while any round artifact is untracked
+    or carries uncommitted modifications; exit 0 when the trail is clean.
+    Staleness attribution silently degrades to file mtime for untracked
+    artifacts (correctness_file_epoch), so a dirty trail also skews the
+    --stale ladder."""
+    porcelain = subprocess.run(
+        ["git", "status", "--porcelain", "--",
+         "CORRECTNESS_r*.json", "BENCH_r*.json", "bench_detail.json"],
+        capture_output=True, text=True,
+    ).stdout.splitlines()
+    dirty = [ln for ln in porcelain if ln.strip()]
+    if dirty:
+        print("round artifacts NOT committed (commit them at round start):")
+        for ln in dirty:
+            print(f"  {ln}")
+        return 1
+    print("round artifacts all committed")
+    return 0
+
+
 def main() -> None:
     graded = graded_ever()
     names = list(REGISTRY)
@@ -424,6 +455,8 @@ if __name__ == "__main__":
     try:
         if "--assert" in sys.argv:
             sys.exit(assert_rotation())
+        elif "--artifacts" in sys.argv:
+            sys.exit(assert_artifacts())
         elif "--stale" in sys.argv:
             stale_report()
         else:
