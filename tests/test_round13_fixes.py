@@ -258,3 +258,56 @@ def test_backlog_artifacts_gate(tmp_path):
     assert run_in(repo) == 0  # committed: clean
     (repo / "bench_detail.json").write_text('{"changed": true}')
     assert run_in(repo) == 1  # modified tracked artifact: dirty
+
+def test_lpa_null_weight_property_random_graphs(spark):
+    """Property extension of the r12 NULL-weight fix: on random digraphs
+    where ~1/3 of edge weights are SQL NULL (all-null candidate groups,
+    null-vs-zero ranking corners, and multi-edges arise naturally), the
+    LPA driver tier must stay BIT-identical to the distributed loop.
+    Same seeded-RNG harness as the pagerank deg_col property test."""
+    import random
+
+    import hadoop_data_lake_spark.operators.graph as G
+
+    rng = random.Random(0x13A11)
+    for draw in range(4):
+        n = rng.randint(2, 10)
+        m = rng.randint(2, 24)
+        rows = []
+        for _ in range(m):
+            s, d = rng.randint(0, n - 1), rng.randint(0, n - 1)
+            if s == d:
+                continue
+            w = None if rng.random() < 0.34 else rng.randint(0, 5)
+            rows.append((f"n{s}", f"n{d}", w))
+        if not rows:
+            rows = [("n0", "n1", None)]
+        fast, dist = _lpa_both_tiers_r13(spark, rows, iters=3)
+        assert fast == dist, (draw, rows)
+
+
+def _lpa_both_tiers_r13(spark, rows, iters):
+    import hadoop_data_lake_spark.operators.graph as G
+
+    out = []
+    for enabled in (True, False):
+        orig = G.GENERAL_DRIVER_TIER_ENABLED
+        G.GENERAL_DRIVER_TIER_ENABLED = enabled
+        try:
+            e = spark.createDataFrame(
+                rows, "brand_a string, brand_b string, w long"
+            )
+            out.append(
+                sorted(
+                    map(
+                        tuple,
+                        G.lpa_communities(
+                            e, src="brand_a", dst="brand_b", weight="w",
+                            iters=iters,
+                        ).collect(),
+                    )
+                )
+            )
+        finally:
+            G.GENERAL_DRIVER_TIER_ENABLED = orig
+    return out
