@@ -91,7 +91,11 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     from hadoop_data_lake_spark.operators import similarity as SIM
 
-    SIM.ANN_DEPLOY_OVERRIDES.clear()  # per-invocation, never sticky
+    # Snapshot, don't clear (driver-ADVICE r13): main() must undo only its
+    # OWN changes — an in-process caller that pre-set overrides and then
+    # calls main() gets its state back verbatim, while CLI flags still
+    # never outlive the invocation.
+    _overrides_snapshot = dict(SIM.ANN_DEPLOY_OVERRIDES)
     if getattr(args, "auto_scale", False):
         SIM.ANN_DEPLOY_OVERRIDES["auto_scale"] = True
         if args.scan_budget is not None:
@@ -110,8 +114,11 @@ def main(argv: list[str] | None = None) -> int:
         # Never leave the scaled posture set for the rest of the process
         # (driver-ADVICE r12): a raising query would otherwise leak the
         # overrides into any in-process caller (runner, tests) that runs
-        # graded ANN queries after main() returns.
+        # graded ANN queries after main() returns. Restore the entry
+        # snapshot rather than clearing (driver-ADVICE r13) so a caller's
+        # pre-set overrides survive the call.
         SIM.ANN_DEPLOY_OVERRIDES.clear()
+        SIM.ANN_DEPLOY_OVERRIDES.update(_overrides_snapshot)
     return 0
 
 

@@ -92,50 +92,94 @@ def _contract_ok(node: ast.AST, local_defs: dict[str, ast.AST], depth: int = 0) 
     return False
 
 
+def _top_level_functions(tree: ast.Module):
+    """Top-level functions plus methods of top-level classes — each call
+    site is owned by exactly ONE scope (driver-ADVICE r13: ast.walk(tree)
+    visited nested FunctionDefs as their own roots too, so a kernel call
+    inside a nested function was double-counted in the ratchet)."""
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            yield node
+        elif isinstance(node, ast.ClassDef):
+            for sub in node.body:
+                if isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    yield sub
+
+
+def _scope_sites(mod: str, root: ast.AST, local_defs: dict[str, ast.AST]):
+    """Kernel call sites under `root` (one scope), resolved against
+    `local_defs`."""
+    for node in ast.walk(root):
+        if not isinstance(node, ast.Call):
+            continue
+        f = node.func
+        name = (
+            f.id
+            if isinstance(f, ast.Name)
+            else f.attr if isinstance(f, ast.Attribute) else None
+        )
+        if name not in KERNELS or not node.args:
+            continue
+        scale = "2"
+        if len(node.args) > 1:
+            scale = ast.unparse(node.args[1])
+        for kw in node.keywords:
+            if kw.arg == "scale":
+                scale = ast.unparse(kw.value)
+        yield (
+            os.path.basename(mod),
+            name,
+            ast.unparse(node.args[0]),
+            scale,
+            _contract_ok(node.args[0], local_defs),
+        )
+
+
+def _assigns(root: ast.AST) -> dict[str, ast.AST]:
+    out: dict[str, ast.AST] = {}
+    for stmt in ast.walk(root):
+        if (
+            isinstance(stmt, ast.Assign)
+            and len(stmt.targets) == 1
+            and isinstance(stmt.targets[0], ast.Name)
+        ):
+            out[stmt.targets[0].id] = stmt.value
+    return out
+
+
 def _collect_sites() -> list[tuple[str, str, str, str, bool]]:
     """(module, kernel, arg_src, scale_src, grammar_ok) per call site,
     sorted. Local `name = expr` assignments are resolved per enclosing
-    function so q1's `charge`/`disc_price` intermediates participate."""
+    top-level function so q1's `charge`/`disc_price` intermediates
+    participate; module-level statements are their own scope (resolved
+    against module-level assignments) so a module-level kernel call
+    cannot bypass the grammar or the ratchet (driver-ADVICE r13)."""
     sites = []
     for mod in QUERY_MODULES:
         tree = ast.parse(open(os.path.join(REPO, mod)).read())
-        for fn in ast.walk(tree):
-            if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+        for fn in _top_level_functions(tree):
+            sites.extend(_scope_sites(mod, fn, _assigns(fn)))
+        module_defs = {
+            t: v
+            for stmt in tree.body
+            if isinstance(stmt, ast.Assign)
+            and len(stmt.targets) == 1
+            and isinstance(stmt.targets[0], ast.Name)
+            for t, v in ((stmt.targets[0].id, stmt.value),)
+        }
+        for stmt in tree.body:
+            if isinstance(stmt, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue  # owned above
+            if isinstance(stmt, ast.ClassDef):
+                # methods owned above; class-body-level statements are
+                # their own scope
+                for sub in stmt.body:
+                    if not isinstance(
+                        sub, (ast.FunctionDef, ast.AsyncFunctionDef)
+                    ):
+                        sites.extend(_scope_sites(mod, sub, module_defs))
                 continue
-            local_defs: dict[str, ast.AST] = {}
-            for stmt in ast.walk(fn):
-                if (
-                    isinstance(stmt, ast.Assign)
-                    and len(stmt.targets) == 1
-                    and isinstance(stmt.targets[0], ast.Name)
-                ):
-                    local_defs[stmt.targets[0].id] = stmt.value
-            for node in ast.walk(fn):
-                if not isinstance(node, ast.Call):
-                    continue
-                f = node.func
-                name = (
-                    f.id
-                    if isinstance(f, ast.Name)
-                    else f.attr if isinstance(f, ast.Attribute) else None
-                )
-                if name not in KERNELS or not node.args:
-                    continue
-                scale = "2"
-                if len(node.args) > 1:
-                    scale = ast.unparse(node.args[1])
-                for kw in node.keywords:
-                    if kw.arg == "scale":
-                        scale = ast.unparse(kw.value)
-                sites.append(
-                    (
-                        os.path.basename(mod),
-                        name,
-                        ast.unparse(node.args[0]),
-                        scale,
-                        _contract_ok(node.args[0], local_defs),
-                    )
-                )
+            sites.extend(_scope_sites(mod, stmt, module_defs))
     return sorted(sites)
 
 

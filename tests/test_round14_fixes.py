@@ -1,0 +1,173 @@
+"""Regression tests for the round-14 hardening (ADVICE r13 items).
+
+- __main__.main: ANN_DEPLOY_OVERRIDES is snapshot/restored rather than
+  cleared, so an in-process caller that pre-set overrides and then calls
+  main() gets its state back — main() undoes only its OWN changes.
+- tools/backlog_report.py assert_artifacts: fails CLOSED when git itself
+  fails (empty stdout from a failed `git status` must not read as "all
+  committed").
+- tests/test_fixedpoint_contract_lint.py collectors: a kernel call inside
+  a nested function is counted exactly once, and module-level kernel
+  calls are collected (they previously escaped both the grammar and the
+  ratchet).
+"""
+
+import ast
+import subprocess
+import sys
+import types
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------- CLI override snapshot
+
+
+def test_cli_restores_preset_overrides_after_raise(spark, monkeypatch):
+    """ADVICE r13: main() must undo only its own override changes — a
+    caller's pre-set posture survives a raising CLI query."""
+    from hadoop_data_lake_spark.__main__ import main
+    from hadoop_data_lake_spark.operators import similarity as SIM
+    from hadoop_data_lake_spark.queries import registry as R
+
+    preset = {"auto_scale": True, "scan_budget": 0.5}
+    monkeypatch.setattr(SIM, "ANN_DEPLOY_OVERRIDES", dict(preset))
+
+    def boom(spark_, sf_dir):
+        raise RuntimeError("mid-query failure")
+
+    monkeypatch.setitem(
+        R.REGISTRY,
+        "boom_test_only",
+        types.SimpleNamespace(fn=boom, oracle=None, tags=("test",)),
+    )
+    with pytest.raises(RuntimeError, match="mid-query failure"):
+        main(["run", "boom_test_only", "--sf-dir", SF_DIR])
+    assert SIM.ANN_DEPLOY_OVERRIDES == preset
+
+
+def test_cli_restores_preset_overrides_after_success(spark, monkeypatch):
+    """CLI flags compose on top of the caller's posture for the duration
+    of the invocation, then the entry snapshot is restored verbatim."""
+    from hadoop_data_lake_spark.__main__ import main
+    from hadoop_data_lake_spark.operators import similarity as SIM
+    from hadoop_data_lake_spark.queries import registry as R
+
+    preset = {"scan_budget": 0.125}
+    monkeypatch.setattr(SIM, "ANN_DEPLOY_OVERRIDES", dict(preset))
+
+    seen = {}
+
+    def probe(spark_, sf_dir):
+        seen.update(SIM.ANN_DEPLOY_OVERRIDES)
+        return spark_.range(1)
+
+    monkeypatch.setitem(
+        R.REGISTRY,
+        "probe_test_only",
+        types.SimpleNamespace(fn=probe, oracle=None, tags=("test",)),
+    )
+    rc = main(
+        ["run", "probe_test_only", "--sf-dir", SF_DIR, "--limit", "1",
+         "--auto-scale"]
+    )
+    assert rc == 0
+    # during the run: CLI flag layered over the caller's preset
+    assert seen == {"scan_budget": 0.125, "auto_scale": True}
+    # after: exactly the caller's preset, the CLI's own change undone
+    assert SIM.ANN_DEPLOY_OVERRIDES == preset
+
+
+# ------------------------------------------------- artifacts gate fail-closed
+
+
+def test_assert_artifacts_fails_closed_outside_git(tmp_path):
+    """ADVICE r13: when `git status` itself fails (not a repo), the gate
+    must exit non-zero instead of reading the empty stdout as clean."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "backlog_report.py"),
+         "--artifacts"],
+        cwd=tmp_path,
+        capture_output=True,
+        text=True,
+        env={**os.environ, "GIT_CEILING_DIRECTORIES": str(tmp_path)},
+    )
+    assert proc.returncode != 0
+    assert "git status failed" in proc.stderr or "fatal" in proc.stderr.lower()
+
+
+# ------------------------------------------------- lint collector scoping
+
+
+def _sites_for_source(src: str):
+    from tests import test_fixedpoint_contract_lint as L
+
+    tree = ast.parse(src)
+    sites = []
+    for fn in L._top_level_functions(tree):
+        sites.extend(L._scope_sites("synthetic.py", fn, L._assigns(fn)))
+    module_defs = {
+        stmt.targets[0].id: stmt.value
+        for stmt in tree.body
+        if isinstance(stmt, ast.Assign)
+        and len(stmt.targets) == 1
+        and isinstance(stmt.targets[0], ast.Name)
+    }
+    for stmt in tree.body:
+        if isinstance(stmt, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        if isinstance(stmt, ast.ClassDef):
+            for sub in stmt.body:
+                if not isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    sites.extend(L._scope_sites("synthetic.py", sub, module_defs))
+            continue
+        sites.extend(L._scope_sites("synthetic.py", stmt, module_defs))
+    return sorted(sites)
+
+
+def test_lint_counts_nested_function_call_once():
+    """ADVICE r13: ast.walk(tree) used to visit a nested FunctionDef as
+    its own root, double-counting its kernel calls in the ratchet."""
+    src = (
+        "def outer():\n"
+        "    x = F.col('value')\n"
+        "    def inner():\n"
+        "        return to_units(x, 2)\n"
+        "    return inner\n"
+    )
+    sites = _sites_for_source(src)
+    assert len(sites) == 1
+    mod, kernel, arg, scale, ok = sites[0]
+    assert (kernel, arg, scale) == ("to_units", "x", "2")
+    assert ok  # resolved through the enclosing function's assignment
+
+
+def test_lint_collects_module_level_call():
+    """ADVICE r13: module-level kernel calls previously escaped both the
+    grammar and the ratchet."""
+    src = (
+        "base = F.col('value')\n"
+        "MODULE_CONST = to_units(base, 2)\n"
+        "BAD_CONST = to_units(F.col('unbounded_ratio'), 2)\n"
+    )
+    sites = _sites_for_source(src)
+    assert len(sites) == 2
+    by_arg = {arg: ok for _, _, arg, _, ok in sites}
+    assert by_arg["base"] is True  # resolved via module-level assignment
+    assert by_arg["F.col('unbounded_ratio')"] is False  # grammar rejects
+
+
+def test_lint_pinned_ratchet_unchanged():
+    """The scoping fix must not change today's collected multiset — no
+    nested or module-level kernel calls exist in the query modules."""
+    from collections import Counter
+
+    from tests import test_fixedpoint_contract_lint as L
+
+    got = Counter((m, k, a, s) for m, k, a, s, _ in L._collect_sites())
+    assert got == Counter(L.PINNED_SITES)

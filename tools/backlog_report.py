@@ -412,12 +412,20 @@ def assert_artifacts() -> int:
     Staleness attribution silently degrades to file mtime for untracked
     artifacts (correctness_file_epoch), so a dirty trail also skews the
     --stale ladder."""
-    porcelain = subprocess.run(
+    proc = subprocess.run(
         ["git", "status", "--porcelain", "--",
          "CORRECTNESS_r*.json", "BENCH_r*.json", "bench_detail.json"],
         capture_output=True, text=True,
-    ).stdout.splitlines()
-    dirty = [ln for ln in porcelain if ln.strip()]
+    )
+    if proc.returncode != 0:
+        # Fail CLOSED (driver-ADVICE r13): an empty stdout from a failed
+        # git call (not a repo, wrong cwd, git missing) must not read as
+        # "all committed".
+        print("git status failed — cannot verify round artifacts:",
+              file=sys.stderr)
+        print(proc.stderr.strip(), file=sys.stderr)
+        return 1
+    dirty = [ln for ln in proc.stdout.splitlines() if ln.strip()]
     if dirty:
         print("round artifacts NOT committed (commit them at round start):")
         for ln in dirty:
