@@ -1,0 +1,54 @@
+"""Bench-scale sweep variants (VERDICT r13 item 6).
+
+A handful of graded oracles build DENSE per-user time spines whose
+DuckDB plan grows super-linearly with the data span: at sf0.1 the
+`user_value_interpolate` oracle materializes a ~65M-row 10-minute grid
+and runs four IGNORE-NULLS windows over it single-threaded (~25 min of
+the ~40-min full-registry sweep — the Spark side takes ~1.2 s). The
+driver gate runs at sf0.01 where the grids are small; the sf0.1 sweep
+is builder-side INSURANCE, so it may verify the same operator on a
+coarser spine instead of stalling the whole round's gate cycle.
+
+Each entry is a QuerySpec twin of the graded query: the SAME operator
+call with ONLY the spine parameter coarsened, and the oracle SQL with
+the matching constant — every other token identical, so any semantic
+regression in the operator still fails the variant. Used exclusively by
+`tools/check_oracle.py --scaled-variants` (round_gate's sf0.1 close
+step); the graded sf0.01 pair and the sf0.001 sweep are untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_data_lake_spark.core.io import read_table
+from hadoop_data_lake_spark.queries.registry import QuerySpec
+
+
+def _user_value_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded query with bucket_seconds 600 -> 3600 (hourly spine):
+    6x fewer grid rows per user, same interpolation code path."""
+    from hadoop_data_lake_spark.operators.timeseries import time_grid_interpolate
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    return time_grid_interpolate(
+        ev, ["user_id"], "ts", "value", bucket_seconds=3600, tiebreak=["event_id"]
+    )
+
+
+from hadoop_data_lake_spark.queries.events_queries import USER_VALUE_INTERPOLATE_SQL
+
+_USER_VALUE_INTERPOLATE_HOURLY_SQL = USER_VALUE_INTERPOLATE_SQL.replace(
+    "600000000", "3600000000"
+)
+
+SCALED_SWEEP_VARIANTS: dict[str, QuerySpec] = {
+    "user_value_interpolate": QuerySpec(
+        _user_value_interpolate_hourly,
+        _USER_VALUE_INTERPOLATE_HOURLY_SQL,
+        ("timeseries", "scaled-sweep-variant"),
+    ),
+}

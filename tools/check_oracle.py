@@ -6,7 +6,19 @@ order-insensitive value multiset (floats rounded to 9 significant-ish
 decimals before hashing; timestamps normalized to naive UTC).
 
 Usage:
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [sf_dir] [--scaled-variants] [query ...]
+
+--scaled-variants (VERDICT r13 item 6 — bench-scale sweep cost): a few
+oracles build dense per-user time spines whose DuckDB plan is
+super-linear in the data span (user_value_interpolate's 10-minute grid
+is ~65M rows at sf0.1: the one query cost ~25 of the sweep's ~40
+minutes). With the flag, those queries run their registered
+SCALED_SWEEP_VARIANTS twin instead — the SAME operator and code path
+with a coarser spine parameter, and the matching oracle — so the
+full-registry insurance sweep at sf0.1 stays cheap enough to run every
+round. The graded pair (driver gate, sf0.01) is untouched; sf0.001 and
+sf0.01 sweeps must NOT pass the flag. Variant-verified rows are printed
+with a `[scaled]` marker so the log is honest about what was compared.
 """
 
 from __future__ import annotations
@@ -47,7 +59,9 @@ def canonical_multiset(df: pd.DataFrame) -> list[str]:
     return sorted(rows)
 
 
-def run(sf_dir: str, names: list[str]) -> int:
+def run(sf_dir: str, names: list[str], scaled_variants: bool = False) -> int:
+    from hadoop_data_lake_spark.queries.sweep_variants import SCALED_SWEEP_VARIANTS
+
     spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in TABLES:
@@ -56,6 +70,10 @@ def run(sf_dir: str, names: list[str]) -> int:
     failures = 0
     for name in names:
         spec = REGISTRY[name]
+        scaled = scaled_variants and name in SCALED_SWEEP_VARIANTS
+        if scaled:
+            spec = SCALED_SWEEP_VARIANTS[name]
+            name = f"{name} [scaled]"
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir).toPandas()
@@ -95,8 +113,10 @@ def run(sf_dir: str, names: list[str]) -> int:
 
 if __name__ == "__main__":
     args = sys.argv[1:]
+    scaled = "--scaled-variants" in args
+    args = [a for a in args if a != "--scaled-variants"]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     names = args[1:] if len(args) > 1 else list(REGISTRY)
-    rc = run(sf_dir, names)
+    rc = run(sf_dir, names, scaled_variants=scaled)
     print(f"{'ALL OK' if rc == 0 else f'{rc} FAILURES'}")
     sys.exit(1 if rc else 0)

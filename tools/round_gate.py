@@ -90,7 +90,10 @@ def close_steps() -> list[tuple[str, list[str]]]:
         ("rotation-assert", [PY, "tools/backlog_report.py", "--assert"]),
         ("oracle-sf0.001", [PY, "-u", "tools/check_oracle.py", "/root/testdata/sf0.001"]),
         ("window-sf0.01", [PY, "-u", "tools/check_oracle.py", "/root/testdata/sf0.01", *window]),
-        ("window-sf0.1", [PY, "-u", "tools/check_oracle.py", "/root/testdata/sf0.1", *window]),
+        # --scaled-variants: the sf0.1 sweep may verify dense-spine
+        # oracles on their coarser registered twin (VERDICT r13 item 6;
+        # queries/sweep_variants.py) — sf0.001/sf0.01 never pass it.
+        ("window-sf0.1", [PY, "-u", "tools/check_oracle.py", "/root/testdata/sf0.1", "--scaled-variants", *window]),
         ("pytest", [PY, "-m", "pytest", "tests/", "-q"]),
         ("plan-audit", [PY, "tools/plan_audit.py"]),
         ("degenerate", [PY, "tools/degenerate_sweep.py"]),
