@@ -39,9 +39,29 @@ def _user_value_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-from hadoop_data_lake_spark.queries.events_queries import USER_VALUE_INTERPOLATE_SQL
+def _user_value_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded query with bucket_seconds 600 -> 3600 — the forward-fill
+    sibling rides the same dense per-user grid (37 s of the r14 sf0.1
+    sweep segment, next-slowest after interpolate)."""
+    from hadoop_data_lake_spark.operators.timeseries import time_grid_ffill
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    return time_grid_ffill(
+        ev, ["user_id"], "ts", "value", bucket_seconds=3600, tiebreak=["event_id"]
+    )
+
+
+from hadoop_data_lake_spark.queries.events_queries import (
+    USER_VALUE_FFILL_SQL,
+    USER_VALUE_INTERPOLATE_SQL,
+)
 
 _USER_VALUE_INTERPOLATE_HOURLY_SQL = USER_VALUE_INTERPOLATE_SQL.replace(
+    "600000000", "3600000000"
+)
+_USER_VALUE_FFILL_HOURLY_SQL = USER_VALUE_FFILL_SQL.replace(
     "600000000", "3600000000"
 )
 
@@ -49,6 +69,11 @@ SCALED_SWEEP_VARIANTS: dict[str, QuerySpec] = {
     "user_value_interpolate": QuerySpec(
         _user_value_interpolate_hourly,
         _USER_VALUE_INTERPOLATE_HOURLY_SQL,
+        ("timeseries", "scaled-sweep-variant"),
+    ),
+    "user_value_ffill": QuerySpec(
+        _user_value_ffill_hourly,
+        _USER_VALUE_FFILL_HOURLY_SQL,
         ("timeseries", "scaled-sweep-variant"),
     ),
 }
