@@ -144,6 +144,17 @@ def main() -> None:
             .groupBy("user_id", "session_id")
             .count(),
             "zone_report": _zone_report_thunk(spark, ev),
+            # r14 (VERDICT r13 item 8): the full cluster op — minhash
+            # pairs into two-star connected components. The costliest
+            # recurring non-deliberate bench query previously had no
+            # 100x point; CC is O(log n) rounds, so the curve should
+            # track minhash_lsh_pairs plus a near-constant round count.
+            "dedup_clusters": lambda: G.dedup_clusters(
+                DD.minhash_lsh_pairs(
+                    docs, "doc_id", "text",
+                    k=3, num_hashes=16, bands=4, threshold=0.3,
+                ).select("doc_a", "doc_b")
+            ),
             # r10 addition: the SRP-checkpoint near-dup path (the control
             # re-baseline restructured it). FIXED (8x8) LSH parameters
             # saturate their 8*256-bucket space as n grows — unrelated
