@@ -293,3 +293,4 @@ def test_hits_topk_fused_cap_routing(spark):
         assert G.hits_topk_sides_driver(raw, "c", "s", n_edges_bound=2) is None
     finally:
         G.GENERAL_DRIVER_TIER_ENABLED = orig
+
