@@ -113,49 +113,49 @@ STREAMING_GUARD: tuple[str, ...] = (
 #: driver row re-dates it off the ladder.
 INTENTIONAL_REGRADES: frozenset[str] = frozenset({
     "hits_hubs_authorities",
-    "pagerank_det",
-    "textrank_keywords",
-    "lpa_modularity",
-    "brand_communities_lpa",
-    "token_lang_mi",
-    "user_value_twap",
-    "supplier_customer_dependency",
-    "price_dispersion_by_brand",
-    "order_backlog_aging",
-    "max_drawdown_daily_revenue",
-    "ks_test_variants",
-    "gini_customer_revenue",
-    "first_touch_attribution",
-    "duplicate_invoice_screen",
-    "anova_eta_squared",
-    "woe_value_bins",
-    "value_psi_drift",
-    "value_moments_profile",
-    "theil_sen_daily_trend",
-    "target_encode_event_type",
-    "stream_upsert_scd1",
-    "rdd_value_threshold",
-    "quantile_sample_det",
-    "ols_weekend_effect",
-    "ols_daily_trend",
-    "neyman_allocation_plan",
-    "mann_whitney_variants",
-    "kendall_tau_daily",
-    "jackknife_daily_mean",
-    "ipw_outcome_estimate",
-    "daily_revenue_changepoint",
-    "cuped_adjusted_lift",
-    "covariate_balance_smd",
-    "bootstrap_mean_ci",
-    "benjamini_hochberg_fdr",
-    "autocorr_daily_value",
-    "ab_test_welch",
-    "type_comovement_matrix",
-    "seasonal_naive_backtest",
-    "pareto_8020_customers",
-    "observed_scan_metrics",
-    "lorenz_curve_points",
-    "forecast_bakeoff",
+    "customer_rfm_segments",
+    "churn_label_windows",
+    "adstock_attribution",
+    "kcore_purchase_graph",
+    "q15_top_supplier",
+    "q11_important_parts",
+    "monthly_from_daily_mv",
+    "ivm_join_delta",
+    "incremental_orders_agg",
+    "conformal_value_interval",
+    "cohort_ltv_curve",
+    "embedding_near_dup",
+    "doc_lm_perplexity",
+    "doc_lm_kneser_ney",
+    "ann_ivf_det",
+    "customer_order_ranks",
+    "customers_with_orders",
+    "customers_without_orders",
+    "event_pair_candidates",
+    "first_event_per_user",
+    "latest_event_per_user",
+    "nations_customers_not_suppliers",
+    "nations_with_both",
+    "order_percent_ranks",
+    "order_price_percentiles",
+    "props_k_stats",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q16_parts_supplier_counts",
+    "q2_cheapest_supplier_per_nation",
+    "q4_late_orders_by_priority",
+    "top20_orders_global",
+    "top_orders_per_customer",
+    "user_event_history",
+    "user_gap_stats",
+    "user_latest_position",
+    "user_local_time",
+    "user_value_ffill",
+    "weekday_hour_heatmap",
+    "weekly_type_pivot",
+    "bigram_counts",
+    "chunk_text_windows",
+    "dedup_exact",
 })
 
 
@@ -167,64 +167,119 @@ class QuerySpec:
 
 
 _WINDOW: dict[str, QuerySpec] = {
-    # ---- ROUND-13 WINDOW ------------------------------------------------
+    # ---- ROUND-14 WINDOW ------------------------------------------------
     # Every non-guard slot is a DECLARED re-grade (all 44 in
     # INTENTIONAL_REGRADES above; `backlog_report.py --assert`
     # enforces the declaration; rows-only queries cannot occupy a
-    # non-guard slot). Drains the r12 stale-ladder remainder, but
-    # leads with the six queries whose BEHAVIOR changed in r12/r13
-    # (HITS numpy tier + r13 overflow guard, pagerank_det one-exchange
-    # deg fusion, textrank via pagerank_intexact, LPA NULL-weight
-    # semantics x2, token_lang_mi domain fix) ahead of the mechanical
-    # staleness order — see tools/rotate_window_r13.py for the
-    # kernel-change protocol this codifies. The ~15-row remainder
-    # waits in _BACKLOG; check_oracle re-verifies all 352 registered
-    # queries locally every round.
-    # hits_hubs_authorities -> displaces sales_cube (r12-green)
-    # pagerank_det -> displaces rolling_hour_activity (r12-green)
-    # textrank_keywords -> displaces q9_product_profit (r12-green)
-    # lpa_modularity -> displaces q8_market_share (r12-green)
-    # brand_communities_lpa -> displaces q7_volume_shipping (r12-green)
-    # token_lang_mi -> displaces q6_forecast_revenue (r12-green)
-    # user_value_twap -> displaces q5_nation_revenue (r12-green)
-    # supplier_customer_dependency -> displaces q3_order_revenue (r12-green)
-    # price_dispersion_by_brand -> displaces q22_idle_rich_customers (r12-green)
-    # order_backlog_aging -> displaces q20_significant_suppliers (r12-green)
-    # max_drawdown_daily_revenue -> displaces q1_pricing_summary (r12-green)
-    # ks_test_variants -> displaces q19_branded_revenue (r12-green)
-    # gini_customer_revenue -> displaces q18_large_volume_customers (r12-green)
-    # first_touch_attribution -> displaces q17_small_quantity_revenue (r12-green)
-    # duplicate_invoice_screen -> displaces q14_promo_revenue_share (r12-green)
-    # anova_eta_squared -> displaces q10_returned_item_revenue (r12-green)
-    # woe_value_bins -> displaces monthly_order_stats (r12-green)
-    # value_psi_drift -> displaces salted_type_weight_sum (r12-green)
-    # value_moments_profile -> displaces rolling_3event_value (r12-green)
-    # theil_sen_daily_trend -> displaces regional_revenue_rollup (r12-green)
-    # target_encode_event_type -> displaces nation_revenue_share (r12-green)
-    # stream_upsert_scd1 -> displaces monthly_revenue_yoy (r12-green)
-    # rdd_value_threshold -> displaces last_purchase_carryforward (r12-green)
-    # quantile_sample_det -> displaces grouping_sets_revenue (r12-green)
-    # ols_weekend_effect -> displaces acctbal_union_stats (r12-green)
-    # ols_daily_trend -> displaces synthetic_source_profile (r12-green)
-    # neyman_allocation_plan -> displaces benford_first_digit (r12-green)
-    # mann_whitney_variants -> displaces supplier_scorecard (r12-green)
-    # kendall_tau_daily -> displaces pareto_frontier_orders (r12-green)
-    # jackknife_daily_mean -> displaces exact_value_quantiles (r12-green)
-    # ipw_outcome_estimate -> displaces bitemporal_asof_orders (r12-green)
-    # daily_revenue_changepoint -> displaces abc_part_classification (r12-green)
-    # cuped_adjusted_lift -> displaces split_revenue_attribution (r12-green)
-    # covariate_balance_smd -> displaces selectivity_estimate_audit (r12-green)
-    # bootstrap_mean_ci -> displaces qini_uplift_curve (r12-green)
-    # benjamini_hochberg_fdr -> displaces ecod_outlier_scores (r12-green)
-    # autocorr_daily_value -> displaces did_estimate (r12-green)
-    # ab_test_welch -> displaces cvar_expected_shortfall (r12-green)
-    # type_comovement_matrix -> displaces hhi_brand_concentration (r12-green)
-    # seasonal_naive_backtest -> displaces decayed_user_value (r12-green)
-    # pareto_8020_customers -> displaces winsorized_value_stats (r12-green)
-    # observed_scan_metrics -> displaces weekday_seasonality_index (r12-green)
-    # lorenz_curve_points -> displaces value_tail_ratio (r12-green)
-    # forecast_bakeoff -> displaces value_outliers_zscore (r12-green)
+    # non-guard slot). Drains the stale ladder to ZERO (VERDICT r13
+    # item 2): hits_hubs_authorities leads (behavior changed — the
+    # r14 fused raw-edge driver tier), then the mechanical ladder
+    # (the r10/r11-dated embedding/LM/ANN/MV remainder), then
+    # oldest-green re-confirmations so no driver row ages silently.
+    # Bookkeeping below is emitted from the displaced/reused lists
+    # themselves (ADVICE r13 — no positional zip against INCOMING).
+    # hits_hubs_authorities: reused in place (was already a window slot)
+    # pagerank_det -> displaced to _BACKLOG (r13-green, driver row stands)
+    # textrank_keywords -> displaced to _BACKLOG (r13-green, driver row stands)
+    # lpa_modularity -> displaced to _BACKLOG (r13-green, driver row stands)
+    # brand_communities_lpa -> displaced to _BACKLOG (r13-green, driver row stands)
+    # token_lang_mi -> displaced to _BACKLOG (r13-green, driver row stands)
+    # user_value_twap -> displaced to _BACKLOG (r13-green, driver row stands)
+    # supplier_customer_dependency -> displaced to _BACKLOG (r13-green, driver row stands)
+    # price_dispersion_by_brand -> displaced to _BACKLOG (r13-green, driver row stands)
+    # order_backlog_aging -> displaced to _BACKLOG (r13-green, driver row stands)
+    # max_drawdown_daily_revenue -> displaced to _BACKLOG (r13-green, driver row stands)
+    # ks_test_variants -> displaced to _BACKLOG (r13-green, driver row stands)
+    # gini_customer_revenue -> displaced to _BACKLOG (r13-green, driver row stands)
+    # first_touch_attribution -> displaced to _BACKLOG (r13-green, driver row stands)
+    # duplicate_invoice_screen -> displaced to _BACKLOG (r13-green, driver row stands)
+    # anova_eta_squared -> displaced to _BACKLOG (r13-green, driver row stands)
+    # woe_value_bins -> displaced to _BACKLOG (r13-green, driver row stands)
+    # value_psi_drift -> displaced to _BACKLOG (r13-green, driver row stands)
+    # value_moments_profile -> displaced to _BACKLOG (r13-green, driver row stands)
+    # theil_sen_daily_trend -> displaced to _BACKLOG (r13-green, driver row stands)
+    # target_encode_event_type -> displaced to _BACKLOG (r13-green, driver row stands)
+    # stream_upsert_scd1 -> displaced to _BACKLOG (r13-green, driver row stands)
+    # rdd_value_threshold -> displaced to _BACKLOG (r13-green, driver row stands)
+    # quantile_sample_det -> displaced to _BACKLOG (r13-green, driver row stands)
+    # ols_weekend_effect -> displaced to _BACKLOG (r13-green, driver row stands)
+    # ols_daily_trend -> displaced to _BACKLOG (r13-green, driver row stands)
+    # neyman_allocation_plan -> displaced to _BACKLOG (r13-green, driver row stands)
+    # mann_whitney_variants -> displaced to _BACKLOG (r13-green, driver row stands)
+    # kendall_tau_daily -> displaced to _BACKLOG (r13-green, driver row stands)
+    # jackknife_daily_mean -> displaced to _BACKLOG (r13-green, driver row stands)
+    # ipw_outcome_estimate -> displaced to _BACKLOG (r13-green, driver row stands)
+    # daily_revenue_changepoint -> displaced to _BACKLOG (r13-green, driver row stands)
+    # cuped_adjusted_lift -> displaced to _BACKLOG (r13-green, driver row stands)
+    # covariate_balance_smd -> displaced to _BACKLOG (r13-green, driver row stands)
+    # bootstrap_mean_ci -> displaced to _BACKLOG (r13-green, driver row stands)
+    # benjamini_hochberg_fdr -> displaced to _BACKLOG (r13-green, driver row stands)
+    # autocorr_daily_value -> displaced to _BACKLOG (r13-green, driver row stands)
+    # ab_test_welch -> displaced to _BACKLOG (r13-green, driver row stands)
+    # type_comovement_matrix -> displaced to _BACKLOG (r13-green, driver row stands)
+    # seasonal_naive_backtest -> displaced to _BACKLOG (r13-green, driver row stands)
+    # pareto_8020_customers -> displaced to _BACKLOG (r13-green, driver row stands)
+    # observed_scan_metrics -> displaced to _BACKLOG (r13-green, driver row stands)
+    # lorenz_curve_points -> displaced to _BACKLOG (r13-green, driver row stands)
+    # forecast_bakeoff -> displaced to _BACKLOG (r13-green, driver row stands)
     "hits_hubs_authorities": QuerySpec(TQ.hits_hubs_authorities, TQ.HITS_HUBS_AUTHORITIES_SQL, ("graph", "iterative", "hits", "fixed-point", "deterministic")),
+    "customer_rfm_segments": QuerySpec(TQ.customer_rfm_segments, TQ.CUSTOMER_RFM_SEGMENTS_SQL, ("agg", "rfm", "percentile", "segmentation")),
+    "churn_label_windows": QuerySpec(EV.churn_label_windows, EV.CHURN_LABEL_WINDOWS_SQL, ("ml", "label-engineering", "churn", "leakage-safe")),
+    "adstock_attribution": QuerySpec(EV.adstock_attribution, EV.ADSTOCK_ATTRIBUTION_SQL, ("attribution", "adstock", "decay-weighted")),
+    "kcore_purchase_graph": QuerySpec(TQ.kcore_purchase_graph, TQ.KCORE_PURCHASE_GRAPH_SQL, ("graph", "kcore", "iterative", "deterministic")),
+    "q15_top_supplier": QuerySpec(TQ.q15_top_supplier, TQ.Q15_TOP_SUPPLIER_SQL, ("agg", "scalar-subquery", "argmax")),
+    "q11_important_parts": QuerySpec(TQ.q11_important_parts, TQ.Q11_IMPORTANT_PARTS_SQL, ("agg", "scalar-subquery", "having")),
+    "monthly_from_daily_mv": QuerySpec(TQ.monthly_from_daily_mv, TQ.MONTHLY_FROM_DAILY_MV_SQL, ("mv-rewrite", "rollup", "re-aggregation")),
+    "ivm_join_delta": QuerySpec(TQ.ivm_join_delta, TQ.IVM_JOIN_DELTA_SQL, ("cdc", "ivm", "delta", "join")),
+    "incremental_orders_agg": QuerySpec(TQ.incremental_orders_agg, TQ.INCREMENTAL_ORDERS_AGG_SQL, ("cdc", "ivm", "delta")),
+    "conformal_value_interval": QuerySpec(EV.conformal_value_interval, EV.CONFORMAL_VALUE_INTERVAL_SQL, ("ml", "conformal", "prediction-interval", "order-statistic")),
+    "cohort_ltv_curve": QuerySpec(EV.cohort_ltv_curve, EV.COHORT_LTV_CURVE_SQL, ("cohort", "ltv", "running-sum")),
+    "embedding_near_dup": QuerySpec(NS.embedding_near_dup, NS.EMBEDDING_NEAR_DUP_SQL, ("ann", "dedup", "lsh")),
+    "doc_lm_perplexity": QuerySpec(NS.doc_lm_perplexity, NS.DOC_LM_PERPLEXITY_SQL, ("text", "quality", "lm", "perplexity")),
+    "doc_lm_kneser_ney": QuerySpec(NS.doc_lm_kneser_ney, NS.DOC_LM_KNESER_NEY_SQL, ("text", "quality", "lm", "kneser-ney", "smoothing")),
+    "ann_ivf_det": QuerySpec(NS.ann_ivf_det, NS.ANN_IVF_DET_SQL, ("ann", "ivf", "deterministic", "integer-exact")),
+    "customer_order_ranks": QuerySpec(TQ.customer_order_ranks, TQ.CUSTOMER_ORDER_RANKS_SQL, ("window", "rank")),
+    "customers_with_orders": QuerySpec(TQ.customers_with_orders, TQ.CUSTOMERS_WITH_ORDERS_SQL, ("semi-join",)),
+    "customers_without_orders": QuerySpec(TQ.customers_without_orders, TQ.CUSTOMERS_WITHOUT_ORDERS_SQL, ("anti-join",)),
+    "event_pair_candidates": QuerySpec(EV.event_pair_candidates, EV.EVENT_PAIR_CANDIDATES_SQL, ("join", "range-join")),
+    "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
+    "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
+    "nations_customers_not_suppliers": QuerySpec(TQ.nations_customers_not_suppliers, TQ.NATIONS_CUSTOMERS_NOT_SUPPLIERS_SQL, ("setop",)),
+    "nations_with_both": QuerySpec(TQ.nations_with_both, TQ.NATIONS_WITH_BOTH_SQL, ("setop", "intersect")),
+    "order_percent_ranks": QuerySpec(TQ.order_percent_ranks, TQ.ORDER_PERCENT_RANKS_SQL, ("window", "distribution")),
+    "order_price_percentiles": QuerySpec(TQ.order_price_percentiles, TQ.ORDER_PRICE_PERCENTILES_SQL, ("agg", "percentile")),
+    "props_k_stats": QuerySpec(EV.props_k_stats, EV.PROPS_K_STATS_SQL, ("json", "agg")),
+    "q12_priority_shipping": QuerySpec(TQ.q12_priority_shipping, TQ.Q12_PRIORITY_SHIPPING_SQL, ("join", "case-agg")),
+    "q13_customer_distribution": QuerySpec(TQ.q13_customer_distribution, TQ.Q13_CUSTOMER_DISTRIBUTION_SQL, ("left-join", "agg", "histogram")),
+    "q16_parts_supplier_counts": QuerySpec(TQ.q16_parts_supplier_counts, TQ.Q16_PARTS_SUPPLIER_COUNTS_SQL, ("anti-join", "distinct-agg")),
+    "q2_cheapest_supplier_per_nation": QuerySpec(TQ.q2_cheapest_supplier_per_nation, TQ.Q2_CHEAPEST_SUPPLIER_PER_NATION_SQL, ("window", "argmin", "join")),
+    "q4_late_orders_by_priority": QuerySpec(TQ.q4_late_orders_by_priority, TQ.Q4_LATE_ORDERS_BY_PRIORITY_SQL, ("semi-join", "agg")),
+    "top20_orders_global": QuerySpec(TQ.top20_orders_global, TQ.TOP20_ORDERS_GLOBAL_SQL, ("sort", "limit")),
+    "top_orders_per_customer": QuerySpec(TQ.top_orders_per_customer, TQ.TOP_ORDERS_PER_CUSTOMER_SQL, ("window", "topk")),
+    "user_event_history": QuerySpec(GQ.user_event_history, GQ.USER_EVENT_HISTORY_SQL, ("agg", "collect-list")),
+    "user_gap_stats": QuerySpec(EV.user_gap_stats, EV.USER_GAP_STATS_SQL, ("window",)),
+    "user_latest_position": QuerySpec(GQ.user_latest_position, GQ.USER_LATEST_POSITION_SQL, ("geo", "window")),
+    "user_local_time": QuerySpec(GQ.user_local_time, GQ.USER_LOCAL_TIME_SQL, ("geo", "timezone")),
+    "user_value_ffill": QuerySpec(EV.user_value_ffill, EV.USER_VALUE_FFILL_SQL, ("timeseries", "ffill", "grid")),
+    "weekday_hour_heatmap": QuerySpec(EV.weekday_hour_heatmap, EV.WEEKDAY_HOUR_HEATMAP_SQL, ("agg", "datetime")),
+    "weekly_type_pivot": QuerySpec(EV.weekly_type_pivot, EV.WEEKLY_TYPE_PIVOT_SQL, ("pivot",)),
+    "bigram_counts": QuerySpec(NS.bigram_counts, NS.BIGRAM_COUNTS_SQL, ("text", "ngram", "topk")),
+    "chunk_text_windows": QuerySpec(NS.chunk_text_windows, NS.CHUNK_TEXT_WINDOWS_SQL, ("text", "chunking", "udtf", "rag")),
+    "dedup_exact": QuerySpec(NS.dedup_exact, NS.DEDUP_EXACT_SQL, ("dedup",)),
+    # --- streaming regression guard (6 = STREAMING_GUARD above):
+    # streaming silently broke at r2 HEAD; these keep every micro-batch/
+    # watermark/stream-join path under the driver gate ---
+    "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),
+    "stream_session_stats": QuerySpec(NS.stream_session_stats, NS.STREAM_SESSION_STATS_SQL, ("streaming", "session-window")),
+    "stream_running_max": QuerySpec(NS.stream_running_max, NS.STREAM_RUNNING_MAX_SQL, ("streaming", "stateful", "pandas-udf")),
+    "stream_enriched_value": QuerySpec(NS.stream_enriched_value, NS.STREAM_ENRICHED_VALUE_SQL, ("streaming", "stream-static-join")),
+    "stream_attribution_pairs": QuerySpec(NS.stream_attribution_pairs, NS.STREAM_ATTRIBUTION_PAIRS_SQL, ("streaming", "stream-stream-join", "interval-join")),
+    "stream_attribution_left": QuerySpec(NS.stream_attribution_left, NS.STREAM_ATTRIBUTION_LEFT_SQL, ("streaming", "stream-stream-join", "outer-join", "watermark")),
+}
+
+_BACKLOG: dict[str, QuerySpec] = {
+    # --- round-13 green, displaced by the r14 rotation (all hold a
+    # CORRECTNESS_r13.json full-oracle PASS) ---
     "pagerank_det": QuerySpec(TQ.pagerank_det, TQ.PAGERANK_DET_SQL, ("graph", "iterative", "pagerank", "fixed-point", "deterministic")),
     "textrank_keywords": QuerySpec(NS.textrank_keywords, NS.TEXTRANK_KEYWORDS_SQL, ("text", "textrank", "pagerank", "keywords", "deterministic")),
     "lpa_modularity": QuerySpec(TQ.lpa_modularity, TQ.LPA_MODULARITY_SQL, ("graph", "modularity", "community-quality", "lpa")),
@@ -268,18 +323,6 @@ _WINDOW: dict[str, QuerySpec] = {
     "observed_scan_metrics": QuerySpec(EV.observed_scan_metrics, EV.OBSERVED_SCAN_METRICS_SQL, ("observability", "metrics", "observe-api")),
     "lorenz_curve_points": QuerySpec(TQ.lorenz_curve_points, TQ.LORENZ_CURVE_POINTS_SQL, ("inequality", "lorenz", "deciles")),
     "forecast_bakeoff": QuerySpec(EV.forecast_bakeoff, EV.FORECAST_BAKEOFF_SQL, ("forecast", "bakeoff", "evaluation")),
-    # --- streaming regression guard (6 = STREAMING_GUARD above):
-    # streaming silently broke at r2 HEAD; these keep every micro-batch/
-    # watermark/stream-join path under the driver gate ---
-    "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),
-    "stream_session_stats": QuerySpec(NS.stream_session_stats, NS.STREAM_SESSION_STATS_SQL, ("streaming", "session-window")),
-    "stream_running_max": QuerySpec(NS.stream_running_max, NS.STREAM_RUNNING_MAX_SQL, ("streaming", "stateful", "pandas-udf")),
-    "stream_enriched_value": QuerySpec(NS.stream_enriched_value, NS.STREAM_ENRICHED_VALUE_SQL, ("streaming", "stream-static-join")),
-    "stream_attribution_pairs": QuerySpec(NS.stream_attribution_pairs, NS.STREAM_ATTRIBUTION_PAIRS_SQL, ("streaming", "stream-stream-join", "interval-join")),
-    "stream_attribution_left": QuerySpec(NS.stream_attribution_left, NS.STREAM_ATTRIBUTION_LEFT_SQL, ("streaming", "stream-stream-join", "outer-join", "watermark")),
-}
-
-_BACKLOG: dict[str, QuerySpec] = {
     # --- round-12 green, displaced by the r13 rotation (all hold a
     # CORRECTNESS_r12.json full-oracle PASS) ---
     "sales_cube": QuerySpec(TQ.sales_cube, TQ.SALES_CUBE_SQL, ("agg", "cube")),
@@ -331,41 +374,29 @@ _BACKLOG: dict[str, QuerySpec] = {
     "tf_idf_top_terms": QuerySpec(NS.tf_idf_top_terms, NS.TF_IDF_TOP_TERMS_SQL, ("text", "tfidf", "topk")),
     "source_mix_rebalance": QuerySpec(NS.source_mix_rebalance, NS.SOURCE_MIX_REBALANCE_SQL, ("split", "sampling", "data-mixing")),
     "orders_snapshot_diff": QuerySpec(TQ.orders_snapshot_diff, TQ.ORDERS_SNAPSHOT_DIFF_SQL, ("cdc", "diff", "full-outer")),
-    "doc_lm_perplexity": QuerySpec(NS.doc_lm_perplexity, NS.DOC_LM_PERPLEXITY_SQL, ("text", "quality", "lm", "perplexity")),
     "cohort_retention": QuerySpec(EV.cohort_retention, EV.COHORT_RETENTION_SQL, ("window", "join", "cohort")),
     "brand_basket_pairs": QuerySpec(TQ.brand_basket_pairs, TQ.BRAND_BASKET_PAIRS_SQL, ("join", "self-join", "market-basket")),
-    "incremental_orders_agg": QuerySpec(TQ.incremental_orders_agg, TQ.INCREMENTAL_ORDERS_AGG_SQL, ("cdc", "ivm", "delta")),
     "quantile_normalize_doclen": QuerySpec(NS.quantile_normalize_doclen, NS.QUANTILE_NORMALIZE_DOCLEN_SQL, ("ml", "normalization", "quantile", "cross-source")),
-    "doc_lm_kneser_ney": QuerySpec(NS.doc_lm_kneser_ney, NS.DOC_LM_KNESER_NEY_SQL, ("text", "quality", "lm", "kneser-ney", "smoothing")),
     "geohash_cell_counts": QuerySpec(GQ.geohash_cell_counts, GQ.GEOHASH_CELL_COUNTS_SQL, ("geo", "geohash", "spatial-index", "agg")),
     "cms_token_counts": QuerySpec(NS.cms_token_counts, NS.CMS_TOKEN_COUNTS_SQL, ("sketch", "count-min", "deterministic")),
     "bfs_hops_det": QuerySpec(TQ.bfs_hops_det, TQ.BFS_HOPS_DET_SQL, ("graph", "iterative", "bfs", "deterministic")),
     "ngram_coverage_curve": QuerySpec(NS.ngram_coverage_curve, NS.NGRAM_COVERAGE_CURVE_SQL, ("text", "vocabulary", "coverage", "prefix-sum")),
     "data_mix_waterfill": QuerySpec(NS.data_mix_waterfill, NS.DATA_MIX_WATERFILL_SQL, ("training-data", "mixing", "waterfill", "budget")),
-    "ivm_join_delta": QuerySpec(TQ.ivm_join_delta, TQ.IVM_JOIN_DELTA_SQL, ("cdc", "ivm", "delta", "join")),
     "fightin_words_tokens": QuerySpec(NS.fightin_words_tokens, NS.FIGHTIN_WORDS_TOKENS_SQL, ("text", "log-odds", "dirichlet", "source-attribution")),
-    "cohort_ltv_curve": QuerySpec(EV.cohort_ltv_curve, EV.COHORT_LTV_CURVE_SQL, ("cohort", "ltv", "running-sum")),
     "association_rules_brands": QuerySpec(TQ.association_rules_brands, TQ.ASSOCIATION_RULES_BRANDS_SQL, ("market-basket", "association-rules", "lift")),
     "lang_id_confusion": QuerySpec(NS.lang_id_confusion, NS.LANG_ID_CONFUSION_SQL, ("text", "lang-id", "eval", "confusion-matrix")),
     "lang_id_cohens_kappa": QuerySpec(NS.lang_id_cohens_kappa, NS.LANG_ID_COHENS_KAPPA_SQL, ("text", "lang-id", "eval", "kappa")),
     "laspeyres_price_index": QuerySpec(TQ.laspeyres_price_index, TQ.LASPEYRES_PRICE_INDEX_SQL, ("econ", "price-index", "laspeyres", "integer-exact")),
     "markov_entropy_rate": QuerySpec(EV.markov_entropy_rate, EV.MARKOV_ENTROPY_RATE_SQL, ("sequence", "entropy-rate", "markov")),
-    "monthly_from_daily_mv": QuerySpec(TQ.monthly_from_daily_mv, TQ.MONTHLY_FROM_DAILY_MV_SQL, ("mv-rewrite", "rollup", "re-aggregation")),
     "perplexity_filter": QuerySpec(NS.perplexity_filter, NS.PERPLEXITY_FILTER_SQL, ("text", "quality", "perplexity", "percentile")),
     "dedup_containment": QuerySpec(NS.dedup_containment, NS.DEDUP_CONTAINMENT_SQL, ("dedup", "containment")),
-    "conformal_value_interval": QuerySpec(EV.conformal_value_interval, EV.CONFORMAL_VALUE_INTERVAL_SQL, ("ml", "conformal", "prediction-interval", "order-statistic")),
-    "ann_ivf_det": QuerySpec(NS.ann_ivf_det, NS.ANN_IVF_DET_SQL, ("ann", "ivf", "deterministic", "integer-exact")),
     "corpus_report_card": QuerySpec(NS.corpus_report_card, NS.CORPUS_REPORT_CARD_SQL, ("capstone", "training-data", "report", "summary")),
     "dedup_ngram_jaccard": QuerySpec(NS.dedup_ngram_jaccard, NS.DEDUP_NGRAM_JACCARD_SQL, ("dedup",)),
-    "kcore_purchase_graph": QuerySpec(TQ.kcore_purchase_graph, TQ.KCORE_PURCHASE_GRAPH_SQL, ("graph", "kcore", "iterative", "deterministic")),
-    "embedding_near_dup": QuerySpec(NS.embedding_near_dup, NS.EMBEDDING_NEAR_DUP_SQL, ("ann", "dedup", "lsh")),
     "semdedup_prune": QuerySpec(NS.semdedup_prune, NS.SEMDEDUP_PRUNE_SQL, ("dedup", "semantic", "clustering", "semdedup")),
     "doc_fingerprint": QuerySpec(NS.doc_fingerprint, NS.DOC_FINGERPRINT_SQL, ("text",)),
     "decontaminate_ngram_overlap": QuerySpec(NS.decontaminate_ngram_overlap, NS.DECONTAMINATE_NGRAM_OVERLAP_SQL, ("text", "decontamination", "ngram")),
     "stream_topk_types_per_window": QuerySpec(NS.stream_topk_types_per_window, NS.STREAM_TOPK_TYPES_PER_WINDOW_SQL, ("streaming", "topk", "lambda-seam")),
     "cheapest_line_per_part": QuerySpec(TQ.cheapest_line_per_part, TQ.CHEAPEST_LINE_PER_PART_SQL, ("window", "argmin")),
-    "q11_important_parts": QuerySpec(TQ.q11_important_parts, TQ.Q11_IMPORTANT_PARTS_SQL, ("agg", "scalar-subquery", "having")),
-    "q15_top_supplier": QuerySpec(TQ.q15_top_supplier, TQ.Q15_TOP_SUPPLIER_SQL, ("agg", "scalar-subquery", "argmax")),
     # --- round-10 green, displaced by the r11 rotation (all hold a
     # CORRECTNESS_r10.json full-oracle PASS) ---
     "dedup_clusters_minhash": QuerySpec(NS.dedup_clusters_minhash, NS.DEDUP_CLUSTERS_MINHASH_SQL, ("dedup", "graph", "iterative")),
@@ -377,7 +408,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "session_type_pmi": QuerySpec(EV.session_type_pmi, EV.SESSION_TYPE_PMI_SQL, ("agg", "pmi", "association", "sessionize")),
     "kmv_distinct_users": QuerySpec(NS.kmv_distinct_users, NS.KMV_DISTINCT_USERS_SQL, ("sketch", "kmv", "theta", "mergeable", "deterministic")),
     "dedup_jaccard_prefix": QuerySpec(NS.dedup_jaccard_prefix, NS.DEDUP_JACCARD_PREFIX_SQL, ("dedup", "prefix-filter", "ppjoin")),
-    "customer_rfm_segments": QuerySpec(TQ.customer_rfm_segments, TQ.CUSTOMER_RFM_SEGMENTS_SQL, ("agg", "rfm", "percentile", "segmentation")),
     "sequential_funnel": QuerySpec(EV.sequential_funnel, EV.SEQUENTIAL_FUNNEL_SQL, ("agg", "funnel", "ordered")),
     "cluster_safe_split_audit": QuerySpec(NS.cluster_safe_split_audit, NS.CLUSTER_SAFE_SPLIT_AUDIT_SQL, ("ml-prep", "split", "leakage", "graph")),
     "mutual_nn_bitext_pairs": QuerySpec(NS.mutual_nn_bitext_pairs, NS.MUTUAL_NN_BITEXT_PAIRS_SQL, ("similarity", "mutual-nn", "bitext", "alignment")),
@@ -390,12 +420,10 @@ _BACKLOG: dict[str, QuerySpec] = {
     "decontamination_report": QuerySpec(NS.decontamination_report, NS.DECONTAMINATION_REPORT_SQL, ("dedup", "decontamination", "report", "capstone")),
     "quantile_forecast_pinball": QuerySpec(EV.quantile_forecast_pinball, EV.QUANTILE_FORECAST_PINBALL_SQL, ("forecast", "pinball", "quantile", "backtest")),
     "haar_energy_daily": QuerySpec(EV.haar_energy_daily, EV.HAAR_ENERGY_DAILY_SQL, ("timeseries", "wavelet", "haar", "multi-resolution")),
-    "churn_label_windows": QuerySpec(EV.churn_label_windows, EV.CHURN_LABEL_WINDOWS_SQL, ("ml", "label-engineering", "churn", "leakage-safe")),
     "newsvendor_brand_quantiles": QuerySpec(TQ.newsvendor_brand_quantiles, TQ.NEWSVENDOR_BRAND_QUANTILES_SQL, ("ops", "newsvendor", "quantile", "inventory")),
     "dedup_minhash_lsh": QuerySpec(NS.dedup_minhash_lsh, NS.DEDUP_MINHASH_LSH_SQL, ("dedup", "lsh")),
     "kmv_week_overlap": QuerySpec(NS.kmv_week_overlap, NS.KMV_WEEK_OVERLAP_SQL, ("sketch", "kmv", "set-ops", "jaccard")),
     "ngram_novelty_curve": QuerySpec(NS.ngram_novelty_curve, NS.NGRAM_NOVELTY_CURVE_SQL, ("text", "redundancy", "ngram", "corpus-health")),
-    "adstock_attribution": QuerySpec(EV.adstock_attribution, EV.ADSTOCK_ATTRIBUTION_SQL, ("attribution", "adstock", "decay-weighted")),
     "fano_burstiness": QuerySpec(EV.fano_burstiness, EV.FANO_BURSTINESS_SQL, ("capacity", "burstiness", "fano", "dispersion")),
     "coactivity_triangles": QuerySpec(EV.coactivity_triangles, EV.COACTIVITY_TRIANGLES_SQL, ("graph", "triangles", "self-join")),
     "user_proximity_pairs": QuerySpec(GQ.user_proximity_pairs, GQ.USER_PROXIMITY_PAIRS_SQL, ("geo", "range-join", "grid")),
@@ -550,7 +578,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "user_gap_days": QuerySpec(EV.user_gap_days, EV.USER_GAP_DAYS_SQL, ("generator", "anti-join", "densification")),
     "value_mad": QuerySpec(EV.value_mad, EV.VALUE_MAD_SQL, ("agg", "percentile", "robust-stats")),
     # --- round-2 green (full DuckDB hash match in CORRECTNESS_r02.json) --
-    "dedup_exact": QuerySpec(NS.dedup_exact, NS.DEDUP_EXACT_SQL, ("dedup",)),
     "dedup_simhash": QuerySpec(NS.dedup_simhash, NS.DEDUP_SIMHASH_SQL, ("dedup", "lsh")),
     # session-3 new queries (window members semdedup_prune /
     # er_golden_record live in _WINDOW; the rest verify locally here):
@@ -562,7 +589,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "token_counts_regex": QuerySpec(NS.token_counts_regex, NS.TOKEN_COUNTS_REGEX_SQL, ("text", "regex")),
     "normalize_text": QuerySpec(NS.normalize_text, NS.NORMALIZE_TEXT_SQL, ("text", "regex", "normalize")),
     "hashed_token_vectors": QuerySpec(NS.hashed_token_vectors, NS.HASHED_TOKEN_VECTORS_SQL, ("text", "feature-hashing")),
-    "bigram_counts": QuerySpec(NS.bigram_counts, NS.BIGRAM_COUNTS_SQL, ("text", "ngram", "topk")),
     "documents_profile": QuerySpec(NS.documents_profile, NS.DOCUMENTS_PROFILE_SQL, ("profile", "quality")),
     "multimodal_meta": QuerySpec(NS.multimodal_meta, NS.MULTIMODAL_META_SQL, ("multimodal",)),
     "train_test_split_counts": QuerySpec(NS.train_test_split_counts, NS.TRAIN_TEST_SPLIT_COUNTS_SQL, ("split", "sampling")),
@@ -570,7 +596,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "length_bucket_batches": QuerySpec(NS.length_bucket_batches, NS.LENGTH_BUCKET_BATCHES_SQL, ("packing", "batching", "training-data")),
     "quality_gopher_filters": QuerySpec(NS.quality_gopher_filters, NS.QUALITY_GOPHER_FILTERS_SQL, ("text", "quality", "filter-stage")),
     "pii_redact": QuerySpec(NS.pii_redact, NS.PII_REDACT_SQL, ("text", "pii", "regex")),
-    "chunk_text_windows": QuerySpec(NS.chunk_text_windows, NS.CHUNK_TEXT_WINDOWS_SQL, ("text", "chunking", "udtf", "rag")),
     "q21_waiting_suppliers": QuerySpec(TQ.q21_waiting_suppliers, TQ.Q21_WAITING_SUPPLIERS_SQL, ("join", "exists", "argmax")),
     # --- rows-only tiers: pytest is the real verification (recall bounds,
     # error bounds, serial-reference parity) — value_percentiles_approx
@@ -590,31 +615,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     # future window slot) --------------------------------------------------
     "winnow_fingerprints": QuerySpec(NS.winnow_fingerprints, NS.WINNOW_FINGERPRINTS_SQL, ("dedup", "fingerprint", "winnowing")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
-    "latest_event_per_user": QuerySpec(EV.latest_event_per_user, EV.LATEST_EVENT_PER_USER_SQL, ("window",)),
-    "first_event_per_user": QuerySpec(EV.first_event_per_user, EV.FIRST_EVENT_PER_USER_SQL, ("window",)),
-    "user_gap_stats": QuerySpec(EV.user_gap_stats, EV.USER_GAP_STATS_SQL, ("window",)),
-    "weekly_type_pivot": QuerySpec(EV.weekly_type_pivot, EV.WEEKLY_TYPE_PIVOT_SQL, ("pivot",)),
-    "weekday_hour_heatmap": QuerySpec(EV.weekday_hour_heatmap, EV.WEEKDAY_HOUR_HEATMAP_SQL, ("agg", "datetime")),
-    "event_pair_candidates": QuerySpec(EV.event_pair_candidates, EV.EVENT_PAIR_CANDIDATES_SQL, ("join", "range-join")),
-    "user_value_ffill": QuerySpec(EV.user_value_ffill, EV.USER_VALUE_FFILL_SQL, ("timeseries", "ffill", "grid")),
-    "user_latest_position": QuerySpec(GQ.user_latest_position, GQ.USER_LATEST_POSITION_SQL, ("geo", "window")),
-    "user_local_time": QuerySpec(GQ.user_local_time, GQ.USER_LOCAL_TIME_SQL, ("geo", "timezone")),
-    "user_event_history": QuerySpec(GQ.user_event_history, GQ.USER_EVENT_HISTORY_SQL, ("agg", "collect-list")),
-    "customers_without_orders": QuerySpec(TQ.customers_without_orders, TQ.CUSTOMERS_WITHOUT_ORDERS_SQL, ("anti-join",)),
-    "top_orders_per_customer": QuerySpec(TQ.top_orders_per_customer, TQ.TOP_ORDERS_PER_CUSTOMER_SQL, ("window", "topk")),
-    "nations_customers_not_suppliers": QuerySpec(TQ.nations_customers_not_suppliers, TQ.NATIONS_CUSTOMERS_NOT_SUPPLIERS_SQL, ("setop",)),
-    "nations_with_both": QuerySpec(TQ.nations_with_both, TQ.NATIONS_WITH_BOTH_SQL, ("setop", "intersect")),
-    "top20_orders_global": QuerySpec(TQ.top20_orders_global, TQ.TOP20_ORDERS_GLOBAL_SQL, ("sort", "limit")),
-    "q4_late_orders_by_priority": QuerySpec(TQ.q4_late_orders_by_priority, TQ.Q4_LATE_ORDERS_BY_PRIORITY_SQL, ("semi-join", "agg")),
-    "q12_priority_shipping": QuerySpec(TQ.q12_priority_shipping, TQ.Q12_PRIORITY_SHIPPING_SQL, ("join", "case-agg")),
-    "order_percent_ranks": QuerySpec(TQ.order_percent_ranks, TQ.ORDER_PERCENT_RANKS_SQL, ("window", "distribution")),
-    "props_k_stats": QuerySpec(EV.props_k_stats, EV.PROPS_K_STATS_SQL, ("json", "agg")),
-    "order_price_percentiles": QuerySpec(TQ.order_price_percentiles, TQ.ORDER_PRICE_PERCENTILES_SQL, ("agg", "percentile")),
-    "q2_cheapest_supplier_per_nation": QuerySpec(TQ.q2_cheapest_supplier_per_nation, TQ.Q2_CHEAPEST_SUPPLIER_PER_NATION_SQL, ("window", "argmin", "join")),
-    "customer_order_ranks": QuerySpec(TQ.customer_order_ranks, TQ.CUSTOMER_ORDER_RANKS_SQL, ("window", "rank")),
-    "q13_customer_distribution": QuerySpec(TQ.q13_customer_distribution, TQ.Q13_CUSTOMER_DISTRIBUTION_SQL, ("left-join", "agg", "histogram")),
-    "customers_with_orders": QuerySpec(TQ.customers_with_orders, TQ.CUSTOMERS_WITH_ORDERS_SQL, ("semi-join",)),
-    "q16_parts_supplier_counts": QuerySpec(TQ.q16_parts_supplier_counts, TQ.Q16_PARTS_SUPPLIER_COUNTS_SQL, ("anti-join", "distinct-agg")),
 }
 
 if len(_WINDOW) != DRIVER_WINDOW_SIZE:
