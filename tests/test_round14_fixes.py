@@ -294,3 +294,94 @@ def test_hits_topk_fused_cap_routing(spark):
     finally:
         G.GENERAL_DRIVER_TIER_ENABLED = orig
 
+
+
+# ------------------------------------------------- sweep-variant contract
+
+
+def test_scaled_sweep_variants_structure():
+    """Every scaled sweep twin must shadow a REAL graded full-oracle
+    query, carry its own oracle, and be tagged — so a registry rename or
+    a rows-only drift can't silently orphan a variant (check_oracle
+    would then 'verify' nothing)."""
+    from hadoop_data_lake_spark.queries.registry import REGISTRY
+    from hadoop_data_lake_spark.queries.sweep_variants import (
+        SCALED_SWEEP_VARIANTS,
+    )
+
+    assert SCALED_SWEEP_VARIANTS, "variants module must not be empty"
+    for name, spec in SCALED_SWEEP_VARIANTS.items():
+        assert name in REGISTRY, name
+        assert REGISTRY[name].oracle is not None, (name, "graded pair is rows-only")
+        assert spec.oracle is not None, (name, "variant lost its oracle")
+        assert "scaled-sweep-variant" in spec.tags, name
+        assert callable(spec.fn), name
+
+
+def test_scaled_sweep_variant_matches_own_oracle(spark, tmp_path):
+    """End-to-end: each variant's Spark result matches its own DuckDB
+    oracle at sf0.001 (the cheap scale) — the same comparison
+    check_oracle --scaled-variants runs at sf0.1."""
+    import duckdb
+
+    from hadoop_data_lake_spark.core.io import TABLES
+    from hadoop_data_lake_spark.queries.sweep_variants import (
+        SCALED_SWEEP_VARIANTS,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec_mod = importlib.util.spec_from_file_location(
+        "co", os.path.join(repo, "tools", "check_oracle.py")
+    )
+    co = importlib.util.module_from_spec(spec_mod)
+    spec_mod.loader.exec_module(co)
+    for name, spec in SCALED_SWEEP_VARIANTS.items():
+        sdf = spec.fn(spark, sf_dir).toPandas()
+        odf = con.sql(spec.oracle).df()
+        assert len(sdf) == len(odf), name
+        assert sorted(sdf.columns) == sorted(odf.columns), name
+        assert co.canonical_multiset(sdf) == co.canonical_multiset(odf), name
+
+
+# ------------------------------------------------- round_gate step contract
+
+
+def test_round_gate_close_covers_the_checklist():
+    """The --close step list must keep covering every gate the round
+    checklist requires (a silently dropped step is a silently skipped
+    gate)."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "rg", os.path.join(repo, "tools", "round_gate.py")
+    )
+    rg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rg)
+    names = [n for n, _ in rg.close_steps()]
+    assert names == [
+        "rotation-assert",
+        "oracle-sf0.001",
+        "window-sf0.01",
+        "window-sf0.1",
+        "pytest",
+        "plan-audit",
+        "degenerate",
+        "degenerate-plans",
+        "entry-smoke",
+    ]
+    steps = dict(rg.close_steps())
+    # the sf0.1 window check must carry the scaled-variant flag; the
+    # smaller scales must NOT
+    assert "--scaled-variants" in steps["window-sf0.1"]
+    assert "--scaled-variants" not in steps["window-sf0.01"]
+    assert "--scaled-variants" not in steps["oracle-sf0.001"]
+    assert [n for n, _ in rg.open_steps()] == ["artifacts", "stale-ladder"]

@@ -107,7 +107,14 @@ def run(sf_dir: str, names: list[str], scaled_variants: bool = False) -> int:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
-            print(f"ok   {name}: {len(sdf)} rows match ({t_spark:.1f}s)")
+            # t_spark = the Spark side alone; total = spark + DuckDB
+            # oracle + multiset compare, so slow ORACLES are visible in
+            # the log without external timestamping (r14: the interpolate
+            # grid oracle hid 40 min behind a 1.2s spark time).
+            print(
+                f"ok   {name}: {len(sdf)} rows match "
+                f"({t_spark:.1f}s, total {time.time() - t0:.1f}s)"
+            )
     return failures
 
 
