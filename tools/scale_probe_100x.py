@@ -109,6 +109,41 @@ def _zone_report_thunk(spark, ev):
     return lambda: build_zone_report(base, EVENT_TYPES)
 
 
+def _hits_distributed_thunk(edges):
+    """The hits_hubs_authorities fallback shape (two mutual-reinforcement
+    rounds, integer rescale, TakeOrdered top-10 per side) over a scaled
+    (src, dst) frame — mirrors queries/tpch_queries.hits_hubs_authorities'
+    distributed loop so the probe measures the exact above-cap plan."""
+    from pyspark.sql import functions as F
+
+    from hadoop_data_lake_spark.operators.graph import broadcast_bounded_state
+    from hadoop_data_lake_spark.queries.tpch_queries import _hits_top_sides
+
+    def run():
+        e = edges.select(
+            F.col("src").alias("c"), F.col("dst").alias("s")
+        ).localCheckpoint(eager=True)
+        n_c, n_s = e.agg(
+            F.countDistinct("c").alias("n_c"), F.countDistinct("s").alias("n_s")
+        ).first()
+
+        def rescale(df, n_rows):
+            df = df.localCheckpoint(eager=True)
+            mx = df.agg(F.max("v").alias("m"))
+            scaled = df.crossJoin(F.broadcast(mx)).select(
+                df.columns[0], F.expr("v * 1000000 div m").alias("v")
+            )
+            return broadcast_bounded_state(scaled, n_rows)
+
+        a = rescale(e.groupBy("s").agg(F.count("*").cast("long").alias("v")), n_s)
+        h = rescale(e.join(a, "s").groupBy("c").agg(F.sum("v").alias("v")), n_c)
+        a = rescale(e.join(h, "c").groupBy("s").agg(F.sum("v").alias("v")), n_s)
+        h = rescale(e.join(a, "s").groupBy("c").agg(F.sum("v").alias("v")), n_c)
+        return _hits_top_sides(h, a)
+
+    return run
+
+
 def main() -> None:
     only = set(sys.argv[1:])  # optional op-name filter: probe just these
     spark = get_spark("scale-probe-100x")
@@ -138,6 +173,13 @@ def main() -> None:
                 docs, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.3
             ),
             "pagerank_10r": lambda: pagerank_intexact(edges, iters=10),
+            # r14: the HITS DISTRIBUTED loop (tiers are pinned off in
+            # this probe) — the r14 fused driver tier bows out above
+            # 4M edges, so this curve is the 100 TB path: per-round
+            # join + agg + scalar rescale over the bipartite purchase
+            # graph. src>=0 / dst<0 in _scaled_edges keeps the sides
+            # disjoint, exactly the hits caller's shape.
+            "hits_2r_distributed": _hits_distributed_thunk(edges),
             "sessionize_events": lambda: sessionize(
                 ev, ["user_id"], "ts", gap_seconds=1800
             )
