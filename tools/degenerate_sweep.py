@@ -45,6 +45,13 @@ from pyspark.sql import types as T
 from hadoop_data_lake_spark.core.io import TABLES
 from hadoop_data_lake_spark.core.session import get_spark
 from hadoop_data_lake_spark.queries.registry import REGISTRY
+from hadoop_data_lake_spark.queries.sweep_variants import SCALED_SWEEP_VARIANTS
+
+#: Registry plus the scaled sweep twins (r14): the variants run the same
+#: operators with coarser spine/block parameters at bench scale — their
+#: parameter paths stay inside the div-by-zero closure too.
+LOOKUP = dict(REGISTRY)
+LOOKUP.update({f"{n} [scaled]": s for n, s in SCALED_SWEEP_VARIANTS.items()})
 
 SRC = os.environ.get("SPARK_GRAFT_DEGEN_BASE", "/root/testdata/sf0.001")
 
@@ -204,7 +211,7 @@ def _plan_probe(spark, sf_dir: str, targets: list[str]) -> int:
     for q in targets:
         try:
             plan = (
-                REGISTRY[q].fn(spark, sf_dir)
+                LOOKUP[q].fn(spark, sf_dir)
                 ._jdf.queryExecution()
                 .executedPlan()
                 .toString()
@@ -242,7 +249,7 @@ def main() -> int:
     plans_mode = "--plans" in sys.argv
     names = [a for a in sys.argv[1:] if not a.startswith("--")]
     spark = get_spark("degenerate_sweep")
-    targets = names or [n for n in REGISTRY if n not in SKIP]
+    targets = names or [n for n in LOOKUP if n not in SKIP]
 
     cases, events_cases = build_cases(spark, events_only, plans_mode)
 
@@ -265,7 +272,7 @@ def main() -> int:
         # and counts as a crash (driver-ADVICE r8 item 1).
         for q in targets:
             try:
-                REGISTRY[q].fn(spark, d).collect()
+                LOOKUP[q].fn(spark, d).collect()
             except Exception as exc:
                 full = str(exc)
                 # match the skip on the WHOLE message — a missing file
