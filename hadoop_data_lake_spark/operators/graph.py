@@ -1067,17 +1067,21 @@ def hits_topk_sides_driver(
     ``n_edges_bound`` must be a SOUND upper bound on the collected row
     count, obtainable without executing the join — e.g. the fact-side
     row count when the join key is the other side's primary key (an
-    inner join on a unique key cannot multiply fact rows). The byte cap
-    and the exactness envelope are checked against the bound
-    (conservative: the deduped edge count is <= the bound); a defensive
-    post-collect recheck routes to ``None`` if the promise was broken.
+    inner join on a unique key cannot multiply fact rows). The edge-count
+    cap (``NUMPY_DRIVER_MAX_EDGES`` — itself a byte budget at 16 B/edge,
+    see the constant) and the exactness envelope are checked against the
+    bound (conservative: the deduped edge count is <= the bound); a
+    defensive post-collect recheck routes to ``None`` if the promise was
+    broken.
     No node cap is needed: unlike `hits_scaled_driver`, no per-node
     Spark frame is ever built (numpy holds <= 2 * |E| node slots, and
     only 2k rows go back through createDataFrame).
 
     Returns ``None`` when any cap fails — callers fall back to the r12
     two-frame tier / the distributed loop unchanged. Both node columns
-    must share one Spark type (the unioned ``node`` column's type).
+    must share one INTEGRAL Spark type (the unioned ``node`` column's
+    type; non-integral node ids decline to the fallback rather than
+    crash in the numpy index encoding — ADVICE r14).
     """
     if not GENERAL_DRIVER_TIER_ENABLED:
         return None
@@ -1090,7 +1094,13 @@ def hits_topk_sides_driver(
         or scale * scale * n_edges_bound >= 2**63
     ):
         return None
-    if e.schema[hub_col].dataType != e.schema[auth_col].dataType:
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    if (
+        e.schema[hub_col].dataType != e.schema[auth_col].dataType
+        or not isinstance(e.schema[hub_col].dataType, integral)
+    ):
         return None
     import numpy as np
 

@@ -20,7 +20,6 @@ step); the graded sf0.01 pair and the sf0.001 sweep are untouched.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from hadoop_data_lake_spark.core.io import read_table
 from hadoop_data_lake_spark.queries.registry import QuerySpec
@@ -71,33 +70,18 @@ def _linkage_jaro_winkler_block2(spark: SparkSession, sf_dir: str) -> DataFrame:
     falls quadratically, and the pandas-UDF metric + the 3.1M-row result
     multiset stop dominating the sweep (242 s of the 15.9-min r14 full
     sf0.1 sweep — Spark-side, the scorer itself). Same blocking shape,
-    same UDF, same threshold; the oracle widens identically."""
-    from hadoop_data_lake_spark.functions.strsim import jaro_winkler
+    same UDF, same threshold; the oracle widens identically. Since r15
+    this is just the `operators/linkage` blocking scale law pinned at
+    width 2 — the width its auto rule picks at sf0.1 under the default
+    candidate budget (BENCH_NOTES r15 curve)."""
+    from hadoop_data_lake_spark.operators.linkage import (
+        blocked_jaro_winkler_pairs,
+    )
 
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_name")
-    blocked = part.withColumn(
-        "blk",
-        F.concat_ws(
-            " ",
-            F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)),
-            F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)),
-        ),
+    return blocked_jaro_winkler_pairs(
+        part, "p_partkey", "p_name", threshold=0.93, block_tokens=2
     )
-    a = blocked.select(
-        F.col("blk"),
-        F.col("p_partkey").alias("key_a"),
-        F.col("p_name").alias("name_a"),
-    )
-    b = blocked.select(
-        F.col("blk"),
-        F.col("p_partkey").alias("key_b"),
-        F.col("p_name").alias("name_b"),
-    )
-    pairs = a.join(b, "blk").where(F.col("key_a") < F.col("key_b"))
-    scored = pairs.withColumn(
-        "sim_r", F.round(jaro_winkler(F.col("name_a"), F.col("name_b")), 6)
-    )
-    return scored.where(F.col("sim_r") >= 0.93).select("key_a", "key_b", "sim_r")
 
 
 _LINKAGE_JARO_WINKLER_BLOCK2_SQL = """

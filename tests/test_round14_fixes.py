@@ -377,11 +377,13 @@ def test_round_gate_close_covers_the_checklist():
         "degenerate",
         "degenerate-plans",
         "entry-smoke",
+        "oracle-sf0.1-full",
     ]
     steps = dict(rg.close_steps())
-    # the sf0.1 window check must carry the scaled-variant flag; the
-    # smaller scales must NOT
+    # the sf0.1 checks must carry the scaled-variant flag; the smaller
+    # scales must NOT (check_oracle exits 2 on misuse since r15)
     assert "--scaled-variants" in steps["window-sf0.1"]
+    assert "--scaled-variants" in steps["oracle-sf0.1-full"]
     assert "--scaled-variants" not in steps["window-sf0.01"]
     assert "--scaled-variants" not in steps["oracle-sf0.001"]
     assert [n for n, _ in rg.open_steps()] == ["artifacts", "stale-ladder"]

@@ -1,0 +1,98 @@
+"""Round-15 regression pins: the five ADVICE r14 fixes.
+
+1. hits_topk_sides_driver declines non-integral node columns instead of
+   crashing in the numpy index encoding.
+2. hits_hubs_authorities skips the n_edges_bound count job entirely when
+   the driver tier is pinned off (the tier function is never called).
+3. check_oracle rejects --scaled-variants at non-sf0.1 scales (exit 2).
+4. round_gate's entry() smoke assertion is non-vacuous (> 0, not >= 0).
+5. The fused-tier docstring names the real cap (edge count, not bytes).
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import pytest
+
+REPO = "/root/repo"
+
+
+def test_hits_fused_declines_string_node_columns(spark):
+    import hadoop_data_lake_spark.operators.graph as G
+
+    e = spark.createDataFrame(
+        [("u1", "v1"), ("u2", "v1")], "c string, s string"
+    )
+    assert G.hits_topk_sides_driver(e, "c", "s", n_edges_bound=2) is None
+
+
+def test_hits_fused_declines_decimal_node_columns(spark):
+    import hadoop_data_lake_spark.operators.graph as G
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame([(1, 10), (2, 10)], "c long, s long").select(
+        F.col("c").cast("decimal(10,0)").alias("c"),
+        F.col("s").cast("decimal(10,0)").alias("s"),
+    )
+    assert G.hits_topk_sides_driver(e, "c", "s", n_edges_bound=2) is None
+
+
+def test_hits_fused_still_runs_on_int_columns(spark):
+    import hadoop_data_lake_spark.operators.graph as G
+
+    e = spark.createDataFrame([(1, 10), (2, 10), (1, 10)], "c int, s int")
+    out = G.hits_topk_sides_driver(e, "c", "s", n_edges_bound=3)
+    assert out is not None and out.count() > 0
+
+
+def test_hits_query_skips_tier_and_its_count_when_disabled(spark, monkeypatch):
+    """With the tier pinned off, the query must not even call the tier
+    function (whose bound argument is the extra count job ADVICE r14
+    flagged) — and the distributed fallback must still answer."""
+    import hadoop_data_lake_spark.operators.graph as G
+    from hadoop_data_lake_spark.queries.tpch_queries import (
+        hits_hubs_authorities,
+    )
+
+    def _boom(*a, **k):  # pragma: no cover - the assertion is that it never runs
+        raise AssertionError("fused tier called while disabled")
+
+    monkeypatch.setattr(G, "GENERAL_DRIVER_TIER_ENABLED", False)
+    monkeypatch.setattr(G, "hits_topk_sides_driver", _boom)
+    rows = hits_hubs_authorities(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+
+
+def test_check_oracle_rejects_scaled_variants_at_graded_scales():
+    out = subprocess.run(
+        [
+            sys.executable,
+            "tools/check_oracle.py",
+            "/root/testdata/sf0.01",
+            "--scaled-variants",
+            "linkage_jaro_winkler",
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert out.returncode == 2, (out.returncode, out.stderr[-500:])
+    assert "sf0.1-only" in out.stderr
+
+
+def test_round_gate_smoke_assertion_non_vacuous():
+    from tools import round_gate
+
+    assert "len(rows) > 0" in round_gate._SMOKE_SNIPPET
+    assert "len(rows) >= 0" not in round_gate._SMOKE_SNIPPET
+
+
+def test_fused_docstring_names_the_edge_cap():
+    import hadoop_data_lake_spark.operators.graph as G
+
+    doc = G.hits_topk_sides_driver.__doc__
+    assert "NUMPY_DRIVER_MAX_EDGES" in doc
+    assert "byte cap and the exactness envelope" not in doc

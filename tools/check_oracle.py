@@ -123,6 +123,16 @@ if __name__ == "__main__":
     scaled = "--scaled-variants" in args
     args = [a for a in args if a != "--scaled-variants"]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    if scaled and "sf0.1" not in sf_dir:
+        # The variants exist ONLY to bound sweep cost at bench scale;
+        # at graded scales they would silently substitute the coarser
+        # twin for the graded pair (ADVICE r14).
+        print(
+            f"--scaled-variants is sf0.1-only (got {sf_dir}); "
+            "graded-scale sweeps must compare the graded pair",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     names = args[1:] if len(args) > 1 else list(REGISTRY)
     rc = run(sf_dir, names, scaled_variants=scaled)
     print(f"{'ALL OK' if rc == 0 else f'{rc} FAILURES'}")

@@ -26,6 +26,11 @@ that rounds 10-13 ran by convention, made mechanical.
         8. degenerate_sweep --plans    — fact-rescan audit on the
            empty-facts corpus (re-run after eager-checkpoint changes).
         9. entry() smoke               — the driver contract's flagship.
+        10. FULL registry sweep at sf0.1 (--scaled-variants) — the
+           bench-scale insurance sweep over all 352 queries (~13 min;
+           VERDICT r14 item 4 made it a permanent numbered gate). Runs
+           LAST so every cheaper gate fails first; the 50-slot window
+           step above stays as its fast-fail precursor.
 
         The timed bench is deliberately NOT here: it must run ALONE on a
         calm box (BENCH_NOTES protocol), never stacked behind an hour of
@@ -62,7 +67,7 @@ from hadoop_data_lake_spark.core.session import get_spark
 spec = importlib.util.spec_from_file_location('e', '__spark_entry__.py')
 m = importlib.util.module_from_spec(spec); spec.loader.exec_module(m)
 rows = m.entry(get_spark('round_gate_smoke')).collect()
-assert len(rows) >= 0 and rows[0].__fields__, rows
+assert len(rows) > 0 and rows[0].__fields__, rows
 print(f'entry() smoke: {len(rows)} rows')
 """
 
@@ -99,6 +104,7 @@ def close_steps() -> list[tuple[str, list[str]]]:
         ("degenerate", [PY, "tools/degenerate_sweep.py"]),
         ("degenerate-plans", [PY, "tools/degenerate_sweep.py", "--plans"]),
         ("entry-smoke", [PY, "-c", _SMOKE_SNIPPET]),
+        ("oracle-sf0.1-full", [PY, "-u", "tools/check_oracle.py", "/root/testdata/sf0.1", "--scaled-variants"]),
     ]
 
 
