@@ -312,8 +312,15 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so the gate itself is replay-stable — a 1-ulp interpolation
     difference between Spark percentile and DuckDB quantile_cont on some
     future dataset can no longer flip n_kept (ADVICE r3)."""
-    ppl = doc_lm_perplexity(spark, sf_dir)
-    langs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return perplexity_filter_frame(read_table(spark, sf_dir, "documents"))
+
+
+def perplexity_filter_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level core of perplexity_filter (r15: split out for the 100x
+    scale probe, like doc_lm_perplexity_frame). Requires (doc_id, text,
+    lang)."""
+    ppl = doc_lm_perplexity_frame(docs)
+    langs = docs.select("doc_id", "lang")
     # checkpoint the per-doc scalar frame (r9 scan-multiplicity audit):
     # the cutoff agg and the keep-join each re-executed the whole bigram
     # LM otherwise (8 documents scans per run); (doc_id, lang, bits) is
@@ -2044,7 +2051,13 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     every count is corpus-derived so no smoothing is needed. Cross-entropy
     is rounded to 6 decimals (sim_r precedent: float sums are
     order-sensitive in the last ulps)."""
-    docs = read_table(spark, sf_dir, "documents")
+    return doc_lm_perplexity_frame(read_table(spark, sf_dir, "documents"))
+
+
+def doc_lm_perplexity_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level core of doc_lm_perplexity (r15: split out so the 100x
+    scale probe can drive the identical plan over a synthetic scaled
+    corpus — tools/scale_probe_100x.py). Requires (doc_id, text)."""
     w = F.split(F.col("text"), " ")
     base = docs.select(
         "doc_id", w.alias("w"), F.size(w).alias("n")

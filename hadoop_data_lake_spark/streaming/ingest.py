@@ -21,6 +21,7 @@ append mode + watermark is the production path.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 from collections.abc import Iterator
@@ -172,18 +173,48 @@ def _open_stream(spark: SparkSession, parquet_path: str) -> tuple[DataFrame, str
     return normalize_ns_ts(spark.readStream.schema(schema).parquet(src_dir)), src_dir
 
 
+#: State-store partition count for the REPLAY harness (the deterministic
+#: verification path: one availableNow batch over a static test corpus).
+#: `spark.sql.shuffle.partitions` at query start fixes the number of
+#: streaming state-store partitions for the query's lifetime, and each
+#: partition pays a fixed per-batch cost (store init + delta-file commit +
+#: task launch) regardless of rows — profiled at sf0.1 (100k events,
+#: tools/stream_replay_profile.py): a 1-ROW corpus replay costs the same
+#: wall as the full corpus, and 32 partitions read 3-5x slower than 8
+#: across all seven replay shapes (windowed 5.0->1.4 s, session 11.3->1.4,
+#: stateful 10.9->2.3, interval-join 13.1->4.2). Replay verification is
+#: fixed-cost-dominated, so it gets FEW partitions; a PRODUCTION stream on
+#: a real source sizes state partitions to sustained throughput instead —
+#: keep the session default (cores, or higher) there and leave this knob
+#: to the replay path only.
+REPLAY_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_REPLAY_STATE_PARTITIONS", "8")
+)
+
+
 def replay_to_memory(out: DataFrame, output_mode: str = "complete") -> str:
     """Drain a streaming frame into a memory sink with availableNow; returns
-    the sink table name."""
+    the sink table name.
+
+    The session's shuffle-partition conf is snapshotted, pinned to
+    `REPLAY_STATE_PARTITIONS` for the query start (which is when the
+    streaming state layout is fixed), and restored after the drain — batch
+    plans running before/after the replay see the session default."""
+    spark = out.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(REPLAY_STATE_PARTITIONS))
+    try:
+        q = (
+            out.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return name
 
 

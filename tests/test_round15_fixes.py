@@ -96,3 +96,68 @@ def test_fused_docstring_names_the_edge_cap():
     doc = G.hits_topk_sides_driver.__doc__
     assert "NUMPY_DRIVER_MAX_EDGES" in doc
     assert "byte cap and the exactness envelope" not in doc
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r14 item 5: streaming replay state-partition posture. The replay
+# harness pins spark.sql.shuffle.partitions (= streaming state-store
+# partition count at query start) to REPLAY_STATE_PARTITIONS for the drain
+# and restores the session conf afterwards; partition count must never
+# change results.
+# ---------------------------------------------------------------------------
+
+
+def test_replay_restores_session_shuffle_conf(spark):
+    from hadoop_data_lake_spark.streaming.ingest import run_batch_replay
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        out = run_batch_replay(
+            spark, "/root/testdata/sf0.001/events.parquet", window_seconds=3600
+        )
+        assert out.count() > 0
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_replay_restores_conf_when_start_fails(spark):
+    """The restore must run even when the streaming query can't start
+    (finally path): 'complete' output mode on a non-aggregate stream is an
+    AnalysisException at start()."""
+    import pytest
+    from pyspark.errors.exceptions.base import PySparkException
+
+    from hadoop_data_lake_spark.streaming import ingest
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        stream, src_dir = ingest._open_stream(
+            spark, "/root/testdata/sf0.001/events.parquet"
+        )
+        with pytest.raises(PySparkException):
+            ingest.replay_to_memory(stream, output_mode="complete")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        import shutil
+
+        shutil.rmtree(src_dir, ignore_errors=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_replay_results_invariant_to_state_partition_count(spark, monkeypatch):
+    from hadoop_data_lake_spark.streaming import ingest
+
+    path = "/root/testdata/sf0.001/events.parquet"
+
+    def session_keys(setting):
+        monkeypatch.setattr(ingest, "REPLAY_STATE_PARTITIONS", setting)
+        out = ingest.run_session_replay(spark, path, gap_seconds=1800)
+        return {
+            (r["user_id"], r["session_start_us"], r["n_events"])
+            for r in out.collect()
+        }
+
+    assert session_keys(2) == session_keys(13)

@@ -164,6 +164,7 @@ def main() -> None:
         # everything; this probe extends exactly the named curves).
         from hadoop_data_lake_spark.operators import dedup as DD
         from hadoop_data_lake_spark.operators import similarity as SIM
+        from hadoop_data_lake_spark.queries import northstar_queries as NSQ
         from hadoop_data_lake_spark.operators.graph import pagerank_intexact
         from hadoop_data_lake_spark.operators.windows import sessionize
         from pyspark.sql import functions as F
@@ -207,6 +208,36 @@ def main() -> None:
             # (bands, bits) scaled with log n to hold per-bucket occupancy
             # roughly constant while keeping banded recall >= 98% at the
             # 0.95 threshold (B up with R: recall = 1-(1-p^R)^B, p=.899).
+            # r15 (VERDICT r14 item 6): the two most expensive recurring
+            # non-control bench queries, pre-profiled structurally sound
+            # in r14 but missing a 100x point. Both run over the scaled
+            # docs corpus.
+            #
+            # decontaminate_minhash_cross: %13 split of the SCALED corpus
+            # (the graded query's own split rule), so the probe side grows
+            # linearly with the corpus — the adversarial case for the
+            # broadcast-probe-index design (probe index ~ n/13 docs).
+            "decontaminate_cross": lambda: DD.minhash_cross_pairs(
+                docs.where(F.col("doc_id") % 13 != 0),
+                docs.where(F.col("doc_id") % 13 == 0),
+                "doc_id", "text",
+                k=3, num_hashes=16, bands=4, threshold=0.3,
+            ),
+            # perplexity_filter: the graded plan verbatim (frame-level
+            # core, queries/northstar_queries.perplexity_filter_frame)
+            # over the scaled corpus + a deterministic 4-language label
+            # (the base corpus's lang column doesn't survive scaling; the
+            # label only drives the per-language percentile fan-out, so a
+            # fixed-cardinality synthetic label preserves the plan shape).
+            "perplexity_filter": lambda: NSQ.perplexity_filter_frame(
+                docs.select(
+                    "doc_id", "text",
+                    F.element_at(
+                        F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es")),
+                        (F.col("doc_id") % 4 + 1).cast("int"),
+                    ).alias("lang"),
+                )
+            ),
             "cosine_near_dup": lambda: SIM.cosine_near_dup_pairs(
                 emb, threshold=0.95
             ),
