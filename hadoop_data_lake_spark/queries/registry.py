@@ -112,50 +112,50 @@ STREAMING_GUARD: tuple[str, ...] = (
 #: rows-only — its recall pytest is the real verification, and the
 #: driver row re-dates it off the ladder.
 INTENTIONAL_REGRADES: frozenset[str] = frozenset({
+    "linkage_jaro_winkler",
     "hits_hubs_authorities",
-    "customer_rfm_segments",
-    "churn_label_windows",
-    "adstock_attribution",
-    "kcore_purchase_graph",
-    "q15_top_supplier",
-    "q11_important_parts",
-    "monthly_from_daily_mv",
-    "ivm_join_delta",
-    "incremental_orders_agg",
-    "conformal_value_interval",
-    "cohort_ltv_curve",
-    "embedding_near_dup",
+    "perplexity_filter",
     "doc_lm_perplexity",
     "doc_lm_kneser_ney",
-    "ann_ivf_det",
-    "customer_order_ranks",
-    "customers_with_orders",
-    "customers_without_orders",
-    "event_pair_candidates",
-    "first_event_per_user",
-    "latest_event_per_user",
-    "nations_customers_not_suppliers",
-    "nations_with_both",
-    "order_percent_ranks",
-    "order_price_percentiles",
-    "props_k_stats",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q16_parts_supplier_counts",
-    "q2_cheapest_supplier_per_nation",
-    "q4_late_orders_by_priority",
-    "top20_orders_global",
-    "top_orders_per_customer",
-    "user_event_history",
-    "user_gap_stats",
-    "user_latest_position",
-    "user_local_time",
-    "user_value_ffill",
-    "weekday_hour_heatmap",
-    "weekly_type_pivot",
-    "bigram_counts",
-    "chunk_text_windows",
-    "dedup_exact",
+    "dedup_simhash",
+    "documents_profile",
+    "hashed_token_vectors",
+    "lang_id",
+    "length_bucket_batches",
+    "multimodal_meta",
+    "normalize_text",
+    "pii_redact",
+    "q21_waiting_suppliers",
+    "quality_gopher_filters",
+    "stratified_sample",
+    "text_stats",
+    "token_counts_regex",
+    "token_frequencies",
+    "train_test_split_counts",
+    "ann_lsh_det",
+    "importance_sample_events",
+    "nearest_city",
+    "next_action_after_purchase",
+    "orders_snapshot_merge",
+    "part_name_near_matches",
+    "props_map_entries",
+    "props_variant_stats",
+    "scd2_event_type_history",
+    "token_budget_truncate",
+    "user_gap_days",
+    "user_local_time_coords",
+    "user_sessions",
+    "user_value_interpolate",
+    "value_histogram",
+    "value_mad",
+    "weekly_counts_unpivot",
+    "winnow_fingerprints",
+    "zone_conversion_funnel",
+    "zorder_code_orders",
+    "ann_pq_det",
+    "bloom_semijoin_orders",
+    "concurrent_sessions",
+    "er_golden_record",
 })
 
 
@@ -167,62 +167,119 @@ class QuerySpec:
 
 
 _WINDOW: dict[str, QuerySpec] = {
-    # ---- ROUND-14 WINDOW ------------------------------------------------
+    # ---- ROUND-15 WINDOW ------------------------------------------------
     # Every non-guard slot is a DECLARED re-grade (all 44 in
     # INTENTIONAL_REGRADES above; `backlog_report.py --assert`
     # enforces the declaration; rows-only queries cannot occupy a
-    # non-guard slot). Drains the stale ladder to ZERO (VERDICT r13
-    # item 2): hits_hubs_authorities leads (behavior changed — the
-    # r14 fused raw-edge driver tier), then the mechanical ladder
-    # (the r10/r11-dated embedding/LM/ANN/MV remainder), then
-    # oldest-green re-confirmations so no driver row ages silently.
+    # non-guard slot). Maintenance rotation (VERDICT r14 item 7):
+    # linkage_jaro_winkler + hits_hubs_authorities lead (behavior
+    # touched by the r15-open commits), then the plan-identical
+    # doc_lm frame-refactor trio, then oldest-green re-confirmations
+    # so no driver row ages past two rounds.
     # Bookkeeping below is emitted from the displaced/reused lists
     # themselves (ADVICE r13 — no positional zip against INCOMING).
     # hits_hubs_authorities: reused in place (was already a window slot)
-    # pagerank_det -> displaced to _BACKLOG (r13-green, driver row stands)
-    # textrank_keywords -> displaced to _BACKLOG (r13-green, driver row stands)
-    # lpa_modularity -> displaced to _BACKLOG (r13-green, driver row stands)
-    # brand_communities_lpa -> displaced to _BACKLOG (r13-green, driver row stands)
-    # token_lang_mi -> displaced to _BACKLOG (r13-green, driver row stands)
-    # user_value_twap -> displaced to _BACKLOG (r13-green, driver row stands)
-    # supplier_customer_dependency -> displaced to _BACKLOG (r13-green, driver row stands)
-    # price_dispersion_by_brand -> displaced to _BACKLOG (r13-green, driver row stands)
-    # order_backlog_aging -> displaced to _BACKLOG (r13-green, driver row stands)
-    # max_drawdown_daily_revenue -> displaced to _BACKLOG (r13-green, driver row stands)
-    # ks_test_variants -> displaced to _BACKLOG (r13-green, driver row stands)
-    # gini_customer_revenue -> displaced to _BACKLOG (r13-green, driver row stands)
-    # first_touch_attribution -> displaced to _BACKLOG (r13-green, driver row stands)
-    # duplicate_invoice_screen -> displaced to _BACKLOG (r13-green, driver row stands)
-    # anova_eta_squared -> displaced to _BACKLOG (r13-green, driver row stands)
-    # woe_value_bins -> displaced to _BACKLOG (r13-green, driver row stands)
-    # value_psi_drift -> displaced to _BACKLOG (r13-green, driver row stands)
-    # value_moments_profile -> displaced to _BACKLOG (r13-green, driver row stands)
-    # theil_sen_daily_trend -> displaced to _BACKLOG (r13-green, driver row stands)
-    # target_encode_event_type -> displaced to _BACKLOG (r13-green, driver row stands)
-    # stream_upsert_scd1 -> displaced to _BACKLOG (r13-green, driver row stands)
-    # rdd_value_threshold -> displaced to _BACKLOG (r13-green, driver row stands)
-    # quantile_sample_det -> displaced to _BACKLOG (r13-green, driver row stands)
-    # ols_weekend_effect -> displaced to _BACKLOG (r13-green, driver row stands)
-    # ols_daily_trend -> displaced to _BACKLOG (r13-green, driver row stands)
-    # neyman_allocation_plan -> displaced to _BACKLOG (r13-green, driver row stands)
-    # mann_whitney_variants -> displaced to _BACKLOG (r13-green, driver row stands)
-    # kendall_tau_daily -> displaced to _BACKLOG (r13-green, driver row stands)
-    # jackknife_daily_mean -> displaced to _BACKLOG (r13-green, driver row stands)
-    # ipw_outcome_estimate -> displaced to _BACKLOG (r13-green, driver row stands)
-    # daily_revenue_changepoint -> displaced to _BACKLOG (r13-green, driver row stands)
-    # cuped_adjusted_lift -> displaced to _BACKLOG (r13-green, driver row stands)
-    # covariate_balance_smd -> displaced to _BACKLOG (r13-green, driver row stands)
-    # bootstrap_mean_ci -> displaced to _BACKLOG (r13-green, driver row stands)
-    # benjamini_hochberg_fdr -> displaced to _BACKLOG (r13-green, driver row stands)
-    # autocorr_daily_value -> displaced to _BACKLOG (r13-green, driver row stands)
-    # ab_test_welch -> displaced to _BACKLOG (r13-green, driver row stands)
-    # type_comovement_matrix -> displaced to _BACKLOG (r13-green, driver row stands)
-    # seasonal_naive_backtest -> displaced to _BACKLOG (r13-green, driver row stands)
-    # pareto_8020_customers -> displaced to _BACKLOG (r13-green, driver row stands)
-    # observed_scan_metrics -> displaced to _BACKLOG (r13-green, driver row stands)
-    # lorenz_curve_points -> displaced to _BACKLOG (r13-green, driver row stands)
-    # forecast_bakeoff -> displaced to _BACKLOG (r13-green, driver row stands)
+    # doc_lm_perplexity: reused in place (was already a window slot)
+    # doc_lm_kneser_ney: reused in place (was already a window slot)
+    # customer_rfm_segments -> displaced to _BACKLOG (r14-green, driver row stands)
+    # churn_label_windows -> displaced to _BACKLOG (r14-green, driver row stands)
+    # adstock_attribution -> displaced to _BACKLOG (r14-green, driver row stands)
+    # kcore_purchase_graph -> displaced to _BACKLOG (r14-green, driver row stands)
+    # q15_top_supplier -> displaced to _BACKLOG (r14-green, driver row stands)
+    # q11_important_parts -> displaced to _BACKLOG (r14-green, driver row stands)
+    # monthly_from_daily_mv -> displaced to _BACKLOG (r14-green, driver row stands)
+    # ivm_join_delta -> displaced to _BACKLOG (r14-green, driver row stands)
+    # incremental_orders_agg -> displaced to _BACKLOG (r14-green, driver row stands)
+    # conformal_value_interval -> displaced to _BACKLOG (r14-green, driver row stands)
+    # cohort_ltv_curve -> displaced to _BACKLOG (r14-green, driver row stands)
+    # embedding_near_dup -> displaced to _BACKLOG (r14-green, driver row stands)
+    # ann_ivf_det -> displaced to _BACKLOG (r14-green, driver row stands)
+    # customer_order_ranks -> displaced to _BACKLOG (r14-green, driver row stands)
+    # customers_with_orders -> displaced to _BACKLOG (r14-green, driver row stands)
+    # customers_without_orders -> displaced to _BACKLOG (r14-green, driver row stands)
+    # event_pair_candidates -> displaced to _BACKLOG (r14-green, driver row stands)
+    # first_event_per_user -> displaced to _BACKLOG (r14-green, driver row stands)
+    # latest_event_per_user -> displaced to _BACKLOG (r14-green, driver row stands)
+    # nations_customers_not_suppliers -> displaced to _BACKLOG (r14-green, driver row stands)
+    # nations_with_both -> displaced to _BACKLOG (r14-green, driver row stands)
+    # order_percent_ranks -> displaced to _BACKLOG (r14-green, driver row stands)
+    # order_price_percentiles -> displaced to _BACKLOG (r14-green, driver row stands)
+    # props_k_stats -> displaced to _BACKLOG (r14-green, driver row stands)
+    # q12_priority_shipping -> displaced to _BACKLOG (r14-green, driver row stands)
+    # q13_customer_distribution -> displaced to _BACKLOG (r14-green, driver row stands)
+    # q16_parts_supplier_counts -> displaced to _BACKLOG (r14-green, driver row stands)
+    # q2_cheapest_supplier_per_nation -> displaced to _BACKLOG (r14-green, driver row stands)
+    # q4_late_orders_by_priority -> displaced to _BACKLOG (r14-green, driver row stands)
+    # top20_orders_global -> displaced to _BACKLOG (r14-green, driver row stands)
+    # top_orders_per_customer -> displaced to _BACKLOG (r14-green, driver row stands)
+    # user_event_history -> displaced to _BACKLOG (r14-green, driver row stands)
+    # user_gap_stats -> displaced to _BACKLOG (r14-green, driver row stands)
+    # user_latest_position -> displaced to _BACKLOG (r14-green, driver row stands)
+    # user_local_time -> displaced to _BACKLOG (r14-green, driver row stands)
+    # user_value_ffill -> displaced to _BACKLOG (r14-green, driver row stands)
+    # weekday_hour_heatmap -> displaced to _BACKLOG (r14-green, driver row stands)
+    # weekly_type_pivot -> displaced to _BACKLOG (r14-green, driver row stands)
+    # bigram_counts -> displaced to _BACKLOG (r14-green, driver row stands)
+    # chunk_text_windows -> displaced to _BACKLOG (r14-green, driver row stands)
+    # dedup_exact -> displaced to _BACKLOG (r14-green, driver row stands)
+    "linkage_jaro_winkler": QuerySpec(TQ.linkage_jaro_winkler, TQ.LINKAGE_JARO_WINKLER_SQL, ("join", "fuzzy", "blocking", "jaro-winkler", "pandas-udf")),
     "hits_hubs_authorities": QuerySpec(TQ.hits_hubs_authorities, TQ.HITS_HUBS_AUTHORITIES_SQL, ("graph", "iterative", "hits", "fixed-point", "deterministic")),
+    "perplexity_filter": QuerySpec(NS.perplexity_filter, NS.PERPLEXITY_FILTER_SQL, ("text", "quality", "perplexity", "percentile")),
+    "doc_lm_perplexity": QuerySpec(NS.doc_lm_perplexity, NS.DOC_LM_PERPLEXITY_SQL, ("text", "quality", "lm", "perplexity")),
+    "doc_lm_kneser_ney": QuerySpec(NS.doc_lm_kneser_ney, NS.DOC_LM_KNESER_NEY_SQL, ("text", "quality", "lm", "kneser-ney", "smoothing")),
+    "dedup_simhash": QuerySpec(NS.dedup_simhash, NS.DEDUP_SIMHASH_SQL, ("dedup", "lsh")),
+    "documents_profile": QuerySpec(NS.documents_profile, NS.DOCUMENTS_PROFILE_SQL, ("profile", "quality")),
+    "hashed_token_vectors": QuerySpec(NS.hashed_token_vectors, NS.HASHED_TOKEN_VECTORS_SQL, ("text", "feature-hashing")),
+    "lang_id": QuerySpec(NS.lang_id, NS.LANG_ID_SQL, ("text",)),
+    "length_bucket_batches": QuerySpec(NS.length_bucket_batches, NS.LENGTH_BUCKET_BATCHES_SQL, ("packing", "batching", "training-data")),
+    "multimodal_meta": QuerySpec(NS.multimodal_meta, NS.MULTIMODAL_META_SQL, ("multimodal",)),
+    "normalize_text": QuerySpec(NS.normalize_text, NS.NORMALIZE_TEXT_SQL, ("text", "regex", "normalize")),
+    "pii_redact": QuerySpec(NS.pii_redact, NS.PII_REDACT_SQL, ("text", "pii", "regex")),
+    "q21_waiting_suppliers": QuerySpec(TQ.q21_waiting_suppliers, TQ.Q21_WAITING_SUPPLIERS_SQL, ("join", "exists", "argmax")),
+    "quality_gopher_filters": QuerySpec(NS.quality_gopher_filters, NS.QUALITY_GOPHER_FILTERS_SQL, ("text", "quality", "filter-stage")),
+    "stratified_sample": QuerySpec(NS.stratified_sample, NS.STRATIFIED_SAMPLE_SQL, ("split", "sampling", "stratified")),
+    "text_stats": QuerySpec(NS.text_stats, NS.TEXT_STATS_SQL, ("text",)),
+    "token_counts_regex": QuerySpec(NS.token_counts_regex, NS.TOKEN_COUNTS_REGEX_SQL, ("text", "regex")),
+    "token_frequencies": QuerySpec(NS.token_frequencies, NS.TOKEN_FREQUENCIES_SQL, ("text", "explode")),
+    "train_test_split_counts": QuerySpec(NS.train_test_split_counts, NS.TRAIN_TEST_SPLIT_COUNTS_SQL, ("split", "sampling")),
+    "ann_lsh_det": QuerySpec(NS.ann_lsh_det, NS.ANN_LSH_DET_SQL, ("ann", "lsh", "deterministic")),
+    "importance_sample_events": QuerySpec(EV.importance_sample_events, EV.IMPORTANCE_SAMPLE_EVENTS_SQL, ("sampling", "weighted", "deterministic")),
+    "nearest_city": QuerySpec(GQ.nearest_city, GQ.NEAREST_CITY_SQL, ("geo", "crossjoin", "window", "argmin")),
+    "next_action_after_purchase": QuerySpec(EV.next_action_after_purchase, EV.NEXT_ACTION_AFTER_PURCHASE_SQL, ("join", "asof", "forward")),
+    "orders_snapshot_merge": QuerySpec(TQ.orders_snapshot_merge, TQ.ORDERS_SNAPSHOT_MERGE_SQL, ("merge", "upsert", "full-outer")),
+    "part_name_near_matches": QuerySpec(TQ.part_name_near_matches, TQ.PART_NAME_NEAR_MATCHES_SQL, ("join", "fuzzy", "blocking", "levenshtein")),
+    "props_map_entries": QuerySpec(NS.props_map_entries, NS.PROPS_MAP_ENTRIES_SQL, ("json", "map")),
+    "props_variant_stats": QuerySpec(NS.props_variant_stats, NS.PROPS_VARIANT_STATS_SQL, ("json", "variant")),
+    "scd2_event_type_history": QuerySpec(EV.scd2_event_type_history, EV.SCD2_EVENT_TYPE_HISTORY_SQL, ("scd2", "window", "gaps-and-islands")),
+    "token_budget_truncate": QuerySpec(NS.token_budget_truncate, NS.TOKEN_BUDGET_TRUNCATE_SQL, ("training-data", "budget")),
+    "user_gap_days": QuerySpec(EV.user_gap_days, EV.USER_GAP_DAYS_SQL, ("generator", "anti-join", "densification")),
+    "user_local_time_coords": QuerySpec(GQ.user_local_time_coords, GQ.USER_LOCAL_TIME_COORDS_SQL, ("geo", "timezone", "coords")),
+    "user_sessions": QuerySpec(EV.user_sessions, EV.USER_SESSIONS_SQL, ("window", "sessionize")),
+    "user_value_interpolate": QuerySpec(EV.user_value_interpolate, EV.USER_VALUE_INTERPOLATE_SQL, ("timeseries", "interpolation", "grid")),
+    "value_histogram": QuerySpec(NS.value_histogram, NS.VALUE_HISTOGRAM_SQL, ("agg", "histogram")),
+    "value_mad": QuerySpec(EV.value_mad, EV.VALUE_MAD_SQL, ("agg", "percentile", "robust-stats")),
+    "weekly_counts_unpivot": QuerySpec(TQ.weekly_counts_unpivot, TQ.WEEKLY_COUNTS_UNPIVOT_SQL, ("unpivot", "melt")),
+    "winnow_fingerprints": QuerySpec(NS.winnow_fingerprints, NS.WINNOW_FINGERPRINTS_SQL, ("dedup", "fingerprint", "winnowing")),
+    "zone_conversion_funnel": QuerySpec(EV.zone_conversion_funnel, EV.ZONE_CONVERSION_FUNNEL_SQL, ("agg", "funnel", "conditional-agg")),
+    "zorder_code_orders": QuerySpec(TQ.zorder_code_orders, TQ.ZORDER_CODE_ORDERS_SQL, ("layout", "zorder", "bit-arithmetic")),
+    "ann_pq_det": QuerySpec(NS.ann_pq_det, NS.ANN_PQ_DET_SQL, ("ann", "pq", "adc", "deterministic")),
+    "bloom_semijoin_orders": QuerySpec(TQ.bloom_semijoin_orders, TQ.BLOOM_SEMIJOIN_ORDERS_SQL, ("join", "bloom", "prefilter", "broadcast")),
+    "concurrent_sessions": QuerySpec(EV.concurrent_sessions, EV.CONCURRENT_SESSIONS_SQL, ("join", "interval-join", "banding", "sessionize")),
+    "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),
+    # --- streaming regression guard (6 = STREAMING_GUARD above):
+    # streaming silently broke at r2 HEAD; these keep every micro-batch/
+    # watermark/stream-join path under the driver gate ---
+    "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),
+    "stream_session_stats": QuerySpec(NS.stream_session_stats, NS.STREAM_SESSION_STATS_SQL, ("streaming", "session-window")),
+    "stream_running_max": QuerySpec(NS.stream_running_max, NS.STREAM_RUNNING_MAX_SQL, ("streaming", "stateful", "pandas-udf")),
+    "stream_enriched_value": QuerySpec(NS.stream_enriched_value, NS.STREAM_ENRICHED_VALUE_SQL, ("streaming", "stream-static-join")),
+    "stream_attribution_pairs": QuerySpec(NS.stream_attribution_pairs, NS.STREAM_ATTRIBUTION_PAIRS_SQL, ("streaming", "stream-stream-join", "interval-join")),
+    "stream_attribution_left": QuerySpec(NS.stream_attribution_left, NS.STREAM_ATTRIBUTION_LEFT_SQL, ("streaming", "stream-stream-join", "outer-join", "watermark")),
+}
+
+_BACKLOG: dict[str, QuerySpec] = {
+    # --- round-14 green, displaced by the r15 rotation (all hold a
+    # CORRECTNESS_r14.json full-oracle PASS) ---
     "customer_rfm_segments": QuerySpec(TQ.customer_rfm_segments, TQ.CUSTOMER_RFM_SEGMENTS_SQL, ("agg", "rfm", "percentile", "segmentation")),
     "churn_label_windows": QuerySpec(EV.churn_label_windows, EV.CHURN_LABEL_WINDOWS_SQL, ("ml", "label-engineering", "churn", "leakage-safe")),
     "adstock_attribution": QuerySpec(EV.adstock_attribution, EV.ADSTOCK_ATTRIBUTION_SQL, ("attribution", "adstock", "decay-weighted")),
@@ -235,8 +292,6 @@ _WINDOW: dict[str, QuerySpec] = {
     "conformal_value_interval": QuerySpec(EV.conformal_value_interval, EV.CONFORMAL_VALUE_INTERVAL_SQL, ("ml", "conformal", "prediction-interval", "order-statistic")),
     "cohort_ltv_curve": QuerySpec(EV.cohort_ltv_curve, EV.COHORT_LTV_CURVE_SQL, ("cohort", "ltv", "running-sum")),
     "embedding_near_dup": QuerySpec(NS.embedding_near_dup, NS.EMBEDDING_NEAR_DUP_SQL, ("ann", "dedup", "lsh")),
-    "doc_lm_perplexity": QuerySpec(NS.doc_lm_perplexity, NS.DOC_LM_PERPLEXITY_SQL, ("text", "quality", "lm", "perplexity")),
-    "doc_lm_kneser_ney": QuerySpec(NS.doc_lm_kneser_ney, NS.DOC_LM_KNESER_NEY_SQL, ("text", "quality", "lm", "kneser-ney", "smoothing")),
     "ann_ivf_det": QuerySpec(NS.ann_ivf_det, NS.ANN_IVF_DET_SQL, ("ann", "ivf", "deterministic", "integer-exact")),
     "customer_order_ranks": QuerySpec(TQ.customer_order_ranks, TQ.CUSTOMER_ORDER_RANKS_SQL, ("window", "rank")),
     "customers_with_orders": QuerySpec(TQ.customers_with_orders, TQ.CUSTOMERS_WITH_ORDERS_SQL, ("semi-join",)),
@@ -266,18 +321,6 @@ _WINDOW: dict[str, QuerySpec] = {
     "bigram_counts": QuerySpec(NS.bigram_counts, NS.BIGRAM_COUNTS_SQL, ("text", "ngram", "topk")),
     "chunk_text_windows": QuerySpec(NS.chunk_text_windows, NS.CHUNK_TEXT_WINDOWS_SQL, ("text", "chunking", "udtf", "rag")),
     "dedup_exact": QuerySpec(NS.dedup_exact, NS.DEDUP_EXACT_SQL, ("dedup",)),
-    # --- streaming regression guard (6 = STREAMING_GUARD above):
-    # streaming silently broke at r2 HEAD; these keep every micro-batch/
-    # watermark/stream-join path under the driver gate ---
-    "stream_windowed_counts": QuerySpec(NS.stream_windowed_counts, NS.STREAM_WINDOWED_COUNTS_SQL, ("streaming",)),
-    "stream_session_stats": QuerySpec(NS.stream_session_stats, NS.STREAM_SESSION_STATS_SQL, ("streaming", "session-window")),
-    "stream_running_max": QuerySpec(NS.stream_running_max, NS.STREAM_RUNNING_MAX_SQL, ("streaming", "stateful", "pandas-udf")),
-    "stream_enriched_value": QuerySpec(NS.stream_enriched_value, NS.STREAM_ENRICHED_VALUE_SQL, ("streaming", "stream-static-join")),
-    "stream_attribution_pairs": QuerySpec(NS.stream_attribution_pairs, NS.STREAM_ATTRIBUTION_PAIRS_SQL, ("streaming", "stream-stream-join", "interval-join")),
-    "stream_attribution_left": QuerySpec(NS.stream_attribution_left, NS.STREAM_ATTRIBUTION_LEFT_SQL, ("streaming", "stream-stream-join", "outer-join", "watermark")),
-}
-
-_BACKLOG: dict[str, QuerySpec] = {
     # --- round-13 green, displaced by the r14 rotation (all hold a
     # CORRECTNESS_r13.json full-oracle PASS) ---
     "pagerank_det": QuerySpec(TQ.pagerank_det, TQ.PAGERANK_DET_SQL, ("graph", "iterative", "pagerank", "fixed-point", "deterministic")),
@@ -388,7 +431,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "lang_id_cohens_kappa": QuerySpec(NS.lang_id_cohens_kappa, NS.LANG_ID_COHENS_KAPPA_SQL, ("text", "lang-id", "eval", "kappa")),
     "laspeyres_price_index": QuerySpec(TQ.laspeyres_price_index, TQ.LASPEYRES_PRICE_INDEX_SQL, ("econ", "price-index", "laspeyres", "integer-exact")),
     "markov_entropy_rate": QuerySpec(EV.markov_entropy_rate, EV.MARKOV_ENTROPY_RATE_SQL, ("sequence", "entropy-rate", "markov")),
-    "perplexity_filter": QuerySpec(NS.perplexity_filter, NS.PERPLEXITY_FILTER_SQL, ("text", "quality", "perplexity", "percentile")),
     "dedup_containment": QuerySpec(NS.dedup_containment, NS.DEDUP_CONTAINMENT_SQL, ("dedup", "containment")),
     "corpus_report_card": QuerySpec(NS.corpus_report_card, NS.CORPUS_REPORT_CARD_SQL, ("capstone", "training-data", "report", "summary")),
     "dedup_ngram_jaccard": QuerySpec(NS.dedup_ngram_jaccard, NS.DEDUP_NGRAM_JACCARD_SQL, ("dedup",)),
@@ -534,8 +576,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "partition_compaction_plan": QuerySpec(EV.partition_compaction_plan, EV.PARTITION_COMPACTION_PLAN_SQL, ("maintenance", "compaction", "prefix-sum", "platform")),
     # --- rotated out of the window in round 5 — each holds a
     # CORRECTNESS_r04.json full-oracle green row -------------------------
-    "er_golden_record": QuerySpec(TQ.er_golden_record, TQ.ER_GOLDEN_RECORD_SQL, ("entity-resolution", "mdm", "graph", "survivorship")),
-    "ann_pq_det": QuerySpec(NS.ann_pq_det, NS.ANN_PQ_DET_SQL, ("ann", "pq", "adc", "deterministic")),
     "hll_det_daily_users": QuerySpec(NS.hll_det_daily_users, NS.HLL_DET_DAILY_USERS_SQL, ("sketch", "hll", "deterministic")),
     "user_sessions_native": QuerySpec(EV.user_sessions_native, EV.USER_SESSIONS_NATIVE_SQL, ("window", "sessionize", "session-window")),
     "expectations_report": QuerySpec(TQ.expectations_report, TQ.EXPECTATIONS_REPORT_SQL, ("quality", "expectations", "unpivot")),
@@ -547,56 +587,19 @@ _BACKLOG: dict[str, QuerySpec] = {
     "event_type_transitions": QuerySpec(EV.event_type_transitions, EV.EVENT_TYPE_TRANSITIONS_SQL, ("window", "markov", "transitions")),
     "user_value_ohlc": QuerySpec(EV.user_value_ohlc, EV.USER_VALUE_OHLC_SQL, ("timeseries", "ohlc", "argmin", "downsample")),
     "priority_sample_stratified": QuerySpec(EV.priority_sample_stratified, EV.PRIORITY_SAMPLE_STRATIFIED_SQL, ("sampling", "reservoir", "priority", "deterministic")),
-    "concurrent_sessions": QuerySpec(EV.concurrent_sessions, EV.CONCURRENT_SESSIONS_SQL, ("join", "interval-join", "banding", "sessionize")),
     "week_over_week_drift": QuerySpec(EV.week_over_week_drift, EV.WEEK_OVER_WEEK_DRIFT_SQL, ("window", "array", "set-similarity", "cohort")),
     "user_type_entropy": QuerySpec(EV.user_type_entropy, EV.USER_TYPE_ENTROPY_SQL, ("agg", "entropy", "re-aggregation")),
     "session_pattern_match": QuerySpec(EV.session_pattern_match, EV.SESSION_PATTERN_MATCH_SQL, ("sessionize", "pattern", "match-recognize", "regex")),
     "hilbert_code_orders": QuerySpec(TQ.hilbert_code_orders, TQ.HILBERT_CODE_ORDERS_SQL, ("layout", "hilbert", "bit-arithmetic")),
     "user_value_cusum": QuerySpec(EV.user_value_cusum, EV.USER_VALUE_CUSUM_SQL, ("timeseries", "cusum", "drift", "sequential-fold")),
-    "bloom_semijoin_orders": QuerySpec(TQ.bloom_semijoin_orders, TQ.BLOOM_SEMIJOIN_ORDERS_SQL, ("join", "bloom", "prefilter", "broadcast")),
     "zonemap_tile_pruning": QuerySpec(TQ.zonemap_tile_pruning, TQ.ZONEMAP_TILE_PRUNING_SQL, ("layout", "zonemap", "data-skipping", "zorder")),
-    "linkage_jaro_winkler": QuerySpec(TQ.linkage_jaro_winkler, TQ.LINKAGE_JARO_WINKLER_SQL, ("join", "fuzzy", "blocking", "jaro-winkler", "pandas-udf")),
     # --- rotated out of the window in round 4 — each holds a
     # CORRECTNESS_r03.json full-oracle green row ---------------------------
-    "weekly_counts_unpivot": QuerySpec(TQ.weekly_counts_unpivot, TQ.WEEKLY_COUNTS_UNPIVOT_SQL, ("unpivot", "melt")),
-    "token_budget_truncate": QuerySpec(NS.token_budget_truncate, NS.TOKEN_BUDGET_TRUNCATE_SQL, ("training-data", "budget")),
-    "ann_lsh_det": QuerySpec(NS.ann_lsh_det, NS.ANN_LSH_DET_SQL, ("ann", "lsh", "deterministic")),
-    "scd2_event_type_history": QuerySpec(EV.scd2_event_type_history, EV.SCD2_EVENT_TYPE_HISTORY_SQL, ("scd2", "window", "gaps-and-islands")),
-    "user_value_interpolate": QuerySpec(EV.user_value_interpolate, EV.USER_VALUE_INTERPOLATE_SQL, ("timeseries", "interpolation", "grid")),
-    "next_action_after_purchase": QuerySpec(EV.next_action_after_purchase, EV.NEXT_ACTION_AFTER_PURCHASE_SQL, ("join", "asof", "forward")),
-    "props_variant_stats": QuerySpec(NS.props_variant_stats, NS.PROPS_VARIANT_STATS_SQL, ("json", "variant")),
-    "zorder_code_orders": QuerySpec(TQ.zorder_code_orders, TQ.ZORDER_CODE_ORDERS_SQL, ("layout", "zorder", "bit-arithmetic")),
-    "nearest_city": QuerySpec(GQ.nearest_city, GQ.NEAREST_CITY_SQL, ("geo", "crossjoin", "window", "argmin")),
-    "user_sessions": QuerySpec(EV.user_sessions, EV.USER_SESSIONS_SQL, ("window", "sessionize")),
-    "user_local_time_coords": QuerySpec(GQ.user_local_time_coords, GQ.USER_LOCAL_TIME_COORDS_SQL, ("geo", "timezone", "coords")),
-    "importance_sample_events": QuerySpec(EV.importance_sample_events, EV.IMPORTANCE_SAMPLE_EVENTS_SQL, ("sampling", "weighted", "deterministic")),
-    "value_histogram": QuerySpec(NS.value_histogram, NS.VALUE_HISTOGRAM_SQL, ("agg", "histogram")),
-    "props_map_entries": QuerySpec(NS.props_map_entries, NS.PROPS_MAP_ENTRIES_SQL, ("json", "map")),
-    "part_name_near_matches": QuerySpec(TQ.part_name_near_matches, TQ.PART_NAME_NEAR_MATCHES_SQL, ("join", "fuzzy", "blocking", "levenshtein")),
-    "orders_snapshot_merge": QuerySpec(TQ.orders_snapshot_merge, TQ.ORDERS_SNAPSHOT_MERGE_SQL, ("merge", "upsert", "full-outer")),
-    "zone_conversion_funnel": QuerySpec(EV.zone_conversion_funnel, EV.ZONE_CONVERSION_FUNNEL_SQL, ("agg", "funnel", "conditional-agg")),
-    "user_gap_days": QuerySpec(EV.user_gap_days, EV.USER_GAP_DAYS_SQL, ("generator", "anti-join", "densification")),
-    "value_mad": QuerySpec(EV.value_mad, EV.VALUE_MAD_SQL, ("agg", "percentile", "robust-stats")),
     # --- round-2 green (full DuckDB hash match in CORRECTNESS_r02.json) --
-    "dedup_simhash": QuerySpec(NS.dedup_simhash, NS.DEDUP_SIMHASH_SQL, ("dedup", "lsh")),
     # session-3 new queries (window members semdedup_prune /
     # er_golden_record live in _WINDOW; the rest verify locally here):
     # displaced from the streaming guard block by session 3 (r3-green
     # driver rows; still locally re-verified every round):
-    "text_stats": QuerySpec(NS.text_stats, NS.TEXT_STATS_SQL, ("text",)),
-    "lang_id": QuerySpec(NS.lang_id, NS.LANG_ID_SQL, ("text",)),
-    "token_frequencies": QuerySpec(NS.token_frequencies, NS.TOKEN_FREQUENCIES_SQL, ("text", "explode")),
-    "token_counts_regex": QuerySpec(NS.token_counts_regex, NS.TOKEN_COUNTS_REGEX_SQL, ("text", "regex")),
-    "normalize_text": QuerySpec(NS.normalize_text, NS.NORMALIZE_TEXT_SQL, ("text", "regex", "normalize")),
-    "hashed_token_vectors": QuerySpec(NS.hashed_token_vectors, NS.HASHED_TOKEN_VECTORS_SQL, ("text", "feature-hashing")),
-    "documents_profile": QuerySpec(NS.documents_profile, NS.DOCUMENTS_PROFILE_SQL, ("profile", "quality")),
-    "multimodal_meta": QuerySpec(NS.multimodal_meta, NS.MULTIMODAL_META_SQL, ("multimodal",)),
-    "train_test_split_counts": QuerySpec(NS.train_test_split_counts, NS.TRAIN_TEST_SPLIT_COUNTS_SQL, ("split", "sampling")),
-    "stratified_sample": QuerySpec(NS.stratified_sample, NS.STRATIFIED_SAMPLE_SQL, ("split", "sampling", "stratified")),
-    "length_bucket_batches": QuerySpec(NS.length_bucket_batches, NS.LENGTH_BUCKET_BATCHES_SQL, ("packing", "batching", "training-data")),
-    "quality_gopher_filters": QuerySpec(NS.quality_gopher_filters, NS.QUALITY_GOPHER_FILTERS_SQL, ("text", "quality", "filter-stage")),
-    "pii_redact": QuerySpec(NS.pii_redact, NS.PII_REDACT_SQL, ("text", "pii", "regex")),
-    "q21_waiting_suppliers": QuerySpec(TQ.q21_waiting_suppliers, TQ.Q21_WAITING_SUPPLIERS_SQL, ("join", "exists", "argmax")),
     # --- rows-only tiers: pytest is the real verification (recall bounds,
     # error bounds, serial-reference parity) — value_percentiles_approx
     # precedent. Kept registered for the local runner.
@@ -613,7 +616,6 @@ _BACKLOG: dict[str, QuerySpec] = {
     "token_heavy_hitters_approx": QuerySpec(NS.token_heavy_hitters_approx, None, ("text", "sketch", "topk")),
     # --- round-4 session-2 backlog additions (full-oracle, awaiting a
     # future window slot) --------------------------------------------------
-    "winnow_fingerprints": QuerySpec(NS.winnow_fingerprints, NS.WINNOW_FINGERPRINTS_SQL, ("dedup", "fingerprint", "winnowing")),
     # --- round-1 green (CORRECTNESS_r01.json), re-verified locally -------
 }
 
