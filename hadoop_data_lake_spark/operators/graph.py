@@ -150,6 +150,71 @@ def broadcast_bounded_state(df: DataFrame, n_rows: int | None) -> DataFrame:
 _bcast_state = broadcast_bounded_state
 
 
+def _cc_driver(raw: DataFrame):
+    """Driver tier for `connected_components`: exact union-find with
+    min-root election over the collected (u, v) pairs.
+
+    Returns the (vertex, component) DataFrame, or ``None`` to decline
+    (tier disabled upstream; edge count over ``GENERAL_DRIVER_MAX_EDGES``;
+    empty input — the distributed path's empty-frame shape is already
+    cheap; or u/v are not one shared integral/string type, the types
+    whose Spark ordering provably matches Python's — UTF-8 byte order
+    preserves code-point order).
+
+    Exactness: union always attaches the larger root under the smaller,
+    so every tree's root is the minimum id of its set (singleton base
+    case; preserved by each union and by path compression) — the root IS
+    `min reachable vertex`, the star loop's fixed point. Duplicates,
+    reversed duplicates and self-loops collapse harmlessly.
+    """
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ut, vt = raw.schema["u"].dataType, raw.schema["v"].dataType
+    orderable = (ByteType, ShortType, IntegerType, LongType, StringType)
+    if ut != vt or not isinstance(ut, orderable):
+        return None
+    n_edges = raw.count()  # cheap: raw is an eager localCheckpoint
+    if n_edges == 0 or n_edges > GENERAL_DRIVER_MAX_EDGES:
+        return None
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in raw.collect():
+        u, v = row[0], row[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    out_rows = [(x, find(x)) for x in parent]
+    return raw.sparkSession.createDataFrame(
+        out_rows,
+        StructType(
+            [StructField("vertex", ut), StructField("component", ut)]
+        ),
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -168,7 +233,10 @@ def connected_components(
     exhausts `max_iter` with the edge set still moving the result would be
     silently WRONG (components split). strict=True (default) raises
     ConvergenceError instead; strict=False returns the partial labels for
-    callers that genuinely want bounded-effort clustering.
+    callers that genuinely want bounded-effort clustering. `max_iter` /
+    `strict` govern the DISTRIBUTED loop only: the r15 driver tier (see
+    below) computes the exact fixed point directly, so under the cap it
+    returns converged labels regardless of the iteration budget.
     """
     # ONE eager checkpoint of the raw edge list: everything downstream
     # (vertex set, canonical edges, the iteration) derives from the
@@ -179,6 +247,23 @@ def connected_components(
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
         eager=True
     )
+    # DRIVER TIER (round 15): near-dup pair sets are tiny relative to the
+    # corpus that produced them (253 pairs at sf0.1 for the minhash
+    # family), but the distributed star loop pays 3 shuffles + a
+    # fingerprint aggregate PER ROUND plus the verts/canonical-edge
+    # exchanges — fixed Spark overhead, not data cost (r14 profile:
+    # 0.85 s of dedup_clusters_minhash's 3.0 s). Under the edge cap, one
+    # collect of the checkpointed pairs (the count is ~free post-
+    # checkpoint, and the upstream pair pipeline ran exactly once at the
+    # checkpoint) + exact union-find with min-root election returns the
+    # identical (vertex, component = min reachable id) labeling — set
+    # semantics, engine-independent, pinned by test against the star
+    # loop. Over the cap, or for mixed/unorderable id types, the
+    # distributed loop below stands unchanged.
+    if GENERAL_DRIVER_TIER_ENABLED:
+        labels = _cc_driver(raw)
+        if labels is not None:
+            return labels
     # every input vertex, kept aside so isolated (self-loop-only) vertices
     # still label themselves in the output.
     verts = (
@@ -1136,6 +1221,152 @@ def hits_topk_sides_driver(
                 StructField("side", StringType()),
                 StructField("node", e.schema[hub_col].dataType),
                 StructField("score", LongType()),
+            ]
+        ),
+    )
+
+
+def pagerank_layered_driver(
+    e: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+    n_edges_bound: int | None = None,
+):
+    """Fused driver tier (round 15) for LAYERED fixed-point PageRank
+    (queries/tpch_queries.pagerank_det) — the pagerank analogue of
+    `hits_topk_sides_driver`: collect the RAW, possibly duplicated edge
+    projection ONCE (Arrow), then pair-dedup, out-degrees, the layered
+    structure test, the per-sink out-degree histogram AND all `iters`
+    rounds run in numpy/driver integers. The caller thereby skips the
+    entire distributed edge build (repartition + dropDuplicates + degree
+    window), the flags union-aggregate, the histogram groupBy and their
+    eager checkpoints (r15 profile at sf0.1: raw-join collect 0.35 s +
+    numpy dedup/degree 0.13 s vs 2.0 s for the full distributed-build
+    query whose per-round arithmetic ALREADY ran on the driver).
+
+    Bit-identity with `pagerank_intexact`'s layered tiers: the recurrence
+    below is literally the layered driver tier's —
+
+        r_src' = base + (damping_pct * d_per) // 100
+        sink'  = base + (damping_pct * (sum(cnt * (r_src // deg)) + d_per)) // 100
+
+    over the iteration-invariant (sink, deg, cnt) histogram, where every
+    quantity is a non-negative integer and total rank mass never exceeds
+    `scale` (mass is conserved up to deterministic truncation), so per-cell
+    products and per-sink sums stay < 2^53 — float64 bincount accumulation
+    is exact — and `damping_pct * (f + d_per)` stays far under 2^63.
+    Pinned by tests against both distributed tiers on random bipartite
+    multigraphs.
+
+    ``n_edges_bound`` must be a SOUND upper bound on the collected row
+    count obtainable without executing the join (the
+    `hits_topk_sides_driver` contract — e.g. the fact-side row count when
+    the join key is the other side's primary key); a defensive
+    post-collect recheck declines if the promise was broken.
+
+    Returns ``None`` (caller falls back to the distributed build +
+    `pagerank_intexact` unchanged) when: the tier is disabled, a cap or
+    the exactness envelope fails, node columns are not one shared
+    integral type, the collected edge list is empty, or the graph is NOT
+    layered (some node appears on both sides — the general loop's
+    semantics, which this tier does not replicate).
+    """
+    if not GENERAL_DRIVER_TIER_ENABLED:
+        return None
+    if iters < 1 or scale > 10**12 or not 0 < damping_pct < 100:
+        return None  # the <2^53 mass envelope is sized to scale <= 1e12
+    if n_edges_bound is None or n_edges_bound > NUMPY_DRIVER_MAX_EDGES:
+        return None
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    if (
+        e.schema[src].dataType != e.schema[dst].dataType
+        or not isinstance(e.schema[src].dataType, integral)
+    ):
+        return None
+    import numpy as np
+
+    pdf = e.toPandas()
+    n_raw = len(pdf)
+    if n_raw == 0 or n_raw > n_edges_bound:
+        return None  # empty, or the caller's bound was not sound
+    src_u, src_i = np.unique(pdf[src].to_numpy(), return_inverse=True)
+    dst_u, dst_i = np.unique(pdf[dst].to_numpy(), return_inverse=True)
+    # layered structure test (== the operator's n_mid == 0): no node may
+    # appear as both a source and a destination.
+    if np.intersect1d(src_u, dst_u, assume_unique=True).size:
+        return None
+    # pair dedupe == dropDuplicates([src, dst]): same encoding bound as
+    # hits_topk_sides_driver (indices <= |E| <= 4e6, product << 2^63).
+    code = np.unique(src_i.astype(np.int64) * len(dst_u) + dst_i)
+    src_i = code // len(dst_u)
+    dst_i = code % len(dst_u)
+    deg = np.bincount(src_i, minlength=len(src_u)).astype(np.int64)
+
+    n = len(src_u) + len(dst_u)
+    n_dang = len(dst_u)  # every sink is dangling in a layered graph
+    base = (100 - damping_pct) * (scale // n) // 100
+    # iteration-invariant (sink, deg) histogram: cnt = #edges into that
+    # sink from sources of that out-degree (deg <= |E|, so the encode
+    # stays far under 2^63 at the 4M edge cap).
+    dg = deg[src_i]
+    stride = int(dg.max()) + 1
+    hcode, hcnt = np.unique(
+        dst_i.astype(np.int64) * stride + dg, return_counts=True
+    )
+    h_dst = (hcode // stride).astype(np.int64)
+    h_deg = (hcode % stride).astype(np.int64)
+    hcnt = hcnt.astype(np.int64)
+
+    r_src = scale // n
+    dsum = n_dang * (scale // n)
+    sink_rank = None
+    for _ in range(iters):
+        d_per = dsum // n
+        # per-cell cnt * (r_src div deg) <= per-sink mass <= total mass
+        # <= scale <= 1e12 < 2^53: exact in float64 accumulation.
+        cell = hcnt * (r_src // h_deg)
+        f = np.bincount(
+            h_dst, weights=cell.astype(np.float64), minlength=n_dang
+        ).astype(np.int64)
+        sink_rank = base + (damping_pct * (f + d_per)) // 100
+        dsum = int(sink_rank.sum())
+        r_src = base + (damping_pct * d_per) // 100
+
+    from pyspark.sql.types import StructField, StructType
+
+    import pandas as pd
+
+    # Arrow path: |V| result rows (all sinks + all sources) make the
+    # row-based createDataFrame measurable (~0.47 s vs ~0.19 s for 16k
+    # rows, r15 profile) — ship one pandas frame instead.
+    np_dtype = {
+        ByteType: np.int8,
+        ShortType: np.int16,
+        IntegerType: np.int32,
+        LongType: np.int64,
+    }[type(e.schema[src].dataType)]
+    out = pd.DataFrame(
+        {
+            "node": np.concatenate([dst_u, src_u]).astype(np_dtype, copy=False),
+            "rank_units": np.concatenate(
+                [
+                    sink_rank.astype(np.int64, copy=False),
+                    np.full(len(src_u), r_src, dtype=np.int64),
+                ]
+            ),
+        }
+    )
+    return e.sparkSession.createDataFrame(
+        out,
+        StructType(
+            [
+                StructField("node", e.schema[src].dataType),
+                StructField("rank_units", LongType()),
             ]
         ),
     )

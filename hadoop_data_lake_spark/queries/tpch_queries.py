@@ -2151,6 +2151,30 @@ def pagerank_det(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e_raw = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("o_custkey").alias("src"),
+        (-F.col("l_suppkey") - 1).alias("dst"),
+    )
+
+    from hadoop_data_lake_spark.operators import graph as G
+
+    # Round 15: the common case runs the FUSED driver tier
+    # (operators/graph.pagerank_layered_driver — the hits_topk_sides_driver
+    # pattern): ONE Arrow collect of the raw join projection; pair-dedup,
+    # degrees, the layered test, the sink histogram and all 10 rounds in
+    # numpy/driver integers (bit-identical recurrence, pinned by test).
+    # The cap bound is the lineitem row count alone (a column-pruned
+    # count, no join execution): the inner join on orders' primary key
+    # cannot multiply lineitem rows, so |raw edges| <= |lineitem|. Above
+    # the cap — or if the tier declines — the r13 distributed build below
+    # stands unchanged.
+    if G.GENERAL_DRIVER_TIER_ENABLED:
+        top = G.pagerank_layered_driver(
+            e_raw, "src", "dst", iters=10, n_edges_bound=li.count()
+        )
+        if top is not None:
+            return top
+
     # Round 13: ONE exchange builds dedup + out-degree together —
     # repartition(src) hash-clusters by the prefix, so dropDuplicates
     # (ClusteredDistribution(src, dst)) AND the deg window
@@ -2160,12 +2184,7 @@ def pagerank_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct shuffled by (src, dst), and the operator re-aggregated +
     # re-joined degrees (r12 profile: 1.6 s of 2.45 s in this build).
     edges = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            F.col("o_custkey").alias("src"),
-            (-F.col("l_suppkey") - 1).alias("dst"),
-        )
-        .repartition("src")
+        e_raw.repartition("src")
         .dropDuplicates(["src", "dst"])
         .withColumn("deg", F.count("*").over(Window.partitionBy("src")))
     )
