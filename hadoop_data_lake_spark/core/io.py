@@ -339,3 +339,38 @@ def checkpoint_serialized(df: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
     return df.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+
+
+def parquet_row_count(sf_dir: str, name: str) -> int | None:
+    """Exact row count of a driver table from its parquet FOOTERS —
+    driver-local metadata reads, no Spark job.
+
+    The fused driver tiers (graph.hits_topk_sides_driver /
+    pagerank_layered_driver) need a sound upper bound on a fact table's
+    row count before deciding to collect; a column-pruned Spark
+    ``count()`` answers it but costs a full scheduler round-trip
+    (~0.1 s at sf0.1) per query invocation. Footer ``num_rows`` is the
+    same exact number read straight off the files. Returns ``None`` when
+    the layout is unreadable (missing path, non-parquet, remote
+    filesystem without local access) — callers must fall back to the
+    Spark count, so the bound stays sound everywhere.
+    """
+    import glob
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isfile(path):
+            files = [path]
+        elif os.path.isdir(path):
+            files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                                     recursive=True))
+        else:
+            return None
+        if not files:
+            return None
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None

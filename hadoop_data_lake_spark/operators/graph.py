@@ -206,9 +206,20 @@ def _cc_driver(raw: DataFrame):
             if rv < ru:
                 ru, rv = rv, ru
             parent[rv] = ru
-    out_rows = [(x, find(x)) for x in parent]
+    import pandas as pd
+
+    # Arrow path: the row-based createDataFrame pays a fixed ~0.3-0.5 s
+    # per call (pickled-row parallelize) vs ~0.17 s for one pandas batch
+    # (r15 profile); at the 500k-edge cap the vertex list can reach ~1M
+    # rows where the difference is larger still.
+    out = pd.DataFrame(
+        {
+            "vertex": list(parent),
+            "component": [find(x) for x in parent],
+        }
+    )
     return raw.sparkSession.createDataFrame(
-        out_rows,
+        out,
         StructType(
             [StructField("vertex", ut), StructField("component", ut)]
         ),
@@ -1211,11 +1222,22 @@ def hits_topk_sides_driver(
 
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-    rows = [("hub", n, s) for n, s in _topk(hub_u, h)] + [
-        ("auth", n, s) for n, s in _topk(auth_u, a)
-    ]
+    import pandas as pd
+
+    hub_top = _topk(hub_u, h)
+    auth_top = _topk(auth_u, a)
+    # Arrow path even for 2k rows: the row-based createDataFrame pays a
+    # fixed ~0.3-0.5 s per call (schema verification + pickled-row
+    # parallelize job) vs ~0.17 s via one pandas/Arrow batch (r15 profile).
+    out = pd.DataFrame(
+        {
+            "side": ["hub"] * len(hub_top) + ["auth"] * len(auth_top),
+            "node": [n for n, _ in hub_top] + [n for n, _ in auth_top],
+            "score": [s for _, s in hub_top] + [s for _, s in auth_top],
+        }
+    )
     return e.sparkSession.createDataFrame(
-        rows,
+        out,
         StructType(
             [
                 StructField("side", StringType()),

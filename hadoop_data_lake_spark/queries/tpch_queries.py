@@ -2163,14 +2163,22 @@ def pagerank_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pattern): ONE Arrow collect of the raw join projection; pair-dedup,
     # degrees, the layered test, the sink histogram and all 10 rounds in
     # numpy/driver integers (bit-identical recurrence, pinned by test).
-    # The cap bound is the lineitem row count alone (a column-pruned
-    # count, no join execution): the inner join on orders' primary key
-    # cannot multiply lineitem rows, so |raw edges| <= |lineitem|. Above
-    # the cap — or if the tier declines — the r13 distributed build below
-    # stands unchanged.
+    # The cap bound is the lineitem row count alone (read off the parquet
+    # footers — no Spark job; exact, so still a sound bound — with the
+    # column-pruned count as the fallback when footers are unreadable):
+    # the inner join on orders' primary key cannot multiply lineitem
+    # rows, so |raw edges| <= |lineitem|. Above the cap — or if the tier
+    # declines — the r13 distributed build below stands unchanged.
     if G.GENERAL_DRIVER_TIER_ENABLED:
+        from hadoop_data_lake_spark.core.io import parquet_row_count
+
+        bound = parquet_row_count(sf_dir, "lineitem")
         top = G.pagerank_layered_driver(
-            e_raw, "src", "dst", iters=10, n_edges_bound=li.count()
+            e_raw,
+            "src",
+            "dst",
+            iters=10,
+            n_edges_bound=bound if bound is not None else li.count(),
         )
         if top is not None:
             return top
@@ -4772,10 +4780,21 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Skip the bound's count job entirely when the fused tier cannot run
     # (tiers pinned off in plan audits / scale probes — ADVICE r14): the
-    # count exists only to serve as n_edges_bound.
+    # count exists only to serve as n_edges_bound. Round 15: the bound
+    # comes off the parquet footers when readable (exact, no Spark job —
+    # core/io.parquet_row_count), with the column-pruned count as the
+    # fallback.
     if G.GENERAL_DRIVER_TIER_ENABLED:
+        from hadoop_data_lake_spark.core.io import parquet_row_count
+
+        bound = parquet_row_count(sf_dir, "lineitem")
         top = G.hits_topk_sides_driver(
-            e_raw, "c", "s", rounds=2, k=10, n_edges_bound=li.count()
+            e_raw,
+            "c",
+            "s",
+            rounds=2,
+            k=10,
+            n_edges_bound=bound if bound is not None else li.count(),
         )
         if top is not None:
             return top
