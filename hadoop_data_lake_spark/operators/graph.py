@@ -685,8 +685,17 @@ def pagerank_intexact(
                 dsum = new_dsum
             from pyspark.sql.types import LongType, StructField, StructType
 
+            import pandas as pd
+
+            # Arrow path (r15): the row-based createDataFrame pays a fixed
+            # ~0.3-0.5 s per call vs ~0.17 s for one pandas batch.
             sinks_df = e.sparkSession.createDataFrame(
-                list(sink_rank.items()),
+                pd.DataFrame(
+                    {
+                        "node": list(sink_rank),
+                        "rank_units": list(sink_rank.values()),
+                    }
+                ),
                 StructType(
                     [
                         StructField("node", nodes_f.schema["node"].dataType),
@@ -790,8 +799,13 @@ def pagerank_intexact(
             rank = new_rank
         from pyspark.sql.types import LongType, StructField, StructType
 
+        import pandas as pd
+
+        # Arrow path (r15): same fixed-cost argument as the layered tier.
         return e.sparkSession.createDataFrame(
-            list(rank.items()),
+            pd.DataFrame(
+                {"node": list(rank), "rank_units": list(rank.values())}
+            ),
             StructType(
                 [
                     StructField("node", nodes_f.schema["node"].dataType),
@@ -1075,9 +1089,18 @@ def lpa_communities(
             csize[lb] += 1
         from pyspark.sql.types import LongType, StructField, StructType
 
+        import pandas as pd
+
         vt = e.schema["s"].dataType
+        # Arrow path (r15): same fixed-cost argument as the pagerank tiers.
         return e.sparkSession.createDataFrame(
-            [(v, lb, csize[lb]) for v, lb in label.items()],
+            pd.DataFrame(
+                {
+                    "vertex": list(label),
+                    "community": list(label.values()),
+                    "community_size": [csize[lb] for lb in label.values()],
+                }
+            ),
             StructType(
                 [
                     StructField("vertex", vt),

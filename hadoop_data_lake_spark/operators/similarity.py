@@ -1114,8 +1114,14 @@ def pq_topk(
         lut_rows.append(
             (r["query_id"], [[float(v) for v in row] for row in lut])
         )
+    # Arrow path (r15): row-based createDataFrame pays ~0.3-0.5 s fixed
+    # (pickled-row parallelize) vs ~0.13 s for one pandas batch — nested
+    # arrays convert fine under the explicit schema.
     luts = spark.createDataFrame(
-        lut_rows, f"query_id long, lut array<array<double>>"
+        pd.DataFrame(
+            {"query_id": [r[0] for r in lut_rows], "lut": [r[1] for r in lut_rows]}
+        ),
+        "query_id long, lut array<array<double>>",
     )
 
     adc = (
@@ -1260,7 +1266,13 @@ def pq_det_topk(
         ).astype(np.int64).reshape(m, sub)
         lut = np.einsum("ms,mks->mk", qi, books)  # exact int64 (~8e12 max)
         lut_rows.append((r["query_id"], [[int(v) for v in row] for row in lut]))
-    luts = spark.createDataFrame(lut_rows, "query_id long, lut array<array<bigint>>")
+    # Arrow path (r15): same fixed-cost argument as pq_topk's LUT frame.
+    luts = spark.createDataFrame(
+        pd.DataFrame(
+            {"query_id": [r[0] for r in lut_rows], "lut": [r[1] for r in lut_rows]}
+        ),
+        "query_id long, lut array<array<bigint>>",
+    )
 
     adc = (
         codes.crossJoin(F.broadcast(luts))
