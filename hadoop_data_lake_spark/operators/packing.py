@@ -25,6 +25,91 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: Row cap for the prefix driver tier — same budget class as
+#: graph.GENERAL_DRIVER_MAX_EDGES (one bounded Arrow collect).
+PREFIX_DRIVER_MAX_ROWS = 500_000
+
+
+def _prefix_agg_driver(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: dict[str, str],
+    max_cols: dict[str, str],
+):
+    """Driver tier (round 15) for `prefix_agg`: one Arrow collect + numpy
+    cumsum/cummax instead of range-repartition + window + checkpoint +
+    totals collect + offset map (4 jobs and an exchange for what is, on
+    every current caller, a dimension-bounded frame — 85k (day, cents)
+    groups for value_psi_drift at sf0.1, measured 0.69 s distributed).
+
+    Exactness: the contract requires `order_cols` to be a total order, so
+    one stable driver-side sort reproduces the distributed row order;
+    integer running sums are order-independent and checked against an
+    int64 overflow envelope; running max does no arithmetic at all.
+
+    Declines (``None`` — the distributed two-phase path below runs
+    unchanged) when: the shared driver-tier switch is off; the frame
+    exceeds ``PREFIX_DRIVER_MAX_ROWS`` (probed with a limit(cap+1)
+    collect, which early-terminates on over-cap inputs); a sum input is
+    not integral (float sums are order-dependent in the low bits — the
+    distributed grouping is the behavioral contract); an order column is
+    not an integral/string/date/timestamp type (Python and Spark agree on
+    those orderings); any involved column carries NULLs or NaNs (window
+    aggregates have skip-null semantics this tier does not replicate); or
+    a running sum could overflow int64.
+    """
+    from hadoop_data_lake_spark.operators import graph as _G
+
+    if not _G.GENERAL_DRIVER_TIER_ENABLED:
+        return None
+    import numpy as np
+    from pyspark.sql import types as T
+
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    order_ok = integral + (T.StringType, T.DateType, T.TimestampType)
+    max_ok = integral + (
+        T.StringType,
+        T.FloatType,
+        T.DoubleType,
+        T.DateType,
+        T.TimestampType,
+    )
+    if any(not isinstance(schema[c], order_ok) for c in order_cols):
+        return None
+    if any(not isinstance(schema[s], integral) for s in sum_cols.values()):
+        return None
+    if any(not isinstance(schema[s], max_ok) for s in max_cols.values()):
+        return None
+
+    pdf = df.limit(PREFIX_DRIVER_MAX_ROWS + 1).toPandas()
+    if len(pdf) == 0 or len(pdf) > PREFIX_DRIVER_MAX_ROWS:
+        return None
+    involved = list(
+        dict.fromkeys([*order_cols, *sum_cols.values(), *max_cols.values()])
+    )
+    if pdf[involved].isna().any().any():
+        return None
+
+    pdf = pdf.sort_values(list(order_cols), kind="stable", ignore_index=True)
+    new_fields: list = []
+    for out, src in sum_cols.items():
+        v = pdf[src].to_numpy().astype(np.int64, copy=False)
+        # conservative int64 envelope: the exact |running sum| is bounded
+        # by the cumsum of |v|, whose float64 estimate is accurate to far
+        # better than the 2x headroom left under 2^62.
+        if len(v) and float(np.cumsum(np.abs(v).astype(np.float64))[-1]) >= 2**62:
+            return None
+        pdf[out] = np.cumsum(v)
+        new_fields.append(T.StructField(out, T.LongType()))
+    for out, src in max_cols.items():
+        pdf[out] = np.maximum.accumulate(pdf[src].to_numpy())
+        new_fields.append(T.StructField(out, schema[src]))
+
+    return df.sparkSession.createDataFrame(
+        pdf, T.StructType(list(df.schema.fields) + new_fields)
+    )
+
 
 def prefix_agg(
     df: DataFrame,
@@ -52,6 +137,12 @@ def prefix_agg(
     if not sum_cols and not max_cols:
         raise ValueError("prefix_agg needs at least one running column")
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    # DRIVER TIER (round 15): dimension-bounded frames skip the exchange +
+    # window + checkpoint + totals machinery entirely; over-cap or
+    # type-unsafe inputs fall through to the two-phase path unchanged.
+    out = _prefix_agg_driver(df, order_cols, sum_cols, max_cols)
+    if out is not None:
+        return out
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parts = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
         "__pid", F.spark_partition_id()

@@ -191,3 +191,56 @@ def test_dedup_clusters_identity_tier_on_off(spark, tier_guard):
     G.GENERAL_DRIVER_TIER_ENABLED = True
     assert a == b
     assert {(1, 1, 3), (2, 1, 3), (3, 1, 3)} <= a
+
+
+# ------------------------------------------------ prefix_agg driver tier
+
+
+def test_prefix_agg_driver_identity_random(spark, tier_guard):
+    """Driver tier == two-phase distributed path on random frames with
+    multi-column order keys, signed integer sums and mixed-type maxes."""
+    from hadoop_data_lake_spark.operators.packing import prefix_agg
+
+    rng = random.Random(17)
+    for _ in range(3):
+        n = rng.randint(1, 300)
+        rows = [
+            (
+                rng.randint(0, 10**6),
+                f"k{rng.randint(0, 40):03d}",
+                rng.randint(-100, 100),
+                rng.randint(0, 10**4) / 7.0,
+            )
+            for _ in range(n)
+        ]
+        df = spark.createDataFrame(rows, "oid long, okey string, val int, fval double")
+        args = dict(sum_cols={"s": "val"}, max_cols={"m": "val", "fm": "fval"})
+        a = sorted(map(str, prefix_agg(df, ["oid", "okey"], **args).collect()))
+        G.GENERAL_DRIVER_TIER_ENABLED = False
+        b = sorted(map(str, prefix_agg(df, ["oid", "okey"], **args).collect()))
+        G.GENERAL_DRIVER_TIER_ENABLED = True
+        assert a == b
+
+
+def test_prefix_agg_driver_declines(spark, tier_guard, monkeypatch):
+    from hadoop_data_lake_spark.operators import packing as P
+
+    # float sum inputs: order-dependent in the low bits -> decline
+    df = spark.createDataFrame([(1, 1.5), (2, 2.5)], "oid long, fval double")
+    assert P._prefix_agg_driver(df, ["oid"], {"s": "fval"}, {}) is None
+    # NULL in an involved column -> decline (skip-null window semantics)
+    df2 = spark.createDataFrame([(None, 1), (2, 2)], "oid long, val int")
+    assert P._prefix_agg_driver(df2, ["oid"], {"s": "val"}, {}) is None
+    # over-cap -> decline via the limit probe
+    df3 = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "oid long, val int")
+    monkeypatch.setattr(P, "PREFIX_DRIVER_MAX_ROWS", 2)
+    assert P._prefix_agg_driver(df3, ["oid"], {"s": "val"}, {}) is None
+    monkeypatch.undo()
+    # int64 overflow envelope -> decline
+    big = spark.createDataFrame(
+        [(1, 2**62), (2, 2**62)], "oid long, val long"
+    )
+    assert P._prefix_agg_driver(big, ["oid"], {"s": "val"}, {}) is None
+    # tier switch off -> decline
+    G.GENERAL_DRIVER_TIER_ENABLED = False
+    assert P._prefix_agg_driver(df3, ["oid"], {"s": "val"}, {}) is None
