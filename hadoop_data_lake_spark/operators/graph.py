@@ -150,11 +150,9 @@ def broadcast_bounded_state(df: DataFrame, n_rows: int | None) -> DataFrame:
 _bcast_state = broadcast_bounded_state
 
 
-def _cc_driver(raw: DataFrame):
-    """Driver tier for `connected_components`: exact union-find with
-    min-root election over the collected (u, v) pairs.
-
-    Returns the (vertex, component) DataFrame, or ``None`` to decline
+def _cc_driver_labels(raw: DataFrame):
+    """Union-find core of the CC driver tier: (vertex -> min reachable
+    id) dict over the collected (u, v) pairs, or ``None`` to decline
     (tier disabled upstream; edge count over ``GENERAL_DRIVER_MAX_EDGES``;
     empty input — the distributed path's empty-frame shape is already
     cheap; or u/v are not one shared integral/string type, the types
@@ -173,8 +171,6 @@ def _cc_driver(raw: DataFrame):
         LongType,
         ShortType,
         StringType,
-        StructField,
-        StructType,
     )
 
     ut, vt = raw.schema["u"].dataType, raw.schema["v"].dataType
@@ -206,16 +202,28 @@ def _cc_driver(raw: DataFrame):
             if rv < ru:
                 ru, rv = rv, ru
             parent[rv] = ru
+    return {x: find(x) for x in parent}
+
+
+def _cc_driver(raw: DataFrame):
+    """Driver tier for `connected_components`: the union-find labels as a
+    (vertex, component) DataFrame, or ``None`` when the core declines."""
+    from pyspark.sql.types import StructField, StructType
+
+    labels = _cc_driver_labels(raw)
+    if labels is None:
+        return None
     import pandas as pd
 
+    ut = raw.schema["u"].dataType
     # Arrow path: the row-based createDataFrame pays a fixed ~0.3-0.5 s
     # per call (pickled-row parallelize) vs ~0.17 s for one pandas batch
     # (r15 profile); at the 500k-edge cap the vertex list can reach ~1M
     # rows where the difference is larger still.
     out = pd.DataFrame(
         {
-            "vertex": list(parent),
-            "component": [find(x) for x in parent],
+            "vertex": list(labels),
+            "component": list(labels.values()),
         }
     )
     return raw.sparkSession.createDataFrame(
@@ -378,7 +386,41 @@ def dedup_clusters(
     """Collapse near-dup pairs into clusters: (doc, cluster_rep, cluster_size).
 
     cluster_rep = min doc id in the component (deterministic election)."""
-    comp = connected_components(pairs, src=id_a, dst=id_b, max_iter=max_iter)
+    raw = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).localCheckpoint(eager=True)
+    # DRIVER TIER (round 15): when the CC union-find tier fires, the
+    # sizes aggregate + join fold into the same driver pass — one local
+    # frame out instead of two more small Spark jobs per call.
+    if GENERAL_DRIVER_TIER_ENABLED:
+        labels = _cc_driver_labels(raw)
+        if labels is not None:
+            from collections import Counter
+
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            import pandas as pd
+
+            sizes_d = Counter(labels.values())
+            ut = raw.schema["u"].dataType
+            out = pd.DataFrame(
+                {
+                    "doc": list(labels),
+                    "cluster_rep": list(labels.values()),
+                    "cluster_size": [sizes_d[c] for c in labels.values()],
+                }
+            )
+            return raw.sparkSession.createDataFrame(
+                out,
+                StructType(
+                    [
+                        StructField("doc", ut),
+                        StructField("cluster_rep", ut),
+                        StructField("cluster_size", LongType()),
+                    ]
+                ),
+            )
+    comp = connected_components(raw, src="u", dst="v", max_iter=max_iter)
     sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return (
         comp.join(sizes, on="component")
