@@ -193,6 +193,11 @@ def _cc_driver_labels(raw: DataFrame):
 
     for row in raw.collect():
         u, v = row[0], row[1]
+        if u is None or v is None:
+            # NULL ids are not orderable against ints/strings in Python —
+            # decline (ADVICE r15) so null-carrying pair frames keep the
+            # distributed loop's semantics instead of a TypeError.
+            return None
         if u not in parent:
             parent[u] = u
         if v not in parent:
@@ -283,6 +288,17 @@ def connected_components(
         labels = _cc_driver(raw)
         if labels is not None:
             return labels
+    return _cc_distributed(raw, max_iter=max_iter, strict=strict)
+
+
+def _cc_distributed(raw: DataFrame, max_iter: int, strict: bool) -> DataFrame:
+    """The alternating large-star/small-star loop over an ALREADY
+    eagerly-checkpointed (u, v) pair frame — factored out (r16, ADVICE
+    r15) so `dedup_clusters`' driver-tier decline path can run it
+    directly on its own checkpoint instead of re-entering
+    `connected_components` (which would re-checkpoint the materialized
+    frame and re-run the tier gate: one extra materialization job plus
+    an extra count per over-cap call)."""
     # every input vertex, kept aside so isolated (self-loop-only) vertices
     # still label themselves in the output.
     verts = (
@@ -420,7 +436,11 @@ def dedup_clusters(
                     ]
                 ),
             )
-    comp = connected_components(raw, src="u", dst="v", max_iter=max_iter)
+    # raw is already an eager checkpoint and the tier gate above already
+    # declined — run the star loop on it directly (r16, ADVICE r15):
+    # re-entering connected_components would checkpoint the checkpoint
+    # and probe the tier a second time.
+    comp = _cc_distributed(raw, max_iter=max_iter, strict=True)
     sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return (
         comp.join(sizes, on="component")
@@ -1381,6 +1401,11 @@ def pagerank_layered_driver(
     n_raw = len(pdf)
     if n_raw == 0 or n_raw > n_edges_bound:
         return None  # empty, or the caller's bound was not sound
+    if pdf[src].isna().any() or pdf[dst].isna().any():
+        # nullable integral + actual NULLs arrives as float64+NaN and the
+        # final astype would fabricate garbage node ids — decline (ADVICE
+        # r15); the distributed path keeps NULL as a node key.
+        return None
     src_u, src_i = np.unique(pdf[src].to_numpy(), return_inverse=True)
     dst_u, dst_i = np.unique(pdf[dst].to_numpy(), return_inverse=True)
     # layered structure test (== the operator's n_mid == 0): no node may
@@ -1521,9 +1546,14 @@ def hits_scaled_driver(
 
     from pyspark.sql.types import LongType, StructField, StructType
 
+    import pandas as pd
+
+    # Arrow path (r16, completing the r15 conversion): the row-based
+    # createDataFrame pays ~0.3-0.5 s fixed per call vs ~0.13-0.19 s for
+    # one pandas batch — and this tier returns TWO frames per call.
     spark = e.sparkSession
     h_df = spark.createDataFrame(
-        [(k, int(v)) for k, v in zip(hub_u.tolist(), h.tolist())],
+        pd.DataFrame({hub_col: hub_u, "v": h}),
         StructType(
             [
                 StructField(hub_col, e.schema[hub_col].dataType),
@@ -1532,7 +1562,7 @@ def hits_scaled_driver(
         ),
     )
     a_df = spark.createDataFrame(
-        [(k, int(v)) for k, v in zip(auth_u.tolist(), a.tolist())],
+        pd.DataFrame({auth_col: auth_u, "v": a}),
         StructType(
             [
                 StructField(auth_col, e.schema[auth_col].dataType),

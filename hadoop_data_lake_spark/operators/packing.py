@@ -28,6 +28,15 @@ from pyspark.sql import functions as F
 #: Row cap for the prefix driver tier — same budget class as
 #: graph.GENERAL_DRIVER_MAX_EDGES (one bounded Arrow collect).
 PREFIX_DRIVER_MAX_ROWS = 500_000
+#: Byte budget for the same collect (ADVICE r15): the row cap alone does
+#: not bound the collect for wide frames, so the effective row cap is
+#: min(PREFIX_DRIVER_MAX_ROWS, MAX_BYTES / est row width) over the
+#: schema-estimated width — the same order as graph's 4M-edge x 16 B
+#: numpy-tier budget. Unbounded-payload columns (arrays/maps/structs/
+#: binary) decline outright: their width is not estimable from the
+#: schema, and a 500k-row frame of per-doc token arrays is a multi-GB
+#: driver collect no row cap can see coming.
+PREFIX_DRIVER_MAX_BYTES = 64 * 1024 * 1024
 
 
 def _prefix_agg_driver(
@@ -35,6 +44,7 @@ def _prefix_agg_driver(
     order_cols: list[str],
     sum_cols: dict[str, str],
     max_cols: dict[str, str],
+    n_rows_bound: int | None = None,
 ):
     """Driver tier (round 15) for `prefix_agg`: one Arrow collect + numpy
     cumsum/cummax instead of range-repartition + window + checkpoint +
@@ -49,14 +59,21 @@ def _prefix_agg_driver(
 
     Declines (``None`` — the distributed two-phase path below runs
     unchanged) when: the shared driver-tier switch is off; the frame
-    exceeds ``PREFIX_DRIVER_MAX_ROWS`` (probed with a limit(cap+1)
-    collect, which early-terminates on over-cap inputs); a sum input is
-    not integral (float sums are order-dependent in the low bits — the
-    distributed grouping is the behavioral contract); an order column is
-    not an integral/string/date/timestamp type (Python and Spark agree on
-    those orderings); any involved column carries NULLs or NaNs (window
-    aggregates have skip-null semantics this tier does not replicate); or
-    a running sum could overflow int64.
+    exceeds the effective cap — min(``PREFIX_DRIVER_MAX_ROWS``,
+    ``PREFIX_DRIVER_MAX_BYTES`` / estimated row width) — by the caller's
+    ``n_rows_bound`` when one is supplied (NO probe runs: an over-bound
+    input never executes its upstream twice — VERDICT r15 item 6) or by
+    the limit(cap+1) probe otherwise; any column (passthrough included)
+    is an array/map/struct/binary type (ADVICE r15: the collect budget is
+    BYTES, and unbounded payloads defeat any schema estimate); a sum
+    input is not integral (float sums are order-dependent in the low
+    bits — the distributed grouping is the behavioral contract); an order
+    column is not an integral/string/date/timestamp type (Python and
+    Spark agree on those orderings); any involved column carries NULLs or
+    NaNs (window aggregates have skip-null semantics this tier does not
+    replicate); a passthrough integral column carries NULLs (pandas
+    round-trips it through float64, silently losing >= 2^53 precision —
+    ADVICE r15); or a running sum could overflow int64.
     """
     from hadoop_data_lake_spark.operators import graph as _G
 
@@ -81,14 +98,32 @@ def _prefix_agg_driver(
         return None
     if any(not isinstance(schema[s], max_ok) for s in max_cols.values()):
         return None
+    if any(
+        isinstance(t, (T.ArrayType, T.MapType, T.StructType, T.BinaryType))
+        for t in schema.values()
+    ):
+        return None
+    cap = min(
+        PREFIX_DRIVER_MAX_ROWS,
+        PREFIX_DRIVER_MAX_BYTES // _G._est_row_bytes(df.schema),
+    )
+    if n_rows_bound is not None and n_rows_bound > cap:
+        return None  # caller-known over-cap: decline without executing df
 
-    pdf = df.limit(PREFIX_DRIVER_MAX_ROWS + 1).toPandas()
-    if len(pdf) == 0 or len(pdf) > PREFIX_DRIVER_MAX_ROWS:
+    pdf = df.limit(cap + 1).toPandas()
+    if len(pdf) == 0 or len(pdf) > cap:
         return None
     involved = list(
         dict.fromkeys([*order_cols, *sum_cols.values(), *max_cols.values()])
     )
     if pdf[involved].isna().any().any():
+        return None
+    passthrough_integral = [
+        c
+        for c in df.columns
+        if c not in involved and isinstance(schema[c], integral)
+    ]
+    if passthrough_integral and pdf[passthrough_integral].isna().any().any():
         return None
 
     pdf = pdf.sort_values(list(order_cols), kind="stable", ignore_index=True)
@@ -117,6 +152,7 @@ def prefix_agg(
     sum_cols: dict[str, str] | None = None,
     max_cols: dict[str, str] | None = None,
     num_partitions: int | None = None,
+    n_rows_bound: int | None = None,
 ) -> DataFrame:
     """Distributed two-phase running aggregates in `order_col` order.
 
@@ -131,6 +167,15 @@ def prefix_agg(
     `order_col` (a name or list of names, compared lexicographically) must
     be a total order for per-row determinism; order-insensitive downstream
     aggregates (bin edges, moments) tolerate ties.
+
+    ``n_rows_bound`` (r16, VERDICT r15 item 6): a SOUND upper bound on
+    `df`'s row count the caller already knows without executing it (a
+    dimension table's parquet footer count, a broadcast-budget contract).
+    When it exceeds the driver-tier cap the tier declines WITHOUT its
+    limit(cap+1) probe, so an over-cap input's upstream pipeline executes
+    exactly once (in the distributed path) instead of twice. Optional:
+    with no bound the tier probes as before, which is the right trade for
+    dimension-bounded frames that are almost always under the cap.
     """
     sum_cols = dict(sum_cols or {})
     max_cols = dict(max_cols or {})
@@ -140,7 +185,9 @@ def prefix_agg(
     # DRIVER TIER (round 15): dimension-bounded frames skip the exchange +
     # window + checkpoint + totals machinery entirely; over-cap or
     # type-unsafe inputs fall through to the two-phase path unchanged.
-    out = _prefix_agg_driver(df, order_cols, sum_cols, max_cols)
+    out = _prefix_agg_driver(
+        df, order_cols, sum_cols, max_cols, n_rows_bound=n_rows_bound
+    )
     if out is not None:
         return out
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -228,14 +275,20 @@ def token_prefix_sum(
     order_col: str | list[str],
     value_col: str,
     num_partitions: int | None = None,
+    n_rows_bound: int | None = None,
 ) -> DataFrame:
     """Adds `cum` = inclusive prefix sum of `value_col` in `order_col` order.
 
     `order_col` (a column name or list of names, compared lexicographically)
     must be unique (total order) for a deterministic result.
+    `n_rows_bound`: see `prefix_agg`.
     """
     return prefix_agg(
-        df, order_col, sum_cols={"cum": value_col}, num_partitions=num_partitions
+        df,
+        order_col,
+        sum_cols={"cum": value_col},
+        num_partitions=num_partitions,
+        n_rows_bound=n_rows_bound,
     )
 
 
@@ -245,6 +298,7 @@ def pack_sequences(
     token_count_col: str,
     context_len: int,
     order_col: str | None = None,
+    n_rows_bound: int | None = None,
 ) -> DataFrame:
     """Concat-and-chunk packing plan: for each document, which packed
     sequences its tokens land in.
@@ -256,7 +310,9 @@ def pack_sequences(
     standard concat-and-chunk behavior, not an error).
     """
     order_col = order_col or id_col
-    cum = token_prefix_sum(df, order_col, token_count_col)
+    cum = token_prefix_sum(
+        df, order_col, token_count_col, n_rows_bound=n_rows_bound
+    )
     start = F.col("cum") - F.col(token_count_col)
     return cum.select(
         F.col(id_col),
@@ -273,6 +329,7 @@ def shuffle_shard_plan(
     id_col: str,
     n_shards: int,
     salt: int = 0,
+    n_rows_bound: int | None = None,
 ) -> DataFrame:
     """Deterministic global-shuffle shard assignment for training-data export.
 
@@ -298,7 +355,9 @@ def shuffle_shard_plan(
         F.lit(1).alias("__one"),
     )
     # (h, id) is a total order even under 60-bit hash collisions.
-    cum = token_prefix_sum(hashed, ["h", id_col], "__one")
+    cum = token_prefix_sum(
+        hashed, ["h", id_col], "__one", n_rows_bound=n_rows_bound
+    )
     return cum.select(
         F.col(id_col),
         F.col("h"),

@@ -1727,12 +1727,25 @@ def pack_sequences_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing plan over documents in doc_id order with a
     512-token context (operators/packing.py — two-phase distributed prefix
     sum, never a single-task global window)."""
-    from hadoop_data_lake_spark.operators.packing import pack_sequences
+    from hadoop_data_lake_spark.core.io import parquet_row_count
+    from hadoop_data_lake_spark.operators.packing import (
+        PREFIX_DRIVER_MAX_ROWS,
+        pack_sequences,
+    )
 
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok")
     )
-    return pack_sequences(docs, "doc_id", "n_tok", context_len=512)
+    # footer bound: one prefix row per document (VERDICT r15 item 6).
+    return pack_sequences(
+        docs,
+        "doc_id",
+        "n_tok",
+        context_len=512,
+        n_rows_bound=parquet_row_count(
+            sf_dir, "documents", cap=PREFIX_DRIVER_MAX_ROWS
+        ),
+    )
 
 
 PACK_SEQUENCES_PLAN_SQL = """
@@ -1825,10 +1838,25 @@ def export_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase distributed prefix sum from operators/packing.py — never a
     single-task global window or zipWithIndex) and a round-robin shard
     assignment, balanced to within one row across 16 shards."""
-    from hadoop_data_lake_spark.operators.packing import shuffle_shard_plan
+    from hadoop_data_lake_spark.core.io import parquet_row_count
+    from hadoop_data_lake_spark.operators.packing import (
+        PREFIX_DRIVER_MAX_ROWS,
+        shuffle_shard_plan,
+    )
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    return shuffle_shard_plan(docs, "doc_id", n_shards=16, salt=0)
+    # footer row count = a free, sound bound on the prefix frame (one row
+    # per document), so an over-cap corpus declines the prefix driver tier
+    # WITHOUT probing (VERDICT r15 item 6 — no double upstream execution).
+    return shuffle_shard_plan(
+        docs,
+        "doc_id",
+        n_shards=16,
+        salt=0,
+        n_rows_bound=parquet_row_count(
+            sf_dir, "documents", cap=PREFIX_DRIVER_MAX_ROWS
+        ),
+    )
 
 
 EXPORT_SHUFFLE_SHARDS_SQL = f"""

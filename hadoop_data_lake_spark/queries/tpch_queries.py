@@ -2172,7 +2172,13 @@ def pagerank_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     if G.GENERAL_DRIVER_TIER_ENABLED:
         from hadoop_data_lake_spark.core.io import parquet_row_count
 
-        bound = parquet_row_count(sf_dir, "lineitem")
+        # cap= (r16): the footer loop stops as soon as the sum exceeds the
+        # tier's edge cap — bounded driver metadata work on many-file
+        # tables (the returned over-cap partial sum still declines the
+        # tier; only an under-cap return is the exact count).
+        bound = parquet_row_count(
+            sf_dir, "lineitem", cap=G.NUMPY_DRIVER_MAX_EDGES
+        )
         top = G.pagerank_layered_driver(
             e_raw,
             "src",
@@ -2980,8 +2986,19 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(to_units(F.col("o_totalprice"))).alias("cents")
     )
+    from hadoop_data_lake_spark.core.io import parquet_row_count
+    from hadoop_data_lake_spark.operators.packing import PREFIX_DRIVER_MAX_ROWS
+
+    # o_custkey is a customer FK, so |per_cust| <= |customer| — the footer
+    # count is a free sound bound for the prefix driver tier (VERDICT r15
+    # item 6: an over-cap customer dimension declines without probing).
     ranked = token_prefix_sum(
-        per_cust.withColumn("__one", F.lit(1)), ["cents", "o_custkey"], "__one"
+        per_cust.withColumn("__one", F.lit(1)),
+        ["cents", "o_custkey"],
+        "__one",
+        n_rows_bound=parquet_row_count(
+            sf_dir, "customer", cap=PREFIX_DRIVER_MAX_ROWS
+        ),
     ).withColumnRenamed("cum", "i")
     mom = ranked.agg(
         F.count("*").alias("n"),
@@ -3100,12 +3117,19 @@ def pareto_8020_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(to_units(F.col("o_totalprice"))).alias("cents"))
         .localCheckpoint(eager=True)
     )
+    from hadoop_data_lake_spark.core.io import parquet_row_count
+    from hadoop_data_lake_spark.operators.packing import PREFIX_DRIVER_MAX_ROWS
+
     ranked = prefix_agg(
         per_cust.withColumn("__one", F.lit(1)).withColumn(
             "__neg", -F.col("cents")
         ),
         ["__neg", "o_custkey"],
         sum_cols={"i": "__one", "cum": "cents"},
+        # |per_cust| <= |customer| (FK) — footer bound, see gini (r16)
+        n_rows_bound=parquet_row_count(
+            sf_dir, "customer", cap=PREFIX_DRIVER_MAX_ROWS
+        ),
     ).crossJoin(
         F.broadcast(
             per_cust.agg(
@@ -3252,10 +3276,17 @@ def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = li.groupBy("l_partkey").agg(
         F.sum(to_units(F.col("l_extendedprice"))).alias("cents")
     )
+    from hadoop_data_lake_spark.core.io import parquet_row_count
+    from hadoop_data_lake_spark.operators.packing import PREFIX_DRIVER_MAX_ROWS
+
     ranked = prefix_agg(
         per_part.withColumn("__neg", -F.col("cents")),
         ["__neg", "l_partkey"],
         sum_cols={"cum": "cents"},
+        # |per_part| <= |part| (FK) — footer bound, see gini (r16)
+        n_rows_bound=parquet_row_count(
+            sf_dir, "part", cap=PREFIX_DRIVER_MAX_ROWS
+        ),
     ).crossJoin(F.broadcast(per_part.agg(F.sum("cents").alias("total"))))
     classed = ranked.withColumn(
         "abc",
@@ -4010,10 +4041,17 @@ def lorenz_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(to_units(F.col("o_totalprice"))).alias("cents"))
         .localCheckpoint(eager=True)
     )
+    from hadoop_data_lake_spark.core.io import parquet_row_count
+    from hadoop_data_lake_spark.operators.packing import PREFIX_DRIVER_MAX_ROWS
+
     ranked = prefix_agg(
         per_cust.withColumn("__one", F.lit(1)),
         ["cents", "o_custkey"],
         sum_cols={"i": "__one", "cum": "cents"},
+        # |per_cust| <= |customer| (FK) — footer bound, see gini (r16)
+        n_rows_bound=parquet_row_count(
+            sf_dir, "customer", cap=PREFIX_DRIVER_MAX_ROWS
+        ),
     ).crossJoin(
         F.broadcast(
             per_cust.agg(F.count("*").alias("n"), F.sum("cents").alias("total"))
@@ -4787,7 +4825,10 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     if G.GENERAL_DRIVER_TIER_ENABLED:
         from hadoop_data_lake_spark.core.io import parquet_row_count
 
-        bound = parquet_row_count(sf_dir, "lineitem")
+        # cap= (r16): early-exit footer loop, see pagerank_det.
+        bound = parquet_row_count(
+            sf_dir, "lineitem", cap=G.NUMPY_DRIVER_MAX_EDGES
+        )
         top = G.hits_topk_sides_driver(
             e_raw,
             "c",
