@@ -2035,19 +2035,54 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cents = to_units(F.col("o_totalprice"), 2)
+    # Size hints for the checkpointed-side joins (r16, VERDICT r15 item
+    # 2): every frame here derives from a localCheckpoint, which scans as
+    # ExistingRDD with NO stats — Catalyst plans all six joins as
+    # stats-blind SortMergeJoins and only AQE's runtime conversion can
+    # rescue them. The customer-derived sides have DRIVER-KNOWN row
+    # bounds from the parquet footers (|c_old| <= |customer|; |c_new| <=
+    # |customer| + |customer|/53 + 1; |d_cust| <= 2 rows per key over
+    # both snapshots' keys <= 4|customer| + 4), so broadcast_bounded_state
+    # broadcasts them when they provably fit its row/byte caps and leaves
+    # the SMJ untouched when they don't — at 100 TB the customer
+    # dimension blows the cap and the shuffle formulation stands, which
+    # is exactly what a real cluster wants (the r15 analysis that
+    # rejected an unconditional broadcast as a local-only win). The two
+    # snapshot_delta full-outer joins keep their SMJs: FULL OUTER cannot
+    # build a one-sided hash relation, and they are the genuine data
+    # work. Bit-identical: a broadcast hint changes the join strategy,
+    # never the join semantics.
+    from hadoop_data_lake_spark.core.io import parquet_row_count
+    from hadoop_data_lake_spark.operators.graph import (
+        BROADCAST_STATE_MAX_ROWS,
+        broadcast_bounded_state,
+    )
+
+    n_cust = parquet_row_count(
+        sf_dir, "customer", cap=BROADCAST_STATE_MAX_ROWS
+    )
     old_agg = (
-        o_old.join(c_old, F.col("o_custkey") == F.col("c_custkey"))
+        o_old.join(
+            broadcast_bounded_state(c_old, n_cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n0"), F.sum(cents).alias("cents0"))
     )
     d_orders = snapshot_delta(o_old, o_new, keys=["o_orderkey"])
     d_cust = snapshot_delta(c_old, c_new, keys=["c_custkey"])
-    part_a = d_orders.join(c_new, F.col("o_custkey") == F.col("c_custkey")).select(
-        "c_mktsegment", "sign", cents.alias("cents")
-    )
-    part_b = o_old.join(d_cust, F.col("o_custkey") == F.col("c_custkey")).select(
-        "c_mktsegment", "sign", cents.alias("cents")
-    )
+    part_a = d_orders.join(
+        broadcast_bounded_state(
+            c_new, None if n_cust is None else 2 * n_cust + 2
+        ),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select("c_mktsegment", "sign", cents.alias("cents"))
+    part_b = o_old.join(
+        broadcast_bounded_state(
+            d_cust, None if n_cust is None else 4 * n_cust + 4
+        ),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select("c_mktsegment", "sign", cents.alias("cents"))
     d_agg = (
         part_a.unionByName(part_b)
         .groupBy("c_mktsegment")
