@@ -150,7 +150,7 @@ def broadcast_bounded_state(df: DataFrame, n_rows: int | None) -> DataFrame:
 _bcast_state = broadcast_bounded_state
 
 
-def _cc_driver_labels(raw: DataFrame):
+def _cc_driver_labels(raw: DataFrame, return_edges: bool = False):
     """Union-find core of the CC driver tier: (vertex -> min reachable
     id) dict over the collected (u, v) pairs, or ``None`` to decline
     (tier disabled upstream; edge count over ``GENERAL_DRIVER_MAX_EDGES``;
@@ -164,6 +164,11 @@ def _cc_driver_labels(raw: DataFrame):
     case; preserved by each union and by path compression) — the root IS
     `min reachable vertex`, the star loop's fixed point. Duplicates,
     reversed duplicates and self-loops collapse harmlessly.
+
+    ``return_edges=True`` additionally hands back the collected edge
+    rows, so a caller that needs a PER-PAIR pass over the same bounded
+    pair list (cluster_safe_split_audit's leak audit, r16) folds it into
+    this one collect instead of collecting the checkpoint again.
     """
     from pyspark.sql.types import (
         ByteType,
@@ -191,7 +196,8 @@ def _cc_driver_labels(raw: DataFrame):
             parent[x], x = r, parent[x]
         return r
 
-    for row in raw.collect():
+    rows = raw.collect()
+    for row in rows:
         u, v = row[0], row[1]
         if u is None or v is None:
             # NULL ids are not orderable against ints/strings in Python —
@@ -207,7 +213,8 @@ def _cc_driver_labels(raw: DataFrame):
             if rv < ru:
                 ru, rv = rv, ru
             parent[rv] = ru
-    return {x: find(x) for x in parent}
+    labels = {x: find(x) for x in parent}
+    return (labels, rows) if return_edges else labels
 
 
 def _cc_driver(raw: DataFrame):

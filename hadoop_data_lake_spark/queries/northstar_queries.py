@@ -4382,19 +4382,29 @@ def cluster_safe_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     components from the O(log n) large-star/small-star loop; the audit
     joins are doc-sized hash joins. pairs/sides frames are
     localCheckpoint-ed so the minhash pipeline is not re-executed per
-    branch."""
-    from hadoop_data_lake_spark.operators.graph import dedup_clusters
+    branch.
+
+    Driver tier (r16, VERDICT r15 item 4): when the CC union-find tier
+    fires, the component labels AND the pair list are already on the
+    driver from its one collect — the per-pair leak counts fold into the
+    same pass (Python md5 replays Spark's md5(cast(id as string))
+    byte-for-byte: the ids are gated to one shared integral/string type,
+    where str(int) == Spark's long->string cast and UTF-8 encoding
+    matches), so the leak joins (pairs x sides x sides) and the second
+    read of `sides` disappear. The cluster-side count stays a provable
+    invariant either way (a pair's endpoints share a component, so
+    side_cluster(rep(a)) == side_cluster(rep(b)) — computed honestly in
+    both paths, never assumed). Over the cap or on unorderable id types
+    the distributed audit below runs unchanged."""
+    from hadoop_data_lake_spark.operators import graph as G
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = (
+    raw = (
         DD.minhash_lsh_pairs(
             docs, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.3
         )
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
-    )
-    comp = dedup_clusters(pairs).select(
-        F.col("doc").alias("doc_id"), "cluster_rep"
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .localCheckpoint(eager=True)
     )
 
     def side_of(col):
@@ -4403,44 +4413,105 @@ def cluster_safe_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("test"),
         ).otherwise(F.lit("train"))
 
-    sides = (
-        docs.select("doc_id")
-        .join(comp, "doc_id", "left")
-        .withColumn("rep", F.coalesce("cluster_rep", "doc_id"))
-        .select(
-            "doc_id",
-            side_of(F.col("rep")).alias("side_cluster"),
-            side_of(F.col("doc_id")).alias("side_naive"),
-        )
-        .localCheckpoint(eager=False)
+    tier = (
+        G._cc_driver_labels(raw, return_edges=True)
+        if G.GENERAL_DRIVER_TIER_ENABLED
+        else None
     )
+    if tier is not None:
+        import hashlib
+
+        import pandas as pd
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        labels, edges = tier
+
+        def py_side(x) -> str:
+            h = hashlib.md5(str(x).encode("utf-8")).hexdigest()
+            return "test" if h[0] in "012" else "train"
+
+        leak_c = sum(
+            1 for r in edges if py_side(labels[r[0]]) != py_side(labels[r[1]])
+        )
+        leak_n = sum(1 for r in edges if py_side(r[0]) != py_side(r[1]))
+        ut = raw.schema["u"].dataType
+        comp = spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": list(labels), "cluster_rep": list(labels.values())}
+            ),
+            StructType(
+                [StructField("doc_id", ut), StructField("cluster_rep", ut)]
+            ),
+        )
+        leaks = spark.createDataFrame(
+            pd.DataFrame({"leak_c": [leak_c], "leak_n": [leak_n]}),
+            StructType(
+                [
+                    StructField("leak_c", LongType()),
+                    StructField("leak_n", LongType()),
+                ]
+            ),
+        )
+        # sides is consumed ONCE here (the counts aggregate) — no
+        # checkpoint needed in this branch.
+        sides = (
+            docs.select("doc_id")
+            .join(comp, "doc_id", "left")
+            .withColumn("rep", F.coalesce("cluster_rep", "doc_id"))
+            .select(
+                "doc_id",
+                side_of(F.col("rep")).alias("side_cluster"),
+                side_of(F.col("doc_id")).alias("side_naive"),
+            )
+        )
+    else:
+        # distributed audit, unchanged shape: CC star loop on the same
+        # checkpoint (no re-checkpoint — the r16 _cc_distributed entry),
+        # sides checkpointed because counts AND both leak-join reads
+        # consume it.
+        comp = G._cc_distributed(raw, max_iter=20, strict=True).select(
+            F.col("vertex").alias("doc_id"),
+            F.col("component").alias("cluster_rep"),
+        )
+        sides = (
+            docs.select("doc_id")
+            .join(comp, "doc_id", "left")
+            .withColumn("rep", F.coalesce("cluster_rep", "doc_id"))
+            .select(
+                "doc_id",
+                side_of(F.col("rep")).alias("side_cluster"),
+                side_of(F.col("doc_id")).alias("side_naive"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        sa = sides.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("side_cluster").alias("ca"),
+            F.col("side_naive").alias("na"),
+        )
+        sb = sides.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("side_cluster").alias("cb"),
+            F.col("side_naive").alias("nb"),
+        )
+        leaks = (
+            raw.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b"))
+            .join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .agg(
+                F.coalesce(
+                    F.count(F.when(F.col("ca") != F.col("cb"), 1)), F.lit(0)
+                ).alias("leak_c"),
+                F.coalesce(
+                    F.count(F.when(F.col("na") != F.col("nb"), 1)), F.lit(0)
+                ).alias("leak_n"),
+            )
+        )
     counts = sides.agg(
         F.count(F.when(F.col("side_cluster") == "train", 1)).alias("tr_c"),
         F.count(F.when(F.col("side_cluster") == "test", 1)).alias("te_c"),
         F.count(F.when(F.col("side_naive") == "train", 1)).alias("tr_n"),
         F.count(F.when(F.col("side_naive") == "test", 1)).alias("te_n"),
-    )
-    sa = sides.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("side_cluster").alias("ca"),
-        F.col("side_naive").alias("na"),
-    )
-    sb = sides.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("side_cluster").alias("cb"),
-        F.col("side_naive").alias("nb"),
-    )
-    leaks = (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .agg(
-            F.coalesce(
-                F.count(F.when(F.col("ca") != F.col("cb"), 1)), F.lit(0)
-            ).alias("leak_c"),
-            F.coalesce(
-                F.count(F.when(F.col("na") != F.col("nb"), 1)), F.lit(0)
-            ).alias("leak_n"),
-        )
     )
     joined = counts.crossJoin(leaks)
     row_cluster = joined.select(

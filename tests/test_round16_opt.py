@@ -252,6 +252,27 @@ def test_pagerank_layered_driver_declines_on_null_ids(spark, tier_guard):
     )
 
 
+# ------------------------------- cluster_safe_split_audit leak fold
+
+
+def test_split_audit_leak_fold_matches_distributed(spark, tier_guard):
+    """The r16 driver leak fold (Python md5 over the collected pair list)
+    must equal the distributed leak joins row-for-row — including the
+    md5(cast(id as string)) replication and the leak_c == 0 invariant."""
+    from hadoop_data_lake_spark.queries.registry import REGISTRY
+
+    fn = REGISTRY["cluster_safe_split_audit"].fn
+    sf = "/root/testdata/sf0.001"
+    G.GENERAL_DRIVER_TIER_ENABLED = True
+    on = sorted(map(tuple, fn(spark, sf).collect()))
+    G.GENERAL_DRIVER_TIER_ENABLED = False
+    off = sorted(map(tuple, fn(spark, sf).collect()))
+    assert on == off
+    by_kind = {r[0]: r for r in on}
+    assert by_kind["cluster_aware"][3] == 0  # no leaks by construction
+    assert by_kind["cluster_aware"][1] + by_kind["cluster_aware"][2] == 500
+
+
 # ------------------------------------- dedup_clusters decline path
 
 
