@@ -2914,6 +2914,115 @@ FROM tot
 """
 
 
+def _psi_wide_driver(dc: DataFrame):
+    """Driver tier for `value_psi_drift`'s integer middle (r16): one Arrow
+    collect of the eagerly-checkpointed (day, cents, n) aggregate, then
+    cut / period tags / n-weighted prefix ranks / decile edges / bin map /
+    (bin, ref, cur) pivot in numpy — 10 local rows back instead of the
+    prefix createDataFrame + explode + edges groupBy + distinct x edges
+    crossJoin + two joins + pivot over distributed data.
+
+    Exactness: replays the distributed formulation's integer arithmetic
+    verbatim — cut = min(day) + 15 days; groups stably ordered by
+    (cents, day); bin_lo/bin_hi = ((cum - n) * 10) // nr and
+    ((cum - 1) * 10) // nr over non-negative ints (Python // == Spark
+    `div` for non-negative operands; (cum)*10 < 2^63 for any corpus with
+    < 9.2e17 reference events); edge[b] = max cents over groups spanning
+    bin b < 9; bin(cents) = #edges < cents; per-(period, bin) counts are
+    plain integer sums. Returns the local `wide` frame with the exact
+    schema the distributed pivot produces (bin/ref/cur, all long), so the
+    shared float tail computes on identical integers.
+
+    Declines (``None`` — the distributed formulation runs unchanged) on:
+    tier switch off; over the prefix-tier row cap (probed with a
+    limit(cap+1) collect — dc is an EAGER checkpoint, so the probe never
+    re-executes the events scan); any NULLs; non-integer cents/n dtypes;
+    an empty frame or empty reference period (divide-by-nr semantics stay
+    the distributed path's contract).
+    """
+    from hadoop_data_lake_spark.operators import graph as _G
+    from hadoop_data_lake_spark.operators.packing import PREFIX_DRIVER_MAX_ROWS
+
+    if not _G.GENERAL_DRIVER_TIER_ENABLED:
+        return None
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    pdf = dc.limit(PREFIX_DRIVER_MAX_ROWS + 1).toPandas()
+    if len(pdf) == 0 or len(pdf) > PREFIX_DRIVER_MAX_ROWS:
+        return None
+    if pdf.isna().any().any():
+        return None
+    if not (
+        pd.api.types.is_integer_dtype(pdf["cents"])
+        and pd.api.types.is_integer_dtype(pdf["n"])
+    ):
+        return None
+
+    day = pdf["day"]
+    # DateType arrives as object-dtype datetime.date (or datetime64 under
+    # some Arrow paths) — both support min() and +15 days identically to
+    # F.date_add(F.min("day"), 15).
+    if pd.api.types.is_datetime64_any_dtype(day):
+        cut = day.min() + pd.Timedelta(days=15)
+    elif len(day) and isinstance(day.iloc[0], datetime.date):
+        cut = day.min() + datetime.timedelta(days=15)
+    else:
+        return None
+    is_ref = (day < cut).to_numpy()
+    if not is_ref.any():
+        return None
+
+    cents = pdf["cents"].to_numpy(dtype=np.int64)
+    n = pdf["n"].to_numpy(dtype=np.int64)
+    # reference groups in (cents, day) order — np.lexsort keys are listed
+    # least-significant first
+    ridx = np.flatnonzero(is_ref)
+    order = ridx[np.lexsort((day.iloc[ridx].to_numpy(), cents[ridx]))]
+    rn = n[order]
+    rcents = cents[order]
+    cum = np.cumsum(rn)
+    nr = int(cum[-1])
+    bin_lo = (cum - rn) * 10 // nr
+    bin_hi = (cum - 1) * 10 // nr
+    edges = []
+    for b in range(9):
+        covered = (bin_lo <= b) & (b <= bin_hi)
+        if covered.any():
+            edges.append(int(rcents[covered].max()))
+    # bin(cents) = #edges < cents, for every (day, cents) group
+    bins = np.zeros(len(pdf), dtype=np.int64)
+    for e in edges:
+        bins += cents > e
+    # per-(period, bin) integer counts -> the pivoted wide frame
+    ref_cnt: dict[int, int] = {}
+    cur_cnt: dict[int, int] = {}
+    for b, cnt, r in zip(bins.tolist(), n.tolist(), is_ref.tolist()):
+        d = ref_cnt if r else cur_cnt
+        d[b] = d.get(b, 0) + cnt
+    all_bins = sorted(set(ref_cnt) | set(cur_cnt))
+    out = pd.DataFrame(
+        {
+            "bin": all_bins,
+            "ref": [ref_cnt.get(b, 0) for b in all_bins],
+            "cur": [cur_cnt.get(b, 0) for b in all_bins],
+        }
+    )
+    return dc.sparkSession.createDataFrame(
+        out,
+        StructType(
+            [
+                StructField("bin", LongType()),
+                StructField("ref", LongType()),
+                StructField("cur", LongType()),
+            ]
+        ),
+    )
+
+
 def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between the first and second half of the
     event stream, over REFERENCE-decile value bins — the standard model-
@@ -2934,7 +3043,23 @@ def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     every branch, 12 events scans per run), the prefix sum ranks the
     n-weighted groups in the same (cents, day) order, and each group's
     rows occupy exactly the consecutive rank bins [bin_lo, bin_hi]
-    (exploded, <= 10 rows per group) — identical edges by construction."""
+    (exploded, <= 10 rows per group) — identical edges by construction.
+
+    Driver tier (r16, VERDICT r15 item 5): everything between the
+    checkpointed (day, cents, n) aggregate and the float tail is INTEGER
+    arithmetic over a dimension-bounded frame (day x distinct cents —
+    43k groups at sf0.1, bounded by the price domain at any corpus
+    scale), so under the prefix tier's cap it all runs in one
+    numpy/driver pass on ONE Arrow collect of the checkpoint: cut,
+    period tags, the n-weighted prefix ranks, the decile edges, the
+    per-cents bin map and the (bin, ref, cur) pivot — exact by the same
+    argument as the distributed formulation (pure int sums/divisions,
+    replayed verbatim). The r15 prefix tier was NEUTRAL here because it
+    shipped all 43k ranked rows BACK through createDataFrame; this tier
+    returns 10 rows. The float expressions (shares, log, round) stay in
+    Spark, computed by the same tail over the same integers in both
+    paths. Declines (over-cap, NULLs, unexpected dtypes, empty ref) run
+    the distributed formulation below unchanged."""
     from hadoop_data_lake_spark.functions.fixedpoint import to_units
     from hadoop_data_lake_spark.operators.packing import token_prefix_sum
 
@@ -2945,50 +3070,54 @@ def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .localCheckpoint(eager=True)
     )
-    mid = dc.agg(F.date_add(F.min("day"), 15).alias("cut"))
-    tagged = dc.crossJoin(F.broadcast(mid)).withColumn(
-        "period", F.when(F.col("day") < F.col("cut"), "ref").otherwise("cur")
-    )
-    ref = tagged.where(F.col("period") == "ref")
-    ranked = token_prefix_sum(ref, ["cents", "day"], "n").crossJoin(
-        F.broadcast(ref.agg(F.sum("n").alias("nr")))
-    )
-    # a group's n rows hold ranks (cum-n, cum]; row-rank bin is
-    # ((rk-1)*10) div nr, nondecreasing in rk, so the group spans the
-    # contiguous bins [((cum-n)*10) div nr, ((cum-1)*10) div nr]
-    spans = ranked.select(
-        "cents",
-        F.expr("((cum - n) * 10) div nr").alias("bin_lo"),
-        F.expr("((cum - 1) * 10) div nr").alias("bin_hi"),
-    )
-    edges = (
-        spans.select("cents", F.explode(F.sequence("bin_lo", "bin_hi")).alias("bin"))
-        .groupBy("bin")
-        .agg(F.max("cents").alias("edge"))
-        .where(F.col("bin") < 9)
-    )
-    # bucket against the 9 integer edges: bin(cents) = #edges < cents. The
-    # mapping depends only on the value, so it's computed once per DISTINCT
-    # cents (a tiny frame) and joined back — never a 9x row explosion of
-    # the facts.
-    cents_bins = (
-        tagged.select("cents")
-        .distinct()
-        .crossJoin(F.broadcast(edges.select("edge")))
-        .groupBy("cents")
-        .agg(F.sum((F.col("edge") < F.col("cents")).cast("int")).alias("bin"))
-    )
-    counts = (
-        tagged.join(cents_bins, "cents")
-        .groupBy("period", "bin")
-        .agg(F.sum("n").alias("n"))
-    )
-    wide = (
-        counts.groupBy("bin")
-        .pivot("period", ["ref", "cur"])
-        .agg(F.first("n"))
-        .fillna(0, subset=["ref", "cur"])
-    )
+    wide = _psi_wide_driver(dc)
+    if wide is None:
+        mid = dc.agg(F.date_add(F.min("day"), 15).alias("cut"))
+        tagged = dc.crossJoin(F.broadcast(mid)).withColumn(
+            "period", F.when(F.col("day") < F.col("cut"), "ref").otherwise("cur")
+        )
+        ref = tagged.where(F.col("period") == "ref")
+        ranked = token_prefix_sum(ref, ["cents", "day"], "n").crossJoin(
+            F.broadcast(ref.agg(F.sum("n").alias("nr")))
+        )
+        # a group's n rows hold ranks (cum-n, cum]; row-rank bin is
+        # ((rk-1)*10) div nr, nondecreasing in rk, so the group spans the
+        # contiguous bins [((cum-n)*10) div nr, ((cum-1)*10) div nr]
+        spans = ranked.select(
+            "cents",
+            F.expr("((cum - n) * 10) div nr").alias("bin_lo"),
+            F.expr("((cum - 1) * 10) div nr").alias("bin_hi"),
+        )
+        edges = (
+            spans.select(
+                "cents", F.explode(F.sequence("bin_lo", "bin_hi")).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.max("cents").alias("edge"))
+            .where(F.col("bin") < 9)
+        )
+        # bucket against the 9 integer edges: bin(cents) = #edges < cents.
+        # The mapping depends only on the value, so it's computed once per
+        # DISTINCT cents (a tiny frame) and joined back — never a 9x row
+        # explosion of the facts.
+        cents_bins = (
+            tagged.select("cents")
+            .distinct()
+            .crossJoin(F.broadcast(edges.select("edge")))
+            .groupBy("cents")
+            .agg(F.sum((F.col("edge") < F.col("cents")).cast("int")).alias("bin"))
+        )
+        counts = (
+            tagged.join(cents_bins, "cents")
+            .groupBy("period", "bin")
+            .agg(F.sum("n").alias("n"))
+        )
+        wide = (
+            counts.groupBy("bin")
+            .pivot("period", ["ref", "cur"])
+            .agg(F.first("n"))
+            .fillna(0, subset=["ref", "cur"])
+        )
     tot = wide.agg(
         F.sum("ref").alias("tr"), F.sum("cur").alias("tc")
     )

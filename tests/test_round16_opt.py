@@ -252,6 +252,26 @@ def test_pagerank_layered_driver_declines_on_null_ids(spark, tier_guard):
     )
 
 
+# ----------------------------------------- value_psi_drift bin fold
+
+
+def test_value_psi_drift_driver_fold_matches_distributed(spark, tier_guard):
+    """The r16 driver fold (cut/ranks/edges/bin map/pivot in numpy) must
+    produce the identical 10 rows as the distributed prefix + crossJoin
+    formulation — including the float tail, which both paths compute in
+    Spark over the same integers."""
+    from hadoop_data_lake_spark.queries.registry import REGISTRY
+
+    fn = REGISTRY["value_psi_drift"].fn
+    sf = "/root/testdata/sf0.001"
+    G.GENERAL_DRIVER_TIER_ENABLED = True
+    on = sorted(map(tuple, fn(spark, sf).collect()))
+    G.GENERAL_DRIVER_TIER_ENABLED = False
+    off = sorted(map(tuple, fn(spark, sf).collect()))
+    assert on == off
+    assert len(on) == 10 and {r[0] for r in on} == set(range(10))
+
+
 # ------------------------------- cluster_safe_split_audit leak fold
 
 
