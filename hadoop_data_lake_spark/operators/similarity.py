@@ -907,7 +907,10 @@ def ivf_build(
         .parquet(f"{path}/cells")
     )
     spark = corpus.sparkSession
-    spark.createDataFrame(
+    from hadoop_data_lake_spark.core.io import local_frame
+
+    local_frame(
+        spark,
         [(j, [float(x) for x in centers[j]]) for j in range(len(centers))],
         "cell int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/centroids")

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hadoop_data_lake_spark.core.io import read_table
+from hadoop_data_lake_spark.core.io import local_frame, read_table
 from hadoop_data_lake_spark.functions.fixedpoint import dprod, to_units
 from hadoop_data_lake_spark.operators.aggregates import pivot_counts
 from hadoop_data_lake_spark.operators.asof import asof_join
@@ -1259,7 +1259,8 @@ def gdpr_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         surviving = df.join(
             F.broadcast(dele.withColumnRenamed("user_id", key)), key, "left_anti"
         ).count()
-        return spark.createDataFrame(
+        return local_frame(
+            spark,
             [(table, total, total - surviving, surviving)],
             "table_name string, n_rows long, n_deleted long, n_surviving long",
         )
@@ -3373,7 +3374,8 @@ def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _i(x):
         return int(x) if x is not None else None
 
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [(_i(m["n_rows"]), _i(m["sum_cents"]), _i(m["n_null_props"]))],
         "n_rows long, sum_cents long, n_null_props long",
     )
@@ -6528,8 +6530,10 @@ def exact_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("cents").isNotNull())
     n = ev.count()
     pcts = [1, 5, 25, 50, 75, 90, 99]
-    targets = spark.createDataFrame(
-        [(p, -(-p * n // 100)) for p in pcts], "quantile_pct INT, target BIGINT"
+    targets = local_frame(
+        spark,
+        [(p, -(-p * n // 100)) for p in pcts],
+        "quantile_pct INT, target BIGINT",
     )
     ranked = token_prefix_sum(
         ev.withColumn("__one", F.lit(1)), ["cents", "event_id"], "__one"
@@ -7461,7 +7465,8 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "generate_series) is built for"
         )
     fact = [1, 1, 2, 6, 24, 120, 720]
-    lattice = spark.createDataFrame(
+    lattice = local_frame(
+        spark,
         [
             (",".join(combo), s)
             for s in range(1, k + 1)
@@ -8673,8 +8678,10 @@ def chapman_population_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         return math.floor(x * f + 0.5) / f
 
     rows = [(n1, n2, m, round_half_up(est), round_half_up(var ** 0.5))]
-    return spark.createDataFrame(
-        rows, "n_first BIGINT, n_second BIGINT, n_both BIGINT, chapman_r DOUBLE, se_r DOUBLE"
+    return local_frame(
+        spark,
+        rows,
+        "n_first BIGINT, n_second BIGINT, n_both BIGINT, chapman_r DOUBLE, se_r DOUBLE",
     )
 
 
@@ -8713,7 +8720,8 @@ def selectivity_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", to_units(F.col("value")).alias("cents")
     ).where(F.col("cents").isNotNull()).localCheckpoint(eager=True)
     n = ev.count()
-    targets = spark.createDataFrame(
+    targets = local_frame(
+        spark,
         [(p, -(-p * n // 100)) for p in (50, 75, 90, 99)],
         "pct INT, target BIGINT",
     )
@@ -9113,8 +9121,10 @@ def cvar_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", to_units(F.col("value")).alias("cents")
     ).where(F.col("cents").isNotNull()).localCheckpoint(eager=True)
     n = ev.count()
-    targets = spark.createDataFrame(
-        [(p, -(-p * n // 100)) for p in (90, 95, 99)], "pct INT, target BIGINT"
+    targets = local_frame(
+        spark,
+        [(p, -(-p * n // 100)) for p in (90, 95, 99)],
+        "pct INT, target BIGINT",
     )
     ranked = token_prefix_sum(
         ev.withColumn("__one", F.lit(1)), ["cents", "event_id"], "__one"
@@ -9187,8 +9197,10 @@ def rdd_value_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").cast("long").alias("y"),
     ).where(F.col("cents").isNotNull()).localCheckpoint(eager=True)
     n = ev.count()
-    targets = spark.createDataFrame(
-        [(p, -(-p * n // 100)) for p in (25, 50, 75)], "pct INT, target BIGINT"
+    targets = local_frame(
+        spark,
+        [(p, -(-p * n // 100)) for p in (25, 50, 75)],
+        "pct INT, target BIGINT",
     )
     ranked = token_prefix_sum(
         ev.withColumn("__one", F.lit(1)), ["cents", "event_id"], "__one"

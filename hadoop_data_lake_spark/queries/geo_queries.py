@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_data_lake_spark.core.io import read_table
+from hadoop_data_lake_spark.core.io import local_frame, read_table
 from hadoop_data_lake_spark.functions.geo import haversine_km
 from hadoop_data_lake_spark.operators.joins import grid_distance_self_join
 from hadoop_data_lake_spark.operators.windows import top1_per_group
@@ -445,8 +445,8 @@ def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    shifts = spark.createDataFrame(
-        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx INT, dy INT"
+    shifts = local_frame(
+        spark, [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx INT, dy INT"
     )
     shifted = core.crossJoin(F.broadcast(shifts)).select(
         F.col("cell").alias("cell_a"),

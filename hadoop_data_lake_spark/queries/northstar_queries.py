@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_data_lake_spark.core.io import read_table
+from hadoop_data_lake_spark.core.io import local_frame, read_table
 from hadoop_data_lake_spark.functions import text as TX
 from hadoop_data_lake_spark.functions.fixedpoint import dprod
 from hadoop_data_lake_spark.functions.hashing import md5_60bit_sql, salted_md5_60bit_sql
@@ -2191,7 +2191,8 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     merges = bpe_train(docs, num_merges=20)
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, left string, right string",
     )
@@ -3064,8 +3065,8 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rows = mmr_rerank_pool(pool.select("doc_id", "rel_q"), sims, k=10)
-    return spark.createDataFrame(
-        rows, "rank int, doc_id long, rel_q long, score_q long"
+    return local_frame(
+        spark, rows, "rank int, doc_id long, rel_q long, score_q long"
     )
 
 
@@ -5105,7 +5106,8 @@ def zonemap_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         for t in TABLES
     }
-    files = spark.createDataFrame(
+    files = local_frame(
+        spark,
         [(t, f"{sf_dir}/{t}.parquet") for t in TABLES],
         "table_name string, path string",
     ).repartition(len(TABLES))
@@ -5783,7 +5785,7 @@ def ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["__neg", "token"],
         sum_cols={"rk": "__one", "cum": "cnt"},
     ).crossJoin(F.broadcast(tot))
-    ks = spark.createDataFrame([(10,), (25,), (50,), (100,)], "k INT")
+    ks = local_frame(spark, [(10,), (25,), (50,), (100,)], "k INT")
     targets = ks.crossJoin(F.broadcast(tot)).select(
         "k", F.least(F.col("k").cast("long"), F.col("n_vocab")).alias("target")
     )
@@ -6243,7 +6245,7 @@ def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("vocab_coverage_top50_r", cov50),
         ("hash_collision_rate_2e10_r", coll),
     ]
-    return spark.createDataFrame(rows, "metric string, value double")
+    return local_frame(spark, rows, "metric string, value double")
 
 
 def _corpus_report_card_sql() -> str:
@@ -6614,8 +6616,8 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     firsts = positions.groupBy("token").agg(F.min("pos").alias("first_pos"))
     n_total = positions.count()
-    cps = spark.createDataFrame(
-        [(k, -(-n_total * k // 10)) for k in range(1, 11)], "k INT, n BIGINT"
+    cps = local_frame(
+        spark, [(k, -(-n_total * k // 10)) for k in range(1, 11)], "k INT, n BIGINT"
     )
     curve = (
         firsts.crossJoin(F.broadcast(cps))

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_data_lake_spark.core.io import read_table
+from hadoop_data_lake_spark.core.io import local_frame, read_table
 from hadoop_data_lake_spark.functions.fixedpoint import (
     avg_fixed,
     avg_fixed_sql,
@@ -3727,8 +3727,8 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         edge("customer->nation", cust, "c_nationkey", nation, "n_nationkey"),
         edge("nation->region", nation, "n_regionkey", region, "r_regionkey"),
     ]
-    return spark.createDataFrame(
-        rows, "fk_edge string, n_child long, n_orphans long, coverage_r double"
+    return local_frame(
+        spark, rows, "fk_edge string, n_child long, n_orphans long, coverage_r double"
     )
 
 

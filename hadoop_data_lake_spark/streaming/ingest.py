@@ -282,7 +282,10 @@ def enriched_windowed_value(
     (per-type weight) BEFORE the windowed aggregation — the standard
     enrichment topology (static side is broadcast into every microbatch;
     no state, no watermark interaction)."""
-    weights = spark.createDataFrame(
+    from hadoop_data_lake_spark.core.io import local_frame
+
+    weights = local_frame(
+        spark,
         [("click", 1), ("view", 1), ("purchase", 10), ("signup", 5), ("error", 0)],
         "event_type string, weight int",
     )
