@@ -81,8 +81,32 @@ CONTROL_R10_ABSOLUTES = {
     "zone_report": 0.674,
     "ann_brute_force": 0.828,
     "embedding_near_dup": 0.962,
-    "dedup_clusters_minhash": 1.736,
+    "dedup_clusters_minhash": 2.412,
 }
+
+# Round-16 control FREEZE (VERDICT r15 item 8): dedup_clusters_minhash is
+# both a control and an optimization target — a structural conflict that
+# forced the r15 re-base and would force one again every time the driver
+# tier (or its decline rules) moves. Controls are supposed to be FROZEN
+# plans, so the control measurement now times the tier-sensitive controls
+# with the shared driver-tier switch pinned OFF (the same pin the scale
+# tier and tools/scale_probe_100x use): the distributed star-loop plan is
+# permanently frozen regardless of future tier work, and absolutes never
+# re-base again. The headline `queries` entry keeps the tier-ON timing
+# (that is the engine being tracked); only the control ratio uses the
+# frozen-plan re-timing. The other three controls have no driver tier in
+# their plans (verified: tier on/off plans identical), so their headline
+# timings ARE their frozen-plan timings and they are not re-timed.
+# dedup_clusters_minhash's frozen absolute (2.412) is the MEDIAN of the
+# tier-off control re-timings over this round's final full bench runs
+# (2.328 @ 1.014, 2.412 @ 1.084, 2.447 @ 1.036 — median per VERDICT r15
+# item 4: the per-control MIN convention biased absolutes low), measured
+# on the SAME distributed plan the r15-before record timed (the r15 tier
+# commits did not change the distributed star loop; r16's only CC change
+# is the decline-path refactor, which reuses the caller's checkpoint —
+# one fewer materialization job, part of the frozen plan going forward).
+# This CLOSES the control procedure: no future re-base, no minima.
+CONTROL_TIER_SENSITIVE = {"dedup_clusters_minhash"}
 
 HEADLINE_FROZEN = [
     "zone_report",
@@ -614,6 +638,29 @@ def main() -> None:
         lambda: events_partitioned_range_bench(spark, sf_dir),
     )
 
+    # Frozen-plan control re-timings (see CONTROL_TIER_SENSITIVE note):
+    # tier-sensitive controls get a second, driver-tier-OFF timing used
+    # ONLY for the control ratio; their headline entry above is untouched.
+    from hadoop_data_lake_spark.operators import graph as _G
+
+    control_timings = {
+        n: t for n, t in timings.items() if n in CONTROL_R10_ABSOLUTES
+    }
+    orig_tier = _G.GENERAL_DRIVER_TIER_ENABLED
+    _G.GENERAL_DRIVER_TIER_ENABLED = False
+    try:
+        for name in sorted(CONTROL_TIER_SENSITIVE):
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                REGISTRY[name].fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            control_timings[name] = round(best, 3)
+            print(f"# control[frozen] {name}: {control_timings[name]:.3f}s",
+                  file=sys.stderr)
+    finally:
+        _G.GENERAL_DRIVER_TIER_ENABLED = orig_tier
+
     scale_base = os.environ.get(SCALE_BASE_ENV, "/root/testdata/sf0.01")
     scale_check = run_scale_tier(spark, scale_base) if os.path.isdir(scale_base) else {}
 
@@ -634,13 +681,14 @@ def main() -> None:
     # timing is warned about, not silently dropped (driver-ADVICE r7).
     CONTROL_BASELINE_SF = 0.1
     sf_num = float(sf) if sf.replace(".", "").isdigit() else None
-    controls_used = [n for n in CONTROL_R10_ABSOLUTES if timings.get(n)]
+    controls_used = [n for n in CONTROL_R10_ABSOLUTES if control_timings.get(n)]
     for n in CONTROL_R10_ABSOLUTES:
         if n not in controls_used:
             print(f"# WARNING: control query {n} missing from timings; "
                   "control_inflation geomean excludes it", file=sys.stderr)
     control_ratios = {
-        n: round(timings[n] / CONTROL_R10_ABSOLUTES[n], 3) for n in controls_used
+        n: round(control_timings[n] / CONTROL_R10_ABSOLUTES[n], 3)
+        for n in controls_used
     }
     if sf_num == CONTROL_BASELINE_SF and control_ratios:
         control_inflation = round(
@@ -666,6 +714,7 @@ def main() -> None:
         "control_baseline_sf": CONTROL_BASELINE_SF,
         "control_set": controls_used,
         "control_ratios": control_ratios,
+        "control_frozen_timings": control_timings,
         "queries": timings,
         "calm_box": calm,
         # only meaningful against same-SF absolutes: a non-sf0.1 run's
@@ -692,22 +741,29 @@ def main() -> None:
         json.dump(payload, fh, indent=1, sort_keys=True)
     print(f"# full per-query detail -> {detail_path}", file=sys.stderr)
 
+    # Round 16 (VERDICT r15 item 1): the old compact line dropped the
+    # whole `queries` map whenever the line exceeded 1800 chars — which 65
+    # queries at 3 decimals always did — so PERF_r15.json had per_query {}
+    # and the driver graded the optimization round on totals alone. The
+    # map now ships at 2 decimals (1902 chars measured on the r15 detail)
+    # with the redundant compact fields (control_ratios, load_at_start,
+    # detail — all still in bench_detail.json) trimmed, and the fallback
+    # cutoff raised to 1950: still inside the ~2000-char tail window the
+    # driver parses, with the map's 3-decimal source of truth unchanged in
+    # bench_detail.json and the same entries under the same names.
     compact = {
         "metric": payload["metric"],
         "value": total,
         "unit": "sec",
         "headline_frozen_total": frozen_total,
         "control_inflation": control_inflation,
-        "control_ratios": control_ratios,
         "spike_suspected": payload["spike_suspected"],
-        "load_at_start": calm["load_at_start"],
         "n_queries": len(timings),
         "sf": payload["sf"],
-        "detail": "bench_detail.json",
-        "queries": timings,
+        "queries": {n: round(t, 2) for n, t in timings.items()},
     }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1800:  # stay well inside the 2000-char tail window
+    if len(line) > 1950:  # stay inside the 2000-char tail window
         del compact["queries"]
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
